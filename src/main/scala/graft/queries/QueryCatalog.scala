@@ -1,0 +1,13 @@
+package graft.queries
+
+/** Assembles every query module into the single driver-contract map.
+  * Each module covers one slice of SURVEY.md §2 + the LLM-pipeline
+  * operator families.
+  */
+object QueryCatalog {
+  def modules: Seq[Q] = Relational.all
+
+  def queries = modules.map(q => q.name -> q.fn).toMap
+  def oracleSql = modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def benchNames = modules.filter(_.bench).map(_.name)
+}

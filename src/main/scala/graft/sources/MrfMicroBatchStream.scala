@@ -1,0 +1,134 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+
+/** Micro-batch stream over the chunking scan.
+  *
+  * Offset = number of chunks emitted so far ([[MrfOffset]], like
+  * the reference's counter at `/root/reference/src/main/scala/com/
+  * databricks/JsonMRFSource.scala:23,87-88` — but because the splitter's
+  * chunk boundaries are deterministic, ordinal offsets REMAIN VALID
+  * across restarts: the background split simply re-derives the identical
+  * ledger, fixing the reference's best-effort recovery, SURVEY.md §2.8
+  * T7).
+  *
+  * A single background thread splits all input files in sorted order
+  * (global ordinals must be reproducible, so no cross-file interleaving)
+  * and appends chunk specs — byte ranges only, never payload bytes — to
+  * a ledger. `latestOffset` reports the ledger frontier; `commit` GCs
+  * entries at or below the committed ordinal. With
+  * `Trigger.AvailableNow`, Spark calls [[prepareForTriggerAvailableNow]]
+  * first: we block until the split finishes so the terminal offset is
+  * known — the stream then ends naturally (the reference had no
+  * end-of-stream story; demo notebooks polled `lastProgress`,
+  * `README.md:49-58`).
+  */
+final class MrfMicroBatchStream(opts: MrfOptions, conf: Configuration)
+    extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
+
+  // ---- chunk ledger (driver memory: ~100 B per chunk spec) ----
+  private val ledger = ArrayBuffer.empty[MrfInputPartition]
+  private var ledgerBase = 0L // global ordinal of ledger(0)
+  private var splitError: Throwable = _
+  private var splitDone = false
+
+  private val splitter = new Thread("payer-mrf-splitter") {
+    override def run(): Unit =
+      try {
+        val files = MrfFileSplitter.listFiles(opts, conf)
+        var ordinal = 0L
+        files.foreach { f =>
+          ordinal = MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
+            MrfMicroBatchStream.this.synchronized {
+              ledger += p
+              MrfMicroBatchStream.this.notifyAll()
+            }
+          }
+        }
+        MrfMicroBatchStream.this.synchronized {
+          splitDone = true
+          MrfMicroBatchStream.this.notifyAll()
+        }
+      } catch {
+        case t: Throwable =>
+          MrfMicroBatchStream.this.synchronized {
+            splitError = t
+            splitDone = true
+            MrfMicroBatchStream.this.notifyAll()
+          }
+      }
+  }
+  splitter.setDaemon(true)
+  splitter.start()
+
+  private def frontier: Long = synchronized {
+    if (splitError != null) throw splitError
+    ledgerBase + ledger.size
+  }
+
+  /** Block until the ledger covers ordinal `until` (restart re-derivation
+    * may still be running when Spark re-plans an uncommitted batch).
+    */
+  private def awaitFrontier(until: Long): Unit = synchronized {
+    while (ledgerBase + ledger.size < until && !splitDone) wait(100)
+    if (splitError != null) throw splitError
+    require(
+      ledgerBase + ledger.size >= until,
+      s"payer-mrf: input exhausted at ${ledgerBase + ledger.size} chunks but offset $until " +
+        "was checkpointed — the input files changed since the checkpoint was written")
+  }
+
+  override def initialOffset(): Offset = MrfOffset(0L)
+
+  override def latestOffset(): Offset = MrfOffset(frontier)
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — each micro-batch takes the whole discovered frontier.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    MrfOffset(frontier)
+
+  override def reportLatestOffset(): Offset = MrfOffset(frontier)
+
+  override def deserializeOffset(json: String): Offset =
+    MrfOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MrfOffset].n
+    val e = end.asInstanceOf[MrfOffset].n
+    awaitFrontier(e)
+    synchronized {
+      require(s >= ledgerBase, s"offset $s already committed and GCed (base=$ledgerBase)")
+      ledger.slice((s - ledgerBase).toInt, (e - ledgerBase).toInt).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MrfPartitionReaderFactory(
+      new SerializableHadoopConf(conf), opts.payloadAsArray, opts.perElement)
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[MrfOffset].n
+    val drop = (e - ledgerBase).toInt
+    if (drop > 0 && drop <= ledger.size) {
+      ledger.remove(0, drop)
+      ledgerBase = e
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    while (!splitDone) wait(100)
+    if (splitError != null) throw splitError
+  }
+
+  override def stop(): Unit = splitter.interrupt()
+}
+
+/** Chunk-count offset with trivial JSON serde (checkpoint-stable). */
+final case class MrfOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}

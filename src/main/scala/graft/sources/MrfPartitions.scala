@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.BufferedInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One bronze chunk = one Spark input partition (reference
+  * `JsonPartition`, `/root/reference/src/main/scala/com/databricks/
+  * JsonChunks.scala:15-17`): a byte range into `path` plus the top-level
+  * array key, or a driver-materialized header-residue JSON (tiny).
+  * `ordinal` is the global chunk position used as the streaming offset.
+  */
+final case class MrfInputPartition(
+    path: String,
+    fileName: String,
+    headerKey: String,
+    start: Long,
+    end: Long,
+    elements: Int,
+    headerJson: String, // non-null ⇔ header-residue chunk
+    ordinal: Long)
+    extends InputPartition
+
+/** Executor-side materialization (reference `JsonMRFRDD.compute`,
+  * `JsonChunks.scala:37-102`): seek + readFully the chunk's byte range
+  * from shared storage, then emit rows in the configured shape. The
+  * executor re-reads its own range, so chunk bytes never transit the
+  * driver.
+  */
+final class MrfPartitionReaderFactory(
+    conf: SerializableHadoopConf,
+    payloadAsArray: Boolean,
+    perElement: Boolean)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MrfPartitionReader(partition.asInstanceOf[MrfInputPartition], conf, payloadAsArray, perElement)
+}
+
+final class MrfPartitionReader(
+    part: MrfInputPartition,
+    conf: SerializableHadoopConf,
+    payloadAsArray: Boolean,
+    perElement: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val fileName = UTF8String.fromString(part.fileName)
+    if (part.headerJson != null) {
+      Iterator.single(new GenericInternalRow(Array[Any](
+        fileName, UTF8String.fromString(""), UTF8String.fromString(part.headerJson))))
+    } else {
+      val bytes = readRange()
+      val key = UTF8String.fromString(part.headerKey)
+      if (perElement) {
+        JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length).iterator.map {
+          case (s, e) =>
+            new GenericInternalRow(Array[Any](
+              fileName, key, UTF8String.fromBytes(bytes, s, e - s)))
+        }
+      } else if (payloadAsArray) {
+        val els = JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length)
+          .map { case (s, e) => UTF8String.fromBytes(bytes, s, e - s) }
+        Iterator.single(new GenericInternalRow(Array[Any](
+          fileName, key, new GenericArrayData(els.toArray[Any]))))
+      } else {
+        // wrap the element run in brackets → valid JSON array text,
+        // without a charset decode/encode round trip
+        val wrapped = new Array[Byte](bytes.length + 2)
+        wrapped(0) = '['.toByte
+        System.arraycopy(bytes, 0, wrapped, 1, bytes.length)
+        wrapped(wrapped.length - 1) = ']'.toByte
+        Iterator.single(new GenericInternalRow(Array[Any](
+          fileName, key, UTF8String.fromBytes(wrapped))))
+      }
+    }
+  }
+
+  private def readRange(): Array[Byte] = {
+    val p = new Path(part.path)
+    val fs = p.getFileSystem(conf.value)
+    val len = (part.end - part.start).toInt
+    val out = new Array[Byte](len)
+    val in = fs.open(p)
+    try {
+      in.seek(part.start)
+      in.readFully(out, 0, len)
+    } finally in.close()
+    out
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}
+
+/** Driver-side per-file split: list files, gunzip when needed, run the
+  * [[JsonSplitter]], and assign global ordinals. Shared by the batch scan
+  * and the micro-batch stream.
+  */
+object MrfFileSplitter {
+
+  /** Expand each configured path (file, directory, or glob) into concrete
+    * data files, deterministically sorted.
+    */
+  def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+    opts.paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matches.isEmpty)
+        throw new java.io.FileNotFoundException(s"payer-mrf: no input matches $p")
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+            .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        else Seq(st.getPath)
+      }
+    }.sortBy(_.toString)
+
+  /** Split one file into partitions; `ordinalBase` gives the first chunk's
+    * global ordinal. gz inputs are eagerly decompressed to a sibling file
+    * first (gz cannot be seeked — reference behavior,
+    * `JsonMRFSourceProvider.scala:38-46`).
+    */
+  def splitFile(
+      file: Path,
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration,
+      ordinalBase: Long)(onPartition: MrfInputPartition => Unit): Long = {
+    val dataPath = Gunzip.decompressIfNeeded(file, conf)
+    val fs = dataPath.getFileSystem(conf)
+    val name = dataPath.getName
+    var ordinal = ordinalBase
+    val in = new BufferedInputStream(fs.open(dataPath), opts.bufferSize)
+    try {
+      new JsonSplitter(in, opts.splitterOptions).run {
+        case JsonSplitter.ArrayChunk(key, start, end, n) =>
+          onPartition(MrfInputPartition(
+            dataPath.toString, name, key, start, end, n, null, ordinal))
+          ordinal += 1
+        case JsonSplitter.HeaderChunk(json) =>
+          onPartition(MrfInputPartition(
+            dataPath.toString, name, "", 0, 0, 0, json, ordinal))
+          ordinal += 1
+      }
+    } finally in.close()
+    ordinal
+  }
+}

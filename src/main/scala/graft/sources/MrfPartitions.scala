@@ -52,8 +52,12 @@ final class MrfPartitionReader(
   private val rows: Iterator[InternalRow] = {
     val fileName = UTF8String.fromString(part.fileName)
     if (part.headerJson != null) {
+      val payload: Any =
+        if (payloadAsArray)
+          new GenericArrayData(Array[Any](UTF8String.fromString(part.headerJson)))
+        else UTF8String.fromString(part.headerJson)
       Iterator.single(new GenericInternalRow(Array[Any](
-        fileName, UTF8String.fromString(""), UTF8String.fromString(part.headerJson))))
+        fileName, UTF8String.fromString(""), payload)))
     } else {
       val bytes = readRange()
       val key = UTF8String.fromString(part.headerKey)

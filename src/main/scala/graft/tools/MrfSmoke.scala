@@ -31,6 +31,18 @@ object MrfSmoke {
       .select(explode(col("negotiated_rates")).as("r"))
       .count()
     println(f"in_network rates after full JSON parse: $n (${(System.nanoTime() - t1) / 1e9}%.2f s)")
+
+    // full silver+gold pipeline with explicit schema (no inference pass)
+    if (args.length > 2) {
+      val Array(billingCode, tinValue) = args(2).split(",")
+      val t2 = System.nanoTime()
+      val s = graft.pipeline.MrfPipeline.silver(df)
+      val gold = graft.pipeline.MrfPipeline.shoppablePrices(
+        s.codes, s.prices, s.parProviders, s.providersXPayer, billingCode, tinValue)
+      gold.show(5, truncate = false)
+      println(f"gold shoppable($billingCode @ $tinValue): ${gold.count()} rows " +
+        f"(${(System.nanoTime() - t2) / 1e9}%.2f s incl. silver)")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.sources.MrfFixtures
+import org.apache.spark.sql.functions._
+
+/** Silver/gold parity with the reference demo ETL on the synthesized FFS
+  * fixture — the "minimum end-to-end slice" of SURVEY.md §7.1(3):
+  * source → demux → parse → unnest → join → predicate, asserting the
+  * fixture's known 123.45 rate for billing code 27447.
+  */
+class MrfPipelineSpec extends SparkTestBase {
+
+  private lazy val bronze = {
+    val p = MrfFixtures.writeTemp("ffs.json", MrfFixtures.ffs).getAbsolutePath
+    spark.read.format("payer-mrf").load(p).cache()
+  }
+
+  test("header silver: one row per file with entity scalars") {
+    val h = MrfPipeline.header(bronze)
+    assert(h.count() == 1)
+    val row = h.first()
+    assert(row.getAs[String]("reporting_entity_name") == "graft health")
+    assert(row.getAs[String]("plan_name") == "graft ppo")
+    assert(row.getAs[String]("version") == "1.0.0")
+  }
+
+  test("providers silver: group rows with npi/tin + location variant") {
+    import spark.implicits._
+    val p = MrfPipeline.providerReferencesXPayer(bronze)
+    assert(p.count() == 3) // 2 inline groups + 1 location-only
+    val g100 = p.filter($"provider_group_id" === 100).first()
+    assert(g100.getSeq[Long](g100.fieldIndex("npi")) == Seq(1111111111L, 2222222222L))
+    assert(g100.getAs[org.apache.spark.sql.Row]("tin").getAs[String]("value") == "11-1111111")
+    assert(g100.getAs[String]("reporting_entity_name") == "graft health")
+    val g300 = p.filter($"provider_group_id" === 300).first()
+    assert(g300.getAs[String]("location") != null && g300.isNullAt(g300.fieldIndex("npi")))
+  }
+
+  test("codes/rates/prices silver grain matches the fixture") {
+    import spark.implicits._
+    val s = MrfPipeline.silver(bronze)
+    assert(s.codes.count() == 2) // 27447, 99213
+    assert(s.rates.count() == 3) // 2 rates for 27447, 1 for 99213
+    assert(s.prices.count() == 3)
+    assert(s.parProviders.count() == 3) // refs [100,200] + [300]
+    // deterministic surrogate keys: rebuilt pipeline yields identical keys
+    val again = MrfPipeline.silver(bronze)
+    assert(
+      s.rates.select("sk_rate_id").collect().map(_.getLong(0)).toSet ==
+        again.rates.select("sk_rate_id").collect().map(_.getLong(0)).toSet)
+    // every price joins back to a code
+    assert(
+      s.prices.join(s.codes, "sk_in_network_id").count() == 3)
+  }
+
+  test("gold shoppable prices: knee replacement at TIN 11-1111111 = 123.45") {
+    val s = MrfPipeline.silver(bronze)
+    val gold = MrfPipeline.shoppablePrices(
+      s.codes, s.prices, s.parProviders, s.providersXPayer,
+      billingCode = "27447", tinValue = "11-1111111")
+    val rows = gold.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Double]("negotiated_rate") == 123.45)
+    assert(r.getAs[String]("billing_class") == "institutional")
+    assert(r.getAs[Long]("provider_group_id") == 100L)
+    assert(r.getAs[String]("reporting_entity_name") == "graft health")
+  }
+
+  test("pipeline works identically on perElement bronze") {
+    val p = MrfFixtures.writeTemp("ffs.json", MrfFixtures.ffs).getAbsolutePath
+    val perEl = spark.read.format("payer-mrf").option("perElement", "true").load(p)
+    val s = MrfPipeline.silver(perEl)
+    assert(s.codes.count() == 2 && s.prices.count() == 3)
+    val gold = MrfPipeline.shoppablePrices(
+      s.codes, s.prices, s.parProviders, s.providersXPayer, "27447", "11-1111111")
+    assert(gold.collect().head.getAs[Double]("negotiated_rate") == 123.45)
+  }
+
+  test("pipeline works identically on payloadAsArray bronze") {
+    val p = MrfFixtures.writeTemp("ffs.json", MrfFixtures.ffs).getAbsolutePath
+    val arr = spark.read.format("payer-mrf").option("payloadAsArray", "true").load(p)
+    val s = MrfPipeline.silver(arr)
+    assert(s.codes.count() == 2 && s.prices.count() == 3)
+  }
+
+  test("bundle arrangement: bundled_codes survive the parse") {
+    import spark.implicits._
+    val p = MrfFixtures.writeTemp("bundle.json", MrfFixtures.bundle).getAbsolutePath
+    val b = spark.read.format("payer-mrf").load(p)
+    val codes = MrfPipeline.inNetworkCodes(b)
+    assert(codes.filter($"negotiation_arrangement" === "bundle").count() == 1)
+    val bundled = codes.select(explode($"bundled_codes").as("bc"))
+      .select($"bc.billing_code").collect().map(_.getString(0)).toSet
+    assert(bundled == Set("59400", "59409"))
+  }
+}

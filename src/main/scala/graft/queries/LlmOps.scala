@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-contract queries for the LLM-training-data operator families
+  * (dedup, similarity search, text analysis, multimodal) over the
+  * `documents` / `embeddings` testdata. Oracles mirror the Spark
+  * expression trees op-for-op (same int arithmetic, same left-to-right
+  * double folds) so results hash-match bit-for-bit; hash-family ops
+  * (xxhash64-based MinHash/SimHash/LSH) have no DuckDB equivalent and
+  * are declared without oracles (driver rows-only check) — their
+  * correctness is asserted against exact baselines in ScalaTest instead.
+  */
+object LlmOps {
+
+  // DuckDB token expression mirroring TextAnalysis.tokens on this
+  // (ASCII) corpus.
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private def sqlStopHits(words: Seq[String]) =
+    s"len(list_filter($sqlToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text analysis -------------------------------------------------
+    Q(
+      "q20_text_tokens",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          length($"text").as("n_chars"),
+          TextAnalysis.subwordCountEstimate($"text").as("n_subwords"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len($sqlToks) AS n_tokens,
+              |  length(text) AS n_chars,
+              |  CAST(list_sum(list_transform($sqlToks, t -> greatest(1, CAST(ceil(strlen(t) / 4.0) AS BIGINT)))) AS BIGINT) AS n_subwords
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    Q(
+      "q21_text_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.punctCount($"text").as("n_punct"),
+          TextAnalysis.stopwordCount($"text").as("n_stop"),
+          TextAnalysis.meanWordLength($"text").as("mean_word_len"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks,
+              |  length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+              |  ${sqlStopHits(TextAnalysis.stopwordsEn)} AS n_stop
+              |  FROM documents)
+              |SELECT doc_id, len(toks) AS n_tokens, n_punct, n_stop,
+              |  CASE WHEN len(toks) > 0
+              |    THEN CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
+              |    ELSE 0.0 END AS mean_word_len,
+              |  (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              |   + (1.0 - least(n_punct / greatest(CAST(len(toks) AS DOUBLE), 1.0), 1.0))
+              |   + least(CAST(n_stop AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0)
+              |  ) / 3.0 AS quality
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "q22_text_langid",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.langId($"text").as("lang_pred"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+              |  ${sqlStopHits(TextAnalysis.stopwordsEn)} AS en,
+              |  ${sqlStopHits(TextAnalysis.stopwordsDe)} AS de,
+              |  ${sqlStopHits(TextAnalysis.stopwordsFr)} AS fr,
+              |  ${sqlStopHits(TextAnalysis.stopwordsEs)} AS es
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN n_cjk > 0 THEN 'zh'
+              |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              |       WHEN de >= fr AND de >= es THEN 'de'
+              |       WHEN fr >= es THEN 'fr'
+              |       ELSE 'es' END AS lang_pred
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "q23_text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup ---------------------------------------------------------
+    Q(
+      "q24_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        Dedup.exact(Tables.documents(s, d), $"text", $"doc_id")
+          .orderBy($"fp")
+      },
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             |  min(doc_id) AS survivor_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+      bench = true),
+
+    Q(
+      "q25_dedup_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), $"text", $"doc_id",
+          n = 3, threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_distinct(CASE WHEN len(t) >= 3
+              |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+              |post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |blocked AS (SELECT * FROM (
+              |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS bn FROM post)
+              |  WHERE bn <= 1000),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(c AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - c AS DOUBLE) AS jaccard
+              |FROM pairs
+              |JOIN sh sa ON id_a = sa.doc_id
+              |JOIN sh sb ON id_b = sb.doc_id
+              |WHERE CAST(c AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - c AS DOUBLE) >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    Q(
+      "q26_dedup_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        Dedup.minhashLshPairs(Tables.documents(s, d), $"text", $"doc_id",
+          n = 3, threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      oracle = None, // xxhash64 signatures: no DuckDB equivalent;
+      // recall-vs-exact asserted in DedupSpec
+      bench = true),
+
+    Q(
+      "q27_dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashPairs(Tables.documents(s, d), $"text", $"doc_id", maxHamming = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      oracle = None),
+
+    Q(
+      "q28_dedup_embedding",
+      (s, d) => {
+        import s.implicits._
+        Dedup.embeddingCosinePairs(Tables.embeddings(s, d), $"embedding", $"vec_id",
+          threshold = 0.35)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_dot_product(a.v, b.v)
+             |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v)
+             |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- similarity search --------------------------------------------
+    Q(
+      "q29_ann_brute_topk",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter($"vec_id" < 10)
+        Similarity.bruteForceTopK(corpus, queries,
+          $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT query_id, e.vec_id AS corpus_id,
+             |    list_dot_product(qv, v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id)
+             |SELECT query_id, rank, corpus_id, cosine FROM (
+             |  SELECT *, row_number() OVER (ORDER BY query_id, cosine DESC, corpus_id) AS rn,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      bench = true),
+
+    Q(
+      "q30_ann_lsh_topk",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter($"vec_id" < 10)
+        Similarity.lshTopK(corpus, queries,
+          $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5, bits = 6, tables = 8)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = None), // approximate by construction; recall vs brute
+    // force asserted in SimilaritySpec
+
+    // ---- multimodal ----------------------------------------------------
+    Q(
+      "q31_mm_metadata",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text/plain")
+          .select($"media_id", $"byte_len", sha2($"media", 256).as("sha"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
+             |  sha256(text) AS sha
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q(
+      "q32_mm_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text/plain")
+        Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+          .select($"media_id", $"frame_no", $"frame_bytes")
+          .orderBy($"media_id", $"frame_no")
+      },
+      Some("""SELECT media_id, frame_no,
+             |  least(32, byte_len - frame_no * 32)::BIGINT AS frame_bytes
+             |FROM (
+             |  SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
+             |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT), 1))) AS frame_no
+             |  FROM documents)
+             |WHERE frame_no % 2 = 0
+             |ORDER BY media_id, frame_no""".stripMargin))
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Correctness of the hash-family operators (no SQL oracle exists for
+  * xxhash64-based sketches) against exact baselines + algebraic facts.
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup: identical texts collapse to one survivor") {
+    import spark.implicits._
+    val withDup = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val survivors = Dedup.exact(withDup, $"text", $"doc_id")
+    assert(survivors.count() == docs.count()) // every text now has 2 copies
+    assert(survivors.agg(sum(when($"n_copies" === 2, 1).otherwise(0))).first().getLong(0) == docs.count())
+    // survivor is always the min id (the original)
+    assert(survivors.filter($"survivor_id" >= 1000000).count() == 0)
+  }
+
+  test("minhash-LSH pairs: high-similarity recall vs exact jaccard") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", n = 3, threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = Dedup.minhashLshPairs(docs, $"text", $"doc_id", n = 3, threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every minhash pair is verified with EXACT jaccard → must agree
+    mh.foreach { case (k, j) => assert(exact.contains(k) && math.abs(exact(k) - j) < 1e-12) }
+    // pairs at jaccard ≥ 0.5 collide in some band w.h.p. (16 bands × 4
+    // rows: p = 1-(1-j^4)^16 ≥ 0.93 at j=0.5) — require full recall of
+    // the strong pairs on this corpus
+    val strong = exact.filter(_._2 >= 0.5).keySet
+    assert(strong.subsetOf(mh.keySet),
+      s"minhash missed strong pairs: ${strong -- mh.keySet}")
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups under small hamming") {
+    import spark.implicits._
+    val withDup = docs.limit(50).select($"doc_id", $"text")
+      .union(docs.limit(50).select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashPairs(withDup, $"text", $"doc_id", maxHamming = 0)
+    val selfPairs = pairs.filter($"id_b" - $"id_a" === 1000000).count()
+    assert(selfPairs == 50, s"expected 50 identical-doc pairs, got $selfPairs")
+  }
+
+  test("embedding cosine pairs: symmetric, bounded, matches manual calc") {
+    import spark.implicits._
+    val pairs = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.35 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    // manual check of one pair
+    if (rows.nonEmpty) {
+      val r = rows.head
+      val v = embs.filter($"vec_id".isin(r.getLong(0), r.getLong(1)))
+        .orderBy($"vec_id").collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val dot = v(0).zip(v(1)).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v(0).map(x => x * x).sum) * math.sqrt(v(1).map(x => x * x).sum))
+      assert(math.abs(cos - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("LSH top-k recall vs brute force is usable on unclustered data") {
+    import spark.implicits._
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(embs, queries,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5)
+      .select($"query_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform random vectors are LSH's worst case (no cluster structure:
+    // "neighbors" sit at cosine ~0.3 where sign-hash collision odds are
+    // barely better than chance) — amplify with more, shorter tables
+    val lsh = Similarity.lshTopK(embs, queries,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5, bits = 4, tables = 16)
+      .select($"query_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (bits=4, tables=16)")
+    assert(recall >= 0.5, f"recall $recall%.2f too low")
+    // LSH results are a subset of valid cosines, correctly ranked
+    assert(lsh.forall { case (q, c) => q != c })
+  }
+
+  test("multimodal: stub decode is deterministic; frames reassemble") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain").cache()
+    val d1 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.forall(m => m.width >= 16 && m.height >= 16 && m.n_frames >= 1))
+    val resized = Multimodal.resizeStub(Multimodal.decodeStub(media), maxSide = 64)
+    assert(resized.agg(max($"width")).first().getInt(0) <= 64)
+    // stride-1 frames concatenate back to the original payload bytes
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 1)
+    val totals = frames.groupBy($"media_id").agg(sum($"frame_bytes").as("n"))
+      .join(media, "media_id")
+      .filter($"n" =!= $"byte_len")
+    assert(totals.count() == 0)
+  }
+}

@@ -26,14 +26,34 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-n-gram shingle sets per doc. */
+  /** Distinct word-n-gram shingle sets per doc. Tokens are materialized
+    * in their own projection so the shingle lambdas never re-tokenize.
+    */
   private def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
-    df.select(id.cast("long").as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+    df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** All (a, b) id pairs (a < b) from a grouped id list — pair
+    * generation INSIDE the block, as a pure array expression: no
+    * self-join, and blocks of size 1 (the vast majority of shingles)
+    * are dropped before any pair exists. Block size is capped upstream,
+    * so the expansion is bounded at maxBlockSize²/2 per block.
+    */
+  private def pairsWithin(ids: Column): Column = {
+    val sorted = sort_array(ids)
+    flatten(transform(
+      sequence(lit(0), size(sorted) - 2),
+      i => transform(
+        slice(sorted, i + 2, size(sorted) - i - 1),
+        b => struct(element_at(sorted, i + 1).as("id_a"), b.as("id_b")))))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle blocking:
-    * explode → drop shingles shared by more than `maxBlockSize` docs
-    * (stop-shingles contribute pairs quadratically but evidence
-    * marginally) → pair-count common shingles → filter by true Jaccard.
+    * posting lists per shingle → drop singleton blocks and blocks over
+    * `maxBlockSize` docs (stop-shingles contribute pairs quadratically
+    * but evidence marginally) → expand pairs in-block → count common
+    * shingles per pair → filter by true Jaccard. Two shuffles total
+    * (posting-list groupBy, pair groupBy); nothing is ever self-joined.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -45,14 +65,12 @@ object Dedup {
     val sets = shingleSets(df, text, id, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val posting = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val blocked = posting
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("block_n") <= maxBlockSize)
-      .drop("block_n")
-    val common = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val blocks = posting.groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBlockSize))
+    val common = blocks
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
@@ -95,24 +113,22 @@ object Dedup {
       .cache()
     // band hash = xxhash64 over the band's signature slice
     val banded = sets.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
-    val buckets = banded
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("block_n") <= maxBlockSize)
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBlockSize))
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify candidates with EXACT jaccard (re-join compact shingle sets)
     candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -151,24 +167,21 @@ object Dedup {
       id: Column,
       maxHamming: Int = 3,
       maxBlockSize: Int = 10000): DataFrame = {
-    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig"))
+    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig")).cache()
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(
         array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("band", "bucket")))
-    val blocked = banded
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("block_n") <= maxBlockSize)
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBlockSize))
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

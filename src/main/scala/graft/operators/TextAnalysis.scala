@@ -97,14 +97,21 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Word n-gram shingles (distinct) from an ALREADY MATERIALIZED token
+    * array column. Take tokens from a previous projection — higher-order
+    * functions are interpreted (CodegenFallback), and an inline `tokens`
+    * subtree would re-run the regex split on every lambda iteration.
+    */
+  def shinglesFromTokens(t: Column, n: Int): Column =
     array_distinct(
       when(size(t) >= n,
         transform(
           sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", t))))
-  }
+
+  /** Word n-gram shingles of a text column (convenience; for hot paths
+    * project [[tokens]] first and use [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Second slice of SURVEY.md §2 coverage: distinct, window functions,
+  * semi/anti joins, set ops, JSON extraction (F7/S11), nested-struct
+  * access (F4), array ops (F1/F5), parameterized predicates (P5), and
+  * event-time windowed aggregation — including one query that runs a
+  * REAL Structured Streaming job and must match DuckDB's batch answer
+  * (stream/batch parity is the streaming correctness oracle).
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val all: Seq[Q] = Seq(
+
+    Q(
+      "q09_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderstatus", $"o_orderpriority")
+          .distinct()
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ---- window functions: ranking + running aggregate. Unique order
+    // key (shipdate, orderkey, linenumber) makes the running double sum
+    // a fixed-order left fold — deterministic in both engines.
+    Q(
+      "q10_window_rank_running",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        Tables.lineitem(s, d)
+          .filter($"l_suppkey" < 50)
+          .select(
+            $"l_suppkey", $"l_orderkey", $"l_linenumber",
+            row_number().over(w).as("rn"),
+            sum(dec($"l_quantity")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_qty"))
+          .orderBy($"l_suppkey", $"rn")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER
+             |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             |FROM lineitem WHERE l_suppkey < 50
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |ORDER BY l_suppkey, rn""".stripMargin),
+      bench = true),
+
+    // ---- left-semi: customers having at least one urgent order.
+    Q(
+      "q11_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-anti: customers with no orders at all.
+    Q(
+      "q12_anti_join",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- set op: union of two filtered key sets.
+    Q(
+      "q13_union",
+      (s, d) => {
+        import s.implicits._
+        val a = Tables.customer(s, d).filter($"c_acctbal" > 9900)
+          .select($"c_custkey".as("key"), lit("high_balance").as("tag"))
+        val b = Tables.customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+          .select($"c_custkey".as("key"), lit("machinery").as("tag"))
+        a.union(b).orderBy($"key", $"tag")
+      },
+      Some("""SELECT c_custkey AS key, 'high_balance' AS tag FROM customer WHERE c_acctbal > 9900
+             |UNION ALL
+             |SELECT c_custkey AS key, 'machinery' AS tag FROM customer WHERE c_mktsegment = 'MACHINERY'
+             |ORDER BY key, tag""".stripMargin)),
+
+    // ---- F7/S11: JSON payload parse (the demo re-parses bronze
+    // json_payload; here over the events.props JSON column).
+    Q(
+      "q14_json_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(
+            $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .filter($"k" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- P5: parameterized predicate (engine-API argument binding, the
+    // getArgument() analog).
+    Q(
+      "q15_param_filter",
+      (s, d) => paramFilter(s, d, segment = "AUTOMOBILE", minBalance = 5000.0),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal >= 5000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- F4: build a nested struct, then extract by dot path (the CMS
+    // tin.type/tin.value pattern); oracle compares the flattened result.
+    Q(
+      "q16_nested_struct",
+      (s, d) => {
+        import s.implicits._
+        Tables.supplier(s, d)
+          .select(
+            $"s_suppkey",
+            struct(
+              struct($"s_name".as("name"), $"s_acctbal".as("balance")).as("info"),
+              $"s_nationkey".as("nation")).as("payload"))
+          .select(
+            $"s_suppkey",
+            $"payload.info.name".as("name"),
+            $"payload.info.balance".as("balance"),
+            $"payload.nation".as("nation"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name AS name, s_acctbal AS balance, s_nationkey AS nation
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- F1/F5: split → explode → element_at (LATERAL VIEW pattern).
+    Q(
+      "q17_explode_array",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .filter($"p_partkey" < 500)
+          .select(
+            $"p_partkey",
+            element_at(split($"p_type", " "), 1).as("first_word"),
+            posexplode(split($"p_type", " ")).as(Seq("pos", "word")))
+          .select($"p_partkey", $"first_word", $"pos", $"word")
+          .orderBy($"p_partkey", $"pos")
+      },
+      Some("""SELECT p_partkey, string_split(p_type, ' ')[1] AS first_word,
+             |  CAST(u.pos - 1 AS INT) AS pos, u.word
+             |FROM part,
+             |  LATERAL (SELECT unnest(string_split(p_type, ' ')) AS word,
+             |           generate_subscripts(string_split(p_type, ' '), 1) AS pos) u
+             |WHERE p_partkey < 500
+             |ORDER BY p_partkey, pos""".stripMargin)),
+
+    // ---- T-family: tumbling event-time window aggregation (batch).
+    Q(
+      "q18_event_window_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(
+            window($"ts", "5 minutes").as("w"),
+            $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      bench = true),
+
+    // ---- Structured Streaming end-to-end: the SAME windowed
+    // aggregation through readStream → watermark → writeStream(memory),
+    // run to completion with AvailableNow, compared against DuckDB's
+    // batch answer — stream/batch parity as the streaming oracle.
+    Q(
+      "q19_streaming_window_agg",
+      (s, d) => streamingWindowAgg(s, d),
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+  )
+
+  /** P5 parameterized query as a plain Scala function — literal binding
+    * at plan build time (Catalyst constant-folds it into the scan
+    * filter), the engine-API analog of the notebook's getArgument().
+    */
+  def paramFilter(s: SparkSession, d: String, segment: String, minBalance: Double) = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .filter($"c_mktsegment" === segment && $"c_acctbal" >= minBalance)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Runs a real micro-batch streaming query over the events parquet and
+    * returns the final result table (complete mode: every window emitted
+    * at end-of-stream, so the result equals the batch answer).
+    */
+  def streamingWindowAgg(s: SparkSession, d: String) = {
+    import s.implicits._
+    // read with the RAW on-disk schema (ts = nanos-as-long), convert after
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // the file stream source wants a DIRECTORY — stage the single
+    // parquet file behind a symlink
+    val dir = java.nio.file.Files.createTempDirectory("q19_events")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name).orderBy($"window_start", $"event_type")
+  }
+}

@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays (left-to-right fold —
-    * bit-deterministic for a given element order).
+  /** Cosine similarity of two double arrays — the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (one fused loop per
+    * row). Bit-identical to [[cosineHof]] and to the DuckDB oracle:
+    * all accumulate left-to-right in doubles.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
+  /** Built-ins-only formulation (interpreted higher-order folds) — kept
+    * as the reference implementation the native expression is asserted
+    * bit-equal against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))

@@ -87,6 +87,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, c) => q != c })
   }
 
+  test("native CosineSimilarity expression is bit-equal to the HOF formulation") {
+    import spark.implicits._
+    val pairs = embs.as("a").crossJoin(embs.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id").limit(5000)
+      .select(
+        Similarity.cosine($"a.embedding".cast("array<double>"), $"b.embedding".cast("array<double>")).as("fast"),
+        Similarity.cosineHof($"a.embedding".cast("array<double>"), $"b.embedding".cast("array<double>")).as("hof"))
+    // bit-equality, not epsilon — both must fold left-to-right
+    assert(pairs.filter($"fast" =!= $"hof").count() == 0)
+    // and the plan really uses the native expression inside codegen
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cosine"))
+  }
+
   test("multimodal: stub decode is deterministic; frames reassemble") {
     import spark.implicits._
     val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain").cache()

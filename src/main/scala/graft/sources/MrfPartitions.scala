@@ -87,7 +87,7 @@ final class MrfPartitionReader(
 
   private def readRange(): Array[Byte] = {
     val p = new Path(part.path)
-    val fs = p.getFileSystem(conf.value)
+    val fs = MrfFileSplitter.rawFs(p, conf.value)
     val len = (part.end - part.start).toInt
     val out = new Array[Byte](len)
     val in = fs.open(p)
@@ -113,6 +113,17 @@ final class MrfPartitionReader(
   * and the micro-batch stream.
   */
 object MrfFileSplitter {
+
+  /** Bypass ChecksumFileSystem for byte-range scanning: the local FS
+    * wrapper CRCs every read (~10× slower than raw) and no .crc sidecars
+    * exist for external input data anyway. Non-checksum filesystems
+    * (HDFS, s3a) pass through unchanged.
+    */
+  def rawFs(p: Path, conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case fs => fs
+    }
 
   /** Expand each configured path (file, directory, or glob) into concrete
     * data files, deterministically sorted.
@@ -143,7 +154,7 @@ object MrfFileSplitter {
       conf: org.apache.hadoop.conf.Configuration,
       ordinalBase: Long)(onPartition: MrfInputPartition => Unit): Long = {
     val dataPath = Gunzip.decompressIfNeeded(file, conf)
-    val fs = dataPath.getFileSystem(conf)
+    val fs = rawFs(dataPath, conf)
     val name = dataPath.getName
     var ordinal = ordinalBase
     val in = new BufferedInputStream(fs.open(dataPath), opts.bufferSize)

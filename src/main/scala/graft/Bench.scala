@@ -21,9 +21,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries
-    // warm-up on the smallest scale factor (JIT, codegen, FS caches)
+    // warm-up at sf0.01: enough row volume that C2 actually compiles the
+    // interpreted higher-order-function paths (sf0.001 leaves them cold
+    // and the first measured query pays multi-second JIT)
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
       catch { case _: Throwable => () }
     }
 

@@ -108,6 +108,45 @@ final class MrfPartitionReader(
   override def close(): Unit = ()
 }
 
+/** Driver-side LRU of per-file split results, keyed by (path, length,
+  * mtime, chunk sizing). A query DAG that references the bronze frame
+  * from several branches (the silver star build does it five times)
+  * plans a scan per branch — without this cache each plan re-streams
+  * the whole multi-GB file through the splitter. Entries are chunk
+  * SPECS only (~100 B each), never payload bytes.
+  */
+object MrfSplitCache {
+
+  private final case class Key(
+      path: String, len: Long, mtime: Long, chunkBytes: Long, maxElements: Int)
+
+  private val MaxFiles = 128
+  private val cache =
+    new java.util.LinkedHashMap[Key, Seq[MrfInputPartition]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Key, Seq[MrfInputPartition]]): Boolean =
+        size() > MaxFiles
+    }
+
+  def getOrSplit(
+      file: Path,
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration): Seq[MrfInputPartition] = {
+    val st = file.getFileSystem(conf).getFileStatus(file)
+    val key = Key(file.toString, st.getLen, st.getModificationTime,
+      opts.chunkBytes, opts.maxElements)
+    cache.synchronized(Option(cache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[MrfInputPartition]
+        MrfFileSplitter.splitFile(file, opts, conf, 0)(out += _)
+        val result = out.toSeq
+        cache.synchronized(cache.put(key, result))
+        result
+    }
+  }
+}
+
 /** Driver-side per-file split: list files, gunzip when needed, run the
   * [[JsonSplitter]], and assign global ordinals. Shared by the batch scan
   * and the micro-batch stream.

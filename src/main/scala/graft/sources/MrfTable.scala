@@ -70,11 +70,8 @@ final class MrfBatch(opts: MrfOptions, conf: Configuration) extends Batch {
     try {
       val tasks = files.map { f =>
         pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
-          override def call(): Seq[MrfInputPartition] = {
-            val out = ArrayBuffer.empty[MrfInputPartition]
-            MrfFileSplitter.splitFile(f, opts, conf, 0)(out += _)
-            out.toSeq
-          }
+          override def call(): Seq[MrfInputPartition] =
+            MrfSplitCache.getOrSplit(f, opts, conf)
         })
       }
       tasks.flatMap(_.get()).zipWithIndex

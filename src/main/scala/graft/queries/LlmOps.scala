@@ -239,6 +239,28 @@ object LlmOps {
              |  sha256(text) AS sha
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // ---- skew mitigation: salted two-phase aggregation over the hot
+    // event_type keys — result equals the plain GROUP BY (the oracle).
+    Q(
+      "q33_skew_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Skew.saltedAggregate(
+          Tables.events(s, d),
+          keys = Seq("event_type"),
+          partialAggs = Seq(
+            count(lit(1)).as("pn"),
+            sum($"value".cast("decimal(18,6)")).as("pt")),
+          finalAggs = Seq(
+            sum($"pn").as("n"),
+            sum($"pt").cast("decimal(18,6)").cast("double").as("total_value")),
+          salts = 16)
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q(
       "q32_mm_frames",
       (s, d) => {

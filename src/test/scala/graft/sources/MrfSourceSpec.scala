@@ -120,6 +120,19 @@ class MrfSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
 
+  test("streaming with ProcessingTime trigger drains and stops") {
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-pt").toString
+    val q = spark.readStream.format("payer-mrf").load(ffsPath)
+      .writeStream.format("memory").queryName("mrf_pt_out")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    val n = spark.table("mrf_pt_out").count()
+    q.stop()
+    assert(n == spark.read.format("payer-mrf").load(ffsPath).count())
+  }
+
   test("multiple files: bundle + ffs in one directory") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mrf-multi").toFile

@@ -1,0 +1,93 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lowercased unicode-word tokenization as a native expression: one
+  * code-point scan per row instead of `filter(split(lower(text), regex))`
+  * — the regex engine plus two interpreted higher-order functions that
+  * dominate the text-operator hot path (tokens feed shingles, MinHash,
+  * SimHash, quality, language-ID).
+  *
+  * Semantics match the HOF formulation (`TextAnalysis.tokensHof`):
+  * tokens are maximal runs of Unicode letters/digits, lowercased, empty
+  * runs dropped. Asserted bit-equal on the test corpus in
+  * OperatorsSpec. (Exotic divergences — titlecase digraphs, non-decimal
+  * number categories — don't occur in the corpora this engine targets.)
+  */
+case class TokenizeWords(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokenize requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_tokenize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenizeWords.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeWords.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenizeWords {
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = ArrayBuffer.empty[Any]
+    val n = str.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val isWord = Character.isLetterOrDigit(cp)
+      if (isWord && start < 0) start = i
+      else if (!isWord && start >= 0) {
+        out += UTF8String.fromString(str.substring(start, i).toLowerCase)
+        start = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out += UTF8String.fromString(str.substring(start).toLowerCase)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Registry for all graft_* native expressions (idempotent; works on any
+  * session including the driver's).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_cosine", a, b)
+  }
+
+  def tokenize(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_tokenize", text)
+  }
+}

@@ -10,8 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased unicode-word tokens; empty tokens dropped. */
+  /** Lowercased unicode-word tokens; empty tokens dropped. Uses the
+    * native [[graft.functions.TokenizeWords]] expression (single
+    * code-point scan, codegen) — [[tokensHof]] is the built-ins-only
+    * reference formulation it is asserted equal to.
+    */
   def tokens(text: Column): Column =
+    graft.functions.GraftFunctions.tokenize(text)
+
+  /** Built-ins-only tokenizer (regex split + interpreted HOF filter). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Whitespace-delimited token count (the cheap pre-tokenizer count). */

@@ -87,6 +87,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, c) => q != c })
   }
 
+  test("native TokenizeWords expression equals the regex/HOF formulation") {
+    import spark.implicits._
+    val both = docs.select(
+      TextAnalysis.tokens($"text").as("fast"),
+      TextAnalysis.tokensHof($"text").as("hof"))
+    assert(both.filter(not($"fast" === $"hof")).count() == 0)
+    // unicode sanity beyond the corpus
+    val exotic = Seq("Héllo wörld 123", "  a--b  ", "", "日本語 test", "ALL CAPS")
+      .toDF("text")
+      .select(TextAnalysis.tokens($"text").as("fast"), TextAnalysis.tokensHof($"text").as("hof"))
+    assert(exotic.filter(not($"fast" === $"hof")).count() == 0)
+  }
+
   test("native CosineSimilarity expression is bit-equal to the HOF formulation") {
     import spark.implicits._
     val pairs = embs.as("a").crossJoin(embs.as("b"))

@@ -350,6 +350,12 @@ final class JsonSplitter(
   def run(onChunk: Chunk => Unit): Unit = {
     val residue = new java.io.ByteArrayOutputStream()
     var members = 0
+    // tolerate a UTF-8 BOM (real-world MRF exports carry one)
+    if (peek() == 0xef) {
+      advance()
+      if (peek() == 0xbb) advance()
+      if (peek() == 0xbf) advance()
+    }
     skipWs()
     expect('{')
     skipWs()

@@ -87,10 +87,15 @@ final class MrfMicroBatchStream(opts: MrfOptions, conf: Configuration)
 
   override def latestOffset(): Offset = MrfOffset(frontier)
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
-  // limiting — each micro-batch takes the whole discovered frontier.
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    MrfOffset(frontier)
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): cap each
+  // micro-batch at maxChunksPerBatch when configured — a large backlog
+  // then streams as bounded batches (AvailableNow loops batches until
+  // the prepared terminal offset is reached).
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MrfOffset].n
+    val f = frontier
+    MrfOffset(opts.maxChunksPerBatch.fold(f)(m => math.min(f, s + m)))
+  }
 
   override def reportLatestOffset(): Offset = MrfOffset(frontier)
 

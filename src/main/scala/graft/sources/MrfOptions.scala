@@ -18,6 +18,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `perElement`: one row PER ARRAY ELEMENT instead of one mega-row
   *     per chunk — the 100 TB path: downstream `from_json` then sees
   *     KB-sized documents and never re-explodes giant strings.
+  *   - `maxChunksPerBatch`: admission control — caps each micro-batch
+  *     so a terabyte backlog streams as bounded batches instead of one
+  *     giant first batch.
   */
 final case class MrfOptions(
     paths: Seq[String],
@@ -25,7 +28,8 @@ final case class MrfOptions(
     chunkBytes: Long,
     maxElements: Int,
     payloadAsArray: Boolean,
-    perElement: Boolean) {
+    perElement: Boolean,
+    maxChunksPerBatch: Option[Int]) {
 
   def splitterOptions: JsonSplitter.Options =
     JsonSplitter.Options(
@@ -57,7 +61,9 @@ object MrfOptions {
       chunkBytes = math.max(4 * 1024, map.getLong("chunkBytes", 8L << 20)),
       maxElements = math.max(1, map.getInt("maxElements", 10000)),
       payloadAsArray = map.getBoolean("payloadAsArray", false),
-      perElement = map.getBoolean("perElement", false))
+      perElement = map.getBoolean("perElement", false),
+      maxChunksPerBatch =
+        Option(map.get("maxChunksPerBatch")).map(v => math.max(1, v.toInt)))
   }
 
   def fromProperties(props: java.util.Map[String, String]): MrfOptions =

@@ -136,6 +136,13 @@ class JsonSplitterSpec extends AnyFunSuite {
     assert(chunks.collect { case c: JsonSplitter.ArrayChunk => c.headerKey } == Seq("arr\"x"))
   }
 
+  test("UTF-8 BOM is tolerated") {
+    val chunks = split("\uFEFF" + """{"a": 1, "arr": [2, 3]}""", JsonSplitter.Options())
+    assert(chunks.collect { case c: JsonSplitter.ArrayChunk => c.headerKey } == Seq("arr"))
+    assert(chunks.collect { case JsonSplitter.HeaderChunk(j) => mapper.readTree(j) } ==
+      Seq(mapper.readTree("""{"a": 1}""")))
+  }
+
   test("malformed input fails with position info") {
     val e = intercept[IllegalArgumentException](split("""{"a": [1, 2""", JsonSplitter.Options()))
     assert(e.getMessage.contains("malformed JSON"))

@@ -120,6 +120,25 @@ class MrfSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
 
+  test("maxChunksPerBatch bounds each micro-batch (admission control)") {
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-ac").toString
+    val q = spark.readStream.format("payer-mrf")
+      .option("chunkBytes", "4096").option("maxElements", "1")
+      .option("maxChunksPerBatch", "2")
+      .load(ffsPath)
+      .writeStream.format("memory").queryName("mrf_ac_out")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    // all 6 chunks arrive (3 provider_references + 2 in_network + header)
+    assert(spark.table("mrf_ac_out").count() == 6)
+    // ...across at least 3 bounded batches of ≤2 chunks
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected ≥3 batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2))
+  }
+
   test("streaming with ProcessingTime trigger drains and stops") {
     val checkpoint = Files.createTempDirectory("mrf-ckpt-pt").toString
     val q = spark.readStream.format("payer-mrf").load(ffsPath)

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch kernels. The HOF formulations hash every shingle once
+  * PER HASH FUNCTION (k × strings × interpreted lambda); these hash each
+  * string ONCE (xxh64) and derive the k minhash functions by cheap
+  * integer re-mixing — the standard universal-hashing construction for
+  * MinHash — in a single generated pass.
+  */
+object SketchKernels {
+
+  private final val Seed = 42L
+
+  def hashString(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+
+  /** k-permutation MinHash signature of a string array: sig[i] =
+    * min over elements of mix(xxh64(element), i).
+    */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashString(arr.getUTF8String(j))
+      var i = 0
+      while (i < k) {
+        val g = XXH64.hashLong(h, i.toLong)
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** 64-bit SimHash of a string array: per-bit ±1 vote of each element's
+    * hash, sign-packed.
+    */
+  def simhash(arr: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashString(arr.getUTF8String(j))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires (array<string>, k > 0), got ${child.dataType.simpleString}, k=$k")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

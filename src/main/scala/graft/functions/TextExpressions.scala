@@ -79,6 +79,13 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignature(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
   }
 
   def cosine(a: Column, b: Column): Column = {
@@ -89,5 +96,15 @@ object GraftFunctions {
   def tokenize(text: Column): Column = {
     register(SparkSession.active)
     call_function("graft_tokenize", text)
+  }
+
+  def minhash(strings: Column, k: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_minhash", strings, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def simhash(strings: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_simhash", strings)
   }
 }

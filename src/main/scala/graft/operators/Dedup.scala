@@ -82,16 +82,13 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min of xxhash64(seed, shingle) over the doc's shingle set.
+  /** MinHash signature via the native [[graft.functions.MinHashSignature]]
+    * kernel: each shingle hashed once, k functions derived by integer
+    * re-mixing (universal hashing) — vs k interpreted string hashes per
+    * shingle in an HOF formulation.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => aggregate(
-        sh,
-        lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(seed, s))))
+    graft.functions.GraftFunctions.minhash(sh, numHashes)
 
   /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
     * pairs from same-bucket collisions → exact Jaccard verification.
@@ -137,25 +134,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the doc's token multiset: sign of the per-bit
-    * sum of token-hash bits (±1). Pure expressions — bit loop unrolled
-    * as an array transform.
+    * sum of token-hash bits (±1), computed by the native
+    * [[graft.functions.SimHash64]] kernel in one generated pass.
     */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    // one pass over the token hashes: fold into a 64-wide bit-sum array
-    val bitSums = aggregate(
-      tokenHashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        sequence(lit(0), lit(63)),
-        (a, i) => a + call_function("getbit", h, i) * 2 - 1))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)), (s, i) =>
-        when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash(TextAnalysis.tokens(text))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
     * blocked on 16-bit bands (a pair within distance k must collide on

@@ -64,8 +64,12 @@ object Dedup {
       maxBlockSize: Int = 1000): DataFrame = {
     val sets = shingleSets(df, text, id, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // block on the shingle's 64-bit hash: the posting shuffle moves 8-byte
+    // longs instead of shingle strings (same Jaccard — the shingle sets
+    // are distinct, and 64-bit collisions across a corpus are ~n²/2^65)
     val posting = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val blocks = posting.groupBy("shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
+    val blocks = posting.groupBy("shingle_h")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBlockSize))
     val common = blocks

@@ -138,6 +138,23 @@ object MrfPipeline {
         col("price.billing_class").as("billing_class"),
         col("price.billing_code_modifier").as("billing_code_modifier"))
 
+  /** Silver: bundled codes — one row per (bundle item, component code)
+    * for `negotiation_arrangement='bundle'` items (the shape the demo
+    * leaves nested; normalized here so bundle queries join like FFS).
+    */
+  def bundledCodes(codes: DataFrame): DataFrame =
+    codes
+      .filter(col("bundled_codes").isNotNull)
+      .select(
+        col("sk_in_network_id"), col("file_name"),
+        explode(col("bundled_codes")).as("bc"))
+      .select(
+        col("sk_in_network_id"), col("file_name"),
+        col("bc.billing_code_type").as("billing_code_type"),
+        col("bc.billing_code_type_version").as("billing_code_type_version"),
+        col("bc.billing_code").as("billing_code"),
+        col("bc.description").as("description"))
+
   /** Silver: in_network_rates_par_providers — one row per (rate,
     * referenced provider group id) (`:203-213`).
     */
@@ -191,7 +208,8 @@ object MrfPipeline {
       codes: DataFrame,
       rates: DataFrame,
       prices: DataFrame,
-      parProviders: DataFrame)
+      parProviders: DataFrame,
+      bundledCodes: DataFrame)
 
   def silver(bronze: DataFrame): Silver = {
     val c = inNetworkCodes(bronze)
@@ -202,6 +220,7 @@ object MrfPipeline {
       codes = c.drop("negotiated_rates"),
       rates = r.drop("rate"),
       prices = inNetworkPrices(r),
-      parProviders = inNetworkParProviders(r))
+      parProviders = inNetworkParProviders(r),
+      bundledCodes = bundledCodes(c))
   }
 }

@@ -91,8 +91,11 @@ class MrfPipelineSpec extends SparkTestBase {
     val b = spark.read.format("payer-mrf").load(p)
     val codes = MrfPipeline.inNetworkCodes(b)
     assert(codes.filter($"negotiation_arrangement" === "bundle").count() == 1)
-    val bundled = codes.select(explode($"bundled_codes").as("bc"))
-      .select($"bc.billing_code").collect().map(_.getString(0)).toSet
-    assert(bundled == Set("59400", "59409"))
+    val bundled = MrfPipeline.bundledCodes(codes)
+    assert(bundled.select($"billing_code").collect().map(_.getString(0)).toSet ==
+      Set("59400", "59409"))
+    // bundled components join back to their parent bundle item
+    assert(bundled.join(codes.drop("file_name", "billing_code", "billing_code_type",
+      "billing_code_type_version", "description"), "sk_in_network_id").count() == 2)
   }
 }

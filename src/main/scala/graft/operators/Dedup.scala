@@ -174,6 +174,67 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Resolve near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation (each doc adopts the smallest id
+    * reachable through the pair graph). Converges in O(log(diameter))
+    * rounds; near-dup graphs are overwhelmingly tiny cliques, so
+    * `maxIter` 10 covers any realistic corpus. Returns (doc_id,
+    * cluster_id) where cluster_id = min doc_id of the component —
+    * the canonical survivor.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels
+        .join(propagated, labels("doc_id") === propagated("src"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("l"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Deterministic train/validation/test assignment by content hash —
+    * the split survives re-runs, re-partitioning, and incremental
+    * appends (a row's split never depends on what else is in the
+    * corpus). Buckets by the last hex digit of the md5 fingerprint:
+    * 16 buckets split `testBuckets` test / `valBuckets` validation /
+    * rest train.
+    */
+  def splitAssign(text: Column, testBuckets: Int = 2, valBuckets: Int = 1): Column = {
+    val bucket = substring(TextAnalysis.fingerprint(text), 32, 1)
+    val hexDigits = "0123456789abcdef"
+    val test = hexDigits.take(testBuckets).map(_.toString)
+    val valid = hexDigits.slice(testBuckets, testBuckets + valBuckets).map(_.toString)
+    when(bucket.isin(test: _*), "test")
+      .when(bucket.isin(valid: _*), "validation")
+      .otherwise("train")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Blocked by an LSH
     * bucket when `lshBits > 0` (sign bits of deterministic pseudo-random
     * hyperplanes — see [[Similarity.hyperplaneBucket]]); `lshBits = 0`

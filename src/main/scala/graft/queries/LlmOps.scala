@@ -188,6 +188,34 @@ object LlmOps {
              |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- near-dup cluster resolution: pairs → connected components →
+    // canonical survivor per cluster. Graph algorithms aren't
+    // SQL-expressible without recursion → rows-only; invariants in spec.
+    Q(
+      "q34_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), $"text", $"doc_id",
+          n = 3, threshold = 0.3)
+        Dedup.clusters(pairs).orderBy($"doc_id")
+      },
+      oracle = None),
+
+    // ---- deterministic train/val/test split by content hash.
+    Q(
+      "q35_train_test_split",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", Dedup.splitAssign($"text").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 32, 1) IN ('0','1') THEN 'test'
+             |       WHEN substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 32, 1) = '2' THEN 'validation'
+             |       ELSE 'train' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity search --------------------------------------------
     Q(
       "q29_ann_brute_topk",

@@ -87,6 +87,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, c) => q != c })
   }
 
+  test("cluster resolution: chains collapse to the min id; invariants hold") {
+    import spark.implicits._
+    // a 4-chain, a 2-clique pair, and a singleton-free graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b").withColumn("jaccard", lit(1.0))
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // real pairs from the corpus: every doc maps to a cluster_id <= its id,
+    // and every cluster_id is itself a member of the cluster
+    val corpus = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", n = 3, threshold = 0.3)
+    val cl = Dedup.clusters(corpus)
+    assert(cl.filter($"cluster_id" > $"doc_id").count() == 0)
+    val ids = cl.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusterIds = cl.select("cluster_id").collect().map(_.getLong(0)).toSet
+    assert(clusterIds.subsetOf(ids))
+  }
+
+  test("split assignment is deterministic and roughly proportioned") {
+    import spark.implicits._
+    val a = docs.select($"doc_id", Dedup.splitAssign($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.orderBy($"doc_id".desc).select($"doc_id", Dedup.splitAssign($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // order/partitioning independent
+    val frac = a.values.count(_ == "test").toDouble / a.size
+    assert(frac > 0.02 && frac < 0.35, s"test fraction $frac implausible for 2/16")
+  }
+
   test("native TokenizeWords expression equals the regex/HOF formulation") {
     import spark.implicits._
     val both = docs.select(

@@ -41,13 +41,23 @@ final class MrfMicroBatchStream(opts: MrfOptions, conf: Configuration)
     override def run(): Unit =
       try {
         val files = MrfFileSplitter.listFiles(opts, conf)
+        // chunks are emitted INCREMENTALLY — micro-batches start flowing
+        // while a multi-TB file is still being scanned (first-batch
+        // latency stays seconds, not the full split time)
         var ordinal = 0L
         files.foreach { f =>
-          ordinal = MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
+          try MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
+            ordinal = p.ordinal + 1
             MrfMicroBatchStream.this.synchronized {
               ledger += p
               MrfMicroBatchStream.this.notifyAll()
             }
+          } catch {
+            case e: Exception if opts.ignoreCorruptFiles =>
+              // deterministic even on restart: the splitter fails at the
+              // same byte, so any partial chunks re-derive identically
+              System.err.println(
+                s"[payer-mrf] skipping corrupt file $f: ${e.getMessage}")
           }
         }
         MrfMicroBatchStream.this.synchronized {

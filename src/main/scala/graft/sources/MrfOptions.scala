@@ -29,7 +29,8 @@ final case class MrfOptions(
     maxElements: Int,
     payloadAsArray: Boolean,
     perElement: Boolean,
-    maxChunksPerBatch: Option[Int]) {
+    maxChunksPerBatch: Option[Int],
+    ignoreCorruptFiles: Boolean) {
 
   def splitterOptions: JsonSplitter.Options =
     JsonSplitter.Options(
@@ -63,7 +64,8 @@ object MrfOptions {
       payloadAsArray = map.getBoolean("payloadAsArray", false),
       perElement = map.getBoolean("perElement", false),
       maxChunksPerBatch =
-        Option(map.get("maxChunksPerBatch")).map(v => math.max(1, v.toInt)))
+        Option(map.get("maxChunksPerBatch")).map(v => math.max(1, v.toInt)),
+      ignoreCorruptFiles = map.getBoolean("ignoreCorruptFiles", false))
   }
 
   def fromProperties(props: java.util.Map[String, String]): MrfOptions =

@@ -139,7 +139,14 @@ object MrfSplitCache {
       case Some(hit) => hit
       case None =>
         val out = scala.collection.mutable.ArrayBuffer.empty[MrfInputPartition]
-        MrfFileSplitter.splitFile(file, opts, conf, 0)(out += _)
+        try MrfFileSplitter.splitFile(file, opts, conf, 0)(out += _)
+        catch {
+          case e: Exception if opts.ignoreCorruptFiles =>
+            // one corrupt file must not kill a fleet-sized job — skip it
+            // (matching spark.sql.files.ignoreCorruptFiles semantics)
+            System.err.println(s"[payer-mrf] skipping corrupt file $file: ${e.getMessage}")
+            out.clear()
+        }
         val result = out.toSeq
         cache.synchronized(cache.put(key, result))
         result

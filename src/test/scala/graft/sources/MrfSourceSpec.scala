@@ -176,6 +176,22 @@ class MrfSourceSpec extends SparkTestBase {
     assert(parsed.count() == 2)
   }
 
+  test("ignoreCorruptFiles skips bad files, fails loudly otherwise") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-corrupt").toFile
+    Files.write(new java.io.File(dir, "good.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "bad.json").toPath, """{"in_network": [{"x": 1}""".getBytes("UTF-8"))
+    // default: corrupt file is an error
+    intercept[Exception] {
+      spark.read.format("payer-mrf").load(dir.getAbsolutePath).count()
+    }
+    // opted in: good file fully read, bad one skipped
+    val df = spark.read.format("payer-mrf")
+      .option("ignoreCorruptFiles", "true").load(dir.getAbsolutePath)
+    assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSet == Set("good.json"))
+    assert(df.filter($"header_key" === "in_network").count() > 0)
+  }
+
   test("missing input fails fast") {
     val e = intercept[Exception] {
       spark.read.format("payer-mrf").load("/nonexistent/nope.json").count()

@@ -5,7 +5,8 @@ package graft.queries
   * operator families.
   */
 object QueryCatalog {
-  def modules: Seq[Q] = Relational.all ++ Relational2.all ++ LlmOps.all
+  def modules: Seq[Q] =
+    Relational.all ++ Relational2.all ++ Relational2.sessionQueries ++ LlmOps.all
 
   def queries = modules.map(q => q.name -> q.fn).toMap
   def oracleSql = modules.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -209,6 +209,55 @@ object Relational2 {
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
   )
 
+  /** Gap-based sessionization (batch formulation; the streaming
+    * `flatMapGroupsWithState` twin lives in graft.streaming.Sessionize
+    * and is equivalence-tested against this in SessionizeSpec).
+    */
+  val sessionQueries: Seq[Q] = Seq(
+    Q(
+      "q36_sessionize",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.Sessionize.batch(Tables.events(s, d), gapMinutes = 10)
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, value,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+             |  FROM events),
+             |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+             |    OR epoch(ts) - epoch(prev_ts) > 600.0 THEN 1 ELSE 0 END AS ns FROM e),
+             |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, value
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      bench = true),
+
+    Q(
+      "q37_text_clean",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace($"text", "https?://\\S+", ""),
+              "[\\w.+-]+@[\\w.-]+", ""),
+            "\\s+", " ")).as("clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(text, 'https?://\S+', '', 'g'),
+             |      '[\w.+-]+@[\w.-]+', '', 'g'),
+             |    '\s+', ' ', 'g')) AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
   /** P5 parameterized query as a plain Scala function — literal binding
     * at plan build time (Catalyst constant-folds it into the scan
     * filter), the engine-API analog of the notebook's getArgument().

@@ -84,6 +84,77 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means
+    * coarse quantizer partitions the corpus into `nlist` cells; each
+    * query probes its `nprobe` nearest cells and exact-reranks only
+    * those members. The 100 TB story: the corpus is hash-partitioned by
+    * cell id once, queries touch `nprobe/nlist` of the data, and the
+    * centroid table (nlist × dim doubles) is a driver-side broadcast —
+    * there is no all-pairs stage anywhere.
+    *
+    * Training is Lloyd's algorithm with deterministic seeding (the
+    * `nlist` vectors with smallest xxhash64(vec_id)); means are
+    * reconstructed position-wise so collect order can't perturb them.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queryVec: Column,
+      queryId: Column,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+      .cache()
+
+    def assignCells(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame, top: Int) = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol), col("cid"),
+          cosine(col(vecCol), col("centroid")).as("csim"))
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= top)
+    }
+
+    // deterministic seeding + Lloyd iterations
+    var centroids = base
+      .withColumn("h", xxhash64(col("corpus_id")))
+      .orderBy("h").limit(nlist)
+      .select(row_number().over(Window.orderBy("h")).as("cid"), col("cv").as("centroid"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(base, "corpus_id", "cv", centroids, top = 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"),
+          transform(array_sort(col("pm")), p => p.getField("m")).as("centroid"))
+      centroids = means.cache()
+    }
+
+    val cells = assignCells(base, "corpus_id", "cv", centroids, top = 1)
+      .select(col("cid"), col("corpus_id"), col("cv"))
+    val q = queries
+      .select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+    val probes = assignCells(q, "query_id", "qv", centroids, top = nprobe)
+      .select(col("cid"), col("query_id"), col("qv"))
+    val scored = cells.join(probes, "cid")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent `bits`-bit
     * sign-hash tables (standard amplification — a true neighbor is
     * recalled if it collides in ANY table), candidates unioned across

@@ -254,6 +254,20 @@ object LlmOps {
       oracle = None), // approximate by construction; recall vs brute
     // force asserted in SimilaritySpec
 
+    Q(
+      "q38_ann_ivf_topk",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter($"vec_id" < 10)
+        Similarity.ivfTopK(corpus, queries,
+          $"embedding", $"vec_id", $"embedding", $"vec_id",
+          k = 5, nlist = 16, nprobe = 4)
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = None), // approximate by construction; recall vs brute
+    // force asserted in OperatorsSpec
+
     // ---- multimodal ----------------------------------------------------
     Q(
       "q31_mm_metadata",

@@ -143,6 +143,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(plan.contains("graft_cosine"))
   }
 
+  test("IVF top-k: recall vs brute force at nprobe=4/16") {
+    import spark.implicits._
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(embs, queries,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5)
+      .select($"query_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, queries,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5, nlist = 16, nprobe = 4)
+      .select($"query_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=4)")
+    assert(recall >= 0.4, f"recall $recall%.2f too low")
+  }
+
   test("multimodal: stub decode is deterministic; frames reassemble") {
     import spark.implicits._
     val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain").cache()

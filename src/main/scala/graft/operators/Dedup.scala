@@ -62,23 +62,24 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxBlockSize: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, text, id, n).cache()
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // block on the shingle's 64-bit hash: the posting shuffle moves 8-byte
-    // longs instead of shingle strings (same Jaccard — the shingle sets
-    // are distinct, and 64-bit collisions across a corpus are ~n²/2^65)
-    val posting = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
+    val sets = shingleSets(df, text, id, n)
+    // block on the shingle's 64-bit hash (the posting shuffle moves
+    // 8-byte longs, not strings; 64-bit collisions are ~n²/2^65) and
+    // carry each doc's set size THROUGH the posting list — the pair
+    // stage then computes Jaccard directly with no joins back to the
+    // per-doc table and no cached intermediate.
+    val posting = sets
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .select(struct(col("doc_id"), col("n_sh")).as("m"), xxhash64(col("shingle")).as("shingle_h"))
     val blocks = posting.groupBy("shingle_h")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBlockSize))
-    val common = blocks
-      .select(explode(pairsWithin(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(collect_list(col("m")).as("members"))
+      .filter(size(col("members")).between(2, maxBlockSize))
+    blocks
+      .select(explode(pairsWithin(col("members"))).as("p"))
+      .groupBy(
+        col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"),
+        col("p.id_a.n_sh").as("sh_a"), col("p.id_b.n_sh").as("sh_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sh_a") + col("sh_b") - col("n_common")).cast("double"))

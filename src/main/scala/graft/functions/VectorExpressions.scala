@@ -86,18 +86,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Idempotently register graft_* expressions in the session's function
-    * registry (works on ANY session, including the driver's own) and
-    * return a Column calling them.
+  /** Registration consolidated in [[GraftFunctions]]; kept as the
+    * vector-flavored façade.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "scala_udf")
-
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
-    register(spark)
+    GraftFunctions.register(spark)
     call_function("graft_cosine", a, b)
   }
 }

@@ -85,6 +85,30 @@ class MrfPipelineSpec extends SparkTestBase {
     assert(s.codes.count() == 2 && s.prices.count() == 3)
   }
 
+  test("capitation arrangement: covered_services survive the parse") {
+    import spark.implicits._
+    val p = MrfFixtures.writeTemp("cap.json", MrfFixtures.capitation).getAbsolutePath
+    val codes = MrfPipeline.inNetworkCodes(spark.read.format("payer-mrf").load(p))
+    assert(codes.filter($"negotiation_arrangement" === "capitation").count() == 1)
+    val covered = MrfPipeline.items(
+      spark.read.format("payer-mrf").load(p), "in_network", graft.pipeline.MrfSchema.inNetworkItem)
+      .select(explode($"item.covered_services").as("cs"))
+      .select($"cs.billing_code").collect().map(_.getString(0)).toSet
+    assert(covered == Set("99213", "99214"))
+  }
+
+  test("multiple-plans shape: no plan header members, in_network only") {
+    import spark.implicits._
+    val p = MrfFixtures.writeTemp("multi.json", MrfFixtures.multiPlan).getAbsolutePath
+    val bronze = spark.read.format("payer-mrf").load(p)
+    val h = MrfPipeline.header(bronze)
+    assert(h.count() == 1)
+    assert(h.first().getAs[String]("plan_name") == null)
+    val s = MrfPipeline.silver(bronze)
+    assert(s.codes.count() == 1 && s.prices.count() == 1)
+    assert(s.parProviders.count() == 0) // inline groups, no int refs
+  }
+
   test("bundle arrangement: bundled_codes survive the parse") {
     import spark.implicits._
     val p = MrfFixtures.writeTemp("bundle.json", MrfFixtures.bundle).getAbsolutePath

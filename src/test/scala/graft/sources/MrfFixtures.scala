@@ -61,6 +61,37 @@ object MrfFixtures {
       |  ]
       |}""".stripMargin
 
+  /** Capitation arrangement with covered_services (FIXTURES.md §1). */
+  val capitation: String =
+    """{
+      |  "reporting_entity_name": "graft health",
+      |  "reporting_entity_type": "payer",
+      |  "last_updated_on": "2026-08-01",
+      |  "version": "1.0.0",
+      |  "in_network": [
+      |    {"negotiation_arrangement": "capitation", "name": "PRIMARY CARE CAP", "billing_code_type": "CSTM", "billing_code_type_version": "2026", "billing_code": "C200", "description": "pcp capitation", "negotiated_rates": [
+      |      {"provider_groups": [{"npi": [6666666666], "tin": {"type": "ein", "value": "44-4444444"}}], "negotiated_prices": [
+      |        {"negotiated_type": "negotiated", "negotiated_rate": 42.5, "expiration_date": "9999-12-31", "billing_class": "professional"}]}],
+      |     "covered_services": [
+      |      {"billing_code_type": "CPT", "billing_code_type_version": "2026", "billing_code": "99213", "description": "office visit"},
+      |      {"billing_code_type": "CPT", "billing_code_type_version": "2026", "billing_code": "99214", "description": "office visit extended"}]}
+      |  ]
+      |}""".stripMargin
+
+  /** Multiple-plans shape: no plan_* header members, in_network only. */
+  val multiPlan: String =
+    """{
+      |  "reporting_entity_name": "graft multi",
+      |  "reporting_entity_type": "payer",
+      |  "last_updated_on": "2026-08-01",
+      |  "version": "1.0.0",
+      |  "in_network": [
+      |    {"negotiation_arrangement": "ffs", "name": "XRAY", "billing_code_type": "CPT", "billing_code_type_version": "2026", "billing_code": "71045", "description": "chest xray", "negotiated_rates": [
+      |      {"provider_groups": [{"npi": [7777777777], "tin": {"type": "ein", "value": "55-5555555"}}], "negotiated_prices": [
+      |        {"negotiated_type": "negotiated", "negotiated_rate": 55.0, "expiration_date": "9999-12-31", "service_code": ["22"], "billing_class": "institutional"}]}]}
+      |  ]
+      |}""".stripMargin
+
   def writeTemp(name: String, content: String, gz: Boolean = false): File = {
     val dir = Files.createTempDirectory("mrf-fixture").toFile
     val f = new File(dir, name)

@@ -1,11 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity of two `array<double>` columns as a NATIVE Catalyst
@@ -82,15 +80,4 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
-}
-
-object VectorFunctions {
-
-  /** Registration consolidated in [[GraftFunctions]]; kept as the
-    * vector-flavored façade.
-    */
-  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
-    GraftFunctions.register(spark)
-    call_function("graft_cosine", a, b)
-  }
 }

@@ -28,8 +28,7 @@ object Similarity {
     * all accumulate left-to-right in doubles.
     */
   def cosine(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.cosine(
-      org.apache.spark.sql.SparkSession.active, a, b)
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Built-ins-only formulation (interpreted higher-order folds) — kept
     * as the reference implementation the native expression is asserted

@@ -88,10 +88,11 @@ class MrfPipelineSpec extends SparkTestBase {
   test("capitation arrangement: covered_services survive the parse") {
     import spark.implicits._
     val p = MrfFixtures.writeTemp("cap.json", MrfFixtures.capitation).getAbsolutePath
-    val codes = MrfPipeline.inNetworkCodes(spark.read.format("payer-mrf").load(p))
+    val b = spark.read.format("payer-mrf").load(p)
+    val codes = MrfPipeline.inNetworkCodes(b)
     assert(codes.filter($"negotiation_arrangement" === "capitation").count() == 1)
     val covered = MrfPipeline.items(
-      spark.read.format("payer-mrf").load(p), "in_network", graft.pipeline.MrfSchema.inNetworkItem)
+      b, "in_network", graft.pipeline.MrfSchema.inNetworkItem)
       .select(explode($"item.covered_services").as("cs"))
       .select($"cs.billing_code").collect().map(_.getString(0)).toSet
     assert(covered == Set("99213", "99214"))

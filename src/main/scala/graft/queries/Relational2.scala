@@ -209,6 +209,41 @@ object Relational2 {
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
   )
 
+  /** Distinct aggregation and hierarchical (rollup) aggregation. */
+  val aggQueries: Seq[Q] = Seq(
+    Q(
+      "q39_count_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_suppliers"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q(
+      "q40_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("total"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+  )
+
   /** Gap-based sessionization (batch formulation; the streaming
     * `flatMapGroupsWithState` twin lives in graft.streaming.Sessionize
     * and is equivalence-tested against this in SessionizeSpec).

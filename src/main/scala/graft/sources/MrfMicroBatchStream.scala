@@ -28,7 +28,11 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   * end-of-stream story; demo notebooks polled `lastProgress`,
   * `README.md:49-58`).
   */
-final class MrfMicroBatchStream(opts: MrfOptions, conf: Configuration)
+final class MrfMicroBatchStream(
+    opts: MrfOptions,
+    conf: Configuration,
+    required: org.apache.spark.sql.types.StructType,
+    headerKeys: Option[Set[String]])
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   // ---- chunk ledger (driver memory: ~100 B per chunk spec) ----
@@ -118,13 +122,17 @@ final class MrfMicroBatchStream(opts: MrfOptions, conf: Configuration)
     awaitFrontier(e)
     synchronized {
       require(s >= ledgerBase, s"offset $s already committed and GCed (base=$ledgerBase)")
-      ledger.slice((s - ledgerBase).toInt, (e - ledgerBase).toInt).toArray
+      // pushed header_key filters prune chunks here — offsets stay
+      // ledger positions, the batch just schedules fewer tasks
+      ledger.slice((s - ledgerBase).toInt, (e - ledgerBase).toInt)
+        .filter(p => headerKeys.forall(_.contains(p.headerKey)))
+        .toArray[InputPartition]
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MrfPartitionReaderFactory(
-      new SerializableHadoopConf(conf), opts.payloadAsArray, opts.perElement)
+      new SerializableHadoopConf(conf), opts.payloadAsArray, opts.perElement, required)
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[MrfOffset].n

@@ -35,52 +35,68 @@ final case class MrfInputPartition(
 final class MrfPartitionReaderFactory(
     conf: SerializableHadoopConf,
     payloadAsArray: Boolean,
-    perElement: Boolean)
+    perElement: Boolean,
+    required: org.apache.spark.sql.types.StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MrfPartitionReader(partition.asInstanceOf[MrfInputPartition], conf, payloadAsArray, perElement)
+    new MrfPartitionReader(
+      partition.asInstanceOf[MrfInputPartition], conf, payloadAsArray, perElement, required)
 }
 
 final class MrfPartitionReader(
     part: MrfInputPartition,
     conf: SerializableHadoopConf,
     payloadAsArray: Boolean,
-    perElement: Boolean)
+    perElement: Boolean,
+    required: org.apache.spark.sql.types.StructType)
     extends PartitionReader[InternalRow] {
+
+  // column pruning: the byte-range read happens ONLY when json_payload
+  // survives the projection — counting/demux queries cost zero data I/O
+  private val needsPayload = required.fieldNames.contains("json_payload")
+
+  /** Assemble one pruned row; `payload` is evaluated only if required. */
+  private def row(key: UTF8String, fileName: UTF8String, payload: => Any): InternalRow =
+    new GenericInternalRow(required.fieldNames.map {
+      case "file_name" => fileName
+      case "header_key" => key
+      case "json_payload" => payload
+    }.asInstanceOf[Array[Any]])
 
   private val rows: Iterator[InternalRow] = {
     val fileName = UTF8String.fromString(part.fileName)
     if (part.headerJson != null) {
-      val payload: Any =
+      def payload: Any =
         if (payloadAsArray)
           new GenericArrayData(Array[Any](UTF8String.fromString(part.headerJson)))
         else UTF8String.fromString(part.headerJson)
-      Iterator.single(new GenericInternalRow(Array[Any](
-        fileName, UTF8String.fromString(""), payload)))
+      Iterator.single(row(UTF8String.fromString(""), fileName, payload))
     } else {
-      val bytes = readRange()
       val key = UTF8String.fromString(part.headerKey)
-      if (perElement) {
-        JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length).iterator.map {
-          case (s, e) =>
-            new GenericInternalRow(Array[Any](
-              fileName, key, UTF8String.fromBytes(bytes, s, e - s)))
-        }
-      } else if (payloadAsArray) {
-        val els = JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length)
-          .map { case (s, e) => UTF8String.fromBytes(bytes, s, e - s) }
-        Iterator.single(new GenericInternalRow(Array[Any](
-          fileName, key, new GenericArrayData(els.toArray[Any]))))
+      if (!needsPayload) {
+        // no byte read at all; per-element grain comes from the spec
+        val n = if (perElement) part.elements else 1
+        Iterator.fill(n)(row(key, fileName, null))
       } else {
-        // wrap the element run in brackets → valid JSON array text,
-        // without a charset decode/encode round trip
-        val wrapped = new Array[Byte](bytes.length + 2)
-        wrapped(0) = '['.toByte
-        System.arraycopy(bytes, 0, wrapped, 1, bytes.length)
-        wrapped(wrapped.length - 1) = ']'.toByte
-        Iterator.single(new GenericInternalRow(Array[Any](
-          fileName, key, UTF8String.fromBytes(wrapped))))
+        val bytes = readRange()
+        if (perElement) {
+          JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length).iterator.map {
+            case (s, e) => row(key, fileName, UTF8String.fromBytes(bytes, s, e - s))
+          }
+        } else if (payloadAsArray) {
+          val els = JsonSplitter.splitTopLevelElements(bytes, 0, bytes.length)
+            .map { case (s, e) => UTF8String.fromBytes(bytes, s, e - s) }
+          Iterator.single(row(key, fileName, new GenericArrayData(els.toArray[Any])))
+        } else {
+          // wrap the element run in brackets → valid JSON array text,
+          // without a charset decode/encode round trip
+          val wrapped = new Array[Byte](bytes.length + 2)
+          wrapped(0) = '['.toByte
+          System.arraycopy(bytes, 0, wrapped, 1, bytes.length)
+          wrapped(wrapped.length - 1) = ']'.toByte
+          Iterator.single(row(key, fileName, UTF8String.fromBytes(wrapped)))
+        }
       }
     }
   }

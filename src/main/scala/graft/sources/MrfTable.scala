@@ -2,14 +2,12 @@ package graft.sources
 
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,10 +28,60 @@ final class MrfTable(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MrfScan(opts, options)
+    new MrfScanBuilder(opts, options)
 }
 
-final class MrfScan(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
+/** Scan builder with the two pushdowns that matter for this source:
+  *
+  *  - `header_key` equality/IN filters prune CHUNKS AT PLANNING TIME —
+  *    the demux query `WHERE header_key='in_network'` never schedules
+  *    (or reads a byte of) the provider_references chunks. Pushed
+  *    filters are also left in the post-scan plan (conservative V2
+  *    pattern: pruning is an optimization, Spark re-checks rows).
+  *  - column pruning: a projection without `json_payload` (the demo's
+  *    `groupBy(header_key).count()` shape) skips the byte-range read
+  *    entirely — per-element row counts come from the chunk spec's
+  *    element count, so counting a terabyte costs zero data I/O.
+  */
+final class MrfScanBuilder(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = opts.schema
+
+  /** header_key values that chunks must match, if such a filter exists. */
+  private def headerKeyFilter: Option[Set[String]] = {
+    val sets = pushed.collect {
+      case EqualTo("header_key", v: String) => Set(v)
+      case In("header_key", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("header_key", _: String) => true
+      case In("header_key", _) => true
+      case IsNotNull("header_key") | IsNotNull("file_name") => true
+      case _ => false
+    }
+    filters // conservative: Spark re-evaluates everything post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new MrfScan(opts, userOptions, required, headerKeyFilter)
+}
+
+final class MrfScan(
+    opts: MrfOptions,
+    userOptions: CaseInsensitiveStringMap,
+    required: StructType,
+    headerKeys: Option[Set[String]])
     extends Scan {
 
   /** Session Hadoop conf + per-source `hadoop.*` overrides, captured on
@@ -45,23 +93,32 @@ final class MrfScan(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
     conf
   }
 
-  override def readSchema(): StructType = opts.schema
+  override def readSchema(): StructType = required
 
   override def description(): String =
     s"payer-mrf chunking scan of ${opts.paths.mkString(",")} " +
-      s"(chunkBytes=${opts.chunkBytes}, maxElements=${opts.maxElements})"
+      s"(chunkBytes=${opts.chunkBytes}, maxElements=${opts.maxElements}" +
+      headerKeys.map(k => s", headerKeys=${k.mkString("|")}").getOrElse("") +
+      s", columns=${required.fieldNames.mkString(",")})"
 
-  override def toBatch: Batch = new MrfBatch(opts, hadoopConf())
+  override def toBatch: Batch =
+    new MrfBatch(opts, hadoopConf(), required, headerKeys)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MrfMicroBatchStream(opts, hadoopConf())
+    new MrfMicroBatchStream(opts, hadoopConf(), required, headerKeys)
 }
 
 /** Batch scan: split every input file up front, one task per chunk.
   * Files are split in parallel (one splitter per file — the per-file scan
-  * is inherently sequential, the fleet of files is not).
+  * is inherently sequential, the fleet of files is not); chunks failing a
+  * pushed header_key filter are dropped before scheduling.
   */
-final class MrfBatch(opts: MrfOptions, conf: Configuration) extends Batch {
+final class MrfBatch(
+    opts: MrfOptions,
+    conf: Configuration,
+    required: StructType,
+    headerKeys: Option[Set[String]])
+    extends Batch {
 
   override lazy val planInputPartitions: Array[InputPartition] = {
     val files = MrfFileSplitter.listFiles(opts, conf)
@@ -74,7 +131,9 @@ final class MrfBatch(opts: MrfOptions, conf: Configuration) extends Batch {
             MrfSplitCache.getOrSplit(f, opts, conf)
         })
       }
-      tasks.flatMap(_.get()).zipWithIndex
+      tasks.flatMap(_.get())
+        .filter(p => headerKeys.forall(_.contains(p.headerKey)))
+        .zipWithIndex
         .map { case (p, i) => p.copy(ordinal = i.toLong): InputPartition }
         .toArray
     } finally pool.shutdown()
@@ -82,5 +141,5 @@ final class MrfBatch(opts: MrfOptions, conf: Configuration) extends Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MrfPartitionReaderFactory(
-      new SerializableHadoopConf(conf), opts.payloadAsArray, opts.perElement)
+      new SerializableHadoopConf(conf), opts.payloadAsArray, opts.perElement, required)
 }

@@ -176,6 +176,39 @@ class MrfSourceSpec extends SparkTestBase {
     assert(parsed.count() == 2)
   }
 
+  test("column pruning: payload-free projections read no bytes; counts still exact") {
+    import spark.implicits._
+    val df = spark.read.format("payer-mrf").option("perElement", "true").load(ffsPath)
+    val counts = df.groupBy("header_key").count()
+    // the scan in the executed plan carries only the pruned columns
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=header_key"), plan)
+    val m = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("provider_references" -> 3L, "in_network" -> 2L, "" -> 1L))
+  }
+
+  test("filter pushdown: header_key demux prunes chunks at planning time") {
+    import spark.implicits._
+    val df = spark.read.format("payer-mrf").load(ffsPath)
+      .filter($"header_key" === "in_network")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("headerKeys=in_network"), plan)
+    assert(df.count() > 0)
+    assert(df.select("header_key").distinct().collect().map(_.getString(0)).toSeq == Seq("in_network"))
+    // streaming path prunes too
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-push").toString
+    val q = spark.readStream.format("payer-mrf").load(ffsPath)
+      .filter($"header_key" === "in_network")
+      .writeStream.format("memory").queryName("mrf_push_out")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("mrf_push_out")
+    assert(got.count() == spark.read.format("payer-mrf").load(ffsPath)
+      .filter($"header_key" === "in_network").count())
+  }
+
   test("ignoreCorruptFiles skips bad files, fails loudly otherwise") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mrf-corrupt").toFile

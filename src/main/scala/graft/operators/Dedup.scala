@@ -109,9 +109,13 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBlockSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // verification compares HASHED shingle sets (8-byte longs, same
+    // Jaccard modulo ~n²/2^65 collisions) — array_intersect on strings
+    // would dominate the verify stage
     val sets = shingleSets(df, text, id, n)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
       .cache()
     // band hash = xxhash64 over the band's signature slice
     val banded = sets.select(

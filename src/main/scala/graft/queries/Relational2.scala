@@ -228,6 +228,30 @@ object Relational2 {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q(
+      "q41_percentiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, array(0.25, 0.75))").as("p25_75"),
+            max($"l_extendedprice").as("pmax"))
+          .select(
+            $"l_returnflag", $"p50",
+            element_at($"p25_75", 1).as("p25"),
+            element_at($"p25_75", 2).as("p75"),
+            $"pmax")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.75) AS p75,
+             |  max(l_extendedprice) AS pmax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q(
       "q40_rollup",
       (s, d) => {
         import s.implicits._

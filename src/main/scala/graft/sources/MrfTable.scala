@@ -49,19 +49,26 @@ final class MrfScanBuilder(opts: MrfOptions, userOptions: CaseInsensitiveStringM
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = opts.schema
 
-  /** header_key values that chunks must match, if such a filter exists. */
-  private def headerKeyFilter: Option[Set[String]] = {
+  private def valueSets(attr: String): Option[Set[String]] = {
     val sets = pushed.collect {
-      case EqualTo("header_key", v: String) => Set(v)
-      case In("header_key", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo(a, v: String) if a == attr => Set(v)
+      case In(a, vs) if a == attr => vs.collect { case s: String => s }.toSet
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
+  /** header_key values that chunks must match, if such a filter exists. */
+  private def headerKeyFilter: Option[Set[String]] = valueSets("header_key")
+
+  /** file_name values that FILES must match — whole unmatched files are
+    * skipped before splitting (query one file of thousands → split one).
+    */
+  private def fileNameFilter: Option[Set[String]] = valueSets("file_name")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
-      case EqualTo("header_key", _: String) => true
-      case In("header_key", _) => true
+      case EqualTo("header_key", _: String) | EqualTo("file_name", _: String) => true
+      case In("header_key", _) | In("file_name", _) => true
       case IsNotNull("header_key") | IsNotNull("file_name") => true
       case _ => false
     }
@@ -74,14 +81,15 @@ final class MrfScanBuilder(opts: MrfOptions, userOptions: CaseInsensitiveStringM
     required = requiredSchema
 
   override def build(): Scan =
-    new MrfScan(opts, userOptions, required, headerKeyFilter)
+    new MrfScan(opts, userOptions, required, headerKeyFilter, fileNameFilter)
 }
 
 final class MrfScan(
     opts: MrfOptions,
     userOptions: CaseInsensitiveStringMap,
     required: StructType,
-    headerKeys: Option[Set[String]])
+    headerKeys: Option[Set[String]],
+    fileNames: Option[Set[String]])
     extends Scan {
 
   /** Session Hadoop conf + per-source `hadoop.*` overrides, captured on
@@ -99,10 +107,11 @@ final class MrfScan(
     s"payer-mrf chunking scan of ${opts.paths.mkString(",")} " +
       s"(chunkBytes=${opts.chunkBytes}, maxElements=${opts.maxElements}" +
       headerKeys.map(k => s", headerKeys=${k.mkString("|")}").getOrElse("") +
+      fileNames.map(k => s", fileNames=${k.mkString("|")}").getOrElse("") +
       s", columns=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch =
-    new MrfBatch(opts, hadoopConf(), required, headerKeys)
+    new MrfBatch(opts, hadoopConf(), required, headerKeys, fileNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MrfMicroBatchStream(opts, hadoopConf(), required, headerKeys)
@@ -117,11 +126,18 @@ final class MrfBatch(
     opts: MrfOptions,
     conf: Configuration,
     required: StructType,
-    headerKeys: Option[Set[String]])
+    headerKeys: Option[Set[String]],
+    fileNames: Option[Set[String]])
     extends Batch {
 
   override lazy val planInputPartitions: Array[InputPartition] = {
-    val files = MrfFileSplitter.listFiles(opts, conf)
+    // file-level pruning happens BEFORE any splitting work (gz files
+    // match by their decompressed sibling name too)
+    val files = MrfFileSplitter.listFiles(opts, conf).filter { f =>
+      fileNames.forall(names => names.contains(f.getName) ||
+        names.contains(f.getName.stripSuffix(".gz")) ||
+        names.contains(f.getName.stripSuffix(".gz") + ".json"))
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors() / 2)))
     try {

@@ -209,6 +209,18 @@ class MrfSourceSpec extends SparkTestBase {
       .filter($"header_key" === "in_network").count())
   }
 
+  test("file_name pushdown prunes whole files before splitting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-fprune").toFile
+    Files.write(new java.io.File(dir, "a_ffs.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b_bundle.json").toPath, MrfFixtures.bundle.getBytes("UTF-8"))
+    val df = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+      .filter($"file_name" === "a_ffs.json")
+    assert(df.queryExecution.executedPlan.toString.contains("fileNames=a_ffs.json"))
+    assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSeq == Seq("a_ffs.json"))
+    assert(df.count() == 3) // ffs: provider_references + in_network + header chunks
+  }
+
   test("ignoreCorruptFiles skips bad files, fails loudly otherwise") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mrf-corrupt").toFile

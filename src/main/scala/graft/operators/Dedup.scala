@@ -149,22 +149,44 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.GraftFunctions.simhash(TextAnalysis.tokens(text))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
-    * blocked on 16-bit bands (a pair within distance k must collide on
-    * at least one of 4 bands for k ≤ 3 — pigeonhole).
+  /** Disjoint band (offset, width) layout covering `totalBits` bits with
+    * `maxHamming + 1` bands — pigeonhole: a pair within Hamming distance
+    * k differs in ≤ k bits, so at least one of k+1 disjoint bands is
+    * untouched and the pair collides there. Banding is therefore
+    * COMPLETE at the configured radius (the round-1 fixed 4×16 layout
+    * was only complete for k ≤ 3).
     */
-  def simhashPairs(
-      df: DataFrame,
-      text: Column,
-      id: Column,
-      maxHamming: Int = 3,
-      maxBlockSize: Int = 10000): DataFrame = {
-    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig")).cache()
+  private def bandLayout(totalBits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val bands = maxHamming + 1
+    require(bands <= totalBits, s"maxHamming $maxHamming needs $bands bands > $totalBits bits")
+    val base = totalBits / bands
+    val extra = totalBits % bands // first `extra` bands get one more bit
+    val widths = (0 until bands).map(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Band-bucket columns for a signature: bucket_b = the band's bit
+    * slice (mask AFTER shift so a 64-bit band and the sign bit are
+    * handled; slices of a positive <64-bit sig never see the sign).
+    */
+  private def bandBuckets(sig: Column, layout: Seq[(Int, Int)]): Seq[Column] =
+    layout.map { case (off, w) =>
+      val shifted = if (off == 0) sig else shiftright(sig, off)
+      if (w >= 64) shifted else shifted.bitwiseAND((1L << w) - 1L)
+    }
+
+  /** Pairs (a < b) from banded signatures with Hamming ≤ maxHamming:
+    * posexplode band buckets → block per (band, bucket) → in-block pair
+    * expansion → exact Hamming verify on re-joined signatures.
+    */
+  private def bandedHammingPairs(
+      sigs: DataFrame, // (doc_id, sig)
+      totalBits: Int,
+      maxHamming: Int,
+      maxBlockSize: Int): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(
-        array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
+      posexplode(array(bandBuckets(col("sig"), bandLayout(totalBits, maxHamming)): _*))
         .as(Seq("band", "bucket")))
     banded.groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -177,6 +199,68 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` over
+    * the 64-bit xxhash64-kernel signature, blocked on `maxHamming + 1`
+    * disjoint bands (complete at the radius — see [[bandLayout]]).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      maxHamming: Int = 3,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig")).cache()
+    bandedHammingPairs(sigs, totalBits = 64, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
+  }
+
+  /** Per-bit ±1 sums (length 60) of the portable token hashes — the
+    * SimHash accumulator. Token hash = first 15 md5 hex chars (60 bits):
+    * unlike the xxhash64 kernel, md5 + integer shifts are reproducible
+    * in any engine, so the DuckDB oracle recomputes the full signature
+    * bit-for-bit (q27). Kept separate from [[portableSimhashFromAcc]] so
+    * callers materialize the accumulator once in its own projection.
+    */
+  def portableSimhashAcc(toks: Column): Column = {
+    val hs = transform(toks, t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    aggregate(
+      hs,
+      array_repeat(lit(0L), 60),
+      (acc, h) =>
+        zip_with(
+          acc,
+          array((0 until 60).map(i =>
+            shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1): _*),
+          (a, x) => a + x))
+  }
+
+  /** Fold the ±1 sums into the 60-bit signature: bit i set iff sum ≥ 0
+    * (ties set the bit — mirrored exactly in the oracle SQL).
+    */
+  def portableSimhashFromAcc(acc: Column): Column =
+    (0 until 60).map(i =>
+      when(element_at(acc, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+
+  /** SimHash near-dup pairs over the PORTABLE 60-bit md5 signature —
+    * the cross-engine-verifiable variant (q27's oracle recomputes the
+    * identical signatures in DuckDB). Same banded blocking as
+    * [[simhashPairs]]; complete at `maxHamming` by pigeonhole.
+    */
+  def simhashPairsPortable(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      maxHamming: Int = 6,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val sigs = df
+      .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("doc_id"), portableSimhashAcc(col("toks")).as("acc"))
+      .select(col("doc_id"), portableSimhashFromAcc(col("acc")).as("sig"))
+      .cache()
+    bandedHammingPairs(sigs, totalBits = 60, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
   }
 
   /** Resolve near-dup PAIRS into clusters: connected components by
@@ -240,29 +324,46 @@ object Dedup {
       .otherwise("train")
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold. Blocked by an LSH
-    * bucket when `lshBits > 0` (sign bits of deterministic pseudo-random
-    * hyperplanes — see [[Similarity.hyperplaneBucket]]); `lshBits = 0`
-    * compares all pairs (only for modest corpora / oracle checks).
+  /** Embedding near-dup pairs: cosine ≥ threshold. Blocked by
+    * multi-table hyperplane LSH when `lshBits > 0` (sign bits of
+    * deterministic pseudo-random hyperplanes, `tables` independent
+    * tables unioned — standard amplification: a pair is recalled if it
+    * collides in ANY table). The join shuffles on (table, bucket) — no
+    * unbucketed self-join anywhere; candidate volume per table is
+    * ~n²/2^lshBits, so grow `lshBits` with log₂(n) at scale.
+    * `lshBits = 0` compares all pairs (only for modest corpora /
+    * oracle baselines).
     */
   def embeddingCosinePairs(
       df: DataFrame,
       vec: Column,
       id: Column,
       threshold: Double,
-      lshBits: Int = 0): DataFrame = {
+      lshBits: Int = 0,
+      tables: Int = 16): DataFrame = {
     val base = df.select(
       id.cast("long").as("vec_id"),
       vec.cast("array<double>").as("v"))
     val keyed =
-      if (lshBits > 0) base.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), lshBits))
-      else base.withColumn("bucket", lit(0))
+      if (lshBits > 0)
+        base.select(
+          col("vec_id"), col("v"),
+          posexplode(array((0 until tables).map(t =>
+            Similarity.hyperplaneBucket(col("v"), lshBits, seed = t)): _*))
+            .as(Seq("table", "bucket")))
+      else
+        base.select(col("vec_id"), col("v"), lit(0).as("table"), lit(0L).as("bucket"))
     keyed.as("a")
       .join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -50,6 +50,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(selfPairs == 50, s"expected 50 identical-doc pairs, got $selfPairs")
   }
 
+  // Perturbed copies of one base text: signature distances land across
+  // the 0..6 radius, including 4..6 where the round-1 fixed 4×16-band
+  // layout was NOT pigeonhole-complete.
+  private def perturbedDocs = {
+    import spark.implicits._
+    val base = docs.orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    (0 until 40).map { i =>
+      (i.toLong, base + (" zq" + (i % 13)) * (i % 5) + (" wx" + (i % 7)) * (i / 8))
+    }.toDF("doc_id", "text")
+  }
+
+  test("simhash banding is complete at the configured radius (xxhash64 kernel)") {
+    import spark.implicits._
+    val d = perturbedDocs
+    val sigs = d.select($"doc_id", Dedup.simhash($"text").as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 6
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs(d, $"text", $"doc_id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"banded pairs != brute force: missing ${expected -- got}, extra ${got -- expected}")
+    // the regression the fix targets: distances 4..6 exist AND are found
+    val midRadius = expected.filter(p => p._3 >= 4 && p._3 <= 6)
+    assert(midRadius.nonEmpty, "test corpus produced no distance-4..6 pairs; strengthen perturbations")
+    assert(midRadius.subsetOf(got))
+  }
+
+  test("portable simhash pairs equal brute force over portable signatures") {
+    import spark.implicits._
+    val d = perturbedDocs
+    val sigs = d
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", Dedup.portableSimhashAcc($"toks").as("acc"))
+      .select($"doc_id", Dedup.portableSimhashFromAcc($"acc").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 60))) // 60-bit range
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 6
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairsPortable(d, $"text", $"doc_id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("embedding cosine pairs: symmetric, bounded, matches manual calc") {
     import spark.implicits._
     val pairs = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
@@ -66,6 +113,25 @@ class OperatorsSpec extends SparkTestBase {
       val cos = dot / (math.sqrt(v(0).map(x => x * x).sum) * math.sqrt(v(1).map(x => x * x).sum))
       assert(math.abs(cos - r.getDouble(2)) < 1e-9)
     }
+  }
+
+  test("bucketed embedding pairs: sound vs all-pairs, high recall, no cross join") {
+    import spark.implicits._
+    val exact = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id",
+      threshold = 0.35, lshBits = 4, tables = 32)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every bucketed pair is a true pair with the true cosine
+    got.foreach { case (k, c) => assert(exact.contains(k) && exact(k) == c) }
+    // recall: the 32-table amplification recovers nearly all pairs
+    val recall = got.size.toDouble / math.max(exact.size, 1)
+    info(f"bucketed cosine-pair recall = $recall%.3f (bits=4, tables=32)")
+    assert(recall >= 0.85, f"recall $recall%.3f too low")
+    // the graded plan must not contain an unbucketed cross join
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed path planned a cross join")
   }
 
   test("LSH top-k recall vs brute force is usable on unclustered data") {

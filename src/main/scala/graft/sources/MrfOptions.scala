@@ -21,6 +21,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `maxChunksPerBatch`: admission control — caps each micro-batch
   *     so a terabyte backlog streams as bounded batches instead of one
   *     giant first batch.
+  *   - `splitMode`: where the batch-scan split pass runs. `driver`
+  *     streams file bytes through a driver thread pool (the reference's
+  *     architecture, `JsonMRFSource.scala:59-180` — driver NIC caps
+  *     throughput at fleet scale); `executors` runs one Spark task per
+  *     file and ships back only ~100-byte chunk SPECS, so split I/O
+  *     scales with the cluster; `auto` (default) picks `executors` once
+  *     the uncached input is big enough to amortize a job (≥ 4 files or
+  *     ≥ 256 MB).
   */
 final case class MrfOptions(
     paths: Seq[String],
@@ -30,7 +38,8 @@ final case class MrfOptions(
     payloadAsArray: Boolean,
     perElement: Boolean,
     maxChunksPerBatch: Option[Int],
-    ignoreCorruptFiles: Boolean) {
+    ignoreCorruptFiles: Boolean,
+    splitMode: String) {
 
   def splitterOptions: JsonSplitter.Options =
     JsonSplitter.Options(
@@ -65,7 +74,12 @@ object MrfOptions {
       perElement = map.getBoolean("perElement", false),
       maxChunksPerBatch =
         Option(map.get("maxChunksPerBatch")).map(v => math.max(1, v.toInt)),
-      ignoreCorruptFiles = map.getBoolean("ignoreCorruptFiles", false))
+      ignoreCorruptFiles = map.getBoolean("ignoreCorruptFiles", false),
+      splitMode = Option(map.get("splitMode")).getOrElse("auto") match {
+        case m @ ("auto" | "driver" | "executors") => m
+        case other => throw new IllegalArgumentException(
+          s"payer-mrf: splitMode must be auto|driver|executors, got '$other'")
+      })
   }
 
   def fromProperties(props: java.util.Map[String, String]): MrfOptions =

@@ -154,19 +154,44 @@ object MrfSplitCache {
     cache.synchronized(Option(cache.get(key))) match {
       case Some(hit) => hit
       case None =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[MrfInputPartition]
-        try MrfFileSplitter.splitFile(file, opts, conf, 0)(out += _)
-        catch {
-          case e: Exception if opts.ignoreCorruptFiles =>
-            // one corrupt file must not kill a fleet-sized job — skip it
-            // (matching spark.sql.files.ignoreCorruptFiles semantics)
-            System.err.println(s"[payer-mrf] skipping corrupt file $file: ${e.getMessage}")
-            out.clear()
-        }
-        val result = out.toSeq
+        val result = MrfFileSplitter.splitFileGuarded(file.toString, opts,
+          new SerializableHadoopConf(conf))
         cache.synchronized(cache.put(key, result))
         result
     }
+  }
+
+  /** Split a fleet of files, serving cache hits and routing the misses
+    * to either the driver thread pool or an executor split job
+    * (per `opts.splitMode`). Results come back in `files` order with
+    * per-file ordinals — the caller assigns global ordinals.
+    */
+  def getOrSplitAll(
+      files: Seq[Path],
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration): Seq[MrfInputPartition] = {
+    val keyed = files.map { f =>
+      val st = f.getFileSystem(conf).getFileStatus(f)
+      (f, st.getLen,
+        Key(f.toString, st.getLen, st.getModificationTime, opts.chunkBytes, opts.maxElements))
+    }
+    val misses = keyed.filter { case (_, _, k) => cache.synchronized(cache.get(k)) == null }
+    if (misses.nonEmpty) {
+      val useExecutors = opts.splitMode match {
+        case "executors" => true
+        case "driver" => false
+        case _ => misses.size >= 4 || misses.map(_._2).sum >= (256L << 20)
+      }
+      val split: Map[String, Seq[MrfInputPartition]] =
+        if (useExecutors)
+          MrfFileSplitter.splitFilesDistributed(misses.map(_._1), opts, conf)
+        else
+          MrfFileSplitter.splitFilesDriverPool(misses.map(_._1), opts, conf)
+      misses.foreach { case (f, _, k) =>
+        cache.synchronized(cache.put(k, split(f.toString)))
+      }
+    }
+    keyed.flatMap { case (_, _, k) => cache.synchronized(cache.get(k)) }
   }
 }
 
@@ -210,6 +235,74 @@ object MrfFileSplitter {
     * first (gz cannot be seeked — reference behavior,
     * `JsonMRFSourceProvider.scala:38-46`).
     */
+  /** One file through the splitter with the source's corrupt-file
+    * policy applied. Takes the path as a String and the conf in its
+    * serializable wrapper so the SAME function is the body of both the
+    * driver pool and the executor split task — determinism between the
+    * two modes is by construction, not by parallel maintenance.
+    */
+  def splitFileGuarded(
+      file: String,
+      opts: MrfOptions,
+      conf: SerializableHadoopConf): Seq[MrfInputPartition] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[MrfInputPartition]
+    try splitFile(new Path(file), opts, conf.value, 0)(out += _)
+    catch {
+      case e: Exception if opts.ignoreCorruptFiles =>
+        // one corrupt file must not kill a fleet-sized job — skip it
+        // (matching spark.sql.files.ignoreCorruptFiles semantics)
+        System.err.println(s"[payer-mrf] skipping corrupt file $file: ${e.getMessage}")
+        out.clear()
+    }
+    out.toSeq
+  }
+
+  /** Driver-side parallel split: one thread per file (each file's scan
+    * is inherently sequential; the fleet is not). All file bytes flow
+    * through the driver — fine up to a few GB, the driver NIC beyond.
+    */
+  def splitFilesDriverPool(
+      files: Seq[Path],
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Seq[MrfInputPartition]] = {
+    val sconf = new SerializableHadoopConf(conf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors() / 2)))
+    try {
+      files.map { f =>
+        f.toString -> pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
+          override def call(): Seq[MrfInputPartition] =
+            splitFileGuarded(f.toString, opts, sconf)
+        })
+      }.map { case (p, fut) => p -> fut.get() }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** Executor-side split pass — the 100 TB path. One Spark task per
+    * file runs the identical [[splitFileGuarded]] body next to the data
+    * and ships back only chunk SPECS (~100 B each): split I/O scales
+    * with the cluster instead of capping at the driver NIC (the
+    * reference streams every byte through one driver thread,
+    * `JsonMRFSource.scala:59-180`). The job is labelled so monitoring
+    * (and the determinism spec) can identify it.
+    */
+  def splitFilesDistributed(
+      files: Seq[Path],
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Seq[MrfInputPartition]] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val sconf = new SerializableHadoopConf(conf)
+    val paths = files.map(_.toString)
+    sc.setJobGroup("payer-mrf-split",
+      s"payer-mrf: split ${paths.size} file(s) on executors", interruptOnCancel = false)
+    try {
+      sc.parallelize(paths, paths.size)
+        .map(p => p -> splitFileGuarded(p, opts, sconf))
+        .collect()
+        .toMap
+    } finally sc.clearJobGroup()
+  }
+
   def splitFile(
       file: Path,
       opts: MrfOptions,

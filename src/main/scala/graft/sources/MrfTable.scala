@@ -138,21 +138,13 @@ final class MrfBatch(
         names.contains(f.getName.stripSuffix(".gz")) ||
         names.contains(f.getName.stripSuffix(".gz") + ".json"))
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors() / 2)))
-    try {
-      val tasks = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
-          override def call(): Seq[MrfInputPartition] =
-            MrfSplitCache.getOrSplit(f, opts, conf)
-        })
-      }
-      tasks.flatMap(_.get())
-        .filter(p => headerKeys.forall(_.contains(p.headerKey)))
-        .zipWithIndex
-        .map { case (p, i) => p.copy(ordinal = i.toLong): InputPartition }
-        .toArray
-    } finally pool.shutdown()
+    // split on executors or the driver pool per opts.splitMode (the
+    // executor pass returns ~100 B chunk specs, never file bytes)
+    MrfSplitCache.getOrSplitAll(files, opts, conf)
+      .filter(p => headerKeys.forall(_.contains(p.headerKey)))
+      .zipWithIndex
+      .map { case (p, i) => p.copy(ordinal = i.toLong): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

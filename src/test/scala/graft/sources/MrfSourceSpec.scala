@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -235,6 +237,44 @@ class MrfSourceSpec extends SparkTestBase {
       .option("ignoreCorruptFiles", "true").load(dir.getAbsolutePath)
     assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSet == Set("good.json"))
     assert(df.filter($"header_key" === "in_network").count() > 0)
+  }
+
+  test("splitMode=executors runs the split as executor tasks; chunks match driver mode") {
+    import spark.implicits._
+    def fixtureDir(prefix: String): java.io.File = {
+      val dir = Files.createTempDirectory(prefix).toFile
+      Files.write(new java.io.File(dir, "a_ffs.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+      Files.write(new java.io.File(dir, "b_bundle.json").toPath, MrfFixtures.bundle.getBytes("UTF-8"))
+      Files.write(new java.io.File(dir, "c_cap.json").toPath, MrfFixtures.capitation.getBytes("UTF-8"))
+      dir
+    }
+    val splitJobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (group == "payer-mrf-split") splitJobs.add(js.stageInfos.map(_.numTasks).sum)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dist = spark.read.format("payer-mrf")
+        .option("splitMode", "executors").option("chunkBytes", "4099")
+        .load(fixtureDir("mrf-dist-e").getAbsolutePath)
+        .select("file_name", "header_key", "json_payload")
+      val distRows = dist.collect().map(_.toSeq).sortBy(_.toString)
+      // the split itself ran as one executor task per file
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (splitJobs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(splitJobs.asScala.sum == 3,
+        s"expected a 3-task split job, saw ${splitJobs.asScala.toList}")
+      // same fixtures through the driver-pool path → identical rows
+      val drv = spark.read.format("payer-mrf")
+        .option("splitMode", "driver").option("chunkBytes", "4099")
+        .load(fixtureDir("mrf-dist-d").getAbsolutePath)
+        .select("file_name", "header_key", "json_payload")
+      val drvRows = drv.collect().map(_.toSeq).sortBy(_.toString)
+      assert(distRows.toSeq == drvRows.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("missing input fails fast") {

@@ -1,8 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/** Typed bounded top-k aggregator over (score, id) pairs, best-first by
+  * (score desc, id asc). The buffer never exceeds k entries, so the
+  * map-side partial aggregation reduces each partition to ≤ k rows per
+  * group BEFORE the shuffle — ranking n scored rows moves O(k ×
+  * partitions) rows instead of all n (the `row_number().over(Window)`
+  * formulation it replaces shuffles and sorts the full scored set).
+  */
+private[operators] final case class TopKBuf(items: Seq[(Double, Long)])
+
+private[operators] final class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  override def zero: TopKBuf = TopKBuf(Seq.empty)
+  override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
+    if (buf.items.size >= k && better(buf.items.last, x)) buf
+    else TopKBuf((buf.items :+ x).sortWith(better).take(k))
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+    TopKBuf((a.items ++ b.items).sortWith(better).take(k))
+  override def finish(r: TopKBuf): TopKBuf = r
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -21,6 +45,23 @@ import org.apache.spark.sql.functions._
   * engines with no stored model.
   */
 object Similarity {
+
+  /** Rank `scored` (query_id, corpus_id, cosine) down to the top `k`
+    * per query via [[TopKByScore]]: partial top-k heaps run map-side,
+    * so the shuffle carries ≤ k rows per (partition, query) — never the
+    * full scored set. Output and tie-break (cosine desc, corpus_id asc)
+    * are identical to the `row_number` window it replaces.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new TopKByScore(k))
+    scored
+      .groupBy("query_id")
+      .agg(tk(col("cosine"), col("corpus_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.items")).as(Seq("p", "s")))
+      .select(
+        col("query_id"), (col("p") + 1).cast("int").as("rank"),
+        col("s._2").as("corpus_id"), col("s._1").as("cosine"))
+  }
 
   /** Cosine similarity of two double arrays — the codegen'd
     * [[graft.functions.CosineSimilarity]] expression (one fused loop per
@@ -77,10 +118,7 @@ object Similarity {
         col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
       .filter(col("query_id") =!= col("corpus_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic k-means
@@ -112,12 +150,19 @@ object Similarity {
       .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
       .cache()
 
+    // nearest `top` centroids per vector via the bounded aggregator —
+    // the corpus×nlist scored rows partial-aggregate map-side instead
+    // of shuffling through a window (same csim-desc/cid-asc tie-break);
+    // first(vecCol) is safe: every row in the group carries the vector
     def assignCells(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame, top: Int) = {
-      val scored = df.crossJoin(broadcast(cents))
+      val tk = udaf(new TopKByScore(top))
+      df.crossJoin(broadcast(cents))
         .select(col(idCol), col(vecCol), col("cid"),
           cosine(col(vecCol), col("centroid")).as("csim"))
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= top)
+        .groupBy(idCol)
+        .agg(tk(col("csim"), col("cid").cast("long")).as("topc"), first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col(vecCol), explode(col("topc.items")).as("s"))
+        .select(col(idCol), col(vecCol), col("s._2").cast("int").as("cid"))
     }
 
     // deterministic seeding + Lloyd iterations
@@ -148,10 +193,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
       .dropDuplicates("query_id", "corpus_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** Multi-table LSH approximate top-k: `tables` independent `bits`-bit
@@ -185,9 +227,6 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "corpus_id")
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, k)
   }
 }

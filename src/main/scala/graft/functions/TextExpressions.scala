@@ -73,7 +73,17 @@ object TokenizeWords {
   */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit = {
+  // one registration per session — repeat calls are no-ops, so hot
+  // paths can call register() freely without "replaced a previously
+  // registered function" warnings on every query (weak keys: sessions
+  // can be GC'd)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) doRegister(spark)
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")

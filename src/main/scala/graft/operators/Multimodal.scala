@@ -41,30 +41,62 @@ object Multimodal {
       lit(mime).as("mime"),
       length(encode(col(payload), "UTF-8")).cast("long").as("byte_len"))
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload hash.
-    * Runs partition-wise over iterator batches — the exact call shape a
-    * real codec needs (no per-row JNI setup, bounded memory).
+  /** Pluggable decoder contract. Implementations are shipped to
+    * executors (Serializable) and invoked partition-wise through
+    * [[decode]]: `open()` once per partition (JNI/FFI codec setup,
+    * native buffers), `decodeOne` per row, `close()` on exhaustion —
+    * the exact lifecycle a real libavcodec/libjpeg binding needs,
+    * with bounded memory and no per-row setup.
     */
-  def decodeStub(media: DataFrame): Dataset[DecodedMeta] = {
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decodeOne(mediaId: Long, bytes: Array[Byte]): DecodedMeta
+    def close(): Unit = ()
+  }
+
+  /** Deterministic fake codec — this container has no image/audio
+    * libraries, so metadata is derived from the payload's hash. The
+    * REAL part is everything around it: swap this object for a JNI
+    * codec and schema, partitioning, and batch shape all stand.
+    */
+  object StubCodec extends MediaCodec {
+    override def decodeOne(mediaId: Long, bytes: Array[Byte]): DecodedMeta = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      DecodedMeta(
+        media_id = mediaId,
+        width = 16 + math.floorMod(h, 1024).toInt,
+        height = 16 + math.floorMod(h >> 10, 1024).toInt,
+        n_frames = 1 + math.floorMod(h >> 20, 64).toInt,
+        fingerprint = h)
+    }
+  }
+
+  /** Partition-wise decode through any [[MediaCodec]]: one codec
+    * lifecycle per partition, one `decodeOne` per row.
+    */
+  def decode(media: DataFrame, codec: MediaCodec): Dataset[DecodedMeta] = {
     val enc = Encoders.product[DecodedMeta]
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          // ??? real codec goes here — deterministic fake below
-          var h = 1125899906842597L
-          var i = 0
-          while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-          DecodedMeta(
-            media_id = id,
-            width = 16 + math.floorMod(h, 1024).toInt,
-            height = 16 + math.floorMod(h >> 10, 1024).toInt,
-            n_frames = 1 + math.floorMod(h >> 20, 64).toInt,
-            fingerprint = h)
+        codec.open()
+        new Iterator[DecodedMeta] {
+          override def hasNext: Boolean = {
+            val more = rows.hasNext
+            if (!more) codec.close()
+            more
+          }
+          override def next(): DecodedMeta = {
+            val r = rows.next()
+            codec.decodeOne(r.getLong(0), r.getAs[Array[Byte]](1))
+          }
         }
       }(enc)
   }
+
+  /** Decode with the deterministic stub codec. */
+  def decodeStub(media: DataFrame): Dataset[DecodedMeta] = decode(media, StubCodec)
 
   /** "Resize": deterministic downscale of stub metadata (a real impl
     * maps bytes → bytes per partition; the plan shape is identical).

@@ -335,29 +335,46 @@ object Relational2 {
     */
   def streamingWindowAgg(s: SparkSession, d: String) = {
     import s.implicits._
-    // read with the RAW on-disk schema (ts = nanos-as-long), convert after
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // read with the RAW on-disk schema (ts = nanos-as-long), convert
+    // after. The legacy conf flip is SCOPED: the previous value is
+    // restored once the stream terminates — a library function must not
+    // leave session state mutated behind the caller's back.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
     // the file stream source wants a DIRECTORY — stage the single
-    // parquet file behind a symlink
+    // parquet file behind a symlink, removed after the run
     val dir = java.nio.file.Files.createTempDirectory("q19_events")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = s.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(dec($"value")).cast("double").as("total_value"))
-      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
-      .writeStream
-      .outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
-    s.table(name).orderBy($"window_start", $"event_type")
+    val link = dir.resolve("events.parquet")
+    try {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$d/events.parquet"))
+      val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(rawSchema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"value")).cast("double").as("total_value"))
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+        .writeStream
+        .outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      // the memory sink holds the materialized result — safe to restore
+      // conf and delete the staging dir before the caller consumes it
+      s.table(name).orderBy($"window_start", $"event_type")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 }

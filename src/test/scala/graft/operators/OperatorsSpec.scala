@@ -223,6 +223,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
 
+  test("multimodal: a custom codec swaps through the MediaCodec trait") {
+    import spark.implicits._
+    // a "codec" that reports byte_len as width — verifies the
+    // partition-wise path drives whatever implementation is plugged in
+    val fake = new Multimodal.MediaCodec {
+      override def decodeOne(id: Long, bytes: Array[Byte]): Multimodal.DecodedMeta =
+        Multimodal.DecodedMeta(id, width = bytes.length, height = 1, n_frames = 1,
+          fingerprint = bytes.length.toLong)
+    }
+    val media = Multimodal.asMedia(docs.limit(10), "doc_id", "text", "text/plain")
+    val got = Multimodal.decode(media, fake).collect().map(m => m.media_id -> m.width).toMap
+    val expected = media.select($"media_id", $"byte_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
   test("multimodal: stub decode is deterministic; frames reassemble") {
     import spark.implicits._
     val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain").cache()

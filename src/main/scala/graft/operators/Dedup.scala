@@ -36,6 +36,17 @@ object Dedup {
     df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
 
+  /** Hashed shingle sets per doc — (doc_id, hs: array<long>, n_sh) —
+    * via the native [[graft.functions.HashedShingles]] kernel: tokens →
+    * distinct xxh64 shingle hashes in one generated pass, no shingle
+    * strings materialized. Bit-equal to hashing [[shingleSets]] with
+    * `xxhash64` (asserted in spec), just without the string stage.
+    */
+  def hashedShingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingles(col("toks"), n).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+
   /** All (a, b) pairs (a < b element-wise) from an ALREADY SORTED block
     * member array — pair generation INSIDE the block, as a pure array
     * expression: no self-join, and blocks of size 1 (the vast majority
@@ -78,17 +89,27 @@ object Dedup {
       maxBlockSize: Int = 100000): DataFrame =
     ngramJaccardPairsFromSets(shingleSets(df, text, id, n), threshold, maxBlockSize)
 
-  /** [[ngramJaccardPairs]] over pre-built (doc_id, sh) shingle sets. */
+  /** [[ngramJaccardPairs]] over pre-built (doc_id, sh) string shingle
+    * sets — hashes them once and delegates (8-byte longs flow through
+    * every stage; collisions ~n²/2^65; hashed-set Jaccard == string-set
+    * Jaccard).
+    */
   def ngramJaccardPairsFromSets(
       sets: DataFrame,
       threshold: Double,
+      maxBlockSize: Int = 100000): DataFrame =
+    ngramJaccardPairsFromHashed(
+      sets.select(
+        col("doc_id"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"),
+        size(col("sh")).as("n_sh")),
+      threshold, maxBlockSize)
+
+  /** [[ngramJaccardPairs]] over pre-hashed (doc_id, hs, n_sh) sets. */
+  def ngramJaccardPairsFromHashed(
+      hashed: DataFrame,
+      threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
-    // hash shingles once: 8-byte longs flow through every stage below
-    // (collisions ~n²/2^65); hashed-set Jaccard == string-set Jaccard
-    val hashed = sets.select(
-      col("doc_id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs"),
-      size(col("sh")).as("n_sh"))
     // global doc frequency per shingle → rarest-first rank inside each doc
     val freq = hashed.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -162,21 +183,42 @@ object Dedup {
     minhashLshPairsFromSets(shingleSets(df, text, id, n), threshold,
       bands, rowsPerBand, maxBlockSize)
 
-  /** [[minhashLshPairs]] over pre-built (doc_id, sh) shingle sets. */
+  /** [[minhashLshPairs]] over pre-built (doc_id, sh) string shingle
+    * sets — hashes once and delegates.
+    */
   def minhashLshPairsFromSets(
       rawSets: DataFrame,
       threshold: Double,
       bands: Int = 16,
       rowsPerBand: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame =
+    minhashLshPairsFromHashed(
+      rawSets.select(
+        col("doc_id"),
+        transform(col("sh"), s => xxhash64(s)).as("hs")),
+      threshold, bands, rowsPerBand, maxBlockSize)
+
+  /** [[minhashLshPairs]] over pre-hashed (doc_id, hs) sets. Signatures
+    * derive from the hashes by integer re-mixing
+    * ([[graft.functions.MinHashFromHashes]]) — bit-equal to the string
+    * path, which hashes each shingle to exactly these longs first.
+    * Verification compares the hashed sets directly (8-byte longs, same
+    * Jaccard modulo ~n²/2^65 collisions) — array_intersect on strings
+    * would dominate the verify stage.
+    */
+  def minhashLshPairsFromHashed(
+      hashed: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
       maxBlockSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // verification compares HASHED shingle sets (8-byte longs, same
-    // Jaccard modulo ~n²/2^65 collisions) — array_intersect on strings
-    // would dominate the verify stage
-    val sets = rawSets
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("sh", transform(col("sh"), s => xxhash64(s)))
+    val sets = hashed
+      .filter(size(col("hs")) > 0)
+      .select(
+        col("doc_id"),
+        col("hs").as("sh"),
+        graft.functions.GraftFunctions.minhashFromHashes(col("hs"), numHashes).as("sig"))
       .cache()
     // band hash = xxhash64 over the band's signature slice
     val banded = sets.select(

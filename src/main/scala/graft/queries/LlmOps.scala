@@ -50,7 +50,8 @@ object LlmOps {
        |  JOIN sh sb ON id_b = sb.doc_id
        |  WHERE CAST(c AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - c AS DOUBLE) >= 0.3)""".stripMargin
 
-  // q25/q26/q34 all start from the same tokenize→shingle projection —
+  // q25/q26/q34 all start from the same tokenize→hashed-shingle
+  // projection (native HashedShingles kernel — no shingle strings) —
   // computed once per (session, sf-dir) and cached (weak session keys)
   private val setsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
@@ -63,7 +64,7 @@ object LlmOps {
       s, _ => scala.collection.mutable.Map.empty)
     per.synchronized(per.getOrElseUpdate(d, {
       import s.implicits._
-      Dedup.shingleSets(Tables.documents(s, d), $"text", $"doc_id", n = 3).cache()
+      Dedup.hashedShingleSets(Tables.documents(s, d), $"text", $"doc_id", n = 3).cache()
     }))
   }
 
@@ -217,7 +218,7 @@ object LlmOps {
       "q25_dedup_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        Dedup.ngramJaccardPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
+        Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $sqlExactJaccardCte
@@ -236,7 +237,7 @@ object LlmOps {
       "q26_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        Dedup.minhashLshPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
+        Dedup.minhashLshPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $sqlExactJaccardCte,
@@ -305,7 +306,7 @@ object LlmOps {
       "q34_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        val pairs = Dedup.ngramJaccardPairsFromSets(sharedShingleSets(s, d), threshold = 0.3)
+        val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
         Dedup.clusters(pairs).orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $sqlExactJaccardCte,

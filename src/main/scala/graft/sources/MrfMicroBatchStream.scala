@@ -17,11 +17,16 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   * ledger, fixing the reference's best-effort recovery, SURVEY.md §2.8
   * T7).
   *
-  * A single background thread splits all input files in sorted order
-  * (global ordinals must be reproducible, so no cross-file interleaving)
-  * and appends chunk specs — byte ranges only, never payload bytes — to
-  * a ledger. `latestOffset` reports the ledger frontier; `commit` GCs
-  * entries at or below the committed ordinal. With
+  * A background thread discovers chunks and appends their specs — byte
+  * ranges only, never payload bytes — to a ledger in sorted file order
+  * (global ordinals must be reproducible, so no cross-file
+  * interleaving). Per `splitMode`, the discovery work itself either
+  * streams incrementally through the driver (single-file default:
+  * chunk-level emission) or runs as a pipeline of per-file one-task
+  * Spark jobs on executors (fleet default: split I/O scales with the
+  * cluster, ledger appends happen per completed file). `latestOffset`
+  * reports the ledger frontier; `commit` GCs entries at or below the
+  * committed ordinal. With
   * `Trigger.AvailableNow`, Spark calls [[prepareForTriggerAvailableNow]]
   * first: we block until the split finishes so the terminal offset is
   * known — the stream then ends naturally (the reference had no
@@ -45,25 +50,18 @@ final class MrfMicroBatchStream(
     override def run(): Unit =
       try {
         val files = MrfFileSplitter.listFiles(opts, conf)
-        // chunks are emitted INCREMENTALLY — micro-batches start flowing
-        // while a multi-TB file is still being scanned (first-batch
-        // latency stays seconds, not the full split time)
-        var ordinal = 0L
-        files.foreach { f =>
-          try MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
-            ordinal = p.ordinal + 1
-            MrfMicroBatchStream.this.synchronized {
-              ledger += p
-              MrfMicroBatchStream.this.notifyAll()
-            }
-          } catch {
-            case e: Exception if opts.ignoreCorruptFiles =>
-              // deterministic even on restart: the splitter fails at the
-              // same byte, so any partial chunks re-derive identically
-              System.err.println(
-                s"[payer-mrf] skipping corrupt file $f: ${e.getMessage}")
-          }
+        // executor mode splits each file as a one-task Spark job, a few
+        // files in flight at a time; specs append to the ledger in FILE
+        // order so ordinals stay deterministic. Single-file streams keep
+        // the driver-side incremental scan — it emits chunk-by-chunk
+        // (seconds to first batch on a multi-TB file) where a per-file
+        // job could only emit at file completion.
+        val useExecutors = opts.splitMode match {
+          case "executors" => true
+          case "driver" => false
+          case _ => files.size >= 4
         }
+        if (useExecutors) runDistributed(files) else runDriverSide(files)
         MrfMicroBatchStream.this.synchronized {
           splitDone = true
           MrfMicroBatchStream.this.notifyAll()
@@ -76,6 +74,55 @@ final class MrfMicroBatchStream(
             MrfMicroBatchStream.this.notifyAll()
           }
       }
+
+    /** Chunks are emitted INCREMENTALLY — micro-batches start flowing
+      * while a multi-TB file is still being scanned.
+      */
+    private def runDriverSide(files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      var ordinal = 0L
+      files.foreach { f =>
+        try MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
+          ordinal = p.ordinal + 1
+          MrfMicroBatchStream.this.synchronized {
+            ledger += p
+            MrfMicroBatchStream.this.notifyAll()
+          }
+        } catch {
+          case e: Exception if opts.ignoreCorruptFiles =>
+            // deterministic even on restart: the splitter fails at the
+            // same byte, so any partial chunks re-derive identically
+            System.err.println(
+              s"[payer-mrf] skipping corrupt file $f: ${e.getMessage}")
+        }
+      }
+    }
+
+    /** Pipeline of per-file executor split jobs (bounded concurrency);
+      * results land in the ledger in file order as each job finishes.
+      */
+    private def runDistributed(files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(files.size, 8)))
+      try {
+        val futures = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
+            override def call(): Seq[MrfInputPartition] =
+              MrfSplitCache.getOrSplitOne(f, opts, conf, distributed = true)
+          })
+        }
+        var ordinal = 0L
+        futures.foreach { fut =>
+          val parts = fut.get()
+          MrfMicroBatchStream.this.synchronized {
+            parts.foreach { p =>
+              ledger += p.copy(ordinal = ordinal)
+              ordinal += 1
+            }
+            MrfMicroBatchStream.this.notifyAll()
+          }
+        }
+      } finally pool.shutdown()
+    }
   }
   splitter.setDaemon(true)
   splitter.start()

@@ -147,15 +147,32 @@ object MrfSplitCache {
   def getOrSplit(
       file: Path,
       opts: MrfOptions,
-      conf: org.apache.hadoop.conf.Configuration): Seq[MrfInputPartition] = {
+      conf: org.apache.hadoop.conf.Configuration): Seq[MrfInputPartition] =
+    getOrSplitOne(file, opts, conf, distributed = false)
+
+  /** One file through the cache; on a miss the split runs either inline
+    * (driver) or as a one-task Spark job (`distributed`) — the
+    * streaming splitter uses the latter to pipeline per-file executor
+    * jobs. Cache hits also make checkpoint-restart re-derivation
+    * instant within a driver JVM.
+    */
+  def getOrSplitOne(
+      file: Path,
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration,
+      distributed: Boolean): Seq[MrfInputPartition] = {
     val st = file.getFileSystem(conf).getFileStatus(file)
     val key = Key(file.toString, st.getLen, st.getModificationTime,
       opts.chunkBytes, opts.maxElements)
     cache.synchronized(Option(cache.get(key))) match {
       case Some(hit) => hit
       case None =>
-        val result = MrfFileSplitter.splitFileGuarded(file.toString, opts,
-          new SerializableHadoopConf(conf))
+        val result =
+          if (distributed)
+            MrfFileSplitter.splitFilesDistributed(Seq(file), opts, conf)(file.toString)
+          else
+            MrfFileSplitter.splitFileGuarded(file.toString, opts,
+              new SerializableHadoopConf(conf))
         cache.synchronized(cache.put(key, result))
         result
     }

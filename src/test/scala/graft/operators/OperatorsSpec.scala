@@ -195,6 +195,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(exotic.filter(not($"fast" === $"hof")).count() == 0)
   }
 
+  test("native HashedShingles kernel is bit-equal to xxhash64 over string shingles") {
+    import spark.implicits._
+    val corpus = docs.select($"text")
+      .union(Seq("", "one", "one two", "one two three four é ✓", "a  b\t c").toDF("text"))
+    val both = corpus
+      .select(TextAnalysis.tokens($"text").as("toks"))
+      .select(
+        sort_array(graft.functions.GraftFunctions.shingles($"toks", 3)).as("fast"),
+        sort_array(transform(TextAnalysis.shinglesFromTokens($"toks", 3), s => xxhash64(s))).as("hof"))
+    assert(both.filter(not($"fast" === $"hof")).count() == 0)
+    // and minhash-from-hashes equals minhash-from-strings
+    val sigs = corpus
+      .select(TextAnalysis.tokens($"text").as("toks"))
+      .select(
+        graft.functions.GraftFunctions.minhashFromHashes(
+          graft.functions.GraftFunctions.shingles($"toks", 3), 64).as("fast"),
+        Dedup.minhashSignature(TextAnalysis.shinglesFromTokens($"toks", 3), 64).as("hof"))
+    assert(sigs.filter(not($"fast" === $"hof")).count() == 0)
+  }
+
   test("native CosineSimilarity expression is bit-equal to the HOF formulation") {
     import spark.implicits._
     val pairs = embs.as("a").crossJoin(embs.as("b"))

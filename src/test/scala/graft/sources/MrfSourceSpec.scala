@@ -277,6 +277,40 @@ class MrfSourceSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("streaming with splitMode=executors matches batch and restarts cleanly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-dist-s").toFile
+    Files.write(new java.io.File(dir, "a_ffs.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b_bundle.json").toPath, MrfFixtures.bundle.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "c_cap.json").toPath, MrfFixtures.capitation.getBytes("UTF-8"))
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-dist").toString
+    val outDir = Files.createTempDirectory("mrf-out-dist").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("payer-mrf")
+        .option("splitMode", "executors").option("chunkBytes", "4101")
+        .load(dir.getAbsolutePath)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not terminate")
+    }
+    runOnce()
+    val batch = spark.read.format("payer-mrf")
+      .option("splitMode", "executors").option("chunkBytes", "4101")
+      .load(dir.getAbsolutePath)
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.count() == batch.count())
+    assert(
+      streamed.select("file_name", "header_key", "json_payload").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq ==
+      batch.select("file_name", "header_key", "json_payload").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq)
+    // restart: nothing re-emits
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == batch.count())
+  }
+
   test("missing input fails fast") {
     val e = intercept[Exception] {
       spark.read.format("payer-mrf").load("/nonexistent/nope.json").count()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -62,13 +62,14 @@ object SketchKernels {
   }
 
   /** Distinct xxh64-hashed word n-gram shingles of a token array in ONE
-    * pass: each window's tokens are byte-copied (space-joined) into a
-    * reusable buffer and hashed in place — no shingle String or
-    * array<string> ever materializes. Values are bit-equal to
-    * `xxhash64(concat_ws(' ', slice(toks, i, n)))` (same seed 42, same
-    * UTF-8 bytes), so hashed-set Jaccard and MinHash signatures built
-    * from these match the string formulation exactly. Fewer than n
-    * tokens (including zero) hash the whole-array join — mirroring
+    * pass, SORTED ASCENDING: each window's tokens are byte-copied
+    * (space-joined) into a reusable buffer and hashed in place — no
+    * shingle String or array<string> ever materializes. Values are
+    * bit-equal to `xxhash64(concat_ws(' ', slice(toks, i, n)))` (same
+    * seed 42, same UTF-8 bytes), so hashed-set Jaccard and MinHash
+    * signatures built from these match the string formulation exactly.
+    * The sorted order feeds [[sortedOverlap]]'s merge scan. Fewer than
+    * n tokens (including zero) hash the whole-array join — mirroring
     * TextAnalysis.shinglesFromTokens.
     */
   def hashedShingles(toks: ArrayData, n: Int): ArrayData = {
@@ -76,7 +77,7 @@ object SketchKernels {
     val windows = if (cnt >= n) cnt - n + 1 else 1
     val winLen = if (cnt >= n) n else cnt
     var buf = new Array[Byte](64)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    val hs = new Array[Long](windows)
     var w = 0
     while (w < windows) {
       var len = 0
@@ -91,15 +92,42 @@ object SketchKernels {
         len += nb
         j += 1
       }
-      seen.add(XXH64.hashUnsafeBytes(
-        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      hs(w) = XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
       w += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted)
+    var m = 0
     var i = 0
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    while (i < windows) {
+      if (m == 0 || hs(i) != hs(m - 1)) { hs(m) = hs(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = hs(i); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Intersection size of two SORTED distinct long arrays — a merge
+    * scan: O(|a|+|b|), no hash set, no intersection array. With set
+    * sizes alongside, Jaccard = c / (na + nb - c).
+    */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** 64-bit SimHash of a string array: per-bit ±1 vote of each element's
@@ -192,6 +220,30 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class SortedOverlapCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_overlap requires two array<bigint> (sorted), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.sortedOverlap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

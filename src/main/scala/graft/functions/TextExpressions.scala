@@ -106,6 +106,8 @@ object GraftFunctions {
       exprs => MinHashFromHashes(
         exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)), "scala_udf")
   }
 
   def cosine(a: Column, b: Column): Column = {
@@ -136,5 +138,10 @@ object GraftFunctions {
   def minhashFromHashes(hashes: Column, k: Int): Column = {
     register(SparkSession.active)
     call_function("graft_minhash64", hashes, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def sortedOverlap(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_overlap", a, b)
   }
 }

@@ -101,7 +101,7 @@ object Dedup {
     ngramJaccardPairsFromHashed(
       sets.select(
         col("doc_id"),
-        transform(col("sh"), s => xxhash64(s)).as("hs"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"),
         size(col("sh")).as("n_sh")),
       threshold, maxBlockSize)
 
@@ -146,15 +146,18 @@ object Dedup {
       .filter(
         (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).cast("double")
           >= needed)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "na", "nb") // na/nb functionally depend on the ids
       .dropDuplicates("id_a", "id_b")
-    // exact verification on the hashed sets
+    // exact verification on the hashed sets: overlap by merge scan
+    // (arrays are sorted) — no per-pair hash set, no intersect array;
+    // c / (na + nb - c) is the same integer division as
+    // |intersect| / |union|, bit-for-bit
     candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -195,7 +198,7 @@ object Dedup {
     minhashLshPairsFromHashed(
       rawSets.select(
         col("doc_id"),
-        transform(col("sh"), s => xxhash64(s)).as("hs")),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("hs")),
       threshold, bands, rowsPerBand, maxBlockSize)
 
   /** [[minhashLshPairs]] over pre-hashed (doc_id, hs) sets. Signatures
@@ -238,9 +241,10 @@ object Dedup {
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

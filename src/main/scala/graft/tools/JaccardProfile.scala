@@ -25,13 +25,8 @@ object JaccardProfile {
     }
 
     val docs = spark.read.parquet(s"$d/documents.parquet")
-    val sets = graft.operators.Dedup.shingleSets(docs, $"text", $"doc_id", 3).cache()
-    timed("shingle sets (build+cache)")(sets.count())
-    val hashed = sets.select(
-      col("doc_id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs"),
-      size(col("sh")).as("n_sh")).cache()
-    timed("hashed (from cached sets)")(hashed.count())
+    val hashed = graft.operators.Dedup.hashedShingleSets(docs, $"text", $"doc_id", 3).cache()
+    timed("hashed shingle sets (native kernel, build+cache)")(hashed.count())
     val freq = hashed.select(explode(col("hs")).as("h")).groupBy("h").agg(count(lit(1)).as("df"))
     timed("freq")(freq.count())
     val t = 0.3

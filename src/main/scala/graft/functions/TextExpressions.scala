@@ -108,6 +108,13 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane_buckets",
+      exprs => HyperplaneBuckets(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 
   def cosine(a: Column, b: Column): Column = {
@@ -143,5 +150,11 @@ object GraftFunctions {
   def sortedOverlap(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("graft_overlap", a, b)
+  }
+
+  def hyperplaneBuckets(v: Column, bits: Int, tables: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_hyperplane_buckets", v,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
   }
 }

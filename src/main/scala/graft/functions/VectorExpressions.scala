@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity of two `array<double>` columns as a NATIVE Catalyst
   * expression with whole-stage codegen — one fused loop per row instead
@@ -80,4 +80,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` hyperplane-LSH bucket ids of a vector in ONE pass —
+  * the native twin of [[graft.operators.Similarity.hyperplaneBucket]]
+  * applied at seeds 0..tables-1. Component j of hyperplane (t, b) is
+  * `sign(xxhash64(t, b, j))` with xxhash64's int-fold semantics (seed
+  * 42, then each int folded left-to-right), so bucket values are
+  * BIT-EQUAL to the HOF formulation (asserted in spec) — but the
+  * interpreted per-component lambda chain (tables × bits × dim
+  * evaluations per row) collapses into a generated loop.
+  */
+object VectorKernels {
+
+  def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) {
+          // xxhash64(seed_t, b, j) over three ints, seed 42
+          var h = XXH64.hashInt(t, 42L)
+          h = XXH64.hashInt(b, h)
+          h = XXH64.hashInt(j, h)
+          val sign = if (h >= 0L) 1.0 else -1.0
+          dot += v.getDouble(j) * sign
+          j += 1
+        }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if bits > 0 && bits <= 63 && tables > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_buckets requires (array<double>, 0 < bits <= 63, tables > 0), " +
+        s"got ${child.dataType.simpleString}, bits=$bits, tables=$tables")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData], bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.hyperplaneBuckets($c, $bits, $tables)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

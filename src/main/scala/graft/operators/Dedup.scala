@@ -455,8 +455,7 @@ object Dedup {
       if (lshBits > 0)
         base.select(
           col("vec_id"), col("v"),
-          posexplode(array((0 until tables).map(t =>
-            Similarity.hyperplaneBucket(col("v"), lshBits, seed = t)): _*))
+          posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), lshBits, tables))
             .as(Seq("table", "bucket")))
       else
         base.select(col("vec_id"), col("v"), lit(0).as("table"), lit(0L).as("bucket"))

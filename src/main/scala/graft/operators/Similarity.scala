@@ -213,12 +213,13 @@ object Similarity {
       k: Int,
       bits: Int = 6,
       tables: Int = 8): DataFrame = {
+    // all tables' buckets in one generated pass (bit-equal to the
+    // per-seed HOF hyperplaneBucket — asserted in spec)
     def keyed(df: DataFrame, idOut: String, id: Column, vecOut: String, vec: Column) =
       df.select(id.cast("long").as(idOut), vec.cast("array<double>").as(vecOut))
         .select(
           col(idOut), col(vecOut),
-          posexplode(array((0 until tables).map(t =>
-            hyperplaneBucket(col(vecOut), bits, seed = t)): _*))
+          posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col(vecOut), bits, tables))
             .as(Seq("table", "bucket")))
     val c = keyed(corpus, "corpus_id", corpusId, "cv", corpusVec)
     val q = keyed(queries, "query_id", queryId, "qv", queryVec)

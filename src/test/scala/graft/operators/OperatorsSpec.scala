@@ -215,6 +215,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(sigs.filter(not($"fast" === $"hof")).count() == 0)
   }
 
+  test("native HyperplaneBuckets is bit-equal to the per-seed HOF buckets") {
+    import spark.implicits._
+    val v = $"embedding".cast("array<double>")
+    val both = embs.select(
+      graft.functions.GraftFunctions.hyperplaneBuckets(v, 4, 8).as("fast"),
+      array((0 until 8).map(t => Similarity.hyperplaneBucket(v, 4, seed = t)): _*).as("hof"))
+    assert(both.filter(not($"fast" === $"hof")).count() == 0)
+  }
+
   test("native CosineSimilarity expression is bit-equal to the HOF formulation") {
     import spark.implicits._
     val pairs = embs.as("a").crossJoin(embs.as("b"))

@@ -110,16 +110,20 @@ object Dedup {
       hashed: DataFrame,
       threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
-    // global doc frequency per shingle → rarest-first rank inside each doc
-    val freq = hashed.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
+    // global doc frequency per shingle = its posting-block SIZE (sets
+    // are distinct within a doc), so df comes out of the same groupBy
+    // that builds the blocks — no separate freq aggregate and no join
+    // back over the full posting set (one less full-posting exchange)
+    val hBlocks = hashed
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("members"))
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     // pos = the shingle's rank in the doc's rarest-first order (0-based)
     // — carried into the blocks for PPJoin's positional filter
-    val prefixes = hashed
-      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
-      .join(freq, "h")
-      .groupBy(col("doc_id"), col("n_sh"))
+    val prefixes = hBlocks
+      .select(col("h"), size(col("members")).as("df"), explode(col("members")).as("m"))
+      .groupBy(col("m.doc_id").as("doc_id"), col("m.n_sh").as("n_sh"))
       .agg(collect_list(struct(col("df"), col("h"))).as("fh"))
       .select(col("doc_id"), col("n_sh"),
         posexplode(transform(

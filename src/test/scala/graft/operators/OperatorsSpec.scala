@@ -61,6 +61,37 @@ class OperatorsSpec extends SparkTestBase {
     }.toDF("doc_id", "text")
   }
 
+  test("prefix-filtered Jaccard pairs equal brute force on random corpora") {
+    import spark.implicits._
+    // small vocab forces heavy shingle sharing — the adversarial case
+    // for prefix selection and the positional bound
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.6)) {
+        def shingleSet(s: String): Set[String] = {
+          val toks = s.split(" ").toSeq
+          if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else Set(toks.mkString(" "))
+        }
+        val expected = (for {
+          (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+          sa = shingleSet(ta); sb = shingleSet(tb)
+          j = (sa & sb).size.toDouble / (sa | sb).size.toDouble if j >= t
+        } yield (ia, ib, j)).toSet
+        val got = Dedup.ngramJaccardPairs(df, $"text", $"doc_id", n = 3, threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == expected,
+          s"trial=$trial t=$t: missing ${expected -- got}, extra ${got -- expected}")
+      }
+    }
+  }
+
   test("simhash banding is complete at the configured radius (xxhash64 kernel)") {
     import spark.implicits._
     val d = perturbedDocs

@@ -1,44 +1,74 @@
 package graft.sources
 
-import java.util.zip.GZIPInputStream
+import java.io.InputStream
+import java.util.zip.{GZIPInputStream, ZipInputStream}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
-/** Eager gz decompression to a sibling file on the same filesystem —
-  * gz is not seekable, and the source's whole design rests on executors
-  * seeking into byte ranges. Mirrors the reference
+/** Eager decompression of non-seekable inputs to a sibling file on the
+  * same filesystem — the source's whole design rests on executors
+  * seeking into byte ranges. Mirrors the reference's gz handling
   * (`/root/reference/src/main/scala/com/databricks/
   * JsonMRFSourceProvider.scala:38-46`), with two fixes: the sibling is
   * reused if it already exists (idempotent restarts) and written via a
-  * temp file + rename so a crash never leaves a torn output.
+  * temp file + rename so a crash never leaves a torn output. Beyond the
+  * reference's gz-only support, `.zst`/`.zstd` (zstd-jni ships with
+  * Spark) and `.zip` (first entry) are handled — real transparency
+  * feeds publish all three.
   */
 object Gunzip {
 
+  /** Decompressed sibling basename for a compressed input, None for
+    * anything the source reads directly. Shared with the scan's
+    * file_name pruning so pushed filters match compressed inputs by
+    * their decompressed name too.
+    */
+  def decompressedName(name: String): Option[String] = {
+    val base =
+      if (name.endsWith(".gz")) Some(name.stripSuffix(".gz"))
+      else if (name.endsWith(".zstd")) Some(name.stripSuffix(".zstd"))
+      else if (name.endsWith(".zst")) Some(name.stripSuffix(".zst"))
+      else if (name.endsWith(".zip")) Some(name.stripSuffix(".zip"))
+      else None
+    base.map(b => if (b.endsWith(".json")) b else b + ".json")
+  }
+
+  private def decodeStream(name: String, raw: InputStream): InputStream =
+    if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 20)
+    else if (name.endsWith(".zst") || name.endsWith(".zstd"))
+      new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
+    else { // .zip: the payload is the first entry
+      val z = new ZipInputStream(raw)
+      if (z.getNextEntry == null)
+        throw new java.io.IOException(s"payer-mrf: zip input $name has no entries")
+      z
+    }
+
   def decompressIfNeeded(path: Path, conf: Configuration): Path = {
     val name = path.getName
-    if (!name.endsWith(".gz")) return path
-    val fs = path.getFileSystem(conf)
-    val target = new Path(path.getParent, name.stripSuffix(".gz") match {
-      case n if n.endsWith(".json") => n
-      case n => n + ".json"
-    })
-    if (fs.exists(target)) return target
-    val tmp = new Path(path.getParent, "." + target.getName + ".tmp")
-    val in = new GZIPInputStream(fs.open(path), 1 << 20)
-    try {
-      val out = fs.create(tmp, true)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (n > 0) out.write(buf, 0, n)
-          n = in.read(buf)
-        }
-      } finally out.close()
-    } finally in.close()
-    if (!fs.rename(tmp, target) && !fs.exists(target))
-      throw new java.io.IOException(s"failed to materialize $target")
-    target
+    decompressedName(name) match {
+      case None => path
+      case Some(targetName) =>
+        val fs = path.getFileSystem(conf)
+        val target = new Path(path.getParent, targetName)
+        if (fs.exists(target)) return target
+        val tmp = new Path(path.getParent, "." + target.getName + ".tmp")
+        val in = decodeStream(name, fs.open(path))
+        try {
+          val out = fs.create(tmp, true)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } finally in.close()
+        if (!fs.rename(tmp, target) && !fs.exists(target))
+          throw new java.io.IOException(s"failed to materialize $target")
+        target
+    }
   }
 }

@@ -131,12 +131,11 @@ final class MrfBatch(
     extends Batch {
 
   override lazy val planInputPartitions: Array[InputPartition] = {
-    // file-level pruning happens BEFORE any splitting work (gz files
-    // match by their decompressed sibling name too)
+    // file-level pruning happens BEFORE any splitting work (compressed
+    // files match by their decompressed sibling name too)
     val files = MrfFileSplitter.listFiles(opts, conf).filter { f =>
       fileNames.forall(names => names.contains(f.getName) ||
-        names.contains(f.getName.stripSuffix(".gz")) ||
-        names.contains(f.getName.stripSuffix(".gz") + ".json"))
+        Gunzip.decompressedName(f.getName).exists(names.contains))
     }
     // split on executors or the driver pool per opts.splitMode (the
     // executor pass returns ~100 B chunk specs, never file bytes)

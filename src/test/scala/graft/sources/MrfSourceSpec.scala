@@ -95,6 +95,34 @@ class MrfSourceSpec extends SparkTestBase {
     assert(again.count() == df.count())
   }
 
+  test("zst and zip inputs decompress and stream like gz") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-codec").toFile
+    // .zst via zstd-jni (ships with Spark)
+    val zstFile = new java.io.File(dir, "ffs_z.json.zst")
+    val zOut = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(zstFile))
+    zOut.write(MrfFixtures.ffs.getBytes("UTF-8")); zOut.close()
+    // .zip with the document as the first entry
+    val zipFile = new java.io.File(dir, "bundle_z.json.zip")
+    val zipOut = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+    zipOut.putNextEntry(new java.util.zip.ZipEntry("bundle_z.json"))
+    zipOut.write(MrfFixtures.bundle.getBytes("UTF-8")); zipOut.close()
+
+    val df = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSet ==
+      Set("ffs_z.json", "bundle_z.json"))
+    val parsed = spark.read.json(
+      df.filter($"header_key" === "in_network").select("json_payload").as[String])
+    assert(parsed.select("negotiation_arrangement").distinct()
+      .collect().map(_.getString(0)).toSet == Set("ffs", "bundle"))
+    // file_name pushdown matches compressed inputs by decompressed name
+    val pruned = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+      .filter($"file_name" === "ffs_z.json")
+    assert(pruned.select("file_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ffs_z.json"))
+  }
+
   test("streaming with AvailableNow terminates and matches batch (TST01 streaming)") {
     val checkpoint = Files.createTempDirectory("mrf-ckpt").toString
     val outDir = Files.createTempDirectory("mrf-out").toString

@@ -444,6 +444,15 @@ object Dedup {
     * ~n²/2^lshBits, so grow `lshBits` with log₂(n) at scale.
     * `lshBits = 0` compares all pairs (only for modest corpora /
     * oracle baselines).
+    *
+    * Parameter guidance: sign-LSH selectivity tracks how far the
+    * per-bit collision probability 1 − θ/π sits above ½. At realistic
+    * near-dup thresholds (cosine ≥ 0.8, p ≈ 0.8) a 16-bit × 32-table
+    * config recalls >0.9 while admitting ~0.05% of random pairs; at
+    * weak thresholds (≈0.35, p ≈ 0.61) ANY config with high recall
+    * admits a large fraction of all pairs — the physics of the sketch,
+    * not the plan. The implementation keeps that regime affordable by
+    * moving only 16-byte id pairs through the candidate shuffle.
     */
   def embeddingCosinePairs(
       df: DataFrame,
@@ -455,22 +464,25 @@ object Dedup {
     val base = df.select(
       id.cast("long").as("vec_id"),
       vec.cast("array<double>").as("v"))
+    // candidate generation and dedup move ONLY 16-byte id pairs — the
+    // vectors re-join by id afterward, so the bucket-join shuffle and
+    // the dropDuplicates exchange never carry embedding payloads
     val keyed =
       if (lshBits > 0)
         base.select(
-          col("vec_id"), col("v"),
+          col("vec_id"),
           posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), lshBits, tables))
             .as(Seq("table", "bucket")))
       else
-        base.select(col("vec_id"), col("v"), lit(0).as("table"), lit(0L).as("bucket"))
+        base.select(col("vec_id"), lit(0).as("table"), lit(0L).as("bucket"))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(
         col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cosine"))

@@ -214,19 +214,25 @@ object Similarity {
       bits: Int = 6,
       tables: Int = 8): DataFrame = {
     // all tables' buckets in one generated pass (bit-equal to the
-    // per-seed HOF hyperplaneBucket — asserted in spec)
-    def keyed(df: DataFrame, idOut: String, id: Column, vecOut: String, vec: Column) =
-      df.select(id.cast("long").as(idOut), vec.cast("array<double>").as(vecOut))
-        .select(
-          col(idOut), col(vecOut),
-          posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col(vecOut), bits, tables))
-            .as(Seq("table", "bucket")))
-    val c = keyed(corpus, "corpus_id", corpusId, "cv", corpusVec)
-    val q = keyed(queries, "query_id", queryId, "qv", queryVec)
-    val scored = c.join(q, Seq("table", "bucket"))
+    // per-seed HOF hyperplaneBucket — asserted in spec); candidate
+    // generation and dedup move only id pairs — vectors re-join by id
+    // for scoring, so no embedding payload rides the bucket or dedup
+    // exchanges
+    val cb = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+    val qb = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+    def keyed(base: DataFrame, idCol: String, vecCol: String) =
+      base.select(
+        col(idCol),
+        posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col(vecCol), bits, tables))
+          .as(Seq("table", "bucket")))
+    val candidates = keyed(cb, "corpus_id", "cv")
+      .join(keyed(qb, "query_id", "qv"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
+    val scored = candidates
+      .join(cb, "corpus_id")
+      .join(broadcast(qb), "query_id")
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
     topKPerQuery(scored, k)
   }

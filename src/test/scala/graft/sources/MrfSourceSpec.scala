@@ -265,6 +265,23 @@ class MrfSourceSpec extends SparkTestBase {
       .option("ignoreCorruptFiles", "true").load(dir.getAbsolutePath)
     assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSet == Set("good.json"))
     assert(df.filter($"header_key" === "in_network").count() > 0)
+    // the executor split path applies the same corrupt-file policy
+    // (distinct chunkBytes → fresh cache keys, both modes exercised)
+    intercept[Exception] {
+      spark.read.format("payer-mrf").option("splitMode", "executors")
+        .option("chunkBytes", "4103").load(dir.getAbsolutePath).count()
+    }
+    val dfx = spark.read.format("payer-mrf")
+      .option("splitMode", "executors").option("chunkBytes", "4103")
+      .option("ignoreCorruptFiles", "true").load(dir.getAbsolutePath)
+    assert(dfx.select("file_name").distinct().collect().map(_.getString(0)).toSet == Set("good.json"))
+  }
+
+  test("splitMode rejects unknown values") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("payer-mrf").option("splitMode", "sideways").load(ffsPath).count()
+    }
+    assert(e.getMessage.contains("splitMode"))
   }
 
   test("splitMode=executors runs the split as executor tasks; chunks match driver mode") {

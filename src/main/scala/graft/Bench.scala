@@ -29,16 +29,23 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        // a failed query must be VISIBLE in the bench line, not a
+        // silently tiny timing
+        errors += name
+        System.err.println(s"[bench] $name failed: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -130,6 +130,47 @@ object SketchKernels {
     c
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** PORTABLE 60-bit SimHash of a token array in one pass — bit-equal
+    * to the Column formulation in `Dedup.portableSimhashAcc/FromAcc`
+    * (and to the DuckDB oracle that recomputes it): token hash = first
+    * 15 md5 hex chars as a 60-bit int (= bytes 0..6 big-endian shifted
+    * left 4, OR the high nibble of byte 7), bit i set iff the ±1 vote
+    * sum over tokens is ≥ 0 (ties SET the bit — unlike [[simhash]]'s
+    * strictly-positive rule).
+    */
+  def portableSimhash60(arr: ArrayData): Long = {
+    val md = md5Local.get()
+    val sums = new Array[Int](60)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(j).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (sums(i) >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash of a string array: per-bit ±1 vote of each element's
     * hash, sign-packed.
     */
@@ -217,6 +258,28 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhashFromHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PortableSimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash60 requires array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.portableSimhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.portableSimhash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

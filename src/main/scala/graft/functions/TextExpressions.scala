@@ -109,6 +109,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => PortableSimHash60(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_hyperplane_buckets",
       exprs => HyperplaneBuckets(
         exprs.head,
@@ -156,5 +158,10 @@ object GraftFunctions {
     register(SparkSession.active)
     call_function("graft_hyperplane_buckets", v,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
+  }
+
+  def simhash60(tokens: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_simhash60", tokens)
   }
 }

@@ -357,7 +357,10 @@ object Dedup {
 
   /** SimHash near-dup pairs over the PORTABLE 60-bit md5 signature —
     * the cross-engine-verifiable variant (q27's oracle recomputes the
-    * identical signatures in DuckDB). Same banded blocking as
+    * identical signatures in DuckDB). Signatures come from the native
+    * [[graft.functions.PortableSimHash60]] kernel (one pass; bit-equal
+    * to the [[portableSimhashAcc]]/[[portableSimhashFromAcc]] Column
+    * formulation, asserted in spec). Same banded blocking as
     * [[simhashPairs]]; complete at `maxHamming` by pigeonhole.
     */
   def simhashPairsPortable(
@@ -368,8 +371,7 @@ object Dedup {
       maxBlockSize: Int = 10000): DataFrame = {
     val sigs = df
       .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
-      .select(col("doc_id"), portableSimhashAcc(col("toks")).as("acc"))
-      .select(col("doc_id"), portableSimhashFromAcc(col("acc")).as("sig"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash60(col("toks")).as("sig"))
       .cache()
     bandedHammingPairs(sigs, totalBits = 60, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
   }

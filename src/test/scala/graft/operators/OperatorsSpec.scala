@@ -110,6 +110,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(midRadius.subsetOf(got))
   }
 
+  test("native PortableSimHash60 kernel is bit-equal to the Column formulation") {
+    import spark.implicits._
+    val corpus = docs.select($"text")
+      .union(Seq("", "one", "a  b\t c", "é ✓ unicode").toDF("text"))
+    val both = corpus
+      .select(TextAnalysis.tokens($"text").as("toks"))
+      .select(
+        graft.functions.GraftFunctions.simhash60($"toks").as("fast"),
+        Dedup.portableSimhashAcc($"toks").as("acc"))
+      .select($"fast", Dedup.portableSimhashFromAcc($"acc").as("hof"))
+    assert(both.filter($"fast" =!= $"hof").count() == 0)
+  }
+
   test("portable simhash pairs equal brute force over portable signatures") {
     import spark.implicits._
     val d = perturbedDocs

@@ -44,6 +44,76 @@ private[operators] final class TopKByScore(k: Int)
   * hyperplane b is `sign(xxhash64(b, j))` — reproducible across runs and
   * engines with no stored model.
   */
+/** Deterministic local k-means for the IVF coarse quantizer: kmeans++
+  * style farthest-point seeding (first = sample order 0, next = argmax
+  * of min cosine distance to chosen, first-index tie-break) + Lloyd
+  * rounds with empty clusters keeping their previous centroid. Runs on
+  * a BOUNDED sample on the driver — the model is nlist × dim doubles.
+  */
+private[operators] object LocalKMeans {
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def train(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val n = sample.length
+    val kk = math.min(k, n)
+    // farthest-point seeding
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minDist = Array.fill(n)(Double.MaxValue)
+    while (chosen.size < kk) {
+      var i = 0
+      while (i < n) {
+        val d = 1.0 - cosine(sample(i), chosen.last)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      var best = 0; var bestD = -1.0; i = 0
+      while (i < n) {
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      chosen += sample(best)
+    }
+    var cents = chosen.toArray
+    // Lloyd rounds (assign by max cosine, smaller cid on ties)
+    val dim = sample(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = -2.0; var c = 0
+        while (c < kk) {
+          val s = cosine(sample(i), cents(c))
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      cents = (0 until kk).map { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / counts(c); j += 1 }
+          m
+        }
+      }.toArray
+    }
+    cents
+  }
+}
+
 object Similarity {
 
   /** Rank `scored` (query_id, corpus_id, cosine) down to the top `k`
@@ -129,9 +199,14 @@ object Similarity {
     * centroid table (nlist × dim doubles) is a driver-side broadcast —
     * there is no all-pairs stage anywhere.
     *
-    * Training is Lloyd's algorithm with deterministic seeding (the
-    * `nlist` vectors with smallest xxhash64(vec_id)); means are
-    * reconstructed position-wise so collect order can't perturb them.
+    * The coarse quantizer trains DRIVER-SIDE on a bounded,
+    * deterministically hash-selected sample (smallest xxhash64(id),
+    * `trainSample` vectors — FAISS-style: the quantizer model is
+    * nlist × dim doubles, and training it on a sample is standard
+    * practice; the 100 TB corpus is never collected). kmeans++ seeding
+    * + `iters` Lloyd rounds, all order-independent: the sample is
+    * selected by hash, ties break by id, and local double math is
+    * IEEE-deterministic.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -143,7 +218,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 10,
+      trainSample: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus
@@ -165,23 +241,17 @@ object Similarity {
         .select(col(idCol), col(vecCol), col("s._2").cast("int").as("cid"))
     }
 
-    // deterministic seeding + Lloyd iterations
-    var centroids = base
+    // bounded training sample (hash-selected, id tie-break) → local
+    // deterministic kmeans++ + Lloyd → tiny broadcastable centroid table
+    val sample = base
       .withColumn("h", xxhash64(col("corpus_id")))
-      .orderBy("h").limit(nlist)
-      .select(row_number().over(Window.orderBy("h")).as("cid"), col("cv").as("centroid"))
-      .cache()
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(base, "corpus_id", "cv", centroids, top = 1)
-      val means = assigned
-        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
-        .select(col("cid"),
-          transform(array_sort(col("pm")), p => p.getField("m")).as("centroid"))
-      centroids = means.cache()
-    }
+      .orderBy(col("h"), col("corpus_id")).limit(trainSample)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = LocalKMeans.train(sample, nlist, iters)
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
 
     val cells = assignCells(base, "corpus_id", "cv", centroids, top = 1)
       .select(col("cid"), col("corpus_id"), col("cv"))

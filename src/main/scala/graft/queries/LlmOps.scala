@@ -28,13 +28,14 @@ object LlmOps {
     s"len(list_filter($sqlToks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
 
   // Shared CTE chain producing `exact` = ALL (id_a < id_b, jaccard)
-  // pairs with 3-gram Jaccard >= 0.3 — deliberately UNBLOCKED (every
-  // shared-shingle pair is scored), so comparing it against the Spark
-  // result verifies the prefix-filtered blocking in
-  // Dedup.ngramJaccardPairs is complete, not just sound. Used by q25
-  // (direct compare), q26 (soundness join), q34 (connected components).
-  private val sqlExactJaccardCte =
-    s"""toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+  // pairs with 3-gram Jaccard >= 0.3 over `from` (a table or CTE with
+  // doc_id, text) — deliberately UNBLOCKED (every shared-shingle pair
+  // is scored), so comparing it against the Spark result verifies the
+  // prefix-filtered blocking in Dedup.ngramJaccardPairs is complete,
+  // not just sound. Used by q25 (direct compare), q26 (soundness
+  // join), q34 (connected components), q42 (curation pipeline).
+  private def sqlExactJaccardCteFrom(from: String): String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS t FROM $from),
        |sh AS (SELECT doc_id,
        |  list_distinct(CASE WHEN len(t) >= 3
        |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
@@ -221,7 +222,7 @@ object LlmOps {
         Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
-      Some(s"""WITH $sqlExactJaccardCte
+      Some(s"""WITH ${sqlExactJaccardCteFrom("documents")}
               |SELECT id_a, id_b, jaccard FROM exact
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
@@ -240,7 +241,7 @@ object LlmOps {
         Dedup.minhashLshPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
           .orderBy($"id_a", $"id_b")
       },
-      Some(s"""WITH $sqlExactJaccardCte,
+      Some(s"""WITH ${sqlExactJaccardCteFrom("documents")},
               |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q26_dedup_minhash_lsh/*.parquet'))
               |SELECT e.id_a, e.id_b, x.jaccard
               |FROM emitted e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
@@ -309,7 +310,7 @@ object LlmOps {
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
         Dedup.clusters(pairs).orderBy($"doc_id")
       },
-      Some(s"""WITH RECURSIVE $sqlExactJaccardCte,
+      Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
               |  UNION SELECT id_b, id_a FROM exact),
               |reach(doc_id, r) AS (
@@ -423,6 +424,76 @@ object LlmOps {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- end-to-end curation pipeline: quality filter → language
+    // filter → exact dedup (min-id survivor) → near-dup
+    // canonicalization (drop non-canonical cluster members) → split
+    // assignment. The operators composed exactly as a training-data
+    // pipeline would chain them; the oracle recomputes the ENTIRE
+    // chain independently in DuckDB (quality/langid expressions,
+    // md5-fingerprint dedup, unblocked Jaccard pairs + recursive-CTE
+    // connected components, hash-bucket split).
+    Q(
+      "q42_curation_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(
+          $"doc_id", $"text",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.qualityScore($"text").as("quality"),
+          TextAnalysis.langId($"text").as("lang_pred"))
+        val kept = scored.filter($"quality" >= 0.5 && $"lang_pred" === "en")
+        val surv = Dedup.exact(kept, $"text", $"doc_id")
+          .select($"survivor_id".as("doc_id"))
+        val ek = kept.join(surv, "doc_id")
+        val pairs = Dedup.ngramJaccardPairsFromHashed(
+          Dedup.hashedShingleSets(ek, $"text", $"doc_id", n = 3), threshold = 0.3)
+        val nonCanonical = Dedup.clusters(pairs)
+          .filter($"cluster_id" =!= $"doc_id").select("doc_id")
+        ek.join(nonCanonical, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"n_tokens", $"quality", $"lang_pred",
+            Dedup.splitAssign($"text").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE s0 AS (SELECT doc_id, text, $sqlToks AS tk,
+              |   length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+              |   ${sqlStopHits(TextAnalysis.stopwordsEn)} AS en,
+              |   ${sqlStopHits(TextAnalysis.stopwordsDe)} AS de,
+              |   ${sqlStopHits(TextAnalysis.stopwordsFr)} AS fr,
+              |   ${sqlStopHits(TextAnalysis.stopwordsEs)} AS es,
+              |   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+              |   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+              |  FROM documents),
+              |scored AS (SELECT doc_id, text, len(tk) AS n_tokens,
+              |   (least(CAST(length(text) AS DOUBLE)/500.0, 1.0)
+              |    + (1.0 - least(n_punct / greatest(CAST(len(tk) AS DOUBLE), 1.0), 1.0))
+              |    + least(CAST(en AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) * 5.0, 1.0)
+              |   ) / 3.0 AS quality,
+              |   CASE WHEN n_cjk > 0 THEN 'zh'
+              |        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              |        WHEN de >= fr AND de >= es THEN 'de'
+              |        WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred,
+              |   fp, substring(fp, 32, 1) AS bucket
+              |  FROM s0),
+              |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+              |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
+              |ek AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+              |${sqlExactJaccardCteFrom("ek")},
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
+              |  UNION SELECT id_b, id_a FROM exact),
+              |reach(doc_id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+              |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+              |SELECT ek.doc_id, n_tokens, quality, lang_pred,
+              |  CASE WHEN bucket IN ('0','1') THEN 'test'
+              |       WHEN bucket = '2' THEN 'validation'
+              |       ELSE 'train' END AS split
+              |FROM ek LEFT JOIN cl ON ek.doc_id = cl.doc_id
+              |WHERE cl.cluster_id IS NULL OR cl.cluster_id = ek.doc_id
+              |ORDER BY ek.doc_id""".stripMargin)),
 
     Q(
       "q32_mm_frames",

@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash", "graft_simhash(array<string>) - 64-bit SimHash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "graft_simhash60(array<string>) - portable 60-bit md5 SimHash"),
+      (exprs: Seq[Expression]) => PortableSimHash60(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(array<string>, n) - sorted distinct hashed n-gram shingles"),
       (exprs: Seq[Expression]) => HashedShingles(exprs.head, intArg(exprs(1)))))

@@ -101,14 +101,13 @@ object VectorKernels {
       var bucket = 0L
       var b = 0
       while (b < bits) {
+        // xxhash64(seed_t, b, j) over three ints, seed 42 — the (t, b)
+        // prefix is loop-invariant, only the j fold runs per component
+        val hb = XXH64.hashInt(b, XXH64.hashInt(t, 42L))
         var dot = 0.0
         var j = 0
         while (j < dim) {
-          // xxhash64(seed_t, b, j) over three ints, seed 42
-          var h = XXH64.hashInt(t, 42L)
-          h = XXH64.hashInt(b, h)
-          h = XXH64.hashInt(j, h)
-          val sign = if (h >= 0L) 1.0 else -1.0
+          val sign = if (XXH64.hashInt(j, hb) >= 0L) 1.0 else -1.0
           dot += v.getDouble(j) * sign
           j += 1
         }

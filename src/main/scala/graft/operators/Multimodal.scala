@@ -74,17 +74,26 @@ object Multimodal {
   }
 
   /** Partition-wise decode through any [[MediaCodec]]: one codec
-    * lifecycle per partition, one `decodeOne` per row.
+    * lifecycle per partition, one `decodeOne` per row. `close()` runs
+    * exactly once, via the task-completion listener — which also fires
+    * on early termination (limit/take) and on failure, where an
+    * exhaustion-triggered close would leak a native codec; the
+    * idempotence flag guards the no-TaskContext fallback (plain local
+    * iteration in tests).
     */
   def decode(media: DataFrame, codec: MediaCodec): Dataset[DecodedMeta] = {
     val enc = Encoders.product[DecodedMeta]
     media.select(col("media_id"), col("media"))
       .mapPartitions { rows =>
         codec.open()
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit = if (closed.compareAndSet(false, true)) codec.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[DecodedMeta] {
           override def hasNext: Boolean = {
             val more = rows.hasNext
-            if (!more) codec.close()
+            if (!more) closeOnce()
             more
           }
           override def next(): DecodedMeta = {

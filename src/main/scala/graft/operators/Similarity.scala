@@ -300,9 +300,12 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
+    // no broadcast HINT on the query side: typical query sets are small
+    // and AQE broadcasts them on its own, but a forced hint would OOM
+    // the driver on a genuinely large query table
     val scored = candidates
       .join(cb, "corpus_id")
-      .join(broadcast(qb), "query_id")
+      .join(qb, "query_id")
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
     topKPerQuery(scored, k)
   }

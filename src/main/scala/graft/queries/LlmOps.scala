@@ -53,20 +53,24 @@ object LlmOps {
 
   // q25/q26/q34 all start from the same tokenize→hashed-shingle
   // projection (native HashedShingles kernel — no shingle strings) —
-  // computed once per (session, sf-dir) and cached (weak session keys)
-  private val setsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]())
-
+  // computed once per (session, sf-dir) and cached. The handle lives in
+  // the SESSION's temp-view registry, not a static map: it dies with
+  // the session, so no external structure pins sessions or cached RDDs
+  // (a WeakHashMap keyed by session would be defeated by the DataFrame
+  // value referencing its session).
   private def sharedShingleSets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val per = setsCache.computeIfAbsent(
-      s, _ => scala.collection.mutable.Map.empty)
-    per.synchronized(per.getOrElseUpdate(d, {
-      import s.implicits._
-      Dedup.hashedShingleSets(Tables.documents(s, d), $"text", $"doc_id", n = 3).cache()
-    }))
+    val view = "graft_shingle_sets_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    synchronized {
+      if (!s.catalog.tableExists(view)) {
+        import s.implicits._
+        Dedup.hashedShingleSets(Tables.documents(s, d), $"text", $"doc_id", n = 3)
+          .cache()
+          .createOrReplaceTempView(view)
+      }
+    }
+    s.table(view)
   }
 
   // DuckDB recomputation of Dedup.portableSimhashAcc/FromAcc: 60-bit

@@ -52,14 +52,18 @@ final class MrfMicroBatchStream(
         val files = MrfFileSplitter.listFiles(opts, conf)
         // executor mode splits each file as a one-task Spark job, a few
         // files in flight at a time; specs append to the ledger in FILE
-        // order so ordinals stay deterministic. Single-file streams keep
-        // the driver-side incremental scan — it emits chunk-by-chunk
-        // (seconds to first batch on a multi-TB file) where a per-file
-        // job could only emit at file completion.
+        // order so ordinals stay deterministic. In auto mode a
+        // SINGLE-file stream always keeps the driver-side incremental
+        // scan — it emits chunk-by-chunk (seconds to first batch on a
+        // multi-TB file) where a per-file job could only emit at file
+        // completion; multi-file streams switch to executors at the
+        // same ≥4-files-or-≥256MB threshold as the batch scan.
         val useExecutors = opts.splitMode match {
           case "executors" => true
           case "driver" => false
-          case _ => files.size >= 4
+          case _ =>
+            files.size >= 4 || (files.size >= 2 &&
+              files.map(f => f.getFileSystem(conf).getFileStatus(f).getLen).sum >= (256L << 20))
         }
         if (useExecutors) runDistributed(files) else runDriverSide(files)
         MrfMicroBatchStream.this.synchronized {
@@ -97,12 +101,23 @@ final class MrfMicroBatchStream(
       }
     }
 
-    /** Pipeline of per-file executor split jobs (bounded concurrency);
-      * results land in the ledger in file order as each job finishes.
+    /** Pipeline of per-file executor split jobs (bounded concurrency,
+      * daemon threads); results land in the ledger in file order as
+      * each job finishes. On interruption (query stop) the queue is
+      * drained with shutdownNow and the split job group is cancelled —
+      * a dead query must not keep a cluster splitting files.
       */
     private def runDistributed(files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(files.size, 8)))
+        math.max(1, math.min(files.size, 8)),
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"payer-mrf-split-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        })
       try {
         val futures = files.map { f =>
           pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
@@ -121,7 +136,13 @@ final class MrfMicroBatchStream(
             MrfMicroBatchStream.this.notifyAll()
           }
         }
-      } finally pool.shutdown()
+        pool.shutdown()
+      } catch {
+        case t: Throwable =>
+          pool.shutdownNow()
+          MrfMicroBatchStream.cancelSplitJobs()
+          throw t
+      }
     }
   }
   splitter.setDaemon(true)
@@ -195,7 +216,17 @@ final class MrfMicroBatchStream(
     if (splitError != null) throw splitError
   }
 
-  override def stop(): Unit = splitter.interrupt()
+  override def stop(): Unit = {
+    splitter.interrupt()
+    MrfMicroBatchStream.cancelSplitJobs()
+  }
+}
+
+object MrfMicroBatchStream {
+  /** Cancel any in-flight executor split jobs (stop() / interruption). */
+  private[sources] def cancelSplitJobs(): Unit =
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .foreach(_.sparkContext.cancelJobGroup("payer-mrf-split"))
 }
 
 /** Chunk-count offset with trivial JSON serde (checkpoint-stable). */

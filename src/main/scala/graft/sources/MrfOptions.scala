@@ -21,14 +21,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `maxChunksPerBatch`: admission control — caps each micro-batch
   *     so a terabyte backlog streams as bounded batches instead of one
   *     giant first batch.
-  *   - `splitMode`: where the batch-scan split pass runs. `driver`
-  *     streams file bytes through a driver thread pool (the reference's
-  *     architecture, `JsonMRFSource.scala:59-180` — driver NIC caps
-  *     throughput at fleet scale); `executors` runs one Spark task per
-  *     file and ships back only ~100-byte chunk SPECS, so split I/O
-  *     scales with the cluster; `auto` (default) picks `executors` once
-  *     the uncached input is big enough to amortize a job (≥ 4 files or
-  *     ≥ 256 MB).
+  *   - `splitMode`: where the split pass runs. `driver` streams file
+  *     bytes through the driver (the reference's architecture,
+  *     `JsonMRFSource.scala:59-180` — driver NIC caps throughput at
+  *     fleet scale); `executors` runs one Spark task per file and ships
+  *     back only ~100-byte chunk SPECS, so split I/O scales with the
+  *     cluster; `auto` (default) picks `executors` once the input is
+  *     big enough to amortize a job (≥ 4 files or ≥ 256 MB) — except
+  *     that a SINGLE-file stream always stays on the driver's
+  *     incremental scan, which emits chunk-by-chunk instead of at
+  *     file completion.
   */
 final case class MrfOptions(
     paths: Seq[String],

@@ -192,23 +192,33 @@ object MrfSplitCache {
       (f, st.getLen,
         Key(f.toString, st.getLen, st.getModificationTime, opts.chunkBytes, opts.maxElements))
     }
-    val misses = keyed.filter { case (_, _, k) => cache.synchronized(cache.get(k)) == null }
-    if (misses.nonEmpty) {
-      val useExecutors = opts.splitMode match {
-        case "executors" => true
-        case "driver" => false
-        case _ => misses.size >= 4 || misses.map(_._2).sum >= (256L << 20)
+    val hits: Map[String, Seq[MrfInputPartition]] = keyed.flatMap { case (f, _, k) =>
+      cache.synchronized(Option(cache.get(k))).map(f.toString -> _)
+    }.toMap
+    val misses = keyed.filterNot { case (f, _, _) => hits.contains(f.toString) }
+    val split: Map[String, Seq[MrfInputPartition]] =
+      if (misses.isEmpty) Map.empty
+      else {
+        val useExecutors = opts.splitMode match {
+          case "executors" => true
+          case "driver" => false
+          case _ => misses.size >= 4 || misses.map(_._2).sum >= (256L << 20)
+        }
+        val out =
+          if (useExecutors)
+            MrfFileSplitter.splitFilesDistributed(misses.map(_._1), opts, conf)
+          else
+            MrfFileSplitter.splitFilesDriverPool(misses.map(_._1), opts, conf)
+        misses.foreach { case (f, _, k) =>
+          cache.synchronized(cache.put(k, out(f.toString)))
+        }
+        out
       }
-      val split: Map[String, Seq[MrfInputPartition]] =
-        if (useExecutors)
-          MrfFileSplitter.splitFilesDistributed(misses.map(_._1), opts, conf)
-        else
-          MrfFileSplitter.splitFilesDriverPool(misses.map(_._1), opts, conf)
-      misses.foreach { case (f, _, k) =>
-        cache.synchronized(cache.put(k, split(f.toString)))
-      }
-    }
-    keyed.flatMap { case (_, _, k) => cache.synchronized(cache.get(k)) }
+    // assemble from the local results, NOT the cache — a fleet larger
+    // than the LRU capacity would otherwise evict entries between the
+    // put and the read-back
+    keyed.map { case (f, _, _) => hits.getOrElse(f.toString, split(f.toString)) }
+      .flatten
   }
 }
 
@@ -230,10 +240,14 @@ object MrfFileSplitter {
     }
 
   /** Expand each configured path (file, directory, or glob) into concrete
-    * data files, deterministically sorted.
+    * data files, deterministically sorted. A compressed file whose
+    * decompressed sibling ALSO appears in the listing is dropped — the
+    * sibling is the materialized output of a previous read of that very
+    * file, and keeping both would emit every chunk twice on re-reads of
+    * a directory.
     */
-  def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
-    opts.paths.flatMap { p =>
+  def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+    val all = opts.paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
@@ -245,7 +259,13 @@ object MrfFileSplitter {
             .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         else Seq(st.getPath)
       }
-    }.sortBy(_.toString)
+    }
+    val byDir = all.groupBy(_.getParent).flatMap { case (_, group) =>
+      val names = group.map(_.getName).toSet
+      group.filterNot(f => Gunzip.decompressedName(f.getName).exists(names.contains))
+    }.toSeq
+    byDir.sortBy(_.toString)
+  }
 
   /** Split one file into partitions; `ordinalBase` gives the first chunk's
     * global ordinal. gz inputs are eagerly decompressed to a sibling file
@@ -266,10 +286,15 @@ object MrfFileSplitter {
     try splitFile(new Path(file), opts, conf.value, 0)(out += _)
     catch {
       case e: Exception if opts.ignoreCorruptFiles =>
-        // one corrupt file must not kill a fleet-sized job — skip it
-        // (matching spark.sql.files.ignoreCorruptFiles semantics)
-        System.err.println(s"[payer-mrf] skipping corrupt file $file: ${e.getMessage}")
-        out.clear()
+        // one corrupt file must not kill a fleet-sized job. Chunks
+        // split before the failure point are KEPT — the same
+        // "contents already read are returned" contract as
+        // spark.sql.files.ignoreCorruptFiles, and identical to the
+        // incremental streaming splitter (which cannot retract
+        // already-emitted chunks), so driver and executor modes derive
+        // the same ledger deterministically (same failure byte).
+        System.err.println(
+          s"[payer-mrf] corrupt file $file: keeping ${out.size} complete chunks; ${e.getMessage}")
     }
     out.toSeq
   }

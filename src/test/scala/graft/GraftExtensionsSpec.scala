@@ -35,6 +35,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  size(graft_minhash(array('a','b'), 8)) AS mh,
           |  size(graft_minhash64(graft_shingles(array('a','b','c','d'), 3), 8)) AS mh64,
           |  graft_simhash(array('a','b')) AS sh,
+          |  graft_simhash60(array('a','b')) AS sh60,
           |  graft_overlap(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ov,
           |  size(graft_hyperplane_buckets(array(0.5d, -0.25d), 4, 8)) AS hb
           |""".stripMargin).collect().head
@@ -42,8 +43,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](1) == Seq("hello", "world", "42"))
       assert(row.getInt(2) == 8)
       assert(row.getInt(3) == 8)
-      assert(row.getInt(5) == 2)
-      assert(row.getInt(6) == 8)
+      assert(row.getLong(5) >= 0L && row.getLong(5) < (1L << 60)) // sh60 range
+      assert(row.getInt(6) == 2)
+      assert(row.getInt(7) == 8)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -121,6 +121,12 @@ class MrfSourceSpec extends SparkTestBase {
       .filter($"file_name" === "ffs_z.json")
     assert(pruned.select("file_name").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("ffs_z.json"))
+    // re-reading the DIRECTORY after the decompressed siblings were
+    // materialized must not double-emit (compressed originals are
+    // dropped from the listing when their sibling is present)
+    val n1 = df.count()
+    val again = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    assert(again.count() == n1, "directory re-read double-emitted compressed inputs")
   }
 
   test("streaming with AvailableNow terminates and matches batch (TST01 streaming)") {

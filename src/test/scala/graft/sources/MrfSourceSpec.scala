@@ -362,6 +362,40 @@ class MrfSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
 
+  test("fleets larger than the split-cache capacity plan correctly") {
+    // 130 files > MrfSplitCache.MaxFiles (128): planning must assemble
+    // from computed results, not from the evicting LRU
+    val dir = Files.createTempDirectory("mrf-fleet").toFile
+    (0 until 130).foreach { i =>
+      Files.write(new java.io.File(dir, f"f$i%03d.json").toPath,
+        s"""{"plan": $i, "in_network": [{"billing_code": "$i"}]}""".getBytes("UTF-8"))
+    }
+    val df = spark.read.format("payer-mrf").option("perElement", "true")
+      .load(dir.getAbsolutePath)
+    // per file: 1 in_network element + 1 header chunk
+    assert(df.count() == 260)
+    assert(df.select("file_name").distinct().count() == 130)
+  }
+
+  test("ignoreCorruptFiles keeps a corrupt file's valid-prefix chunks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-prefix").toFile
+    // two complete elements, then truncation mid-document
+    Files.write(new java.io.File(dir, "partial.json").toPath,
+      """{"in_network": [{"a": 1}, {"b": 2}, {"c":""".getBytes("UTF-8"))
+    val df = spark.read.format("payer-mrf")
+      .option("ignoreCorruptFiles", "true")
+      .option("chunkBytes", "1").option("maxElements", "1")
+      .load(dir.getAbsolutePath)
+    // the two complete elements were split before the failure byte and
+    // are returned (spark.sql.files.ignoreCorruptFiles semantics)
+    val payloads = df.filter($"header_key" === "in_network")
+      .select("json_payload").collect().map(_.getString(0)).toSet
+    assert(payloads.exists(_.contains("\"a\"")) && payloads.exists(_.contains("\"b\"")),
+      s"expected the two complete elements, got $payloads")
+    assert(!payloads.exists(_.contains("\"c\"")))
+  }
+
   test("missing input fails fast") {
     val e = intercept[Exception] {
       spark.read.format("payer-mrf").load("/nonexistent/nope.json").count()

@@ -60,8 +60,10 @@ object LlmOps {
   // value referencing its session).
   private def sharedShingleSets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val view = "graft_shingle_sets_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    // full md5 of the dir in the view name — a truncated hash could
+    // collide across dirs within one session and serve the wrong corpus
+    val view = "graft_shingle_sets_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     synchronized {
       if (!s.catalog.tableExists(view)) {
         import s.implicits._

@@ -52,7 +52,12 @@ object Gunzip {
       case Some(targetName) =>
         val fs = path.getFileSystem(conf)
         val target = new Path(path.getParent, targetName)
-        if (fs.exists(target)) return target
+        // reuse the sibling only while it is NEWER than the compressed
+        // source — a re-uploaded archive must re-materialize, not be
+        // silently shadowed by the stale previous decompression
+        if (fs.exists(target) &&
+          fs.getFileStatus(target).getModificationTime >=
+            fs.getFileStatus(path).getModificationTime) return target
         val tmp = new Path(path.getParent, "." + target.getName + ".tmp")
         val in = decodeStream(name, fs.open(path))
         try {
@@ -66,6 +71,7 @@ object Gunzip {
             }
           } finally out.close()
         } finally in.close()
+        fs.delete(target, false) // stale sibling, if any
         if (!fs.rename(tmp, target) && !fs.exists(target))
           throw new java.io.IOException(s"failed to materialize $target")
         target

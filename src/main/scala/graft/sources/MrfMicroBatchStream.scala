@@ -46,6 +46,12 @@ final class MrfMicroBatchStream(
   private var splitError: Throwable = _
   private var splitDone = false
 
+  // captured at construction (driver): cancellation must reach THIS
+  // stream's jobs even if the default session is later cleared, and
+  // must not touch other queries' split jobs (unique group id)
+  private val owningContext = org.apache.spark.sql.SparkSession.active.sparkContext
+  private val splitJobGroup = MrfFileSplitter.freshSplitJobGroup()
+
   private val splitter = new Thread("payer-mrf-splitter") {
     override def run(): Unit =
       try {
@@ -62,8 +68,13 @@ final class MrfMicroBatchStream(
           case "executors" => true
           case "driver" => false
           case _ =>
-            files.size >= 4 || (files.size >= 2 &&
-              files.map(f => f.getFileSystem(conf).getFileStatus(f).getLen).sum >= (256L << 20))
+            // guarded stat: a file vanishing between listing and stat
+            // must not kill mode selection (the split itself handles
+            // missing files under the ignoreCorruptFiles policy)
+            def len(f: org.apache.hadoop.fs.Path): Long =
+              try f.getFileSystem(conf).getFileStatus(f).getLen
+              catch { case _: java.io.IOException => 0L }
+            files.size >= 2 && MrfFileSplitter.autoThreshold(files.size, files.map(len).sum)
         }
         if (useExecutors) runDistributed(files) else runDriverSide(files)
         MrfMicroBatchStream.this.synchronized {
@@ -122,7 +133,8 @@ final class MrfMicroBatchStream(
         val futures = files.map { f =>
           pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
             override def call(): Seq[MrfInputPartition] =
-              MrfSplitCache.getOrSplitOne(f, opts, conf, distributed = true)
+              MrfSplitCache.getOrSplitOne(f, opts, conf, distributed = true,
+                jobGroup = Some(splitJobGroup))
           })
         }
         var ordinal = 0L
@@ -140,11 +152,16 @@ final class MrfMicroBatchStream(
       } catch {
         case t: Throwable =>
           pool.shutdownNow()
-          MrfMicroBatchStream.cancelSplitJobs()
+          cancelSplitJobs()
           throw t
       }
     }
   }
+
+  /** Cancel THIS stream's in-flight executor split jobs. */
+  private def cancelSplitJobs(): Unit =
+    try owningContext.cancelJobGroup(splitJobGroup)
+    catch { case _: Throwable => () } // context may already be stopped
   splitter.setDaemon(true)
   splitter.start()
 
@@ -218,15 +235,8 @@ final class MrfMicroBatchStream(
 
   override def stop(): Unit = {
     splitter.interrupt()
-    MrfMicroBatchStream.cancelSplitJobs()
+    cancelSplitJobs()
   }
-}
-
-object MrfMicroBatchStream {
-  /** Cancel any in-flight executor split jobs (stop() / interruption). */
-  private[sources] def cancelSplitJobs(): Unit =
-    org.apache.spark.sql.SparkSession.getDefaultSession
-      .foreach(_.sparkContext.cancelJobGroup("payer-mrf-split"))
 }
 
 /** Chunk-count offset with trivial JSON serde (checkpoint-stable). */

@@ -133,8 +133,12 @@ final class MrfPartitionReader(
   */
 object MrfSplitCache {
 
+  // ignoreCorruptFiles is part of the key: a lenient read caches a
+  // corrupt file's valid-prefix chunks, and a later STRICT read of the
+  // same file must fail, not silently serve the partial result
   private final case class Key(
-      path: String, len: Long, mtime: Long, chunkBytes: Long, maxElements: Int)
+      path: String, len: Long, mtime: Long, chunkBytes: Long, maxElements: Int,
+      ignoreCorrupt: Boolean)
 
   private val MaxFiles = 128
   private val cache =
@@ -160,16 +164,18 @@ object MrfSplitCache {
       file: Path,
       opts: MrfOptions,
       conf: org.apache.hadoop.conf.Configuration,
-      distributed: Boolean): Seq[MrfInputPartition] = {
+      distributed: Boolean,
+      jobGroup: Option[String] = None): Seq[MrfInputPartition] = {
     val st = file.getFileSystem(conf).getFileStatus(file)
     val key = Key(file.toString, st.getLen, st.getModificationTime,
-      opts.chunkBytes, opts.maxElements)
+      opts.chunkBytes, opts.maxElements, opts.ignoreCorruptFiles)
     cache.synchronized(Option(cache.get(key))) match {
       case Some(hit) => hit
       case None =>
         val result =
           if (distributed)
-            MrfFileSplitter.splitFilesDistributed(Seq(file), opts, conf)(file.toString)
+            MrfFileSplitter.splitFilesDistributed(Seq(file), opts, conf,
+              jobGroup.getOrElse(MrfFileSplitter.freshSplitJobGroup()))(file.toString)
           else
             MrfFileSplitter.splitFileGuarded(file.toString, opts,
               new SerializableHadoopConf(conf))
@@ -190,7 +196,8 @@ object MrfSplitCache {
     val keyed = files.map { f =>
       val st = f.getFileSystem(conf).getFileStatus(f)
       (f, st.getLen,
-        Key(f.toString, st.getLen, st.getModificationTime, opts.chunkBytes, opts.maxElements))
+        Key(f.toString, st.getLen, st.getModificationTime, opts.chunkBytes, opts.maxElements,
+          opts.ignoreCorruptFiles))
     }
     val hits: Map[String, Seq[MrfInputPartition]] = keyed.flatMap { case (f, _, k) =>
       cache.synchronized(Option(cache.get(k))).map(f.toString -> _)
@@ -202,7 +209,7 @@ object MrfSplitCache {
         val useExecutors = opts.splitMode match {
           case "executors" => true
           case "driver" => false
-          case _ => misses.size >= 4 || misses.map(_._2).sum >= (256L << 20)
+          case _ => MrfFileSplitter.autoThreshold(misses.size, misses.map(_._2).sum)
         }
         val out =
           if (useExecutors)
@@ -241,13 +248,15 @@ object MrfFileSplitter {
 
   /** Expand each configured path (file, directory, or glob) into concrete
     * data files, deterministically sorted. A compressed file whose
-    * decompressed sibling ALSO appears in the listing is dropped — the
-    * sibling is the materialized output of a previous read of that very
-    * file, and keeping both would emit every chunk twice on re-reads of
-    * a directory.
+    * NEWER-OR-EQUAL decompressed sibling ALSO appears in the listing is
+    * dropped — that sibling is the materialized output of a previous
+    * read of the very same file, and keeping both would emit every
+    * chunk twice on re-reads of a directory. A sibling OLDER than the
+    * compressed file is stale (archive re-uploaded): the compressed
+    * file stays listed and [[Gunzip.decompressIfNeeded]] re-materializes.
     */
   def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
-    val all = opts.paths.flatMap { p =>
+    val all: Seq[org.apache.hadoop.fs.FileStatus] = opts.paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
@@ -255,16 +264,28 @@ object MrfFileSplitter {
         throw new java.io.FileNotFoundException(s"payer-mrf: no input matches $p")
       matches.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
-            .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        else Seq(st.getPath)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .filter(f => !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+        else Seq(st)
       }
     }
-    val byDir = all.groupBy(_.getParent).flatMap { case (_, group) =>
-      val names = group.map(_.getName).toSet
-      group.filterNot(f => Gunzip.decompressedName(f.getName).exists(names.contains))
+    val deduped = all.groupBy(_.getPath.getParent).flatMap { case (_, group) =>
+      val mtimeByName = group.map(st => st.getPath.getName -> st.getModificationTime).toMap
+      // newest mtime among compressed sources that decompress to `name`
+      val compressedTo = group.flatMap(st =>
+        Gunzip.decompressedName(st.getPath.getName).map(_ -> st.getModificationTime))
+        .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).max }
+      group.filterNot { st =>
+        val name = st.getPath.getName
+        val asCompressed = // compressed file shadowed by its current sibling
+          Gunzip.decompressedName(name).flatMap(mtimeByName.get)
+            .exists(_ >= st.getModificationTime)
+        val asStaleSibling = // plain file superseded by a newer archive
+          compressedTo.get(name).exists(_ > st.getModificationTime)
+        asCompressed || asStaleSibling
+      }
     }.toSeq
-    byDir.sortBy(_.toString)
+    deduped.map(_.getPath).sortBy(_.toString)
   }
 
   /** Split one file into partitions; `ordinalBase` gives the first chunk's
@@ -320,22 +341,31 @@ object MrfFileSplitter {
     } finally pool.shutdown()
   }
 
+  /** auto splitMode heuristic, shared by the batch planner and the
+    * streaming splitter so mode selection cannot drift: a split job
+    * pays off at ≥ 4 files or ≥ 256 MB of input.
+    */
+  def autoThreshold(count: Int, totalBytes: Long): Boolean =
+    count >= 4 || totalBytes >= (256L << 20)
+
   /** Executor-side split pass — the 100 TB path. One Spark task per
     * file runs the identical [[splitFileGuarded]] body next to the data
     * and ships back only chunk SPECS (~100 B each): split I/O scales
     * with the cluster instead of capping at the driver NIC (the
     * reference streams every byte through one driver thread,
-    * `JsonMRFSource.scala:59-180`). The job is labelled so monitoring
-    * (and the determinism spec) can identify it.
+    * `JsonMRFSource.scala:59-180`). Each invocation gets a UNIQUE
+    * job-group id under the `payer-mrf-split` prefix — cancelling one
+    * query's splits (stream stop) must not kill another's.
     */
   def splitFilesDistributed(
       files: Seq[Path],
       opts: MrfOptions,
-      conf: org.apache.hadoop.conf.Configuration): Map[String, Seq[MrfInputPartition]] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      jobGroup: String = freshSplitJobGroup()): Map[String, Seq[MrfInputPartition]] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val sconf = new SerializableHadoopConf(conf)
     val paths = files.map(_.toString)
-    sc.setJobGroup("payer-mrf-split",
+    sc.setJobGroup(jobGroup,
       s"payer-mrf: split ${paths.size} file(s) on executors", interruptOnCancel = false)
     try {
       sc.parallelize(paths, paths.size)
@@ -344,6 +374,9 @@ object MrfFileSplitter {
         .toMap
     } finally sc.clearJobGroup()
   }
+
+  def freshSplitJobGroup(): String =
+    "payer-mrf-split-" + java.util.UUID.randomUUID().toString.take(8)
 
   def splitFile(
       file: Path,

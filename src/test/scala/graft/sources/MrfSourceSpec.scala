@@ -303,7 +303,8 @@ class MrfSourceSpec extends SparkTestBase {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val group = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
-        if (group == "payer-mrf-split") splitJobs.add(js.stageInfos.map(_.numTasks).sum)
+        if (group != null && group.startsWith("payer-mrf-split"))
+          splitJobs.add(js.stageInfos.map(_.numTasks).sum)
       }
     }
     spark.sparkContext.addSparkListener(listener)

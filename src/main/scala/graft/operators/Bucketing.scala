@@ -14,7 +14,11 @@ object Bucketing {
     * SAME bucket count then plan without ShuffleExchange.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    // repartition on the bucket key FIRST: without it every write task
+    // emits up to `buckets` files (tasks × buckets small files at fleet
+    // scale); with it, one file per bucket
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

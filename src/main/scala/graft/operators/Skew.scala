@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  private def saltCol(salts: Int): Column =
-    (rand(42) * salts).cast("int")
+  /** Salt from the ROW CONTENT, not rand(): rand's output depends on
+    * row order within a partition, so a fetch-failure recompute or
+    * speculative rerun could re-salt rows differently than the outputs
+    * already fetched — double-counting some rows and dropping others
+    * (the SPARK-23207 class of bugs). A content hash reruns
+    * identically. Rows that are fully identical share a salt; salting
+    * still spreads any realistically skewed key.
+    */
+  private def saltCol(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)).cast("int")
 
   /** Two-phase aggregation for skewed grouping keys: partial aggregate
     * over (keys, salt) — spreading each hot key over `salts` reducers —
@@ -27,7 +35,7 @@ object Skew {
       finalAggs: Seq[Column],
       salts: Int = 16): DataFrame = {
     val partial = df
-      .withColumn("__salt", saltCol(salts))
+      .withColumn("__salt", saltCol(df, salts))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial
@@ -48,7 +56,13 @@ object Skew {
       keys: Seq[String],
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("__salt", saltCol(salts))
+    // right/full joins would emit `salts` null-extended copies of every
+    // unmatched replicated right row — refuse instead of corrupting
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$joinType'")
+    val l = left.withColumn("__salt", saltCol(left, salts))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }

@@ -29,28 +29,34 @@ object MrfPipeline {
 
   /** One row per element of the given top-level array, with the element
     * parsed into `col("item")` using `schema`, `file_name` retained.
+    * Unparseable payloads DROP in every input shape (the chunk path's
+    * explode(null) did this implicitly; the per-element and array paths
+    * filter explicitly) — a corrupt element must not flow into silver
+    * as an all-null row with a degenerate surrogate key.
     */
   def items(bronze: DataFrame, headerKey: String, schema: StructType): DataFrame = {
     val payloadIsArray = bronze.schema("json_payload").dataType
       .isInstanceOf[ArrayType]
     val base = bronze.filter(col("header_key") === headerKey)
-    if (payloadIsArray) {
-      // payloadAsArray: one JSON object string per element — explode
-      // first, then parse (a generator cannot nest inside from_json)
-      base.select(col("file_name"), explode(col("json_payload")).as("el"))
-        .select(col("file_name"), from_json(col("el"), schema).as("item"))
-    } else {
-      // chunk text "[…]" OR perElement object text — branch per row;
-      // only one parse executes per row under codegen
-      base.select(
-        col("file_name"),
-        explode(
-          when(
-            startswith(col("json_payload"), lit("[")),
-            from_json(col("json_payload"), ArrayType(schema)))
-            .otherwise(array(from_json(col("json_payload"), schema))))
-          .as("item"))
-    }
+    val parsed =
+      if (payloadIsArray) {
+        // payloadAsArray: one JSON object string per element — explode
+        // first, then parse (a generator cannot nest inside from_json)
+        base.select(col("file_name"), explode(col("json_payload")).as("el"))
+          .select(col("file_name"), from_json(col("el"), schema).as("item"))
+      } else {
+        // chunk text "[…]" OR perElement object text — branch per row;
+        // only one parse executes per row under codegen
+        base.select(
+          col("file_name"),
+          explode(
+            when(
+              startswith(col("json_payload"), lit("[")),
+              from_json(col("json_payload"), ArrayType(schema)))
+              .otherwise(array(from_json(col("json_payload"), schema))))
+            .as("item"))
+      }
+    parsed.filter(col("item").isNotNull)
   }
 
   /** Silver: one row per source file with the header scalars
@@ -86,11 +92,18 @@ object MrfPipeline {
     refs.join(broadcast(h), Seq("file_name"), "left")
   }
 
-  /** Deterministic surrogate key for one in_network item. */
+  /** Deterministic surrogate key for one in_network item: natural keys
+    * PLUS a hash of the full item content. Real MRFs repeat a billing
+    * code (same arrangement/type/version/code/name, different rates) —
+    * natural keys alone would give both items one key and cross-link
+    * their rates/prices/providers downstream. Byte-identical duplicate
+    * items still share a key; their derived rows are identical too.
+    */
   private def skInNetwork: Column = xxhash64(
     col("file_name"), col("item.negotiation_arrangement"),
     col("item.billing_code_type"), col("item.billing_code_type_version"),
-    col("item.billing_code"), col("item.name"))
+    col("item.billing_code"), col("item.name"),
+    xxhash64(to_json(col("item"))))
 
   /** Silver: in_network_codes — one row per billing code item
     * (`01_payer_mrf_demo.py:161-174`), carrying the nested rates for

@@ -364,10 +364,17 @@ object Relational2 {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      // the memory sink holds the materialized result — safe to restore
-      // conf and delete the staging dir before the caller consumes it
-      s.table(name).orderBy($"window_start", $"event_type")
+      require(q.awaitTermination(300000),
+        "q19 stream did not terminate within 300s — refusing to return a partial result")
+      // materialize the result locally and DROP the memory-sink table:
+      // otherwise every invocation pins a full result copy in driver
+      // memory for the session's lifetime
+      val result = s.table(name).orderBy($"window_start", $"event_type")
+      val schema = result.schema
+      val rows = result.collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy($"window_start", $"event_type")
     } finally {
       prev match {
         case Some(v) => s.conf.set(confKey, v)

@@ -15,8 +15,11 @@ object Sessionize {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  // total accumulates as an exact decimal (scale 6, HALF_UP per event —
+  // mirroring the batch twin's cast to decimal(18,6) before summing) so
+  // stream/batch parity cannot drift by a ulp from double fold order
   final case class SessionState(
-      start: Long, last: Long, n: Int, total: Double)
+      start: Long, last: Long, n: Int, total: BigDecimal)
 
   final case class Session(
       user_id: Long,
@@ -71,7 +74,10 @@ object Sessionize {
 
     def toSession(uid: Long, s: SessionState): Session = Session(
       uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-      s.n, s.total)
+      s.n, s.total.toDouble)
+
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
 
     val timeoutConf =
       if (stragglerTimeout) GroupStateTimeout.ProcessingTimeTimeout()
@@ -94,13 +100,18 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + e.value))
+                  // a late event may predate the session start — extend
+                  // BOTH bounds, or session_start disagrees with the
+                  // batch oracle's min(ts)
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + dec(e.value)))
                 case Some(s) =>
                   closed += toSession(uid, s)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, dec(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, dec(e.value)))
               }
             }
             cur match {

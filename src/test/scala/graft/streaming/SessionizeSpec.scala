@@ -55,4 +55,33 @@ class SessionizeSpec extends SparkTestBase {
     assert(batch.map(r => (r.getLong(0), r.getInt(3))).toSeq ==
       Seq((1L, 2), (1L, 2), (2L, 2)))
   }
+
+  test("a cross-batch late event extends the session start backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.streaming(input.toDS(), gapMinutes = 10,
+      stragglerTimeout = false)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessionize_late_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1 opens a session at ts=10; batch 2 delivers a LATE event
+      // at ts=5 (within gap of last=10) that must pull session_start
+      // back, then an event past the gap closes the session
+      input.addData(Sessionize.Event(7L, ts(10), 1.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(7L, ts(5), 2.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(7L, ts(60), 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessionize_late_out").as[Sessionize.Session].collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.session_start == ts(5), s"late event did not extend start: $s")
+      assert(s.session_end == ts(10) && s.n_events == 2 && s.total_value == 3.0)
+    } finally q.stop()
+  }
 }

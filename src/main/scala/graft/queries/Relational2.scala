@@ -347,12 +347,12 @@ object Relational2 {
     val dir = java.nio.file.Files.createTempDirectory("q19_events")
     val link = dir.resolve("events.parquet")
     try {
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val rawSchema = Tables.eventsRawSchema(s, d)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$d/events.parquet"))
       val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = s.readStream.schema(rawSchema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", Tables.eventsTsFromNanos)
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
         .agg(

@@ -27,12 +27,29 @@ object Tables {
     * division would lose precision above 2^53; the data is µs-aligned so
     * the conversion is lossless).
     */
+  /** The nanos→µs timestamp conversion shared by [[events]] and the
+    * q19 file-stream reader — one definition, no drift.
+    */
+  def eventsTsFromNanos: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000"))
+
+  /** Raw on-disk events schema (ts = nanos as long). Sets the legacy
+    * conf for the duration of the footer read; note [[events]] must
+    * leave it set for its lazily-executed result, so batch callers see
+    * the conf mutated (documented trade-off — the flag only affects
+    * TIMESTAMP(NANOS) parquet, which only this table uses).
+    */
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").schema
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.withColumn("ts", eventsTsFromNanos)
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

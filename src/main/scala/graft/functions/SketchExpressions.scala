@@ -28,12 +28,14 @@ object SketchKernels {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = hashString(arr.getUTF8String(j))
-      var i = 0
-      while (i < k) {
-        val g = XXH64.hashLong(h, i.toLong)
-        if (g < sig(i)) sig(i) = g
-        i += 1
+      if (!arr.isNullAt(j)) { // null elements are skipped, not NPE'd
+        val h = hashString(arr.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val g = XXH64.hashLong(h, i.toLong)
+          if (g < sig(i)) sig(i) = g
+          i += 1
+        }
       }
       j += 1
     }
@@ -83,7 +85,9 @@ object SketchKernels {
       var len = 0
       var j = 0
       while (j < winLen) {
-        val t = toks.getUTF8String(w + j)
+        // a null token joins as the empty string (no NPE)
+        val t = if (toks.isNullAt(w + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(w + j)
         val nb = t.numBytes()
         if (len + nb + 1 > buf.length)
           buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
@@ -149,16 +153,18 @@ object SketchKernels {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(j).getBytes)
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
-      var i = 0
-      while (i < 60) {
-        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-        i += 1
+      if (!arr.isNullAt(j)) { // null elements are skipped, not NPE'd
+        md.reset()
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }
@@ -179,11 +185,13 @@ object SketchKernels {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = hashString(arr.getUTF8String(j))
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-        i += 1
+      if (!arr.isNullAt(j)) { // null elements are skipped, not NPE'd
+        val h = hashString(arr.getUTF8String(j))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }

@@ -15,8 +15,14 @@ private[operators] final case class TopKBuf(items: Seq[(Double, Long)])
 
 private[operators] final class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // NaN scores (zero vectors → 0/0 cosine) rank WORST, not randomly:
+  // raw Double comparison is inconsistent under NaN and would let a
+  // NaN candidate displace real neighbors nondeterministically
+  private def rank(x: Double): Double = if (x.isNaN) Double.NegativeInfinity else x
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val ra = rank(a._1); val rb = rank(b._1)
+    ra > rb || (ra == rb && a._2 < b._2)
+  }
   override def zero: TopKBuf = TopKBuf(Seq.empty)
   override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
     if (buf.items.size >= k && better(buf.items.last, x)) buf
@@ -52,12 +58,16 @@ private[operators] final class TopKByScore(k: Int)
   */
 private[operators] object LocalKMeans {
 
+  // NaN-free: a zero vector scores similarity 0 to everything instead
+  // of 0/0 = NaN, which would poison farthest-point seeding (NaN
+  // distances never update minDist → the same point reselected forever)
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def train(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
@@ -181,6 +191,7 @@ object Similarity {
       queryVec: Column,
       queryId: Column,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -221,6 +232,7 @@ object Similarity {
       iters: Int = 10,
       trainSample: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val base = corpus
       .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
@@ -283,6 +295,7 @@ object Similarity {
       k: Int,
       bits: Int = 6,
       tables: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // all tables' buckets in one generated pass (bit-equal to the
     // per-seed HOF hyperplaneBucket — asserted in spec); candidate
     // generation and dedup move only id pairs — vectors re-join by id

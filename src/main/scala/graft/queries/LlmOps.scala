@@ -140,7 +140,7 @@ object LlmOps {
       Some(s"""SELECT doc_id,
               |  len($sqlToks) AS n_tokens,
               |  length(text) AS n_chars,
-              |  CAST(list_sum(list_transform($sqlToks, t -> greatest(1, CAST(ceil(strlen(t) / 4.0) AS BIGINT)))) AS BIGINT) AS n_subwords
+              |  CAST(coalesce(list_sum(list_transform($sqlToks, t -> greatest(1, CAST(ceil(strlen(t) / 4.0) AS BIGINT)))), 0) AS BIGINT) AS n_subwords
               |FROM documents ORDER BY doc_id""".stripMargin),
       bench = true),
 

@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *  - pair generation is always blocked (shared shingle / LSH band /
   *    hyperplane bucket) — never an O(n²) cross join; hot blocks are
   *    capped (`maxBlockSize`) the way production MinHash pipelines drop
-  *    stop-shingles, keeping worst-case pair counts bounded;
+  *    stop-shingles, keeping worst-case pair EXPANSION bounded. The
+  *    block member lists themselves materialize via collect_list before
+  *    the cap filter — one array per key, fine up to millions of docs
+  *    per key; a corpus where a single shingle/bucket spans 10⁸+ docs
+  *    would want a bounded-collect aggregator there (the TopKByScore
+  *    pattern) before this cap;
   *  - candidate verification re-joins compact per-doc features by id, so
   *    verification cost is proportional to candidate count, not corpus
   *    size.

@@ -182,6 +182,10 @@ object Similarity {
 
   /** Exact cosine top-k: for every query vector, the `k` most similar
     * corpus vectors (ties broken by corpus id — fully deterministic).
+    * `excludeSelf` drops the corpus row whose id equals the query id —
+    * correct when queries ARE corpus rows (the catalog queries); set it
+    * false for an independent query table whose ids merely collide with
+    * corpus ids, or the true nearest neighbor silently disappears.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -190,15 +194,17 @@ object Similarity {
       corpusId: Column,
       queryVec: Column,
       queryId: Column,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored0 = c.crossJoin(broadcast(q))
       .select(
         col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-      .filter(col("query_id") =!= col("corpus_id"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0
     topKPerQuery(scored, k)
   }
 

@@ -117,6 +117,14 @@ object SketchKernels {
   /** Intersection size of two SORTED distinct long arrays — a merge
     * scan: O(|a|+|b|), no hash set, no intersection array. With set
     * sizes alongside, Jaccard = c / (na + nb - c).
+    *
+    * Disorder is DETECTED, not silently tolerated: each advance checks
+    * the array is still ascending (one compare per step, free next to
+    * the scan itself) and throws — an unsorted input would otherwise
+    * undercount the overlap and silently drop near-dup pairs. Elements
+    * past the shorter array's exhaustion point are not walked, so this
+    * is a strong guard, not a full validation; the sorted-ascending
+    * precondition is part of the `*FromHashed` contract.
     */
   def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
@@ -124,9 +132,16 @@ object SketchKernels {
     var i = 0
     var j = 0
     var c = 0
+    var px = Long.MinValue
+    var py = Long.MinValue
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
+      if (x < px || y < py) throw new IllegalArgumentException(
+        "graft_overlap requires sorted-ascending arrays (see Dedup.*FromHashed scaladoc); " +
+          s"found descent at positions a[$i]/b[$j]")
+      px = x
+      py = y
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

@@ -111,6 +111,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash60", exprs => PortableSimHash60(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_nearest_centroids",
+      exprs => NearestCentroids(
+        exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_hyperplane_buckets",
       exprs => HyperplaneBuckets(
         exprs.head,
@@ -152,6 +157,12 @@ object GraftFunctions {
   def sortedOverlap(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("graft_overlap", a, b)
+  }
+
+  def nearestCentroids(v: Column, centroids: Column, top: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_nearest_centroids", v, centroids,
+      org.apache.spark.sql.functions.lit(top))
   }
 
   def hyperplaneBuckets(v: Column, bits: Int, tables: Int): Column = {

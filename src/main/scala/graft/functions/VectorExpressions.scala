@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Cosine similarity of two `array<double>` columns as a NATIVE Catalyst
   * expression with whole-stage codegen — one fused loop per row instead
@@ -129,6 +129,93 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Ids (1-based positions) of the `top` centroids nearest to `v` by
+  * cosine, best-first — the map-side IVF cell assignment. Centroids
+  * arrive as an `array<array<double>>` LITERAL (the coarse quantizer is
+  * nlist × dim doubles, trained driver-side), so assignment is pure
+  * per-row math inside whole-stage codegen: the index build touches no
+  * shuffle at all, vs the crossJoin(centroids) → groupBy(id) → top-k
+  * aggregation it replaces, whose exchange moved one (id, vector) row
+  * per corpus row.
+  *
+  * Ranking matches the aggregation it replaces bit-for-bit: cosine
+  * accumulates left-to-right in doubles (same as [[CosineSimilarity]]),
+  * NaN scores (zero vectors) and dimension mismatches rank WORST
+  * deterministically, ties break toward the smaller centroid id.
+  */
+object CentroidKernels {
+
+  def nearestCentroids(v: ArrayData, cents: ArrayData, top: Int): ArrayData = {
+    val k = cents.numElements()
+    val t = math.min(top, k)
+    val dim = v.numElements()
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      sims(c) =
+        if (cent.numElements() != dim) Double.NegativeInfinity
+        else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < dim) {
+            val x = v.getDouble(i); val y = cent.getDouble(i)
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val s = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+        }
+      c += 1
+    }
+    // selection by repeated argmax — nlist is small (≤ a few hundred),
+    // O(k·top) with zero allocation beats heap bookkeeping here
+    val used = new Array[Boolean](k)
+    val out = new Array[Any](t)
+    var o = 0
+    while (o < t) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best < 0 || sims(i) > bestS)) { best = i; bestS = sims(i) }
+        i += 1
+      }
+      used(best) = true
+      out(o) = best + 1
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class NearestCentroids(left: Expression, right: Expression, top: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) if top > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroids requires (array<double>, array<array<double>>, top > 0), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}, top=$top")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    CentroidKernels.nearestCentroids(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], top)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.CentroidKernels.nearestCentroids($v, $c, $top)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int)

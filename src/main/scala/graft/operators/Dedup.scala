@@ -112,7 +112,15 @@ object Dedup {
         size(col("sh")).as("n_sh")),
       threshold, maxBlockSize)
 
-  /** [[ngramJaccardPairs]] over pre-hashed (doc_id, hs, n_sh) sets. */
+  /** [[ngramJaccardPairs]] over pre-hashed (doc_id, hs, n_sh) sets.
+    *
+    * PRECONDITION: `hs` must be sorted ASCENDING with distinct elements
+    * (what `sort_array(transform(sh, xxhash64))` over a distinct shingle
+    * set produces — the [[ngramJaccardPairsFromSets]] path guarantees
+    * it). Verification uses a sorted-merge overlap scan; the kernel
+    * detects descents and throws rather than silently undercounting
+    * overlaps and dropping pairs.
+    */
   def ngramJaccardPairsFromHashed(
       hashed: DataFrame,
       threshold: Double,
@@ -220,6 +228,10 @@ object Dedup {
     * Verification compares the hashed sets directly (8-byte longs, same
     * Jaccard modulo ~n²/2^65 collisions) — array_intersect on strings
     * would dominate the verify stage.
+    *
+    * PRECONDITION: `hs` must be sorted ASCENDING with distinct elements
+    * (see [[ngramJaccardPairsFromHashed]] — same contract, same
+    * descent-detecting verify kernel).
     */
   def minhashLshPairsFromHashed(
       hashed: DataFrame,
@@ -471,8 +483,12 @@ object Dedup {
     * collides in ANY table). The join shuffles on (table, bucket) — no
     * unbucketed self-join anywhere; candidate volume per table is
     * ~n²/2^lshBits, so grow `lshBits` with log₂(n) at scale.
-    * `lshBits = 0` compares all pairs (only for modest corpora /
-    * oracle baselines).
+    *
+    * The DEFAULT is bucketed (16 bits × 32 tables — recall >0.9 with
+    * ~0.05% random-pair admission at realistic thresholds, see below).
+    * `lshBits = 0` compares ALL pairs — an O(n²) plan that exists for
+    * exact oracle baselines on modest corpora and must be requested
+    * EXPLICITLY; it is never the silent default.
     *
     * Parameter guidance: sign-LSH selectivity tracks how far the
     * per-bit collision probability 1 − θ/π sits above ½. At realistic
@@ -488,8 +504,9 @@ object Dedup {
       vec: Column,
       id: Column,
       threshold: Double,
-      lshBits: Int = 0,
-      tables: Int = 16): DataFrame = {
+      lshBits: Int = 16,
+      tables: Int = 32): DataFrame = {
+    require(lshBits >= 0 && lshBits <= 63, s"lshBits must be in [0, 63], got $lshBits")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(
       id.cast("long").as("vec_id"),

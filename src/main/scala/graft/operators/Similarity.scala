@@ -23,12 +23,55 @@ private[operators] final class TopKByScore(k: Int)
     val ra = rank(a._1); val rb = rank(b._1)
     ra > rb || (ra == rb && a._2 < b._2)
   }
+  // Both reduce and merge maintain the invariant that `items` is sorted
+  // best-first, so reduce is a binary-search insert into a bounded array
+  // (O(log k) compares + one O(k) copy) and merge is a linear merge scan
+  // — not the O(k log k) re-sort per accepted row the first version
+  // paid, which matters for k in the hundreds.
   override def zero: TopKBuf = TopKBuf(Seq.empty)
-  override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
-    if (buf.items.size >= k && better(buf.items.last, x)) buf
-    else TopKBuf((buf.items :+ x).sortWith(better).take(k))
+  override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf = {
+    val n = buf.items.size
+    if (n >= k && better(buf.items.last, x)) buf
+    else {
+      val arr = buf.items.toArray
+      // first index whose element x outranks (stable: ties keep arr order)
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(x, arr(mid))) hi = mid else lo = mid + 1
+      }
+      val outLen = math.min(n + 1, k)
+      if (lo >= outLen) buf // x ranks below a full buffer's worst
+      else {
+        val out = new Array[(Double, Long)](outLen)
+        System.arraycopy(arr, 0, out, 0, lo)
+        out(lo) = x
+        val rem = outLen - lo - 1
+        if (rem > 0) System.arraycopy(arr, lo, out, lo + 1, rem)
+        TopKBuf(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }
+  }
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-    TopKBuf((a.items ++ b.items).sortWith(better).take(k))
+    if (a.items.isEmpty) b
+    else if (b.items.isEmpty) a
+    else {
+      val x = a.items.toArray
+      val y = b.items.toArray
+      val outLen = math.min(x.length + y.length, k)
+      val out = new Array[(Double, Long)](outLen)
+      var i = 0
+      var j = 0
+      var o = 0
+      while (o < outLen) {
+        out(o) =
+          if (j >= y.length || (i < x.length && better(x(i), y(j)))) { val v = x(i); i += 1; v }
+          else { val v = y(j); j += 1; v }
+        o += 1
+      }
+      TopKBuf(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+    }
   override def finish(r: TopKBuf): TopKBuf = r
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
@@ -244,32 +287,28 @@ object Similarity {
       .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
       .cache()
 
-    // nearest `top` centroids per vector via the bounded aggregator —
-    // the corpus×nlist scored rows partial-aggregate map-side instead
-    // of shuffling through a window (same csim-desc/cid-asc tie-break);
-    // first(vecCol) is safe: every row in the group carries the vector
-    def assignCells(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame, top: Int) = {
-      val tk = udaf(new TopKByScore(top))
-      df.crossJoin(broadcast(cents))
-        .select(col(idCol), col(vecCol), col("cid"),
-          cosine(col(vecCol), col("centroid")).as("csim"))
-        .groupBy(idCol)
-        .agg(tk(col("csim"), col("cid").cast("long")).as("topc"), first(col(vecCol)).as(vecCol))
-        .select(col(idCol), col(vecCol), explode(col("topc.items")).as("s"))
-        .select(col(idCol), col(vecCol), col("s._2").cast("int").as("cid"))
-    }
+    // nearest `top` centroids per vector as a PURE MAP-SIDE expression:
+    // the quantizer (nlist × dim doubles) rides into the plan as an
+    // array literal and [[graft.functions.NearestCentroids]] computes
+    // the argmax cells inside whole-stage codegen — the index build has
+    // NO full-corpus exchange (the previous crossJoin(centroids) →
+    // groupBy(id) formulation shuffled one (id, vector) row per corpus
+    // row even after map-side partial aggregation). Ranking semantics
+    // are unchanged: cosine desc, cid asc on ties, NaN ranks worst.
+    def assignCells(df: DataFrame, idCol: String, vecCol: String, centroids: Column, top: Int) =
+      df.select(col(idCol), col(vecCol),
+        explode(graft.functions.GraftFunctions.nearestCentroids(col(vecCol), centroids, top))
+          .as("cid"))
 
     // bounded training sample (hash-selected, id tie-break) → local
-    // deterministic kmeans++ + Lloyd → tiny broadcastable centroid table
+    // deterministic kmeans++ + Lloyd → tiny literal centroid table
     val sample = base
       .withColumn("h", xxhash64(col("corpus_id")))
       .orderBy(col("h"), col("corpus_id")).limit(trainSample)
       .select(col("cv")).collect()
       .map(_.getSeq[Double](0).toArray)
     val cents = LocalKMeans.train(sample, nlist, iters)
-    val centroids = cents.zipWithIndex
-      .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
-      .toDF("cid", "centroid")
+    val centroids = typedLit(cents.map(_.toSeq).toSeq)
 
     val cells = assignCells(base, "corpus_id", "cv", centroids, top = 1)
       .select(col("cid"), col("corpus_id"), col("cv"))

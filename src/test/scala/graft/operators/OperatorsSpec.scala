@@ -143,7 +143,9 @@ class OperatorsSpec extends SparkTestBase {
 
   test("embedding cosine pairs: symmetric, bounded, matches manual calc") {
     import spark.implicits._
-    val pairs = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
+    // lshBits = 0 is the EXPLICIT all-pairs opt-in (exact baseline)
+    val pairs = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35,
+      lshBits = 0)
     val rows = pairs.collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.35 && r.getDouble(2) <= 1.0))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
@@ -161,7 +163,8 @@ class OperatorsSpec extends SparkTestBase {
 
   test("bucketed embedding pairs: sound vs all-pairs, high recall, no cross join") {
     import spark.implicits._
-    val exact = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
+    val exact = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35,
+      lshBits = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id",
       threshold = 0.35, lshBits = 4, tables = 32)
@@ -176,6 +179,105 @@ class OperatorsSpec extends SparkTestBase {
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "bucketed path planned a cross join")
+  }
+
+  test("embeddingCosinePairs DEFAULT plan is bucketed — all-pairs is opt-in only") {
+    import spark.implicits._
+    val default = Dedup.embeddingCosinePairs(embs, $"embedding", $"vec_id", threshold = 0.35)
+    val plan = default.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hyperplane_buckets"),
+      "default call did not take the LSH-bucketed path")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "default call planned an unbucketed self-join")
+  }
+
+  test("NearestCentroids kernel matches brute-force ranking incl. ties and NaN") {
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(2.0, 0.0) /* tie with cid 1 */)
+    val vecs = Seq(
+      1L -> Seq(3.0, 0.1),   // nearest cid 1, tie between 1 and 4 broken to 1
+      2L -> Seq(0.1, 5.0),   // nearest cid 2
+      3L -> Seq(-1.0, -0.1), // nearest cid 3
+      4L -> Seq(0.0, 0.0))   // zero vector: all NaN → ranks by cid asc
+    val got = vecs.toDF("id", "v")
+      .select($"id",
+        graft.functions.GraftFunctions.nearestCentroids($"v", typedLit(cents), 3).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.toMap.map { case (id, v) =>
+      id -> cents.zipWithIndex
+        .map { case (c, i) => (i + 1, { val s = cos(v, c); if (s.isNaN) Double.NegativeInfinity else s }) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1)
+    }
+    assert(got == expected)
+    assert(got(4L) == Seq(1, 2, 3)) // NaN everywhere → deterministic cid-asc order
+    // codegen actually engages (no fallback to interpreted eval)
+    val plan = vecs.toDF("id", "v")
+      .select(graft.functions.GraftFunctions.nearestCentroids($"v", typedLit(cents), 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroids"))
+  }
+
+  test("IVF index build has no full-corpus exchange (map-side cell assignment)") {
+    import spark.implicits._
+    val queries = embs.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(embs, queries,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = 3, nlist = 8, nprobe = 2)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroids"),
+      "cell assignment did not use the map-side kernel")
+    // the only exchanges left are the candidate join + dedup + final
+    // top-k agg; the old plan additionally aggregated the VECTORS
+    // through first(cv)/first(qv) per assignCells call — one full-corpus
+    // (id, vector) exchange each (dropDuplicates' first(cosine) over
+    // scalar scores is fine and expected)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    info(s"ivfTopK plan has $exchanges Exchange nodes")
+    assert(!plan.contains("first(cv") && !plan.contains("first(qv"),
+      "plan still aggregates vectors through first() — assignment not map-side")
+  }
+
+  test("TopKByScore binary-insert reduce/merge matches naive sort at k=500") {
+    val k = 500
+    val agg = new TopKByScore(k)
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Double, Long)] = (1 to 3000).map { i =>
+      val s = rnd.nextInt(5) match {
+        case 0 => Double.NaN // NaN ranks worst, deterministically
+        case 1 => rnd.nextInt(10).toDouble // force score ties
+        case _ => rnd.nextDouble()
+      }
+      (s, i.toLong)
+    }
+    def rank(x: Double) = if (x.isNaN) Double.NegativeInfinity else x
+    val expected = rows.sortBy { case (s, id) => (-rank(s), id) }.take(k)
+    // single-buffer reduce path
+    val reduced = rows.foldLeft(agg.zero)(agg.reduce).items
+    assert(reduced.map { case (s, id) => (rank(s), id) } ==
+      expected.map { case (s, id) => (rank(s), id) })
+    // merge path over random partition splits
+    val parts = rows.grouped(137).map(p => p.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = parts.reduce(agg.merge).items
+    assert(merged.map { case (s, id) => (rank(s), id) } ==
+      expected.map { case (s, id) => (rank(s), id) })
+  }
+
+  test("sortedOverlap detects unsorted input instead of undercounting") {
+    import spark.implicits._
+    // the descent (5 → 1 in `a`) sits at a position the merge scan
+    // actually walks — descents past the shorter array's exhaustion
+    // point are documented as undetectable
+    val bad = Seq((Seq(5L, 1L, 9L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(graft.functions.GraftFunctions.sortedOverlap($"a", $"b")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("sorted-ascending")))
   }
 
   test("LSH top-k recall vs brute force is usable on unclustered data") {

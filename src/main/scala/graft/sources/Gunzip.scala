@@ -45,6 +45,13 @@ object Gunzip {
       z
     }
 
+  // Same-JVM serialization of materializations per target path: two
+  // queries decompressing the same archive concurrently must not
+  // interleave writes into one temp file (torn sibling), and a stale
+  // delete must not yank the target out from under a concurrent reader
+  // that just validated it.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def decompressIfNeeded(path: Path, conf: Configuration): Path = {
     val name = path.getName
     decompressedName(name) match {
@@ -55,26 +62,45 @@ object Gunzip {
         // reuse the sibling only while it is NEWER than the compressed
         // source — a re-uploaded archive must re-materialize, not be
         // silently shadowed by the stale previous decompression
-        if (fs.exists(target) &&
-          fs.getFileStatus(target).getModificationTime >=
-            fs.getFileStatus(path).getModificationTime) return target
-        val tmp = new Path(path.getParent, "." + target.getName + ".tmp")
-        val in = decodeStream(name, fs.open(path))
-        try {
-          val out = fs.create(tmp, true)
+        def siblingFresh: Boolean =
+          fs.exists(target) &&
+            fs.getFileStatus(target).getModificationTime >=
+              fs.getFileStatus(path).getModificationTime
+        if (siblingFresh) return target
+        val lock = locks.computeIfAbsent(target.toString, _ => new Object)
+        lock.synchronized {
+          if (siblingFresh) return target // another thread just won
+          // UNIQUE temp per attempt: concurrent writers outside this
+          // JVM's lock (another driver) each write their own file and
+          // contend only at the atomic rename, never inside the bytes
+          val tmp = new Path(path.getParent,
+            "." + target.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+          val in = decodeStream(name, fs.open(path))
           try {
-            val buf = new Array[Byte](1 << 20)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (n > 0) out.write(buf, 0, n)
-              n = in.read(buf)
-            }
-          } finally out.close()
-        } finally in.close()
-        fs.delete(target, false) // stale sibling, if any
-        if (!fs.rename(tmp, target) && !fs.exists(target))
-          throw new java.io.IOException(s"failed to materialize $target")
-        target
+            val out = fs.create(tmp, true)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) out.write(buf, 0, n)
+                n = in.read(buf)
+              }
+            } finally out.close()
+          } finally in.close()
+          // delete ONLY a genuinely stale sibling; if a concurrent
+          // writer materialized a fresh one meanwhile, keep theirs
+          if (siblingFresh) {
+            fs.delete(tmp, false)
+            return target
+          }
+          fs.delete(target, false) // stale sibling, if any
+          if (!fs.rename(tmp, target)) {
+            fs.delete(tmp, false)
+            if (!fs.exists(target))
+              throw new java.io.IOException(s"failed to materialize $target")
+          }
+          target
+        }
     }
   }
 }

@@ -37,7 +37,14 @@ final class MrfMicroBatchStream(
     opts: MrfOptions,
     conf: Configuration,
     required: org.apache.spark.sql.types.StructType,
-    headerKeys: Option[Set[String]])
+    headerKeys: Option[Set[String]],
+    // the OWNING session's context, threaded from table creation (via
+    // MrfScan) — both split-job submission and cancellation use this
+    // exact context, so they cannot diverge even when the stream is
+    // driven from daemon pool threads with no (or a different) active
+    // session, and must not touch other queries' split jobs (unique
+    // group id)
+    owningContext: org.apache.spark.SparkContext)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   // ---- chunk ledger (driver memory: ~100 B per chunk spec) ----
@@ -46,10 +53,6 @@ final class MrfMicroBatchStream(
   private var splitError: Throwable = _
   private var splitDone = false
 
-  // captured at construction (driver): cancellation must reach THIS
-  // stream's jobs even if the default session is later cleared, and
-  // must not touch other queries' split jobs (unique group id)
-  private val owningContext = org.apache.spark.sql.SparkSession.active.sparkContext
   private val splitJobGroup = MrfFileSplitter.freshSplitJobGroup()
 
   private val splitter = new Thread("payer-mrf-splitter") {
@@ -134,7 +137,7 @@ final class MrfMicroBatchStream(
           pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
             override def call(): Seq[MrfInputPartition] =
               MrfSplitCache.getOrSplitOne(f, opts, conf, distributed = true,
-                jobGroup = Some(splitJobGroup))
+                jobGroup = Some(splitJobGroup), sc = Some(owningContext))
           })
         }
         var ordinal = 0L

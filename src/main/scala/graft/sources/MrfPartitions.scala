@@ -165,7 +165,8 @@ object MrfSplitCache {
       opts: MrfOptions,
       conf: org.apache.hadoop.conf.Configuration,
       distributed: Boolean,
-      jobGroup: Option[String] = None): Seq[MrfInputPartition] = {
+      jobGroup: Option[String] = None,
+      sc: Option[org.apache.spark.SparkContext] = None): Seq[MrfInputPartition] = {
     val st = file.getFileSystem(conf).getFileStatus(file)
     val key = Key(file.toString, st.getLen, st.getModificationTime,
       opts.chunkBytes, opts.maxElements, opts.ignoreCorruptFiles)
@@ -175,6 +176,8 @@ object MrfSplitCache {
         val result =
           if (distributed)
             MrfFileSplitter.splitFilesDistributed(Seq(file), opts, conf,
+              sc.getOrElse(throw new IllegalArgumentException(
+                "distributed split requires the owning SparkContext")),
               jobGroup.getOrElse(MrfFileSplitter.freshSplitJobGroup()))(file.toString)
           else
             MrfFileSplitter.splitFileGuarded(file.toString, opts,
@@ -192,7 +195,8 @@ object MrfSplitCache {
   def getOrSplitAll(
       files: Seq[Path],
       opts: MrfOptions,
-      conf: org.apache.hadoop.conf.Configuration): Seq[MrfInputPartition] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      sc: org.apache.spark.SparkContext): Seq[MrfInputPartition] = {
     val keyed = files.map { f =>
       val st = f.getFileSystem(conf).getFileStatus(f)
       (f, st.getLen,
@@ -213,7 +217,7 @@ object MrfSplitCache {
         }
         val out =
           if (useExecutors)
-            MrfFileSplitter.splitFilesDistributed(misses.map(_._1), opts, conf)
+            MrfFileSplitter.splitFilesDistributed(misses.map(_._1), opts, conf, sc)
           else
             MrfFileSplitter.splitFilesDriverPool(misses.map(_._1), opts, conf)
         misses.foreach { case (f, _, k) =>
@@ -285,7 +289,19 @@ object MrfFileSplitter {
         asCompressed || asStaleSibling
       }
     }.toSeq
-    deduped.map(_.getPath).sortBy(_.toString)
+    // sort by the CANONICAL (decompressed) path so an archive and the
+    // sibling it materializes occupy the same ordinal slot across
+    // restarts: a first run lists x.json.gz and materializes x.json; a
+    // restart lists x.json instead. Under raw-name ordering a neighbor
+    // sorting between the two names (say x.json.abc) would flip order
+    // and shift every later chunk's global ordinal — the checkpoint
+    // ledger keys on those ordinals, so chunks would duplicate or skip.
+    // Raw name is the tie-break: distinct archives targeting the same
+    // sibling stay deterministically ordered.
+    deduped.map(_.getPath).sortBy { p =>
+      val canonical = Gunzip.decompressedName(p.getName).getOrElse(p.getName)
+      (new Path(p.getParent, canonical).toString, p.getName)
+    }
   }
 
   /** Split one file into partitions; `ordinalBase` gives the first chunk's
@@ -361,8 +377,14 @@ object MrfFileSplitter {
       files: Seq[Path],
       opts: MrfOptions,
       conf: org.apache.hadoop.conf.Configuration,
+      sc: org.apache.spark.SparkContext,
       jobGroup: String = freshSplitJobGroup()): Map[String, Seq[MrfInputPartition]] = {
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // the context is a required parameter, never re-resolved from
+    // SparkSession.active: the streaming splitter calls this from
+    // daemon pool threads (where active can be absent or a DIFFERENT
+    // session's on a multi-session driver) and cancels via the owning
+    // context — jobs must be submitted to the context cancellation
+    // reaches
     val sconf = new SerializableHadoopConf(conf)
     val paths = files.map(_.toString)
     sc.setJobGroup(jobGroup,

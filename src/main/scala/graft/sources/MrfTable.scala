@@ -20,6 +20,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class MrfTable(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
+  // The session that created this table, captured NOW — not re-resolved
+  // from SparkSession.active at scan-build time. On a multi-session
+  // driver a table planned while a different session is active must
+  // still read its OWN session's Hadoop conf and submit split jobs to
+  // its own (cancellable) context; and scan construction must work on
+  // threads with no active/default session at all.
+  private val owner: SparkSession = SparkSession.active
+
   override def name(): String = s"payer-mrf(${opts.paths.mkString(",")})"
 
   override def schema(): StructType = opts.schema
@@ -28,7 +36,7 @@ final class MrfTable(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MrfScanBuilder(opts, options)
+    new MrfScanBuilder(opts, options, owner)
 }
 
 /** Scan builder with the two pushdowns that matter for this source:
@@ -43,7 +51,10 @@ final class MrfTable(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
   *    entirely — per-element row counts come from the chunk spec's
   *    element count, so counting a terabyte costs zero data I/O.
   */
-final class MrfScanBuilder(opts: MrfOptions, userOptions: CaseInsensitiveStringMap)
+final class MrfScanBuilder(
+    opts: MrfOptions,
+    userOptions: CaseInsensitiveStringMap,
+    owner: SparkSession)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -81,7 +92,7 @@ final class MrfScanBuilder(opts: MrfOptions, userOptions: CaseInsensitiveStringM
     required = requiredSchema
 
   override def build(): Scan =
-    new MrfScan(opts, userOptions, required, headerKeyFilter, fileNameFilter)
+    new MrfScan(opts, userOptions, required, headerKeyFilter, fileNameFilter, owner)
 }
 
 final class MrfScan(
@@ -89,14 +100,18 @@ final class MrfScan(
     userOptions: CaseInsensitiveStringMap,
     required: StructType,
     headerKeys: Option[Set[String]],
-    fileNames: Option[Set[String]])
+    fileNames: Option[Set[String]],
+    owner: SparkSession)
     extends Scan {
 
-  /** Session Hadoop conf + per-source `hadoop.*` overrides, captured on
-    * the driver and shipped to readers.
+  /** OWNING session's Hadoop conf + per-source `hadoop.*` overrides,
+    * captured on the driver and shipped to readers. Reading the conf
+    * from `owner` (threaded from table creation) rather than
+    * `SparkSession.active` means a scan planned under a different
+    * active session still observes the right filesystem settings.
     */
-  private def hadoopConf(): Configuration = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+  private[sources] def hadoopConf(): Configuration = {
+    val conf = owner.sessionState.newHadoopConf()
     MrfOptions.hadoopOverrides(userOptions).foreach { case (k, v) => conf.set(k, v) }
     conf
   }
@@ -111,10 +126,10 @@ final class MrfScan(
       s", columns=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch =
-    new MrfBatch(opts, hadoopConf(), required, headerKeys, fileNames)
+    new MrfBatch(opts, hadoopConf(), required, headerKeys, fileNames, owner.sparkContext)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MrfMicroBatchStream(opts, hadoopConf(), required, headerKeys)
+    new MrfMicroBatchStream(opts, hadoopConf(), required, headerKeys, owner.sparkContext)
 }
 
 /** Batch scan: split every input file up front, one task per chunk.
@@ -127,7 +142,8 @@ final class MrfBatch(
     conf: Configuration,
     required: StructType,
     headerKeys: Option[Set[String]],
-    fileNames: Option[Set[String]])
+    fileNames: Option[Set[String]],
+    sc: org.apache.spark.SparkContext)
     extends Batch {
 
   override lazy val planInputPartitions: Array[InputPartition] = {
@@ -139,7 +155,7 @@ final class MrfBatch(
     }
     // split on executors or the driver pool per opts.splitMode (the
     // executor pass returns ~100 B chunk specs, never file bytes)
-    MrfSplitCache.getOrSplitAll(files, opts, conf)
+    MrfSplitCache.getOrSplitAll(files, opts, conf, sc)
       .filter(p => headerKeys.forall(_.contains(p.headerKey)))
       .zipWithIndex
       .map { case (p, i) => p.copy(ordinal = i.toLong): InputPartition }

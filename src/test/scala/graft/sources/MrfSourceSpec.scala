@@ -403,4 +403,111 @@ class MrfSourceSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("nope") || e.getCause != null)
   }
+
+  private def tableFor(path: String): MrfTable = {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", path))
+    new MrfTable(MrfOptions(opts), opts)
+  }
+
+  test("scan reads the OWNING session's Hadoop conf, not the active session's") {
+    import org.apache.spark.sql.SparkSession
+    val a = spark.newSession()
+    val b = spark.newSession()
+    a.conf.set("spark.hadoop.graft.probe", "session-a")
+    b.conf.set("spark.hadoop.graft.probe", "session-b")
+    val prevActive = SparkSession.getActiveSession
+    try {
+      SparkSession.setActiveSession(a)
+      val table = tableFor(ffsPath) // captures A as owner
+      // a DIFFERENT session is active when the scan is built — the bug
+      // this guards against read the wrong session's conf here
+      SparkSession.setActiveSession(b)
+      val scan = table.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[MrfScan]
+      // session SQL-conf entries are copied into the Hadoop conf
+      // verbatim (newHadoopConf does not strip the spark.hadoop prefix
+      // for session-level overrides)
+      assert(scan.hadoopConf().get("spark.hadoop.graft.probe") == "session-a")
+    } finally prevActive.foreach(SparkSession.setActiveSession)
+  }
+
+  test("micro-batch stream works from a thread with NO active or default session") {
+    import org.apache.spark.sql.SparkSession
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    val table = tableFor(ffsPath) // owner captured while a session exists
+    val checkpoint = Files.createTempDirectory("mrf-nosession").toString
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      // before the owning context was threaded through, this resolved
+      // SparkSession.active at construction and blew up (or targeted
+      // whatever session happened to be active)
+      val stream = table.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[MrfScan]
+        .toMicroBatchStream(checkpoint).asInstanceOf[MrfMicroBatchStream]
+      try {
+        stream.prepareForTriggerAvailableNow() // blocks until split done
+        assert(stream.latestOffset().asInstanceOf[MrfOffset].n > 0)
+      } finally stream.stop()
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("an archive and its materialized sibling keep the same ordinal slot") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("mrf-ordinal").toFile
+    // neighbor whose raw name sorts BETWEEN "x.json" and "x.json.gz" —
+    // under raw-name ordering the archive would CHANGE SIDES of it
+    // after decompression, shifting every later chunk's global ordinal
+    val neighbor = new java.io.File(dir, "x.json.abc")
+    java.nio.file.Files.write(neighbor.toPath, "{}".getBytes)
+    val gz = new java.io.File(dir, "x.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(MrfFixtures.ffs.getBytes); out.close()
+    val opts = MrfOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir.getAbsolutePath)))
+    val conf = spark.sessionState.newHadoopConf()
+    val before = MrfFileSplitter.listFiles(opts, conf).map(_.getName)
+    Gunzip.decompressIfNeeded(new Path(gz.getAbsolutePath), conf)
+    val after = MrfFileSplitter.listFiles(opts, conf).map(_.getName)
+    assert(before == Seq("x.json.gz", "x.json.abc"),
+      s"canonical ordering should place the archive at its sibling's slot, got $before")
+    assert(after == Seq("x.json", "x.json.abc"),
+      s"sibling must occupy the archive's former slot, got $after")
+  }
+
+  test("concurrent decompressIfNeeded materializes one intact sibling, no torn temps") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("mrf-race").toFile
+    val gz = new java.io.File(dir, "y.json.gz")
+    val payload = MrfFixtures.ffs
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(payload.getBytes); out.close()
+    val conf = spark.sessionState.newHadoopConf()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val results = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val errors = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.add(Gunzip.decompressIfNeeded(new Path(gz.getAbsolutePath), conf).toString)
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"gunzip-race-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errors.isEmpty, s"concurrent materialization failed: $errors")
+    assert(results.size == 8 && results.asScala.toSet.size == 1)
+    val sibling = new java.io.File(dir, "y.json")
+    assert(new String(java.nio.file.Files.readAllBytes(sibling.toPath)) == payload,
+      "sibling content torn or truncated")
+    val leftovers = dir.listFiles().map(_.getName).filter(_.contains(".tmp"))
+    assert(leftovers.isEmpty, s"stray temp files: ${leftovers.toSeq}")
+  }
 }

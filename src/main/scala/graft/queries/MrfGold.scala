@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.MrfPipeline
+
+/** q43: the engine's FLAGSHIP path — payer-mrf source → bronze →
+  * silver → gold shoppable prices (`MrfPipeline` re-expressing
+  * `/root/reference/01_payer_mrf_demo.py:143-238`) — under the DuckDB
+  * oracle, end to end.
+  *
+  * The MRF document is DERIVED DETERMINISTICALLY from the part and
+  * supplier testdata tables by integer arithmetic on their keys, so the
+  * oracle can recompute the expected gold rows INDEPENDENTLY from the
+  * same tables: any defect in JSON assembly, the splitter, schema
+  * parsing, surrogate keys, or the silver/gold joins surfaces as a
+  * row/hash mismatch. Nothing the query emits is read back by the
+  * oracle.
+  *
+  * Generation rules (mirrored 1:1 in the oracle SQL):
+  *  - in_network item per part with `p_partkey <= 40`: billing_code =
+  *    p_partkey % 20 (so two items SHARE each code — exercising the
+  *    repeated-billing-code surrogate-key path), name = p_name,
+  *    arrangement "ffs".
+  *  - two negotiated_rates per item (j = 0, 1), each referencing
+  *    provider groups ((p+j) % 10)+1 and ((p+j+5) % 10)+1, each with
+  *    ONE "negotiated" price of (p*100 + j*7)/100.0 and one
+  *    "percentage" price the pipeline must filter out.
+  *  - provider_references group g = 1..10: two provider_groups entries
+  *    (npi [g*100+1, g*100+2] and [g*100+3]), both tin "TIN-g".
+  *  - plus two "bundle" items exercising the non-FFS branch (dropped
+  *    by gold's arrangement filter).
+  */
+object MrfGold {
+
+  private val FileName = "mrf_q43.json"
+  private val Payer = "graft-test-payer"
+
+  private[queries] def buildJson(parts: Seq[(Long, String)]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("reporting_entity_name", Payer)
+    root.put("reporting_entity_type", "payer")
+    root.put("last_updated_on", "2024-01-01")
+    root.put("version", "1.0.0")
+    val provRefs = root.putArray("provider_references")
+    (1 to 10).foreach { g =>
+      val ref = provRefs.addObject()
+      ref.put("provider_group_id", g.toLong)
+      val groups = ref.putArray("provider_groups")
+      val g1 = groups.addObject()
+      val n1 = g1.putArray("npi"); n1.add(g * 100L + 1); n1.add(g * 100L + 2)
+      val t1 = g1.putObject("tin"); t1.put("type", "ein"); t1.put("value", s"TIN-$g")
+      val g2 = groups.addObject()
+      val n2 = g2.putArray("npi"); n2.add(g * 100L + 3)
+      val t2 = g2.putObject("tin"); t2.put("type", "ein"); t2.put("value", s"TIN-$g")
+    }
+    val inNetwork = root.putArray("in_network")
+    parts.foreach { case (p, pname) =>
+      val item = inNetwork.addObject()
+      item.put("negotiation_arrangement", "ffs")
+      item.put("name", pname)
+      item.put("billing_code_type", "CPT")
+      item.put("billing_code_type_version", "2024")
+      item.put("billing_code", (p % 20).toString)
+      item.put("description", s"item-$p")
+      val rates = item.putArray("negotiated_rates")
+      (0 to 1).foreach { j =>
+        val rate = rates.addObject()
+        val refs = rate.putArray("provider_references")
+        refs.add(((p + j) % 10) + 1); refs.add(((p + j + 5) % 10) + 1)
+        val prices = rate.putArray("negotiated_prices")
+        val neg = prices.addObject()
+        neg.put("negotiated_type", "negotiated")
+        neg.put("negotiated_rate", (p * 100 + j * 7) / 100.0)
+        neg.put("expiration_date", "2025-12-31")
+        val sc = neg.putArray("service_code"); sc.add("11"); sc.add("22")
+        neg.put("billing_class", "institutional")
+        val pct = prices.addObject()
+        pct.put("negotiated_type", "percentage")
+        pct.put("negotiated_rate", 50.0)
+        pct.put("expiration_date", "2025-12-31")
+        pct.put("billing_class", "institutional")
+      }
+    }
+    Seq(41L, 42L).foreach { p =>
+      val item = inNetwork.addObject()
+      item.put("negotiation_arrangement", "bundle")
+      item.put("name", s"bundle-$p")
+      item.put("billing_code_type", "CPT")
+      item.put("billing_code_type_version", "2024")
+      item.put("billing_code", (p % 20).toString)
+      val bc = item.putArray("bundled_codes").addObject()
+      bc.put("billing_code_type", "CPT")
+      bc.put("billing_code_type_version", "2024")
+      bc.put("billing_code", s"B$p")
+      bc.put("description", s"component-$p")
+    }
+    m.writeValueAsString(root)
+  }
+
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = s.read.parquet(s"$d/part.parquet")
+      .filter($"p_partkey" <= 40)
+      .select($"p_partkey", $"p_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("q43_mrf")
+    val file = dir.resolve(FileName)
+    try {
+      java.nio.file.Files.writeString(file, buildJson(parts))
+      // bronze arrives through the real streaming source (the
+      // reference's deployment shape); AvailableNow ends the stream at
+      // the terminal offset and the memory sink materializes bronze,
+      // so the staged file can be deleted before the caller executes
+      // the returned (lazy) gold plan
+      val name = "q43_bronze_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("payer-mrf").load(file.toString)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q43 bronze stream did not terminate within 300s — refusing a partial bronze")
+      val bronzeTable = s.table(name)
+      val schema = bronzeTable.schema
+      val rows = bronzeTable.collect()
+      s.catalog.dropTempView(name)
+      val bronze = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val sv = MrfPipeline.silver(bronze)
+      MrfPipeline.shoppablePrices(
+        sv.codes, sv.prices, sv.parProviders, sv.providersXPayer,
+        billingCode = "7", tinValue = "TIN-8")
+        .select(
+          $"file_name", $"reporting_entity_name", $"billing_code",
+          $"billing_code_type", $"name", $"negotiated_rate", $"billing_class",
+          array_join($"service_code", ",").as("service_code_csv"),
+          $"expiration_date", $"provider_group_id",
+          array_join($"npi".cast("array<string>"), ",").as("npi_csv"),
+          $"tin".getField("value").as("tin_value"))
+        .orderBy($"negotiated_rate", $"npi_csv")
+    } finally {
+      // the JSON is only needed until the stream terminates (above);
+      // bronze is materialized driver-side by then
+      java.nio.file.Files.deleteIfExists(file)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  def all: Seq[Q] = Seq(
+    Q(
+      "q43_mrf_gold_pipeline",
+      q43,
+      // independent recomputation from part/supplier by the same
+      // integer derivation — no read-back of the emitted result
+      Some("""WITH prov AS (
+             |  SELECT s_suppkey AS gid,
+             |    CAST(s_suppkey*100+1 AS VARCHAR) || ',' || CAST(s_suppkey*100+2 AS VARCHAR) AS npi_csv
+             |  FROM supplier WHERE s_suppkey <= 10
+             |  UNION ALL
+             |  SELECT s_suppkey, CAST(s_suppkey*100+3 AS VARCHAR)
+             |  FROM supplier WHERE s_suppkey <= 10),
+             |rates AS (
+             |  SELECT p_partkey, p_name, j
+             |  FROM part, (SELECT unnest([0, 1]) AS j) WHERE p_partkey <= 40),
+             |refs AS (
+             |  SELECT p_partkey, p_name, j, ((p_partkey + j) % 10) + 1 AS gid FROM rates
+             |  UNION ALL
+             |  SELECT p_partkey, p_name, j, ((p_partkey + j + 5) % 10) + 1 FROM rates)
+             |SELECT 'mrf_q43.json' AS file_name,
+             |  'graft-test-payer' AS reporting_entity_name,
+             |  CAST(p_partkey % 20 AS VARCHAR) AS billing_code,
+             |  'CPT' AS billing_code_type,
+             |  p_name AS name,
+             |  CAST(p_partkey*100 + j*7 AS DOUBLE)/100.0 AS negotiated_rate,
+             |  'institutional' AS billing_class,
+             |  '11,22' AS service_code_csv,
+             |  '2025-12-31' AS expiration_date,
+             |  CAST(gid AS BIGINT) AS provider_group_id,
+             |  npi_csv,
+             |  'TIN-' || CAST(gid AS VARCHAR) AS tin_value
+             |FROM refs JOIN prov USING (gid)
+             |WHERE (p_partkey % 20) = 7 AND gid = 8
+             |ORDER BY negotiated_rate, npi_csv""".stripMargin))
+  )
+}

@@ -7,7 +7,7 @@ package graft.queries
 object QueryCatalog {
   def modules: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational2.aggQueries ++
-      Relational2.sessionQueries ++ LlmOps.all
+      Relational2.sessionQueries ++ LlmOps.all ++ MrfGold.all
 
   def queries = modules.map(q => q.name -> q.fn).toMap
   def oracleSql = modules.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -231,6 +231,12 @@ final class MrfMicroBatchStream(
     }
   }
 
+  /** Test-only snapshot of (first retained global ordinal, retained spec
+    * count) — lets specs assert that `commit` actually GCs the ledger.
+    */
+  private[sources] def ledgerState: (Long, Int) =
+    synchronized((ledgerBase, ledger.size))
+
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     while (!splitDone) wait(100)
     if (splitError != null) throw splitError

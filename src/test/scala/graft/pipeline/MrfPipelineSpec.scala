@@ -123,4 +123,26 @@ class MrfPipelineSpec extends SparkTestBase {
     assert(bundled.join(codes.drop("file_name", "billing_code", "billing_code_type",
       "billing_code_type_version", "description"), "sk_in_network_id").count() == 2)
   }
+
+  test("q43 flagship: source → bronze → silver → gold matches the derivation") {
+    // the oracle-checked catalog query, pinned here at sf0.001 so the
+    // whole chain (JSON assembly, streaming source, pipeline) also runs
+    // under the spec suite: billing code 7 = parts {7, 27}, each with
+    // one rate referencing group 8 (j=0), two provider_groups entries
+    // under TIN-8 → exactly 4 rows
+    val q43 = graft.queries.QueryCatalog.queries("q43_mrf_gold_pipeline")
+    val rows = q43(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 4)
+    val byRateNpi = rows.map(r => (
+      r.getAs[Double]("negotiated_rate"), r.getAs[String]("npi_csv"),
+      r.getAs[String]("tin_value"), r.getAs[String]("billing_code"),
+      r.getAs[Long]("provider_group_id"))).toSet
+    assert(byRateNpi == Set(
+      (7.0, "801,802", "TIN-8", "7", 8L),
+      (7.0, "803", "TIN-8", "7", 8L),
+      (27.0, "801,802", "TIN-8", "7", 8L),
+      (27.0, "803", "TIN-8", "7", 8L)))
+    assert(rows.forall(_.getAs[String]("reporting_entity_name") == "graft-test-payer"))
+    assert(rows.forall(_.getAs[String]("service_code_csv") == "11,22"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Delta-sink parity, jar-gated: the payer-mrf source is sink-agnostic
+  * (any V2 sink works off the `MicroBatchStream`), and the reference
+  * demo writes its bronze stream to Delta
+  * (`/root/reference/01_payer_mrf_demo.py:80-88`). Delta jars aren't
+  * vendored in this build environment (README "Sinks"), so this spec
+  * `assume`s them: it reports as canceled here and runs as a real
+  * round-trip wherever `delta-spark` is on the classpath (e.g.
+  * `sbt -Ddelta.jars=... test` with the jars added to
+  * `unmanagedJars`). Nothing in the source changes between sinks —
+  * this is executable documentation of that claim.
+  */
+class DeltaParitySpec extends SparkTestBase {
+
+  private def deltaOnClasspath: Boolean =
+    try {
+      Class.forName("io.delta.sql.DeltaSparkSessionExtension")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  test("bronze stream round-trips through a Delta sink (jar-gated)") {
+    assume(deltaOnClasspath,
+      "delta-spark not on classpath — Delta parity documented in README, " +
+        "spec runs wherever the jars exist")
+    // Delta requires its extension + catalog at session build time, so
+    // gate-passing runs get a dedicated session (base confs inherited)
+    val prev = SparkSession.getActiveSession
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-delta-parity")
+      .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog",
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val src = MrfFixtures.writeTemp("delta_ffs.json", MrfFixtures.ffs).getAbsolutePath
+      val out = Files.createTempDirectory("mrf-delta-out").toString
+      val ckpt = Files.createTempDirectory("mrf-delta-ckpt").toString
+      val q = s.readStream.format("payer-mrf").load(src)
+        .writeStream.format("delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      assert(q.awaitTermination(120000), "delta-sink stream did not terminate")
+      val bronze = s.read.format("delta").load(out)
+      val batch = s.read.format("payer-mrf").load(src)
+      assert(bronze.count() == batch.count())
+      assert(
+        bronze.select("file_name", "header_key", "json_payload").collect()
+          .map(_.toSeq).sortBy(_.toString).toSeq ==
+        batch.select("file_name", "header_key", "json_payload").collect()
+          .map(_.toSeq).sortBy(_.toString).toSeq)
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+}

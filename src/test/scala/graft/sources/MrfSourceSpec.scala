@@ -459,6 +459,44 @@ class MrfSourceSpec extends SparkTestBase {
     }
   }
 
+  test("commit GCs the chunk ledger — driver memory is bounded by the uncommitted window") {
+    // drive the MicroBatchStream by hand (the exact calls Spark's
+    // MicroBatchExecution makes) so the ledger is observable between
+    // batches: with maxChunksPerBatch=2 the retained spec count must
+    // never exceed the uncommitted window, and the base must advance
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of(
+        "path", ffsPath, "chunkBytes", "4096", "maxElements", "1",
+        "maxChunksPerBatch", "2"))
+    val stream = new MrfTable(MrfOptions(opts), opts)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[MrfScan]
+      .toMicroBatchStream(Files.createTempDirectory("mrf-gc").toString)
+      .asInstanceOf[MrfMicroBatchStream]
+    try {
+      stream.prepareForTriggerAvailableNow()
+      val terminal = stream.latestOffset().asInstanceOf[MrfOffset].n
+      assert(terminal == 6) // ffs at 4 KB/1-element chunks: 3+2+1
+      var start = 0L
+      while (start < terminal) {
+        val end = stream
+          .latestOffset(MrfOffset(start), ReadLimit.allAvailable())
+          .asInstanceOf[MrfOffset].n
+        assert(end - start <= 2, s"admission control violated: $start -> $end")
+        assert(stream.planInputPartitions(MrfOffset(start), MrfOffset(end)).nonEmpty)
+        stream.commit(MrfOffset(end))
+        val (base, retained) = stream.ledgerState
+        assert(base == end, s"ledger base $base did not advance to committed $end")
+        assert(retained == (terminal - end).toInt,
+          s"ledger retains $retained specs after committing $end of $terminal")
+        start = end
+      }
+      assert(stream.ledgerState == ((terminal, 0)),
+        "fully committed stream must hold zero chunk specs")
+    } finally stream.stop()
+  }
+
   test("an archive and its materialized sibling keep the same ordinal slot") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("mrf-ordinal").toFile

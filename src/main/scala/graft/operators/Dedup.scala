@@ -126,25 +126,37 @@ object Dedup {
       threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
     graft.functions.GraftFunctions.register(hashed.sparkSession)
-    // global doc frequency per shingle = its posting-block SIZE (sets
-    // are distinct within a doc), so df comes out of the same groupBy
-    // that builds the blocks — no separate freq aggregate and no join
-    // back over the full posting set (one less full-posting exchange)
-    val hBlocks = hashed
-      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
-      .groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("members"))
+    // global doc frequency per shingle: a count aggregate, NOT a
+    // collect_list block build — count partially aggregates map-side,
+    // so the exchange carries ~one row per distinct shingle per
+    // partition instead of every posting, and the df table it produces
+    // is small enough for AQE to broadcast the join back onto the
+    // postings (no second full-posting exchange; at fleet scale AQE
+    // falls back to a shuffle join on h, which is what the collect_list
+    // formulation paid anyway)
+    val postings = hashed.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     // pos = the shingle's rank in the doc's rarest-first order (0-based)
-    // — carried into the blocks for PPJoin's positional filter
-    val prefixes = hBlocks
-      .select(col("h"), size(col("members")).as("df"), explode(col("members")).as("m"))
-      .groupBy(col("m.doc_id").as("doc_id"), col("m.n_sh").as("n_sh"))
-      .agg(collect_list(struct(col("df"), col("h"))).as("fh"))
-      .select(col("doc_id"), col("n_sh"),
-        posexplode(transform(
-          slice(array_sort(col("fh")), lit(1), prefixLen),
-          p => p.getField("h"))).as(Seq("pos", "h")))
+    // — carried into the blocks for PPJoin's positional filter. Ranking
+    // is a row_number window (one Tungsten sort exchange on doc_id),
+    // not a collect_list + array_sort + posexplode round-trip: no
+    // per-doc struct arrays ever materialize, and the sort runs on
+    // UnsafeRows inside the window operator. df = 1 prefix shingles
+    // are dropped AFTER pos is assigned: a singleton posting can never
+    // share a block with anything, and rarest-first ordering puts
+    // exactly those at the FRONT of every prefix — for mostly-unique
+    // shingle vocabularies (natural text) this removes the bulk of the
+    // prefix postings before they reach the block-building shuffle.
+    // pos keeps counting the dropped ranks, so the positional bound is
+    // unchanged.
+    val prefixes = postings
+      .join(dfs, "h")
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+      .filter(col("pos") < prefixLen && col("df") >= 2)
+      .select(col("doc_id"), col("n_sh"), col("pos"), col("h"))
     // candidate pairs from prefix-shingle blocks (in-block expansion,
     // no self-join); cap is a safety valve only — prefixes are rare
     // shingles, so blocks stay small by construction. Positional
@@ -154,30 +166,46 @@ object Dedup {
     // t/(1+t)·(n_a+n_b). Later co-occurrences of a pair may be
     // rejected wrongly, but the earliest one always passes, and any
     // single pass keeps the pair (dedup below) — completeness holds
-    // (and the unblocked oracle checks it).
-    val needed = (col("na") + col("nb")) * (threshold / (1.0 + threshold)) - lit(1e-9)
+    // (and the unblocked oracle checks it). The filter runs INSIDE the
+    // expansion lambda, before any pair struct exists: at low
+    // thresholds most in-block pairs fail it, so evaluating it per
+    // (a, b) probe — an int compare against array elements already in
+    // memory — keeps the rejected pairs out of the flatten buffer and
+    // the dropDuplicates exchange entirely, and the surviving rows
+    // carry bare 16-byte id pairs (sizes re-derive from the sets at
+    // verify time).
+    val tFrac = threshold / (1.0 + threshold)
     val candidates = prefixes.groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
       .filter(size(col("ms")).between(2, maxBlockSize))
-      .select(explode(pairsWithinSorted(col("ms"))).as("p"))
-      .select(
-        col("p.id_a.doc_id").as("id_a"), col("p.id_a.n_sh").as("na"), col("p.id_a.pos").as("pa"),
-        col("p.id_b.doc_id").as("id_b"), col("p.id_b.n_sh").as("nb"), col("p.id_b.pos").as("pb"))
-      .filter(
-        (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).cast("double")
-          >= needed)
-      .select("id_a", "id_b", "na", "nb") // na/nb functionally depend on the ids
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ms")) - 2),
+        i => {
+          val a = element_at(col("ms"), i + 1)
+          val na = a.getField("n_sh")
+          val ra = na - a.getField("pos") - 1 // shingles at rank > pos_a
+          transform(
+            filter(
+              slice(col("ms"), i + 2, size(col("ms")) - i - 1),
+              b => (lit(1) + least(ra, b.getField("n_sh") - b.getField("pos") - 1))
+                .cast("double") >= (na + b.getField("n_sh")) * tFrac - lit(1e-9)),
+            b => struct(
+              a.getField("doc_id").as("id_a"),
+              b.getField("doc_id").as("id_b")))
+        }))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verification on the hashed sets: overlap by merge scan
     // (arrays are sorted) — no per-pair hash set, no intersect array;
-    // c / (na + nb - c) is the same integer division as
+    // c / (|a| + |b| - c) is the same integer division as
     // |intersect| / |union|, bit-for-bit
     candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        col("c").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Stage-by-stage timing of the exact-Jaccard pair pipeline at a given
   * sf dir — identifies whether shingle build, frequency ranking,
-  * candidate expansion, or verification dominates.
+  * candidate expansion, or verification dominates. Mirrors the REAL
+  * `Dedup.ngramJaccardPairsFromHashed` stages and times each twice
+  * (second number is the warm/steady-state one).
   * Usage: runMain graft.tools.JaccardProfile [sfDir]
   */
 object JaccardProfile {
@@ -13,55 +15,83 @@ object JaccardProfile {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
 
-    def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    def timed2[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r1 = f
+      val t1 = System.nanoTime(); f
+      println(f"$label: cold ${(t1 - t0) / 1e9}%.2f s, warm ${(System.nanoTime() - t1) / 1e9}%.2f s  [$r1]")
+      r1
     }
 
+    val t = 0.3
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val hashed = graft.operators.Dedup.hashedShingleSets(docs, $"text", $"doc_id", 3).cache()
-    timed("hashed shingle sets (native kernel, build+cache)")(hashed.count())
-    val freq = hashed.select(explode(col("hs")).as("h")).groupBy("h").agg(count(lit(1)).as("df"))
-    timed("freq")(freq.count())
-    val t = 0.3
-    val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
-    val prefixes = hashed
+    timed2("shingles (cache build)")(hashed.count())
+
+    val hBlocks = hashed
       .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
-      .join(freq, "h")
-      .groupBy(col("doc_id"), col("n_sh"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("members"))
+    timed2("hBlocks")(hBlocks.count())
+    println("  postings=" + hashed.select(explode(col("hs"))).count()
+      + " blocks_ge2=" + hBlocks.filter(size(col("members")) >= 2).count())
+
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
+    val prefixes = hBlocks
+      .select(col("h"), size(col("members")).as("df"), explode(col("members")).as("m"))
+      .groupBy(col("m.doc_id").as("doc_id"), col("m.n_sh").as("n_sh"))
       .agg(collect_list(struct(col("df"), col("h"))).as("fh"))
       .select(col("doc_id"), col("n_sh"),
-        posexplode(transform(slice(array_sort(col("fh")), lit(1), prefixLen),
-          p => p.getField("h"))).as(Seq("pos", "h"))).cache()
-    timed("prefixes")(prefixes.count())
-    val needed = (col("na") + col("nb")) * (t / (1.0 + t)) - lit(1e-9)
-    val candidates = prefixes.groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"), col("pos"))).as("ms"))
+        posexplode(slice(array_sort(col("fh")), lit(1), prefixLen)).as(Seq("pos", "p")))
+      .filter(col("p.df") >= 2)
+      .select(col("doc_id"), col("n_sh"), col("pos"), col("p.h").as("h"))
+    timed2("prefixes (df>=2)")(prefixes.count())
+
+    val tFrac = t / (1.0 + t)
+    val blocks = prefixes.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
       .filter(size(col("ms")).between(2, 100000))
-      .select(explode(expr("flatten(transform(sequence(0, size(sort_array(ms)) - 2), " +
-        "i -> transform(slice(sort_array(ms), i + 2, size(sort_array(ms)) - i - 1), " +
-        "b -> struct(element_at(sort_array(ms), i + 1) as id_a, b as id_b))))")).as("p"))
-      .select(
-        col("p.id_a.doc_id").as("id_a"), col("p.id_a.n_sh").as("na"), col("p.id_a.pos").as("pa"),
-        col("p.id_b.doc_id").as("id_b"), col("p.id_b.n_sh").as("nb"), col("p.id_b.pos").as("pb"))
-      .filter((lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)).cast("double") >= needed)
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b").cache()
-    timed("candidates")(println("  n_cand=" + candidates.count()))
-    val verified = candidates
+    timed2("prefix blocks>=2")(blocks.count())
+    println("  sum m^2 = " + blocks.select(sum(size(col("ms")) * size(col("ms")))).first().get(0))
+
+    val candidates = blocks
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ms")) - 2),
+        i => {
+          val a = element_at(col("ms"), i + 1)
+          val na = a.getField("n_sh")
+          val ra = na - a.getField("pos") - 1
+          transform(
+            filter(
+              slice(col("ms"), i + 2, size(col("ms")) - i - 1),
+              b => (lit(1) + least(ra, b.getField("n_sh") - b.getField("pos") - 1))
+                .cast("double") >= (na + b.getField("n_sh")) * tFrac - lit(1e-9)),
+            b => struct(
+              a.getField("doc_id").as("id_a"),
+              b.getField("doc_id").as("id_b")))
+        }))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    timed2("expansion (pre-dedup)")(candidates.count())
+    val deduped = candidates.dropDuplicates("id_a", "id_b").cache()
+    timed2("dedup (cache build)")(deduped.count())
+
+    val verified = deduped
       .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
-      .filter(col("jaccard") >= 0.3)
-    timed("verify")(println("  n_pairs=" + verified.count()))
+        col("c").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= t)
+    timed2("verify")(verified.count())
+
+    timed2("END TO END (fresh, shingles cached)")(
+      graft.operators.Dedup.ngramJaccardPairsFromHashed(hashed, t).count())
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ object MrfGold {
   private val FileName = "mrf_q43.json"
   private val Payer = "graft-test-payer"
 
-  private[queries] def buildJson(parts: Seq[(Long, String)]): String = {
+  private[queries] def buildJson(parts: Seq[(Long, String)], groups: Seq[Long]): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("reporting_entity_name", Payer)
@@ -46,9 +46,13 @@ object MrfGold {
     root.put("last_updated_on", "2024-01-01")
     root.put("version", "1.0.0")
     val provRefs = root.putArray("provider_references")
-    (1 to 10).foreach { g =>
+    // group ids COME FROM the supplier table (mirroring the oracle's
+    // `FROM supplier WHERE s_suppkey <= 10`) — a dataset with fewer
+    // suppliers then drops the same rate rows on both sides instead of
+    // silently diverging from a fabricated 1..10
+    groups.foreach { g =>
       val ref = provRefs.addObject()
-      ref.put("provider_group_id", g.toLong)
+      ref.put("provider_group_id", g)
       val groups = ref.putArray("provider_groups")
       val g1 = groups.addObject()
       val n1 = g1.putArray("npi"); n1.add(g * 100L + 1); n1.add(g * 100L + 2)
@@ -107,10 +111,14 @@ object MrfGold {
       .filter($"p_partkey" <= 40)
       .select($"p_partkey", $"p_name")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val groups = s.read.parquet(s"$d/supplier.parquet")
+      .filter($"s_suppkey" <= 10)
+      .select($"s_suppkey")
+      .collect().map(_.getLong(0)).toSeq.sorted
     val dir = java.nio.file.Files.createTempDirectory("q43_mrf")
     val file = dir.resolve(FileName)
     try {
-      java.nio.file.Files.writeString(file, buildJson(parts))
+      java.nio.file.Files.writeString(file, buildJson(parts, groups))
       // bronze arrives through the real streaming source (the
       // reference's deployment shape); AvailableNow ends the stream at
       // the terminal offset and the memory sink materializes bronze,
@@ -122,8 +130,13 @@ object MrfGold {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(300000),
+      // stop() on the failure path too: a hung stream must not keep
+      // running (and reading the staged file the finally deletes)
+      // after the timeout propagates; stop() after normal termination
+      // is a no-op
+      try require(q.awaitTermination(300000),
         "q43 bronze stream did not terminate within 300s — refusing a partial bronze")
+      finally q.stop()
       val bronzeTable = s.table(name)
       val schema = bronzeTable.schema
       val rows = bronzeTable.collect()

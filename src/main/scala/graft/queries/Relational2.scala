@@ -364,8 +364,12 @@ object Relational2 {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(300000),
+      // stop() on the failure path too — a hung stream must not keep
+      // running (and holding its memory sink) after the timeout
+      // propagates; stop() after normal termination is a no-op
+      try require(q.awaitTermination(300000),
         "q19 stream did not terminate within 300s — refusing to return a partial result")
+      finally q.stop()
       // materialize the result locally and DROP the memory-sink table:
       // otherwise every invocation pins a full result copy in driver
       // memory for the session's lifetime

@@ -68,39 +68,56 @@ object Gunzip {
               fs.getFileStatus(path).getModificationTime
         if (siblingFresh) return target
         val lock = locks.computeIfAbsent(target.toString, _ => new Object)
-        lock.synchronized {
-          if (siblingFresh) return target // another thread just won
-          // UNIQUE temp per attempt: concurrent writers outside this
-          // JVM's lock (another driver) each write their own file and
-          // contend only at the atomic rename, never inside the bytes
-          val tmp = new Path(path.getParent,
-            "." + target.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
-          val in = decodeStream(name, fs.open(path))
-          try {
-            val out = fs.create(tmp, true)
-            try {
-              val buf = new Array[Byte](1 << 20)
-              var n = in.read(buf)
-              while (n >= 0) {
-                if (n > 0) out.write(buf, 0, n)
-                n = in.read(buf)
-              }
-            } finally out.close()
-          } finally in.close()
-          // delete ONLY a genuinely stale sibling; if a concurrent
-          // writer materialized a fresh one meanwhile, keep theirs
-          if (siblingFresh) {
-            fs.delete(tmp, false)
-            return target
-          }
-          fs.delete(target, false) // stale sibling, if any
-          if (!fs.rename(tmp, target)) {
-            fs.delete(tmp, false)
-            if (!fs.exists(target))
-              throw new java.io.IOException(s"failed to materialize $target")
-          }
-          target
-        }
+        try lockedMaterialize(lock, fs, path, target, name, () => siblingFresh)
+        finally
+          // evict so the map doesn't grow one entry per archive forever
+          // on long-lived drivers; a racer that grabbed the same lock
+          // object still holds a working monitor, and one that maps a
+          // FRESH object merely risks a duplicate materialization,
+          // which the unique-temp + stale-only-delete protocol already
+          // tolerates (it is the cross-JVM story)
+          locks.remove(target.toString, lock)
     }
   }
+
+  private def lockedMaterialize(
+      lock: Object,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: Path,
+      target: Path,
+      name: String,
+      siblingFresh: () => Boolean): Path =
+    lock.synchronized {
+      if (siblingFresh()) return target // another thread just won
+      // UNIQUE temp per attempt: concurrent writers outside this
+      // JVM's lock (another driver) each write their own file and
+      // contend only at the atomic rename, never inside the bytes
+      val tmp = new Path(path.getParent,
+        "." + target.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+      val in = decodeStream(name, fs.open(path))
+      try {
+        val out = fs.create(tmp, true)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally out.close()
+      } finally in.close()
+      // delete ONLY a genuinely stale sibling; if a concurrent
+      // writer materialized a fresh one meanwhile, keep theirs
+      if (siblingFresh()) {
+        fs.delete(tmp, false)
+        return target
+      }
+      fs.delete(target, false) // stale sibling, if any
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        if (!fs.exists(target))
+          throw new java.io.IOException(s"failed to materialize $target")
+      }
+      target
+    }
 }

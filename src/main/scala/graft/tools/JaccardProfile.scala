@@ -33,24 +33,21 @@ object JaccardProfile {
     val hashed = graft.operators.Dedup.hashedShingleSets(docs, $"text", $"doc_id", 3).cache()
     timed2("shingles (cache build)")(hashed.count())
 
-    val hBlocks = hashed
-      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
-      .groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("members"))
-    timed2("hBlocks")(hBlocks.count())
-    println("  postings=" + hashed.select(explode(col("hs"))).count()
-      + " blocks_ge2=" + hBlocks.filter(size(col("members")) >= 2).count())
+    val postings = hashed.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    timed2("dfs (count agg)")(dfs.count())
+    println("  postings=" + postings.count()
+      + " shingles_ge2=" + dfs.filter(col("df") >= 2).count())
 
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
-    val prefixes = hBlocks
-      .select(col("h"), size(col("members")).as("df"), explode(col("members")).as("m"))
-      .groupBy(col("m.doc_id").as("doc_id"), col("m.n_sh").as("n_sh"))
-      .agg(collect_list(struct(col("df"), col("h"))).as("fh"))
-      .select(col("doc_id"), col("n_sh"),
-        posexplode(slice(array_sort(col("fh")), lit(1), prefixLen)).as(Seq("pos", "p")))
-      .filter(col("p.df") >= 2)
-      .select(col("doc_id"), col("n_sh"), col("pos"), col("p.h").as("h"))
-    timed2("prefixes (df>=2)")(prefixes.count())
+    val prefixes = postings
+      .join(dfs, "h")
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+      .filter(col("pos") < prefixLen && col("df") >= 2)
+      .select(col("doc_id"), col("n_sh"), col("pos"), col("h"))
+    timed2("prefixes (join+window, df>=2)")(prefixes.count())
 
     val tFrac = t / (1.0 + t)
     val blocks = prefixes.groupBy("h")

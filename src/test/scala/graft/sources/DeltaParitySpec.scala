@@ -29,8 +29,13 @@ class DeltaParitySpec extends SparkTestBase {
     assume(deltaOnClasspath,
       "delta-spark not on classpath — Delta parity documented in README, " +
         "spec runs wherever the jars exist")
-    // Delta requires its extension + catalog at session build time, so
-    // gate-passing runs get a dedicated session (base confs inherited)
+    // Delta requires its extension at session BUILD time —
+    // spark.sql.extensions is a static conf, so getOrCreate against an
+    // already-created JVM session silently skips it (warning only).
+    // Verify the extension actually landed and cancel with guidance
+    // when a shared session predates this spec: running the suite
+    // standalone (`sbt "testOnly graft.sources.DeltaParitySpec"`)
+    // makes this builder the session creator and the conf takes.
     val prev = SparkSession.getActiveSession
     val s = SparkSession.builder()
       .master("local[4]")
@@ -41,7 +46,14 @@ class DeltaParitySpec extends SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    val extensionApplied =
+      try s.conf.get("spark.sql.extensions").contains("DeltaSparkSessionExtension")
+      catch { case _: Exception => false }
     try {
+      assume(extensionApplied,
+        "a shared SparkSession predates this spec, so the static conf " +
+          "spark.sql.extensions could not be injected — run standalone: " +
+          "sbt \"testOnly graft.sources.DeltaParitySpec\"")
       val src = MrfFixtures.writeTemp("delta_ffs.json", MrfFixtures.ffs).getAbsolutePath
       val out = Files.createTempDirectory("mrf-delta-out").toString
       val ckpt = Files.createTempDirectory("mrf-delta-ckpt").toString

@@ -84,6 +84,11 @@ object Multimodal {
   def decode(media: DataFrame, codec: MediaCodec): Dataset[DecodedMeta] = {
     val enc = Encoders.product[DecodedMeta]
     media.select(col("media_id"), col("media"))
+      // null payloads (e.g. a null source column wrapped by asMedia)
+      // drop here rather than NPE-ing inside a codec that reasonably
+      // assumes bytes — matching the corrupt-input-drops convention of
+      // the rest of the pipeline
+      .filter(col("media").isNotNull)
       .mapPartitions { rows =>
         codec.open()
         val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -121,7 +126,11 @@ object Multimodal {
     * emit one row per sampled frame (every `stride`-th window) — the
     * partition/grain story of video-frame extraction, minus the codec.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    // stride = 0 would make `frame_no % stride` NULL and silently drop
+    // every row; fail fast instead
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media.select(
       col("media_id"), col("byte_len"),
       posexplode(
@@ -136,4 +145,5 @@ object Multimodal {
         col("media_id"), col("frame_no"),
         length(col("frame")).cast("long").as("frame_bytes"),
         xxhash64(col("frame")).as("frame_hash"))
+  }
 }

@@ -76,7 +76,14 @@ object MrfPipeline {
     * group), header entity columns attached (`01_payer_mrf_demo.py:
     * 148-159`). Remote `location` variants keep a row with null npi/tin.
     */
-  def providerReferencesXPayer(bronze: DataFrame): DataFrame = {
+  def providerReferencesXPayer(bronze: DataFrame): DataFrame =
+    providerReferencesXPayer(bronze, header(bronze))
+
+  /** [[providerReferencesXPayer]] reusing an already-built [[header]]
+    * frame — `silver()` passes its own, so one silver star plans one
+    * header scan branch, not two.
+    */
+  def providerReferencesXPayer(bronze: DataFrame, hdr: DataFrame): DataFrame = {
     val refs = items(bronze, "provider_references", MrfSchema.providerReference)
       .select(
         col("file_name"),
@@ -86,7 +93,7 @@ object MrfPipeline {
       .select(
         col("file_name"), col("provider_group_id"), col("location"),
         col("g.npi").as("npi"), col("g.tin").as("tin"))
-    val h = header(bronze)
+    val h = hdr
       .select(col("file_name"), col("reporting_entity_name"), col("reporting_entity_type"))
     // per-file attribution; broadcast — one small row per file
     refs.join(broadcast(h), Seq("file_name"), "left")
@@ -176,6 +183,21 @@ object MrfPipeline {
       col("sk_rate_id"), col("sk_in_network_id"), col("file_name"),
       explode(col("rate.provider_references")).as("provider_reference_id"))
 
+  /** Silver: INLINE `provider_groups` carried directly on a rate — the
+    * CMS variant WITHOUT the `provider_references` indirection
+    * (`MrfSchema.negotiatedRate` models both). One row per (rate,
+    * inline group). The reference's silver never surfaces this branch;
+    * without it every price on an inline-group rate silently vanishes
+    * from gold.
+    */
+  def inNetworkRateProviderGroups(rates: DataFrame): DataFrame =
+    rates.select(
+      col("sk_rate_id"), col("sk_in_network_id"), col("file_name"),
+      explode(col("rate.provider_groups")).as("g"))
+      .select(
+        col("sk_rate_id"), col("sk_in_network_id"), col("file_name"),
+        col("g.npi").as("npi"), col("g.tin").as("tin"))
+
   /** Gold: the reference's "shoppable prices" lookup
     * (`01_payer_mrf_demo.py:223-238`): for a billing code and a provider
     * TIN, every negotiated FFS price with the provider group's NPIs.
@@ -214,6 +236,35 @@ object MrfPipeline {
         col("provider_group_id"), col("npi"), col("tin"))
   }
 
+  /** Gold over a full [[Silver]] bundle: BOTH provider variants —
+    * group-id references resolved through provider_references_x_payer,
+    * AND inline per-rate provider_groups (provider_group_id is null on
+    * those rows; entity attribution comes from the header by file).
+    */
+  def shoppablePrices(s: Silver, billingCode: String, tinValue: String): DataFrame = {
+    val viaRefs = shoppablePrices(
+      s.codes, s.prices, s.parProviders, s.providersXPayer, billingCode, tinValue)
+    val h = s.header
+      .select(col("file_name").as("h_file_name"), col("reporting_entity_name"))
+    val inline = s.codes
+      .filter(col("billing_code") === billingCode &&
+        col("negotiation_arrangement") === "ffs")
+      .select("sk_in_network_id", "file_name", "billing_code", "billing_code_type", "name")
+      .join(s.prices.drop("file_name"), "sk_in_network_id")
+      .join(
+        s.rateProviderGroups
+          .filter(col("tin.value") === tinValue)
+          .select(col("sk_rate_id"), col("npi"), col("tin")),
+        "sk_rate_id")
+      .join(broadcast(h), col("file_name") === col("h_file_name"), "left")
+      .select(
+        col("file_name"), col("reporting_entity_name"), col("billing_code"),
+        col("billing_code_type"), col("name"), col("negotiated_rate"),
+        col("billing_class"), col("service_code"), col("expiration_date"),
+        lit(null).cast("long").as("provider_group_id"), col("npi"), col("tin"))
+    viaRefs.unionByName(inline)
+  }
+
   /** Convenience: all silver tables from one bronze frame. */
   final case class Silver(
       header: DataFrame,
@@ -222,18 +273,21 @@ object MrfPipeline {
       rates: DataFrame,
       prices: DataFrame,
       parProviders: DataFrame,
+      rateProviderGroups: DataFrame,
       bundledCodes: DataFrame)
 
   def silver(bronze: DataFrame): Silver = {
     val c = inNetworkCodes(bronze)
     val r = inNetworkRates(c)
+    val h = header(bronze)
     Silver(
-      header = header(bronze),
-      providersXPayer = providerReferencesXPayer(bronze),
+      header = h,
+      providersXPayer = providerReferencesXPayer(bronze, h),
       codes = c.drop("negotiated_rates"),
       rates = r.drop("rate"),
       prices = inNetworkPrices(r),
       parProviders = inNetworkParProviders(r),
+      rateProviderGroups = inNetworkRateProviderGroups(r),
       bundledCodes = bundledCodes(c))
   }
 }

@@ -113,14 +113,28 @@ object LlmOps {
        |emitted AS (SELECT * FROM read_parquet('{{OUT}}/$outName/*.parquet')),
        |joined AS (SELECT m.query_id, m.corpus_id, s.cosine
        |  FROM emitted m JOIN scored s ON m.query_id = s.query_id AND m.corpus_id = s.corpus_id
-       |    AND abs(m.cosine - s.cosine) < 1e-9)
+       |    AND abs(m.cosine - s.cosine) < 1e-9),
+       |-- ok = recall floor reached AND no query over-emits past k (an
+       |-- over-emitting top-k would otherwise self-ratify: its ranks are
+       |-- recomputed from the emitted set itself); when NOT ok the oracle
+       |-- returns a POISON row instead of an empty set, so a completely
+       |-- empty Spark result can never be vacuously green
+       |flag AS (SELECT (
+       |    (SELECT count(*) FROM emitted m
+       |       JOIN exact_topk t ON m.query_id = t.query_id AND m.corpus_id = t.corpus_id)
+       |      >= $recallFloor * (SELECT count(*) FROM exact_topk)
+       |    AND (SELECT coalesce(max(c), 0) FROM
+       |           (SELECT count(*) AS c FROM emitted GROUP BY query_id)) <= $k
+       |  ) AS ok)
        |SELECT query_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
        |  corpus_id, cosine
        |FROM joined
-       |WHERE (SELECT count(*) FROM emitted m
-       |       JOIN exact_topk t ON m.query_id = t.query_id AND m.corpus_id = t.corpus_id)
-       |  >= $recallFloor * (SELECT count(*) FROM exact_topk)
+       |WHERE (SELECT ok FROM flag)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS INT) AS rank,
+       |  CAST(-1 AS BIGINT) AS corpus_id, CAST(-999 AS DOUBLE) AS cosine
+       |WHERE NOT (SELECT ok FROM flag)
        |ORDER BY query_id, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -248,12 +262,20 @@ object LlmOps {
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH ${sqlExactJaccardCteFrom("documents")},
-              |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q26_dedup_minhash_lsh/*.parquet'))
+              |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q26_dedup_minhash_lsh/*.parquet')),
+              |flag AS (SELECT
+              |  ((SELECT count(*) FROM emitted) >= 0.9 * (SELECT count(*) FROM exact)) AS ok)
               |SELECT e.id_a, e.id_b, x.jaccard
               |FROM emitted e JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
               |  AND abs(e.jaccard - x.jaccard) < 1e-9
-              |WHERE (SELECT count(*) FROM emitted) >= 0.9 * (SELECT count(*) FROM exact)
-              |ORDER BY e.id_a, e.id_b""".stripMargin),
+              |WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |-- poison row on recall failure: an EMPTY Spark result must
+              |-- mismatch, not match an empty oracle
+              |SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+              |  CAST(-999 AS DOUBLE) AS jaccard
+              |WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
     // Full independent oracle: the portable 60-bit md5 SimHash is
@@ -297,12 +319,20 @@ object LlmOps {
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
              |  WHERE list_dot_product(a.v, b.v)
              |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
-             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q28_dedup_embedding/*.parquet'))
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q28_dedup_embedding/*.parquet')),
+             |flag AS (SELECT
+             |  ((SELECT count(*) FROM emitted) >= 0.9 * (SELECT count(*) FROM exact)) AS ok)
              |SELECT m.id_a, m.id_b, x.cosine
              |FROM emitted m JOIN exact x ON m.id_a = x.id_a AND m.id_b = x.id_b
              |  AND abs(m.cosine - x.cosine) < 1e-9
-             |WHERE (SELECT count(*) FROM emitted) >= 0.9 * (SELECT count(*) FROM exact)
-             |ORDER BY m.id_a, m.id_b""".stripMargin)),
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |-- poison row on recall failure: an EMPTY Spark result must
+             |-- mismatch, not match an empty oracle
+             |SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+             |  CAST(-999 AS DOUBLE) AS cosine
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- near-dup cluster resolution: pairs → connected components →
     // canonical survivor per cluster. Oracle: transitive closure by
@@ -352,18 +382,15 @@ object LlmOps {
           $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5)
           .orderBy($"query_id", $"rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-             |scored AS (
-             |  SELECT query_id, e.vec_id AS corpus_id,
-             |    list_dot_product(qv, v)
-             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-             |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id)
-             |SELECT query_id, rank, corpus_id, cosine FROM (
-             |  SELECT *, row_number() OVER (ORDER BY query_id, cosine DESC, corpus_id) AS rn,
-             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
-             |  FROM scored)
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      // exact top-k: the shared scoring CTE (also the base of the
+      // q30/q38 soundness oracles) ranked per query — one definition of
+      // the exact cosine, not a drifting copy
+      Some(s"""WITH $sqlAnnScoredCte
+              |SELECT query_id, rank, corpus_id, cosine FROM (
+              |  SELECT *,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       bench = true),
 
     Q(

@@ -143,9 +143,11 @@ object MrfGold {
       s.catalog.dropTempView(name)
       val bronze = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       val sv = MrfPipeline.silver(bronze)
-      MrfPipeline.shoppablePrices(
-        sv.codes, sv.prices, sv.parProviders, sv.providersXPayer,
-        billingCode = "7", tinValue = "TIN-8")
+      // the Silver-bundle overload: BOTH provider variants (the staged
+      // document only uses group-id references, so the inline branch
+      // contributes zero rows — but the union plan is what runs under
+      // the oracle)
+      MrfPipeline.shoppablePrices(sv, billingCode = "7", tinValue = "TIN-8")
         .select(
           $"file_name", $"reporting_entity_name", $"billing_code",
           $"billing_code_type", $"name", $"negotiated_rate", $"billing_class",

@@ -11,15 +11,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * oracle: a session is a maximal run of a user's events with
   * consecutive gaps ≤ `gap`.
   */
-object Sessionize {
+// Serializable: the flatMapGroupsWithState closure calls the object's
+// µs-conversion helpers, so the (stateless) module ships with the task
+object Sessionize extends Serializable {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
   // total accumulates as an exact decimal (scale 6, HALF_UP per event —
   // mirroring the batch twin's cast to decimal(18,6) before summing) so
-  // stream/batch parity cannot drift by a ulp from double fold order
+  // stream/batch parity cannot drift by a ulp from double fold order.
+  // start/last are event-time MICROSECONDS: the batch twin compares
+  // fractional-second doubles (µs-precision timestamps), so a
+  // millisecond-truncated getTime would split/merge sub-ms boundary
+  // gaps differently than the oracle
   final case class SessionState(
       start: Long, last: Long, n: Int, total: BigDecimal)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   final case class Session(
       user_id: Long,
@@ -71,10 +86,10 @@ object Sessionize {
       stragglerTimeout: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     def toSession(uid: Long, s: SessionState): Session = Session(
-      uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-      s.n, s.total.toDouble)
+      uid, toTimestamp(s.start), toTimestamp(s.last), s.n, s.total.toDouble)
 
     def dec(v: Double): BigDecimal =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
@@ -93,34 +108,48 @@ object Sessionize {
             state.remove()
             out
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
+            // 1. gap-split THIS batch's events (sorted, so runs only
+            //    ever extend forward) into session runs
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
+            val runs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // a late event may predate the session start — extend
-                  // BOTH bounds, or session_start disagrees with the
-                  // batch oracle's min(ts)
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + dec(e.value)))
-                case Some(s) =>
-                  closed += toSession(uid, s)
-                  cur = Some(SessionState(t, t, 1, dec(e.value)))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, dec(e.value)))
+              val t = micros(e.ts)
+              runs.lastOption match {
+                case Some(s) if t - s.last <= gapUs =>
+                  runs(runs.length - 1) = s.copy(
+                    last = t, n = s.n + 1, total = s.total + dec(e.value))
+                case _ => runs += SessionState(t, t, 1, dec(e.value))
               }
             }
-            cur match {
+            // 2. coalesce the carried-over open session with the runs
+            //    in CHRONOLOGICAL order — a cross-batch straggler run
+            //    merges only when it is genuinely within the gap of the
+            //    open session (the old unconditional `t <= last + gap`
+            //    test swallowed arbitrarily old events into the current
+            //    session); a run older than that closes as its own
+            //    session, exactly as the batch twin splits it
+            val all = (state.getOption.toSeq ++ runs).sortBy(s => (s.start, s.last))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            all.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.start - p.last <= gapUs =>
+                  merged(merged.length - 1) = SessionState(
+                    math.min(p.start, s.start), math.max(p.last, s.last),
+                    p.n + s.n, p.total + s.total)
+                case _ => merged += s
+              }
+            }
+            // 3. everything but the chronologically-last session is
+            //    final (nothing later in event time can re-open it
+            //    within this state model); the last stays open
+            val closed = merged.dropRight(1).map(toSession(uid, _))
+            merged.lastOption match {
               case Some(s) =>
                 state.update(s)
                 if (stragglerTimeout) state.setTimeoutDuration(gapMs)
               case None => state.remove()
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

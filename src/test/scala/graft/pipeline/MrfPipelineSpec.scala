@@ -108,6 +108,25 @@ class MrfPipelineSpec extends SparkTestBase {
     val s = MrfPipeline.silver(bronze)
     assert(s.codes.count() == 1 && s.prices.count() == 1)
     assert(s.parProviders.count() == 0) // inline groups, no int refs
+    // the inline provider_groups variant surfaces through its own
+    // silver table...
+    assert(s.rateProviderGroups.count() == 1)
+    val g = s.rateProviderGroups.first()
+    assert(g.getAs[org.apache.spark.sql.Row]("tin").getAs[String]("value") == "55-5555555")
+    // ...and reaches gold via the Silver-bundle overload (it used to
+    // vanish: the refs-only join path sees no provider rows at all)
+    val gold = MrfPipeline.shoppablePrices(s, billingCode = "71045", tinValue = "55-5555555")
+    val rows = gold.collect()
+    assert(rows.length == 1, s"inline-group price missing from gold: ${rows.toSeq}")
+    assert(rows.head.getAs[Double]("negotiated_rate") == 55.0)
+    assert(rows.head.getAs[String]("reporting_entity_name") == "graft multi")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("provider_group_id")))
+    // a refs-variant file through the same overload is unchanged
+    val ffsBronzeS = MrfPipeline.silver(
+      spark.read.format("payer-mrf")
+        .load(MrfFixtures.writeTemp("ffs.json", MrfFixtures.ffs).getAbsolutePath))
+    val goldRefs = MrfPipeline.shoppablePrices(ffsBronzeS, "27447", "11-1111111")
+    assert(goldRefs.collect().head.getAs[Double]("negotiated_rate") == 123.45)
   }
 
   test("bundle arrangement: bundled_codes survive the parse") {

@@ -84,4 +84,79 @@ class SessionizeSpec extends SparkTestBase {
       assert(s.session_end == ts(10) && s.n_events == 2 && s.total_value == 3.0)
     } finally q.stop()
   }
+
+  test("a straggler older than the open session by more than the gap closes separately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.streaming(input.toDS(), gapMinutes = 10,
+      stragglerTimeout = false)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessionize_straggler_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1 opens a session at ts=240 (4h); batch 2 delivers two
+      // stragglers around ts=0 — 4 hours BEFORE the open session. The
+      // old signed gap test (t - last <= gap) merged them into one
+      // 4-hour session; the batch twin splits them, and so must we:
+      // the straggler pair closes as its own session, the ts=240
+      // session stays open (and closes when ts=300 exceeds the gap)
+      input.addData(Sessionize.Event(9L, ts(240), 1.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(9L, ts(0), 2.0), Sessionize.Event(9L, ts(5), 3.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(9L, ts(300), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessionize_straggler_out")
+        .as[Sessionize.Session].collect().sortBy(_.session_start.getTime)
+      assert(closed.length == 2, s"expected straggler pair + first session, got ${closed.toSeq}")
+      assert(closed(0).session_start == ts(0) && closed(0).session_end == ts(5) &&
+        closed(0).n_events == 2 && closed(0).total_value == 5.0)
+      assert(closed(1).session_start == ts(240) && closed(1).session_end == ts(240) &&
+        closed(1).n_events == 1 && closed(1).total_value == 1.0)
+
+      // batch twin on the union agrees: 3 sessions total
+      val batch = Sessionize.batch(Seq(
+        Sessionize.Event(9L, ts(240), 1.0), Sessionize.Event(9L, ts(0), 2.0),
+        Sessionize.Event(9L, ts(5), 3.0), Sessionize.Event(9L, ts(300), 4.0)).toDF(),
+        gapMinutes = 10).collect()
+      assert(batch.length == 3)
+    } finally q.stop()
+  }
+
+  test("sub-millisecond boundary gaps split exactly like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def tsMicro(sec: Long, micro: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos(micro * 1000)
+      t
+    }
+    // gap=1min; second event at exactly gap + 500µs — a ms-truncated
+    // comparison sees exactly 60000ms (merge), µs precision sees
+    // 60000500µs > gap (split), matching batch's fractional doubles
+    val e1 = Sessionize.Event(11L, tsMicro(0, 0), 1.0)
+    val e2 = Sessionize.Event(11L, tsMicro(60, 500), 2.0)
+    val e3 = Sessionize.Event(11L, tsMicro(7200, 0), 3.0)
+
+    val batch = Sessionize.batch(Seq(e1, e2, e3).toDF(), gapMinutes = 1).collect()
+    assert(batch.length == 3, s"batch twin should split at +500µs: ${batch.toSeq}")
+
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streaming(input.toDS(), gapMinutes = 1, stragglerTimeout = false)
+      .writeStream.format("memory").queryName("sessionize_micro_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(e1, e2, e3)
+      q.processAllAvailable()
+      val closed = spark.table("sessionize_micro_out").as[Sessionize.Session].collect()
+      assert(closed.length == 2, s"stream must split at +500µs like batch: ${closed.toSeq}")
+      assert(closed.map(_.n_events).toSeq == Seq(1, 1))
+      // emitted timestamps round-trip the microsecond component
+      assert(closed.exists(_.session_start == tsMicro(60, 500)))
+    } finally q.stop()
+  }
 }

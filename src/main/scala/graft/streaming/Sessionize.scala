@@ -80,6 +80,49 @@ object Sessionize extends Serializable {
     * otherwise). Input must be a STREAMING Dataset[Event]; output
     * appends closed sessions.
     */
+  private def dec(v: Double): BigDecimal =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** One micro-batch's state transition, PURE (property-tested against
+    * an independent batch reference in SessionizeSpec): gap-split the
+    * batch's (micros, value) events into session runs, coalesce them
+    * with the carried-over open session in chronological order, close
+    * everything but the chronologically-last session. A cross-batch
+    * straggler run merges only when genuinely within the gap of its
+    * neighbor (an unconditional `t <= last + gap` test would swallow
+    * arbitrarily old events into the current session); nothing later in
+    * event time can re-open a closed predecessor within this state
+    * model, so the dropped sessions are final.
+    */
+  private[streaming] def advance(
+      state: Option[SessionState],
+      batch: Seq[(Long, Double)],
+      gapUs: Long): (Seq[SessionState], Option[SessionState]) = {
+    // 1. gap-split THIS batch (sorted, so runs only extend forward)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    batch.sortBy(identity).foreach { case (t, v) =>
+      runs.lastOption match {
+        case Some(s) if t - s.last <= gapUs =>
+          runs(runs.length - 1) = s.copy(last = t, n = s.n + 1, total = s.total + dec(v))
+        case _ => runs += SessionState(t, t, 1, dec(v))
+      }
+    }
+    // 2. coalesce with the open session in chronological order
+    val all = (state.toSeq ++ runs).sortBy(s => (s.start, s.last))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    all.foreach { s =>
+      merged.lastOption match {
+        case Some(p) if s.start - p.last <= gapUs =>
+          merged(merged.length - 1) = SessionState(
+            math.min(p.start, s.start), math.max(p.last, s.last),
+            p.n + s.n, p.total + s.total)
+        case _ => merged += s
+      }
+    }
+    // 3. all but the chronologically-last close; the last stays open
+    (merged.dropRight(1).toSeq, merged.lastOption)
+  }
+
   def streaming(
       events: Dataset[Event],
       gapMinutes: Int,
@@ -90,9 +133,6 @@ object Sessionize extends Serializable {
 
     def toSession(uid: Long, s: SessionState): Session = Session(
       uid, toTimestamp(s.start), toTimestamp(s.last), s.n, s.total.toDouble)
-
-    def dec(v: Double): BigDecimal =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
 
     val timeoutConf =
       if (stragglerTimeout) GroupStateTimeout.ProcessingTimeTimeout()
@@ -108,48 +148,15 @@ object Sessionize extends Serializable {
             state.remove()
             out
           } else {
-            // 1. gap-split THIS batch's events (sorted, so runs only
-            //    ever extend forward) into session runs
-            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
-            val runs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              runs.lastOption match {
-                case Some(s) if t - s.last <= gapUs =>
-                  runs(runs.length - 1) = s.copy(
-                    last = t, n = s.n + 1, total = s.total + dec(e.value))
-                case _ => runs += SessionState(t, t, 1, dec(e.value))
-              }
-            }
-            // 2. coalesce the carried-over open session with the runs
-            //    in CHRONOLOGICAL order — a cross-batch straggler run
-            //    merges only when it is genuinely within the gap of the
-            //    open session (the old unconditional `t <= last + gap`
-            //    test swallowed arbitrarily old events into the current
-            //    session); a run older than that closes as its own
-            //    session, exactly as the batch twin splits it
-            val all = (state.getOption.toSeq ++ runs).sortBy(s => (s.start, s.last))
-            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-            all.foreach { s =>
-              merged.lastOption match {
-                case Some(p) if s.start - p.last <= gapUs =>
-                  merged(merged.length - 1) = SessionState(
-                    math.min(p.start, s.start), math.max(p.last, s.last),
-                    p.n + s.n, p.total + s.total)
-                case _ => merged += s
-              }
-            }
-            // 3. everything but the chronologically-last session is
-            //    final (nothing later in event time can re-open it
-            //    within this state model); the last stays open
-            val closed = merged.dropRight(1).map(toSession(uid, _))
-            merged.lastOption match {
+            val (closed, open) = advance(
+              state.getOption, it.map(e => (micros(e.ts), e.value)).toSeq, gapUs)
+            open match {
               case Some(s) =>
                 state.update(s)
                 if (stragglerTimeout) state.setTimeoutDuration(gapMs)
               case None => state.remove()
             }
-            closed.iterator
+            closed.map(toSession(uid, _)).iterator
           }
       }
   }

@@ -126,6 +126,75 @@ class SessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("property: advance() over in-order micro-batches == global gap-split; conservation under ANY batching") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import scala.collection.mutable.ArrayBuffer
+
+    def dec(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // independent reference: one pass over the globally-sorted events,
+    // split where the gap exceeds gapUs (pure integer-µs formulation)
+    def reference(sorted: Seq[(Long, Double)], gapUs: Long): Seq[(Long, Long, Int, BigDecimal)] = {
+      val groups = ArrayBuffer.empty[ArrayBuffer[(Long, Double)]]
+      sorted.foreach { case (t, v) =>
+        if (groups.nonEmpty && t - groups.last.last._1 <= gapUs) groups.last += ((t, v))
+        else groups += ArrayBuffer((t, v))
+      }
+      groups.map(g => (g.head._1, g.last._1, g.size,
+        g.foldLeft(BigDecimal(0))((a, e) => a + dec(e._2)))).toSeq
+    }
+    def drive(chunks: Seq[Seq[(Long, Double)]], gapUs: Long): Seq[Sessionize.SessionState] = {
+      var state: Option[Sessionize.SessionState] = None
+      val closed = ArrayBuffer.empty[Sessionize.SessionState]
+      chunks.foreach { c =>
+        val (cl, op) = Sessionize.advance(state, c, gapUs)
+        closed ++= cl
+        state = op
+      }
+      (closed ++ state.toSeq).toSeq
+    }
+
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 5000000L))
+      vs <- Gen.listOfN(n, Gen.choose(-700, 700).map(_ / 7.0))
+      gapUs <- Gen.choose(1L, 400000L)
+      cuts <- Gen.listOfN(6, Gen.choose(0, math.max(n, 1)))
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (ts.zip(vs), gapUs, cuts, seed)
+
+    val prop = Prop.forAll(gen) { case (events, gapUs, cuts, seed) =>
+      val sorted = events.sortBy(identity)
+      val ref = reference(sorted, gapUs)
+
+      // 1. EXACT parity when batches are consecutive chunks of the
+      //    event-time order (arbitrary chunk boundaries)
+      val bounds = (0 +: cuts.map(math.min(_, sorted.length)) :+ sorted.length).sorted
+      val ordered = bounds.zip(bounds.tail).map { case (a, b) => sorted.slice(a, b) }
+      val got = drive(ordered, gapUs)
+        .sortBy(s => (s.start, s.last))
+        .map(s => (s.start, s.last, s.n, s.total))
+      val orderedOk = got == ref
+
+      // 2. CONSERVATION under completely arbitrary (out-of-order)
+      //    batching: every event lands in exactly one emitted session,
+      //    totals conserve exactly, and each session is internally
+      //    gap-valid (the exact session SET may legitimately differ —
+      //    state keeps only the chronologically-last open session)
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val arbitrary = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+      val got2 = drive(arbitrary, gapUs)
+      val conserveOk =
+        got2.map(_.n).sum == events.length &&
+          got2.foldLeft(BigDecimal(0))((a, s) => a + s.total) ==
+            events.foldLeft(BigDecimal(0))((a, e) => a + dec(e._2)) &&
+          got2.forall(s => s.start <= s.last)
+
+      orderedOk && conserveOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sub-millisecond boundary gaps split exactly like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

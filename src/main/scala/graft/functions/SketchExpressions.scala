@@ -51,12 +51,16 @@ object SketchKernels {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < k) {
-        val g = XXH64.hashLong(h, i.toLong)
-        if (g < sig(i)) sig(i) = g
-        i += 1
+      if (!arr.isNullAt(j)) { // skip nulls like [[minhash]] — getLong on
+        // a null slot would silently read 0L and min every lane against
+        // the same constant, inflating similarity between unrelated docs
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val g = XXH64.hashLong(h, i.toLong)
+          if (g < sig(i)) sig(i) = g
+          i += 1
+        }
       }
       j += 1
     }

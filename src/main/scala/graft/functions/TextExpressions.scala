@@ -58,12 +58,18 @@ object TokenizeWords {
       val isWord = Character.isLetterOrDigit(cp)
       if (isWord && start < 0) start = i
       else if (!isWord && start >= 0) {
-        out += UTF8String.fromString(str.substring(start, i).toLowerCase)
+        // Locale.ROOT: default-locale toLowerCase breaks the asserted
+        // bit-equality with Spark's locale-independent lower() on e.g.
+        // Turkish-locale JVMs ("I" -> dotless i) — and would hash the
+        // same text differently on differently-configured executors
+        out += UTF8String.fromString(
+          str.substring(start, i).toLowerCase(java.util.Locale.ROOT))
         start = -1
       }
       i += Character.charCount(cp)
     }
-    if (start >= 0) out += UTF8String.fromString(str.substring(start).toLowerCase)
+    if (start >= 0)
+      out += UTF8String.fromString(str.substring(start).toLowerCase(java.util.Locale.ROOT))
     new GenericArrayData(out.toArray)
   }
 }
@@ -81,7 +87,16 @@ object GraftFunctions {
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) doRegister(spark)
+    // synchronized + mark-AFTER-success: a concurrent caller must not
+    // proceed while registration is mid-flight (it would hit "undefined
+    // function"), and a doRegister failure must not permanently mark
+    // the session registered with half the functions missing
+    registered.synchronized {
+      if (!java.lang.Boolean.TRUE.equals(registered.get(spark))) {
+        doRegister(spark)
+        registered.put(spark, java.lang.Boolean.TRUE)
+      }
+    }
 
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

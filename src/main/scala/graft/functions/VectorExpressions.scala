@@ -52,6 +52,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the result, exactly like the HOF's
+      // zip_with/aggregate — getDouble on a null slot would silently
+      // read 0.0 and a corrupted vector would score plausibly
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -78,11 +82,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = $a.getDouble($i);
          |    double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -105,6 +112,22 @@ object VectorKernels {
 
   def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
+    // empty vectors and vectors with null elements land in bucket 0 of
+    // every table — matching the HOF, whose dot is null there (empty
+    // aggregate/zip_with null-pad) and whose when(...).otherwise(0L)
+    // then contributes no bits. The kernel's raw loop would instead
+    // compute dot = 0.0 (>= 0) and set EVERY bit.
+    var corrupt = dim == 0
+    var ci = 0
+    while (!corrupt && ci < dim) {
+      if (v.isNullAt(ci)) corrupt = true
+      ci += 1
+    }
+    if (corrupt) {
+      val zeros = new Array[Any](tables)
+      java.util.Arrays.fill(zeros.asInstanceOf[Array[AnyRef]], java.lang.Long.valueOf(0L))
+      return new GenericArrayData(zeros)
+    }
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -151,12 +174,21 @@ object CentroidKernels {
     val k = cents.numElements()
     val t = math.min(top, k)
     val dim = v.numElements()
+    // a vector with null elements is corrupt: rank it worst against
+    // every centroid (like NaN / dimension mismatch) instead of letting
+    // getDouble read the null slots as 0.0 and assign it plausibly
+    var corrupt = false
+    var ni = 0
+    while (!corrupt && ni < dim) {
+      if (v.isNullAt(ni)) corrupt = true
+      ni += 1
+    }
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
       val cent = cents.getArray(c)
       sims(c) =
-        if (cent.numElements() != dim) Double.NegativeInfinity
+        if (corrupt || cent.numElements() != dim) Double.NegativeInfinity
         else {
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < dim) {

@@ -15,6 +15,7 @@ private[operators] final case class TopKBuf(items: Seq[(Double, Long)])
 
 private[operators] final class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
   // NaN scores (zero vectors → 0/0 cosine) rank WORST, not randomly:
   // raw Double comparison is inconsistent under NaN and would let a
   // NaN candidate displace real neighbors nondeterministically
@@ -267,6 +268,9 @@ object Similarity {
     * + `iters` Lloyd rounds, all order-independent: the sample is
     * selected by hash, ties break by id, and local double math is
     * IEEE-deterministic.
+    *
+    * `excludeSelf` as in [[bruteForceTopK]]: set false for an
+    * independent query table whose ids merely collide with corpus ids.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -279,13 +283,19 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 10,
-      trainSample: Int = 4096): DataFrame = {
+      trainSample: Int = 4096,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
+    // deliberately NOT cached: the projection is read twice (training
+    // sample + cell assignment), but pinning a full copy of the corpus
+    // vectors in storage memory for the session's lifetime is the wrong
+    // trade at scale — two columnar scans are cheap, an unbounded
+    // eternal cache is not (and repeated ivfTopK calls would stack one
+    // copy per call)
     val base = corpus
       .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
-      .cache()
 
     // nearest `top` centroids per vector as a PURE MAP-SIDE expression:
     // the quantizer (nlist × dim doubles) rides into the plan as an
@@ -301,12 +311,21 @@ object Similarity {
           .as("cid"))
 
     // bounded training sample (hash-selected, id tie-break) → local
-    // deterministic kmeans++ + Lloyd → tiny literal centroid table
-    val sample = base
+    // deterministic kmeans++ + Lloyd → tiny literal centroid table.
+    // Null embeddings drop from the sample (the distributed paths
+    // null-guard them too); ragged dimensions keep only the modal
+    // length (count-majority, smaller-dim tie-break — deterministic),
+    // since the quantizer's Lloyd sums need one dim and quantizer
+    // QUALITY is all the sample affects
+    val raw = base
       .withColumn("h", xxhash64(col("corpus_id")))
       .orderBy(col("h"), col("corpus_id")).limit(trainSample)
       .select(col("cv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(_.nonEmpty)
+    require(raw.nonEmpty, "IVF training sample is empty (all-null/empty embeddings?)")
+    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
+    val sample = raw.filter(_.length == dim)
     val cents = LocalKMeans.train(sample, nlist, iters)
     val centroids = typedLit(cents.map(_.toSeq).toSeq)
 
@@ -316,10 +335,15 @@ object Similarity {
       .select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
     val probes = assignCells(q, "query_id", "qv", centroids, top = nprobe)
       .select(col("cid"), col("query_id"), col("qv"))
-    val scored = cells.join(probes, "cid")
-      .filter(col("query_id") =!= col("corpus_id"))
+    // no dropDuplicates: top=1 puts each corpus row in exactly one
+    // cell and a query's probe cids are distinct, so the cid join
+    // yields each (query, corpus) pair at most once — deduping would
+    // add a full exchange of the scored set for nothing
+    val joined = cells.join(probes, "cid")
+    val filtered =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id")) else joined
+    val scored = filtered
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
-      .dropDuplicates("query_id", "corpus_id")
     topKPerQuery(scored, k)
   }
 
@@ -328,7 +352,9 @@ object Similarity {
     * recalled if it collides in ANY table), candidates unioned across
     * tables, then exact cosine re-rank. Tune `bits` down / `tables` up
     * for recall, the reverse for speed; candidate volume per query is
-    * ~`tables * n / 2^bits`.
+    * ~`tables * n / 2^bits`. `excludeSelf` as in [[bruteForceTopK]]:
+    * set false for an independent query table whose ids merely collide
+    * with corpus ids.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -339,7 +365,8 @@ object Similarity {
       queryId: Column,
       k: Int,
       bits: Int = 6,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // all tables' buckets in one generated pass (bit-equal to the
     // per-seed HOF hyperplaneBucket — asserted in spec); candidate
@@ -353,11 +380,12 @@ object Similarity {
         col(idCol),
         posexplode(graft.functions.GraftFunctions.hyperplaneBuckets(col(vecCol), bits, tables))
           .as(Seq("table", "bucket")))
-    val candidates = keyed(cb, "corpus_id", "cv")
+    val joined = keyed(cb, "corpus_id", "cv")
       .join(keyed(qb, "query_id", "qv"), Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"))
-      .dropDuplicates("query_id", "corpus_id")
+    val candidates =
+      (if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id")) else joined)
+        .select(col("query_id"), col("corpus_id"))
+        .dropDuplicates("query_id", "corpus_id")
     // no broadcast HINT on the query side: typical query sets are small
     // and AQE broadcasts them on its own, but a forced hint would OOM
     // the driver on a genuinely large query table

@@ -384,6 +384,70 @@ class OperatorsSpec extends SparkTestBase {
     assert(plan.contains("graft_cosine"))
   }
 
+  test("vector kernels match their HOF twins on corrupt inputs (null element, empty, ragged)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0)), // null element
+      (3L, Seq.empty[java.lang.Double]), // empty
+      (4L, Seq[java.lang.Double](0.0, 0.0, 0.0)), // zero vector (NaN cosine)
+      (5L, Seq[java.lang.Double](2.0, 1.0))) // ragged vs dim 3
+      .toDF("vec_id", "v")
+    // cosine: null element and ragged pair → NULL like the HOF (a
+    // corrupted vector must not produce a plausible score). Zero-norm
+    // vectors are excluded from the HOF comparison: under ANSI mode
+    // (Spark 4 default) the HOF's SQL division throws DIVIDE_BY_ZERO
+    // there, while the kernel's Java division yields NaN — pinned
+    // kernel-only below (and ranked-worst by TopKByScore's NaN test)
+    val nonZero = rows.filter($"vec_id".isin(1L, 2L, 5L))
+    val pairs = nonZero.as("a").crossJoin(nonZero.as("b"))
+      .select(
+        Similarity.cosine($"a.v", $"b.v").as("fast"),
+        Similarity.cosineHof($"a.v", $"b.v").as("hof"))
+    assert(pairs.filter(
+      ($"fast".isNull && $"hof".isNotNull) ||
+        ($"fast".isNotNull && $"hof".isNull) ||
+        ($"fast" =!= $"hof")).count() == 0)
+    val zeroish = rows.filter($"vec_id".isin(3L, 4L))
+    val nan = zeroish.as("a").crossJoin(zeroish.as("b"))
+      .filter($"a.vec_id" === $"b.vec_id") // same-dim pairs: empty×empty, zero×zero
+      .select(Similarity.cosine($"a.v", $"b.v").as("fast"))
+    assert(nan.count() == 2 && nan.filter(isnan($"fast")).count() == 2)
+    // hyperplane buckets: empty and null-element vectors land in bucket
+    // 0 of every table, exactly like the HOF's null dot → otherwise(0L)
+    val hb = rows.select(
+      graft.functions.GraftFunctions.hyperplaneBuckets($"v", 4, 8).as("fast"),
+      array((0 until 8).map(t => Similarity.hyperplaneBucket($"v", 4, seed = t)): _*).as("hof"))
+    assert(hb.filter(not($"fast" === $"hof")).count() == 0)
+    // minhash-from-hashes skips null slots (like minhash skips null
+    // strings) instead of min-ing every lane against hash(0L)
+    val mh = Seq(
+      (Seq[java.lang.Long](10L, null, 20L), Seq[java.lang.Long](10L, 20L)))
+      .toDF("with_null", "without")
+      .select(
+        graft.functions.GraftFunctions.minhashFromHashes($"with_null", 32).as("a"),
+        graft.functions.GraftFunctions.minhashFromHashes($"without", 32).as("b"))
+    assert(mh.filter(not($"a" === $"b")).count() == 0)
+  }
+
+  test("TokenizeWords is locale-independent (Turkish-I regression)") {
+    import spark.implicits._
+    val prev = java.util.Locale.getDefault
+    try {
+      // under a Turkish default locale, default-locale toLowerCase maps
+      // "I" to dotless ı — the kernel must use Locale.ROOT and keep
+      // bit-equality with Spark's locale-independent lower()
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val both = Seq("ID INPUT III").toDF("text")
+        .select(
+          TextAnalysis.tokens($"text").as("fast"),
+          TextAnalysis.tokensHof($"text").as("hof"))
+        .first()
+      assert(both.getSeq[String](0) == Seq("id", "input", "iii"))
+      assert(both.getSeq[String](0) == both.getSeq[String](1))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("IVF top-k: recall vs brute force at nprobe=4/16") {
     import spark.implicits._
     val queries = embs.filter($"vec_id" < 20)

@@ -30,8 +30,15 @@ object TextAnalysis {
     * needs the tokenizer's merges file).
     */
   def subwordCountEstimate(text: Column): Column =
+    subwordCountFromTokens(tokens(text))
+
+  /** [[subwordCountEstimate]] over an already materialized token array
+    * — hot paths project [[tokens]] once (HOF lambdas re-evaluate an
+    * inline tokenize subtree per iteration).
+    */
+  def subwordCountFromTokens(toks: Column): Column =
     aggregate(
-      tokens(text),
+      toks,
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
@@ -53,13 +60,19 @@ object TextAnalysis {
 
   /** Coarse n-gram/stopword language ID over {en,de,fr,es,zh}: script
     * check first, then stopword-hit argmax with a fixed tie-break order.
+    * Convenience form — tokenizes inline FOUR times (one per stopword
+    * list; the HOF hit counters are CodegenFallback, so no
+    * common-subexpression elimination applies). Hot paths project
+    * [[tokens]] once and call [[langIdFromTokens]].
     */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val en = hitCount(t, stopwordsEn)
-    val de = hitCount(t, stopwordsDe)
-    val fr = hitCount(t, stopwordsFr)
-    val es = hitCount(t, stopwordsEs)
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** [[langId]] over an already materialized token array column. */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
+    val en = hitCount(toks, stopwordsEn)
+    val de = hitCount(toks, stopwordsDe)
+    val fr = hitCount(toks, stopwordsFr)
+    val es = hitCount(toks, stopwordsEs)
     when(cjkCharCount(text) > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
@@ -71,25 +84,34 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
 
-  def stopwordCount(text: Column): Column = hitCount(tokens(text), stopwordsEn)
+  def stopwordCount(text: Column): Column = stopwordCountFromTokens(tokens(text))
 
-  def meanWordLength(text: Column): Column = {
-    val t = tokens(text)
+  def stopwordCountFromTokens(toks: Column): Column = hitCount(toks, stopwordsEn)
+
+  def meanWordLength(text: Column): Column = meanWordLengthFromTokens(tokens(text))
+
+  def meanWordLengthFromTokens(t: Column): Column =
     when(size(t) > 0,
       aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
       .otherwise(lit(0.0))
-  }
 
   /** Composite quality score in [0,1]: favors mid-length docs with low
     * punctuation density and a healthy stopword ratio (C4-style
-    * heuristics from public corpus-cleaning literature).
+    * heuristics from public corpus-cleaning literature). Convenience
+    * form (tokenizes inline twice) — hot paths use
+    * [[qualityScoreFromTokens]].
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] over an already materialized token array. */
+  def qualityScoreFromTokens(text: Column, t: Column): Column = {
     val n = length(text).cast("double")
-    val toks = tokenCount(text).cast("double")
+    val toks = size(t).cast("double")
     val lenScore = least(n / lit(500.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctCount(text) / greatest(toks, lit(1.0)), lit(1.0))
-    val stopScore = least(stopwordCount(text).cast("double") / greatest(toks, lit(1.0)) * 5.0, lit(1.0))
+    val stopScore = least(
+      stopwordCountFromTokens(t).cast("double") / greatest(toks, lit(1.0)) * 5.0, lit(1.0))
     (lenScore + punctScore + stopScore) / lit(3.0)
   }
 

@@ -144,11 +144,16 @@ object LlmOps {
       "q20_text_tokens",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d).select(
-          $"doc_id",
-          TextAnalysis.tokenCount($"text").as("n_tokens"),
-          length($"text").as("n_chars"),
-          TextAnalysis.subwordCountEstimate($"text").as("n_subwords"))
+        // tokens materialize ONCE in their own projection — the HOF
+        // consumers are CodegenFallback, so an inline tokenize subtree
+        // would re-run per use (and per lambda iteration)
+        Tables.documents(s, d)
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            length($"text").as("n_chars"),
+            TextAnalysis.subwordCountFromTokens($"toks").as("n_subwords"))
           .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -162,13 +167,15 @@ object LlmOps {
       "q21_text_quality",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d).select(
-          $"doc_id",
-          TextAnalysis.tokenCount($"text").as("n_tokens"),
-          TextAnalysis.punctCount($"text").as("n_punct"),
-          TextAnalysis.stopwordCount($"text").as("n_stop"),
-          TextAnalysis.meanWordLength($"text").as("mean_word_len"),
-          TextAnalysis.qualityScore($"text").as("quality"))
+        Tables.documents(s, d)
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            TextAnalysis.punctCount($"text").as("n_punct"),
+            TextAnalysis.stopwordCountFromTokens($"toks").as("n_stop"),
+            TextAnalysis.meanWordLengthFromTokens($"toks").as("mean_word_len"),
+            TextAnalysis.qualityScoreFromTokens($"text", $"toks").as("quality"))
           .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks,
@@ -189,9 +196,11 @@ object LlmOps {
       "q22_text_langid",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d).select(
-          $"doc_id",
-          TextAnalysis.langId($"text").as("lang_pred"))
+        Tables.documents(s, d)
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+          .select(
+            $"doc_id",
+            TextAnalysis.langIdFromTokens($"text", $"toks").as("lang_pred"))
           .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id,
@@ -471,11 +480,13 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val scored = docs.select(
-          $"doc_id", $"text",
-          TextAnalysis.tokenCount($"text").as("n_tokens"),
-          TextAnalysis.qualityScore($"text").as("quality"),
-          TextAnalysis.langId($"text").as("lang_pred"))
+        val scored = docs
+          .select($"doc_id", $"text", TextAnalysis.tokens($"text").as("toks"))
+          .select(
+            $"doc_id", $"text",
+            size($"toks").as("n_tokens"),
+            TextAnalysis.qualityScoreFromTokens($"text", $"toks").as("quality"),
+            TextAnalysis.langIdFromTokens($"text", $"toks").as("lang_pred"))
         val kept = scored.filter($"quality" >= 0.5 && $"lang_pred" === "en")
         val surv = Dedup.exact(kept, $"text", $"doc_id")
           .select($"survivor_id".as("doc_id"))

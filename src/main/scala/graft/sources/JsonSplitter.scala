@@ -108,7 +108,11 @@ object JsonSplitter {
         escape = !escape && bytes(p) == Backslash
         p += 1
       }
-      p + 1
+      // clamp: an UNTERMINATED string (truncated/rewritten input) exits
+      // the loop at p == until; returning until + 1 would hand callers
+      // an element range past the buffer, and UTF8String.fromBytes does
+      // no bounds check (it would read adjacent heap memory into a row)
+      math.min(p + 1, until)
     } else if (b0 == '{'.toByte || b0 == '['.toByte) {
       var depth = 0
       var inString = false

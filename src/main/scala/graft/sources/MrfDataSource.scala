@@ -29,6 +29,17 @@ final class MrfDataSource extends org.apache.spark.sql.connector.catalog.TablePr
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = MrfOptions.fromProperties(properties)
+    // the bronze schema is fixed by the source: a user-supplied schema
+    // that differs must fail HERE, at planning time — accepting it
+    // would make Spark treat the user's shape as the relation output
+    // while the readers emit the source shape (per-row MatchError at
+    // best, silently corrupt rows at worst)
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        opts.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"payer-mrf defines its own schema ${opts.schema.simpleString} " +
+        s"(json_payload shape follows the payloadAsArray option); a user-supplied " +
+        s"schema must match it exactly, got ${schema.simpleString}")
     new MrfTable(opts, new CaseInsensitiveStringMap(properties))
   }
 

@@ -38,6 +38,11 @@ final class MrfMicroBatchStream(
     conf: Configuration,
     required: org.apache.spark.sql.types.StructType,
     headerKeys: Option[Set[String]],
+    // pushed file_name values prune CHUNKS in planInputPartitions (like
+    // headerKeys) — never the split itself: offsets are positions in
+    // the ledger over the FULL listing, so a filter changed across a
+    // checkpoint restart cannot silently shift ordinals
+    fileNames: Option[Set[String]],
     // the OWNING session's context, threaded from table creation (via
     // MrfScan) — both split-job submission and cancellation use this
     // exact context, so they cannot diverge even when the stream is
@@ -58,7 +63,7 @@ final class MrfMicroBatchStream(
   private val splitter = new Thread("payer-mrf-splitter") {
     override def run(): Unit =
       try {
-        val files = MrfFileSplitter.listFiles(opts, conf)
+        val files = MrfFileSplitter.listFileStatuses(opts, conf)
         // executor mode splits each file as a one-task Spark job, a few
         // files in flight at a time; specs append to the ledger in FILE
         // order so ordinals stay deterministic. In auto mode a
@@ -67,17 +72,14 @@ final class MrfMicroBatchStream(
         // multi-TB file) where a per-file job could only emit at file
         // completion; multi-file streams switch to executors at the
         // same ≥4-files-or-≥256MB threshold as the batch scan.
+        // Sizes come from the listing's own FileStatuses — no second
+        // stat round-trip per file.
         val useExecutors = opts.splitMode match {
           case "executors" => true
           case "driver" => false
           case _ =>
-            // guarded stat: a file vanishing between listing and stat
-            // must not kill mode selection (the split itself handles
-            // missing files under the ignoreCorruptFiles policy)
-            def len(f: org.apache.hadoop.fs.Path): Long =
-              try f.getFileSystem(conf).getFileStatus(f).getLen
-              catch { case _: java.io.IOException => 0L }
-            files.size >= 2 && MrfFileSplitter.autoThreshold(files.size, files.map(len).sum)
+            files.size >= 2 &&
+              MrfFileSplitter.autoThreshold(files.size, files.map(_.getLen).sum)
         }
         if (useExecutors) runDistributed(files) else runDriverSide(files)
         MrfMicroBatchStream.this.synchronized {
@@ -94,18 +96,29 @@ final class MrfMicroBatchStream(
       }
 
     /** Chunks are emitted INCREMENTALLY — micro-batches start flowing
-      * while a multi-TB file is still being scanned.
+      * while a multi-TB file is still being scanned. The per-chunk
+      * callback checks the interrupt flag so `stop()` actually stops
+      * the scan at chunk granularity — blocking filesystem reads ignore
+      * interrupts, and without the check a dead query's splitter would
+      * keep streaming terabytes through the driver (and growing the
+      * ledger) for hours.
       */
-    private def runDriverSide(files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    private def runDriverSide(files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
       var ordinal = 0L
-      files.foreach { f =>
+      var stopped = false
+      val it = files.iterator
+      while (!stopped && it.hasNext) {
+        val f = it.next().getPath
         try MrfFileSplitter.splitFile(f, opts, conf, ordinal) { p =>
+          if (Thread.currentThread().isInterrupted)
+            throw new InterruptedException("payer-mrf: split stopped with the query")
           ordinal = p.ordinal + 1
           MrfMicroBatchStream.this.synchronized {
             ledger += p
             MrfMicroBatchStream.this.notifyAll()
           }
         } catch {
+          case _: InterruptedException => stopped = true
           case e: Exception if opts.ignoreCorruptFiles =>
             // deterministic even on restart: the splitter fails at the
             // same byte, so any partial chunks re-derive identically
@@ -113,6 +126,7 @@ final class MrfMicroBatchStream(
               s"[payer-mrf] skipping corrupt file $f: ${e.getMessage}")
         }
       }
+      if (stopped) throw new InterruptedException("payer-mrf: split stopped with the query")
     }
 
     /** Pipeline of per-file executor split jobs (bounded concurrency,
@@ -121,7 +135,7 @@ final class MrfMicroBatchStream(
       * drained with shutdownNow and the split job group is cancelled —
       * a dead query must not keep a cluster splitting files.
       */
-    private def runDistributed(files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    private def runDistributed(files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(files.size, 8)),
         new java.util.concurrent.ThreadFactory {
@@ -133,11 +147,12 @@ final class MrfMicroBatchStream(
           }
         })
       try {
-        val futures = files.map { f =>
+        val futures = files.map { st =>
           pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
             override def call(): Seq[MrfInputPartition] =
-              MrfSplitCache.getOrSplitOne(f, opts, conf, distributed = true,
-                jobGroup = Some(splitJobGroup), sc = Some(owningContext))
+              MrfSplitCache.getOrSplitOne(st.getPath, opts, conf, distributed = true,
+                jobGroup = Some(splitJobGroup), sc = Some(owningContext),
+                status = Some(st))
           })
         }
         var ordinal = 0L
@@ -210,10 +225,12 @@ final class MrfMicroBatchStream(
     awaitFrontier(e)
     synchronized {
       require(s >= ledgerBase, s"offset $s already committed and GCed (base=$ledgerBase)")
-      // pushed header_key filters prune chunks here — offsets stay
-      // ledger positions, the batch just schedules fewer tasks
+      // pushed header_key / file_name filters prune chunks here —
+      // offsets stay ledger positions, the batch just schedules fewer
+      // tasks (and reads no payload bytes for pruned files)
       ledger.slice((s - ledgerBase).toInt, (e - ledgerBase).toInt)
-        .filter(p => headerKeys.forall(_.contains(p.headerKey)))
+        .filter(p => headerKeys.forall(_.contains(p.headerKey)) &&
+          fileNames.forall(_.contains(p.fileName)))
         .toArray[InputPartition]
     }
   }

@@ -104,7 +104,17 @@ final class MrfPartitionReader(
   private def readRange(): Array[Byte] = {
     val p = new Path(part.path)
     val fs = MrfFileSplitter.rawFs(p, conf.value)
-    val len = (part.end - part.start).toInt
+    val length = part.end - part.start
+    // one chunk = one JVM byte array = (at most) one row's payload —
+    // a single element past 2 GB cannot be represented. Fail LOUDLY:
+    // a bare .toInt would silently truncate the range and hand
+    // from_json a cut-off document (or throw NegativeArraySize)
+    if (length > Int.MaxValue - 16)
+      throw new IllegalArgumentException(
+        s"payer-mrf: chunk ${part.ordinal} of ${part.fileName} spans $length bytes — " +
+          "a single JSON element larger than ~2 GB cannot form a Spark row; " +
+          "this input needs upstream re-sharding")
+    val len = length.toInt
     val out = new Array[Byte](len)
     val in = fs.open(p)
     try {
@@ -166,8 +176,9 @@ object MrfSplitCache {
       conf: org.apache.hadoop.conf.Configuration,
       distributed: Boolean,
       jobGroup: Option[String] = None,
-      sc: Option[org.apache.spark.SparkContext] = None): Seq[MrfInputPartition] = {
-    val st = file.getFileSystem(conf).getFileStatus(file)
+      sc: Option[org.apache.spark.SparkContext] = None,
+      status: Option[org.apache.hadoop.fs.FileStatus] = None): Seq[MrfInputPartition] = {
+    val st = status.getOrElse(file.getFileSystem(conf).getFileStatus(file))
     val key = Key(file.toString, st.getLen, st.getModificationTime,
       opts.chunkBytes, opts.maxElements, opts.ignoreCorruptFiles)
     cache.synchronized(Option(cache.get(key))) match {
@@ -193,12 +204,15 @@ object MrfSplitCache {
     * per-file ordinals — the caller assigns global ordinals.
     */
   def getOrSplitAll(
-      files: Seq[Path],
+      statuses: Seq[org.apache.hadoop.fs.FileStatus],
       opts: MrfOptions,
       conf: org.apache.hadoop.conf.Configuration,
       sc: org.apache.spark.SparkContext): Seq[MrfInputPartition] = {
-    val keyed = files.map { f =>
-      val st = f.getFileSystem(conf).getFileStatus(f)
+    // (len, mtime) come from the statuses the LISTING already fetched —
+    // no second sequential stat pass per file (an S3 HEAD storm at
+    // fleet scale)
+    val keyed = statuses.map { st =>
+      val f = st.getPath
       (f, st.getLen,
         Key(f.toString, st.getLen, st.getModificationTime, opts.chunkBytes, opts.maxElements,
           opts.ignoreCorruptFiles))
@@ -259,17 +273,40 @@ object MrfFileSplitter {
     * compressed file is stale (archive re-uploaded): the compressed
     * file stays listed and [[Gunzip.decompressIfNeeded]] re-materializes.
     */
-  def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+  def listFiles(opts: MrfOptions, conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+    listFileStatuses(opts, conf).map(_.getPath)
+
+  /** [[listFiles]] keeping the `FileStatus`es the listing already
+    * fetched — callers that need (len, mtime) for cache keys or
+    * mode-selection heuristics reuse these instead of issuing a second
+    * sequential stat per file (1000 files on object storage = 1000
+    * extra HEAD round-trips of pure startup latency).
+    */
+  def listFileStatuses(
+      opts: MrfOptions,
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def visible(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_")
     val all: Seq[org.apache.hadoop.fs.FileStatus] = opts.paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
+      val isGlob = p.exists("{}[]*?".contains(_))
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (matches.isEmpty)
         throw new java.io.FileNotFoundException(s"payer-mrf: no input matches $p")
       matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .filter(f => !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+            .filter(f => visible(f.getPath.getName))
+        else if (isGlob)
+          // a glob must not sweep up hidden/temp files (Hadoop's '*'
+          // matches leading dots): an in-flight Gunzip temp
+          // (.x.json.tmp.<uuid>) listed as data would either fail the
+          // job or — worse, under ignoreCorruptFiles — enter the
+          // streaming ledger and shift every later ordinal when it
+          // vanishes. An EXPLICIT non-glob path to such a file is
+          // honored as deliberate user intent.
+          Seq(st).filter(s => s.isFile && visible(s.getPath.getName))
         else Seq(st)
       }
     }
@@ -298,7 +335,8 @@ object MrfFileSplitter {
     // ledger keys on those ordinals, so chunks would duplicate or skip.
     // Raw name is the tie-break: distinct archives targeting the same
     // sibling stay deterministically ordered.
-    deduped.map(_.getPath).sortBy { p =>
+    deduped.sortBy { st =>
+      val p = st.getPath
       val canonical = Gunzip.decompressedName(p.getName).getOrElse(p.getName)
       (new Path(p.getParent, canonical).toString, p.getName)
     }

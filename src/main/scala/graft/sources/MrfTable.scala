@@ -129,7 +129,8 @@ final class MrfScan(
     new MrfBatch(opts, hadoopConf(), required, headerKeys, fileNames, owner.sparkContext)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MrfMicroBatchStream(opts, hadoopConf(), required, headerKeys, owner.sparkContext)
+    new MrfMicroBatchStream(
+      opts, hadoopConf(), required, headerKeys, fileNames, owner.sparkContext)
 }
 
 /** Batch scan: split every input file up front, one task per chunk.
@@ -149,9 +150,10 @@ final class MrfBatch(
   override lazy val planInputPartitions: Array[InputPartition] = {
     // file-level pruning happens BEFORE any splitting work (compressed
     // files match by their decompressed sibling name too)
-    val files = MrfFileSplitter.listFiles(opts, conf).filter { f =>
-      fileNames.forall(names => names.contains(f.getName) ||
-        Gunzip.decompressedName(f.getName).exists(names.contains))
+    val files = MrfFileSplitter.listFileStatuses(opts, conf).filter { st =>
+      val n = st.getPath.getName
+      fileNames.forall(names => names.contains(n) ||
+        Gunzip.decompressedName(n).exists(names.contains))
     }
     // split on executors or the driver pool per opts.splitMode (the
     // executor pass returns ~100 B chunk specs, never file bytes)

@@ -397,6 +397,60 @@ class MrfSourceSpec extends SparkTestBase {
     assert(!payloads.exists(_.contains("\"c\"")))
   }
 
+  test("a user-supplied schema must match the source schema exactly") {
+    // matching schema (names + types) is accepted...
+    val ok = spark.read
+      .schema("file_name STRING, header_key STRING, json_payload STRING")
+      .format("payer-mrf").load(ffsPath)
+    assert(ok.count() > 0)
+    // ...a divergent one fails AT PLANNING TIME with a clear message,
+    // not as a per-task MatchError or silently corrupt rows
+    val e = intercept[Exception] {
+      spark.read.schema("fn STRING").format("payer-mrf").load(ffsPath).count()
+    }
+    assert(e.getMessage.contains("payer-mrf defines its own schema"), e.getMessage)
+  }
+
+  test("globs skip hidden/temp files; explicit paths honor them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-glob").toFile
+    Files.write(new java.io.File(dir, "data.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    // an in-flight Gunzip temp and an underscore marker in the same dir
+    Files.write(new java.io.File(dir, ".x.json.tmp.abc123").toPath, "{garbage".getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+    // directory listing and glob both see only the data file
+    for (p <- Seq(dir.getAbsolutePath, dir.getAbsolutePath + "/*")) {
+      val names = spark.read.format("payer-mrf").load(p)
+        .select("file_name").distinct().collect().map(_.getString(0)).toSet
+      assert(names == Set("data.json"), s"$p listed $names")
+    }
+    // an EXPLICIT non-glob path to a hidden file is deliberate intent
+    Files.write(new java.io.File(dir, ".explicit.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    val explicit = spark.read.format("payer-mrf")
+      .load(dir.getAbsolutePath + "/.explicit.json")
+    assert(explicit.filter($"header_key" === "in_network").count() > 0)
+  }
+
+  test("streaming prunes pushed file_name filters at chunk scheduling") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-sprune").toFile
+    Files.write(new java.io.File(dir, "a_ffs.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b_bundle.json").toPath, MrfFixtures.bundle.getBytes("UTF-8"))
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-sprune").toString
+    val q = spark.readStream.format("payer-mrf").load(dir.getAbsolutePath)
+      .filter($"file_name" === "a_ffs.json")
+      .writeStream.format("memory").queryName("mrf_sprune_out")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("mrf_sprune_out")
+    assert(got.select("file_name").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("a_ffs.json"))
+    assert(got.count() == spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+      .filter($"file_name" === "a_ffs.json").count())
+  }
+
   test("missing input fails fast") {
     val e = intercept[Exception] {
       spark.read.format("payer-mrf").load("/nonexistent/nope.json").count()

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [name-regex]")
+      sys.exit(2)
+    }
     val (Array(sfDir, outDirArg), rest) = args.splitAt(2)
     // optional 3rd arg (local iteration only — the driver passes 2):
     // regex, only matching query names are dumped
@@ -23,31 +27,45 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val dumped = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          dumped += name
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Only SUCCESSFULLY dumped queries get oracle entries: an oracle
+    // for a failed (or filtered-out) dump would point DuckDB at a
+    // missing dir — or, on a REUSED outDir, silently validate the stale
+    // parquet of a previous run as a false pass.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", outDir))}" }
+      .filter { case (k, _) => dumped.contains(k) }
+      .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v.replace("{{OUT}}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+}
+
+/** JSON string escaping shared by the Verify and Bench emitters:
+  * backslash, quote, and ALL control chars (<0x20) — a tab or CR in a
+  * builder-authored SQL string (or a quote in a query name) would
+  * otherwise make the driver's json.load fail and silently zero the
+  * round's results.
+  */
+private[graft] object JsonText {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

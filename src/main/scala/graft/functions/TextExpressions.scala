@@ -98,45 +98,84 @@ object GraftFunctions {
       }
     }
 
+  /** One (name, usage, builder) row per graft_* function — the SINGLE
+    * source both registration paths derive from ([[doRegister]] for the
+    * lazy Column-API path, [[graft.GraftExtensions]] for
+    * `spark.sql.extensions`), so the two registries cannot drift (an
+    * earlier hand-maintained extensions list silently omitted
+    * graft_nearest_centroids).
+    */
+  private[graft] final case class FnSpec(
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression)
+
+  /** Arity guard with a readable error (instead of
+    * IndexOutOfBoundsException from `exprs(i)`).
+    */
+  private def arity(fn: String, usage: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.size != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${exprs.size} — usage: $usage")
+
+  /** Foldable-int argument with readable errors (a column reference
+    * would otherwise die in eval() with UnsupportedOperationException,
+    * and NULL with an NPE).
+    */
+  private def intArg(fn: String, exprs: Seq[Expression], i: Int): Int = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a non-null literal integer, got $other")
+    }
+  }
+
+  private def spec(name: String, usage: String, n: Int)(
+      b: Seq[Expression] => Expression): FnSpec =
+    FnSpec(name, usage, exprs => { arity(name, usage, exprs, n); b(exprs) })
+
+  private[graft] val specs: Seq[FnSpec] = Seq(
+    spec("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two array<double>", 2)(
+      exprs => CosineSimilarity(exprs.head, exprs(1))),
+    spec("graft_tokenize",
+      "graft_tokenize(text) - lowercased unicode word tokens", 1)(
+      exprs => TokenizeWords(exprs.head)),
+    spec("graft_minhash",
+      "graft_minhash(array<string>, k) - k-permutation MinHash signature", 2)(
+      exprs => MinHashSignature(exprs.head, intArg("graft_minhash", exprs, 1))),
+    spec("graft_minhash64",
+      "graft_minhash64(array<bigint>, k) - MinHash from pre-hashed elements", 2)(
+      exprs => MinHashFromHashes(exprs.head, intArg("graft_minhash64", exprs, 1))),
+    spec("graft_simhash",
+      "graft_simhash(array<string>) - 64-bit SimHash", 1)(
+      exprs => SimHash64(exprs.head)),
+    spec("graft_simhash60",
+      "graft_simhash60(array<string>) - portable 60-bit md5 SimHash", 1)(
+      exprs => PortableSimHash60(exprs.head)),
+    spec("graft_shingles",
+      "graft_shingles(array<string>, n) - sorted distinct hashed n-gram shingles", 2)(
+      exprs => HashedShingles(exprs.head, intArg("graft_shingles", exprs, 1))),
+    spec("graft_overlap",
+      "graft_overlap(a, b) - intersection size of two sorted array<bigint>", 2)(
+      exprs => SortedOverlapCount(exprs.head, exprs(1))),
+    spec("graft_nearest_centroids",
+      "graft_nearest_centroids(v, centroids, top) - nearest IVF cells, best-first", 3)(
+      exprs => NearestCentroids(exprs.head, exprs(1),
+        intArg("graft_nearest_centroids", exprs, 2))),
+    spec("graft_hyperplane_buckets",
+      "graft_hyperplane_buckets(v, bits, tables) - hyperplane-LSH bucket id per table", 3)(
+      exprs => HyperplaneBuckets(exprs.head,
+        intArg("graft_hyperplane_buckets", exprs, 1),
+        intArg("graft_hyperplane_buckets", exprs, 2))))
+
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_tokenize", exprs => TokenizeWords(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSignature(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_shingles",
-      exprs => HashedShingles(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash64",
-      exprs => MinHashFromHashes(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_overlap", exprs => SortedOverlapCount(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash60", exprs => PortableSimHash60(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_nearest_centroids",
-      exprs => NearestCentroids(
-        exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "graft_hyperplane_buckets",
-      exprs => HyperplaneBuckets(
-        exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
+    specs.foreach(s => reg.createOrReplaceTempFunction(s.name, s.builder, "scala_udf"))
   }
 
   def cosine(a: Column, b: Column): Column = {

@@ -5,11 +5,23 @@ package graft.queries
   * operator families.
   */
 object QueryCatalog {
-  def modules: Seq[Q] =
-    Relational.all ++ Relational2.all ++ Relational2.aggQueries ++
+  val modules: Seq[Q] = {
+    val all = Relational.all ++ Relational2.all ++ Relational2.aggQueries ++
       Relational2.sessionQueries ++ LlmOps.all ++ MrfGold.all
+    // a colliding name would make toMap silently keep the LAST
+    // definition while benchNames lists it twice — Verify could then
+    // pair one module's result with another's oracle; fail fast instead
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in catalog: ${dup.mkString(", ")}")
+    all
+  }
 
-  def queries = modules.map(q => q.name -> q.fn).toMap
-  def oracleSql = modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
-  def benchNames = modules.filter(_.bench).map(_.name)
+  // vals: the catalog is immutable, and Bench/Verify look names up
+  // per-query — rebuilding every Q (and its multi-KB oracle SQL) per
+  // lookup is pointless allocation
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    modules.map(q => q.name -> q.fn).toMap
+  val oracleSql: Map[String, String] =
+    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  val benchNames: Seq[String] = modules.filter(_.bench).map(_.name)
 }

@@ -67,6 +67,14 @@ object MrfOptions {
         m.readValue(map.get("paths"), classOf[Array[String]]).toSeq
       } else if (map.containsKey("path")) Seq(map.get("path"))
       else throw new IllegalArgumentException("payer-mrf: 'path' option is required")
+    // mutually exclusive output shapes: perElement emits one STRING per
+    // array element while payloadAsArray declares array<string> — the
+    // combination would declare a schema the readers never produce
+    // (ClassCastException or corrupt rows at runtime)
+    if (map.getBoolean("payloadAsArray", false) && map.getBoolean("perElement", false))
+      throw new IllegalArgumentException(
+        "payer-mrf: payloadAsArray and perElement are mutually exclusive output " +
+          "shapes (per-element rows are plain JSON strings)")
     MrfOptions(
       paths = paths,
       bufferSize = math.max(64 * 1024, map.getInt("buffersize", 4 << 20)),

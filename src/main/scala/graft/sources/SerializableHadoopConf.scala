@@ -9,6 +9,12 @@ import org.apache.hadoop.conf.Configuration
   * (credentials, fs.* impls) rather than a default `new Configuration()` —
   * the reference's static-conf bug (`/root/reference/src/main/scala/com/
   * databricks/JsonChunks.scala:106-108`) loses any non-default FS.
+  *
+  * Deliberately NOT `org.apache.spark.util.SerializableConfiguration`:
+  * that class is public but annotated `@Unstable`/`@DeveloperApi` — a
+  * library shipping against multiple Spark patch lines keeps its own
+  * 10-line stable twin rather than a dependency on an
+  * explicitly-changeable internal.
   */
 final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {

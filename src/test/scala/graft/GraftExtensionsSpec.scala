@@ -37,7 +37,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_simhash(array('a','b')) AS sh,
           |  graft_simhash60(array('a','b')) AS sh60,
           |  graft_overlap(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ov,
-          |  size(graft_hyperplane_buckets(array(0.5d, -0.25d), 4, 8)) AS hb
+          |  size(graft_hyperplane_buckets(array(0.5d, -0.25d), 4, 8)) AS hb,
+          |  graft_nearest_centroids(array(1.0d, 0.0d),
+          |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1) AS nc
           |""".stripMargin).collect().head
       assert(row.getDouble(0) == 1.0)
       assert(row.getSeq[String](1) == Seq("hello", "world", "42"))
@@ -46,6 +48,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(5) >= 0L && row.getLong(5) < (1L << 60)) // sh60 range
       assert(row.getInt(6) == 2)
       assert(row.getInt(7) == 8)
+      assert(row.getSeq[Int](8) == Seq(1))
+      // completeness is STRUCTURAL: every function in the shared spec
+      // table must resolve in this SQL-only session (the previous
+      // hand-maintained injection list silently omitted one)
+      graft.functions.GraftFunctions.specs.foreach { s =>
+        spark.sql(s"DESCRIBE FUNCTION ${s.name}").collect()
+      }
+      // malformed literal args fail with a READABLE message, not an
+      // IndexOutOfBounds/UnsupportedOperation from raw eval()
+      val bad = intercept[Exception] {
+        spark.sql("SELECT graft_minhash(array('a'))").collect()
+      }
+      assert(bad.getMessage.contains("graft_minhash"), bad.getMessage)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -283,6 +283,15 @@ class MrfSourceSpec extends SparkTestBase {
     assert(dfx.select("file_name").distinct().collect().map(_.getString(0)).toSet == Set("good.json"))
   }
 
+  test("payloadAsArray + perElement is rejected (contradictory output shapes)") {
+    val e = intercept[Exception] {
+      spark.read.format("payer-mrf")
+        .option("payloadAsArray", "true").option("perElement", "true")
+        .load(ffsPath).count()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("splitMode rejects unknown values") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("payer-mrf").option("splitMode", "sideways").load(ffsPath).count()

@@ -555,6 +555,49 @@ object LlmOps {
              |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT), 1))) AS frame_no
              |  FROM documents)
              |WHERE frame_no % 2 = 0
-             |ORDER BY media_id, frame_no""".stripMargin))
+             |ORDER BY media_id, frame_no""".stripMargin)),
+
+    // ---- STREAMING exact dedup: the dedup family's streaming variant.
+    // A real micro-batch run (file-stream source → fingerprint →
+    // dropDuplicates state → memory sink, AvailableNow) whose emitted
+    // set — the distinct content fingerprints — is deterministic
+    // regardless of arrival order, so the DuckDB oracle is a plain
+    // DISTINCT over the same normalization. Production streams bound
+    // the state with dropDuplicatesWithinWatermark; an end-of-stream
+    // batch gate exercises the unbounded variant.
+    Q(
+      "q44_streaming_dedup",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = java.nio.file.Files.createTempDirectory("q44_docs")
+        val link = dir.resolve("documents.parquet")
+        try {
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+          val name = "q44_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          val q = s.readStream.schema(schema).parquet(dir.toString)
+            .select(TextAnalysis.fingerprint($"text").as("fp"))
+            .dropDuplicates("fp")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "q44 stream did not terminate within 300s — refusing a partial result")
+          finally q.stop()
+          val result = s.table(name).orderBy($"fp")
+          val sch = result.schema
+          val rows = result.collect()
+          s.catalog.dropTempView(name)
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), sch).orderBy($"fp")
+        } finally {
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.deleteIfExists(dir)
+        }
+      },
+      Some("""SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY fp""".stripMargin))
   )
 }

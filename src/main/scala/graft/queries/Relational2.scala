@@ -265,7 +265,51 @@ object Relational2 {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // APPROXIMATE sketches — HLL++ distinct counts and quantile-sketch
+    // percentiles, the constant-memory map-side summaries a 100 TB
+    // pipeline uses where exact distinct/percentile would shuffle the
+    // full column. Tolerance oracle (the soundness pattern): DuckDB
+    // reads the emitted values back, computes the EXACT statistics, and
+    // admits the row only within the sketches' error envelopes (HLL++
+    // default rsd 0.05 → 10% with margin; percentile_approx accuracy
+    // 1000 → rank error ≤ 0.001, gated at quantile ±0.05 rank); any
+    // violation yields the poison row → red.
+    Q(
+      "q45_approx_sketches",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          approx_count_distinct($"event_type").as("approx_types"),
+          percentile_approx($"value", lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx($"value", lit(0.95), lit(1000)).as("p95_value"))
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q45_approx_sketches/*.parquet')),
+             |exact AS (SELECT
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             |    CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+             |    quantile_cont(value, 0.45) AS p45, quantile_cont(value, 0.55) AS p55,
+             |    quantile_cont(value, 0.90) AS p90, quantile_cont(value, 0.99) AS p99
+             |  FROM events),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND abs((SELECT approx_users FROM emitted) - (SELECT users FROM exact))
+             |      <= greatest(0.1 * (SELECT users FROM exact), 1)
+             |    AND abs((SELECT approx_types FROM emitted) - (SELECT types FROM exact))
+             |      <= greatest(0.1 * (SELECT types FROM exact), 1)
+             |    AND (SELECT p50_value FROM emitted)
+             |      BETWEEN (SELECT p45 FROM exact) AND (SELECT p55 FROM exact)
+             |    AND (SELECT p95_value FROM emitted)
+             |      BETWEEN (SELECT p90 FROM exact) AND (SELECT p99 FROM exact)
+             |  ) AS ok)
+             |SELECT approx_users, approx_types, p50_value, p95_value FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT) AS approx_users, CAST(-1 AS BIGINT) AS approx_types,
+             |  CAST(-999 AS DOUBLE) AS p50_value, CAST(-999 AS DOUBLE) AS p95_value
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin))
   )
 
   /** Gap-based sessionization (batch formulation; the streaming

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data mixing.
+  *
+  * The 100 TB story: sampling is a pure map-side FILTER on a content
+  * hash — no RNG (a re-executed task must keep the same rows), no
+  * shuffle, append-stable (a row's fate never depends on what else is
+  * in the corpus), reproducible across engines (md5 buckets, the same
+  * portability trick as [[Dedup.splitAssign]]).
+  */
+object Sampling {
+
+  /** Keep-predicate for PER-STRATUM rate sampling (data-mixing weights:
+    * e.g. downsample an overrepresented language to 30% while keeping
+    * 100% of a rare one). A row survives iff its content-hash bucket
+    * (first 4 md5 hex chars mod 100) falls below its stratum's
+    * percentage; strata missing from `rates` use `defaultRate`.
+    *
+    * Hash on a CONTENT column (not a sequential id) so survival is
+    * stable under re-ingestion and id reassignment.
+    */
+  def stratifiedKeep(
+      stratum: Column,
+      hashOn: Column,
+      rates: Map[String, Int],
+      defaultRate: Int): Column = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 100, s"sampling rates are percentages in [0,100], got $r"))
+    val bucket =
+      conv(substring(md5(hashOn.cast("binary")), 1, 4), 16, 10).cast("long") % 100
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    bucket < rate
+  }
+}

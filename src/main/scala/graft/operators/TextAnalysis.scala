@@ -144,4 +144,27 @@ object TextAnalysis {
     * project [[tokens]] first and use [[shinglesFromTokens]]).
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Split a token array into OVERLAPPING training windows — the
+    * document-chunking step that turns long documents into
+    * model-context-sized examples: windows of `window` tokens starting
+    * every `window - overlap` tokens, final partial window kept, at
+    * least one (possibly empty) chunk per doc so no document silently
+    * vanishes. Pure array expression over an already materialized token
+    * column (map-side at any scale; same HOF caveat as
+    * [[shinglesFromTokens]]).
+    */
+  def chunkTokens(toks: Column, window: Int, overlap: Int): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap for window $window")
+    val stride = window - overlap
+    transform(
+      sequence(
+        lit(0),
+        greatest(
+          ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int") - 1,
+          lit(0))),
+      i => slice(toks, i * stride + 1, lit(window)))
+  }
 }

@@ -598,6 +598,52 @@ object LlmOps {
         }
       },
       Some("""SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-             |FROM documents ORDER BY fp""".stripMargin))
+             |FROM documents ORDER BY fp""".stripMargin)),
+
+    // ---- document chunking: long docs → overlapping token windows
+    // (model-context-sized training examples). window=50, overlap=10 →
+    // stride 40; the oracle recomputes every window by list arithmetic.
+    Q(
+      "q46_doc_chunking",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+          .select($"doc_id",
+            posexplode(TextAnalysis.chunkTokens($"toks", window = 50, overlap = 10))
+              .as(Seq("chunk_no", "chunk")))
+          .select(
+            $"doc_id", $"chunk_no",
+            size($"chunk").as("n_chunk_tokens"),
+            concat_ws(" ", $"chunk").as("chunk_text"))
+          .orderBy($"doc_id", $"chunk_no")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+              |c AS (SELECT doc_id, tk,
+              |    unnest(range(0, greatest(CAST(ceil((len(tk) - 10) / 40.0) AS BIGINT), 1))) AS chunk_no
+              |  FROM t)
+              |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+              |  CAST(len(list_slice(tk, chunk_no*40 + 1, chunk_no*40 + 50)) AS INT) AS n_chunk_tokens,
+              |  array_to_string(list_slice(tk, chunk_no*40 + 1, chunk_no*40 + 50), ' ') AS chunk_text
+              |FROM c ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // ---- deterministic stratified sampling: per-language data-mixing
+    // rates (downsample overrepresented en to 30%, keep all zh, 60%
+    // elsewhere) as a pure content-hash filter — no RNG, append-stable,
+    // recomputed exactly by the oracle.
+    Q(
+      "q47_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter(graft.operators.Sampling.stratifiedKeep(
+            $"lang", $"text", Map("en" -> 30, "zh" -> 100), defaultRate = 60))
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 100 <
+             |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 60 END
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -430,6 +430,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(mh.filter(not($"a" === $"b")).count() == 0)
   }
 
+  test("chunkTokens: window/overlap arithmetic, partial tails, empty docs") {
+    import spark.implicits._
+    def chunksOf(n: Int, window: Int, overlap: Int): Seq[Seq[String]] = {
+      val toks = (0 until n).map(i => s"t$i")
+      Seq(toks).toDF("toks")
+        .select(TextAnalysis.chunkTokens($"toks", window, overlap).as("c"))
+        .first().getSeq[scala.collection.Seq[String]](0).map(_.toSeq).toSeq
+    }
+    // empty doc → one empty chunk (no document silently vanishes)
+    assert(chunksOf(0, 50, 10) == Seq(Seq()))
+    // exactly one window
+    assert(chunksOf(50, 50, 10).map(_.size) == Seq(50))
+    // one token past the window → second chunk starts at stride=40 and
+    // carries the 10-token overlap + the tail token
+    val c51 = chunksOf(51, 50, 10)
+    assert(c51.map(_.size) == Seq(50, 11))
+    assert(c51(0).takeRight(10) == c51(1).take(10), "overlap region must repeat")
+    assert(c51(1).last == "t50")
+    // every token appears in at least one chunk; order preserved
+    val c137 = chunksOf(137, 50, 10)
+    assert(c137.flatten.distinct.size == 137)
+    // zero overlap = exact partition
+    assert(chunksOf(100, 25, 0).map(_.size) == Seq(25, 25, 25, 25))
+    intercept[IllegalArgumentException](TextAnalysis.chunkTokens($"x", 10, 10))
+  }
+
+  test("stratifiedKeep is deterministic, append-stable, and rate-plausible") {
+    import spark.implicits._
+    val keep = graft.operators.Sampling.stratifiedKeep(
+      $"lang", $"text", Map("en" -> 30, "zh" -> 100), defaultRate = 60)
+    val kept = docs.withColumn("lang", lit("en")).filter(keep).select("doc_id")
+    // deterministic: same rows on re-run
+    assert(kept.collect().toSeq == docs.withColumn("lang", lit("en"))
+      .filter(keep).select("doc_id").collect().toSeq)
+    // append-stable: the kept set over HALF the corpus is exactly the
+    // kept set of the full corpus restricted to that half
+    val half = docs.filter($"doc_id" < 250).withColumn("lang", lit("en"))
+    assert(half.filter(keep).select("doc_id").collect().map(_.getLong(0)).toSet ==
+      kept.collect().map(_.getLong(0)).toSet.filter(_ < 250))
+    // rate=100 keeps everything; rate plausibility at 30%
+    assert(docs.withColumn("lang", lit("zh")).filter(keep).count() == docs.count())
+    val frac = kept.count().toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"en rate 0.3 sampled at $frac")
+  }
+
   test("TokenizeWords is locale-independent (Turkish-I regression)") {
     import spark.implicits._
     val prev = java.util.Locale.getDefault

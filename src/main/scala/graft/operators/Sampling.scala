@@ -36,4 +36,33 @@ object Sampling {
     }
     bucket < rate
   }
+
+  /** Cap each stratum (source/domain) at a TOKEN budget, keeping its
+    * best documents first — the data-mixing step that turns "40% web,
+    * 30% books…" recipes into concrete row sets. Rows are ranked inside
+    * their stratum by (`quality` desc, `id` asc — fully deterministic)
+    * and kept while the BUDGET-INCLUSIVE running token total stays
+    * within `tokenBudget` (the first document that crosses the budget
+    * is kept; subsequent ones drop — so a stratum whose single best doc
+    * exceeds the budget still contributes it rather than vanishing).
+    *
+    * One hash-partitioned window per stratum — a shuffle on the stratum
+    * key, nothing else; skewed strata salt like any hot groupBy key.
+    */
+  def tokenBudgetCap(
+      df: org.apache.spark.sql.DataFrame,
+      stratum: Column,
+      tokens: Column,
+      quality: Column,
+      id: Column,
+      tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(quality.desc, id.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum_tokens", sum(tokens).over(w))
+      .filter(col("__cum_tokens") - tokens < tokenBudget)
+      .drop("__cum_tokens")
+  }
 }

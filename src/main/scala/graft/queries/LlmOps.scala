@@ -644,6 +644,44 @@ object LlmOps {
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 100 <
              |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 60 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- token-budget mixing: cap each source at 500 tokens, best
+    // quality first (deterministic tie-break by doc_id) — the step that
+    // turns a mixing recipe into concrete rows. The first doc crossing
+    // the budget is kept (budget-inclusive), so a stratum never
+    // vanishes because its best doc is large. One window per stratum;
+    // the oracle recomputes the ranking and running totals exactly.
+    Q(
+      "q48_token_budget_mix",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"text", TextAnalysis.tokens($"text").as("toks"))
+          .select($"doc_id", $"source", $"text",
+            size($"toks").cast("long").as("n_tokens"),
+            TextAnalysis.qualityScoreFromTokens($"text", $"toks").as("quality"))
+        graft.operators.Sampling.tokenBudgetCap(
+          scored, $"source", $"n_tokens", $"quality", $"doc_id", tokenBudget = 500L)
+          .select($"doc_id", $"source", $"n_tokens", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, $sqlToks AS tk,
+              |   length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+              |   ${sqlStopHits(TextAnalysis.stopwordsEn)} AS n_stop
+              |  FROM documents),
+              |scored AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+              |   (least(CAST(length(text) AS DOUBLE)/500.0, 1.0)
+              |    + (1.0 - least(n_punct / greatest(CAST(len(tk) AS DOUBLE), 1.0), 1.0))
+              |    + least(CAST(n_stop AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) * 5.0, 1.0)
+              |   ) / 3.0 AS quality
+              |  FROM t),
+              |cum AS (SELECT *, sum(n_tokens) OVER (
+              |    PARTITION BY source ORDER BY quality DESC, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM scored)
+              |SELECT doc_id, source, n_tokens, quality FROM cum
+              |WHERE cum_tokens - n_tokens < 500
+              |ORDER BY doc_id""".stripMargin))
   )
 }

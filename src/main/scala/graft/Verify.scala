@@ -27,24 +27,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val dumped = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
-        try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          dumped += name
-        } catch { case e: Throwable =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // delete any partial/stale result so the compare sees "no
+          // spark output" and FAILS the query — the oracle entry stays
+          // (dropping it would remove the query from the gate entirely
+          // and a crashing query would ship as a silent pass; a stale
+          // dir from a previous run would score a false pass)
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(): Unit
+            }
+            rm(dir)
+          }
         }
       }
     }
-    // Only SUCCESSFULLY dumped queries get oracle entries: an oracle
-    // for a failed (or filtered-out) dump would point DuckDB at a
-    // missing dir — or, on a REUSED outDir, silently validate the stale
-    // parquet of a previous run as a false pass.
+    // Every ATTEMPTED query keeps its oracle entry (a failed dump must
+    // show up as a loud FAIL against its deleted result dir, never
+    // disappear from the gate); only locally name-filtered queries are
+    // omitted — their dirs were deliberately never written.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => dumped.contains(k) }
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v.replace("{{OUT}}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -61,8 +61,11 @@ object Sampling {
       .partitionBy(stratum).orderBy(quality.desc, id.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum_tokens", sum(tokens).over(w))
-      .filter(col("__cum_tokens") - tokens < tokenBudget)
-      .drop("__cum_tokens")
+    // collision-proof scratch name: a fixed "__cum_tokens" would
+    // silently clobber (and then drop) a caller's column of that name
+    val cum = "__cum_tokens_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.withColumn(cum, sum(tokens).over(w))
+      .filter(col(cum) - tokens < tokenBudget)
+      .drop(cum)
   }
 }

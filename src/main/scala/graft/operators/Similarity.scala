@@ -179,6 +179,12 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val tk = udaf(new TopKByScore(k))
     scored
+      // NULL cosines (ragged or null-element vectors — CosineSimilarity
+      // nulls them out rather than scoring a corrupted vector) drop
+      // from the candidate set here: the typed aggregator's
+      // (Double, Long) input encoder would otherwise throw on the null.
+      // Zero vectors stay: their NaN ranks worst inside the aggregator.
+      .filter(col("cosine").isNotNull)
       .groupBy("query_id")
       .agg(tk(col("cosine"), col("corpus_id")).as("topk"))
       .select(col("query_id"), posexplode(col("topk.items")).as(Seq("p", "s")))

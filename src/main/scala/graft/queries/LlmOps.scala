@@ -577,21 +577,25 @@ object LlmOps {
           java.nio.file.Files.createSymbolicLink(
             link, java.nio.file.Paths.get(s"$d/documents.parquet"))
           val name = "q44_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-          val q = s.readStream.schema(schema).parquet(dir.toString)
-            .select(TextAnalysis.fingerprint($"text").as("fp"))
-            .dropDuplicates("fp")
-            .writeStream.outputMode("append")
-            .format("memory").queryName(name)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          try require(q.awaitTermination(300000),
-            "q44 stream did not terminate within 300s — refusing a partial result")
-          finally q.stop()
-          val result = s.table(name).orderBy($"fp")
-          val sch = result.schema
-          val rows = result.collect()
-          s.catalog.dropTempView(name)
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), sch).orderBy($"fp")
+          // the memory-sink view drops in a finally: a failed/timed-out
+          // stream must not leak its collected rows into the session
+          // for the session's lifetime
+          try {
+            val q = s.readStream.schema(schema).parquet(dir.toString)
+              .select(TextAnalysis.fingerprint($"text").as("fp"))
+              .dropDuplicates("fp")
+              .writeStream.outputMode("append")
+              .format("memory").queryName(name)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            try require(q.awaitTermination(300000),
+              "q44 stream did not terminate within 300s — refusing a partial result")
+            finally q.stop()
+            val result = s.table(name).orderBy($"fp")
+            val sch = result.schema
+            val rows = result.collect()
+            s.createDataFrame(java.util.Arrays.asList(rows: _*), sch).orderBy($"fp")
+          } finally s.catalog.dropTempView(name)
         } finally {
           java.nio.file.Files.deleteIfExists(link)
           java.nio.file.Files.deleteIfExists(dir)

@@ -125,23 +125,26 @@ object MrfGold {
       // so the staged file can be deleted before the caller executes
       // the returned (lazy) gold plan
       val name = "q43_bronze_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.format("payer-mrf").load(file.toString)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // stop() on the failure path too: a hung stream must not keep
-      // running (and reading the staged file the finally deletes)
-      // after the timeout propagates; stop() after normal termination
-      // is a no-op
-      try require(q.awaitTermination(300000),
-        "q43 bronze stream did not terminate within 300s — refusing a partial bronze")
-      finally q.stop()
-      val bronzeTable = s.table(name)
-      val schema = bronzeTable.schema
-      val rows = bronzeTable.collect()
-      s.catalog.dropTempView(name)
-      val bronze = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // memory-sink view drops in a finally — a failed/timed-out stream
+      // must not leak its bronze rows into the session
+      val bronze = try {
+        val q = s.readStream.format("payer-mrf").load(file.toString)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // stop() on the failure path too: a hung stream must not keep
+        // running (and reading the staged file the finally deletes)
+        // after the timeout propagates; stop() after normal termination
+        // is a no-op
+        try require(q.awaitTermination(300000),
+          "q43 bronze stream did not terminate within 300s — refusing a partial bronze")
+        finally q.stop()
+        val bronzeTable = s.table(name)
+        val schema = bronzeTable.schema
+        val rows = bronzeTable.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      } finally s.catalog.dropTempView(name)
       val sv = MrfPipeline.silver(bronze)
       // the Silver-bundle overload: BOTH provider variants (the staged
       // document only uses group-id references, so the inline branch

@@ -395,34 +395,37 @@ object Relational2 {
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$d/events.parquet"))
       val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.schema(rawSchema).parquet(dir.toString)
-        .withColumn("ts", Tables.eventsTsFromNanos)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(dec($"value")).cast("double").as("total_value"))
-        .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
-        .writeStream
-        .outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // stop() on the failure path too — a hung stream must not keep
-      // running (and holding its memory sink) after the timeout
-      // propagates; stop() after normal termination is a no-op
-      try require(q.awaitTermination(300000),
-        "q19 stream did not terminate within 300s — refusing to return a partial result")
-      finally q.stop()
-      // materialize the result locally and DROP the memory-sink table:
-      // otherwise every invocation pins a full result copy in driver
-      // memory for the session's lifetime
-      val result = s.table(name).orderBy($"window_start", $"event_type")
-      val schema = result.schema
-      val rows = result.collect()
-      s.catalog.dropTempView(name)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy($"window_start", $"event_type")
+      // the memory-sink view drops in a finally — a failed/timed-out
+      // stream must not leak its rows into the session for the
+      // session's lifetime
+      try {
+        val q = s.readStream.schema(rawSchema).parquet(dir.toString)
+          .withColumn("ts", Tables.eventsTsFromNanos)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+          .writeStream
+          .outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // stop() on the failure path too — a hung stream must not keep
+        // running (and holding its memory sink) after the timeout
+        // propagates; stop() after normal termination is a no-op
+        try require(q.awaitTermination(300000),
+          "q19 stream did not terminate within 300s — refusing to return a partial result")
+        finally q.stop()
+        // materialize the result locally (the memory-sink table would
+        // otherwise pin a full result copy in driver memory)
+        val result = s.table(name).orderBy($"window_start", $"event_type")
+        val schema = result.schema
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy($"window_start", $"event_type")
+      } finally s.catalog.dropTempView(name)
     } finally {
       prev match {
         case Some(v) => s.conf.set(confKey, v)

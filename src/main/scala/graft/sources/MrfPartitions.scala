@@ -294,7 +294,7 @@ object MrfFileSplitter {
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (matches.isEmpty)
         throw new java.io.FileNotFoundException(s"payer-mrf: no input matches $p")
-      matches.flatMap { st =>
+      val files = matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filter(f => visible(f.getPath.getName))
@@ -309,6 +309,14 @@ object MrfFileSplitter {
           Seq(st).filter(s => s.isFile && visible(s.getPath.getName))
         else Seq(st)
       }
+      // the fail-fast above ran BEFORE the visibility filter — a glob
+      // whose every match is hidden must also fail loudly, not plan an
+      // empty scan
+      if (files.isEmpty)
+        throw new java.io.FileNotFoundException(
+          s"payer-mrf: every match of $p is a hidden/temp file (leading '.' or '_') — " +
+            "name the file explicitly to read it")
+      files
     }
     val deduped = all.groupBy(_.getPath.getParent).flatMap { case (_, group) =>
       val mtimeByName = group.map(st => st.getPath.getName -> st.getModificationTime).toMap

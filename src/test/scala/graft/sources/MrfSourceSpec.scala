@@ -438,6 +438,13 @@ class MrfSourceSpec extends SparkTestBase {
     val explicit = spark.read.format("payer-mrf")
       .load(dir.getAbsolutePath + "/.explicit.json")
     assert(explicit.filter($"header_key" === "in_network").count() > 0)
+    // a glob whose EVERY match is hidden fails loudly, not as a silent
+    // empty scan
+    val e = intercept[Exception] {
+      spark.read.format("payer-mrf").load(dir.getAbsolutePath + "/.e*").count()
+    }
+    assert(e.getMessage.contains("hidden") || (e.getCause != null &&
+      e.getCause.getMessage.contains("hidden")), e.getMessage)
   }
 
   test("streaming prunes pushed file_name filters at chunk scheduling") {

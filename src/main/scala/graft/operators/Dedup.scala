@@ -487,6 +487,40 @@ object Dedup {
     labels
   }
 
+  /** Eval-set DECONTAMINATION: drop every corpus document sharing at
+    * least `minOverlap` word-n-gram shingles with any document of
+    * `evalSet` — the benchmark-leakage removal step of an LLM data
+    * pipeline. Returns the SURVIVING corpus rows.
+    *
+    * The 100 TB story: the eval set is small (benchmarks are KBs–MBs),
+    * so its distinct shingle-hash table broadcasts; contaminated ids
+    * come from one map-side join + an id aggregation, and the corpus
+    * itself moves only through the final LEFT ANTI join on id — no
+    * corpus-by-shingle shuffle, no pair expansion.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val evalShingles = hashedShingleSets(evalSet, text, id, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    val contaminated = hashedShingleSets(corpus, text, id, n)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalShingles), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .select(col("doc_id").as("__contaminated_id"))
+    corpus.join(
+      contaminated,
+      id.cast("long") === col("__contaminated_id"),
+      "left_anti")
+  }
+
   /** Deterministic train/validation/test assignment by content hash —
     * the split survives re-runs, re-partitioning, and incremental
     * appends (a row's split never depends on what else is in the

@@ -686,6 +686,35 @@ object LlmOps {
               |  FROM scored)
               |SELECT doc_id, source, n_tokens, quality FROM cum
               |WHERE cum_tokens - n_tokens < 500
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- eval-set decontamination: drop corpus docs sharing ≥3
+    // 3-gram shingles with the "benchmark" slice (source='src0') —
+    // benchmark-leakage removal. Eval shingles broadcast (benchmarks
+    // are tiny); the corpus moves only through a left-anti join on id.
+    // The oracle recomputes the shared-shingle counts exactly.
+    Q(
+      "q49_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(
+          corpus = docs.filter($"source" =!= "src0"),
+          evalSet = docs.filter($"source" === "src0"),
+          $"text", $"doc_id", n = 3, minOverlap = 3)
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS t FROM documents),
+              |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+              |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+              |ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE source = 'src0'),
+              |corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE source <> 'src0'),
+              |bad AS (SELECT doc_id FROM corp JOIN ev USING (shingle)
+              |  GROUP BY doc_id HAVING count(*) >= 3)
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

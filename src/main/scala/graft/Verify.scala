@@ -27,6 +27,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var gateCompromised = false
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -46,6 +47,14 @@ object Verify {
             }
             rm(dir)
           }
+          if (dir.exists()) {
+            // undeletable stale dir (held handle, permissions): the
+            // compare would validate the PREVIOUS run's output as a
+            // false pass — flag the whole run instead of shipping it
+            System.err.println(
+              s"[verify] could not remove stale result $dir — gate integrity compromised")
+            gateCompromised = true
+          }
         }
       }
     }
@@ -59,6 +68,7 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (gateCompromised) sys.exit(1)
   }
 }
 

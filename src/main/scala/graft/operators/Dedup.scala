@@ -506,19 +506,23 @@ object Dedup {
       n: Int = 3,
       minOverlap: Int = 1): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
-    val evalShingles = hashedShingleSets(evalSet, text, id, n)
-      .select(explode(col("hs")).as("h")).distinct()
-    val contaminated = hashedShingleSets(corpus, text, id, n)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // the id keeps its RAW type throughout (no long cast): a string id
+    // cast to long would be NULL, the anti-join would never match, and
+    // every contaminated document would silently survive — failing OPEN
+    // on exactly the leak this operator removes
+    def shingleRows(df: DataFrame) = df
+      .select(id.as("__decon_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("__decon_id"),
+        explode(graft.functions.GraftFunctions.shingles(col("toks"), n)).as("h"))
+    val evalShingles = shingleRows(evalSet).select(col("h")).distinct()
+    val contaminated = shingleRows(corpus)
       .join(broadcast(evalShingles), "h")
-      .groupBy("doc_id")
+      .groupBy("__decon_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
-      .select(col("doc_id").as("__contaminated_id"))
-    corpus.join(
-      contaminated,
-      id.cast("long") === col("__contaminated_id"),
-      "left_anti")
+      .select(col("__decon_id"))
+    corpus.join(contaminated, id === col("__decon_id"), "left_anti")
   }
 
   /** Deterministic train/validation/test assignment by content hash —

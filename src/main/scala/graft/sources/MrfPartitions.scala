@@ -309,10 +309,12 @@ object MrfFileSplitter {
           Seq(st).filter(s => s.isFile && visible(s.getPath.getName))
         else Seq(st)
       }
-      // the fail-fast above ran BEFORE the visibility filter — a glob
-      // whose every match is hidden must also fail loudly, not plan an
-      // empty scan
-      if (files.isEmpty)
+      // the fail-fast above ran BEFORE the visibility filter — a GLOB
+      // whose every match is hidden must also fail loudly, not plan a
+      // silent empty scan. A plain directory path with zero visible
+      // files stays a valid empty scan (an upstream job may emit no
+      // files), as it always was.
+      if (isGlob && files.isEmpty)
         throw new java.io.FileNotFoundException(
           s"payer-mrf: every match of $p is a hidden/temp file (leading '.' or '_') — " +
             "name the file explicitly to read it")

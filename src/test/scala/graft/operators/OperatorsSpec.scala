@@ -475,6 +475,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(frac > 0.2 && frac < 0.4, s"en rate 0.3 sampled at $frac")
   }
 
+  test("decontaminate: overlap threshold, string ids, broadcast plan") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 4 trigram shingles with the eval doc → contaminated at k≤4
+      (1L, "alpha beta gamma delta epsilon eta"),
+      // shares exactly 1 shingle → survives at k=2, drops at k=1
+      (2L, "alpha beta gamma nine ten eleven"),
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    def ids(minOverlap: Int) =
+      Dedup.decontaminate(corpus, evalSet, $"text", $"doc_id", n = 3, minOverlap = minOverlap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(3L))
+    assert(ids(2) == Set(2L, 3L))
+    assert(ids(100) == Set(1L, 2L, 3L))
+    // STRING ids must work identically — a long cast would null them
+    // and every contaminated doc would silently survive (fail open)
+    val sCorpus = corpus.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    val sEval = evalSet.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    val sIds = Dedup.decontaminate(sCorpus, sEval, $"text", $"doc_id", n = 3, minOverlap = 1)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(sIds == Set("doc-3"), s"string ids failed open: $sIds")
+    // plan: the eval-shingle join and the anti join are both broadcast
+    // — the corpus is never shuffled by shingle
+    val plan = Dedup.decontaminate(corpus, evalSet, $"text", $"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("TokenizeWords is locale-independent (Turkish-I regression)") {
     import spark.implicits._
     val prev = java.util.Locale.getDefault

@@ -31,7 +31,15 @@ object Bench {
     // cost onto the first measured query is exactly the variance the
     // warm-up exists to remove.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    names.foreach { n =>
+    // the different-directory invariant is ENFORCED, not assumed: a
+    // warm-up on the measured dir would pre-fill per-(session, dir)
+    // caches (the shared shingle stage) and flatter the measured timings
+    if (new java.io.File(warmDir).getCanonicalPath ==
+        new java.io.File(sfDir).getCanonicalPath) {
+      System.err.println(
+        s"[bench] SKIPPING warm-up: warm dir $warmDir == measured dir $sfDir " +
+          "(would pre-warm per-dir caches); first-query timings include JIT")
+    } else names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case t: Throwable =>
         System.err.println(s"[bench] warm-up $n on $warmDir failed: ${t.getMessage}")

@@ -16,11 +16,16 @@ object Sampling {
   /** Keep-predicate for PER-STRATUM rate sampling (data-mixing weights:
     * e.g. downsample an overrepresented language to 30% while keeping
     * 100% of a rare one). A row survives iff its content-hash bucket
-    * (first 4 md5 hex chars mod 100) falls below its stratum's
-    * percentage; strata missing from `rates` use `defaultRate`.
+    * (first 8 md5 hex chars mod 100 — a 32-bit bucket, so the mod-100
+    * bias is < 10⁻⁸, vs ~0.15% for the 16-bit bucket this replaces)
+    * falls below its stratum's percentage; strata missing from `rates`
+    * use `defaultRate`.
     *
     * Hash on a CONTENT column (not a sequential id) so survival is
-    * stable under re-ingestion and id reassignment.
+    * stable under re-ingestion and id reassignment. `hashOn` must be a
+    * STRING column: the binary cast that feeds md5 resolves only for
+    * strings — a numeric column fails analysis rather than hashing an
+    * engine-private byte layout that no oracle could reproduce.
     */
   def stratifiedKeep(
       stratum: Column,
@@ -30,7 +35,7 @@ object Sampling {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 100, s"sampling rates are percentages in [0,100], got $r"))
     val bucket =
-      conv(substring(md5(hashOn.cast("binary")), 1, 4), 16, 10).cast("long") % 100
+      conv(substring(md5(hashOn.cast("binary")), 1, 8), 16, 10).cast("long") % 100
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
     }

@@ -335,7 +335,14 @@ object Similarity {
     val cents = LocalKMeans.train(sample, nlist, iters)
     val centroids = typedLit(cents.map(_.toSeq).toSeq)
 
-    val cells = assignCells(base, "corpus_id", "cv", centroids, top = 1)
+    // ragged/null corpus vectors drop at CELL-ASSIGNMENT time: a
+    // non-modal-dim vector scores -Infinity against every centroid and
+    // would deterministically land in cell 1 — at scale a corrupt
+    // vector slice would pile into ONE hot cell for nothing (their
+    // cosines are null and topKPerQuery filters them anyway, so the
+    // result set is unchanged)
+    val cells = assignCells(
+      base.filter(size(col("cv")) === dim), "corpus_id", "cv", centroids, top = 1)
       .select(col("cid"), col("corpus_id"), col("cv"))
     val q = queries
       .select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))

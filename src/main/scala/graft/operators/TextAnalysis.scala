@@ -150,8 +150,10 @@ object TextAnalysis {
     * model-context-sized examples: windows of `window` tokens starting
     * every `window - overlap` tokens, final partial window kept, at
     * least one (possibly empty) chunk per doc so no document silently
-    * vanishes. Pure array expression over an already materialized token
-    * column (map-side at any scale; same HOF caveat as
+    * vanishes — including a NULL token array (null text), which chunks
+    * like an empty doc instead of null-propagating into zero rows after
+    * posexplode. Pure array expression over an already materialized
+    * token column (map-side at any scale; same HOF caveat as
     * [[shinglesFromTokens]]).
     */
   def chunkTokens(toks: Column, window: Int, overlap: Int): Column = {
@@ -159,12 +161,13 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window), got $overlap for window $window")
     val stride = window - overlap
+    val t = coalesce(toks, array())
     transform(
       sequence(
         lit(0),
         greatest(
-          ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int") - 1,
+          ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int") - 1,
           lit(0))),
-      i => slice(toks, i * stride + 1, lit(window)))
+      i => slice(t, i * stride + 1, lit(window)))
   }
 }

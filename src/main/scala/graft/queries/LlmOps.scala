@@ -646,7 +646,7 @@ object LlmOps {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, lang, source FROM documents
-             |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 100 <
+             |WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 <
              |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 60 END
              |ORDER BY doc_id""".stripMargin)),
 

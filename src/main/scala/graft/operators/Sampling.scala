@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data mixing.
@@ -51,8 +52,37 @@ object Sampling {
     * is kept; subsequent ones drop — so a stratum whose single best doc
     * exceeds the budget still contributes it rather than vanishing).
     *
-    * One hash-partitioned window per stratum — a shuffle on the stratum
-    * key, nothing else; skewed strata salt like any hot groupBy key.
+    * A running sum is ORDER-DEPENDENT, so its window cannot be salted
+    * the way a hot groupBy key can — and strata are few by nature (a
+    * mixing recipe has tens of sources), so a plain per-stratum window
+    * would hand each reducer an entire stratum: terabytes through one
+    * task at corpus scale. This runs TWO-PHASE instead:
+    *
+    *  1. rows map-side bucket by quality (`qualityBuckets` equal-width
+    *     slices of the stratum's finite quality range, computed from a
+    *     broadcast per-stratum min/max — bucketing is monotone in
+    *     quality and ties share a bucket, so bucket order refines the
+    *     ranking exactly);
+    *  2. one tiny aggregation gives each (stratum, bucket) its token
+    *     sum, and a window over that AGGREGATED frame (≤ buckets+4 rows
+    *     per stratum) gives each bucket its exclusive prefix E and
+    *     inclusive total T;
+    *  3. broadcast back: buckets with T < budget are kept MAP-SIDE
+    *     (every row's preceding total is < budget — no shuffle touches
+    *     them), buckets with E ≥ budget drop map-side, and only the
+    *     single BOUNDARY bucket per stratum (E < budget ≤ T) runs the
+    *     exact running-sum window, seeded with E — so the only
+    *     per-row sort covers the sliver of rows around the cutoff,
+    *     not the stratum.
+    *
+    * Semantics are IDENTICAL to the single-window formulation,
+    * including the budget-inclusive rule and null handling (null
+    * tokens drop; null/NaN quality rank as in `quality.desc`: NaN
+    * first, nulls last), for any integral token type. Floating-point
+    * token counts would make the bucket pre-sums order-sensitive, and
+    * NEGATIVE token counts would break the bucket bounds entirely —
+    * the operator detects negatives per stratum and throws rather than
+    * returning a plausible wrong set.
     */
   def tokenBudgetCap(
       df: org.apache.spark.sql.DataFrame,
@@ -60,17 +90,95 @@ object Sampling {
       tokens: Column,
       quality: Column,
       id: Column,
-      tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+      tokenBudget: Long,
+      qualityBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(quality.desc, id.asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    // collision-proof scratch name: a fixed "__cum_tokens" would
-    // silently clobber (and then drop) a caller's column of that name
-    val cum = "__cum_tokens_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    df.withColumn(cum, sum(tokens).over(w))
-      .filter(col(cum) - tokens < tokenBudget)
-      .drop(cum)
+    require(qualityBuckets >= 1, s"qualityBuckets must be >= 1, got $qualityBuckets")
+    val B = qualityBuckets
+    // collision-proof scratch names: a fixed name would silently
+    // clobber (and then drop) a caller's column of that name. The
+    // "__tbc_" prefixes are load-bearing for the plan-shape spec, which
+    // identifies the tiny bucket-prefix window by its aggregated-sum
+    // output column.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sC = s"__tbc_stratum_$tag"; val tC = s"__tbc_tokens_$tag"
+    val qC = s"__tbc_quality_$tag"; val iC = s"__tbc_id_$tag"
+    val bC = s"__tbc_bucket_$tag"; val sumC = s"__tbc_s_$tag"
+    val eC = s"__tbc_e_$tag"; val tTotC = s"__tbc_t_$tag"
+    val qminC = s"__tbc_qmin_$tag"; val qmaxC = s"__tbc_qmax_$tag"
+    val tokminC = s"__tbc_tokmin_$tag"; val cumC = s"__tbc_cum_$tag"
+
+    val outCols = df.columns.toSeq.map(col)
+    val base = df
+      .withColumn(sC, stratum).withColumn(tC, tokens)
+      .withColumn(qC, quality).withColumn(iC, id)
+    val qD = col(qC).cast("double")
+
+    // per-stratum FINITE quality range (bucket geometry) + the
+    // non-negativity witness for tokens; both partially aggregate
+    // map-side to one row per stratum
+    val finite = !isnan(qD) && qD =!= Double.PositiveInfinity && qD =!= Double.NegativeInfinity
+    val stats = base.groupBy(col(sC)).agg(
+      min(when(finite, qD)).as(qminC),
+      max(when(finite, qD)).as(qmaxC),
+      min(col(tC)).as(tokminC))
+    val withStats = base.join(
+      broadcast(stats.withColumnRenamed(sC, sC + "_r")),
+      col(sC) <=> col(sC + "_r"), "left").drop(sC + "_r")
+
+    // bucket layout mirrors `quality.desc` ordering exactly:
+    // 0 = NaN (sorts above +Inf in Spark), 1 = +Inf, 2..B+1 = finite
+    // (2 = highest), B+2 = -Inf, B+3 = null (desc puts nulls last).
+    // Monotone in quality and tie-preserving, so concatenating buckets
+    // in ascending order reproduces the global per-stratum ranking.
+    val interior = lit(2) + greatest(
+      least(floor((col(qmaxC) - qD) / (col(qmaxC) - col(qminC)) * B).cast("int"), lit(B - 1)),
+      lit(0))
+    val withBucket = withStats.withColumn(bC,
+      when(qD.isNull, lit(B + 3))
+        .when(isnan(qD), lit(0))
+        .when(qD === Double.PositiveInfinity, lit(1))
+        .when(qD === Double.NegativeInfinity, lit(B + 2))
+        .when(col(qmaxC).isNull || (col(qmaxC) <=> col(qminC)), lit(2))
+        .otherwise(interior))
+
+    // phase 2: per-bucket token sums, then the prefix window over the
+    // AGGREGATED frame — ≤ B+4 rows per stratum, so one reducer per
+    // stratum here is a handful of rows, not the corpus
+    val bucketSums = withBucket.groupBy(col(sC), col(bC)).agg(sum(col(tC)).as(sumC))
+    val wPrefix = Window.partitionBy(col(sC)).orderBy(col(bC))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = bucketSums
+      .withColumn(eC, coalesce(sum(col(sumC)).over(wPrefix), lit(0L)))
+      .withColumn(tTotC, col(eC) + col(sumC))
+      .select(col(sC).as(sC + "_p"), col(bC).as(bC + "_p"), col(eC), col(tTotC))
+
+    val classified = withBucket.join(
+      broadcast(prefixed),
+      col(sC) <=> col(sC + "_p") && col(bC) === col(bC + "_p"), "left")
+
+    // negative tokens void the bucket bounds (a later negative row
+    // could pull a "fully dropped" bucket back under budget) — throw
+    // from inside the filter, where every row evaluates the guard
+    val budget = lit(tokenBudget)
+    def guarded(pred: Column): Column =
+      when(col(tokminC) < 0, raise_error(concat(
+        lit("tokenBudgetCap requires non-negative token counts; stratum "),
+        coalesce(col(sC).cast("string"), lit("NULL")),
+        lit(" has min token count "), col(tokminC).cast("string"))))
+        .otherwise(pred)
+
+    // T < budget → every row's preceding total < budget: keep map-side
+    // (null tokens still drop, as in the single-window plan)
+    val fullyKept = classified.filter(guarded(col(tTotC) < budget && col(tC).isNotNull))
+    // E < budget <= T → the one boundary bucket per stratum: exact
+    // running sum, seeded with the bucket's exclusive prefix E
+    val wExact = Window.partitionBy(col(sC), col(bC)).orderBy(col(qC).desc, col(iC).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = classified
+      .filter(guarded(col(eC) < budget && col(tTotC) >= budget))
+      .withColumn(cumC, sum(col(tC)).over(wExact))
+      .filter(col(eC) + col(cumC) - col(tC) < budget)
+    fullyKept.select(outCols: _*).union(boundaryKept.select(outCols: _*))
   }
 }

@@ -654,8 +654,11 @@ object LlmOps {
     // quality first (deterministic tie-break by doc_id) — the step that
     // turns a mixing recipe into concrete rows. The first doc crossing
     // the budget is kept (budget-inclusive), so a stratum never
-    // vanishes because its best doc is large. One window per stratum;
-    // the oracle recomputes the ranking and running totals exactly.
+    // vanishes because its best doc is large. Two-phase plan: quality
+    // buckets decide almost every row map-side, and only the boundary
+    // bucket runs an exact window (see Sampling.tokenBudgetCap); the
+    // oracle recomputes the ranking and running totals exactly with a
+    // single global window, so it also re-proves the equivalence.
     Q(
       "q48_token_budget_mix",
       (s, d) => {

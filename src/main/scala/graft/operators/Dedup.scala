@@ -173,7 +173,13 @@ object Dedup {
     // memory — keeps the rejected pairs out of the flatten buffer and
     // the dropDuplicates exchange entirely, and the surviving rows
     // carry bare 16-byte id pairs (sizes re-derive from the sets at
-    // verify time).
+    // verify time). The classic LENGTH filter (min(n_a,n_b) ≥
+    // t·max(n_a,n_b)) is deliberately absent: it is SUBSUMED — if
+    // min < t·max then min < t·(min+max)/(1+t), and the positional
+    // bound's LHS is ≤ 1 + min(n_a-1, n_b-1) = min, so every pair the
+    // length filter would reject already fails the positional filter
+    // (they coincide at pos_a = pos_b = 0; positional is strictly
+    // stronger elsewhere).
     val tFrac = threshold / (1.0 + threshold)
     val candidates = prefixes.groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
@@ -269,15 +275,21 @@ object Dedup {
       maxBlockSize: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(hashed.sparkSession)
     val numHashes = bands * rowsPerBand
-    val sets = hashed
+    // the signature projection is consumed by ONE consumer (the banding
+    // path), and verification re-joins the CALLER's `hashed` frame — so
+    // nothing here needs a .cache(): the minhash kernel runs once, the
+    // verify branches prune down to (doc_id, hs), and no pinned storage
+    // outlives the query (the round-3 version cached a (doc_id, sh,
+    // sig) copy of the corpus for the session's lifetime per call).
+    // Callers running several dedup flavors over one corpus cache the
+    // shared [[hashedShingleSets]] projection themselves.
+    val sigs = hashed
       .filter(size(col("hs")) > 0)
       .select(
         col("doc_id"),
-        col("hs").as("sh"),
         graft.functions.GraftFunctions.minhashFromHashes(col("hs"), numHashes).as("sig"))
-      .cache()
     // band hash = xxhash64 over the band's signature slice
-    val banded = sets.select(
+    val banded = sigs.select(
       col("doc_id"),
       posexplode(
         transform(
@@ -292,8 +304,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // verify candidates with EXACT jaccard (re-join compact shingle sets)
     candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
       .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("c").cast("double") /
@@ -337,7 +349,15 @@ object Dedup {
 
   /** Pairs (a < b) from banded signatures with Hamming ≤ maxHamming:
     * posexplode band buckets → block per (band, bucket) → in-block pair
-    * expansion → exact Hamming verify on re-joined signatures.
+    * expansion with the exact Hamming distance computed INSIDE the
+    * expansion (a signature is one 8-byte long, so blocks carry it
+    * alongside the id and verification costs one xor+popcount per
+    * candidate — no re-join, and the failing pairs are filtered before
+    * the dedup exchange). The round-3 version re-joined a CACHED
+    * signature frame twice instead: two shuffle joins plus a pinned
+    * corpus-sized cache per call, for payloads this plan carries in 16
+    * bytes. (Fat payloads — shingle sets, embeddings — still re-join by
+    * id; only scalar signatures ride the blocks.)
     */
   private def bandedHammingPairs(
       sigs: DataFrame, // (doc_id, sig)
@@ -345,20 +365,29 @@ object Dedup {
       maxHamming: Int,
       maxBlockSize: Int): DataFrame = {
     val banded = sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       posexplode(array(bandBuckets(col("sig"), bandLayout(totalBits, maxHamming)): _*))
         .as(Seq("band", "bucket")))
     banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBlockSize))
-      .select(explode(pairsWithinSorted(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // struct sorts by leading field → doc_id order, so id_a < id_b
+      // holds exactly as with bare-id blocks (ids are distinct within a
+      // block; the sig field never decides the order)
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBlockSize))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ms")) - 2),
+        i => {
+          val a = element_at(col("ms"), i + 1)
+          transform(
+            slice(col("ms"), i + 2, size(col("ms")) - i - 1),
+            b => struct(
+              a.getField("doc_id").as("id_a"),
+              b.getField("doc_id").as("id_b"),
+              bit_count(a.getField("sig").bitwiseXOR(b.getField("sig"))).as("hamming")))
+        }))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` over
@@ -372,7 +401,9 @@ object Dedup {
       maxHamming: Int = 3,
       maxBlockSize: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig")).cache()
+    // no cache: the signature projection has exactly one consumer now
+    // that verification happens inside the block expansion
+    val sigs = df.select(id.cast("long").as("doc_id"), simhash(text).as("sig"))
     bandedHammingPairs(sigs, totalBits = 64, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
   }
 
@@ -420,10 +451,10 @@ object Dedup {
       maxHamming: Int = 6,
       maxBlockSize: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // no cache: single consumer, as in [[simhashPairs]]
     val sigs = df
       .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .select(col("doc_id"), graft.functions.GraftFunctions.simhash60(col("toks")).as("sig"))
-      .cache()
     bandedHammingPairs(sigs, totalBits = 60, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
   }
 
@@ -436,23 +467,47 @@ object Dedup {
     * `maxIter` THROWS rather than returning silently wrong clusters.
     * Returns (doc_id, cluster_id) where cluster_id = min doc_id of
     * the component — the canonical survivor.
+    *
+    * The RETURNED frame is cached (it holds the converged labels; an
+    * uncached return would replay every iteration on first use) —
+    * `.unpersist()` it when done. All loop-internal caches are
+    * released before return.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
+    // labels live as a manually persisted RDD[Row], and each round
+    // REBUILDS the DataFrame from the materialized RDD — so the logical
+    // plan is CONSTANT-SIZE across rounds. Chaining cached Datasets
+    // instead grows the lineage ~4× per round (the pointer-jump
+    // self-join references the previous round twice), and the
+    // exponential plan makes analysis + cache-naming cost explode after
+    // ~8 rounds: a long-diameter graph would hang the DRIVER on plan
+    // bookkeeping long before any executor did real work.
+    val seed = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .cache()
+    val schema = seed.schema
+    var labelsRdd = seed.rdd.persist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val labels = spark.createDataFrame(labelsRdd, schema)
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // hop is deliberately NOT cached even though the pointer-jump
+      // self-join reads it twice: labels is already a persisted RDD
+      // scan, and the duplicated propagate-join subtrees canonicalize
+      // identically, so ReuseExchange dedups their shuffles inside one
+      // physical plan — measured on a 40-chain, caching hop ADDS ~40%
+      // tasks (cache fill + InMemoryRelation scans) for zero avoided
+      // work (134 tasks uncached vs 188 cached; the hygiene spec pins
+      // the uncached plan's task budget)
       val hop = labels
         .join(propagated, labels("doc_id") === propagated("src"), "left")
         .select(
@@ -469,22 +524,30 @@ object Dedup {
           col("h.doc_id").as("doc_id"),
           least(col("h.cluster_id"), coalesce(col("jlabel"), col("h.cluster_id")))
             .as("cluster_id"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("l"), "doc_id")
+      val nextRdd = next.rdd.persist()
+      val nextDf = spark.createDataFrame(nextRdd, schema)
+      val changed = nextDf.as("n")
+        .join(spark.createDataFrame(labelsRdd, schema).as("l"), "doc_id")
         .filter(col("n.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      labelsRdd.unpersist()
+      labelsRdd = nextRdd
       converged = !changed
       iter += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labelsRdd.unpersist()
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIter rounds — component diameter " +
           s"exceeds 2^$maxIter; raise maxIter")
-    labels
+    }
+    // hand the caller a normally cached Dataset (releasable with
+    // .unpersist() per the documented contract), then drop the raw RDD
+    val out = spark.createDataFrame(labelsRdd, schema).cache()
+    out.count()
+    labelsRdd.unpersist()
+    out
   }
 
   /** Eval-set DECONTAMINATION: drop every corpus document sharing at

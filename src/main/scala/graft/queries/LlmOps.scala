@@ -53,11 +53,15 @@ object LlmOps {
 
   // q25/q26/q34 all start from the same tokenize→hashed-shingle
   // projection (native HashedShingles kernel — no shingle strings) —
-  // computed once per (session, sf-dir) and cached. The handle lives in
-  // the SESSION's temp-view registry, not a static map: it dies with
-  // the session, so no external structure pins sessions or cached RDDs
-  // (a WeakHashMap keyed by session would be defeated by the DataFrame
-  // value referencing its session).
+  // computed once per (session, sf-dir) and cached DELIBERATELY for
+  // the session's lifetime: the gate runs many queries over the same
+  // corpus in one session, and this is the one cross-query cache that
+  // pays for itself. The handle lives in the SESSION's temp-view
+  // registry, not a static map: it dies with the session, so no
+  // external structure pins sessions or cached RDDs (a WeakHashMap
+  // keyed by session would be defeated by the DataFrame value
+  // referencing its session). Long-lived sessions that are done with a
+  // corpus call [[evictSharedShingleCaches]] to release the storage.
   private def sharedShingleSets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     // full md5 of the dir in the view name — a truncated hash could
@@ -74,6 +78,19 @@ object LlmOps {
     }
     s.table(view)
   }
+
+  /** Eviction hook for the per-(session, dir) shared shingle caches:
+    * unpersists and drops every shared-shingle view registered in this
+    * session. Safe to call at any time — the next query that needs the
+    * projection rebuilds it.
+    */
+  def evictSharedShingleCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    s.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_shingle_sets_") && t.isTemporary)
+      .foreach { t =>
+        s.table(t.name).unpersist()
+        s.catalog.dropTempView(t.name)
+      }
 
   // DuckDB recomputation of Dedup.portableSimhashAcc/FromAcc: 60-bit
   // md5-based SimHash, one CASE term per bit (generated). Identical

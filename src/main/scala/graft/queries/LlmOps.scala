@@ -735,6 +735,67 @@ object LlmOps {
               |  GROUP BY doc_id HAVING count(*) >= 3)
               |SELECT d.doc_id, d.source FROM documents d
               |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- WATERMARKED streaming dedup: the bounded-state production
+    // variant q44's comment promises. Every event is duplicated (Δt=0
+    // between copies, so every duplicate pair sits inside the 10-minute
+    // watermark and is GUARANTEED to collapse — see StreamingDedup),
+    // staged as time-range files processed in event-time order, and
+    // deduped on (user_id, event_type, minute bucket) — a key no wider
+    // than the watermark, so the emitted set is exactly DISTINCT(keys)
+    // and the oracle recomputes it with a plain GROUP BY. State is
+    // evicted as the watermark advances (asserted via state-store
+    // metrics in StreamingDedupSpec — not expressible in SQL).
+    Q(
+      "q50_streaming_dedup_watermark",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = java.nio.file.Files.createTempDirectory("q50_events").toFile
+        try {
+          // Tables.events handles the TIMESTAMP(NANOS) parquet (nanos →
+          // µs conversion); the re-staged files below are plain µs
+          val ev = Tables.events(s, d).select($"ts", $"user_id", $"event_type")
+          val staged = ev.union(ev) // exact duplicate of every event
+          staged.repartitionByRange(4, $"ts").sortWithinPartitions($"ts")
+            .write.mode("overwrite").parquet(dir.toString)
+          // ascending mod times pin file processing order to time-range
+          // order — a later-range file processed first would advance the
+          // watermark and drop earlier files' rows as late
+          val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
+          parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+          val name = "q50_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          try {
+            val q = s.readStream.schema(staged.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(dir.toString)
+              .withColumn("minute", date_trunc("minute", $"ts"))
+              .transform(df => graft.streaming.StreamingDedup.withinWatermark(
+                df, eventTime = "ts", delay = "10 minutes",
+                keys = Seq("user_id", "event_type", "minute")))
+              .select($"user_id", $"event_type", $"minute")
+              .writeStream.outputMode("append")
+              .format("memory").queryName(name)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            try require(q.awaitTermination(300000),
+              "q50 stream did not terminate within 300s — refusing a partial result")
+            finally q.stop()
+            val result = s.table(name).orderBy($"user_id", $"event_type", $"minute")
+            val sch = result.schema
+            val rows = result.collect()
+            s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+              .orderBy($"user_id", $"event_type", $"minute")
+          } finally s.catalog.dropTempView(name)
+        } finally {
+          dir.listFiles().foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+          java.nio.file.Files.deleteIfExists(dir.toPath)
+        }
+      },
+      Some("""SELECT user_id, event_type, date_trunc('minute', ts) AS minute
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY user_id, event_type, minute""".stripMargin))
   )
 }

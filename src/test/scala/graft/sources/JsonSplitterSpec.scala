@@ -185,6 +185,55 @@ class JsonSplitterSpec extends AnyFunSuite {
     ws <- Gen.oneOf("", " ", "\n  ")
   } yield keys.zip(values).map { case (k, v) => s"""$ws"$k"$ws:$ws$v""" }.mkString("{", s",$ws", s"$ws}")
 
+  /** Run the splitter over a truncated byte prefix, collecting whatever
+    * chunks it emits before (possibly) throwing on the corrupt tail.
+    */
+  private def splitTruncated(
+      bytes: Array[Byte], t: Int, opts: JsonSplitter.Options): Seq[JsonSplitter.Chunk] = {
+    val out = mutable.ArrayBuffer.empty[JsonSplitter.Chunk]
+    try new JsonSplitter(new ByteArrayInputStream(bytes.take(t)), opts).run(out += _)
+    catch { case _: Exception => () }
+    out.toSeq
+  }
+
+  test("truncation at EVERY byte yields a strict prefix of the full chunk stream (or throws)") {
+    // the ignoreCorruptFiles contract: a file cut off mid-upload must
+    // never produce a chunk the complete file would not have produced —
+    // emitted chunks depend only on bytes BEFORE the cut (forward-only
+    // splitter), so the emitted sequence is a strict prefix of the full
+    // file's, never a divergent range. Exhaustive over every truncation
+    // point of the CMS fixture (the source-level corrupt-prefix test
+    // covers one point; this covers them all) × chunk sizings.
+    val optVariants = Seq(
+      JsonSplitter.Options(maxElementsPerChunk = 1),
+      JsonSplitter.Options(chunkTargetBytes = 60, bufferSize = 3),
+      JsonSplitter.Options())
+    for (doc <- Seq(cmsDoc, """{"a":[1,2,3],"h":"x","b":[{"y":[1]},{"z":2}]}""");
+         opts <- optVariants) {
+      val bytes = doc.getBytes(UTF_8)
+      val full = split(doc, opts)
+      for (t <- 1 until bytes.length) {
+        val got = splitTruncated(bytes, t, opts)
+        assert(got == full.take(got.size),
+          s"truncation at byte $t diverged under $opts:\n got:  $got\n want: ${full.take(got.size)}")
+      }
+    }
+  }
+
+  test("property: truncation prefix invariant holds for random docs") {
+    val opts = JsonSplitter.Options(chunkTargetBytes = 40, bufferSize = 2, maxElementsPerChunk = 3)
+    val prop = Prop.forAll(
+      genDoc.flatMap(d => Gen.chooseNum(1, math.max(1, d.getBytes(UTF_8).length - 1)).map((d, _)))) {
+      case (doc, t) =>
+        val bytes = doc.getBytes(UTF_8)
+        val full = split(doc, opts)
+        val got = splitTruncated(bytes, t, opts)
+        got == full.take(got.size)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: splitTopLevelElements recovers every element of a chunk payload") {
     // the executor-side re-split (payloadAsArray / perElement path) gets
     // the same adversarial coverage as the driver-side splitter: random

@@ -178,55 +178,78 @@ object GraftFunctions {
     specs.foreach(s => reg.createOrReplaceTempFunction(s.name, s.builder, "scala_udf"))
   }
 
-  def cosine(a: Column, b: Column): Column = {
-    register(SparkSession.active)
+  // Column builders. Each has an explicit-session overload — the form
+  // to THREAD an owning session through (a DataFrame-taking operator
+  // passes df.sparkSession) — and a no-session convenience overload
+  // that falls back to SparkSession.active. The fallback is only safe
+  // when the column will be analyzed by the session that is active at
+  // build time; registration is all-or-nothing per session (one
+  // doRegister installs every graft_* function), so a single
+  // register(owningSession) anywhere in an operator covers every
+  // builder the operator uses.
+
+  def cosine(a: Column, b: Column): Column = cosine(SparkSession.active, a, b)
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
     call_function("graft_cosine", a, b)
   }
 
-  def tokenize(text: Column): Column = {
-    register(SparkSession.active)
+  def tokenize(text: Column): Column = tokenize(SparkSession.active, text)
+  def tokenize(spark: SparkSession, text: Column): Column = {
+    register(spark)
     call_function("graft_tokenize", text)
   }
 
-  def minhash(strings: Column, k: Int): Column = {
-    register(SparkSession.active)
+  def minhash(strings: Column, k: Int): Column = minhash(SparkSession.active, strings, k)
+  def minhash(spark: SparkSession, strings: Column, k: Int): Column = {
+    register(spark)
     call_function("graft_minhash", strings, org.apache.spark.sql.functions.lit(k))
   }
 
-  def simhash(strings: Column): Column = {
-    register(SparkSession.active)
+  def simhash(strings: Column): Column = simhash(SparkSession.active, strings)
+  def simhash(spark: SparkSession, strings: Column): Column = {
+    register(spark)
     call_function("graft_simhash", strings)
   }
 
-  def shingles(tokens: Column, n: Int): Column = {
-    register(SparkSession.active)
+  def shingles(tokens: Column, n: Int): Column = shingles(SparkSession.active, tokens, n)
+  def shingles(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
     call_function("graft_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   }
 
-  def minhashFromHashes(hashes: Column, k: Int): Column = {
-    register(SparkSession.active)
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    minhashFromHashes(SparkSession.active, hashes, k)
+  def minhashFromHashes(spark: SparkSession, hashes: Column, k: Int): Column = {
+    register(spark)
     call_function("graft_minhash64", hashes, org.apache.spark.sql.functions.lit(k))
   }
 
-  def sortedOverlap(a: Column, b: Column): Column = {
-    register(SparkSession.active)
+  def sortedOverlap(a: Column, b: Column): Column = sortedOverlap(SparkSession.active, a, b)
+  def sortedOverlap(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
     call_function("graft_overlap", a, b)
   }
 
-  def nearestCentroids(v: Column, centroids: Column, top: Int): Column = {
-    register(SparkSession.active)
+  def nearestCentroids(v: Column, centroids: Column, top: Int): Column =
+    nearestCentroids(SparkSession.active, v, centroids, top)
+  def nearestCentroids(spark: SparkSession, v: Column, centroids: Column, top: Int): Column = {
+    register(spark)
     call_function("graft_nearest_centroids", v, centroids,
       org.apache.spark.sql.functions.lit(top))
   }
 
-  def hyperplaneBuckets(v: Column, bits: Int, tables: Int): Column = {
-    register(SparkSession.active)
+  def hyperplaneBuckets(v: Column, bits: Int, tables: Int): Column =
+    hyperplaneBuckets(SparkSession.active, v, bits, tables)
+  def hyperplaneBuckets(spark: SparkSession, v: Column, bits: Int, tables: Int): Column = {
+    register(spark)
     call_function("graft_hyperplane_buckets", v,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
   }
 
-  def simhash60(tokens: Column): Column = {
-    register(SparkSession.active)
+  def simhash60(tokens: Column): Column = simhash60(SparkSession.active, tokens)
+  def simhash60(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
     call_function("graft_simhash60", tokens)
   }
 }

@@ -37,9 +37,14 @@ object Dedup {
     * (the exact-Jaccard and MinHash queries both start here) can compute
     * and cache the projection once.
     */
-  def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+  def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    // owning session, not .active: the tokenizer kernel must resolve on
+    // the session that will analyze THIS frame — the only operator
+    // entry that previously relied on build-time .active registration
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
+  }
 
   /** Hashed shingle sets per doc — (doc_id, hs: array<long>, n_sh) —
     * via the native [[graft.functions.HashedShingles]] kernel: tokens →

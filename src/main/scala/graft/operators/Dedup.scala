@@ -496,7 +496,12 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
     val schema = seed.schema
-    var labelsRdd = seed.rdd.persist()
+    // MEMORY_AND_DISK, matching the Dataset .cache() default this
+    // replaced: MEMORY_ONLY would EVICT label partitions under pressure
+    // and recompute them through lineage that reaches back through
+    // already-unpersisted rounds — spill to disk instead
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var labelsRdd = seed.rdd.persist(level)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -529,7 +534,7 @@ object Dedup {
           col("h.doc_id").as("doc_id"),
           least(col("h.cluster_id"), coalesce(col("jlabel"), col("h.cluster_id")))
             .as("cluster_id"))
-      val nextRdd = next.rdd.persist()
+      val nextRdd = next.rdd.persist(level)
       val nextDf = spark.createDataFrame(nextRdd, schema)
       val changed = nextDf.as("n")
         .join(spark.createDataFrame(labelsRdd, schema).as("l"), "doc_id")

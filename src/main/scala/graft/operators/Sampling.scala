@@ -112,18 +112,34 @@ object Sampling {
     val base = df
       .withColumn(sC, stratum).withColumn(tC, tokens)
       .withColumn(qC, quality).withColumn(iC, id)
+    // the bucket geometry works on quality AS A DOUBLE; a non-numeric
+    // quality (e.g. a string) would cast to null and silently rank
+    // nulls-last instead of its native ordering — refuse it up front
+    base.schema(qC).dataType match {
+      case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.NullType =>
+      case other => throw new IllegalArgumentException(
+        s"tokenBudgetCap requires a numeric quality column (bucket cutoffs are " +
+          s"computed on doubles); got ${other.simpleString} — rank on a numeric " +
+          "score, or map the ordering to a number first")
+    }
     val qD = col(qC).cast("double")
 
     // per-stratum FINITE quality range (bucket geometry) + the
     // non-negativity witness for tokens; both partially aggregate
     // map-side to one row per stratum
     val finite = !isnan(qD) && qD =!= Double.PositiveInfinity && qD =!= Double.NegativeInfinity
+    // no broadcast() hint: in the operator's documented regime (a
+    // mixing recipe has tens of strata) AQE broadcasts these one-row-
+    // per-stratum frames on its own, keeping classification map-side
+    // with zero corpus shuffle; if someone strats on a high-cardinality
+    // key instead, the join degrades to a shuffle — slower, but not the
+    // driver OOM a forced broadcast of millions of strata would be
     val stats = base.groupBy(col(sC)).agg(
       min(when(finite, qD)).as(qminC),
       max(when(finite, qD)).as(qmaxC),
       min(col(tC)).as(tokminC))
     val withStats = base.join(
-      broadcast(stats.withColumnRenamed(sC, sC + "_r")),
+      stats.withColumnRenamed(sC, sC + "_r"),
       col(sC) <=> col(sC + "_r"), "left").drop(sC + "_r")
 
     // bucket layout mirrors `quality.desc` ordering exactly:
@@ -154,7 +170,7 @@ object Sampling {
       .select(col(sC).as(sC + "_p"), col(bC).as(bC + "_p"), col(eC), col(tTotC))
 
     val classified = withBucket.join(
-      broadcast(prefixed),
+      prefixed,
       col(sC) <=> col(sC + "_p") && col(bC) === col(bC + "_p"), "left")
 
     // negative tokens void the bucket bounds (a later negative row

@@ -639,13 +639,17 @@ object LlmOps {
             concat_ws(" ", $"chunk").as("chunk_text"))
           .orderBy($"doc_id", $"chunk_no")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      // coalesce mirrors chunkTokens' null-token handling: a null text
+      // yields one empty chunk on BOTH sides (n_chunk_tokens=0,
+      // chunk_text=''), not a null-propagated disagreement
+      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
               |c AS (SELECT doc_id, tk,
               |    unnest(range(0, greatest(CAST(ceil((len(tk) - 10) / 40.0) AS BIGINT), 1))) AS chunk_no
               |  FROM t)
               |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
               |  CAST(len(list_slice(tk, chunk_no*40 + 1, chunk_no*40 + 50)) AS INT) AS n_chunk_tokens,
-              |  array_to_string(list_slice(tk, chunk_no*40 + 1, chunk_no*40 + 50), ' ') AS chunk_text
+              |  coalesce(array_to_string(list_slice(tk, chunk_no*40 + 1, chunk_no*40 + 50), ' '), '')
+              |    AS chunk_text
               |FROM c ORDER BY doc_id, chunk_no""".stripMargin)),
 
     // ---- deterministic stratified sampling: per-language data-mixing
@@ -765,7 +769,13 @@ object LlmOps {
           // watermark and drop earlier files' rows as late
           val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
           val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
-          parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+          parts.zipWithIndex.foreach { case (f, i) =>
+            // the ascending mod times ARE the ordering invariant — a
+            // filesystem that silently refuses them would scramble batch
+            // order and drop rows as late; fail loudly instead
+            require(f.setLastModified(base + i * 2000L),
+              s"could not set modification time on $f — staging order not guaranteed")
+          }
           val name = "q50_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
           try {
             val q = s.readStream.schema(staged.schema)

@@ -453,6 +453,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(c137.flatten.distinct.size == 137)
     // zero overlap = exact partition
     assert(chunksOf(100, 25, 0).map(_.size) == Seq(25, 25, 25, 25))
+    // NULL token array (null text) chunks like an empty doc — one empty
+    // chunk, not a null-propagated vanishing document
+    val nullChunks = Seq(Option.empty[Seq[String]]).toDF("toks")
+      .select(TextAnalysis.chunkTokens($"toks", 50, 10).as("c"))
+      .first().getSeq[scala.collection.Seq[String]](0)
+    assert(nullChunks.map(_.toSeq) == Seq(Seq()))
     intercept[IllegalArgumentException](TextAnalysis.chunkTokens($"x", 10, 10))
   }
 

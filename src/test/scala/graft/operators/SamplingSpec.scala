@@ -85,6 +85,16 @@ class SamplingSpec extends SparkTestBase {
     assert(rowSet(twoPhase(df, 500L)) == rowSet(df.filter($"doc_id" === 1L)))
   }
 
+  test("tokenBudgetCap refuses a non-numeric quality column up front") {
+    import spark.implicits._
+    // a string quality would cast to null in the bucket geometry and
+    // silently rank nulls-last instead of lexicographically
+    val df = Seq((1L, "s", 10L, "high"), (2L, "s", 5L, "low"))
+      .toDF("doc_id", "source", "n_tokens", "quality")
+    val e = intercept[IllegalArgumentException](twoPhase(df, 500L))
+    assert(e.getMessage.contains("numeric quality"))
+  }
+
   test("tokenBudgetCap throws on negative token counts instead of returning a wrong set") {
     import spark.implicits._
     val df = Seq((1L, "s", 10L, 0.9), (2L, "s", -3L, 0.8))

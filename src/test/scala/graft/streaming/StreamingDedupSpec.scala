@@ -34,7 +34,10 @@ class StreamingDedupSpec extends SparkTestBase {
         .write.mode("overwrite").parquet(dir.toString)
       val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 2000L),
+          s"could not set modification time on $f — staging order not guaranteed")
+      }
 
       val q = spark.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1")

@@ -56,8 +56,13 @@ object Multimodal {
 
   /** Deterministic fake codec — this container has no image/audio
     * libraries, so metadata is derived from the payload's hash. The
-    * REAL part is everything around it: swap this object for a JNI
-    * codec and schema, partitioning, and batch shape all stand.
+    * REAL part is everything around it: swap in a JNI codec and the
+    * schema, partitioning, and batch shape all stand. A real codec
+    * holding native state must be a CLASS instance (one per decode()
+    * call), NOT an `object`: a Scala object deserializes to the
+    * executor-wide singleton, so concurrent tasks would share one
+    * native handle and one task's close() would free it mid-decode
+    * under another. The stateless stub is safe as a singleton.
     */
   object StubCodec extends MediaCodec {
     override def decodeOne(mediaId: Long, bytes: Array[Byte]): DecodedMeta = {
@@ -85,10 +90,11 @@ object Multimodal {
     val enc = Encoders.product[DecodedMeta]
     media.select(col("media_id"), col("media"))
       // null payloads (e.g. a null source column wrapped by asMedia)
-      // drop here rather than NPE-ing inside a codec that reasonably
-      // assumes bytes — matching the corrupt-input-drops convention of
+      // AND null ids (an uncastable string id nulls through asMedia's
+      // long cast) drop here rather than NPE-ing inside the codec or
+      // Row.getLong — matching the corrupt-input-drops convention of
       // the rest of the pipeline
-      .filter(col("media").isNotNull)
+      .filter(col("media").isNotNull && col("media_id").isNotNull)
       .mapPartitions { rows =>
         codec.open()
         val closed = new java.util.concurrent.atomic.AtomicBoolean(false)

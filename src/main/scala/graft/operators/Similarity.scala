@@ -225,7 +225,12 @@ object Similarity {
             j => when(xxhash64(lit(seed), lit(b), j) >= 0, 1.0).otherwise(-1.0)),
           (x, h) => x * h),
         lit(0.0), (s, x) => s + x)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      // !isnan: Spark SQL orders NaN above every number, so a bare
+      // `dot >= 0` would set the bit for a NaN dot while the native
+      // kernel's Java comparison leaves it clear — the bit-equality the
+      // spec asserts requires NaN to mean "bit clear" on both paths
+      // (null dot already falls through to 0 via the when)
+      when(!isnan(dot) && dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce((x, y) => x.bitwiseOR(y))
   }
@@ -247,8 +252,16 @@ object Similarity {
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // null ids (or string ids that null through the long cast) DROP, on
+    // both sides and in every top-k flavor: left in, they would crash
+    // the typed top-k aggregator's non-nullable Long encoder when
+    // excludeSelf = false yet be silently swallowed by the =!= filter
+    // when it is true — one documented behavior beats two accidental
+    // ones
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+      .filter(col("corpus_id").isNotNull)
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+      .filter(col("query_id").isNotNull)
     val scored0 = c.crossJoin(broadcast(q))
       .select(
         col("query_id"), col("corpus_id"),
@@ -302,6 +315,7 @@ object Similarity {
     // copy per call)
     val base = corpus
       .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+      .filter(col("corpus_id").isNotNull) // null ids drop (see bruteForceTopK)
 
     // nearest `top` centroids per vector as a PURE MAP-SIDE expression:
     // the quantizer (nlist × dim doubles) rides into the plan as an
@@ -346,6 +360,7 @@ object Similarity {
       .select(col("cid"), col("corpus_id"), col("cv"))
     val q = queries
       .select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+      .filter(col("query_id").isNotNull)
     val probes = assignCells(q, "query_id", "qv", centroids, top = nprobe)
       .select(col("cid"), col("query_id"), col("qv"))
     // no dropDuplicates: top=1 puts each corpus row in exactly one
@@ -386,8 +401,17 @@ object Similarity {
     // generation and dedup move only id pairs — vectors re-join by id
     // for scoring, so no embedding payload rides the bucket or dedup
     // exchanges
+    // empty and null-element vectors land in bucket 0 of EVERY table by
+    // kernel convention — at scale a corrupt slice would collide into
+    // one hot bucket, tables-times amplified, then score to null and be
+    // discarded anyway; drop them (and null ids, see bruteForceTopK)
+    // before any bucket exists, like ivfTopK's modal-dim filter
+    def wellFormed(v: Column): Column =
+      size(v) > 0 && coalesce(!exists(v, x => x.isNull), lit(false))
     val cb = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("cv"))
+      .filter(col("corpus_id").isNotNull && wellFormed(col("cv")))
     val qb = queries.select(queryId.cast("long").as("query_id"), queryVec.cast("array<double>").as("qv"))
+      .filter(col("query_id").isNotNull && wellFormed(col("qv")))
     def keyed(base: DataFrame, idCol: String, vecCol: String) =
       base.select(
         col(idCol),

@@ -50,6 +50,7 @@ object Skew {
       finalAggs: Seq[Column],
       salts: Int = 16,
       saltFrom: Option[Column] = None): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val partial = df
       .withColumn("__salt", saltCol(df, salts, saltFrom))
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -78,10 +79,15 @@ object Skew {
       salts: Int = 16,
       joinType: String = "inner",
       saltFrom: Option[Column] = None): DataFrame = {
+    // salts = 0 would be SILENT corruption, not an error: pmod(h, 0) is
+    // NULL on the left while sequence(0, -1) = [0, -1] on the right, so
+    // an inner join returns empty and a left join null-extends all rows
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     // right/full joins would emit `salts` null-extended copies of every
     // unmatched replicated right row — refuse instead of corrupting
-    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti")
+    // (comparison happens after underscore-stripping, so only the
+    // underscore-free spellings belong in the set)
+    val ok = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
     require(ok.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$joinType'")
     val l = left.withColumn("__salt", saltCol(left, salts, saltFrom))

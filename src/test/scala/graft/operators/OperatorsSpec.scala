@@ -391,7 +391,8 @@ class OperatorsSpec extends SparkTestBase {
       (2L, Seq[java.lang.Double](1.0, null, 3.0)), // null element
       (3L, Seq.empty[java.lang.Double]), // empty
       (4L, Seq[java.lang.Double](0.0, 0.0, 0.0)), // zero vector (NaN cosine)
-      (5L, Seq[java.lang.Double](2.0, 1.0))) // ragged vs dim 3
+      (5L, Seq[java.lang.Double](2.0, 1.0)), // ragged vs dim 3
+      (6L, Seq[java.lang.Double](1.0, Double.NaN, 2.0))) // NaN element
       .toDF("vec_id", "v")
     // cosine: null element and ragged pair → NULL like the HOF (a
     // corrupted vector must not produce a plausible score). Zero-norm
@@ -414,7 +415,10 @@ class OperatorsSpec extends SparkTestBase {
       .select(Similarity.cosine($"a.v", $"b.v").as("fast"))
     assert(nan.count() == 2 && nan.filter(isnan($"fast")).count() == 2)
     // hyperplane buckets: empty and null-element vectors land in bucket
-    // 0 of every table, exactly like the HOF's null dot → otherwise(0L)
+    // 0 of every table, exactly like the HOF's null dot → otherwise(0L);
+    // a NaN element gives a NaN dot, which must mean "bit clear" on
+    // BOTH paths (Spark SQL's NaN >= 0 is true — the HOF guards with
+    // !isnan to match the kernel's Java comparison)
     val hb = rows.select(
       graft.functions.GraftFunctions.hyperplaneBuckets($"v", 4, 8).as("fast"),
       array((0 until 8).map(t => Similarity.hyperplaneBucket($"v", 4, seed = t)): _*).as("hof"))

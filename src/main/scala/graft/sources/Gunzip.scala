@@ -25,25 +25,35 @@ object Gunzip {
     * their decompressed name too.
     */
   def decompressedName(name: String): Option[String] = {
+    // case-insensitive match: real feeds publish DATA.JSON.GZ too, and
+    // an unmatched archive would reach the splitter as raw binary
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    def strip(suffix: String): String = name.dropRight(suffix.length)
     val base =
-      if (name.endsWith(".gz")) Some(name.stripSuffix(".gz"))
-      else if (name.endsWith(".zstd")) Some(name.stripSuffix(".zstd"))
-      else if (name.endsWith(".zst")) Some(name.stripSuffix(".zst"))
-      else if (name.endsWith(".zip")) Some(name.stripSuffix(".zip"))
+      if (lower.endsWith(".gz")) Some(strip(".gz"))
+      else if (lower.endsWith(".zstd")) Some(strip(".zstd"))
+      else if (lower.endsWith(".zst")) Some(strip(".zst"))
+      else if (lower.endsWith(".zip")) Some(strip(".zip"))
       else None
-    base.map(b => if (b.endsWith(".json")) b else b + ".json")
+    base.map(b => if (b.toLowerCase(java.util.Locale.ROOT).endsWith(".json")) b else b + ".json")
   }
 
-  private def decodeStream(name: String, raw: InputStream): InputStream =
-    if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 20)
-    else if (name.endsWith(".zst") || name.endsWith(".zstd"))
+  private def decodeStream(name: String, raw: InputStream): InputStream = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    if (lower.endsWith(".gz")) new GZIPInputStream(raw, 1 << 20)
+    else if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
       new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
-    else { // .zip: the payload is the first entry
+    else { // .zip: the payload is the first FILE entry — folder-zipped
+      // archives lead with directory (or __MACOSX metadata) entries,
+      // and blindly taking the first would materialize an empty .json
       val z = new ZipInputStream(raw)
-      if (z.getNextEntry == null)
-        throw new java.io.IOException(s"payer-mrf: zip input $name has no entries")
+      var e = z.getNextEntry
+      while (e != null && e.isDirectory) e = z.getNextEntry
+      if (e == null)
+        throw new java.io.IOException(s"payer-mrf: zip input $name has no file entries")
       z
     }
+  }
 
   // Same-JVM serialization of materializations per target path: two
   // queries decompressing the same archive concurrently must not
@@ -96,15 +106,24 @@ object Gunzip {
         "." + target.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
       val in = decodeStream(name, fs.open(path))
       try {
-        val out = fs.create(tmp, true)
         try {
-          val buf = new Array[Byte](1 << 20)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) out.write(buf, 0, n)
-            n = in.read(buf)
-          }
-        } finally out.close()
+          val out = fs.create(tmp, true)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } catch {
+          case t: Throwable =>
+            // a failed/interrupted materialization must not leak the
+            // (uniquely named, hidden) temp file — each retry would
+            // otherwise strand another multi-GB orphan
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            throw t
+        }
       } finally in.close()
       // delete ONLY a genuinely stale sibling; if a concurrent
       // writer materialized a fresh one meanwhile, keep theirs

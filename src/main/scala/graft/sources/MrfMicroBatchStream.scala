@@ -122,8 +122,7 @@ final class MrfMicroBatchStream(
           case e: Exception if opts.ignoreCorruptFiles =>
             // deterministic even on restart: the splitter fails at the
             // same byte, so any partial chunks re-derive identically
-            System.err.println(
-              s"[payer-mrf] skipping corrupt file $f: ${e.getMessage}")
+            logWarning(s"payer-mrf: skipping corrupt file $f", e)
         }
       }
       if (stopped) throw new InterruptedException("payer-mrf: split stopped with the query")

@@ -56,13 +56,31 @@ final class MrfPartitionReader(
   // survives the projection — counting/demux queries cost zero data I/O
   private val needsPayload = required.fieldNames.contains("json_payload")
 
+  // per-READER field layout (0 = file_name, 1 = header_key,
+  // 2 = json_payload): row() runs once per emitted row — billions of
+  // times in a perElement scan — and re-deriving fieldNames (a fresh
+  // Array per call) plus per-field string matching there is pure
+  // hot-loop garbage
+  private val fieldCodes: Array[Int] = required.fieldNames.map {
+    case "file_name" => 0
+    case "header_key" => 1
+    case "json_payload" => 2
+  }
+
   /** Assemble one pruned row; `payload` is evaluated only if required. */
-  private def row(key: UTF8String, fileName: UTF8String, payload: => Any): InternalRow =
-    new GenericInternalRow(required.fieldNames.map {
-      case "file_name" => fileName
-      case "header_key" => key
-      case "json_payload" => payload
-    }.asInstanceOf[Array[Any]])
+  private def row(key: UTF8String, fileName: UTF8String, payload: => Any): InternalRow = {
+    val vals = new Array[Any](fieldCodes.length)
+    var i = 0
+    while (i < fieldCodes.length) {
+      vals(i) = fieldCodes(i) match {
+        case 0 => fileName
+        case 1 => key
+        case 2 => payload
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
 
   private val rows: Iterator[InternalRow] = {
     val fileName = UTF8String.fromString(part.fileName)
@@ -251,7 +269,7 @@ object MrfSplitCache {
   * [[JsonSplitter]], and assign global ordinals. Shared by the batch scan
   * and the micro-batch stream.
   */
-object MrfFileSplitter {
+object MrfFileSplitter extends org.apache.spark.internal.Logging {
 
   /** Bypass ChecksumFileSystem for byte-range scanning: the local FS
     * wrapper CRCs every read (~10× slower than raw) and no .crc sidecars
@@ -320,7 +338,12 @@ object MrfFileSplitter {
             "name the file explicitly to read it")
       files
     }
-    val deduped = all.groupBy(_.getPath.getParent).flatMap { case (_, group) =>
+    // overlapping configured paths (a directory AND a file inside it,
+    // or two globs matching the same file) must not list a file twice:
+    // batch would assemble every chunk twice, streaming would double
+    // the ledger
+    val distinct = all.groupBy(_.getPath.toString).map(_._2.head).toSeq
+    val deduped = distinct.groupBy(_.getPath.getParent).flatMap { case (_, group) =>
       val mtimeByName = group.map(st => st.getPath.getName -> st.getModificationTime).toMap
       // newest mtime among compressed sources that decompress to `name`
       val compressedTo = group.flatMap(st =>
@@ -368,8 +391,27 @@ object MrfFileSplitter {
       opts: MrfOptions,
       conf: SerializableHadoopConf): Seq[MrfInputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[MrfInputPartition]
-    try splitFile(new Path(file), opts, conf.value, 0)(out += _)
+    // per-chunk kill check: an executor split task otherwise ignores
+    // cancelJobGroup entirely (interruptOnCancel is false and a
+    // one-element map never re-checks the kill flag), so a dead query
+    // would keep splitting multi-GB files to completion
+    val ctx = Option(org.apache.spark.TaskContext.get())
+    val emit: MrfInputPartition => Unit = p => {
+      if (ctx.exists(_.isInterrupted()))
+        throw new org.apache.spark.TaskKilledException("payer-mrf split cancelled")
+      out += p
+    }
+    try splitFile(new Path(file), opts, conf.value, 0)(emit)
     catch {
+      case e @ (_: InterruptedException | _: java.io.InterruptedIOException |
+          _: java.nio.channels.ClosedByInterruptException |
+          _: org.apache.spark.TaskKilledException |
+          _: java.io.FileNotFoundException) =>
+        // NOT corruption: cancellation/interruption must propagate (a
+        // swallowed kill would record a truncated split as a SUCCESS
+        // and shift every later streaming ordinal), and a missing file
+        // is its own condition, not a corrupt one
+        throw e
       case e: Exception if opts.ignoreCorruptFiles =>
         // one corrupt file must not kill a fleet-sized job. Chunks
         // split before the failure point are KEPT — the same
@@ -377,9 +419,12 @@ object MrfFileSplitter {
         // spark.sql.files.ignoreCorruptFiles, and identical to the
         // incremental streaming splitter (which cannot retract
         // already-emitted chunks), so driver and executor modes derive
-        // the same ledger deterministically (same failure byte).
-        System.err.println(
-          s"[payer-mrf] corrupt file $file: keeping ${out.size} complete chunks; ${e.getMessage}")
+        // the same ledger deterministically for genuinely corrupt
+        // bytes (same failure byte). Like Spark's flag, a TRANSIENT
+        // I/O error is indistinguishable from corruption here — users
+        // who cannot tolerate that ambiguity leave the flag off.
+        logWarning(
+          s"payer-mrf: corrupt file $file — keeping ${out.size} complete chunks", e)
     }
     out.toSeq
   }
@@ -435,6 +480,12 @@ object MrfFileSplitter {
     // reaches
     val sconf = new SerializableHadoopConf(conf)
     val paths = files.map(_.toString)
+    // save/RESTORE the caller's job group: clearJobGroup() would wipe a
+    // user's own setJobGroup (their cancelJobGroup then no longer
+    // reaches the actual scan jobs submitted after this split)
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(jobGroup,
       s"payer-mrf: split ${paths.size} file(s) on executors", interruptOnCancel = false)
     try {
@@ -442,7 +493,11 @@ object MrfFileSplitter {
         .map(p => p -> splitFileGuarded(p, opts, sconf))
         .collect()
         .toMap
-    } finally sc.clearJobGroup()
+    } finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
   }
 
   def freshSplitJobGroup(): String =

@@ -95,6 +95,40 @@ class MrfSourceSpec extends SparkTestBase {
     assert(again.count() == df.count())
   }
 
+  test("folder-zips skip directory entries; uppercase extensions decompress") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-codec2").toFile
+    // zip -r style: a directory entry (and a metadata-ish file inside
+    // another dir) precedes the payload — the first FILE entry wins
+    val zipFile = new java.io.File(dir, "folder.json.zip")
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+    zo.putNextEntry(new java.util.zip.ZipEntry("folder/"))
+    zo.closeEntry()
+    zo.putNextEntry(new java.util.zip.ZipEntry("folder/doc.json"))
+    zo.write(MrfFixtures.ffs.getBytes("UTF-8"))
+    zo.closeEntry(); zo.close()
+    // uppercase extension: real feeds publish DATA.JSON.GZ
+    val gzFile = new java.io.File(dir, "UPPER.JSON.GZ")
+    val go = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gzFile))
+    go.write(MrfFixtures.ffs.getBytes("UTF-8")); go.close()
+
+    val df = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    assert(df.select("file_name").distinct().collect().map(_.getString(0)).toSet ==
+      Set("folder.json", "UPPER.JSON"))
+    assert(df.filter($"header_key" === "in_network").count() == 2)
+  }
+
+  test("overlapping paths list each file once") {
+    // a directory AND a file inside it: chunks must not assemble twice
+    val dir = Files.createTempDirectory("mrf-overlap").toFile
+    Files.write(new java.io.File(dir, "a.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    val one = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    val both = spark.read.format("payer-mrf")
+      .load(dir.getAbsolutePath, new java.io.File(dir, "a.json").getAbsolutePath)
+    assert(both.count() == one.count(),
+      s"overlapping paths doubled rows: ${both.count()} vs ${one.count()}")
+  }
+
   test("zst and zip inputs decompress and stream like gz") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mrf-codec").toFile

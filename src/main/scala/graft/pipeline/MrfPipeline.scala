@@ -104,7 +104,10 @@ object MrfPipeline {
     * code (same arrangement/type/version/code/name, different rates) —
     * natural keys alone would give both items one key and cross-link
     * their rates/prices/providers downstream. Byte-identical duplicate
-    * items still share a key; their derived rows are identical too.
+    * items still share a key and are DEDUPLICATED in [[inNetworkCodes]]
+    * (they carry zero additional information, and left in, the
+    * rates × prices × providers join chain would multiply their gold
+    * rows combinatorially — 8× per duplicated item, not 2×).
     */
   private def skInNetwork: Column = xxhash64(
     col("file_name"), col("item.negotiation_arrangement"),
@@ -129,6 +132,11 @@ object MrfPipeline {
         col("item.description").as("description"),
         col("item.negotiated_rates").as("negotiated_rates"),
         col("item.bundled_codes").as("bundled_codes"))
+      // byte-identical duplicate items collapse to ONE row (see
+      // [[skInNetwork]]); the exchange this costs doubles as the
+      // co-partitioning on sk_in_network_id that the downstream
+      // rates/prices joins reuse
+      .dropDuplicates("sk_in_network_id")
 
   /** Silver: in_network_rates — one row per negotiated_rates element
     * (`:176-188`); sk_rate_id = hash(parent key, position).
@@ -206,6 +214,25 @@ object MrfPipeline {
     * the surrogate keys they join on; the provider side is filtered to
     * one TIN before joining, so Catalyst broadcasts it.
     */
+  /** The FFS code slice both gold variants start from — ONE definition,
+    * so the reference-resolved and inline-group branches cannot drift
+    * on the filter or the carried columns.
+    */
+  private def ffsProc(codes: DataFrame, billingCode: String): DataFrame =
+    codes
+      .filter(col("billing_code") === billingCode &&
+        col("negotiation_arrangement") === "ffs")
+      .select("sk_in_network_id", "file_name", "billing_code", "billing_code_type", "name")
+
+  /** The gold 12-column projection shared by both variants; only the
+    * provider_group_id expression differs (real column vs typed null).
+    */
+  private def goldColumns(providerGroupId: Column): Seq[Column] = Seq(
+    col("file_name"), col("reporting_entity_name"), col("billing_code"),
+    col("billing_code_type"), col("name"), col("negotiated_rate"),
+    col("billing_class"), col("service_code"), col("expiration_date"),
+    providerGroupId.as("provider_group_id"), col("npi"), col("tin"))
+
   def shoppablePrices(
       codes: DataFrame,
       prices: DataFrame,
@@ -213,10 +240,7 @@ object MrfPipeline {
       providersXPayer: DataFrame,
       billingCode: String,
       tinValue: String): DataFrame = {
-    val proc = codes
-      .filter(col("billing_code") === billingCode &&
-        col("negotiation_arrangement") === "ffs")
-      .select("sk_in_network_id", "file_name", "billing_code", "billing_code_type", "name")
+    val proc = ffsProc(codes, billingCode)
     val prov = providersXPayer
       .filter(col("tin.value") === tinValue)
       .select(
@@ -229,11 +253,7 @@ object MrfPipeline {
         broadcast(prov),
         col("provider_reference_id") === col("provider_group_id") &&
           col("file_name") === col("p_file_name"))
-      .select(
-        col("file_name"), col("reporting_entity_name"), col("billing_code"),
-        col("billing_code_type"), col("name"), col("negotiated_rate"),
-        col("billing_class"), col("service_code"), col("expiration_date"),
-        col("provider_group_id"), col("npi"), col("tin"))
+      .select(goldColumns(col("provider_group_id")): _*)
   }
 
   /** Gold over a full [[Silver]] bundle: BOTH provider variants —
@@ -246,10 +266,7 @@ object MrfPipeline {
       s.codes, s.prices, s.parProviders, s.providersXPayer, billingCode, tinValue)
     val h = s.header
       .select(col("file_name").as("h_file_name"), col("reporting_entity_name"))
-    val inline = s.codes
-      .filter(col("billing_code") === billingCode &&
-        col("negotiation_arrangement") === "ffs")
-      .select("sk_in_network_id", "file_name", "billing_code", "billing_code_type", "name")
+    val inline = ffsProc(s.codes, billingCode)
       .join(s.prices.drop("file_name"), "sk_in_network_id")
       .join(
         s.rateProviderGroups
@@ -257,11 +274,7 @@ object MrfPipeline {
           .select(col("sk_rate_id"), col("npi"), col("tin")),
         "sk_rate_id")
       .join(broadcast(h), col("file_name") === col("h_file_name"), "left")
-      .select(
-        col("file_name"), col("reporting_entity_name"), col("billing_code"),
-        col("billing_code_type"), col("name"), col("negotiated_rate"),
-        col("billing_class"), col("service_code"), col("expiration_date"),
-        lit(null).cast("long").as("provider_group_id"), col("npi"), col("tin"))
+      .select(goldColumns(lit(null).cast("long")): _*)
     viaRefs.unionByName(inline)
   }
 

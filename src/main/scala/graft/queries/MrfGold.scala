@@ -53,11 +53,13 @@ object MrfGold {
     groups.foreach { g =>
       val ref = provRefs.addObject()
       ref.put("provider_group_id", g)
-      val groups = ref.putArray("provider_groups")
-      val g1 = groups.addObject()
+      // groupsNode, not `groups`: shadowing the Seq[Long] parameter
+      // inside the loop that iterates it invites silent misuse
+      val groupsNode = ref.putArray("provider_groups")
+      val g1 = groupsNode.addObject()
       val n1 = g1.putArray("npi"); n1.add(g * 100L + 1); n1.add(g * 100L + 2)
       val t1 = g1.putObject("tin"); t1.put("type", "ein"); t1.put("value", s"TIN-$g")
-      val g2 = groups.addObject()
+      val g2 = groupsNode.addObject()
       val n2 = g2.putArray("npi"); n2.add(g * 100L + 3)
       val t2 = g2.putObject("tin"); t2.put("type", "ein"); t2.put("value", s"TIN-$g")
     }

@@ -383,17 +383,21 @@ object Relational2 {
     // after. The legacy conf flip is SCOPED: the previous value is
     // restored once the stream terminates — a library function must not
     // leave session state mutated behind the caller's back.
+    // the file stream source wants a DIRECTORY — stage the single
+    // parquet file behind a symlink, removed after the run. Temp-dir
+    // creation happens BEFORE the conf flip: a failure here must not
+    // leave the legacy flag set with no restoring finally in place.
+    val dir = java.nio.file.Files.createTempDirectory("q19_events")
+    val link = dir.resolve("events.parquet")
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(confKey)
     s.conf.set(confKey, "true")
-    // the file stream source wants a DIRECTORY — stage the single
-    // parquet file behind a symlink, removed after the run
-    val dir = java.nio.file.Files.createTempDirectory("q19_events")
-    val link = dir.resolve("events.parquet")
     try {
       val rawSchema = Tables.eventsRawSchema(s, d)
+      // absolute target: a relative sf-dir would otherwise resolve
+      // against the /tmp link directory and dangle
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/events.parquet"))
+        link, java.nio.file.Paths.get(d).toAbsolutePath.resolve("events.parquet"))
       val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // the memory-sink view drops in a finally — a failed/timed-out
       // stream must not leak its rows into the session for the

@@ -54,6 +54,29 @@ class MrfPipelineSpec extends SparkTestBase {
       s.prices.join(s.codes, "sk_in_network_id").count() == 3)
   }
 
+  test("byte-identical duplicate in_network items dedupe instead of multiplying gold") {
+    import spark.implicits._
+    // the same item listed twice: identical content → identical
+    // surrogate key. Left in, the rates × prices × providers chain
+    // would emit 2×2 = 4+ gold rows per semantic row; the codes-level
+    // dedup collapses the duplicate to exactly the single-item result
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(MrfFixtures.ffs)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val inNet = root.get("in_network")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    inNet.add(inNet.get(0).deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+    val p = MrfFixtures.writeTemp("dup.json", m.writeValueAsString(root)).getAbsolutePath
+    val dupBronze = spark.read.format("payer-mrf").load(p)
+    val s = MrfPipeline.silver(dupBronze)
+    assert(s.codes.filter($"billing_code" === "27447").count() == 1,
+      "duplicate item must collapse to one code row")
+    val gold = MrfPipeline.shoppablePrices(
+      s.codes, s.prices, s.parProviders, s.providersXPayer,
+      billingCode = "27447", tinValue = "11-1111111")
+    assert(gold.count() == 1, s"duplicate item multiplied gold rows: ${gold.count()}")
+  }
+
   test("gold shoppable prices: knee replacement at TIN 11-1111111 = 123.45") {
     val s = MrfPipeline.silver(bronze)
     val gold = MrfPipeline.shoppablePrices(

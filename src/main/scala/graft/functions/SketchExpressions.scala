@@ -88,16 +88,23 @@ object SketchKernels {
     while (w < windows) {
       var len = 0
       var j = 0
+      var wrote = false
       while (j < winLen) {
-        // a null token joins as the empty string (no NPE)
-        val t = if (toks.isNullAt(w + j)) UTF8String.EMPTY_UTF8
-          else toks.getUTF8String(w + j)
-        val nb = t.numBytes()
-        if (len + nb + 1 > buf.length)
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
-        if (j > 0) { buf(len) = ' '; len += 1 }
-        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-        len += nb
+        // null tokens are SKIPPED entirely — concat_ws(' ', ...) drops
+        // null elements WITHOUT emitting a separator, and the
+        // documented bit-equality requires the same joined bytes (the
+        // previous empty-string join produced "a  b" where concat_ws
+        // gives "a b", silently changing the hash)
+        if (!toks.isNullAt(w + j)) {
+          val t = toks.getUTF8String(w + j)
+          val nb = t.numBytes()
+          if (len + nb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
+          if (wrote) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += nb
+          wrote = true
+        }
         j += 1
       }
       hs(w) = XXH64.hashUnsafeBytes(
@@ -139,6 +146,12 @@ object SketchKernels {
     var px = Long.MinValue
     var py = Long.MinValue
     while (i < na && j < nb) {
+      // null slots would read as phantom 0Ls (getLong on a null slot)
+      // and match EACH OTHER, inflating the overlap — same stance as
+      // disorder: detect loudly, never silently miscount
+      if (a.isNullAt(i) || b.isNullAt(j)) throw new IllegalArgumentException(
+        "graft_overlap requires non-null elements (see Dedup.*FromHashed scaladoc); " +
+          s"found null at a[$i]/b[$j]")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x < px || y < py) throw new IllegalArgumentException(

@@ -186,18 +186,32 @@ object CentroidKernels {
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
-      val cent = cents.getArray(c)
+      // a null centroid row or a centroid with null elements is as
+      // corrupt as a corrupt v: rank it worst instead of NPE-ing on
+      // getArray or reading null slots as plausible 0.0 coordinates
+      // (operators build centroids driver-side so this is the SQL
+      // surface's guard)
+      val cent = if (cents.isNullAt(c)) null else cents.getArray(c)
       sims(c) =
-        if (corrupt || cent.numElements() != dim) Double.NegativeInfinity
+        if (corrupt || cent == null || cent.numElements() != dim) Double.NegativeInfinity
         else {
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < dim) {
-            val x = v.getDouble(i); val y = cent.getDouble(i)
-            dot += x * y; na += x * x; nb += y * y
-            i += 1
+          var centCorrupt = false
+          var ci = 0
+          while (!centCorrupt && ci < dim) {
+            if (cent.isNullAt(ci)) centCorrupt = true
+            ci += 1
           }
-          val s = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+          if (centCorrupt) Double.NegativeInfinity
+          else {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < dim) {
+              val x = v.getDouble(i); val y = cent.getDouble(i)
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val s = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+          }
         }
       c += 1
     }

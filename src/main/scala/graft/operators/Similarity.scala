@@ -195,8 +195,13 @@ object Similarity {
 
   /** Cosine similarity of two double arrays — the codegen'd
     * [[graft.functions.CosineSimilarity]] expression (one fused loop per
-    * row). Bit-identical to [[cosineHof]] and to the DuckDB oracle:
-    * all accumulate left-to-right in doubles.
+    * row). Bit-identical to [[cosineHof]] and to the DuckDB oracle for
+    * every pair with a nonzero divisor: all accumulate left-to-right in
+    * doubles. ZERO-NORM pairs are the one documented divergence — the
+    * kernel's Java division yields NaN (ranked worst by TopKByScore)
+    * where the HOF's SQL division throws under ANSI mode (Spark 4
+    * default) or nulls out under legacy mode; the operators use the
+    * kernel exclusively, and the corrupt-inputs spec pins the NaN.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(a, b)

@@ -329,7 +329,7 @@ object Relational2 {
              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
              |  FROM events),
              |m AS (SELECT *, CASE WHEN prev_ts IS NULL
-             |    OR epoch(ts) - epoch(prev_ts) > 600.0 THEN 1 ELSE 0 END AS ns FROM e),
+             |    OR epoch_us(ts) - epoch_us(prev_ts) > 600000000 THEN 1 ELSE 0 END AS ns FROM e),
              |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, value
              |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
              |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

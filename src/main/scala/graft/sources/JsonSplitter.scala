@@ -160,8 +160,15 @@ object JsonSplitter {
           case 'n' => sb += '\n'; i += 2
           case 'r' => sb += '\r'; i += 2
           case 't' => sb += '\t'; i += 2
-          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+          case 'u' if i + 6 <= s.length =>
+            val hex = s.substring(i + 2, i + 6)
+            val cp =
+              try Integer.parseInt(hex, 16)
+              catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"malformed \\u escape '\\u$hex' in object key")
+              }
+            sb += cp.toChar
             i += 6
           case other => sb += other; i += 2
         }
@@ -351,8 +358,23 @@ final class JsonSplitter(
   /** Stream the whole document, invoking `onChunk` for every emitted
     * chunk in document order. Single pass; throws on malformed input.
     */
+  /** Buffer that fails the parse AS the cap is crossed: checking only
+    * after a member is fully buffered would defeat the guard for the
+    * very input it exists for — ONE multi-GB member OOMs the driver
+    * before any post-hoc size check runs.
+    */
+  private final class CappedBuffer(cap: Long, what: String)
+      extends java.io.ByteArrayOutputStream {
+    private def check(extra: Int): Unit =
+      if (size().toLong + extra > cap) fail(s"$what exceeds $cap bytes (maxResidueBytes)")
+    override def write(b: Int): Unit = { check(1); super.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      check(len); super.write(b, off, len)
+    }
+  }
+
   def run(onChunk: Chunk => Unit): Unit = {
-    val residue = new java.io.ByteArrayOutputStream()
+    val residue = new CappedBuffer(opts.maxResidueBytes, "non-array header members")
     var members = 0
     // tolerate a UTF-8 BOM (real-world MRF exports carry one)
     if (peek() == 0xef) {
@@ -367,7 +389,7 @@ final class JsonSplitter(
     if (done) advance()
     while (!done) {
       skipWs()
-      val keyRaw = new java.io.ByteArrayOutputStream(32)
+      val keyRaw = new CappedBuffer(opts.maxResidueBytes, "object key")
       scanString(keyRaw)
       skipWs()
       expect(':')
@@ -380,10 +402,8 @@ final class JsonSplitter(
         if (members > 0) residue.write(','.toByte)
         keyRaw.writeTo(residue)
         residue.write(':'.toByte)
-        scanValue(residue)
+        scanValue(residue) // the capped buffer enforces maxResidueBytes mid-stream
         members += 1
-        if (residue.size() > opts.maxResidueBytes)
-          fail(s"non-array header members exceed ${opts.maxResidueBytes} bytes")
       }
       skipWs()
       peek() match {

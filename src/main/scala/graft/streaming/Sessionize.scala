@@ -50,14 +50,21 @@ object Sessionize extends Serializable {
     */
   def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "value")
-    val gapSec = gapMinutes * 60.0
-    // fractional-second epoch on both sides (a truncating unix_timestamp
-    // would disagree with the oracle's epoch() near the gap boundary)
+    val gapUs = gapMinutes * 60000000L
+    // EXACT integer microseconds on both sides (matching the streaming
+    // twin's `t - s.last <= gapUs` and the oracle's epoch_us): the
+    // earlier double-cast comparison carried ~0.5 µs of rounding at
+    // epoch magnitudes, so an event exactly at the gap boundary could
+    // split in batch yet merge in streaming. Null-ts events DROP in
+    // both modes (the streaming path's µs conversion cannot represent
+    // them; batch emitting junk null-boundary sessions for the same
+    // rows would be a parity break, not tolerance).
     events
+      .filter(col("ts").isNotNull)
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > gapSec, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
           .otherwise(0))
       .withColumn("session_no", sum(col("new_session"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -139,6 +146,7 @@ object Sessionize extends Serializable {
       else GroupStateTimeout.NoTimeout()
 
     events
+      .filter((e: Event) => e.ts != null) // null-ts drops, as in batch
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), timeoutConf) {

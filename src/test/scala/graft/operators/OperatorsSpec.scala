@@ -278,6 +278,27 @@ class OperatorsSpec extends SparkTestBase {
     def rootMessages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
     assert(rootMessages(ex).exists(_.contains("sorted-ascending")))
+    // null slots would read as phantom 0Ls and match each other —
+    // detected loudly like disorder, never a silently inflated count
+    val withNull = Seq((Seq[java.lang.Long](null, 5L), Seq[java.lang.Long](null, 5L)))
+      .toDF("a", "b")
+    val exNull = intercept[Exception] {
+      withNull.select(graft.functions.GraftFunctions.sortedOverlap($"a", $"b")).collect()
+    }
+    assert(rootMessages(exNull).exists(_.contains("non-null")))
+  }
+
+  test("hashedShingles joins null tokens exactly like concat_ws (skip, no separator)") {
+    import spark.implicits._
+    // concat_ws(' ', ['a', NULL, 'b']) = "a b" — the kernel must hash
+    // the same bytes, not "a  b" from an empty-string join
+    val df = Seq(Seq[String]("alpha", null, "beta", "gamma")).toDF("toks")
+    val pair = df.select(
+      sort_array(graft.functions.GraftFunctions.shingles($"toks", 3)).as("fast"),
+      sort_array(transform(TextAnalysis.shinglesFromTokens($"toks", 3), s => xxhash64(s)))
+        .as("hof")).first()
+    assert(pair.getSeq[Long](0) == pair.getSeq[Long](1),
+      s"null-token shingle hashes diverge: ${pair.getSeq[Long](0)} vs ${pair.getSeq[Long](1)}")
   }
 
   test("LSH top-k recall vs brute force is usable on unclustered data") {

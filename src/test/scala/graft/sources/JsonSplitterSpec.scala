@@ -143,6 +143,19 @@ class JsonSplitterSpec extends AnyFunSuite {
       Seq(mapper.readTree("""{"a": 1}""")))
   }
 
+  test("maxResidueBytes fails DURING buffering, not after") {
+    // one pathological multi-GB member must die at the cap, not OOM
+    // first and check second — simulate with a tiny cap and a member
+    // far larger than it
+    val big = "x" * 10000
+    val doc = s"""{"huge": "$big", "a": [1]}"""
+    val e = intercept[IllegalArgumentException](
+      split(doc, JsonSplitter.Options(maxResidueBytes = 100)))
+    assert(e.getMessage.contains("maxResidueBytes"), e.getMessage)
+    // and a well-under-cap doc still parses
+    roundTrip(doc, JsonSplitter.Options(maxResidueBytes = 64L << 20))
+  }
+
   test("malformed input fails with position info") {
     val e = intercept[IllegalArgumentException](split("""{"a": [1, 2""", JsonSplitter.Options()))
     assert(e.getMessage.contains("malformed JSON"))

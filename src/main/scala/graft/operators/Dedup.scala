@@ -560,6 +560,61 @@ object Dedup {
     out
   }
 
+  /** Collapse near-duplicate clusters to ONE survivor each — the step
+    * that turns pair detection into an actual deduplicated corpus.
+    * Resolves `pairs` into connected components via [[clusters]], then
+    * keeps, per component, the row with the highest `quality` (ties →
+    * smallest id); documents in no pair are their own component and
+    * always survive. Returns the surviving `docs` rows plus
+    * `cluster_id` (the component's min id) and `n_members` (component
+    * size, 1 for singletons).
+    *
+    * Survivor selection is a map-side-partial `max(struct(quality,
+    * -id))` aggregation, not a per-cluster window — a pathological
+    * mega-cluster (every doc a near-dup of one template) combines
+    * partially on the map side instead of funnelling through one
+    * window reducer. `quality` must be non-null (null structs would
+    * rank engine-specifically); NaN quality ranks ABOVE all finite
+    * values in both Spark and DuckDB struct/sort orderings.
+    *
+    * Same storage contract as [[clusters]]: the RETURNED frame is
+    * cached (the label loop's result is folded in; an uncached return
+    * would replay it) — `.unpersist()` it when done. All internal
+    * caches are released before return.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      id: Column,
+      quality: Column): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val iC = s"__kb_id_$tag"; val qC = s"__kb_q_$tag"
+    val bC = s"__kb_best_$tag"; val cC = s"__kb_cl_$tag"
+    Seq("cluster_id", "n_members").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"keepBestPerCluster adds a '$c' column but the input already has one — rename it first"))
+    val labels = clusters(pairs)
+    val base = docs.withColumn(iC, id.cast("long")).withColumn(qC, quality)
+    val withCl = base
+      .join(labels.select(col("doc_id").as(iC + "_l"), col("cluster_id").as(cC)),
+        col(iC) === col(iC + "_l"), "left")
+      .withColumn("cluster_id", coalesce(col(cC), col(iC)))
+      .drop(iC + "_l", cC)
+    // negating the id turns (max quality, min id) into one struct max —
+    // partial-aggregable, unlike a row_number window
+    val best = withCl.groupBy(col("cluster_id")).agg(
+      max(struct(col(qC).as("q"), (lit(0L) - col(iC)).as("negid"))).as("b"),
+      count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as(cC), (lit(0L) - col("b.negid")).as(bC), col("n_members"))
+    val survivors = withCl
+      .join(best, col("cluster_id") === col(cC) && col(iC) === col(bC))
+      .select((docs.columns.map(col) :+ col("cluster_id") :+ col("n_members")): _*)
+      .cache()
+    survivors.count() // materialize so the labels cache can release NOW
+    labels.unpersist()
+    survivors
+  }
+
   /** Eval-set DECONTAMINATION: drop every corpus document sharing at
     * least `minOverlap` word-n-gram shingles with any document of
     * `evalSet` — the benchmark-leakage removal step of an LLM data

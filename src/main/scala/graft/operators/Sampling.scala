@@ -43,6 +43,51 @@ object Sampling {
     bucket < rate
   }
 
+  /** Deterministic global shuffle + sharding for training-data output:
+    * every row gets a `shard` (which output file) and `pos` (its rank
+    * inside that file), both pure functions of CONTENT — no RNG, so a
+    * re-executed task, a re-ingested corpus, or a different engine all
+    * produce the identical example order. This is the "shuffle the
+    * corpus before training" step done the only way that is both
+    * reproducible and distributed: order by a cryptographic hash of the
+    * content.
+    *
+    * Scale shape: the md5/bucket computation is map-side; the one
+    * shuffle (partition by shard) is THE POINT of the operator — a
+    * global shuffle moves the corpus once no matter how it is
+    * expressed. Per-shard ranking is a window over one shard, and
+    * `numShards` scales with the corpus (pick shards ≈ output files of
+    * ~1 GB), so each reducer owns one output file's worth of rows by
+    * construction — there is no single-reducer stratum here because
+    * the operator OWNS the partition count.
+    *
+    * Ordering ties (byte-identical `hashOn` content) break by `id`, so
+    * the output is a total order. `hashOn` must be a STRING column
+    * (same md5-portability contract as [[stratifiedKeep]]).
+    */
+  def shuffleShard(
+      df: org.apache.spark.sql.DataFrame,
+      hashOn: Column,
+      id: Column,
+      numShards: Int): org.apache.spark.sql.DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // the OUTPUT columns are a fixed contract; silently replacing a
+    // caller's same-named column would corrupt their frame — refuse
+    Seq("shard", "pos").foreach(c =>
+      require(!df.columns.contains(c),
+        s"shuffleShard adds a '$c' column but the input already has one — rename it first"))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hC = s"__shs_h_$tag"; val idC = s"__shs_id_$tag"
+    val withH = df.withColumn(hC, md5(hashOn.cast("binary"))).withColumn(idC, id)
+    val shard = conv(substring(col(hC), 1, 8), 16, 10).cast("long") % numShards
+    val pos = org.apache.spark.sql.functions.row_number().over(
+      Window.partitionBy(shard).orderBy(col(hC), col(idC)))
+    withH
+      .withColumn("shard", shard)
+      .withColumn("pos", pos)
+      .drop(hC, idC)
+  }
+
   /** Cap each stratum (source/domain) at a TOKEN budget, keeping its
     * best documents first — the data-mixing step that turns "40% web,
     * 30% books…" recipes into concrete row sets. Rows are ranked inside

@@ -145,6 +145,82 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
+  /** Word n-grams WITH multiplicity (repetition analysis needs the
+    * duplicates that [[shinglesFromTokens]] deliberately collapses).
+    * Docs with fewer than `n` tokens have no n-grams → empty array,
+    * null token arrays → empty array. Same HOF caveat as
+    * [[shinglesFromTokens]]: pass an already materialized token column.
+    */
+  def ngramsFromTokens(t: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = coalesce(t, array())
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier
+    * occurrence — the Gopher/MassiveText-style repetition signal
+    * (boilerplate, keyword stuffing, degenerate generations all score
+    * high). `(total - distinct) / total`, 0.0 for docs with no n-grams.
+    * Pure map-side array arithmetic; exact integer counts then one
+    * double division, so an oracle reproduces it bit-for-bit.
+    */
+  def dupNgramFraction(t: Column, n: Int): Column = {
+    val ng = ngramsFromTokens(t, n)
+    val total = size(ng)
+    when(total > 0,
+      (total - size(array_distinct(ng))).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of the document owned by its single most frequent token —
+    * the other half of the repetition story (a doc that is one word
+    * over and over has dupNgramFraction ~1 AND topTokenShare ~1).
+    * O(distinct × n) per row via nested HOFs — fine for natural-text
+    * token counts; 0.0 for empty/null token arrays.
+    */
+  def topTokenShare(t: Column): Column = {
+    val toks = coalesce(t, array())
+    when(size(toks) > 0,
+      array_max(transform(array_distinct(toks),
+        x => size(filter(toks, y => y === x)))).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII patterns redacted by [[redactPii]], in application order.
+    * Deliberately RE2-compatible (no backrefs, no lookaround) so the
+    * same pattern strings run under Java regex here and RE2-family
+    * engines elsewhere — a redaction pass must behave identically in
+    * every engine that touches the corpus.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "<IP>" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "<PHONE>" -> "\\b[0-9]{3}-[0-9]{4}\\b")
+
+  /** Redact emails, IPv4 addresses, and phone-shaped numbers to typed
+    * placeholder tokens — the pre-training privacy scrub. Order is
+    * load-bearing: emails first (an address can embed digit runs),
+    * then IPs (dotted digit quads would otherwise be split by the
+    * phone pattern), then phones. One chained regexp_replace per
+    * pattern, map-side, no shuffle at any scale.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (token, pattern)) =>
+      regexp_replace(acc, pattern, token)
+    }
+
+  /** Per-pattern PII match counts over the ORIGINAL text (counting
+    * after a prior pattern's redaction would undercount overlapping
+    * classes). Returns (email, ip, phone) count columns.
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (_, pattern) => regexp_count(text, lit(pattern)) }
+
   /** Split a token array into OVERLAPPING training windows — the
     * document-chunking step that turns long documents into
     * model-context-sized examples: windows of `window` tokens starting

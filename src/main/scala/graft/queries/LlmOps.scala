@@ -806,6 +806,161 @@ object LlmOps {
       },
       Some("""SELECT user_id, event_type, date_trunc('minute', ts) AS minute
              |FROM events GROUP BY 1, 2, 3
-             |ORDER BY user_id, event_type, minute""".stripMargin))
+             |ORDER BY user_id, event_type, minute""".stripMargin)),
+
+    // ---- repetition-based quality filtering: the Gopher/MassiveText
+    // repetition signals (duplicate n-gram fraction, top-token share)
+    // that catch boilerplate, keyword stuffing, and degenerate
+    // generations which the q21 composite score misses. Exact integer
+    // counts then one double division — the oracle reproduces every
+    // value bit-for-bit and re-derives the keep flag.
+    Q(
+      "q51_repetition_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+          .select(
+            $"doc_id",
+            TextAnalysis.dupNgramFraction($"toks", 2).as("dup_2gram_frac"),
+            TextAnalysis.dupNgramFraction($"toks", 3).as("dup_3gram_frac"),
+            TextAnalysis.topTokenShare($"toks").as("top_token_share"))
+          .withColumn("keep",
+            $"dup_2gram_frac" < 0.05 && $"dup_3gram_frac" < 0.02 &&
+              $"top_token_share" < 0.1)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
+              |g AS (SELECT doc_id, tk,
+              |  CASE WHEN len(tk) >= 2
+              |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+              |    ELSE [] END AS g2,
+              |  CASE WHEN len(tk) >= 3
+              |    THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+              |    ELSE [] END AS g3
+              | FROM t),
+              |m AS (SELECT doc_id,
+              |  CASE WHEN len(g2) > 0
+              |    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+              |    ELSE 0.0 END AS dup_2gram_frac,
+              |  CASE WHEN len(g3) > 0
+              |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+              |    ELSE 0.0 END AS dup_3gram_frac,
+              |  CASE WHEN len(tk) > 0
+              |    THEN CAST(list_max(list_transform(list_distinct(tk),
+              |           x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+              |    ELSE 0.0 END AS top_token_share
+              | FROM g)
+              |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_token_share,
+              |  (dup_2gram_frac < 0.05 AND dup_3gram_frac < 0.02 AND top_token_share < 0.1) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII redaction: emails / IPv4s / phone-shaped numbers →
+    // typed placeholders, plus per-class counts over the original
+    // text — the pre-training privacy scrub. The corpus has no natural
+    // PII, so the query stages deterministic PII-bearing text derived
+    // from (source, doc_id) for 2/3 of the docs (the other third
+    // exercises the no-match path); the oracle rebuilds the identical
+    // staged text and applies the same RE2-compatible patterns in the
+    // same order.
+    Q(
+      "q52_pii_redaction",
+      (s, d) => {
+        import s.implicits._
+        val staged = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"doc_id" % 3 === 0, $"text")
+            .otherwise(concat(
+              $"text", lit(" contact "), $"source", lit("."),
+              $"doc_id".cast("string"), lit("@example.com from 10.0."),
+              ($"doc_id" % 256).cast("string"), lit("."),
+              (($"doc_id" * 7) % 256).cast("string"), lit(" tel 555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .as("text"))
+        val Seq(nEmail, nIp, nPhone) = TextAnalysis.piiCounts($"text")
+        staged.select(
+          $"doc_id",
+          TextAnalysis.redactPii($"text").as("clean_text"),
+          nEmail.cast("long").as("n_email"),
+          nIp.cast("long").as("n_ip"),
+          nPhone.cast("long").as("n_phone"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH staged AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text
+             |       ELSE text || ' contact ' || source || '.' || doc_id ||
+             |            '@example.com from 10.0.' || (doc_id % 256) || '.' ||
+             |            ((doc_id * 7) % 256) || ' tel 555-' ||
+             |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |  END AS text
+             | FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+             |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phone
+             |FROM staged ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic corpus shuffle + sharding: every doc gets a
+    // content-hash shard (output file) and rank within it — the
+    // "shuffle before training" step, reproducible across engines and
+    // re-runs because there is no RNG anywhere. The oracle recomputes
+    // shard and rank from the same md5 ordering.
+    Q(
+      "q53_shuffle_shard",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.shuffleShard(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          hashOn = $"text", id = $"doc_id", numShards = 8)
+          .select($"doc_id", $"shard", $"pos".cast("long").as("pos"))
+          .orderBy($"shard", $"pos")
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+             |s AS (SELECT doc_id,
+             |  CAST(('0x' || substring(hx, 1, 8)) AS BIGINT) % 8 AS shard,
+             |  row_number() OVER (
+             |    PARTITION BY CAST(('0x' || substring(hx, 1, 8)) AS BIGINT) % 8
+             |    ORDER BY hx, doc_id) AS pos
+             | FROM h)
+             |SELECT doc_id, shard, pos FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // ---- cluster canonicalization: near-dup pairs → connected
+    // components → keep ONE survivor per component (longest doc,
+    // ties → smallest id) — the step that turns pair detection into an
+    // actual deduplicated corpus. Oracle: the q34 transitive-closure
+    // CTE plus an independent window formulation of the survivor rule
+    // (the Spark side uses a partial-aggregable struct-max instead of
+    // a window — the oracle equivalence re-proves they agree).
+    Q(
+      "q54_dedup_keep_best",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
+        val out = Dedup.keepBestPerCluster(
+          Tables.documents(s, d), pairs, $"doc_id", $"n_chars".cast("double"))
+        out.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
+              |  UNION SELECT id_b, id_a FROM exact),
+              |reach(doc_id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+              |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+              |all_docs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+              |    d.n_chars
+              |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+              |ranked AS (SELECT *,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY n_chars DESC, doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+              |  FROM all_docs)
+              |SELECT doc_id, cluster_id, n_members FROM ranked
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -600,4 +600,94 @@ class OperatorsSpec extends SparkTestBase {
       .filter($"n" =!= $"byte_len")
     assert(totals.count() == 0)
   }
+
+  test("keepBestPerCluster: best-quality survivor, singletons, member counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa", 0.2), (2L, "bb", 0.9), (3L, "cc", 0.9), // chain {1,2,3}: 2 wins (q tie 2<3)
+      (4L, "dd", 0.1),                                   // singleton
+      (5L, "ee", 0.5), (6L, "ff", 0.8))                  // pair {5,6}: 6 wins
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(corpus, pairs, $"doc_id", $"q")
+    try {
+      val got = out.select($"doc_id", $"cluster_id", $"n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq == Seq((2L, 1L, 3L), (4L, 4L, 1L), (6L, 5L, 2L)))
+      // survivors keep their original columns
+      assert(out.columns.toSeq == Seq("doc_id", "text", "q", "cluster_id", "n_members"))
+    } finally out.unpersist()
+  }
+
+  test("keepBestPerCluster releases everything except the returned frame") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(corpus, pairs, $"doc_id", $"q")
+    out.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "keepBestPerCluster leaked internal caches")
+  }
+
+  test("repetition metrics: hand-computed fractions, short docs, null text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),          // 2-grams: ab ba ab ba → 2 dup of 4; top token a: 3/5
+      (2L, "x"),                  // no 2-grams → 0.0; top share 1.0
+      (3L, ""),                   // no tokens → all 0.0
+      (4L, null.asInstanceOf[String]),
+      (5L, "w w w w"))            // 2-grams all "w w" → 2/3 dup; top share 1.0
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextAnalysis.dupNgramFraction($"toks", 2).as("f2"),
+        TextAnalysis.topTokenShare($"toks").as("tts"))
+    val got = df.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2.0 / 4.0, 3.0 / 5.0)))
+    assert(got(2L) == ((0.0, 1.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+    assert(got(5L) == ((2.0 / 3.0, 1.0)))
+  }
+
+  test("ngramsFromTokens keeps multiplicity; shinglesFromTokens does not") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b a b")).toDF("text")
+      .select(TextAnalysis.tokens($"text").as("t"))
+      .select(
+        TextAnalysis.ngramsFromTokens($"t", 2).as("ng"),
+        TextAnalysis.shinglesFromTokens($"t", 2).as("sh"))
+    val r = df.first()
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1).sorted == Seq("a b", "b a"))
+  }
+
+  test("redactPii: all three classes, application order, no-match passthrough") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "host 192.168.0.1 port"),
+      (3L, "call 555-0134 today"),
+      // an IP must NOT be half-eaten by the phone pattern (no hyphens)
+      // and a redacted email must not leave digits for later patterns
+      (4L, "u9@a.bc at 10.0.0.7 or 555-0100"),
+      (5L, "no pii here 12.3 and 42-1000"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.redactPii($"text").as("c"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "host <IP> port")
+    assert(got(3L) == "call <PHONE> today")
+    assert(got(4L) == "<EMAIL> at <IP> or <PHONE>")
+    assert(got(5L) == "no pii here 12.3 and 42-1000")
+  }
+
+  test("piiCounts counts every class over the ORIGINAL text") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a@b.co c@d.org 1.2.3.4 555-0101 555-0102 555-0103")).toDF("text")
+    val Seq(e, i, p) = TextAnalysis.piiCounts(col("text"))
+    val r = df.select(e.as("e"), i.as("i"), p.as("p")).first()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 3)))
+  }
 }

@@ -152,4 +152,44 @@ class SamplingSpec extends SparkTestBase {
         s"boundary window saw $boundaryRows rows — the sliver should be ~n/buckets")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("shuffleShard: total order, determinism, duplicate-content tie-break") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"doc number ${i % 120} content")) // 60 duplicated texts
+      .toDF("doc_id", "text")
+    val out = Sampling.shuffleShard(docs, col("text"), col("doc_id"), numShards = 8)
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 300) // no row lost or duplicated
+    assert(rows.map(_._1).toSet.size == 300)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // pos is a contiguous 1..n ranking inside each shard
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"shard $s ranks not contiguous")
+    }
+    // byte-identical re-run → identical assignment (no RNG anywhere)
+    val again = Sampling.shuffleShard(docs, col("text"), col("doc_id"), numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(again.toSeq == rows.sortBy(_._1).toSeq)
+    // duplicated texts share a shard and rank in doc_id order
+    val dupGroups = (1 to 300).map(i => (i.toLong, (i % 120)))
+      .groupBy(_._2).values.filter(_.size > 1)
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    dupGroups.foreach { g =>
+      val ids = g.map(_._1).sorted
+      val shards = ids.map(byId(_)._1).distinct
+      assert(shards.size == 1, s"identical texts split across shards: $ids -> $shards")
+      val poss = ids.map(byId(_)._2)
+      assert(poss == poss.sorted, s"tie-break not by id: $ids -> $poss")
+    }
+  }
+
+  test("shuffleShard refuses to clobber an existing shard/pos column") {
+    import spark.implicits._
+    val df = Seq((1L, "t", 0)).toDF("doc_id", "text", "shard")
+    val e = intercept[IllegalArgumentException](
+      Sampling.shuffleShard(df, col("text"), col("doc_id"), numShards = 4))
+    assert(e.getMessage.contains("shard"))
+  }
 }

@@ -615,6 +615,83 @@ object Dedup {
     survivors
   }
 
+  /** EXACT SUBSTRING dedup: remove every duplicated run of `k`+ tokens
+    * from the corpus — the span-level dedup step (public literature:
+    * "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al. 2022) that document-level dedup cannot do: boilerplate
+    * headers, license blocks, and templated passages repeat across
+    * otherwise-distinct documents. A position is removed when some
+    * corpus-duplicated k-gram covers it; with `keepFirst` the globally
+    * first occurrence of each k-gram (min (doc, pos)) survives, so one
+    * copy of every duplicated passage remains in the corpus.
+    *
+    * Returns one row per input doc: (doc_id, clean_text, n_kept,
+    * n_removed). `clean_text` is the SURVIVING TOKENS rejoined with
+    * single spaces — token-level dedup is inherently lossy about
+    * punctuation/casing (same contract as every tokenizer-based op
+    * here).
+    *
+    * The 100 TB story — this is the hashed-posting formulation, not a
+    * suffix array (a distributed suffix array sorts the entire corpus
+    * several times; postings move each token a bounded number of
+    * times): (1) one aggregation over 16-byte md5 gram keys computes
+    * BOTH the duplicate filter and the first-occurrence witness
+    * map-side-partially — a mega-hot gram (the whole point: duplicated
+    * boilerplate) partial-aggregates instead of flooding one reducer;
+    * (2) duplicated starts expand to ≤ k covered positions each,
+    * deduped by (doc, pos); (3) one groupBy(doc) reassembles survivors.
+    * Three corpus-order shuffles total, each on compact keys — the
+    * inherent cost of a global rewrite. md5 (not xxhash64) keys keep
+    * the grouping portable and collision-negligible at corpus scale.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      k: Int,
+      minCount: Int = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 tokens, got $k")
+    require(minCount >= 2, s"minCount < 2 would mark every k-gram duplicated, got $minCount")
+    val base = df.select(
+      id.cast("long").as("doc_id"),
+      coalesce(TextAnalysis.tokens(text), array()).as("toks"))
+    val occ = base
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsFromTokens(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram").cast("binary")).as("gh"))
+    // one partial-aggregable pass: duplicate count + first-occurrence
+    // witness per gram (a struct-min, not a per-gram window — hot
+    // grams combine map-side)
+    val gramStats = occ.groupBy(col("gh")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gh"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    val starts = occ.join(gramStats, "gh")
+      .filter(if (keepFirst) !(col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+              else lit(true))
+      .select(col("doc_id"), col("pos"))
+    val covered = starts
+      .select(col("doc_id").as("c_doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, col("doc_id") === col("c_doc") && col("pos") === col("cpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+      .select(col("doc_id").as("k_doc"),
+        concat_ws(" ", transform(col("ps"), p => p.getField("tok"))).as("clean_text"),
+        size(col("ps")).cast("long").as("n_kept"))
+    base.join(kept, col("doc_id") === col("k_doc"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (size(col("toks")).cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Eval-set DECONTAMINATION: drop every corpus document sharing at
     * least `minOverlap` word-n-gram shingles with any document of
     * `evalSet` — the benchmark-leakage removal step of an LLM data

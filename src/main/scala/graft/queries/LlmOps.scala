@@ -961,6 +961,62 @@ object LlmOps {
               |    count(*) OVER (PARTITION BY cluster_id) AS n_members
               |  FROM all_docs)
               |SELECT doc_id, cluster_id, n_members FROM ranked
-              |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact substring dedup (Lee et al. 2022 style): remove every
+    // duplicated 15-token span, keeping the globally first occurrence —
+    // the span-level dedup document-level ops can't do. The Spark side
+    // finds the first occurrence with a partial-aggregable struct-min;
+    // the oracle re-derives it with an independent per-gram window
+    // (rn > 1) and rebuilds every cleaned document token-by-token.
+    Q(
+      "q55_dedup_spans",
+      (s, d) => {
+        import s.implicits._
+        Dedup.dedupSpans(Tables.documents(s, d), $"text", $"doc_id", k = 15)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
+              |g AS (SELECT doc_id, unnest(range(1, len(tk) - 13)) AS i, tk FROM t
+              |  WHERE len(tk) >= 15),
+              |o AS (SELECT doc_id, i - 1 AS pos,
+              |    md5(array_to_string(tk[i:i+14], ' ')) AS gh FROM g),
+              |r AS (SELECT doc_id, pos,
+              |    count(*) OVER (PARTITION BY gh) AS cnt,
+              |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+              |  FROM o),
+              |starts AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+              |cov AS (SELECT DISTINCT doc_id, pos + u AS cpos
+              |  FROM starts, unnest(range(0, 15)) AS r2(u)),
+              |p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM t),
+              |kept AS (SELECT p.doc_id, p.i - 1 AS pos, p.tk[p.i] AS tok FROM p
+              |  WHERE NOT EXISTS (SELECT 1 FROM cov
+              |    WHERE cov.doc_id = p.doc_id AND cov.cpos = p.i - 1)),
+              |cl AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+              |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(cl.clean_text, '') AS clean_text,
+              |  CAST(coalesce(cl.n_kept, 0) AS BIGINT) AS n_kept,
+              |  CAST(len(t.tk) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM t LEFT JOIN cl USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus vocabulary statistics: top tokens by occurrence with
+    // document frequency — the tokenizer-training / stopword-diagnosis
+    // view of the corpus. Partial-aggregable groupBy + bounded top-k.
+    Q(
+      "q56_token_vocab",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
+          .orderBy($"n_occurrences".desc, $"token")
+          .limit(30)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
+              |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+              |FROM tok GROUP BY token
+              |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin))
   )
 }

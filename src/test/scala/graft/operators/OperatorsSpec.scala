@@ -630,6 +630,31 @@ class OperatorsSpec extends SparkTestBase {
       "keepBestPerCluster leaked internal caches")
   }
 
+  test("dedupSpans: cross-doc and within-doc spans, keep-first witness, empty docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),         // first occurrence of "a b c"/"b c d" → survives intact
+      (2L, "x y a b c d z"),       // shares both 3-grams → positions 2..5 removed
+      (3L, "p q r"),               // unique → untouched
+      (4L, ""),                    // empty → 0/0
+      (5L, "m n o m n o m"),       // within-doc repeats: dup starts (5,3)/(5,4) cover 3..6
+      (6L, "m n o m n o m"))       // exact dup of 5: fully removed (5 holds the firsts)
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(corpus, $"text", $"doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d e f", 6L, 0L)))
+    assert(got(2L) == (("x y z", 3L, 4L)))
+    assert(got(3L) == (("p q r", 3L, 0L)))
+    assert(got(4L) == (("", 0L, 0L)))
+    assert(got(5L) == (("m n o", 3L, 4L)))
+    assert(got(6L) == (("", 0L, 7L)))
+    // keepFirst=false: ALL occurrences go, including doc 1's originals
+    val all = Dedup.dedupSpans(corpus, $"text", $"doc_id", k = 3, keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "e f")
+    assert(all(5L) == "")
+  }
+
   test("repetition metrics: hand-computed fractions, short docs, null text") {
     import spark.implicits._
     val df = Seq(

@@ -437,4 +437,26 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric per-vector int8 quantization of an embedding column —
+    * the storage/bandwidth prep for vector serving (4× smaller than
+    * float32, 8× than float64). Returns struct(scale, qvec) where
+    * `scale = max|x| / 127` and `qvec_i = floor(x_i * 127 / max|x| +
+    * 0.5)` in [-127, 127] (dequantize: `x ≈ q * scale`).
+    *
+    * Rounding is DEFINED as `floor(v + 0.5)` — not the engine's
+    * `round()` — because half-up vs half-away-from-zero differs
+    * between engines and this expression is bit-portable everywhere.
+    * Zero vectors quantize to all-zeros with scale 0; a null vector
+    * yields null scale and qvec. Pure map-side array arithmetic, no
+    * shuffle at any scale.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val qvec = when(vec.isNull, lit(null))
+      .when(maxabs === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x * lit(127.0) / maxabs + lit(0.5)).cast("int")))
+    struct((maxabs / lit(127.0)).as("scale"), qvec.as("qvec"))
+  }
 }

@@ -221,6 +221,59 @@ object TextAnalysis {
   def piiCounts(text: Column): Seq[Column] =
     piiPatterns.map { case (_, pattern) => regexp_count(text, lit(pattern)) }
 
+  /** BM25 relevance ranking of the corpus against a FIXED term list —
+    * retrieval-targeted data selection ("find the docs most about X"),
+    * scored with the classic Okapi BM25 formula (public IR
+    * literature). Returns the `topK` (doc_id, score) rows, score
+    * descending, ties broken by id.
+    *
+    * The 100 TB story: corpus statistics (N, total length, per-term
+    * document frequencies) are ONE partial-aggregable pass producing a
+    * single broadcast row — integer sums, so they are exact and
+    * engine-portable. Scoring is then map-side: each doc folds its
+    * fixed term list in declaration order (a deterministic double
+    * fold, so an oracle reproduces scores bit-for-bit), and the global
+    * top-K is a bounded TakeOrdered, not a full sort materialization.
+    */
+  def bm25Rank(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    require(terms.size <= 32, s"term list is a fixed fold (${terms.size} terms); cap is 32")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.select(id.cast("long").as("doc_id"),
+      coalesce(tokens(text), array()).as("toks"))
+    val aggCols = count(lit(1)).as("n") +:
+      sum(size(col("toks")).cast("long")).as("totlen") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val len = size(col("toks")).cast("double")
+    val avglen = col("totlen").cast("double") / col("n").cast("double")
+    // fixed declaration-order fold keeps the double sum deterministic.
+    // NB the scala-side constant folds (`1.0 - b`, `k1 + 1.0`) happen
+    // BEFORE the values become Columns — an oracle mirrors the folded
+    // constants, not the symbolic formula
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log(
+        (col("n").cast("double") - col(s"df_$i").cast("double") + 0.5) /
+          (col(s"df_$i").cast("double") + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * len / avglen))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Split a token array into OVERLAPPING training windows — the
     * document-chunking step that turns long documents into
     * model-context-sized examples: windows of `window` tokens starting

@@ -1017,6 +1017,66 @@ object LlmOps {
       Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
               |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
               |FROM tok GROUP BY token
-              |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin))
+              |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin)),
+
+    // ---- BM25 relevance ranking: retrieval-targeted data selection
+    // ("the docs most about spark/merge/window"). Corpus stats (N,
+    // total length, per-term dfs) are integer sums — exact and
+    // portable — and the per-doc score is a FIXED-ORDER double fold,
+    // so the oracle reproduces every score bit-for-bit by mirroring
+    // the expression tree literally (including scala's constant
+    // pre-folding: `1.0 - b` is folded to 0.25 before it ever
+    // reaches a Column).
+    Q(
+      "q57_bm25_rank",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.bm25Rank(
+          Tables.documents(s, d), $"text", $"doc_id",
+          terms = Seq("spark", "merge", "window"), topK = 20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
+              |st AS (SELECT count(*) AS n, sum(len(tk)) AS totlen,
+              |    sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS df0,
+              |    sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS df1,
+              |    sum(CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END) AS df2
+              |  FROM t),
+              |sc AS (SELECT doc_id,
+              |    ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+              |      * (CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+              |      / (CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE)
+              |         + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / (CAST(totlen AS DOUBLE) / CAST(n AS DOUBLE))))
+              |    + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+              |      * (CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+              |      / (CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE)
+              |         + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / (CAST(totlen AS DOUBLE) / CAST(n AS DOUBLE))))
+              |    + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+              |      * (CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+              |      / (CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE)
+              |         + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / (CAST(totlen AS DOUBLE) / CAST(n AS DOUBLE))))
+              |    AS score
+              |  FROM t, st)
+              |SELECT doc_id, score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- int8 embedding quantization: per-vector symmetric scale +
+    // quantized values — vector-serving prep. Rounding is floor(v+0.5)
+    // by definition (engine round() semantics differ on halves), so
+    // the oracle reproduces every element exactly.
+    Q(
+      "q58_embedding_quantize",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
+          .select($"vec_id", $"q.scale".as("scale"), $"q.qvec".as("qvec"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+             |SELECT vec_id, maxabs / 127.0 AS scale,
+             |  CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+             |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END AS qvec
+             |FROM m ORDER BY vec_id""".stripMargin))
   )
 }

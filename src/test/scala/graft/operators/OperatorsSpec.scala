@@ -630,6 +630,49 @@ class OperatorsSpec extends SparkTestBase {
       "keepBestPerCluster leaked internal caches")
   }
 
+  test("bm25Rank: hand-computed scores, rank order, bounds") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark fast"),  // tf(spark)=3
+      (2L, "spark slow"),              // tf(spark)=1
+      (3L, "other words only here"),   // tf=0 for all terms
+      (4L, ""))                        // empty doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(corpus, $"text", $"doc_id", Seq("spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // replicate the operator's exact double fold
+    val n = 4.0; val df = 2.0; val totlen = 10.0; val avglen = totlen / n
+    val k1 = 1.2; val b = 0.75
+    def s(tf: Double, len: Double): Double =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * len / avglen))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // score desc, ties by id
+    assert(got(0)._2 == s(3.0, 4.0))
+    assert(got(1)._2 == s(1.0, 2.0))
+    assert(got(2)._2 == 0.0 && got(3)._2 == 0.0)
+    val top1 = TextAnalysis.bm25Rank(corpus, $"text", $"doc_id", Seq("spark"), topK = 1)
+    assert(top1.count() == 1)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(corpus, $"text", $"doc_id", Seq.empty))
+  }
+
+  test("quantizeInt8: hand-quantized values, zero and null vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "v")
+      .select($"vec_id", Similarity.quantizeInt8($"v").as("q"))
+      .select($"vec_id", $"q.scale".as("scale"), $"q.qvec".as("qvec"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getSeq[Int](2))).sortBy(_._1)
+    assert(rows(0) == ((1L, 1.0 / 127.0, Seq(127, -63, 32))))
+    assert(rows(1) == ((2L, 0.0, Seq(0, 0))))
+    assert(rows(2)._2 == null && rows(2)._3 == null)
+  }
+
   test("dedupSpans: cross-doc and within-doc spans, keep-first witness, empty docs") {
     import spark.implicits._
     val corpus = Seq(

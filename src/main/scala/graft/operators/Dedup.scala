@@ -594,7 +594,14 @@ object Dedup {
       require(!docs.columns.contains(c),
         s"keepBestPerCluster adds a '$c' column but the input already has one — rename it first"))
     val labels = clusters(pairs)
-    val base = docs.withColumn(iC, id.cast("long")).withColumn(qC, quality)
+    // a null (or null-casting) id would make cluster_id null and the
+    // survivors join silently EAT the row — breaking "docs in no pair
+    // always survive"; fail loudly instead
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "keepBestPerCluster: id is null or not castable to long — every doc " +
+        "needs a non-null integral id (string ids: hash or map them first)")))
+      .otherwise(id.cast("long"))
+    val base = docs.withColumn(iC, guardedId).withColumn(qC, quality)
     val withCl = base
       .join(labels.select(col("doc_id").as(iC + "_l"), col("cluster_id").as(cC)),
         col(iC) === col(iC + "_l"), "left")
@@ -622,8 +629,13 @@ object Dedup {
     * headers, license blocks, and templated passages repeat across
     * otherwise-distinct documents. A position is removed when some
     * corpus-duplicated k-gram covers it; with `keepFirst` the globally
-    * first occurrence of each k-gram (min (doc, pos)) survives, so one
-    * copy of every duplicated passage remains in the corpus.
+    * first occurrence of each k-gram (min (doc, pos)) is exempt from
+    * being a removal START — NOTE this protects per-gram, not
+    * per-passage: the first occurrence's positions can still be
+    * covered by a DIFFERENT duplicated gram overlapping it, so a
+    * passage whose first copy sits inside other duplicated context may
+    * survive nowhere intact (coverage-based removal is how the
+    * published formulation behaves too).
     *
     * Returns one row per input doc: (doc_id, clean_text, n_kept,
     * n_removed). `clean_text` is the SURVIVING TOKENS rejoined with
@@ -653,13 +665,21 @@ object Dedup {
       keepFirst: Boolean = true): DataFrame = {
     require(k >= 2, s"span length k must be >= 2 tokens, got $k")
     require(minCount >= 2, s"minCount < 2 would mark every k-gram duplicated, got $minCount")
+    // null-casting ids would all collapse into one doc_id=null group
+    // and merge unrelated documents' tokens — refuse per row
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "dedupSpans: id is null or not castable to long — every doc needs a " +
+        "non-null integral id (string ids: hash or map them first)")))
+      .otherwise(id.cast("long"))
     val base = df.select(
-      id.cast("long").as("doc_id"),
+      guardedId.as("doc_id"),
       coalesce(TextAnalysis.tokens(text), array()).as("toks"))
+    // unhex: group/join on the 16 raw md5 bytes, not the 32-char hex
+    // string — halves the dominant (one row per token) shuffle key
     val occ = base
       .select(col("doc_id"),
         posexplode(TextAnalysis.ngramsFromTokens(col("toks"), k)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5(col("gram").cast("binary")).as("gh"))
+      .select(col("doc_id"), col("pos"), unhex(md5(col("gram").cast("binary"))).as("gh"))
     // one partial-aggregable pass: duplicate count + first-occurrence
     // witness per gram (a struct-min, not a per-gram window — hot
     // grams combine map-side)

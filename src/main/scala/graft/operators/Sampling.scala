@@ -35,13 +35,21 @@ object Sampling {
       defaultRate: Int): Column = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 100, s"sampling rates are percentages in [0,100], got $r"))
-    val bucket =
-      conv(substring(md5(hashOn.cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    val bucket = md5Bucket32(md5(hashOn.cast("binary"))) % 100
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
     }
     bucket < rate
   }
+
+  /** The one md5-portability idiom both sampling operators share: the
+    * first 8 hex chars of an md5 HEX column as a 32-bit long bucket
+    * (any engine reproduces it with `('0x' || substring(md5(x),1,8))
+    * :: BIGINT`). Null content hashes to null — callers own the null
+    * policy.
+    */
+  private def md5Bucket32(md5Hex: Column): Column =
+    conv(substring(md5Hex, 1, 8), 16, 10).cast("long")
 
   /** Deterministic global shuffle + sharding for training-data output:
     * every row gets a `shard` (which output file) and `pos` (its rank
@@ -63,7 +71,11 @@ object Sampling {
     *
     * Ordering ties (byte-identical `hashOn` content) break by `id`, so
     * the output is a total order. `hashOn` must be a STRING column
-    * (same md5-portability contract as [[stratifiedKeep]]).
+    * (same md5-portability contract as [[stratifiedKeep]]) and must be
+    * NON-NULL: a null hash would mean a null shard — a row the "every
+    * row gets a shard" contract cannot place — so the operator THROWS
+    * on the first null instead of silently writing a shard=null output
+    * file (`coalesce` the column first if empty content is valid).
     */
   def shuffleShard(
       df: org.apache.spark.sql.DataFrame,
@@ -78,8 +90,12 @@ object Sampling {
         s"shuffleShard adds a '$c' column but the input already has one — rename it first"))
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val hC = s"__shs_h_$tag"; val idC = s"__shs_id_$tag"
-    val withH = df.withColumn(hC, md5(hashOn.cast("binary"))).withColumn(idC, id)
-    val shard = conv(substring(col(hC), 1, 8), 16, 10).cast("long") % numShards
+    val guardedHash = when(hashOn.isNull, raise_error(lit(
+      "shuffleShard: null hashOn content cannot be placed in any shard — " +
+        "coalesce the column first if empty content is intended")))
+      .otherwise(md5(hashOn.cast("binary")))
+    val withH = df.withColumn(hC, guardedHash).withColumn(idC, id)
+    val shard = md5Bucket32(col(hC)) % numShards
     val pos = org.apache.spark.sql.functions.row_number().over(
       Window.partitionBy(shard).orderBy(col(hC), col(idC)))
     withH

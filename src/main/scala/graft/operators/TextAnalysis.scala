@@ -246,6 +246,14 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25Rank needs at least one query term")
     require(terms.size <= 32, s"term list is a fixed fold (${terms.size} terms); cap is 32")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // terms compare against TOKENIZER output — a capitalized or
+    // punctuated term would silently score 0 everywhere and return a
+    // plausible-looking but meaningless ranking
+    terms.foreach { t =>
+      require(t.nonEmpty && t == t.toLowerCase && t.forall(Character.isLetterOrDigit),
+        s"bm25Rank terms must be tokenizer-normal (lowercase letters/digits, " +
+          s"no punctuation): '$t' would match no token")
+    }
     val base = df.select(id.cast("long").as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))
     val aggCols = count(lit(1)).as("n") +:

@@ -370,7 +370,15 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
-        Dedup.clusters(pairs).orderBy($"doc_id")
+        // clusters() returns a cached frame with the caller owning the
+        // unpersist — materialize the gate result, then release, so
+        // repeated gate runs don't stack pinned label frames
+        val labels = Dedup.clusters(pairs)
+        try {
+          val res = labels.orderBy($"doc_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema).orderBy($"doc_id")
+        } finally labels.unpersist()
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
@@ -940,9 +948,15 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
+        // same unpersist duty as q34: the operator's returned frame is
+        // cached by contract — materialize the gate rows, then release
         val out = Dedup.keepBestPerCluster(
           Tables.documents(s, d), pairs, $"doc_id", $"n_chars".cast("double"))
-        out.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id")
+        try {
+          val res = out.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id")
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema).orderBy($"doc_id")
+        } finally out.unpersist()
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact

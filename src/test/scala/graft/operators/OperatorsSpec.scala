@@ -630,6 +630,31 @@ class OperatorsSpec extends SparkTestBase {
       "keepBestPerCluster leaked internal caches")
   }
 
+  test("id/content guards: null ids and null shard content throw instead of eating rows") {
+    import spark.implicits._
+    val nullId = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e1 = intercept[Exception](
+      Dedup.keepBestPerCluster(nullId, pairs, $"doc_id", lit(1.0)).collect())
+    assert(e1.getMessage.contains("keepBestPerCluster")
+      || Option(e1.getCause).exists(_.getMessage.contains("keepBestPerCluster")))
+    val e2 = intercept[Exception](
+      Dedup.dedupSpans(nullId, $"text", $"doc_id", k = 2).collect())
+    assert(e2.getMessage.contains("dedupSpans")
+      || Option(e2.getCause).exists(_.getMessage.contains("dedupSpans")))
+    val nullText = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val e3 = intercept[Exception](
+      Sampling.shuffleShard(nullText, $"text", $"doc_id", numShards = 4).collect())
+    assert(e3.getMessage.contains("shuffleShard")
+      || Option(e3.getCause).exists(_.getMessage.contains("shuffleShard")))
+    // tokenizer-abnormal BM25 terms refuse up front
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(nullText, $"text", $"doc_id", Seq("Spark")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Rank(nullText, $"text", $"doc_id", Seq("two words")))
+  }
+
   test("bm25Rank: hand-computed scores, rank order, bounds") {
     import spark.implicits._
     val corpus = Seq(

@@ -104,6 +104,120 @@ object Sampling {
       .drop(hC, idC)
   }
 
+  /** SEQUENCE PACKING: assign items (chunks/documents with a token
+    * `size`) to fixed-capacity training bins — the step that turns
+    * chunked documents into dense fixed-length training batches.
+    * Deterministic first-fit-decreasing WITHIN content-hash shards:
+    * items shard by md5(id), sort (size desc, id asc) inside their
+    * shard, and fill bins sequentially — a new bin opens when the
+    * current one cannot take the next item. Oversized items (size >
+    * `binCapacity`) get a bin of their own rather than vanishing.
+    * Returns (id, shard, bin) where `bin` is the shard-local bin
+    * ordinal.
+    *
+    * Scale shape: true global bin packing is inherently sequential, so
+    * the operator makes the PARALLEL UNIT explicit — each shard packs
+    * independently via one in-memory fold over its item list (collect_
+    * list per shard), and `numShards` bounds that list: pick shards so
+    * a shard's (id, size) pairs fit comfortably in an executor task
+    * (e.g. 1M items/shard ≈ 16 MB). Per-shard packing loses at most
+    * one partially-filled bin per shard vs a global pack — negligible
+    * when shards hold thousands of bins. No RNG anywhere: re-runs and
+    * other engines reproduce the identical assignment.
+    */
+  def packChunks(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      size: Column,
+      binCapacity: Long,
+      numShards: Int): org.apache.spark.sql.DataFrame = {
+    require(binCapacity >= 1, s"binCapacity must be >= 1, got $binCapacity")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "packChunks: id is null or not castable to long"))).otherwise(id.cast("long"))
+    val guardedSize = when(size.cast("long").isNull || size.cast("long") < 0,
+      raise_error(lit("packChunks: size must be a non-null non-negative integer")))
+      .otherwise(size.cast("long"))
+    val base = df.select(guardedId.as("id"), guardedSize.as("size"))
+      .withColumn("shard", md5Bucket32(md5(col("id").cast("string").cast("binary"))) % numShards)
+    // (−size, id) ascending == (size desc, id asc): FFD order
+    val sorted = base.groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct((lit(0L) - col("size")).as("negsize"), col("id"))))
+        .as("items"))
+    // sequential fold: acc = (assignments, current bin, current fill).
+    // `used > 0` makes the FIRST item always open bin 0, even oversized
+    val zero = struct(
+      array().cast("array<struct<id:bigint,bin:int>>").as("assigns"),
+      lit(0).as("bin"), lit(0L).as("used"))
+    val packed = sorted.select(col("shard"),
+      aggregate(
+        col("items"),
+        zero,
+        (acc, it) => {
+          val itemSize = lit(0L) - it.getField("negsize")
+          val newBin = acc.getField("used") > 0 &&
+            acc.getField("used") + itemSize > binCapacity
+          val bin = when(newBin, acc.getField("bin") + 1).otherwise(acc.getField("bin"))
+          val used = when(newBin, itemSize).otherwise(acc.getField("used") + itemSize)
+          struct(
+            concat(acc.getField("assigns"),
+              array(struct(it.getField("id").as("id"), bin.as("bin")))).as("assigns"),
+            bin.as("bin"), used.as("used"))
+        },
+        acc => acc.getField("assigns")).as("assigns"))
+    packed.select(col("shard"), explode(col("assigns")).as("a"))
+      .select(col("a.id").as("id"), col("shard"), col("a.bin").as("bin"))
+  }
+
+  /** TEMPERATURE-FLATTENED mixture sampling: downsample each stratum
+    * with `rate_s = min(1, baseRate · (n_max / n_s)^alpha)` — the
+    * multilingual/multi-source reweighting that keeps big sources from
+    * drowning rare ones (alpha = 0 keeps natural proportions scaled by
+    * `baseRate`; alpha = 1 fully flattens toward uniform). The keep
+    * decision is the same content-hash bucket as [[stratifiedKeep]],
+    * so it is RNG-free, append-stable, and engine-portable.
+    *
+    * Rates derive only from per-stratum counts and their max — exact
+    * integers — so every engine computes identical rates. At
+    * alpha = 0.5 the power is evaluated as sqrt (IEEE
+    * correctly-rounded, hence bit-portable); other alphas go through
+    * pow(), whose last-ulp behavior may differ across math libraries —
+    * fine for sampling, but a bit-exact cross-engine oracle should
+    * stick to 0.5. One tiny count aggregation broadcast back; the
+    * corpus itself is touched by a single map-side filter.
+    */
+  def temperatureSample(
+      df: org.apache.spark.sql.DataFrame,
+      stratum: Column,
+      hashOn: Column,
+      baseRate: Double,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(baseRate > 0 && baseRate <= 1.0, s"baseRate must be in (0,1], got $baseRate")
+    require(alpha >= 0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sC = s"__ts_s_$tag"; val nC = s"__ts_n_$tag"; val mC = s"__ts_m_$tag"
+    val base = df.withColumn(sC, stratum)
+    val counts = base.groupBy(col(sC)).agg(count(lit(1)).as(nC))
+    val withMax = counts.crossJoin(broadcast(counts.agg(max(col(nC)).as(mC))))
+    val ratio = col(mC).cast("double") / col(nC).cast("double")
+    val flat = if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) lit(1.0)
+      else pow(ratio, lit(alpha))
+    val rates = withMax.select(
+      col(sC).as(sC + "_r"),
+      least(lit(1.0), lit(baseRate) * flat).as(s"__ts_rate_$tag"))
+    // same 32-bit md5 bucket as stratifiedKeep, compared as a fraction
+    // of the full 32-bit space so any rate in [0,1] maps exactly.
+    // No broadcast HINT on rates: one row per stratum means AQE
+    // broadcasts it on its own in the documented regime (tens of
+    // strata), while a forced hint on a high-cardinality stratum
+    // column would OOM the driver (same policy as tokenBudgetCap)
+    val bucket = md5Bucket32(md5(hashOn.cast("binary")))
+    base.join(rates, col(sC) <=> col(sC + "_r"), "left")
+      .filter(bucket.cast("double") < col(s"__ts_rate_$tag") * 4294967296.0)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Cap each stratum (source/domain) at a TOKEN budget, keeping its
     * best documents first — the data-mixing step that turns "40% web,
     * 30% books…" recipes into concrete row sets. Rows are ranked inside

@@ -1091,6 +1091,62 @@ object LlmOps {
              |SELECT vec_id, maxabs / 127.0 AS scale,
              |  CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
              |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END AS qvec
-             |FROM m ORDER BY vec_id""".stripMargin))
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // ---- sequence packing: docs → fixed-capacity training bins
+    // (cap 256 tokens), first-fit-decreasing inside content-hash
+    // shards. Deterministic end to end, so the oracle replays the
+    // sequential fill exactly with a recursive CTE.
+    Q(
+      "q59_sequence_pack",
+      (s, d) => {
+        import s.implicits._
+        val sized = Tables.documents(s, d).select(
+          $"doc_id",
+          size(coalesce(TextAnalysis.tokens($"text"), array())).cast("long").as("n_tokens"))
+        graft.operators.Sampling.packChunks(
+          sized, $"doc_id", $"n_tokens", binCapacity = 256, numShards = 4)
+          .select($"id".as("doc_id"), $"shard", $"bin")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id,
+              |    CAST(len(coalesce($sqlToks, [])) AS BIGINT) AS sz,
+              |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard
+              |  FROM documents),
+              |r AS (SELECT doc_id, sz, shard,
+              |    row_number() OVER (PARTITION BY shard ORDER BY sz DESC, doc_id) AS rn FROM t),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, sz, 0 AS bin, sz AS used FROM r WHERE rn = 1
+              |  UNION ALL
+              |  SELECT r.shard, r.rn, r.doc_id, r.sz,
+              |    CASE WHEN p.used + r.sz > 256 THEN p.bin + 1 ELSE p.bin END,
+              |    CASE WHEN p.used + r.sz > 256 THEN r.sz ELSE p.used + r.sz END
+              |  FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+              |SELECT doc_id, shard, bin FROM pack ORDER BY doc_id""".stripMargin)),
+
+    // ---- temperature-flattened mixture sampling: rate_s = min(1,
+    // 0.3·sqrt(n_max/n_s)) per language — big languages downsample to
+    // the base rate, rare ones boost toward parity. Rates derive from
+    // exact integer counts and sqrt (IEEE correctly-rounded), so the
+    // oracle recomputes the identical rates and the identical keep set.
+    Q(
+      "q60_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, d).select($"doc_id", $"lang", $"text"),
+          stratum = $"lang", hashOn = $"text", baseRate = 0.3, alpha = 0.5)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |m AS (SELECT max(n) AS mx FROM c),
+             |r AS (SELECT lang,
+             |    least(1.0, 0.3 * sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE))) AS rate
+             |  FROM c, m)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
+             |      < rate * 4294967296.0
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -185,6 +185,64 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("packChunks: FFD fill, oversize isolation, capacity invariant, determinism") {
+    import spark.implicits._
+    // single shard → the fill sequence is fully hand-checkable
+    val items = Seq((1L, 10L), (2L, 9L), (3L, 3L), (4L, 2L), (5L, 1L)).toDF("doc_id", "n")
+    val got = Sampling.packChunks(items, col("doc_id"), col("n"), binCapacity = 12, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // FFD order 10,9,3,2,1: [10] [9,3] [2,1]
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+    // oversize item opens (and owns) a bin instead of vanishing
+    val over = Seq((1L, 20L), (2L, 5L)).toDF("doc_id", "n")
+    val og = Sampling.packChunks(over, col("doc_id"), col("n"), binCapacity = 12, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(og == Map(1L -> 0, 2L -> 1))
+    // multi-shard: every id appears once; every bin respects capacity
+    // unless it holds a single oversize item; re-run is identical
+    val many = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong)).toDF("doc_id", "n")
+    val packed = Sampling.packChunks(many, col("doc_id"), col("n"), binCapacity = 64, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(packed.map(_._1).toSet.size == 500)
+    val sizes = (1 to 500).map(i => i.toLong -> (i % 37 + 1).toLong).toMap
+    packed.groupBy(p => (p._2, p._3)).foreach { case (bin, members) =>
+      val fill = members.map(m => sizes(m._1)).sum
+      assert(fill <= 64 || members.size == 1, s"bin $bin overfilled: $fill with ${members.size}")
+    }
+    val again = Sampling.packChunks(many, col("doc_id"), col("n"), binCapacity = 64, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(again.toSeq == packed.sortBy(_._1).toSeq)
+  }
+
+  test("temperatureSample: exact rate recomputation, alpha=0 degenerates to baseRate") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "big", s"text b$i")) ++
+      (101 to 125).map(i => (i.toLong, "small", s"text s$i")))
+      .toDF("doc_id", "stratum", "text")
+    // recompute the exact keep set in plain JVM code: same md5 bucket,
+    // same sqrt-derived rates (big: 0.2, small: 0.2*sqrt(100/25)=0.4)
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rates = Map("big" -> 0.2 * math.sqrt(100.0 / 100.0), "small" -> 0.2 * math.sqrt(100.0 / 25.0))
+    val expected = ((1 to 100).map(i => (i.toLong, "big", s"text b$i")) ++
+      (101 to 125).map(i => (i.toLong, "small", s"text s$i")))
+      .filter { case (_, st, tx) => bucket(tx).toDouble < math.min(1.0, rates(st)) * 4294967296.0 }
+      .map(_._1).toSet
+    val got = Sampling.temperatureSample(docs, col("stratum"), col("text"),
+      baseRate = 0.2, alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // alpha=0: every stratum keeps at plain baseRate
+    val flat = Sampling.temperatureSample(docs, col("stratum"), col("text"),
+      baseRate = 0.2, alpha = 0.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expFlat = ((1 to 100).map(i => (i.toLong, s"text b$i")) ++
+      (101 to 125).map(i => (i.toLong, s"text s$i")))
+      .filter { case (_, tx) => bucket(tx).toDouble < 0.2 * 4294967296.0 }.map(_._1).toSet
+    assert(flat == expFlat)
+  }
+
   test("shuffleShard refuses to clobber an existing shard/pos column") {
     import spark.implicits._
     val df = Seq((1L, "t", 0)).toDF("doc_id", "text", "shard")

@@ -212,6 +212,26 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.packChunks(many, col("doc_id"), col("n"), binCapacity = 64, numShards = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
     assert(again.toSeq == packed.sortBy(_._1).toSeq)
+    // exact independent recomputation in plain JVM code: same md5
+    // shard, same FFD order, same sequential fill — the whole
+    // assignment, not just invariants
+    def shardOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    val expected = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong))
+      .groupBy { case (id, _) => shardOf(id) }
+      .flatMap { case (shard, items) =>
+        var bin = 0; var used = 0L
+        items.sortBy { case (id, n) => (-n, id) }.map { case (id, n) =>
+          if (used > 0 && used + n > 64) { bin += 1; used = n } else used += n
+          id -> ((shard, bin))
+        }
+      }
+    assert(packed.map(p => p._1 -> ((p._2, p._3.toLong))).toMap == expected.map {
+      case (id, (s, b)) => id -> ((s, b.toLong))
+    })
   }
 
   test("temperatureSample: exact rate recomputation, alpha=0 degenerates to baseRate") {

@@ -116,14 +116,20 @@ object Sampling {
     * ordinal.
     *
     * Scale shape: true global bin packing is inherently sequential, so
-    * the operator makes the PARALLEL UNIT explicit — each shard packs
-    * independently via one in-memory fold over its item list (collect_
-    * list per shard), and `numShards` bounds that list: pick shards so
-    * a shard's (id, size) pairs fit comfortably in an executor task
-    * (e.g. 1M items/shard ≈ 16 MB). Per-shard packing loses at most
-    * one partially-filled bin per shard vs a global pack — negligible
-    * when shards hold thousands of bins. No RNG anywhere: re-runs and
-    * other engines reproduce the identical assignment.
+    * the operator makes the PARALLEL UNIT explicit — shards pack
+    * independently. The plan is one shuffle (repartition by shard), a
+    * Tungsten sort within partitions on (shard, size desc, id), and an
+    * O(n) CONSTANT-MEMORY streaming scan that carries only (current
+    * shard, bin, fill) across rows — shards of any size pack without
+    * materializing a per-shard list, and the sort spills instead of
+    * OOMing. mapPartitions is the honest tool here: the fill state is
+    * genuinely sequential per shard and reduces to three scalars.
+    * Per-shard packing loses at most one partially-filled bin per
+    * shard vs a global pack — negligible when shards hold thousands of
+    * bins. No RNG anywhere: re-runs and other engines reproduce the
+    * identical assignment (the scan's output depends only on the
+    * sorted order, never on partition boundaries — a shard change
+    * resets the state).
     */
   def packChunks(
       df: org.apache.spark.sql.DataFrame,
@@ -140,33 +146,27 @@ object Sampling {
       .otherwise(size.cast("long"))
     val base = df.select(guardedId.as("id"), guardedSize.as("size"))
       .withColumn("shard", md5Bucket32(md5(col("id").cast("string").cast("binary"))) % numShards)
-    // (−size, id) ascending == (size desc, id asc): FFD order
-    val sorted = base.groupBy(col("shard"))
-      .agg(sort_array(collect_list(struct((lit(0L) - col("size")).as("negsize"), col("id"))))
-        .as("items"))
-    // sequential fold: acc = (assignments, current bin, current fill).
-    // `used > 0` makes the FIRST item always open bin 0, even oversized
-    val zero = struct(
-      array().cast("array<struct<id:bigint,bin:int>>").as("assigns"),
-      lit(0).as("bin"), lit(0L).as("used"))
-    val packed = sorted.select(col("shard"),
-      aggregate(
-        col("items"),
-        zero,
-        (acc, it) => {
-          val itemSize = lit(0L) - it.getField("negsize")
-          val newBin = acc.getField("used") > 0 &&
-            acc.getField("used") + itemSize > binCapacity
-          val bin = when(newBin, acc.getField("bin") + 1).otherwise(acc.getField("bin"))
-          val used = when(newBin, itemSize).otherwise(acc.getField("used") + itemSize)
-          struct(
-            concat(acc.getField("assigns"),
-              array(struct(it.getField("id").as("id"), bin.as("bin")))).as("assigns"),
-            bin.as("bin"), used.as("used"))
-        },
-        acc => acc.getField("assigns")).as("assigns"))
-    packed.select(col("shard"), explode(col("assigns")).as("a"))
-      .select(col("a.id").as("id"), col("shard"), col("a.bin").as("bin"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    base.select(col("id"), col("size"), col("shard")).as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("size").desc, col("id"))
+      .mapPartitions { it =>
+        // first-fit-decreasing fill, state reset at every shard change;
+        // `used > 0` keeps an oversized FIRST item in bin 0 (with sizes
+        // sorted desc, used == 0 mid-shard implies every remaining size
+        // is 0, so the guard only matters for that first item)
+        var curShard = 0L; var bin = 0; var used = 0L; var started = false
+        it.map { case (rid, rsize, rshard) =>
+          if (!started || rshard != curShard) {
+            started = true; curShard = rshard; bin = 0; used = rsize
+          } else if (used > 0 && used + rsize > binCapacity) {
+            bin += 1; used = rsize
+          } else used += rsize
+          (rid, rshard, bin)
+        }
+      }
+      .toDF("id", "shard", "bin")
   }
 
   /** TEMPERATURE-FLATTENED mixture sampling: downsample each stratum

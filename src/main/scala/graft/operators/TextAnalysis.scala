@@ -18,9 +18,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     graft.functions.GraftFunctions.tokenize(text)
 
-  /** Built-ins-only tokenizer (regex split + interpreted HOF filter). */
+  /** Built-ins-only tokenizer (regex split + interpreted HOF filter).
+    * `\p{Nd}` (decimal digits), not `\p{N}`: the native kernel's
+    * `Character.isLetterOrDigit` admits letters + Nd only, and a wider
+    * regex here would break the asserted bit-equality on letter-like
+    * numerics (Ⅻ, ², ⅓ are Nl/No — both formulations now split on
+    * them).
+    */
   def tokensHof(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    filter(split(lower(text), "[^\\p{L}\\p{Nd}]+"), t => length(t) > 0)
 
   /** Whitespace-delimited token count (the cheap pre-tokenizer count). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -248,11 +254,16 @@ object TextAnalysis {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     // terms compare against TOKENIZER output — a capitalized or
     // punctuated term would silently score 0 everywhere and return a
-    // plausible-looking but meaningless ranking
+    // plausible-looking but meaningless ranking. Validate with the
+    // REAL tokenizer (one token, unchanged), not a re-implementation
+    // of its alphabet: supplementary-plane letters pass, case/punct
+    // variants fail, and the check can never drift from the kernel
     terms.foreach { t =>
-      require(t.nonEmpty && t == t.toLowerCase && t.forall(Character.isLetterOrDigit),
-        s"bm25Rank terms must be tokenizer-normal (lowercase letters/digits, " +
-          s"no punctuation): '$t' would match no token")
+      val toks = graft.functions.TokenizeWords.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      require(toks.numElements() == 1 && toks.getUTF8String(0).toString == t,
+        s"bm25Rank terms must be tokenizer-normal (what TokenizeWords emits: " +
+          s"lowercase, no punctuation/whitespace): '$t' would match no token")
     }
     val base = df.select(id.cast("long").as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))

@@ -518,8 +518,15 @@ object LlmOps {
         val ek = kept.join(surv, "doc_id")
         val pairs = Dedup.ngramJaccardPairsFromHashed(
           Dedup.hashedShingleSets(ek, $"text", $"doc_id", n = 3), threshold = 0.3)
-        val nonCanonical = Dedup.clusters(pairs)
-          .filter($"cluster_id" =!= $"doc_id").select("doc_id")
+        // clusters() hands back a cached frame with the caller owning
+        // the unpersist (same duty as q34/q54) — materialize the small
+        // non-canonical id set, then release the labels cache
+        val labels = Dedup.clusters(pairs)
+        val nonCanonical = try {
+          val nc = labels.filter($"cluster_id" =!= $"doc_id").select("doc_id")
+          val rows = nc.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), nc.schema)
+        } finally labels.unpersist()
         ek.join(nonCanonical, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"n_tokens", $"quality", $"lang_pred",
             Dedup.splitAssign($"text").as("split"))
@@ -1139,12 +1146,16 @@ object LlmOps {
           .select($"doc_id", $"lang")
           .orderBy($"doc_id")
       },
+      // IS NOT DISTINCT FROM mirrors the operator's null-safe stratum
+      // join: a null-lang row gets a rate (counts group nulls too)
+      // instead of silently vanishing from the oracle only
       Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
              |m AS (SELECT max(n) AS mx FROM c),
-             |r AS (SELECT lang,
+             |r AS (SELECT lang AS rlang,
              |    least(1.0, 0.3 * sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE))) AS rate
              |  FROM c, m)
-             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |LEFT JOIN r ON d.lang IS NOT DISTINCT FROM r.rlang
              |WHERE CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
              |      < rate * 4294967296.0
              |ORDER BY doc_id""".stripMargin))

@@ -355,8 +355,13 @@ class OperatorsSpec extends SparkTestBase {
       TextAnalysis.tokens($"text").as("fast"),
       TextAnalysis.tokensHof($"text").as("hof"))
     assert(both.filter(not($"fast" === $"hof")).count() == 0)
-    // unicode sanity beyond the corpus
-    val exotic = Seq("Héllo wörld 123", "  a--b  ", "", "日本語 test", "ALL CAPS")
+    // unicode sanity beyond the corpus — incl. letter-LIKE numerics
+    // (Ⅻ = Nl, ² = No): both formulations must split on them (the
+    // kernel's isLetterOrDigit admits Nd only, and tokensHof's regex
+    // says \p{Nd} to match — a \p{N} there would diverge), and
+    // supplementary-plane letters (𐐷) must survive as tokens
+    val exotic = Seq("Héllo wörld 123", "  a--b  ", "", "日本語 test", "ALL CAPS",
+      "xⅫy a²b", "𐐷ok 𝒜𝓑")
       .toDF("text")
       .select(TextAnalysis.tokens($"text").as("fast"), TextAnalysis.tokensHof($"text").as("hof"))
     assert(exotic.filter(not($"fast" === $"hof")).count() == 0)

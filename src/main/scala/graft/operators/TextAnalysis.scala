@@ -227,6 +227,55 @@ object TextAnalysis {
   def piiCounts(text: Column): Seq[Column] =
     piiPatterns.map { case (_, pattern) => regexp_count(text, lit(pattern)) }
 
+  /** Unigram-LM log-probability scoring — the perplexity-proxy quality
+    * signal (public literature: KenLM-style LM filtering, e.g. CCNet):
+    * score each document by the mean log-probability of its tokens
+    * under the CORPUS unigram distribution. Low scores flag
+    * gibberish/rare-token text; empty docs score null. Returns
+    * (doc_id, n_tokens, logprob).
+    *
+    * The 100 TB story: token counts are one partial-aggregable pass;
+    * the model itself is the TOP-`vocabSize` rows of that aggregate —
+    * bounded, collected once, and embedded as a literal map (exactly
+    * how production tokenizers/LMs cap vocabulary; 64k entries ≈ a few
+    * MB shipped with the plan). Scoring is then a pure map-side
+    * ordered fold over each doc's token array — deterministic, so the
+    * per-doc sum is reproducible bit-for-bit GIVEN the same ln()
+    * library (cross-engine oracles compare within 1e-9 instead).
+    * Out-of-vocab tokens get the floor probability 1/total (count-1
+    * smoothing); vocab selection breaks count ties by token, so every
+    * engine derives the identical model.
+    */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      vocabSize: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val base = df.select(
+      id.cast("long").as("doc_id"),
+      coalesce(tokens(text), array()).as("toks"))
+    val counts = base.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // two bounded driver actions: a 1-row total and ≤ vocabSize counts
+    // (the same bounded-collect class as IVF's training sample)
+    val total = Option(counts.agg(sum(col("c"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val vocab = counts.orderBy(col("c").desc, col("token")).limit(vocabSize).collect()
+    val pmap = vocab.map(r => r.getString(0) -> r.getLong(1).toDouble / total.toDouble).toMap
+    val oovP = 1.0 / total.toDouble // +Inf only when total=0, where no token exists to score
+    val model = typedlit(pmap)
+    val n = size(col("toks"))
+    base.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      when(n > 0,
+        aggregate(col("toks"), lit(0.0),
+          (acc, t) => acc + log(coalesce(element_at(model, t), lit(oovP))))
+          / n.cast("double"))
+        .otherwise(lit(null).cast("double")).as("logprob"))
+  }
+
   /** BM25 relevance ranking of the corpus against a FIXED term list —
     * retrieval-targeted data selection ("find the docs most about X"),
     * scored with the classic Okapi BM25 formula (public IR

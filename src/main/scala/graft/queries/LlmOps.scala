@@ -1158,6 +1158,49 @@ object LlmOps {
              |LEFT JOIN r ON d.lang IS NOT DISTINCT FROM r.rlang
              |WHERE CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
              |      < rate * 4294967296.0
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- unigram-LM perplexity-proxy scoring: mean token
+    // log-probability under the corpus unigram model (top-64k vocab,
+    // 1/total OOV floor). The Spark fold is array-ordered and
+    // deterministic; summation order and ln() libraries differ across
+    // engines, so the oracle is the q45-style tolerance gate: DuckDB
+    // recomputes every score its own way, admits the emitted rows only
+    // if every score agrees within 1e-9 (and counts/nulls match
+    // exactly), and emits a poison row otherwise.
+    Q(
+      "q61_unigram_logprob",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.unigramLogProb(Tables.documents(s, d), $"text", $"doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q61_unigram_logprob/*.parquet')),
+              |tok AS (SELECT doc_id, unnest(coalesce($sqlToks, [])) AS token FROM documents),
+              |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+              |tot AS (SELECT sum(c) AS total FROM cnt),
+              |voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 65536),
+              |sc AS (SELECT t.doc_id, count(*) AS n,
+              |    sum(ln(CAST(coalesce(v.c, 1) AS DOUBLE) / (SELECT total FROM tot))) AS lp
+              |  FROM tok t LEFT JOIN voc v USING (token) GROUP BY t.doc_id),
+              |expect AS (SELECT d.doc_id,
+              |    CAST(coalesce(sc.n, 0) AS BIGINT) AS n,
+              |    CASE WHEN coalesce(sc.n, 0) > 0 THEN sc.lp / sc.n END AS mean_lp
+              |  FROM documents d LEFT JOIN sc USING (doc_id)),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x USING (doc_id)
+              |      WHERE e.n_tokens <> x.n
+              |         OR (e.logprob IS NULL) <> (x.mean_lp IS NULL)
+              |         OR abs(coalesce(e.logprob, 0) - coalesce(x.mean_lp, 0)) > 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e
+              |      WHERE e.doc_id NOT IN (SELECT doc_id FROM expect))
+              |  ) AS ok)
+              |SELECT doc_id, n_tokens, logprob FROM emitted
+              |WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -660,6 +660,26 @@ class OperatorsSpec extends SparkTestBase {
       TextAnalysis.bm25Rank(nullText, $"text", $"doc_id", Seq("two words")))
   }
 
+  test("unigramLogProb: hand-computed model, OOV floor, vocab truncation, empty docs") {
+    import spark.implicits._
+    // corpus counts: a=2, b=1, c=1, total=4
+    val corpus = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    val exp1 = (math.log(0.5) + math.log(0.5) + math.log(0.25)) / 3.0
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - exp1) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - math.log(0.25)) < 1e-12)
+    assert(got(3L)._1 == 0L && got(3L)._2.isNaN) // null logprob for empty doc
+    // vocab truncation: with vocabSize=1 only 'a' (count 3) stays; b
+    // (count 2) and c (count 1) both take the 1/total floor
+    val c2 = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val t = TextAnalysis.unigramLogProb(c2, $"text", $"doc_id", vocabSize = 1)
+      .collect().head.getDouble(2)
+    val expT = (3 * math.log(3.0 / 6.0) + 3 * math.log(1.0 / 6.0)) / 6.0
+    assert(math.abs(t - expT) < 1e-12)
+  }
+
   test("bm25Rank: hand-computed scores, rank order, bounds") {
     import spark.implicits._
     val corpus = Seq(

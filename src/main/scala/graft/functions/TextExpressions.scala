@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * SimHash, quality, language-ID).
   *
   * Semantics match the HOF formulation (`TextAnalysis.tokensHof`):
-  * tokens are maximal runs of Unicode letters/digits, lowercased, empty
-  * runs dropped. Asserted bit-equal on the test corpus in
-  * OperatorsSpec. (Exotic divergences — titlecase digraphs, non-decimal
-  * number categories — don't occur in the corpora this engine targets.)
+  * tokens are maximal runs of Unicode letters + DECIMAL digits (Nd;
+  * letter-like numerics Ⅻ/² are separators in BOTH formulations —
+  * parity asserted on Nl/No and supplementary-plane inputs in
+  * OperatorsSpec), lowercased, empty runs dropped. (The one remaining
+  * exotic divergence class — titlecase digraphs whose case-mapping
+  * differs between lower-then-split and split-then-lower — doesn't
+  * occur in the corpora this engine targets.)
   */
 case class TokenizeWords(child: Expression) extends UnaryExpression {
 

@@ -234,14 +234,16 @@ object TextAnalysis {
     * gibberish/rare-token text; empty docs score null. Returns
     * (doc_id, n_tokens, logprob).
     *
-    * The 100 TB story: token counts are one partial-aggregable pass;
-    * the model itself is the TOP-`vocabSize` rows of that aggregate —
-    * bounded, collected once, and embedded as a literal map (exactly
-    * how production tokenizers/LMs cap vocabulary; 64k entries ≈ a few
-    * MB shipped with the plan). Scoring is then a pure map-side
-    * ordered fold over each doc's token array — deterministic, so the
-    * per-doc sum is reproducible bit-for-bit GIVEN the same ln()
-    * library (cross-engine oracles compare within 1e-9 instead).
+    * The 100 TB story: token counts are ONE partial-aggregable pass
+    * (persisted for its two bounded driver actions, released before
+    * return); the model is the top-`vocabSize` slice — collected once
+    * (the same bounded-collect class as IVF's training sample) and
+    * re-broadcast as a tiny frame, so the per-token probability lookup
+    * is a broadcast HASH join, not a linear scan of a literal map.
+    * The per-doc sum then folds the (pos, lnp) pairs in POSITION
+    * order — deterministic per engine, bit-identical to a left-to-
+    * right fold over the token array; ln() libraries differ across
+    * engines, so cross-engine oracles compare within 1e-9.
     * Out-of-vocab tokens get the floor probability 1/total (count-1
     * smoothing); vocab selection breaks count ties by token, so every
     * engine derives the identical model.
@@ -252,28 +254,39 @@ object TextAnalysis {
       id: Column,
       vocabSize: Int = 65536): org.apache.spark.sql.DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val spark = df.sparkSession
     val base = df.select(
       id.cast("long").as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))
     val counts = base.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    // two bounded driver actions: a 1-row total and ≤ vocabSize counts
-    // (the same bounded-collect class as IVF's training sample)
-    val total = Option(counts.agg(sum(col("c"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val vocab = counts.orderBy(col("c").desc, col("token")).limit(vocabSize).collect()
-    val pmap = vocab.map(r => r.getString(0) -> r.getLong(1).toDouble / total.toDouble).toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      val t = Option(counts.agg(sum(col("c"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val v = counts.orderBy(col("c").desc, col("token")).limit(vocabSize).collect()
+      (t, v)
+    } finally counts.unpersist()
     val oovP = 1.0 / total.toDouble // +Inf only when total=0, where no token exists to score
-    val model = typedlit(pmap)
+    import spark.implicits._
+    val vocabDf = vocab.toSeq
+      .map(r => (r.getString(0), r.getLong(1).toDouble / total.toDouble))
+      .toDF("token", "p")
+    val scoredTok = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .join(broadcast(vocabDf), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), log(coalesce(col("p"), lit(oovP))).as("lnp"))
+    val perDoc = scoredTok.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(col("doc_id").as("s_doc"),
+        aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("lnp")).as("lpsum"))
     val n = size(col("toks"))
-    base.select(
-      col("doc_id"),
-      n.cast("long").as("n_tokens"),
-      when(n > 0,
-        aggregate(col("toks"), lit(0.0),
-          (acc, t) => acc + log(coalesce(element_at(model, t), lit(oovP))))
-          / n.cast("double"))
-        .otherwise(lit(null).cast("double")).as("logprob"))
+    base.join(perDoc, col("doc_id") === col("s_doc"), "left")
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        when(n > 0, col("lpsum") / n.cast("double"))
+          .otherwise(lit(null).cast("double")).as("logprob"))
   }
 
   /** BM25 relevance ranking of the corpus against a FIXED term list —

@@ -79,6 +79,24 @@ object LlmOps {
     s.table(view)
   }
 
+  /** Materialize a result derived from an operator-cached frame, then
+    * release the cache — the contract for operators ([[Dedup.clusters]],
+    * [[Dedup.keepBestPerCluster]]) whose returned frame is cached with
+    * the caller owning the unpersist. Collecting BEFORE the unpersist
+    * keeps the gate's repeated runs from stacking pinned frames while
+    * still returning a DataFrame the harness can write.
+    */
+  private def materializeThenRelease(
+      s: org.apache.spark.sql.SparkSession,
+      cached: org.apache.spark.sql.DataFrame)(
+      derive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    try {
+      val res = derive(cached)
+      val rows = res.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally cached.unpersist()
+
   /** Eviction hook for the per-(session, dir) shared shingle caches:
     * unpersists and drops every shared-shingle view registered in this
     * session. Safe to call at any time — the next query that needs the
@@ -370,15 +388,8 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
-        // clusters() returns a cached frame with the caller owning the
-        // unpersist — materialize the gate result, then release, so
-        // repeated gate runs don't stack pinned label frames
-        val labels = Dedup.clusters(pairs)
-        try {
-          val res = labels.orderBy($"doc_id")
-          val rows = res.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema).orderBy($"doc_id")
-        } finally labels.unpersist()
+        materializeThenRelease(s, Dedup.clusters(pairs))(_.orderBy($"doc_id"))
+          .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
@@ -518,15 +529,8 @@ object LlmOps {
         val ek = kept.join(surv, "doc_id")
         val pairs = Dedup.ngramJaccardPairsFromHashed(
           Dedup.hashedShingleSets(ek, $"text", $"doc_id", n = 3), threshold = 0.3)
-        // clusters() hands back a cached frame with the caller owning
-        // the unpersist (same duty as q34/q54) — materialize the small
-        // non-canonical id set, then release the labels cache
-        val labels = Dedup.clusters(pairs)
-        val nonCanonical = try {
-          val nc = labels.filter($"cluster_id" =!= $"doc_id").select("doc_id")
-          val rows = nc.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), nc.schema)
-        } finally labels.unpersist()
+        val nonCanonical = materializeThenRelease(s, Dedup.clusters(pairs))(
+          _.filter($"cluster_id" =!= $"doc_id").select("doc_id"))
         ek.join(nonCanonical, Seq("doc_id"), "left_anti")
           .select($"doc_id", $"n_tokens", $"quality", $"lang_pred",
             Dedup.splitAssign($"text").as("split"))
@@ -955,15 +959,10 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
-        // same unpersist duty as q34: the operator's returned frame is
-        // cached by contract — materialize the gate rows, then release
-        val out = Dedup.keepBestPerCluster(
-          Tables.documents(s, d), pairs, $"doc_id", $"n_chars".cast("double"))
-        try {
-          val res = out.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id")
-          val rows = res.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema).orderBy($"doc_id")
-        } finally out.unpersist()
+        materializeThenRelease(s, Dedup.keepBestPerCluster(
+          Tables.documents(s, d), pairs, $"doc_id", $"n_chars".cast("double")))(
+          _.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id"))
+          .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact

@@ -247,6 +247,11 @@ object TextAnalysis {
     * Out-of-vocab tokens get the floor probability 1/total (count-1
     * smoothing); vocab selection breaks count ties by token, so every
     * engine derives the identical model.
+    *
+    * Returns ONE ROW PER DISTINCT id: the id IS the document identity,
+    * so multiple input rows sharing an id score as one merged document
+    * (n_tokens and logprob both cover the union — they can never mix
+    * per-row and per-group views). Null/non-castable ids throw.
     */
   def unigramLogProb(
       df: org.apache.spark.sql.DataFrame,
@@ -255,8 +260,11 @@ object TextAnalysis {
       vocabSize: Int = 65536): org.apache.spark.sql.DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     val spark = df.sparkSession
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "unigramLogProb: id is null or not castable to long — every doc needs a " +
+        "non-null integral id"))).otherwise(id.cast("long"))
     val base = df.select(
-      id.cast("long").as("doc_id"),
+      guardedId.as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))
     val counts = base.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -272,20 +280,23 @@ object TextAnalysis {
     val vocabDf = vocab.toSeq
       .map(r => (r.getString(0), r.getLong(1).toDouble / total.toDouble))
       .toDF("token", "p")
+    // posexplode_outer keeps empty docs as a (null, null) row, so ONE
+    // grouped pass yields n_tokens AND the ordered fold — no join back
+    // to base, no third tokenize of the corpus
     val scoredTok = base
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .select(col("doc_id"), posexplode_outer(col("toks")).as(Seq("pos", "token")))
       .join(broadcast(vocabDf), Seq("token"), "left")
       .select(col("doc_id"), col("pos"), log(coalesce(col("p"), lit(oovP))).as("lnp"))
-    val perDoc = scoredTok.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
-      .select(col("doc_id").as("s_doc"),
-        aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("lnp")).as("lpsum"))
-    val n = size(col("toks"))
-    base.join(perDoc, col("doc_id") === col("s_doc"), "left")
+    scoredTok.groupBy(col("doc_id"))
+      .agg(
+        count(col("pos")).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
       .select(
         col("doc_id"),
-        n.cast("long").as("n_tokens"),
-        when(n > 0, col("lpsum") / n.cast("double"))
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("lnp"))
+            / col("n_tokens").cast("double"))
           .otherwise(lit(null).cast("double")).as("logprob"))
   }
 

@@ -388,8 +388,7 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
-        materializeThenRelease(s, Dedup.clusters(pairs))(_.orderBy($"doc_id"))
-          .orderBy($"doc_id")
+        materializeThenRelease(s, Dedup.clusters(pairs))(identity).orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},
               |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
@@ -961,7 +960,7 @@ object LlmOps {
         val pairs = Dedup.ngramJaccardPairsFromHashed(sharedShingleSets(s, d), threshold = 0.3)
         materializeThenRelease(s, Dedup.keepBestPerCluster(
           Tables.documents(s, d), pairs, $"doc_id", $"n_chars".cast("double")))(
-          _.select($"doc_id", $"cluster_id", $"n_members").orderBy($"doc_id"))
+          _.select($"doc_id", $"cluster_id", $"n_members"))
           .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE ${sqlExactJaccardCteFrom("documents")},

@@ -678,6 +678,20 @@ class OperatorsSpec extends SparkTestBase {
       .collect().head.getDouble(2)
     val expT = (3 * math.log(3.0 / 6.0) + 3 * math.log(1.0 / 6.0)) / 6.0
     assert(math.abs(t - expT) < 1e-12)
+    // id IS the document identity: rows sharing an id score as one
+    // merged doc (one output row, union n_tokens, union logprob)
+    val dup = Seq((7L, "a a"), (7L, "b")).toDF("doc_id", "text")
+    val dr = TextAnalysis.unigramLogProb(dup, $"text", $"doc_id").collect()
+    assert(dr.length == 1 && dr.head.getLong(1) == 3L)
+    val expDup = (2 * math.log(2.0 / 3.0) + math.log(1.0 / 3.0)) / 3.0
+    assert(math.abs(dr.head.getDouble(2) - expDup) < 1e-12)
+    // null ids throw instead of silently dropping the doc
+    val nid = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception](
+      TextAnalysis.unigramLogProb(nid, $"text", $"doc_id").collect())
+    assert(e.getMessage.contains("unigramLogProb")
+      || Option(e.getCause).exists(_.getMessage.contains("unigramLogProb")))
   }
 
   test("bm25Rank: hand-computed scores, rank order, bounds") {

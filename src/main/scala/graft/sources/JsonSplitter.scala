@@ -292,7 +292,18 @@ final class JsonSplitter(
     var done = false
     var any = false
     while (!done) {
-      if (!refill()) { done = true }
+      if (!refill()) {
+        // EOF can never legitimately end a scalar in this grammar — a
+        // valid document always closes with the top-level '}', so every
+        // scalar is followed by a delimiter BYTE. Treating EOF as that
+        // delimiter would let a truncated file "complete" its final
+        // element, and scanTopLevelArray could then emit a chunk whose
+        // end offset the full file never produces — breaking the
+        // truncation-prefix invariant ignoreCorruptFiles depends on
+        // (found by the ScalaCheck truncation property: cut mid-`null`,
+        // the divergent chunk was emitted before the EOF failure).
+        fail("EOF inside scalar value")
+      }
       else {
         var p = bufPos
         val len = bufLen

@@ -220,8 +220,18 @@ class JsonSplitterSpec extends AnyFunSuite {
     val optVariants = Seq(
       JsonSplitter.Options(maxElementsPerChunk = 1),
       JsonSplitter.Options(chunkTargetBytes = 60, bufferSize = 3),
+      JsonSplitter.Options(chunkTargetBytes = 40, bufferSize = 2, maxElementsPerChunk = 3),
       JsonSplitter.Options())
-    for (doc <- Seq(cmsDoc, """{"a":[1,2,3],"h":"x","b":[{"y":[1]},{"z":2}]}""");
+    // the third doc is a pinned ScalaCheck counterexample: truncation
+    // mid-`null` landed exactly on an element-count chunk boundary, and
+    // scanScalar's old EOF-as-delimiter behavior emitted a chunk with a
+    // divergent end offset before the EOF failure
+    for (doc <- Seq(cmsDoc, """{"a":[1,2,3],"h":"x","b":[{"y":[1]},{"z":2}]}""",
+           "{\n  \"ppLC\"\n  :\n  {\"ulRuuAL\":true,\"zi3RR0K3\":[true,\"J0sqEk\"]},\n  \n  " +
+             "\"r74lwuj7t3tn\"\n  :\n  [ null ,\n [false,[-1.0000,true]] ,\n null ,\n " +
+             "{\"d3P\":false,\"cDDZr\":\"DJA\"} ,\n \"G8x\" ,\n \"1Q4rw1qYv7\" ,\n " +
+             "{\"wSqfEHsx\":[\"PQ4x0TpoX \\\"q\\\" \\\\ ]}{[ é✓\\n\\t\",null],\"lbKR7T\":false} ,\n " +
+             "714715 ],\n  \n  \"t1SY\"\n  :\n  []\n  }");
          opts <- optVariants) {
       val bytes = doc.getBytes(UTF_8)
       val full = split(doc, opts)

@@ -20,6 +20,25 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Session-artifact isolation wraps every task's context
+      // classloader in an ExecutorClassLoader whose class-miss path is
+      // an RPC file probe to the driver. Janino resolves ambiguous
+      // names in generated code by PROBING nonexistent classes — under
+      // that loader each in-task codegen compile turns into hundreds
+      // of driver round-trips, which dominates wall-clock the moment
+      // the host adds scheduling latency. No artifacts are ever added
+      // in this harness, so the isolation buys nothing: disable it and
+      // let class misses fail fast on the system classpath.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // 10-query bench + 60-query verify plans exceed the default
+      // 100-entry codegen cache; evicted units recompile inside tasks
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
+      // shuffle/spill scratch on RAM-backed tmpfs where available: the
+      // bench measures the queries, not a slow block device's fsyncs
+      // (observed on this harness host: sys time 5× user during tiny
+      // shuffle-file I/O). Harness-scale data is MBs; production runs
+      // size real local dirs.
+      .config("spark.local.dir", graft.queries.Scratch.base.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -24,40 +24,65 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see graft.Bench: session-artifact isolation turns every janino
+      // class-name probe inside in-task codegen compiles into an RPC
+      // round-trip to the driver; across the ~60-query gate that
+      // overhead can dominate wall-clock (and once stalled the driver's
+      // correctness run entirely). No artifacts are added — disable it.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // 60+ distinct query plans blow the default 100-entry codegen
+      // cache; evicted units recompile inside tasks
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
+      // shuffle/spill scratch on RAM-backed tmpfs where available (see
+      // graft.Bench / graft.queries.Scratch): the gate must not be
+      // hostage to a slow block device's fsyncs
+      .config("spark.local.dir", graft.queries.Scratch.base.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    var gateCompromised = false
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // delete any partial/stale result so the compare sees "no
-          // spark output" and FAILS the query — the oracle entry stays
-          // (dropping it would remove the query from the gate entirely
-          // and a crashing query would ship as a silent pass; a stale
-          // dir from a previous run would score a false pass)
-          val dir = new java.io.File(s"$outDir/$name")
-          if (dir.exists()) {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(): Unit
-            }
-            rm(dir)
+    val gateCompromised = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any partial/stale result so the compare sees "no
+        // spark output" and FAILS the query — the oracle entry stays
+        // (dropping it would remove the query from the gate entirely
+        // and a crashing query would ship as a silent pass; a stale
+        // dir from a previous run would score a false pass)
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
           }
-          if (dir.exists()) {
-            // undeletable stale dir (held handle, permissions): the
-            // compare would validate the PREVIOUS run's output as a
-            // false pass — flag the whole run instead of shipping it
-            System.err.println(
-              s"[verify] could not remove stale result $dir — gate integrity compromised")
-            gateCompromised = true
-          }
+          rm(dir)
+        }
+        if (dir.exists()) {
+          // undeletable stale dir (held handle, permissions): the
+          // compare would validate the PREVIOUS run's output as a
+          // false pass — flag the whole run instead of shipping it
+          System.err.println(
+            s"[verify] could not remove stale result $dir — gate integrity compromised")
+          gateCompromised.set(true)
         }
       }
+    // A few queries in flight at once: ~60 independent dumps on one
+    // session is the documented concurrent-jobs pattern, and it keeps
+    // the scheduler fed while any single query sits in a latency-bound
+    // stage (codegen, tiny shuffles) — the gate must FINISH inside the
+    // driver's timeout even on a noisy host, and sequential wall-clock
+    // is the sum of every stall. Each query keeps its own failure
+    // handling; a thread death surfaces as that query's loud FAIL.
+    val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val pending = SparkEntry.queries.toSeq.filter { case (n, _) => keep(n) }.map {
+      case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
     }
+    pending.foreach(_.get())
+    pool.shutdown()
     // Every ATTEMPTED query keeps its oracle entry (a failed dump must
     // show up as a loud FAIL against its deleted result dir, never
     // disappear from the gate); only locally name-filtered queries are
@@ -68,7 +93,7 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    if (gateCompromised) sys.exit(1)
+    if (gateCompromised.get()) sys.exit(1)
   }
 }
 

@@ -750,6 +750,80 @@ object Dedup {
     corpus.join(contaminated, id === col("__decon_id"), "left_anti")
   }
 
+  /** EMBEDDING-space eval-set decontamination — the semantic
+    * counterpart of [[decontaminate]]: drop every corpus row whose
+    * embedding has cosine ≥ `minCosine` against ANY eval-set embedding
+    * (paraphrased benchmark leakage that shares no n-gram still sits
+    * next to its source in embedding space — the standard second
+    * decontamination pass in public LLM data pipelines). Returns the
+    * SURVIVING corpus rows.
+    *
+    * The 100 TB story mirrors [[decontaminate]]: the eval side is
+    * small, so its vectors broadcast and the scoring is a map-side
+    * broadcast nested-loop pass over the corpus (the codegen'd cosine
+    * kernel, k·|eval| flops per row, zero corpus shuffle); flagged ids
+    * are few — bounded by the corpus rows semantically adjacent to a
+    * SMALL eval set at a high τ — and flow back through one explicitly
+    * broadcast LEFT ANTI join on the raw-typed id (string ids can't
+    * fail open through a silent long cast). The hint matters: Catalyst
+    * cannot size-estimate through the cross join (its row estimate is
+    * |corpus|·|eval|), so without it the anti-join would plan as a
+    * corpus-wide sort-merge. A flagged set too large to broadcast
+    * fails loudly at the 8 GB broadcast ceiling — the signal that τ is
+    * set so low the operator would be discarding a meaningful fraction
+    * of the corpus, which is a configuration error, not a dedup.
+    *
+    * Zero-norm corpus vectors score NaN against everything; Spark SQL
+    * predicates rank NaN above every number, so `cos >= τ` alone would
+    * flag every degenerate vector as contaminated against ANY eval set
+    * — the explicit `!isnan` guard keeps them (they carry no semantic
+    * similarity to anything).
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      vec: Column,
+      id: Column,
+      minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val evalVecs = evalSet.select(vec.cast("array<double>").as("__ed_ev"))
+    val cos = Similarity.cosine(col("__ed_v"), col("__ed_ev"))
+    val contaminated = corpus
+      .select(id.as("__ed_id"), vec.cast("array<double>").as("__ed_v"))
+      .crossJoin(broadcast(evalVecs))
+      .where(!isnan(cos) && cos >= minCosine)
+      .select(col("__ed_id"))
+      .distinct()
+    corpus.join(broadcast(contaminated), id === col("__ed_id"), "left_anti")
+  }
+
+  /** Incremental-ingest exact dedup: drop every `incoming` row whose
+    * normalized-content fingerprint already exists in `existing` — the
+    * re-crawl step of a continuously ingested corpus (today's crawl
+    * arrives, everything already in yesterday's snapshot is discarded
+    * before any further processing). Returns the SURVIVING incoming
+    * rows. `text` must resolve on both frames.
+    *
+    * The 100 TB story: both sides reduce to 16-byte binary fingerprint
+    * keys before any data moves — the existing side ships (fp) only,
+    * distinct'd with map-side partials, and the LEFT ANTI join
+    * shuffles compact keys, not documents. The snapshot side is NOT
+    * assumed broadcastable (yesterday's corpus is as big as today's);
+    * this is the one dedup flavor whose shuffle is unavoidable, and it
+    * moves the minimum bytes that semantics allow.
+    */
+  def dedupAgainstExisting(
+      incoming: DataFrame,
+      existing: DataFrame,
+      text: Column): DataFrame = {
+    val fp = unhex(TextAnalysis.fingerprint(text))
+    incoming.join(
+      existing.select(fp.as("__dae_fp")).distinct(),
+      fp === col("__dae_fp"), "left_anti")
+  }
+
   /** Deterministic train/validation/test assignment by content hash —
     * the split survives re-runs, re-partitioning, and incremental
     * appends (a row's split never depends on what else is in the

@@ -338,7 +338,13 @@ object TextAnalysis {
         s"bm25Rank terms must be tokenizer-normal (what TokenizeWords emits: " +
           s"lowercase, no punctuation/whitespace): '$t' would match no token")
     }
-    val base = df.select(id.cast("long").as("doc_id"),
+    // same loud-failure contract as the sibling operators
+    // (unigramLogProb, keepBestPerCluster …): a null or non-castable id
+    // must throw, not silently rank as a null doc_id row
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "bm25Rank: id is null or not castable to long — every doc needs a " +
+        "non-null integral id"))).otherwise(id.cast("long"))
+    val base = df.select(guardedId.as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))
     val aggCols = count(lit(1)).as("n") +:
       sum(size(col("toks")).cast("long")).as("totlen") +:
@@ -390,5 +396,83 @@ object TextAnalysis {
           ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int") - 1,
           lit(0))),
       i => slice(t, i * stride + 1, lit(window)))
+  }
+
+  /** Adjacent-token pair counts — the corpus statistic BPE-style
+    * tokenizer training starts from (count every neighboring symbol
+    * pair, merge the most frequent; public literature: Sennrich et al.
+    * 2016). Returns the `topN` (first, second, n_occurrences) rows,
+    * count descending, ties broken lexically — a deterministic merge
+    * candidate list.
+    *
+    * The 100 TB story: pair extraction is a pure map-side array
+    * expression (no per-token shuffle — docs explode directly into
+    * pairs), the count is one partial-aggregable groupBy on the pair,
+    * and the global top-N is a bounded TakeOrdered via `orderBy +
+    * limit`, never a full sort materialization.
+    */
+  def tokenPairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val t = coalesce(tokens(text), array())
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("first"), element_at(t, i + 2).as("second"))))
+      .otherwise(array().cast("array<struct<first:string,second:string>>"))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.first").as("first"), col("p.second").as("second"))
+      .groupBy(col("first"), col("second"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("first"), col("second"))
+      .limit(topN)
+  }
+
+  /** Hashed bag-of-words linear scoring — the fastText-style quality/
+    * domain classifier shape used throughout LLM data curation (public
+    * literature: Joulin et al. 2016; quality-classifier filtering in
+    * GPT-3/LLaMA data papers): hash each token into one of `buckets`
+    * feature slots, score = sum of the slot weights. The weights here
+    * derive deterministically from the slot id (a splitmix-style
+    * integer mix scaled to [-0.5, 0.5)) — the SCORING ENGINE is the
+    * deliverable; swap in trained weights by joining a weight table on
+    * the same bucket id.
+    *
+    * Engine-portability is designed in, not hoped for: bucket ids come
+    * from the first 8 md5 hex chars (portable everywhere, unlike
+    * xxhash64 seeds), and every weight is a dyadic rational k/2^20 −
+    * 0.5, so double summation is EXACT (each term has 20 fractional
+    * bits; any realistic doc keeps the sum far inside 53-bit
+    * precision) — the fold needs no ordering, stays associative, and
+    * any engine reproduces the score bit-for-bit.
+    *
+    * Fully map-side: one row in, one row out, zero shuffles at any
+    * scale. Returns (doc_id, n_tokens, score). Null/non-castable ids
+    * throw (same contract as the sibling scorers).
+    */
+  def hashedLinearScore(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      buckets: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "hashedLinearScore: id is null or not castable to long — every doc needs " +
+        "a non-null integral id"))).otherwise(id.cast("long"))
+    def weight(tok: Column): Column = {
+      // 32-bit value from the md5 prefix, folded to a bucket, mixed to
+      // a dyadic weight. All integer ops (conv returns the digits of a
+      // 32-bit value — no overflow anywhere), one exact division.
+      val b = pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+      pmod(b * lit(40503L), lit(1048576L)).cast("double") / lit(1048576.0) - lit(0.5)
+    }
+    df.select(
+      guardedId.as("doc_id"),
+      coalesce(tokens(text), array()).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0.0), (acc, t) => acc + weight(t)).as("score"))
   }
 }

@@ -82,20 +82,21 @@ object LlmOps {
   /** Materialize a result derived from an operator-cached frame, then
     * release the cache — the contract for operators ([[Dedup.clusters]],
     * [[Dedup.keepBestPerCluster]]) whose returned frame is cached with
-    * the caller owning the unpersist. Collecting BEFORE the unpersist
-    * keeps the gate's repeated runs from stacking pinned frames while
-    * still returning a DataFrame the harness can write.
+    * the caller owning the unpersist. `localCheckpoint(eager = true)`
+    * materializes the derived result on the EXECUTORS and truncates its
+    * lineage, so the input cache can be released without the result
+    * ever funnelling through driver memory (a `collect` here would cap
+    * the operator at driver heap — exactly the anti-pattern the 100 TB
+    * design forbids). The checkpointed blocks are reclaimed by the
+    * ContextCleaner once the returned frame is unreferenced.
     */
   private def materializeThenRelease(
       s: org.apache.spark.sql.SparkSession,
       cached: org.apache.spark.sql.DataFrame)(
       derive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    try {
-      val res = derive(cached)
-      val rows = res.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-    } finally cached.unpersist()
+    try derive(cached).localCheckpoint(true)
+    finally cached.unpersist()
 
   /** Eviction hook for the per-(session, dir) shared shingle caches:
     * unpersists and drops every shared-shingle view registered in this
@@ -605,7 +606,13 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.Trigger
-        val dir = java.nio.file.Files.createTempDirectory("q44_docs")
+        // staging + checkpoint on RAM-backed scratch ([[Scratch]]): the
+        // stream's checkpoint fsyncs must not be hostage to a slow disk.
+        // Input and checkpoint are SIBLINGS — the checkpoint must never
+        // sit where the file-stream source lists input
+        val scratch = Scratch.tempDir("q44_docs")
+        val dir = scratch.resolve("input")
+        java.nio.file.Files.createDirectory(dir)
         val link = dir.resolve("documents.parquet")
         try {
           val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -621,20 +628,18 @@ object LlmOps {
               .dropDuplicates("fp")
               .writeStream.outputMode("append")
               .format("memory").queryName(name)
+              .option("checkpointLocation", scratch.resolve("_ckpt").toString)
               .trigger(Trigger.AvailableNow())
               .start()
-            try require(q.awaitTermination(300000),
-              "q44 stream did not terminate within 300s — refusing a partial result")
+            try require(q.awaitTermination(600000),
+              "q44 stream did not terminate within 600s — refusing a partial result")
             finally q.stop()
             val result = s.table(name).orderBy($"fp")
             val sch = result.schema
             val rows = result.collect()
             s.createDataFrame(java.util.Arrays.asList(rows: _*), sch).orderBy($"fp")
           } finally s.catalog.dropTempView(name)
-        } finally {
-          java.nio.file.Files.deleteIfExists(link)
-          java.nio.file.Files.deleteIfExists(dir)
-        }
+        } finally Scratch.deleteRecursively(scratch)
       },
       Some("""SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY fp""".stripMargin)),
@@ -774,7 +779,12 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.Trigger
-        val dir = java.nio.file.Files.createTempDirectory("q50_events").toFile
+        // staging + checkpoint on RAM-backed scratch ([[Scratch]]): four
+        // micro-batches × shuffle-partition state stores is metadata-
+        // heavy checkpoint traffic that a slow disk turns into minutes
+        val scratch = Scratch.tempDir("q50_events")
+        val dir = scratch.resolve("input").toFile
+        dir.mkdirs()
         try {
           // Tables.events handles the TIMESTAMP(NANOS) parquet (nanos →
           // µs conversion); the re-staged files below are plain µs
@@ -806,10 +816,11 @@ object LlmOps {
               .select($"user_id", $"event_type", $"minute")
               .writeStream.outputMode("append")
               .format("memory").queryName(name)
+              .option("checkpointLocation", scratch.resolve("_ckpt").toString)
               .trigger(Trigger.AvailableNow())
               .start()
-            try require(q.awaitTermination(300000),
-              "q50 stream did not terminate within 300s — refusing a partial result")
+            try require(q.awaitTermination(600000),
+              "q50 stream did not terminate within 600s — refusing a partial result")
             finally q.stop()
             val result = s.table(name).orderBy($"user_id", $"event_type", $"minute")
             val sch = result.schema
@@ -817,10 +828,7 @@ object LlmOps {
             s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
               .orderBy($"user_id", $"event_type", $"minute")
           } finally s.catalog.dropTempView(name)
-        } finally {
-          dir.listFiles().foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
-          java.nio.file.Files.deleteIfExists(dir.toPath)
-        }
+        } finally Scratch.deleteRecursively(scratch)
       },
       Some("""SELECT user_id, event_type, date_trunc('minute', ts) AS minute
              |FROM events GROUP BY 1, 2, 3
@@ -1041,11 +1049,18 @@ object LlmOps {
     // ---- BM25 relevance ranking: retrieval-targeted data selection
     // ("the docs most about spark/merge/window"). Corpus stats (N,
     // total length, per-term dfs) are integer sums — exact and
-    // portable — and the per-doc score is a FIXED-ORDER double fold,
-    // so the oracle reproduces every score bit-for-bit by mirroring
-    // the expression tree literally (including scala's constant
-    // pre-folding: `1.0 - b` is folded to 0.25 before it ever
-    // reaches a Column).
+    // portable — but the score contains ln(), and ln() libraries are
+    // not guaranteed bit-identical across engines (JVM intrinsic vs
+    // libm). So the oracle is the q45/q61-style TOLERANCE gate: DuckDB
+    // recomputes every score its own way and admits the emitted rows
+    // only if (a) every emitted score agrees within 1e-9, (b) the
+    // emitted ids are distinct and form a true top-K (no outside doc
+    // scores more than 1e-9 above the worst emitted), and (c) the
+    // emitted order equals the recomputed (score desc, doc_id) order —
+    // poison row otherwise. Adjacent docs either share the identical
+    // (tf…, len) stat tuple (both engines then fold to exactly equal
+    // doubles and tie-break by id the same way) or differ by far more
+    // than the tolerance, so the order check cannot flap on ulps.
     Q(
       "q57_bm25_rank",
       (s, d) => {
@@ -1054,7 +1069,8 @@ object LlmOps {
           Tables.documents(s, d), $"text", $"doc_id",
           terms = Seq("spark", "merge", "window"), topK = 20)
       },
-      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q57_bm25_rank/*.parquet')),
+              |t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
               |st AS (SELECT count(*) AS n, sum(len(tk)) AS totlen,
               |    sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS df0,
               |    sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS df1,
@@ -1074,9 +1090,32 @@ object LlmOps {
               |      / (CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE)
               |         + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / (CAST(totlen AS DOUBLE) / CAST(n AS DOUBLE))))
               |    AS score
-              |  FROM t, st)
-              |SELECT doc_id, score FROM sc
-              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+              |  FROM t, st),
+              |worst AS (SELECT min(sc.score) AS w FROM sc
+              |  WHERE sc.doc_id IN (SELECT doc_id FROM emitted)),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted)
+              |      = least(20, (SELECT count(*) FROM t))
+              |    AND (SELECT count(DISTINCT doc_id) FROM emitted)
+              |      = (SELECT count(*) FROM emitted)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e
+              |      WHERE e.doc_id NOT IN (SELECT doc_id FROM sc))
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN sc USING (doc_id)
+              |      WHERE abs(e.score - sc.score) > 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM sc
+              |      WHERE sc.doc_id NOT IN (SELECT doc_id FROM emitted)
+              |        AND sc.score > (SELECT w FROM worst) + 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM (
+              |        SELECT row_number() OVER (ORDER BY e.score DESC, e.doc_id) AS re,
+              |               row_number() OVER (ORDER BY sc.score DESC, sc.doc_id) AS rx
+              |        FROM emitted e JOIN sc USING (doc_id))
+              |      WHERE re <> rx)
+              |  ) AS ok)
+              |SELECT doc_id, score FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+              |  WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- int8 embedding quantization: per-vector symmetric scale +
     // quantized values — vector-serving prep. Rounding is floor(v+0.5)
@@ -1187,18 +1226,116 @@ object LlmOps {
               |  FROM documents d LEFT JOIN sc USING (doc_id)),
               |flag AS (SELECT (
               |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+              |    -- count equality alone is foolable by a duplicated
+              |    -- doc_id masking a missing doc: require the emitted
+              |    -- ids to be DISTINCT and the id sets equal both ways
+              |    AND (SELECT count(DISTINCT doc_id) FROM emitted)
+              |      = (SELECT count(*) FROM emitted)
               |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x USING (doc_id)
               |      WHERE e.n_tokens <> x.n
               |         OR (e.logprob IS NULL) <> (x.mean_lp IS NULL)
               |         OR abs(coalesce(e.logprob, 0) - coalesce(x.mean_lp, 0)) > 1e-9)
               |    AND NOT EXISTS (SELECT 1 FROM emitted e
               |      WHERE e.doc_id NOT IN (SELECT doc_id FROM expect))
+              |    AND NOT EXISTS (SELECT 1 FROM expect x
+              |      WHERE x.doc_id NOT IN (SELECT doc_id FROM emitted))
               |  ) AS ok)
               |SELECT doc_id, n_tokens, logprob FROM emitted
               |WHERE (SELECT ok FROM flag)
               |UNION ALL
               |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
               |WHERE NOT (SELECT ok FROM flag)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- embedding-space decontamination: the semantic second pass
+    // after q49's n-gram pass — drop corpus vectors with cosine ≥ τ
+    // against any eval vector. Both engines compute the identical
+    // double formula over the identical floats (the q29/q30 precedent),
+    // so the oracle is an exact recomputation, threshold included.
+    Q(
+      "q62_embedding_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        graft.operators.Dedup.embeddingDecontaminate(
+          corpus = e.filter($"vec_id" >= 10),
+          evalSet = e.filter($"vec_id" < 10),
+          vec = $"embedding", id = $"vec_id", minCosine = 0.35)
+          .select($"vec_id", $"label")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ev AS (SELECT v AS q FROM e WHERE vec_id < 10),
+             |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+             |sc AS (SELECT c.vec_id,
+             |    list_dot_product(v, q)
+             |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos
+             |  FROM c CROSS JOIN ev),
+             |bad AS (SELECT DISTINCT vec_id FROM sc
+             |  WHERE NOT isnan(cos) AND cos >= 0.35)
+             |SELECT vec_id, label FROM c
+             |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- hashed bag-of-words linear scoring (fastText-style quality
+    // classifier shape). Weights are dyadic rationals, so the sum is
+    // exact and order-free — the oracle recomputes every score
+    // bit-for-bit with plain integer arithmetic.
+    Q(
+      "q63_hashed_linear_score",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.hashedLinearScore(
+          Tables.documents(s, d), $"text", $"doc_id", buckets = 65536)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents)
+              |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  coalesce(list_sum(list_transform(tk, x ->
+              |    CAST((CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 65536)
+              |         * 40503 % 1048576 AS DOUBLE) / 1048576.0 - 0.5)), 0.0) AS score
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE-style adjacent-pair statistics: the count table a
+    // tokenizer-training run starts from. Exact integer counts with a
+    // deterministic tie-break, so the compare is a straight hash match.
+    Q(
+      "q64_token_pair_counts",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.tokenPairCounts(Tables.documents(s, d), $"text", topN = 100)
+      },
+      Some(s"""WITH t AS (SELECT coalesce($sqlToks, []) AS tk FROM documents),
+              |pr AS (SELECT unnest(
+              |    [struct_pack(a := tk[i], b := tk[i+1]) for i in range(1, len(tk))]) AS p
+              |  FROM t)
+              |SELECT p.a AS first, p.b AS second, count(*) AS n_occurrences
+              |FROM pr GROUP BY 1, 2
+              |ORDER BY n_occurrences DESC, first, second LIMIT 100""".stripMargin)),
+
+    // ---- incremental-ingest dedup: today's crawl (the full corpus)
+    // against yesterday's snapshot (every doc_id ≡ 0 mod 7) — snapshot
+    // members are exact-text matches of themselves, so they and only
+    // they drop. Exercises the operator's cross-corpus anti-join with a
+    // genuinely non-empty removal set.
+    Q(
+      "q65_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.dedupAgainstExisting(
+          incoming = docs,
+          existing = docs.filter($"doc_id" % 7 === 0),
+          text = $"text")
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+             |  FROM documents),
+             |old AS (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
+             |SELECT d.doc_id, d.source FROM documents d JOIN fp USING (doc_id)
+             |WHERE fp.f NOT IN (SELECT f FROM old)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

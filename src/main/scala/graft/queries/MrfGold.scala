@@ -117,7 +117,10 @@ object MrfGold {
       .filter($"s_suppkey" <= 10)
       .select($"s_suppkey")
       .collect().map(_.getLong(0)).toSeq.sorted
-    val dir = java.nio.file.Files.createTempDirectory("q43_mrf")
+    // RAM-backed scratch where available + explicit checkpoint: the
+    // bronze stream's checkpoint fsyncs must not be hostage to a slow
+    // disk (see [[Scratch]])
+    val dir = Scratch.tempDir("q43_mrf")
     val file = dir.resolve(FileName)
     try {
       java.nio.file.Files.writeString(file, buildJson(parts, groups))
@@ -133,14 +136,15 @@ object MrfGold {
         val q = s.readStream.format("payer-mrf").load(file.toString)
           .writeStream.outputMode("append")
           .format("memory").queryName(name)
+          .option("checkpointLocation", dir.resolve("_ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         // stop() on the failure path too: a hung stream must not keep
         // running (and reading the staged file the finally deletes)
         // after the timeout propagates; stop() after normal termination
         // is a no-op
-        try require(q.awaitTermination(300000),
-          "q43 bronze stream did not terminate within 300s — refusing a partial bronze")
+        try require(q.awaitTermination(600000),
+          "q43 bronze stream did not terminate within 600s — refusing a partial bronze")
         finally q.stop()
         val bronzeTable = s.table(name)
         val schema = bronzeTable.schema
@@ -164,8 +168,7 @@ object MrfGold {
     } finally {
       // the JSON is only needed until the stream terminates (above);
       // bronze is materialized driver-side by then
-      java.nio.file.Files.deleteIfExists(file)
-      java.nio.file.Files.deleteIfExists(dir)
+      Scratch.deleteRecursively(dir)
     }
   }
 

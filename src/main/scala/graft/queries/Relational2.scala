@@ -387,7 +387,13 @@ object Relational2 {
     // parquet file behind a symlink, removed after the run. Temp-dir
     // creation happens BEFORE the conf flip: a failure here must not
     // leave the legacy flag set with no restoring finally in place.
-    val dir = java.nio.file.Files.createTempDirectory("q19_events")
+    // Scratch space (staging + checkpoint) lives on RAM-backed tmpfs
+    // where available — see [[Scratch]] for why this matters on a
+    // slow-disk host. Input and checkpoint are siblings: the checkpoint
+    // must never sit where the file-stream source lists input.
+    val scratch = Scratch.tempDir("q19_events")
+    val dir = scratch.resolve("input")
+    java.nio.file.Files.createDirectory(dir)
     val link = dir.resolve("events.parquet")
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(confKey)
@@ -414,13 +420,14 @@ object Relational2 {
           .writeStream
           .outputMode("complete")
           .format("memory").queryName(name)
+          .option("checkpointLocation", scratch.resolve("_ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         // stop() on the failure path too — a hung stream must not keep
         // running (and holding its memory sink) after the timeout
         // propagates; stop() after normal termination is a no-op
-        try require(q.awaitTermination(300000),
-          "q19 stream did not terminate within 300s — refusing to return a partial result")
+        try require(q.awaitTermination(600000),
+          "q19 stream did not terminate within 600s — refusing to return a partial result")
         finally q.stop()
         // materialize the result locally (the memory-sink table would
         // otherwise pin a full result copy in driver memory)
@@ -435,8 +442,7 @@ object Relational2 {
         case Some(v) => s.conf.set(confKey, v)
         case None => s.conf.unset(confKey)
       }
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.deleteIfExists(dir)
+      Scratch.deleteRecursively(scratch)
     }
   }
 }

@@ -822,4 +822,109 @@ class OperatorsSpec extends SparkTestBase {
     val r = df.select(e.as("e"), i.as("i"), p.as("p")).first()
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 3)))
   }
+
+  test("embeddingDecontaminate: threshold, NaN guard, raw-typed ids") {
+    import spark.implicits._
+    val evalSet = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cos 1.0 → dropped
+      (2L, Seq(0.9f, 0.1f)),   // cos ~0.994 → dropped
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal → kept
+      (4L, Seq(-1.0f, 0.0f)),  // opposite → kept
+      (5L, Seq(0.0f, 0.0f))    // zero norm: cosine NaN → kept (guard)
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingDecontaminate(
+      corpus, evalSet, col("embedding"), col("vec_id"), minCosine = 0.9)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+    // raw-typed ids: string ids must anti-join correctly, not null out
+    val sCorpus = corpus.select(concat(lit("d"), $"vec_id").as("vec_id"), $"embedding")
+    val sEval = evalSet.select(concat(lit("e"), $"vec_id").as("vec_id"), $"embedding")
+    val sKept = Dedup.embeddingDecontaminate(
+      sCorpus, sEval, col("embedding"), col("vec_id"), minCosine = 0.9)
+      .select($"vec_id").as[String].collect().sorted
+    assert(sKept.toSeq == Seq("d3", "d4", "d5"))
+  }
+
+  test("embeddingDecontaminate plan: broadcast eval side, no corpus sort-merge join") {
+    import spark.implicits._
+    val e = embs
+    val kept = Dedup.embeddingDecontaminate(
+      e.filter($"vec_id" >= 10), e.filter($"vec_id" < 10),
+      col("embedding"), col("vec_id"), minCosine = 0.35)
+    val plan = kept.queryExecution.executedPlan.toString
+    // the scoring pass must be the broadcast nested-loop shape (eval
+    // side broadcast under the corpus scan), the flagged-id anti-join
+    // must be the hinted broadcast hash join, and the corpus must never
+    // sort-merge — the 100 TB contract
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hashedLinearScore plan: zero exchanges — fully map-side") {
+    import spark.implicits._
+    val scored = TextAnalysis.hashedLinearScore(docs, col("text"), col("doc_id"))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hashedLinearScore: hand-computed weights, empty docs, null id throws") {
+    import spark.implicits._
+    def weight(tok: String, buckets: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % buckets
+      (b * 40503L % 1048576L).toDouble / 1048576.0 - 0.5
+    }
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected1 = 2 * weight("alpha", 65536) + weight("beta", 65536)
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == expected1) // dyadic weights: sum is EXACT, == is right
+    assert(got(2L) == ((0L, 0.0)))
+    assert(got(3L) == ((0L, 0.0)))
+    val nullId = Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("doc_id", "text")
+    intercept[Exception] {
+      TextAnalysis.hashedLinearScore(nullId, col("text"), col("doc_id")).collect()
+    }
+  }
+
+  test("tokenPairCounts: counts, tie-break order, short and null docs") {
+    import spark.implicits._
+    val df = Seq(
+      Tuple1("a b a b"),     // pairs: (a,b) (b,a) (a,b)
+      Tuple1("a b"),         // (a,b)
+      Tuple1("solo"),        // no pairs
+      Tuple1(""),            // no pairs
+      Tuple1(null.asInstanceOf[String])).toDF("text")
+    val got = TextAnalysis.tokenPairCounts(df, col("text"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 3L), ("b", "a", 1L)))
+    // topN truncates deterministically on the (count desc, pair) order
+    val top1 = TextAnalysis.tokenPairCounts(df, col("text"), topN = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(top1.toSeq == Seq(("a", "b", 3L)))
+  }
+
+  test("dedupAgainstExisting: normalization-insensitive match, survivors keep all columns") {
+    import spark.implicits._
+    val incoming = Seq(
+      (1L, "Hello   World"),
+      (2L, "fresh content here"),
+      (3L, "another new doc")).toDF("doc_id", "text")
+    // same content as doc 1 modulo case/whitespace → doc 1 must drop
+    val existing = Seq((90L, "hello world")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstExisting(incoming, existing, col("text"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // disjoint snapshot → everything survives
+    val none = Dedup.dedupAgainstExisting(
+      incoming, Seq((91L, "nothing shared")).toDF("doc_id", "text"), col("text"))
+    assert(none.count() == 3)
+  }
 }

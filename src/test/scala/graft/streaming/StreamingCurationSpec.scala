@@ -47,7 +47,9 @@ class StreamingCurationSpec extends SparkTestBase {
         .trigger(Trigger.AvailableNow())
         .start()
       try {
-        assert(stream.awaitTermination(300000), "curation stream did not finish in 300s")
+        // generous: one AvailableNow batch over one file is seconds of
+        // work, but a contended host once blew a 300s limit here
+        assert(stream.awaitTermination(600000), "curation stream did not finish in 600s")
       } finally stream.stop()
       try {
         val streamed = spark.table(name).collect().map(_.toSeq).toSet

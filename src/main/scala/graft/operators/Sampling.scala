@@ -372,4 +372,43 @@ object Sampling {
       .filter(col(eC) + col(cumC) - col(tC) < budget)
     fullyKept.select(outCols: _*).union(boundaryKept.select(outCols: _*))
   }
+
+  /** Per-key cap: keep at most `k` rows per key, best-first by (score
+    * desc, id asc) — the per-domain document cap of web-crawl curation
+    * (no single site may dominate the corpus). Returns the surviving
+    * rows of `df` unchanged.
+    *
+    * Scale shape: the bounded [[TopKByScore]] aggregator, not a
+    * `row_number` window — partial top-k buffers reduce each partition
+    * to ≤ k candidates per key BEFORE the shuffle, so a hot domain
+    * ships O(k × partitions) rows instead of all of them, and no
+    * per-key full sort ever runs. Winners then semi-join back by id
+    * (id-only shuffle; AQE broadcasts when k × |keys| is small).
+    *
+    * Contract: `id` must cast to long, be non-null, and be UNIQUE
+    * across the frame (it is the join-back key). Rows with null scores
+    * never win; NaN scores rank worst (the aggregator's NaN rule).
+    */
+  def capPerKey(
+      df: org.apache.spark.sql.DataFrame,
+      key: Column,
+      score: Column,
+      id: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"capPerKey needs k >= 1, got $k")
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "capPerKey: id is null or not castable to long — every row needs a non-null " +
+        "integral id"))).otherwise(id.cast("long"))
+    val tk = udaf(new TopKByScore(k))
+    val winners = df
+      .select(key.as("__k"), score.cast("double").as("__s"), guardedId.as("__i"))
+      // null scores drop before the typed aggregator (its non-nullable
+      // Double encoder would throw); dropping = "never wins", documented
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__k"))
+      .agg(tk(col("__s"), col("__i")).as("topk"))
+      .select(explode(col("topk.items")).as("s"))
+      .select(col("s._2").as("__winner_id"))
+    df.join(winners, guardedId === col("__winner_id"), "left_semi")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency sketches. [[heavyHitters]] is the
+  * Misra-Gries summary with the Agarwal et al. mergeable-summaries
+  * merge (sum counts, then subtract the (k+1)-th largest and drop
+  * non-positives), so partial buffers combine map-side like any
+  * algebraic aggregate and the shuffle carries ≤ k counters per
+  * partition — the 100 TB "top tokens" plan when the exact groupBy of
+  * [[graft.queries.LlmOps]] q56 would shuffle the full vocabulary.
+  *
+  * Guarantee (any merge order): for every token,
+  * `true − N/(k+1) ≤ est ≤ true` with N = total input count, and every
+  * token with `true > N/(k+1)` is present in the final buffer. The
+  * oracle gates exactly these bounds; estimates themselves may vary
+  * run-to-run with partitioning (all orders satisfy the bounds).
+  */
+object Sketches {
+
+  /** Misra-Gries heavy hitters over a string column: at most `k`
+    * (token, est_count) rows, est sorted descending (ties by token).
+    * One pass, O(k) state per partial buffer, no full-vocabulary
+    * shuffle.
+    */
+  def heavyHitters(df: DataFrame, token: Column, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHitters needs k >= 1, got $k")
+    val mg = udaf(new MisraGries(k))
+    df.select(token.cast("string").as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .agg(mg(col("__tok")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("est_count"))
+      .orderBy(col("est_count").desc, col("token").asc)
+  }
+}
+
+private[operators] final case class MGBuf(counts: Map[String, Long])
+
+/** Mergeable Misra-Gries summary (k counters). `reduce` is the classic
+  * stream update; `merge` sums matching counters and then subtracts the
+  * (k+1)-th largest combined count from every counter, dropping
+  * non-positives — the reduction that keeps the merged summary inside
+  * k counters while preserving the N/(k+1) error bound (Agarwal,
+  * Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS'12;
+  * public-domain algorithm, no reference-repo counterpart).
+  */
+private[operators] final class MisraGries(k: Int)
+    extends Aggregator[String, MGBuf, Seq[(String, Long)]] {
+  require(k >= 1)
+
+  override def zero: MGBuf = MGBuf(Map.empty)
+
+  override def reduce(b: MGBuf, tok: String): MGBuf = {
+    val m = b.counts
+    m.get(tok) match {
+      case Some(c) => MGBuf(m.updated(tok, c + 1))
+      case None if m.size < k => MGBuf(m.updated(tok, 1L))
+      case None =>
+        // decrement-all: every counter drops 1 (the unseen token's
+        // implicit counter cancels against them); zeros evict
+        MGBuf(m.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None })
+    }
+  }
+
+  override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+    if (a.counts.isEmpty) return b
+    if (b.counts.isEmpty) return a
+    val combined = b.counts.foldLeft(a.counts) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (combined.size <= k) MGBuf(combined)
+    else {
+      // subtract the (k+1)-th largest count; ≤ k strictly-positive
+      // counters remain
+      val cut = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+      MGBuf(combined.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None })
+    }
+  }
+
+  override def finish(r: MGBuf): Seq[(String, Long)] =
+    r.counts.toSeq.sortBy { case (t, c) => (-c, t) }
+
+  override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}

@@ -475,4 +475,55 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0.0), (acc, t) => acc + weight(t)).as("score"))
   }
+
+  /** C4/RefinedWeb-style boilerplate-line removal: any line (exact
+    * `\n`-split segment) occurring at least `minOccurrences` times
+    * across the whole corpus is removed from EVERY document it appears
+    * in (cookie banners, nav menus, subscribe prompts). Returns one row
+    * per input doc: (doc_id, clean_text, n_removed) — docs whose every
+    * line is boilerplate survive with empty text, so the operator never
+    * changes corpus membership (chain a length filter after it for
+    * that).
+    *
+    * Scale shape: one shuffle of (line, doc_id, pos) to count line
+    * frequencies (count partially aggregates map-side), an anti-join of
+    * the exploded lines against the banned set (small by nature —
+    * boilerplate is the head of the frequency distribution — so AQE
+    * broadcasts it), and one groupBy(doc_id) to reassemble. Line text
+    * is matched EXACTLY (byte-equal after split); pre-normalize
+    * whitespace upstream if fuzzier matching is wanted.
+    */
+  def removeDuplicatedLines(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      minOccurrences: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (1 would remove every line), got $minOccurrences")
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "removeDuplicatedLines: id is null or not castable to long — every doc needs " +
+        "a non-null integral id"))).otherwise(id.cast("long"))
+    val base = df.select(guardedId.as("doc_id"), coalesce(text, lit("")).as("__text"))
+    // limit -1: trailing empty segments are real lines (a doc ending in
+    // \n has a final empty line that must count like any other)
+    val lines = base.select(
+      col("doc_id"),
+      posexplode(split(col("__text"), "\n", -1)).as(Seq("__pos", "__line")))
+    val banned = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOccurrences)
+      .select(col("__line"))
+    val kept = lines.join(banned, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("clean_text"),
+      count(lit(1)).as("__kept"))
+    val counts = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("__total"))
+    counts.join(rebuilt, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("clean_text"), lit("")).as("clean_text"),
+      (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_removed"))
+  }
 }

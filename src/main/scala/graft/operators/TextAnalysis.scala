@@ -485,13 +485,16 @@ object TextAnalysis {
     * changes corpus membership (chain a length filter after it for
     * that).
     *
-    * Scale shape: one shuffle of (line, doc_id, pos) to count line
-    * frequencies (count partially aggregates map-side), an anti-join of
-    * the exploded lines against the banned set (small by nature —
-    * boilerplate is the head of the frequency distribution — so AQE
-    * broadcasts it), and one groupBy(doc_id) to reassemble. Line text
-    * is matched EXACTLY (byte-equal after split); pre-normalize
-    * whitespace upstream if fuzzier matching is wanted.
+    * Scale shape: TWO corpus passes, the lower bound without caching —
+    * one shuffle of lines to count frequencies (count partially
+    * aggregates map-side), then one pass that left-joins the exploded
+    * lines against the banned set (small by nature — boilerplate is
+    * the head of the frequency distribution — so AQE broadcasts it)
+    * and reassembles with a single groupBy(doc_id): kept text, total
+    * and removed counts all come out of that one aggregate, so no
+    * third scan or post-join is needed. Line text is matched EXACTLY
+    * (byte-equal after split); pre-normalize whitespace upstream if
+    * fuzzier matching is wanted.
     */
   def removeDuplicatedLines(
       df: org.apache.spark.sql.DataFrame,
@@ -512,18 +515,19 @@ object TextAnalysis {
     val banned = lines.groupBy(col("__line"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
-      .select(col("__line"))
-    val kept = lines.join(banned, Seq("__line"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id")).agg(
-      concat_ws("\n",
-        transform(
-          array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          x => x.getField("__line"))).as("clean_text"),
-      count(lit(1)).as("__kept"))
-    val counts = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("__total"))
-    counts.join(rebuilt, Seq("doc_id"), "left").select(
-      col("doc_id"),
-      coalesce(col("clean_text"), lit("")).as("clean_text"),
-      (col("__total") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_removed"))
+      .select(col("__line"), lit(true).as("__banned"))
+    // collect_list skips nulls, so the when() drops banned lines from
+    // the rebuild while count/sum still see every line — one aggregate
+    // produces text + both counts, and every doc has ≥ 1 line so no
+    // doc can vanish from the groupBy
+    lines.join(banned, Seq("__line"), "left")
+      .groupBy(col("doc_id")).agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__banned").isNull, struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line"))).as("clean_text"),
+        sum(when(col("__banned").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_removed"))
   }
 }

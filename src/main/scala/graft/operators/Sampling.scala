@@ -373,6 +373,103 @@ object Sampling {
     fullyKept.select(outCols: _*).union(boundaryKept.select(outCols: _*))
   }
 
+  /** Deterministic weighted interleave for training order: a virtual
+    * time `vt = u / weight(stratum)` with `u` the row's content-hash
+    * uniform in [0, 1) — sorting by `vt` yields a sequence where every
+    * prefix contains each stratum in proportion to its weight (stride
+    * scheduling), with zero RNG and zero windows: `vt` is a pure
+    * map-side expression, and the global sort is Spark's
+    * range-partitioned orderBy — the one genuinely global operation a
+    * training-order materialization cannot avoid. Append-stable: a
+    * row's position relative to others never changes when data is
+    * added.
+    *
+    * `weights` are relative densities (a stratum at weight 2 appears
+    * 2× as often per prefix as one at weight 1); strata missing from
+    * the map use `defaultWeight`. All weights must be > 0.
+    */
+  def interleaveByWeight(
+      stratum: Column,
+      hashOn: Column,
+      weights: Map[String, Double],
+      defaultWeight: Double): Column = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w > 0, s"interleave weights must be > 0, got $w"))
+    val u = md5Bucket32(md5(hashOn.cast("binary"))).cast("double") / lit(4294967296.0)
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    u / w
+  }
+
+  /** EXACT within-key percentile rank (`percent_rank` semantics:
+    * (min_rank − 1) / (n − 1), ties share the min rank, single-row
+    * keys get 0) — score calibration across heterogeneous sources —
+    * WITHOUT the per-key full sort of a `percent_rank() OVER
+    * (PARTITION BY key)` window, which at 100 TB puts an entire
+    * source's rows on one reducer (strata are few by nature; the q48
+    * lesson). Two-phase instead, the [[tokenBudgetCap]] geometry:
+    * bucket each score into `buckets` equal-width bins of its key's
+    * [min, max] range, count per (key, bucket) — a partially
+    * aggregated frame of ≤ `buckets` rows per key whose prefix sums
+    * give every row's exclusive lower-bucket count map-side — and run
+    * the exact rank window only WITHIN each (key, bucket): partitions
+    * number keys × buckets and each holds ~n/buckets rows, so no
+    * single task ever owns a stratum. Equal scores always share a
+    * bucket, so min-rank ties are exact.
+    *
+    * Returns `df` + `outCol` (double in [0, 1]). Scores must be
+    * numeric, non-null and finite — NaN/±Inf would silently corrupt
+    * the bucket geometry, so they raise instead.
+    */
+  def percentileRank(
+      df: org.apache.spark.sql.DataFrame,
+      key: Column,
+      score: Column,
+      outCol: String,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!df.columns.contains(outCol), s"output column $outCol already exists")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val kC = s"__pr_key_$tag"; val sC = s"__pr_s_$tag"; val bC = s"__pr_b_$tag"
+    val loC = s"__pr_lo_$tag"; val hiC = s"__pr_hi_$tag"; val nC = s"__pr_n_$tag"
+    val cC = s"__pr_c_$tag"; val eC = s"__pr_e_$tag"; val rC = s"__pr_r_$tag"
+    val outCols = df.columns.toSeq.map(col)
+    val sD = score.cast("double")
+    val guarded = when(sD.isNull || isnan(sD) || sD === Double.PositiveInfinity ||
+      sD === Double.NegativeInfinity, raise_error(lit(
+      "percentileRank: score must be non-null and finite"))).otherwise(sD)
+    val base = df.withColumn(kC, key).withColumn(sC, guarded)
+    val stats = base.groupBy(col(kC)).agg(
+      min(col(sC)).as(loC), max(col(sC)).as(hiC), count(lit(1)).as(nC))
+    // AQE broadcasts the per-key stats (one row per key) — same
+    // contract as tokenBudgetCap: high-cardinality keys degrade to a
+    // shuffle join, never a driver OOM
+    val withStats = base.join(stats, kC)
+    val span = col(hiC) - col(loC)
+    val bucketed = withStats.withColumn(bC,
+      when(span === 0.0, lit(0)).otherwise(
+        least(floor((col(sC) - col(loC)) / span * buckets).cast("int"), lit(buckets - 1))))
+    val counts = bucketed.groupBy(col(kC), col(bC)).agg(count(lit(1)).as(cC))
+    // exclusive prefix over ≤ `buckets` rows per key — the ONLY
+    // per-key-partitioned window, on the counts frame, never the data
+    val wPrefix = Window.partitionBy(col(kC)).orderBy(col(bC).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = counts
+      .withColumn(eC, sum(col(cC)).over(wPrefix) - col(cC))
+      .select(col(kC).as(kC + "_r"), col(bC).as(bC + "_r"), col(eC))
+    // exact min-rank inside each (key, bucket) slice: rank() ties
+    // share the min, matching percent_rank semantics
+    val wRank = Window.partitionBy(col(kC), col(bC)).orderBy(col(sC).asc)
+    bucketed
+      .join(prefixes, col(kC) === col(kC + "_r") && col(bC) === col(bC + "_r"))
+      .withColumn(rC, col(eC) + rank().over(wRank))
+      .withColumn(outCol,
+        when(col(nC) === 1, lit(0.0))
+          .otherwise((col(rC) - 1).cast("double") / (col(nC) - 1).cast("double")))
+      .select(outCols :+ col(outCol): _*)
+  }
+
   /** Per-key cap: keep at most `k` rows per key, best-first by (score
     * desc, id asc) — the per-domain document cap of web-crawl curation
     * (no single site may dominate the corpus). Returns the surviving

@@ -172,12 +172,18 @@ object Curation2 {
       "q69_per_domain_cap",
       (s, d) => {
         import s.implicits._
+        // tokens materialized ONCE per row — qualityScore(text) would
+        // re-run the tokenizer inside each sub-score of the expression
+        // tree (measured 2–4 s vs 1.3 s at sf0.1)
+        val scored = Tables.documents(s, d)
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
         Sampling.capPerKey(
-          Tables.documents(s, d),
+          scored,
           key = $"source",
-          score = TextAnalysis.qualityScore($"text"),
+          score = TextAnalysis.qualityScoreFromTokens($"text", $"__toks"),
           id = $"doc_id",
           k = 10)
+          .drop("__toks")
           .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars, $sqlToks AS toks
@@ -260,5 +266,53 @@ object Curation2 {
               |UNION ALL
               |SELECT 'POISON' AS token, CAST(-1 AS BIGINT) AS est_count
               |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- deterministic weighted interleave: virtual time
+    // vt = hash-uniform / weight; sorting by vt gives every training
+    // prefix each source in proportion to its weight — stride
+    // scheduling with no RNG and no windows (vt is map-side; the sort
+    // is the one global op a training-order materialization needs).
+    Q(
+      "q72_curriculum_interleave",
+      (s, d) => {
+        import s.implicits._
+        val vt = Sampling.interleaveByWeight(
+          $"source", $"text",
+          weights = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 0.5),
+          defaultWeight = 1.0)
+        Tables.documents(s, d)
+          .select($"doc_id", $"source", vt.as("vt"))
+          .orderBy($"vt", $"doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |  (CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) / 4294967296.0)
+             |    / (CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+             |        WHEN 'src2' THEN 0.5 ELSE 1.0 END) AS vt
+             |FROM documents ORDER BY vt, doc_id""".stripMargin)),
+
+    // ---- exact per-source percentile-rank calibration WITHOUT a
+    // per-source window sort: equal-width score buckets + prefix
+    // counts decide every row's lower-bucket rank map-side, and the
+    // exact rank window runs only inside (source, bucket) slices —
+    // keys × buckets partitions, never a stratum on one reducer. The
+    // oracle's percent_rank window is the single-reducer plan this
+    // replaces; values match it exactly (min-rank ties, (r−1)/(n−1)).
+    Q(
+      "q73_percentile_rank",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d)
+          .withColumn("__toks", TextAnalysis.tokens($"text"))
+          .withColumn("quality",
+            TextAnalysis.qualityScoreFromTokens($"text", $"__toks"))
+          .select($"doc_id", $"source", $"quality")
+        Sampling.percentileRank(scored, $"source", $"quality", "pct_rank")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, source, $sqlToks AS toks FROM documents),
+              |q AS (SELECT doc_id, source, $sqlQuality AS quality FROM t)
+              |SELECT doc_id, source, quality,
+              |  percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct_rank
+              |FROM q ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -270,4 +270,90 @@ class SamplingSpec extends SparkTestBase {
       Sampling.shuffleShard(df, col("text"), col("doc_id"), numShards = 4))
     assert(e.getMessage.contains("shard"))
   }
+
+  test("percentileRank equals percent_rank window exactly (ties, all-equal, singleton)") {
+    import spark.implicits._
+    // scores engineered for ties within and across keys, one all-equal
+    // key, one singleton key
+    val df = Seq(
+      ("a", 1L, 0.3), ("a", 2L, 0.1), ("a", 3L, 0.3), ("a", 4L, 0.7), ("a", 5L, 0.1),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0),
+      ("c", 9L, 2.0),
+    ).toDF("k", "id", "s")
+    val got = Sampling.percentileRank(df, col("k"), col("s"), "pct", buckets = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val want = {
+      // reference: (min_rank - 1) / (n - 1), single row → 0
+      val rows = Seq(
+        ("a", 1L, 0.3), ("a", 2L, 0.1), ("a", 3L, 0.3), ("a", 4L, 0.7), ("a", 5L, 0.1),
+        ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0), ("c", 9L, 2.0))
+      rows.map { case (k, id, s) =>
+        val grp = rows.filter(_._1 == k)
+        val n = grp.size
+        val minRank = grp.count(_._3 < s) + 1
+        id -> (if (n == 1) 0.0 else (minRank - 1).toDouble / (n - 1))
+      }.toMap
+    }
+    assert(got == want)
+  }
+
+  test("percentileRank: no per-key window over data rows, only (key, bucket) slices") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "id", "s")
+    val plan = Sampling.percentileRank(df, col("k"), col("s"), "pct", buckets = 16)
+      .queryExecution.executedPlan.toString
+    // the rank window must partition by (key, bucket) — a window spec
+    // partitioned by the bare key over the DATA would put the whole
+    // stratum on one reducer. The prefix window on the counts frame IS
+    // key-partitioned but sees ≤ buckets rows; identify the data
+    // window by its rank() function.
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val rankLines = windowLines.filter(_.contains("rank("))
+    assert(rankLines.nonEmpty)
+    rankLines.foreach(l => assert(l.contains("__pr_b_"),
+      s"rank window not bucket-partitioned:\n$l"))
+  }
+
+  test("percentileRank guards: NaN/Inf/null scores raise, existing column refused") {
+    import spark.implicits._
+    val bad = Seq(("k", Double.NaN)).toDF("k", "s")
+    intercept[Exception] {
+      Sampling.percentileRank(bad, col("k"), col("s"), "pct").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.percentileRank(Seq(("k", 1.0)).toDF("k", "s"), col("k"), col("s"), "s")
+    }
+  }
+
+  test("interleaveByWeight: prefix proportions track weights; deterministic; append-stable") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "heavy" else "light", s"doc $i"))
+      .toDF("src", "text")
+    val vt = Sampling.interleaveByWeight(
+      col("src"), col("text"), Map("heavy" -> 4.0), defaultWeight = 1.0)
+    val ordered = df.select(col("src"), vt.as("vt")).orderBy("vt").collect().map(_.getString(0))
+    // first quarter of the sequence: heavy (weight 4) should dominate
+    // light (weight 1) about 4:1; both strata have 1000 rows
+    val head = ordered.take(400)
+    val heavy = head.count(_ == "heavy").toDouble / head.length
+    assert(heavy > 0.65 && heavy < 0.95, s"heavy share in prefix was $heavy, expected ~0.8")
+    // deterministic: same inputs, same order
+    val again = df.select(col("src"), vt.as("vt")).orderBy("vt").collect().map(_.getString(0))
+    assert(ordered.sameElements(again))
+    // append-stable: adding rows does not change relative order of the old
+    val vtOld = df.select(col("text"), vt.as("vt")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val appended = df.union(Seq(("new", "extra doc")).toDF("src", "text"))
+    val vtNew = appended.select(col("text"), vt.as("vt")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    vtOld.foreach { case (t, v) => assert(vtNew(t) == v) }
+  }
+
+  test("interleaveByWeight refuses non-positive weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveByWeight(col("s"), col("t"), Map("x" -> 0.0), 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveByWeight(col("s"), col("t"), Map.empty, -1.0)
+    }
+  }
 }

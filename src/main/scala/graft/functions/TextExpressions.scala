@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -73,6 +73,109 @@ object TokenizeWords {
     }
     if (start >= 0)
       out += UTF8String.fromString(str.substring(start).toLowerCase(java.util.Locale.ROOT))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Greedy longest-match subword segmentation (wordpiece-style
+  * "tokenizer apply") as a native expression: every token of the input
+  * array splits into the longest vocabulary pieces matching at each
+  * position, single-character fallback where nothing matches (total —
+  * no [UNK] state; a char that IS a vocab piece segments identically
+  * either way). Output is the flattened piece sequence across tokens.
+  *
+  * Map-side at any scale: the vocabulary rides along as an array
+  * literal (like [[NearestCentroids]]' centroid literal) and compiles
+  * once per executor into a hash set via a single-slot identity cache
+  * — a non-literal vocab column still evaluates correctly, just
+  * recompiling per distinct array instance.
+  */
+case class WordpieceEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_wordpiece requires (array<string> tokens, array<string> vocab), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_wordpiece"
+
+  override protected def nullSafeEval(toks: Any, vocab: Any): Any =
+    WordpieceKernels.encode(toks.asInstanceOf[ArrayData], vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, v) => s"graft.functions.WordpieceKernels.encode($t, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordpieceKernels {
+
+  private final class Compiled(val pieces: java.util.HashSet[String], val maxLen: Int)
+
+  // single-slot identity cache: the vocab literal's ArrayData is one
+  // instance reused for every row of a partition, so the compiled set
+  // builds once; an unbounded map keyed by ArrayData would leak under
+  // a (pathological) non-literal vocab column
+  @volatile private var lastKey: ArrayData = _
+  @volatile private var lastVal: Compiled = _
+
+  private def compiled(vocab: ArrayData): Compiled = {
+    val k = lastKey
+    if (k eq vocab) return lastVal
+    val set = new java.util.HashSet[String]()
+    var maxLen = 1
+    var i = 0
+    while (i < vocab.numElements()) {
+      if (!vocab.isNullAt(i)) {
+        val p = vocab.getUTF8String(i).toString
+        if (p.nonEmpty) {
+          set.add(p)
+          if (p.length > maxLen) maxLen = p.length
+        }
+      }
+      i += 1
+    }
+    val c = new Compiled(set, maxLen)
+    lastKey = vocab
+    lastVal = c
+    c
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def encode(toks: ArrayData, vocab: ArrayData): ArrayData = {
+    val v = compiled(vocab)
+    val out = ArrayBuffer.empty[Any]
+    var ti = 0
+    while (ti < toks.numElements()) {
+      if (!toks.isNullAt(ti)) {
+        val word = toks.getUTF8String(ti).toString
+        var p = 0
+        while (p < word.length) {
+          var len = math.min(v.maxLen, word.length - p)
+          var hit = 1
+          var found = false
+          while (len >= 1 && !found) {
+            if (v.pieces.contains(word.substring(p, p + len))) {
+              hit = len
+              found = true
+            }
+            len -= 1
+          }
+          out += UTF8String.fromString(word.substring(p, p + hit))
+          p += hit
+        }
+      }
+      ti += 1
+    }
     new GenericArrayData(out.toArray)
   }
 }
@@ -174,7 +277,10 @@ object GraftFunctions {
       "graft_hyperplane_buckets(v, bits, tables) - hyperplane-LSH bucket id per table", 3)(
       exprs => HyperplaneBuckets(exprs.head,
         intArg("graft_hyperplane_buckets", exprs, 1),
-        intArg("graft_hyperplane_buckets", exprs, 2))))
+        intArg("graft_hyperplane_buckets", exprs, 2))),
+    spec("graft_wordpiece",
+      "graft_wordpiece(tokens, vocab) - greedy longest-match subword pieces", 2)(
+      exprs => WordpieceEncode(exprs.head, exprs(1))))
 
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -248,6 +354,15 @@ object GraftFunctions {
     register(spark)
     call_function("graft_hyperplane_buckets", v,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
+  }
+
+  def wordpiece(tokens: Column, vocab: Seq[String]): Column =
+    wordpiece(SparkSession.active, tokens, vocab)
+  def wordpiece(spark: SparkSession, tokens: Column, vocab: Seq[String]): Column = {
+    register(spark)
+    call_function("graft_wordpiece", tokens,
+      org.apache.spark.sql.functions.array(
+        vocab.map(org.apache.spark.sql.functions.lit): _*))
   }
 
   def simhash60(tokens: Column): Column = simhash60(SparkSession.active, tokens)

@@ -476,6 +476,18 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0.0), (acc, t) => acc + weight(t)).as("score"))
   }
 
+  /** Greedy longest-match subword segmentation over [[tokens]] — the
+    * "tokenizer apply" step (wordpiece-style): each word splits into
+    * the longest `vocab` pieces matching at each position,
+    * single-character fallback. Map-side native expression
+    * ([[graft.functions.WordpieceEncode]]); the vocab ships as an
+    * array literal compiled once per executor.
+    */
+  def wordpieces(text: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "wordpieces needs a non-empty vocab")
+    graft.functions.GraftFunctions.wordpiece(tokens(text), vocab)
+  }
+
   /** C4/RefinedWeb-style boilerplate-line removal: any line (exact
     * `\n`-split segment) occurring at least `minOccurrences` times
     * across the whole corpus is removed from EVERY document it appears

@@ -29,6 +29,16 @@ object Curation2 {
       |     / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0)
       |) / 3.0""".stripMargin
 
+  /** Fixed subword vocabulary for q74 — multi-char pieces that overlap
+    * the corpus vocabulary in interesting ways (prefix/suffix pairs,
+    * nested pieces like tab/table) so greedy-longest-match genuinely
+    * differs from any shorter-match segmentation.
+    */
+  val wordpieceVocab: Seq[String] = Seq(
+    "table", "tab", "le", "val", "ue", "scan", "cust", "omer", "win", "dow",
+    "str", "eam", "qu", "ery", "ord", "er", "lin", "sp", "ark", "agg",
+    "row", "key", "ha", "sh", "part")
+
   val all: Seq[Q] = Seq(
 
     // ---- as-of join: for every 'error' event, the newest 'click' by
@@ -314,5 +324,51 @@ object Curation2 {
               |SELECT doc_id, source, quality,
               |  percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct_rank
               |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ---- tokenizer APPLY: greedy longest-match subword segmentation
+    // (wordpiece-style) with a fixed piece vocabulary — the native
+    // map-side kernel vs the oracle's from-first-principles replay
+    // (max-match length per (word, position), then a recursive-CTE
+    // greedy walk). Character fallback keeps the encoding total.
+    Q(
+      "q74_wordpiece_encode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("pieces",
+            TextAnalysis.wordpieces($"text", Curation2.wordpieceVocab))
+          .select(
+            $"doc_id",
+            size($"pieces").cast("long").as("n_pieces"),
+            concat_ws(" ", $"pieces").as("encoded"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents),
+              |w AS (SELECT DISTINCT unnest(tk) AS word FROM t),
+              |v AS (SELECT unnest(${wordpieceVocab.mkString("['", "','", "']")}) AS piece),
+              |pos AS (SELECT word, unnest(range(1, strlen(word) + 1)) AS p FROM w),
+              |m AS (SELECT pos.word, pos.p, coalesce(
+              |    (SELECT max(strlen(piece)) FROM v
+              |     WHERE substr(pos.word, pos.p, strlen(piece)) = piece), 1) AS ml
+              |  FROM pos),
+              |walk AS (
+              |  SELECT word, 1 AS p FROM w WHERE strlen(word) > 0
+              |  UNION ALL
+              |  SELECT walk.word, walk.p + m.ml AS p
+              |  FROM walk JOIN m ON walk.word = m.word AND walk.p = m.p
+              |  WHERE walk.p + m.ml <= strlen(walk.word)
+              |),
+              |pieces AS (SELECT walk.word, walk.p, substr(walk.word, walk.p, m.ml) AS piece
+              |  FROM walk JOIN m ON walk.word = m.word AND walk.p = m.p),
+              |wp AS (SELECT word, list(piece ORDER BY p) AS pl FROM pieces GROUP BY word),
+              |dt AS (SELECT doc_id, generate_subscripts(tk, 1) AS ti, unnest(tk) AS word
+              |  FROM t),
+              |j AS (SELECT dt.doc_id, dt.ti, wp.pl FROM dt JOIN wp USING (word)),
+              |agg AS (SELECT doc_id, flatten(list(pl ORDER BY ti)) AS pieces
+              |  FROM j GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
+              |  coalesce(array_to_string(a.pieces, ' '), '') AS encoded
+              |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
   )
+
 }

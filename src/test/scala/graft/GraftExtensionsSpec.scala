@@ -39,7 +39,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_overlap(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ov,
           |  size(graft_hyperplane_buckets(array(0.5d, -0.25d), 4, 8)) AS hb,
           |  graft_nearest_centroids(array(1.0d, 0.0d),
-          |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1) AS nc
+          |    array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1) AS nc,
+          |  graft_wordpiece(array('tables'), array('table', 'tab', 'le')) AS wp
           |""".stripMargin).collect().head
       assert(row.getDouble(0) == 1.0)
       assert(row.getSeq[String](1) == Seq("hello", "world", "42"))
@@ -49,6 +50,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(6) == 2)
       assert(row.getInt(7) == 8)
       assert(row.getSeq[Int](8) == Seq(1))
+      assert(row.getSeq[String](9) == Seq("table", "s")) // greedy longest match in pure SQL
       // completeness is STRUCTURAL: every function in the shared spec
       // table must resolve in this SQL-only session (the previous
       // hand-maintained injection list silently omitted one)

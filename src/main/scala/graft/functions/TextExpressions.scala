@@ -280,7 +280,10 @@ object GraftFunctions {
         intArg("graft_hyperplane_buckets", exprs, 2))),
     spec("graft_wordpiece",
       "graft_wordpiece(tokens, vocab) - greedy longest-match subword pieces", 2)(
-      exprs => WordpieceEncode(exprs.head, exprs(1))))
+      exprs => WordpieceEncode(exprs.head, exprs(1))),
+    spec("graft_searchsorted",
+      "graft_searchsorted(v, sorted_bounds) - count of boundaries <= v (binary search)", 2)(
+      exprs => SearchSorted(exprs.head, exprs(1))))
 
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -363,6 +366,15 @@ object GraftFunctions {
     call_function("graft_wordpiece", tokens,
       org.apache.spark.sql.functions.array(
         vocab.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  def searchSorted(value: Column, bounds: Seq[Double]): Column =
+    searchSorted(SparkSession.active, value, bounds)
+  def searchSorted(spark: SparkSession, value: Column, bounds: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_searchsorted", value,
+      org.apache.spark.sql.functions.array(
+        bounds.map(org.apache.spark.sql.functions.lit): _*))
   }
 
   def simhash60(tokens: Column): Column = simhash60(SparkSession.active, tokens)

@@ -110,6 +110,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object VectorKernels {
 
+  /** Count of sorted-ascending boundary elements <= v (binary search).
+    * Shared by interpreted eval and generated code.
+    */
+  def searchSorted(v: Double, bounds: ArrayData): Int = {
+    var lo = 0
+    var hi = bounds.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds.getDouble(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+
   def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
     // empty vectors and vectors with null elements land in bucket 0 of
@@ -288,4 +302,44 @@ case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `searchsorted`: the number of elements of a SORTED-ascending
+  * `array<double>` that are <= the probe value — binary search, O(log
+  * m) per row with whole-stage codegen. The generalization of
+  * `width_bucket` to arbitrary boundaries, and the kernel behind
+  * point-in-interval lookup joins ([[graft.operators.IntervalLookup]]):
+  * a broadcast-small sorted interval table becomes an array literal and
+  * every fact row finds its interval map-side — zero shuffle, zero
+  * join, at any corpus scale.
+  *
+  * The boundaries array must be sorted ascending (the operator
+  * validates; raw SQL callers own it — an unsorted array gives
+  * meaningless indices, same contract as java.util.Arrays.binarySearch).
+  * NaN probes return 0 (NaN compares false to everything).
+  */
+case class SearchSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (DoubleType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_searchsorted requires (double, array<double>), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_searchsorted"
+
+  override protected def nullSafeEval(v: Any, bounds: Any): Any =
+    VectorKernels.searchSorted(v.asInstanceOf[Double], bounds.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, b) => s"graft.functions.VectorKernels.searchSorted($v, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

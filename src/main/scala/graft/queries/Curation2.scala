@@ -369,6 +369,38 @@ object Curation2 {
               |SELECT t.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
               |  coalesce(array_to_string(a.pieces, ' '), '') AS encoded
               |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- point-in-interval lookup join: order totals banded into
+    // power-of-2 price intervals (exact doubles on every engine). The
+    // operator resolves each fact map-side via the codegen'd binary
+    // search over the interval literal — zero join, zero shuffle; the
+    // oracle is the O(facts × intervals) BETWEEN join it replaces.
+    // Bands deliberately start at 1024 so the cheapest orders fall in
+    // NO interval (null-label path exercised at oracle scale).
+    Q(
+      "q75_interval_lookup",
+      (s, d) => {
+        import s.implicits._
+        val bands = (10 to 19).map(k =>
+          (math.pow(2.0, k), math.pow(2.0, k + 1), s"band_$k"))
+        val dims = s.createDataFrame(bands).toDF("lo", "hi", "band")
+        graft.operators.IntervalLookup.lookupInterval(
+          Tables.orders(s, d), dims,
+          value = $"o_totalprice",
+          lo = $"lo", hi = $"hi", label = $"band",
+          outCol = "price_band")
+          .select($"o_orderkey", $"o_totalprice", $"price_band")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH bands AS (
+             |  SELECT CAST(pow(2.0, k) AS DOUBLE) AS lo,
+             |    CAST(pow(2.0, k + 1) AS DOUBLE) AS hi,
+             |    'band_' || CAST(k AS VARCHAR) AS band
+             |  FROM (SELECT unnest(range(10, 20)) AS k))
+             |SELECT o.o_orderkey, o.o_totalprice, b.band AS price_band
+             |FROM orders o LEFT JOIN bands b
+             |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 
 }

@@ -283,7 +283,10 @@ object GraftFunctions {
       exprs => WordpieceEncode(exprs.head, exprs(1))),
     spec("graft_searchsorted",
       "graft_searchsorted(v, sorted_bounds) - count of boundaries <= v (binary search)", 2)(
-      exprs => SearchSorted(exprs.head, exprs(1))))
+      exprs => SearchSorted(exprs.head, exprs(1))),
+    spec("graft_bloom_contains",
+      "graft_bloom_contains(key, filter_bytes) - bloom-filter membership probe", 2)(
+      exprs => BloomMightContainLong(exprs.head, exprs(1))))
 
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -375,6 +378,14 @@ object GraftFunctions {
     call_function("graft_searchsorted", value,
       org.apache.spark.sql.functions.array(
         bounds.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  def bloomContains(key: Column, filterBytes: Array[Byte]): Column =
+    bloomContains(SparkSession.active, key, filterBytes)
+  def bloomContains(spark: SparkSession, key: Column, filterBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_contains", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
   }
 
   def simhash60(tokens: Column): Column = simhash60(SparkSession.active, tokens)

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-pre-filtered joins: when a join is SELECTIVE (most probe-side
+  * rows match nothing), the dominant cost at scale is shuffling probe
+  * rows that are about to be discarded. This operator builds a bloom
+  * filter over the build side's join keys (a distributed
+  * `stat.bloomFilter` pass — the build side never funnels through one
+  * node beyond the KB–MB filter itself), ships it as a binary literal,
+  * and drops non-matching probe rows MAP-SIDE with the codegen'd
+  * [[graft.functions.BloomMightContainLong]] probe — BEFORE the join
+  * exchange. The exact join that follows removes the false positives,
+  * so results are identical to the plain join while the shuffle moves
+  * ~(selectivity + fpp) of the probe side.
+  *
+  * This is the explicit, composable form of Spark's runtime row-level
+  * filtering: it works for any join the optimizer would not rewrite
+  * (e.g. when the build side is itself a subquery the heuristics skip),
+  * and the filter can be built once and reused across queries via
+  * [[buildKeyFilter]].
+  *
+  * Scale shape: build side is NOT required to be broadcast-small — a
+  * 10^9-key build side yields a ~1.7 GB filter at 1% fpp, so the cap
+  * defaults well below that; for typical selective joins (10^6–10^8
+  * keys) the filter is 1–170 MB and task-plan shipping amortizes it
+  * per executor. Keys are normalized to long (the surrogate-key /
+  * integral-id case); null keys never equi-join and are dropped from
+  * both the filter and the probe.
+  */
+object BloomJoin {
+
+  /** Distributed build of a serialized bloom filter over `key` (cast to
+    * long, nulls dropped). Two passes over `df`: an exact count to size
+    * the filter, then the `stat.bloomFilter` tree-aggregate.
+    */
+  def buildKeyFilter(
+      df: DataFrame,
+      key: Column,
+      fpp: Double = 0.01,
+      maxFilterBytes: Long = 64L << 20): Array[Byte] = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val keys = df.select(key.cast("long").as("__graft_bloom_key"))
+      .where(col("__graft_bloom_key").isNotNull)
+    val n = keys.count()
+    val filter = keys.stat.bloomFilter("__graft_bloom_key", math.max(n, 1L), fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    val bytes = out.toByteArray
+    require(bytes.length <= maxFilterBytes,
+      s"bloom filter is ${bytes.length} bytes for $n keys at fpp=$fpp, over the " +
+        s"$maxFilterBytes cap — raise fpp/cap, or the build side is large enough " +
+        "that a plain shuffled join is the right plan")
+    bytes
+  }
+
+  /** `big` rows whose `bigKey` MIGHT match a `smallKey` — the map-side
+    * pre-filter alone (false positives at rate ~fpp remain; no false
+    * negatives). Use when an exact join follows anyway or approximate
+    * membership suffices.
+    */
+  def bloomPreFilter(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      fpp: Double = 0.01,
+      maxFilterBytes: Long = 64L << 20): DataFrame = {
+    val bytes = buildKeyFilter(small, smallKey, fpp, maxFilterBytes)
+    big.where(graft.functions.GraftFunctions.bloomContains(
+      big.sparkSession, bigKey.cast("long"), bytes))
+  }
+
+  /** Exact semi join (`big` rows with at least one `smallKey` match),
+    * bloom-pre-filtered: identical rows to `big.join(small, bigKey ===
+    * smallKey, "left_semi")`, but only ~(selectivity + fpp) of `big`
+    * reaches the join exchange.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      fpp: Double = 0.01,
+      maxFilterBytes: Long = 64L << 20): DataFrame = {
+    val pre = bloomPreFilter(big, small, bigKey, smallKey, fpp, maxFilterBytes)
+    val smallKeys = small.select(smallKey.cast("long").as("__graft_bloom_key"))
+      .where(col("__graft_bloom_key").isNotNull)
+    pre.join(smallKeys, bigKey.cast("long") === col("__graft_bloom_key"), "left_semi")
+  }
+}

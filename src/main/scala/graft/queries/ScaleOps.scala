@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scale-shape operators under the gate: the bloom-pre-filtered join,
+  * count-min mergeable frequency states, and the sliding-window
+  * variant of the event aggregation (q18 is tumbling-only).
+  */
+object ScaleOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- bloom-pre-filtered semi join: lineitem rows for high-value
+    // orders (~6% selectivity at this threshold). The bloom filter
+    // built over the qualifying order keys drops non-matching lineitem
+    // rows map-side BEFORE the join exchange; the exact semi join that
+    // follows removes bloom false positives, so the result is
+    // bit-identical to the plain semi join the oracle runs.
+    Q(
+      "q76_bloom_semi_join",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.BloomJoin.bloomSemiJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).where($"o_totalprice" > 470000.0),
+          bigKey = $"l_orderkey", smallKey = $"o_orderkey")
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem l
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 470000)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- count-min mergeable frequency states: per-event-type CMS
+    // states over user ids, union-merged into one corpus sketch, then
+    // point estimates for a fixed key list (incl. an absent key, whose
+    // estimate is pure collision mass). The md5 bucketing is the
+    // engine-portable idiom, so DuckDB replays every counter and the
+    // min-over-rows estimate EXACTLY — a deterministic hash-match gate
+    // on a probabilistic data structure.
+    Q(
+      "q77_cms_point_estimates",
+      (s, d) => {
+        import s.implicits._
+        val states = graft.operators.CountMin.cmsStates(
+          Tables.events(s, d), $"user_id", Seq("event_type"), w = 64, d = 4)
+        val merged = graft.operators.CountMin.cmsMergeStates(states, $"cms", w = 64, d = 4)
+        graft.operators.CountMin.cmsPointEstimates(
+          merged, $"cms", Seq("0", "12345", "149", "42", "77"), w = 64, d = 4)
+          .orderBy($"key")
+      },
+      Some("""WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+             |  WHERE user_id IS NOT NULL),
+             |jj AS (SELECT unnest(range(0, 4)) AS j),
+             |cnt AS (SELECT j,
+             |    CAST(('0x' || substring(md5(t || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
+             |    count(*) AS c
+             |  FROM tok CROSS JOIN jj GROUP BY 1, 2),
+             |keys AS (SELECT unnest(['0', '12345', '149', '42', '77']) AS k),
+             |kb AS (SELECT k, j,
+             |    CAST(('0x' || substring(md5(k || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM keys CROSS JOIN jj)
+             |SELECT kb.k AS key, min(coalesce(cnt.c, 0)) AS est
+             |FROM kb LEFT JOIN cnt ON cnt.j = kb.j AND cnt.b = kb.b
+             |GROUP BY kb.k ORDER BY key""".stripMargin)),
+
+    // ---- SLIDING-window event aggregation (10-minute windows every 5
+    // minutes — each event lands in exactly two windows). Same
+    // exact-sum idiom as q18 (decimal-sum, double output); the oracle
+    // derives both containing window starts per event from the
+    // epoch-aligned 5-minute bucket.
+    Q(
+      "q78_sliding_window_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS s1,
+             |    event_type, value FROM events),
+             |w AS (SELECT unnest([s1, s1 - INTERVAL '5 minutes']) AS window_start,
+             |    event_type, value FROM e)
+             |SELECT window_start, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+  )
+}

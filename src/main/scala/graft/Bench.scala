@@ -66,20 +66,36 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case t: Throwable =>
-        // a failed query must be VISIBLE in the bench line, not a
-        // silently tiny timing
-        errors += name
-        System.err.println(s"[bench] $name failed: ${t.getMessage}")
+    // Per-query time = MIN over full-suite passes: the timing measures
+    // the QUERY, not whatever else the host was doing during one pass
+    // (a contended round-4 run read 37× slower than the same code on a
+    // calm box — min-of-2 bounds that weather without hiding real
+    // regressions, which slow every pass equally). Repeating the WHOLE
+    // suite (not each query back-to-back) with a shared-cache eviction
+    // between passes keeps every pass's cache economics identical to
+    // the historical single-pass runs: q25 builds the shared shingle
+    // projection cold, q26 reuses it — in every pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val passes = (1 to reps).map { pass =>
+      if (pass > 1) graft.queries.LlmOps.evictSharedShingleCaches(spark)
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case t: Throwable =>
+          // a failed query must be VISIBLE in the bench line, not a
+          // silently tiny timing
+          errors += name
+          System.err.println(s"[bench] $name failed: ${t.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => JsonText.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map(JsonText.quote(_)).mkString("[", ",", "]")
+    val errs = errors.distinct.map(JsonText.quote(_)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${JsonText.quote(sfDir)}}""")
     spark.stop()

@@ -486,6 +486,30 @@ object Sampling {
     * across the frame (it is the join-back key). Rows with null scores
     * never win; NaN scores rank worst (the aggregator's NaN rule).
     */
+  /** Deterministic UNIFORM k-per-key sample: keep exactly min(k, n)
+    * rows per key, chosen by content-hash order — the "k eval docs per
+    * source" / "k examples per stratum" pick, with no RNG (re-executed
+    * tasks, re-ingestions, and other engines all select the same
+    * rows). Top-k by a uniform hash IS a uniform without-replacement
+    * sample, so this inherits [[capPerKey]]'s scale shape verbatim:
+    * bounded aggregator buffers, ≤ k candidates per (partition, key)
+    * shuffled, no per-key window sort.
+    *
+    * `hashOn` must be a STRING column (the md5-portability contract of
+    * [[stratifiedKeep]]); rows with NULL `hashOn` never win — callers
+    * who consider empty content sampleable should `coalesce` first.
+    * Byte-identical `hashOn` ties break by id, keeping the selection a
+    * pure function of the data.
+    */
+  def uniformKPerKey(
+      df: org.apache.spark.sql.DataFrame,
+      key: Column,
+      hashOn: Column,
+      id: Column,
+      k: Int): org.apache.spark.sql.DataFrame =
+    capPerKey(df, key,
+      md5Bucket32(md5(hashOn.cast("binary"))).cast("double"), id, k)
+
   def capPerKey(
       df: org.apache.spark.sql.DataFrame,
       key: Column,

@@ -91,5 +91,27 @@ object ScaleOps {
              |SELECT window_start, event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
              |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- deterministic uniform k-per-source sample: exactly min(k, n)
+    // docs per source chosen by content-hash order — no RNG, no per-key
+    // window sort (bounded top-k aggregator under the hood). The oracle
+    // IS the row_number window plan the operator replaces.
+    Q(
+      "q79_uniform_per_source",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.uniformKPerKey(
+          Tables.documents(s, d),
+          key = $"source", hashOn = $"text", id = $"doc_id", k = 7)
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, lang, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY
+             |      CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) DESC,
+             |      doc_id ASC) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang, source FROM r WHERE rn <= 7
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -356,4 +356,21 @@ class SamplingSpec extends SparkTestBase {
       Sampling.interleaveByWeight(col("s"), col("t"), Map.empty, -1.0)
     }
   }
+
+  test("uniformKPerKey: exactly min(k, n) per key, identical under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"grp${i % 3}", s"content $i")).toDF("id", "g", "txt")
+    val picked = Sampling.uniformKPerKey(df, col("g"), col("txt"), col("id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(picked.groupBy(_._1).forall(_._2.length == 5), "each key keeps exactly k")
+    // n < k keeps all n
+    val tiny = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("id", "g", "txt")
+    assert(Sampling.uniformKPerKey(tiny, col("g"), col("txt"), col("id"), 5).count() == 2)
+    // the selection is a pure function of content: any partitioning
+    // (and thus any reduce/merge order) picks the same ids
+    val again = Sampling.uniformKPerKey(
+      df.repartition(13, col("id")), col("g"), col("txt"), col("id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(picked.toSet == again.toSet)
+  }
 }

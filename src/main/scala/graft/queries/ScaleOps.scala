@@ -1,9 +1,13 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Scale-shape operators under the gate: the bloom-pre-filtered join,
-  * count-min mergeable frequency states, and the sliding-window
+  * count-min mergeable frequency states (batch AND incrementally
+  * maintained under a real micro-batch stream), and the sliding-window
   * variant of the event aggregation (q18 is tumbling-only).
   */
 object ScaleOps {
@@ -113,5 +117,82 @@ object ScaleOps {
              |  FROM documents)
              |SELECT doc_id, lang, source FROM r WHERE rn <= 7
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- STREAMING CMS: the same counters as a batch build, but
+    // maintained incrementally — readStream over a multi-file copy of
+    // events (maxFilesPerTrigger=1 forces ≥ 2 real micro-batches),
+    // per-batch states union-merged in foreachBatch. Because CMS merge
+    // is exactly associative/commutative, the streamed counters equal
+    // the batch counters bit-for-bit, and the SAME deterministic md5
+    // oracle gates the estimates. Driver state is one d·w array —
+    // bounded regardless of stream length (the incremental-analytics
+    // contract of the q70 HLL states, now under a live stream).
+    Q(
+      "q80_streaming_cms",
+      (s, d) => streamingCms(s, d),
+      Some("""WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+             |  WHERE user_id IS NOT NULL),
+             |jj AS (SELECT unnest(range(0, 4)) AS j),
+             |cnt AS (SELECT j,
+             |    CAST(('0x' || substring(md5(t || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
+             |    count(*) AS c
+             |  FROM tok CROSS JOIN jj GROUP BY 1, 2),
+             |keys AS (SELECT unnest(['1', '100', '12345', '5', '73']) AS k),
+             |kb AS (SELECT k, j,
+             |    CAST(('0x' || substring(md5(k || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM keys CROSS JOIN jj)
+             |SELECT kb.k AS key, min(coalesce(cnt.c, 0)) AS est
+             |FROM kb LEFT JOIN cnt ON cnt.j = kb.j AND cnt.b = kb.b
+             |GROUP BY kb.k ORDER BY key""".stripMargin)),
   )
+
+  private val cmsKeys = Seq("1", "100", "12345", "5", "73")
+
+  private def streamingCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, dep) = (64, 4)
+    val scratch = Scratch.tempDir("q80_cms")
+    try {
+      // stage a 4-file projection of events (drops the nanos ts column,
+      // so the stream needs no legacy-conf flip); input and checkpoint
+      // are siblings — the checkpoint must never sit in the listed dir
+      val inDir = scratch.resolve("input").toString
+      Tables.events(s, d).select($"user_id", $"event_type")
+        .repartition(4).write.parquet(inDir)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      val merged = new Array[Long](w * dep)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lock = new Object
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // one global CMS state per batch: a single d·w row collects
+          val rows = graft.operators.CountMin.cmsStates(
+            batch, col("user_id"), Seq.empty, w, dep).collect()
+          lock.synchronized {
+            rows.foreach { r =>
+              var i = 0
+              r.getSeq[Long](0).foreach { c => merged(i) += c; i += 1 }
+            }
+          }
+          nBatches.incrementAndGet(): Unit
+        }
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q80 stream did not terminate within 600s — refusing a partial sketch")
+      finally q.stop()
+      // the multi-batch merge must actually have been exercised — one
+      // giant batch would silently degrade this to the batch query
+      require(nBatches.get() >= 2,
+        s"q80 ran ${nBatches.get()} micro-batch(es); the incremental-merge " +
+          "path needs at least 2")
+      val state = lock.synchronized(Seq(merged.toSeq)).toDF("cms")
+      graft.operators.CountMin.cmsPointEstimates(state, $"cms", cmsKeys, w, dep)
+        .orderBy($"key")
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

@@ -286,7 +286,16 @@ object GraftFunctions {
       exprs => SearchSorted(exprs.head, exprs(1))),
     spec("graft_bloom_contains",
       "graft_bloom_contains(key, filter_bytes) - bloom-filter membership probe", 2)(
-      exprs => BloomMightContainLong(exprs.head, exprs(1))))
+      exprs => BloomMightContainLong(exprs.head, exprs(1))),
+    // variadic: bits first, then >= 2 key columns
+    FnSpec("graft_zorder",
+      "graft_zorder(bits, k1, k2, ...) - Morton-interleaved clustering key",
+      exprs => {
+        if (exprs.size < 3)
+          throw new IllegalArgumentException(
+            "graft_zorder expects (bits, k1, k2, ...) with at least two key columns")
+        ZOrderKey(exprs.tail, intArg("graft_zorder", exprs, 0))
+      }))
 
   private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -378,6 +387,14 @@ object GraftFunctions {
     call_function("graft_searchsorted", value,
       org.apache.spark.sql.functions.array(
         bounds.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  def zorderKey(bits: Int, keys: Seq[Column]): Column =
+    zorderKey(SparkSession.active, bits, keys)
+  def zorderKey(spark: SparkSession, bits: Int, keys: Seq[Column]): Column = {
+    register(spark)
+    call_function("graft_zorder",
+      org.apache.spark.sql.functions.lit(bits) +: keys: _*)
   }
 
   def bloomContains(key: Column, filterBytes: Array[Byte]): Column =

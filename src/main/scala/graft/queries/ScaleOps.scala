@@ -144,6 +144,30 @@ object ScaleOps {
              |SELECT kb.k AS key, min(coalesce(cnt.c, 0)) AS est
              |FROM kb LEFT JOIN cnt ON cnt.j = kb.j AND cnt.b = kb.b
              |GROUP BY kb.k ORDER BY key""".stripMargin)),
+
+    // ---- Z-order clustering key: Morton-interleave (l_partkey,
+    // l_suppkey) and sort by it — the write-time layout step that keeps
+    // row-group min/max tight on BOTH columns so conjunctive predicates
+    // skip data a 1-d sort cannot (pruning property spec-asserted; this
+    // query gates the key arithmetic bit-for-bit). 16 bits/column
+    // covers the gate SFs; production quantizes first (e.g.
+    // graft_searchsorted bin indices).
+    Q(
+      "q81_zorder_key",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber",
+            graft.functions.GraftFunctions.zorderKey(
+              s, 16, Seq($"l_partkey", $"l_suppkey")).as("zkey"))
+          .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST((SELECT sum(((l_partkey >> i) & 1) << (2 * i))
+             |             + sum(((l_suppkey >> i) & 1) << (2 * i + 1))
+             |        FROM range(0, 16) t(i)) AS BIGINT) AS zkey
+             |FROM lineitem
+             |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin)),
   )
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")

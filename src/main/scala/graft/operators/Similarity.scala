@@ -459,4 +459,198 @@ object Similarity {
       .otherwise(transform(v, x => floor(x * lit(127.0) / maxabs + lit(0.5)).cast("int")))
     struct((maxabs / lit(127.0)).as("scale"), qvec.as("qvec"))
   }
+
+  /** Product-quantization codebook training (cosine metric — matching
+    * this engine's ANN stack): the vector space splits into `m`
+    * equal-width subspaces, each getting its own `codes`-centroid
+    * codebook trained by the same bounded hash-sample + deterministic
+    * k-means as the IVF coarse quantizer. Returns
+    * `codebooks(sub)(code) = centroid` with every subspace codebook
+    * padded/derived from the sample's MODAL dimension, which must be
+    * divisible by `m`.
+    *
+    * PQ is the vector-compression step past [[quantizeInt8]]: m codes
+    * of log2(codes) bits replace the full vector (64-dim float64 at
+    * m=4, codes=16 → 2 bytes/vector, 256×), which is what makes a
+    * 100 TB embedding corpus servable from memory.
+    */
+  def pqTrain(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 10,
+      trainSample: Int = 4096): Seq[Seq[Array[Double]]] = {
+    require(m >= 1, s"pqTrain needs m >= 1 subspaces, got $m")
+    require(codes >= 2, s"pqTrain needs >= 2 codes per subspace, got $codes")
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull)
+    val raw = base
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(trainSample)
+      .select(col("v")).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(_.nonEmpty)
+    require(raw.nonEmpty, "PQ training sample is empty (all-null/empty embeddings?)")
+    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
+    require(dim % m == 0,
+      s"PQ: modal dimension $dim is not divisible by m=$m subspaces")
+    val subdim = dim / m
+    val sample = raw.filter(_.length == dim)
+    (0 until m).map { s =>
+      val sub = sample.map(_.slice(s * subdim, (s + 1) * subdim))
+      LocalKMeans.train(sub, codes, iters).toSeq
+    }
+  }
+
+  /** Map-side PQ code assignment: `(vec_id, sub, code)` per vector and
+    * subspace, `code` = the subspace codebook's nearest centroid by
+    * cosine (ties → lowest code, the [[graft.functions.NearestCentroids]]
+    * rule). The codebooks ride into the plan as array literals, so
+    * encoding is pure whole-stage codegen — zero shuffle at any corpus
+    * scale. Vectors whose length differs from the trained dimension are
+    * dropped (same corrupt-input policy as the IVF cell assignment).
+    */
+  def pqAssign(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val subdim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      "PQ codebooks must share one subspace dimension")
+    val m = codebooks.size
+    val dim = subdim * m
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull && size(col("v")) === dim)
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("v"), s * subdim + 1, subdim)
+      val cb = typedLit(codebooks(s).map(_.toSeq))
+      // NearestCentroids emits 1-based positions; PQ codes are 0-based
+      struct(lit(s).as("sub"),
+        (element_at(graft.functions.GraftFunctions.nearestCentroids(spark, sv, cb, 1), 1)
+          - lit(1)).as("code"))
+    }
+    base.select(col("vec_id"), explode(array(codeCols: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.code").as("code"))
+  }
+
+  /** [[pqAssign]] without the explode: `(vec_id, codes array<int>)`, one
+    * row per vector with its m 0-based codes in subspace order — the
+    * layout [[pqAdcTopK]] scans. Same map-side zero-shuffle plan and
+    * same corrupt-dim drop.
+    */
+  def pqCodesArray(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val subdim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      "PQ codebooks must share one subspace dimension")
+    val m = codebooks.size
+    val dim = subdim * m
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull && size(col("v")) === dim)
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("v"), s * subdim + 1, subdim)
+      val cb = typedLit(codebooks(s).map(_.toSeq))
+      // NearestCentroids emits 1-based positions; PQ codes are 0-based
+      element_at(graft.functions.GraftFunctions.nearestCentroids(spark, sv, cb, 1), 1) - lit(1)
+    }
+    base.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  // driver-side dot/norm helpers for the ADC lookup tables — SAME
+  // left-to-right double accumulation as the CosineSimilarity kernel and
+  // DuckDB's list_dot_product, so LUT entries are bit-equal to what
+  // either engine would compute from the raw arrays
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k: every corpus
+    * vector is represented ONLY by its m codes; per query, the
+    * approximate cosine is
+    * `sum_s dot(q_s, c_{s,code_s}) / (|q| * sqrt(sum_s |c_{s,code_s}|^2))`
+    * — the query side stays exact (asymmetric), the corpus side is its
+    * quantized reconstruction.
+    *
+    * The 100 TB story: all per-(query, sub, code) dot products and the
+    * per-(sub, code) squared norms are precomputed DRIVER-SIDE into
+    * tiny lookup tables (Q × m × codes doubles) that ride into the plan
+    * as array literals, so scoring is pure `element_at` arithmetic
+    * inside whole-stage codegen over one corpus scan — no join, no
+    * corpus shuffle; only the bounded per-partition top-k partials
+    * (≤ Q × k rows each) move, exactly like [[bruteForceTopK]]'s
+    * aggregation. This is the FAISS IVFADC scoring loop re-expressed as
+    * a Catalyst plan.
+    *
+    * Ranking matches the rest of the ANN stack: score desc, corpus id
+    * asc on ties, NaN (zero-norm query or all-zero reconstruction)
+    * ranks worst. Queries with zero or mismatched-dimension vectors are
+    * rejected driver-side — an all-NaN ranking for them would be noise
+    * presented as neighbors.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queries: Seq[(Long, Array[Double])],
+      codebooks: Seq[Seq[Array[Double]]],
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val subdim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      "PQ codebooks must share one subspace dimension")
+    val m = codebooks.size
+    val dim = subdim * m
+    require(queries.nonEmpty, "pqAdcTopK needs at least one query")
+    queries.foreach { case (qid, qv) =>
+      require(qv != null && qv.length == dim,
+        s"query $qid: vector dimension ${Option(qv).map(_.length).orNull} != trained $dim")
+      require(dotSeq(qv, qv) > 0.0, s"query $qid: zero-norm vector cannot rank neighbors")
+    }
+    // per-(sub, code) squared reconstruction norms — shared across queries
+    val norm2: Seq[Seq[Double]] = codebooks.map(_.map(c => dotSeq(c, c)).toSeq)
+    val coded = pqCodesArray(corpus, corpusVec, corpusId, codebooks)
+    val codeAt = (s: Int) => element_at(col("codes"), s + 1) + lit(1) // 1-based for element_at
+    val den2 = (0 until m)
+      .map(s => element_at(typedLit(norm2(s)), codeAt(s)))
+      .reduceLeft(_ + _)
+    val perQuery = queries.map { case (qid, qv) =>
+      val qnorm = math.sqrt(dotSeq(qv, qv))
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qs = qv.slice(s * subdim, (s + 1) * subdim)
+        codebooks(s).map(c => dotSeq(qs, c)).toSeq
+      }
+      val num = (0 until m)
+        .map(s => element_at(typedLit(lut(s)), codeAt(s)))
+        .reduceLeft(_ + _)
+      // guarded division: ANSI mode (Spark 4 default) throws on /0 —
+      // an all-zero reconstruction scores NaN and ranks worst instead
+      val den = lit(qnorm) * sqrt(den2)
+      struct(lit(qid).as("query_id"),
+        when(den > 0.0, num / den).otherwise(lit(Double.NaN)).as("score"))
+    }
+    val scored0 = coded
+      .select(col("vec_id").as("corpus_id"), explode(array(perQuery: _*)).as("e"))
+      .select(col("e.query_id").as("query_id"), col("corpus_id"), col("e.score").as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0
+    topKPerQuery(scored, k).withColumnRenamed("cosine", "score")
+  }
 }

@@ -168,6 +168,136 @@ object ScaleOps {
              |        FROM range(0, 16) t(i)) AS BIGINT) AS zkey
              |FROM lineitem
              |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- product-quantization codes (cosine metric, matching the ANN
+    // stack): 4 subspaces × 16 codes over the 64-dim embeddings — the
+    // compression step past int8 (q58) that makes a 100 TB embedding
+    // corpus servable. Output = codebook rows (vec_id -1, real
+    // centroid) + code rows (empty centroid). The oracle re-derives
+    // EVERY code independently: it reads only the emitted codebooks and
+    // recomputes each vector's argmax-cosine code with the bit-equal
+    // list_dot_product kernel (q29 precedent), ties to the lowest code
+    // exactly like the NearestCentroids rule.
+    Q(
+      "q82_pq_codes",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cbs = graft.operators.Similarity.pqTrain(
+          emb, $"embedding", $"vec_id", m = 4, codes = 16)
+        val codeRows = graft.operators.Similarity.pqAssign(
+          emb, $"embedding", $"vec_id", cbs)
+          .select($"vec_id", $"sub", $"code",
+            typedLit(Seq.empty[Double]).as("centroid"))
+        val cbRows = for {
+          (cb, sIdx) <- cbs.zipWithIndex
+          (cent, cIdx) <- cb.zipWithIndex
+        } yield (-1L, sIdx, cIdx, cent.toSeq)
+        s.createDataFrame(cbRows).toDF("vec_id", "sub", "code", "centroid")
+          .unionByName(codeRows)
+          .orderBy($"vec_id", $"sub", $"code")
+      },
+      Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q82_pq_codes/*.parquet')),
+             |-- MATERIALIZED: DuckDB otherwise evaluates list_dot_product on
+             |-- pre-filter chunks that still hold the empty-centroid code rows
+             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE vec_id = -1),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+             |sc AS (SELECT e.vec_id, cb.sub, cb.code,
+             |    list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], cb.centroid)
+             |      / (sqrt(list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], v[cb.sub*16+1 : cb.sub*16+16]))
+             |         * sqrt(list_dot_product(cb.centroid, cb.centroid))) AS cos
+             |  FROM e CROSS JOIN cb),
+             |r AS (SELECT vec_id, sub, code, row_number() OVER (
+             |    PARTITION BY vec_id, sub
+             |    ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |      code ASC) AS rn
+             |  FROM sc)
+             |SELECT vec_id, sub, code, []::DOUBLE[] AS centroid FROM r WHERE rn = 1
+             |UNION ALL
+             |SELECT vec_id, sub, code, centroid FROM outp WHERE vec_id = -1
+             |ORDER BY vec_id, sub, code""".stripMargin)),
+
+    // ---- PQ ADC top-k (FAISS-style asymmetric scoring re-expressed as
+    // a Catalyst plan): corpus vectors are represented ONLY by their PQ
+    // codes; per-query lookup tables ride in as array literals so the
+    // scoring is pure codegen over one corpus scan — no join, no corpus
+    // shuffle. Output = codebook rows (query_id -1) + top-5 rows. The
+    // oracle is FULLY independent on the search path: from the emitted
+    // codebooks alone it re-derives every corpus vector's codes
+    // (argmax-cosine, q82), every ADC score (identical nested float
+    // arithmetic), and the exact ranking — the emitted neighbors must
+    // match row-for-row, score-for-score.
+    Q(
+      "q83_pq_adc_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cbs = graft.operators.Similarity.pqTrain(
+          emb, $"embedding", $"vec_id", m = 4, codes = 16)
+        // bounded query-side collect (8 vectors) — q29's broadcast
+        // pattern, just driver-side so the LUTs can be literals
+        val queries = emb.filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        val topk = graft.operators.Similarity.pqAdcTopK(
+          emb, $"embedding", $"vec_id", queries, cbs, k = 5)
+          .select($"query_id", $"rank", $"corpus_id".as("vec_id"), $"score",
+            lit(-1).as("sub"), lit(-1).as("code"),
+            typedLit(Seq.empty[Double]).as("centroid"))
+        val cbRows = for {
+          (cb, sIdx) <- cbs.zipWithIndex
+          (cent, cIdx) <- cb.zipWithIndex
+        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, cent.toSeq)
+        s.createDataFrame(cbRows)
+          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "centroid")
+          .unionByName(topk)
+          .orderBy($"query_id", $"rank", $"sub", $"code")
+      },
+      Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q83_pq_adc_topk/*.parquet')),
+             |-- MATERIALIZED: see q82 — pre-filter chunks still hold empty-centroid rows
+             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE query_id = -1),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+             |sc AS (SELECT e.vec_id, cb.sub, cb.code,
+             |    list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], cb.centroid)
+             |      / (sqrt(list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], v[cb.sub*16+1 : cb.sub*16+16]))
+             |         * sqrt(list_dot_product(cb.centroid, cb.centroid))) AS cos
+             |  FROM e CROSS JOIN cb),
+             |codes AS (SELECT vec_id, sub, code FROM (
+             |    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        code ASC) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+             |  FROM e WHERE vec_id < 8),
+             |d AS (SELECT q.query_id, codes.vec_id, codes.sub, q.qn,
+             |    list_dot_product(qv[codes.sub*16+1 : codes.sub*16+16], cb.centroid) AS ds,
+             |    list_dot_product(cb.centroid, cb.centroid) AS ns
+             |  FROM q CROSS JOIN codes
+             |  JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code),
+             |p AS (SELECT query_id, vec_id, max(qn) AS qn,
+             |    max(CASE WHEN sub=0 THEN ds END) AS d0, max(CASE WHEN sub=1 THEN ds END) AS d1,
+             |    max(CASE WHEN sub=2 THEN ds END) AS d2, max(CASE WHEN sub=3 THEN ds END) AS d3,
+             |    max(CASE WHEN sub=0 THEN ns END) AS n0, max(CASE WHEN sub=1 THEN ns END) AS n1,
+             |    max(CASE WHEN sub=2 THEN ns END) AS n2, max(CASE WHEN sub=3 THEN ns END) AS n3
+             |  FROM d GROUP BY query_id, vec_id),
+             |s AS (SELECT query_id, vec_id,
+             |    CASE WHEN qn * sqrt(((n0+n1)+n2)+n3) > 0
+             |         THEN (((d0+d1)+d2)+d3) / (qn * sqrt(((n0+n1)+n2)+n3))
+             |         ELSE 'NaN'::DOUBLE END AS score
+             |  FROM p WHERE query_id <> vec_id),
+             |r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY (CASE WHEN isnan(score) THEN -1.7976931348623157e308 ELSE score END) DESC,
+             |      vec_id ASC) AS INT) AS rank
+             |  FROM s)
+             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code, []::DOUBLE[] AS centroid
+             |FROM r WHERE rank <= 5
+             |UNION ALL
+             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -1
+             |ORDER BY query_id, rank, sub, code""".stripMargin)),
   )
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")

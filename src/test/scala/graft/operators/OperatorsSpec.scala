@@ -927,4 +927,98 @@ class OperatorsSpec extends SparkTestBase {
       incoming, Seq((91L, "nothing shared")).toDF("doc_id", "text"), col("text"))
     assert(none.count() == 3)
   }
+
+  test("pqTrain/pqAssign: deterministic codebooks, correct argmax codes, corrupt-dim drop") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 → 2-dim subspaces with axis-aligned clusters:
+    // the trained codebooks must separate them and every assignment is
+    // the nearest (cosine) centroid
+    val vecs = (0L until 40L).map { i =>
+      val a = if (i % 2 == 0) Seq(1.0, 0.01 * i) else Seq(0.01 * i, 1.0)
+      val b = if (i % 3 == 0) Seq(2.0, 0.02 * i) else Seq(0.02 * i, 2.0)
+      (i, a ++ b)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val cbs = Similarity.pqTrain(df, $"v", $"vec_id", m = 2, codes = 2, trainSample = 100)
+    assert(cbs.size == 2 && cbs.forall(cb => cb.size == 2 && cb.forall(_.length == 2)))
+    // determinism: input order/partitioning must not change the model
+    val cbs2 = Similarity.pqTrain(
+      df.repartition(7, $"vec_id"), $"v", $"vec_id", m = 2, codes = 2, trainSample = 100)
+    assert(cbs.map(_.map(_.toSeq)) == cbs2.map(_.map(_.toSeq)))
+    val codes = Similarity.pqAssign(df, $"v", $"vec_id", cbs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 40 * 2, "one code per (vector, subspace)")
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.foreach { case (id, v) =>
+      (0 until 2).foreach { s =>
+        val sv = v.slice(s * 2, s * 2 + 2)
+        val sims = cbs(s).map(c => cos(sv, c))
+        val want = sims.indices.maxBy(i => (sims(i), -i))
+        assert(codes((id, s)) == want, s"vec $id sub $s")
+      }
+    }
+    // a wrong-dimension vector is dropped, not mis-coded
+    val ragged = df.union(Seq((99L, Seq(1.0, 2.0))).toDF("vec_id", "v"))
+    assert(Similarity.pqAssign(ragged, $"v", $"vec_id", cbs)
+      .filter($"vec_id" === 99L).count() == 0)
+  }
+
+  test("pqAdcTopK: bit-exact vs local ADC recomputation; join-free plan; zero-norm query rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val cbs = Similarity.pqTrain(df, $"v", $"vec_id", m = 2, codes = 4, trainSample = 100)
+    val queries = vecs.take(3).map { case (id, v) => (id, v.toArray) }
+    val got = Similarity.pqAdcTopK(df, $"v", $"vec_id", queries, cbs, k = 4)
+    // plan shape: one corpus scan, LUT lookups in projection, bounded
+    // top-k aggregation — no join, no window anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // local recomputation: codes by per-sub argmax cosine (ties → lowest
+    // code), ADC score with the same nested accumulation order
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    def cosv(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val localCodes = vecs.map { case (id, v) =>
+      id -> (0 until 2).map { s =>
+        val sv = v.slice(s * 4, s * 4 + 4)
+        val sims = cbs(s).map(c => cosv(sv, c.toSeq))
+        sims.indices.maxBy(i => (sims(i), -i))
+      }
+    }.toMap
+    queries.foreach { case (qid, qv) =>
+      val qn = math.sqrt(dot(qv.toSeq, qv.toSeq))
+      val scored = vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val cs = localCodes(vid)
+        val num = (0 until 2).map(s => dot(qv.slice(s * 4, s * 4 + 4).toSeq, cbs(s)(cs(s)).toSeq)).reduceLeft(_ + _)
+        val den = qn * math.sqrt((0 until 2).map(s => dot(cbs(s)(cs(s)).toSeq, cbs(s)(cs(s)).toSeq)).reduceLeft(_ + _))
+        (vid, if (den > 0) num / den else Double.NaN)
+      }
+      val want = scored.sortBy { case (vid, sc) =>
+        (-(if (sc.isNaN) Double.NegativeInfinity else sc), vid)
+      }.take(4)
+      want.zipWithIndex.foreach { case ((vid, sc), i) =>
+        val (gvid, gsc) = rows((qid, i + 1))
+        assert(gvid == vid && gsc == sc, s"query $qid rank ${i + 1}")
+      }
+    }
+    // zero-norm query vectors cannot rank anything — rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(df, $"v", $"vec_id", Seq((5L, Array.fill(8)(0.0))), cbs, k = 2)
+    }
+    assert(err.getMessage.contains("zero-norm"))
+  }
 }

@@ -133,4 +133,89 @@ object TemporalJoins {
           rightOut.map { case (n, _) => col("__rp").getField(n).as(n) } :+
           ((col("__t2") - col("__t")) / 1000000.0).as(deltaName): _*)
   }
+
+  /** Keyless interval-overlap join: every (left, right) pair whose
+    * closed integer intervals `[lStart, lEnd]` × `[rStart, rEnd]`
+    * overlap (touching endpoints count). This is the general range join
+    * Spark SQL lacks — a bare theta join planner-degrades to a
+    * nested-loop cross product, O(|L|·|R|) at any cluster size.
+    *
+    * Plan: both sides replicate to every `binWidth`-sized bin their
+    * interval touches and the theta join becomes an EQUI-join on bin
+    * id; the overlap predicate then exact-filters within the bin. A
+    * pair overlapping across several shared bins is emitted exactly
+    * ONCE by the canonical-bin rule — only the bin containing the
+    * overlap's start, `max(lStart, rStart)`, produces it — so no
+    * distinct-shuffle dedup runs afterwards.
+    *
+    * Scale: shuffle keys are bin ids, uniform for bounded interval
+    * lengths; per-row replication is `len/binWidth + 1`, so set
+    * `binWidth` near the typical interval length (too small →
+    * replication, too big → fat bins that approach the cross product
+    * within a bin). Intervals touching more than `maxBinsPerInterval`
+    * bins fail LOUDLY — one unbounded interval would otherwise
+    * replicate itself across the whole axis and masquerade as a hang.
+    * Bin ids use exact integer floor division (no doubles), so any
+    * long endpoint is safe, negatives included. `end < start` rows
+    * fail loudly too: silently dropping a malformed interval would
+    * read as "no overlap" — indistinguishable from correct data.
+    *
+    * Output: `leftOut ++ rightOut ++ (overlapName → inclusive overlap
+    * length, min(lEnd,rEnd) − max(lStart,rStart) + 1)`.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: Column,
+      lEnd: Column,
+      rStart: Column,
+      rEnd: Column,
+      leftOut: Seq[(String, Column)],
+      rightOut: Seq[(String, Column)],
+      binWidth: Long,
+      overlapName: String = "overlap_len",
+      maxBinsPerInterval: Long = 65536L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val names = leftOut.map(_._1) ++ rightOut.map(_._1) :+ overlapName
+    require(names.distinct.size == names.size,
+      s"output column names must be distinct, got ${names.mkString(", ")}")
+    // exact integer floor division via pmod (Column `/` is double —
+    // loses exactness past 2^53; `div` truncates toward zero and
+    // mis-bins negative endpoints)
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    def side(df: DataFrame, s: Column, e: Column, outs: Seq[(String, Column)],
+             sN: String, eN: String, pN: String, who: String) = {
+      val guardedE = when(e.cast("long") < s.cast("long"), raise_error(concat(
+        lit(s"intervalOverlapJoin: $who interval end < start at start="),
+        s.cast("string")))).otherwise(e.cast("long"))
+      df.select(s.cast("long").as(sN), guardedE.as(eN),
+          struct(outs.map { case (n, c) => c.as(n) }: _*).as(pN))
+        .filter(col(sN).isNotNull && col(eN).isNotNull)
+    }
+    val l = side(left, lStart, lEnd, leftOut, "__ls", "__le", "__lp", "left")
+    val r = side(right, rStart, rEnd, rightOut, "__rs", "__re", "__rp", "right")
+    def bins(sN: String, eN: String, who: String): Column = {
+      val lo = floorDiv(col(sN)); val hi = floorDiv(col(eN))
+      when(hi - lo + 1 > maxBinsPerInterval, raise_error(concat(
+        lit(s"intervalOverlapJoin: $who interval at start="), col(sN).cast("string"),
+        lit(s" touches more than $maxBinsPerInterval bins of width $binWidth — " +
+          "widen binWidth or split the interval"))))
+        .otherwise(sequence(lo, hi))
+    }
+    val lx = l.withColumn("__b", explode(bins("__ls", "__le", "left")))
+    val rx = r.withColumn("__b2", explode(bins("__rs", "__re", "right")))
+    lx.join(rx,
+        col("__b") === col("__b2") &&
+          col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+          // canonical bin: only the bin holding the overlap's start emits
+          col("__b") === floorDiv(greatest(col("__ls"), col("__rs"))))
+      .select(
+        leftOut.map { case (n, _) => col("__lp").getField(n).as(n) } ++
+          rightOut.map { case (n, _) => col("__rp").getField(n).as(n) } :+
+          (least(col("__le"), col("__re")) - greatest(col("__ls"), col("__rs")) + 1)
+            .as(overlapName): _*)
+  }
 }

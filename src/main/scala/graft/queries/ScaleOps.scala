@@ -298,6 +298,49 @@ object ScaleOps {
              |UNION ALL
              |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -1
              |ORDER BY query_id, rank, sub, code""".stripMargin)),
+
+    // ---- keyless interval-overlap join: shipment windows
+    // [l_shipdate, l_shipdate + l_quantity days] (this testdata carries
+    // no receipt date; quantity makes a deterministic 1-50 day window)
+    // × 30-day order fulfillment windows [o_orderdate, o_orderdate+30].
+    // A bare theta join planner-degrades to a nested-loop cross
+    // product; the operator bins the time axis (binWidth = 32 days) and
+    // turns it into an equi-join on bin id with canonical-bin dedup —
+    // each overlapping pair emitted exactly once, no distinct shuffle.
+    // The oracle IS that cross product (the O(n·m) formulation the
+    // operator replaces), exact in integer day arithmetic.
+    Q(
+      "q84_interval_overlap_join",
+      (s, d) => {
+        import s.implicits._
+        val epoch = to_date(lit("1970-01-01"))
+        val li = Tables.lineitem(s, d).where($"l_orderkey" % 97 === 0)
+        val ord = Tables.orders(s, d).where($"o_orderkey" % 53 === 0)
+        graft.operators.TemporalJoins.intervalOverlapJoin(
+          li, ord,
+          datediff($"l_shipdate", epoch).cast("long"),
+          (datediff($"l_shipdate", epoch) + $"l_quantity".cast("int")).cast("long"),
+          datediff($"o_orderdate", epoch).cast("long"),
+          (datediff($"o_orderdate", epoch) + 30).cast("long"),
+          Seq("l_orderkey" -> $"l_orderkey", "l_linenumber" -> $"l_linenumber"),
+          Seq("o_orderkey" -> $"o_orderkey"),
+          binWidth = 32)
+          .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+             |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ls,
+             |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             |      + CAST(l_quantity AS INT) AS le
+             |  FROM lineitem WHERE l_orderkey % 97 = 0),
+             |od AS (SELECT o_orderkey,
+             |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS rs,
+             |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS re
+             |  FROM orders WHERE o_orderkey % 53 = 0)
+             |SELECT li.l_orderkey, li.l_linenumber, od.o_orderkey,
+             |  CAST(least(le, re) - greatest(ls, rs) + 1 AS BIGINT) AS overlap_len
+             |FROM li CROSS JOIN od
+             |WHERE ls <= re AND rs <= le
+             |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin)),
   )
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")

@@ -1021,4 +1021,52 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("zero-norm"))
   }
+
+  test("intervalOverlapJoin: exact theta-join parity, single emission, no cross product, loud guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // negative and positive endpoints, zero-length (point) intervals,
+    // lengths crossing several bins at binWidth=7
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(400) - 200L
+      (idBase + i, s, s + rnd.nextInt(40))
+    }
+    val ls = mk(150, 1000L)
+    val rs = mk(120, 5000L)
+    val l = ls.toDF("lid", "ls", "le")
+    val r = rs.toDF("rid", "rs", "re")
+    val got = TemporalJoins.intervalOverlapJoin(
+      l, r, $"ls", $"le", $"rs", $"re",
+      Seq("lid" -> $"lid"), Seq("rid" -> $"rid"), binWidth = 7)
+    // equi-join on bins, not a planner-degraded cross product
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: the canonical-bin rule must not duplicate a pair
+    // that shares several bins
+    assert(gotRows.length == gotRows.distinct.length, "duplicated pairs")
+    val want = for {
+      (lid, s1, e1) <- ls
+      (rid, s2, e2) <- rs
+      if s1 <= e2 && s2 <= e1
+    } yield (lid, rid, math.min(e1, e2) - math.max(s1, s2) + 1)
+    assert(gotRows.toSet == want.toSet)
+    assert(want.nonEmpty, "fixture produced no overlaps — not testing anything")
+
+    // end < start fails loudly, not as silent non-overlap
+    val bad = Seq((1L, 10L, 5L)).toDF("lid", "ls", "le")
+    val e1 = intercept[Exception] {
+      TemporalJoins.intervalOverlapJoin(bad, r, $"ls", $"le", $"rs", $"re",
+        Seq("lid" -> $"lid"), Seq("rid" -> $"rid"), binWidth = 7).collect()
+    }
+    assert(e1.getMessage.contains("end < start"), e1.getMessage)
+    // an interval spanning more bins than the cap fails loudly
+    val huge = Seq((1L, 0L, 10000000L)).toDF("lid", "ls", "le")
+    val e2 = intercept[Exception] {
+      TemporalJoins.intervalOverlapJoin(huge, r, $"ls", $"le", $"rs", $"re",
+        Seq("lid" -> $"lid"), Seq("rid" -> $"rid"), binWidth = 7,
+        maxBinsPerInterval = 1000).collect()
+    }
+    assert(e2.getMessage.contains("bins of width"), e2.getMessage)
+  }
 }

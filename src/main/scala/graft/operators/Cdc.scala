@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: Delta-style MERGE INTO (upsert +
+  * tombstone delete) and SCD2 history construction, re-expressed as
+  * plain Catalyst plans over parquet — the lakehouse write-path
+  * semantics without a table format. Together with [[Compaction]] and
+  * the z-order key these are the maintenance loop a 100 TB curated
+  * corpus actually runs: merge the day's changes, rewrite small files,
+  * keep history queryable.
+  */
+object Cdc {
+
+  /** MERGE INTO semantics: apply one change batch to a snapshot.
+    * Change rows with `deleteFlag` true remove the matching snapshot
+    * row; others replace it (update) or append (insert). Exactly
+    * Delta's `whenMatched update/delete + whenNotMatched insert`.
+    *
+    * A change batch with TWO rows for one key is an ambiguous merge —
+    * it fails loudly (the same contract as Delta MERGE's
+    * multiple-matches error), as do null change keys, which cannot
+    * address any row. `snapOut`/`changeOut` must emit the SAME column
+    * names — the merged table has one schema.
+    *
+    * Scale: the snapshot moves through ONE left-anti join on the key;
+    * the change side is the small one by nature (a day's changes vs
+    * the corpus) so AQE broadcasts it and the snapshot never
+    * shuffles. The duplicate-key guard windows only the CHANGE batch.
+    */
+  def upsertMerge(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      snapKey: Column,
+      changeKey: Column,
+      deleteFlag: Column,
+      snapOut: Seq[(String, Column)],
+      changeOut: Seq[(String, Column)]): DataFrame = {
+    require(snapOut.nonEmpty && snapOut.map(_._1) == changeOut.map(_._1),
+      s"snapOut and changeOut must emit the same column names, got " +
+        s"${snapOut.map(_._1).mkString(",")} vs ${changeOut.map(_._1).mkString(",")}")
+    val guardedKey = when(changeKey.cast("long").isNull, raise_error(lit(
+      "upsertMerge: change key must be non-null and long-castable — a null key " +
+        "cannot address a snapshot row"))).otherwise(changeKey.cast("long"))
+    val ch = changes.select(
+      guardedKey.as("__k"), deleteFlag.cast("boolean").as("__del"),
+      struct(changeOut.map { case (n, c) => c.as(n) }: _*).as("__p"))
+    val wk = Window.partitionBy(col("__k"))
+    val chGuarded = ch
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__p", when(col("__n") > 1, raise_error(concat(
+        lit("upsertMerge: ambiguous merge — change batch has multiple rows for key "),
+        col("__k").cast("string")))).otherwise(col("__p")))
+    val sn = snapshot.select(
+      snapKey.cast("long").as("__k2"),
+      struct(snapOut.map { case (n, c) => c.as(n) }: _*).as("__p2"))
+    val kept = sn.join(chGuarded.select(col("__k")), col("__k2") === col("__k"), "left_anti")
+      .select(col("__p2").as("__p"))
+    val applied = chGuarded.filter(!coalesce(col("__del"), lit(false))).select(col("__p"))
+    kept.unionByName(applied).select(snapOut.map { case (n, _) =>
+      col("__p").getField(n).as(n) }: _*)
+  }
+
+  /** SCD2 history from a change log: one validity interval per
+    * non-delete change, `[version, next change's version)` per key —
+    * open-ended (`valid_to` null, `is_current` true) for the last
+    * change unless a delete closes it. Delete rows emit no interval;
+    * they only terminate the predecessor's.
+    *
+    * Two changes at one (key, version) are an unordered history —
+    * loud failure, same spirit as [[upsertMerge]]'s ambiguity rule.
+    *
+    * Scale: one shuffle of the change log on key, a single lead()
+    * window per key — change logs per key are bounded by change rate,
+    * not corpus size, so the per-key reducer geometry holds (contrast
+    * with `tokenBudgetCap`'s few-strata case).
+    */
+  def scd2History(
+      log: DataFrame,
+      key: Column,
+      version: Column,
+      deleteFlag: Column,
+      payload: Seq[(String, Column)]): DataFrame = {
+    require(payload.nonEmpty, "scd2History needs at least one payload column")
+    val reserved = Set("key", "valid_from", "valid_to", "is_current")
+    require(payload.map(_._1).forall(!reserved(_)),
+      s"payload names may not collide with ${reserved.mkString(",")}")
+    val guardedKey = when(key.cast("long").isNull, raise_error(lit(
+      "scd2History: key must be non-null and long-castable"))).otherwise(key.cast("long"))
+    val base = log.select(
+      guardedKey.as("key"), version.as("__v"), deleteFlag.cast("boolean").as("__del"),
+      struct(payload.map { case (n, c) => c.as(n) }: _*).as("__p"))
+    val wk = Window.partitionBy(col("key")).orderBy(col("__v").asc)
+    val wDup = Window.partitionBy(col("key"), col("__v"))
+    base
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("__v", when(col("__dup") > 1, raise_error(concat(
+        lit("scd2History: multiple changes at one (key, version) — key "),
+        col("key").cast("string")))).otherwise(col("__v")))
+      .withColumn("valid_to", lead(col("__v"), 1).over(wk))
+      .filter(!coalesce(col("__del"), lit(false)))
+      .select(
+        col("key") +: payload.map { case (n, _) => col("__p").getField(n).as(n) } :+
+          col("__v").as("valid_from") :+ col("valid_to") :+
+          col("valid_to").isNull.as("is_current"): _*)
+  }
+}

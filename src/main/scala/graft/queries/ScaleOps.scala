@@ -341,6 +341,90 @@ object ScaleOps {
              |FROM li CROSS JOIN od
              |WHERE ls <= re AND rs <= le
              |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin)),
+
+    // ---- small-files compaction plan: deterministic sorted-next-fit
+    // bin packing per table partition (documents stand in as the file
+    // listing: source = partition, text bytes = file size). Exact
+    // integer arithmetic over a deterministic order — the plan is
+    // reproducible run-over-run, which a rewrite job requires. The
+    // oracle replays the identical window + integer division.
+    Q(
+      "q85_compaction_plan",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Compaction.compactionPlan(
+          Tables.documents(s, d),
+          $"source", $"doc_id", octet_length($"text"), targetBytes = 16384L)
+          .orderBy($"partition", $"bin", $"size_bytes".desc, $"file_id")
+      },
+      Some("""WITH f AS (SELECT source AS "partition", doc_id AS file_id,
+             |    CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),
+             |c AS (SELECT *, sum(size_bytes) OVER (PARTITION BY "partition"
+             |      ORDER BY size_bytes DESC, file_id ASC
+             |      ROWS UNBOUNDED PRECEDING) - size_bytes AS cum FROM f)
+             |SELECT "partition", file_id, size_bytes, CAST(cum // 16384 AS BIGINT) AS bin
+             |FROM c ORDER BY "partition", bin, size_bytes DESC, file_id""".stripMargin)),
+
+    // ---- MERGE INTO (Delta-style upsert + tombstone delete) without a
+    // table format: snapshot = per-user state from the first half of
+    // the event log, change batch = per-user state from the second
+    // half, tombstones for user_id % 9 = 0. The snapshot moves through
+    // ONE left-anti join (change side broadcast by AQE); ambiguous
+    // change batches fail loudly. Oracle = the NOT IN / UNION ALL
+    // formulation, decimal-exact sums.
+    Q(
+      "q86_upsert_merge",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        def state(df: DataFrame) = df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        val snap = state(ev.filter($"ts" < cutoff))
+        val chg = state(ev.filter($"ts" >= cutoff))
+          .withColumn("del", $"user_id" % 9 === 0)
+        val outs = Seq("user_id" -> $"user_id", "n_events" -> $"n_events",
+          "total_value" -> $"total_value")
+        graft.operators.Cdc.upsertMerge(
+          snap, chg, $"user_id", $"user_id", $"del", outs, outs)
+          .orderBy($"user_id")
+      },
+      Some("""WITH snap AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+             |chg AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |    user_id % 9 = 0 AS del
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id)
+             |SELECT user_id, n_events, total_value FROM snap
+             |WHERE user_id NOT IN (SELECT user_id FROM chg)
+             |UNION ALL
+             |SELECT user_id, n_events, total_value FROM chg WHERE NOT del
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- SCD2 history from the event change log: one validity
+    // interval per non-delete change, closed by the next change or by
+    // an 'error' tombstone (which emits no interval of its own).
+    // One lead() window per user — per-key rows bounded by change
+    // rate. Oracle replays the identical window, exact timestamps.
+    Q(
+      "q87_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Cdc.scd2History(
+          Tables.events(s, d).filter($"user_id" < 40),
+          $"user_id", $"ts", $"event_type" === "error",
+          Seq("event_type" -> $"event_type", "value" -> $"value"))
+          .orderBy($"key", $"valid_from")
+      },
+      Some("""WITH e AS (SELECT user_id AS key, ts, event_type, value,
+             |    event_type = 'error' AS del FROM events WHERE user_id < 40),
+             |l AS (SELECT *, lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
+             |  FROM e)
+             |SELECT key, event_type, value, ts AS valid_from, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM l WHERE NOT del ORDER BY key, valid_from""".stripMargin)),
   )
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")

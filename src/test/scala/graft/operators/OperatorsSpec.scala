@@ -1069,4 +1069,92 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("bins of width"), e2.getMessage)
   }
+
+  test("compactionPlan: exact sorted-next-fit bins, repartition-invariant, loud guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val files = (0L until 200L).map(i => (s"p${i % 5}", i, rnd.nextInt(5000).toLong))
+    val df = files.toDF("p", "fid", "sz")
+    val target = 8000L
+    val got = Compaction.compactionPlan(df, $"p", $"fid", $"sz", target)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 200, "every file exactly once")
+    files.groupBy(_._1).foreach { case (p, fs) =>
+      var cum = 0L
+      fs.sortBy { case (_, fid, sz) => (-sz, fid) }.foreach { case (_, fid, sz) =>
+        assert(got((p, fid)) == ((sz, cum / target)), s"file $p/$fid")
+        cum += sz
+      }
+    }
+    // plan must not depend on input partitioning
+    val got2 = Compaction.compactionPlan(df.repartition(13, $"fid"), $"p", $"fid", $"sz", target)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got2 == got)
+    val eNeg = intercept[Exception] {
+      Compaction.compactionPlan(Seq(("p", 1L, -5L)).toDF("p", "fid", "sz"),
+        $"p", $"fid", $"sz", target).collect()
+    }
+    assert(eNeg.getMessage.contains("non-negative"), eNeg.getMessage)
+    val eNull = intercept[Exception] {
+      Compaction.compactionPlan(Seq(("p", Option.empty[Long], 5L)).toDF("p", "fid", "sz"),
+        $"p", $"fid", $"sz", target).collect()
+    }
+    assert(eNull.getMessage.contains("file id"), eNull.getMessage)
+  }
+
+  test("upsertMerge: update/insert/delete/keep semantics, ambiguous batch and null key fail loudly") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (9L, "z", 90.0))
+      .toDF("k", "name", "v")
+    val chg = Seq(
+      (2L, "b2", 21.0, false), // update
+      (5L, "e", 50.0, false),  // insert
+      (9L, "", 0.0, true))     // delete
+      .toDF("k", "name", "v", "del")
+    val out = Seq("k" -> col("k"), "name" -> col("name"), "v" -> col("v"))
+    val got = Cdc.upsertMerge(snap, chg, col("k"), col("k"), col("del"), out, out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (5L, "e", 50.0)))
+    val dup = chg.union(Seq((2L, "b3", 22.0, false)).toDF("k", "name", "v", "del"))
+    val e1 = intercept[Exception] {
+      Cdc.upsertMerge(snap, dup, col("k"), col("k"), col("del"), out, out).collect()
+    }
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    val nullKey = Seq((Option.empty[Long], "x", 1.0, false)).toDF("k", "name", "v", "del")
+    val e2 = intercept[Exception] {
+      Cdc.upsertMerge(snap, nullKey, col("k"), col("k"), col("del"), out, out).collect()
+    }
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+  }
+
+  test("scd2History: intervals chain per key, deletes close without emitting, dup version fails") {
+    import spark.implicits._
+    // out-of-order input rows — the window must sort, not trust order
+    val log = Seq(
+      (1L, 30L, "s3", false),
+      (1L, 10L, "s1", false),
+      (1L, 20L, "s2", false),
+      (2L, 10L, "t1", false),
+      (2L, 20L, "", true),   // tombstone closes t1, emits nothing
+      (3L, 5L, "u1", false))
+      .toDF("k", "v", "state", "del")
+    val got = Cdc.scd2History(log, col("k"), col("v"), col("del"),
+      Seq("state" -> col("state")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "s1", 10L, Some(20L), false),
+      (1L, "s2", 20L, Some(30L), false),
+      (1L, "s3", 30L, None, true),
+      (2L, "t1", 10L, Some(20L), false),
+      (3L, "u1", 5L, None, true)))
+    val dup = log.union(Seq((1L, 10L, "s1b", false)).toDF("k", "v", "state", "del"))
+    val e = intercept[Exception] {
+      Cdc.scd2History(dup, col("k"), col("v"), col("del"),
+        Seq("state" -> col("state"))).collect()
+    }
+    assert(e.getMessage.contains("multiple changes"), e.getMessage)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms beyond the connected components in
+  * [[Dedup.clusters]]. Same design rules: DataFrame joins/aggregations
+  * only (each iteration is one shuffle on node id, exactly the
+  * Pregel-style message exchange), eager `localCheckpoint` per
+  * iteration to truncate the growing lineage — the GraphX trade
+  * re-expressed on the Dataset API.
+  */
+object Graph {
+
+  /** PageRank with damping `d` over a directed edge list, `iters`
+    * fixed power iterations from the uniform start 1/N:
+    *
+    *   r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+    *
+    * Dangling mass (rank parked on nodes with no out-edges)
+    * redistributes uniformly — the standard correction; without it
+    * total rank leaks and scores drift low. Duplicate edges count
+    * once (an edge list from a fact table is a multiset; PageRank is
+    * defined on the graph). Null endpoints fail loudly.
+    *
+    * Scale: per iteration, ONE shuffle joins ranks to edges on src
+    * and ONE aggregates contributions on dst — both partition by node
+    * id, so AQE coalesces and the plan is the classic distributed
+    * PageRank exchange. The dangling scalar is a 1-row aggregate
+    * cross-joined back (broadcast, no extra shuffle of the rank
+    * table). Each iteration eagerly `localCheckpoint`s: 10+ iterations
+    * otherwise compound a lineage Catalyst re-optimizes per action,
+    * and the executor-local checkpoint (no DFS round-trip) is the
+    * documented trade for a deterministic fixed-iteration loop.
+    */
+  def pageRank(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      d: Double = 0.85,
+      iters: Int = 10): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"damping must be in (0,1), got $d")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"pageRank: $side node id must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val e = edges.select(guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
+      .distinct()
+    // node universe = src ∪ dst; out-degrees over the deduped edges
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("node"), (col("rank") / col("outdeg")).as("__c"))
+        .join(e, col("node") === e("src"))
+        .groupBy(e("dst").as("node2"))
+        .agg(sum(col("__c")).as("__sum"))
+      ranks = nodes
+        .join(contribs, col("node") === col("node2"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("__sum"), lit(0.0)) + col("__dang") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

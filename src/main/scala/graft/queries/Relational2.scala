@@ -410,7 +410,7 @@ object Relational2 {
       // session's lifetime
       try {
         val q = s.readStream.schema(rawSchema).parquet(dir.toString)
-          .withColumn("ts", Tables.eventsTsFromNanos)
+          .withColumn("ts", Tables.normalizedEventsTs(rawSchema("ts").dataType))
           .withWatermark("ts", "1 hour")
           .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
           .agg(

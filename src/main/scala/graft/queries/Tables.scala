@@ -21,18 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table is written with TIMESTAMP(NANOS) parquet, which
-    * Spark 4 rejects outright — read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp with integer division (a double
-    * division would lose precision above 2^53; the data is µs-aligned so
-    * the conversion is lossless).
+  /** The events table's on-disk `ts` representation has varied across
+    * testdata generations: TIMESTAMP(NANOS) (Spark 4 rejects it — read
+    * nanos as long under the legacy conf and divide), plain
+    * `timestamp[us]` without isAdjustedToUTC (Spark reads
+    * TIMESTAMP_NTZ — cast to TIMESTAMP, lossless because every graft
+    * session pins spark.sql.session.timeZone=UTC, and it matches
+    * DuckDB's naive reading of the same file), or a UTC-adjusted
+    * timestamp (already the type every downstream op wants). One
+    * normalization shared by [[events]] and the q19 file-stream
+    * reader — no drift.
     */
-  /** The nanos→µs timestamp conversion shared by [[events]] and the
-    * q19 file-stream reader — one definition, no drift.
-    */
-  def eventsTsFromNanos: org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000"))
+  def normalizedEventsTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      // nanos as long: integer division (a double division would lose
+      // precision above 2^53; the data is µs-aligned so this is lossless)
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+  }
 
   /** Raw on-disk events schema (ts = nanos as long). Sets the legacy
     * conf for the duration of the footer read; note [[events]] must
@@ -48,9 +58,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", eventsTsFromNanos)
-    else df
+    df.withColumn("ts", normalizedEventsTs(df.schema("ts").dataType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -170,6 +170,47 @@ private[operators] object LocalKMeans {
 
 object Similarity {
 
+  /** The bounded deterministic training sample shared by every
+    * quantizer trainer ([[ivfTopK]]'s coarse quantizer, [[pqTrain]],
+    * [[coarseTrain]]): the `limit` smallest `xxhash64(id)` vectors (id
+    * tie-break), nulls dropped, then only the MODAL dimension kept
+    * (count-majority, smaller-dim tie-break — deterministic). One
+    * definition so every trainer selects bit-identically.
+    */
+  private def trainSampleVectors(
+      base: DataFrame, idCol: String, vecCol: String, limit: Int): Array[Array[Double]] = {
+    val raw = base
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"), col(idCol)).limit(limit)
+      .select(col(vecCol)).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(_.nonEmpty)
+    require(raw.nonEmpty, "quantizer training sample is empty (all-null/empty embeddings?)")
+    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
+    raw.filter(_.length == dim)
+  }
+
+  /** Coarse-quantizer training as a standalone step (the trainer
+    * [[ivfTopK]] runs internally): bounded hash-selected sample →
+    * deterministic kmeans++ + Lloyd → `nlist` × dim centroids,
+    * returned driver-side so callers can ship them into plans as
+    * literals AND emit them for independent verification — the
+    * [[ivfPqTopK]] contract.
+    */
+  def coarseTrain(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      nlist: Int = 16,
+      iters: Int = 10,
+      trainSample: Int = 4096): Seq[Array[Double]] = {
+    require(nlist >= 1, s"coarseTrain needs nlist >= 1, got $nlist")
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull)
+    LocalKMeans.train(trainSampleVectors(base, "vec_id", "v", trainSample), nlist, iters).toSeq
+  }
+
   /** Rank `scored` (query_id, corpus_id, cosine) down to the top `k`
     * per query via [[TopKByScore]]: partial top-k heaps run map-side,
     * so the shuffle carries ≤ k rows per (partition, query) — never the
@@ -342,15 +383,8 @@ object Similarity {
     // length (count-majority, smaller-dim tie-break — deterministic),
     // since the quantizer's Lloyd sums need one dim and quantizer
     // QUALITY is all the sample affects
-    val raw = base
-      .withColumn("h", xxhash64(col("corpus_id")))
-      .orderBy(col("h"), col("corpus_id")).limit(trainSample)
-      .select(col("cv")).collect()
-      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
-      .filter(_.nonEmpty)
-    require(raw.nonEmpty, "IVF training sample is empty (all-null/empty embeddings?)")
-    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
-    val sample = raw.filter(_.length == dim)
+    val sample = trainSampleVectors(base, "corpus_id", "cv", trainSample)
+    val dim = sample.head.length
     val cents = LocalKMeans.train(sample, nlist, iters)
     val centroids = typedLit(cents.map(_.toSeq).toSeq)
 
@@ -487,18 +521,11 @@ object Similarity {
     val base = df
       .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
       .filter(col("vec_id").isNotNull)
-    val raw = base
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(trainSample)
-      .select(col("v")).collect()
-      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
-      .filter(_.nonEmpty)
-    require(raw.nonEmpty, "PQ training sample is empty (all-null/empty embeddings?)")
-    val dim = raw.groupBy(_.length).maxBy { case (l, vs) => (vs.length, -l) }._1
+    val sample = trainSampleVectors(base, "vec_id", "v", trainSample)
+    val dim = sample.head.length
     require(dim % m == 0,
       s"PQ: modal dimension $dim is not divisible by m=$m subspaces")
     val subdim = dim / m
-    val sample = raw.filter(_.length == dim)
     (0 until m).map { s =>
       val sub = sample.map(_.slice(s * subdim, (s + 1) * subdim))
       LocalKMeans.train(sub, codes, iters).toSeq
@@ -648,6 +675,145 @@ object Similarity {
     }
     val scored0 = coded
       .select(col("vec_id").as("corpus_id"), explode(array(perQuery: _*)).as("e"))
+      .select(col("e.query_id").as("query_id"), col("corpus_id"), col("e.score").as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0
+    topKPerQuery(scored, k).withColumnRenamed("cosine", "score")
+  }
+
+  /** Driver-side twin of [[graft.functions.CentroidKernels.nearestCentroids]]
+    * for the bounded query set: same one-loop cosine accumulation, same
+    * NaN/dimension-mismatch → worst ranking, same repeated-argmax
+    * selection with ties toward the smaller centroid id, same 1-based
+    * cell ids — so a query's probe list is exactly what the kernel
+    * would emit for its vector.
+    */
+  private def nearestCellsLocal(
+      v: Array[Double], cents: Seq[Array[Double]], top: Int): Seq[Int] = {
+    val sims = cents.map { c =>
+      if (c == null || c.length != v.length) Double.NegativeInfinity
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i) * c(i); na += v(i) * v(i); nb += c(i) * c(i); i += 1
+        }
+        val s = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      }
+    }
+    val used = new Array[Boolean](cents.size)
+    (0 until math.min(top, cents.size)).map { _ =>
+      var best = -1; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.size) {
+        if (!used(c) && (best == -1 || sims(c) > bestS)) { best = c; bestS = sims(c) }
+        c += 1
+      }
+      used(best) = true
+      best + 1
+    }
+  }
+
+  /** IVF-PQ top-k (FAISS IVFADC, `by_residual=false` flavor, as one
+    * Catalyst scan): the coarse quantizer routes every corpus vector to
+    * a cell map-side ([[graft.functions.NearestCentroids]] over the
+    * centroid literal), rows whose cell no query probes are DROPPED
+    * before any PQ work, and survivors are scored by the same
+    * per-query ADC lookup tables as [[pqAdcTopK]] — gated per query on
+    * `cell ∈ probes(query)`.
+    *
+    * The 100 TB story composes both halves: the corpus is touched in
+    * ONE scan with no join and no corpus shuffle (cell id, codes,
+    * scores are all codegen'd literal arithmetic), the cell filter
+    * discards `1 - nprobe/nlist` of it before the m argmax code
+    * assignments run, and only bounded per-partition top-k partials
+    * move. Raw-vector PQ (not residual) keeps every score independently
+    * re-derivable from (centroids, codebooks) alone — the oracle
+    * recomputes routing, codes, and every ADC score from the emitted
+    * model with no access to this engine's intermediates.
+    *
+    * Ranking: score desc, corpus id asc, NaN worst ([[pqAdcTopK]]).
+    * Zero-norm or wrong-dimension query vectors are rejected loudly;
+    * corrupt corpus vectors (ragged dims) drop as in [[pqCodesArray]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queries: Seq[(Long, Array[Double])],
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val subdim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      "PQ codebooks must share one subspace dimension")
+    val m = codebooks.size
+    val dim = subdim * m
+    require(centroids.nonEmpty, "ivfPqTopK needs at least one coarse centroid")
+    require(centroids.forall(c => c != null && c.length == dim),
+      s"coarse centroids must have the PQ dimension $dim")
+    require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
+    require(queries.nonEmpty, "ivfPqTopK needs at least one query")
+    queries.foreach { case (qid, qv) =>
+      require(qv != null && qv.length == dim,
+        s"query $qid: vector dimension ${Option(qv).map(_.length).orNull} != trained $dim")
+      require(dotSeq(qv, qv) > 0.0, s"query $qid: zero-norm vector cannot rank neighbors")
+    }
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    val probes: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      qid -> nearestCellsLocal(qv, centroids, nprobe)
+    }.toMap
+    // cells at least one query probes — the map-side IVF prune; sorted
+    // for a deterministic isin literal list
+    val probedUnion = probes.values.flatten.toSeq.distinct.sorted
+
+    val base = corpus
+      .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("v"))
+      .filter(col("corpus_id").isNotNull && size(col("v")) === dim)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val withCell = base
+      .withColumn("cell",
+        element_at(graft.functions.GraftFunctions.nearestCentroids(spark, col("v"), centLit, 1), 1))
+      .filter(col("cell").isin(probedUnion.map(Integer.valueOf): _*))
+    // PQ codes only for rows that survived routing — same argmax rule
+    // and 0-based codes as pqCodesArray
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("v"), s * subdim + 1, subdim)
+      val cb = typedLit(codebooks(s).map(_.toSeq))
+      element_at(graft.functions.GraftFunctions.nearestCentroids(spark, sv, cb, 1), 1) - lit(1)
+    }
+    val coded = withCell.select(
+      col("corpus_id"), col("cell"), array(codeCols: _*).as("codes"))
+
+    val norm2: Seq[Seq[Double]] = codebooks.map(_.map(c => dotSeq(c, c)).toSeq)
+    val codeAt = (s: Int) => element_at(col("codes"), s + 1) + lit(1)
+    val den2 = (0 until m)
+      .map(s => element_at(typedLit(norm2(s)), codeAt(s)))
+      .reduceLeft(_ + _)
+    val perQuery = queries.map { case (qid, qv) =>
+      val qnorm = math.sqrt(dotSeq(qv, qv))
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qs = qv.slice(s * subdim, (s + 1) * subdim)
+        codebooks(s).map(c => dotSeq(qs, c)).toSeq
+      }
+      val num = (0 until m)
+        .map(s => element_at(typedLit(lut(s)), codeAt(s)))
+        .reduceLeft(_ + _)
+      val den = lit(qnorm) * sqrt(den2)
+      // the per-query probe gate: a corpus row scores for THIS query
+      // only if its cell is probed — null otherwise, dropped below
+      when(col("cell").isin(probes(qid).map(Integer.valueOf): _*),
+        struct(lit(qid).as("query_id"),
+          when(den > 0.0, num / den).otherwise(lit(Double.NaN)).as("score")))
+    }
+    val scored0 = coded
+      .select(col("corpus_id"),
+        explode(filter(array(perQuery: _*), e => e.isNotNull)).as("e"))
       .select(col("e.query_id").as("query_id"), col("corpus_id"), col("e.score").as("cosine"))
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0

@@ -425,6 +425,118 @@ object ScaleOps {
              |SELECT key, event_type, value, ts AS valid_from, valid_to,
              |  valid_to IS NULL AS is_current
              |FROM l WHERE NOT del ORDER BY key, valid_from""".stripMargin)),
+
+    // ---- IVF-PQ top-k (FAISS IVFADC, by_residual=false, as ONE
+    // Catalyst corpus scan): the coarse quantizer routes each corpus
+    // vector to its cell map-side, rows in unprobed cells drop BEFORE
+    // any PQ work, survivors score through the per-query ADC lookup
+    // tables gated on cell membership — no join, no corpus shuffle at
+    // any scale (8 cells × probe 3 ≈ 37% of the corpus scanned here).
+    // Output = coarse centroid rows (query_id -2, cell id in `code`,
+    // 1-based) + PQ codebook rows (query_id -1) + top-5 rows. The
+    // oracle is FULLY independent on the whole search path: from the
+    // emitted model alone DuckDB re-derives every vector's cell
+    // (argmax-cosine over centroids), every PQ code (q82), every
+    // query's probe set (top-nprobe cells), every ADC score on the
+    // probed subset, and the exact ranking — emitted neighbors must
+    // match row-for-row, score-for-score.
+    Q(
+      "q88_ivfpq_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cents = graft.operators.Similarity.coarseTrain(
+          emb, $"embedding", $"vec_id", nlist = 8)
+        val cbs = graft.operators.Similarity.pqTrain(
+          emb, $"embedding", $"vec_id", m = 4, codes = 16)
+        val queries = emb.filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        val topk = graft.operators.Similarity.ivfPqTopK(
+          emb, $"embedding", $"vec_id", queries, cents, cbs, k = 5, nprobe = 3)
+          .select($"query_id", $"rank", $"corpus_id".as("vec_id"), $"score",
+            lit(-1).as("sub"), lit(-1).as("code"),
+            typedLit(Seq.empty[Double]).as("centroid"))
+        val centRows = cents.zipWithIndex.map { case (c, i) =>
+          (-2L, -1, -1L, 0.0, -1, i + 1, c.toSeq)
+        }
+        val cbRows = for {
+          (cb, sIdx) <- cbs.zipWithIndex
+          (cent, cIdx) <- cb.zipWithIndex
+        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, cent.toSeq)
+        s.createDataFrame(centRows ++ cbRows)
+          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "centroid")
+          .unionByName(topk)
+          .orderBy($"query_id", $"rank", $"sub", $"code")
+      },
+      Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q88_ivfpq_topk/*.parquet')),
+             |-- MATERIALIZED: see q82 — pre-filter chunks still hold empty-centroid rows
+             |cent AS MATERIALIZED (SELECT code AS cid, centroid FROM outp WHERE query_id = -2),
+             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE query_id = -1),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+             |csc AS (SELECT e.vec_id, cent.cid,
+             |    list_dot_product(v, cent.centroid)
+             |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+             |  FROM e CROSS JOIN cent),
+             |cells AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        cid ASC) AS rn
+             |    FROM csc) WHERE rn = 1),
+             |sc AS (SELECT e.vec_id, cb.sub, cb.code,
+             |    list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], cb.centroid)
+             |      / (sqrt(list_dot_product(v[cb.sub*16+1 : cb.sub*16+16], v[cb.sub*16+1 : cb.sub*16+16]))
+             |         * sqrt(list_dot_product(cb.centroid, cb.centroid))) AS cos
+             |  FROM e CROSS JOIN cb),
+             |codes AS (SELECT vec_id, sub, code FROM (
+             |    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        code ASC) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+             |  FROM e WHERE vec_id < 8),
+             |psc AS (SELECT q.query_id, cent.cid,
+             |    list_dot_product(qv, cent.centroid)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+             |  FROM q CROSS JOIN cent),
+             |probes AS (SELECT query_id, cid FROM (
+             |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        cid ASC) AS rn
+             |    FROM psc) WHERE rn <= 3),
+             |d AS (SELECT q.query_id, codes.vec_id, codes.sub, q.qn,
+             |    list_dot_product(qv[codes.sub*16+1 : codes.sub*16+16], cb.centroid) AS ds,
+             |    list_dot_product(cb.centroid, cb.centroid) AS ns
+             |  FROM q
+             |  JOIN probes ON probes.query_id = q.query_id
+             |  JOIN cells ON cells.cid = probes.cid
+             |  JOIN codes ON codes.vec_id = cells.vec_id
+             |  JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code),
+             |p AS (SELECT query_id, vec_id, max(qn) AS qn,
+             |    max(CASE WHEN sub=0 THEN ds END) AS d0, max(CASE WHEN sub=1 THEN ds END) AS d1,
+             |    max(CASE WHEN sub=2 THEN ds END) AS d2, max(CASE WHEN sub=3 THEN ds END) AS d3,
+             |    max(CASE WHEN sub=0 THEN ns END) AS n0, max(CASE WHEN sub=1 THEN ns END) AS n1,
+             |    max(CASE WHEN sub=2 THEN ns END) AS n2, max(CASE WHEN sub=3 THEN ns END) AS n3
+             |  FROM d GROUP BY query_id, vec_id),
+             |s AS (SELECT query_id, vec_id,
+             |    CASE WHEN qn * sqrt(((n0+n1)+n2)+n3) > 0
+             |         THEN (((d0+d1)+d2)+d3) / (qn * sqrt(((n0+n1)+n2)+n3))
+             |         ELSE 'NaN'::DOUBLE END AS score
+             |  FROM p WHERE query_id <> vec_id),
+             |r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY (CASE WHEN isnan(score) THEN -1.7976931348623157e308 ELSE score END) DESC,
+             |      vec_id ASC) AS INT) AS rank
+             |  FROM s)
+             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code, []::DOUBLE[] AS centroid
+             |FROM r WHERE rank <= 5
+             |UNION ALL
+             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -2
+             |UNION ALL
+             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -1
+             |ORDER BY query_id, rank, sub, code""".stripMargin)),
   )
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")

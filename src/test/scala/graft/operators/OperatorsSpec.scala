@@ -1022,6 +1022,87 @@ class OperatorsSpec extends SparkTestBase {
     assert(err.getMessage.contains("zero-norm"))
   }
 
+  test("ivfPqTopK: full-probe ≡ pqAdcTopK; probe soundness + exact ADC scores; join-free plan; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 80L).map { i => (i, Seq.fill(8)(rnd.nextGaussian())) }
+    val df = vecs.toDF("vec_id", "v")
+    val cbs = Similarity.pqTrain(df, $"v", $"vec_id", m = 2, codes = 4, trainSample = 100)
+    val cents = Similarity.coarseTrain(df, $"v", $"vec_id", nlist = 4, trainSample = 100)
+    assert(cents.size == 4 && cents.forall(_.length == 8))
+    // coarse training is partitioning-invariant like pqTrain
+    val cents2 = Similarity.coarseTrain(
+      df.repartition(7, $"vec_id"), $"v", $"vec_id", nlist = 4, trainSample = 100)
+    assert(cents.map(_.toSeq) == cents2.map(_.toSeq))
+    val queries = vecs.take(3).map { case (id, v) => (id, v.toArray) }
+
+    // nprobe = nlist probes every cell → the IVF gate admits everything
+    // and the result must equal plain ADC over the full corpus
+    val full = Similarity.ivfPqTopK(df, $"v", $"vec_id", queries, cents, cbs, k = 4, nprobe = 4)
+    val adc = Similarity.pqAdcTopK(df, $"v", $"vec_id", queries, cbs, k = 4)
+    assert(full.collect().map(_.toSeq).toSet == adc.collect().map(_.toSeq).toSet)
+
+    // nprobe < nlist: every emitted neighbor must live in a probed cell
+    // and carry the exact ADC score; ranking must equal the local
+    // recomputation restricted to probed cells
+    val got = Similarity.ivfPqTopK(df, $"v", $"vec_id", queries, cents, cbs, k = 4, nprobe = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    def cosv(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def argTop(v: Seq[Double], cs: Seq[Array[Double]], top: Int): Seq[Int] = {
+      val sims = cs.map(c => { val s = cosv(v, c.toSeq); if (s.isNaN) Double.NegativeInfinity else s })
+      sims.indices.sortBy(i => (-sims(i), i)).take(top).map(_ + 1)
+    }
+    val localCell = vecs.map { case (id, v) => id -> argTop(v, cents, 1).head }.toMap
+    val localCodes = vecs.map { case (id, v) =>
+      id -> (0 until 2).map { s =>
+        val sv = v.slice(s * 4, s * 4 + 4)
+        val sims = cbs(s).map(c => cosv(sv, c.toSeq))
+        sims.indices.maxBy(i => (sims(i), -i))
+      }
+    }.toMap
+    queries.foreach { case (qid, qv) =>
+      val probed = argTop(qv.toSeq, cents, 2).toSet
+      val qn = math.sqrt(dot(qv.toSeq, qv.toSeq))
+      val scored = vecs
+        .filter { case (vid, _) => vid != qid && probed.contains(localCell(vid)) }
+        .map { case (vid, _) =>
+          val cs = localCodes(vid)
+          val num = (0 until 2).map(s => dot(qv.slice(s * 4, s * 4 + 4).toSeq, cbs(s)(cs(s)).toSeq)).reduceLeft(_ + _)
+          val den = qn * math.sqrt((0 until 2).map(s => dot(cbs(s)(cs(s)).toSeq, cbs(s)(cs(s)).toSeq)).reduceLeft(_ + _))
+          (vid, if (den > 0) num / den else Double.NaN)
+        }
+      val want = scored.sortBy { case (vid, sc) =>
+        (-(if (sc.isNaN) Double.NegativeInfinity else sc), vid)
+      }.take(4)
+      assert(want.nonEmpty, s"query $qid probed cells are empty — fixture too degenerate")
+      want.zipWithIndex.foreach { case ((vid, sc), i) =>
+        val (gvid, gsc) = rows((qid, i + 1))
+        assert(gvid == vid && gsc == sc, s"query $qid rank ${i + 1}")
+      }
+      // nothing emitted beyond the locally derived count
+      assert(!rows.contains((qid, want.size + 1)) || want.size == 4)
+    }
+
+    // guards: wrong-dimension centroid, zero-norm query
+    val badCent = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(df, $"v", $"vec_id", queries, Seq(Array(1.0, 2.0)), cbs, k = 2)
+    }
+    assert(badCent.getMessage.contains("coarse centroids"))
+    val zq = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(df, $"v", $"vec_id", Seq((5L, Array.fill(8)(0.0))), cents, cbs, k = 2)
+    }
+    assert(zq.getMessage.contains("zero-norm"))
+  }
+
   test("intervalOverlapJoin: exact theta-join parity, single emission, no cross product, loud guards") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

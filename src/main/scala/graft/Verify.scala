@@ -42,8 +42,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val gateCompromised = new java.util.concurrent.atomic.AtomicBoolean(false)
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        Verify.assertGateSortableSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // delete any partial/stale result so the compare sees "no
@@ -94,6 +98,33 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (gateCompromised.get()) sys.exit(1)
+  }
+
+  /** The driver's compare loads the raw parquet result into pandas and
+    * lexsorts EVERY column before hashing; only scalar (atomic) types
+    * are sortable there — one array/map/struct column crashes the gate
+    * with "unhashable type: 'numpy.ndarray'" before a single value is
+    * compared (round-5 q58/q82/q83/q88 all shipped red this way
+    * despite correct Scala). Fail the dump loudly instead: a red row
+    * with an actionable message beats a harness crash. Vector-valued
+    * results must explode to (id, idx, value) rows or serialize to a
+    * delimited string. ScalarSchemaSpec enforces the same rule over
+    * the whole catalog at test time.
+    */
+  def assertGateSortableSchema(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = schema.fields.collect {
+      case f if (f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          }) =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(bad.isEmpty,
+      s"$name emits non-scalar column(s) the driver gate cannot sort " +
+        s"(${bad.mkString(", ")}) — explode to one row per element " +
+        "(id, idx, value) or serialize to a string column")
   }
 }
 

@@ -115,7 +115,9 @@ private[operators] object LocalKMeans {
   }
 
   def train(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    require(sample.nonEmpty, "IVF training sample is empty")
+    // neutral wording: this trainer serves IVF coarse quantizers AND
+    // PQ subspace codebooks (callers share trainSampleVectors' guard)
+    require(sample.nonEmpty, "quantizer training sample is empty")
     val n = sample.length
     val kk = math.min(k, n)
     // farthest-point seeding
@@ -172,16 +174,21 @@ object Similarity {
 
   /** The bounded deterministic training sample shared by every
     * quantizer trainer ([[ivfTopK]]'s coarse quantizer, [[pqTrain]],
-    * [[coarseTrain]]): the `limit` smallest `xxhash64(id)` vectors (id
-    * tie-break), nulls dropped, then only the MODAL dimension kept
-    * (count-majority, smaller-dim tie-break — deterministic). One
-    * definition so every trainer selects bit-identically.
+    * [[coarseTrain]]): the `limit` smallest `xxhash64(id)` vectors (id,
+    * then vector-hash tie-break), nulls dropped, then only the MODAL
+    * dimension kept (count-majority, smaller-dim tie-break —
+    * deterministic). One definition so every trainer selects
+    * bit-identically.
     */
   private def trainSampleVectors(
       base: DataFrame, idCol: String, vecCol: String, limit: Int): Array[Array[Double]] = {
     val raw = base
       .withColumn("h", xxhash64(col(idCol)))
-      .orderBy(col("h"), col(idCol)).limit(limit)
+      // duplicate ids carrying DIFFERENT vectors would otherwise leave
+      // the sample (and so centroids/codebooks) partition-dependent:
+      // hashing the vector makes the order total up to identical
+      // (id, vector) rows, which are interchangeable
+      .orderBy(col("h"), col(idCol), xxhash64(col(vecCol))).limit(limit)
       .select(col(vecCol)).collect()
       .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
       .filter(_.nonEmpty)
@@ -734,7 +741,14 @@ object Similarity {
     *
     * Ranking: score desc, corpus id asc, NaN worst ([[pqAdcTopK]]).
     * Zero-norm or wrong-dimension query vectors are rejected loudly;
-    * corrupt corpus vectors (ragged dims) drop as in [[pqCodesArray]].
+    * wrong-LENGTH corpus vectors drop as in [[pqCodesArray]]. A
+    * trained-length corpus vector with null/NaN elements is RETAINED:
+    * every cosine is NaN → -inf, so the all-ties argmax routes it
+    * deterministically to cell 1 and code 0 per subspace, and it gets
+    * a plausible ADC score — the oracle mirrors exactly that tie rule
+    * (NULL cos sorts last, ties to the smallest id), so parity holds
+    * by construction. Callers wanting such rows gone must filter
+    * element-level corruption upstream.
     */
   def ivfPqTopK(
       corpus: DataFrame,

@@ -1120,22 +1120,30 @@ object LlmOps {
     // ---- int8 embedding quantization: per-vector symmetric scale +
     // quantized values — vector-serving prep. Rounding is floor(v+0.5)
     // by definition (engine round() semantics differ on halves), so
-    // the oracle reproduces every element exactly.
+    // the oracle reproduces every element exactly. The quantized
+    // vector is EXPLODED to one (vec_id, idx, qval) row per element:
+    // the driver's compare lexsorts raw result columns, which only
+    // works on scalar types (an array column crashes it — see the
+    // scalar-schema guard in graft.Verify).
     Q(
       "q58_embedding_quantize",
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
           .select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
-          .select($"vec_id", $"q.scale".as("scale"), $"q.qvec".as("qvec"))
-          .orderBy($"vec_id")
+          .select($"vec_id", $"q.scale".as("scale"),
+            posexplode($"q.qvec").as(Seq("idx", "qval")))
+          .orderBy($"vec_id", $"idx")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
-             |SELECT vec_id, maxabs / 127.0 AS scale,
-             |  CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
-             |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END AS qvec
-             |FROM m ORDER BY vec_id""".stripMargin)),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+             |q AS (SELECT vec_id, maxabs / 127.0 AS scale,
+             |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+             |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END AS qvec
+             |  FROM m)
+             |SELECT vec_id, scale, CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS idx,
+             |  unnest(qvec) AS qval
+             |FROM q ORDER BY vec_id, idx""".stripMargin)),
 
     // ---- sequence packing: docs → fixed-capacity training bins
     // (cap 256 tokens), first-fit-decreasing inside content-hash

@@ -172,12 +172,16 @@ object ScaleOps {
     // ---- product-quantization codes (cosine metric, matching the ANN
     // stack): 4 subspaces × 16 codes over the 64-dim embeddings — the
     // compression step past int8 (q58) that makes a 100 TB embedding
-    // corpus servable. Output = codebook rows (vec_id -1, real
-    // centroid) + code rows (empty centroid). The oracle re-derives
-    // EVERY code independently: it reads only the emitted codebooks and
-    // recomputes each vector's argmax-cosine code with the bit-equal
-    // list_dot_product kernel (q29 precedent), ties to the lowest code
-    // exactly like the NearestCentroids rule.
+    // corpus servable. Output is SCALAR-ONLY (the driver compare
+    // lexsorts raw columns; arrays crash it): codebook rows carry
+    // vec_id -1 and one (dim_idx, value) per centroid element; code
+    // rows carry dim_idx -1 / value 0. The oracle re-derives EVERY
+    // code independently: it re-assembles the codebooks from the
+    // emitted element rows (list(value ORDER BY dim_idx) — exact
+    // doubles, no precision loss) and recomputes each vector's
+    // argmax-cosine code with the bit-equal list_dot_product kernel
+    // (q29 precedent), ties to the lowest code exactly like the
+    // NearestCentroids rule.
     Q(
       "q82_pq_codes",
       (s, d) => {
@@ -188,19 +192,22 @@ object ScaleOps {
         val codeRows = graft.operators.Similarity.pqAssign(
           emb, $"embedding", $"vec_id", cbs)
           .select($"vec_id", $"sub", $"code",
-            typedLit(Seq.empty[Double]).as("centroid"))
+            lit(-1).as("dim_idx"), lit(0.0).as("value"))
         val cbRows = for {
           (cb, sIdx) <- cbs.zipWithIndex
           (cent, cIdx) <- cb.zipWithIndex
-        } yield (-1L, sIdx, cIdx, cent.toSeq)
-        s.createDataFrame(cbRows).toDF("vec_id", "sub", "code", "centroid")
+          (x, dIdx) <- cent.toSeq.zipWithIndex
+        } yield (-1L, sIdx, cIdx, dIdx, x)
+        s.createDataFrame(cbRows)
+          .toDF("vec_id", "sub", "code", "dim_idx", "value")
           .unionByName(codeRows)
-          .orderBy($"vec_id", $"sub", $"code")
+          .orderBy($"vec_id", $"sub", $"code", $"dim_idx")
       },
       Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q82_pq_codes/*.parquet')),
-             |-- MATERIALIZED: DuckDB otherwise evaluates list_dot_product on
-             |-- pre-filter chunks that still hold the empty-centroid code rows
-             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE vec_id = -1),
+             |-- MATERIALIZED: DuckDB otherwise re-runs the list re-assembly
+             |-- per downstream chunk
+             |cb AS MATERIALIZED (SELECT sub, code, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE vec_id = -1 GROUP BY sub, code),
              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
              |sc AS (SELECT e.vec_id, cb.sub, cb.code,
@@ -213,21 +220,24 @@ object ScaleOps {
              |    ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
              |      code ASC) AS rn
              |  FROM sc)
-             |SELECT vec_id, sub, code, []::DOUBLE[] AS centroid FROM r WHERE rn = 1
+             |SELECT vec_id, sub, code, CAST(-1 AS INT) AS dim_idx, 0.0 AS value
+             |FROM r WHERE rn = 1
              |UNION ALL
-             |SELECT vec_id, sub, code, centroid FROM outp WHERE vec_id = -1
-             |ORDER BY vec_id, sub, code""".stripMargin)),
+             |SELECT vec_id, sub, code, dim_idx, value FROM outp WHERE vec_id = -1
+             |ORDER BY vec_id, sub, code, dim_idx""".stripMargin)),
 
     // ---- PQ ADC top-k (FAISS-style asymmetric scoring re-expressed as
     // a Catalyst plan): corpus vectors are represented ONLY by their PQ
     // codes; per-query lookup tables ride in as array literals so the
     // scoring is pure codegen over one corpus scan — no join, no corpus
-    // shuffle. Output = codebook rows (query_id -1) + top-5 rows. The
+    // shuffle. Output = codebook rows (query_id -1, one scalar
+    // (dim_idx, value) row per centroid element — see q82's
+    // scalar-only rationale) + top-5 rows (dim_idx -1 / value 0). The
     // oracle is FULLY independent on the search path: from the emitted
-    // codebooks alone it re-derives every corpus vector's codes
-    // (argmax-cosine, q82), every ADC score (identical nested float
-    // arithmetic), and the exact ranking — the emitted neighbors must
-    // match row-for-row, score-for-score.
+    // codebook element rows alone it re-derives every corpus vector's
+    // codes (argmax-cosine, q82), every ADC score (identical nested
+    // float arithmetic), and the exact ranking — the emitted neighbors
+    // must match row-for-row, score-for-score.
     Q(
       "q83_pq_adc_topk",
       (s, d) => {
@@ -246,19 +256,21 @@ object ScaleOps {
           emb, $"embedding", $"vec_id", queries, cbs, k = 5)
           .select($"query_id", $"rank", $"corpus_id".as("vec_id"), $"score",
             lit(-1).as("sub"), lit(-1).as("code"),
-            typedLit(Seq.empty[Double]).as("centroid"))
+            lit(-1).as("dim_idx"), lit(0.0).as("value"))
         val cbRows = for {
           (cb, sIdx) <- cbs.zipWithIndex
           (cent, cIdx) <- cb.zipWithIndex
-        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, cent.toSeq)
+          (x, dIdx) <- cent.toSeq.zipWithIndex
+        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, dIdx, x)
         s.createDataFrame(cbRows)
-          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "centroid")
+          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "dim_idx", "value")
           .unionByName(topk)
-          .orderBy($"query_id", $"rank", $"sub", $"code")
+          .orderBy($"query_id", $"rank", $"sub", $"code", $"dim_idx")
       },
       Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q83_pq_adc_topk/*.parquet')),
-             |-- MATERIALIZED: see q82 — pre-filter chunks still hold empty-centroid rows
-             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE query_id = -1),
+             |-- MATERIALIZED: see q82 — avoid re-running the list re-assembly
+             |cb AS MATERIALIZED (SELECT sub, code, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE query_id = -1 GROUP BY sub, code),
              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
              |sc AS (SELECT e.vec_id, cb.sub, cb.code,
@@ -293,11 +305,13 @@ object ScaleOps {
              |    ORDER BY (CASE WHEN isnan(score) THEN -1.7976931348623157e308 ELSE score END) DESC,
              |      vec_id ASC) AS INT) AS rank
              |  FROM s)
-             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code, []::DOUBLE[] AS centroid
+             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code,
+             |  CAST(-1 AS INT) AS dim_idx, 0.0 AS value
              |FROM r WHERE rank <= 5
              |UNION ALL
-             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -1
-             |ORDER BY query_id, rank, sub, code""".stripMargin)),
+             |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
+             |FROM outp WHERE query_id = -1
+             |ORDER BY query_id, rank, sub, code, dim_idx""".stripMargin)),
 
     // ---- keyless interval-overlap join: shipment windows
     // [l_shipdate, l_shipdate + l_quantity days] (this testdata carries
@@ -433,8 +447,11 @@ object ScaleOps {
     // tables gated on cell membership — no join, no corpus shuffle at
     // any scale (8 cells × probe 3 ≈ 37% of the corpus scanned here).
     // Output = coarse centroid rows (query_id -2, cell id in `code`,
-    // 1-based) + PQ codebook rows (query_id -1) + top-5 rows. The
-    // oracle is FULLY independent on the whole search path: from the
+    // 1-based) + PQ codebook rows (query_id -1) + top-5 rows, all
+    // SCALAR-ONLY: centroid/codebook vectors are emitted as one
+    // (dim_idx, value) row per element (q82's rationale — the driver
+    // compare cannot sort array columns). The oracle is FULLY
+    // independent on the whole search path: from the
     // emitted model alone DuckDB re-derives every vector's cell
     // (argmax-cosine over centroids), every PQ code (q82), every
     // query's probe set (top-nprobe cells), every ADC score on the
@@ -458,23 +475,27 @@ object ScaleOps {
           emb, $"embedding", $"vec_id", queries, cents, cbs, k = 5, nprobe = 3)
           .select($"query_id", $"rank", $"corpus_id".as("vec_id"), $"score",
             lit(-1).as("sub"), lit(-1).as("code"),
-            typedLit(Seq.empty[Double]).as("centroid"))
-        val centRows = cents.zipWithIndex.map { case (c, i) =>
-          (-2L, -1, -1L, 0.0, -1, i + 1, c.toSeq)
-        }
+            lit(-1).as("dim_idx"), lit(0.0).as("value"))
+        val centRows = for {
+          (c, i) <- cents.zipWithIndex
+          (x, dIdx) <- c.toSeq.zipWithIndex
+        } yield (-2L, -1, -1L, 0.0, -1, i + 1, dIdx, x)
         val cbRows = for {
           (cb, sIdx) <- cbs.zipWithIndex
           (cent, cIdx) <- cb.zipWithIndex
-        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, cent.toSeq)
+          (x, dIdx) <- cent.toSeq.zipWithIndex
+        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, dIdx, x)
         s.createDataFrame(centRows ++ cbRows)
-          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "centroid")
+          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "dim_idx", "value")
           .unionByName(topk)
-          .orderBy($"query_id", $"rank", $"sub", $"code")
+          .orderBy($"query_id", $"rank", $"sub", $"code", $"dim_idx")
       },
       Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q88_ivfpq_topk/*.parquet')),
-             |-- MATERIALIZED: see q82 — pre-filter chunks still hold empty-centroid rows
-             |cent AS MATERIALIZED (SELECT code AS cid, centroid FROM outp WHERE query_id = -2),
-             |cb AS MATERIALIZED (SELECT sub, code, centroid FROM outp WHERE query_id = -1),
+             |-- MATERIALIZED: see q82 — avoid re-running the list re-assembly
+             |cent AS MATERIALIZED (SELECT code AS cid, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE query_id = -2 GROUP BY code),
+             |cb AS MATERIALIZED (SELECT sub, code, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE query_id = -1 GROUP BY sub, code),
              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
              |csc AS (SELECT e.vec_id, cent.cid,
@@ -530,14 +551,88 @@ object ScaleOps {
              |    ORDER BY (CASE WHEN isnan(score) THEN -1.7976931348623157e308 ELSE score END) DESC,
              |      vec_id ASC) AS INT) AS rank
              |  FROM s)
-             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code, []::DOUBLE[] AS centroid
+             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code,
+             |  CAST(-1 AS INT) AS dim_idx, 0.0 AS value
              |FROM r WHERE rank <= 5
              |UNION ALL
-             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -2
+             |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
+             |FROM outp WHERE query_id = -2
              |UNION ALL
-             |SELECT query_id, rank, vec_id, score, sub, code, centroid FROM outp WHERE query_id = -1
-             |ORDER BY query_id, rank, sub, code""".stripMargin)),
+             |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
+             |FROM outp WHERE query_id = -1
+             |ORDER BY query_id, rank, sub, code, dim_idx""".stripMargin)),
+
+    // ---- PageRank over the supplier→part shipment graph (suppliers
+    // ship parts; parts are dangling sinks, so ~95% of the rank mass
+    // cycles through the dangling redistribution every iteration —
+    // the correction is load-bearing, not decorative). Duplicate
+    // (supplier, part) pairs in lineitem collapse to one edge. The
+    // oracle replays all 10 power iterations as unrolled MATERIALIZED
+    // CTEs (DuckDB inlines plain CTEs; each iteration is referenced
+    // twice — dangling mass + next rank — so inlining would blow up
+    // 2^10) and accepts the emitted ranks within 1e-9 per node
+    // (q57's tolerance pattern: double sums fold in partition order
+    // on the Spark side, so bit-equality across engines is not
+    // defined for this operator), emitting a poison row on any
+    // missing/extra/duplicated node or out-of-tolerance rank.
+    Q(
+      "q89_pagerank",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.pageRank(
+          Tables.lineitem(s, d).select(
+            $"l_suppkey".cast("long").as("src"),
+            ($"l_partkey".cast("long") + 1000000L).as("dst")),
+          $"src", $"dst", 0.85, 10)
+          .orderBy($"node")
+      },
+      Some(pagerankOracle)),
   )
+
+  /** q89's oracle: 10 unrolled PageRank iterations (damping 0.85,
+    * uniform 1/N start, dangling mass redistributed uniformly) over
+    * the deduped supplier→part edge list, then a soundness gate that
+    * emits the Spark result only if it matches node-for-node within
+    * 1e-9. Built by loop because SQL cannot iterate without recursion
+    * and DuckDB's recursive CTEs disallow aggregates over the
+    * recursive reference — 10 fixed iterations unroll cleanly.
+    */
+  private def pagerankOracle: String = {
+    val iters = 10
+    val header =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |meta AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""dang$k AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r${k - 1}
+         |  WHERE node NOT IN (SELECT src FROM od)),
+         |r$k AS MATERIALIZED (SELECT nodes.node,
+         |  (1.0 - 0.85) / (SELECT n FROM meta)
+         |    + 0.85 * (coalesce(c.s, 0) + (SELECT dang FROM dang$k) / (SELECT n FROM meta)) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / od.od) AS s
+         |    FROM r${k - 1} p JOIN od ON od.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }
+    val gate =
+      s"""emitted AS (SELECT node, rank FROM read_parquet('{{OUT}}/q89_pagerank/*.parquet')),
+         |flag AS (SELECT (
+         |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM r$iters)
+         |    AND (SELECT count(DISTINCT node) FROM emitted) = (SELECT count(*) FROM emitted)
+         |    AND NOT EXISTS (SELECT 1 FROM emitted x LEFT JOIN r$iters r USING (node)
+         |      WHERE r.node IS NULL OR abs(x.rank - r.rank) > 1e-9)
+         |  ) AS ok)
+         |SELECT node, rank FROM emitted WHERE (SELECT ok FROM flag)
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+         |  WHERE NOT (SELECT ok FROM flag)
+         |ORDER BY node""".stripMargin
+    (Seq(header) ++ steps ++ Seq(gate)).mkString(",\n")
+  }
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRank]] semantics: fixed-iteration power method with
+  * uniform dangling-mass redistribution, duplicate edges collapsed,
+  * loud failure on null endpoints. Expected values come from a local
+  * scalar replay of the same recurrence (tolerance 1e-12 — the Spark
+  * side folds double sums in partition order, so bit-equality is not
+  * defined, but a 5-node graph leaves no room for drift).
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+  private def localPageRank(
+      edges: Seq[(Long, Long)], d: Double, iters: Int): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outdeg.contains).map(rank).sum
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map { v =>
+        v -> ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))
+      }.toMap
+    }
+    rank
+  }
+
+  private val edges = Seq(
+    (1L, 2L), (2L, 1L), (1L, 3L), (4L, 3L), (4L, 1L), (5L, 4L))
+  // node 3 is dangling (no out-edges) — its mass must recycle
+
+  test("pageRank matches a local replay and conserves total mass") {
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRank(df, col("src"), col("dst"), 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = localPageRank(edges, 0.85, 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (node, r) =>
+      assert(math.abs(r - want(node)) < 1e-12, s"node $node: $r vs ${want(node)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leak: ${got.values.sum}")
+  }
+
+  test("duplicate edges count once (edge list is a multiset, graph is not)") {
+    val single = edges.toDF("src", "dst")
+    val tripled = (edges ++ edges ++ edges).toDF("src", "dst")
+    val a = Graph.pageRank(single, col("src"), col("dst"), 0.85, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(tripled, col("src"), col("dst"), 0.85, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (node, r) => assert(math.abs(r - b(node)) < 1e-12) }
+  }
+
+  test("null endpoints fail loudly") {
+    val df = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.pageRank(df, col("src"), col("dst"), 0.85, 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("parameter guards reject bad damping and iteration counts") {
+    val df = edges.toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, col("src"), col("dst"), 1.0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, col("src"), col("dst"), 0.85, 0)
+    }
+  }
+}

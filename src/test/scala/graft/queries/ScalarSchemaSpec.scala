@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Catalog-wide harness-compat gate: the driver's compare lexsorts the
+  * RAW parquet result in pandas, so any array/map/struct output column
+  * crashes it before values are compared (round-5 q58/q82/q83/q88
+  * shipped red exactly this way while their Scala was correct). This
+  * spec goes red the moment anyone adds a query whose result schema
+  * the gate cannot sort — same rule `graft.Verify` enforces at dump
+  * time, checked here before a round ships.
+  *
+  * Building each query's DataFrame at sf0.001 is plan construction
+  * only for most queries (no action), but a handful legitimately run
+  * bounded driver-side work (k-means training samples, streaming
+  * memory-sink queries) — the suite stays in the seconds range.
+  */
+class ScalarSchemaSpec extends SparkTestBase {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  QueryCatalog.modules.foreach { q =>
+    test(s"${q.name} emits a scalar-only, driver-sortable schema") {
+      graft.Verify.assertGateSortableSchema(q.name, q.fn(spark, sfDir).schema)
+    }
+  }
+}

@@ -28,6 +28,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def driver_sort(df: pd.DataFrame) -> None:
+    """Reproduce the driver gate's RAW lexsort (no repr normalization).
+
+    The driver sorts the result frame's raw values before hashing; an
+    array/map/struct column raises "unhashable type: 'numpy.ndarray'"
+    there, failing the query outright. Round 5 shipped four red rows
+    because this script repr-normalized FIRST and so passed locally
+    where the driver crashed — run the raw sort up front so local green
+    predicts driver green.
+    """
+    df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -48,6 +61,14 @@ def main():
             exp = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        try:
+            driver_sort(got)
+            driver_sort(exp)
+        except Exception as e:
+            print(f"FAIL {name}: driver-compat raw sort crashed "
+                  f"(the driver gate would fail this query): {e}")
             n_bad += 1
             continue
         g, x = normalize(got), normalize(exp)

@@ -205,11 +205,20 @@ object Dedup {
               b.getField("doc_id").as("id_b")))
         }))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     // exact verification on the hashed sets: overlap by merge scan
     // (arrays are sorted) — no per-pair hash set, no intersect array;
     // c / (|a| + |b| - c) is the same integer division as
-    // |intersect| / |union|, bit-for-bit
+    // |intersect| / |union|, bit-for-bit.
+    // Candidate DEDUP RUNS AFTER VERIFICATION, not before: a pair can
+    // be emitted by several prefix blocks (a few % here), but shuffling
+    // ALL candidates just to dedup them costs a full exchange of the
+    // 99%+ that verification is about to reject anyway — verifying the
+    // few duplicates twice is map-side-cheap (the verify joins multiply
+    // only the duplicated rows), and the dedup exchange then carries
+    // only true near-dup pairs (candidates × jaccard-survival-rate,
+    // ~0.1% at gate scale; the same ratio geometry holds at 100 TB).
+    // Duplicate candidates verify to IDENTICAL rows, so dropDuplicates
+    // on the pair key loses nothing.
     candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -219,6 +228,7 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash signature via the native [[graft.functions.MinHashSignature]]

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Reproduces graft.Bench's exact thermal conditions for q25/q26 only
+  * (same session conf, same warm-up dir, same eviction between passes)
+  * and prints per-pass timings — for chasing the gap between the
+  * stage-level profile (~1.3 s accounted) and the bench line.
+  * Usage: runMain graft.tools.Q25BenchRepro [sfDir]
+  */
+object Q25BenchRepro {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
+      .config("spark.local.dir", graft.queries.Scratch.base.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = Seq("q25_dedup_ngram_jaccard", "q26_dedup_minhash_lsh")
+    for (n <- names) graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // honest incremental stage costs: each variant rebuilds the WHOLE
+    // plan fresh (new exchanges — no cross-job shuffle-file reuse), so
+    // variantK - variantK-1 = that stage's true cost under bench thermal
+    // conditions
+    val t = 0.3
+    val tFrac = t / (1.0 + t)
+    def freshStage(upTo: Int): Long = {
+      val hashed = graft.operators.Dedup.hashedShingleSets(
+        spark.read.parquet(s"$sfDir/documents.parquet"), $"text", $"doc_id", 3).cache()
+      hashed.count()
+      val postings = hashed.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+      val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
+      val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
+      val prefixes = postings
+        .join(dfs, "h")
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+        .filter(col("pos") < prefixLen && col("df") >= 2)
+        .select(col("doc_id"), col("n_sh"), col("pos"), col("h"))
+      val blocks = prefixes.groupBy("h")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
+        .filter(size(col("ms")).between(2, 100000))
+      val candidates = blocks
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(col("ms")) - 2),
+          i => {
+            val a = element_at(col("ms"), i + 1)
+            val na = a.getField("n_sh")
+            val ra = na - a.getField("pos") - 1
+            transform(
+              filter(
+                slice(col("ms"), i + 2, size(col("ms")) - i - 1),
+                b => (lit(1) + least(ra, b.getField("n_sh") - b.getField("pos") - 1))
+                  .cast("double") >= (na + b.getField("n_sh")) * tFrac - lit(1e-9)),
+              b => struct(
+                a.getField("doc_id").as("id_a"),
+                b.getField("doc_id").as("id_b")))
+          }))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      val deduped = candidates.dropDuplicates("id_a", "id_b")
+      val n = upTo match {
+        case 0 => dfs.count()
+        case 1 => prefixes.count()
+        case 2 => blocks.count()
+        case 3 => candidates.count()
+        case 4 => deduped.count()
+        case 5 => graft.operators.Dedup
+          .ngramJaccardPairsFromHashed(hashed, threshold = t)
+          .orderBy(col("id_a"), col("id_b")).count()
+      }
+      hashed.unpersist(true)
+      n
+    }
+    val labels = Seq("dfs", "prefixes", "blocks", "candidates", "dedup", "full+verify")
+    for (pass <- 1 to 2; upTo <- 0 to 5) {
+      graft.queries.LlmOps.evictSharedShingleCaches(spark)
+      val t0 = System.nanoTime()
+      val n = freshStage(upTo)
+      println(f"pass $pass upTo=${labels(upTo)}: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

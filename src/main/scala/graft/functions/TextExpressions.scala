@@ -273,6 +273,10 @@ object GraftFunctions {
       "graft_nearest_centroids(v, centroids, top) - nearest IVF cells, best-first", 3)(
       exprs => NearestCentroids(exprs.head, exprs(1),
         intArg("graft_nearest_centroids", exprs, 2))),
+    spec("graft_nearest_centroids_l2",
+      "graft_nearest_centroids_l2(v, centroids, top) - nearest by squared L2, best-first", 3)(
+      exprs => NearestCentroidsL2(exprs.head, exprs(1),
+        intArg("graft_nearest_centroids_l2", exprs, 2))),
     spec("graft_hyperplane_buckets",
       "graft_hyperplane_buckets(v, bits, tables) - hyperplane-LSH bucket id per table", 3)(
       exprs => HyperplaneBuckets(exprs.head,
@@ -360,6 +364,14 @@ object GraftFunctions {
   def nearestCentroids(spark: SparkSession, v: Column, centroids: Column, top: Int): Column = {
     register(spark)
     call_function("graft_nearest_centroids", v, centroids,
+      org.apache.spark.sql.functions.lit(top))
+  }
+
+  def nearestCentroidsL2(v: Column, centroids: Column, top: Int): Column =
+    nearestCentroidsL2(SparkSession.active, v, centroids, top)
+  def nearestCentroidsL2(spark: SparkSession, v: Column, centroids: Column, top: Int): Column = {
+    register(spark)
+    call_function("graft_nearest_centroids_l2", v, centroids,
       org.apache.spark.sql.functions.lit(top))
   }
 

@@ -248,6 +248,79 @@ object CentroidKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Squared-L2 twin of [[nearestCentroids]] — the metric FAISS PQ
+    * uses for RESIDUAL codebooks (residuals are not normalized, so
+    * cosine assignment is meaningless near the cell center). Distance
+    * is computed as the dot-product decomposition
+    * `dot(v,v) - 2*dot(v,c) + dot(c,c)` with each dot accumulating
+    * left-to-right — the exact float expression a DuckDB oracle
+    * writes with three `list_dot_product` calls, so assignments are
+    * re-derivable bit-for-bit. Corrupt inputs (null elements, null
+    * centroid rows, dimension mismatch) and NaN distances rank WORST
+    * (+inf) with ties to the smaller centroid id, mirroring the
+    * cosine kernel's -inf rule. Returns 1-based positions.
+    */
+  def nearestCentroidsL2(v: ArrayData, cents: ArrayData, top: Int): ArrayData = {
+    val k = cents.numElements()
+    val t = math.min(top, k)
+    val dim = v.numElements()
+    var corrupt = false
+    var ni = 0
+    while (!corrupt && ni < dim) {
+      if (v.isNullAt(ni)) corrupt = true
+      ni += 1
+    }
+    // dot(v,v) once — shared by every centroid's decomposition
+    var vv = 0.0
+    if (!corrupt) {
+      var i = 0
+      while (i < dim) { val x = v.getDouble(i); vv += x * x; i += 1 }
+    }
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = if (cents.isNullAt(c)) null else cents.getArray(c)
+      dists(c) =
+        if (corrupt || cent == null || cent.numElements() != dim) Double.PositiveInfinity
+        else {
+          var centCorrupt = false
+          var ci = 0
+          while (!centCorrupt && ci < dim) {
+            if (cent.isNullAt(ci)) centCorrupt = true
+            ci += 1
+          }
+          if (centCorrupt) Double.PositiveInfinity
+          else {
+            var vc = 0.0; var cc = 0.0; var i = 0
+            while (i < dim) {
+              val x = v.getDouble(i); val y = cent.getDouble(i)
+              vc += x * y; cc += y * y
+              i += 1
+            }
+            val d = vv - 2.0 * vc + cc
+            if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
+          }
+        }
+      c += 1
+    }
+    val used = new Array[Boolean](k)
+    val out = new Array[Any](t)
+    var o = 0
+    while (o < t) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best < 0 || dists(i) < bestD)) { best = i; bestD = dists(i) }
+        i += 1
+      }
+      used(best) = true
+      out(o) = best + 1
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class NearestCentroids(left: Expression, right: Expression, top: Int)
@@ -272,6 +345,34 @@ case class NearestCentroids(left: Expression, right: Expression, top: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (v, c) => s"graft.functions.CentroidKernels.nearestCentroids($v, $c, $top)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NearestCentroidsL2(left: Expression, right: Expression, top: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) if top > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroids_l2 requires (array<double>, array<array<double>>, top > 0), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}, top=$top")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_nearest_centroids_l2"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    CentroidKernels.nearestCentroidsL2(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], top)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.CentroidKernels.nearestCentroidsL2($v, $c, $top)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

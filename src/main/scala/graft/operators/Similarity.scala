@@ -170,6 +170,80 @@ private[operators] object LocalKMeans {
   }
 }
 
+/** Squared-L2 twin of [[LocalKMeans]] for RESIDUAL codebook training
+  * (FAISS-style `by_residual` PQ): residuals cluster around the
+  * origin, where cosine collapses (direction of a near-zero vector is
+  * noise), so the residual metric is L2 — the same choice FAISS makes.
+  * Same determinism contract: farthest-point seeding from sample(0),
+  * fixed Lloyd rounds, argmin ties to the smaller centroid id, empty
+  * clusters keep their previous centroid. Distances use the
+  * `dot(a,a) - 2*dot(a,b) + dot(b,b)` decomposition with left-to-right
+  * accumulation — the float expression a SQL oracle reproduces with
+  * three `list_dot_product` calls.
+  */
+private[operators] object LocalKMeansL2 {
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var aa = 0.0; var ab = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      aa += a(i) * a(i); ab += a(i) * b(i); bb += b(i) * b(i); i += 1
+    }
+    val d = aa - 2.0 * ab + bb
+    if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
+  }
+
+  def train(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "quantizer training sample is empty")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minDist = Array.fill(n)(Double.MaxValue)
+    while (chosen.size < kk) {
+      var i = 0
+      while (i < n) {
+        val d = dist2(sample(i), chosen.last)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      var best = 0; var bestD = -1.0; i = 0
+      while (i < n) {
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      chosen += sample(best)
+    }
+    var cents = chosen.toArray
+    val dim = sample(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < kk) {
+          val d = dist2(sample(i), cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      cents = (0 until kk).map { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / counts(c); j += 1 }
+          m
+        }
+      }.toArray
+    }
+    cents
+  }
+}
+
 object Similarity {
 
   /** The bounded deterministic training sample shared by every
@@ -821,6 +895,176 @@ object Similarity {
       val den = lit(qnorm) * sqrt(den2)
       // the per-query probe gate: a corpus row scores for THIS query
       // only if its cell is probed — null otherwise, dropped below
+      when(col("cell").isin(probes(qid).map(Integer.valueOf): _*),
+        struct(lit(qid).as("query_id"),
+          when(den > 0.0, num / den).otherwise(lit(Double.NaN)).as("score")))
+    }
+    val scored0 = coded
+      .select(col("corpus_id"),
+        explode(filter(array(perQuery: _*), e => e.isNotNull)).as("e"))
+      .select(col("e.query_id").as("query_id"), col("corpus_id"), col("e.score").as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0
+    topKPerQuery(scored, k).withColumnRenamed("cosine", "score")
+  }
+
+  /** Residual PQ codebook training (FAISS `by_residual=true`, the
+    * library default): each sample vector routes to its coarse cell
+    * (cosine — the SAME routing the search uses), the residual
+    * `v - centroid(cell)` is what gets quantized, and the per-subspace
+    * codebooks train with L2 k-means ([[LocalKMeansL2]]) because
+    * residuals cluster around the origin where cosine is undefined
+    * noise. Residual encoding is the fidelity step past raw-vector PQ
+    * ([[pqTrain]]): the codebooks only need to cover the within-cell
+    * spread instead of the whole space, so the same bit budget buys a
+    * finer reconstruction.
+    */
+  def pqTrainResidual(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      centroids: Seq[Array[Double]],
+      m: Int = 4,
+      codes: Int = 16,
+      iters: Int = 10,
+      trainSample: Int = 4096): Seq[Seq[Array[Double]]] = {
+    require(m >= 1, s"pqTrainResidual needs m >= 1 subspaces, got $m")
+    require(codes >= 2, s"pqTrainResidual needs >= 2 codes per subspace, got $codes")
+    require(centroids.nonEmpty, "pqTrainResidual needs coarse centroids")
+    val dim = centroids.head.length
+    require(centroids.forall(c => c != null && c.length == dim),
+      "coarse centroids must share one dimension")
+    require(dim % m == 0,
+      s"PQ: coarse dimension $dim is not divisible by m=$m subspaces")
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull)
+    val sample = trainSampleVectors(base, "vec_id", "v", trainSample)
+      .filter(_.length == dim)
+    require(sample.nonEmpty,
+      s"quantizer training sample is empty at the coarse dimension $dim")
+    val residuals = sample.map { v =>
+      val cell = nearestCellsLocal(v, centroids, 1).head // 1-based
+      val c = centroids(cell - 1)
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - c(i); i += 1 }
+      r
+    }
+    val subdim = dim / m
+    (0 until m).map { s =>
+      val sub = residuals.map(_.slice(s * subdim, (s + 1) * subdim))
+      LocalKMeansL2.train(sub, codes, iters).toSeq
+    }
+  }
+
+  /** IVF-PQ top-k with RESIDUAL encoding (FAISS IVFADC,
+    * `by_residual=true` — the FAISS default; [[ivfPqTopK]] is the
+    * `false` flavor): corpus vectors route to coarse cells exactly as
+    * in [[ivfPqTopK]], but the PQ codes quantize the residual
+    * `v - centroid(cell)` per subspace (squared-L2 assignment,
+    * [[graft.functions.CentroidKernels.nearestCentroidsL2]]), and ADC
+    * scores the reconstruction `centroid(cell) + codeword`:
+    *
+    *   cos(q, u) = (dot(q, cent_c) + Σ_s dot(q_s, cw_s))
+    *             / (|q| · sqrt(Σ_s (|cent_c_s|² + 2·dot(cent_c_s, cw_s) + |cw_s|²)))
+    *
+    * Everything per-(query, cell, code) precomputes DRIVER-SIDE into
+    * literal lookup tables (Q×nlist + Q×m×codes + m×nlist×codes
+    * doubles), so the plan is STILL one corpus scan with zero joins
+    * and zero corpus shuffle — routing prunes unprobed cells before
+    * any PQ work, scoring is `element_at` arithmetic in whole-stage
+    * codegen, and only bounded top-k partials move. Every float
+    * expression (dots left-to-right, `a - 2*b + c`, `a + 2*b + c`,
+    * left-nested Σ) matches what a SQL oracle writes with
+    * `list_dot_product`, so cells, codes, and scores re-derive
+    * bit-for-bit from the emitted (centroids, codebooks) model alone.
+    *
+    * Ranking and corrupt-input policy are [[ivfPqTopK]]'s: score desc,
+    * corpus id asc, NaN worst; zero-norm/wrong-dimension queries
+    * rejected loudly; wrong-length corpus vectors drop; trained-length
+    * vectors with null elements are retained and deterministically
+    * routed (cell 1, and L2's all-+inf tie → code 0 per subspace).
+    */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queries: Seq[(Long, Array[Double])],
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val subdim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      "PQ codebooks must share one subspace dimension")
+    val m = codebooks.size
+    val dim = subdim * m
+    require(centroids.nonEmpty, "ivfPqResidualTopK needs at least one coarse centroid")
+    require(centroids.forall(c => c != null && c.length == dim),
+      s"coarse centroids must have the PQ dimension $dim")
+    require(nprobe >= 1, s"ivfPqResidualTopK needs nprobe >= 1, got $nprobe")
+    require(queries.nonEmpty, "ivfPqResidualTopK needs at least one query")
+    queries.foreach { case (qid, qv) =>
+      require(qv != null && qv.length == dim,
+        s"query $qid: vector dimension ${Option(qv).map(_.length).orNull} != trained $dim")
+      require(dotSeq(qv, qv) > 0.0, s"query $qid: zero-norm vector cannot rank neighbors")
+    }
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    val probes: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      qid -> nearestCellsLocal(qv, centroids, nprobe)
+    }.toMap
+    val probedUnion = probes.values.flatten.toSeq.distinct.sorted
+
+    val base = corpus
+      .select(corpusId.cast("long").as("corpus_id"), corpusVec.cast("array<double>").as("v"))
+      .filter(col("corpus_id").isNotNull && size(col("v")) === dim)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val withCell = base
+      .withColumn("cell",
+        element_at(graft.functions.GraftFunctions.nearestCentroids(spark, col("v"), centLit, 1), 1))
+      .filter(col("cell").isin(probedUnion.map(Integer.valueOf): _*))
+    // residual codes for survivors only: r_s = v_s - cent(cell)_s
+    // elementwise (zip_with — codegen), then the L2 argmin kernel
+    val centOfCell = element_at(centLit, col("cell"))
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("v"), s * subdim + 1, subdim)
+      val cs = slice(centOfCell, s * subdim + 1, subdim)
+      val rs = zip_with(sv, cs, (x, y) => x - y)
+      val cb = typedLit(codebooks(s).map(_.toSeq))
+      element_at(graft.functions.GraftFunctions.nearestCentroidsL2(spark, rs, cb, 1), 1) - lit(1)
+    }
+    val coded = withCell.select(
+      col("corpus_id"), col("cell"), array(codeCols: _*).as("codes"))
+
+    // |cent_c_s|² + 2·dot(cent_c_s, cw) + |cw|² per (sub, cell, code) —
+    // the reconstruction's per-subspace squared norm, cell-dependent
+    // because the codeword rides on top of the cell centroid
+    val normTerm: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      centroids.map { cent =>
+        val cs = cent.slice(s * subdim, (s + 1) * subdim)
+        codebooks(s).map(cw => dotSeq(cs, cs) + 2.0 * dotSeq(cs, cw) + dotSeq(cw, cw)).toSeq
+      }.toSeq
+    }
+    val codeAt = (s: Int) => element_at(col("codes"), s + 1) + lit(1)
+    val den2 = (0 until m)
+      .map(s => element_at(element_at(typedLit(normTerm(s)), col("cell")), codeAt(s)))
+      .reduceLeft(_ + _)
+    val perQuery = queries.map { case (qid, qv) =>
+      val qnorm = math.sqrt(dotSeq(qv, qv))
+      val qCent: Seq[Double] = centroids.map(c => dotSeq(qv, c))
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qs = qv.slice(s * subdim, (s + 1) * subdim)
+        codebooks(s).map(cw => dotSeq(qs, cw)).toSeq
+      }
+      val num = (element_at(typedLit(qCent), col("cell")) +:
+        (0 until m).map(s => element_at(typedLit(lut(s)), codeAt(s))))
+        .reduceLeft(_ + _)
+      val den = lit(qnorm) * sqrt(den2)
       when(col("cell").isin(probes(qid).map(Integer.valueOf): _*),
         struct(lit(qid).as("query_id"),
           when(den > 0.0, num / den).otherwise(lit(Double.NaN)).as("score")))

@@ -587,6 +587,132 @@ object ScaleOps {
           .orderBy($"node")
       },
       Some(pagerankOracle)),
+
+    // ---- IVF-PQ top-k with RESIDUAL encoding (FAISS IVFADC,
+    // by_residual=true — the FAISS default; q88 is the =false flavor):
+    // PQ codes quantize v - centroid(cell) with L2 assignment, ADC
+    // scores the reconstruction centroid + codeword. Same single-scan
+    // zero-join plan and same scalar-only output shape as q88 (cent
+    // rows query_id -2, residual-codebook rows query_id -1, top-5
+    // rows). The oracle is FULLY independent on the whole search path:
+    // from the emitted model alone DuckDB re-derives every cell
+    // (argmax cosine), every residual (elementwise v - cent), every
+    // code (argmin of the list_dot_product L2 decomposition — the
+    // kernel computes the identical float expression), every probe
+    // set, every ADC score (same left-nested sums), and the ranking.
+    Q(
+      "q90_ivfpq_residual_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cents = graft.operators.Similarity.coarseTrain(
+          emb, $"embedding", $"vec_id", nlist = 8)
+        val cbs = graft.operators.Similarity.pqTrainResidual(
+          emb, $"embedding", $"vec_id", cents, m = 4, codes = 16)
+        val queries = emb.filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        val topk = graft.operators.Similarity.ivfPqResidualTopK(
+          emb, $"embedding", $"vec_id", queries, cents, cbs, k = 5, nprobe = 3)
+          .select($"query_id", $"rank", $"corpus_id".as("vec_id"), $"score",
+            lit(-1).as("sub"), lit(-1).as("code"),
+            lit(-1).as("dim_idx"), lit(0.0).as("value"))
+        val centRows = for {
+          (c, i) <- cents.zipWithIndex
+          (x, dIdx) <- c.toSeq.zipWithIndex
+        } yield (-2L, -1, -1L, 0.0, -1, i + 1, dIdx, x)
+        val cbRows = for {
+          (cb, sIdx) <- cbs.zipWithIndex
+          (cent, cIdx) <- cb.zipWithIndex
+          (x, dIdx) <- cent.toSeq.zipWithIndex
+        } yield (-1L, -1, -1L, 0.0, sIdx, cIdx, dIdx, x)
+        s.createDataFrame(centRows ++ cbRows)
+          .toDF("query_id", "rank", "vec_id", "score", "sub", "code", "dim_idx", "value")
+          .unionByName(topk)
+          .orderBy($"query_id", $"rank", $"sub", $"code", $"dim_idx")
+      },
+      Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q90_ivfpq_residual_topk/*.parquet')),
+             |cent AS MATERIALIZED (SELECT code AS cid, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE query_id = -2 GROUP BY code),
+             |cb AS MATERIALIZED (SELECT sub, code, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE query_id = -1 GROUP BY sub, code),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+             |csc AS (SELECT e.vec_id, cent.cid,
+             |    list_dot_product(v, cent.centroid)
+             |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+             |  FROM e CROSS JOIN cent),
+             |cells AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        cid ASC) AS rn
+             |    FROM csc) WHERE rn = 1),
+             |res AS MATERIALIZED (SELECT e.vec_id, s.sub,
+             |    list_transform(list_zip(v[s.sub*16+1 : s.sub*16+16],
+             |        cent.centroid[s.sub*16+1 : s.sub*16+16]), x -> x[1] - x[2]) AS r
+             |  FROM e JOIN cells ON cells.vec_id = e.vec_id
+             |  JOIN cent ON cent.cid = cells.cid
+             |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) s),
+             |dsc AS (SELECT res.vec_id, res.sub, cb.code,
+             |    list_dot_product(r, r) - 2 * list_dot_product(r, cb.centroid)
+             |      + list_dot_product(cb.centroid, cb.centroid) AS dist
+             |  FROM res JOIN cb ON cb.sub = res.sub),
+             |codes AS (SELECT vec_id, sub, code FROM (
+             |    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY (CASE WHEN isnan(dist) THEN 1.7976931348623157e308 ELSE dist END) ASC,
+             |        code ASC) AS rn
+             |    FROM dsc) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+             |  FROM e WHERE vec_id < 8),
+             |psc AS (SELECT q.query_id, cent.cid,
+             |    list_dot_product(qv, cent.centroid)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+             |  FROM q CROSS JOIN cent),
+             |probes AS (SELECT query_id, cid FROM (
+             |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        cid ASC) AS rn
+             |    FROM psc) WHERE rn <= 3),
+             |d AS (SELECT q.query_id, codes.vec_id, codes.sub, q.qn,
+             |    list_dot_product(qv[codes.sub*16+1 : codes.sub*16+16], cb.centroid) AS ds,
+             |    list_dot_product(cent.centroid[codes.sub*16+1 : codes.sub*16+16],
+             |        cent.centroid[codes.sub*16+1 : codes.sub*16+16])
+             |      + 2 * list_dot_product(cent.centroid[codes.sub*16+1 : codes.sub*16+16], cb.centroid)
+             |      + list_dot_product(cb.centroid, cb.centroid) AS nt,
+             |    list_dot_product(qv, cent.centroid) AS qc
+             |  FROM q
+             |  JOIN probes ON probes.query_id = q.query_id
+             |  JOIN cells ON cells.cid = probes.cid
+             |  JOIN cent ON cent.cid = cells.cid
+             |  JOIN codes ON codes.vec_id = cells.vec_id
+             |  JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code),
+             |p AS (SELECT query_id, vec_id, max(qn) AS qn, max(qc) AS qc,
+             |    max(CASE WHEN sub=0 THEN ds END) AS d0, max(CASE WHEN sub=1 THEN ds END) AS d1,
+             |    max(CASE WHEN sub=2 THEN ds END) AS d2, max(CASE WHEN sub=3 THEN ds END) AS d3,
+             |    max(CASE WHEN sub=0 THEN nt END) AS n0, max(CASE WHEN sub=1 THEN nt END) AS n1,
+             |    max(CASE WHEN sub=2 THEN nt END) AS n2, max(CASE WHEN sub=3 THEN nt END) AS n3
+             |  FROM d GROUP BY query_id, vec_id),
+             |s AS (SELECT query_id, vec_id,
+             |    CASE WHEN qn * sqrt((((n0+n1)+n2)+n3)) > 0
+             |         THEN ((((qc + d0) + d1) + d2) + d3) / (qn * sqrt((((n0+n1)+n2)+n3)))
+             |         ELSE 'NaN'::DOUBLE END AS score
+             |  FROM p WHERE query_id <> vec_id),
+             |r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY (CASE WHEN isnan(score) THEN -1.7976931348623157e308 ELSE score END) DESC,
+             |      vec_id ASC) AS INT) AS rank
+             |  FROM s)
+             |SELECT query_id, rank, vec_id, score, -1 AS sub, -1 AS code,
+             |  CAST(-1 AS INT) AS dim_idx, 0.0 AS value
+             |FROM r WHERE rank <= 5
+             |UNION ALL
+             |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
+             |FROM outp WHERE query_id = -2
+             |UNION ALL
+             |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
+             |FROM outp WHERE query_id = -1
+             |ORDER BY query_id, rank, sub, code, dim_idx""".stripMargin)),
   )
 
   /** q89's oracle: 10 unrolled PageRank iterations (damping 0.85,

@@ -1103,6 +1103,144 @@ class OperatorsSpec extends SparkTestBase {
     assert(zq.getMessage.contains("zero-norm"))
   }
 
+  test("ivfPqResidualTopK: local replay parity; fidelity beats raw PQ; join-free plan; guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 80L).map { i => (i, Seq.fill(8)(rnd.nextGaussian())) }
+    val df = vecs.toDF("vec_id", "v")
+    val cents = Similarity.coarseTrain(df, $"v", $"vec_id", nlist = 4, trainSample = 100)
+    val cbsRaw = Similarity.pqTrain(df, $"v", $"vec_id", m = 2, codes = 4, trainSample = 100)
+    val cbsRes = Similarity.pqTrainResidual(
+      df, $"v", $"vec_id", cents, m = 2, codes = 4, trainSample = 100)
+    val queries = vecs.take(3).map { case (id, v) => (id, v.toArray) }
+
+    val got = Similarity.ivfPqResidualTopK(
+      df, $"v", $"vec_id", queries, cents, cbsRes, k = 4, nprobe = 4)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    def cosv(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def argTopCos(v: Seq[Double], cs: Seq[Array[Double]], top: Int): Seq[Int] = {
+      val sims = cs.map(c => { val s = cosv(v, c.toSeq); if (s.isNaN) Double.NegativeInfinity else s })
+      sims.indices.sortBy(i => (-sims(i), i)).take(top).map(_ + 1)
+    }
+    // the kernel's L2 decomposition, same float expression
+    def l2d(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val localCell = vecs.map { case (id, v) => id -> argTopCos(v, cents, 1).head }.toMap
+    def residual(v: Seq[Double], cell: Int): Seq[Double] =
+      v.zip(cents(cell - 1).toSeq).map { case (x, y) => x - y }
+    val localCodes = vecs.map { case (id, v) =>
+      val r = residual(v, localCell(id))
+      id -> (0 until 2).map { s =>
+        val rs = r.slice(s * 4, s * 4 + 4)
+        val ds = cbsRes(s).map(c => { val d = l2d(rs, c.toSeq); if (d.isNaN) Double.PositiveInfinity else d })
+        ds.indices.minBy(i => (ds(i), i))
+      }
+    }.toMap
+    // full-probe local replay: residual ADC score for every non-self vector
+    queries.foreach { case (qid, qv) =>
+      val qn = math.sqrt(dot(qv.toSeq, qv.toSeq))
+      val scored = vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val cell = localCell(vid)
+        val cs = localCodes(vid)
+        val cent = cents(cell - 1).toSeq
+        val qc = dot(qv.toSeq, cent)
+        val num = (qc +: (0 until 2).map(s =>
+          dot(qv.slice(s * 4, s * 4 + 4).toSeq, cbsRes(s)(cs(s)).toSeq))).reduceLeft(_ + _)
+        val den2 = (0 until 2).map { s =>
+          val csl = cent.slice(s * 4, s * 4 + 4)
+          val cw = cbsRes(s)(cs(s)).toSeq
+          dot(csl, csl) + 2.0 * dot(csl, cw) + dot(cw, cw)
+        }.reduceLeft(_ + _)
+        val den = qn * math.sqrt(den2)
+        (vid, if (den > 0) num / den else Double.NaN)
+      }
+      val want = scored.sortBy { case (vid, sc) =>
+        (-(if (sc.isNaN) Double.NegativeInfinity else sc), vid)
+      }.take(4)
+      want.zipWithIndex.foreach { case ((vid, sc), i) =>
+        val (gvid, gsc) = rows((qid, i + 1))
+        assert(gvid == vid && gsc == sc, s"query $qid rank ${i + 1}")
+      }
+    }
+
+    // the fidelity claim residual encoding exists for: mean squared
+    // reconstruction error strictly improves on raw-vector PQ with the
+    // same bit budget (codebooks only span within-cell spread)
+    val rawCodes = vecs.map { case (id, v) =>
+      id -> (0 until 2).map { s =>
+        val sv = v.slice(s * 4, s * 4 + 4)
+        val sims = cbsRaw(s).map(c => cosv(sv, c.toSeq))
+        sims.indices.maxBy(i => (sims(i), -i))
+      }
+    }.toMap
+    def err2(v: Seq[Double], recon: Seq[Double]): Double =
+      v.zip(recon).map { case (x, y) => (x - y) * (x - y) }.sum
+    val rawErr = vecs.map { case (id, v) =>
+      err2(v, (0 until 2).flatMap(s => cbsRaw(s)(rawCodes(id)(s)).toSeq))
+    }.sum / vecs.size
+    val resErr = vecs.map { case (id, v) =>
+      val cent = cents(localCell(id) - 1).toSeq
+      err2(v, (0 until 2).flatMap { s =>
+        cent.slice(s * 4, s * 4 + 4).zip(cbsRes(s)(localCodes(id)(s)).toSeq)
+          .map { case (a, b) => a + b }
+      })
+    }.sum / vecs.size
+    info(f"mean squared reconstruction error: raw PQ $rawErr%.4f, residual PQ $resErr%.4f")
+    assert(resErr < rawErr,
+      f"residual encoding did not improve reconstruction ($resErr%.4f vs $rawErr%.4f)")
+
+    // guards mirror ivfPqTopK's
+    val badCent = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopK(df, $"v", $"vec_id", queries, Seq(Array(1.0, 2.0)), cbsRes, k = 2)
+    }
+    assert(badCent.getMessage.contains("coarse centroids"))
+    val zq = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopK(
+        df, $"v", $"vec_id", Seq((5L, Array.fill(8)(0.0))), cents, cbsRes, k = 2)
+    }
+    assert(zq.getMessage.contains("zero-norm"))
+  }
+
+  test("ivfPqResidualTopK recall on clustered embeddings >= raw ivfPqTopK recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.coarseTrain(emb, $"embedding", $"vec_id", nlist = 8)
+    val cbsRaw = Similarity.pqTrain(emb, $"embedding", $"vec_id", m = 4, codes = 16)
+    val cbsRes = Similarity.pqTrainResidual(
+      emb, $"embedding", $"vec_id", cents, m = 4, codes = 16)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSet(Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" < 8), $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5))
+    val raw = topSet(Similarity.ivfPqTopK(
+      emb, $"embedding", $"vec_id", queries, cents, cbsRaw, k = 5, nprobe = 3))
+    val res = topSet(Similarity.ivfPqResidualTopK(
+      emb, $"embedding", $"vec_id", queries, cents, cbsRes, k = 5, nprobe = 3))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, want) =>
+        (want & got.getOrElse(q, Set.empty)).size.toDouble / want.size
+      }.sum / exact.size
+    val (rRaw, rRes) = (recall(raw), recall(res))
+    info(f"recall@5 vs exact: raw $rRaw%.3f, residual $rRes%.3f")
+    assert(rRes >= rRaw - 1e-9,
+      f"residual recall $rRes%.3f fell below the raw-PQ floor $rRaw%.3f")
+  }
+
   test("intervalOverlapJoin: exact theta-join parity, single emission, no cross product, loud guards") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

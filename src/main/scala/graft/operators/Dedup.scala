@@ -910,4 +910,64 @@ object Dedup {
         Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style SEMANTIC pruning (public literature: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the embedding space with a
+    * coarse quantizer, find near-duplicate pairs EXACTLY but only
+    * WITHIN each cluster, resolve connected components, and keep one
+    * best-quality survivor per semantic group. Complementary to
+    * [[embeddingCosinePairs]]'s LSH buckets: the cluster scope makes
+    * within-group comparison exact (no sketch recall loss) while the
+    * quantizer bounds the quadratic blowup.
+    *
+    * Scale shape: cell assignment is map-side (centroid literal +
+    * codegen kernel — zero shuffle); the pair join shuffles the corpus
+    * ONCE on cell id with quadratic work confined inside each cell —
+    * the SemDeDup contract is that `nlist` grows with corpus size
+    * (cells of ~√N keep total pair work ~N^1.5, the published
+    * regime); components resolve by pointer jumping (O(log diameter)
+    * rounds, [[clusters]]); the survivor rule is the
+    * partial-aggregable struct-max of [[keepBestPerCluster]], no
+    * per-group window. Wrong-dimension vectors drop (the corrupt-input
+    * policy of the ANN stack); null ids fail loudly inside
+    * [[keepBestPerCluster]].
+    *
+    * Returns one row PER SURVIVOR: (vec_id, cell, q, cluster_id,
+    * n_members); docs in no near-dup pair survive as their own
+    * singleton cluster. The returned frame is CACHED (the
+    * [[keepBestPerCluster]] contract) — the caller owns the
+    * `.unpersist()`.
+    */
+  def semanticPrune(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      quality: Column,
+      centroids: Seq[Array[Double]],
+      threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticPrune needs at least one centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(c => c != null && c.length == dim),
+      "semanticPrune centroids must share one dimension")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val withCell = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"),
+        quality.cast("double").as("q"))
+      .filter(col("vec_id").isNotNull && size(col("v")) === dim)
+      .withColumn("cell",
+        element_at(graft.functions.GraftFunctions.nearestCentroids(spark, col("v"), centLit, 1), 1))
+    // exact within-cell pairs: ONE shuffle on cell id; NaN cosines
+    // (zero vectors) fail the >= and pair with nothing
+    val pairs = withCell.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(withCell.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    keepBestPerCluster(
+      withCell.select(col("vec_id"), col("cell"), col("q")),
+      pairs, col("vec_id"), col("q"))
+  }
 }

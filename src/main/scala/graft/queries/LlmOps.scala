@@ -1344,6 +1344,85 @@ object LlmOps {
              |old AS (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
              |SELECT d.doc_id, d.source FROM documents d JOIN fp USING (doc_id)
              |WHERE fp.f NOT IN (SELECT f FROM old)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- SemDeDup-style semantic pruning (Abbas et al. 2023):
+    // embedding space clustered by the coarse quantizer, near-dup
+    // pairs found EXACTLY but only within each cluster, connected
+    // components resolved, one best-quality survivor kept per
+    // semantic group (quality = label here; ties → lowest id).
+    // Output = survivors + the centroid model as scalar (dim_idx,
+    // value) rows so the oracle re-derives the ENTIRE path from the
+    // emitted model alone: every cell (argmax cosine), every
+    // within-cell pair (exact cosine ≥ τ), the transitive closure
+    // (recursive CTE, q34/q54 precedent), and the survivor rule
+    // (independent window formulation of the struct-max).
+    Q(
+      "q91_semantic_prune",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.coarseTrain(emb, $"embedding", $"vec_id", nlist = 8)
+        val surv = materializeThenRelease(s, graft.operators.Dedup.semanticPrune(
+          emb, $"embedding", $"vec_id", $"label".cast("double"), cents, threshold = 0.35))(
+          _.select($"vec_id", $"cell", $"cluster_id", $"n_members"))
+          .select($"vec_id", $"cell", $"cluster_id", $"n_members",
+            lit(-1).as("dim_idx"), lit(0.0).as("value"))
+        val centRows = for {
+          (c, i) <- cents.zipWithIndex
+          (x, dIdx) <- c.toSeq.zipWithIndex
+        } yield (-1L, i + 1, -1L, -1L, dIdx, x)
+        s.createDataFrame(centRows)
+          .toDF("vec_id", "cell", "cluster_id", "n_members", "dim_idx", "value")
+          .unionByName(surv)
+          .orderBy($"vec_id", $"cell", $"dim_idx")
+      },
+      Some("""WITH RECURSIVE
+             |outp AS (SELECT * FROM read_parquet('{{OUT}}/q91_semantic_prune/*.parquet')),
+             |cent AS MATERIALIZED (SELECT cell AS cid, list(value ORDER BY dim_idx) AS centroid
+             |  FROM outp WHERE vec_id = -1 GROUP BY cell),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS DOUBLE) AS q
+             |  FROM embeddings WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+             |csc AS (SELECT e.vec_id, cent.cid,
+             |    list_dot_product(v, cent.centroid)
+             |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+             |  FROM e CROSS JOIN cent),
+             |cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
+             |        cid ASC) AS rn
+             |    FROM csc) WHERE rn = 1),
+             |pc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |  FROM (SELECT e.vec_id, e.v, cells.cid FROM e JOIN cells USING (vec_id)) a
+             |  JOIN (SELECT e.vec_id, e.v, cells.cid FROM e JOIN cells USING (vec_id)) b
+             |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+             |-- NaN guard: DuckDB orders NaN ABOVE all numbers, so a bare
+             |-- cos >= t would ADMIT zero-vector pairs the engine's Java
+             |-- comparison rejects
+             |pairs AS MATERIALIZED (SELECT id_a, id_b FROM pc
+             |  WHERE NOT isnan(cos) AND cos >= 0.35),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(vec_id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT g.src, r.r FROM edges g JOIN reach r ON g.dst = r.vec_id),
+             |lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+             |allv AS (SELECT e.vec_id, cells.cid AS cell, e.q,
+             |    coalesce(l.cluster_id, e.vec_id) AS cluster_id
+             |  FROM e JOIN cells USING (vec_id) LEFT JOIN lab l USING (vec_id)),
+             |ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, vec_id) AS rn,
+             |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+             |  FROM allv)
+             |SELECT vec_id, cell, cluster_id, n_members,
+             |  CAST(-1 AS INT) AS dim_idx, 0.0 AS value
+             |FROM ranked WHERE rn = 1
+             |UNION ALL
+             |SELECT vec_id, cell, cluster_id, n_members, dim_idx, value
+             |FROM outp WHERE vec_id = -1
+             |ORDER BY vec_id, cell, dim_idx""".stripMargin))
   )
 }

@@ -713,6 +713,22 @@ object ScaleOps {
              |SELECT query_id, rank, vec_id, score, sub, code, dim_idx, value
              |FROM outp WHERE query_id = -1
              |ORDER BY query_id, rank, sub, code, dim_idx""".stripMargin)),
+
+    // ---- watermarked stream-stream interval join under the gate: the
+    // live twin of q67's bounded range join, run through a REAL
+    // multi-micro-batch AvailableNow query (see streamingIntervalJoin).
+    // The oracle is the batch theta join — watermark(2h) > interval(1h)
+    // guarantees the streamed pair set is exactly the batch pair set.
+    Q(
+      "q92_streaming_interval_join",
+      (s, d) => streamingIntervalJoin(s, d),
+      Some("""SELECT a.event_id AS error_event_id, b.event_id AS click_event_id
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             | AND a.event_type = 'error' AND b.event_type = 'click'
+             | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+             |       BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 3600000000
+             |           AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 3600000000
+             |ORDER BY error_event_id, click_event_id""".stripMargin)),
   )
 
   /** q89's oracle: 10 unrolled PageRank iterations (damping 0.85,
@@ -761,6 +777,62 @@ object ScaleOps {
   }
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")
+
+  /** q92: the LIVE-stream twin of the bounded range join (q67) under
+    * the gate — a watermarked stream-stream inner interval join run
+    * through a real multi-micro-batch AvailableNow query. The 2-hour
+    * watermarks exceed the ±1-hour join interval, so no in-interval
+    * pair can be dropped as late and the streamed result must equal
+    * the batch theta join EXACTLY (the oracle). State is bounded by
+    * the watermark on both sides — the property that lets this run
+    * forever on live streams; `maxFilesPerTrigger=1` over 2-file
+    * inputs forces ≥2 micro-batches so the incremental-state path is
+    * genuinely exercised (enforced below, q80 precedent).
+    */
+  private def streamingIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q92_ssj")
+    try {
+      def stage(tpe: String, dir: String): Unit =
+        Tables.events(s, d).filter($"event_type" === tpe)
+          .select($"event_id", $"user_id", $"ts")
+          .repartition(2).write.parquet(dir)
+      val errDir = scratch.resolve("err").toString
+      val clkDir = scratch.resolve("clk").toString
+      stage("error", errDir)
+      stage("click", clkDir)
+      val schema = s.read.parquet(errDir).schema
+      val a = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(errDir).withWatermark("ts", "2 hours").alias("a")
+      val b = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(clkDir).withWatermark("ts", "2 hours").alias("b")
+      val joined = a.join(b,
+        expr("""a.user_id = b.user_id AND
+                b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR"""))
+        .select(col("a.event_id").as("error_event_id"),
+          col("b.event_id").as("click_event_id"))
+      val name = "q92_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q92 stream did not terminate within 600s — refusing a partial join")
+      finally q.stop()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"q92 ran $dataBatches data micro-batch(es); the incremental " +
+          "stream-stream state path needs at least 2")
+      // materialize on executors, then release the memory-sink view
+      val res = s.table(name)
+        .select($"error_event_id", $"click_event_id")
+        .orderBy($"error_event_id", $"click_event_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      res
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   private def streamingCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

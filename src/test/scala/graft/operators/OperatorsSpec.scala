@@ -1210,6 +1210,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(zq.getMessage.contains("zero-norm"))
   }
 
+  test("semanticPrune: within-cell exact pairs, keep-best survivor, singletons survive") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 1: {1, 2, 6} one near-dup group (pairwise cos > 0.99);
+    // cell 2: {3, 4} a group; 5 routes to cell 1 (tie → lower cid) but
+    // sits at 45° from everything → singleton
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0), 1.0),
+      (2L, Seq(0.9999, 0.01), 2.0),
+      (6L, Seq(0.9998, 0.02), 2.0),
+      (3L, Seq(0.0, 1.0), 5.0),
+      (4L, Seq(0.01, 0.9999), 1.0),
+      (5L, Seq(0.707, 0.707), 9.0))
+    val df = rows.toDF("vec_id", "v", "q")
+    val surv = Dedup.semanticPrune(df, $"v", $"vec_id", $"q", cents, threshold = 0.99)
+    val got = surv.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(3), r.getLong(4)))).toMap
+    surv.unpersist()
+    // group {1,2,6}: max q = 2.0 tied between 2 and 6 → min id 2 wins;
+    // cluster_id = min member id
+    assert(got.keySet == Set(2L, 3L, 5L), s"survivors ${got.keySet}")
+    assert(got(2L) == ((1, 1L, 3L)), s"got ${got(2L)}")  // cell 1, cluster 1, 3 members
+    assert(got(3L) == ((2, 3L, 2L)), s"got ${got(3L)}")  // cell 2, cluster 3, 2 members
+    assert(got(5L) == ((1, 5L, 1L)), s"got ${got(5L)}")  // singleton survives as itself
+    // guards: ragged centroids rejected
+    intercept[IllegalArgumentException] {
+      Dedup.semanticPrune(df, $"v", $"vec_id", $"q", Seq(Array(1.0), Array(0.0, 1.0)), 0.9)
+    }
+  }
+
   test("ivfPqResidualTopK recall on clustered embeddings >= raw ivfPqTopK recall") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -429,6 +429,77 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BPE merge-table TRAINING (public literature: Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units") — the iterative step past [[tokenPairCounts]]'s single
+    * pair census: `numMerges` rounds of (count adjacent symbol pairs
+    * weighted by word frequency → merge the most frequent pair
+    * everywhere, left-to-right non-overlapping). Returns the merge
+    * table `(rank, left, right, pair_count)` — with the wordpiece
+    * kernel (q74) covering tokenizer APPLY, this covers tokenizer
+    * TRAIN.
+    *
+    * The 100 TB story is the industrial BPE-trainer shape
+    * (word-level): the HEAVY pass is the exact word count over the
+    * corpus — one partial-aggregable shuffle — after which training
+    * runs on the `vocabCap` most frequent word TYPES (count-desc,
+    * word-asc tie-break; the q56/q61 bounded-collect precedent: top
+    * word types carry almost all token mass, and the cap bounds
+    * driver memory regardless of corpus size). The merge loop itself
+    * is O(numMerges × vocab chars) driver-side arithmetic — exactly
+    * where reference tokenizer trainers run it.
+    *
+    * Semantics pinned for the oracle: no end-of-word marker (merges
+    * never cross word boundaries); merge application scans LEFT TO
+    * RIGHT without overlap (a run [a,a,a] under pair (a,a) becomes
+    * [aa, a]); pair ties break to the lexicographically smallest
+    * (left, right) — tokens are ASCII so JVM and SQL collations
+    * agree. Every round is re-derivable by SQL: the oracle replays
+    * all `numMerges` rounds with recursive-CTE LTR walks and must
+    * reproduce rank, pair, and count exactly.
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      numMerges: Int,
+      vocabCap: Int = 2000): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1, s"bpeTrain needs numMerges >= 1, got $numMerges")
+    require(vocabCap >= 1, s"bpeTrain needs vocabCap >= 1, got $vocabCap")
+    val words = df.select(explode(coalesce(tokens(text), array())).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(words.nonEmpty, "bpeTrain: empty vocabulary (no tokens in corpus)")
+    var vocab: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    (1 to numMerges).map { k =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (sl, c) =>
+        var i = 0
+        while (i < sl.length - 1) {
+          val key = (sl(i), sl(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"bpeTrain: no adjacent pairs left at merge $k — every word is a " +
+          s"single symbol; request fewer merges")
+      val ((l, r), n) = counts.minBy { case ((a, b), m) => (-m, a, b) }
+      vocab = vocab.map { case (sl, c) =>
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < sl.length) {
+          if (i < sl.length - 1 && sl(i) == l && sl(i + 1) == r) {
+            out += (sl(i) + sl(i + 1)); i += 2
+          } else { out += sl(i); i += 1 }
+        }
+        (out.result(), c)
+      }
+      (k, l, r, n)
+    }
+  }
+
   /** Hashed bag-of-words linear scoring — the fastText-style quality/
     * domain classifier shape used throughout LLM data curation (public
     * literature: Joulin et al. 2016; quality-classifier filtering in

@@ -1423,6 +1423,64 @@ object LlmOps {
              |UNION ALL
              |SELECT vec_id, cell, cluster_id, n_members, dim_idx, value
              |FROM outp WHERE vec_id = -1
-             |ORDER BY vec_id, cell, dim_idx""".stripMargin))
+             |ORDER BY vec_id, cell, dim_idx""".stripMargin)),
+
+    // ---- BPE merge-table training (Sennrich et al. 2016): 8 rounds
+    // of most-frequent-adjacent-pair merging over the 2000 most
+    // frequent word types (count-weighted), left-to-right
+    // non-overlapping application, ties to the lexicographically
+    // smallest pair. The oracle replays EVERY round: pair census by
+    // list comprehension, best pair by the same (n DESC, l, r) order,
+    // and the LTR merge walk as a recursive CTE per round — rank,
+    // pair, and count must all match exactly.
+    Q(
+      "q93_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val merges = TextAnalysis.bpeTrain(
+          Tables.documents(s, d), $"text", numMerges = 8, vocabCap = 2000)
+        s.createDataFrame(merges)
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+          .orderBy($"rank")
+      },
+      Some(bpeOracle(numMerges = 8, vocabCap = 2000)))
   )
+
+  /** q93's oracle: `numMerges` unrolled BPE rounds. Each round k has
+    * four CTEs — pair census `p{k}` (struct comprehension over the
+    * symbol lists), best pair `b{k}` (the engine's exact (n DESC, l,
+    * r) order), a RECURSIVE left-to-right merge walk `s{k}` (a
+    * `replace()` formulation would diverge on odd runs: [a,a,a] must
+    * pair positions 1-2, not whatever a string scan resumes on), and
+    * the re-assembled vocab `w{k}`. MATERIALIZED where a CTE is read
+    * twice (DuckDB inlines plain CTEs — the q89 lesson).
+    */
+  private def bpeOracle(numMerges: Int, vocabCap: Int): String = {
+    val header =
+      s"""WITH RECURSIVE w0 AS MATERIALIZED (
+         |  SELECT [w[i:i] for i in range(1, len(w)+1)] AS sl, cnt FROM (
+         |    SELECT w, count(*) AS cnt FROM (SELECT unnest($sqlToks) AS w FROM documents)
+         |    GROUP BY w ORDER BY cnt DESC, w LIMIT $vocabCap))""".stripMargin
+    val steps = (1 to numMerges).map { k =>
+      s"""p$k AS (SELECT pr.a AS l, pr.b AS r, sum(cnt) AS n FROM (
+         |    SELECT unnest([struct_pack(a := sl[i], b := sl[i+1]) for i in range(1, len(sl))]) AS pr, cnt
+         |    FROM w${k - 1}) GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |s$k(sl, cnt, i, out) AS (
+         |  SELECT sl, cnt, 1, CAST([] AS VARCHAR[]) FROM w${k - 1}
+         |  UNION ALL
+         |  SELECT sl, cnt,
+         |    CASE WHEN i < len(sl) AND sl[i] = (SELECT l FROM b$k) AND sl[i+1] = (SELECT r FROM b$k)
+         |         THEN i + 2 ELSE i + 1 END,
+         |    list_append(out,
+         |      CASE WHEN i < len(sl) AND sl[i] = (SELECT l FROM b$k) AND sl[i+1] = (SELECT r FROM b$k)
+         |           THEN sl[i] || sl[i+1] ELSE sl[i] END)
+         |  FROM s$k WHERE i <= len(sl)),
+         |w$k AS MATERIALIZED (SELECT out AS sl, cnt FROM s$k WHERE i = len(sl) + 1)""".stripMargin
+    }
+    val finalSelect = (1 to numMerges).map { k =>
+      s"SELECT $k AS rank, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    (Seq(header) ++ steps).mkString(",\n") + "\n" + finalSelect + "\nORDER BY rank"
+  }
 }

@@ -1210,6 +1210,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(zq.getMessage.contains("zero-norm"))
   }
 
+  test("bpeTrain: hand-computed merges, LTR odd-run pairing, ties, guards") {
+    import spark.implicits._
+    // word counts: "aaa" ×2, "bb" ×2
+    val df = Seq("aaa bb", "aaa", "bb").toDF("text")
+    val got = TextAnalysis.bpeTrain(df, $"text", numMerges = 3, vocabCap = 100)
+    // round 1: (a,a) count 4 (two per "aaa", ×2 words) beats (b,b)=2.
+    // LTR on the odd run [a,a,a] pairs positions 1-2 → [aa, a].
+    // round 2: (aa,a)=2 ties (b,b)=2 → lexicographically smaller pair
+    // ("aa","a") wins. round 3: only (b,b)=2 remains.
+    assert(got == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L), (3, "b", "b", 2L)), got)
+    // one more merge than pairs exist → loud failure, not a silent stop
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(df, $"text", numMerges = 4, vocabCap = 100)
+    }
+    assert(ex.getMessage.contains("no adjacent pairs left"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(df, $"text", numMerges = 0)
+    }
+  }
+
   test("semanticPrune: within-cell exact pairs, keep-best survivor, singletons survive") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))

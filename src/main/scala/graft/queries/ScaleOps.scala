@@ -729,6 +729,56 @@ object ScaleOps {
              |       BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 3600000000
              |           AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 3600000000
              |ORDER BY error_event_id, click_event_id""".stripMargin)),
+
+    // ---- ANALYZE-style corpus profiling: per-column stats for the
+    // documents table in ONE aggregation pass (the naive loop is one
+    // full scan per column). Exact fields hash-match; the HLL++
+    // distinct estimate passes through a q45-style envelope gate —
+    // DuckDB computes the exact distinct count and admits the emitted
+    // row only within 10% (rsd 1.6%), poison row otherwise.
+    Q(
+      "q94_corpus_profile",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.profile(
+          Tables.documents(s, d), Seq("doc_id", "source", "text"))
+          .orderBy($"column")
+      },
+      Some("""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q94_corpus_profile/*.parquet')),
+             |exp AS (
+             |  SELECT 'doc_id' AS col, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+             |      count(DISTINCT doc_id) AS d_exact,
+             |      CAST(min(doc_id) AS VARCHAR) AS min_value,
+             |      CAST(max(doc_id) AS VARCHAR) AS max_value,
+             |      CAST(coalesce(sum(length(CAST(doc_id AS VARCHAR))), 0) AS BIGINT) AS len_sum
+             |    FROM documents
+             |  UNION ALL
+             |  SELECT 'source', count(*), count(source), count(DISTINCT source),
+             |      min(source), max(source),
+             |      CAST(coalesce(sum(length(source)), 0) AS BIGINT)
+             |    FROM documents
+             |  UNION ALL
+             |  SELECT 'text', count(*), count(text), count(DISTINCT text),
+             |      min(text), max(text),
+             |      CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+             |    FROM documents),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM outp) = 3
+             |    AND NOT EXISTS (SELECT 1 FROM outp o JOIN exp e ON o.column = e.col
+             |      WHERE o.n_rows <> e.n_rows OR o.n_nonnull <> e.n_nonnull
+             |         OR o.min_value <> e.min_value OR o.max_value <> e.max_value
+             |         OR o.len_sum <> e.len_sum
+             |         OR abs(o.n_distinct - e.d_exact) > 0.10 * e.d_exact)
+             |    AND NOT EXISTS (SELECT 1 FROM exp e
+             |      WHERE e.col NOT IN (SELECT o2.column FROM outp o2))
+             |  ) AS ok)
+             |SELECT "column", n_rows, n_nonnull, n_distinct, min_value, max_value, len_sum
+             |FROM outp WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  '', '', CAST(-1 AS BIGINT)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY "column"""".stripMargin)),
   )
 
   /** q89's oracle: 10 unrolled PageRank iterations (damping 0.85,

@@ -1210,6 +1210,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(zq.getMessage.contains("zero-norm"))
   }
 
+  test("profile: one scan for all columns, exact stats, native-order extrema, nulls, guards") {
+    import spark.implicits._
+    val df = Seq(
+      (9L, Some("b"), "xx"),
+      (10L, None, "y"),
+      (2L, Some("a"), "y")).toDF("id", "tag", "txt")
+    val got = Profiling.profile(df, Seq("id", "tag", "txt"))
+    // ONE pass: the plan scans the input exactly once (the naive
+    // per-column loop would scan it three times)
+    val scans = got.queryExecution.executedPlan.collect {
+      case s if s.getClass.getSimpleName.contains("Scan") => s
+    }
+    assert(scans.size <= 1, s"expected a single input scan, got ${scans.size}")
+    val rows = got.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), r.getLong(6))).toMap
+    // native-order min/max: id min is 2 and max is 10 — string order
+    // would have said '10' < '2' < '9'
+    assert(rows("id") == ((3L, 3L, 3L, "2", "10", 4L)), rows("id"))
+    // nulls: count skips them, min/max ignore them, len_sum sums non-null
+    assert(rows("tag") == ((3L, 2L, 2L, "a", "b", 2L)), rows("tag"))
+    assert(rows("txt") == ((3L, 3L, 2L, "xx", "y", 4L)), rows("txt"))
+    intercept[IllegalArgumentException] { Profiling.profile(df, Seq("nope")) }
+    intercept[IllegalArgumentException] { Profiling.profile(df, Seq.empty) }
+  }
+
   test("bpeTrain: hand-computed merges, LTR odd-run pairing, ties, guards") {
     import spark.implicits._
     // word counts: "aaa" ×2, "bb" ×2

@@ -180,6 +180,118 @@ object WordpieceKernels {
   }
 }
 
+/** BPE tokenizer APPLY (the consumer of [[graft.operators.TextAnalysis
+  * .bpeTrain]]'s merge table): each token starts as its code-point
+  * characters, then the merges apply IN RANK ORDER, each rank merging
+  * every left-to-right non-overlapping occurrence of its pair —
+  * Sennrich et al. 2016's `apply_bpe` processing order, and exactly
+  * the per-round application the trainer itself used, so encoding the
+  * training corpus reproduces the trainer's final symbol state.
+  * Output is the flattened piece sequence across tokens.
+  *
+  * Map-side at any scale: the merge table rides in as an
+  * `array<string>` literal of "left right" rows (tokens never contain
+  * spaces, so the join is unambiguous) compiled once per executor via
+  * the same single-slot identity cache as [[WordpieceEncode]]'s vocab.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode requires (array<string> tokens, array<string> merges), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def nullSafeEval(toks: Any, merges: Any): Any =
+    BpeKernels.encode(toks.asInstanceOf[ArrayData], merges.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, m) => s"graft.functions.BpeKernels.encode($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeKernels {
+
+  // parsed (left, right) pairs in rank order; single-slot identity
+  // cache — the merge literal's ArrayData is one instance per partition
+  @volatile private var lastKey: ArrayData = _
+  @volatile private var lastVal: Array[(String, String)] = _
+
+  private def compiled(merges: ArrayData): Array[(String, String)] = {
+    val k = lastKey
+    if (k eq merges) return lastVal
+    val out = Array.newBuilder[(String, String)]
+    var i = 0
+    while (i < merges.numElements()) {
+      if (!merges.isNullAt(i)) {
+        val row = merges.getUTF8String(i).toString
+        val sp = row.indexOf(' ')
+        require(sp > 0 && sp < row.length - 1,
+          s"graft_bpe_encode: merge row '$row' is not 'left right'")
+        out += ((row.substring(0, sp), row.substring(sp + 1)))
+      }
+      i += 1
+    }
+    val c = out.result()
+    lastKey = merges
+    lastVal = c
+    c
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def encode(toks: ArrayData, merges: ArrayData): ArrayData = {
+    val table = compiled(merges)
+    val out = ArrayBuffer.empty[Any]
+    var ti = 0
+    while (ti < toks.numElements()) {
+      if (!toks.isNullAt(ti)) {
+        val word = toks.getUTF8String(ti).toString
+        // code-point characters (supplementary-plane safe, like the
+        // tokenizer)
+        var syms = {
+          val b = ArrayBuffer.empty[String]
+          var p = 0
+          while (p < word.length) {
+            val cp = word.codePointAt(p)
+            val n = Character.charCount(cp)
+            b += word.substring(p, p + n)
+            p += n
+          }
+          b
+        }
+        var m = 0
+        while (m < table.length && syms.length > 1) {
+          val (l, r) = table(m)
+          // left-to-right non-overlapping — the trainer's application
+          val nb = ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              nb += (syms(i) + syms(i + 1)); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          syms = nb
+          m += 1
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+      ti += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Registry for all graft_* native expressions (idempotent; works on any
   * session including the driver's).
   */
@@ -285,6 +397,9 @@ object GraftFunctions {
     spec("graft_wordpiece",
       "graft_wordpiece(tokens, vocab) - greedy longest-match subword pieces", 2)(
       exprs => WordpieceEncode(exprs.head, exprs(1))),
+    spec("graft_bpe_encode",
+      "graft_bpe_encode(tokens, merges) - BPE pieces via rank-ordered 'left right' merges", 2)(
+      exprs => BpeEncode(exprs.head, exprs(1))),
     spec("graft_searchsorted",
       "graft_searchsorted(v, sorted_bounds) - count of boundaries <= v (binary search)", 2)(
       exprs => SearchSorted(exprs.head, exprs(1))),
@@ -390,6 +505,16 @@ object GraftFunctions {
     call_function("graft_wordpiece", tokens,
       org.apache.spark.sql.functions.array(
         vocab.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
+    bpeEncode(SparkSession.active, tokens, merges)
+  def bpeEncode(spark: SparkSession, tokens: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge rule")
+    register(spark)
+    call_function("graft_bpe_encode", tokens,
+      org.apache.spark.sql.functions.array(
+        merges.map { case (l, r) => org.apache.spark.sql.functions.lit(s"$l $r") }: _*))
   }
 
   def searchSorted(value: Column, bounds: Seq[Double]): Column =

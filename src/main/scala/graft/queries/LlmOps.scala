@@ -1443,7 +1443,30 @@ object LlmOps {
           .toDF("rank", "left_sym", "right_sym", "pair_count")
           .orderBy($"rank")
       },
-      Some(bpeOracle(numMerges = 8, vocabCap = 2000)))
+      Some(bpeOracle(numMerges = 8, vocabCap = 2000))),
+
+    // ---- BPE tokenizer APPLY (the q93 merge table driving the
+    // graft_bpe_encode kernel): every corpus token segments through
+    // the 8 trained merges in rank order, left-to-right non-overlap
+    // per rank — Sennrich's apply_bpe processing order. One flattened
+    // (doc_id, idx, piece) row per emitted piece. The oracle replays
+    // TRAINING (the q93 CTEs) and then the full APPLY: each DISTINCT
+    // corpus word walks all 8 recursive-CTE merge rounds, occurrences
+    // rejoin by word, and per-doc piece indices rebuild through a
+    // running window over token positions.
+    Q(
+      "q95_bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.bpeTrain(docs, $"text", numMerges = 8, vocabCap = 2000)
+        docs.select($"doc_id",
+          posexplode(graft.functions.GraftFunctions.bpeEncode(
+            s, coalesce(TextAnalysis.tokens($"text"), array()),
+            merges.map(m => (m._2, m._3)))).as(Seq("idx", "piece")))
+          .orderBy($"doc_id", $"idx")
+      },
+      Some(bpeEncodeOracle(numMerges = 8, vocabCap = 2000)))
   )
 
   /** q93's oracle: `numMerges` unrolled BPE rounds. Each round k has
@@ -1456,8 +1479,22 @@ object LlmOps {
     * twice (DuckDB inlines plain CTEs — the q89 lesson).
     */
   private def bpeOracle(numMerges: Int, vocabCap: Int): String = {
+    val finalSelect = (1 to numMerges).map { k =>
+      s"SELECT $k AS rank, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    "WITH RECURSIVE " + bpeTrainCtes(numMerges, vocabCap).mkString(",\n") +
+      "\n" + finalSelect + "\nORDER BY rank"
+  }
+
+  /** The shared training replay: w0 (capped char-split vocab), then
+    * per round k the pair census p{k}, best pair b{k} (the engine's
+    * exact (n DESC, l, r) order), the recursive LTR merge walk s{k},
+    * and the re-assembled vocab w{k}. Used by both the q93 train
+    * oracle and the q95 apply oracle.
+    */
+  private def bpeTrainCtes(numMerges: Int, vocabCap: Int): Seq[String] = {
     val header =
-      s"""WITH RECURSIVE w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
          |  SELECT [w[i:i] for i in range(1, len(w)+1)] AS sl, cnt FROM (
          |    SELECT w, count(*) AS cnt FROM (SELECT unnest($sqlToks) AS w FROM documents)
          |    GROUP BY w ORDER BY cnt DESC, w LIMIT $vocabCap))""".stripMargin
@@ -1478,9 +1515,45 @@ object LlmOps {
          |  FROM s$k WHERE i <= len(sl)),
          |w$k AS MATERIALIZED (SELECT out AS sl, cnt FROM s$k WHERE i = len(sl) + 1)""".stripMargin
     }
-    val finalSelect = (1 to numMerges).map { k =>
-      s"SELECT $k AS rank, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b$k"
-    }.mkString("\nUNION ALL\n")
-    (Seq(header) ++ steps).mkString(",\n") + "\n" + finalSelect + "\nORDER BY rank"
+    header +: steps
+  }
+
+  /** q95's oracle: the full training replay, then the APPLY — every
+    * DISTINCT corpus word walks the same recursive LTR rounds against
+    * b1..bN (duplicate occurrences rejoin by word afterward: the walk
+    * cost is per word TYPE, not token), and per-doc flattened piece
+    * indices rebuild via a running length sum over token positions.
+    */
+  private def bpeEncodeOracle(numMerges: Int, vocabCap: Int): String = {
+    val applySteps = (1 to numMerges).map { k =>
+      s"""e$k(w, sl, i, out) AS (
+         |  SELECT w, sl, 1, CAST([] AS VARCHAR[]) FROM a${k - 1}
+         |  UNION ALL
+         |  SELECT w, sl,
+         |    CASE WHEN i < len(sl) AND sl[i] = (SELECT l FROM b$k) AND sl[i+1] = (SELECT r FROM b$k)
+         |         THEN i + 2 ELSE i + 1 END,
+         |    list_append(out,
+         |      CASE WHEN i < len(sl) AND sl[i] = (SELECT l FROM b$k) AND sl[i+1] = (SELECT r FROM b$k)
+         |           THEN sl[i] || sl[i+1] ELSE sl[i] END)
+         |  FROM e$k WHERE i <= len(sl)),
+         |a$k AS MATERIALIZED (SELECT w, out AS sl FROM e$k WHERE i = len(sl) + 1)""".stripMargin
+    }
+    val applyHeader =
+      s"""tok AS MATERIALIZED (SELECT doc_id,
+         |    generate_subscripts(tk, 1) - 1 AS tpos, unnest(tk) AS w
+         |  FROM (SELECT doc_id, coalesce($sqlToks, []) AS tk FROM documents)),
+         |a0 AS MATERIALIZED (SELECT w, [w[i:i] for i in range(1, len(w)+1)] AS sl
+         |  FROM (SELECT DISTINCT w FROM tok))""".stripMargin
+    val finalSelect =
+      s"""SELECT doc_id, CAST(off + gs - 1 AS INT) AS idx, piece FROM (
+         |  SELECT doc_id, off, generate_subscripts(pieces, 1) AS gs, unnest(pieces) AS piece
+         |  FROM (SELECT t.doc_id, t.tpos, a.sl AS pieces,
+         |      sum(len(a.sl)) OVER (PARTITION BY t.doc_id ORDER BY t.tpos
+         |        ROWS UNBOUNDED PRECEDING) - len(a.sl) AS off
+         |    FROM tok t JOIN a$numMerges a ON a.w = t.w))
+         |ORDER BY doc_id, idx""".stripMargin
+    "WITH RECURSIVE " +
+      (bpeTrainCtes(numMerges, vocabCap) ++ Seq(applyHeader) ++ applySteps).mkString(",\n") +
+      "\n" + finalSelect
   }
 }

@@ -1255,6 +1255,48 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("bpeEncode: rank-ordered LTR apply, reproduces trainer state, guards") {
+    import spark.implicits._
+    val df = Seq("aaa bb", "aaa", "bb").toDF("text")
+    val merges3 = TextAnalysis.bpeTrain(df, $"text", numMerges = 3, vocabCap = 100)
+      .map(m => (m._2, m._3)) // [(a,a), (aa,a), (b,b)]
+    def enc(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .select(graft.functions.GraftFunctions.bpeEncode(
+          spark, TextAnalysis.tokens(col("text")), merges3).as("p"))
+        .collect().head.getSeq[String](0)
+    // training corpus words collapse to their final trainer state
+    assert(enc("aaa bb") == Seq("aaa", "bb"))
+    // unseen word, odd-run LTR at rank 1, then rank 2 finds nothing:
+    // a-a-a-a -> [aa, aa] (NOT [aaa, a] — ranks apply in order)
+    assert(enc("aaaa") == Seq("aa", "aa"))
+    // rank 1 gives [aa, aa, a]; rank 2 (aa, a) then merges the tail
+    assert(enc("aaaaa") == Seq("aa", "aaa"))
+    // nothing applies
+    assert(enc("ab ba") == Seq("a", "b", "b", "a"))
+    // concatenation invariant on real text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val both = docs.select(
+      TextAnalysis.tokens(col("text")).as("t"),
+      graft.functions.GraftFunctions.bpeEncode(
+        spark, TextAnalysis.tokens(col("text")), merges3).as("p"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0).mkString == r.getSeq[String](1).mkString,
+        "piece concatenation must reproduce the token stream")
+    }
+    // malformed merge rows fail loudly at the kernel
+    graft.functions.GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array('ab'), array('nospace'))").collect()
+    }
+    assert(ex.getMessage.contains("left right") ||
+      Option(ex.getCause).exists(_.getMessage.contains("left right")))
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.bpeEncode(spark, col("text"), Seq.empty)
+    }
+  }
+
   test("semanticPrune: within-cell exact pairs, keep-best survivor, singletons survive") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))

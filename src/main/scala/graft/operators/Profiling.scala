@@ -29,6 +29,11 @@ object Profiling {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    // names are interpolated into the stack() SQL below — restrict to
+    // plain identifiers rather than risk a silently mangled expression
+    val unsafe = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(unsafe.isEmpty,
+      s"profile: column name(s) not plain identifiers (alias them first): ${unsafe.mkString(", ")}")
     def c(name: String): Column = col(name)
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { n =>
       Seq(

@@ -60,7 +60,13 @@ object FleetSplitterBench {
     val dir = Files.createTempDirectory(Paths.get("/tmp"), "mrf_fleet_")
     try {
       val src = Paths.get(path)
-      (1 to n).foreach(i => Files.createLink(dir.resolve(f"copy_$i%02d.json"), src))
+      (1 to n).foreach { i =>
+        val dst = dir.resolve(f"copy_$i%02d.json")
+        // hardlink (free) when /tmp shares the source filesystem;
+        // fall back to a real copy when it doesn't
+        try Files.createLink(dst, src)
+        catch { case _: Exception => Files.copy(src, dst); () }
+      }
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions", "32")

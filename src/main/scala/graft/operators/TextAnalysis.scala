@@ -547,6 +547,71 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0.0), (acc, t) => acc + weight(t)).as("score"))
   }
 
+  /** In-engine logistic-regression TRAINING for the hashed
+    * bag-of-words classifier [[hashedLinearScore]] applies: `steps`
+    * full-batch gradient-descent rounds over binary-cross-entropy,
+    * features = per-token md5 bucket counts (the same portable bucket
+    * id as the scorer), labels = any 0/1 column.
+    *
+    * The 100 TB story is the right split of work: each gradient step
+    * is ONE corpus pass — the current weight vector rides into the
+    * plan as an array literal, per-doc scores fold map-side
+    * (`aggregate` over the bucket array), and the gradient is one
+    * partial-aggregable `groupBy(bucket)` over at most `buckets`
+    * groups; only the `buckets`-sized gradient returns to the driver
+    * (bounded regardless of corpus size, the q56/q61 collect
+    * precedent). This is exactly how reference distributed LR trainers
+    * shape the computation (weights broadcast, gradients tree-reduced).
+    *
+    * Determinism note: the gradient is a float sum folded in partition
+    * order, and sigmoid uses libm `exp` — neither is bit-portable, so
+    * the q96 oracle replays the full trajectory and accepts weights
+    * within 1e-6 (q57's tolerance precedent). Returns
+    * `(bucket, weight)` for all `buckets` slots after `steps` rounds
+    * from the zero vector with learning rate `lr` (gradient averaged
+    * over ALL rows, token-less docs included — their residual simply
+    * touches no bucket).
+    */
+  def logisticTrain(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      label: Column,
+      buckets: Int = 256,
+      steps: Int = 5,
+      lr: Double = 0.05): Seq[(Int, Double)] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(lr > 0.0, s"lr must be > 0, got $lr")
+    val bucketOf = (t: Column) =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong)).cast("int")
+    val guardedY = when(label.cast("double").isNull || !label.cast("double").isin(0.0, 1.0),
+      raise_error(lit("logisticTrain: label must be 0 or 1 and non-null")))
+      .otherwise(label.cast("double"))
+    val base = df.select(
+      transform(coalesce(tokens(text), array()), bucketOf).as("bs"),
+      guardedY.as("y"))
+      .cache()
+    val n = base.count()
+    require(n > 0, "logisticTrain: empty input")
+    try {
+      var w = Array.fill(buckets)(0.0)
+      for (_ <- 1 to steps) {
+        val wLit = typedLit(w.toSeq)
+        val grads = base
+          .withColumn("score",
+            aggregate(col("bs"), lit(0.0), (acc, b) => acc + element_at(wLit, b + 1)))
+          .withColumn("r", lit(1.0) / (lit(1.0) + exp(-col("score"))) - col("y"))
+          .select(explode(col("bs")).as("b"), col("r"))
+          .groupBy("b").agg(sum(col("r")).as("g"))
+          .collect()
+        val g = new Array[Double](buckets)
+        grads.foreach(r => g(r.getInt(0)) = r.getDouble(1))
+        w = Array.tabulate(buckets)(i => w(i) - lr * g(i) / n)
+      }
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    } finally { base.unpersist(); () }
+  }
+
   /** Greedy longest-match subword segmentation over [[tokens]] — the
     * "tokenizer apply" step (wordpiece-style): each word splits into
     * the longest `vocab` pieces matching at each position,

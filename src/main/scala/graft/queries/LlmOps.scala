@@ -1466,7 +1466,28 @@ object LlmOps {
             merges.map(m => (m._2, m._3)))).as(Seq("idx", "piece")))
           .orderBy($"doc_id", $"idx")
       },
-      Some(bpeEncodeOracle(numMerges = 8, vocabCap = 2000)))
+      Some(bpeEncodeOracle(numMerges = 8, vocabCap = 2000))),
+
+    // ---- in-engine logistic-regression TRAINING (the trainer behind
+    // q63's hashed-BoW scorer): 5 full-batch gradient steps, hashed
+    // bucket-count features, label = doc_id parity. Each step is one
+    // corpus pass with the weight vector as an array literal; only the
+    // 256-slot gradient returns to the driver. Gradient sums fold in
+    // partition order and sigmoid uses libm exp — neither bit-portable
+    // — so the oracle replays the ENTIRE 5-step trajectory and admits
+    // the emitted weights within 1e-6 per slot (q57's tolerance
+    // pattern), poison row otherwise.
+    Q(
+      "q96_logistic_train",
+      (s, d) => {
+        import s.implicits._
+        val weights = TextAnalysis.logisticTrain(
+          Tables.documents(s, d), $"text", $"doc_id" % 2,
+          buckets = 256, steps = 5, lr = 0.05)
+        s.createDataFrame(weights).toDF("bucket", "weight")
+          .orderBy($"bucket")
+      },
+      Some(logisticOracle(buckets = 256, steps = 5, lr = 0.05)))
   )
 
   /** q93's oracle: `numMerges` unrolled BPE rounds. Each round k has
@@ -1555,5 +1576,50 @@ object LlmOps {
     "WITH RECURSIVE " +
       (bpeTrainCtes(numMerges, vocabCap) ++ Seq(applyHeader) ++ applySteps).mkString(",\n") +
       "\n" + finalSelect
+  }
+
+  /** q96's oracle: replay the full gradient-descent trajectory — per
+    * step one scoring pass (weight list cross-joined in), a gradient
+    * aggregate per bucket, and the updated weight list rebuilt via
+    * `list(wi ORDER BY i)` over a range/LEFT JOIN — then admit the
+    * emitted weights only if every slot agrees within 1e-6 (float
+    * gradient sums fold in partition order on the engine side;
+    * sigmoid's exp differs in ulps across libms).
+    */
+  private def logisticOracle(buckets: Int, steps: Int, lr: Double): String = {
+    val header = Seq(
+      s"""tb AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(coalesce($sqlToks, []), x ->
+         |      CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % $buckets AS INT)) AS bs,
+         |    CAST(doc_id % 2 AS DOUBLE) AS y
+         |  FROM documents)""".stripMargin,
+      "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb)",
+      s"w0 AS (SELECT list(CAST(0.0 AS DOUBLE)) AS w FROM range(0, $buckets))")
+    val stepCtes = (1 to steps).flatMap { k =>
+      val p = s"w${k - 1}"
+      Seq(
+        s"""g$k AS MATERIALIZED (SELECT b, sum(r) AS g FROM (
+           |    SELECT unnest(bs) AS b, 1.0/(1.0+exp(-s)) - y AS r FROM (
+           |      SELECT doc_id, y, bs,
+           |        coalesce(list_sum(list_transform(bs, b -> $p.w[b+1])), 0.0) AS s
+           |      FROM tb, $p)) GROUP BY b)""".stripMargin,
+        s"""w$k AS MATERIALIZED (SELECT list(wi ORDER BY i) AS w FROM (
+           |    SELECT t.i AS i, $p.w[t.i+1] - $lr * coalesce(g$k.g, 0.0) / (SELECT n FROM nn) AS wi
+           |    FROM range(0, $buckets) t(i) CROSS JOIN $p LEFT JOIN g$k ON g$k.b = t.i))""".stripMargin)
+    }
+    val gate =
+      s"""emitted AS (SELECT bucket, weight FROM read_parquet('{{OUT}}/q96_logistic_train/*.parquet')),
+         |flag AS (SELECT (
+         |    (SELECT count(*) FROM emitted) = $buckets
+         |    AND (SELECT count(DISTINCT bucket) FROM emitted) = $buckets
+         |    AND NOT EXISTS (SELECT 1 FROM emitted e
+         |      WHERE e.bucket < 0 OR e.bucket >= $buckets
+         |         OR abs(e.weight - (SELECT w FROM w$steps)[e.bucket + 1]) > 1e-6)
+         |  ) AS ok)
+         |SELECT bucket, weight FROM emitted WHERE (SELECT ok FROM flag)
+         |UNION ALL
+         |SELECT CAST(-1 AS INT), CAST(-999 AS DOUBLE) WHERE NOT (SELECT ok FROM flag)
+         |ORDER BY bucket""".stripMargin
+    "WITH " + (header ++ stepCtes :+ gate).mkString(",\n")
   }
 }

@@ -1255,6 +1255,69 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("logisticTrain: matches a local trajectory replay, reduces log-loss, guards") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // lr sized for the unnormalized ~50-count feature rows: 0.5
+    // demonstrably DIVERGES (loss 0.69 -> 9.7) — full-batch GD on
+    // count features needs a small step
+    val (buckets, steps, lr) = (64, 4, 0.05)
+    val got = TextAnalysis.logisticTrain(
+      docs, col("text"), col("doc_id") % 2, buckets, steps, lr).toMap
+
+    // local replay of the identical recurrence (fold-order float drift
+    // between the engine's partition sums and this sequential sum is
+    // ~1e-14 over 4 steps)
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def bucketsOf(text: String): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "[^a-z0-9]+".r.split(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .filter(_.nonEmpty)
+        .map { w =>
+          val hex = md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+        }
+    }
+    val feats = rows.map { case (id, t) => (bucketsOf(t), (id % 2).toDouble) }
+    val n = feats.length
+    var w = Array.fill(buckets)(0.0)
+    def loss(wv: Array[Double]): Double = feats.map { case (bs, y) =>
+      val s = bs.map(b => wv(b)).sum
+      val p = 1.0 / (1.0 + math.exp(-s))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / n
+    val loss0 = loss(w)
+    for (_ <- 1 to steps) {
+      val g = Array.fill(buckets)(0.0)
+      feats.foreach { case (bs, y) =>
+        val s = bs.map(b => w(b)).sum
+        val r = 1.0 / (1.0 + math.exp(-s)) - y
+        bs.foreach(b => g(b) += r)
+      }
+      w = Array.tabulate(buckets)(i => w(i) - lr * g(i) / n)
+    }
+    (0 until buckets).foreach { b =>
+      assert(math.abs(got(b) - w(b)) < 1e-9, s"bucket $b: ${got(b)} vs ${w(b)}")
+    }
+    val lossT = loss(Array.tabulate(buckets)(got(_)))
+    info(f"log-loss: start $loss0%.4f -> trained $lossT%.4f")
+    assert(lossT < loss0, "training must reduce log-loss on the training set")
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(docs, col("text"), col("doc_id") % 2, buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(docs, col("text"), col("doc_id") % 2, steps = 0)
+    }
+    // non-0/1 labels fail loudly at execution
+    val ex = intercept[Exception] {
+      TextAnalysis.logisticTrain(docs, col("text"), col("doc_id"), buckets, 1, lr)
+    }
+    assert(ex.getMessage.contains("label") ||
+      Option(ex.getCause).exists(_.getMessage.contains("label")))
+  }
+
   test("bpeEncode: rank-ordered LTR apply, reproduces trainer state, guards") {
     import spark.implicits._
     val df = Seq("aaa bb", "aaa", "bb").toDF("text")

@@ -1375,6 +1375,10 @@ class OperatorsSpec extends SparkTestBase {
       (5L, Seq(0.707, 0.707), 9.0))
     val df = rows.toDF("vec_id", "v", "q")
     val surv = Dedup.semanticPrune(df, $"v", $"vec_id", $"q", cents, threshold = 0.99)
+    // the within-cell pair join must be an equi-join on cell id, never
+    // a planner-degraded cross product
+    val plan = surv.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     val got = surv.collect()
       .map(r => (r.getLong(0), (r.getInt(1), r.getLong(3), r.getLong(4)))).toMap
     surv.unpersist()

@@ -510,6 +510,43 @@ object Sampling {
     capPerKey(df, key,
       md5Bucket32(md5(hashOn.cast("binary"))).cast("double"), id, k)
 
+  /** WEIGHTED sampling without replacement, k per key (public
+    * literature: Efraimidis & Spirakis 2006, "Weighted random sampling
+    * with a reservoir" — the exponential-clocks / A-ES scheme): each
+    * row draws a uniform u ∈ (0, 1] and ranks by `ln(u) / w`; the
+    * top-k per key is then an EXACT weighted without-replacement
+    * sample (equivalent to ranking by u^(1/w) — ln is monotone — with
+    * selection probability proportional to weight at every draw).
+    *
+    * Like every sampler here, u is NOT an RNG: it derives from
+    * md5(`hashOn`) (the [[stratifiedKeep]] portability contract), so
+    * re-executed tasks, re-ingested corpora, and other engines select
+    * the identical rows; `+1` keeps u strictly positive (ln(0)).
+    * Weights must be strictly positive and non-null — a zero weight
+    * has no defined clock and fails LOUDLY rather than silently
+    * winning or losing. Scale shape inherits [[capPerKey]] verbatim:
+    * bounded top-k aggregator buffers, ≤ k candidates per (partition,
+    * key) shuffle, no per-key window sort.
+    *
+    * Oracle note: ln() is not bit-portable across engines, so gates
+    * over this operator verify "true top-k within tolerance" (q57's
+    * pattern), not key equality.
+    */
+  def weightedKPerKey(
+      df: org.apache.spark.sql.DataFrame,
+      key: Column,
+      weight: Column,
+      hashOn: Column,
+      id: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val w = when(weight.cast("double").isNull || weight.cast("double") <= 0.0,
+      raise_error(lit("weightedKPerKey: weight must be non-null and > 0")))
+      .otherwise(weight.cast("double"))
+    val u = (md5Bucket32(md5(hashOn.cast("binary"))).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    capPerKey(df, key, log(u) / w, id, k)
+  }
+
   def capPerKey(
       df: org.apache.spark.sql.DataFrame,
       key: Column,

@@ -1487,7 +1487,52 @@ object LlmOps {
         s.createDataFrame(weights).toDF("bucket", "weight")
           .orderBy($"bucket")
       },
-      Some(logisticOracle(buckets = 256, steps = 5, lr = 0.05)))
+      Some(logisticOracle(buckets = 256, steps = 5, lr = 0.05))),
+
+    // ---- weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential clocks): 10 docs per source, selection probability
+    // proportional to n_chars, deterministic u from md5(text). ln()
+    // is not bit-portable, so the oracle recomputes every clock and
+    // admits the emitted set only if it is a TRUE per-source top-k
+    // within 1e-9 (q57's pattern): exact per-source counts, distinct
+    // ids, and no non-emitted doc beating the worst emitted clock by
+    // more than the tolerance. Poison row otherwise.
+    Q(
+      "q97_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.weightedKPerKey(
+          Tables.documents(s, d),
+          key = $"source", weight = $"n_chars", hashOn = $"text",
+          id = $"doc_id", k = 10)
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ky AS (SELECT doc_id, source,
+             |    ln((CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS DOUBLE) + 1.0)
+             |       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS clock
+             |  FROM documents),
+             |emitted AS (SELECT doc_id, source
+             |  FROM read_parquet('{{OUT}}/q97_weighted_sample/*.parquet')),
+             |ek AS (SELECT e.doc_id, e.source, ky.clock FROM emitted e
+             |  JOIN ky ON ky.doc_id = e.doc_id AND ky.source = e.source),
+             |want AS (SELECT source, least(count(*), 10) AS n FROM ky GROUP BY source),
+             |gotn AS (SELECT source, count(*) AS n, count(DISTINCT doc_id) AS nd,
+             |    min(clock) AS worst FROM ek GROUP BY source),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM ek)
+             |    AND NOT EXISTS (SELECT 1 FROM want w LEFT JOIN gotn g USING (source)
+             |      WHERE g.source IS NULL OR g.n <> w.n OR g.nd <> w.n)
+             |    AND NOT EXISTS (SELECT 1 FROM gotn g WHERE g.source NOT IN
+             |      (SELECT source FROM want))
+             |    AND NOT EXISTS (SELECT 1 FROM ky k JOIN gotn g USING (source)
+             |      WHERE k.doc_id NOT IN (SELECT doc_id FROM ek)
+             |        AND k.clock > g.worst + 1e-9)
+             |  ) AS ok)
+             |SELECT doc_id, source FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), 'POISON' WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** q93's oracle: `numMerges` unrolled BPE rounds. Each round k has

@@ -1255,6 +1255,46 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("weightedKPerKey: local clock replay, weight monotonicity, determinism, guards") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, s"grp${i % 2}", s"content $i", 1.0 + (i % 7)))
+    val df = rows.toDF("id", "grp", "txt", "w")
+    val got = Sampling.weightedKPerKey(
+      df, col("grp"), col("w"), col("txt"), col("id"), k = 5)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // local replay of the exponential clocks
+    def clock(txt: String, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(txt.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      math.log(u) / w
+    }
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy { case (id, _, t, w) => (-clock(t, w), id) }.take(5).map(_._1)
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 10)
+    // same u (identical hash content), heavier weight wins: ln(u) < 0,
+    // dividing by a larger w moves the clock toward 0
+    val tie = Seq((1L, "g", "same", 1.0), (2L, "g", "same", 50.0)).toDF("id", "grp", "txt", "w")
+    val winner = Sampling.weightedKPerKey(
+      tie, col("grp"), col("w"), col("txt"), col("id"), k = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(winner == Seq(2L), s"heavier weight must win the shared clock, got $winner")
+    // repartition invariance (append-stable, RNG-free)
+    val got2 = Sampling.weightedKPerKey(
+      df.repartition(7, col("id")), col("grp"), col("w"), col("txt"), col("id"), k = 5)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+    // zero/negative/null weights fail loudly
+    val bad = Seq((1L, "g", "t", 0.0)).toDF("id", "grp", "txt", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedKPerKey(bad, col("grp"), col("w"), col("txt"), col("id"), 1).collect()
+    }
+    assert(ex.getMessage.contains("weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("weight")))
+  }
+
   test("logisticTrain: matches a local trajectory replay, reduces log-loss, guards") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

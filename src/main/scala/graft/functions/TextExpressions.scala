@@ -124,13 +124,15 @@ object WordpieceKernels {
   // single-slot identity cache: the vocab literal's ArrayData is one
   // instance reused for every row of a partition, so the compiled set
   // builds once; an unbounded map keyed by ArrayData would leak under
-  // a (pathological) non-literal vocab column
-  @volatile private var lastKey: ArrayData = _
-  @volatile private var lastVal: Compiled = _
+  // a (pathological) non-literal vocab column. ONE volatile holding an
+  // immutable (key, value) pair — two separate volatiles race under
+  // concurrent tasks with different vocabs (see BpeKernels)
+  private final case class Slot(key: ArrayData, value: Compiled)
+  @volatile private var slot: Slot = _
 
   private def compiled(vocab: ArrayData): Compiled = {
-    val k = lastKey
-    if (k eq vocab) return lastVal
+    val s = slot
+    if (s != null && (s.key eq vocab)) return s.value
     val set = new java.util.HashSet[String]()
     var maxLen = 1
     var i = 0
@@ -145,8 +147,7 @@ object WordpieceKernels {
       i += 1
     }
     val c = new Compiled(set, maxLen)
-    lastKey = vocab
-    lastVal = c
+    slot = Slot(vocab, c)
     c
   }
 
@@ -224,13 +225,17 @@ case class BpeEncode(left: Expression, right: Expression)
 object BpeKernels {
 
   // parsed (left, right) pairs in rank order; single-slot identity
-  // cache — the merge literal's ArrayData is one instance per partition
-  @volatile private var lastKey: ArrayData = _
-  @volatile private var lastVal: Array[(String, String)] = _
+  // cache — the merge literal's ArrayData is one instance per
+  // partition. ONE volatile holding an immutable (key, value) pair:
+  // two separate volatiles race under concurrent tasks with different
+  // tables (read key A / hit, then read a value another thread just
+  // swapped to table B — silently wrong pieces)
+  private final case class Slot(key: ArrayData, value: Array[(String, String)])
+  @volatile private var slot: Slot = _
 
   private def compiled(merges: ArrayData): Array[(String, String)] = {
-    val k = lastKey
-    if (k eq merges) return lastVal
+    val s = slot
+    if (s != null && (s.key eq merges)) return s.value
     val out = Array.newBuilder[(String, String)]
     var i = 0
     while (i < merges.numElements()) {
@@ -244,8 +249,7 @@ object BpeKernels {
       i += 1
     }
     val c = out.result()
-    lastKey = merges
-    lastVal = c
+    slot = Slot(merges, c)
     c
   }
 

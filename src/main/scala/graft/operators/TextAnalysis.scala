@@ -470,8 +470,23 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("w")).limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(words.nonEmpty, "bpeTrain: empty vocabulary (no tokens in corpus)")
+    // split by CODE POINT, not UTF-16 char: the apply kernel
+    // (BpeKernels.encode) and the SQL oracle's per-character slicing
+    // both see code points — a supplementary-plane letter split into
+    // surrogate halves here would train merges the apply side can
+    // never match
+    def codePoints(w: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var p = 0
+      while (p < w.length) {
+        val n = Character.charCount(w.codePointAt(p))
+        b += w.substring(p, p + n)
+        p += n
+      }
+      b.result()
+    }
     var vocab: Array[(Array[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      words.map { case (w, c) => (codePoints(w), c) }
     (1 to numMerges).map { k =>
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       vocab.foreach { case (sl, c) =>

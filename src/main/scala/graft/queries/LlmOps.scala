@@ -1514,18 +1514,24 @@ object LlmOps {
              |  FROM documents),
              |emitted AS (SELECT doc_id, source
              |  FROM read_parquet('{{OUT}}/q97_weighted_sample/*.parquet')),
+             |-- IS NOT DISTINCT FROM: the engine groups NULL sources as
+             |-- their own key, so a plain equi-join would drop legitimate
+             |-- NULL-source winners and false-poison the gate
              |ek AS (SELECT e.doc_id, e.source, ky.clock FROM emitted e
-             |  JOIN ky ON ky.doc_id = e.doc_id AND ky.source = e.source),
+             |  JOIN ky ON ky.doc_id = e.doc_id
+             |         AND ky.source IS NOT DISTINCT FROM e.source),
              |want AS (SELECT source, least(count(*), 10) AS n FROM ky GROUP BY source),
              |gotn AS (SELECT source, count(*) AS n, count(DISTINCT doc_id) AS nd,
              |    min(clock) AS worst FROM ek GROUP BY source),
              |flag AS (SELECT (
              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM ek)
-             |    AND NOT EXISTS (SELECT 1 FROM want w LEFT JOIN gotn g USING (source)
-             |      WHERE g.source IS NULL OR g.n <> w.n OR g.nd <> w.n)
-             |    AND NOT EXISTS (SELECT 1 FROM gotn g WHERE g.source NOT IN
-             |      (SELECT source FROM want))
-             |    AND NOT EXISTS (SELECT 1 FROM ky k JOIN gotn g USING (source)
+             |    AND NOT EXISTS (SELECT 1 FROM want w LEFT JOIN gotn g
+             |        ON g.source IS NOT DISTINCT FROM w.source
+             |      WHERE (g.n IS NULL AND w.n > 0) OR g.n <> w.n OR g.nd <> w.n)
+             |    AND NOT EXISTS (SELECT 1 FROM gotn g WHERE NOT EXISTS
+             |      (SELECT 1 FROM want w WHERE w.source IS NOT DISTINCT FROM g.source))
+             |    AND NOT EXISTS (SELECT 1 FROM ky k JOIN gotn g
+             |        ON g.source IS NOT DISTINCT FROM k.source
              |      WHERE k.doc_id NOT IN (SELECT doc_id FROM ek)
              |        AND k.clock > g.worst + 1e-9)
              |  ) AS ok)

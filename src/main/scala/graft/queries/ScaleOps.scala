@@ -644,7 +644,8 @@ object ScaleOps {
              |    list_dot_product(v, cent.centroid)
              |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
              |  FROM e CROSS JOIN cent),
-             |cells AS (SELECT vec_id, cid FROM (
+             |-- MATERIALIZED: referenced by both res and d
+             |cells AS MATERIALIZED (SELECT vec_id, cid FROM (
              |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
              |      ORDER BY (CASE WHEN isnan(cos) THEN -1.7976931348623157e308 ELSE cos END) DESC,
              |        cid ASC) AS rn
@@ -867,20 +868,24 @@ object ScaleOps {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(600000),
-        "q92 stream did not terminate within 600s — refusing a partial join")
-      finally q.stop()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= 2,
-        s"q92 ran $dataBatches data micro-batch(es); the incremental " +
-          "stream-stream state path needs at least 2")
-      // materialize on executors, then release the memory-sink view
-      val res = s.table(name)
-        .select($"error_event_id", $"click_event_id")
-        .orderBy($"error_event_id", $"click_event_id")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      res
+      // the memory-sink view exists from start(); drop it in finally so
+      // a timeout/require failure cannot leave its rows pinned in the
+      // shared gate session (the convention of the other memory-sink
+      // streaming queries)
+      try {
+        try require(q.awaitTermination(600000),
+          "q92 stream did not terminate within 600s — refusing a partial join")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q92 ran $dataBatches data micro-batch(es); the incremental " +
+            "stream-stream state path needs at least 2")
+        // materialize on executors before the view goes away
+        s.table(name)
+          .select($"error_event_id", $"click_event_id")
+          .orderBy($"error_event_id", $"click_event_id")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
     } finally Scratch.deleteRecursively(scratch)
   }
 

@@ -44,16 +44,20 @@ object FleetSplitterBench {
     splitOnce() // warm page cache + JIT
     for (r <- 1 to reps) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
-      val t0 = System.nanoTime()
-      val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = splitOnce()
-      }))
-      val bytes = futs.map(_.get()).sum
-      val sec = (System.nanoTime() - t0) / 1e9
-      pool.shutdown()
-      println(f"threads rep $r: $n x ${size / 1e6}%.0f MB in $sec%.2f s = " +
-        f"${totalGb / (sec / 60)}%.1f GB/min aggregate " +
-        f"(${totalGb / (sec / 60) / n}%.2f GB/min/splitter, $bytes array bytes)")
+      // shutdown in finally: the pool's threads are non-daemon, so a
+      // worker exception escaping _.get() would otherwise leave the
+      // JVM hanging after the stack trace
+      try {
+        val t0 = System.nanoTime()
+        val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = splitOnce()
+        }))
+        val bytes = futs.map(_.get()).sum
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"threads rep $r: $n x ${size / 1e6}%.0f MB in $sec%.2f s = " +
+          f"${totalGb / (sec / 60)}%.1f GB/min aggregate " +
+          f"(${totalGb / (sec / 60) / n}%.2f GB/min/splitter, $bytes array bytes)")
+      } finally pool.shutdown()
     }
 
     // --- mode 2: the payer-mrf source with executor-side splitting
@@ -86,8 +90,11 @@ object FleetSplitterBench {
       }
       spark.stop()
     } finally {
-      Files.list(dir).forEach(p => Files.deleteIfExists(p))
+      val listing = Files.list(dir)
+      try listing.forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
       Files.deleteIfExists(dir)
+      ()
     }
   }
 }

@@ -30,7 +30,13 @@ object Q25BenchRepro {
     // honest incremental stage costs: each variant rebuilds the WHOLE
     // plan fresh (new exchanges — no cross-job shuffle-file reuse), so
     // variantK - variantK-1 = that stage's true cost under bench thermal
-    // conditions
+    // conditions.
+    // NOTE the ladder's "dedup" rung models the HISTORICAL pre-verify
+    // dedup this tool was built to diagnose; production
+    // (Dedup.ngramJaccardPairsFromHashed) now dedups AFTER
+    // verification, so only the "full+verify" rung reflects the
+    // shipping plan — the earlier rungs isolate upstream stage costs
+    // that are unchanged by the reorder.
     val t = 0.3
     val tFrac = t / (1.0 + t)
     def freshStage(upTo: Int): Long = {

@@ -66,7 +66,12 @@ class GraphSpec extends SparkTestBase {
     val ex = intercept[Exception] {
       Graph.pageRank(df, col("src"), col("dst"), 0.85, 2).collect()
     }
-    assert(ex.getMessage != null)
+    // pin the GUARD's message, not just "some exception": a broken
+    // raise_error path failing for an unrelated reason must not pass
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("node id must be non-null")),
+      s"expected the null-endpoint guard message, got: ${msgs(ex).mkString(" | ")}")
   }
 
   test("parameter guards reject bad damping and iteration counts") {

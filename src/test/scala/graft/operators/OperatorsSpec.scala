@@ -222,6 +222,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(plan.contains("graft_nearest_centroids"))
   }
 
+  test("NearestCentroidsL2 kernel matches brute-force argmin incl. ties, NaN, corrupt inputs") {
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0) /* duplicate: tie with cid 1 */,
+      Seq(10.0, 10.0))
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map(i => i -> Seq(rnd.nextGaussian() * 3, rnd.nextGaussian() * 3)) ++
+      Seq(98L -> Seq(1.0, 0.0) /* exact centroid hit, tie 1 vs 3 → 1 */,
+        99L -> Seq(Double.NaN, 0.0) /* NaN element → all dists NaN → cid asc */)
+    val got = vecs.toDF("id", "v")
+      .select($"id",
+        graft.functions.GraftFunctions.nearestCentroidsL2($"v", typedLit(cents), 2).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // local replay of the kernel's exact decomposition
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      val aa = a.map(x => x * x).sum
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      val bb = b.map(x => x * x).sum
+      val d = aa - 2.0 * ab + bb
+      if (d.isNaN) Double.PositiveInfinity else d
+    }
+    vecs.foreach { case (id, v) =>
+      val want = cents.zipWithIndex
+        .map { case (c, i) => (i + 1, d2(v, c)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+      assert(got(id) == want, s"id $id: ${got(id)} vs $want")
+    }
+    assert(got(98L) == Seq(1, 3)) // duplicate-centroid tie → smaller cid first
+    assert(got(99L) == Seq(1, 2)) // corrupt vector → deterministic cid-asc
+    // wrong-dimension centroid ranks worst, never crashes
+    val mixed: Seq[Seq[Double]] = Seq(Seq(0.0, 0.0), Seq(1.0))
+    val m = Seq(1L -> Seq(5.0, 5.0)).toDF("id", "v")
+      .select(graft.functions.GraftFunctions.nearestCentroidsL2($"v", typedLit(mixed), 2))
+      .collect().head.getSeq[Int](0)
+    assert(m == Seq(1, 2))
+    // codegen engages
+    val plan = vecs.toDF("id", "v")
+      .select(graft.functions.GraftFunctions.nearestCentroidsL2($"v", typedLit(cents), 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_centroids_l2"))
+  }
+
   test("IVF index build has no full-corpus exchange (map-side cell assignment)") {
     import spark.implicits._
     val queries = embs.filter($"vec_id" < 5)

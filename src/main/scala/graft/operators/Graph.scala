@@ -28,10 +28,17 @@ object Graph {
     * id, so AQE coalesces and the plan is the classic distributed
     * PageRank exchange. The dangling scalar is a 1-row aggregate
     * cross-joined back (broadcast, no extra shuffle of the rank
-    * table). Each iteration eagerly `localCheckpoint`s: 10+ iterations
-    * otherwise compound a lineage Catalyst re-optimizes per action,
-    * and the executor-local checkpoint (no DFS round-trip) is the
-    * documented trade for a deterministic fixed-iteration loop.
+    * table). Each iteration eagerly `localCheckpoint`s the rank table
+    * (executor-local MEMORY_AND_DISK blocks, no DFS round-trip,
+    * reclaimed by the ContextCleaner as previous tables unreference).
+    * The per-iteration cadence is LOAD-BEARING, not just a lineage
+    * trade: the next iteration re-joins the edge table `e`, and an
+    * un-checkpointed rank lineage still CONTAINS `e` — Spark's
+    * ambiguous-self-join detection then rejects the `e("src")` /
+    * `e("dst")` references (verified: a checkpoint-every-3 variant
+    * fails analysis). At fleet scale the per-iteration materialization
+    * is the classic iterate-checkpoint pattern anyway; locally it adds
+    * ~1 s/iteration of scheduling overhead on toy graphs.
     */
   def pageRank(
       edges: DataFrame,

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * metadata, batch-wise decode / feature-extract / resize / frame-sample.
   *
   * The Spark-side machinery (schema, partition-wise batch processing,
-  * deterministic output grain) is REAL and tested; the media codecs are
-  * STUBBED with a deterministic fake (this container has no image/audio
-  * libraries) — `decodeStub` derives pseudo-metadata from the bytes'
-  * hash. Swap `decodeStub` for a real codec (JNI/FFI per partition) and
-  * everything else stands.
+  * deterministic output grain) is REAL and tested, and so is the image
+  * path: [[JdkImageCodec]] / [[resizeImages]] decode and re-encode
+  * PNG/JPEG/BMP/GIF through the JDK's own `javax.imageio` — zero
+  * external libraries, pixel-content fingerprints, loud failure on
+  * undecodable bytes. [[StubCodec]] remains for the DuckDB-oracled
+  * gate queries (an oracle cannot decode PNG, so q31/q32 pin the
+  * byte-hash fake) and as the template for exotic formats that DO need
+  * a JNI codec — the [[MediaCodec]] lifecycle is built for those.
   */
 object Multimodal {
 
@@ -127,6 +130,85 @@ object Multimodal {
       least(col("width"), lit(maxSide)).as("width"),
       least(col("height"), lit(maxSide)).as("height"),
       col("n_frames"), col("fingerprint"))
+
+  /** REAL image codec with ZERO external dependencies: the JDK's own
+    * `javax.imageio` registry decodes PNG, JPEG, BMP, GIF, and WBMP out
+    * of the box — no native libraries, nothing to install on
+    * executors. Dimensions come from the decoded raster and the
+    * fingerprint hashes the ARGB pixel values row-major (a CONTENT
+    * hash: two encodings of the same pixels fingerprint identically,
+    * which byte-level hashing cannot do). Undecodable bytes fail
+    * LOUDLY with the media id — route corrupt payloads to a quarantine
+    * upstream rather than silently fabricating metadata (the stub's
+    * behavior, which exists for codec-less test environments).
+    *
+    * A class, not an object, per the [[StubCodec]] note — ImageIO
+    * readers are cheap per call and this holds no native state, but
+    * keeping the one-instance-per-decode() discipline means swapping
+    * in a stateful JNI codec later changes nothing structurally.
+    */
+  final class JdkImageCodec extends MediaCodec {
+    override def decodeOne(mediaId: Long, bytes: Array[Byte]): DecodedMeta = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"media $mediaId: bytes are not a JDK-decodable image (png/jpeg/bmp/gif)")
+      var h = 1125899906842597L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h = 31 * h + img.getRGB(x, y); x += 1 }
+        y += 1
+      }
+      DecodedMeta(mediaId, img.getWidth, img.getHeight, n_frames = 1, fingerprint = h)
+    }
+  }
+
+  /** Decode with the real JDK image codec. */
+  def decodeImages(media: DataFrame): Dataset[DecodedMeta] = decode(media, new JdkImageCodec)
+
+  /** REAL bytes→bytes resize, partition-wise: decode (JDK registry),
+    * downscale so the longer side is ≤ `maxSide` (aspect preserved,
+    * bilinear; never upscales), re-encode as PNG. Returns
+    * (media_id, media, mime, byte_len) — the same envelope shape
+    * [[asMedia]] produces, so resized output feeds any downstream
+    * media operator unchanged. Map-side at any scale: one image in
+    * memory per row per task, no shuffle.
+    */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val out = media.select(col("media_id"), col("media"))
+      .filter(col("media").isNotNull && col("media_id").isNotNull)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"media $id: bytes are not a JDK-decodable image (png/jpeg/bmp/gif)")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val outImg = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val g = outImg.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null); ()
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(outImg, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    out.select(
+      col("_1").as("media_id"),
+      col("_2").as("media"),
+      lit("image/png").as("mime"),
+      length(col("_2")).cast("long").as("byte_len"))
+  }
 
   /** Frame sampling: split the payload into fixed-size byte windows and
     * emit one row per sampled frame (every `stride`-th window) — the

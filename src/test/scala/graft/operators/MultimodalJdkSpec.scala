@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The REAL JDK image codec ([[Multimodal.JdkImageCodec]] /
+  * [[Multimodal.resizeImages]]): deterministic synthetic images are
+  * encoded with `javax.imageio` (PNG and BMP — two different container
+  * formats), pushed through the distributed decode/resize operators,
+  * and checked against locally computed dimensions and PIXEL-content
+  * fingerprints. This replaces "environment-blocked" for the decode
+  * step: the JDK's own registry needs no external image libraries.
+  */
+class MultimodalJdkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def makeImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xffffff)
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, buf), s"JDK cannot encode $fmt")
+    buf.toByteArray
+  }
+
+  private def pixelFingerprint(img: java.awt.image.BufferedImage): Long = {
+    var fp = 1125899906842597L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      fp = 31 * fp + img.getRGB(x, y)
+    fp
+  }
+
+  test("JdkImageCodec decodes real PNG and BMP bytes to exact dims + pixel fingerprints") {
+    val imgs = Seq(
+      (1L, makeImage(23, 11, 1), "png"),
+      (2L, makeImage(7, 40, 2), "png"),
+      (3L, makeImage(16, 16, 3), "bmp"))
+    val rows = imgs.map { case (id, img, fmt) => (id, encode(img, fmt), s"image/$fmt") }
+    val media = rows.toDF("media_id", "media", "mime")
+      .withColumn("byte_len", length($"media").cast("long"))
+    val got = Multimodal.decodeImages(media).collect()
+      .map(m => m.media_id -> m).toMap
+    imgs.foreach { case (id, img, _) =>
+      val m = got(id)
+      assert((m.width, m.height, m.n_frames) == ((img.getWidth, img.getHeight, 1)))
+      // content hash: recompute from the ORIGINAL raster — PNG and BMP
+      // are lossless, so pixel fingerprints must match exactly
+      assert(m.fingerprint == pixelFingerprint(img), s"media $id pixel hash")
+    }
+    // undecodable bytes fail loudly with the media id
+    val bad = Seq((9L, "not an image".getBytes("UTF-8"), "image/png"))
+      .toDF("media_id", "media", "mime")
+    val ex = intercept[Exception] { Multimodal.decodeImages(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("not a JDK-decodable image")))
+  }
+
+  test("resizeImages downscales aspect-preserving, never upscales, output re-decodes") {
+    val media = Seq(
+      (1L, encode(makeImage(64, 32, 4), "png")),   // downscale 2:1 aspect
+      (2L, encode(makeImage(10, 10, 5), "png")))   // already small: untouched dims
+      .toDF("media_id", "media")
+    val resized = Multimodal.resizeImages(media, maxSide = 16)
+    // envelope shape matches asMedia's contract
+    assert(resized.columns.toSeq == Seq("media_id", "media", "mime", "byte_len"))
+    val back = Multimodal.decodeImages(resized).collect()
+      .map(m => m.media_id -> ((m.width, m.height))).toMap
+    assert(back(1L) == ((16, 8)), s"aspect not preserved: ${back(1L)}")
+    assert(back(2L) == ((10, 10)), s"small image must not upscale: ${back(2L)}")
+    // resized bytes really are PNG (magic header)
+    val bytes = resized.filter($"media_id" === 1L).select($"media")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+  }
+}

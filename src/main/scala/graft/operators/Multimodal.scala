@@ -210,6 +210,54 @@ object Multimodal {
       length(col("_2")).cast("long").as("byte_len"))
   }
 
+  /** Decoded-audio metadata ([[decodeWav]]). */
+  final case class AudioMeta(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      fingerprint: Long)
+
+  /** REAL audio decode, zero external dependencies: the JDK's
+    * `javax.sound.sampled` parses WAV/AIFF/AU containers. Emits the
+    * format envelope (sample rate, channels, frame count) plus a
+    * fingerprint over the decoded PCM bytes — a content hash of the
+    * samples, not the container. Undecodable bytes fail loudly with
+    * the media id (quarantine upstream), matching [[JdkImageCodec]].
+    * Map-side: one stream per row per task, no shuffle.
+    */
+  def decodeWav(media: DataFrame): Dataset[AudioMeta] = {
+    val enc = Encoders.product[AudioMeta]
+    media.select(col("media_id"), col("media"))
+      .filter(col("media").isNotNull && col("media_id").isNotNull)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"media $id: bytes are not a JDK-decodable audio stream (wav/aiff/au)", e)
+            }
+          try {
+            val fmt = in.getFormat
+            var h = 1125899906842597L
+            val buf = new Array[Byte](64 << 10)
+            var n = in.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { h = 31 * h + buf(i); i += 1 }
+              n = in.read(buf)
+            }
+            AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength, h)
+          } finally in.close()
+        }
+      }(enc)
+  }
+
   /** Frame sampling: split the payload into fixed-size byte windows and
     * emit one row per sampled frame (every `stride`-th window) — the
     * partition/grain story of video-frame extraction, minus the codec.

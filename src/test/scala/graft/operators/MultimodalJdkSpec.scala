@@ -61,6 +61,38 @@ class MultimodalJdkSpec extends SparkTestBase {
     assert(msgs(ex).exists(m => m != null && m.contains("not a JDK-decodable image")))
   }
 
+  test("decodeWav parses real WAV bytes: format envelope + PCM fingerprint") {
+    import javax.sound.sampled._
+    def makeWav(id: Long, rate: Int, channels: Int, samples: Int): (Long, Array[Byte], Array[Byte]) = {
+      // deterministic 16-bit PCM
+      val pcm = Array.tabulate(samples * channels * 2)(i => ((i * 13 + id * 7) & 0xff).toByte)
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      (id, buf.toByteArray, pcm)
+    }
+    val wavs = Seq(makeWav(1L, 16000, 1, 480), makeWav(2L, 44100, 2, 100))
+    val media = wavs.map { case (id, bytes, _) => (id, bytes) }.toDF("media_id", "media")
+    val got = Multimodal.decodeWav(media).collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).sample_rate == 16000 && got(1L).channels == 1 && got(1L).n_samples == 480L)
+    assert(got(2L).sample_rate == 44100 && got(2L).channels == 2 && got(2L).n_samples == 100L)
+    // PCM content hash matches a local fold over the raw samples
+    wavs.foreach { case (id, _, pcm) =>
+      var h = 1125899906842597L
+      pcm.foreach(b => h = 31 * h + b)
+      assert(got(id).fingerprint == h, s"media $id pcm hash")
+    }
+    // undecodable bytes fail loudly
+    val ex = intercept[Exception] {
+      Multimodal.decodeWav(Seq((9L, "nope".getBytes("UTF-8"))).toDF("media_id", "media")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("not a JDK-decodable audio")))
+  }
+
   test("resizeImages downscales aspect-preserving, never upscales, output re-decodes") {
     val media = Seq(
       (1L, encode(makeImage(64, 32, 4), "png")),   // downscale 2:1 aspect

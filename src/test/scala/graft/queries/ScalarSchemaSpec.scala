@@ -23,4 +23,25 @@ class ScalarSchemaSpec extends SparkTestBase {
       graft.Verify.assertGateSortableSchema(q.name, q.fn(spark, sfDir).schema)
     }
   }
+
+  test("the guard itself rejects array, map, and struct columns (negative cases)") {
+    import org.apache.spark.sql.types._
+    def bad(dt: DataType): StructType =
+      StructType(Seq(StructField("id", LongType), StructField("v", dt)))
+    Seq(
+      ArrayType(DoubleType),
+      MapType(StringType, LongType),
+      StructType(Seq(StructField("x", DoubleType)))).foreach { dt =>
+      val ex = intercept[IllegalArgumentException] {
+        graft.Verify.assertGateSortableSchema("synthetic", bad(dt))
+      }
+      assert(ex.getMessage.contains("cannot sort") && ex.getMessage.contains("v"),
+        s"${dt.simpleString}: ${ex.getMessage}")
+    }
+    // scalars (incl. binary/timestamp/decimal) pass
+    graft.Verify.assertGateSortableSchema("synthetic", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", BinaryType), StructField("d", TimestampType),
+      StructField("e", DecimalType(18, 6)))))
+  }
 }

@@ -11,9 +11,11 @@ import graft.SparkTestBase
   * time, checked here before a round ships.
   *
   * Building each query's DataFrame at sf0.001 is plan construction
-  * only for most queries (no action), but a handful legitimately run
-  * bounded driver-side work (k-means training samples, streaming
-  * memory-sink queries) — the suite stays in the seconds range.
+  * only for most queries (no action), but the streaming queries and
+  * driver-side trainers (k-means, BPE, logistic GD) legitimately
+  * execute bounded work — the whole suite runs in about a minute at
+  * sf0.001, which is the price of the guard covering EVERY query
+  * rather than a hand-picked subset.
   */
 class ScalarSchemaSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"

@@ -206,6 +206,58 @@ object MrfGold {
              |  'TIN-' || CAST(gid AS VARCHAR) AS tin_value
              |FROM refs JOIN prov USING (gid)
              |WHERE (p_partkey % 20) = 7 AND gid = 8
-             |ORDER BY negotiated_rate, npi_csv""".stripMargin))
+             |ORDER BY negotiated_rate, npi_csv""".stripMargin)),
+
+    // ---- per-ELEMENT row grain through the batch source (the
+    // `perElement` option, previously spec-only): the same
+    // deterministically derived MRF document, read with one row per
+    // top-level array element, histogrammed by the business key inside
+    // each element's payload. The oracle recomputes the histogram from
+    // part/supplier with the same integer derivation — any defect in
+    // the element splitter (boundary placement, bracket wrap, lost or
+    // duplicated elements) or in payload integrity shows up as a
+    // wrong count.
+    Q(
+      "q98_mrf_per_element",
+      (s, d) => {
+        import s.implicits._
+        val parts = s.read.parquet(s"$d/part.parquet")
+          .filter($"p_partkey" <= 40)
+          .select($"p_partkey", $"p_name")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+        val groups = s.read.parquet(s"$d/supplier.parquet")
+          .filter($"s_suppkey" <= 10)
+          .select($"s_suppkey")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val dir = Scratch.tempDir("q98_mrf")
+        val file = dir.resolve("mrf_q98.json")
+        try {
+          java.nio.file.Files.writeString(file, buildJson(parts, groups))
+          s.read.format("payer-mrf").option("perElement", "true")
+            .load(file.toString)
+            .filter($"header_key".isin("in_network", "provider_references"))
+            .select($"header_key",
+              coalesce(
+                get_json_object($"json_payload", "$.billing_code"),
+                get_json_object($"json_payload", "$.provider_group_id")).as("k"))
+            .groupBy($"header_key", $"k").agg(count(lit(1)).as("n"))
+            .orderBy($"header_key", $"k")
+            // materialize on executors BEFORE the staged file deletes —
+            // the caller executes the returned plan later (q43's rule)
+            .localCheckpoint(true)
+        } finally Scratch.deleteRecursively(dir)
+      },
+      Some("""WITH inn AS (
+             |  SELECT CAST(p_partkey % 20 AS VARCHAR) AS k
+             |  FROM part WHERE p_partkey <= 40
+             |  UNION ALL SELECT '1'  -- bundle item 41 (41 % 20)
+             |  UNION ALL SELECT '2'  -- bundle item 42
+             |),
+             |pr AS (SELECT CAST(s_suppkey AS VARCHAR) AS k
+             |  FROM supplier WHERE s_suppkey <= 10)
+             |SELECT 'in_network' AS header_key, k, count(*) AS n FROM inn GROUP BY k
+             |UNION ALL
+             |SELECT 'provider_references', k, count(*) FROM pr GROUP BY k
+             |ORDER BY header_key, k""".stripMargin))
   )
 }

@@ -731,6 +731,52 @@ object ScaleOps {
              |           AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 3600000000
              |ORDER BY error_event_id, click_event_id""".stripMargin)),
 
+    // ---- salted equi-join under the gate (the salted AGGREGATE is
+    // q33; the join flavor was spec-only): lineitem joins its order
+    // header with the left side salted 16 ways and the small side
+    // replicated per salt — the hot-key mitigation for joins whose key
+    // histogram is skewed. Result must be BIT-IDENTICAL to the plain
+    // equi-join, which is exactly what the oracle runs.
+    Q(
+      "q99_skew_salted_join",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).where($"l_orderkey" % 31 === 0)
+            .select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+          Tables.orders(s, d)
+            .select($"o_orderkey".as("l_orderkey"), $"o_custkey", $"o_totalprice"),
+          keys = Seq("l_orderkey"), salts = 16)
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+             |  o.o_custkey, o.o_totalprice
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_orderkey % 31 = 0
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // ---- stateful streaming sessionization under the gate: the real
+    // flatMapGroupsWithState query over time-partitioned multi-batch
+    // file input with sentinel flushes (see streamingSessionize) must
+    // reproduce the batch lag+cumsum sessionization EXACTLY — q36's
+    // oracle, verbatim.
+    Q(
+      "q100_streaming_sessionize",
+      (s, d) => streamingSessionize(s, d),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, value,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+             |  FROM events),
+             |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+             |    OR epoch_us(ts) - epoch_us(prev_ts) > 600000000 THEN 1 ELSE 0 END AS ns FROM e),
+             |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, value
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- ANALYZE-style corpus profiling: per-column stats for the
     // documents table in ONE aggregation pass (the naive loop is one
     // full scan per column). Exact fields hash-match; the HLL++
@@ -828,6 +874,89 @@ object ScaleOps {
   }
 
   private val cmsKeys = Seq("1", "100", "12345", "5", "73")
+
+  /** q100: the stateful flatMapGroupsWithState sessionizer under the
+    * gate (q36 gates the batch twin; the stream itself was spec-only).
+    * Determinism needs two staging decisions the operator itself
+    * cannot make:
+    *
+    *   1. TIME-PARTITIONED batches. The sessionizer sorts within a
+    *      batch and merges forward with the open state, but a closed
+    *      session is FINAL — an event older than an already-closed
+    *      session arriving in a later batch cannot re-open it (the
+    *      documented state model). Splitting input files on the time
+    *      axis (with explicit ascending modification times so the file
+    *      stream lists them in order) means no event ever arrives
+    *      "behind" a closed session, so the fold over batches equals
+    *      the batch formulation exactly.
+    *   2. SENTINEL FLUSH. Append-mode state only emits a session once
+    *      a LATER event closes it, so per-user sentinels at
+    *      global-max-ts + gap + 1min close every real session; the
+    *      sentinel sessions themselves stay open in state and are
+    *      never emitted. (Processing-time straggler timeouts are OFF —
+    *      wall-clock flushes are nondeterministic.)
+    *
+    * Result: streamed sessions ≡ the batch lag+cumsum formulation —
+    * and q36's oracle verifies exactly that.
+    */
+  private def streamingSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q100_sess")
+    try {
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"ts", $"value").filter($"ts".isNotNull)
+      val bounds = ev.agg(min($"ts"), max($"ts")).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 11 * 60000L)
+      val inDir = scratch.resolve("input")
+      java.nio.file.Files.createDirectories(inDir)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = scratch.resolve(s"tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+        val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally part.close()
+        val dst = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+      }
+      val t0 = System.currentTimeMillis() - 60000L
+      stage(ev.filter($"ts" <= cut), "00_early", t0)
+      stage(ev.filter($"ts" > cut), "01_late", t0 + 5000L)
+      stage(ev.select($"user_id").distinct()
+        .select($"user_id", lit(sentinelTs).as("ts"), lit(0.0).as("value")),
+        "02_sentinel", t0 + 10000L)
+      val schema = s.read.parquet(inDir.toString).schema
+      val input = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .as[graft.streaming.Sessionize.Event]
+      val sessions = graft.streaming.Sessionize.streaming(
+        input, gapMinutes = 10, stragglerTimeout = false)
+      val name = "q100_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q100 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q100 ran $dataBatches data micro-batch(es); the cross-batch " +
+            "state path needs at least 2")
+        s.table(name)
+          .select($"user_id", $"session_start", $"session_end",
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q92: the LIVE-stream twin of the bounded range join (q67) under
     * the gate — a watermarked stream-stream inner interval join run

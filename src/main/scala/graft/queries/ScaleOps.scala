@@ -755,6 +755,43 @@ object ScaleOps {
              |WHERE l.l_orderkey % 31 = 0
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
 
+    // ---- bucketed co-located join under the gate (the plan-shape
+    // proof — no ShuffleExchange feeding the join — is BucketingSpec;
+    // this gates the VALUES): both sides written as 8-bucket
+    // per-bucket-sorted managed tables on the join key, joined, and
+    // compared against the plain equi-join the oracle runs. Managed
+    // tables are per-run-unique and dropped in finally (concurrent
+    // gate queries share one session).
+    Q(
+      "q101_bucketed_join",
+      (s, d) => {
+        import s.implicits._
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val (tl, to) = (s"graft_q101_li_$tag", s"graft_q101_ord_$tag")
+        try {
+          graft.operators.Bucketing.writeBucketed(
+            Tables.lineitem(s, d).where($"l_orderkey" % 17 === 0)
+              .select($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+            tl, "l_orderkey", buckets = 8)
+          graft.operators.Bucketing.writeBucketed(
+            Tables.orders(s, d)
+              .select($"o_orderkey".as("l_orderkey"), $"o_custkey", $"o_totalprice"),
+            to, "l_orderkey", buckets = 8)
+          s.table(tl).join(s.table(to), "l_orderkey")
+            .orderBy($"l_orderkey", $"l_linenumber")
+            .localCheckpoint(true)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $tl")
+          s.sql(s"DROP TABLE IF EXISTS $to")
+          ()
+        }
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+             |  o.o_custkey, o.o_totalprice
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_orderkey % 17 = 0
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
     // ---- stateful streaming sessionization under the gate: the real
     // flatMapGroupsWithState query over time-partitioned multi-batch
     // file input with sentinel flushes (see streamingSessionize) must

@@ -575,6 +575,74 @@ object Similarity {
     struct((maxabs / lit(127.0)).as("scale"), qvec.as("qvec"))
   }
 
+  /** Per-DIMENSION scalar quantization training (FAISS
+    * `ScalarQuantizer` QT_8bit shape): one corpus pass learns each
+    * dimension's `[lo, hi]` range; [[sq8Codes]] then maps values to
+    * byte codes `floor((x - lo) · 255 / (hi - lo) + 0.5)`. The
+    * complement to [[quantizeInt8]]'s per-VECTOR scale: per-dim ranges
+    * adapt to anisotropic embeddings (one wild dimension no longer
+    * flattens every other dimension's resolution).
+    *
+    * Scale: the training pass is ONE partial-aggregable aggregation —
+    * 2·dim min/max expressions map-side-combine to a single row, so
+    * nothing but one 2·dim-double row ever reaches the driver (no
+    * posexplode: exploding N·dim rows just to group them back by index
+    * would shuffle the whole corpus). Ragged or null-element vectors
+    * fail loudly — a dimension trained on half the corpus would
+    * silently misquantize the rest.
+    */
+  def sq8Train(df: DataFrame, vec: Column): (Array[Double], Array[Double]) = {
+    val v = df.select(transform(vec, _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    val head = v.select(size(col("v")).as("d")).limit(1).collect()
+    require(head.nonEmpty, "sq8Train: no non-null vectors to train on")
+    val dim = head(0).getInt(0)
+    require(dim > 0, "sq8Train: zero-length vectors cannot train a quantizer")
+    val aggs =
+      Seq(min(size(col("v"))).as("dmin"), max(size(col("v"))).as("dmax")) ++
+        (1 to dim).flatMap(i => Seq(
+          min(element_at(col("v"), i)).as(s"lo$i"),
+          max(element_at(col("v"), i)).as(s"hi$i")))
+    val row = v.agg(aggs.head, aggs.tail: _*).first()
+    require(row.getInt(0) == dim && row.getInt(1) == dim,
+      s"sq8Train: ragged vector lengths [${row.getInt(0)}, ${row.getInt(1)}] — " +
+        s"all vectors must have the trained dimension $dim")
+    val lo = Array.tabulate(dim) { i =>
+      require(!row.isNullAt(2 + 2 * i),
+        s"sq8Train: dimension $i is all-null — cannot train a range")
+      row.getDouble(2 + 2 * i)
+    }
+    val hi = Array.tabulate(dim)(i => row.getDouble(3 + 2 * i))
+    (lo, hi)
+  }
+
+  /** Map-side SQ8 encoding against trained per-dim ranges: code_i =
+    * `floor((x_i − lo_i) · 255 / (hi_i − lo_i) + 0.5)` (∈ [0, 255] for
+    * in-range values by construction — no clamp, so the arithmetic
+    * stays the exact expression a SQL oracle replays); a degenerate
+    * dimension (hi = lo) codes 0. Rounding is floor(v + 0.5) for the
+    * same cross-engine portability as [[quantizeInt8]]. Pure map-side:
+    * ranges ride along as array literals, nothing shuffles.
+    */
+  def sq8Codes(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    require(lo.length == hi.length && lo.nonEmpty,
+      s"sq8Codes: lo/hi ranges must be equal-length and non-empty")
+    val loL = typedLit(lo.toSeq)
+    val hiL = typedLit(hi.toSeq)
+    val v = transform(vec, x => x.cast("double"))
+    when(vec.isNull, lit(null))
+      .when(size(vec) =!= lit(lo.length), raise_error(concat(
+        lit(s"sq8Codes: vector length "), size(vec).cast("string"),
+        lit(s" != trained dimension ${lo.length}"))))
+      .otherwise(
+      zip_with(v, sequence(lit(0), lit(lo.length - 1)), (x, i) => {
+        val l = element_at(loL, i + 1)
+        val h = element_at(hiL, i + 1)
+        when(h === l, lit(0))
+          .otherwise(floor((x - l) * lit(255.0) / (h - l) + lit(0.5)).cast("int"))
+      }))
+  }
+
   /** Product-quantization codebook training (cosine metric — matching
     * this engine's ANN stack): the vector space splits into `m`
     * equal-width subspaces, each getting its own `codes`-centroid

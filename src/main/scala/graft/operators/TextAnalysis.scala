@@ -300,6 +300,113 @@ object TextAnalysis {
           .otherwise(lit(null).cast("double")).as("logprob"))
   }
 
+  /** Interpolated BIGRAM-LM log-probability scoring — the
+    * context-aware step past [[unigramLogProb]] (public literature:
+    * Jelinek-Mercer interpolation; CCNet/Gopher-style LM quality
+    * filtering). Each adjacent token pair (w1, w2) scores
+    * `ln(λ·P(w2|w1) + (1−λ)·P(w2))`; a document's score is the mean
+    * over its pairs. Word-salad text (plausible tokens, implausible
+    * transitions) scores low where a unigram model cannot tell — the
+    * signal that makes this worth the extra counting pass.
+    *
+    * Model, pinned for cross-engine re-derivation:
+    *   - unigram model = [[unigramLogProb]]'s exactly: top-`vocabSize`
+    *     tokens by (count DESC, token), OOV floor 1/total;
+    *   - bigram table = top-`bigramSize` pairs by (count DESC, w1,
+    *     w2); P(w2|w1) = c(w1,w2)/c(w1) when the pair is tabled AND w1
+    *     is in-vocab (its exact count is then known), else 0 — the
+    *     interpolation's unigram leg keeps every probability strictly
+    *     positive;
+    *   - λ must be an exact dyadic rational (default 0.75) so λ and
+    *     1−λ are the same doubles in every engine.
+    *
+    * The 100 TB story: ONE extra partial-aggregable pass (pair counts)
+    * past the unigram pass; both models are bounded top-K slices
+    * (the q56/q61 bounded-collect class) re-broadcast as tiny frames,
+    * so scoring is map-side pair expansion + broadcast hash lookups —
+    * the corpus shuffles only to group its own (doc, pos) pairs back,
+    * and the per-doc fold runs in position order (deterministic; ln()
+    * is not bit-portable, so oracles compare within 1e-9).
+    *
+    * Returns one row per distinct id: (doc_id, n_pairs, logprob);
+    * docs with < 2 tokens have 0 pairs and a null score.
+    */
+  def bigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      vocabSize: Int = 65536,
+      bigramSize: Int = 65536,
+      lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(bigramSize >= 1, s"bigramSize must be >= 1, got $bigramSize")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0, 1), got $lambda")
+    require(lambda * 4096.0 == math.rint(lambda * 4096.0),
+      s"lambda must be an exact dyadic rational (k/4096) so 1-lambda is the " +
+        s"same double in every engine, got $lambda")
+    val spark = df.sparkSession
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "bigramLogProb: id is null or not castable to long — every doc needs a " +
+        "non-null integral id"))).otherwise(id.cast("long"))
+    val base = df.select(
+      guardedId.as("doc_id"),
+      coalesce(tokens(text), array()).as("toks"))
+    // (pos, w1, w2) per adjacent pair; posexplode_outer keeps pairless
+    // docs as a null row so ONE grouped pass emits their 0/null too
+    val pairs = base.select(
+      col("doc_id"),
+      explode_outer(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2), i => struct(
+          i.as("pos"),
+          element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<pos:int,w1:string,w2:string>>")))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.pos").as("pos"),
+        col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val uniCnt = base.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      val t = Option(uniCnt.agg(sum(col("c"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val v = uniCnt.orderBy(col("c").desc, col("token")).limit(vocabSize).collect()
+      (t, v)
+    } finally uniCnt.unpersist()
+    val bigrams = pairs.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(bigramSize).collect()
+    import spark.implicits._
+    val vocabDf = vocab.toSeq.map(r => (r.getString(0), r.getLong(1)))
+      .toDF("token", "c")
+    val bvocDf = bigrams.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("w1", "w2", "cb")
+    val oovP = 1.0 / total.toDouble
+    val scored = pairs
+      .join(broadcast(bvocDf), Seq("w1", "w2"), "left")
+      .join(broadcast(vocabDf.select(col("token").as("w1"), col("c").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocabDf.select(col("token").as("w2"), col("c").as("c2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"), col("pos"), log(
+        lit(lambda) * when(col("cb").isNotNull && col("c1").isNotNull,
+          col("cb").cast("double") / col("c1").cast("double")).otherwise(lit(0.0))
+          + lit(1.0 - lambda) *
+            (coalesce(col("c2"), lit(1L)).cast("double") / lit(total.toDouble)))
+        .as("lnp"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(col("pos")).as("n_pairs"),
+        sort_array(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(
+        col("doc_id"),
+        col("n_pairs"),
+        when(col("n_pairs") > 0,
+          aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("lnp"))
+            / col("n_pairs").cast("double"))
+          .otherwise(lit(null).cast("double")).as("logprob"))
+  }
+
   /** BM25 relevance ranking of the corpus against a FIXED term list —
     * retrieval-targeted data selection ("find the docs most about X"),
     * scored with the classic Okapi BM25 formula (public IR

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Cdc, Funnel, Similarity, TextAnalysis}
+
+/** Round-6 additions: streaming CDC apply (the live twin of q86's
+  * MERGE), interpolated bigram-LM scoring (the context-aware step past
+  * q61), per-dimension SQ8 scalar quantization (the anisotropy-aware
+  * sibling of q58), and ordered-funnel analysis over the event log.
+  */
+object ScaleOps2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  // DuckDB token expression mirroring TextAnalysis.tokens on this
+  // (ASCII) corpus — same as LlmOps.sqlToks.
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q102: STREAMING CDC apply — three change windows arrive as
+    // ordered micro-batches (one file per batch, ascending mtimes) and
+    // fold onto the snapshot through Cdc.upsertMerge in foreachBatch:
+    // the Delta-streaming-upsert production shape without a table
+    // format. Batch-2 deletes exercise delete-then-revive (batch 3
+    // re-inserts every one at this data density); batch-3 deletes are
+    // the OBSERVABLE delete path — those users must be absent from the
+    // final snapshot. The oracle replays the three merges SEQUENTIALLY
+    // (merge is not commutative: a later batch's upsert must beat an
+    // earlier one), so a wrong fold order, a lost batch, or a
+    // resurrected deleted row all diverge.
+    Q(
+      "q102_streaming_merge",
+      (s, d) => streamingMerge(s, d),
+      Some("""WITH s0 AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY user_id),
+             |c1 AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |    false AS del
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-16'
+             |  GROUP BY user_id),
+             |c2 AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |    user_id % 9 = 0 AS del
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-21'
+             |  GROUP BY user_id),
+             |c3 AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |    user_id % 5 = 3 AS del
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY user_id),
+             |s1 AS (SELECT user_id, n_events, total_value FROM s0
+             |    WHERE user_id NOT IN (SELECT user_id FROM c1)
+             |  UNION ALL SELECT user_id, n_events, total_value FROM c1 WHERE NOT del),
+             |s2 AS (SELECT user_id, n_events, total_value FROM s1
+             |    WHERE user_id NOT IN (SELECT user_id FROM c2)
+             |  UNION ALL SELECT user_id, n_events, total_value FROM c2 WHERE NOT del),
+             |s3 AS (SELECT user_id, n_events, total_value FROM s2
+             |    WHERE user_id NOT IN (SELECT user_id FROM c3)
+             |  UNION ALL SELECT user_id, n_events, total_value FROM c3 WHERE NOT del)
+             |SELECT user_id, n_events, total_value FROM s3
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- q103: interpolated bigram-LM scoring. The oracle replays
+    // the FULL model derivation (unigram counts + total, top-64k
+    // unigram vocab with (count DESC, token) ties, top-64k bigram
+    // table with (count DESC, w1, w2) ties) and every pair's
+    // ln(0.75·P(w2|w1) + 0.25·P(w2)); libm ln() is not bit-portable,
+    // so emitted means are admitted within 1e-9 with a poison row
+    // otherwise (the q61 pattern), and membership is checked both ways
+    // over DISTINCT ids.
+    Q(
+      "q103_bigram_logprob",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.bigramLogProb(Tables.documents(s, d), $"text", $"doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q103_bigram_logprob/*.parquet')),
+              |tl AS (SELECT doc_id, coalesce($sqlToks, []) AS t FROM documents),
+              |cnt AS (SELECT token, count(*) AS c
+              |  FROM (SELECT unnest(t) AS token FROM tl) GROUP BY token),
+              |tot AS (SELECT sum(c) AS total FROM cnt),
+              |voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 65536),
+              |pr AS (SELECT doc_id, unnest(range(1, len(t))) AS pos, t FROM tl),
+              |pairs AS (SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2 FROM pr),
+              |bcnt AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+              |bvoc AS (SELECT w1, w2, cb FROM bcnt ORDER BY cb DESC, w1, w2 LIMIT 65536),
+              |sc AS (SELECT p.doc_id, count(*) AS n,
+              |    sum(ln(0.75 * (CASE WHEN bv.cb IS NOT NULL AND v1.c IS NOT NULL
+              |          THEN CAST(bv.cb AS DOUBLE) / CAST(v1.c AS DOUBLE) ELSE 0.0 END)
+              |      + 0.25 * (CAST(coalesce(v2.c, 1) AS DOUBLE) / (SELECT total FROM tot)))) AS lp
+              |  FROM pairs p
+              |  LEFT JOIN bvoc bv ON p.w1 = bv.w1 AND p.w2 = bv.w2
+              |  LEFT JOIN voc v1 ON p.w1 = v1.token
+              |  LEFT JOIN voc v2 ON p.w2 = v2.token
+              |  GROUP BY p.doc_id),
+              |expect AS (SELECT d.doc_id,
+              |    CAST(coalesce(sc.n, 0) AS BIGINT) AS n,
+              |    CASE WHEN coalesce(sc.n, 0) > 0 THEN sc.lp / sc.n END AS mean_lp
+              |  FROM documents d LEFT JOIN sc USING (doc_id)),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+              |    AND (SELECT count(DISTINCT doc_id) FROM emitted)
+              |      = (SELECT count(*) FROM emitted)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x USING (doc_id)
+              |      WHERE e.n_pairs <> x.n
+              |         OR (e.logprob IS NULL) <> (x.mean_lp IS NULL)
+              |         OR abs(coalesce(e.logprob, 0) - coalesce(x.mean_lp, 0)) > 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e
+              |      WHERE e.doc_id NOT IN (SELECT doc_id FROM expect))
+              |    AND NOT EXISTS (SELECT 1 FROM expect x
+              |      WHERE x.doc_id NOT IN (SELECT doc_id FROM emitted))
+              |  ) AS ok)
+              |SELECT doc_id, n_pairs, logprob FROM emitted
+              |WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q104: per-dimension SQ8 scalar quantization. min/max are
+    // EXACT and order-free, and the code arithmetic is the identical
+    // double expression in both engines, so the oracle is a fully
+    // independent exact recomputation — it never reads the emitted
+    // ranges, it re-trains them itself.
+    Q(
+      "q104_sq8_quantize",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val (lo, hi) = Similarity.sq8Train(e, $"embedding")
+        e.select($"vec_id",
+          posexplode(Similarity.sq8Codes($"embedding", lo, hi)).as(Seq("idx", "code")))
+          .orderBy($"vec_id", $"idx")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |el AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS INT) AS i,
+             |    unnest(v) AS x FROM e),
+             |rng AS (SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i)
+             |SELECT vec_id, CAST(el.i - 1 AS INT) AS idx,
+             |  CASE WHEN hi = lo THEN 0
+             |       ELSE CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS INT) END AS code
+             |FROM el JOIN rng USING (i)
+             |ORDER BY vec_id, idx""".stripMargin)),
+
+    // ---- q105: ordered funnel over the event log — earliest
+    // view → click → purchase traversal per user, each step strictly
+    // after the previous, all inside a 7-day window anchored at the
+    // first view. Exact µs-timestamp arithmetic in both engines, so
+    // the oracle hash-matches bit-for-bit.
+    Q(
+      "q105_funnel",
+      (s, d) => {
+        import s.implicits._
+        Funnel.earliest(Tables.events(s, d), $"user_id", $"ts", $"event_type",
+          Seq("view", "click", "purchase"), windowSeconds = 7L * 86400L)
+          .orderBy($"user")
+      },
+      Some("""WITH v AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+             |vd AS (SELECT u, t1, t1 + INTERVAL 7 DAY AS deadline FROM v),
+             |c AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+             |  JOIN vd ON e.user_id = vd.u
+             |  WHERE e.event_type = 'click' AND e.ts > vd.t1 AND e.ts <= vd.deadline
+             |  GROUP BY e.user_id),
+             |p AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+             |  JOIN vd ON e.user_id = vd.u JOIN c ON e.user_id = c.u
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= vd.deadline
+             |  GROUP BY e.user_id)
+             |SELECT vd.u AS user, vd.t1, c.t2, p.t3,
+             |  1 + (CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END)
+             |    + (CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END) AS stage,
+             |  p.t3 IS NOT NULL AS converted
+             |FROM vd LEFT JOIN c ON vd.u = c.u LEFT JOIN p ON vd.u = p.u
+             |ORDER BY user""".stripMargin))
+  )
+
+  /** q102: the live CDC-apply loop. Three change windows stage as
+    * parquet files with ascending modification times; a file stream
+    * with `maxFilesPerTrigger=1` delivers each as its own micro-batch
+    * in order, and foreachBatch folds it onto the running snapshot via
+    * [[Cdc.upsertMerge]]. `localCheckpoint(eager)` after every merge
+    * truncates the lineage (otherwise batch N's plan nests N merges);
+    * at production scale the snapshot would be a stored table
+    * rewritten per batch — the merge geometry (one anti-join, change
+    * side broadcast) is identical.
+    */
+  private def streamingMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q102_merge")
+    try {
+      val ev = Tables.events(s, d)
+      def state(df: DataFrame) = df.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec($"value")).cast("double").as("total_value"))
+      def cut(day: Int) = lit(f"2024-01-$day%02d").cast("timestamp")
+      val snap0 = state(ev.filter($"ts" < cut(11)))
+      val windows = Seq(
+        (state(ev.filter($"ts" >= cut(11) && $"ts" < cut(16)))
+          .withColumn("del", lit(false)), "00_w1"),
+        (state(ev.filter($"ts" >= cut(16) && $"ts" < cut(21)))
+          .withColumn("del", $"user_id" % 9 === 0), "01_w2"),
+        // last-window deletes are the OBSERVABLE delete path at this
+        // data density (every user is active in every window, so a
+        // batch-2 delete is always revived by batch 3's upsert)
+        (state(ev.filter($"ts" >= cut(21)))
+          .withColumn("del", $"user_id" % 5 === 3), "02_w3"))
+      val inDir = scratch.resolve("input")
+      java.nio.file.Files.createDirectories(inDir)
+      val t0 = System.currentTimeMillis() - 60000L
+      windows.zipWithIndex.foreach { case ((df, name), i) =>
+        val tmp = scratch.resolve(s"tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+        val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally part.close()
+        val dst = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
+      }
+      val schema = s.read.parquet(inDir.toString).schema
+      val input = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val outs = Seq("user_id" -> col("user_id"), "n_events" -> col("n_events"),
+        "total_value" -> col("total_value"))
+      // the fold state: mutated only inside foreachBatch, which the
+      // stream execution thread calls strictly sequentially
+      var snap = snap0.localCheckpoint(true)
+      var batches = 0
+      val q = input.writeStream
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            snap = Cdc.upsertMerge(
+              snap, batch, col("user_id"), col("user_id"), col("del"), outs, outs)
+              .localCheckpoint(true)
+            batches += 1
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q102 stream did not terminate within 600s — refusing a partial result")
+      finally q.stop()
+      require(batches >= 3,
+        s"q102 applied $batches change batch(es); the sequential-fold " +
+          "path needs all 3 windows as separate micro-batches")
+      snap.orderBy($"user_id")
+    } finally Scratch.deleteRecursively(scratch)
+  }
+}

@@ -77,6 +77,65 @@ object Cdc {
     * not corpus size, so the per-key reducer geometry holds (contrast
     * with `tokenBudgetCap`'s few-strata case).
     */
+  /** SNAPSHOT DIFF — derive the change feed between two materialized
+    * snapshots (Delta CDF's "what changed", computed after the fact
+    * from the states themselves): every key classifies as `insert`
+    * (only in the new snapshot), `delete` (only in the old), `update`
+    * (both, payload differs) or `unchanged` (both, payload
+    * null-safe-equal). The inverse of [[upsertMerge]]: merge applies
+    * changes to a state; diff recovers the changes from two states.
+    *
+    * Output: (key, change_type, old_<col>…, new_<col>…) — old columns
+    * null for inserts, new columns null for deletes. Payload equality
+    * is null-safe per column (`<=>` over the struct), so a null→value
+    * transition is an update, not an accident.
+    *
+    * Scale: ONE full-outer equi-join on the key — both sides shuffle
+    * once on the same key (co-partitioned), comparison is map-side,
+    * no driver state. Duplicate keys within either snapshot are an
+    * ill-defined diff and fail loudly (same contract as
+    * [[upsertMerge]]'s ambiguity rule) — the guard is a grouped
+    * aggregation on the SAME key the join shuffles on (partitioning
+    * reused, no extra exchange), not a window (which would add a
+    * per-partition sort the diff doesn't need).
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      oldKey: Column,
+      newKey: Column,
+      payload: Seq[String],
+      includeUnchanged: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    def guard(df: DataFrame, k: Column, side: String) = {
+      df.select(
+        when(k.cast("long").isNull, raise_error(lit(
+          s"snapshotDiff: $side snapshot key is null or not long-castable")))
+          .otherwise(k.cast("long")).as("__k"),
+        struct(payload.map(col): _*).as("__p"))
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as("__n"), collect_list(col("__p")).as("__ps"))
+        .select(col("__k"), when(col("__n") > 1, raise_error(concat(
+          lit(s"snapshotDiff: $side snapshot has multiple rows for key "),
+          col("__k").cast("string")))).otherwise(element_at(col("__ps"), 1)).as("__p"))
+    }
+    val a = guard(oldSnap, oldKey, "old").withColumnRenamed("__k", "__ka")
+      .withColumnRenamed("__p", "__pa")
+    val b = guard(newSnap, newKey, "new").withColumnRenamed("__k", "__kb")
+      .withColumnRenamed("__p", "__pb")
+    val joined = a.join(b, col("__ka") === col("__kb"), "full_outer")
+    val changeType = when(col("__ka").isNull, lit("insert"))
+      .when(col("__kb").isNull, lit("delete"))
+      .when(col("__pa") <=> col("__pb"), lit("unchanged"))
+      .otherwise(lit("update"))
+    val out = joined.select(
+      coalesce(col("__ka"), col("__kb")).as("key") +:
+        changeType.as("change_type") +:
+        (payload.map(c => col("__pa").getField(c).as(s"old_$c")) ++
+          payload.map(c => col("__pb").getField(c).as(s"new_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
+  }
+
   def scd2History(
       log: DataFrame,
       key: Column,

@@ -74,4 +74,46 @@ object Funnel {
       (col("u").as("user") +: stepCols) :+ stage.as("stage") :+
         (col(s"t${steps.size}").isNotNull).as("converted"): _*)
   }
+
+  /** COHORT RETENTION — the companion rollup to [[earliest]]: users
+    * cohort by their first-active period (fixed-width, epoch-aligned,
+    * `periodSeconds` wide) and each (cohort, offset) cell counts the
+    * cohort's users still active `offset` periods later. The classic
+    * retention triangle; for training-data pipelines, the freshness
+    * profile of a recurring crawl.
+    *
+    * Period ids are exact integer arithmetic both engines share:
+    * `floor(unix_micros(ts) / (periodSeconds · 1e6))`. The double
+    * division is provably exact-floored here — µs values are integers
+    * < 2^53 and one µs moves the quotient by ≥ 1/periodMicros, orders
+    * of magnitude more than an ulp of a period id, so the rounded
+    * quotient can never cross an integer boundary the true quotient
+    * doesn't.
+    *
+    * Scale: `distinct (user, period)` is ONE partial-aggregable
+    * dedup (activity collapses map-side to one row per user-period —
+    * at 100 TB the shuffle carries user-periods, not events); the
+    * cohort min reuses the same user-keyed geometry and the final
+    * count-distinct groups by (cohort, offset) — thousands of cells,
+    * not users.
+    */
+  def retention(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val active = events
+      .select(user.as("u"), ts.as("ts"))
+      .filter(col("ts").isNotNull && col("u").isNotNull)
+      .select(col("u"),
+        floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"))
+      .distinct()
+    val cohort = active.groupBy(col("u")).agg(min(col("period")).as("cohort"))
+    active.join(cohort, Seq("u"))
+      .groupBy(col("cohort").as("cohort_period"),
+        (col("period") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
 }

@@ -177,8 +177,149 @@ object ScaleOps2 {
              |    + (CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END) AS stage,
              |  p.t3 IS NOT NULL AS converted
              |FROM vd LEFT JOIN c ON vd.u = c.u LEFT JOIN p ON vd.u = p.u
-             |ORDER BY user""".stripMargin))
+             |ORDER BY user""".stripMargin)),
+
+    // ---- q106: cohort retention triangle over the event log —
+    // first-active week cohorts × week offsets. Period ids are
+    // provably-exact integer arithmetic (see Funnel.retention), so
+    // counts hash-match bit-for-bit; DuckDB's BIGINT // is the same
+    // epoch-aligned floor.
+    Q(
+      "q106_retention_cohorts",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Funnel.retention(
+          Tables.events(s, d), $"user_id", $"ts", periodSeconds = 7L * 86400L)
+          .orderBy($"cohort_period", $"period_offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 604800000000 AS wk
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+             |SELECT c.cohort AS cohort_period, a.wk - c.cohort AS period_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_period, period_offset""".stripMargin)),
+
+    // ---- q107: stream-STATIC enrichment join — the most common
+    // production streaming pattern (fact stream × broadcast dimension)
+    // was spec-only until now: events arrive in ≥2 time-partitioned
+    // micro-batches, join the static customer⋈nation dimension, and
+    // aggregate per nation in complete mode. The oracle is the plain
+    // batch join — streamed delivery must not change a single count.
+    Q(
+      "q107_stream_static_join",
+      (s, d) => streamStaticEnrich(s, d),
+      Some("""SELECT n.n_name AS nation, count(*) AS n_events,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // ---- q108: SNAPSHOT DIFF — recover the change feed between two
+    // per-user state snapshots (the inverse of q86's merge). The
+    // snapshots carry key-disjoint filters (mod-11 vs mod-13) so every
+    // change class appears: inserts (keys only in the new snapshot),
+    // deletes (only in the old), updates (both, state moved). ONE
+    // co-partitioned full-outer join; exact decimal-summed doubles
+    // hash-match.
+    Q(
+      "q108_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        def state(df: DataFrame) = df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+        val olds = state(ev.filter($"ts" < lit("2024-01-16").cast("timestamp")))
+          .filter($"user_id" % 11 =!= 0)
+        val news = state(ev).filter($"user_id" % 13 =!= 0)
+        Cdc.snapshotDiff(olds, news, $"user_id", $"user_id",
+          Seq("n_events", "total_value"))
+          .orderBy($"key")
+      },
+      Some("""WITH olds AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16' AND user_id % 11 <> 0
+             |  GROUP BY user_id),
+             |news AS (SELECT user_id, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE user_id % 13 <> 0 GROUP BY user_id)
+             |SELECT coalesce(o.user_id, n.user_id) AS key,
+             |  CASE WHEN o.user_id IS NULL THEN 'insert'
+             |       WHEN n.user_id IS NULL THEN 'delete'
+             |       WHEN o.n_events IS NOT DISTINCT FROM n.n_events
+             |        AND o.total_value IS NOT DISTINCT FROM n.total_value THEN 'unchanged'
+             |       ELSE 'update' END AS change_type,
+             |  o.n_events AS old_n_events, o.total_value AS old_total_value,
+             |  n.n_events AS new_n_events, n.total_value AS new_total_value
+             |FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id
+             |ORDER BY key""".stripMargin))
   )
+
+  /** q107: the live stream-static enrichment. Events stage as two
+    * time-partitioned files (ascending mtimes, `maxFilesPerTrigger=1`
+    * → ≥2 micro-batches, enforced); each batch joins the static
+    * customer⋈nation dimension — Catalyst broadcasts the dim into
+    * every micro-batch plan, the canonical "fact stream enriched by a
+    * slowly-changing dimension read once" shape — and a complete-mode
+    * streaming aggregation folds counts/sums across batches.
+    */
+  private def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q107_enrich")
+    try {
+      val ev = Tables.events(s, d).select($"user_id", $"ts", $"value")
+        .filter($"ts".isNotNull)
+      val bounds = ev.agg(min($"ts"), max($"ts")).head()
+      val cut = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val inDir = scratch.resolve("input")
+      java.nio.file.Files.createDirectories(inDir)
+      val t0 = System.currentTimeMillis() - 60000L
+      Seq((ev.filter($"ts" <= cut), "00_early"), (ev.filter($"ts" > cut), "01_late"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = scratch.resolve(s"tmp_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+          val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally part.close()
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(src, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
+        }
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name")
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q107_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy($"n_name".as("nation"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec($"value")).cast("double").as("total_value"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q107 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q107 ran $dataBatches data micro-batch(es); the cross-batch " +
+            "aggregation path needs at least 2")
+        s.table(name).orderBy($"nation").localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q102: the live CDC-apply loop. Three change windows stage as
     * parquet files with ascending modification times; a file stream

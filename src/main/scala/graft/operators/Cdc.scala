@@ -107,17 +107,22 @@ object Cdc {
       payload: Seq[String],
       includeUnchanged: Boolean = true): DataFrame = {
     require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    // the grouping key stays the BARE cast (a no-op Catalyst elides
+    // when the key is already long) so the state agg's hash
+    // partitioning propagates through the guard into the join — both
+    // null-key and duplicate-key raises ride on the payload column
+    // instead, which every downstream row evaluates
     def guard(df: DataFrame, k: Column, side: String) = {
-      df.select(
-        when(k.cast("long").isNull, raise_error(lit(
-          s"snapshotDiff: $side snapshot key is null or not long-castable")))
-          .otherwise(k.cast("long")).as("__k"),
-        struct(payload.map(col): _*).as("__p"))
+      df.select(k.cast("long").as("__k"), struct(payload.map(col): _*).as("__p"))
         .groupBy(col("__k"))
         .agg(count(lit(1)).as("__n"), collect_list(col("__p")).as("__ps"))
-        .select(col("__k"), when(col("__n") > 1, raise_error(concat(
-          lit(s"snapshotDiff: $side snapshot has multiple rows for key "),
-          col("__k").cast("string")))).otherwise(element_at(col("__ps"), 1)).as("__p"))
+        .select(col("__k"),
+          when(col("__k").isNull, raise_error(lit(
+            s"snapshotDiff: $side snapshot key is null or not long-castable")))
+            .when(col("__n") > 1, raise_error(concat(
+              lit(s"snapshotDiff: $side snapshot has multiple rows for key "),
+              col("__k").cast("string"))))
+            .otherwise(element_at(col("__ps"), 1)).as("__p"))
     }
     val a = guard(oldSnap, oldKey, "old").withColumnRenamed("__k", "__ka")
       .withColumnRenamed("__p", "__pa")

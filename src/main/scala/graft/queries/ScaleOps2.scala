@@ -255,7 +255,59 @@ object ScaleOps2 {
              |  o.n_events AS old_n_events, o.total_value AS old_total_value,
              |  n.n_events AS new_n_events, n.total_value AS new_total_value
              |FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q109: EXACT fuzzy self-join at edit distance ≤ 1 over
+    // customer names (FastSS deletion-neighborhood blocking +
+    // verification — entity resolution's near-identical-key detector).
+    // The oracle is the O(n²) brute-force levenshtein join the
+    // blocking replaces: hash-equality proves the blocking complete
+    // (no lost pair) AND sound (no unverified pair), the same
+    // unblocked-oracle discipline as q25.
+    Q(
+      "q109_fuzzy_ed1_join",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.FuzzyJoin.ed1Pairs(
+          Tables.customer(s, d), $"c_custkey", $"c_name")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+             |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+             |FROM c a JOIN c b ON a.id < b.id
+             |WHERE levenshtein(a.s, b.s) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q110: time-series GAP FILL — purchase events resampled to
+    // one row per (user, day) with last-observation-carried-forward
+    // interpolation (purchases are sparse here: ~0.4/user/day, so the
+    // fill path genuinely exercises). Exact integer period ids + exact
+    // decimal day-sums; LOCF is deterministic, so the oracle
+    // hash-matches bit-for-bit.
+    Q(
+      "q110_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.gapFill(
+          Tables.events(s, d).filter($"event_type" === "purchase"),
+          $"user_id", $"ts", $"value",
+          periodSeconds = 86400L, fillMode = "locf")
+          .orderBy($"key", $"period")
+      },
+      Some("""WITH o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |g AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |j AS (SELECT g.k, g.period, o.vsum
+             |  FROM g LEFT JOIN o ON g.k = o.k AND g.period = o.period)
+             |SELECT k AS key, period,
+             |  last_value(vsum IGNORE NULLS) OVER (PARTITION BY k ORDER BY period
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             |  vsum IS NULL AS filled
+             |FROM j ORDER BY key, period""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

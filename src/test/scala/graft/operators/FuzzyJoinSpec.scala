@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairs(rows: (Long, String)*) =
+    FuzzyJoin.ed1Pairs(rows.toDF("id", "s"), $"id", $"s")
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+  test("finds equal, substituted, inserted and deleted variants; rejects transpositions") {
+    val out = pairs(
+      1L -> "cat", 2L -> "cat", // equal → dist 0
+      3L -> "cut", // substitution of 1
+      4L -> "cats", // insertion on 1
+      5L -> "at", // deletion of 1
+      6L -> "dog", // unrelated
+      7L -> "tac") // transposition-ish of 1: ED 2, must NOT pair
+    assert(out.contains((1L, 2L, 0)))
+    assert(out.contains((1L, 3L, 1)) && out.contains((2L, 3L, 1)))
+    assert(out.contains((1L, 4L, 1)) && out.contains((1L, 5L, 1)))
+    assert(!out.exists(p => p._1 == 7L || p._2 == 7L),
+      "ED-2 strings sharing a deletion variant must be verified away")
+    assert(!out.exists(p => p._1 == 6L || p._2 == 6L))
+    // "ab"/"ba" is the canonical shared-variant false positive
+    assert(pairs(1L -> "ab", 2L -> "ba").isEmpty)
+  }
+
+  test("empty and single-char strings behave (ED1 across the empty string)") {
+    val out = pairs(1L -> "", 2L -> "a", 3L -> "b")
+    assert(out.contains((1L, 2L, 1)) && out.contains((1L, 3L, 1)))
+    assert(out.contains((2L, 3L, 1)), "a→b is one substitution")
+  }
+
+  test("complete and sound vs the brute-force join on a random-ish corpus") {
+    // deterministic pseudo-random short strings over a 3-letter
+    // alphabet — dense enough that every edit class appears
+    val strs = (0 until 120).map { i =>
+      val r = new scala.util.Random(i * 2654435761L)
+      (i.toLong, (0 until (1 + r.nextInt(5))).map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    val blocked = FuzzyJoin.ed1Pairs(df, $"id", $"s")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = df.select($"id".as("ia"), $"s".as("sa"))
+    val b = df.select($"id".as("ib"), $"s".as("sb"))
+    val brute = a.crossJoin(b)
+      .filter($"ia" < $"ib" && levenshtein($"sa", $"sb") <= 1)
+      .select($"ia", $"ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must actually contain ED<=1 pairs")
+  }
+
+  test("hot variant blocks fail loudly; result is repartition-invariant") {
+    // 5 identical strings share every variant — block size 5 > cap 4
+    val hot = (1L to 5L).map(_ -> "same").toDF("id", "s")
+    val e = intercept[Exception] {
+      FuzzyJoin.ed1Pairs(hot, $"id", $"s", maxBlockSize = 4).collect()
+    }
+    assert(e.getMessage.contains("maxBlockSize"))
+    val df = (0L to 60L).map(i => i -> s"tok$i").toDF("id", "s")
+    val x = FuzzyJoin.ed1Pairs(df, $"id", $"s").orderBy($"id_a", $"id_b").collect()
+    val y = FuzzyJoin.ed1Pairs(df.repartition(11), $"id", $"s")
+      .orderBy($"id_a", $"id_b").collect()
+    assert(x.toSeq == y.toSeq)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.ed1Pairs(df, $"id", $"s", maxBlockSize = 1)
+    }
+  }
+}

@@ -76,4 +76,79 @@ object TimeSeries {
     }
     valued.select(col("k").as("key"), col("period"), col("value"), col("filled"))
   }
+
+  /** Per-key LINEAR TREND — ordinary-least-squares slope/intercept of
+    * the (period, period-sum) series per key, the one-pass grouped
+    * regression (`regr_slope` semantics) every metrics store needs.
+    *
+    * All sufficient statistics (n, Σp, Σpp, Σy, Σpy) accumulate in
+    * DECIMAL/integer arithmetic — exact and order-free, so they are
+    * bit-identical under any partitioning — and only the closed form
+    * `(n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` runs in pinned-order double
+    * ops over the exactly-cast statistics. Periods re-base against
+    * the key's own first period (x = period − min(period),
+    * algebraically from the raw sums — no second pass), anchoring the
+    * intercept at the series start. Keys with < 2 distinct periods
+    * (zero x-variance) emit null slope/intercept rather than a
+    * division by zero.
+    *
+    * Scale: one partial-aggregable pass to (key, period) sums, a
+    * second over each key's periods — both collapse map-side; no
+    * windows, no sorts. The final double division is the only
+    * non-exact step, so cross-engine oracles compare within 1e-9.
+    */
+  def linearTrend(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val perPeriod = events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      // the re-cast keeps y at (18,6): the y·period product below must
+      // stay inside decimal(38) so BOTH engines keep it exact — an
+      // un-narrowed sum type would push Spark past 38 and silently
+      // truncate scale (breaking the bit-exact statistics claim)
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+    val stats = perPeriod.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      min(col("period")).as("p0"),
+      sum(col("period")).as("sp"),
+      sum(col("period") * col("period")).as("spp"),
+      sum(col("y")).as("sy"),
+      sum(col("y") * col("period").cast("decimal(10,0)")).as("spy"))
+    // x = period − p0 re-bases EXACTLY from the raw sums:
+    //   Σx  = Σp − n·p0          (long arithmetic, exact)
+    //   Σxx = Σpp − 2·p0·Σp + n·p0²  (long, exact)
+    //   Σxy = Σpy − p0·Σy
+    // The integer parts stay in long arithmetic; the y-carrying stats
+    // cast to double FIRST (exact while |value·10⁶| < 2^53 — document-
+    // ed envelope) and the closed form then runs in pinned-order
+    // DOUBLE ops, which both engines execute identically. Decimal
+    // arithmetic past the sums is deliberately avoided: Spark caps
+    // precision at 38 by silently reducing scale where DuckDB raises a
+    // multiply-overflow error — the one place the engines' decimal
+    // TYPE rules diverge even when every value is exactly
+    // representable.
+    val sx = (col("sp") - col("n") * col("p0")).cast("double")
+    val sxx = (col("spp") - lit(2L) * col("p0") * col("sp")
+      + col("n") * col("p0") * col("p0")).cast("double")
+    val nD = col("n").cast("double")
+    val syD = col("sy").cast("double")
+    val sxy = col("spy").cast("double") - col("p0").cast("double") * syD
+    val den = nD * sxx - sx * sx
+    val num = nD * sxy - sx * syD
+    stats.select(
+      col("k").as("key"),
+      col("n").as("n_periods"),
+      when(den > 0.0, num / den).otherwise(lit(null).cast("double")).as("slope"),
+      when(den > 0.0, (syD - (num / den) * sx) / nD)
+        .otherwise(lit(null).cast("double")).as("intercept"))
+  }
 }

@@ -307,7 +307,95 @@ object ScaleOps2 {
              |  last_value(vsum IGNORE NULLS) OVER (PARTITION BY k ORDER BY period
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
              |  vsum IS NULL AS filled
-             |FROM j ORDER BY key, period""".stripMargin))
+             |FROM j ORDER BY key, period""".stripMargin)),
+
+    // ---- q111: relational PIVOT — long event rows → one wide row per
+    // user with per-type counts. The value list is EXPLICIT (the
+    // 100 TB discipline: no silent distinct-discovery scan before the
+    // real aggregation; unknown types surface by their absence, not by
+    // an unbounded schema). Pivot-count yields null for absent
+    // (user, type) combos — coalesced to 0 to match the mart shape the
+    // oracle's FILTER counts produce naturally.
+    Q(
+      "q111_pivot_event_counts",
+      (s, d) => {
+        import s.implicits._
+        val types = Seq("view", "click", "purchase", "signup", "error")
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select($"user_id" +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+             |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q112: per-key LINEAR TREND (grouped OLS slope/intercept of
+    // daily value sums). Sufficient statistics are exact
+    // decimal/integer sums; only the closed form runs in pinned-order
+    // doubles — libm-free but cast-rounding-sensitive, so the oracle
+    // replays the identical formula and admits rows within 1e-9 with a
+    // poison row otherwise (the q57/q61 pattern).
+    Q(
+      "q112_linear_trend",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.linearTrend(
+          Tables.events(s, d), $"user_id", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q112_linear_trend/*.parquet')),
+             |o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |  GROUP BY 1, 2),
+             |st AS (SELECT k, count(*) AS n, min(period) AS p0, sum(period) AS sp,
+             |    sum(period * period) AS spp, CAST(sum(y) AS DOUBLE) AS syd,
+             |    CAST(sum(y * CAST(period AS DECIMAL(10,0))) AS DOUBLE) AS spyd
+             |  FROM o GROUP BY k),
+             |ex AS (SELECT k, n,
+             |    CAST(sp - n * p0 AS DOUBLE) AS sx,
+             |    CAST(spp - 2 * p0 * sp + n * p0 * p0 AS DOUBLE) AS sxx,
+             |    syd, spyd - CAST(p0 AS DOUBLE) * syd AS sxy
+             |  FROM st),
+             |expect AS (SELECT k, n,
+             |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             |      THEN (CAST(n AS DOUBLE) * sxy - sx * syd)
+             |         / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+             |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             |      THEN (syd - ((CAST(n AS DOUBLE) * sxy - sx * syd)
+             |           / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |         / CAST(n AS DOUBLE) END AS intercept
+             |  FROM ex),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n_periods <> x.n
+             |         OR (e.slope IS NULL) <> (x.slope IS NULL)
+             |         OR abs(coalesce(e.slope, 0) - coalesce(x.slope, 0)) > 1e-9
+             |         OR (e.intercept IS NULL) <> (x.intercept IS NULL)
+             |         OR abs(coalesce(e.intercept, 0) - coalesce(x.intercept, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.key NOT IN (SELECT k FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.k NOT IN (SELECT key FROM emitted))
+             |  ) AS ok)
+             |SELECT key, n_periods, slope, intercept FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

@@ -63,4 +63,39 @@ class TimeSeriesSpec extends SparkTestBase {
       86400L, "locf").orderBy($"key", $"period").collect()
     assert(x.toSeq == y.toSeq)
   }
+
+  test("linearTrend recovers an exact line; degenerate keys emit null") {
+    // u1: daily sums on days d, d+1, d+2 are 1, 3, 5 → y = 2x + 1
+    // exactly (x rebased to the first day); u2: single day → null
+    val df = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1.0),
+      (1L, ts("2024-01-02 05:00:00"), 2.0),
+      (1L, ts("2024-01-02 06:00:00"), 1.0),
+      (1L, ts("2024-01-03 05:00:00"), 5.0),
+      (2L, ts("2024-01-01 00:00:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.linearTrend(df, $"user_id", $"ts", $"value", 86400L)
+      .orderBy($"key").collect()
+    val u1 = out(0)
+    assert(u1.getLong(1) == 3L)
+    assert(u1.getDouble(2) == 2.0 && u1.getDouble(3) == 1.0,
+      s"exact line must come back exactly, got ${u1.getDouble(2)}, ${u1.getDouble(3)}")
+    assert(out(1).getLong(1) == 1L && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("linearTrend statistics are bit-identical under repartitioning") {
+    val big = (1 to 2000).map { i =>
+      (i % 7L, ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"), i * 0.37)
+    }.toDF("user_id", "ts", "value")
+    val a = TimeSeries.linearTrend(big, $"user_id", $"ts", $"value", 86400L)
+      .orderBy($"key").collect()
+    val b = TimeSeries.linearTrend(big.repartition(13), $"user_id", $"ts", $"value", 86400L)
+      .orderBy($"key").collect()
+    // == on Row compares doubles bitwise-equal via equals — the
+    // decimal/long statistics make this hold, not just a tolerance
+    assert(a.toSeq == b.toSeq)
+    intercept[IllegalArgumentException] {
+      TimeSeries.linearTrend(big, $"user_id", $"ts", $"value", 0L)
+    }
+  }
 }

@@ -54,4 +54,52 @@ object Profiling {
       .select(col("column"), col("n_rows"), col("n_nonnull"), col("n_distinct"),
         col("min_value"), col("max_value"), col("len_sum"))
   }
+
+  /** Grouped Z-SCORE outlier detection — flag rows whose value sits
+    * more than `threshold` population standard deviations from its
+    * group's mean. The data-quality sentinel every ingest pipeline
+    * runs (and, for training corpora, the metric-anomaly pre-filter).
+    *
+    * The statistics pass accumulates (n, Σv, Σv²) in EXACT decimal
+    * arithmetic — order-free, partitioning-independent — and
+    * μ = Σv/n, σ = sqrt(Σv²/n − μ²) then run in pinned-order double
+    * ops. The scores are deterministic per engine, but NOT bit-equal
+    * across engines: converting a high-scale decimal (Σv² carries
+    * scale 12) to double is double-rounded (int → double, then ×10⁻ˢ)
+    * in both Spark and DuckDB with implementations that can disagree
+    * by one ulp — so cross-engine oracles compare z within a
+    * tolerance and treat threshold membership with a ±ε margin.
+    * Groups with σ = 0 or a single row flag nothing.
+    *
+    * Scale: one partial-aggregable stats pass (rows collapse map-side
+    * to one triple per group); the per-group stats broadcast back and
+    * scoring is map-side on the second scan — no window, no per-group
+    * sort, and the corpus never shuffles.
+    */
+  def zscoreOutliers(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column,
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val base = df.select(group.as("grp"), id.as("id"), value.cast("double").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val stats = base
+      .select(col("grp"), col("v").cast("decimal(18,6)").as("vd"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd")).cast("double").as("sv"),
+        sum(col("vd") * col("vd")).cast("double").as("svv"))
+      .select(col("grp"), col("n"),
+        (col("sv") / col("n").cast("double")).as("mu"),
+        sqrt(col("svv") / col("n").cast("double")
+          - (col("sv") / col("n").cast("double"))
+            * (col("sv") / col("n").cast("double"))).as("sigma"))
+    base.join(broadcast(stats), Seq("grp"))
+      .filter(col("n") > 1 && col("sigma") > 0.0)
+      .select(col("grp").as("group"), col("id"), col("v").as("value"),
+        ((col("v") - col("mu")) / col("sigma")).as("z"))
+      .filter(abs(col("z")) > lit(threshold))
+  }
 }

@@ -407,6 +407,56 @@ object TextAnalysis {
           .otherwise(lit(null).cast("double")).as("logprob"))
   }
 
+  /** PMI COLLOCATIONS — adjacent-pair pointwise mutual information
+    * (Church & Hanks 1990; Manning & Schütze ch. 5), the phrase-mining
+    * statistic behind word2phrase-style multiword-token discovery:
+    * `PMI(w1, w2) = ln(c12 · N / (c1 · c2))` over the corpus's
+    * adjacent-pair table, where N is the total pair count and c1/c2
+    * are the pair table's left/right marginals (self-contained in the
+    * pair counts, so an oracle re-derives everything from one census).
+    * Rare-pair noise is floored by `minCount`; returns the `topK`
+    * rows by (pmi DESC, w1, w2).
+    *
+    * Scale: ONE partial-aggregable pair census (q64's shape); the
+    * marginals and PMI compute on the pair-TYPE table (vocab², far
+    * smaller than the corpus), and the top-K is a bounded TakeOrdered,
+    * not a full sort. ln() is not bit-portable — oracles admit scores
+    * within 1e-9 and check true-top-K membership (the q57 pattern).
+    */
+  def pmiCollocations(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      minCount: Long = 5L,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toksCol = coalesce(tokens(text), array())
+    val pairs = df.select(toksCol.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2), i => struct(
+        element_at(col("toks"), i + 1).as("w1"),
+        element_at(col("toks"), i + 2).as("w2")))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    // eager localCheckpoint, not persist/unpersist: the pair census is
+    // reused FOUR times (N, both marginals, the scored filter) and the
+    // last three live in the RETURNED lazy plan — an unpersist-before-
+    // return would silently recompute the census per use
+    val pc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val n = Option(pc.agg(sum(col("c12"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(n > 0, "pmiCollocations: corpus has no adjacent token pairs")
+    val m1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = pc.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    pc.filter(col("c12") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12").as("n_pair"),
+        log(col("c12").cast("double") * lit(n.toDouble)
+          / (col("c1").cast("double") * col("c2").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** BM25 relevance ranking of the corpus against a FIXED term list —
     * retrieval-targeted data selection ("find the docs most about X"),
     * scored with the classic Okapi BM25 formula (public IR

@@ -395,7 +395,108 @@ object ScaleOps2 {
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q113: PMI collocations (phrase mining). Counts and
+    // marginals are exact; ln() is not bit-portable, so the oracle
+    // recomputes every emitted score within 1e-9 AND checks true-top-K
+    // membership (no non-emitted pair may beat the worst emitted one)
+    // — the q57 ranking pattern.
+    Q(
+      "q113_pmi_collocations",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.pmiCollocations(Tables.documents(s, d), $"text",
+          minCount = 5L, topK = 50)
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q113_pmi_collocations/*.parquet')),
+              |tl AS (SELECT coalesce($sqlToks, []) AS t FROM documents),
+              |pr AS (SELECT unnest(range(1, len(t))) AS pos, t FROM tl),
+              |pairs AS (SELECT t[pos] AS w1, t[pos + 1] AS w2 FROM pr),
+              |pc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+              |nn AS (SELECT CAST(sum(c12) AS DOUBLE) AS n FROM pc),
+              |m1 AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY w1),
+              |m2 AS (SELECT w2, sum(c12) AS c2 FROM pc GROUP BY w2),
+              |sc AS (SELECT pc.w1, pc.w2, c12,
+              |    ln(CAST(c12 AS DOUBLE) * (SELECT n FROM nn)
+              |      / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi
+              |  FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2)
+              |  WHERE c12 >= 5),
+              |k AS (SELECT least(50, (SELECT count(*) FROM sc)) AS k),
+              |worst AS (SELECT min(pmi) AS w FROM emitted),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT k FROM k)
+              |    AND (SELECT count(DISTINCT (w1, w2)) FROM emitted)
+              |      = (SELECT count(*) FROM emitted)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN sc
+              |      ON e.w1 = sc.w1 AND e.w2 = sc.w2
+              |      WHERE e.n_pair <> sc.c12
+              |         OR abs(e.pmi - sc.pmi) > 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e
+              |      WHERE NOT EXISTS (SELECT 1 FROM sc
+              |        WHERE sc.w1 = e.w1 AND sc.w2 = e.w2))
+              |    AND NOT EXISTS (SELECT 1 FROM sc
+              |      WHERE sc.pmi > (SELECT w FROM worst) + 1e-9
+              |        AND NOT EXISTS (SELECT 1 FROM emitted e
+              |          WHERE e.w1 = sc.w1 AND e.w2 = sc.w2))
+              |  ) AS ok)
+              |SELECT w1, w2, n_pair, pmi FROM emitted
+              |WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT 'POISON', 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY pmi DESC, w1, w2""".stripMargin)),
+
+    // ---- q114: grouped z-score outliers. Statistics are exact
+    // decimals, but the decimal→double cast of the scale-12 Σv² is
+    // DOUBLE-ROUNDED differently in Spark vs DuckDB (observed: one-ulp
+    // z differences at the gate), so the oracle compares z within 1e-9
+    // and checks threshold membership with a ±1e-9 margin: every
+    // emitted row must clear 3−ε, every row clearing 3+ε must be
+    // emitted, poison row otherwise.
+    Q(
+      "q114_zscore_outliers",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.zscoreOutliers(
+          Tables.events(s, d), $"event_type", $"event_id", $"value", threshold = 3.0)
+          .orderBy($"group", $"id")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q114_zscore_outliers/*.parquet')),
+             |b AS (SELECT event_type AS grp, event_id AS id, value AS v
+             |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |st AS (SELECT grp, count(*) AS n,
+             |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             |    CAST(sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS svv
+             |  FROM b GROUP BY grp),
+             |mu AS (SELECT grp, n, sv / CAST(n AS DOUBLE) AS mu,
+             |    sqrt(svv / CAST(n AS DOUBLE)
+             |      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) AS sigma
+             |  FROM st),
+             |sc AS (SELECT b.grp, b.id, b.v, (b.v - mu) / sigma AS z
+             |  FROM b JOIN mu USING (grp) WHERE n > 1 AND sigma > 0),
+             |flag AS (SELECT (
+             |    (SELECT count(DISTINCT id) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    -- every emitted row: value exact, z within 1e-9, and
+             |    -- genuinely near-or-past the threshold
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM sc
+             |        WHERE sc.id = e.id AND sc.grp = e."group" AND sc.v = e.value
+             |          AND abs(sc.z - e.z) <= 1e-9 AND abs(sc.z) > 3.0 - 1e-9))
+             |    -- every clear outlier is emitted
+             |    AND NOT EXISTS (SELECT 1 FROM sc
+             |      WHERE abs(sc.z) > 3.0 + 1e-9
+             |        AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.id = sc.id))
+             |  ) AS ok)
+             |SELECT "group", id, value, z FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY "group", id""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PmiZscoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pmiCollocations matches the hand replay; minCount floors; topK bounds") {
+    // pairs: (a b)x6 from doc1, (b c)x1, (c a)x5 via doc2's cycle
+    val docs = Seq(
+      "a b a b a b a b a b a b", // (a,b)x6 (b,a)x5
+      "c a c a c a c a c a b c") // (c,a)x5 (a,c)x5 (a,b)x1 (b,c)x1
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, $"text", minCount = 5L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val allPairs = Seq("a b a b a b a b a b a b", "c a c a c a c a c a b c")
+      .flatMap(_.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val pc = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allPairs.size.toDouble
+    val m1 = pc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val m2 = pc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val expect = pc.filter(_._2 >= 5L).map { case ((w1, w2), c12) =>
+      (w1, w2) -> ((c12, math.log(c12.toDouble * n / (m1(w1).toDouble * m2(w2).toDouble))))
+    }
+    assert(out.keySet == expect.keySet,
+      s"minCount floor must keep exactly the >=5 pairs: $out vs $expect")
+    for ((k, (c, p)) <- expect) {
+      assert(out(k)._1 == c && math.abs(out(k)._2 - p) < 1e-12, s"pair $k")
+    }
+    // topK truly bounds
+    val one = TextAnalysis.pmiCollocations(docs, $"text", minCount = 1L, topK = 1).collect()
+    assert(one.length == 1)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pmiCollocations(docs, $"text", minCount = 0L)
+    }
+    intercept[Exception] {
+      TextAnalysis.pmiCollocations(
+        Seq((1L, "solo")).toDF("doc_id", "text"), $"text").collect()
+    }
+  }
+
+  test("zscoreOutliers computes exact-statistics z; degenerate groups emit nothing") {
+    // group g: values 0,0,0,0,100 → μ=20, σ²=(10000/5 − 400)=1600,
+    // σ=40, z(100)=2 — below 3, nothing; threshold 1.9 → one row z=2
+    val df = Seq(
+      ("g", 1L, 0.0), ("g", 2L, 0.0), ("g", 3L, 0.0), ("g", 4L, 0.0), ("g", 5L, 100.0),
+      ("const", 6L, 7.0), ("const", 7L, 7.0), // σ=0 → nothing
+      ("solo", 8L, 99.0)) // single row → nothing
+      .toDF("t", "id", "v")
+    val none = Profiling.zscoreOutliers(df, $"t", $"id", $"v", 3.0).collect()
+    assert(none.isEmpty)
+    val hit = Profiling.zscoreOutliers(df, $"t", $"id", $"v", 1.9)
+      .collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 5L && hit.head.getDouble(3) == 2.0,
+      s"exact z must be 2.0, got ${hit.toSeq}")
+    intercept[IllegalArgumentException] {
+      Profiling.zscoreOutliers(df, $"t", $"id", $"v", 0.0)
+    }
+  }
+
+  test("zscoreOutliers is repartition-invariant (decimal stats are order-free)") {
+    // uniform base (max z ≈ 1.7) plus genuine spikes so the threshold
+    // actually selects rows
+    val df = (1 to 3000).map(i =>
+      (s"g${i % 3}", i.toLong,
+        if (i % 500 == 0) 5000.0 else (i % 97) * 1.37 + (i % 13)))
+      .toDF("t", "id", "v")
+    val a = Profiling.zscoreOutliers(df, $"t", $"id", $"v", 2.0)
+      .orderBy($"group", $"id").collect()
+    val b = Profiling.zscoreOutliers(df.repartition(17), $"t", $"id", $"v", 2.0)
+      .orderBy($"group", $"id").collect()
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Cdc, Funnel, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Dedup, Funnel, Similarity, TextAnalysis}
 
 /** Round-6 additions: streaming CDC apply (the live twin of q86's
   * MERGE), interpolated bigram-LM scoring (the context-aware step past
@@ -496,7 +496,51 @@ object ScaleOps2 {
              |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
              |  CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY "group", id""".stripMargin))
+             |ORDER BY "group", id""".stripMargin)),
+
+    // ---- q115: END-TO-END fuzzy ENTITY RESOLUTION — the composition
+    // the fuzzy join exists for: ED≤1 name pairs (q109's FastSS
+    // blocking) → connected components (pointer jumping) → one
+    // best-account survivor per entity cluster. A sparse key subset
+    // (mod 7) keeps the graph fragmented (the full customer table
+    // chains into ONE component through single-digit edits — a
+    // realistic hazard this fixture deliberately sidesteps: 63
+    // components + singletons at the gate). Oracle re-derives pairs
+    // brute-force, closure by recursive CTE, survivor by window — all
+    // independent of the Spark path.
+    Q(
+      "q115_fuzzy_entity_resolution",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_custkey" % 7 === 0)
+        val pairs = graft.operators.FuzzyJoin.ed1Pairs(cust, $"c_custkey", $"c_name")
+          .select($"id_a", $"id_b")
+        val resolved = Dedup.keepBestPerCluster(
+          cust, pairs, $"c_custkey", $"c_acctbal".cast("double"))
+        val out = resolved.select($"c_custkey", $"cluster_id", $"n_members")
+          .orderBy($"c_custkey").localCheckpoint(true)
+        resolved.unpersist()
+        out
+      },
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |e0 AS (SELECT a.c_custkey AS src, b.c_custkey AS dst FROM c a JOIN c b
+             |  ON a.c_custkey <> b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM e0
+             |  UNION
+             |  SELECT e.src, r.r FROM e0 e JOIN reach r ON e.dst = r.id),
+             |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |alls AS (SELECT cu.c_custkey, coalesce(l.cluster_id, cu.c_custkey) AS cluster_id,
+             |    cu.c_acctbal
+             |  FROM c cu LEFT JOIN lab l ON cu.c_custkey = l.id),
+             |ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+             |  FROM alls)
+             |SELECT c_custkey, cluster_id, n_members FROM ranked
+             |WHERE rn = 1 ORDER BY c_custkey""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

@@ -72,4 +72,20 @@ class FuzzyJoinSpec extends SparkTestBase {
       FuzzyJoin.ed1Pairs(df, $"id", $"s", maxBlockSize = 1)
     }
   }
+
+  test("entity-resolution composition: pairs → components → best survivor") {
+    // cluster {1,2,3}: kitt/mitt/mitts chain (kitt↔mitt sub,
+    // mitt↔mitts ins — kitt↔mitts is ED 2, linked only transitively);
+    // cluster {4}: singleton
+    val ents = Seq(
+      (1L, "kitt", 10.0), (2L, "mitt", 30.0), (3L, "mitts", 20.0),
+      (4L, "zzz", 5.0)).toDF("id", "s", "bal")
+    val pairs = FuzzyJoin.ed1Pairs(ents, $"id", $"s").select($"id_a", $"id_b")
+    val resolved = Dedup.keepBestPerCluster(ents, pairs, $"id", $"bal")
+    val out = resolved.select($"id", $"cluster_id", $"n_members")
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    resolved.unpersist()
+    assert(out.toSeq == Seq((2L, 1L, 3L), (4L, 4L, 1L)),
+      s"best-balance survivor of the transitive cluster + the singleton, got ${out.toSeq}")
+  }
 }

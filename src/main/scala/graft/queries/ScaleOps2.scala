@@ -540,7 +540,149 @@ object ScaleOps2 {
              |    count(*) OVER (PARTITION BY cluster_id) AS n_members
              |  FROM alls)
              |SELECT c_custkey, cluster_id, n_members FROM ranked
-             |WHERE rn = 1 ORDER BY c_custkey""".stripMargin))
+             |WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q116: APPEND-mode watermarked windowed aggregation — the
+    // late-data-finalization semantics q19's complete mode cannot
+    // show: a window row is emitted ONCE, only after the event-time
+    // watermark passes its end, and the final-hour windows stay open
+    // (never emitted) when the stream ends. The watermark trajectory
+    // is deterministic (time-partitioned files, ascending mtimes, one
+    // file per batch), so the emitted set is exactly "windows closed
+    // below the final watermark = max(ts) − 1h" — which the oracle
+    // computes from the batch table.
+    Q(
+      "q116_append_window_agg",
+      (s, d) => appendWindowAgg(s, d),
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+             |agg AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             |    event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, n, total_value FROM agg
+             |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+             |ORDER BY window_start, event_type""".stripMargin))
+  )
+
+  /** q116: the live append-mode run. Two time-partitioned files (the
+    * q107 staging) drive ≥2 micro-batches; the watermark advances at
+    * each batch boundary from the batch's max event time, and
+    * append-mode state emits a (window, type) row exactly once when
+    * the watermark passes the window end. AvailableNow runs a final
+    * no-data batch, so every window below the FINAL watermark
+    * (global max ts − 1h) flushes; the last hour's windows stay open
+    * and are deliberately absent from the result.
+    */
+  private def appendWindowAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q116_append")
+    try {
+      val ev = Tables.events(s, d).select($"user_id", $"ts", $"value", $"event_type")
+        .filter($"ts".isNotNull)
+      val bounds = ev.agg(min($"ts"), max($"ts")).head()
+      val cut = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val inDir = scratch.resolve("input")
+      java.nio.file.Files.createDirectories(inDir)
+      val t0 = System.currentTimeMillis() - 60000L
+      Seq((ev.filter($"ts" <= cut), "00_early"), (ev.filter($"ts" > cut), "01_late"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = scratch.resolve(s"tmp_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+          val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally part.close()
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(src, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
+        }
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q116_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(600000),
+          "q116 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q116 ran $dataBatches data micro-batch(es); the watermark-advance " +
+            "path needs at least 2")
+        s.table(name)
+          .orderBy($"window_start", $"event_type").localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
+
+  /** q117/q118 live below as plain catalog entries. */
+  val setOpQueries: Seq[Q] = Seq(
+
+    // ---- q117: INTERSECT / EXCEPT set semantics — the two relational
+    // set ops q13's UNION doesn't cover, tagged into one result:
+    // customers ordering in BOTH halves of the date range vs ONLY the
+    // first. Set ops dedup by definition; both engines implement the
+    // same SQL semantics, exact hash-match.
+    Q(
+      "q117_except_intersect",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1998-01-01").cast("timestamp")
+        val o = Tables.orders(s, d)
+        val a = o.filter($"o_orderdate" < cut).select($"o_custkey")
+        val b = o.filter($"o_orderdate" >= cut).select($"o_custkey")
+        a.intersect(b).select($"o_custkey", lit("both").as("cohort"))
+          .unionByName(
+            a.except(b).select($"o_custkey", lit("only_first").as("cohort")))
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             |b AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+             |SELECT o_custkey, 'both' AS cohort
+             |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+             |UNION ALL
+             |SELECT o_custkey, 'only_first' AS cohort
+             |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- q118: CUBE aggregation — all 2ⁿ grouping combinations in
+    // one pass (q40 covers the hierarchical ROLLUP subset). Explicit
+    // per-column `grouping()` markers instead of a composite
+    // grouping_id: bit-order conventions differ across engines, two
+    // int columns don't.
+    Q(
+      "q118_cube_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(
+            grouping($"l_returnflag").cast("int").as("g_flag"),
+            grouping($"l_linestatus").cast("int").as("g_status"),
+            count(lit(1)).as("n"),
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+          .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

@@ -76,6 +76,46 @@ object Profiling {
     * scoring is map-side on the second scan — no window, no per-group
     * sort, and the corpus never shuffles.
     */
+  /** Grouped PEARSON CORRELATION — r(x, y) per group from the six
+    * sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy), every sum
+    * accumulated in EXACT decimal arithmetic (order-free,
+    * partitioning-independent) with the closed form
+    * `(n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))` in
+    * pinned-order doubles. Degenerate groups (n < 2 or zero variance
+    * on either side) emit null. Same cross-engine caveat as
+    * [[zscoreOutliers]]: decimal→double casts double-round, so
+    * oracles compare within 1e-9.
+    *
+    * Scale: ONE partial-aggregable pass; the group table is the only
+    * thing that ever shuffles.
+    */
+  def groupedCorr(
+      df: DataFrame,
+      group: Column,
+      x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(group.as("grp"),
+      x.cast("decimal(18,6)").as("x"), y.cast("decimal(18,6)").as("y"))
+      .filter(col("grp").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val stats = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    stats.select(
+      col("grp").as("group"),
+      col("n"),
+      when(col("n") > 1 && varx > 0.0 && vary > 0.0,
+        cov / (sqrt(varx) * sqrt(vary)))
+        .otherwise(lit(null).cast("double")).as("corr"))
+  }
+
   def zscoreOutliers(
       df: DataFrame,
       group: Column,

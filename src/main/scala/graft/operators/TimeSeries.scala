@@ -77,6 +77,57 @@ object TimeSeries {
     valued.select(col("k").as("key"), col("period"), col("value"), col("filled"))
   }
 
+  /** Per-key EXPONENTIAL MOVING AVERAGE — the classic smoother
+    * `ema_t = α·v_t + (1−α)·ema_{t−1}` (seeded with the first
+    * observation) over each key's period-sum series, returning the
+    * final smoothed level per key. Inherently sequential per key, so
+    * it folds a COLLECTED per-key series in period order — bounded by
+    * the key's period span (days, not events), the same per-key
+    * geometry as [[gapFill]]'s LOCF window. Gaps are not filled here:
+    * compose with [[gapFill]] first when grid density matters.
+    *
+    * `alpha` must be an exact dyadic rational (k/4096) so α and 1−α
+    * are the same doubles in every engine; the fold order is pinned
+    * (period-ascending), but the decimal→double cast of the period
+    * sums is double-rounded engine-specifically (the q114 lesson), so
+    * cross-engine oracles compare within 1e-9.
+    */
+  def ema(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      alpha: Double = 0.25): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    require(alpha * 4096.0 == math.rint(alpha * 4096.0),
+      s"alpha must be an exact dyadic rational (k/4096) so 1-alpha is the " +
+        s"same double in every engine, got $alpha")
+    val p = periodSeconds * 1000000L
+    val perPeriod = events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      .agg(sum(col("v")).cast("double").as("vd"))
+    perPeriod.groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        max(col("period")).as("last_period"),
+        sort_array(collect_list(struct(col("period"), col("vd")))).as("series"))
+      .select(
+        col("k").as("key"),
+        col("n_periods"),
+        col("last_period"),
+        aggregate(
+          slice(col("series"), lit(2), size(col("series")) - 1),
+          element_at(col("series"), 1).getField("vd"),
+          (acc, e) => acc * lit(1.0 - alpha) + e.getField("vd") * lit(alpha))
+          .as("ema"))
+  }
+
   /** Per-key LINEAR TREND — ordinary-least-squares slope/intercept of
     * the (period, period-sum) series per key, the one-pass grouped
     * regression (`regr_slope` semantics) every metrics store needs.

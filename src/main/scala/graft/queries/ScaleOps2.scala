@@ -682,7 +682,110 @@ object ScaleOps2 {
              |  count(*) AS n,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- q119: per-user EMA over daily purchase sums. The fold order
+    // is pinned (period-ascending, first observation seeds) and α is
+    // dyadic, but the decimal→double cast of daily sums double-rounds
+    // engine-specifically — tolerance oracle, 1e-9, poison row.
+    // DuckDB's list_reduce seeds from the first element exactly like
+    // the Spark aggregate-over-tail formulation.
+    Q(
+      "q119_ema",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.ema(
+          Tables.events(s, d).filter($"event_type" === "purchase"),
+          $"user_id", $"ts", $"value", periodSeconds = 86400L, alpha = 0.25)
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q119_ema/*.parquet')),
+             |o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vd
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+             |  GROUP BY 1, 2),
+             |se AS (SELECT k, count(*) AS n, max(period) AS lastp,
+             |    list(vd ORDER BY period) AS l
+             |  FROM o GROUP BY k),
+             |expect AS (SELECT k, n, lastp,
+             |    list_reduce(l, (acc, x) -> acc * 0.75 + x * 0.25) AS ema
+             |  FROM se),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n_periods <> x.n OR e.last_period <> x.lastp
+             |         OR abs(e.ema - x.ema) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.key NOT IN (SELECT k FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.k NOT IN (SELECT key FROM emitted))
+             |  ) AS ok)
+             |SELECT key, n_periods, last_period, ema FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q120: grouped Pearson correlation (quantity vs extended
+    // price per return flag) from exact decimal sufficient statistics;
+    // pinned-double closed form, tolerance oracle (q112's shape).
+    Q(
+      "q120_grouped_corr",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.groupedCorr(
+          Tables.lineitem(s, d), $"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .orderBy($"group")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q120_grouped_corr/*.parquet')),
+             |-- DECIMAL(19,6), not (18,6): DuckDB multiplies (18,6)
+             |-- operands in int64 unscaled space and overflows; one
+             |-- extra digit forces int128 storage. The VALUES are
+             |-- identical to Spark's (18,6) sums — only storage widens.
+             |b AS (SELECT l_returnflag AS grp,
+             |    CAST(l_quantity AS DECIMAL(19,6)) AS x,
+             |    CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
+             |st AS (SELECT grp, count(*) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+             |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+             |    CAST(sum(y * y) AS DOUBLE) AS syy
+             |  FROM b GROUP BY grp),
+             |expect AS (SELECT grp, n,
+             |    CASE WHEN n > 1
+             |        AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+             |      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+             |          * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr
+             |  FROM st),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT "group") FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e."group" = x.grp
+             |      WHERE e.n <> x.n
+             |         OR (e.corr IS NULL) <> (x.corr IS NULL)
+             |         OR abs(coalesce(e.corr, 0) - coalesce(x.corr, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e."group" NOT IN (SELECT grp FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.grp NOT IN (SELECT "group" FROM emitted))
+             |  ) AS ok)
+             |SELECT "group", n, corr FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY "group"""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

@@ -61,6 +61,26 @@ class PmiZscoreSpec extends SparkTestBase {
     }
   }
 
+  test("groupedCorr: perfect lines hit ±1, degenerate groups null") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0), // r = 1
+      ("down", 1.0, 9.0), ("down", 2.0, 6.0), ("down", 3.0, 3.0), // r = -1
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), // y constant → null
+      ("solo", 1.0, 1.0)) // n = 1 → null
+      .toDF("t", "x", "y")
+    val out = Profiling.groupedCorr(df, $"t", $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out("up").get - 1.0) < 1e-12)
+    assert(math.abs(out("down").get + 1.0) < 1e-12)
+    assert(out("flat").isEmpty && out("solo").isEmpty)
+    // repartition-invariant: decimal statistics are order-free
+    val a = Profiling.groupedCorr(df, $"t", $"x", $"y").orderBy($"group").collect()
+    val b = Profiling.groupedCorr(df.repartition(5), $"t", $"x", $"y")
+      .orderBy($"group").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("zscoreOutliers is repartition-invariant (decimal stats are order-free)") {
     // uniform base (max z ≈ 1.7) plus genuine spikes so the threshold
     // actually selects rows

@@ -98,4 +98,29 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.linearTrend(big, $"user_id", $"ts", $"value", 0L)
     }
   }
+
+  test("ema folds the daily series in period order, seeded by the first observation") {
+    // u1 daily sums: day0 = 8 (two events), day2 = 4, day3 = 0
+    // ema: seed 8 → 8*.75 + 4*.25 = 7 → 7*.75 + 0*.25 = 5.25
+    // (gap day1 is NOT filled — observed-periods-only contract)
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 5.0),
+      (1L, ts("2024-01-01 02:00:00"), 3.0),
+      (1L, ts("2024-01-03 01:00:00"), 4.0),
+      (1L, ts("2024-01-04 01:00:00"), 0.0),
+      (2L, ts("2024-01-02 12:00:00"), 9.0)) // single period → ema = 9
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.ema(df, $"user_id", $"ts", $"value", 86400L, alpha = 0.25)
+      .orderBy($"key").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(3) == 5.25,
+      s"got ${out(0).getDouble(3)}")
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(3) == 9.0)
+    assert(out(0).getLong(2) == ts("2024-01-04 00:00:00").getTime / 86400000L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ema(df, $"user_id", $"ts", $"value", 86400L, alpha = 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ema(df, $"user_id", $"ts", $"value", 86400L, alpha = 1.0)
+    }
+  }
 }

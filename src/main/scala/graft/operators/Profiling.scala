@@ -116,6 +116,53 @@ object Profiling {
         .otherwise(lit(null).cast("double")).as("corr"))
   }
 
+  /** Grouped ROBUST outlier detection via MEDIAN ABSOLUTE DEVIATION —
+    * the Iglewicz-Hoaglin modified z-score `0.6745·(v − med)/MAD`
+    * with the classic 3.5 cutoff: immune to the outliers themselves
+    * inflating the yardstick, which is exactly how [[zscoreOutliers]]'
+    * mean/σ can be fooled (one huge spike widens σ until its
+    * accomplices pass).
+    *
+    * `approxAccuracy = None` (default) uses EXACT percentiles —
+    * sort-based aggregation whose buffer holds each group's values,
+    * the right tool while groups fit an executor. At 100 TB group
+    * sizes, pass `Some(accuracy)` to switch both medians to
+    * `percentile_approx` (constant-memory t-digest, the q45 sketch
+    * class) — same plan shape, bounded state, approximate cutoff.
+    *
+    * Two grouped passes by construction (the deviation median needs
+    * the median first); both medians broadcast back so scoring is
+    * map-side. Groups with MAD = 0 (over half the values at the
+    * median) flag nothing. Interpolated medians are libm-free but not
+    * cross-engine bit-stable — oracles use the ±ε membership band of
+    * [[zscoreOutliers]].
+    */
+  def madOutliers(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column,
+      threshold: Double = 3.5,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    approxAccuracy.foreach(a => require(a >= 10, s"approxAccuracy must be >= 10, got $a"))
+    def med(c: Column): Column = approxAccuracy match {
+      case None => percentile(c, lit(0.5))
+      case Some(a) => percentile_approx(c, lit(0.5), lit(a))
+    }
+    val base = df.select(group.as("grp"), id.as("id"), value.cast("double").as("v"))
+      .filter(col("grp").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val medians = base.groupBy(col("grp")).agg(med(col("v")).as("med"))
+    val dev = base.join(broadcast(medians), Seq("grp"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mads = dev.groupBy(col("grp")).agg(med(col("ad")).as("mad"))
+    dev.join(broadcast(mads), Seq("grp"))
+      .filter(col("mad") > 0.0)
+      .select(col("grp").as("group"), col("id"), col("v").as("value"),
+        (lit(0.6745) * (col("v") - col("med")) / col("mad")).as("rz"))
+      .filter(abs(col("rz")) > lit(threshold))
+  }
+
   def zscoreOutliers(
       df: DataFrame,
       group: Column,

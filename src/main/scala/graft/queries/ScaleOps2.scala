@@ -785,7 +785,50 @@ object ScaleOps2 {
              |UNION ALL
              |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY "group"""".stripMargin))
+             |ORDER BY "group"""".stripMargin)),
+
+    // ---- q121: MAD robust outliers (Iglewicz-Hoaglin modified
+    // z-score) — the robust complement to q114: the yardstick is the
+    // median absolute deviation, which the outliers cannot inflate.
+    // Interpolated medians are not cross-engine bit-stable, so the
+    // oracle is the ±1e-9 membership-band pattern of q114.
+    Q(
+      "q121_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.madOutliers(
+          Tables.events(s, d), $"event_type", $"event_id", $"value", threshold = 3.5)
+          .orderBy($"group", $"id")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q121_mad_outliers/*.parquet')),
+             |b AS (SELECT event_type AS grp, event_id AS id, value AS v
+             |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY grp),
+             |dev AS (SELECT b.grp, b.id, b.v, med, abs(b.v - med) AS ad
+             |  FROM b JOIN med USING (grp)),
+             |mads AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY grp),
+             |sc AS (SELECT dev.grp, dev.id, dev.v,
+             |    0.6745 * (dev.v - dev.med) / mads.mad AS rz
+             |  FROM dev JOIN mads USING (grp) WHERE mads.mad > 0),
+             |flag AS (SELECT (
+             |    (SELECT count(DISTINCT id) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM sc
+             |        WHERE sc.id = e.id AND sc.grp = e."group" AND sc.v = e.value
+             |          AND abs(sc.rz - e.rz) <= 1e-9 AND abs(sc.rz) > 3.5 - 1e-9))
+             |    AND NOT EXISTS (SELECT 1 FROM sc
+             |      WHERE abs(sc.rz) > 3.5 + 1e-9
+             |        AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.id = sc.id))
+             |  ) AS ok)
+             |SELECT "group", id, value, rz FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY "group", id""".stripMargin))
   )
 
   /** q107: the live stream-static enrichment. Events stage as two

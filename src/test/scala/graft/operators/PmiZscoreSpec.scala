@@ -81,6 +81,35 @@ class PmiZscoreSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("madOutliers: hand-computed modified z; MAD immune to the spike; mad=0 flags nothing") {
+    // g: 1,2,3,4,5,1000 → median 3.5, deviations 2.5,1.5,.5,.5,1.5,996.5
+    // → MAD 1.5; rz(1000) = .6745*996.5/1.5 = 448.09...; rz(1) =
+    // .6745*(-2.5)/1.5 ≈ -1.12 (inlier). A mean/σ z-score would have
+    // had σ ≈ 406 and z(1000) ≈ 2.04 — the spike hides itself.
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("g", 4L, 4.0), ("g", 5L, 5.0), ("g", 6L, 1000.0),
+      ("z", 7L, 5.0), ("z", 8L, 5.0), ("z", 9L, 99.0)) // median 5, MAD 0
+      .toDF("t", "id", "v")
+    val out = Profiling.madOutliers(df, $"t", $"id", $"v", threshold = 3.5).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 6L)
+    val rz = out.head.getDouble(3)
+    assert(math.abs(rz - 0.6745 * 996.5 / 1.5) < 1e-9, s"got $rz")
+    // the classic z-score misses the same spike at the same cutoff
+    assert(Profiling.zscoreOutliers(df.filter($"t" === "g"), $"t", $"id", $"v", 3.5)
+      .collect().isEmpty, "mean/sigma is fooled by its own outlier")
+    // approx medians converge to exact at high accuracy
+    val approx = Profiling.madOutliers(df, $"t", $"id", $"v", 3.5,
+      approxAccuracy = Some(10000)).collect()
+    assert(approx.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).toSeq)
+    intercept[IllegalArgumentException] {
+      Profiling.madOutliers(df, $"t", $"id", $"v", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.madOutliers(df, $"t", $"id", $"v", 3.5, approxAccuracy = Some(1))
+    }
+  }
+
   test("zscoreOutliers is repartition-invariant (decimal stats are order-free)") {
     // uniform base (max z ≈ 1.7) plus genuine spikes so the threshold
     // actually selects rows

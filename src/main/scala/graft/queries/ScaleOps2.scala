@@ -579,25 +579,7 @@ object ScaleOps2 {
     try {
       val ev = Tables.events(s, d).select($"user_id", $"ts", $"value", $"event_type")
         .filter($"ts".isNotNull)
-      val bounds = ev.agg(min($"ts"), max($"ts")).head()
-      val cut = new java.sql.Timestamp(
-        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-      val inDir = scratch.resolve("input")
-      java.nio.file.Files.createDirectories(inDir)
-      val t0 = System.currentTimeMillis() - 60000L
-      Seq((ev.filter($"ts" <= cut), "00_early"), (ev.filter($"ts" > cut), "01_late"))
-        .zipWithIndex.foreach { case ((df, name), i) =>
-          val tmp = scratch.resolve(s"tmp_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-          val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally part.close()
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.move(src, dst)
-          java.nio.file.Files.setLastModifiedTime(
-            dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
-        }
+      val inDir = stageTimeSplit(scratch, ev)
       val schema = s.read.parquet(inDir.toString).schema
       val name = "q116_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       try {
@@ -831,6 +813,46 @@ object ScaleOps2 {
              |ORDER BY "group", id""".stripMargin))
   )
 
+  /** Stage each frame as ONE parquet file in a fresh `input` dir with
+    * ascending modification times — the deterministic multi-micro-
+    * batch input shape q102/q107/q116 share: under
+    * `maxFilesPerTrigger=1` each file becomes its own batch and mtime
+    * order IS delivery order.
+    */
+  private def stageOrderedFiles(
+      scratch: java.nio.file.Path,
+      parts: Seq[(DataFrame, String)]): java.nio.file.Path = {
+    val inDir = scratch.resolve("input")
+    java.nio.file.Files.createDirectories(inDir)
+    val t0 = System.currentTimeMillis() - 60000L
+    parts.zipWithIndex.foreach { case ((df, name), i) =>
+      val tmp = scratch.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally part.close()
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
+    }
+    inDir
+  }
+
+  /** Midpoint-split `df` on its `ts` column into two ordered batch
+    * files (early, late) via [[stageOrderedFiles]].
+    */
+  private def stageTimeSplit(
+      scratch: java.nio.file.Path, df: DataFrame): java.nio.file.Path = {
+    val bounds = df.agg(min(col("ts")), max(col("ts"))).head()
+    val cut = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    stageOrderedFiles(scratch, Seq(
+      (df.filter(col("ts") <= cut), "00_early"),
+      (df.filter(col("ts") > cut), "01_late")))
+  }
+
   /** q107: the live stream-static enrichment. Events stage as two
     * time-partitioned files (ascending mtimes, `maxFilesPerTrigger=1`
     * → ≥2 micro-batches, enforced); each batch joins the static
@@ -845,25 +867,7 @@ object ScaleOps2 {
     try {
       val ev = Tables.events(s, d).select($"user_id", $"ts", $"value")
         .filter($"ts".isNotNull)
-      val bounds = ev.agg(min($"ts"), max($"ts")).head()
-      val cut = new java.sql.Timestamp(
-        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-      val inDir = scratch.resolve("input")
-      java.nio.file.Files.createDirectories(inDir)
-      val t0 = System.currentTimeMillis() - 60000L
-      Seq((ev.filter($"ts" <= cut), "00_early"), (ev.filter($"ts" > cut), "01_late"))
-        .zipWithIndex.foreach { case ((df, name), i) =>
-          val tmp = scratch.resolve(s"tmp_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-          val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally part.close()
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.move(src, dst)
-          java.nio.file.Files.setLastModifiedTime(
-            dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
-        }
+      val inDir = stageTimeSplit(scratch, ev)
       val dim = Tables.customer(s, d)
         .join(Tables.nation(s, d),
           $"c_nationkey" === $"n_nationkey")
@@ -924,38 +928,28 @@ object ScaleOps2 {
         // batch-2 delete is always revived by batch 3's upsert)
         (state(ev.filter($"ts" >= cut(21)))
           .withColumn("del", $"user_id" % 5 === 3), "02_w3"))
-      val inDir = scratch.resolve("input")
-      java.nio.file.Files.createDirectories(inDir)
-      val t0 = System.currentTimeMillis() - 60000L
-      windows.zipWithIndex.foreach { case ((df, name), i) =>
-        val tmp = scratch.resolve(s"tmp_$name")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-        val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        finally part.close()
-        val dst = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.move(src, dst)
-        java.nio.file.Files.setLastModifiedTime(
-          dst, java.nio.file.attribute.FileTime.fromMillis(t0 + i * 5000L)): Unit
-      }
+      val inDir = stageOrderedFiles(scratch, windows)
       val schema = s.read.parquet(inDir.toString).schema
       val input = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       val outs = Seq("user_id" -> col("user_id"), "n_events" -> col("n_events"),
         "total_value" -> col("total_value"))
-      // the fold state: mutated only inside foreachBatch, which the
-      // stream execution thread calls strictly sequentially
-      var snap = snap0.localCheckpoint(true)
-      var batches = 0
+      // the fold state mutates on the STREAM EXECUTION thread (one
+      // batch at a time) and is read back on this thread after
+      // termination — atomics make that cross-thread hand-off safe by
+      // construction instead of leaning on awaitTermination's
+      // internal synchronization
+      val snap = new java.util.concurrent.atomic.AtomicReference(
+        snap0.localCheckpoint(true))
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = input.writeStream
         .option("checkpointLocation", scratch.resolve("_ckpt").toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
-            snap = Cdc.upsertMerge(
-              snap, batch, col("user_id"), col("user_id"), col("del"), outs, outs)
-              .localCheckpoint(true)
-            batches += 1
+            snap.set(Cdc.upsertMerge(
+              snap.get(), batch, col("user_id"), col("user_id"), col("del"), outs, outs)
+              .localCheckpoint(true))
+            batches.incrementAndGet(): Unit
           }
         }
         .trigger(Trigger.AvailableNow())
@@ -963,10 +957,10 @@ object ScaleOps2 {
       try require(q.awaitTermination(600000),
         "q102 stream did not terminate within 600s — refusing a partial result")
       finally q.stop()
-      require(batches >= 3,
-        s"q102 applied $batches change batch(es); the sequential-fold " +
+      require(batches.get() >= 3,
+        s"q102 applied ${batches.get()} change batch(es); the sequential-fold " +
           "path needs all 3 windows as separate micro-batches")
-      snap.orderBy($"user_id")
+      snap.get().orderBy($"user_id")
     } finally Scratch.deleteRecursively(scratch)
   }
 }

@@ -810,7 +810,43 @@ object ScaleOps2 {
              |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
              |  CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY "group", id""".stripMargin))
+             |ORDER BY "group", id""".stripMargin)),
+
+    // ---- q122: Spark's NATIVE session_window aggregation — the
+    // built-in API twin of q36's hand-rolled sessionizer (and q100's
+    // stateful stream). Sessions merge while consecutive events are
+    // strictly inside the gap ([start, last+gap) windows overlap);
+    // the oracle derives identical sessions from first principles
+    // with lag + cumulative break counts, so the built-in's merge
+    // rule, boundary semantics (ts − prev ≥ gap starts a new
+    // session), and emitted end = last + gap are all independently
+    // checked.
+    Q(
+      "q122_session_window_native",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d).filter($"ts".isNotNull)
+          .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_end"), $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL),
+             |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM e),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |      OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 
   /** Stage each frame as ONE parquet file in a fresh `input` dir with

@@ -55,27 +55,6 @@ object Profiling {
         col("min_value"), col("max_value"), col("len_sum"))
   }
 
-  /** Grouped Z-SCORE outlier detection — flag rows whose value sits
-    * more than `threshold` population standard deviations from its
-    * group's mean. The data-quality sentinel every ingest pipeline
-    * runs (and, for training corpora, the metric-anomaly pre-filter).
-    *
-    * The statistics pass accumulates (n, Σv, Σv²) in EXACT decimal
-    * arithmetic — order-free, partitioning-independent — and
-    * μ = Σv/n, σ = sqrt(Σv²/n − μ²) then run in pinned-order double
-    * ops. The scores are deterministic per engine, but NOT bit-equal
-    * across engines: converting a high-scale decimal (Σv² carries
-    * scale 12) to double is double-rounded (int → double, then ×10⁻ˢ)
-    * in both Spark and DuckDB with implementations that can disagree
-    * by one ulp — so cross-engine oracles compare z within a
-    * tolerance and treat threshold membership with a ±ε margin.
-    * Groups with σ = 0 or a single row flag nothing.
-    *
-    * Scale: one partial-aggregable stats pass (rows collapse map-side
-    * to one triple per group); the per-group stats broadcast back and
-    * scoring is map-side on the second scan — no window, no per-group
-    * sort, and the corpus never shuffles.
-    */
   /** Grouped PEARSON CORRELATION — r(x, y) per group from the six
     * sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy), every sum
     * accumulated in EXACT decimal arithmetic (order-free,
@@ -163,6 +142,27 @@ object Profiling {
       .filter(abs(col("rz")) > lit(threshold))
   }
 
+  /** Grouped Z-SCORE outlier detection — flag rows whose value sits
+    * more than `threshold` population standard deviations from its
+    * group's mean. The data-quality sentinel every ingest pipeline
+    * runs (and, for training corpora, the metric-anomaly pre-filter).
+    *
+    * The statistics pass accumulates (n, Σv, Σv²) in EXACT decimal
+    * arithmetic — order-free, partitioning-independent — and
+    * μ = Σv/n, σ = sqrt(Σv²/n − μ²) then run in pinned-order double
+    * ops. The scores are deterministic per engine, but NOT bit-equal
+    * across engines: converting a high-scale decimal (Σv² carries
+    * scale 12) to double is double-rounded (int → double, then ×10⁻ˢ)
+    * in both Spark and DuckDB with implementations that can disagree
+    * by one ulp — so cross-engine oracles compare z within a
+    * tolerance and treat threshold membership with a ±ε margin.
+    * Groups with σ = 0 or a single row flag nothing.
+    *
+    * Scale: one partial-aggregable stats pass (rows collapse map-side
+    * to one triple per group); the per-group stats broadcast back and
+    * scoring is map-side on the second scan — no window, no per-group
+    * sort, and the corpus never shuffles.
+    */
   def zscoreOutliers(
       df: DataFrame,
       group: Column,

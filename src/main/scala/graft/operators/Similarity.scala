@@ -602,17 +602,23 @@ object Similarity {
       Seq(min(size(col("v"))).as("dmin"), max(size(col("v"))).as("dmax")) ++
         (1 to dim).flatMap(i => Seq(
           min(element_at(col("v"), i)).as(s"lo$i"),
-          max(element_at(col("v"), i)).as(s"hi$i")))
+          max(element_at(col("v"), i)).as(s"hi$i"),
+          // min/max silently SKIP nulls — without this count a
+          // half-null dimension would train its range on the non-null
+          // half and misquantize the rest, exactly the hazard the
+          // ragged guard exists for
+          sum(when(element_at(col("v"), i).isNull, 1L).otherwise(0L)).as(s"nn$i")))
     val row = v.agg(aggs.head, aggs.tail: _*).first()
     require(row.getInt(0) == dim && row.getInt(1) == dim,
       s"sq8Train: ragged vector lengths [${row.getInt(0)}, ${row.getInt(1)}] — " +
         s"all vectors must have the trained dimension $dim")
     val lo = Array.tabulate(dim) { i =>
-      require(!row.isNullAt(2 + 2 * i),
-        s"sq8Train: dimension $i is all-null — cannot train a range")
-      row.getDouble(2 + 2 * i)
+      require(row.getLong(4 + 3 * i) == 0L,
+        s"sq8Train: dimension $i has ${row.getLong(4 + 3 * i)} null element(s) — " +
+          "a range trained on a subset would silently misquantize the rest")
+      row.getDouble(2 + 3 * i)
     }
-    val hi = Array.tabulate(dim)(i => row.getDouble(3 + 2 * i))
+    val hi = Array.tabulate(dim)(i => row.getDouble(3 + 3 * i))
     (lo, hi)
   }
 

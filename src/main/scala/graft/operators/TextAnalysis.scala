@@ -320,9 +320,12 @@ object TextAnalysis {
     *   - λ must be an exact dyadic rational (default 0.75) so λ and
     *     1−λ are the same doubles in every engine.
     *
-    * The 100 TB story: ONE extra partial-aggregable pass (pair counts)
-    * past the unigram pass; both models are bounded top-K slices
-    * (the q56/q61 bounded-collect class) re-broadcast as tiny frames,
+    * The 100 TB story: TWO corpus passes total — the tokenized corpus
+    * caches once and feeds both model censuses (unigram + pair counts,
+    * each partial-aggregable), then the returned scoring plan
+    * re-tokenizes once at materialization; both models are bounded
+    * top-K slices (the q56/q61 bounded-collect class) re-broadcast as
+    * tiny frames,
     * so scoring is map-side pair expansion + broadcast hash lookups —
     * the corpus shuffles only to group its own (doc, pos) pairs back,
     * and the per-doc fold runs in position order (deterministic; ln()
@@ -348,9 +351,15 @@ object TextAnalysis {
     val guardedId = when(id.cast("long").isNull, raise_error(lit(
       "bigramLogProb: id is null or not castable to long — every doc needs a " +
         "non-null integral id"))).otherwise(id.cast("long"))
+    // cached across the TWO model censuses (unigram counts, bigram
+    // counts) so the corpus tokenizes once for model building; the
+    // unpersist before return means the SCORING plan re-tokenizes once
+    // more at materialization — two total corpus passes, vs three when
+    // each census re-derived the tokens itself
     val base = df.select(
       guardedId.as("doc_id"),
       coalesce(tokens(text), array()).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (pos, w1, w2) per adjacent pair; posexplode_outer keeps pairless
     // docs as a null row so ONE grouped pass emits their 0/null too
     val pairs = base.select(
@@ -367,21 +376,22 @@ object TextAnalysis {
     val uniCnt = base.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (total, vocab) = try {
-      val t = Option(uniCnt.agg(sum(col("c"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val v = uniCnt.orderBy(col("c").desc, col("token")).limit(vocabSize).collect()
-      (t, v)
-    } finally uniCnt.unpersist()
-    val bigrams = pairs.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(bigramSize).collect()
+    val (total, vocab, bigrams) = try {
+      val (t, v) = try {
+        val t0 = Option(uniCnt.agg(sum(col("c"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        (t0, uniCnt.orderBy(col("c").desc, col("token")).limit(vocabSize).collect())
+      } finally uniCnt.unpersist()
+      val b = pairs.filter(col("w1").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .orderBy(col("cb").desc, col("w1"), col("w2")).limit(bigramSize).collect()
+      (t, v, b)
+    } finally base.unpersist()
     import spark.implicits._
     val vocabDf = vocab.toSeq.map(r => (r.getString(0), r.getLong(1)))
       .toDF("token", "c")
     val bvocDf = bigrams.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toDF("w1", "w2", "cb")
-    val oovP = 1.0 / total.toDouble
     val scored = pairs
       .join(broadcast(bvocDf), Seq("w1", "w2"), "left")
       .join(broadcast(vocabDf.select(col("token").as("w1"), col("c").as("c1"))),

@@ -31,6 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Shared first stage of every operator here: one partial-aggregable
+    * pass from raw events to exact DECIMAL period sums, one row per
+    * (key, period). Null keys, timestamps AND values drop — an event
+    * that measures nothing must not mint an observed period whose sum
+    * is null (it would read as a gap-filled row despite real events,
+    * and a leading one would defeat gapFill's LOCF seed invariant).
+    * Period ids are `floor(unix_micros / period)` — see [[Funnel.retention]]
+    * for the exactness argument; oracles must replay floor(double
+    * division), NOT DuckDB's `//` (truncates toward zero, diverging on
+    * negative epochs).
+    */
+  private def perPeriodSums(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long): DataFrame = {
+    val p = periodSeconds * 1000000L
+    events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      .agg(sum(col("v")).as("psum"))
+  }
+
   def gapFill(
       events: DataFrame,
       key: Column,
@@ -43,14 +70,8 @@ object TimeSeries {
     require(fillMode == "zero" || fillMode == "locf",
       s"fillMode must be 'zero' or 'locf', got '$fillMode'")
     require(maxPeriodsPerKey >= 1, s"maxPeriodsPerKey must be >= 1, got $maxPeriodsPerKey")
-    val p = periodSeconds * 1000000L
-    val observed = events
-      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
-      .filter(col("k").isNotNull && col("ts").isNotNull)
-      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
-        col("v"))
-      .groupBy(col("k"), col("period"))
-      .agg(sum(col("v")).cast("double").as("vsum"))
+    val observed = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").cast("double").as("vsum"))
     val spans = observed.groupBy(col("k"))
       .agg(min(col("period")).as("p0"), max(col("period")).as("p1"))
       .select(col("k"),
@@ -104,14 +125,8 @@ object TimeSeries {
     require(alpha * 4096.0 == math.rint(alpha * 4096.0),
       s"alpha must be an exact dyadic rational (k/4096) so 1-alpha is the " +
         s"same double in every engine, got $alpha")
-    val p = periodSeconds * 1000000L
-    val perPeriod = events
-      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
-      .filter(col("k").isNotNull && col("ts").isNotNull)
-      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
-        col("v"))
-      .groupBy(col("k"), col("period"))
-      .agg(sum(col("v")).cast("double").as("vd"))
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").cast("double").as("vd"))
     perPeriod.groupBy(col("k"))
       .agg(
         count(lit(1)).as("n_periods"),
@@ -155,18 +170,12 @@ object TimeSeries {
       value: Column,
       periodSeconds: Long): DataFrame = {
     require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
-    val p = periodSeconds * 1000000L
-    val perPeriod = events
-      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
-      .filter(col("k").isNotNull && col("ts").isNotNull)
-      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
-        col("v"))
-      .groupBy(col("k"), col("period"))
-      // the re-cast keeps y at (18,6): the y·period product below must
-      // stay inside decimal(38) so BOTH engines keep it exact — an
-      // un-narrowed sum type would push Spark past 38 and silently
-      // truncate scale (breaking the bit-exact statistics claim)
-      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+    // the re-cast keeps y at (18,6): the y·period product below must
+    // stay inside decimal(38) so BOTH engines keep it exact — an
+    // un-narrowed sum type would push Spark past 38 and silently
+    // truncate scale (breaking the bit-exact statistics claim)
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").cast("decimal(18,6)").as("y"))
     val stats = perPeriod.groupBy(col("k")).agg(
       count(lit(1)).as("n"),
       min(col("period")).as("p0"),

@@ -163,13 +163,19 @@ object Curation2 {
               |  THEN list_prepend('copyright 2024 example corp', ls) ELSE ls END AS ls
               |  FROM l1),
               |sp AS (SELECT doc_id,
-              |  string_split(array_to_string(ls, chr(10)), chr(10)) AS ls FROM l2),
+              |  string_split(coalesce(array_to_string(ls, chr(10)), ''), chr(10)) AS ls
+              |  FROM l2),
               |e AS (SELECT doc_id, unnest(ls) AS line FROM sp),
               |b AS (SELECT line FROM e GROUP BY line HAVING count(*) >= 3),
               |bl AS (SELECT coalesce(list(line), []) AS b FROM b)
               |SELECT doc_id,
-              |  array_to_string(list_filter(ls, x ->
-              |    NOT list_contains(bl.b, x)), chr(10)) AS clean_text,
+              |  -- coalesce: DuckDB's array_to_string on an EMPTY list
+              |  -- is NULL, but a doc whose every line is boilerplate
+              |  -- must survive with clean_text = '' (the operator
+              |  -- contract; first bitten at sf0.1 where 9 docs fully
+              |  -- empty — sf0.01 never empties a doc)
+              |  coalesce(array_to_string(list_filter(ls, x ->
+              |    NOT list_contains(bl.b, x)), chr(10)), '') AS clean_text,
               |  CAST(len(ls) - len(list_filter(ls, x ->
               |    NOT list_contains(bl.b, x))) AS BIGINT) AS n_removed
               |FROM sp CROSS JOIN bl ORDER BY doc_id""".stripMargin)),

@@ -162,7 +162,8 @@ object ScaleOps2 {
           .orderBy($"user")
       },
       Some("""WITH v AS (SELECT user_id AS u, min(ts) AS t1 FROM events
-             |  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+             |  WHERE event_type = 'view' AND ts IS NOT NULL
+             |    AND user_id IS NOT NULL GROUP BY user_id),
              |vd AS (SELECT u, t1, t1 + INTERVAL 7 DAY AS deadline FROM v),
              |c AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
              |  JOIN vd ON e.user_id = vd.u
@@ -181,9 +182,10 @@ object ScaleOps2 {
 
     // ---- q106: cohort retention triangle over the event log —
     // first-active week cohorts × week offsets. Period ids are
-    // provably-exact integer arithmetic (see Funnel.retention), so
-    // counts hash-match bit-for-bit; DuckDB's BIGINT // is the same
-    // epoch-aligned floor.
+    // provably-exact integer arithmetic (see Funnel.retention); the
+    // oracle replays the same floor(double division) — NOT DuckDB's
+    // '//', which truncates toward zero and would diverge on
+    // negative-epoch timestamps.
     Q(
       "q106_retention_cohorts",
       (s, d) => {
@@ -193,7 +195,10 @@ object ScaleOps2 {
           .orderBy($"cohort_period", $"period_offset")
       },
       Some("""WITH a AS (SELECT DISTINCT user_id,
-             |    epoch_us(ts) // 604800000000 AS wk
+             |    -- floor(double division), not '//': DuckDB's integer
+             |    -- '//' TRUNCATES toward zero, diverging from Spark's
+             |    -- floor for pre-1970 (negative-epoch) timestamps
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000.0) AS BIGINT) AS wk
              |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
              |c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
              |SELECT c.cohort AS cohort_period, a.wk - c.cohort AS period_offset,
@@ -294,10 +299,11 @@ object ScaleOps2 {
           periodSeconds = 86400L, fillMode = "locf")
           .orderBy($"key", $"period")
       },
-      Some("""WITH o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+      Some("""WITH o AS (SELECT user_id AS k, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
              |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
              |  FROM events
              |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
              |  GROUP BY 1, 2),
              |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
              |g AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
@@ -352,9 +358,10 @@ object ScaleOps2 {
           .orderBy($"key")
       },
       Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q112_linear_trend/*.parquet')),
-             |o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+             |o AS (SELECT user_id AS k, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
              |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
              |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
              |  GROUP BY 1, 2),
              |st AS (SELECT k, count(*) AS n, min(period) AS p0, sum(period) AS sp,
              |    sum(period * period) AS spp, CAST(sum(y) AS DOUBLE) AS syd,
@@ -470,10 +477,16 @@ object ScaleOps2 {
              |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
              |    CAST(sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS svv
              |  FROM b GROUP BY grp),
-             |mu AS (SELECT grp, n, sv / CAST(n AS DOUBLE) AS mu,
-             |    sqrt(svv / CAST(n AS DOUBLE)
-             |      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) AS sigma
+             |-- variance guarded BEFORE sqrt: a constant-valued group's
+             |-- variance can round to a tiny NEGATIVE double, where
+             |-- Spark's sqrt yields NaN (filtered by sigma > 0) but
+             |-- DuckDB's sqrt THROWS and would kill the whole oracle
+             |va AS (SELECT grp, n, sv / CAST(n AS DOUBLE) AS mu,
+             |    svv / CAST(n AS DOUBLE)
+             |      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)) AS var
              |  FROM st),
+             |mu AS (SELECT grp, n, mu,
+             |    CASE WHEN var > 0 THEN sqrt(var) END AS sigma FROM va),
              |sc AS (SELECT b.grp, b.id, b.v, (b.v - mu) / sigma AS z
              |  FROM b JOIN mu USING (grp) WHERE n > 1 AND sigma > 0),
              |flag AS (SELECT (
@@ -682,10 +695,11 @@ object ScaleOps2 {
           .orderBy($"key")
       },
       Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q119_ema/*.parquet')),
-             |o AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS period,
+             |o AS (SELECT user_id AS k, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
              |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vd
              |  FROM events
              |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
              |  GROUP BY 1, 2),
              |se AS (SELECT k, count(*) AS n, max(period) AS lastp,
              |    list(vd ORDER BY period) AS l

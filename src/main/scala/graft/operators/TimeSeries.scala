@@ -143,6 +143,53 @@ object TimeSeries {
           .as("ema"))
   }
 
+  /** Per-key THEIL-SEN robust slope — the median of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)` over each key's period-sum
+    * series (Theil 1950 / Sen 1968): the robust-trend complement to
+    * [[linearTrend]]'s OLS exactly as MAD complements the z-score —
+    * up to ~29% of the points can be arbitrary outliers without
+    * moving the estimate, where a single wild day drags an OLS line.
+    *
+    * Scale: the pair expansion is per-KEY over the period series —
+    * O(span²) pairs per key, bounded by `maxPeriodsPerKey` (a 365-day
+    * year is ~66k pairs; a corrupt timestamp would explode it, so the
+    * guard fails loudly first). The expansion is a self-equi-join on
+    * the key, both sides the (key, period) sums — co-partitioned, no
+    * corpus-scale shuffle. Slopes divide exact decimal differences in
+    * doubles; the median is the same interpolated percentile as
+    * [[Profiling.madOutliers]], so oracles compare within 1e-9.
+    */
+  def theilSenSlope(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(maxPeriodsPerKey >= 2, s"maxPeriodsPerKey must be >= 2, got $maxPeriodsPerKey")
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").cast("double").as("y"))
+    val spans = perPeriod.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_periods"))
+      .select(col("k"),
+        when(col("n_periods") > maxPeriodsPerKey, raise_error(concat(
+          lit(s"theilSenSlope: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n_periods")).as("n_periods"))
+    val a = perPeriod.select(col("k"), col("period").as("p1"), col("y").as("y1"))
+    val b = perPeriod.select(col("k"), col("period").as("p2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("k")).filter(col("p1") < col("p2"))
+      .select(col("k"),
+        ((col("y2") - col("y1"))
+          / (col("p2") - col("p1")).cast("double")).as("slope"))
+    slopes.groupBy(col("k"))
+      .agg(percentile(col("slope"), lit(0.5)).as("ts_slope"))
+      .join(spans, Seq("k"), "right")
+      .select(col("k").as("key"), col("n_periods"), col("ts_slope"))
+  }
+
   /** Per-key LINEAR TREND — ordinary-least-squares slope/intercept of
     * the (period, period-sum) series per key, the one-pass grouped
     * regression (`regr_slope` semantics) every metrics store needs.

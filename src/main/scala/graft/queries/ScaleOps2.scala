@@ -860,7 +860,53 @@ object ScaleOps2 {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- q123: THEIL-SEN robust slope per user — the robust-trend
+    // complement to q112's OLS (same input series, so the two are
+    // directly comparable), exactly as q121's MAD complements q114's
+    // z-score. Pairwise-slope expansion is per-key and span-bounded;
+    // the median is the interpolated percentile, so the oracle
+    // replays pairs + quantile_cont within 1e-9 (poison row
+    // otherwise).
+    Q(
+      "q123_theil_sen_slope",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.theilSenSlope(
+          Tables.events(s, d), $"user_id", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q123_theil_sen_slope/*.parquet')),
+             |o AS (SELECT user_id AS k, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, count(*) AS n FROM o GROUP BY k),
+             |pr AS (SELECT a.k, (b.y - a.y) / CAST(b.period - a.period AS DOUBLE) AS slope
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period < b.period),
+             |md AS (SELECT k, quantile_cont(slope, 0.5) AS ts_slope FROM pr GROUP BY k),
+             |expect AS (SELECT sp.k, sp.n, md.ts_slope FROM sp LEFT JOIN md USING (k)),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n_periods <> x.n
+             |         OR (e.ts_slope IS NULL) <> (x.ts_slope IS NULL)
+             |         OR abs(coalesce(e.ts_slope, 0) - coalesce(x.ts_slope, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.key NOT IN (SELECT k FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.k NOT IN (SELECT key FROM emitted))
+             |  ) AS ok)
+             |SELECT key, n_periods, ts_slope FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key""".stripMargin))
   )
 
   /** Stage each frame as ONE parquet file in a fresh `input` dir with

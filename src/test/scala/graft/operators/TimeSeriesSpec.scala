@@ -123,4 +123,35 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.ema(df, $"user_id", $"ts", $"value", 86400L, alpha = 1.0)
     }
   }
+
+  test("theilSenSlope shrugs off the outlier that drags OLS") {
+    // days 0..3 on the exact line y = 2x, plus a wild day-4 spike:
+    // 6 of 10 pairwise slopes are exactly 2, so the median is 2.0
+    // bit-exact; the OLS slope on the same series is pulled far above
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 0.0),
+      (1L, ts("2024-01-02 01:00:00"), 2.0),
+      (1L, ts("2024-01-03 01:00:00"), 4.0),
+      (1L, ts("2024-01-04 01:00:00"), 6.0),
+      (1L, ts("2024-01-05 01:00:00"), 100.0),
+      (2L, ts("2024-01-01 00:00:00"), 9.0)) // single period → null slope
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.theilSenSlope(df, $"user_id", $"ts", $"value", 86400L)
+      .orderBy($"key").collect()
+    assert(out(0).getLong(1) == 5L && out(0).getDouble(2) == 2.0,
+      s"median pairwise slope must be exactly 2.0, got ${out(0).getDouble(2)}")
+    assert(out(1).getLong(1) == 1L && out(1).isNullAt(2))
+    val ols = TimeSeries.linearTrend(df.filter($"user_id" === 1L),
+      $"user_id", $"ts", $"value", 86400L).collect().head.getDouble(2)
+    assert(ols > 10.0, s"the spike must drag OLS (got $ols) while Theil-Sen holds 2.0")
+    intercept[IllegalArgumentException] {
+      TimeSeries.theilSenSlope(df, $"user_id", $"ts", $"value", 86400L,
+        maxPeriodsPerKey = 1)
+    }
+    val e = intercept[Exception] {
+      TimeSeries.theilSenSlope(df, $"user_id", $"ts", $"value", 86400L,
+        maxPeriodsPerKey = 3).collect()
+    }
+    assert(e.getMessage.contains("periods"))
+  }
 }

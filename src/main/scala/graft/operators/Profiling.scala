@@ -95,6 +95,48 @@ object Profiling {
         .otherwise(lit(null).cast("double")).as("corr"))
   }
 
+  /** CHI-SQUARE test of independence between two categorical columns
+    * (Pearson 1900) — the data-quality / drift question "did the
+    * label distribution change across cohorts?" as one aggregation:
+    * χ² = Σ_cells (obs − exp)²/exp with exp = rowTotal·colTotal/N.
+    * Returns ONE row: (n, n_a, n_b, dof, chi2).
+    *
+    * Scale: observed counts are ONE partial-aggregable pass; row and
+    * column totals re-aggregate the CELL table (≤ |A|·|B| rows, not
+    * the corpus) and broadcast back; the χ² sum folds the cell table.
+    * Counts and totals are exact integers — only the final per-cell
+    * division and sum are doubles, so cross-engine oracles compare
+    * within 1e-9 (float sum order over ≤ |A|·|B| same-magnitude
+    * terms is far inside that). Cells with exp = 0 cannot exist
+    * (a row/col total is 0 only when no cell in it exists).
+    */
+  def chiSquare(
+      df: DataFrame,
+      a: Column,
+      b: Column): DataFrame = {
+    val base = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    cells.join(broadcast(rowT), Seq("a")).join(broadcast(colT), Seq("b"))
+      .agg(
+        sum(col("o")).as("n"),
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        // Pearson's computational form: χ² = n·(Σ o²/(rₐ·c_b) − 1).
+        // It needs only CELL-LOCAL values plus the global n from this
+        // same aggregate — no second pass to inject n into per-cell
+        // expected counts — and it holds over OBSERVED cells alone
+        // (an o = 0 cell contributes 0 to Σ o²/e while Σ_all o = n
+        // and Σ_all e = n absorb into the −1 term).
+        sum(col("o").cast("double") * col("o").cast("double")
+          / (col("ra").cast("double") * col("cb").cast("double"))).as("q"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        (col("n").cast("double") * (col("q") - lit(1.0))).as("chi2"))
+  }
+
   /** Grouped ROBUST outlier detection via MEDIAN ABSOLUTE DEVIATION —
     * the Iglewicz-Hoaglin modified z-score `0.6745·(v − med)/MAD`
     * with the classic 3.5 cutoff: immune to the outliers themselves

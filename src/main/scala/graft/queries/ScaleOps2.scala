@@ -906,7 +906,47 @@ object ScaleOps2 {
              |UNION ALL
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q124: chi-square independence test — is event type
+    // distributed independently of the user cohort? Counts/totals are
+    // exact integers; only the final Σ o²/(rₐ·c_b) fold and the n·(q−1)
+    // step are doubles, so the oracle replays Pearson's computational
+    // form and admits chi2 within 1e-9 (poison row otherwise); every
+    // other field must match exactly.
+    Q(
+      "q124_chi_square",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.chiSquare(
+          Tables.events(s, d).select(($"user_id" % 4).as("cohort"), $"event_type"),
+          $"cohort", $"event_type")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q124_chi_square/*.parquet')),
+             |b AS (SELECT CAST(user_id % 4 AS VARCHAR) AS a, event_type AS bb
+             |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |cells AS (SELECT a, bb, count(*) AS o FROM b GROUP BY a, bb),
+             |rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+             |ct AS (SELECT bb, sum(o) AS cb FROM cells GROUP BY bb),
+             |st AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT cells.a) AS n_a,
+             |    count(DISTINCT cells.bb) AS n_b,
+             |    sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+             |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS q
+             |  FROM cells JOIN rt USING (a) JOIN ct USING (bb)),
+             |expect AS (SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+             |    CAST(n AS DOUBLE) * (q - 1.0) AS chi2 FROM st),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON true
+             |      WHERE e.n <> x.n OR e.n_a <> x.n_a OR e.n_b <> x.n_b
+             |         OR e.dof <> x.dof OR abs(e.chi2 - x.chi2) > 1e-9)
+             |  ) AS ok)
+             |SELECT n, n_a, n_b, dof, chi2 FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin))
   )
 
   /** Stage each frame as ONE parquet file in a fresh `input` dir with

@@ -110,6 +110,23 @@ class PmiZscoreSpec extends SparkTestBase {
     }
   }
 
+  test("chiSquare: independent table scores ~0, perfect dependence scores n·(min(r,c)−1)") {
+    // perfectly independent 2×2 (every e equals o) → chi2 = 0
+    val indep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(40)(("y", "q")))
+      .toDF("a", "b")
+    val r1 = Profiling.chiSquare(indep, $"a", $"b").collect().head
+    assert(r1.getLong(0) == 90L && r1.getLong(3) == 1L)
+    assert(math.abs(r1.getDouble(4)) < 1e-9, s"independent → 0, got ${r1.getDouble(4)}")
+    // perfect 2×2 dependence (diagonal only) → chi2 = n exactly
+    val dep = (Seq.fill(50)(("x", "p")) ++ Seq.fill(50)(("y", "q"))).toDF("a", "b")
+    val r2 = Profiling.chiSquare(dep, $"a", $"b").collect().head
+    assert(r2.getDouble(4) == 100.0 && r2.getLong(3) == 1L)
+    // null categories drop
+    val withNull = dep.union(Seq((null: String, "p")).toDF("a", "b"))
+    assert(Profiling.chiSquare(withNull, $"a", $"b").collect().head.getLong(0) == 100L)
+  }
+
   test("zscoreOutliers is repartition-invariant (decimal stats are order-free)") {
     // uniform base (max z ≈ 1.7) plus genuine spikes so the threshold
     // actually selects rows

@@ -137,6 +137,54 @@ object Profiling {
         (col("n").cast("double") * (col("q") - lit(1.0))).as("chi2"))
   }
 
+  /** POPULATION STABILITY INDEX — the standard distribution-drift
+    * metric between a reference and a current slice of one categorical
+    * column: PSI = Σ_cat (p_cur − p_ref)·ln(p_cur/p_ref), reported
+    * per-category so the drifting categories are visible, not just the
+    * headline number (industry folklore: total ≥ 0.2 = significant
+    * drift). The monitoring companion to [[chiSquare]]: χ² asks "are
+    * these independent", PSI asks "how far did the distribution move".
+    *
+    * A category present on one side only makes PSI infinite — that IS
+    * drift, but an arbitrary smoothing constant would silently change
+    * every other term, so this fails loudly and lets the caller choose
+    * a floor (or pre-filter) explicitly.
+    *
+    * Scale: ONE partial-aggregable pass builds both distributions
+    * (conditional counts per category); everything after runs on the
+    * category table. Counts are exact; p's and ln() are doubles —
+    * oracles compare within 1e-9.
+    */
+  def psi(
+      df: DataFrame,
+      category: Column,
+      isCurrent: Column): DataFrame = {
+    val base = df.select(category.cast("string").as("cat"),
+      isCurrent.cast("boolean").as("cur"))
+      .filter(col("cat").isNotNull && col("cur").isNotNull)
+    val cells = base.groupBy(col("cat")).agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = cells.agg(sum(col("n_ref")), sum(col("n_cur"))).first()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0 && tot.getLong(1) > 0,
+      "psi: both the reference and the current slice must be non-empty")
+    val (tr, tc) = (tot.getLong(0), tot.getLong(1))
+    cells.select(
+      col("cat").as("category"),
+      col("n_ref"),
+      col("n_cur"),
+      when(col("n_ref") === 0 || col("n_cur") === 0, raise_error(concat(
+        lit("psi: category '"), col("cat"),
+        lit("' is present on only one side — PSI is infinite; choose an " +
+          "explicit floor or pre-filter instead of a silent smoothing"))))
+        .otherwise(
+          (col("n_cur").cast("double") / lit(tc.toDouble)
+            - col("n_ref").cast("double") / lit(tr.toDouble))
+            * log((col("n_cur").cast("double") / lit(tc.toDouble))
+              / (col("n_ref").cast("double") / lit(tr.toDouble))))
+        .as("psi_term"))
+  }
+
   /** Grouped ROBUST outlier detection via MEDIAN ABSOLUTE DEVIATION —
     * the Iglewicz-Hoaglin modified z-score `0.6745·(v − med)/MAD`
     * with the classic 3.5 cutoff: immune to the outliers themselves

@@ -946,7 +946,56 @@ object ScaleOps2 {
              |UNION ALL
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
-             |WHERE NOT (SELECT ok FROM flag)""".stripMargin))
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q125: population-stability-index drift per event type,
+    // first half of the date range as reference vs second half as
+    // current — the monitoring companion to q124. Counts exact; p's
+    // and ln() double — per-term tolerance oracle, 1e-9, poison row.
+    Q(
+      "q125_psi_drift",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.psi(
+          Tables.events(s, d).filter($"ts".isNotNull),
+          $"event_type", $"ts" >= lit("2024-01-16").cast("timestamp"))
+          .orderBy($"category")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q125_psi_drift/*.parquet')),
+             |b AS (SELECT event_type AS cat,
+             |    ts >= TIMESTAMP '2024-01-16' AS cur
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |cells AS (SELECT cat,
+             |    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+             |  FROM b GROUP BY cat),
+             |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+             |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM cells),
+             |expect AS (SELECT cat, n_ref, n_cur,
+             |    (CAST(n_cur AS DOUBLE) / (SELECT tc FROM tot)
+             |      - CAST(n_ref AS DOUBLE) / (SELECT tr FROM tot))
+             |      * ln((CAST(n_cur AS DOUBLE) / (SELECT tc FROM tot))
+             |        / (CAST(n_ref AS DOUBLE) / (SELECT tr FROM tot))) AS term
+             |  FROM cells WHERE n_ref > 0 AND n_cur > 0),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT category) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.category = x.cat
+             |      WHERE e.n_ref <> x.n_ref OR e.n_cur <> x.n_cur
+             |         OR abs(e.psi_term - x.term) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.category NOT IN (SELECT cat FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.cat NOT IN (SELECT category FROM emitted))
+             |  ) AS ok)
+             |SELECT category, n_ref, n_cur, psi_term FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY category""".stripMargin))
   )
 
   /** Stage each frame as ONE parquet file in a fresh `input` dir with

@@ -127,6 +127,31 @@ class PmiZscoreSpec extends SparkTestBase {
     assert(Profiling.chiSquare(withNull, $"a", $"b").collect().head.getLong(0) == 100L)
   }
 
+  test("psi: identical distributions score 0; a known shift matches the hand formula; one-sided categories fail loudly") {
+    // ref: p 50/100, q 50/100; cur: p 25/100, q 75/100
+    val df = (Seq.fill(50)(("p", false)) ++ Seq.fill(50)(("q", false)) ++
+      Seq.fill(25)(("p", true)) ++ Seq.fill(75)(("q", true))).toDF("c", "cur")
+    val out = Profiling.psi(df, $"c", $"cur")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val expP = (0.25 - 0.5) * math.log(0.25 / 0.5)
+    val expQ = (0.75 - 0.5) * math.log(0.75 / 0.5)
+    assert(math.abs(out("p") - expP) < 1e-12 && math.abs(out("q") - expQ) < 1e-12)
+    // no drift → every term 0
+    val same = (Seq.fill(30)(("p", false)) ++ Seq.fill(30)(("p", true)) ++
+      Seq.fill(10)(("q", false)) ++ Seq.fill(10)(("q", true))).toDF("c", "cur")
+    assert(Profiling.psi(same, $"c", $"cur").collect()
+      .forall(r => math.abs(r.getDouble(3)) < 1e-12))
+    // category only on one side → loud
+    val oneSided = (Seq.fill(5)(("p", false)) ++ Seq.fill(5)(("q", true))).toDF("c", "cur")
+    val e = intercept[Exception] {
+      Profiling.psi(oneSided, $"c", $"cur").collect()
+    }
+    assert(e.getMessage.contains("one side"))
+    intercept[IllegalArgumentException] {
+      Profiling.psi(df.filter($"cur"), $"c", $"cur")
+    }
+  }
+
   test("zscoreOutliers is repartition-invariant (decimal stats are order-free)") {
     // uniform base (max z ≈ 1.7) plus genuine spikes so the threshold
     // actually selects rows

@@ -6,10 +6,15 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Cdc, Dedup, Funnel, Similarity, TextAnalysis}
 
-/** Round-6 additions: streaming CDC apply (the live twin of q86's
-  * MERGE), interpolated bigram-LM scoring (the context-aware step past
-  * q61), per-dimension SQ8 scalar quantization (the anisotropy-aware
-  * sibling of q58), and ordered-funnel analysis over the event log.
+/** Round-6 additions (q102–q125): streaming under the gate (CDC
+  * apply, stream-static enrichment, append-mode watermarked windows,
+  * native session_window), text/vector modeling (bigram LM, PMI
+  * collocations, per-dimension SQ8), CDC (snapshot diff), behavioral
+  * analytics (funnel, retention, gap fill, EMA), robust + classical
+  * statistics (OLS + Theil-Sen trends, z-score + MAD outliers,
+  * Pearson correlation, chi-square, PSI drift), fuzzy entity
+  * resolution (FastSS ED1 + components + survivor), and relational
+  * surface completion (pivot, INTERSECT/EXCEPT, CUBE).
   */
 object ScaleOps2 {
 

@@ -43,12 +43,24 @@ object Gunzip {
     if (lower.endsWith(".gz")) new GZIPInputStream(raw, 1 << 20)
     else if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
       new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
-    else { // .zip: the payload is the first FILE entry — folder-zipped
-      // archives lead with directory (or __MACOSX metadata) entries,
-      // and blindly taking the first would materialize an empty .json
+    else { // .zip: the payload is the first REAL file entry —
+      // folder-zipped archives lead with directory entries, and macOS
+      // archives carry __MACOSX/._* AppleDouble FILE entries whose
+      // resource-fork bytes would otherwise be materialized as the
+      // .json payload (then fail the splitter as malformed — or, under
+      // ignoreCorruptFiles, silently contribute zero rows while the
+      // bogus sibling shadows the archive on later reads)
+      def isMetadata(entryName: String): Boolean = {
+        val n = entryName.replace('\\', '/')
+        // hidden-basename convention (covers ._AppleDouble and
+        // .DS_Store alike — the same leading-dot rule Spark's file
+        // listing applies)
+        n.startsWith("__MACOSX/") ||
+          n.substring(n.lastIndexOf('/') + 1).startsWith(".")
+      }
       val z = new ZipInputStream(raw)
       var e = z.getNextEntry
-      while (e != null && e.isDirectory) e = z.getNextEntry
+      while (e != null && (e.isDirectory || isMetadata(e.getName))) e = z.getNextEntry
       if (e == null)
         throw new java.io.IOException(s"payer-mrf: zip input $name has no file entries")
       z

@@ -118,7 +118,20 @@ final class MrfMicroBatchStream(
             MrfMicroBatchStream.this.notifyAll()
           }
         } catch {
-          case _: InterruptedException => stopped = true
+          // the interrupt family stops the scan — the SAME classes
+          // splitFileGuarded rethrows: classifying a blocking read's
+          // InterruptedIOException/ClosedByInterruptException as
+          // "corrupt" would make stop() fall through to the NEXT file
+          // (potentially a full multi-GB decompress before the next
+          // interrupt-flag check)
+          case _: InterruptedException | _: java.io.InterruptedIOException |
+              _: java.nio.channels.ClosedByInterruptException => stopped = true
+          // a missing file is its own condition, not a corrupt one —
+          // executor mode (splitFileGuarded) rethrows it even under
+          // ignoreCorruptFiles, and the two modes must classify
+          // identically or splitMode=auto changes semantics with file
+          // count
+          case e: java.io.FileNotFoundException => throw e
           case e: Exception if opts.ignoreCorruptFiles =>
             // deterministic even on restart: the splitter fails at the
             // same byte, so any partial chunks re-derive identically

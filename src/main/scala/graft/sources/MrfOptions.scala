@@ -41,13 +41,15 @@ final case class MrfOptions(
     perElement: Boolean,
     maxChunksPerBatch: Option[Int],
     ignoreCorruptFiles: Boolean,
-    splitMode: String) {
+    splitMode: String,
+    maxResidueBytes: Long) {
 
   def splitterOptions: JsonSplitter.Options =
     JsonSplitter.Options(
       chunkTargetBytes = chunkBytes,
       maxElementsPerChunk = maxElements,
-      bufferSize = bufferSize)
+      bufferSize = bufferSize,
+      maxResidueBytes = maxResidueBytes)
 
   def schema: StructType = StructType(Seq(
     StructField("file_name", StringType, nullable = false),
@@ -85,6 +87,12 @@ object MrfOptions {
       maxChunksPerBatch =
         Option(map.get("maxChunksPerBatch")).map(v => math.max(1, v.toInt)),
       ignoreCorruptFiles = map.getBoolean("ignoreCorruptFiles", false),
+      // the header-residue safety cap was hard-coded before: a
+      // legitimate MRF whose non-array top-level members exceed 64 MB
+      // had NO way to raise it (and under ignoreCorruptFiles the
+      // overflow silently dropped the file)
+      maxResidueBytes =
+        math.max(1024, map.getLong("maxResidueBytes", 64L << 20)),
       splitMode = Option(map.get("splitMode")).getOrElse("auto") match {
         case m @ ("auto" | "driver" | "executors") => m
         case other => throw new IllegalArgumentException(

@@ -349,6 +349,19 @@ object MrfFileSplitter extends org.apache.spark.internal.Logging {
       val compressedTo = group.flatMap(st =>
         Gunzip.decompressedName(st.getPath.getName).map(_ -> st.getModificationTime))
         .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).max }
+      // among SEVERAL archives decompressing to the same sibling
+      // (data.json.gz + data.json.zst), exactly ONE may survive —
+      // newest mtime, ties to the lexicographically smallest name.
+      // Listing both would emit every chunk twice on the first read
+      // (both materialize/reuse the same sibling) and then HALVE the
+      // listing once the sibling exists, shifting every checkpoint
+      // ordinal behind it.
+      val bestArchive = group.flatMap(st =>
+        Gunzip.decompressedName(st.getPath.getName).map(_ -> st))
+        .groupBy(_._1).map { case (dn, sts) =>
+          dn -> sts.map(_._2)
+            .minBy(s => (-s.getModificationTime, s.getPath.getName)).getPath.getName
+        }
       group.filterNot { st =>
         val name = st.getPath.getName
         val asCompressed = // compressed file shadowed by its current sibling
@@ -356,7 +369,9 @@ object MrfFileSplitter extends org.apache.spark.internal.Logging {
             .exists(_ >= st.getModificationTime)
         val asStaleSibling = // plain file superseded by a newer archive
           compressedTo.get(name).exists(_ > st.getModificationTime)
-        asCompressed || asStaleSibling
+        val asDuplicateArchive = // beaten by a better same-sibling archive
+          Gunzip.decompressedName(name).exists(dn => bestArchive(dn) != name)
+        asCompressed || asStaleSibling || asDuplicateArchive
       }
     }.toSeq
     // sort by the CANONICAL (decompressed) path so an archive and the
@@ -397,7 +412,11 @@ object MrfFileSplitter extends org.apache.spark.internal.Logging {
     // would keep splitting multi-GB files to completion
     val ctx = Option(org.apache.spark.TaskContext.get())
     val emit: MrfInputPartition => Unit = p => {
-      if (ctx.exists(_.isInterrupted()))
+      // driver-pool callers have no TaskContext — there the kill
+      // signal is the pool's shutdownNow() thread interrupt, checked
+      // at the same per-chunk granularity
+      if (ctx.exists(_.isInterrupted()) ||
+          (ctx.isEmpty && Thread.currentThread().isInterrupted))
         throw new org.apache.spark.TaskKilledException("payer-mrf split cancelled")
       out += p
     }
@@ -440,14 +459,33 @@ object MrfFileSplitter extends org.apache.spark.internal.Logging {
     val sconf = new SerializableHadoopConf(conf)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(files.size, Runtime.getRuntime.availableProcessors() / 2)))
+    var failed = false
     try {
-      files.map { f =>
+      val futs = files.map { f =>
         f.toString -> pool.submit(new java.util.concurrent.Callable[Seq[MrfInputPartition]] {
           override def call(): Seq[MrfInputPartition] =
             splitFileGuarded(f.toString, opts, sconf)
         })
-      }.map { case (p, fut) => p -> fut.get() }.toMap
-    } finally pool.shutdown()
+      }
+      futs.map { case (p, fut) =>
+        p -> (try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // surface the real failure (malformed JSON, missing file),
+            // not the executor wrapper
+            failed = true
+            throw Option(e.getCause).getOrElse(e)
+          case e: Throwable => failed = true; throw e
+        })
+      }.toMap
+    } finally {
+      // on failure, CANCEL the queue — plain shutdown() would let the
+      // remaining files stream their full bytes through the driver for
+      // a plan that is already dead (the executor-mode counterpart
+      // cancels via shutdownNow + cancelJobGroup); threads blocked in
+      // reads see the interrupt at the next chunk callback
+      if (failed) { pool.shutdownNow(); () } else pool.shutdown()
+    }
   }
 
   /** auto splitMode heuristic, shared by the batch planner and the

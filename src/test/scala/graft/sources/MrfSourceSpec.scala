@@ -652,4 +652,66 @@ class MrfSourceSpec extends SparkTestBase {
     val leftovers = dir.listFiles().map(_.getName).filter(_.contains(".tmp"))
     assert(leftovers.isEmpty, s"stray temp files: ${leftovers.toSeq}")
   }
+
+  test("two archives decompressing to the same sibling list once, newest wins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-dualarc").toFile
+    // data.json.gz (older, ffs content) + data.json.zip (newer, bundle
+    // content) both decompress to data.json: exactly ONE may be read —
+    // the newer zip — or chunks double on first read and the listing
+    // halves (shifting checkpoint ordinals) once the sibling exists
+    val gz = new java.io.File(dir, "data.json.gz")
+    val go = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    go.write(MrfFixtures.ffs.getBytes("UTF-8")); go.close()
+    val zip = new java.io.File(dir, "data.json.zip")
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    zo.putNextEntry(new java.util.zip.ZipEntry("data.json"))
+    zo.write(MrfFixtures.bundle.getBytes("UTF-8")); zo.close()
+    assert(gz.setLastModified(zip.lastModified() - 60000L))
+
+    val df = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    val rows = df.filter($"header_key" === "in_network").count()
+    assert(rows == 1, s"dual archives must list once, got $rows in_network chunks")
+    val parsed = spark.read.json(
+      df.filter($"header_key" === "in_network").select("json_payload").as[String])
+    assert(parsed.select("negotiation_arrangement").collect()
+      .map(_.getString(0)).toSeq == Seq("bundle"),
+      "the NEWER archive's content must win")
+  }
+
+  test("zip AppleDouble metadata file entries are skipped, not materialized") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mrf-macosx").toFile
+    // macOS Archive Utility layout: __MACOSX/._data.json is a FILE
+    // entry (AppleDouble resource fork) preceding the payload —
+    // materializing it would fail the splitter on binary bytes (or
+    // silently zero the file under ignoreCorruptFiles)
+    val zip = new java.io.File(dir, "data.json.zip")
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    zo.putNextEntry(new java.util.zip.ZipEntry("__MACOSX/")); zo.closeEntry()
+    zo.putNextEntry(new java.util.zip.ZipEntry("__MACOSX/._data.json"))
+    zo.write(Array[Byte](0, 5, 22, 7, -1, -2, 0, 1)); zo.closeEntry()
+    zo.putNextEntry(new java.util.zip.ZipEntry("data.json"))
+    zo.write(MrfFixtures.ffs.getBytes("UTF-8")); zo.close()
+
+    val df = spark.read.format("payer-mrf").load(dir.getAbsolutePath)
+    assert(df.filter($"header_key" === "in_network").count() == 1)
+  }
+
+  test("maxResidueBytes is a real option: tiny cap fails loudly, raised cap reads") {
+    val dir = Files.createTempDirectory("mrf-residue").toFile
+    // a ~4 KB non-array header member: over the 1 KB floor cap, well
+    // under a raised one
+    val fat = s"""{"reporting_entity_name": "${"x" * 4096}",
+                 |"in_network": [{"negotiation_arrangement": "ffs"}]}""".stripMargin
+    Files.write(new java.io.File(dir, "r.json").toPath, fat.getBytes("UTF-8"))
+    val tiny = intercept[Exception] {
+      spark.read.format("payer-mrf")
+        .option("maxResidueBytes", 1024).load(dir.getAbsolutePath).count()
+    }
+    assert(tiny.getMessage != null)
+    val ok = spark.read.format("payer-mrf")
+      .option("maxResidueBytes", 1 << 20).load(dir.getAbsolutePath).count()
+    assert(ok > 0)
+  }
 }

@@ -117,22 +117,38 @@ case class WordpieceEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Identity-keyed compile cache for literal-argument kernels: a
+  * literal's ArrayData is ONE instance reused for every row of a
+  * partition, so compiling per distinct instance is compiling once —
+  * but a query can hold SEVERAL such kernels with different literals
+  * in one projection (two tokenizers side by side), where a
+  * single-slot cache would thrash: each call evicts the other's entry
+  * and both recompile EVERY row. A few slots absorb that; the bound
+  * keeps a (pathological) non-literal argument column from leaking.
+  * The volatile-immutable-list publish is race-safe: a lost update
+  * merely recompiles.
+  */
+private[functions] final class IdentityCache[V <: AnyRef](
+    compile: ArrayData => V, slots: Int = 4) {
+  private final case class Slot(key: ArrayData, value: V)
+  @volatile private var cache: List[Slot] = Nil
+  def get(key: ArrayData): V = {
+    var cur = cache
+    while (cur.nonEmpty) {
+      if (cur.head.key eq key) return cur.head.value
+      cur = cur.tail
+    }
+    val v = compile(key)
+    cache = (Slot(key, v) :: cache).take(slots)
+    v
+  }
+}
+
 object WordpieceKernels {
 
   private final class Compiled(val pieces: java.util.HashSet[String], val maxLen: Int)
 
-  // single-slot identity cache: the vocab literal's ArrayData is one
-  // instance reused for every row of a partition, so the compiled set
-  // builds once; an unbounded map keyed by ArrayData would leak under
-  // a (pathological) non-literal vocab column. ONE volatile holding an
-  // immutable (key, value) pair — two separate volatiles race under
-  // concurrent tasks with different vocabs (see BpeKernels)
-  private final case class Slot(key: ArrayData, value: Compiled)
-  @volatile private var slot: Slot = _
-
-  private def compiled(vocab: ArrayData): Compiled = {
-    val s = slot
-    if (s != null && (s.key eq vocab)) return s.value
+  private val cache = new IdentityCache[Compiled](vocab => {
     val set = new java.util.HashSet[String]()
     var maxLen = 1
     var i = 0
@@ -146,10 +162,10 @@ object WordpieceKernels {
       }
       i += 1
     }
-    val c = new Compiled(set, maxLen)
-    slot = Slot(vocab, c)
-    c
-  }
+    new Compiled(set, maxLen)
+  })
+
+  private def compiled(vocab: ArrayData): Compiled = cache.get(vocab)
 
   /** Static entry point shared by interpreted eval and generated code. */
   def encode(toks: ArrayData, vocab: ArrayData): ArrayData = {
@@ -171,6 +187,14 @@ object WordpieceKernels {
             }
             len -= 1
           }
+          // the char-fallback must advance by a full CODE POINT: a
+          // lone high surrogate is not a valid string, and
+          // UTF8String.fromString would encode each half as '?' —
+          // collapsing every supplementary-plane character to the
+          // same piece
+          if (!found && Character.isHighSurrogate(word.charAt(p)) &&
+              p + 1 < word.length && Character.isLowSurrogate(word.charAt(p + 1)))
+            hit = 2
           out += UTF8String.fromString(word.substring(p, p + hit))
           p += hit
         }
@@ -224,18 +248,10 @@ case class BpeEncode(left: Expression, right: Expression)
 
 object BpeKernels {
 
-  // parsed (left, right) pairs in rank order; single-slot identity
-  // cache — the merge literal's ArrayData is one instance per
-  // partition. ONE volatile holding an immutable (key, value) pair:
-  // two separate volatiles race under concurrent tasks with different
-  // tables (read key A / hit, then read a value another thread just
-  // swapped to table B — silently wrong pieces)
-  private final case class Slot(key: ArrayData, value: Array[(String, String)])
-  @volatile private var slot: Slot = _
-
-  private def compiled(merges: ArrayData): Array[(String, String)] = {
-    val s = slot
-    if (s != null && (s.key eq merges)) return s.value
+  // parsed (left, right) pairs in rank order — the same
+  // [[IdentityCache]] discipline as WordpieceKernels (one compile per
+  // literal instance, multi-kernel projections don't thrash)
+  private val cache = new IdentityCache[Array[(String, String)]](merges => {
     val out = Array.newBuilder[(String, String)]
     var i = 0
     while (i < merges.numElements()) {
@@ -248,10 +264,10 @@ object BpeKernels {
       }
       i += 1
     }
-    val c = out.result()
-    slot = Slot(merges, c)
-    c
-  }
+    out.result()
+  })
+
+  private def compiled(merges: ArrayData): Array[(String, String)] = cache.get(merges)
 
   /** Static entry point shared by interpreted eval and generated code. */
   def encode(toks: ArrayData, merges: ArrayData): ArrayData = {
@@ -349,8 +365,22 @@ object GraftFunctions {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn argument ${i + 1} must be a literal integer, got ${e.sql}")
+    def fit(l: Long, integral: Boolean, shown: Any): Int = {
+      if (!integral)
+        throw new IllegalArgumentException(
+          s"$fn argument ${i + 1} must be an INTEGRAL literal, got $shown " +
+            "(a fractional value would silently truncate)")
+      if (l < Int.MinValue || l > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn argument ${i + 1} is out of int range: $shown")
+      l.toInt
+    }
     e.eval() match {
-      case n: Number => n.intValue()
+      case d: java.lang.Double => fit(d.toLong, d.doubleValue() == math.rint(d.doubleValue()), d)
+      case f: java.lang.Float => fit(f.toLong, f.floatValue() == math.rint(f.floatValue()), f)
+      case dec: org.apache.spark.sql.types.Decimal =>
+        fit(dec.toLong, dec.toDouble == math.rint(dec.toDouble), dec)
+      case n: Number => fit(n.longValue(), integral = true, n)
       case other => throw new IllegalArgumentException(
         s"$fn argument ${i + 1} must be a non-null literal integer, got $other")
     }
@@ -505,6 +535,10 @@ object GraftFunctions {
   def wordpiece(tokens: Column, vocab: Seq[String]): Column =
     wordpiece(SparkSession.active, tokens, vocab)
   def wordpiece(spark: SparkSession, tokens: Column, vocab: Seq[String]): Column = {
+    // an empty Seq builds array() of NO columns — array<void> — and
+    // dies with a confusing type error at analysis; say it directly
+    // (the bpeEncode sibling already does)
+    require(vocab.nonEmpty, "wordpiece needs a non-empty vocab")
     register(spark)
     call_function("graft_wordpiece", tokens,
       org.apache.spark.sql.functions.array(
@@ -524,6 +558,7 @@ object GraftFunctions {
   def searchSorted(value: Column, bounds: Seq[Double]): Column =
     searchSorted(SparkSession.active, value, bounds)
   def searchSorted(spark: SparkSession, value: Column, bounds: Seq[Double]): Column = {
+    require(bounds.nonEmpty, "searchSorted needs at least one boundary")
     register(spark)
     call_function("graft_searchsorted", value,
       org.apache.spark.sql.functions.array(

@@ -118,6 +118,13 @@ object VectorKernels {
     var hi = bounds.numElements()
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
+      // getDouble on a null slot reads 0.0 — a silently WRONG bin;
+      // every other kernel in this package fails loudly on corrupt
+      // inputs, and a miscounted interval is worse than an error
+      if (bounds.isNullAt(mid))
+        throw new IllegalArgumentException(
+          s"graft_searchsorted: boundary element $mid is null — boundaries " +
+            "must be non-null sorted doubles")
       if (bounds.getDouble(mid) <= v) lo = mid + 1 else hi = mid
     }
     lo

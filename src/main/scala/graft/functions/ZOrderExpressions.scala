@@ -49,7 +49,10 @@ case class ZOrderKey(children: Seq[Expression], bits: Int) extends Expression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.size < 2)
       TypeCheckResult.TypeCheckFailure("graft_zorder needs at least 2 key columns")
-    else if (bits < 1 || bits * children.size > 63)
+    // long multiply: an absurd bits value would overflow the INT
+    // product past the guard (1073741824*4 wraps to 0) and then hang
+    // the interleave loop per row
+    else if (bits < 1 || bits.toLong * children.size > 63)
       TypeCheckResult.TypeCheckFailure(
         s"graft_zorder: bits*columns must fit a long (${bits}*${children.size} > 63)")
     else if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess

@@ -16,7 +16,12 @@ class WordpieceSpec extends SparkTestBase {
       var p = 0
       while (p < w.length) {
         val hit = (math.min(maxLen, w.length - p) to 1 by -1)
-          .find(l => vocab.contains(w.substring(p, p + l))).getOrElse(1)
+          .find(l => vocab.contains(w.substring(p, p + l)))
+          .getOrElse(
+            // code-point fallback: never split a surrogate pair
+            if (Character.isHighSurrogate(w.charAt(p)) && p + 1 < w.length &&
+              Character.isLowSurrogate(w.charAt(p + 1))) 2
+            else 1)
         out += w.substring(p, p + hit)
         p += hit
       }
@@ -65,5 +70,21 @@ class WordpieceSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(1L).get.asInstanceOf[scala.collection.Seq[_]].isEmpty)
     assert(out(2L).isEmpty)
+  }
+
+  test("supplementary-plane fallback keeps surrogate pairs whole") {
+    import spark.implicits._
+    // U+10437 (DESERET SMALL LETTER YEE) is two UTF-16 chars; with no
+    // matching vocab piece the fallback must emit the full code point,
+    // not two lone surrogates that UTF-8 encoding collapses to '?'
+    val yee = new String(Character.toChars(0x10437))
+    val got = Seq(Seq(s"${yee}ok")).toDF("toks")
+      .select(GraftFunctions.wordpiece(spark, $"toks", Seq("zz")).as("p"))
+      .first().getSeq[String](0)
+    assert(got == Seq(yee, "o", "k"), s"got $got")
+    assert(got.mkString == s"${yee}ok", "concatenation invariant incl. surrogates")
+    intercept[IllegalArgumentException] {
+      GraftFunctions.wordpiece(spark, $"toks", Seq.empty)
+    }
   }
 }

@@ -553,6 +553,26 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** All-corpus k-nearest-neighbor GRAPH — every vector is both query
+    * and corpus ([[lshTopK]] with the corpus on both sides,
+    * `excludeSelf`): the structure semantic clustering, graph-based
+    * dedup (SemDeDup's neighbor lists), and diversity-aware selection
+    * start from. Self-join candidate volume is the LSH-bucketed
+    * ~`tables · n² / 2^bits` — the `bits`-vs-`tables` dial is the scale
+    * lever (raise `bits` with corpus size to hold per-bucket occupancy
+    * roughly constant; the multi-table union keeps recall). Per-node
+    * result size is bounded by the [[TopKByScore]] aggregator — no
+    * window over the scored set at any scale.
+    */
+  def knnGraph(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      k: Int,
+      bits: Int = 4,
+      tables: Int = 16): DataFrame =
+    lshTopK(df, df, vec, id, vec, id, k, bits, tables, excludeSelf = true)
+
   /** Symmetric per-vector int8 quantization of an embedding column —
     * the storage/bandwidth prep for vector serving (4× smaller than
     * float32, 8× than float64). Returns struct(scale, qvec) where

@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Importance, KmvSketch, Similarity, Skyline, TextAnalysis}
+
+/** Round-6 continuation (q126–q131): KMV set-operation sketches (the
+  * intersection estimates HLL cannot produce), rolling time-range
+  * window aggregates, the all-corpus KNN graph, DSIR importance
+  * weighting (Xie et al. 2023), the 2-d Pareto-frontier skyline, and
+  * the multi-dimension star-schema flagship join.
+  */
+object ScaleOps3 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  // DuckDB token expression mirroring TextAnalysis.tokens on this
+  // (ASCII) corpus — same as LlmOps.sqlToks / ScaleOps2.sqlToks.
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val KmvK = 32
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q126: KMV k-minimum-values sketches — mergeable
+    // distinct-count states WITH set algebra: the per-(type, period)
+    // states estimate period cardinalities, the period states merge
+    // into the union sketch WITHOUT touching raw data again, and the
+    // k-min-union overlap estimates Jaccard / intersection size — the
+    // set operation q70's HLL states fundamentally cannot answer.
+    // Everything derives from the portable 60-bit md5 hash, so the
+    // oracle replays sketches, estimates, and overlaps EXACTLY (the
+    // q77 deterministic-replay-of-a-probabilistic-structure pattern);
+    // the merged union sketch equals the sketch of the raw union by
+    // associativity (spec-proved), which is what the oracle recomputes.
+    Q(
+      "q126_kmv_distinct_sketch",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"event_type".isNotNull)
+          .withColumn("period",
+            when($"ts" < lit("2024-01-16").cast("timestamp"), 0).otherwise(1))
+        // states materialize once (KB per group); the three consumers
+        // below must not re-scan raw events per branch
+        val sk = KmvSketch.sketch(ev, Seq("event_type", "period"), $"user_id", KmvK)
+          .localCheckpoint()
+        val un = KmvSketch.mergeStates(sk, Seq("event_type"), $"kmv", KmvK)
+          .withColumnRenamed("kmv", "kmvu")
+        val s0 = sk.filter($"period" === 0).select($"event_type", $"kmv".as("kmv0"))
+        val s1 = sk.filter($"period" === 1).select($"event_type", $"kmv".as("kmv1"))
+        s0.join(s1, "event_type").join(un, "event_type")
+          .select(
+            $"event_type",
+            size($"kmv0").as("state0"), size($"kmv1").as("state1"),
+            KmvSketch.estimate($"kmv0", KmvK).as("est_p0"),
+            KmvSketch.estimate($"kmv1", KmvK).as("est_p1"),
+            KmvSketch.estimate($"kmvu", KmvK).as("est_union"),
+            KmvSketch.jaccardEstimate($"kmv0", $"kmv1", KmvK).as("jaccard_est"))
+          .withColumn("est_intersection", $"jaccard_est" * $"est_union")
+          .orderBy($"event_type")
+      },
+      Some {
+        val h60 = KmvSketch.hash60Sql("user_id")
+        def est(hs: String) = KmvSketch.estimateSql(hs, KmvK)
+        s"""WITH h AS (SELECT DISTINCT event_type,
+           |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+           |    $h60 AS h
+           |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           |r AS (SELECT event_type, period, h,
+           |    row_number() OVER (PARTITION BY event_type, period ORDER BY h) AS rn FROM h),
+           |sk AS (SELECT event_type, period, list(h ORDER BY h) AS hs
+           |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2),
+           |hu AS (SELECT DISTINCT event_type, h FROM h),
+           |ru AS (SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hu),
+           |sku AS (SELECT event_type, list(h ORDER BY h) AS hs
+           |  FROM ru WHERE rn <= $KmvK GROUP BY 1),
+           |j AS (SELECT a.event_type, a.hs AS h0, b.hs AS h1, u.hs AS hsu
+           |  FROM (SELECT * FROM sk WHERE period = 0) a
+           |  JOIN (SELECT * FROM sk WHERE period = 1) b USING (event_type)
+           |  JOIN sku u USING (event_type)),
+           |m AS (SELECT event_type, h0, h1, hsu,
+           |    list_sort(list_distinct(list_concat(h0, h1)))[1:$KmvK] AS s FROM j),
+           |f AS (SELECT event_type,
+           |    CAST(len(h0) AS INT) AS state0, CAST(len(h1) AS INT) AS state1,
+           |    ${est("h0")} AS est_p0, ${est("h1")} AS est_p1, ${est("hsu")} AS est_union,
+           |    CAST(len(list_filter(s, x -> list_contains(h0, x) AND list_contains(h1, x))) AS DOUBLE)
+           |      / CAST(len(s) AS DOUBLE) AS jaccard_est
+           |  FROM m)
+           |SELECT *, jaccard_est * est_union AS est_intersection
+           |FROM f ORDER BY event_type""".stripMargin
+      }),
+
+    // ---- q127: ROLLING time-range window aggregation — each user's
+    // trailing-7-day purchase value/count at day grain, the
+    // `rangeBetween` frame q78's fixed sliding windows don't cover
+    // (frames follow each row's own offset, and GAPS in activity
+    // genuinely shrink the frame — a rows-frame would be wrong).
+    // Scale shape: events collapse map-side to (user, day) partials
+    // BEFORE any window (the q106 geometry), so the per-user window
+    // sorts day rows bounded by the span, never raw events. Decimal
+    // sums exact; day ids are the proven floor(double-division) µs
+    // arithmetic.
+    Q(
+      "q127_rolling_range_window",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+          .groupBy(
+            $"user_id",
+            floor(unix_micros($"ts").cast("double") / 86400000000.0).cast("long").as("day_id"))
+          .agg(
+            sum($"value".cast("decimal(18,6)")).as("dv"),
+            count(lit(1)).as("n_events"))
+        val w = Window.partitionBy("user_id").orderBy("day_id").rangeBetween(-6, 0)
+        daily.select(
+          $"user_id", $"day_id",
+          $"dv".cast("double").as("day_value"),
+          sum($"dv").over(w).cast("double").as("roll7_value"),
+          sum($"n_events").over(w).as("roll7_events"),
+          count(lit(1)).over(w).cast("int").as("n_active_days7"))
+          .orderBy($"user_id", $"day_id")
+      },
+      Some("""WITH daily AS (SELECT user_id,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day_id,
+             |    sum(CAST(value AS DECIMAL(18,6))) AS dv, count(*) AS n_events
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+             |SELECT user_id, day_id,
+             |  CAST(dv AS DOUBLE) AS day_value,
+             |  CAST(sum(dv) OVER w AS DOUBLE) AS roll7_value,
+             |  CAST(sum(n_events) OVER w AS BIGINT) AS roll7_events,
+             |  CAST(count(*) OVER w AS INT) AS n_active_days7
+             |FROM daily
+             |WINDOW w AS (PARTITION BY user_id ORDER BY day_id
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, day_id""".stripMargin)),
+
+    // ---- q128: all-corpus KNN GRAPH — every vector's approximate
+    // 5 nearest neighbors via the multi-table hyperplane LSH self-join
+    // (Similarity.knnGraph): the adjacency structure semantic
+    // clustering and graph dedup start from. Soundness+recall oracle
+    // (the q30/q38 pattern): every emitted edge must carry the TRUE
+    // cosine (DuckDB recomputes bit-for-bit), ranks recompute from the
+    // emitted set, no source over-emits past k, and the emitted edges
+    // must recall ≥ 0.8 of the exact all-pairs 5-NN graph.
+    Q(
+      "q128_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        Similarity.knnGraph(
+          Tables.embeddings(s, d), $"embedding", $"vec_id", k = 5, bits = 4, tables = 32)
+          .select(
+            $"query_id".as("src_id"), $"rank", $"corpus_id".as("dst_id"), $"cosine")
+          .orderBy($"src_id", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+             |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+             |exact_topk AS (SELECT src_id, dst_id FROM (
+             |    SELECT src_id, dst_id,
+             |      row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS rank
+             |    FROM scored) WHERE rank <= 5),
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q128_knn_graph/*.parquet')),
+             |joined AS (SELECT m.src_id, m.dst_id, s.cosine
+             |  FROM emitted m JOIN scored s ON m.src_id = s.src_id AND m.dst_id = s.dst_id
+             |    AND abs(m.cosine - s.cosine) < 1e-9),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted m
+             |       JOIN exact_topk t ON m.src_id = t.src_id AND m.dst_id = t.dst_id)
+             |      >= 0.8 * (SELECT count(*) FROM exact_topk)
+             |    AND (SELECT coalesce(max(c), 0) FROM
+             |           (SELECT count(*) AS c FROM emitted GROUP BY src_id)) <= 5
+             |  ) AS ok)
+             |SELECT src_id,
+             |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS INT) AS rank,
+             |  dst_id, cosine
+             |FROM joined
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY src_id, rank""".stripMargin)),
+
+    // ---- q129: DSIR importance weighting (Xie et al., NeurIPS 2023)
+    // — every document scored by ln p̂_tgt/p̂_raw of its hashed
+    // unigram+bigram features, target = the English slice: the
+    // importance-resampling data selector. Counts and buckets are
+    // exact (portable md5); only ln() is engine-local, so the oracle
+    // recomputes every weight from scratch and admits rows within
+    // 1e-9 (the q57/q61 tolerance-with-poison pattern), with n_feats
+    // and membership exact both ways.
+    Q(
+      "q129_dsir_importance",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            coalesce(TextAnalysis.tokens($"text"), array()).as("toks"))
+        Importance.dsirLogWeights(
+          docs, docs.filter($"lang" === "en"), $"doc_id", $"toks", buckets = 256)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+              |feats AS (SELECT doc_id, lang,
+              |    list_concat(toks, CASE WHEN len(toks) >= 2
+              |      THEN list_transform(generate_series(1, len(toks) - 1),
+              |             i -> toks[i] || '_' || toks[i + 1])
+              |      ELSE [] END) AS fs
+              |  FROM t),
+              |bx AS (SELECT doc_id, lang,
+              |    CAST(('0x' || substring(md5(unnest(fs)), 1, 8)) AS BIGINT) % 256 AS b
+              |  FROM feats),
+              |tcnt AS (SELECT b, count(*) AS c FROM bx WHERE lang = 'en' GROUP BY b),
+              |rcnt AS (SELECT b, count(*) AS c FROM bx GROUP BY b),
+              |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+              |               (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt),
+              |ratio AS (SELECT r.b AS b,
+              |    ln((coalesce(t.c, 0) + 1.0) / (tot.tt + 256.0))
+              |      - ln((r.c + 1.0) / (tot.rt + 256.0)) AS lr
+              |  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot),
+              |sc AS (SELECT bx.doc_id, count(*) AS n_feats, sum(ratio.lr) AS lw
+              |  FROM bx JOIN ratio USING (b) GROUP BY bx.doc_id),
+              |expected AS (SELECT t.doc_id,
+              |    coalesce(sc.n_feats, 0) AS n_feats, coalesce(sc.lw, 0.0) AS lw
+              |  FROM t LEFT JOIN sc USING (doc_id)),
+              |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q129_dsir_importance/*.parquet')),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expected)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e
+              |      WHERE e.doc_id NOT IN (SELECT doc_id FROM expected))
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expected x USING (doc_id)
+              |      WHERE e.n_feats <> x.n_feats OR abs(e.log_weight - x.lw) > 1e-9)
+              |  ) AS ok)
+              |SELECT doc_id, n_feats, log_weight FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+              |  WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q130: 2-d PARETO FRONTIER (skyline) — the documents no
+    // other doc beats on both (distinct-token diversity ↑, byte cost
+    // ↓): curation's "cheapest doc at every achievable quality level".
+    // Integer dimensions end to end, so the brute-force NOT EXISTS
+    // oracle hash-matches exactly; the two-phase bucket plan (q48/q73
+    // geometry) is what makes the same answer computable at corpus
+    // scale — the oracle's O(n²) formulation is precisely what the
+    // operator avoids.
+    Q(
+      "q130_pareto_frontier",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select(
+          $"doc_id",
+          size(array_distinct(coalesce(TextAnalysis.tokens($"text"), array())))
+            .cast("long").as("x"),
+          coalesce(length($"text"), lit(0)).cast("long").as("y"))
+        Skyline.paretoFrontier2d(base, $"doc_id", $"x", $"y", buckets = 16)
+          .select($"id".as("doc_id"), $"x".as("n_distinct_tokens"), $"y".as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(list_distinct($sqlToks)) AS BIGINT) AS x,
+              |    CAST(coalesce(length(text), 0) AS BIGINT) AS y
+              |  FROM documents)
+              |SELECT doc_id, x AS n_distinct_tokens, y AS n_chars FROM t a
+              |WHERE NOT EXISTS (SELECT 1 FROM t b
+              |  WHERE (b.x > a.x AND b.y <= a.y) OR (b.x >= a.x AND b.y < a.y))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q131: STAR-SCHEMA flagship join (the TPC-H Q5 shape) — six
+    // tables, the canonical BI plan: lineitem ⋈ orders ⋈ customer ⋈
+    // supplier ⋈ nation ⋈ region with a local-supplier condition
+    // (c_nationkey = s_nationkey), a region filter that prunes through
+    // two dimension hops, and a one-year date slice. The dimensions
+    // broadcast (AQE; region/nation/supplier are KB-scale at any SF),
+    // so the only shuffles are the two fact-side equi-joins — the plan
+    // Catalyst's join reordering + broadcast thresholds exist for.
+    Q(
+      "q131_star_schema_revenue",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(n, $"s_nationkey" === $"n_nationkey")
+          .join(r, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(
+            sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+              .cast("decimal(18,4)").cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin),
+      bench = true))
+}

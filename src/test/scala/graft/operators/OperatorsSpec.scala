@@ -362,6 +362,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, c) => q != c })
   }
 
+  test("knnGraph: sound self-KNN edges (no self loops, ≤ k per node) with usable recall") {
+    import spark.implicits._
+    val k = 5
+    val rows = Similarity.knnGraph(embs, $"embedding", $"vec_id", k = k, bits = 4, tables = 32)
+      .collect()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length <= k), "a node over-emitted past k")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self edge emitted")
+    // ranks are 1..n per source, cosine non-increasing
+    bySrc.values.foreach { edges =>
+      val byRank = edges.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length).toSeq)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true
+      })
+    }
+    val brute = Similarity.bruteForceTopK(embs, embs,
+      $"embedding", $"vec_id", $"embedding", $"vec_id", k = k)
+      .select($"query_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"knnGraph recall@5 = $recall%.2f (bits=4, tables=32)")
+    assert(recall >= 0.5, f"knnGraph recall $recall%.2f too low")
+  }
+
   test("cluster resolution: chains collapse to the min id; invariants hold") {
     import spark.implicits._
     // a 4-chain, a 2-clique pair, and a singleton-free graph

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Importance, KmvSketch, Similarity, Skyline, TextAnalysis}
 
@@ -320,5 +321,182 @@ object ScaleOps3 {
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name
              |ORDER BY n_name""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- q132: STREAMING LEFT-OUTER interval join under the gate —
+    // the outer-emission semantics q92's inner join can't show: an
+    // error event with no click within ±1 hour emits a NULL-click row
+    // ONCE, when the watermark proves no in-interval click can still
+    // arrive. Errors too close to end-of-stream (ts + 1h ≥ final
+    // watermark) are withheld forever — exactly the live-stream
+    // contract — so the oracle re-derives the final watermark (min of
+    // both inputs' max ts − 2h) and demands the same withheld set.
+    Q(
+      "q132_streaming_outer_interval_join",
+      (s, d) => streamingOuterIntervalJoin(s, d),
+      Some("""WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |-- Spark's event-time watermark is millisecond-floored:
+             |-- W = min over inputs of floor(max ts in ms) - 2h
+             |wm AS (SELECT least(
+             |    (SELECT CAST(floor(CAST(max(epoch_us(ts)) AS DOUBLE) / 1000.0) AS BIGINT) FROM err),
+             |    (SELECT CAST(floor(CAST(max(epoch_us(ts)) AS DOUBLE) / 1000.0) AS BIGINT) FROM clk)
+             |  ) - 7200000 AS w_ms),
+             |pairs AS (SELECT a.event_id AS error_event_id, b.event_id AS click_event_id
+             |  FROM err a JOIN clk b ON a.user_id = b.user_id
+             |   AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000
+             |                          AND epoch_us(a.ts) + 3600000000),
+             |unmatched AS (SELECT a.event_id AS error_event_id,
+             |    CAST(NULL AS BIGINT) AS click_event_id
+             |  FROM err a
+             |  WHERE a.event_id NOT IN (SELECT error_event_id FROM pairs)
+             |    -- outer row emits only once evictable: the row's last
+             |    -- possible match time has passed the final watermark
+             |    AND CAST(floor(CAST(epoch_us(a.ts) AS DOUBLE) / 1000.0) AS BIGINT) + 3600000
+             |      < (SELECT w_ms FROM wm))
+             |SELECT * FROM pairs
+             |UNION ALL
+             |SELECT * FROM unmatched
+             |ORDER BY error_event_id, click_event_id""".stripMargin)),
+
+    // ---- q133: reciprocal-rank FUSION over multi-query retrieval
+    // (RAG-fusion shape): four query vectors each retrieve exact
+    // top-50 neighbors, and RRF (Cormack et al. 2009) folds the four
+    // rankings into one consensus top-20. Everything is EXACT across
+    // engines — cosines are bit-equal (q29 precedent), so ranks are
+    // bit-equal, and RRF scores fold exact divisions in pinned
+    // ascending-rank order — a HASH-MATCH oracle on a ranking
+    // ensemble.
+    Q(
+      "q133_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val ranked = Similarity.bruteForceTopK(
+          emb, emb.filter($"vec_id" < 4),
+          $"embedding", $"vec_id", $"embedding", $"vec_id", k = 50)
+        graft.operators.Fusion.rrf(ranked, $"query_id", $"corpus_id", $"rank", kRrf = 60)
+          .orderBy($"rrf_score".desc, $"item_id").limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+             |scored AS (SELECT query_id, e.vec_id AS corpus_id,
+             |    list_dot_product(qv, v)
+             |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+             |ranked AS (SELECT query_id, corpus_id, rank FROM (
+             |    SELECT query_id, corpus_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+             |    FROM scored) WHERE rank <= 50),
+             |fused AS (SELECT corpus_id AS item_id, count(*) AS n_lists,
+             |    list_sort(list(rank)) AS rs
+             |  FROM ranked GROUP BY corpus_id),
+             |sc AS (SELECT item_id, n_lists,
+             |    list_reduce(list_transform(rs, r -> 1.0 / (60.0 + CAST(r AS DOUBLE))),
+             |      (a, b) -> a + b) AS rrf_score
+             |  FROM fused)
+             |SELECT item_id, n_lists, rrf_score FROM sc
+             |ORDER BY rrf_score DESC, item_id LIMIT 20""".stripMargin)),
+
+    // ---- q134: deterministic POISSON-free bootstrap — per event
+    // type, 32 half-sample replicates selected by a portable md5 coin
+    // (hash(event_id, replicate) < 2^31), each replicate's mean from
+    // exact decimal sums, and the 5th/28th order statistics of the 32
+    // means as a [~10%, ~90%] confidence band. RNG-free and
+    // append-stable like every sampler here (q47/q53/q60), and the
+    // replicate blow-up feeds partial aggregation DIRECTLY — the
+    // shuffle carries (type × replicate) partials, never the ×32
+    // expanded rows.
+    Q(
+      "q134_bootstrap_ci",
+      (s, d) => {
+        import s.implicits._
+        val reps = 32
+        val ev = Tables.events(s, d)
+          .filter($"event_id".isNotNull && $"value".isNotNull)
+          .select($"event_id", $"event_type", $"value".cast("decimal(18,6)").as("v"))
+          .select($"event_id", $"event_type", $"v",
+            explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+          .filter(
+            conv(substring(md5(concat_ws("_", $"event_id", $"rep")), 1, 8), 16, 10)
+              .cast("long") < 2147483648L)
+        val means = ev.groupBy($"event_type", $"rep")
+          .agg((sum($"v").cast("double") / count(lit(1)).cast("double")).as("m"))
+        means.groupBy($"event_type")
+          .agg(sort_array(collect_list($"m")).as("ms"), count(lit(1)).as("n_reps"))
+          .filter($"n_reps" === reps)
+          .select(
+            $"event_type", $"n_reps",
+            element_at($"ms", 5).as("ci_lo"),
+            element_at($"ms", 28).as("ci_hi"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ex AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v, r.rep
+             |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r
+             |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+             |    AND CAST(('0x' || substring(md5(event_id || '_' || rep), 1, 8)) AS BIGINT) < 2147483648),
+             |means AS (SELECT event_type, rep,
+             |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+             |  FROM ex GROUP BY 1, 2),
+             |agg AS (SELECT event_type, list_sort(list(m)) AS ms, count(*) AS n_reps
+             |  FROM means GROUP BY 1)
+             |SELECT event_type, n_reps, ms[5] AS ci_lo, ms[28] AS ci_hi
+             |FROM agg WHERE n_reps = 32
+             |ORDER BY event_type""".stripMargin)))
+
+  /** q132: the live left-outer run — q92's staging (two file streams,
+    * `maxFilesPerTrigger=1` forcing ≥2 micro-batches each, 2-hour
+    * watermarks over a ±1-hour interval) with `leftOuter` semantics:
+    * unmatched error rows surface as NULL-click rows when the final
+    * watermark passes their last possible match time. AvailableNow
+    * runs a trailing no-data batch (noDataMicroBatches default), so
+    * end-of-stream outer emission is deterministic — and everything
+    * within one watermark of the stream tail stays withheld, exactly
+    * what the oracle re-derives.
+    */
+  private def streamingOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val scratch = Scratch.tempDir("q132_ssoj")
+    try {
+      def stage(tpe: String, dir: String): Unit =
+        Tables.events(s, d).filter($"event_type" === tpe)
+          .select($"event_id", $"user_id", $"ts")
+          .repartition(2).write.parquet(dir)
+      val errDir = scratch.resolve("err").toString
+      val clkDir = scratch.resolve("clk").toString
+      stage("error", errDir)
+      stage("click", clkDir)
+      val schema = s.read.parquet(errDir).schema
+      val a = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(errDir).withWatermark("ts", "2 hours").alias("a")
+      val b = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(clkDir).withWatermark("ts", "2 hours").alias("b")
+      val joined = a.join(b,
+        expr("""a.user_id = b.user_id AND
+                b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR"""),
+        "leftOuter")
+        .select(col("a.event_id").as("error_event_id"),
+          col("b.event_id").as("click_event_id"))
+      val name = "q132_ssoj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q132 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q132 ran $dataBatches data micro-batch(es); the incremental " +
+            "stream-stream state path needs at least 2")
+        s.table(name)
+          .select($"error_event_id", $"click_event_id")
+          .orderBy($"error_event_id", $"click_event_id")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

@@ -91,6 +91,26 @@ object KmvSketch {
     s"CASE WHEN len($hsExpr) < $k THEN CAST(len($hsExpr) AS DOUBLE) " +
       s"ELSE ${(k - 1).toDouble} * 1152921504606846976.0 / CAST($hsExpr[$k] AS DOUBLE) END"
 
+  /** Driver-side state merge (incremental/streaming maintenance, the
+    * q80 foreachBatch shape): ≤ k smallest distinct values of two
+    * sorted-ascending states — the same linear distinct-merge the
+    * [[KmvMin]] aggregator runs inside the plan, exposed for code that
+    * folds collected states outside one.
+    */
+  def mergeSorted(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] = {
+    require(k >= 1, s"KMV needs k >= 1, got $k")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var j = 0
+    while (out.size < k && (i < a.size || j < b.size)) {
+      val v =
+        if (j >= b.size || (i < a.size && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
+      if (out.isEmpty || out.last != v) out += v
+    }
+    out.toSeq
+  }
+
   /** Jaccard estimate between two states: |S ∩ A ∩ B| / |S| where S
     * is the (≤ k)-min union sketch. Exact integer membership counts →
     * one deterministic double division.

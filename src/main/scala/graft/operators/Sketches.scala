@@ -20,6 +20,72 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Mergeable equi-width HISTOGRAM states — the quantile member of
+    * the sketch family (HLL counts distincts, CMS counts frequencies,
+    * KMV does set algebra; the histogram answers "what is p90"). The
+    * state is plain (group…, bin, n) ROWS: bin assignment is map-side
+    * arithmetic, the count partial-aggregates, and MERGING states —
+    * across time grains, ingest increments, or cluster shards — is
+    * nothing but summing n by (group, bin), an algebraic aggregate at
+    * any scale. `bins` bounds both state size and quantile error
+    * (≤ one bin width).
+    *
+    * Values below `lo` clamp into bin 0 and at/above `hi` into the
+    * last bin (documented saturation — quantiles near the clamp
+    * report the clamped edge). Bin ids replay exactly in SQL:
+    * `min(bins-1, floor((v − lo) / width))` in IEEE doubles.
+    */
+  def histogramBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"histogramBins needs bins >= 1, got $bins")
+    require(lo < hi, s"histogramBins needs lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1).cast("long"),
+      greatest(lit(0L), floor((value.cast("double") - lit(lo)) / lit(width)).cast("long")))
+    df.select(groupCols.map(col) :+ bin.as("bin"): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from histogram states: for each requested
+    * q ∈ (0, 1], the LOWER EDGE of the first bin whose cumulative
+    * count reaches `ceil(q · N)` — deterministic, exactly replayable,
+    * within one bin width of the true quantile. The cumulative window
+    * runs over ≤ `bins` rows per group (never raw data). Output:
+    * groupCols…, n_total, one `p<percent>` double column per q.
+    */
+  def histogramQuantiles(
+      states: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val width = (hi - lo) / bins
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val cum = states
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("ntot", sum(col("n")).over(wTot))
+    val aggs = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("ntot")),
+        lit(lo) + col("bin").cast("double") * lit(width)))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(groupCols.map(col) :+ col("ntot"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("ntot", "n_total")
+  }
+
   /** Misra-Gries heavy hitters over a string column: at most `k`
     * (token, est_count) rows, est sorted descending (ties by token).
     * One pass, O(k) state per partial buffer, no full-vocabulary

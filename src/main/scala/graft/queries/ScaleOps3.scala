@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Importance, KmvSketch, Similarity, Skyline, TextAnalysis}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.{Importance, KmvSketch, Similarity, Sketches, Skyline, TextAnalysis}
 
 /** Round-6 continuation (q126–q131): KMV set-operation sketches (the
   * intersection estimates HLL cannot produce), rolling time-range
@@ -442,7 +444,125 @@ object ScaleOps3 {
              |  FROM means GROUP BY 1)
              |SELECT event_type, n_reps, ms[5] AS ci_lo, ms[28] AS ci_hi
              |FROM agg WHERE n_reps = 32
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- q135: mergeable equi-width HISTOGRAM states → quantiles —
+    // the quantile member of the sketch family (q70 HLL distincts,
+    // q77 CMS frequencies, q126 KMV set algebra). States are plain
+    // (group, bin, n) rows — map-side bin arithmetic + one
+    // partial-aggregable count — and the query exercises the MERGE
+    // path: weekly states sum into per-type states by (type, bin)
+    // before quantile extraction, the incremental-rollup economics of
+    // q70. Bin ids, cumulative ranks, and ceil(q·N) thresholds are
+    // all exactly replayable, so a deterministic oracle hash-matches
+    // an "approximate" quantile structure (q77 precedent); estimates
+    // are within one 10-unit bin of truth by construction.
+    Q(
+      "q135_histogram_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+          .withColumn("week",
+            floor(unix_micros($"ts").cast("double") / 604800000000.0).cast("long"))
+        val weekly = Sketches.histogramBins(
+          ev, Seq("event_type", "week"), $"value", lo = 0.0, hi = 640.0, bins = 64)
+        // state merge: week grain folds away with one algebraic sum
+        val merged = weekly.groupBy($"event_type", $"bin").agg(sum($"n").as("n"))
+        Sketches.histogramQuantiles(
+          merged, Seq("event_type"), Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 640.0, bins = 64)
+          .orderBy($"event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    LEAST(63, GREATEST(0, CAST(floor((value - 0.0) / 10.0) AS BIGINT))) AS bin,
+             |    count(*) AS n
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |c AS (SELECT event_type, bin, n,
+             |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(n) OVER (PARTITION BY event_type) AS ntot
+             |  FROM b)
+             |SELECT event_type, CAST(ntot AS BIGINT) AS n_total,
+             |  min(CASE WHEN cum >= ceil(0.5 * ntot) THEN 0.0 + CAST(bin AS DOUBLE) * 10.0 END) AS p50,
+             |  min(CASE WHEN cum >= ceil(0.9 * ntot) THEN 0.0 + CAST(bin AS DOUBLE) * 10.0 END) AS p90,
+             |  min(CASE WHEN cum >= ceil(0.99 * ntot) THEN 0.0 + CAST(bin AS DOUBLE) * 10.0 END) AS p99
+             |FROM c GROUP BY event_type, ntot
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- q136: INCREMENTAL KMV maintenance under the gate — q126's
+    // distinct sketch kept live by a real micro-batch stream (the q80
+    // CMS pattern): each batch builds per-type states inside the plan,
+    // the driver folds them through the SAME linear distinct-merge the
+    // aggregator uses, and the final estimates must equal the batch
+    // build bit-for-bit (k-min union is exactly associative). Driver
+    // state: ≤ k longs per type, regardless of stream length.
+    Q(
+      "q136_streaming_kmv",
+      (s, d) => streamingKmv(s, d),
+      Some {
+        val h60 = KmvSketch.hash60Sql("user_id")
+        s"""WITH h AS (SELECT DISTINCT event_type, $h60 AS h
+           |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           |r AS (SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+           |sk AS (SELECT event_type, list(h ORDER BY h) AS hs
+           |  FROM r WHERE rn <= 32 GROUP BY 1)
+           |SELECT event_type, CAST(len(hs) AS INT) AS state_size,
+           |  ${KmvSketch.estimateSql("hs", 32)} AS est_users
+           |FROM sk ORDER BY event_type""".stripMargin
+      }))
+
+  /** q136: the live incremental-KMV run. 4-file event projection,
+    * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each
+    * batch's bounded states merged driver-side under a lock — the
+    * constant-memory streaming-distinct maintenance loop.
+    */
+  private def streamingKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 32
+    val scratch = Scratch.tempDir("q136_kmv")
+    try {
+      val inDir = scratch.resolve("input").toString
+      Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"event_type".isNotNull)
+        .select($"user_id", $"event_type")
+        .repartition(4).write.parquet(inDir)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      val merged = scala.collection.mutable.Map.empty[String, Seq[Long]]
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lock = new Object
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = KmvSketch.sketch(batch, Seq("event_type"), col("user_id"), k).collect()
+            lock.synchronized {
+              rows.foreach { r =>
+                val t = r.getString(0)
+                merged(t) = KmvSketch.mergeSorted(
+                  merged.getOrElse(t, Seq.empty), r.getSeq[Long](1), k)
+              }
+            }
+            nBatches.incrementAndGet(): Unit
+        }
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q136 stream did not terminate within 600s — refusing a partial sketch")
+      finally q.stop()
+      require(nBatches.get() >= 2,
+        s"q136 ran ${nBatches.get()} micro-batch(es); the incremental-merge " +
+          "path needs at least 2")
+      lock.synchronized(merged.toSeq).toDF("event_type", "kmv")
+        .select($"event_type", size($"kmv").as("state_size"),
+          KmvSketch.estimate($"kmv", k).as("est_users"))
+        .orderBy($"event_type")
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q132: the live left-outer run — q92's staging (two file streams,
     * `maxFilesPerTrigger=1` forcing ≥2 micro-batches each, 2-hour

@@ -415,6 +415,9 @@ object GraftFunctions {
     spec("graft_overlap",
       "graft_overlap(a, b) - intersection size of two sorted array<bigint>", 2)(
       exprs => SortedOverlapCount(exprs.head, exprs(1))),
+    spec("graft_matvec",
+      "graft_matvec(v, rows) - dot product of v against each matrix row", 2)(
+      exprs => MatVecDots(exprs.head, exprs(1))),
     spec("graft_nearest_centroids",
       "graft_nearest_centroids(v, centroids, top) - nearest IVF cells, best-first", 3)(
       exprs => NearestCentroids(exprs.head, exprs(1),
@@ -506,6 +509,12 @@ object GraftFunctions {
   def sortedOverlap(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_overlap", a, b)
+  }
+
+  def matVec(v: Column, rows: Column): Column = matVec(SparkSession.active, v, rows)
+  def matVec(spark: SparkSession, v: Column, rows: Column): Column = {
+    register(spark)
+    call_function("graft_matvec", v, rows)
   }
 
   def nearestCentroids(v: Column, centroids: Column, top: Int): Column =

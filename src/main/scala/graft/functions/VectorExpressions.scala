@@ -191,6 +191,46 @@ object VectorKernels {
   */
 object CentroidKernels {
 
+  /** Dense matrix–vector product against a LITERAL row matrix: one
+    * left-to-right dot per row, the exact float expression a DuckDB
+    * oracle writes as `list_dot_product(v, row)` per row — projections
+    * re-derive bit-for-bit. Returns null (not a plausible projection)
+    * when the vector is corrupt (null elements) or any matrix row is
+    * null / ragged / null-element — the matrix is caller-built, so a
+    * bad row is a bug surfaced as a droppable null, mirroring
+    * [[CosineSimilarity]]'s corrupt-input nulling.
+    */
+  def matVecDots(v: ArrayData, rows: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val k = rows.numElements()
+    val out = new Array[Any](k)
+    var r = 0
+    while (r < k) {
+      if (rows.isNullAt(r)) return null
+      val row = rows.getArray(r)
+      if (row.numElements() != dim) return null
+      var j = 0
+      while (j < dim) {
+        if (row.isNullAt(j)) return null
+        j += 1
+      }
+      var dot = 0.0
+      j = 0
+      while (j < dim) {
+        dot += v.getDouble(j) * row.getDouble(j)
+        j += 1
+      }
+      out(r) = dot
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def nearestCentroids(v: ArrayData, cents: ArrayData, top: Int): ArrayData = {
     val k = cents.numElements()
     val t = math.min(top, k)
@@ -328,6 +368,41 @@ object CentroidKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+case class MatVecDots(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_matvec requires (array<double>, array<array<double>>), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_matvec"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any, rows: Any): Any =
+    CentroidKernels.matVecDots(v.asInstanceOf[ArrayData], rows.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "graft.functions.CentroidKernels.matVecDots"
+    nullSafeCodeGen(ctx, ev, (v, r) => {
+      s"""
+         |${ev.value} = $f($v, $r);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class NearestCentroids(left: Expression, right: Expression, top: Int)

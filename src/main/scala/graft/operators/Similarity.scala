@@ -573,6 +573,56 @@ object Similarity {
       tables: Int = 16): DataFrame =
     lshTopK(df, df, vec, id, vec, id, k, bits, tables, excludeSelf = true)
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to `outDim` dimensions —
+    * the cheap embedding-compression step before storage or coarse
+    * search (Achlioptas 2003: a ±1 matrix preserves pairwise distances
+    * within 1±ε for outDim = O(log n / ε²), no training pass needed —
+    * the data-independent complement to q82's trained PQ). The matrix
+    * derives from portable md5 bits (`md5("jl_<seed>_<k>_<j>") % 2`),
+    * so an oracle re-derives every entry independently, and the
+    * projection itself is the [[graft.functions.MatVecDots]] codegen
+    * kernel — one fused left-to-right loop per row, bit-equal to
+    * DuckDB's `list_dot_product`, ZERO shuffle at any corpus scale.
+    *
+    * Output: (vec_id, dim_idx, value) — one row per projected
+    * component (scalar-only, gate-sortable). `value = dot(v, r_k) /
+    * sqrt(outDim)`. Vectors whose length ≠ `inDim` (or with null
+    * elements) project to null and emit NO rows — the kernel's
+    * corrupt-input nulling.
+    */
+  def randomProject(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      inDim: Int,
+      outDim: Int,
+      seed: Int = 7): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims must be >= 1, got $inDim -> $outDim")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = array((0 until outDim).map { k =>
+      array((0 until inDim).map { j =>
+        lit(if (md5Mod2(s"jl_${seed}_${k}_${j}")) 1.0 else -1.0)
+      }: _*)
+    }: _*)
+    val scale = lit(math.sqrt(outDim.toDouble))
+    df.select(
+      id.cast("long").as("vec_id"),
+      graft.functions.GraftFunctions.matVec(vec.cast("array<double>"), rows).as("proj"))
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim_idx", "dot")))
+      .select(col("vec_id"), col("dim_idx").cast("int").as("dim_idx"),
+        (col("dot") / scale).as("value"))
+  }
+
+  /** True iff the 32-bit md5 prefix of `s` is even — the portable
+    * coin both [[randomProject]] and its oracle flip.
+    */
+  private def md5Mod2(s: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2 == 0
+  }
+
   /** Symmetric per-vector int8 quantization of an embedding column —
     * the storage/bandwidth prep for vector serving (4× smaller than
     * float32, 8× than float64). Returns struct(scale, qvec) where

@@ -512,7 +512,69 @@ object ScaleOps3 {
            |SELECT event_type, CAST(len(hs) AS INT) AS state_size,
            |  ${KmvSketch.estimateSql("hs", 32)} AS est_users
            |FROM sk ORDER BY event_type""".stripMargin
-      }))
+      }),
+
+    // ---- q137: Johnson–Lindenstrauss random projection 64 → 16 —
+    // data-independent embedding compression (Achlioptas ±1 matrix):
+    // no training pass, one map-side matvec through the codegen
+    // kernel, zero shuffle. The matrix derives from portable md5
+    // coins, dots accumulate left-to-right in both engines, and
+    // sqrt(16) is exact — a HASH-MATCH oracle on the whole projected
+    // corpus, re-deriving the matrix AND every component from scratch.
+    Q(
+      "q137_random_projection",
+      (s, d) => {
+        import s.implicits._
+        Similarity.randomProject(
+          Tables.embeddings(s, d), $"embedding", $"vec_id",
+          inDim = 64, outDim = 16, seed = 7)
+          .orderBy($"vec_id", $"dim_idx")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT k,
+             |    list(CASE WHEN CAST(('0x' || substring(md5('jl_7_' || k || '_' || j), 1, 8)) AS BIGINT) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END ORDER BY j) AS r
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS k),
+             |       (SELECT unnest(generate_series(0, 63)) AS j)
+             |  GROUP BY k),
+             |p AS (SELECT vec_id, k AS dim_idx,
+             |    list_dot_product(v, r) / sqrt(16.0) AS value
+             |  FROM e CROSS JOIN m WHERE len(v) = 64)
+             |SELECT vec_id, CAST(dim_idx AS INT) AS dim_idx, value
+             |FROM p ORDER BY vec_id, dim_idx""".stripMargin)),
+
+    // ---- q138: MARKOV transition matrix over each user's event
+    // sequence — behavioral next-event statistics (the matrix q105's
+    // funnel walks one path of). One lead() window per user (bounded
+    // by that user's activity, the q87 geometry), exact pair counts,
+    // and row-normalized probabilities as one deterministic double
+    // division — exact oracle.
+    Q(
+      "q138_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy($"ts", $"event_id")
+        val pairs = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+          .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+          .withColumn("to_type", lead($"from_type", 1).over(w))
+          .filter($"to_type".isNotNull)
+        val counts = pairs.groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        val tot = Window.partitionBy("from_type")
+        counts.select(
+          $"from_type", $"to_type", $"n",
+          ($"n".cast("double") / sum($"n").over(tot).cast("double")).as("p"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type AS from_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

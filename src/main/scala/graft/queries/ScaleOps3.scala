@@ -574,7 +574,62 @@ object ScaleOps3 {
              |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
              |SELECT from_type, to_type, n,
              |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
-             |FROM c ORDER BY from_type, to_type""".stripMargin)))
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- q139: PCA with a CERTIFICATE oracle — top-4 eigenpairs of
+    // the embedding covariance from ONE partial-aggregable co-moment
+    // pass (the corpus never shuffles; the 64×64 eigenproblem solves
+    // on the driver, q93/q96 bounded-step precedent). Float covariance
+    // sums are partition-ordered and so not bit-portable — instead of
+    // replaying them, DuckDB recomputes covariance ITSELF (covar_samp)
+    // and verifies the emitted pairs' certificate: orthonormality to
+    // 1e-9, eigen-residual ‖Cv − λv‖∞ ≤ 1e-6, λ descending and
+    // ≥ −1e-9, λ₁ ≥ max Cᵢᵢ. Any wrong component, wrong value, or
+    // mis-sort fails a check → poison row. Maximality (top k, not any
+    // k) is spec-pinned against a local replay.
+    Q(
+      "q139_pca_certificate",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Pca.fitRows(
+          Tables.embeddings(s, d), $"embedding", dim = 64, topK = 4)
+          .orderBy($"part", $"k", $"j")
+      },
+      Some("""WITH em AS (SELECT * FROM read_parquet('{{OUT}}/q139_pca_certificate/*.parquet')),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE len(embedding) = 64),
+             |x AS (SELECT vec_id, j, v[CAST(j + 1 AS INT)] AS x
+             |  FROM e, (SELECT unnest(generate_series(0, 63)) AS j)),
+             |cv AS MATERIALIZED (SELECT a.j AS i, b.j AS jj, covar_samp(a.x, b.x) AS c
+             |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+             |vecs AS MATERIALIZED (SELECT k, j, value FROM em WHERE part = 'eigvec'),
+             |vals AS MATERIALIZED (SELECT k, value AS lam FROM em WHERE part = 'eigval'),
+             |resid AS (SELECT v.k, cv.i, sum(cv.c * v.value) AS cv_i
+             |  FROM cv JOIN vecs v ON cv.jj = v.j GROUP BY v.k, cv.i),
+             |rchk AS (SELECT r.k, max(abs(r.cv_i - vals.lam * vi.value)) AS rmax
+             |  FROM resid r JOIN vals USING (k)
+             |  JOIN vecs vi ON vi.k = r.k AND vi.j = r.i GROUP BY r.k),
+             |dots AS (SELECT a.k AS k1, b.k AS k2, sum(a.value * b.value) AS dot
+             |  FROM vecs a JOIN vecs b USING (j) GROUP BY 1, 2),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM vals) = 4
+             |    AND (SELECT count(*) FROM vecs) = 4 * 64
+             |    AND (SELECT count(*) FROM em) = 4 + 4 * 64
+             |    AND NOT EXISTS (SELECT 1 FROM dots
+             |      WHERE (k1 = k2 AND abs(dot - 1.0) > 1e-9)
+             |         OR (k1 <> k2 AND abs(dot) > 1e-9))
+             |    AND NOT EXISTS (SELECT 1 FROM rchk WHERE rmax > 1e-6 OR isnan(rmax))
+             |    AND NOT EXISTS (SELECT 1 FROM vals a JOIN vals b ON a.k + 1 = b.k
+             |      WHERE a.lam < b.lam - 1e-12)
+             |    AND (SELECT min(lam) FROM vals) > -1e-9
+             |    AND (SELECT lam FROM vals WHERE k = 0)
+             |      >= (SELECT max(c) FROM cv WHERE i = jj) - 1e-6
+             |  ) AS ok)
+             |SELECT part, k, j, value FROM em WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS INT), CAST(-1 AS INT), CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY part, k, j""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

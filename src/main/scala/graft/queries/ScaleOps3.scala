@@ -629,7 +629,71 @@ object ScaleOps3 {
              |UNION ALL
              |SELECT 'poison', CAST(-1 AS INT), CAST(-1 AS INT), CAST(-999 AS DOUBLE)
              |  WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY part, k, j""".stripMargin)))
+             |ORDER BY part, k, j""".stripMargin)),
+
+    // ---- q140: TF-IDF top-terms KEYWORD EXTRACTION — each doc's 3
+    // most characteristic terms by tf · (ln((1+N)/(1+df)) + 1), the
+    // sklearn-smoothed idf (always positive, so ubiquitous terms
+    // dampen but never flip sign). The per-doc ranking window is
+    // bounded by that doc's distinct terms (doc-sized, the q21 class);
+    // the df join shuffles vocab-sized term tables, not the corpus.
+    // ln() is engine-local → the q57 tolerance-oracle shape: every
+    // emitted score recomputed within 1e-9, per-doc emission counts
+    // exact (min(3, distinct terms)), no outside term beats the
+    // doc's worst emitted + 1e-9, and ranks re-derive from the
+    // recomputed scores.
+    Q(
+      "q140_tfidf_top_terms",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", coalesce(TextAnalysis.tokens($"text"), array()).as("toks"))
+        val tf = docs.select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            $"tf" * (log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)))
+        val w = Window.partitionBy("doc_id").orderBy($"score".desc, $"term")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", $"tf", $"score")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+              |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |sc AS MATERIALIZED (SELECT tf.doc_id, tf.term, tf.tf,
+              |    tf.tf * (ln((n.n + 1.0) / (dfx.df + 1.0)) + 1.0) AS score
+              |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+              |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q140_tfidf_top_terms/*.parquet')),
+              |joined AS MATERIALIZED (SELECT e.doc_id, e.rank, e.term, e.tf, sc.score
+              |  FROM emitted e JOIN sc ON e.doc_id = sc.doc_id AND e.term = sc.term
+              |    AND e.tf = sc.tf AND abs(e.score - sc.score) <= 1e-9),
+              |percount AS (SELECT doc_id, count(*) AS c FROM emitted GROUP BY 1),
+              |expectcount AS (SELECT doc_id, least(3, count(*)) AS c FROM sc GROUP BY 1),
+              |worst AS (SELECT doc_id, min(score) AS w FROM joined GROUP BY 1),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM joined)
+              |    AND NOT EXISTS (SELECT 1 FROM expectcount x LEFT JOIN percount p USING (doc_id)
+              |      WHERE coalesce(p.c, 0) <> x.c)
+              |    AND NOT EXISTS (SELECT 1 FROM sc JOIN worst USING (doc_id)
+              |      WHERE sc.score > worst.w + 1e-9
+              |        AND NOT EXISTS (SELECT 1 FROM joined j
+              |          WHERE j.doc_id = sc.doc_id AND j.term = sc.term))
+              |    AND NOT EXISTS (SELECT 1 FROM (
+              |        SELECT doc_id, rank,
+              |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rr
+              |        FROM joined) WHERE rank <> rr)
+              |  ) AS ok)
+              |SELECT doc_id, rank, term, tf, score FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT), 'poison', CAST(-1 AS BIGINT),
+              |  CAST(-999 AS DOUBLE)
+              |  WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY doc_id, rank""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

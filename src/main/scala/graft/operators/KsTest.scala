@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov test — CONTINUOUS distribution drift
+  * (the companion to q124's chi-square and q125's PSI, which are
+  * categorical): D = sup_x |F_ref(x) − F_cur(x)| over the empirical
+  * CDFs, evaluated exactly at every distinct sample value.
+  *
+  * Scale shape — the exact global cumulative is the q48/q73 two-phase
+  * geometry, because a naive running sum over the global value order
+  * funnels the corpus through ONE reducer:
+  *   1. rows collapse to one row per DISTINCT value with per-side
+  *      counts (partial-aggregable; ties must merge anyway — the CDF
+  *      jumps once per distinct value);
+  *   2. distinct values bucket by a monotone map of the value range;
+  *      per-bucket side totals compute EXCLUSIVE prefix offsets on the
+  *      driver (≤ `buckets` rows, the q61 bounded-collect class);
+  *   3. the cumulative window runs per bucket (orderBy value), plus
+  *      the bucket offset — never the whole corpus in one partition.
+  * Everything is exact integer counts and exact divisions, so the
+  * oracle hash-matches D bit-for-bit — a deterministic replay of a
+  * statistical test.
+  *
+  * Output: ONE row — (n_ref, n_cur, d_stat, crit_05, drift) with
+  * `crit_05 = 1.358·sqrt((n1+n2)/(n1·n2))` (the α = 0.05 asymptotic
+  * critical value) and `drift = d_stat > crit_05`.
+  */
+object KsTest {
+
+  def ksTwoSample(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    val base = df.select(
+      when(value.cast("double").isNull, raise_error(lit(
+        "ksTwoSample: value is null or not castable to double — filter first")))
+        .otherwise(value.cast("double")).as("v"),
+      when(isRef.cast("boolean").isNull, raise_error(lit(
+        "ksTwoSample: isRef is null — every row needs a side")))
+        .otherwise(isRef.cast("boolean")).as("r"))
+
+    val perValue = base.groupBy("v").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("r"), 1L).otherwise(0L)).as("c2"))
+
+    val bounds = perValue.agg(min("v"), max("v")).collect()(0)
+    require(!bounds.isNullAt(0), "ksTwoSample: empty input")
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    // any monotone same-value-same-bucket map works (the Skyline
+    // argument): prefix offsets + in-bucket order reconstruct the
+    // exact global cumulative regardless of where boundaries rounded
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucketCol = least(lit(buckets - 1).cast("long"),
+      greatest(lit(0L), floor((col("v") - lit(lo)) * lit(buckets.toDouble) / lit(span)).cast("long")))
+    val binned = perValue.withColumn("b", bucketCol)
+
+    val totals = binned.groupBy("b")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n1 = totals.map(_._2).sum
+    val n2 = totals.map(_._3).sum
+    require(n1 >= 1 && n2 >= 1,
+      s"ksTwoSample needs both samples non-empty, got n_ref=$n1 n_cur=$n2")
+    // exclusive prefix offsets per bucket, shipped back as literals
+    var a1 = 0L
+    var a2 = 0L
+    val offs = totals.map { case (b, t1, t2) =>
+      val o = (b, a1, a2); a1 += t1; a2 += t2; o
+    }
+    def ladder(sel: ((Long, Long, Long)) => Long): Column =
+      offs.foldLeft(lit(0L)) { (acc, o) => when(col("b") === o._1, lit(sel(o))).otherwise(acc) }
+
+    val wCum = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = binned
+      .withColumn("cc1", sum(col("c1")).over(wCum) + ladder(_._2))
+      .withColumn("cc2", sum(col("c2")).over(wCum) + ladder(_._3))
+      .select(abs(col("cc1").cast("double") / lit(n1.toDouble) -
+        col("cc2").cast("double") / lit(n2.toDouble)).as("fd"))
+      .agg(max("fd").as("d_stat"))
+
+    // n1·n2 in DOUBLE — the long product overflows near n ~ 3e9 a side
+    val crit = lit(1.358) * sqrt(lit((n1 + n2).toDouble) / lit(n1.toDouble * n2.toDouble))
+    d.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("d_stat"),
+      crit.as("crit_05"), (col("d_stat") > crit).as("drift"))
+  }
+}

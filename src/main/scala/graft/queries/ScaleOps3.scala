@@ -693,7 +693,45 @@ object ScaleOps3 {
               |SELECT CAST(-1 AS BIGINT), CAST(-1 AS INT), 'poison', CAST(-1 AS BIGINT),
               |  CAST(-999 AS DOUBLE)
               |  WHERE NOT (SELECT ok FROM flag)
-              |ORDER BY doc_id, rank""".stripMargin)))
+              |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- q141: two-sample KOLMOGOROV–SMIRNOV drift test — the
+    // CONTINUOUS companion to q124 (χ²) and q125 (PSI): does the
+    // purchase-value distribution shift between the two halves of the
+    // month? D = sup|F_ref − F_cur| computed exactly at every distinct
+    // value through the two-phase bucket geometry (per-bucket prefix
+    // offsets + bucket-bounded cumulative windows — no global-order
+    // single-reducer window). Counts are exact integers and the CDF
+    // fractions exact divisions, so D, the α=0.05 critical value, and
+    // the drift verdict all HASH-MATCH — a deterministic replay of a
+    // statistical test.
+    Q(
+      "q141_ks_drift_test",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.ksTwoSample(
+          ev, $"value", $"ts" < lit("2024-01-16").cast("timestamp"), buckets = 256)
+      },
+      Some("""WITH base AS (SELECT value AS v, (ts < TIMESTAMP '2024-01-16') AS r
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+             |pv AS (SELECT v,
+             |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c2
+             |  FROM base GROUP BY v),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+             |cum AS (SELECT
+             |    CAST(sum(c1) OVER w AS DOUBLE) AS cc1,
+             |    CAST(sum(c2) OVER w AS DOUBLE) AS cc2
+             |  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |dd AS (SELECT max(abs(cc1 / tot.n1 - cc2 / tot.n2)) AS d_stat FROM cum, tot)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, dd.d_stat,
+             |  1.358 * sqrt(CAST(tot.n1 + tot.n2 AS DOUBLE)
+             |    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))) AS crit_05,
+             |  dd.d_stat > 1.358 * sqrt(CAST(tot.n1 + tot.n2 AS DOUBLE)
+             |    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))) AS drift
+             |FROM dd, tot""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

@@ -48,7 +48,11 @@ object Pca {
     rows.toSeq.toDF("part", "k", "j", "value")
   }
 
-  final case class Model(n: Long, eigvals: Array[Double], eigvecs: Array[Array[Double]])
+  final case class Model(
+      n: Long,
+      mean: Array[Double],
+      eigvals: Array[Double],
+      eigvecs: Array[Array[Double]])
 
   /** The driver-side model: top-k eigenvalues (descending) and
     * unit-norm eigenvectors of the SAMPLE covariance (n−1 divisor).
@@ -81,7 +85,34 @@ object Pca {
       for (r <- 1 until dim) if (math.abs(v(r)) > math.abs(v(bi))) bi = r
       if (v(bi) < 0) v.map(-_) else v
     }.toArray
-    Model(n, eigvals, eigvecs)
+    Model(n, mean, eigvals, eigvecs)
+  }
+
+  /** Project vectors onto a fitted model's top components:
+    * `coord_k = dot(v, e_k) − dot(µ, e_k)` — the centering constant
+    * folds to one driver-computed scalar per component, so the
+    * distributed work is ONE [[graft.functions.MatVecDots]] kernel
+    * call per row (zero shuffle) minus a literal. Emits
+    * (vec_id, comp, coord); corrupt vectors (ragged/null elements)
+    * emit no rows (the kernel's nulling).
+    */
+  def project(df: DataFrame, vec: Column, id: Column, model: Model): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = array(model.eigvecs.map(e => array(e.map(lit(_)): _*)): _*)
+    val centers = model.eigvecs.map { e =>
+      var dot = 0.0
+      var j = 0
+      while (j < e.length) { dot += model.mean(j) * e(j); j += 1 }
+      dot
+    }
+    val centerArr = array(centers.map(lit(_)): _*)
+    df.select(
+      id.cast("long").as("vec_id"),
+      graft.functions.GraftFunctions.matVec(vec.cast("array<double>"), rows).as("p"))
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), posexplode(col("p")).as(Seq("comp", "dot")))
+      .select(col("vec_id"), col("comp").cast("int").as("comp"),
+        (col("dot") - element_at(centerArr, col("comp") + 1)).as("coord"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

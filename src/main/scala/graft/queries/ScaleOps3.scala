@@ -731,7 +731,70 @@ object ScaleOps3 {
              |    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))) AS crit_05,
              |  dd.d_stat > 1.358 * sqrt(CAST(tot.n1 + tot.n2 AS DOUBLE)
              |    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))) AS drift
-             |FROM dd, tot""".stripMargin)))
+             |FROM dd, tot""".stripMargin)),
+
+    // ---- q142: PCA PROJECTION — the fit→APPLY loop closed: q139's
+    // model projects every embedding onto its top-4 components,
+    // `coord = dot(v, e_k) − dot(µ, e_k)` (the centering constant
+    // folds to one driver scalar per component, so apply is ONE
+    // matvec kernel call per row — zero shuffle). The emitted output
+    // carries the model (mean + eigvectors) alongside the
+    // coordinates, and the oracle re-derives EVERY coordinate from
+    // the emitted model with the bit-equal list_dot_product fold —
+    // exact equality, no tolerance — plus an orthonormality
+    // certificate-lite on the shipped eigvectors (the full
+    // eigen-certificate is q139's job).
+    Q(
+      "q142_pca_projection",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val model = graft.operators.Pca.fit(emb, $"embedding", dim = 64, topK = 4)
+        val coords = graft.operators.Pca.project(emb, $"embedding", $"vec_id", model)
+          .select(lit("coord").as("part"), $"vec_id".as("a"),
+            $"comp".cast("long").as("b"), $"coord".as("value"))
+        val modelRows =
+          model.mean.zipWithIndex.map { case (m, j) => ("mean", -1L, j.toLong, m) } ++
+            (for (k <- 0 until 4; j <- 0 until 64)
+              yield ("evec", k.toLong, j.toLong, model.eigvecs(k)(j)))
+        modelRows.toSeq.toDF("part", "a", "b", "value")
+          .unionByName(coords)
+          .orderBy($"part", $"a", $"b")
+      },
+      Some("""WITH em AS (SELECT * FROM read_parquet('{{OUT}}/q142_pca_projection/*.parquet')),
+             |mn AS MATERIALIZED (SELECT b AS j, value FROM em WHERE part = 'mean'),
+             |ev AS MATERIALIZED (SELECT a AS k, b AS j, value FROM em WHERE part = 'evec'),
+             |meanl AS (SELECT list(value ORDER BY j) AS m FROM mn),
+             |evl AS MATERIALIZED (SELECT k, list(value ORDER BY j) AS e FROM ev GROUP BY k),
+             |cc AS (SELECT k, list_dot_product((SELECT m FROM meanl), e) AS c FROM evl),
+             |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE len(embedding) = 64),
+             |expected AS MATERIALIZED (SELECT emb.vec_id, evl.k AS comp,
+             |    list_dot_product(v, e) - cc.c AS coord
+             |  FROM emb CROSS JOIN evl JOIN cc USING (k)),
+             |coords AS MATERIALIZED (SELECT a AS vec_id, b AS comp, value
+             |  FROM em WHERE part = 'coord'),
+             |dots AS (SELECT x.k AS k1, y.k AS k2, sum(x.value * y.value) AS dot
+             |  FROM ev x JOIN ev y USING (j) GROUP BY 1, 2),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM mn) = 64
+             |    AND (SELECT count(*) FROM ev) = 256
+             |    AND (SELECT count(*) FROM coords) = 4 * (SELECT count(*) FROM emb)
+             |    AND NOT EXISTS (SELECT 1 FROM dots
+             |      WHERE (k1 = k2 AND abs(dot - 1.0) > 1e-9)
+             |         OR (k1 <> k2 AND abs(dot) > 1e-9))
+             |    AND NOT EXISTS (SELECT 1 FROM coords c2
+             |      JOIN expected x ON c2.vec_id = x.vec_id AND c2.comp = x.comp
+             |      WHERE c2.value <> x.coord)
+             |    AND NOT EXISTS (SELECT 1 FROM expected x WHERE NOT EXISTS (
+             |      SELECT 1 FROM coords c3
+             |      WHERE c3.vec_id = x.vec_id AND c3.comp = x.comp))
+             |  ) AS ok)
+             |SELECT part, a, b, value FROM em WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY part, a, b""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

@@ -81,6 +81,33 @@ class PcaSpec extends SparkTestBase {
         s"eigval $k drifted: ${a.eigvals(k)} vs ${b.eigvals(k)}"))
   }
 
+  test("project: coordinates equal centered dots; variance concentrates on top components") {
+    import spark.implicits._
+    val m = Pca.fit(embs, $"embedding", dim = 64, topK = 4)
+    val coords = Pca.project(embs, $"embedding", $"vec_id", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val raw = embs.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(coords.size == raw.size * 4)
+    raw.foreach { case (id, v) =>
+      for (k <- 0 until 4) {
+        var dot = 0.0
+        var c = 0.0
+        for (j <- 0 until 64) { dot += v(j) * m.eigvecs(k)(j); c += m.mean(j) * m.eigvecs(k)(j) }
+        assert(coords((id, k)) == dot - c, s"vec $id comp $k")
+      }
+    }
+    // sample variance along component k estimates λ_k
+    val n = raw.size
+    for (k <- 0 until 4) {
+      val cs = raw.keys.map(id => coords((id, k))).toArray
+      val mu = cs.sum / n
+      val varK = cs.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+      assert(math.abs(varK - m.eigvals(k)) < 1e-6 * math.max(1.0, m.eigvals(k)),
+        s"component $k variance $varK != eigval ${m.eigvals(k)}")
+    }
+  }
+
   test("ragged vectors and degenerate inputs fail loudly") {
     import spark.implicits._
     val ragged = Seq(Seq(1.0, 2.0), Seq(1.0)).toDF("v")

@@ -794,7 +794,61 @@ object ScaleOps3 {
              |UNION ALL
              |SELECT 'poison', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |  WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY part, a, b""".stripMargin)))
+             |ORDER BY part, a, b""".stripMargin)),
+
+    // ---- q143: interval-overlap DURATION aggregation — how many
+    // seconds of each user's sessions fell inside the daily 18:00–22:00
+    // "peak" windows (attribution/co-presence analytics: not "did they
+    // overlap" — q84 — but "for HOW LONG"). Sessions come from the
+    // real sessionizer (cross-operator composition, q36's exact
+    // boundary semantics), the 30 peak windows broadcast (for two
+    // LARGE interval tables the q84 bin join provides the pairing),
+    // and intersection lengths are exact integer µs —
+    // `least(ends) − greatest(starts)`, strictly-positive overlaps
+    // only, so the oracle replays everything bit-for-bit.
+    Q(
+      "q143_session_overlap",
+      (s, d) => {
+        import s.implicits._
+        val sessions = graft.streaming.Sessionize.batch(
+          Tables.events(s, d).filter($"user_id".isNotNull), gapMinutes = 30)
+          .select($"user_id",
+            unix_micros($"session_start").as("ss"),
+            unix_micros($"session_end").as("se"))
+        // 30 daily peak windows, Jan 2024 18:00–22:00 UTC
+        val baseUs = 1704132000000000L // 2024-01-01T18:00:00Z
+        val windows = s.range(30).select(
+          (lit(baseUs) + $"id" * lit(86400000000L)).as("ws"),
+          (lit(baseUs) + $"id" * lit(86400000000L) + lit(14400000000L)).as("we"))
+        sessions.join(broadcast(windows), $"ss" < $"we" && $"ws" < $"se")
+          .select($"user_id",
+            (least($"se", $"we") - greatest($"ss", $"ws")).as("ov"))
+          .filter($"ov" > 0)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"), sum($"ov").as("overlap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, value FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |b AS (SELECT user_id, epoch_us(ts) AS t, value,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+             |sn AS (SELECT user_id, t,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM b),
+             |sess AS (SELECT user_id, min(t) AS ss, max(t) AS se
+             |  FROM sn GROUP BY user_id, sid),
+             |win AS (SELECT 1704132000000000 + d * 86400000000 AS ws,
+             |    1704132000000000 + d * 86400000000 + 14400000000 AS we
+             |  FROM (SELECT unnest(generate_series(0, 29)) AS d)),
+             |ov AS (SELECT user_id, least(se, we) - greatest(ss, ws) AS ov
+             |  FROM sess JOIN win ON ss < we AND ws < se
+             |  WHERE least(se, we) - greatest(ss, ws) > 0)
+             |SELECT user_id, count(*) AS n_pairs, CAST(sum(ov) AS BIGINT) AS overlap_us
+             |FROM ov GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

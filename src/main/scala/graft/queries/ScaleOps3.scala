@@ -848,7 +848,55 @@ object ScaleOps3 {
              |  FROM sess JOIN win ON ss < we AND ws < se
              |  WHERE least(se, we) - greatest(ss, ws) > 0)
              |SELECT user_id, count(*) AS n_pairs, CAST(sum(ov) AS BIGINT) AS overlap_us
-             |FROM ov GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM ov GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q144: greedy k-CENTER coreset (Gonzalez 1985; Sener &
+    // Savarese 2018) — the 8 maximally diverse embeddings: seed at
+    // the min id, then repeatedly the point farthest (squared L2)
+    // from everything chosen. The diversity-selection primitive of
+    // active learning and data pruning, and a 2-approximation to the
+    // optimal k-center cover. Every distance uses the exact
+    // dot-product decomposition (vv − 2·dot + cc, the
+    // NearestCentroidsL2 convention) through the matvec kernel, min
+    // is order-free, and ties break to the smallest id — so DuckDB
+    // replays the ENTIRE greedy trajectory bit-for-bit through k − 1
+    // unrolled MATERIALIZED CTE steps (the q89 unrolled-loop
+    // precedent).
+    Q(
+      "q144_kcenter_coreset",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Coreset.kCenterGreedy(
+          Tables.embeddings(s, d), $"embedding", $"vec_id", k = 8)
+          .orderBy($"rank")
+      },
+      Some {
+        val steps = new StringBuilder
+        for (r <- 2 to 8) {
+          val prev = r - 1
+          steps.append(
+            s"""pick$r AS MATERIALIZED (SELECT vec_id, d2 FROM (
+               |    SELECT x.vec_id, min(x.vv - 2.0 * list_dot_product(x.v, c.v) + c.vv) AS d2
+               |    FROM e x CROSS JOIN (SELECT e2.v, e2.vv FROM e e2 JOIN ch$prev USING (vec_id)) c
+               |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ch$prev)
+               |    GROUP BY x.vec_id)
+               |  ORDER BY d2 DESC, vec_id LIMIT 1),
+               |ch$r AS MATERIALIZED (SELECT vec_id FROM ch$prev
+               |  UNION ALL SELECT vec_id FROM pick$r),
+               |""".stripMargin)
+        }
+        val unions = (2 to 8).map(r =>
+          s"UNION ALL SELECT CAST($r AS INT), vec_id, d2 FROM pick$r").mkString("\n")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS vv
+           |  FROM embeddings WHERE vec_id IS NOT NULL AND len(embedding) > 0),
+           |ch1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM e),
+           |$steps
+           |final AS (
+           |  SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS d2 FROM ch1
+           |  $unions)
+           |SELECT rank, vec_id, d2 AS dist2 FROM final ORDER BY rank""".stripMargin
+      }))
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each

@@ -896,6 +896,126 @@ object ScaleOps3 {
            |  SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS d2 FROM ch1
            |  $unions)
            |SELECT rank, vec_id, d2 AS dist2 FROM final ORDER BY rank""".stripMargin
+      }),
+
+    // ---- q145: CUSUM changepoint detection (Page 1954) — WHEN did
+    // each event type's daily volume shift? q124/q125/q141 detect
+    // THAT distributions drifted; CUSUM localizes the change: the day
+    // maximizing |Σ_{d'≤d} (daily_total − overall mean)|. Daily
+    // totals partial-aggregate map-side (decimal-exact, the corpus
+    // never reaches a window); the cumulative runs per type over its
+    // DAY series (span-bounded, q106 geometry) in pinned day order,
+    // so the running double sum — and therefore the argmax day and
+    // peak statistic — replay bit-for-bit.
+    Q(
+      "q145_cusum_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .filter($"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+          .groupBy($"event_type",
+            floor(unix_micros($"ts").cast("double") / 86400000000.0).cast("long").as("day_id"))
+          .agg(sum($"value".cast("decimal(18,6)")).as("dv"))
+        val stats = daily.groupBy($"event_type")
+          .agg(sum($"dv").as("tot"), count(lit(1)).as("nd"))
+        val wCum = Window.partitionBy("event_type").orderBy("day_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPick = Window.partitionBy("event_type")
+          .orderBy($"abs_cusum".desc, $"day_id")
+        // cusum = prefix − k·target with the PREFIX in exact decimal:
+        // a windowed DOUBLE sum would be engine-order-dependent (DuckDB
+        // runs moving aggregates through a pairwise segment tree where
+        // Spark accumulates sequentially); decimal prefixes are exact
+        // under any order, and the algebraic re-base keeps the double
+        // arithmetic to one pinned expression per row
+        daily.join(stats, "event_type")
+          .withColumn("prefix", sum($"dv").over(wCum))
+          .withColumn("k", count(lit(1)).over(wCum))
+          .withColumn("cusum",
+            $"prefix".cast("double") -
+              $"k".cast("double") * ($"tot".cast("double") / $"nd".cast("double")))
+          .withColumn("abs_cusum", abs($"cusum"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"event_type", $"nd".as("n_days"),
+            $"day_id".as("cp_day"), $"abs_cusum".as("max_abs_cusum"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day_id,
+             |    sum(CAST(value AS DECIMAL(18,6))) AS dv
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |st AS (SELECT event_type, sum(dv) AS tot, count(*) AS nd
+             |  FROM daily GROUP BY 1),
+             |cs AS (SELECT d.event_type, d.day_id, st.nd,
+             |    CAST(sum(d.dv) OVER w AS DOUBLE)
+             |      - CAST(count(*) OVER w AS DOUBLE)
+             |        * (CAST(st.tot AS DOUBLE) / CAST(st.nd AS DOUBLE)) AS cusum
+             |  FROM daily d JOIN st USING (event_type)
+             |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pk AS (SELECT event_type, nd, day_id, abs(cusum) AS abs_cusum,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cusum) DESC, day_id) AS rn
+             |  FROM cs)
+             |SELECT event_type, CAST(nd AS BIGINT) AS n_days, day_id AS cp_day,
+             |  abs_cusum AS max_abs_cusum
+             |FROM pk WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- q146: SLIDING-window distinct counts from mergeable KMV
+    // states — trailing-7-day active users per day WITHOUT rescanning
+    // raw history: one daily state build (the q126 sketch), then each
+    // day merges its ≤ 7 KB-sized states (k-min of the union —
+    // associativity makes the merged sketch ≡ sketching the raw
+    // window). The day-grain state table is bounded by the calendar,
+    // not the corpus; this is precisely why mergeable sketch states
+    // exist (q70's economics, now in a sliding frame). Early days
+    // have partial windows AND unsaturated sketches, so both
+    // estimator branches gate. Exact md5 replay end to end.
+    Q(
+      "q146_sliding_distinct",
+      (s, d) => {
+        import s.implicits._
+        val k = 64
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+          .withColumn("day_id",
+            floor(unix_micros($"ts").cast("double") / 86400000000.0).cast("long"))
+        val daily = KmvSketch.sketch(ev, Seq("day_id"), $"user_id", k).localCheckpoint()
+        val days = daily.select($"day_id".as("d"))
+        days.join(daily, $"day_id".between($"d" - 6, $"d"))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_days_window"),
+            flatten(collect_list($"kmv")).as("hs"))
+          .select($"d".as("day_id"), $"n_days_window",
+            slice(array_sort(array_distinct($"hs")), 1, k).as("kmv"))
+          .select($"day_id", $"n_days_window",
+            size($"kmv").as("state_size"),
+            KmvSketch.estimate($"kmv", k).as("est_users_7d"))
+          .orderBy($"day_id")
+      },
+      Some {
+        val h60 = KmvSketch.hash60Sql("user_id")
+        s"""WITH ev AS (SELECT DISTINCT
+           |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day_id,
+           |    $h60 AS h
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |days AS (SELECT DISTINCT day_id FROM ev),
+           |dw AS (SELECT DISTINCT d.day_id, e.h
+           |  FROM days d JOIN ev e ON e.day_id BETWEEN d.day_id - 6 AND d.day_id),
+           |r AS (SELECT day_id, h,
+           |    row_number() OVER (PARTITION BY day_id ORDER BY h) AS rn FROM dw),
+           |sk AS (SELECT day_id, list(h ORDER BY h) AS hs
+           |  FROM r WHERE rn <= 64 GROUP BY 1),
+           |nw AS (SELECT d.day_id, count(*) AS n_days_window
+           |  FROM days d JOIN days e ON e.day_id BETWEEN d.day_id - 6 AND d.day_id
+           |  GROUP BY 1)
+           |SELECT sk.day_id, nw.n_days_window,
+           |  CAST(len(hs) AS INT) AS state_size,
+           |  ${KmvSketch.estimateSql("hs", 64)} AS est_users_7d
+           |FROM sk JOIN nw USING (day_id) ORDER BY day_id""".stripMargin
       }))
 
   /** q136: the live incremental-KMV run. 4-file event projection,

@@ -54,16 +54,31 @@ object Pca {
       eigvals: Array[Double],
       eigvecs: Array[Array[Double]])
 
+  /** One distributed co-moment pass: `(n, Σv, upper-triangle Σ vᵢvⱼ)`
+    * as a flat array — the MERGEABLE sufficient statistic (element-wise
+    * addition combines passes over disjoint slices, the incremental /
+    * streaming path q148 exercises).
+    */
+  def sumsOf(df: DataFrame, vec: Column, dim: Int): Array[Double] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val agg = udaf(new CoMoments(dim))
+    df.select(vec.cast("array<double>").as("v"))
+      .agg(agg(col("v")).as("m"))
+      .selectExpr("m.sums as sums").collect()(0).getSeq[Double](0).toArray
+  }
+
   /** The driver-side model: top-k eigenvalues (descending) and
     * unit-norm eigenvectors of the SAMPLE covariance (n−1 divisor).
     */
-  def fit(df: DataFrame, vec: Column, dim: Int, topK: Int): Model = {
+  def fit(df: DataFrame, vec: Column, dim: Int, topK: Int): Model =
+    modelFromSums(sumsOf(df, vec, dim), dim, topK)
+
+  /** Solve the eigenproblem from (possibly merged) co-moment sums. */
+  def modelFromSums(row: Array[Double], dim: Int, topK: Int): Model = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(topK >= 1 && topK <= dim, s"topK must be in [1, $dim], got $topK")
-    val agg = udaf(new CoMoments(dim))
-    val row = df.select(vec.cast("array<double>").as("v"))
-      .agg(agg(col("v")).as("m"))
-      .selectExpr("m.sums as sums").collect()(0).getSeq[Double](0).toArray
+    require(row.length == 1 + dim + dim * (dim + 1) / 2,
+      s"co-moment array of length ${row.length} does not match dim $dim")
     val n = row(0).toLong
     require(n >= 2, s"PCA needs at least 2 vectors, got $n")
     val mean = Array.tabulate(dim)(i => row(1 + i) / n)

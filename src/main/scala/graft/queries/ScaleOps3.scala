@@ -335,7 +335,7 @@ object ScaleOps3 {
     // both inputs' max ts − 2h) and demands the same withheld set.
     Q(
       "q132_streaming_outer_interval_join",
-      (s, d) => streamingOuterIntervalJoin(s, d),
+      (s, d) => streamingOuterIntervalJoin(s, d, "leftOuter", "q132_ssoj"),
       Some("""WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
              |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
              |-- Spark's event-time watermark is millisecond-floored:
@@ -1016,7 +1016,142 @@ object ScaleOps3 {
            |  CAST(len(hs) AS INT) AS state_size,
            |  ${KmvSketch.estimateSql("hs", 64)} AS est_users_7d
            |FROM sk JOIN nw USING (day_id) ORDER BY day_id""".stripMargin
-      }))
+      }),
+
+    // ---- q147: stream-stream FULL-OUTER interval join — completes
+    // the streaming join matrix (inner q92, left q132): BOTH sides'
+    // unmatched rows surface with a null other side once the final
+    // watermark passes their last possible match time (the interval
+    // is symmetric, so the eviction boundary is `own ts + 1h` on
+    // each side). Same deterministic watermark re-derivation as q132,
+    // now with the withheld set computed for both streams.
+    Q(
+      "q147_streaming_full_outer_interval_join",
+      (s, d) => streamingOuterIntervalJoin(s, d, "fullOuter", "q147_ssfoj"),
+      Some("""WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |wm AS (SELECT least(
+             |    (SELECT CAST(floor(CAST(max(epoch_us(ts)) AS DOUBLE) / 1000.0) AS BIGINT) FROM err),
+             |    (SELECT CAST(floor(CAST(max(epoch_us(ts)) AS DOUBLE) / 1000.0) AS BIGINT) FROM clk)
+             |  ) - 7200000 AS w_ms),
+             |pairs AS (SELECT a.event_id AS error_event_id, b.event_id AS click_event_id
+             |  FROM err a JOIN clk b ON a.user_id = b.user_id
+             |   AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000
+             |                          AND epoch_us(a.ts) + 3600000000),
+             |unmatched_l AS (SELECT a.event_id AS error_event_id,
+             |    CAST(NULL AS BIGINT) AS click_event_id
+             |  FROM err a
+             |  WHERE a.event_id NOT IN (SELECT error_event_id FROM pairs)
+             |    AND CAST(floor(CAST(epoch_us(a.ts) AS DOUBLE) / 1000.0) AS BIGINT) + 3600000
+             |      < (SELECT w_ms FROM wm)),
+             |unmatched_r AS (SELECT CAST(NULL AS BIGINT) AS error_event_id,
+             |    b.event_id AS click_event_id
+             |  FROM clk b
+             |  WHERE b.event_id NOT IN (SELECT click_event_id FROM pairs)
+             |    AND CAST(floor(CAST(epoch_us(b.ts) AS DOUBLE) / 1000.0) AS BIGINT) + 3600000
+             |      < (SELECT w_ms FROM wm))
+             |SELECT * FROM pairs
+             |UNION ALL SELECT * FROM unmatched_l
+             |UNION ALL SELECT * FROM unmatched_r
+             |ORDER BY error_event_id, click_event_id""".stripMargin)),
+
+    // ---- q148: STREAMING incremental PCA under the gate — q139's
+    // model maintained from a live stream: each micro-batch runs ONE
+    // bounded co-moment pass and the driver element-wise-adds the
+    // sufficient-statistic arrays (they are exactly mergeable — this
+    // is why the co-moment formulation, not a covariance-per-batch,
+    // is the state); the eigensolve happens once at the end on the
+    // merged sums. The q139 CERTIFICATE oracle applies verbatim — it
+    // recomputes covariance from raw data itself and verifies the
+    // emitted eigenpairs, indifferent to HOW the sums were
+    // accumulated (batch, streamed, any partitioning).
+    Q(
+      "q148_streaming_pca",
+      (s, d) => streamingPca(s, d),
+      Some("""WITH em AS (SELECT * FROM read_parquet('{{OUT}}/q148_streaming_pca/*.parquet')),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE len(embedding) = 64),
+             |x AS (SELECT vec_id, j, v[CAST(j + 1 AS INT)] AS x
+             |  FROM e, (SELECT unnest(generate_series(0, 63)) AS j)),
+             |cv AS MATERIALIZED (SELECT a.j AS i, b.j AS jj, covar_samp(a.x, b.x) AS c
+             |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+             |vecs AS MATERIALIZED (SELECT k, j, value FROM em WHERE part = 'eigvec'),
+             |vals AS MATERIALIZED (SELECT k, value AS lam FROM em WHERE part = 'eigval'),
+             |resid AS (SELECT v.k, cv.i, sum(cv.c * v.value) AS cv_i
+             |  FROM cv JOIN vecs v ON cv.jj = v.j GROUP BY v.k, cv.i),
+             |rchk AS (SELECT r.k, max(abs(r.cv_i - vals.lam * vi.value)) AS rmax
+             |  FROM resid r JOIN vals USING (k)
+             |  JOIN vecs vi ON vi.k = r.k AND vi.j = r.i GROUP BY r.k),
+             |dots AS (SELECT a.k AS k1, b.k AS k2, sum(a.value * b.value) AS dot
+             |  FROM vecs a JOIN vecs b USING (j) GROUP BY 1, 2),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM vals) = 4
+             |    AND (SELECT count(*) FROM vecs) = 4 * 64
+             |    AND (SELECT count(*) FROM em) = 4 + 4 * 64
+             |    AND NOT EXISTS (SELECT 1 FROM dots
+             |      WHERE (k1 = k2 AND abs(dot - 1.0) > 1e-9)
+             |         OR (k1 <> k2 AND abs(dot) > 1e-9))
+             |    AND NOT EXISTS (SELECT 1 FROM rchk WHERE rmax > 1e-6 OR isnan(rmax))
+             |    AND NOT EXISTS (SELECT 1 FROM vals a JOIN vals b ON a.k + 1 = b.k
+             |      WHERE a.lam < b.lam - 1e-12)
+             |    AND (SELECT min(lam) FROM vals) > -1e-9
+             |    AND (SELECT lam FROM vals WHERE k = 0)
+             |      >= (SELECT max(c) FROM cv WHERE i = jj) - 1e-6
+             |  ) AS ok)
+             |SELECT part, k, j, value FROM em WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS INT), CAST(-1 AS INT), CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY part, k, j""".stripMargin)))
+
+  /** q148: the live incremental-PCA run — 4-file embedding stream,
+    * `maxFilesPerTrigger=1` (≥ 2 micro-batches enforced), per-batch
+    * co-moment passes merged element-wise under a lock (one
+    * 2 145-double array of driver state), eigensolve once at the end.
+    */
+  private def streamingPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val topK = 4
+    val scratch = Scratch.tempDir("q148_spca")
+    try {
+      val inDir = scratch.resolve("input").toString
+      Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .repartition(4).write.parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val len = 1 + dim + dim * (dim + 1) / 2
+      val merged = new Array[Double](len)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lock = new Object
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val sums = graft.operators.Pca.sumsOf(batch, col("embedding"), dim)
+            lock.synchronized {
+              var i = 0
+              while (i < len) { merged(i) += sums(i); i += 1 }
+            }
+            nBatches.incrementAndGet(): Unit
+        }
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q148 stream did not terminate within 600s — refusing a partial model")
+      finally q.stop()
+      require(nBatches.get() >= 2,
+        s"q148 ran ${nBatches.get()} micro-batch(es); the incremental-merge " +
+          "path needs at least 2")
+      val model = lock.synchronized(
+        graft.operators.Pca.modelFromSums(merged.clone(), dim, topK))
+      val rows =
+        model.eigvals.zipWithIndex.map { case (l, k) => ("eigval", k, -1, l) } ++
+          (for (k <- 0 until topK; j <- 0 until dim)
+            yield ("eigvec", k, j, model.eigvecs(k)(j)))
+      rows.toSeq.toDF("part", "k", "j", "value").orderBy($"part", $"k", $"j")
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q136: the live incremental-KMV run. 4-file event projection,
     * `maxFilesPerTrigger=1` forcing ≥ 2 micro-batches (enforced), each
@@ -1068,20 +1203,23 @@ object ScaleOps3 {
     } finally Scratch.deleteRecursively(scratch)
   }
 
-  /** q132: the live left-outer run — q92's staging (two file streams,
-    * `maxFilesPerTrigger=1` forcing ≥2 micro-batches each, 2-hour
-    * watermarks over a ±1-hour interval) with `leftOuter` semantics:
-    * unmatched error rows surface as NULL-click rows when the final
-    * watermark passes their last possible match time. AvailableNow
-    * runs a trailing no-data batch (noDataMicroBatches default), so
-    * end-of-stream outer emission is deterministic — and everything
-    * within one watermark of the stream tail stays withheld, exactly
-    * what the oracle re-derives.
+  /** q132 (leftOuter) / q147 (fullOuter): the live outer-join runs —
+    * q92's staging (two file streams, `maxFilesPerTrigger=1` forcing
+    * ≥2 micro-batches each, 2-hour watermarks over a ±1-hour
+    * interval) with outer semantics: an unmatched row surfaces as a
+    * null-other-side row when the final watermark passes its last
+    * possible match time (a.ts + 1h for errors; b.ts + 1h for clicks
+    * — the interval is symmetric). AvailableNow runs a trailing
+    * no-data batch (noDataMicroBatches default), so end-of-stream
+    * outer emission is deterministic — and everything within one
+    * watermark of the stream tail stays withheld, exactly what the
+    * oracles re-derive.
     */
-  private def streamingOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  private def streamingOuterIntervalJoin(
+      s: SparkSession, d: String, joinType: String, tag: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.functions.{col, expr}
-    val scratch = Scratch.tempDir("q132_ssoj")
+    val scratch = Scratch.tempDir(tag)
     try {
       def stage(tpe: String, dir: String): Unit =
         Tables.events(s, d).filter($"event_type" === tpe)
@@ -1099,10 +1237,10 @@ object ScaleOps3 {
       val joined = a.join(b,
         expr("""a.user_id = b.user_id AND
                 b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR"""),
-        "leftOuter")
+        joinType)
         .select(col("a.event_id").as("error_event_id"),
           col("b.event_id").as("click_event_id"))
-      val name = "q132_ssoj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val name = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", scratch.resolve("_ckpt").toString)
         .format("memory").queryName(name)
@@ -1110,11 +1248,11 @@ object ScaleOps3 {
         .start()
       try {
         try require(q.awaitTermination(600000),
-          "q132 stream did not terminate within 600s — refusing a partial result")
+          s"$tag stream did not terminate within 600s — refusing a partial result")
         finally q.stop()
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches >= 2,
-          s"q132 ran $dataBatches data micro-batch(es); the incremental " +
+          s"$tag ran $dataBatches data micro-batch(es); the incremental " +
             "stream-stream state path needs at least 2")
         s.table(name)
           .select($"error_event_id", $"click_event_id")

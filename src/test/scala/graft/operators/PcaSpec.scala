@@ -108,6 +108,22 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("co-moment sums from disjoint slices merge into the whole-corpus model") {
+    import spark.implicits._
+    val a = Pca.sumsOf(embs.filter($"vec_id" % 2 === 0), $"embedding", 64)
+    val b = Pca.sumsOf(embs.filter($"vec_id" % 2 === 1), $"embedding", 64)
+    val merged = a.zip(b).map { case (x, y) => x + y }
+    val m1 = Pca.modelFromSums(merged, 64, 4)
+    val m2 = Pca.fit(embs, $"embedding", 64, 4)
+    assert(m1.n == m2.n)
+    (0 until 4).foreach { k =>
+      // float sums differ only in merge order — eigenvalues must agree
+      // far tighter than the oracle's certificate band
+      assert(math.abs(m1.eigvals(k) - m2.eigvals(k)) < 1e-9,
+        s"eigval $k: ${m1.eigvals(k)} vs ${m2.eigvals(k)}")
+    }
+  }
+
   test("ragged vectors and degenerate inputs fail loudly") {
     import spark.implicits._
     val ragged = Seq(Seq(1.0, 2.0), Seq(1.0)).toDF("v")

@@ -1104,6 +1104,198 @@ object ScaleOps3 {
              |  WHERE NOT (SELECT ok FROM flag)
              |ORDER BY part, k, j""".stripMargin)))
 
+  val timeSeriesQueries: Seq[Q] = Seq(
+
+    // ---- q149: TIME-WEIGHTED average (TWAP) over irregular samples —
+    // each user's value integrated over its holding intervals
+    // [tᵢ, tᵢ₊₁) and normalized by the span: the correct mean when
+    // sampling is uneven (telemetry/finance; an unweighted mean
+    // overweights bursts). Products are DECIMAL × exact-µs-long →
+    // exact decimal numerators under any partitioning; only the final
+    // num/span division is a double, and scale-6 decimal→double casts
+    // double-round differently per engine (the q112/q114 hazard) — so
+    // the oracle recomputes every TWAP and admits rows within 1e-9
+    // (exact n/span), poison otherwise.
+    Q(
+      "q149_twap",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy($"ts", $"event_id")
+        val spans = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("t_next", lead($"ts", 1).over(w))
+          .withColumn("wt",
+            $"value".cast("decimal(18,6)") *
+              (unix_micros($"t_next") - unix_micros($"ts")))
+        spans.groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("span_us"),
+            sum($"wt").as("num"))
+          .filter($"span_us" > 0)
+          .select($"user_id", $"n_events", $"span_us",
+            ($"num".cast("double") / $"span_us".cast("double")).as("twap"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+             |sp AS (SELECT user_id, v,
+             |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - epoch_us(ts) AS dt,
+             |    epoch_us(ts) AS t
+             |  FROM e),
+             |g AS (SELECT user_id, count(*) AS n_events,
+             |    max(t) - min(t) AS span_us, sum(v * dt) AS num
+             |  FROM sp GROUP BY user_id),
+             |expected AS (SELECT user_id, n_events, span_us,
+             |    CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap
+             |  FROM g WHERE span_us > 0),
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q149_twap/*.parquet')),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expected)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e2
+             |      WHERE e2.user_id NOT IN (SELECT user_id FROM expected))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e2 JOIN expected x USING (user_id)
+             |      WHERE e2.n_events <> x.n_events OR e2.span_us <> x.span_us
+             |         OR abs(e2.twap - x.twap) > 1e-9)
+             |  ) AS ok)
+             |SELECT user_id, n_events, span_us, twap FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- q150: OHLC resampling — per (type, day) open/high/low/
+    // close/volume bars, the canonical irregular-series downsample.
+    // Open/close are argmin/argmax by the unique (ts, event_id) order
+    // through partial-aggregable struct-min/max (the q54 keep-best
+    // shape — no per-bar window, no sort); high/low/volume are plain
+    // extrema/counts. Zero float arithmetic → exact hash oracle.
+    Q(
+      "q150_ohlc_bars",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"event_type".isNotNull && $"ts".isNotNull && $"value".isNotNull)
+          .groupBy($"event_type",
+            floor(unix_micros($"ts").cast("double") / 86400000000.0).cast("long").as("day_id"))
+          .agg(
+            min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
+            count(lit(1)).as("volume"))
+          .orderBy($"event_type", $"day_id")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day_id,
+             |    ts, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type,
+             |      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+             |      ORDER BY ts, event_id) AS rf,
+             |    row_number() OVER (PARTITION BY event_type,
+             |      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+             |      ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+             |SELECT event_type, day_id,
+             |  max(CASE WHEN rf = 1 THEN value END) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  max(CASE WHEN rl = 1 THEN value END) AS close,
+             |  count(*) AS volume
+             |FROM e GROUP BY 1, 2 ORDER BY event_type, day_id""".stripMargin)),
+
+    // ---- q151: WELCH's unequal-variance t-test — did each type's
+    // mean purchase value change between the month's halves? The
+    // classical two-sample inference the drift suite still lacked
+    // (χ²/PSI are categorical, KS is distribution-shape, bootstrap is
+    // nonparametric). Sufficient statistics are exact decimal
+    // (n, Σv, Σv²) per (type, period) — one partial-aggregable pass —
+    // and the t statistic + Welch–Satterthwaite dof compute in
+    // pinned-order doubles; scale-12 decimal→double casts double-round
+    // differently per engine, so the oracle recomputes everything and
+    // admits rows within 1e-9 (q112's exact pattern), poison row
+    // otherwise.
+    Q(
+      "q151_welch_ttest",
+      (s, d) => {
+        import s.implicits._
+        val halves = Tables.events(s, d)
+          .filter($"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+          .withColumn("period",
+            when($"ts" < lit("2024-01-16").cast("timestamp"), 0).otherwise(1))
+          .withColumn("v", $"value".cast("decimal(19,6)"))
+          .groupBy($"event_type", $"period")
+          .agg(count(lit(1)).as("n"), sum($"v").as("s1"), sum($"v" * $"v").as("s2"))
+        val a = halves.filter($"period" === 0)
+          .select($"event_type", $"n".as("n1"), $"s1".as("a1"), $"s2".as("a2"))
+        val b = halves.filter($"period" === 1)
+          .select($"event_type", $"n".as("n2"), $"s1".as("b1"), $"s2".as("b2"))
+        def m(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+          s.cast("double") / n.cast("double")
+        def varOf(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+            (n.cast("double") - lit(1.0))
+        a.join(b, "event_type")
+          .withColumn("m1", m($"a1", $"n1")).withColumn("m2", m($"b1", $"n2"))
+          .withColumn("v1", varOf($"a2", $"a1", $"n1"))
+          .withColumn("v2", varOf($"b2", $"b1", $"n2"))
+          .withColumn("se2", $"v1" / $"n1".cast("double") + $"v2" / $"n2".cast("double"))
+          .select(
+            $"event_type", $"n1", $"n2",
+            ($"m1" - $"m2").as("mean_diff"),
+            (($"m1" - $"m2") / sqrt($"se2")).as("t_stat"),
+            ($"se2" * $"se2" /
+              ($"v1" / $"n1".cast("double") * ($"v1" / $"n1".cast("double")) /
+                ($"n1".cast("double") - lit(1.0)) +
+               $"v2" / $"n2".cast("double") * ($"v2" / $"n2".cast("double")) /
+                ($"n2".cast("double") - lit(1.0)))).as("dof"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+             |    CAST(value AS DECIMAL(19,6)) AS v
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+             |g AS (SELECT event_type, period, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+             |  FROM e GROUP BY 1, 2),
+             |j AS (SELECT a.event_type,
+             |    a.n AS n1, b.n AS n2,
+             |    CAST(a.s1 AS DOUBLE) / a.n AS m1, CAST(b.s1 AS DOUBLE) / b.n AS m2,
+             |    (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n)
+             |      / (a.n - 1.0) AS v1,
+             |    (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+             |      / (b.n - 1.0) AS v2
+             |  FROM (SELECT * FROM g WHERE period = 0) a
+             |  JOIN (SELECT * FROM g WHERE period = 1) b USING (event_type)),
+             |x AS (SELECT event_type, n1, n2, m1 - m2 AS mean_diff,
+             |    (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+             |    (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             |      / (v1 / n1 * (v1 / n1) / (n1 - 1.0) + v2 / n2 * (v2 / n2) / (n2 - 1.0)) AS dof
+             |  FROM j),
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q151_welch_ttest/*.parquet')),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM x)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e2
+             |      WHERE e2.event_type NOT IN (SELECT event_type FROM x))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e2 JOIN x USING (event_type)
+             |      WHERE e2.n1 <> x.n1 OR e2.n2 <> x.n2
+             |         OR abs(e2.mean_diff - x.mean_diff) > 1e-9
+             |         OR abs(e2.t_stat - x.t_stat) > 1e-9
+             |         OR abs(e2.dof - x.dof) > 1e-9)
+             |  ) AS ok)
+             |SELECT event_type, n1, n2, mean_diff, t_stat, dof FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY event_type""".stripMargin)))
+
   /** q148: the live incremental-PCA run — 4-file embedding stream,
     * `maxFilesPerTrigger=1` (≥ 2 micro-batches enforced), per-batch
     * co-moment passes merged element-wise under a lock (one

@@ -83,4 +83,55 @@ object Graph {
     }
     ranks
   }
+
+  /** Breadth-first hop distances from `source` over an UNDIRECTED
+    * edge list: (node, hop) for every node within `maxHops`, hop =
+    * its minimum distance. The level-synchronous frontier expansion —
+    * per level ONE join of the (shrinking) frontier against the
+    * bidirectional edge table + one anti-join against the visited set
+    * (both shuffles keyed by node id); min-hop is exact BY
+    * CONSTRUCTION (a node joins the visited set the first level it is
+    * reachable, so no min aggregate is ever needed). `localCheckpoint`
+    * per level for the same lineage/self-join reasons as [[pageRank]];
+    * the loop stops at the first empty frontier, bounded by `maxHops`
+    * (a disconnected or huge-diameter graph cannot run away).
+    * Duplicate and reversed edges collapse; null endpoints fail
+    * loudly (the [[pageRank]] contract).
+    */
+  def bfsHops(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      source: Long,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def guarded(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"bfsHops: $name endpoint is null or not castable to long"))).otherwise(c.cast("long"))
+    val fwd = edges.select(guarded(src, "src").as("a"), guarded(dst, "dst").as("b"))
+    val e = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = Seq((source, 0)).toDF("node", "hop").localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    var done = false
+    while (!done && hop <= maxHops) {
+      val next = frontier
+        .join(e, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+    }
+    visited
+  }
 }

@@ -1294,7 +1294,43 @@ object ScaleOps3 {
              |SELECT 'poison', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
              |  WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- q152: BFS hop distances — the graph family's reachability
+    // member (q89 PageRank ranks, q34 components cluster, BFS
+    // measures): every node's minimum distance from supplier 0 over
+    // the undirected supplier—part graph (suppliers at 2k, parts at
+    // 2k+1 — the standard bipartite node encoding). Level-synchronous
+    // frontier expansion, min-hop exact by construction, capped at 6
+    // hops. The oracle replays it with a recursive CTE (UNION-dedup'd
+    // (node, hop) rows, hop-capped so path multiplicity cannot blow
+    // up) + a min(hop) collapse — exact integers end to end.
+    Q(
+      "q152_bfs_hops",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.lineitem(s, d)
+          .select(($"l_suppkey" * 2).as("sa"), ($"l_partkey" * 2 + 1).as("pb"))
+          .distinct()
+        graft.operators.Graph.bfsHops(edges, $"sa", $"pb", source = 0L, maxHops = 6)
+          .select(
+            when($"node" % 2 === 0, "s").otherwise("p").as("node_kind"),
+            expr("node div 2").as("key"),
+            $"hop".cast("int").as("hop"))
+          .orderBy($"node_kind", $"key")
+      },
+      Some("""WITH RECURSIVE ed AS MATERIALIZED (
+             |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem
+             |  UNION SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem),
+             |bfs AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+             |  UNION
+             |  SELECT ed.b AS node, bfs.hop + 1 AS hop
+             |  FROM bfs JOIN ed ON bfs.node = ed.a WHERE bfs.hop < 6),
+             |mh AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+             |SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END AS node_kind,
+             |  node // 2 AS key, CAST(hop AS INT) AS hop
+             |FROM mh ORDER BY node_kind, key""".stripMargin)))
 
   /** q148: the live incremental-PCA run — 4-file embedding stream,
     * `maxFilesPerTrigger=1` (≥ 2 micro-batches enforced), per-batch

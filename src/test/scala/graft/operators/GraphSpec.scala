@@ -83,4 +83,27 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRank(df, col("src"), col("dst"), 0.85, 0)
     }
   }
+
+  test("bfsHops: min distances on a hand-built graph; undirected; cap and disconnection respected") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-4, island 9-10. Edges given in
+    // MIXED directions — BFS must treat them as undirected.
+    val e = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), (1L, 4L), (10L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(e, $"src", $"dst", source = 1L, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortest: 1→0, 2→1, 4→1 (shortcut), 3→2, 5→2; island unreachable
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2), got.toString)
+    // cap: maxHops 1 keeps only the immediate neighborhood
+    val capped = Graph.bfsHops(e, $"src", $"dst", source = 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1), capped.toString)
+    // a source with no edges is just itself at hop 0
+    val lone = Graph.bfsHops(e, $"src", $"dst", source = 42L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lone == Map(42L -> 0))
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(e, $"src", $"dst", source = 1L, maxHops = -1)
+    }
+  }
 }

@@ -1009,7 +1009,7 @@ object ScaleOps2 {
     * `maxFilesPerTrigger=1` each file becomes its own batch and mtime
     * order IS delivery order.
     */
-  private def stageOrderedFiles(
+  private[queries] def stageOrderedFiles(
       scratch: java.nio.file.Path,
       parts: Seq[(DataFrame, String)]): java.nio.file.Path = {
     val inDir = scratch.resolve("input")

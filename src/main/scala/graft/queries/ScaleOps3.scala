@@ -1330,7 +1330,82 @@ object ScaleOps3 {
              |mh AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
              |SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END AS node_kind,
              |  node // 2 AS key, CAST(hop AS INT) AS hop
-             |FROM mh ORDER BY node_kind, key""".stripMargin)))
+             |FROM mh ORDER BY node_kind, key""".stripMargin)),
+
+    // ---- q153: UPDATE-mode streaming aggregation — the output-mode
+    // triple completed (q19 complete, q116 append): each micro-batch
+    // emits ONLY the groups it changed, carrying their new cumulative
+    // values. Three explicit-boundary time slices arrive as ordered
+    // batches (the q102 staging), so the full update history is
+    // deterministic: for each slice, the types present in it emit
+    // their running count/sum — exactly what the oracle unions
+    // together. Exact decimal sums → double.
+    Q(
+      "q153_update_mode_agg",
+      (s, d) => updateModeAgg(s, d),
+      Some("""WITH b1 AS (SELECT event_type, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1),
+             |b2 AS (SELECT event_type, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-21'
+             |    AND event_type IN (SELECT DISTINCT event_type FROM events
+             |      WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21')
+             |  GROUP BY 1),
+             |b3 AS (SELECT event_type, count(*) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |  FROM events
+             |  WHERE event_type IN (SELECT DISTINCT event_type FROM events
+             |      WHERE ts >= TIMESTAMP '2024-01-21')
+             |  GROUP BY 1)
+             |SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+             |ORDER BY event_type, n_events""".stripMargin)))
+
+  /** q153: the live update-mode run — three explicit-boundary slices
+    * staged with ascending mtimes (`maxFilesPerTrigger=1` → 3 data
+    * batches, enforced), an unwatermarked groupBy aggregation in
+    * UPDATE output mode, memory sink accumulating every per-batch
+    * emission: the final table IS the update history.
+    */
+  private def updateModeAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q153_upd")
+    try {
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"ts", $"value").filter($"ts".isNotNull)
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1), "00_a"),
+        (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
+        (ev.filter($"ts" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q153_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q153 stream did not terminate within 600s — refusing a partial history")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"q153 ran $dataBatches data micro-batch(es); the update-history " +
+            "shape needs all 3 slices as separate batches")
+        s.table(name)
+          .select($"event_type", $"n_events", $"total_value")
+          .orderBy($"event_type", $"n_events")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q148: the live incremental-PCA run — 4-file embedding stream,
     * `maxFilesPerTrigger=1` (≥ 2 micro-batches enforced), per-batch

@@ -107,7 +107,12 @@ object MrfGold {
     m.writeValueAsString(root)
   }
 
-  private def q43(s: SparkSession, d: String): DataFrame = {
+  /** Stage the derived MRF document and run it through the REAL
+    * `payer-mrf` streaming source, returning the materialized bronze
+    * frame (shared by q43's gold pipeline and q154's benchmarking —
+    * both exercise source + splitter + schema parse end to end).
+    */
+  private def stagedBronze(s: SparkSession, d: String, tag: String): DataFrame = {
     import s.implicits._
     val parts = s.read.parquet(s"$d/part.parquet")
       .filter($"p_partkey" <= 40)
@@ -120,7 +125,7 @@ object MrfGold {
     // RAM-backed scratch where available + explicit checkpoint: the
     // bronze stream's checkpoint fsyncs must not be hostage to a slow
     // disk (see [[Scratch]])
-    val dir = Scratch.tempDir("q43_mrf")
+    val dir = Scratch.tempDir(tag)
     val file = dir.resolve(FileName)
     try {
       java.nio.file.Files.writeString(file, buildJson(parts, groups))
@@ -128,11 +133,11 @@ object MrfGold {
       // reference's deployment shape); AvailableNow ends the stream at
       // the terminal offset and the memory sink materializes bronze,
       // so the staged file can be deleted before the caller executes
-      // the returned (lazy) gold plan
-      val name = "q43_bronze_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the returned (lazy) downstream plan
+      val name = tag + "_bronze_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // memory-sink view drops in a finally — a failed/timed-out stream
       // must not leak its bronze rows into the session
-      val bronze = try {
+      try {
         val q = s.readStream.format("payer-mrf").load(file.toString)
           .writeStream.outputMode("append")
           .format("memory").queryName(name)
@@ -144,32 +149,65 @@ object MrfGold {
         // after the timeout propagates; stop() after normal termination
         // is a no-op
         try require(q.awaitTermination(600000),
-          "q43 bronze stream did not terminate within 600s — refusing a partial bronze")
+          s"$tag bronze stream did not terminate within 600s — refusing a partial bronze")
         finally q.stop()
         val bronzeTable = s.table(name)
         val schema = bronzeTable.schema
         val rows = bronzeTable.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       } finally s.catalog.dropTempView(name)
-      val sv = MrfPipeline.silver(bronze)
-      // the Silver-bundle overload: BOTH provider variants (the staged
-      // document only uses group-id references, so the inline branch
-      // contributes zero rows — but the union plan is what runs under
-      // the oracle)
-      MrfPipeline.shoppablePrices(sv, billingCode = "7", tinValue = "TIN-8")
-        .select(
-          $"file_name", $"reporting_entity_name", $"billing_code",
-          $"billing_code_type", $"name", $"negotiated_rate", $"billing_class",
-          array_join($"service_code", ",").as("service_code_csv"),
-          $"expiration_date", $"provider_group_id",
-          array_join($"npi".cast("array<string>"), ",").as("npi_csv"),
-          $"tin".getField("value").as("tin_value"))
-        .orderBy($"negotiated_rate", $"npi_csv")
     } finally {
       // the JSON is only needed until the stream terminates (above);
       // bronze is materialized driver-side by then
       Scratch.deleteRecursively(dir)
     }
+  }
+
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sv = MrfPipeline.silver(stagedBronze(s, d, "q43_mrf"))
+    // the Silver-bundle overload: BOTH provider variants (the staged
+    // document only uses group-id references, so the inline branch
+    // contributes zero rows — but the union plan is what runs under
+    // the oracle)
+    MrfPipeline.shoppablePrices(sv, billingCode = "7", tinValue = "TIN-8")
+      .select(
+        $"file_name", $"reporting_entity_name", $"billing_code",
+        $"billing_code_type", $"name", $"negotiated_rate", $"billing_class",
+        array_join($"service_code", ",").as("service_code_csv"),
+        $"expiration_date", $"provider_group_id",
+        array_join($"npi".cast("array<string>"), ",").as("npi_csv"),
+        $"tin".getField("value").as("tin_value"))
+      .orderBy($"negotiated_rate", $"npi_csv")
+  }
+
+  /** q154: rate BENCHMARKING over the same pipeline — every
+    * fee-for-service negotiated rate positioned within its billing
+    * code's market: percent_rank (the exact (r−1)/(n−1) rational both
+    * engines compute identically), code row count, and exact min/max.
+    * THE canonical price-transparency consumer question ("is this
+    * rate high for this service?") asked of the full unfiltered
+    * silver rate table — no billing-code or TIN slice, so this also
+    * exercises the silver codes ⋈ prices join at full width. The
+    * per-code window is bounded by rates-per-code (market size), not
+    * the corpus.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sv = MrfPipeline.silver(stagedBronze(s, d, "q154_mrf"))
+    val rates = sv.codes.filter($"negotiation_arrangement" === "ffs")
+      .select($"sk_in_network_id", $"billing_code")
+      .join(sv.prices.select($"sk_in_network_id", $"negotiated_rate"), "sk_in_network_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("billing_code").orderBy("negotiated_rate")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("billing_code")
+    rates.select(
+      $"billing_code", $"negotiated_rate",
+      count(lit(1)).over(wAll).as("n_code"),
+      percent_rank().over(w).as("pct_rank"),
+      min($"negotiated_rate").over(wAll).as("code_min"),
+      max($"negotiated_rate").over(wAll).as("code_max"))
+      .orderBy($"billing_code", $"negotiated_rate")
   }
 
   def all: Seq[Q] = Seq(
@@ -258,6 +296,26 @@ object MrfGold {
              |SELECT 'in_network' AS header_key, k, count(*) AS n FROM inn GROUP BY k
              |UNION ALL
              |SELECT 'provider_references', k, count(*) FROM pr GROUP BY k
-             |ORDER BY header_key, k""".stripMargin))
+             |ORDER BY header_key, k""".stripMargin)),
+
+    // ---- q154: rate benchmarking — see [[q154]]. The oracle derives
+    // the full unfiltered rate table independently from `part` by the
+    // generation rules (q43's discipline: nothing emitted is read
+    // back) and replays the exact percent_rank rational and window
+    // extrema; any defect in the source, splitter, silver joins, or
+    // ranking shifts a row.
+    Q(
+      "q154_mrf_rate_benchmark",
+      q154,
+      Some("""WITH p AS (SELECT p_partkey AS p FROM part WHERE p_partkey <= 40),
+             |r AS (SELECT CAST(p % 20 AS VARCHAR) AS billing_code,
+             |    (p * 100 + j * 7) / 100.0 AS negotiated_rate
+             |  FROM p, (SELECT unnest([0, 1]) AS j))
+             |SELECT billing_code, negotiated_rate,
+             |  count(*) OVER (PARTITION BY billing_code) AS n_code,
+             |  percent_rank() OVER (PARTITION BY billing_code ORDER BY negotiated_rate) AS pct_rank,
+             |  min(negotiated_rate) OVER (PARTITION BY billing_code) AS code_min,
+             |  max(negotiated_rate) OVER (PARTITION BY billing_code) AS code_max
+             |FROM r ORDER BY billing_code, negotiated_rate""".stripMargin))
   )
 }

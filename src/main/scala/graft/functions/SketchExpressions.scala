@@ -4,7 +4,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch kernels. The HOF formulations hash every shingle once
@@ -14,6 +16,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash — in a single generated pass.
   */
 object SketchKernels {
+  /** PPJoin in-block pair expansion — the q25 candidate generator as
+    * ONE fused loop: for each ordered pair (a, b) in a prefix block of
+    * (doc_id, n_sh, pos) structs, emit (id_a, id_b) iff the positional
+    * bound `1 + min(n_a-pos_a-1, n_b-pos_b-1) >= (n_a+n_b)*tFrac - 1e-9`
+    * holds. Bit-identical to the nested transform/filter HOF chain it
+    * replaces (same int arithmetic, same double comparison), which was
+    * interpreted per probe; the completeness oracle (q25 vs the
+    * unblocked all-pairs join) gates any divergence.
+    */
+  def ppjoinExpand(ms: ArrayData, tFrac: Double): ArrayData = {
+    val n = ms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n - 1) {
+      val a = ms.getStruct(i, 3)
+      val aId = a.getLong(0)
+      val na = a.getInt(1)
+      val ra = na - a.getInt(2) - 1
+      var j = i + 1
+      while (j < n) {
+        val b = ms.getStruct(j, 3)
+        val nb = b.getInt(1)
+        val rb = nb - b.getInt(2) - 1
+        if ((1 + math.min(ra, rb)).toDouble >= (na + nb) * tFrac - 1e-9) {
+          out += new GenericInternalRow(Array[Any](aId, b.getLong(0)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
 
   private final val Seed = 42L
 
@@ -347,6 +382,36 @@ case class SortedOverlapCount(left: Expression, right: Expression) extends Binar
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+case class PpjoinExpand(child: Expression, tFrac: Double) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, IntegerType, _, _),
+      StructField(_, IntegerType, _, _))), _) if tFrac > 0.0 && tFrac < 1.0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_ppjoin_expand requires array<struct<bigint,int,int>> and 0 < tFrac < 1, " +
+        s"got ${child.dataType.simpleString}, tFrac=$tFrac")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_ppjoin_expand"
+
+  override protected def nullSafeEval(ms: Any): Any =
+    SketchKernels.ppjoinExpand(ms.asInstanceOf[ArrayData], tFrac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Double.toString round-trips exactly, so the embedded Java literal
+    // is the same double the interpreted path uses
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.ppjoinExpand($c, ${tFrac}D)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -386,6 +386,24 @@ object GraftFunctions {
     }
   }
 
+  /** Foldable-double argument with readable errors (mirror of
+    * [[intArg]] for fractional parameters).
+    */
+  private def doubleArg(fn: String, exprs: Seq[Expression], i: Int): Double = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a literal number, got ${e.sql}")
+    e.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a non-null literal number, got $other")
+    }
+  }
+
   private def spec(name: String, usage: String, n: Int)(
       b: Seq[Expression] => Expression): FnSpec =
     FnSpec(name, usage, exprs => { arity(name, usage, exprs, n); b(exprs) })
@@ -415,6 +433,9 @@ object GraftFunctions {
     spec("graft_overlap",
       "graft_overlap(a, b) - intersection size of two sorted array<bigint>", 2)(
       exprs => SortedOverlapCount(exprs.head, exprs(1))),
+    spec("graft_ppjoin_expand",
+      "graft_ppjoin_expand(block, tfrac) - PPJoin positional-filtered pair expansion", 2)(
+      exprs => PpjoinExpand(exprs.head, doubleArg("graft_ppjoin_expand", exprs, 1))),
     spec("graft_matvec",
       "graft_matvec(v, rows) - dot product of v against each matrix row", 2)(
       exprs => MatVecDots(exprs.head, exprs(1))),
@@ -515,6 +536,14 @@ object GraftFunctions {
   def matVec(spark: SparkSession, v: Column, rows: Column): Column = {
     register(spark)
     call_function("graft_matvec", v, rows)
+  }
+
+  def ppjoinExpand(block: Column, tFrac: Double): Column =
+    ppjoinExpand(SparkSession.active, block, tFrac)
+  def ppjoinExpand(spark: SparkSession, block: Column, tFrac: Double): Column = {
+    register(spark)
+    call_function("graft_ppjoin_expand", block,
+      org.apache.spark.sql.functions.lit(tFrac))
   }
 
   def nearestCentroids(v: Column, centroids: Column, top: Int): Column =

@@ -186,24 +186,17 @@ object Dedup {
     // (they coincide at pos_a = pos_b = 0; positional is strictly
     // stronger elsewhere).
     val tFrac = threshold / (1.0 + threshold)
+    // in-block expansion + positional filter as ONE fused native loop
+    // (graft_ppjoin_expand) — the nested transform/filter HOF chain it
+    // replaces was interpreted per (a, b) probe and dominated q25's
+    // profile; the kernel evaluates the identical int/double bound and
+    // the q25 completeness oracle (vs the unblocked all-pairs join)
+    // gates any divergence
     val candidates = prefixes.groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"), col("pos")))).as("ms"))
       .filter(size(col("ms")).between(2, maxBlockSize))
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ms")) - 2),
-        i => {
-          val a = element_at(col("ms"), i + 1)
-          val na = a.getField("n_sh")
-          val ra = na - a.getField("pos") - 1 // shingles at rank > pos_a
-          transform(
-            filter(
-              slice(col("ms"), i + 2, size(col("ms")) - i - 1),
-              b => (lit(1) + least(ra, b.getField("n_sh") - b.getField("pos") - 1))
-                .cast("double") >= (na + b.getField("n_sh")) * tFrac - lit(1e-9)),
-            b => struct(
-              a.getField("doc_id").as("id_a"),
-              b.getField("doc_id").as("id_b")))
-        }))).as("p"))
+      .select(explode(
+        graft.functions.GraftFunctions.ppjoinExpand(col("ms"), tFrac)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     // exact verification on the hashed sets: overlap by merge scan
     // (arrays are sorted) — no per-pair hash set, no intersect array;

@@ -56,7 +56,7 @@ object JaccardProfile {
     timed2("prefix blocks>=2")(blocks.count())
     println("  sum m^2 = " + blocks.select(sum(size(col("ms")) * size(col("ms")))).first().get(0))
 
-    val candidates = blocks
+    val candidatesHof = blocks
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ms")) - 2),
         i => {
@@ -73,7 +73,12 @@ object JaccardProfile {
               b.getField("doc_id").as("id_b")))
         }))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-    timed2("expansion (pre-dedup)")(candidates.count())
+    timed2("expansion HOF (pre-dedup)")(candidatesHof.count())
+    val candidates = blocks
+      .select(explode(
+        graft.functions.GraftFunctions.ppjoinExpand(col("ms"), tFrac)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    timed2("expansion KERNEL (pre-dedup)")(candidates.count())
     val deduped = candidates.dropDuplicates("id_a", "id_b").cache()
     timed2("dedup (cache build)")(deduped.count())
 

@@ -190,6 +190,24 @@ class MrfSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
 
+  test("console debug sink drains the source (S8 — the reference's print sink shape)") {
+    // the reference's debug sink collects and prints; the V2 twin is
+    // the built-in console sink. Truncate + cap rows so the suite log
+    // stays readable; AvailableNow proves the sink accepts every batch
+    // to the terminal offset.
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-console").toString
+    val q = spark.readStream.format("payer-mrf").load(ffsPath)
+      .writeStream
+      .format("console")
+      .option("numRows", 2)
+      .option("truncate", true)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "console-sink stream did not terminate")
+    assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
+  }
+
   test("maxChunksPerBatch bounds each micro-batch (admission control)") {
     val checkpoint = Files.createTempDirectory("mrf-ckpt-ac").toString
     val q = spark.readStream.format("payer-mrf")

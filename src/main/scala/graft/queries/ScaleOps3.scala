@@ -1361,6 +1361,107 @@ object ScaleOps3 {
              |SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
              |ORDER BY event_type, n_events""".stripMargin)))
 
+  val evalQueries: Seq[Q] = Seq(
+
+    // ---- q155: KWIC snippet extraction (keyword-in-context) — for
+    // every document containing the query term, the ±3-token window
+    // around its FIRST occurrence: the retrieval-display/concordance
+    // primitive next to q57's ranking and q140's keywords. Pure
+    // map-side array arithmetic (position + slice + join), exact
+    // strings — hash oracle.
+    Q(
+      "q155_kwic_snippets",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", coalesce(TextAnalysis.tokens($"text"), array()).as("toks"))
+          .withColumn("p", array_position($"toks", "data"))
+          .filter($"p" > 0)
+        toks.select(
+          $"doc_id",
+          $"p".cast("long").as("pos"),
+          concat_ws(" ",
+            slice($"toks", greatest(lit(1), $"p" - 3).cast("int"),
+              ($"p" - greatest(lit(1), $"p" - 3) + 3 + 1).cast("int"))).as("snippet"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |m AS (SELECT doc_id, toks, list_position(toks, 'data') AS p FROM t
+              |  WHERE list_position(toks, 'data') IS NOT NULL
+              |    AND list_position(toks, 'data') > 0)
+              |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+              |  array_to_string(toks[greatest(1, p - 3):least(len(toks), p + 3)], ' ') AS snippet
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- q156: in-engine CLASSIFIER EVALUATION — leave-one-out 5-NN
+    // majority-vote prediction of each embedding's label (exact
+    // brute-force neighbors: cosines are bit-equal, so neighbor sets
+    // and votes replay exactly; ties → smallest label), then the full
+    // per-class confusion summary: support, predicted count, true
+    // positives, precision, recall, F1 — all exact integer counts and
+    // exact divisions. The evaluation half of the ML pipeline (q96
+    // trains, q139 fits, this MEASURES) with a hash-match oracle.
+    Q(
+      "q156_knn_eval",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val labels = emb.select($"vec_id", $"label")
+        val neighbors = Similarity.bruteForceTopK(
+          emb, emb, $"embedding", $"vec_id", $"embedding", $"vec_id", k = 5)
+        val votes = neighbors
+          .join(labels.withColumnRenamed("vec_id", "corpus_id"), "corpus_id")
+          .groupBy($"query_id", $"label").agg(count(lit(1)).as("n"))
+        val wv = Window.partitionBy("query_id").orderBy($"n".desc, $"label")
+        val pred = votes.withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+          .select($"query_id".as("vec_id"), $"label".as("pred"))
+        val joined = pred.join(labels, "vec_id")
+        val perTrue = joined.groupBy($"label")
+          .agg(count(lit(1)).as("support"),
+            sum(when($"pred" === $"label", 1L).otherwise(0L)).as("tp"))
+        val perPred = joined.groupBy($"pred")
+          .agg(count(lit(1)).as("predicted"))
+        perTrue.join(perPred, $"label" === $"pred", "left")
+          .select($"label",
+            $"support", coalesce($"predicted", lit(0L)).as("predicted"), $"tp",
+            ($"tp".cast("double") / coalesce($"predicted", lit(0L)).cast("double"))
+              .as("precision"),
+            ($"tp".cast("double") / $"support".cast("double")).as("recall"))
+          .withColumn("f1",
+            when($"tp" === 0, lit(0.0)).otherwise(
+              lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall")))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, b.label,
+             |    list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+             |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+             |nn AS (SELECT query_id, label FROM (
+             |    SELECT query_id, label,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+             |    FROM scored) WHERE rank <= 5),
+             |votes AS (SELECT query_id, label, count(*) AS n FROM nn GROUP BY 1, 2),
+             |pred AS (SELECT query_id AS vec_id, label AS pred FROM (
+             |    SELECT query_id, label,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label) AS rn
+             |    FROM votes) WHERE rn = 1),
+             |j AS (SELECT p.vec_id, p.pred, e.label FROM pred p JOIN e USING (vec_id)),
+             |pt AS (SELECT label, count(*) AS support,
+             |    sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS tp
+             |  FROM j GROUP BY 1),
+             |pp AS (SELECT pred, count(*) AS predicted FROM j GROUP BY 1),
+             |x AS (SELECT pt.label, CAST(pt.support AS BIGINT) AS support,
+             |    CAST(coalesce(pp.predicted, 0) AS BIGINT) AS predicted,
+             |    CAST(pt.tp AS BIGINT) AS tp,
+             |    CAST(pt.tp AS DOUBLE) / CAST(coalesce(pp.predicted, 0) AS DOUBLE) AS precision,
+             |    CAST(pt.tp AS DOUBLE) / CAST(pt.support AS DOUBLE) AS recall
+             |  FROM pt LEFT JOIN pp ON pt.label = pp.pred)
+             |SELECT label, support, predicted, tp, precision, recall,
+             |  CASE WHEN tp = 0 THEN 0.0
+             |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+             |FROM x ORDER BY label""".stripMargin)))
+
   /** q153: the live update-mode run — three explicit-boundary slices
     * staged with ascending mtimes (`maxFilesPerTrigger=1` → 3 data
     * batches, enforced), an unwatermarked groupBy aggregation in

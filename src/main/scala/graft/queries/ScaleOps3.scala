@@ -1460,7 +1460,69 @@ object ScaleOps3 {
              |SELECT label, support, predicted, tp, precision, recall,
              |  CASE WHEN tp = 0 THEN 0.0
              |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
-             |FROM x ORDER BY label""".stripMargin)))
+             |FROM x ORDER BY label""".stripMargin)),
+
+    // ---- q157: PEAK CONCURRENCY — the sweep-line maximum of
+    // simultaneously-open sessions (capacity planning's first
+    // question). Sessions from the real sessionizer become ±1 deltas
+    // (+1 at start, −1 at end + 1µs: closed intervals), deltas net
+    // per distinct timestamp (tie order becomes irrelevant), and the
+    // running sum uses the two-phase geometry a THIRD way (q141's CDF,
+    // q145's CUSUM, now interval concurrency): calendar-day buckets,
+    // driver prefix offsets, day-bounded cumulative windows — no
+    // global-order single-reducer window over the delta stream. Exact
+    // integers end to end; argmax time ties to the earliest.
+    Q(
+      "q157_peak_concurrency",
+      (s, d) => {
+        import s.implicits._
+        val sessions = graft.streaming.Sessionize.batch(
+          Tables.events(s, d).filter($"user_id".isNotNull), gapMinutes = 30)
+        val deltas = sessions
+          .select(unix_micros($"session_start").as("t"), lit(1L).as("dl"))
+          .unionByName(sessions
+            .select((unix_micros($"session_end") + 1).as("t"), lit(-1L).as("dl")))
+          .groupBy($"t").agg(sum($"dl").as("delta"))
+          .withColumn("day", floor($"t".cast("double") / 86400000000.0).cast("long"))
+        val perDay = deltas.groupBy($"day").agg(sum($"delta").as("dsum"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offs = perDay.map { case (day, ds) => val o = (day, acc); acc += ds; o }
+        val offCol = offs.foldLeft(lit(0L)) { (a, o) =>
+          when($"day" === o._1, lit(o._2)).otherwise(a)
+        }
+        val wCum = Window.partitionBy("day").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val conc = deltas
+          .withColumn("c", sum($"delta").over(wCum) + offCol)
+        // argmax via partial-aggregable struct-max (ties → earliest t),
+        // not a global-order window over the delta stream
+        conc.agg(max(struct($"c", (-$"t").as("negt"))).as("b"))
+          .select($"b.c".as("max_concurrency"), (-$"b.negt").as("at_time_us"))
+          .crossJoin(sessions.agg(count(lit(1)).as("n_sessions")))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, value FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |b AS (SELECT user_id, epoch_us(ts) AS t, value,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+             |sn AS (SELECT user_id, t,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM b),
+             |sess AS (SELECT user_id, min(t) AS ss, max(t) AS se
+             |  FROM sn GROUP BY user_id, sid),
+             |dl AS (SELECT ss AS t, 1 AS delta FROM sess
+             |  UNION ALL SELECT se + 1, -1 FROM sess),
+             |net AS (SELECT t, sum(delta) AS delta FROM dl GROUP BY t),
+             |cum AS (SELECT t, sum(delta) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM net),
+             |pk AS (SELECT c, t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cum)
+             |SELECT CAST(c AS BIGINT) AS max_concurrency, t AS at_time_us,
+             |  (SELECT count(*) FROM sess) AS n_sessions
+             |FROM pk WHERE rn = 1""".stripMargin)))
 
   /** q153: the live update-mode run — three explicit-boundary slices
     * staged with ascending mtimes (`maxFilesPerTrigger=1` → 3 data

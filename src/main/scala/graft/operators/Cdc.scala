@@ -170,4 +170,42 @@ object Cdc {
           col("__v").as("valid_from") :+ col("valid_to") :+
           col("valid_to").isNull.as("is_current"): _*)
   }
+
+  /** GOLDEN-RECORD survivorship — the field-level merge step MDM runs
+    * after entity resolution (q115 finds the duplicates; this builds
+    * the master row): per key, each field independently takes its
+    * value from the NEWEST observation where that field is NON-NULL
+    * ("newest non-null per column" — a null in a later observation
+    * never erases an earlier value).
+    *
+    * One partial-aggregable struct-max per field (the q54 keep-best
+    * shape): `max(when(f notNull, struct(version, tieBreak, f)))`
+    * combines map-side, so a key observed a billion times still ships
+    * one struct per (field, partition-group) — no per-key window, no
+    * observation sort. `(version, tieBreak)` must be unique per row
+    * for determinism (an id column does). Output: key, n_obs, one
+    * column per field (null iff the field was null in EVERY
+    * observation).
+    */
+  def goldenRecord(
+      df: DataFrame,
+      key: Column,
+      version: Column,
+      tieBreak: Column,
+      fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val names = fields.map(_._1)
+    require(names.distinct.size == names.size,
+      s"goldenRecord field names must be distinct, got ${names.mkString(", ")}")
+    require(!names.contains("key") && !names.contains("n_obs"),
+      "field names 'key' and 'n_obs' collide with the output contract")
+    val guardedKey = when(key.isNull, raise_error(lit(
+      "goldenRecord: key is null — resolve entities first"))).otherwise(key)
+    val aggs = count(lit(1)).as("n_obs") +: fields.map { case (n, c) =>
+      max(when(c.isNotNull,
+        struct(version.as("__v"), tieBreak.as("__t"), c.as("__x"))))
+        .getField("__x").as(n)
+    }
+    df.groupBy(guardedKey.as("key")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1524,6 +1524,168 @@ object ScaleOps3 {
              |  (SELECT count(*) FROM sess) AS n_sessions
              |FROM pk WHERE rn = 1""".stripMargin)))
 
+  val monitorQueries: Seq[Q] = Seq(
+
+    // ---- q158: STREAMING DRIFT MONITOR — live data-quality watch:
+    // each micro-batch contributes one bounded histogram-state pass
+    // (the q135 states; driver keeps ≤ bins longs per slice), and at
+    // end-of-stream PSI runs between the FIRST batch's value
+    // distribution (the reference) and the LAST batch's (current) —
+    // the q125 drift metric maintained incrementally instead of by
+    // rescanning history. Bin counts replay exactly (explicit slice
+    // boundaries, exact bin arithmetic); only ln() is engine-local, so
+    // the oracle recomputes every per-bin PSI term and admits rows
+    // within 1e-9 (poison otherwise). Bins where either side is empty
+    // carry a NULL psi_term (the zero-mass case PSI cannot score —
+    // q125's loudness relaxed to explicit nulls here because sparse
+    // histogram tails are EXPECTED, not data corruption).
+    Q(
+      "q158_streaming_drift_monitor",
+      (s, d) => streamingDriftMonitor(s, d),
+      Some("""WITH ref AS (SELECT LEAST(63, GREATEST(0,
+             |      CAST(floor((value - 0.0) / 10.0) AS BIGINT))) AS bin, count(*) AS n
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+             |    AND ts < TIMESTAMP '2024-01-11' GROUP BY 1),
+             |cur AS (SELECT LEAST(63, GREATEST(0,
+             |      CAST(floor((value - 0.0) / 10.0) AS BIGINT))) AS bin, count(*) AS n
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+             |    AND ts >= TIMESTAMP '2024-01-21' GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(n) FROM ref) AS tr, (SELECT sum(n) FROM cur) AS tc),
+             |bins AS (SELECT b.bin,
+             |    coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+             |  FROM (SELECT DISTINCT bin FROM (SELECT bin FROM ref UNION ALL SELECT bin FROM cur)) b
+             |  LEFT JOIN ref r USING (bin) LEFT JOIN cur c USING (bin)),
+             |x AS (SELECT bin, n_ref, n_cur,
+             |    CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             |      (CAST(n_cur AS DOUBLE) / tot.tc - CAST(n_ref AS DOUBLE) / tot.tr)
+             |        * ln((CAST(n_cur AS DOUBLE) / tot.tc) / (CAST(n_ref AS DOUBLE) / tot.tr))
+             |    END AS psi_term
+             |  FROM bins CROSS JOIN tot),
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q158_streaming_drift_monitor/*.parquet')),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM x)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.bin NOT IN (SELECT bin FROM x))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN x USING (bin)
+             |      WHERE e.n_ref <> x.n_ref OR e.n_cur <> x.n_cur
+             |         OR (e.psi_term IS NULL) <> (x.psi_term IS NULL)
+             |         OR (e.psi_term IS NOT NULL AND abs(e.psi_term - x.psi_term) > 1e-9))
+             |  ) AS ok)
+             |SELECT bin, n_ref, n_cur, psi_term FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE)
+             |  WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY bin""".stripMargin)),
+
+    // ---- q159: GOLDEN-RECORD survivorship (Cdc.goldenRecord) — the
+    // master-data merge after entity resolution: per user, each
+    // attribute independently from the NEWEST observation where it is
+    // non-null. `last_purchase_value` is null on every non-purchase
+    // event, so the null-skipping path genuinely bites (a later click
+    // never erases an earlier purchase amount); one partial-aggregable
+    // struct-max per field, no per-key window. Exact oracle via
+    // arg-max window replay.
+    Q(
+      "q159_golden_record",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Cdc.goldenRecord(
+          Tables.events(s, d).filter($"user_id".isNotNull && $"ts".isNotNull),
+          key = $"user_id",
+          version = unix_micros($"ts"),
+          tieBreak = $"event_id",
+          fields = Seq(
+            "last_event_type" -> $"event_type",
+            "last_purchase_value" ->
+              when($"event_type" === "purchase", $"value"),
+            "last_error_us" ->
+              when($"event_type" === "error", unix_micros($"ts"))))
+          .orderBy($"key")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS v, event_id AS t,
+             |    event_type,
+             |    CASE WHEN event_type = 'purchase' THEN value END AS pv,
+             |    CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS ev
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |n AS (SELECT user_id, count(*) AS n_obs FROM e GROUP BY 1),
+             |a AS (SELECT user_id, event_type FROM (
+             |    SELECT user_id, event_type,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY v DESC, t DESC) AS rn
+             |    FROM e WHERE event_type IS NOT NULL) WHERE rn = 1),
+             |b AS (SELECT user_id, pv FROM (
+             |    SELECT user_id, pv,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY v DESC, t DESC) AS rn
+             |    FROM e WHERE pv IS NOT NULL) WHERE rn = 1),
+             |c AS (SELECT user_id, ev FROM (
+             |    SELECT user_id, ev,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY v DESC, t DESC) AS rn
+             |    FROM e WHERE ev IS NOT NULL) WHERE rn = 1)
+             |SELECT n.user_id AS key, n.n_obs,
+             |  a.event_type AS last_event_type,
+             |  b.pv AS last_purchase_value,
+             |  c.ev AS last_error_us
+             |FROM n LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+             |  LEFT JOIN c USING (user_id)
+             |ORDER BY key""".stripMargin)))
+
+  /** q158: the live run — three explicit-boundary slices (q153's
+    * staging), per-batch histogram states collected into a driver
+    * map keyed by batch id (≤ 64 longs each), PSI computed once at
+    * end-of-stream between batch 0 and batch 2.
+    */
+  private def streamingDriftMonitor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q158_drift")
+    try {
+      val ev = Tables.events(s, d)
+        .select($"ts", $"value").filter($"ts".isNotNull && $"value".isNotNull)
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1), "00_a"),
+        (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
+        (ev.filter($"ts" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val hists = scala.collection.mutable.Map.empty[Long, Array[Long]]
+      val lock = new Object
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val rows = Sketches.histogramBins(
+              batch, Seq.empty, col("value"), lo = 0.0, hi = 640.0, bins = 64)
+              .collect()
+            lock.synchronized {
+              val h = hists.getOrElseUpdate(id, new Array[Long](64))
+              rows.foreach(r => h(r.getLong(0).toInt) += r.getLong(1))
+            }
+        }
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q158 stream did not terminate within 600s — refusing a partial monitor")
+      finally q.stop()
+      val (ref, cur) = lock.synchronized {
+        require(hists.size >= 3,
+          s"q158 saw ${hists.size} data micro-batch(es); the drift monitor " +
+            "needs the reference and current slices as separate batches")
+        (hists(hists.keys.min), hists(hists.keys.max))
+      }
+      val tr = ref.sum.toDouble
+      val tc = cur.sum.toDouble
+      val rows = (0 until 64).flatMap { b =>
+        val (nr, nc) = (ref(b), cur(b))
+        if (nr == 0 && nc == 0) None
+        else Some((b.toLong, nr, nc,
+          if (nr > 0 && nc > 0) Some((nc / tc - nr / tr) * math.log((nc / tc) / (nr / tr)))
+          else None))
+      }
+      rows.toDF("bin", "n_ref", "n_cur", "psi_term").orderBy($"bin")
+    } finally Scratch.deleteRecursively(scratch)
+  }
+
   /** q153: the live update-mode run — three explicit-boundary slices
     * staged with ascending mtimes (`maxFilesPerTrigger=1` → 3 data
     * batches, enforced), an unwatermarked groupBy aggregation in

@@ -38,7 +38,11 @@ object MrfGold {
   private val FileName = "mrf_q43.json"
   private val Payer = "graft-test-payer"
 
-  private[queries] def buildJson(parts: Seq[(Long, String)], groups: Seq[Long]): String = {
+  private[queries] def buildJson(
+      parts: Seq[(Long, String)],
+      groups: Seq[Long],
+      rateOf: (Long, Int) => Double = (p, j) => (p * 100 + j * 7) / 100.0,
+      includePart: Long => Boolean = _ => true): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("reporting_entity_name", Payer)
@@ -64,7 +68,7 @@ object MrfGold {
       val t2 = g2.putObject("tin"); t2.put("type", "ein"); t2.put("value", s"TIN-$g")
     }
     val inNetwork = root.putArray("in_network")
-    parts.foreach { case (p, pname) =>
+    parts.filter(pp => includePart(pp._1)).foreach { case (p, pname) =>
       val item = inNetwork.addObject()
       item.put("negotiation_arrangement", "ffs")
       item.put("name", pname)
@@ -80,7 +84,7 @@ object MrfGold {
         val prices = rate.putArray("negotiated_prices")
         val neg = prices.addObject()
         neg.put("negotiated_type", "negotiated")
-        neg.put("negotiated_rate", (p * 100 + j * 7) / 100.0)
+        neg.put("negotiated_rate", rateOf(p, j))
         neg.put("expiration_date", "2025-12-31")
         val sc = neg.putArray("service_code"); sc.add("11"); sc.add("22")
         neg.put("billing_class", "institutional")
@@ -112,7 +116,10 @@ object MrfGold {
     * frame (shared by q43's gold pipeline and q154's benchmarking —
     * both exercise source + splitter + schema parse end to end).
     */
-  private def stagedBronze(s: SparkSession, d: String, tag: String): DataFrame = {
+  private def stagedBronze(
+      s: SparkSession, d: String, tag: String,
+      rateOf: (Long, Int) => Double = (p, j) => (p * 100 + j * 7) / 100.0,
+      includePart: Long => Boolean = _ => true): DataFrame = {
     import s.implicits._
     val parts = s.read.parquet(s"$d/part.parquet")
       .filter($"p_partkey" <= 40)
@@ -128,7 +135,7 @@ object MrfGold {
     val dir = Scratch.tempDir(tag)
     val file = dir.resolve(FileName)
     try {
-      java.nio.file.Files.writeString(file, buildJson(parts, groups))
+      java.nio.file.Files.writeString(file, buildJson(parts, groups, rateOf, includePart))
       // bronze arrives through the real streaming source (the
       // reference's deployment shape); AvailableNow ends the stream at
       // the terminal offset and the memory sink materializes bronze,
@@ -208,6 +215,43 @@ object MrfGold {
       min($"negotiated_rate").over(wAll).as("code_min"),
       max($"negotiated_rate").over(wAll).as("code_max"))
       .orderBy($"billing_code", $"negotiated_rate")
+  }
+
+
+  /** q160: MONTH-OVER-MONTH rate-change detection — the price-
+    * transparency consumer's time axis: TWO document versions run
+    * through the full source→silver pipeline and diff per item
+    * (keyed by the unique description). Version 2 raises every
+    * p % 5 == 0 item's rates 10% and delists item 3, so all four
+    * change classes (changed / unchanged / delisted / added-side
+    * geometry) are observable. One full-outer join on the item key —
+    * the q108 snapshot-diff shape applied to the MRF domain.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def ratesOf(bronze: DataFrame): DataFrame = {
+      val sv = MrfPipeline.silver(bronze)
+      sv.codes.filter($"negotiation_arrangement" === "ffs")
+        .select($"sk_in_network_id", $"description")
+        .join(sv.prices.select($"sk_in_network_id", $"negotiated_rate"), "sk_in_network_id")
+        .groupBy($"description")
+        .agg(min($"negotiated_rate").as("rmin"), max($"negotiated_rate").as("rmax"))
+    }
+    val v1 = ratesOf(stagedBronze(s, d, "q160_v1"))
+    val v2 = ratesOf(stagedBronze(s, d, "q160_v2",
+      rateOf = (p, j) =>
+        if (p % 5 == 0) (p * 100 + j * 7) * 11 / 1000.0 else (p * 100 + j * 7) / 100.0,
+      includePart = _ != 3L))
+    v1.select($"description", $"rmin".as("old_min"), $"rmax".as("old_max"))
+      .join(
+        v2.select($"description", $"rmin".as("new_min"), $"rmax".as("new_max")),
+        Seq("description"), "full_outer")
+      .withColumn("change",
+        when($"new_min".isNull, "delisted")
+          .when($"old_min".isNull, "added")
+          .when($"old_min" === $"new_min" && $"old_max" === $"new_max", "unchanged")
+          .otherwise("changed"))
+      .orderBy($"description")
   }
 
   def all: Seq[Q] = Seq(
@@ -316,6 +360,33 @@ object MrfGold {
              |  percent_rank() OVER (PARTITION BY billing_code ORDER BY negotiated_rate) AS pct_rank,
              |  min(negotiated_rate) OVER (PARTITION BY billing_code) AS code_min,
              |  max(negotiated_rate) OVER (PARTITION BY billing_code) AS code_max
-             |FROM r ORDER BY billing_code, negotiated_rate""".stripMargin))
+             |FROM r ORDER BY billing_code, negotiated_rate""".stripMargin)),
+
+    // ---- q160: month-over-month rate changes — see [[q160]]. The
+    // oracle derives BOTH versions' rate tables from `part` by the
+    // generation rules (q43 discipline) and replays the diff exactly.
+    Q(
+      "q160_mrf_rate_changes",
+      q160,
+      Some("""WITH p AS (SELECT p_partkey AS p, 'item-' || p_partkey AS description
+             |  FROM part WHERE p_partkey <= 40),
+             |v1 AS (SELECT description,
+             |    min((p * 100 + j * 7) / 100.0) AS old_min,
+             |    max((p * 100 + j * 7) / 100.0) AS old_max
+             |  FROM p, (SELECT unnest([0, 1]) AS j) GROUP BY description),
+             |v2 AS (SELECT description,
+             |    min(CASE WHEN p % 5 = 0 THEN (p * 100 + j * 7) * 11 / 1000.0
+             |             ELSE (p * 100 + j * 7) / 100.0 END) AS new_min,
+             |    max(CASE WHEN p % 5 = 0 THEN (p * 100 + j * 7) * 11 / 1000.0
+             |             ELSE (p * 100 + j * 7) / 100.0 END) AS new_max
+             |  FROM p, (SELECT unnest([0, 1]) AS j) WHERE p <> 3 GROUP BY description),
+             |f AS (SELECT description, old_min, old_max, new_min, new_max
+             |  FROM v1 FULL OUTER JOIN v2 USING (description))
+             |SELECT description, old_min, old_max, new_min, new_max,
+             |  CASE WHEN new_min IS NULL THEN 'delisted'
+             |       WHEN old_min IS NULL THEN 'added'
+             |       WHEN old_min = new_min AND old_max = new_max THEN 'unchanged'
+             |       ELSE 'changed' END AS change
+             |FROM f ORDER BY description""".stripMargin))
   )
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Attribution, Graph, MarketBasket, Regression}
+
+/** Round-6 continuation (q161–q164): pairwise association-rule
+  * mining, degree-oriented triangle counting, grouped closed-form
+  * multi-feature OLS, and first/last-touch conversion attribution —
+  * four operator families the catalog did not yet cover.
+  */
+object ScaleOps4 {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q161: market-basket association rules over (order, brand)
+    // baskets. Counts are exact integers; support/confidence/lift are
+    // single IEEE divisions of those integers in a pinned order, so
+    // the oracle reproduces the doubles bit-for-bit and the gate can
+    // hash-match. The brand dimension join broadcasts; the only wide
+    // exchanges are the basket self-join (co-partitioned on order id,
+    // pair fan-out bounded by lines-per-order) and the pair count.
+    Q(
+      "q161_assoc_rules",
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"p_brand")
+        MarketBasket.associationRules(items, $"l_orderkey", $"p_brand",
+            minPairCount = 2L, minConfidence = 0.05)
+          .orderBy($"antecedent", $"consequent")
+      },
+      Some("""WITH it AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+             |marg AS MATERIALIZED (SELECT i, count(*) AS item_n FROM it GROUP BY 1),
+             |nb AS (SELECT count(DISTINCT b) AS n FROM it),
+             |pairs AS MATERIALIZED (
+             |  SELECT l.i AS ia, r.i AS ib, count(*) AS pair_n
+             |  FROM it l JOIN it r ON l.b = r.b AND l.i < r.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |dir AS (
+             |  SELECT ia AS antecedent, ib AS consequent, pair_n FROM pairs
+             |  UNION ALL
+             |  SELECT ib AS antecedent, ia AS consequent, pair_n FROM pairs)
+             |SELECT d.antecedent, d.consequent, d.pair_n,
+             |  a.item_n AS ante_n, c.item_n AS cons_n,
+             |  CAST(d.pair_n AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+             |  CAST(d.pair_n AS DOUBLE) / CAST(a.item_n AS DOUBLE) AS confidence,
+             |  (CAST(d.pair_n AS DOUBLE) / CAST(a.item_n AS DOUBLE))
+             |    / (CAST(c.item_n AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS lift
+             |FROM dir d
+             |JOIN marg a ON d.antecedent = a.i
+             |JOIN marg c ON d.consequent = c.i
+             |CROSS JOIN nb
+             |WHERE CAST(d.pair_n AS DOUBLE) / CAST(a.item_n AS DOUBLE) >= 0.05
+             |ORDER BY antecedent, consequent""".stripMargin),
+      bench = true),
+
+    // ---- q162: per-node triangle counts over the part co-order
+    // graph (parts are adjacent when some order contains both). The
+    // Spark plan orients edges by (degree, id) — wedge work bounded
+    // O(E^1.5) under any skew; the oracle needs no orientation at all
+    // (a triangle is a triangle): it 3-way-joins the canonical a<b
+    // edge list on id order, which enumerates the identical set.
+    Q(
+      "q162_triangle_counts",
+      (s, d) => {
+        import s.implicits._
+        val it = Tables.lineitem(s, d)
+          .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+          .select($"l_orderkey".as("b"), $"l_partkey".as("p"))
+          .distinct()
+        val edges = it.as("l").join(it.as("r"),
+            col("l.b") === col("r.b") && col("l.p") < col("r.p"))
+          .select(col("l.p").as("src"), col("r.p").as("dst"))
+        Graph.triangleCounts(edges, $"src", $"dst")
+          .orderBy($"node")
+      },
+      Some("""WITH it AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS p
+             |  FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |canon AS MATERIALIZED (
+             |  SELECT DISTINCT l.p AS a, r.p AS b
+             |  FROM it l JOIN it r ON l.b = r.b AND l.p < r.p),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+             |  FROM canon e1
+             |  JOIN canon e2 ON e2.a = e1.b
+             |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT node, count(*) AS tri_n
+             |FROM (
+             |  SELECT n1 AS node FROM tri
+             |  UNION ALL SELECT n2 FROM tri
+             |  UNION ALL SELECT n3 FROM tri)
+             |GROUP BY node
+             |ORDER BY node""".stripMargin),
+      bench = true),
+
+    // ---- q163: grouped 2-feature OLS (extendedprice on quantity and
+    // discount, per brand) from one pass of exact decimal sufficient
+    // statistics. Coefficients are doubles solved in a pinned order
+    // from EXACT statistics; the only cross-engine drift is the
+    // 1-ulp decimal→double cast (q112 precedent), so the oracle
+    // recomputes the solve and accepts within a 1e-9 relative band,
+    // checking the null pattern (singular groups) exactly.
+    Q(
+      "q163_grouped_ols",
+      (s, d) => {
+        import s.implicits._
+        val df = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        Regression.groupedOls2(df, $"p_brand",
+            $"l_extendedprice", $"l_quantity", $"l_discount")
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q163_grouped_ols/*.parquet')),
+             |base AS (SELECT p_brand AS k,
+             |    CAST(l_extendedprice AS DECIMAL(19,4)) AS y,
+             |    CAST(l_quantity AS DECIMAL(19,4)) AS x1,
+             |    CAST(l_discount AS DECIMAL(19,4)) AS x2
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             |    AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+             |    AND l_discount IS NOT NULL AND NOT isnan(l_discount)),
+             |st AS (SELECT k, count(*) AS n,
+             |    CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+             |    CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x1 * x1) AS DOUBLE) AS sx1x1,
+             |    CAST(sum(x2 * x2) AS DOUBLE) AS sx2x2,
+             |    CAST(sum(x1 * x2) AS DOUBLE) AS sx1x2,
+             |    CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             |    CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             |    CAST(sum(y * y) AS DOUBLE) AS syy
+             |  FROM base GROUP BY k),
+             |ctr AS (SELECT k, n,
+             |    sx1x1 - sx1 * sx1 / CAST(n AS DOUBLE) AS c11,
+             |    sx2x2 - sx2 * sx2 / CAST(n AS DOUBLE) AS c22,
+             |    sx1x2 - sx1 * sx2 / CAST(n AS DOUBLE) AS c12,
+             |    sx1y - sx1 * sy / CAST(n AS DOUBLE) AS c1y,
+             |    sx2y - sx2 * sy / CAST(n AS DOUBLE) AS c2y,
+             |    syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+             |    sx1, sx2, sy
+             |  FROM st),
+             |sol AS (SELECT k, n, c1y, c2y, cyy, sx1, sx2, sy,
+             |    c11 * c22 - c12 * c12 AS det,
+             |    n >= 3 AND c11 * c22 - c12 * c12 > 1e-9 * c11 * c22 AS ok_det,
+             |    c11, c22, c12
+             |  FROM ctr),
+             |expect AS (SELECT k, n,
+             |    CASE WHEN ok_det THEN (c22 * c1y - c12 * c2y) / det END AS b1,
+             |    CASE WHEN ok_det THEN (c11 * c2y - c12 * c1y) / det END AS b2,
+             |    CASE WHEN ok_det THEN
+             |      (sy - ((c22 * c1y - c12 * c2y) / det) * sx1
+             |          - ((c11 * c2y - c12 * c1y) / det) * sx2) / CAST(n AS DOUBLE) END AS b0,
+             |    CASE WHEN ok_det AND cyy > 0 THEN
+             |      (((c22 * c1y - c12 * c2y) / det) * c1y
+             |       + ((c11 * c2y - c12 * c1y) / det) * c2y) / cyy END AS r2
+             |  FROM sol),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted) = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n <> x.n
+             |         OR (e.b0 IS NULL) <> (x.b0 IS NULL)
+             |         OR abs(coalesce(e.b0, 0) - coalesce(x.b0, 0)) > 1e-9 * greatest(1, abs(coalesce(x.b0, 0)))
+             |         OR (e.b1 IS NULL) <> (x.b1 IS NULL)
+             |         OR abs(coalesce(e.b1, 0) - coalesce(x.b1, 0)) > 1e-9 * greatest(1, abs(coalesce(x.b1, 0)))
+             |         OR (e.b2 IS NULL) <> (x.b2 IS NULL)
+             |         OR abs(coalesce(e.b2, 0) - coalesce(x.b2, 0)) > 1e-9 * greatest(1, abs(coalesce(x.b2, 0)))
+             |         OR (e.r2 IS NULL) <> (x.r2 IS NULL)
+             |         OR abs(coalesce(e.r2, 0) - coalesce(x.r2, 0)) > 1e-9 * greatest(1, abs(coalesce(x.r2, 0))))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.key NOT IN (SELECT k FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x WHERE x.k NOT IN (SELECT key FROM emitted))
+             |  ) AS ok)
+             |SELECT key, n, b0, b1, b2, r2 FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'ORACLE-MISMATCH', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q164: first/last-touch conversion attribution. One shuffle
+    // on user id; both attributions are ignore-nulls carry-forwards
+    // over the strictly-preceding frame of the (ts, event_id) total
+    // order, so ties are deterministic and the gate hash-matches
+    // exactly (timestamps and integer microsecond gaps, no floats).
+    Q(
+      "q164_touch_attribution",
+      (s, d) => {
+        import s.implicits._
+        Attribution.touchAttribution(Tables.events(s, d),
+            $"user_id", $"ts", $"event_id", $"event_type",
+            $"event_type" === "purchase")
+          .withColumnRenamed("user", "user_id")
+          .orderBy($"conv_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    event_type = 'purchase' AS is_conv
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+             |w AS (SELECT *,
+             |    last_value(CASE WHEN NOT is_conv THEN event_type END IGNORE NULLS) OVER win AS lt_type,
+             |    last_value(CASE WHEN NOT is_conv THEN ts END IGNORE NULLS) OVER win AS lt_ts,
+             |    first_value(CASE WHEN NOT is_conv THEN event_type END IGNORE NULLS) OVER win AS ft_type,
+             |    first_value(CASE WHEN NOT is_conv THEN ts END IGNORE NULLS) OVER win AS ft_ts
+             |  FROM base
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             |  ft_type AS first_touch_type, ft_ts AS first_touch_ts,
+             |  lt_type AS last_touch_type, lt_ts AS last_touch_ts,
+             |  epoch_us(ts) - epoch_us(lt_ts) AS gap_us
+             |FROM w WHERE is_conv
+             |ORDER BY conv_id""".stripMargin)))
+}

@@ -106,4 +106,47 @@ class GraphSpec extends SparkTestBase {
       Graph.bfsHops(e, $"src", $"dst", source = 1L, maxHops = -1)
     }
   }
+
+  // brute-force triangle oracle on the canonical simple graph
+  private def localTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val canon = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+    val nodes = canon.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if canon((a, b)) && canon((a, c)) && canon((b, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts matches brute force; loops/duplicates/reversals collapse") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, each node in 3) + pendant 5 + hub 6
+    // wired to 1,2 (closes one more triangle through edge 1-2)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 1L), (2L, 6L),
+      // noise: loop, duplicate, reversed duplicate
+      (3L, 3L), (1L, 2L), (2L, 1L))
+    val got = Graph.triangleCounts(edges.toDF("s", "d"), $"s", $"d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == localTriangles(edges), s"got $got")
+    // triangle-free graph emits nothing
+    val none = Graph.triangleCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d"), $"s", $"d")
+    assert(none.count() == 0)
+  }
+
+  test("triangleCounts is skew-safe by orientation: a star closes no wedge at the hub") {
+    import spark.implicits._
+    // hub 0 connected to 1..40 plus one rim edge (1,2): exactly one
+    // triangle. Degree orientation points every spoke AT the hub, so
+    // the hub pivots no wedges — this is the property that bounds the
+    // plan at scale; correctness-wise the count must still be exact.
+    val star = (1L to 40L).map(i => (0L, i)) :+ (1L, 2L)
+    val got = Graph.triangleCounts(star.toDF("s", "d"), $"s", $"d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
+  }
 }

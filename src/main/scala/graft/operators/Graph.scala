@@ -206,4 +206,52 @@ object Graph {
       .select(explode(array(col("pivot"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_n"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation over an
+    * undirected edge list: labels start as node ids; each of `iters`
+    * rounds every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label. Both rules make the
+    * algorithm fully deterministic (asynchronous LPA is famously
+    * order-dependent; the synchronous min-tie variant is replayable
+    * by any engine), at the cost of possible 2-cycles on bipartite
+    * structures — fixed `iters` bounds that the same way fixed power
+    * iterations bound [[pageRank]].
+    *
+    * Scale: per round, ONE shuffle joins labels to edges on the
+    * source endpoint and a two-level aggregation — count per (node,
+    * label), then a partial-aggregable max of (count, -label) per
+    * node — picks the winner; no windows, no driver state. Duplicate
+    * and reversed edges collapse; loops drop (a self-vote would make
+    * every node its own community); null endpoints fail loudly.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"labelPropagation: $side node id must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val fwd = edges
+      .select(guarded(src, "src").as("a"), guarded(dst, "dst").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = e.join(labels, col("a") === col("node"))
+        .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // winner = max (cnt, -lbl): highest count, then smallest label
+        .groupBy(col("b").as("node2"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node2").as("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

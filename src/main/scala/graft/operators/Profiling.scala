@@ -279,4 +279,94 @@ object Profiling {
         ((col("v") - col("mu")) / col("sigma")).as("z"))
       .filter(abs(col("z")) > lit(threshold))
   }
+
+  /** Benford's-law first-digit audit (forensic accounting's
+    * fabricated-amounts test): the observed share of each leading
+    * digit 1–9 of a FIXED-POINT amount column vs the Benford
+    * expectation log10(1+1/d).
+    *
+    * Portability: the leading digit comes from the decimal STRING of
+    * `round(value·10^scale)` — one correctly-rounded multiply and a
+    * half-integer-free round, so every engine extracts the identical
+    * digit (a log10-based extraction would hinge on libm accuracy at
+    * power-of-ten boundaries); the expectations are literal constants,
+    * not computed logs, for the same reason. Non-positive and null
+    * amounts drop (Benford is defined on positive magnitudes). ONE
+    * map-side-combined 9-group aggregation — scan-bound at any scale.
+    */
+  def benfordFirstDigit(df: DataFrame, value: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
+    val v = value.cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v) && v > 0.0)
+      .select(substring(
+        round(v * math.pow(10, scale).toLong).cast("decimal(24,0)").cast("string"),
+        1, 1).as("digit"))
+      // an amount below half the fixed-point resolution rounds to 0 —
+      // no leading digit at this scale
+      .filter(col("digit") =!= "0")
+    val counts = base.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    // log10(1+1/d), d=1..9 — literals, bit-identical in any engine
+    val benford = Seq(
+      "1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+      "3" -> 0.12493873660829993, "4" -> 0.09691001300805642,
+      "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+      "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+      "9" -> 0.04575749056067514)
+    val expected = benford.tail.foldLeft(
+      when(col("digit") === benford.head._1, lit(benford.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    counts
+      .withColumn("expected_share", expected)
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("share"),
+        col("expected_share"),
+        ((col("n").cast("double") / col("__t").cast("double")) - col("expected_share"))
+          .as("deviation"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative amount — the
+    * inequality/concentration statistic (0 = perfectly even, →1 =
+    * winner-takes-all) — via the rank formula on the ascending sort:
+    *
+    *   G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    *
+    * Σᵢ i·x₍ᵢ₎ is invariant to permutations within tied values, so the
+    * (value, id) rank tie-break only serves determinism of the plan,
+    * never the result. Both sums accumulate EXACTLY in decimal (rank
+    * cast to DECIMAL(19,0) forces int128 storage in engines that
+    * would overflow int64 products) and the final expression is a
+    * pinned-order double solve — the [[Regression.groupedOls2]]
+    * portability contract. Negative amounts fail loudly (Gini is
+    * undefined there; silently clamping would fabricate a statistic);
+    * groups with Σx = 0 emit NULL.
+    *
+    * Scale: one shuffle on the group key; the per-group window is
+    * bounded by group size, and the rank-weighted sums are the only
+    * state — no pair expansion, no global sort.
+    */
+  def gini(df: DataFrame, group: Column, id: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val base = df
+      .filter(group.isNotNull && v.isNotNull && !isnan(v))
+      .select(group.as("grp"), id.as("id"),
+        when(v < 0.0, raise_error(lit(
+          "gini: negative amount — Gini is undefined on negative values")))
+          .otherwise(v).cast("decimal(18,4)").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("x"), col("id"))
+    base
+      .withColumn("i", row_number().over(w).cast("decimal(19,0)"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("i") * col("x")).cast("double").as("swx"))
+      .select(col("grp").as("group"), col("n"),
+        when(col("sx") > 0.0,
+          lit(2.0) * col("swx") / (col("n").cast("double") * col("sx"))
+            - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .as("gini"))
+  }
 }

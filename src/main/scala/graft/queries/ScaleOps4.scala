@@ -2,14 +2,42 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Attribution, Graph, MarketBasket, Regression}
+import graft.operators.{Attribution, Cf, Graph, MarketBasket, Profiling, Regression}
 
-/** Round-6 continuation (q161–q164): pairwise association-rule
+/** Round-6 continuation (q161–q168): pairwise association-rule
   * mining, degree-oriented triangle counting, grouped closed-form
-  * multi-feature OLS, and first/last-touch conversion attribution —
-  * four operator families the catalog did not yet cover.
+  * multi-feature OLS, first/last-touch conversion attribution,
+  * item-item collaborative filtering, label-propagation communities,
+  * the Benford first-digit audit, and per-group Gini concentration —
+  * operator families the catalog did not yet cover.
   */
 object ScaleOps4 {
+
+  /** Unrolled synchronous-LPA oracle over the part co-order graph:
+    * the q89 replay pattern — each iteration is a count CTE plus a
+    * (count DESC, label ASC) argmax CTE, all MATERIALIZED (referenced
+    * twice), ending in an exact integer hash-match.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val header =
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT l.p AS s, r.p AS t
+        |  FROM it l JOIN it r ON l.ok = r.ok AND l.p < r.p),
+        |e AS MATERIALIZED (SELECT s AS a, t AS b FROM ed UNION ALL SELECT t AS a, s AS b FROM ed),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.b AS node, l.lbl AS lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.node = e.a GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) = 1)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"\nSELECT node, lbl FROM l$iters ORDER BY node"
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -218,5 +246,159 @@ object ScaleOps4 {
              |  lt_type AS last_touch_type, lt_ts AS last_touch_ts,
              |  epoch_us(ts) - epoch_us(lt_ts) AS gap_us
              |FROM w WHERE is_conv
-             |ORDER BY conv_id""".stripMargin)))
+             |ORDER BY conv_id""".stripMargin)),
+
+    // ---- q165: item-item collaborative filtering — top-5 cosine
+    // neighbors per brand on the binary customer×brand matrix. Counts
+    // are exact; cosine is three correctly-rounded IEEE ops in pinned
+    // order, so the gate hash-matches the doubles; rank ties break on
+    // the neighbor id in both engines.
+    Q(
+      "q165_item_cf_topk",
+      (s, d) => {
+        import s.implicits._
+        val interactions = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .select($"o_custkey", $"p_brand")
+        Cf.itemCosineTopK(interactions, $"o_custkey", $"p_brand", k = 5, minCo = 2L)
+          .orderBy($"item", $"rank")
+      },
+      Some("""WITH it AS MATERIALIZED (
+             |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, p_brand AS i
+             |  FROM orders
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL),
+             |marg AS MATERIALIZED (SELECT i, count(*) AS item_n FROM it GROUP BY 1),
+             |pairs AS MATERIALIZED (
+             |  SELECT l.i AS ia, r.i AS ib, count(*) AS co_n
+             |  FROM it l JOIN it r ON l.u = r.u AND l.i < r.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |dir AS (
+             |  SELECT ia AS item, ib AS neighbor, co_n FROM pairs
+             |  UNION ALL SELECT ib AS item, ia AS neighbor, co_n FROM pairs),
+             |scored AS (
+             |  SELECT d.item, d.neighbor, d.co_n, a.item_n, c.item_n AS nbr_n,
+             |    CAST(d.co_n AS DOUBLE)
+             |      / (sqrt(CAST(a.item_n AS DOUBLE)) * sqrt(CAST(c.item_n AS DOUBLE))) AS cosine
+             |  FROM dir d JOIN marg a ON d.item = a.i JOIN marg c ON d.neighbor = c.i)
+             |SELECT item, neighbor, CAST(rank AS INT) AS rank, co_n, item_n, nbr_n, cosine
+             |FROM (SELECT *, row_number() OVER (PARTITION BY item
+             |    ORDER BY cosine DESC, neighbor ASC) AS rank FROM scored)
+             |WHERE rank <= 5
+             |ORDER BY item, rank""".stripMargin)),
+
+    // ---- q166: label-propagation communities on the part co-order
+    // graph, 4 synchronous rounds, most-frequent-neighbor-label with
+    // min-label ties — fully deterministic, so the oracle replays the
+    // rounds as unrolled CTEs (the q89 pattern) and the all-integer
+    // output hash-matches exactly.
+    Q(
+      "q166_label_propagation",
+      (s, d) => {
+        import s.implicits._
+        val it = Tables.lineitem(s, d)
+          .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+          .select($"l_orderkey".as("b"), $"l_partkey".as("p"))
+          .distinct()
+        val edges = it.as("l").join(it.as("r"),
+            col("l.b") === col("r.b") && col("l.p") < col("r.p"))
+          .select(col("l.p").as("src"), col("r.p").as("dst"))
+        Graph.labelPropagation(edges, $"src", $"dst", iters = 4)
+          .orderBy($"node")
+      },
+      Some(lpaOracle(4))),
+
+    // ---- q167: Benford first-digit audit of line amounts — the
+    // forensic fabricated-amounts test. The digit comes from the
+    // decimal string of round(amount·100) (libm-free, exact in any
+    // engine); Benford expectations are cast literals; shares are
+    // pinned single divisions of exact counts → exact hash match.
+    Q(
+      "q167_benford_audit",
+      (s, d) => {
+        import s.implicits._
+        Profiling.benfordFirstDigit(Tables.lineitem(s, d), $"l_extendedprice", scale = 2)
+          .orderBy($"digit")
+      },
+      Some("""WITH base AS (
+             |  SELECT substring(CAST(CAST(round(l_extendedprice * 100) AS DECIMAL(24,0)) AS VARCHAR), 1, 1) AS digit
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             |    AND l_extendedprice > 0),
+             |fb AS MATERIALIZED (SELECT digit FROM base WHERE digit <> '0'),
+             |counts AS MATERIALIZED (SELECT digit, count(*) AS n FROM fb GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+             |exp AS (SELECT * FROM (VALUES
+             |  ('1', CAST('0.3010299956639812' AS DOUBLE)),
+             |  ('2', CAST('0.17609125905568124' AS DOUBLE)),
+             |  ('3', CAST('0.12493873660829993' AS DOUBLE)),
+             |  ('4', CAST('0.09691001300805642' AS DOUBLE)),
+             |  ('5', CAST('0.07918124604762482' AS DOUBLE)),
+             |  ('6', CAST('0.06694678963061322' AS DOUBLE)),
+             |  ('7', CAST('0.05799194697768673' AS DOUBLE)),
+             |  ('8', CAST('0.05115252244738129' AS DOUBLE)),
+             |  ('9', CAST('0.04575749056067514' AS DOUBLE))) AS v(digit, expected_share))
+             |SELECT c.digit, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+             |  e.expected_share,
+             |  (CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)) - e.expected_share AS deviation
+             |FROM counts c JOIN exp e USING (digit) CROSS JOIN tot t
+             |ORDER BY digit""".stripMargin)),
+
+    // ---- q168: Gini concentration of customer revenue within each
+    // nation — who owns the market. Rank-weighted sums accumulate in
+    // exact decimal; the closed form is a pinned double solve, so the
+    // oracle recomputes it and accepts within the 1e-9 relative band
+    // (q163 pattern; the decimal→double cast is the only drift).
+    Q(
+      "q168_gini_revenue",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("revenue"))
+        val byNation = rev
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        Profiling.gini(byNation, $"n_name", $"c_custkey", $"revenue")
+          .orderBy($"group")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q168_gini_revenue/*.parquet')),
+             |rev AS (SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS revenue
+             |  FROM orders GROUP BY 1),
+             |base AS (SELECT n_name AS grp, c_custkey AS id,
+             |    CAST(revenue AS DECIMAL(19,4)) AS x
+             |  FROM rev
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE n_name IS NOT NULL AND revenue IS NOT NULL AND NOT isnan(revenue)),
+             |rk AS (SELECT grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY x, id) AS DECIMAL(19,0)) AS i, x
+             |  FROM base),
+             |st AS (SELECT grp, count(*) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx,
+             |    CAST(sum(i * x) AS DOUBLE) AS swx
+             |  FROM rk GROUP BY grp),
+             |expect AS (SELECT grp, n,
+             |    CASE WHEN sx > 0 THEN
+             |      2.0 * swx / (CAST(n AS DOUBLE) * sx)
+             |        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END AS g
+             |  FROM st),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT "group") FROM emitted) = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e."group" = x.grp
+             |      WHERE e.n <> x.n
+             |         OR (e.gini IS NULL) <> (x.g IS NULL)
+             |         OR abs(coalesce(e.gini, 0) - coalesce(x.g, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e."group" NOT IN (SELECT grp FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x WHERE x.grp NOT IN (SELECT "group" FROM emitted))
+             |  ) AS ok)
+             |SELECT "group", n, gini FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'ORACLE-MISMATCH', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY "group"""".stripMargin)))
 }

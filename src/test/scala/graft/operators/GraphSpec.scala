@@ -149,4 +149,36 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got.toString)
   }
+
+  // synchronous LPA replay: most frequent neighbor label, tie smallest
+  private def localLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two cliques joined by a bridge settle into two communities") {
+    import spark.implicits._
+    // clique 1-2-3, clique 10-11-12, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L),
+      // noise: duplicate, reversed, loop
+      (2L, 1L), (1L, 2L), (5L, 5L), (5L, 6L))
+    val got = Graph.labelPropagation(edges.toDF("s", "d"), $"s", $"d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == localLpa(edges, 4), s"got $got\nwant ${localLpa(edges, 4)}")
+    // the two cliques must not share a label
+    assert(Set(got(1L), got(2L)).intersect(Set(got(11L), got(12L))).isEmpty)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges.toDF("s", "d"), $"s", $"d", iters = 0)
+    }
+  }
 }

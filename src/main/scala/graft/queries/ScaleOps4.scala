@@ -39,6 +39,75 @@ object ScaleOps4 {
       s"\nSELECT node, lbl FROM l$iters ORDER BY node"
   }
 
+  /** Certificate oracle for [[graft.operators.Clustering.lloyd]]:
+    * re-derives the deterministic seeds, then for every refined
+    * iteration replays the assignment from the EMITTED previous
+    * centroids with the exact `list_dot_product` decomposition the
+    * Scala kernel computes (q90 precedent), and verifies the emitted
+    * counts exactly and the emitted means to 1e-9 (partition-ordered
+    * double sums are the one non-portable step). Empty clusters must
+    * carry the previous centroid verbatim.
+    */
+  private def lloydOracle(k: Int, iters: Int, dim: Int): String = {
+    val hash = graft.operators.KmvSketch.hash60Sql("vec_id")
+    val header =
+      s"""WITH outp AS (SELECT * FROM read_parquet('{{OUT}}/q169_lloyd_kmeans/*.parquet')),
+         |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND len(embedding) = $dim
+         |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL OR isnan(x))) = 0),
+         |seeds AS MATERIALIZED (SELECT cid, v FROM (
+         |  SELECT v, row_number() OVER (ORDER BY $hash, vec_id) AS cid FROM e) WHERE cid <= $k),
+         |cent AS MATERIALIZED (SELECT iter, cid, list(value ORDER BY dim_idx) AS c
+         |  FROM outp WHERE dim_idx >= 0 GROUP BY iter, cid),
+         |cnts AS MATERIALIZED (SELECT iter, cid, CAST(value AS BIGINT) AS n
+         |  FROM outp WHERE dim_idx = -1),
+         |dims AS (SELECT unnest(generate_series(0, ${dim - 1})) AS d)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+         |        + list_dot_product(c.c, c.c)) ASC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN (SELECT cid, c FROM cent WHERE iter = ${t - 1}) c)
+         |  WHERE rn = 1),
+         |m$t AS MATERIALIZED (SELECT cid, d, sum(x) / count(*) AS mu, count(*) AS n FROM (
+         |  SELECT a.cid, dims.d, a.v[dims.d + 1] AS x FROM a$t a CROSS JOIN dims)
+         |  GROUP BY cid, d),
+         |bad$t AS (SELECT
+         |    -- counts: emitted n must equal the replayed cluster size
+         |    EXISTS (SELECT 1 FROM cnts LEFT JOIN (SELECT cid, max(n) AS n FROM m$t GROUP BY cid) m
+         |        ON cnts.cid = m.cid
+         |      WHERE cnts.iter = $t AND coalesce(m.n, 0) <> cnts.n)
+         |    -- refined centroids: mean to 1e-9 where the cluster is
+         |    -- non-empty; the previous centroid VERBATIM where empty
+         |    OR EXISTS (SELECT 1 FROM cent c JOIN m$t m ON c.cid = m.cid
+         |      WHERE c.iter = $t AND abs(c.c[m.d + 1] - m.mu) > 1e-9)
+         |    OR EXISTS (SELECT 1 FROM cent c JOIN cnts ON cnts.iter = $t AND cnts.cid = c.cid
+         |      JOIN cent p ON p.iter = ${t - 1} AND p.cid = c.cid
+         |      WHERE c.iter = $t AND cnts.n = 0 AND c.c <> p.c)
+         |    AS bad)""".stripMargin
+    }
+    val badAll = (1 to iters).map(t => s"(SELECT bad FROM bad$t)").mkString(" OR ")
+    val gate =
+      s"""flag AS (SELECT NOT (
+         |    $badAll
+         |    -- seeds: iter-0 centroids are the content-hash-selected
+         |    -- vectors, bit-exact
+         |    OR EXISTS (SELECT 1 FROM seeds s JOIN cent c ON c.iter = 0 AND c.cid = s.cid
+         |      WHERE c.c <> s.v)
+         |    OR (SELECT count(*) FROM outp) <> ${(iters + 1) * k * dim + iters * k}
+         |    OR (SELECT count(*) FROM cent) <> ${(iters + 1) * k}
+         |    OR (SELECT count(*) FROM cnts WHERE n < 0) <> 0
+         |  ) AS ok)
+         |SELECT iter, cid, dim_idx, value FROM outp WHERE (SELECT ok FROM flag)
+         |UNION ALL
+         |SELECT CAST(-1 AS INT), CAST(-1 AS INT), CAST(-999 AS INT), CAST(-999 AS DOUBLE)
+         |WHERE NOT (SELECT ok FROM flag)
+         |ORDER BY iter, cid, dim_idx""".stripMargin
+    (Seq(header) ++ steps ++ Seq(gate)).mkString(",\n")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q161: market-basket association rules over (order, brand)
@@ -400,5 +469,23 @@ object ScaleOps4 {
              |UNION ALL
              |SELECT 'ORACLE-MISMATCH', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY "group"""".stripMargin)))
+             |ORDER BY "group"""".stripMargin)),
+
+    // ---- q169: distributed Lloyd k-means over the full embedding
+    // corpus — map-side kernel assignment + one bounded partial-sum
+    // aggregation per round, content-hash seeds. The output is the
+    // whole iteration trace (seed centroids, refined centroids,
+    // cluster sizes), and the certificate oracle replays every
+    // assignment from the emitted centroids bit-for-bit (same
+    // dot-product decomposition), checks counts exactly and means to
+    // 1e-9 — see [[lloydOracle]].
+    Q(
+      "q169_lloyd_kmeans",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Clustering.lloyd(
+          Tables.embeddings(s, d), $"embedding", $"vec_id", k = 8, iters = 3, dim = 64)
+          .orderBy($"iter", $"cid", $"dim_idx")
+      },
+      Some(lloydOracle(k = 8, iters = 3, dim = 64))))
 }

@@ -487,5 +487,113 @@ object ScaleOps4 {
           Tables.embeddings(s, d), $"embedding", $"vec_id", k = 8, iters = 3, dim = 64)
           .orderBy($"iter", $"cid", $"dim_idx")
       },
-      Some(lloydOracle(k = 8, iters = 3, dim = 64))))
+      Some(lloydOracle(k = 8, iters = 3, dim = 64))),
+
+    // ---- q170: Kaplan–Meier churn curve over user lifetimes —
+    // duration = whole days between a user's first and last event;
+    // users still active in the final 3 days of the observation
+    // window are right-censored. Counts and risk sets are exact; the
+    // survival product is exp∘Σ∘ln (the one libm step), so the oracle
+    // replays counts exactly and survival to 1e-9 — the q113 pattern.
+    Q(
+      "q170_kaplan_meier",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+        val per = ev.groupBy($"user_id").agg(
+          min(unix_micros($"ts")).as("first_us"),
+          max(unix_micros($"ts")).as("last_us"))
+        val obs = per.agg(max($"last_us").as("obs_us"))
+        val subjects = per.crossJoin(broadcast(obs)).select(
+          floor(($"last_us" - $"first_us").cast("double") / lit(86400000000.0))
+            .cast("long").as("dur"),
+          ($"last_us" <= $"obs_us" - lit(3L * 86400000000L)).as("churned"))
+        graft.operators.Survival.kaplanMeier(subjects, $"dur", $"churned")
+          .orderBy($"t")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q170_kaplan_meier/*.parquet')),
+             |per AS (SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+             |obs AS (SELECT max(last_us) AS obs_us FROM per),
+             |subj AS (SELECT
+             |    CAST(floor(CAST(last_us - first_us AS DOUBLE) / 86400000000.0) AS BIGINT) AS dur,
+             |    last_us <= obs_us - 3 * 86400000000 AS churned
+             |  FROM per CROSS JOIN obs),
+             |byt AS (SELECT dur AS t,
+             |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_death,
+             |    sum(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+             |  FROM subj GROUP BY 1),
+             |curve AS (SELECT t, n_death, n_censored,
+             |    (SELECT count(*) FROM subj)
+             |      - coalesce(sum(n_death + n_censored) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM byt),
+             |surv AS (SELECT t, n_risk, n_death, n_censored,
+             |    CASE WHEN max(CASE WHEN n_death > 0 AND n_death = n_risk THEN 1 ELSE 0 END)
+             |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             |      THEN 0.0
+             |      ELSE exp(sum(CASE WHEN n_death > 0
+             |          THEN ln(1.0 - CAST(n_death AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |          ELSE 0.0 END)
+             |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |    END AS survival
+             |  FROM curve),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM surv)
+             |    AND (SELECT count(DISTINCT t) FROM emitted) = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN surv x USING (t)
+             |      WHERE e.n_risk <> x.n_risk OR e.n_death <> x.n_death
+             |         OR e.n_censored <> x.n_censored
+             |         OR abs(e.survival - x.survival) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.t NOT IN (SELECT t FROM surv))
+             |    AND NOT EXISTS (SELECT 1 FROM surv x WHERE x.t NOT IN (SELECT t FROM emitted))
+             |  ) AS ok)
+             |SELECT t, n_risk, n_death, n_censored, survival FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY t""".stripMargin)),
+
+    // ---- q171: two-proportion z-test between content-hash-assigned
+    // arms — did arm A's users purchase at a different rate than arm
+    // B's? Exact counts through pinned correctly-rounded arithmetic:
+    // the z statistic hash-matches bit-for-bit, no tolerance.
+    Q(
+      "q171_ab_ztest",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d)
+          .filter($"user_id".isNotNull)
+          .groupBy($"user_id")
+          .agg(max($"event_type" === "purchase").as("converted"))
+        graft.operators.Experiment.twoProportionZ(per, $"user_id", $"converted")
+      },
+      Some(s"""WITH per AS (SELECT user_id,
+              |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS c
+              |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              |armed AS (SELECT ${graft.operators.KmvSketch.hash60Sql("user_id")} % 2 = 0 AS arm_a, c
+              |  FROM per),
+              |agg AS (SELECT
+              |    sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS n_a,
+              |    sum(CASE WHEN arm_a AND c THEN 1 ELSE 0 END) AS conv_a,
+              |    sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS n_b,
+              |    sum(CASE WHEN NOT arm_a AND c THEN 1 ELSE 0 END) AS conv_b
+              |  FROM armed)
+              |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+              |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+              |  CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+              |  CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+              |  CASE WHEN n_a > 0 AND n_b > 0
+              |      AND CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0.0
+              |      AND CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1.0
+              |    THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              |          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              |          * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+              |  END AS z
+              |FROM agg""".stripMargin)))
 }

@@ -119,7 +119,8 @@ object MrfGold {
   private def stagedBronze(
       s: SparkSession, d: String, tag: String,
       rateOf: (Long, Int) => Double = (p, j) => (p * 100 + j * 7) / 100.0,
-      includePart: Long => Boolean = _ => true): DataFrame = {
+      includePart: Long => Boolean = _ => true,
+      includeGroup: Long => Boolean = _ => true): DataFrame = {
     import s.implicits._
     val parts = s.read.parquet(s"$d/part.parquet")
       .filter($"p_partkey" <= 40)
@@ -129,6 +130,9 @@ object MrfGold {
       .filter($"s_suppkey" <= 10)
       .select($"s_suppkey")
       .collect().map(_.getLong(0)).toSeq.sorted
+      // a narrower network: the document simply omits the group, and
+      // the natural-key join drops its rate rows on both sides
+      .filter(includeGroup)
     // RAM-backed scratch where available + explicit checkpoint: the
     // bronze stream's checkpoint fsyncs must not be hostage to a slow
     // disk (see [[Scratch]])
@@ -252,6 +256,51 @@ object MrfGold {
           .when($"old_min" === $"new_min" && $"old_max" === $"new_max", "unchanged")
           .otherwise("changed"))
       .orderBy($"description")
+  }
+
+  /** q172: PROVIDER-NETWORK overlap between two payers — the other
+    * canonical price-transparency consumer question ("do these payers
+    * cover the same providers for this service?"). Two documents run
+    * the full source→silver path: payer 1 with the complete network,
+    * payer 2 omitting every third provider group (`includeGroup`).
+    * Per billing code: the NPI set reachable through codes ⋈
+    * referenced groups ⋈ provider groups in each network, exact
+    * set-overlap counts, and the Jaccard as one pinned division —
+    * bit-exact, no tolerance. The oracle recomputes everything
+    * INDEPENDENTLY from the generation rules (part/supplier tables),
+    * touching none of the emitted output.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def npiByCode(bronze: DataFrame): DataFrame = {
+      val sv = MrfPipeline.silver(bronze)
+      sv.codes.filter($"negotiation_arrangement" === "ffs")
+        .select($"sk_in_network_id", $"billing_code")
+        .join(sv.parProviders.select($"sk_in_network_id", $"provider_reference_id"),
+          "sk_in_network_id")
+        .join(sv.providersXPayer.select($"provider_group_id", $"npi"),
+          $"provider_reference_id" === $"provider_group_id")
+        .select($"billing_code", explode($"npi").as("npi"))
+        .distinct()
+    }
+    val v1 = npiByCode(stagedBronze(s, d, "q172_v1")).localCheckpoint(true)
+    val v2 = npiByCode(stagedBronze(s, d, "q172_v2",
+      includeGroup = g => g % 3 != 0)).localCheckpoint(true)
+    val c1 = v1.groupBy($"billing_code").agg(count(lit(1)).as("npi_v1"))
+    val c2 = v2.groupBy($"billing_code").agg(count(lit(1)).as("npi_v2"))
+    val cc = v1.join(v2, Seq("billing_code", "npi"))
+      .groupBy($"billing_code").agg(count(lit(1)).as("npi_common"))
+    val cu = v1.unionByName(v2).distinct()
+      .groupBy($"billing_code").agg(count(lit(1)).as("npi_union"))
+    c1.join(c2, Seq("billing_code"), "left")
+      .join(cc, Seq("billing_code"), "left")
+      .join(cu, Seq("billing_code"))
+      .select($"billing_code", $"npi_v1",
+        coalesce($"npi_v2", lit(0L)).as("npi_v2"),
+        coalesce($"npi_common", lit(0L)).as("npi_common"),
+        (coalesce($"npi_common", lit(0L)).cast("double") / $"npi_union".cast("double"))
+          .as("jaccard"))
+      .orderBy($"billing_code")
   }
 
   def all: Seq[Q] = Seq(
@@ -387,6 +436,42 @@ object MrfGold {
              |       WHEN old_min IS NULL THEN 'added'
              |       WHEN old_min = new_min AND old_max = new_max THEN 'unchanged'
              |       ELSE 'changed' END AS change
-             |FROM f ORDER BY description""".stripMargin))
+             |FROM f ORDER BY description""".stripMargin)),
+
+    // ---- q172: payer network overlap — see [[q172]]. The oracle
+    // rebuilds both networks' (code, npi) sets from the generation
+    // rules alone: groups from supplier, rate references
+    // ((p+j)%10)+1 / ((p+j+5)%10)+1, npis {g·100+1..3}; payer 2 drops
+    // g % 3 = 0. Exact counts, one pinned division.
+    Q(
+      "q172_mrf_network_overlap",
+      q172,
+      Some("""WITH p AS (SELECT p_partkey AS p FROM part WHERE p_partkey <= 40),
+             |g1 AS (SELECT s_suppkey AS g FROM supplier WHERE s_suppkey <= 10),
+             |g2 AS (SELECT g FROM g1 WHERE g % 3 <> 0),
+             |refs AS MATERIALIZED (SELECT p.p, unnest([((p.p + j.j) % 10) + 1,
+             |    ((p.p + j.j + 5) % 10) + 1]) AS g
+             |  FROM p, (SELECT unnest([0, 1]) AS j) j),
+             |npis AS MATERIALIZED (SELECT g, unnest([g * 100 + 1, g * 100 + 2, g * 100 + 3]) AS npi
+             |  FROM g1),
+             |v1 AS MATERIALIZED (SELECT DISTINCT CAST(r.p % 20 AS VARCHAR) AS billing_code, n.npi
+             |  FROM refs r JOIN g1 ON r.g = g1.g JOIN npis n ON n.g = r.g),
+             |v2 AS MATERIALIZED (SELECT DISTINCT CAST(r.p % 20 AS VARCHAR) AS billing_code, n.npi
+             |  FROM refs r JOIN g2 ON r.g = g2.g JOIN npis n ON n.g = r.g),
+             |c1 AS (SELECT billing_code, count(*) AS npi_v1 FROM v1 GROUP BY 1),
+             |c2 AS (SELECT billing_code, count(*) AS npi_v2 FROM v2 GROUP BY 1),
+             |cc AS (SELECT v1.billing_code, count(*) AS npi_common
+             |  FROM v1 JOIN v2 USING (billing_code, npi) GROUP BY 1),
+             |cu AS (SELECT billing_code, count(*) AS npi_union
+             |  FROM (SELECT * FROM v1 UNION SELECT * FROM v2) GROUP BY 1)
+             |SELECT c1.billing_code, c1.npi_v1,
+             |  coalesce(c2.npi_v2, 0) AS npi_v2,
+             |  coalesce(cc.npi_common, 0) AS npi_common,
+             |  CAST(coalesce(cc.npi_common, 0) AS DOUBLE) / CAST(cu.npi_union AS DOUBLE) AS jaccard
+             |FROM c1
+             |LEFT JOIN c2 USING (billing_code)
+             |LEFT JOIN cc USING (billing_code)
+             |JOIN cu USING (billing_code)
+             |ORDER BY billing_code""".stripMargin))
   )
 }

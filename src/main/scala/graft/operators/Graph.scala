@@ -207,6 +207,72 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("tri_n"))
   }
 
+  /** HITS hubs-and-authorities over a DIRECTED edge list, `iters`
+    * power iterations from all-ones with L2 normalization after each
+    * half-step (Kleinberg's original formulation): good hubs point at
+    * good authorities and vice versa — the second classic link-
+    * analysis ranking next to [[pageRank]] (which measures a single
+    * prestige; HITS separates pointing-well from being-pointed-at).
+    *
+    * Per iteration: TWO shuffles (auth update joins hubs to edges on
+    * src and aggregates on dst; hub update the reverse) plus two
+    * 1-row norm aggregates broadcast back — the [[pageRank]] exchange
+    * geometry doubled. Duplicate edges collapse, null endpoints fail
+    * loudly, per-step `localCheckpoint` for the same lineage/self-
+    * join reasons. Returns (node, hub, auth); node set = src ∪ dst.
+    * Like every float reduction, the sums are partition-ordered —
+    * oracles replay the recurrence and compare to tolerance (the q89
+    * contract).
+    */
+  def hits(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"hits: $side node id must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val e = edges.select(guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    require(!nodes.isEmpty, "hits: empty graph")
+    var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // auth(v) = Σ_{u→v} hub(u), then L2-normalize
+      val rawAuth = nodes
+        .join(scores.select(col("node").as("hn"), col("hub"))
+          .join(e, col("hn") === e("src"))
+          .groupBy(e("dst").as("an")).agg(sum(col("hub")).as("a")),
+          col("node") === col("an"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+      val aNorm = rawAuth.agg(sqrt(sum(col("a") * col("a"))).as("__na"))
+      val auth = rawAuth.crossJoin(broadcast(aNorm))
+        .select(col("node"),
+          when(col("__na") > 0.0, col("a") / col("__na")).otherwise(lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      // hub(u) = Σ_{u→v} auth(v), then L2-normalize
+      val rawHub = nodes
+        .join(auth.select(col("node").as("an2"), col("auth").as("av"))
+          .join(e, col("an2") === e("dst"))
+          .groupBy(e("src").as("hn2")).agg(sum(col("av")).as("h")),
+          col("node") === col("hn2"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+      val hNorm = rawHub.agg(sqrt(sum(col("h") * col("h"))).as("__nh"))
+      val hub = rawHub.crossJoin(broadcast(hNorm))
+        .select(col("node"),
+          when(col("__nh") > 0.0, col("h") / col("__nh")).otherwise(lit(0.0)).as("hub"))
+      scores = hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** Community detection by SYNCHRONOUS label propagation over an
     * undirected edge list: labels start as node ids; each of `iters`
     * rounds every node adopts the most frequent label among its

@@ -108,6 +108,54 @@ object ScaleOps4 {
     (Seq(header) ++ steps ++ Seq(gate)).mkString(",\n")
   }
 
+  /** Unrolled HITS replay (q89 pagerank-oracle pattern): per
+    * iteration an auth half-step CTE + its L2 norm, then a hub
+    * half-step + norm; tolerance gate at 1e-9 (float reductions are
+    * partition-ordered on the Spark side).
+    */
+  private def hitsOracle(iters: Int): String = {
+    val header =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""ra$k AS MATERIALIZED (SELECT nodes.node, coalesce(c.a, 0) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.hub) AS a
+         |    FROM s${k - 1} p JOIN e ON e.src = p.node GROUP BY e.dst) c USING (node)),
+         |na$k AS (SELECT sqrt(sum(a * a)) AS n FROM ra$k),
+         |au$k AS MATERIALIZED (SELECT node,
+         |  CASE WHEN (SELECT n FROM na$k) > 0 THEN a / (SELECT n FROM na$k) ELSE 0.0 END AS auth
+         |  FROM ra$k),
+         |rh$k AS MATERIALIZED (SELECT nodes.node, coalesce(c.h, 0) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, sum(p.auth) AS h
+         |    FROM au$k p JOIN e ON e.dst = p.node GROUP BY e.src) c USING (node)),
+         |nh$k AS (SELECT sqrt(sum(h * h)) AS n FROM rh$k),
+         |s$k AS MATERIALIZED (SELECT rh$k.node,
+         |  CASE WHEN (SELECT n FROM nh$k) > 0 THEN h / (SELECT n FROM nh$k) ELSE 0.0 END AS hub,
+         |  au$k.auth
+         |  FROM rh$k JOIN au$k USING (node))""".stripMargin
+    }
+    val gate =
+      s"""emitted AS (SELECT node, hub, auth FROM read_parquet('{{OUT}}/q173_hits/*.parquet')),
+         |flag AS (SELECT (
+         |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM s$iters)
+         |    AND (SELECT count(DISTINCT node) FROM emitted) = (SELECT count(*) FROM emitted)
+         |    AND NOT EXISTS (SELECT 1 FROM emitted x LEFT JOIN s$iters r USING (node)
+         |      WHERE r.node IS NULL OR abs(x.hub - r.hub) > 1e-9
+         |         OR abs(x.auth - r.auth) > 1e-9)
+         |  ) AS ok)
+         |SELECT node, hub, auth FROM emitted WHERE (SELECT ok FROM flag)
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+         |WHERE NOT (SELECT ok FROM flag)
+         |ORDER BY node""".stripMargin
+    (Seq(header) ++ steps ++ Seq(gate)).mkString(",\n")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q161: market-basket association rules over (order, brand)
@@ -595,5 +643,24 @@ object ScaleOps4 {
               |          * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
               |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
               |  END AS z
-              |FROM agg""".stripMargin)))
+              |FROM agg""".stripMargin)),
+
+    // ---- q173: HITS hubs/authorities on the supplier→part bipartite
+    // graph (suppliers are pure hubs, parts pure authorities — the
+    // cleanest read of Kleinberg's duality), 5 power iterations with
+    // L2 normalization. The oracle replays the recurrence as unrolled
+    // CTEs and compares to 1e-9 (q89's tolerance contract — float
+    // reductions are partition-ordered).
+    Q(
+      "q173_hits",
+      (s, d) => {
+        import s.implicits._
+        Graph.hits(
+          Tables.lineitem(s, d).select(
+            $"l_suppkey".cast("long").as("src"),
+            ($"l_partkey".cast("long") + 1000000L).as("dst")),
+          $"src", $"dst", iters = 5)
+          .orderBy($"node")
+      },
+      Some(hitsOracle(5))))
 }

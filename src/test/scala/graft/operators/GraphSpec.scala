@@ -181,4 +181,44 @@ class GraphSpec extends SparkTestBase {
       Graph.labelPropagation(edges.toDF("s", "d"), $"s", $"d", iters = 0)
     }
   }
+
+  // scalar replay of the HITS recurrence (L2-normalized half-steps)
+  private def localHits(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    def norm(m: Map[Long, Double]): Map[Long, Double] = {
+      val n = math.sqrt(m.values.map(x => x * x).sum)
+      if (n > 0) m.map { case (k, v) => k -> v / n } else m.map { case (k, _) => k -> 0.0 }
+    }
+    for (_ <- 1 to iters) {
+      auth = norm(nodes.map(v =>
+        v -> e.filter(_._2 == v).map(p => hub(p._1)).sum).toMap)
+      hub = norm(nodes.map(u =>
+        u -> e.filter(_._1 == u).map(p => auth(p._2)).sum).toMap)
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hits matches a local replay; hubs and authorities separate on a bipartite graph") {
+    import spark.implicits._
+    // 1,2 point into 10,11,12; 2 also points at 13; duplicate edge
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 13L), (1L, 10L))
+    val got = Graph.hits(edges.toDF("s", "d"), $"s", $"d", iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = localHits(edges, 5)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, (h, a)) =>
+      assert(math.abs(h - want(n)._1) < 1e-9, s"hub $n: $h vs ${want(n)._1}")
+      assert(math.abs(a - want(n)._2) < 1e-9, s"auth $n: $a vs ${want(n)._2}")
+    }
+    // sources are pure hubs (auth 0), sinks pure authorities (hub 0)
+    assert(got(1L)._2 == 0.0 && got(10L)._1 == 0.0)
+    // node 1 points at more/better authorities than node 2
+    assert(got(1L)._1 > got(2L)._1)
+    // the doubly-cited 10 outranks the singly-cited 13
+    assert(got(10L)._2 > got(13L)._2)
+  }
 }

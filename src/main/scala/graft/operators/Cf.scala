@@ -45,14 +45,16 @@ object Cf {
       .filter(user.isNotNull && item.isNotNull)
       .select(user.cast("string").as("u"), item.cast("string").as("i"))
       .distinct()
-    val it =
-      if (maxItemsPerUser == Int.MaxValue) distinctIt
-      else {
-        val w = Window.partitionBy(col("u"))
-          .orderBy(KmvSketch.hash60(concat_ws("", col("u"), col("i"))), col("i"))
-        distinctIt.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= maxItemsPerUser).drop("__rn")
-      }
+    // materialized once -- three consumers (both self-join sides and
+    // the marginals) would otherwise recompute the distinct/cap from
+    // the base scan (the [[MarketBasket]] plan finding)
+    val it = (if (maxItemsPerUser == Int.MaxValue) distinctIt
+    else {
+      val w = Window.partitionBy(col("u"))
+        .orderBy(KmvSketch.hash60(concat_ws("", col("u"), col("i"))), col("i"))
+      distinctIt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxItemsPerUser).drop("__rn")
+    }).localCheckpoint(true)
     val marginals = it.groupBy(col("i")).agg(count(lit(1)).as("item_n"))
     val pairs = it.as("l").join(it.as("r"),
         col("l.u") === col("r.u") && col("l.i") < col("r.i"))

@@ -43,10 +43,15 @@ object MarketBasket {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     require(minConfidence >= 0.0 && minConfidence <= 1.0,
       s"minConfidence must be in [0,1], got $minConfidence")
+    // materialize the deduped item list ONCE: four consumers (both
+    // self-join sides, marginals, basket count) would otherwise each
+    // recompute the distinct from the base scan — verified in the
+    // executed plan, which shows no exchange reuse across the aliases
     val it = items
       .filter(basket.isNotNull && item.isNotNull)
       .select(basket.as("b"), item.cast("string").as("i"))
       .distinct()
+      .localCheckpoint(true)
     // marginals + universe size: |items| distinct item values — tiny
     val marginals = it.groupBy(col("i")).agg(count(lit(1)).as("item_n"))
     val nBaskets = it.select(col("b")).distinct().count()

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * the exact dot-product decomposition (the `NearestCentroidsL2`
   * convention) a SQL oracle replays bit-for-bit, so even the
   * distances are exactly portable. Min-over-chosen is order-free;
-  * the argmax tie-breaks to the smallest id. Ragged / null-element
-  * vectors are EXCLUDED up front (documented; the kernel would null
-  * them anyway).
+  * the argmax tie-breaks to the smallest id. Null / empty / null-element
+  * vectors are EXCLUDED up front; vectors whose DIMENSION differs
+  * from the seed's get a NULL distance from the matvec kernel and
+  * are excluded at selection time (`d2.isNotNull`), so they can
+  * never be chosen and never break the documented early stop.
   *
   * Returns (rank, vec_id, dist2): rank 1 is the seed (dist2 null),
   * rank r > 1 was chosen with `dist2` = its distance to the first
@@ -67,6 +69,10 @@ object Coreset {
       val next = base
         .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
         .select(col("vec_id"), dmin.as("d2"))
+        // dimension-mismatched vectors null out of the matvec kernel;
+        // dropping them here (not just sorting them last) keeps the
+        // documented early stop when k exceeds the well-formed count
+        .filter(col("d2").isNotNull)
         .orderBy(col("d2").desc, col("vec_id"))
         .limit(1).collect()
       if (next.isEmpty) r = k // fewer distinct points than k — stop

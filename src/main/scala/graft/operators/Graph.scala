@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Iterative graph algorithms beyond the connected components in
   * [[Dedup.clusters]]. Same design rules: DataFrame joins/aggregations
   * only (each iteration is one shuffle on node id, exactly the
-  * Pregel-style message exchange), eager `localCheckpoint` per
-  * iteration to truncate the growing lineage — the GraphX trade
-  * re-expressed on the Dataset API.
+  * Pregel-style message exchange), with a sparse `localCheckpoint`
+  * cadence (every `checkpointEvery` iterations) to truncate the
+  * growing lineage without paying an eager materialization job per
+  * iteration — the GraphX trade re-expressed on the Dataset API.
   */
 object Graph {
 
@@ -28,26 +29,29 @@ object Graph {
     * id, so AQE coalesces and the plan is the classic distributed
     * PageRank exchange. The dangling scalar is a 1-row aggregate
     * cross-joined back (broadcast, no extra shuffle of the rank
-    * table). Each iteration eagerly `localCheckpoint`s the rank table
-    * (executor-local MEMORY_AND_DISK blocks, no DFS round-trip,
-    * reclaimed by the ContextCleaner as previous tables unreference).
-    * The per-iteration cadence is LOAD-BEARING, not just a lineage
-    * trade: the next iteration re-joins the edge table `e`, and an
-    * un-checkpointed rank lineage still CONTAINS `e` — Spark's
-    * ambiguous-self-join detection then rejects the `e("src")` /
-    * `e("dst")` references (verified: a checkpoint-every-3 variant
-    * fails analysis). At fleet scale the per-iteration materialization
-    * is the classic iterate-checkpoint pattern anyway; locally it adds
-    * ~1 s/iteration of scheduling overhead on toy graphs.
+    * table). The rank table `localCheckpoint`s every
+    * `checkpointEvery` iterations (executor-local MEMORY_AND_DISK
+    * blocks, no DFS round-trip, reclaimed by the ContextCleaner as
+    * previous tables unreference) — frequent enough to truncate the
+    * growing lineage and bound the dangling-broadcast recompute
+    * window, sparse enough that toy graphs aren't dominated by the
+    * ~1 s/iteration scheduling cost of an eager materialization. The
+    * every-k cadence analyzes because every join in the loop resolves
+    * by COLUMN NAME against disjoint-named projections — an earlier
+    * formulation used Dataset-qualified refs (`e("src")`), which
+    * Spark's ambiguous-self-join detection rejects the moment an
+    * un-checkpointed rank lineage contains `e` itself.
     */
   def pageRank(
       edges: DataFrame,
       src: Column,
       dst: Column,
       d: Double = 0.85,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10,
+      checkpointEvery: Int = 3): DataFrame = {
     require(d > 0.0 && d < 1.0, s"damping must be in (0,1), got $d")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def guarded(c: Column, side: String) =
       when(c.cast("long").isNull, raise_error(lit(
         s"pageRank: $side node id must be non-null and long-castable")))
@@ -63,14 +67,19 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
+    for (i <- 1 to iters) {
+      // name-based join refs only: ranks (node, rank) × outdeg (src,
+      // outdeg) × e (src, dst) have disjoint OUTPUT names at every
+      // join, so DeduplicateRelations handles the e-inside-ranks
+      // self-reference of un-checkpointed iterations
+      val withDeg = ranks.join(outdeg, col("node") === col("src"), "left")
       val dangling = withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
       val contribs = withDeg.filter(col("outdeg").isNotNull)
         .select(col("node"), (col("rank") / col("outdeg")).as("__c"))
-        .join(e, col("node") === e("src"))
-        .groupBy(e("dst").as("node2"))
+        .join(e.select(col("src").as("cs"), col("dst").as("cd")),
+          col("node") === col("cs"))
+        .groupBy(col("cd").as("node2"))
         .agg(sum(col("__c")).as("__sum"))
       ranks = nodes
         .join(contribs, col("node") === col("node2"), "left")
@@ -79,7 +88,7 @@ object Graph {
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("__sum"), lit(0.0)) + col("__dang") / lit(n.toDouble)))
             .as("rank"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -218,8 +227,10 @@ object Graph {
     * src and aggregates on dst; hub update the reverse) plus two
     * 1-row norm aggregates broadcast back — the [[pageRank]] exchange
     * geometry doubled. Duplicate edges collapse, null endpoints fail
-    * loudly, per-step `localCheckpoint` for the same lineage/self-
-    * join reasons. Returns (node, hub, auth); node set = src ∪ dst.
+    * loudly; the score table `localCheckpoint`s every
+    * `checkpointEvery` iterations (name-isolated join refs make the
+    * sparse cadence analyze — the [[pageRank]] note). Returns
+    * (node, hub, auth); node set = src ∪ dst.
     * Like every float reduction, the sums are partition-ordered —
     * oracles replay the recurrence and compare to tolerance (the q89
     * contract).
@@ -228,8 +239,10 @@ object Graph {
       edges: DataFrame,
       src: Column,
       dst: Column,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkpointEvery: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def guarded(c: Column, side: String) =
       when(c.cast("long").isNull, raise_error(lit(
         s"hits: $side node id must be non-null and long-castable")))
@@ -243,24 +256,26 @@ object Graph {
     require(!nodes.isEmpty, "hits: empty graph")
     var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // name-based join refs only (the [[pageRank]] cadence note)
       // auth(v) = Σ_{u→v} hub(u), then L2-normalize
       val rawAuth = nodes
         .join(scores.select(col("node").as("hn"), col("hub"))
-          .join(e, col("hn") === e("src"))
-          .groupBy(e("dst").as("an")).agg(sum(col("hub")).as("a")),
+          .join(e.select(col("src").as("es"), col("dst").as("ed")),
+            col("hn") === col("es"))
+          .groupBy(col("ed").as("an")).agg(sum(col("hub")).as("a")),
           col("node") === col("an"), "left")
         .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
       val aNorm = rawAuth.agg(sqrt(sum(col("a") * col("a"))).as("__na"))
       val auth = rawAuth.crossJoin(broadcast(aNorm))
         .select(col("node"),
           when(col("__na") > 0.0, col("a") / col("__na")).otherwise(lit(0.0)).as("auth"))
-        .localCheckpoint(true)
       // hub(u) = Σ_{u→v} auth(v), then L2-normalize
       val rawHub = nodes
         .join(auth.select(col("node").as("an2"), col("auth").as("av"))
-          .join(e, col("an2") === e("dst"))
-          .groupBy(e("src").as("hn2")).agg(sum(col("av")).as("h")),
+          .join(e.select(col("src").as("es2"), col("dst").as("ed2")),
+            col("an2") === col("ed2"))
+          .groupBy(col("es2").as("hn2")).agg(sum(col("av")).as("h")),
           col("node") === col("hn2"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
       val hNorm = rawHub.agg(sqrt(sum(col("h") * col("h"))).as("__nh"))
@@ -268,7 +283,7 @@ object Graph {
         .select(col("node"),
           when(col("__nh") > 0.0, col("h") / col("__nh")).otherwise(lit(0.0)).as("hub"))
       scores = hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0) scores = scores.localCheckpoint(true)
     }
     scores
   }
@@ -294,8 +309,10 @@ object Graph {
       edges: DataFrame,
       src: Column,
       dst: Column,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkpointEvery: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def guarded(c: Column, side: String) =
       when(c.cast("long").isNull, raise_error(lit(
         s"labelPropagation: $side node id must be non-null and long-castable")))
@@ -309,14 +326,16 @@ object Graph {
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = e.join(labels, col("a") === col("node"))
         .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
         // winner = max (cnt, -lbl): highest count, then smallest label
         .groupBy(col("b").as("node2"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("node2").as("node"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint(true)
+      // exact-integer recurrence: the sparse cadence (the [[pageRank]]
+      // note) is purely a lineage/scheduling trade here
+      if (i % checkpointEvery == 0) labels = labels.localCheckpoint(true)
     }
     labels
   }

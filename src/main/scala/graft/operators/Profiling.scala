@@ -291,15 +291,18 @@ object Profiling {
     * digit (a log10-based extraction would hinge on libm accuracy at
     * power-of-ten boundaries); the expectations are literal constants,
     * not computed logs, for the same reason. Non-positive and null
-    * amounts drop (Benford is defined on positive magnitudes). ONE
-    * map-side-combined 9-group aggregation — scan-bound at any scale.
+    * amounts drop (Benford is defined on positive magnitudes), and so
+    * do amounts at or above 10^(38−scale), whose fixed-point form
+    * overflows decimal(38,0) to NULL — far beyond the ~2^53 range
+    * where a double can even carry exact cents. ONE map-side-combined
+    * 9-group aggregation — scan-bound at any scale.
     */
   def benfordFirstDigit(df: DataFrame, value: Column, scale: Int = 2): DataFrame = {
     require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
     val v = value.cast("double")
     val base = df.filter(v.isNotNull && !isnan(v) && v > 0.0)
       .select(substring(
-        round(v * math.pow(10, scale).toLong).cast("decimal(24,0)").cast("string"),
+        round(v * math.pow(10, scale).toLong).cast("decimal(38,0)").cast("string"),
         1, 1).as("digit"))
       // an amount below half the fixed-point resolution rounds to 0 —
       // no leading digit at this scale

@@ -45,9 +45,15 @@ object Sketches {
     require(bins >= 1, s"histogramBins needs bins >= 1, got $bins")
     require(lo < hi, s"histogramBins needs lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / bins
+    val v = value.cast("double")
     val bin = least(lit(bins - 1).cast("long"),
-      greatest(lit(0L), floor((value.cast("double") - lit(lo)) / lit(width)).cast("long")))
-    df.select(groupCols.map(col) :+ bin.as("bin"): _*)
+      greatest(lit(0L), floor((v - lit(lo)) / lit(width)).cast("long")))
+    // NULL and NaN carry no bin: greatest() skips nulls (NULL would
+    // silently land in bin 0) and NaN casts to 0 — both would corrupt
+    // bin-0 counts and every quantile derived from them, so they are
+    // excluded here rather than relying on callers to pre-filter.
+    df.filter(v.isNotNull && !isnan(v))
+      .select(groupCols.map(col) :+ bin.as("bin"): _*)
       .groupBy((groupCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("n"))
   }

@@ -1484,17 +1484,24 @@ object ScaleOps3 {
             .select((unix_micros($"session_end") + 1).as("t"), lit(-1L).as("dl")))
           .groupBy($"t").agg(sum($"dl").as("delta"))
           .withColumn("day", floor($"t".cast("double") / 86400000000.0).cast("long"))
+        // Per-day prefix offsets as a TINY (day, off) frame: one row per
+        // calendar day, so a single-partition prefix window over it is
+        // calendar-bounded (≤ a few thousand rows for multi-year data),
+        // then BROADCAST-joined back to the delta stream. This replaces
+        // an earlier per-day literal `when`-chain that grew one nested
+        // `If` per distinct day — Catalyst analysis would degrade at
+        // multi-year scale long before the data did.
         val perDay = deltas.groupBy($"day").agg(sum($"delta").as("dsum"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        val offs = perDay.map { case (day, ds) => val o = (day, acc); acc += ds; o }
-        val offCol = offs.foldLeft(lit(0L)) { (a, o) =>
-          when($"day" === o._1, lit(o._2)).otherwise(a)
-        }
+        val wOff = Window.partitionBy(lit(0)).orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offDf = perDay.coalesce(1)
+          .withColumn("off", coalesce(sum($"dsum").over(wOff), lit(0L)))
+          .select($"day", $"off")
         val wCum = Window.partitionBy("day").orderBy("t")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val conc = deltas
-          .withColumn("c", sum($"delta").over(wCum) + offCol)
+          .join(broadcast(offDf), "day")
+          .withColumn("c", sum($"delta").over(wCum) + $"off")
         // argmax via partial-aggregable struct-max (ties → earliest t),
         // not a global-order window over the delta stream
         conc.agg(max(struct($"c", (-$"t").as("negt"))).as("b"))

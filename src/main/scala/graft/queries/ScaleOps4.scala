@@ -440,7 +440,7 @@ object ScaleOps4 {
           .orderBy($"digit")
       },
       Some("""WITH base AS (
-             |  SELECT substring(CAST(CAST(round(l_extendedprice * 100) AS DECIMAL(24,0)) AS VARCHAR), 1, 1) AS digit
+             |  SELECT substring(CAST(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS digit
              |  FROM lineitem
              |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
              |    AND l_extendedprice > 0),
@@ -616,7 +616,11 @@ object ScaleOps4 {
         val per = Tables.events(s, d)
           .filter($"user_id".isNotNull)
           .groupBy($"user_id")
-          .agg(max($"event_type" === "purchase").as("converted"))
+          // a user whose event_type values are ALL NULL nulls the max;
+          // coalesce to false so the arm counts match the oracle's
+          // CASE…ELSE 0 semantics instead of tripping the loud guard
+          .agg(coalesce(max($"event_type" === "purchase"), lit(false))
+            .as("converted"))
         graft.operators.Experiment.twoProportionZ(per, $"user_id", $"converted")
       },
       Some(s"""WITH per AS (SELECT user_id,

@@ -221,4 +221,42 @@ class GraphSpec extends SparkTestBase {
     // the doubly-cited 10 outranks the singly-cited 13
     assert(got(10L)._2 > got(13L)._2)
   }
+
+  // ---- sparse checkpoint cadence: same answers, fewer scheduled jobs
+
+  private def jobsDuring(group: String)(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group, interruptOnCancel = false)
+    try body finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("pageRank checkpoint-every-3 analyzes, matches per-iteration, and schedules fewer jobs") {
+    val df = edges.toDF("src", "dst")
+    def run(ck: Int) =
+      Graph.pageRank(df, col("src"), col("dst"), 0.85, 9, checkpointEvery = ck)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var sparse: Map[Long, Double] = Map.empty
+    var dense: Map[Long, Double] = Map.empty
+    val jSparse = jobsDuring("pr-ck3") { sparse = run(3) }
+    val jDense = jobsDuring("pr-ck1") { dense = run(1) }
+    assert(sparse.keySet == dense.keySet)
+    sparse.foreach { case (n, r) =>
+      assert(math.abs(r - dense(n)) < 1e-12, s"node $n: $r vs ${dense(n)}")
+    }
+    assert(jSparse < jDense,
+      s"sparse cadence must schedule fewer jobs: $jSparse vs $jDense")
+  }
+
+  test("hits and labelPropagation accept the sparse cadence (uncheckpointed lineage analyzes)") {
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 13L)).toDF("s", "d")
+    // 7 iterations with cadence 3 leaves the FINAL iteration
+    // un-checkpointed — the exact shape the old Dataset-qualified
+    // refs failed to analyze
+    val h = Graph.hits(e, $"s", $"d", iters = 7, checkpointEvery = 3).collect()
+    assert(h.nonEmpty)
+    val l = Graph.labelPropagation(e, $"s", $"d", iters = 7, checkpointEvery = 3).collect()
+    assert(l.nonEmpty)
+  }
 }

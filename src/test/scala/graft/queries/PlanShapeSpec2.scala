@@ -50,6 +50,53 @@ class PlanShapeSpec2 extends SparkTestBase {
     assert(p.contains("partial"), s"distinct/min/count must map-side combine\n$p")
   }
 
+  test("q157: per-day prefix offsets broadcast-join (no per-day literal when-chain)") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val df = graft.SparkEntry.queries("q157_peak_concurrency")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must reach the delta stream via a broadcast join\n$p")
+    // the old shape folded one nested `If` per distinct day into a
+    // single projection expression — a plan linear in the calendar.
+    // CASE WHEN (day = <literal>) is its physical signature; zero
+    // occurrences means the offsets arrive via the join, not a chain.
+    val whenChain = "CASE WHEN \\(day#\\d+L? = \\d+\\)".r.findAllIn(p).length
+    assert(whenChain == 0, s"per-day literal when-chain resurfaced ($whenChain branches)\n$p")
+  }
+
+  test("q157 analyzes and runs at >=1000 distinct days (calendar-scale smoke)") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q157days").toFile
+    try {
+      val days = 1100
+      // per user per day: two events 1000 s apart (same 30-min-gap
+      // session) → one session [d+10u s, d+1000+10u s]; all three
+      // users overlap within a day, days never overlap each other
+      val rows = (0 until days).flatMap { d =>
+        (0 until 3).flatMap { u =>
+          val base = 1704067200000L + d.toLong * 86400000L + u * 10000L
+          Seq(
+            (d.toLong * 6 + u * 2, new Timestamp(base), u.toLong, "view", 1.0, "{}"),
+            (d.toLong * 6 + u * 2 + 1, new Timestamp(base + 1000000L),
+              u.toLong, "view", 1.0, "{}"))
+        }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${tmp.getAbsolutePath}/events.parquet")
+      val out = graft.SparkEntry.queries("q157_peak_concurrency")(
+        spark, tmp.getAbsolutePath).collect()
+      assert(out.length == 1)
+      // 3 users live simultaneously on every one of the 1100 days
+      assert(out(0).getAs[Long]("max_concurrency") == 3L)
+      assert(out(0).getAs[Long]("n_sessions") == days.toLong * 3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("stream-static dim join broadcasts the dimension") {
     assume(new java.io.File(s"$sfDir/customer.parquet").exists())
     // the batch twin of q107's per-micro-batch plan

@@ -339,4 +339,121 @@ object Graph {
     }
     labels
   }
+
+  /** k-core decomposition by SYNCHRONOUS iterative peeling over an
+    * UNDIRECTED edge list: `rounds` fixed rounds of "drop every node
+    * whose degree in the SURVIVING subgraph is < k, then restrict the
+    * edges to surviving endpoints". With enough rounds this converges
+    * to the classic k-core (the maximal subgraph of min-degree ≥ k);
+    * fixed rounds make it exactly replayable by an unrolled SQL oracle
+    * (the [[labelPropagation]] determinism contract — once the peel
+    * reaches fixpoint, further rounds are no-ops, so "enough" is
+    * cheap to over-provision). Returns (node, deg): the surviving
+    * nodes with their degree inside the surviving subgraph — exact
+    * integers end to end.
+    *
+    * Scale: per round ONE degree aggregation keyed by node and one
+    * semi-join restriction per endpoint — all exchanges hash on node
+    * id; no windows, no driver state; the edge set only SHRINKS.
+    * Duplicate/reversed edges collapse, loops drop, null endpoints
+    * fail loudly (the [[pageRank]] guard contract); sparse
+    * `localCheckpoint` cadence as in the other loops.
+    */
+  def kCore(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      k: Int,
+      rounds: Int,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"kCore: $side node id must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val fwd = edges
+      .select(guarded(src, "src").as("a"), guarded(dst, "dst").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("a"))
+      e = e.join(keep, Seq("a"))
+        .join(keep.select(col("a").as("b")), Seq("b"))
+        .select(col("a"), col("b"))
+      if (r % checkpointEvery == 0) e = e.localCheckpoint(true)
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport (and the
+    * dangling redistribution) concentrated on a SOURCE SET instead of
+    * uniform — the standard "relevance to these seed nodes" ranking
+    * (recommendation candidates, local community scoring):
+    *
+    *   r'(v) = (1-d)·1[v ∈ S]/|S|
+    *           + d·(Σ_{u→v} r(u)/outdeg(u) + dangling·1[v ∈ S]/|S|)
+    *
+    * Nodes unreachable from S score exactly 0 (no uniform floor).
+    * Total mass stays 1 by construction. `sources` is a small literal
+    * seed set (an `isInCollection` membership column — seeds are user
+    * input, not data-scale); everything else inherits the [[pageRank]]
+    * exchange geometry, guards, and sparse checkpoint cadence.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      sources: Seq[Long],
+      d: Double = 0.85,
+      iters: Int = 10,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"damping must be in (0,1), got $d")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(sources.nonEmpty, "personalizedPageRank: empty source set")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"personalizedPageRank: $side node id must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val e = edges.select(guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val srcSet = sources.distinct
+    val m = srcSet.size.toDouble
+    val inS = col("node").isInCollection(srcSet)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes
+      .withColumn("rank", when(inS, lit(1.0 / m)).otherwise(lit(0.0)))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, col("node") === col("src"), "left")
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("node"), (col("rank") / col("outdeg")).as("__c"))
+        .join(e.select(col("src").as("cs"), col("dst").as("cd")),
+          col("node") === col("cs"))
+        .groupBy(col("cd").as("node2"))
+        .agg(sum(col("__c")).as("__sum"))
+      ranks = nodes
+        .join(contribs, col("node") === col("node2"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(d) * coalesce(col("__sum"), lit(0.0)) +
+            when(inS, (lit(1.0 - d) + lit(d) * col("__dang")) / lit(m))
+              .otherwise(lit(0.0)))
+            .as("rank"))
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -372,4 +372,70 @@ object Profiling {
             - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
           .as("gini"))
   }
+
+  /** Functional-dependency audit (the Metanome-style profiling
+    * primitive): does `lhs → rhs` hold, and how badly is it violated?
+    * One row: (fd, n_lhs, n_violating, max_rhs_per_lhs) — the number
+    * of distinct LHS values, how many of them map to MORE than one
+    * distinct RHS (each a violation of the dependency), and the worst
+    * fan-out. Exact integers end to end.
+    *
+    * Scale: one exact-distinct aggregation keyed by lhs (map-side
+    * combined) followed by a scalar rollup — no windows, no pair
+    * expansion (the naive FD check joins the table to itself on lhs;
+    * this never does). Null LHS rows are excluded (a dependency says
+    * nothing about an absent determinant); null RHS counts as zero
+    * distinct values for its lhs (count-distinct semantics), so an
+    * all-null RHS group is NOT a violation.
+    */
+  def functionalDependency(
+      df: DataFrame, name: String, lhs: Column, rhs: Column): DataFrame =
+    df.filter(lhs.isNotNull)
+      .groupBy(lhs.as("__l"))
+      .agg(countDistinct(rhs).as("__d"))
+      .agg(
+        count(lit(1)).as("n_lhs"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__d")).as("max_rhs_per_lhs"))
+      .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+        col("max_rhs_per_lhs"))
+
+  /** Seasonality-adjusted volume anomalies: per (group, day) event
+    * counts scored against a LEAVE-ONE-OUT day-of-week baseline — the
+    * mean count over the same weekday's OTHER days. Leave-one-out
+    * matters: a 5× spike must not inflate its own baseline. Days are
+    * epoch-day integers (`floor(epoch/86400)`), weekday = day mod 7 —
+    * calendar-library-free, so every engine buckets identically.
+    *
+    * Exactness: the baseline is one division of exact integers
+    * ((sum − n)/(cnt − 1) — correctly rounded identically in any
+    * IEEE engine) and the anomaly flags are PURE INTEGER comparisons
+    * (n > 1.5·baseline ⇔ 2(cnt−1)n > 3(sum−n)), so the output
+    * hash-matches with no tolerance. Days whose weekday has no other
+    * observation carry a NULL baseline and false flags (nothing to
+    * compare against — explicit, not silently dropped).
+    *
+    * Scale: one daily count aggregation, one tiny (group, weekday)
+    * rollup broadcast back — the two-phase geometry; no windows.
+    */
+  def seasonalAnomaly(
+      df: DataFrame, group: Column, ts: Column): DataFrame = {
+    val day = floor(unix_timestamp(ts).cast("double") / 86400.0).cast("long")
+    val daily = df
+      .filter(group.isNotNull && ts.isNotNull)
+      .select(group.as("grp"), day.as("day"))
+      .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val dowStats = daily.groupBy(col("grp"), col("dow"))
+      .agg(sum(col("n")).as("__s"), count(lit(1)).as("__c"))
+    val rest = col("__s") - col("n")         // other same-weekday days' total
+    val restN = col("__c") - lit(1L)         // their count
+    daily
+      .join(broadcast(dowStats), Seq("grp", "dow"))
+      .select(
+        col("grp").as("group"), col("day"), col("dow"), col("n"),
+        when(restN > 0, rest.cast("double") / restN.cast("double")).as("baseline"),
+        (restN > 0 && lit(2L) * restN * col("n") > lit(3L) * rest).as("is_high"),
+        (restN > 0 && lit(2L) * restN * col("n") < rest).as("is_low"))
+  }
 }

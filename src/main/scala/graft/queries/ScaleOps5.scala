@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, NaiveBayes, Profiling, Sequences}
+
+/** Round-7 additions (q174+): k-core peeling, personalized PageRank,
+  * multinomial Naive Bayes training, functional-dependency profiling,
+  * sequential bigram mining, and seasonality-adjusted anomaly
+  * detection — operator families the catalog did not yet cover.
+  */
+object ScaleOps5 {
+
+  /** Unrolled k-core peeling oracle over the supplier→part bipartite
+    * graph (the q173 edge construction): each round drops nodes whose
+    * degree in the surviving subgraph is < k, then restricts edges to
+    * surviving endpoints — exact integers, both engines run the same
+    * FIXED number of rounds, so convergence-before-the-bound is
+    * irrelevant to parity.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val header =
+      """WITH ed AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |    CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e0 AS MATERIALIZED (SELECT s AS a, p AS b FROM ed UNION ALL SELECT p, s FROM ed)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT a FROM (
+         |  SELECT a, count(*) AS c FROM e${r - 1} GROUP BY a) WHERE c >= $k),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)""".stripMargin
+    }
+    (Seq(header) ++ steps).mkString(",\n") +
+      s"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY a ORDER BY node"
+  }
+
+  /** q175's oracle: the q89 unrolled-PageRank replay with the teleport
+    * (and dangling redistribution) concentrated on the seed set, plus
+    * the same 1e-9 soundness gate over the emitted result.
+    */
+  private def pprOracle(sources: Seq[Long], d: Double, iters: Int): String = {
+    val s = sources.mkString("(", ", ", ")")
+    val m = sources.size
+    val header =
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         |    CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT node,
+         |  CASE WHEN node IN $s THEN 1.0 / $m ELSE 0.0 END AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM od)),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |  $d * coalesce(c.s, 0)
+         |    + CASE WHEN nodes.node IN $s
+         |        THEN ((1.0 - $d) + $d * (SELECT dang FROM dang$i)) / $m
+         |        ELSE 0.0 END AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / od.od) AS s
+         |    FROM r${i - 1} p JOIN od ON od.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    }
+    val gate =
+      s"""emitted AS (SELECT node, rank FROM read_parquet('{{OUT}}/q175_personalized_pagerank/*.parquet')),
+         |flag AS (SELECT (
+         |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM r$iters)
+         |    AND (SELECT count(DISTINCT node) FROM emitted) = (SELECT count(*) FROM emitted)
+         |    AND NOT EXISTS (SELECT 1 FROM emitted x LEFT JOIN r$iters r USING (node)
+         |      WHERE r.node IS NULL OR abs(x.rank - r.rank) > 1e-9)
+         |  ) AS ok)
+         |SELECT node, rank FROM emitted WHERE (SELECT ok FROM flag)
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+         |  WHERE NOT (SELECT ok FROM flag)
+         |ORDER BY node""".stripMargin
+    (Seq(header) ++ steps ++ Seq(gate)).mkString(",\n")
+  }
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q174: k-CORE DECOMPOSITION — the densest-subgraph peel
+    // (community cores, spam-farm detection, graph sparsification).
+    // k=30 actually peels at the oracle scale (2100 nodes → a few
+    // hundred survivors over 6 rounds); fixed rounds in BOTH engines
+    // make the replay exact whether or not the peel has converged.
+    Q(
+      "q174_kcore",
+      (s, d) => {
+        import s.implicits._
+        Graph.kCore(
+          Tables.lineitem(s, d).select(
+            $"l_suppkey".cast("long").as("src"),
+            ($"l_partkey".cast("long") + 1000000L).as("dst")),
+          $"src", $"dst", k = 30, rounds = 6)
+          .orderBy($"node")
+      },
+      Some(kCoreOracle(k = 30, rounds = 6))),
+
+    // ---- q175: PERSONALIZED PAGERANK — relevance to a seed set
+    // (recommendation candidates, local community scoring). Teleport
+    // and dangling mass go to the seeds, unreachable nodes score an
+    // exact 0; the oracle unrolls the recurrence and gates at 1e-9
+    // (float reductions are partition-ordered — the q89 contract).
+    Q(
+      "q175_personalized_pagerank",
+      (s, d) => {
+        import s.implicits._
+        Graph.personalizedPageRank(
+          Tables.lineitem(s, d).select(
+            $"l_suppkey".cast("long").as("src"),
+            ($"l_partkey".cast("long") + 1000000L).as("dst")),
+          $"src", $"dst", sources = Seq(1L, 2L, 3L), d = 0.85, iters = 10)
+          .orderBy($"node")
+      },
+      Some(pprOracle(Seq(1L, 2L, 3L), 0.85, 10))),
+
+    // ---- q176: MULTINOMIAL NAIVE BAYES TRAINING — language-ID /
+    // topic-routing model as pure count algebra. Every probability is
+    // one correctly-rounded division of exact integers, so the model
+    // table hash-matches with NO tolerance; vocab is min-count pruned
+    // (no per-class top-k window), smoothing uses the unpruned V.
+    Q(
+      "q176_naive_bayes_train",
+      (s, d) => {
+        import s.implicits._
+        NaiveBayes.trainMultinomial(
+          Tables.documents(s, d), $"text", $"lang", minCount = 5)
+          .withColumnRenamed("class", "lang")
+          .orderBy($"lang", $"token")
+      },
+      Some(s"""WITH base AS MATERIALIZED (SELECT lang AS class, $sqlToks AS toks
+              |  FROM documents),
+              |tok AS MATERIALIZED (SELECT class, unnest(toks) AS token FROM base),
+              |tc AS MATERIALIZED (SELECT class, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+              |vs AS (SELECT count(DISTINCT token) AS v FROM tc),
+              |ct AS MATERIALIZED (SELECT class, sum(cnt) AS class_tokens FROM tc GROUP BY 1),
+              |dc AS MATERIALIZED (SELECT class, count(*) AS n_docs_class FROM base GROUP BY 1),
+              |nd AS (SELECT sum(n_docs_class) AS nd FROM dc)
+              |SELECT tc.class AS lang, tc.token, CAST(tc.cnt AS BIGINT) AS cnt,
+              |  CAST(tc.cnt + 1 AS DOUBLE) / CAST(ct.class_tokens + (SELECT v FROM vs) AS DOUBLE)
+              |    AS p_smoothed,
+              |  CAST(dc.n_docs_class AS BIGINT) AS n_docs_class,
+              |  CAST(dc.n_docs_class AS DOUBLE) / CAST((SELECT nd FROM nd) AS DOUBLE) AS prior
+              |FROM tc JOIN ct USING (class) JOIN dc USING (class)
+              |WHERE tc.cnt >= 5
+              |ORDER BY lang, token""".stripMargin)),
+
+    // ---- q180: FUNCTIONAL-DEPENDENCY AUDIT — the Metanome-style
+    // profiling primitive: for three candidate dependencies, how many
+    // determinant values violate (map to >1 distinct dependent) and
+    // the worst fan-out. One exact-distinct aggregation per FD, no
+    // self-join pair expansion. n_nationkey→n_regionkey must HOLD;
+    // the other two are genuinely violated in the data.
+    Q(
+      "q180_functional_dependencies",
+      (s, d) => {
+        import s.implicits._
+        Profiling.functionalDependency(
+            Tables.nation(s, d), "nation_to_region", $"n_nationkey", $"n_regionkey")
+          .unionByName(Profiling.functionalDependency(
+            Tables.orders(s, d), "cust_to_status", $"o_custkey", $"o_orderstatus"))
+          .unionByName(Profiling.functionalDependency(
+            Tables.lineitem(s, d), "order_to_supp", $"l_orderkey", $"l_suppkey"))
+          .orderBy($"fd")
+      },
+      Some("""WITH f1 AS (SELECT 'nation_to_region' AS fd,
+             |    CAST(count(*) AS BIGINT) AS n_lhs,
+             |    CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |    CAST(max(d) AS BIGINT) AS max_rhs_per_lhs
+             |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS d
+             |    FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 1)),
+             |f2 AS (SELECT 'cust_to_status',
+             |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(max(d) AS BIGINT)
+             |  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS d
+             |    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)),
+             |f3 AS (SELECT 'order_to_supp',
+             |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(max(d) AS BIGINT)
+             |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS d
+             |    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1))
+             |SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+             |ORDER BY fd""".stripMargin)),
+
+    // ---- q182: SEQUENTIAL BIGRAM MINING — "what do users do next":
+    // consecutive event-type pairs per user in (ts, event_id) order
+    // (a deterministic total order — ties on ts are broken by the
+    // unique event id), support = distinct users. The window
+    // partitions by user (no global order); the pair table is bounded
+    // by (#event types)² so no top-k is needed. Exact integers.
+    Q(
+      "q182_event_bigrams",
+      (s, d) => {
+        import s.implicits._
+        Sequences.eventBigrams(
+          Tables.events(s, d)
+            .filter($"user_id".isNotNull && $"event_type".isNotNull &&
+              $"ts".isNotNull),
+          $"user_id", Seq($"ts", $"event_id"), $"event_type")
+          .orderBy($"first_event", $"next_event")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+             |p AS (SELECT user_id, event_type AS first_event,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS next_event
+             |  FROM e)
+             |SELECT first_event, next_event,
+             |  CAST(count(*) AS BIGINT) AS occurrences,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+             |FROM p WHERE next_event IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q183: SEASONALITY-ADJUSTED VOLUME ANOMALIES — daily counts
+    // per event type vs a LEAVE-ONE-OUT same-weekday baseline (a spike
+    // must not inflate its own baseline). Epoch-day integers and mod-7
+    // weekdays keep both engines calendar-library-free; the baseline
+    // is one exact-integer division and the flags are pure integer
+    // comparisons, so the output hash-matches with no tolerance.
+    Q(
+      "q183_seasonal_anomaly",
+      (s, d) => {
+        import s.implicits._
+        Profiling.seasonalAnomaly(
+          Tables.events(s, d), $"event_type", $"ts")
+          .orderBy($"group", $"day")
+      },
+      Some("""WITH daily AS MATERIALIZED (SELECT event_type AS "group",
+             |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |d2 AS MATERIALIZED (SELECT *, day % 7 AS dow FROM daily),
+             |ds AS MATERIALIZED (SELECT "group", dow,
+             |    CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+             |  FROM d2 GROUP BY 1, 2)
+             |SELECT d2."group", d2.day, d2.dow, d2.n,
+             |  CASE WHEN ds.c - 1 > 0
+             |    THEN CAST(ds.s - d2.n AS DOUBLE) / CAST(ds.c - 1 AS DOUBLE) END AS baseline,
+             |  (ds.c - 1 > 0 AND 2 * (ds.c - 1) * d2.n > 3 * (ds.s - d2.n)) AS is_high,
+             |  (ds.c - 1 > 0 AND 2 * (ds.c - 1) * d2.n < (ds.s - d2.n)) AS is_low
+             |FROM d2 JOIN ds USING ("group", dow)
+             |ORDER BY d2."group", d2.day""".stripMargin)))
+}

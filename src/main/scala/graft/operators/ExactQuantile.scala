@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics without a global sort — the distributed
+  * selection problem (exact p50/p99 of a 100 TB column) solved by
+  * iterative range refinement: bucket-count the candidate set, find
+  * the bucket holding the k-th smallest from the (tiny) count frame,
+  * recurse INTO that bucket, and finish with a bounded per-value
+  * count. Every pass is one map-side-combined aggregation over the
+  * (shrinking) candidate set; nothing ever sorts more than the final
+  * bucket's DISTINCT values, and the driver only ever holds ≤ `bins`
+  * bucket counts per level plus the final distinct-value list (loudly
+  * capped). The returned value is an EXISTING element of the column
+  * (selection, not interpolation), so the result is bit-exact and
+  * hash-matchable — no tolerance, unlike the one-bin-width
+  * [[Sketches.histogramQuantiles]] estimate.
+  *
+  * Refinement filters by BIN-ID PREDICATE, not by numeric range: the
+  * count pass and the recursion filter evaluate the IDENTICAL bin
+  * expression, so float rounding at bucket edges can never put a row
+  * in one bucket for counting and another for recursion (the bin
+  * function is monotone in v, so buckets stay order-contiguous and
+  * selection stays exact regardless of edge rounding).
+  *
+  * k is `ceil(q·N)` (the lower discrete quantile). NULL/NaN are
+  * excluded up front; an empty input fails loudly.
+  */
+object ExactQuantile {
+
+  def selectQuantiles(
+      df: DataFrame,
+      value: Column,
+      qs: Seq[Double],
+      bins: Int = 1024,
+      levels: Int = 2,
+      maxDistinctInBucket: Int = 1 << 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(levels >= 0, s"levels must be >= 0, got $levels")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v0 = value.cast("double")
+    val base = df.filter(v0.isNotNull && !isnan(v0)).select(v0.as("v"))
+      .localCheckpoint() // the refinement passes re-read this, not the source
+    val stats = base.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
+    val n = stats.getLong(0)
+    require(n > 0, "selectQuantiles: no non-null, non-NaN values")
+    val ks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
+
+    def binExpr(lo: Double, width: Double): Column =
+      least(lit(bins - 1).cast("long"),
+        greatest(lit(0L), floor(($"v" - lit(lo)) / lit(width)).cast("long")))
+
+    // the k-th smallest among rows satisfying `pred`, whose values lie
+    // (nominally) in [lo, hi]; `rem` refinement levels left
+    @scala.annotation.tailrec
+    def kth(pred: Column, lo: Double, hi: Double, k: Long, rem: Int): Double = {
+      val width = (hi - lo) / bins
+      if (rem == 0 || width == 0.0) {
+        // bounded finish: per-distinct-value counts inside the bucket
+        val vals = base.filter(pred)
+          .groupBy($"v").agg(count(lit(1)).as("c"))
+          .orderBy($"v")
+          .limit(maxDistinctInBucket + 1)
+          .collect()
+        require(vals.length <= maxDistinctInBucket,
+          s"selectQuantiles: >$maxDistinctInBucket distinct values in the final " +
+            s"bucket — raise bins, levels, or maxDistinctInBucket")
+        var acc = 0L
+        var res = Double.NaN
+        var found = false
+        for (r <- vals if !found) {
+          acc += r.getLong(1)
+          if (acc >= k) { res = r.getDouble(0); found = true }
+        }
+        if (!found) throw new IllegalStateException(
+          s"selectQuantiles: rank $k not reached (acc=$acc)")
+        res
+      } else {
+        val b = binExpr(lo, width)
+        val counts = base.filter(pred)
+          .select(b.as("b")).groupBy($"b").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        var tgt = -1L
+        var before = 0L
+        for ((bid, c) <- counts if tgt < 0) {
+          if (acc + c >= k) { tgt = bid; before = acc } else acc += c
+        }
+        if (tgt < 0) throw new IllegalStateException(
+          s"selectQuantiles: rank $k not reached (acc=$acc)")
+        kth(pred && b === tgt, lo + tgt * width,
+          if (tgt == bins - 1) hi else lo + (tgt + 1) * width,
+          k - before, rem - 1)
+      }
+    }
+
+    val lo = stats.getDouble(1)
+    val hi = stats.getDouble(2)
+    val out = ks.map { case (q, k) => (q, k, kth(lit(true), lo, hi, k, levels)) }
+    val res = spark.createDataFrame(out).toDF("q", "k", "value")
+    base.unpersist()
+    res
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenizing,
@@ -859,5 +859,35 @@ object TextAnalysis {
             x => x.getField("__line"))).as("clean_text"),
         sum(when(col("__banned").isNotNull, 1L).otherwise(0L)).cast("long")
           .as("n_removed"))
+  }
+
+  /** Inverted-index posting-list statistics — the aggregate shape of
+    * index construction: per term, document frequency (df), collection
+    * frequency (cf), the maximum within-document tf, and the top
+    * document by (tf desc, doc_id asc). This is the index BUILD
+    * measured by its verifiable aggregate — the posting lists
+    * themselves are the (term, doc, tf) intermediate this derives
+    * from, and q57's BM25 consumes the same statistics.
+    *
+    * Scale: one (term, doc) tf aggregation, one (term) rollup whose
+    * argmax is a partial-aggregable struct-max — no windows. Exact
+    * integers end to end; `minDf` bounds the output like every vocab
+    * floor in this engine (map-side filter, not a top-k).
+    */
+  def postingStats(
+      df: DataFrame, text: Column, id: Column, minDf: Int): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val perDoc = df
+      .select(id.cast("long").as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"),
+        max(struct(col("tf").as("t"), (-col("doc_id")).as("nd"))).as("__m"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"), col("max_tf"),
+        (-col("__m.nd")).as("top_doc_id"))
   }
 }

@@ -245,5 +245,123 @@ object ScaleOps5 {
              |  (ds.c - 1 > 0 AND 2 * (ds.c - 1) * d2.n > 3 * (ds.s - d2.n)) AS is_high,
              |  (ds.c - 1 > 0 AND 2 * (ds.c - 1) * d2.n < (ds.s - d2.n)) AS is_low
              |FROM d2 JOIN ds USING ("group", dow)
-             |ORDER BY d2."group", d2.day""".stripMargin)))
+             |ORDER BY d2."group", d2.day""".stripMargin)),
+
+    // ---- q177: EXACT DISTRIBUTED QUANTILES — the selection problem
+    // (exact p50/p90/p99 without a global sort): iterative bin-count
+    // refinement, bin-id-predicate recursion (count and filter share
+    // the identical expression, so edge rounding cannot desync rank),
+    // bounded per-value finish. Selection returns an EXISTING value →
+    // bit-exact hash match; k = ceil(q·N) computed in DOUBLE on both
+    // sides (a decimal q·N would ceil differently — the q167 literal
+    // lesson applied to ranks).
+    Q(
+      "q177_exact_quantiles",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.ExactQuantile.selectQuantiles(
+          Tables.events(s, d), $"value", qs = Seq(0.5, 0.9, 0.99))
+          .orderBy($"q")
+      },
+      Some("""WITH v AS MATERIALIZED (SELECT value AS v FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |r AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES ('0.5'), ('0.9'), ('0.99')) t(q)),
+             |ks AS (SELECT q, greatest(1, CAST(ceil(q * (SELECT n FROM n)) AS BIGINT)) AS k FROM qs)
+             |SELECT ks.q, ks.k, r.v AS value FROM ks JOIN r ON r.rn = ks.k
+             |ORDER BY ks.q""".stripMargin)),
+
+    // ---- q178: OUT-OF-FOLD TARGET ENCODING — leakage-free
+    // categorical encoding for training: each (event_type, fold)
+    // cell's conversion rate comes from the OTHER folds' counts.
+    // Folds are the portable md5 hash of user_id; all arithmetic is
+    // exact-integer + one division → hash match, no tolerance.
+    Q(
+      "q178_target_encoding_oof",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Encoding.targetEncodeOof(
+          Tables.events(s, d).filter($"user_id".isNotNull),
+          $"event_type", $"user_id",
+          coalesce($"value" > 50.0, lit(false)), folds = 4)
+          .orderBy($"category", $"fold")
+      },
+      Some(s"""WITH cell AS MATERIALIZED (SELECT event_type AS category,
+              |    ${graft.operators.KmvSketch.hash60Sql("user_id")} % 4 AS fold,
+              |    CAST(count(*) AS BIGINT) AS n_fold,
+              |    CAST(sum(CASE WHEN coalesce(value > 50.0, false) THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS pos_fold
+              |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              |  GROUP BY 1, 2),
+              |tot AS MATERIALIZED (SELECT category,
+              |    CAST(sum(n_fold) AS BIGINT) AS n_total,
+              |    CAST(sum(pos_fold) AS BIGINT) AS pos_total
+              |  FROM cell GROUP BY 1)
+              |SELECT c.category, c.fold, c.n_fold, c.pos_fold,
+              |  t.n_total - c.n_fold AS n_oof,
+              |  t.pos_total - c.pos_fold AS pos_oof,
+              |  CASE WHEN t.n_total - c.n_fold > 0
+              |    THEN CAST(t.pos_total - c.pos_fold AS DOUBLE)
+              |      / CAST(t.n_total - c.n_fold AS DOUBLE) END AS encoding
+              |FROM cell c JOIN tot t USING (category)
+              |ORDER BY c.category, c.fold""".stripMargin)),
+
+    // ---- q179: DETERMINISTIC NEGATIVE SAMPLING — contrastive-pair
+    // negatives as a broadcast join against per-cell canonical
+    // representatives (no per-row random corpus access, no resampling
+    // loop); md5-hash cells make every pair exactly replayable.
+    Q(
+      "q179_negative_sampling",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Contrastive.negativeSample(
+          Tables.documents(s, d), $"doc_id", k = 3, buckets = 64)
+          .orderBy($"doc_id", $"draw")
+      },
+      Some(s"""WITH base AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              |    ${graft.operators.KmvSketch.hash60Sql("doc_id")} AS h,
+              |    ${graft.operators.KmvSketch.hash60Sql("doc_id")} % 64 AS cell
+              |  FROM documents),
+              |rk AS MATERIALIZED (SELECT cell, doc_id,
+              |    row_number() OVER (PARTITION BY cell ORDER BY h, doc_id) AS rn
+              |  FROM base),
+              |reps AS MATERIALIZED (SELECT r1.cell, r1.doc_id AS rep1, r2.doc_id AS rep2
+              |  FROM (SELECT cell, doc_id FROM rk WHERE rn = 1) r1
+              |  LEFT JOIN (SELECT cell, doc_id FROM rk WHERE rn = 2) r2 USING (cell)),
+              |draws AS (SELECT b.doc_id, d.draw,
+              |    ${graft.operators.KmvSketch.hash60Sql(
+                     "(CAST(b.doc_id AS VARCHAR) || '#' || CAST(d.draw AS VARCHAR))")} % 64
+              |      AS tcell
+              |  FROM base b CROSS JOIN (VALUES (1), (2), (3)) d(draw))
+              |SELECT doc_id, draw, neg_id FROM (
+              |  SELECT dr.doc_id, dr.draw,
+              |    CASE WHEN r.rep1 <> dr.doc_id THEN r.rep1 ELSE r.rep2 END AS neg_id
+              |  FROM draws dr LEFT JOIN reps r ON r.cell = dr.tcell)
+              |WHERE neg_id IS NOT NULL
+              |ORDER BY doc_id, draw""".stripMargin)),
+
+    // ---- q184: INVERTED-INDEX POSTING STATS — index construction
+    // measured by its verifiable aggregate: per term df/cf/max-tf and
+    // the argmax document (partial-aggregable struct-max, no window).
+    // Exact integers; minDf is a map-side vocab floor, not a top-k.
+    Q(
+      "q184_posting_stats",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.postingStats(
+          Tables.documents(s, d), $"text", $"doc_id", minDf = 5)
+          .orderBy($"term")
+      },
+      Some(s"""WITH tok AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              |    unnest($sqlToks) AS term FROM documents),
+              |tf AS MATERIALIZED (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY 1, 2)
+              |SELECT term, CAST(count(*) AS BIGINT) AS df,
+              |  CAST(sum(tf) AS BIGINT) AS cf,
+              |  CAST(max(tf) AS BIGINT) AS max_tf,
+              |  CAST((SELECT t2.doc_id FROM tf t2 WHERE t2.term = tf.term
+              |    ORDER BY t2.tf DESC, t2.doc_id LIMIT 1) AS BIGINT) AS top_doc_id
+              |FROM tf GROUP BY term HAVING count(*) >= 5
+              |ORDER BY term""".stripMargin)))
 }

@@ -105,4 +105,35 @@ object ExactQuantile {
     base.unpersist()
     res
   }
+
+  /** EQUAL-FREQUENCY (quantile) binning — the feature-engineering
+    * staple: cut a column at its exact i/nBins quantiles (the
+    * [[selectQuantiles]] cutpoints — real data values, bit-exact) and
+    * report each bin's population and value range. A row's bin is the
+    * COUNT OF CUTPOINTS STRICTLY BELOW its value, so ties on a
+    * cutpoint land in the lower bin deterministically; the binning
+    * pass is one map-side expression over ≤ nBins−1 literal
+    * cutpoints plus one aggregation. Heavy duplicate mass makes the
+    * bins legitimately unequal (the k-th VALUE is the cut — exact
+    * selection semantics, not approximate equal-mass) — that skew is
+    * the honest answer, not an error.
+    */
+  def equalFrequencyBins(
+      df: DataFrame,
+      value: Column,
+      nBins: Int,
+      bins: Int = 1024): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in [2, 64], got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = selectQuantiles(df, value, qs, bins)
+      .collect().map(_.getDouble(2)).toSeq // ≤ 63 values — bounded
+    val v = value.cast("double")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(v > c, 1).otherwise(0)
+    }
+    df.filter(v.isNotNull && !isnan(v))
+      .select(bin.as("bin"), v.as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
 }

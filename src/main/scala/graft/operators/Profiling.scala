@@ -438,4 +438,47 @@ object Profiling {
         (restN > 0 && lit(2L) * restN * col("n") > lit(3L) * rest).as("is_high"),
         (restN > 0 && lit(2L) * restN * col("n") < rest).as("is_low"))
   }
+
+  /** Model-calibration RELIABILITY DIAGRAM (the per-bin view behind
+    * expected calibration error): bucket predictions by probability,
+    * compare each bucket's mean predicted probability to its observed
+    * positive rate. `calibration_gap` > 0 means over-confident.
+    *
+    * Exactness: n and positives are exact integers and the observed
+    * rate is one exact integer division; mean_prob sums the
+    * probabilities in DECIMAL(27,12) (exact given the scale-12
+    * rounding of each input, which both engines perform identically
+    * on in-range doubles) and pays ONE decimal→double cast — the
+    * q114 one-ulp hazard — so oracles compare mean_prob and the gap
+    * within 1e-9 and hash-match everything else. Probabilities
+    * outside [0, 1] fail loudly (a mis-scaled score silently
+    * saturating into bin 0/last is exactly how calibration audits
+    * lie); null labels fail loudly through a payload guard.
+    */
+  def reliabilityBins(
+      df: DataFrame, prob: Column, label: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2, 100], got $bins")
+    val p0 = prob.cast("double")
+    val p = when(p0.isNull || isnan(p0) || p0 < 0.0 || p0 > 1.0,
+      raise_error(lit("reliabilityBins: probability outside [0, 1]")))
+      .otherwise(p0)
+    val bin = least(lit(bins - 1).cast("long"),
+      floor(p * lit(bins)).cast("long"))
+    df.select(
+        bin.as("bin"), p.cast("decimal(27,12)").as("__p"),
+        when(label.isNull, raise_error(lit("reliabilityBins: null label")))
+          .otherwise(label).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("positives"),
+        sum(col("__p")).as("__sp"))
+      .select(
+        col("bin"), col("n"), col("positives"),
+        (col("__sp").cast("double") / col("n").cast("double")).as("mean_prob"),
+        (col("positives").cast("double") / col("n").cast("double")).as("rate"),
+        ((col("__sp").cast("double") / col("n").cast("double")) -
+          (col("positives").cast("double") / col("n").cast("double")))
+          .as("calibration_gap"))
+  }
 }

@@ -143,6 +143,70 @@ object TimeSeries {
           .as("ema"))
   }
 
+  /** Per-key HOLT LINEAR TREND (double exponential smoothing) over
+    * daily period sums — [[ema]] plus an explicit trend component, the
+    * capacity-forecasting workhorse:
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * seeded l₁ = x₁, b₁ = 0; returns the final (level, trend) and the
+    * one-step-ahead forecast level + trend. The fold runs inside ONE
+    * `aggregate` higher-order function over each key's sorted period
+    * array (bounded by the calendar, exactly like [[ema]] — no
+    * windows, no driver state); the accumulator is a 2-element double
+    * array so the recurrence stays a single codegen'd expression.
+    * α and β must be dyadic (k/4096) so `1−α`/`1−β` are the same
+    * doubles in every engine (the [[ema]] contract); oracles replay
+    * the identical op order and compare within 1e-9 (the decimal
+    * period sums double-round engine-specifically at the cast — the
+    * q119 precedent).
+    */
+  def holtLinear(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      alpha: Double = 0.25,
+      beta: Double = 0.125): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    for ((nm, x) <- Seq("alpha" -> alpha, "beta" -> beta)) {
+      require(x > 0.0 && x < 1.0, s"$nm must be in (0, 1), got $x")
+      require(x * 4096.0 == math.rint(x * 4096.0),
+        s"$nm must be an exact dyadic rational (k/4096), got $x")
+    }
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").cast("double").as("vd"))
+    def step(acc: Column, e: Column): Column = {
+      val l = acc.getItem(0)
+      val b = acc.getItem(1)
+      val x = e.getField("vd")
+      val nl = lit(alpha) * x + lit(1.0 - alpha) * (l + b)
+      // nl repeated verbatim in the trend update: a fold lambda cannot
+      // bind intermediates, and the identical expression yields the
+      // identical double
+      array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b)
+    }
+    perPeriod.groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        max(col("period")).as("last_period"),
+        sort_array(collect_list(struct(col("period"), col("vd")))).as("series"))
+      .select(
+        col("k").as("key"),
+        col("n_periods"),
+        col("last_period"),
+        aggregate(
+          slice(col("series"), lit(2), size(col("series")) - 1),
+          array(element_at(col("series"), 1).getField("vd"), lit(0.0)),
+          step).as("__st"))
+      .select(col("key"), col("n_periods"), col("last_period"),
+        col("__st").getItem(0).as("level"),
+        col("__st").getItem(1).as("trend"),
+        (col("__st").getItem(0) + col("__st").getItem(1)).as("forecast_next"))
+  }
+
   /** Per-key THEIL-SEN robust slope — the median of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)` over each key's period-sum
     * series (Theil 1950 / Sen 1968): the robust-trend complement to

@@ -363,5 +363,160 @@ object ScaleOps5 {
               |  CAST((SELECT t2.doc_id FROM tf t2 WHERE t2.term = tf.term
               |    ORDER BY t2.tf DESC, t2.doc_id LIMIT 1) AS BIGINT) AS top_doc_id
               |FROM tf GROUP BY term HAVING count(*) >= 5
-              |ORDER BY term""".stripMargin)))
+              |ORDER BY term""".stripMargin)),
+
+    // ---- q185: HOLT LINEAR TREND — double exponential smoothing
+    // (level + trend) per user over daily purchase sums, the
+    // capacity-forecasting recurrence folded inside ONE aggregate HOF
+    // per key (q119's EMA geometry with a 2-element accumulator).
+    // Dyadic α/β; the oracle replays the identical op order via
+    // list_reduce over [vd, 0.0] pairs and gates at 1e-9 (the daily
+    // decimal→double cast is the engine-specific ulp — q119).
+    Q(
+      "q185_holt_trend",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.holtLinear(
+          Tables.events(s, d).filter($"event_type" === "purchase"),
+          $"user_id", $"ts", $"value", periodSeconds = 86400L,
+          alpha = 0.25, beta = 0.125)
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q185_holt_trend/*.parquet')),
+             |o AS (SELECT user_id AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vd
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |se AS (SELECT k, count(*) AS n, max(period) AS lastp,
+             |    list([vd, CAST('0' AS DOUBLE)] ORDER BY period) AS l
+             |  FROM o GROUP BY k),
+             |ex AS (SELECT k, n, lastp,
+             |    list_reduce(l, (acc, x) ->
+             |      [CAST('0.25' AS DOUBLE) * x[1] + CAST('0.75' AS DOUBLE) * (acc[1] + acc[2]),
+             |       CAST('0.125' AS DOUBLE) * ((CAST('0.25' AS DOUBLE) * x[1]
+             |           + CAST('0.75' AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+             |         + CAST('0.875' AS DOUBLE) * acc[2]]) AS st
+             |  FROM se),
+             |expect AS (SELECT k, n, lastp, st[1] AS level, st[2] AS trend,
+             |    st[1] + st[2] AS fc FROM ex),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted) = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n_periods <> x.n OR e.last_period <> x.lastp
+             |         OR abs(e.level - x.level) > 1e-9 OR abs(e.trend - x.trend) > 1e-9
+             |         OR abs(e.forecast_next - x.fc) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.key NOT IN (SELECT k FROM expect))
+             |  ) AS ok)
+             |SELECT key, n_periods, last_period, level, trend, forecast_next
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q186: EQUAL-FREQUENCY BINNING — feature-engineering quartile
+    // cuts from the EXACT q177 cutpoints (selection, not interpolation),
+    // bin = count of cutpoints strictly below the value (ties land low,
+    // deterministically). Everything exact → hash match.
+    Q(
+      "q186_equal_frequency_bins",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.ExactQuantile.equalFrequencyBins(
+          Tables.events(s, d), $"value", nBins = 4)
+          .orderBy($"bin")
+      },
+      Some("""WITH v AS MATERIALIZED (SELECT value AS v FROM events
+             |  WHERE value IS NOT NULL AND NOT isnan(value)),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |r AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |cuts AS MATERIALIZED (SELECT i, (SELECT v FROM r WHERE rn =
+             |    greatest(1, CAST(ceil((CAST(i AS DOUBLE) / 4) * (SELECT n FROM n)) AS BIGINT)))
+             |    AS c
+             |  FROM (VALUES (1), (2), (3)) t(i)),
+             |b AS (SELECT v,
+             |    CAST((v > (SELECT c FROM cuts WHERE i = 1)) AS INT)
+             |    + CAST((v > (SELECT c FROM cuts WHERE i = 2)) AS INT)
+             |    + CAST((v > (SELECT c FROM cuts WHERE i = 3)) AS INT) AS bin
+             |  FROM v)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |  min(v) AS min_v, max(v) AS max_v
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---- q187: GROUPED TOP-K — top 3 most-ordered parts per supplier
+    // through the bounded-heap aggregator (map-side partial top-k, ≤ k
+    // rows per (partition, group) cross the shuffle) instead of the
+    // full-sort row_number window. Counts are exact; score is the
+    // count as a double (exact below 2^53); ties break to the lower
+    // part id — the oracle's row_number replays both.
+    Q(
+      "q187_grouped_topk",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.lineitem(s, d)
+          .groupBy($"l_suppkey", $"l_partkey")
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Ranking.topNPerGroup(
+          counts, $"l_suppkey", $"l_partkey", $"n", k = 3)
+          .orderBy($"group", $"rank")
+      },
+      Some("""WITH c AS MATERIALIZED (SELECT l_suppkey AS grp, l_partkey AS id,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1, 2),
+             |rk AS (SELECT grp, id, n,
+             |    row_number() OVER (PARTITION BY grp ORDER BY n DESC, id) AS rank
+             |  FROM c)
+             |SELECT grp AS "group", CAST(rank AS INT) AS rank,
+             |  CAST(id AS BIGINT) AS id, CAST(n AS DOUBLE) AS score
+             |FROM rk WHERE rank <= 3 ORDER BY "group", rank""".stripMargin)),
+
+    // ---- q188: RELIABILITY DIAGRAM (calibration audit) — bucket a
+    // pseudo-probability (value/1000 — inside [0,1) with headroom over every observed scale factor),
+    // compare mean predicted probability to the observed purchase
+    // rate per bucket. Counts and rates are exact; mean_prob pays one
+    // decimal→double cast per bin → 1e-9 gate (q114/q119 pattern).
+    Q(
+      "q188_reliability_bins",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.reliabilityBins(
+          Tables.events(s, d)
+            .filter($"value".isNotNull && !isnan($"value") && $"event_type".isNotNull),
+          $"value" / 1000.0, $"event_type" === "purchase", bins = 10)
+          .orderBy($"bin")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q188_reliability_bins/*.parquet')),
+             |b AS (SELECT least(9, CAST(floor((value / 1000.0) * 10) AS BIGINT)) AS bin,
+             |    CAST(value / 1000.0 AS DECIMAL(27,12)) AS p,
+             |    (event_type = 'purchase') AS y
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+             |    AND event_type IS NOT NULL),
+             |expect AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+             |    CAST(sum(p) AS DOUBLE) / count(*) AS mean_prob,
+             |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+             |  FROM b GROUP BY bin),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x USING (bin)
+             |      WHERE e.n <> x.n OR e.positives <> x.positives
+             |         OR abs(e.mean_prob - x.mean_prob) > 1e-9
+             |         OR abs(e.rate - x.rate) > 1e-9
+             |         OR abs(e.calibration_gap - (x.mean_prob - x.rate)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.bin NOT IN (SELECT bin FROM expect))
+             |  ) AS ok)
+             |SELECT bin, n, positives, mean_prob, rate, calibration_gap
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY bin""".stripMargin)))
 }

@@ -34,7 +34,7 @@ object LlmOps {
   // prefix-filtered blocking in Dedup.ngramJaccardPairs is complete,
   // not just sound. Used by q25 (direct compare), q26 (soundness
   // join), q34 (connected components), q42 (curation pipeline).
-  private def sqlExactJaccardCteFrom(from: String): String =
+  private[queries] def sqlExactJaccardCteFrom(from: String): String =
     s"""toks AS (SELECT doc_id, $sqlToks AS t FROM $from),
        |sh AS (SELECT doc_id,
        |  list_distinct(CASE WHEN len(t) >= 3

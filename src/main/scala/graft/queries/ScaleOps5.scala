@@ -518,5 +518,96 @@ object ScaleOps5 {
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY bin""".stripMargin)))
+             |ORDER BY bin""".stripMargin)),
+
+    // ---- q189: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-
+    // view pattern: merge a pre-cutoff per-user snapshot aggregate
+    // with the post-cutoff delta aggregate, never rescanning history.
+    // Sums stay DECIMAL through the merge (addition is associative),
+    // so the oracle — a FULL RECOMPUTE over all events — hash-matches
+    // the incremental path bit-for-bit: equality of the two plans IS
+    // the correctness statement.
+    Q(
+      "q189_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,6)")).as("sv"))
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull)
+        val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+        val merged = graft.operators.Incremental.mergeAdditive(
+          agg(ev.filter($"ts" < cutoff)),
+          agg(ev.filter($"ts" >= cutoff)),
+          keys = Seq("user_id"), addCols = Seq("n_events", "sv"))
+        merged.select($"user_id", $"n_events".cast("long").as("n_events"),
+          $"sv".cast("double").as("total_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q190: NEAR-DUP CLUSTER SIZE DISTRIBUTION — the curation
+    // diagnostic behind "how much of my corpus is duplicate mass":
+    // the q34 connected components rolled up to a size histogram,
+    // isolated documents counted as size-1 components. The oracle
+    // re-derives the clustering from the exact unblocked Jaccard pair
+    // set via recursive closure (the q34 contract) and histograms it
+    // independently. Exact integers.
+    Q(
+      "q190_cluster_size_histogram",
+      (s, d) => {
+        import s.implicits._
+        val sh = graft.operators.Dedup.hashedShingleSets(
+          Tables.documents(s, d), $"text", $"doc_id", n = 3)
+        val pairs = graft.operators.Dedup.ngramJaccardPairsFromHashed(sh, threshold = 0.3)
+        val cl = graft.operators.Dedup.clusters(pairs)
+        try {
+          val sizes = cl.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+          val hist = sizes.groupBy($"sz".as("cluster_size"))
+            .agg(count(lit(1)).as("n_components"))
+          val nDocs = Tables.documents(s, d).count()
+          val nClustered = cl.count()
+          val singletons = nDocs - nClustered
+          val withSingles =
+            if (singletons > 0)
+              hist.unionByName(s.range(1).select(
+                lit(1L).as("cluster_size"), lit(singletons).as("n_components")))
+            else hist
+          withSingles
+            .groupBy($"cluster_size")
+            .agg(sum($"n_components").as("n_components"))
+            .select($"cluster_size", $"n_components",
+              ($"cluster_size" * $"n_components").as("docs_in_size"))
+            .orderBy($"cluster_size")
+            .localCheckpoint(true)
+        } finally { cl.unpersist(); () }
+      },
+      Some(s"""WITH RECURSIVE ${LlmOps.sqlExactJaccardCteFrom("documents")},
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
+              |  UNION SELECT id_b, id_a FROM exact),
+              |reach(doc_id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id),
+              |cl AS (SELECT doc_id, min(r) AS cid FROM reach GROUP BY doc_id),
+              |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cid),
+              |hist AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_components
+              |  FROM sizes GROUP BY sz),
+              |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+              |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl)
+              |      AS n_components
+              |  WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM cl)),
+              |merged AS (SELECT cluster_size, CAST(sum(n_components) AS BIGINT)
+              |    AS n_components
+              |  FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+              |  GROUP BY cluster_size)
+              |SELECT cluster_size, n_components,
+              |  cluster_size * n_components AS docs_in_size
+              |FROM merged ORDER BY cluster_size""".stripMargin)))
 }

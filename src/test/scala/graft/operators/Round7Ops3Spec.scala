@@ -85,4 +85,19 @@ class Round7Ops3Spec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("outside [0, 1]"))
   }
+
+  test("mergeAdditive: snapshot + delta equals full recompute; one-sided keys coalesce") {
+    val snap = Seq((1L, 2L, BigDecimal(10)), (2L, 1L, BigDecimal(5)))
+      .toDF("k", "n", "s")
+    val delta = Seq((2L, 3L, BigDecimal(7)), (3L, 1L, BigDecimal(2)))
+      .toDF("k", "n", "s")
+    val got = Incremental.mergeAdditive(snap, delta, Seq("k"), Seq("n", "s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got == Map(
+      1L -> ((2L, 10.0)), 2L -> ((4L, 12.0)), 3L -> ((1L, 2.0))))
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAdditive(snap, delta, Seq("k"), Seq("missing"))
+    }
+  }
 }

@@ -44,12 +44,21 @@ object NaiveBayes {
       TextAnalysis.tokens(text).as("__toks"))
     // n_docs_class IS sum(__guard) — 1 per valid row, raise on null —
     // so the guard cannot be pruned away as an unused aggregate
+    // Materialize the two count pivots ONCE: class totals, the
+    // vocabulary count, the doc-count rollup, and the final join all
+    // derive from them — without the checkpoint each consumer
+    // re-scans (and re-tokenizes) the full corpus, turning a
+    // two-scan training pass into five (observed in the executed
+    // plan). Both pivots are model-sized (classes × vocab), not
+    // corpus-sized.
     val docCounts = base.groupBy(col("class"))
       .agg(sum(col("__guard")).as("n_docs_class"))
+      .localCheckpoint(true)
     val nDocs = docCounts.agg(sum(col("n_docs_class")).as("__nd"))
     val tokenCounts = base
       .select(col("class"), explode(col("__toks")).as("token"))
       .groupBy(col("class"), col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // V = unpruned vocabulary size: one scalar to the driver, bounded
     val v = tokenCounts.select(col("token")).distinct().count()
     val classTotals = tokenCounts.groupBy(col("class"))

@@ -609,5 +609,91 @@ object ScaleOps5 {
               |  GROUP BY cluster_size)
               |SELECT cluster_size, n_components,
               |  cluster_size * n_components AS docs_in_size
-              |FROM merged ORDER BY cluster_size""".stripMargin)))
+              |FROM merged ORDER BY cluster_size""".stripMargin)),
+
+    // ---- q191: STREAMING CEP PATTERN DETECTION — "view → click →
+    // purchase within 7 days" per user through flatMapGroupsWithState
+    // with a TWO-SCALAR state (stage, t0): the match-recognize
+    // primitive aggregation cannot express (order-dependent, event-
+    // consuming). Three time-ordered slices arrive as separate
+    // micro-batches (the q153 staging contract), so detections
+    // spanning batches exercise real cross-batch state. The oracle
+    // replays the identical state machine as a RECURSIVE SQL
+    // transition relation — a fully independent sequential re-
+    // execution, exact integers.
+    Q(
+      "q191_streaming_pattern_match",
+      (s, d) => streamingPatternDetect(s, d),
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t,
+             |    event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+             |sm(user_id, rn, stage, t0, es, ee) AS (
+             |  SELECT DISTINCT user_id, CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT),
+             |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM ev
+             |  UNION ALL
+             |  SELECT s.user_id, e.rn,
+             |    CASE WHEN x.eff = 0 AND e.event_type = 'view' THEN 1
+             |         WHEN x.eff = 1 AND e.event_type = 'click' THEN 2
+             |         WHEN x.eff = 2 AND e.event_type = 'purchase' THEN 0
+             |         ELSE x.eff END,
+             |    CASE WHEN x.eff = 0 AND e.event_type = 'view' THEN e.t ELSE s.t0 END,
+             |    CASE WHEN x.eff = 2 AND e.event_type = 'purchase' THEN s.t0 END,
+             |    CASE WHEN x.eff = 2 AND e.event_type = 'purchase' THEN e.t END
+             |  FROM sm s
+             |  JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1,
+             |  LATERAL (SELECT CASE WHEN s.stage > 0 AND e.t - s.t0 > 604800000000
+             |    THEN 0 ELSE s.stage END AS eff) x)
+             |SELECT user_id, es AS start_us, ee AS end_us
+             |FROM sm WHERE es IS NOT NULL
+             |ORDER BY user_id, start_us, end_us""".stripMargin)))
+
+  /** q191's drive: three explicit time slices as ordered micro-batches
+    * (cross-batch in-flight state is the point), memory sink, ≥ 3
+    * data batches enforced.
+    */
+  private def streamingPatternDetect(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q191_cep")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1), "00_a"),
+        (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
+        (ev.filter($"ts" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q191_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.PatternMatch.detect(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.PatternMatch.Ev],
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 7L * 86400L * 1000000L)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q191 stream did not terminate within 600s — refusing a partial match set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"q191 ran $dataBatches data micro-batch(es); cross-batch state needs " +
+            "all 3 slices as separate batches")
+        s.table(name)
+          .select($"user_id", $"start_us", $"end_us")
+          .orderBy($"user_id", $"start_us", $"end_us")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestBase
+
+/** [[PatternMatch]] semantics: the pure transition function, the
+  * window reset, first-match/non-overlap rules, and stream ≡ batch
+  * parity across micro-batch splits.
+  */
+class PatternMatchSpec extends SparkTestBase {
+  import PatternMatch._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def run(evs: (Long, String)*): Seq[(Long, Long)] =
+    advance(PatState(0, 0L), evs, steps, windowUs = 100L)._2
+
+  test("advance: complete pattern emits (t0, tEnd); incomplete emits nothing") {
+    assert(run((1L, "view"), (2L, "click"), (3L, "purchase")) == Seq((1L, 3L)))
+    assert(run((1L, "view"), (2L, "click")) == Seq.empty)
+    assert(run((1L, "click"), (2L, "purchase")) == Seq.empty)
+  }
+
+  test("advance: window expiry resets; the expiring event can restart a match") {
+    // view@1, click@2, purchase@200 — beyond the 100µs window: no emit
+    assert(run((1L, "view"), (2L, "click"), (200L, "purchase")) == Seq.empty)
+    // view@1 stale by view@200 which restarts; completes at 210
+    assert(run((1L, "view"), (200L, "view"), (205L, "click"), (210L, "purchase"))
+      == Seq((200L, 210L)))
+  }
+
+  test("advance: first-match semantics — a second view does not slide the window") {
+    assert(run((1L, "view"), (50L, "view"), (60L, "click"), (99L, "purchase"))
+      == Seq((1L, 99L)))
+  }
+
+  test("advance: completion consumes state — back-to-back matches do not overlap") {
+    assert(run(
+      (1L, "view"), (2L, "click"), (3L, "purchase"),
+      (4L, "view"), (5L, "click"), (6L, "purchase"))
+      == Seq((1L, 3L), (4L, 6L)))
+    // a purchase right after completion has no in-flight match
+    assert(run((1L, "view"), (2L, "click"), (3L, "purchase"), (4L, "purchase"))
+      == Seq((1L, 3L)))
+  }
+
+  test("advance: state carries across batch boundaries (split anywhere, same result)") {
+    val evs = Seq(
+      (1L, "view"), (2L, "other"), (3L, "click"), (90L, "purchase"),
+      (95L, "view"), (99L, "click"), (300L, "purchase"), (301L, "view"),
+      (302L, "click"), (303L, "purchase"))
+    val whole = advance(PatState(0, 0L), evs, steps, 100L)._2
+    for (cut <- 1 until evs.size) {
+      val (s1, e1) = advance(PatState(0, 0L), evs.take(cut), steps, 100L)
+      val (_, e2) = advance(s1, evs.drop(cut), steps, 100L)
+      assert(e1 ++ e2 == whole, s"split at $cut diverged")
+    }
+  }
+
+  test("detectBatch matches the documented example end to end") {
+    import spark.implicits._
+    def t(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    val ds = Seq(
+      Ev(1L, t(1000), "view", 1), Ev(1L, t(2000), "click", 2),
+      Ev(1L, t(3000), "purchase", 3),
+      Ev(2L, t(1000), "view", 4), Ev(2L, t(2000), "purchase", 5)).toDS()
+    val got = PatternMatch.detectBatch(ds, steps, windowUs = 10000L)
+      .collect().map(d => (d.user_id, d.start_us, d.end_us)).toSet
+    assert(got == Set((1L, 1000L, 3000L)))
+  }
+}

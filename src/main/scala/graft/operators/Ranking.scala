@@ -39,4 +39,37 @@ object Ranking {
         col("group"), (col("__p") + 1).cast("int").as("rank"),
         col("__e._2").as("id"), col("__e._1").as("score"))
   }
+
+  /** STREAMABLE half of the grouped top-k: the aggregation alone,
+    * heap left packed in a `topk` column — legal inside a streaming
+    * complete/update-mode aggregation, where the state store then
+    * holds ONE ≤ k-entry heap per group (not the event history) and
+    * each micro-batch's partial heaps merge into it. Explode the
+    * final emission with [[explodeTopK]] (a generate after a
+    * streaming aggregation is not universally supported, and the
+    * sink's last complete emission is the natural place to unpack).
+    */
+  def topKStreamable(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = udaf(new TopKByScore(k))
+    df.groupBy(col(groupCol))
+      .agg(tk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("topk"))
+  }
+
+  /** Unpack a [[topKStreamable]] emission to (group, rank, <idName>,
+    * <scoreName>) rows — ranks dense 1..k, same order contract as
+    * [[topNPerGroup]].
+    */
+  def explodeTopK(
+      df: DataFrame, idName: String = "id", scoreName: String = "score"): DataFrame = {
+    val groupCol = df.columns.head
+    df.select(col(groupCol), posexplode(col("topk.items")).as(Seq("__p", "__e")))
+      .select(col(groupCol), (col("__p") + 1).cast("int").as("rank"),
+        col("__e._2").as(idName), col("__e._1").as(scoreName))
+  }
 }

@@ -649,6 +649,80 @@ object ScaleOps5 {
              |FROM sm WHERE es IS NOT NULL
              |ORDER BY user_id, start_us, end_us""".stripMargin)))
 
+  val streamQueries2: Seq[Q] = Seq(
+
+    // ---- q192: STREAMING TOP-K LEADERBOARD — live "k best per group"
+    // maintenance: the bounded-heap [[graft.operators.TopKByScore]]
+    // aggregator runs INSIDE a streaming complete-mode aggregation, so
+    // the state store holds one ≤ k-entry heap per group (not the
+    // event history) and every micro-batch merges its partial heaps
+    // into it — the streaming twin of q187. Three ordered slices; the
+    // final complete emission is the whole-stream top-k, which the
+    // oracle replays as a batch row_number ranking. Exact values,
+    // deterministic (value desc, event_id asc) ties.
+    Q(
+      "q192_streaming_topk",
+      (s, d) => streamingTopK(s, d),
+      Some("""WITH e AS (SELECT event_type, value, event_id FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value) AND event_id IS NOT NULL),
+             |rk AS (SELECT event_type, value, event_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS rank
+             |  FROM e)
+             |SELECT event_type, CAST(rank AS INT) AS rank,
+             |  CAST(event_id AS BIGINT) AS event_id, value
+             |FROM rk WHERE rank <= 5
+             |ORDER BY event_type, rank""".stripMargin)))
+
+  /** q192's drive: complete-mode streaming aggregation with the typed
+    * bounded top-k heap as the aggregate function; the memory sink's
+    * final complete emission is the whole-stream answer.
+    */
+  private def streamingTopK(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q192_topk")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"value".isNotNull &&
+          !isnan($"value") && $"event_id".isNotNull)
+        .select($"event_type", $"value", $"event_id", $"ts")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts".isNull || $"ts" < c1), "00_a"),
+        (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
+        (ev.filter($"ts" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q192_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.operators.Ranking.topKStreamable(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString),
+        groupCol = "event_type", scoreCol = "value", idCol = "event_id", k = 5)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q192 stream did not terminate within 600s — refusing a partial leaderboard")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"q192 ran $dataBatches data micro-batch(es); heap maintenance needs " +
+            "all 3 slices as separate batches")
+        // complete mode: the memory sink holds the LAST emission only
+        graft.operators.Ranking.explodeTopK(s.table(name), "event_id", "value")
+          .select($"event_type", $"rank", $"event_id", $"value")
+          .orderBy($"event_type", $"rank")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
+
   /** q191's drive: three explicit time slices as ordered micro-batches
     * (cross-batch in-flight state is the point), memory sink, ≥ 3
     * data batches enforced.

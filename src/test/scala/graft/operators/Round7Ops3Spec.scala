@@ -86,6 +86,20 @@ class Round7Ops3Spec extends SparkTestBase {
     assert(ex.getMessage.contains("outside [0, 1]"))
   }
 
+  test("topKStreamable + explodeTopK ≡ topNPerGroup (the packed/streaming formulation)") {
+    val df = Seq(
+      ("a", 10L, 5.0), ("a", 11L, 9.0), ("a", 12L, 9.0), ("a", 13L, 1.0),
+      ("b", 20L, 2.0)).toDF("g", "id", "s")
+    val direct = Ranking.topNPerGroup(df, $"g", $"id", $"s", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val packed = Ranking.explodeTopK(
+      Ranking.topKStreamable(df, "g", "s", "id", k = 2))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(direct == packed)
+    assert(packed == Set(
+      ("a", 1, 11L, 9.0), ("a", 2, 12L, 9.0), ("b", 1, 20L, 2.0)))
+  }
+
   test("mergeAdditive: snapshot + delta equals full recompute; one-sided keys coalesce") {
     val snap = Seq((1L, 2L, BigDecimal(10)), (2L, 1L, BigDecimal(5)))
       .toDF("k", "n", "s")

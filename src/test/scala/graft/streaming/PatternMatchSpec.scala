@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
 import graft.SparkTestBase
 
 /** [[PatternMatch]] semantics: the pure transition function, the
@@ -10,6 +12,39 @@ class PatternMatchSpec extends SparkTestBase {
   import PatternMatch._
 
   private val steps = Seq("view", "click", "purchase")
+
+  private val genEvents: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(0, 60)
+    ts <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+    ty <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase", "other", "view"))
+  } yield ts.sorted.zip(ty)
+
+  test("property: emissions are windowed, ordered, non-overlapping, prefix-stable, noise-immune, split-invariant") {
+    val w = 100L
+    val prop = Prop.forAll(genEvents, Gen.chooseNum(0, 60)) { (evs, cutRaw) =>
+      val (_, whole) = advance(PatState(0, 0L), evs, steps, w)
+      val windowed = whole.forall { case (a, b) => a <= b && b - a <= w }
+      val ordered = whole == whole.sortBy(_._2)
+      val nonOverlap = whole.sliding(2).forall {
+        case Seq((_, b1), (a2, _)) => a2 >= b1
+        case _ => true
+      }
+      // split anywhere: state carries across the cut
+      val cut = math.min(cutRaw, evs.size)
+      val (s1, e1) = advance(PatState(0, 0L), evs.take(cut), steps, w)
+      val (_, e2) = advance(s1, evs.drop(cut), steps, w)
+      val splitInvariant = (e1 ++ e2) == whole
+      // prefix stability: more events never retract a detection
+      val prefixStable = e1 == whole.take(e1.size)
+      // non-step noise cannot change the answer
+      val denoised = advance(
+        PatState(0, 0L), evs.filter(e => steps.contains(e._2)), steps, w)._2
+      windowed && ordered && nonOverlap && splitInvariant && prefixStable &&
+        denoised == whole
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   private def run(evs: (Long, String)*): Seq[(Long, Long)] =
     advance(PatState(0, 0L), evs, steps, windowUs = 100L)._2

@@ -439,6 +439,57 @@ object Profiling {
         (restN > 0 && lit(2L) * restN * col("n") < rest).as("is_low"))
   }
 
+  /** Order-invariant DATASET DIGEST — one row fingerprinting a
+    * table's CONTENT for reproducibility audits and cross-environment
+    * parity checks (did the rewrite/migration/repartition change any
+    * row?): per row, the portable md5-based [[KmvSketch.hash60]] of
+    * the canonical `|`-joined column rendering; the digest is the
+    * EXACT decimal sum of those hashes plus count and min/max hash.
+    * Addition is commutative, so the digest is independent of row
+    * order, partitioning, and merge order — mergeable across shards
+    * by construction — while any single changed row moves it.
+    * decimal(38,0) holds ~10^19 rows of 2^60-bounded hashes without
+    * overflow. Null columns render as an explicit `\N` sentinel
+    * (distinct from the string "null" and from empty).
+    *
+    * ONE map-side-combined scalar aggregation — scan-bound at any
+    * scale.
+    */
+  def datasetDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetDigest: no columns")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
+    val h = KmvSketch.hash60(canon)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(38,0)")).cast("string").as("digest"),
+      min(h).as("min_hash"),
+      max(h).as("max_hash"))
+  }
+
+  /** Per-column PROFILING SUMMARY — the data-catalog table: for each
+    * requested column, its null count, exact distinct count, and
+    * min/max (rendered as strings so one output schema fits every
+    * column type). One aggregation pass PER COLUMN over a width-
+    * bounded column list (profiling a 500-column table is 500 cheap
+    * scans or one wide pass; this takes the simple per-column form —
+    * each pass is map-side combined and the loop is schema-bounded,
+    * never data-bounded).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: no columns")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Model-calibration RELIABILITY DIAGRAM (the per-bin view behind
     * expected calibration error): bucket predictions by probability,
     * compare each bucket's mean predicted probability to its observed

@@ -673,7 +673,68 @@ object ScaleOps5 {
              |SELECT event_type, CAST(rank AS INT) AS rank,
              |  CAST(event_id AS BIGINT) AS event_id, value
              |FROM rk WHERE rank <= 5
-             |ORDER BY event_type, rank""".stripMargin)))
+             |ORDER BY event_type, rank""".stripMargin)),
+
+    // ---- q193: DATASET DIGEST — order/partitioning-invariant content
+    // fingerprint (reproducibility + migration parity audits): exact
+    // decimal sum of per-row portable hashes over the canonical
+    // rendering. Any changed row moves it; any re-ordering doesn't.
+    Q(
+      "q193_dataset_digest",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.datasetDigest(
+          Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+      },
+      Some(s"""WITH h AS (SELECT ${graft.operators.KmvSketch.hash60Sql(
+                 "(coalesce(CAST(o_orderkey AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_custkey AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_orderstatus AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_totalprice AS VARCHAR), '\\N'))")} AS h
+              |  FROM orders)
+              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest,
+              |  CAST(min(h) AS BIGINT) AS min_hash, CAST(max(h) AS BIGINT) AS max_hash
+              |FROM h""".stripMargin)),
+
+    // ---- q194: COLUMN PROFILE — the data-catalog summary: per
+    // column null count, exact distinct, min/max as strings. Exact
+    // integers + deterministic string renderings.
+    Q(
+      "q194_column_profile",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.columnProfile(
+          Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))
+          .orderBy($"column")
+      },
+      Some("""WITH c1 AS (SELECT 'l_orderkey' AS "column",
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+             |    CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem),
+             |c2 AS (SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |  FROM lineitem),
+             |c3 AS (SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+             |    CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+             |  FROM lineitem),
+             |c4 AS (SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             |    CAST(strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS VARCHAR),
+             |    CAST(strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+             |  FROM lineitem)
+             |SELECT * FROM c1 UNION ALL SELECT * FROM c2
+             |UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+             |ORDER BY "column"""".stripMargin)))
 
   /** q192's drive: complete-mode streaming aggregation with the typed
     * bounded top-k heap as the aggregate function; the memory sink's

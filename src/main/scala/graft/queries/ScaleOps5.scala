@@ -736,6 +736,74 @@ object ScaleOps5 {
              |UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
              |ORDER BY "column"""".stripMargin)))
 
+  val streamQueries3: Seq[Q] = Seq(
+
+    // ---- q195: STREAMING DATASET DIGEST — q193's order-invariant
+    // content fingerprint maintained LIVE: the digest is an algebraic
+    // aggregate (count + decimal hash-sum + min/max hash), so a
+    // complete-mode streaming aggregation carries four scalars of
+    // state total and every micro-batch folds in map-side — continuous
+    // integrity monitoring of an ingest pipeline. The final emission
+    // must equal the batch digest of everything ingested, which is
+    // exactly what the oracle computes.
+    Q(
+      "q195_streaming_digest",
+      (s, d) => streamingDigest(s, d),
+      Some(s"""WITH h AS (SELECT ${graft.operators.KmvSketch.hash60Sql(
+                 "(coalesce(CAST(o_orderkey AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_custkey AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_orderstatus AS VARCHAR), '\\N') || '|' || " +
+                 "coalesce(CAST(o_totalprice AS VARCHAR), '\\N'))")} AS h
+              |  FROM orders)
+              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest,
+              |  CAST(min(h) AS BIGINT) AS min_hash, CAST(max(h) AS BIGINT) AS max_hash
+              |FROM h""".stripMargin)))
+
+  /** q195's drive: the orders table in three ordered micro-batch
+    * slices through the digest aggregation in complete mode; the last
+    * emission is the whole-stream digest.
+    */
+  private def streamingDigest(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q195_digest")
+    try {
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      // slice by key thirds — any partition works; the digest is
+      // order-invariant BY CONSTRUCTION and this proves it live
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (o.filter($"o_orderkey" % 3 === 0), "00_a"),
+        (o.filter($"o_orderkey" % 3 === 1), "01_b"),
+        (o.filter($"o_orderkey" % 3 === 2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q195_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.operators.Profiling.datasetDigest(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q195 stream did not terminate within 600s — refusing a partial digest")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"q195 ran $dataBatches data micro-batch(es); live maintenance needs " +
+            "all 3 slices as separate batches")
+        s.table(name)
+          .select($"n_rows", $"digest", $"min_hash", $"max_hash")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
+
   /** q192's drive: complete-mode streaming aggregation with the typed
     * bounded top-k heap as the aggregate function; the memory sink's
     * final complete emission is the whole-stream answer.

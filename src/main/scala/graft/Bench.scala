@@ -134,7 +134,30 @@ object Bench {
       "q20_text_tokens", "q24_dedup_exact", "q25_dedup_ngram_jaccard",
       "q26_dedup_minhash_lsh", "q29_ann_brute_topk", "q131_star_schema_revenue")
     val coreTotal = results.collect { case (k, v) if core(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core11_total":$coreTotal,"queries":$qs,"errors":$errs,"sf":${JsonText.quote(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core11_total":$coreTotal,"queries":$qs,"errors":$errs,"sf":${JsonText.quote(sfDir)}}"""
+
+    // The metric line must SURVIVE a bounded tail capture of the run's
+    // output: the round-7 driver artifact kept only the last 2000 bytes,
+    // which executor-pool teardown filled with benign
+    // RejectedExecutionException stack traces (in-flight RPC futures
+    // failing while their pools shut down, reported by the default
+    // stderr reporter), displacing the JSON printed before stop(). So:
+    // (a) persist the JSON to a file first — unlosable regardless of
+    //     console weather;
+    // (b) silence stderr for the teardown — every real error path above
+    //     already ran, the spam is shutdown-race noise by construction;
+    // (c) print the JSON as the FINAL stdout line after stop() returns.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.flush()
+    System.setErr(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
+    // daemon threads that die during JVM teardown (after main returns)
+    // would otherwise print through the default handler to the real fd
+    Thread.setDefaultUncaughtExceptionHandler((_, _) => ())
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -853,8 +853,13 @@ object ScaleOps5 {
   }
 
   /** q191's drive: three explicit time slices as ordered micro-batches
-    * (cross-batch in-flight state is the point), memory sink, ≥ 3
-    * data batches enforced.
+    * (cross-batch in-flight state is the point) through the
+    * OUT-OF-ORDER-TOLERANT event-time operator — events only need to
+    * respect the watermark delay, not batch order; a fourth sentinel
+    * slice (non-step type, far-future timestamp) pushes the watermark
+    * past every real event so the final no-data micro-batch seals and
+    * drains all state before `AvailableNow` terminates. Memory sink,
+    * ≥ 3 data batches enforced.
     */
   private def streamingPatternDetect(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
@@ -867,18 +872,28 @@ object ScaleOps5 {
         .select($"user_id", $"ts", $"event_type", $"event_id")
       val c1 = lit("2024-01-11").cast("timestamp")
       val c2 = lit("2024-01-21").cast("timestamp")
+      // sentinel: user −1 never matches (type outside the step set and
+      // filtered before state); ts beyond max(ts) + window + delay so
+      // even the last in-flight partial match is evicted at the flush
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit("flush").as("event_type"),
+        lit(-1L).as("event_id"))
       val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
         (ev.filter($"ts" < c1), "00_a"),
         (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
-        (ev.filter($"ts" >= c2), "02_c")))
+        (ev.filter($"ts" >= c2), "02_c"),
+        (sentinel, "03_flush")))
       val schema = s.read.parquet(inDir.toString).schema
       val name = "q191_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.PatternMatch.detect(
+      val q = graft.streaming.PatternMatch.detectEventTime(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(inDir.toString)
           .as[graft.streaming.PatternMatch.Ev],
         steps = Seq("view", "click", "purchase"),
-        windowUs = 7L * 86400L * 1000000L)
+        windowUs = 7L * 86400L * 1000000L,
+        delay = "1 second")
         .writeStream.outputMode("update")
         .format("memory").queryName(name)
         .option("checkpointLocation", scratch.resolve("_ckpt").toString)
@@ -889,9 +904,14 @@ object ScaleOps5 {
           "q191 stream did not terminate within 600s — refusing a partial match set")
         finally q.stop()
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches >= 3,
+        require(dataBatches >= 4,
           s"q191 ran $dataBatches data micro-batch(es); cross-batch state needs " +
-            "all 3 slices as separate batches")
+            "all 3 slices + the flush sentinel as separate batches")
+        // the flush worked: every buffer sealed, every state removed
+        val drained = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(drained.contains(0L),
+          s"q191 CEP state not drained at end of stream: $drained rows")
         s.table(name)
           .select($"user_id", $"start_us", $"end_us")
           .orderBy($"user_id", $"start_us", $"end_us")

@@ -67,6 +67,13 @@ object PatternMatch extends Serializable {
   /** Streaming detection over a streaming `Dataset[Ev]`. `steps` must
     * have ≥ 2 distinct stages; `windowUs` bounds first-step→last-step
     * event time. Emits one [[Detection]] per completed match.
+    *
+    * Contract caveats (both lifted by [[detectEventTime]], the
+    * production path): (a) cross-batch correctness requires
+    * event-time-ordered micro-batches per key; (b) state uses
+    * `NoTimeout` and is never removed, so key cardinality must be
+    * bounded for the query's lifetime (the gate/testing contract —
+    * a finite staged replay over a finite key set).
     */
   def detect(
       events: Dataset[Ev],
@@ -84,6 +91,97 @@ object PatternMatch extends Serializable {
             sorted.map(e => (micros(e.ts), e.event_type)),
             steps, windowUs)
           st.update(ns)
+          emits.map { case (a, b) => Detection(user, a, b) }.iterator
+      }
+  }
+
+  /** One buffered, not-yet-sealed event: event-time µs, the arrival
+    * tiebreak id, and the type. Kept in state only between the event's
+    * arrival and the watermark passing it — bounded by the lateness
+    * horizon, never by history.
+    */
+  final case class BufEv(t: Long, id: Long, typ: String)
+
+  /** [[detectEventTime]] state: the two-scalar machine plus the
+    * watermark buffer. `drainedTo` is the sealed horizon in µs —
+    * events at or below it already went through the machine, so a
+    * straggler older than it is dropped (the standard too-late-data
+    * contract; within the watermark delay nothing is ever dropped).
+    */
+  final case class BufState(
+      stage: Int, t0: Long, drainedTo: Long, buf: Seq[BufEv])
+
+  /** Out-of-order-tolerant streaming detection: the production
+    * variant of [[detect]]. Events may arrive in any order within —
+    * and across — micro-batches as long as they are no later than
+    * `delay` behind the stream's max event time (the watermark
+    * contract). Per key, arriving events are buffered; once the
+    * watermark passes an event's time it is SEALED — no earlier event
+    * can arrive — so sealed events run through the same pure
+    * [[advance]] machine in (event-time, event_id) order and emitted
+    * detections are final (a pure function of the event multiset,
+    * independent of arrival order). State is bounded and self-
+    * cleaning: the buffer holds only events inside the lateness
+    * horizon, an expired partial match (watermark > t0 + window) is
+    * evicted as soon as it can no longer complete, and a key with no
+    * buffer and no in-flight match has its state REMOVED — an
+    * `EventTimeTimeout` re-invokes idle keys so sealing and cleanup
+    * happen even when the key receives no further events.
+    */
+  def detectEventTime(
+      events: Dataset[Ev],
+      steps: Seq[String],
+      windowUs: Long,
+      delay: String): Dataset[Detection] = {
+    require(steps.size >= 2, s"pattern needs >= 2 steps, got $steps")
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], st: GroupState[BufState]) =>
+          val wmMs = st.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = st.getOption.getOrElse(
+            BufState(0, 0L, Long.MinValue, Vector.empty))
+          // buffer the arrivals. Non-step noise is dropped BEFORE the
+          // buffer — [[advance]] provably ignores it (the denoise
+          // property in PatternMatchSpec), so this changes nothing
+          // semantically while keeping state proportional to step-
+          // event density (and letting watermark-advancing sentinel/
+          // noise events pass through without parking in state). A
+          // straggler at or below the sealed horizon cannot be
+          // replayed in order — drop it (it is beyond the promised
+          // lateness `delay` by construction)
+          val incoming = it
+            .map(e => BufEv(micros(e.ts), e.event_id, e.event_type))
+            .filter(e => stepSet(e.typ) && e.t > prev.drainedTo)
+          val buf = prev.buf ++ incoming
+          // seal: the watermark guarantees no event <= wmUs is still
+          // in flight, so this prefix's order is now FINAL
+          val (sealedEvs, pending) = buf.partition(_.t <= wmUs)
+          val sorted = sealedEvs.sortBy(e => (e.t, e.id))
+          val (ns, emits) = advance(
+            PatState(prev.stage, prev.t0),
+            sorted.map(e => (e.t, e.typ)), steps, windowUs)
+          // evict an expired partial match: every future sealed event
+          // has t > wmUs > t0 + window, so advance would reset it on
+          // arrival anyway — dropping it now (identical semantics)
+          // lets the empty state be removed instead of leaking
+          val stage = if (ns.stage > 0 && wmUs - ns.t0 > windowUs) 0 else ns.stage
+          if (pending.isEmpty && stage == 0) {
+            if (st.exists) st.remove()
+          } else {
+            st.update(BufState(stage, ns.t0, math.max(prev.drainedTo, wmUs), pending))
+            // re-arm: fire when the watermark passes the next thing
+            // that needs action — the earliest pending event's seal
+            // point, or the in-flight match's expiry
+            val nextUs =
+              if (pending.nonEmpty) pending.map(_.t).min else ns.t0 + windowUs
+            st.setTimeoutTimestamp(math.max(ceilMs(nextUs), wmMs + 1L))
+          }
           emits.map { case (a, b) => Detection(user, a, b) }.iterator
       }
   }

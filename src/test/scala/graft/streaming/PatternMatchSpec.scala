@@ -91,6 +91,66 @@ class PatternMatchSpec extends SparkTestBase {
     }
   }
 
+  test("detectEventTime: shuffled in-batch order + one-batch-late events == ordered batch result; state drains to zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val windowUs = 100L * 1000000L // 100 s
+    // three users; matches that span the batch cut AND depend on
+    // events delivered a batch late
+    val ordered = Seq(
+      Ev(1L, t(1), "view", 1), Ev(1L, t(2), "click", 2),
+      Ev(1L, t(3), "purchase", 3), // complete inside batch 1's range
+      Ev(2L, t(4), "view", 4), // batch-1-range start...
+      Ev(2L, t(40), "click", 5), Ev(2L, t(50), "purchase", 6), // ...completed by batch 2
+      Ev(3L, t(5), "view", 7), Ev(3L, t(6), "click", 8),
+      Ev(3L, t(200), "purchase", 9), // beyond window: no match
+      Ev(3L, t(210), "view", 10), Ev(3L, t(215), "click", 11),
+      Ev(3L, t(220), "purchase", 12), // fresh complete match
+      Ev(1L, t(45), "other", 13)) // noise
+    val expected = PatternMatch
+      .detectBatch(ordered.toDS(), steps, windowUs)
+      .collect().map(d => (d.user_id, d.start_us, d.end_us)).toSet
+    assert(expected.nonEmpty, "fixture must produce detections")
+
+    // delivery plan: batch 1 gets PART of the early events, SHUFFLED;
+    // batch 2 gets the rest shuffled PLUS two early events arriving a
+    // whole batch late (ids 2 and 7, still inside the 60 s lateness
+    // horizon); batch 3 is a far-future flush sentinel (non-step type:
+    // advances the watermark, never enters state)
+    val late = ordered.filter(e => Set(2L, 7L).contains(e.event_id))
+    val batch1 = scala.util.Random.shuffle(
+      ordered.filter(e => micros(e.ts) <= 6000000L && !Set(2L, 7L).contains(e.event_id)))
+    val batch2 = scala.util.Random.shuffle(
+      ordered.filter(e => micros(e.ts) > 6000000L) ++ late)
+    val sentinel = Ev(999L, t(10000), "other", 99)
+
+    val input = MemoryStream[Ev]
+    val q = PatternMatch
+      .detectEventTime(input.toDS(), steps, windowUs, delay = "60 seconds")
+      .writeStream.format("memory").queryName("cep_ooo_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("cep_ooo_out").as[Detection]
+        .collect().map(d => (d.user_id, d.start_us, d.end_us)).toSet
+      assert(got == expected,
+        s"out-of-order stream diverged: got $got expected $expected")
+      // the leak assertion: every buffer sealed, every partial match
+      // evicted, every empty state removed — zero rows in the store
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 0L, s"state store not drained: $stateRows rows")
+    } finally q.stop()
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   test("detectBatch matches the documented example end to end") {
     import spark.implicits._
     def t(us: Long) = {

@@ -450,7 +450,15 @@ object Profiling {
     * by construction — while any single changed row moves it.
     * decimal(38,0) holds ~10^19 rows of 2^60-bounded hashes without
     * overflow. Null columns render as an explicit `\N` sentinel
-    * (distinct from the string "null" and from empty).
+    * (distinct from the string "null" and from empty). Known caveat
+    * (pinned by its spec): the canonical rendering is NOT injective —
+    * a cell whose literal string value is `\N` renders identically to
+    * a null cell (and `|` inside a value is indistinguishable from
+    * the column separator), so editing a null cell to the literal
+    * string `\N` does not move the digest. Acceptable for its purpose
+    * (migration/repartition parity, where values don't mutate into
+    * sentinel lookalikes); a byte-exact audit would escape `\` and
+    * `|` in the rendering at ~2× string-build cost.
     *
     * ONE map-side-combined scalar aggregation — scan-bound at any
     * scale.
@@ -468,26 +476,45 @@ object Profiling {
   }
 
   /** Per-column PROFILING SUMMARY — the data-catalog table: for each
-    * requested column, its null count, exact distinct count, and
-    * min/max (rendered as strings so one output schema fits every
-    * column type). One aggregation pass PER COLUMN over a width-
-    * bounded column list (profiling a 500-column table is 500 cheap
-    * scans or one wide pass; this takes the simple per-column form —
-    * each pass is map-side combined and the loop is schema-bounded,
-    * never data-bounded).
+    * requested column, its null count, EXACT distinct count, and
+    * TYPED min/max (rendered as strings at the end so one output
+    * schema fits every column type — comparison happens in the
+    * column's own type, never lexicographically).
+    *
+    * ONE scan of the base table regardless of column count: all
+    * profiles run as a single wide aggregation whose N exact
+    * `countDistinct`s Catalyst rewrites (RewriteDistinctAggregates)
+    * into an Expand — the internal unpivot: each input row fans out
+    * to one slim (grouping-id, value) row per profiled column, is
+    * partially aggregated map-side, and shuffles once. The 1-row wide
+    * result is then reshaped driver-cheap (explode over an N-element
+    * array literal) into the per-column catalog rows. Profiling a
+    * 50-column 100 TB table is one scan + one shuffle of
+    * partially-collapsed distinct groups — not 50 scans.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: no columns")
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_value"), col("max_value"))
-    }.reduce(_ unionByName _)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$i"),
+          countDistinct(col(c)).as(s"_distinct_$i"),
+          min(col(c)).cast("string").as(s"_min_$i"),
+          max(col(c)).cast("string").as(s"_max_$i"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val packed = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column"),
+        col(s"_null_$i").as("n_null"),
+        col(s"_distinct_$i").as("n_distinct"),
+        col(s"_min_$i").as("min_value"),
+        col(s"_max_$i").as("max_value"))
+    }: _*)
+    wide.select(col("n_rows"), explode(packed).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
   }
 
   /** Model-calibration RELIABILITY DIAGRAM (the per-bin view behind

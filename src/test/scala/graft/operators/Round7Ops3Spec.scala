@@ -114,6 +114,34 @@ class Round7Ops3Spec extends SparkTestBase {
     assert(got("v") == ((3L, 0L, 2L, "x", "y")))
   }
 
+  test("columnProfile plan: ONE scan of the base table for any column count") {
+    val dir = java.nio.file.Files.createTempDirectory("colprof_plan")
+    try {
+      val p = dir.resolve("t").toString
+      spark.range(100)
+        .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v", "id * 2.5 AS w")
+        .write.parquet(p)
+      val profiled = Profiling.columnProfile(
+        spark.read.parquet(p), Seq("k", "v", "w"))
+      val rels = profiled.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(rels.size == 1,
+        s"expected exactly one base-table scan, got ${rels.size}")
+      // and the single scan still yields the exact typed profile
+      val got = profiled.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+      assert(got("k") == ((100L, 0L, 100L, "0", "99")), got("k").toString)
+      assert(got("v") == ((100L, 0L, 7L, "0", "6")), got("v").toString)
+      assert(got("w") == ((100L, 0L, 100L, "0.0", "247.5")), got("w").toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("topKStreamable + explodeTopK ≡ topNPerGroup (the packed/streaming formulation)") {
     val df = Seq(
       ("a", 10L, 5.0), ("a", 11L, 9.0), ("a", 12L, 9.0), ("a", 13L, 1.0),

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * comes from a hash of an existing doc? No: cell ids range over all
   * `buckets` values, and a cell CAN be empty) — a draw into an empty
   * cell, or into a singleton cell holding only the anchor, yields a
-  * NULL negative and is dropped with its absence visible in the
-  * per-anchor `n_negatives` count rather than silently resampled
-  * (resampling loops are not join-shaped).
+  * NULL negative and is DROPPED rather than silently resampled
+  * (resampling loops are not join-shaped). Drops are observable, not
+  * hidden: an anchor with fewer than `k` output rows had that many
+  * draws land empty — `groupBy(doc_id).count()` on the result is the
+  * per-anchor audit (no count column is emitted; the output stays
+  * one row per surviving (anchor, draw) pair).
   *
   * Scale: the representative table is ≤ 2·`buckets` rows (two tiny
   * aggregation passes over (cell, hash)), broadcast to the exploded

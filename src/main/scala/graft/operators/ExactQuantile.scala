@@ -58,7 +58,11 @@ object ExactQuantile {
     // (nominally) in [lo, hi]; `rem` refinement levels left
     @scala.annotation.tailrec
     def kth(pred: Column, lo: Double, hi: Double, k: Long, rem: Int): Double = {
-      val width = (hi - lo) / bins
+      // NOT (hi - lo) / bins: a column spanning most of the double
+      // range makes hi - lo overflow to Infinity, and the recursive
+      // bound lo + 0 * Infinity is then NaN — dividing each endpoint
+      // first keeps every intermediate finite (|hi/bins| ≤ maxDouble/2)
+      val width = hi / bins - lo / bins
       if (rem == 0 || width == 0.0) {
         // bounded finish: per-distinct-value counts inside the bucket
         val vals = base.filter(pred)

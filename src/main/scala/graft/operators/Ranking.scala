@@ -63,12 +63,31 @@ object Ranking {
 
   /** Unpack a [[topKStreamable]] emission to (group, rank, <idName>,
     * <scoreName>) rows — ranks dense 1..k, same order contract as
-    * [[topNPerGroup]].
+    * [[topNPerGroup]]. The heap column is `heapName` (the name
+    * [[topKStreamable]] emits) and the group column is `groupName`,
+    * or — when not given — the SINGLE remaining column; any other
+    * shape (projection added columns, renamed heap) fails loudly
+    * instead of exploding the wrong column.
     */
   def explodeTopK(
-      df: DataFrame, idName: String = "id", scoreName: String = "score"): DataFrame = {
-    val groupCol = df.columns.head
-    df.select(col(groupCol), posexplode(col("topk.items")).as(Seq("__p", "__e")))
+      df: DataFrame,
+      idName: String = "id",
+      scoreName: String = "score",
+      groupName: Option[String] = None,
+      heapName: String = "topk"): DataFrame = {
+    require(df.columns.contains(heapName),
+      s"explodeTopK: no '$heapName' column in (${df.columns.mkString(", ")}) — " +
+        "is this a topKStreamable emission?")
+    val groupCol = groupName.getOrElse {
+      val rest = df.columns.filterNot(_ == heapName)
+      require(rest.length == 1,
+        s"explodeTopK: cannot infer the group column from " +
+          s"(${df.columns.mkString(", ")}) — pass groupName explicitly")
+      rest.head
+    }
+    require(df.columns.contains(groupCol),
+      s"explodeTopK: no '$groupCol' column in (${df.columns.mkString(", ")})")
+    df.select(col(groupCol), posexplode(col(s"$heapName.items")).as(Seq("__p", "__e")))
       .select(col(groupCol), (col("__p") + 1).cast("int").as("rank"),
         col("__e._2").as(idName), col("__e._1").as(scoreName))
   }

@@ -634,10 +634,10 @@ object LlmOps {
             try require(q.awaitTermination(600000),
               "q44 stream did not terminate within 600s — refusing a partial result")
             finally q.stop()
-            val result = s.table(name).orderBy($"fp")
-            val sch = result.schema
-            val rows = result.collect()
-            s.createDataFrame(java.util.Arrays.asList(rows: _*), sch).orderBy($"fp")
+            // one eager localCheckpoint decouples the result from the
+            // temp view dropped in the finally — no driver-side row
+            // copy (the q191 discipline)
+            s.table(name).localCheckpoint(true).orderBy($"fp")
           } finally s.catalog.dropTempView(name)
         } finally Scratch.deleteRecursively(scratch)
       },
@@ -822,10 +822,10 @@ object LlmOps {
             try require(q.awaitTermination(600000),
               "q50 stream did not terminate within 600s — refusing a partial result")
             finally q.stop()
-            val result = s.table(name).orderBy($"user_id", $"event_type", $"minute")
-            val sch = result.schema
-            val rows = result.collect()
-            s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+            // one eager localCheckpoint decouples the result from the
+            // temp view dropped in the finally — no driver-side row
+            // copy (the q191 discipline)
+            s.table(name).localCheckpoint(true)
               .orderBy($"user_id", $"event_type", $"minute")
           } finally s.catalog.dropTempView(name)
         } finally Scratch.deleteRecursively(scratch)

@@ -162,10 +162,10 @@ object MrfGold {
         try require(q.awaitTermination(600000),
           s"$tag bronze stream did not terminate within 600s — refusing a partial bronze")
         finally q.stop()
-        val bronzeTable = s.table(name)
-        val schema = bronzeTable.schema
-        val rows = bronzeTable.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        // one eager localCheckpoint materializes bronze off the temp
+        // view (dropped in the finally) and off the staged JSON (the
+        // outer finally deletes it) — no driver-side row copy
+        s.table(name).localCheckpoint(true)
       } finally s.catalog.dropTempView(name)
     } finally {
       // the JSON is only needed until the stream terminates (above);

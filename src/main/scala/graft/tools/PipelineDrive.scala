@@ -86,12 +86,25 @@ object PipelineDrive {
     val targetBytes = (targetGb * 1e9).toLong
 
     val f = new java.io.File(path)
-    if (!f.exists() || math.abs(f.length() - targetBytes) > targetBytes / 10) {
-      val t = System.nanoTime()
-      val (bytes, items) = generate(path, targetBytes)
-      println(f"generated ${bytes / 1e9}%.2f GB ($items in_network items) " +
-        f"in ${(System.nanoTime() - t) / 1e9}%.1f s")
-    } else println(f"reusing $path (${f.length() / 1e9}%.2f GB)")
+    // the item count drives the CLOSED-FORM gold expectation below, so
+    // it must survive file reuse: a sidecar .meta records it, and a
+    // file without one is regenerated rather than trusted
+    val metaFile = new java.io.File(path + ".meta")
+    val items: Int =
+      if (!f.exists() || math.abs(f.length() - targetBytes) > targetBytes / 10 ||
+          !metaFile.exists()) {
+        val t = System.nanoTime()
+        val (bytes, n) = generate(path, targetBytes)
+        java.nio.file.Files.write(metaFile.toPath, n.toString.getBytes)
+        println(f"generated ${bytes / 1e9}%.2f GB ($n in_network items) " +
+          f"in ${(System.nanoTime() - t) / 1e9}%.1f s")
+        n
+      } else {
+        val n = new String(java.nio.file.Files.readAllBytes(metaFile.toPath)).trim.toInt
+        println(f"reusing $path (${f.length() / 1e9}%.2f GB, $n items)")
+        n
+      }
+    require(items > 17, s"document too small for the C17 gold check ($items items)")
     val gb = f.length() / 1e9
 
     val spark = SparkSession.builder()
@@ -166,15 +179,50 @@ object PipelineDrive {
         // groups (i+j)%1000+1 ∈ {18, 19} and {518, 519} — TIN-18 is
         // in-network for that code by construction
         billingCode = "C17", tinValue = "TIN-18")
-      val goldRows = gold.count()
+      // ---- gold CORRECTNESS, not just wall-clock: the generator is
+      // deterministic, so the exact answer is known in closed form.
+      // Items i ≡ 17 (mod 5000) carry billing_code C17; their j=0
+      // rate references groups {18, 518} with ONE "negotiated" price
+      // of (i·100 mod 10⁶)/100 (the j=1 rate hits groups {19, 519} —
+      // never TIN-18); group 18 contributes TWO providers_x_payer
+      // rows (npi [1801,1802] and [1803]). So gold(C17, TIN-18) must
+      // be EXACTLY 2 rows per matching item with that rate, those npi
+      // sets, tin TIN-18, group 18, and the header's entity name.
+      val matching = 17 until items by 5000
+      val expRates = matching.flatMap(i =>
+        Seq.fill(2)((i.toLong * 100 % 1000000L) / 100.0)).sorted
+      val got = gold.select(
+        col("negotiated_rate"), col("npi"), col("tin.value"),
+        col("provider_group_id"), col("billing_code"),
+        col("reporting_entity_name")).collect()
+      val goldRows = got.length.toLong
       val goldSec = (System.nanoTime() - t3) / 1e9
-      require(goldRows > 0, "gold returned 0 rows — generator/pipeline mismatch")
-      println(f"gold: shoppable(C17 @ TIN-18) = $goldRows rows in $goldSec%.1f s")
+      require(goldRows == 2L * matching.size,
+        s"gold row count $goldRows != expected ${2 * matching.size} — " +
+          "generator/pipeline mismatch")
+      val gotRates = got.map(_.getDouble(0)).sorted.toSeq
+      require(gotRates == expRates,
+        s"gold negotiated_rate multiset diverged (first mismatch at " +
+          s"${gotRates.zip(expRates).indexWhere(p => p._1 != p._2)})")
+      val npiSets = got.map(_.getSeq[Long](1).toSet)
+      require(
+        npiSets.count(_ == Set(1801L, 1802L)) == matching.size &&
+          npiSets.count(_ == Set(1803L)) == matching.size,
+        "gold npi sets diverged from the group-18 grammar")
+      got.foreach { r =>
+        require(
+          r.getString(2) == "TIN-18" && r.getLong(3) == 18L &&
+            r.getString(4) == "C17" &&
+            r.getString(5) == "graft-drive-payer",
+          s"gold row attribute mismatch: $r")
+      }
+      println(f"gold: shoppable(C17 @ TIN-18) = $goldRows rows in $goldSec%.1f s " +
+        "— exact-match vs the generation grammar: PASS")
 
       val total = ingestSec + silverSec + goldSec
       println(f"""{"gb":$gb%.2f,"ingest_sec":$ingestSec%.1f,"ingest_gb_min":${gb / (ingestSec / 60)}%.1f,""" +
         f""""silver_sec":$silverSec%.1f,"gold_sec":$goldSec%.1f,"total_sec":$total%.1f,""" +
-        f""""end_to_end_gb_min":${gb / (total / 60)}%.1f}""")
+        f""""end_to_end_gb_min":${gb / (total / 60)}%.1f,"gold_checked":true}""")
     } finally {
       graft.queries.Scratch.deleteRecursively(work)
       spark.stop()

@@ -32,17 +32,10 @@ object ScaleUp {
     "region" -> Seq.empty,
     "nation" -> Seq.empty)
 
-  def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val k = if (args.length > 2) args(2).toInt else 10
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Write the K× replica of every table under `dst` (shared
+    * entry point for the CLI below and [[Stress]]).
+    */
+  def replicate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     // nullable user_id/doc refs survive the shift: null + literal = null
     def shifted(df: DataFrame, cols: Seq[String], i: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 1000000000L)))
@@ -54,6 +47,25 @@ object ScaleUp {
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"$table: ${if (cols.isEmpty) "1x (shared dim)" else s"${k}x"} written")
     }
+  }
+
+  /** Every table name the replica must contain for a dir to count as
+    * an existing stress fixture.
+    */
+  def tableNames: Seq[String] = shiftCols.keys.toSeq
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, src, dst, k)
     spark.stop()
   }
 }

@@ -472,6 +472,97 @@ object MrfGold {
              |LEFT JOIN c2 USING (billing_code)
              |LEFT JOIN cc USING (billing_code)
              |JOIN cu USING (billing_code)
-             |ORDER BY billing_code""".stripMargin))
+             |ORDER BY billing_code""".stripMargin)),
+
+    // ---- q196: MULTI-FILE STREAMING FLEET — the q43 gold pipeline
+    // where bronze arrives from THREE files through ONE readStream
+    // over the directory listing (the fleet geometry of a real TiC
+    // month: hundreds of files per payer). Parts shard across files by
+    // p % 3; every file carries the full provider network, and gold's
+    // per-file join scoping keeps them separate. Micro-batches are
+    // capped below the per-file chunk count so batches SPAN file
+    // boundaries — global ordinal offsets across the multi-file ledger
+    // are what the oracle implicitly checks: a listing-order or
+    // ordinal defect loses or duplicates chunks and moves rows/hashes.
+    Q(
+      "q196_mrf_multifile_fleet",
+      (s, d) => {
+        import s.implicits._
+        val parts = s.read.parquet(s"$d/part.parquet")
+          .filter($"p_partkey" <= 40)
+          .select($"p_partkey", $"p_name")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+        val groups = s.read.parquet(s"$d/supplier.parquet")
+          .filter($"s_suppkey" <= 10)
+          .select($"s_suppkey")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val dir = Scratch.tempDir("q196_fleet")
+        try {
+          (0 until 3).foreach { k =>
+            java.nio.file.Files.writeString(
+              dir.resolve(s"mrf_$k.json"),
+              buildJson(parts, groups, includePart = p => p % 3 == k))
+          }
+          val name = "q196_bronze_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          try {
+            val q = s.readStream.format("payer-mrf")
+              .option("maxChunksPerBatch", "2")
+              .load(dir.toString)
+              .writeStream.outputMode("append")
+              .format("memory").queryName(name)
+              .option("checkpointLocation", dir.resolve("_ckpt").toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            try require(q.awaitTermination(600000),
+              "q196 stream did not terminate within 600s — refusing a partial bronze")
+            finally q.stop()
+            val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+            require(dataBatches >= 3,
+              s"q196 ran $dataBatches data micro-batch(es); the fleet point needs " +
+                "batches spanning the 3-file listing")
+            val sv = MrfPipeline.silver(s.table(name).localCheckpoint(true))
+            MrfPipeline.shoppablePrices(sv, billingCode = "7", tinValue = "TIN-8")
+              .select(
+                $"file_name", $"reporting_entity_name", $"billing_code",
+                $"billing_code_type", $"name", $"negotiated_rate", $"billing_class",
+                array_join($"service_code", ",").as("service_code_csv"),
+                $"expiration_date", $"provider_group_id",
+                array_join($"npi".cast("array<string>"), ",").as("npi_csv"),
+                $"tin".getField("value").as("tin_value"))
+              .orderBy($"file_name", $"negotiated_rate", $"npi_csv")
+          } finally s.catalog.dropTempView(name)
+        } finally Scratch.deleteRecursively(dir)
+      },
+      // the q43 oracle plus the file-assignment rule — recomputed from
+      // part/supplier alone, nothing read back from the stream
+      Some("""WITH prov AS (
+             |  SELECT s_suppkey AS gid,
+             |    CAST(s_suppkey*100+1 AS VARCHAR) || ',' || CAST(s_suppkey*100+2 AS VARCHAR) AS npi_csv
+             |  FROM supplier WHERE s_suppkey <= 10
+             |  UNION ALL
+             |  SELECT s_suppkey, CAST(s_suppkey*100+3 AS VARCHAR)
+             |  FROM supplier WHERE s_suppkey <= 10),
+             |rates AS (
+             |  SELECT p_partkey, p_name, j
+             |  FROM part, (SELECT unnest([0, 1]) AS j) WHERE p_partkey <= 40),
+             |refs AS (
+             |  SELECT p_partkey, p_name, j, ((p_partkey + j) % 10) + 1 AS gid FROM rates
+             |  UNION ALL
+             |  SELECT p_partkey, p_name, j, ((p_partkey + j + 5) % 10) + 1 FROM rates)
+             |SELECT 'mrf_' || CAST(p_partkey % 3 AS VARCHAR) || '.json' AS file_name,
+             |  'graft-test-payer' AS reporting_entity_name,
+             |  CAST(p_partkey % 20 AS VARCHAR) AS billing_code,
+             |  'CPT' AS billing_code_type,
+             |  p_name AS name,
+             |  CAST(p_partkey*100 + j*7 AS DOUBLE)/100.0 AS negotiated_rate,
+             |  'institutional' AS billing_class,
+             |  '11,22' AS service_code_csv,
+             |  '2025-12-31' AS expiration_date,
+             |  CAST(gid AS BIGINT) AS provider_group_id,
+             |  npi_csv,
+             |  'TIN-' || CAST(gid AS VARCHAR) AS tin_value
+             |FROM refs JOIN prov USING (gid)
+             |WHERE (p_partkey % 20) = 7 AND gid = 8
+             |ORDER BY file_name, negotiated_rate, npi_csv""".stripMargin))
   )
 }

@@ -424,6 +424,68 @@ class MrfSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
 
+  test("multi-file stream survives a MID-STREAM restart: ordinals stable across files, no dupes, no gaps") {
+    // three files, one readStream, micro-batches capped at 2 chunks so
+    // batches SPAN file boundaries; the first run is killed
+    // deterministically mid-stream (the sink throws on its second
+    // batch, after batch 0 committed), the second run resumes from the
+    // checkpoint. Exactly-once delivery across the restart proves the
+    // global chunk ordinals re-derive identically over the multi-file
+    // listing — the T7 determinism claim, under fleet geometry.
+    val dir = Files.createTempDirectory("mrf-midrestart").toFile
+    Files.write(new java.io.File(dir, "a_ffs.json").toPath, MrfFixtures.ffs.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b_bundle.json").toPath, MrfFixtures.bundle.getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "c_cap.json").toPath, MrfFixtures.capitation.getBytes("UTF-8"))
+    val checkpoint = Files.createTempDirectory("mrf-ckpt-midrestart").toString
+    val outDir = Files.createTempDirectory("mrf-out-midrestart").toString
+
+    def run(failOnBatch: Long): Option[Throwable] = {
+      val q = spark.readStream.format("payer-mrf")
+        .option("chunkBytes", "4096").option("maxElements", "1")
+        .option("maxChunksPerBatch", "2")
+        .load(dir.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id == failOnBatch) throw new RuntimeException("injected mid-stream kill")
+          df.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(120000)
+        None
+      } catch { case t: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Some(t)
+      } finally q.stop()
+    }
+
+    // run 1: dies on its SECOND batch — some chunks delivered, not all
+    val err = run(failOnBatch = 1L)
+    assert(err.exists(_.getMessage.contains("injected mid-stream kill")),
+      s"first run should have died mid-stream, got $err")
+    val partial = spark.read.parquet(outDir).count()
+    assert(partial > 0, "mid-stream kill landed before any batch committed")
+
+    // run 2: resumes from the checkpoint and drains to the end
+    assert(run(failOnBatch = -1L).isEmpty, "restarted run should complete")
+
+    val batch = spark.read.format("payer-mrf")
+      .option("chunkBytes", "4096").option("maxElements", "1")
+      .load(dir.getAbsolutePath)
+      .select("file_name", "header_key", "json_payload")
+    val streamed = spark.read.parquet(outDir)
+      .select("file_name", "header_key", "json_payload")
+    assert(partial < batch.count(), "kill was not actually mid-stream")
+    // exactly-once across the restart: full multiset equality
+    assert(
+      streamed.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        batch.collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      "restart re-emitted or dropped chunks")
+    // and the fleet actually spanned all three files
+    assert(streamed.select("file_name").distinct().count() == 3)
+  }
+
   test("fleets larger than the split-cache capacity plan correctly") {
     // 130 files > MrfSplitCache.MaxFiles (128): planning must assemble
     // from computed results, not from the evicting LRU

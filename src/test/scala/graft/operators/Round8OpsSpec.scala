@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Round-8 operators: SCD2 dimension build, gains/lift table,
+  * exact weighted quantiles.
+  */
+class Round8OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("Scd2: collapses unchanged runs, tiles the timeline, flags the current version") {
+    val log = Seq(
+      // key 1: A, A (collapse), B, A — three versions
+      (1L, ts(1), 10L, "A"), (1L, ts(2), 11L, "A"),
+      (1L, ts(5), 12L, "B"), (1L, ts(9), 13L, "A"),
+      // key 2: single observation — one current version
+      (2L, ts(3), 20L, "X"))
+      .toDF("k", "t", "id", "attr")
+    val got = Scd2.fromChangeLog(log, $"k", $"t", $"id", Seq("attr" -> $"attr"))
+      .orderBy($"k", $"version")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        r.getInt(3), r.getBoolean(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      (1L, ts(1), Some(ts(5)), 1, false, "A"),
+      (1L, ts(5), Some(ts(9)), 2, false, "B"),
+      (1L, ts(9), None, 3, true, "A"),
+      (2L, ts(3), None, 1, true, "X")))
+    // versions tile: valid_to of version v == valid_from of v+1
+    val byKey = got.groupBy(_._1)
+    byKey.values.foreach { vs =>
+      vs.sortBy(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3.contains(b._2), s"gap/overlap between $a and $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("Scd2: same-timestamp ties resolve by the tiebreak column") {
+    val log = Seq(
+      (1L, ts(1), 2L, "B"), (1L, ts(1), 1L, "A"), (1L, ts(2), 3L, "B"))
+      .toDF("k", "t", "id", "attr")
+    val got = Scd2.fromChangeLog(log, $"k", $"t", $"id", Seq("attr" -> $"attr"))
+      .orderBy($"version").collect().map(r => (r.getInt(3), r.getString(5)))
+    // order is A (id 1), B (id 2), B (id 3, collapses): two versions
+    assert(got.toSeq == Seq((1, "A"), (2, "B")))
+  }
+
+  test("Scd2: a change to null and from null are both changes (null-safe equality)") {
+    val log = Seq(
+      (1L, ts(1), 1L, Some("A")), (1L, ts(2), 2L, None),
+      (1L, ts(3), 3L, None), (1L, ts(4), 4L, Some("A")))
+      .toDF("k", "t", "id", "attr")
+    val got = Scd2.fromChangeLog(log, $"k", $"t", $"id", Seq("attr" -> $"attr"))
+      .orderBy($"version").collect().map(r => (r.getInt(3), Option(r.getString(5))))
+    assert(got.toSeq == Seq((1, Some("A")), (2, None), (3, Some("A"))))
+  }
+
+  test("gainsTable: a perfectly-separating score concentrates positives in bucket 1") {
+    // 16 rows, 4 positives with the 4 highest scores, 8 buckets of 2
+    val df = (1 to 16).map(i => (i.toDouble, if (i > 12) 1L else 0L))
+      .toDF("s", "y")
+    val got = ModelEval.gainsTable(df, $"s", $"y", buckets = 8)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length == 8)
+    // every bucket holds exactly 2 rows; top two buckets hold all 4 positives
+    assert(got.forall(_._2 == 2L))
+    assert(got(0) == ((1, 2L, 2L, 2L, 2L, 4.0, 0.5)))
+    assert(got(1) == ((2, 2L, 2L, 4L, 4L, 4.0, 1.0)))
+    // after all positives are captured, lift decays as 16/cum_n
+    assert(got(7)._6 == 1.0 && got(7)._7 == 1.0)
+    // monotone: cum_capture never decreases
+    assert(got.map(_._7).toSeq.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+  }
+
+  test("gainsTable: non-power-of-two buckets and zero positives fail loudly") {
+    val df = Seq((1.0, 0L), (2.0, 0L)).toDF("s", "y")
+    intercept[IllegalArgumentException] {
+      ModelEval.gainsTable(df, $"s", $"y", buckets = 10)
+    }
+    val e = intercept[Exception] {
+      ModelEval.gainsTable(df, $"s", $"y", buckets = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("weightedQuantile: crossing lands on the exact value; ties cannot move it") {
+    // group g: values 1 (w=1), 2 (w=2), 3 (w=1): total 4, half 2 →
+    // smallest v with cumW ≥ 2 is 2
+    val df = Seq(
+      ("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      // group h: heavy tail — w(10)=9 dominates
+      ("h", 1.0, 1.0), ("h", 10.0, 9.0))
+      .toDF("g", "v", "w")
+    val got = WeightedQuantile.weightedQuantile(df, $"g", $"v", $"w", 1, 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("g" -> 2.0, "h" -> 10.0))
+    // p90 of h: still 10 (9/10 of the weight sits there)
+    val p90 = WeightedQuantile.weightedQuantile(df, $"g", $"v", $"w", 9, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(p90("h") == 10.0 && p90("g") == 3.0)
+  }
+
+  test("weightedQuantile: unweighted median agrees with the plain exact median") {
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 11.0, 2.0)
+    val df = vals.map(v => ("g", v, 1.0)).toDF("g", "v", "w")
+    val got = WeightedQuantile.weightedQuantile(df, $"g", $"v", $"w", 1, 2)
+      .collect().head.getDouble(1)
+    // ceil(0.5·7) = 4th smallest = 5
+    assert(got == 5.0)
+    // negative weight fails loudly
+    val bad = Seq(("g", 1.0, -1.0)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      WeightedQuantile.weightedQuantile(bad, $"g", $"v", $"w", 1, 2).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      e.getCause != null)
+  }
+}

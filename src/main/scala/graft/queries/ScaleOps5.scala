@@ -624,7 +624,15 @@ object ScaleOps5 {
     Q(
       "q191_streaming_pattern_match",
       (s, d) => streamingPatternDetect(s, d),
-      Some("""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t,
+      Some(cepOracleSql)))
+
+  /** The q191 state-machine replay — shared verbatim by
+    * q203_cep_unordered ([[ScaleOps6]]): the event MULTISET is
+    * identical there (only batch membership is scrambled), so the
+    * sequential re-execution is the oracle for both.
+    */
+  private[queries] val cepOracleSql: String =
+    ("""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t,
              |    event_type,
              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
              |  FROM events
@@ -647,7 +655,7 @@ object ScaleOps5 {
              |    THEN 0 ELSE s.stage END AS eff) x)
              |SELECT user_id, es AS start_us, ee AS end_us
              |FROM sm WHERE es IS NOT NULL
-             |ORDER BY user_id, start_us, end_us""".stripMargin)))
+             |ORDER BY user_id, start_us, end_us""").stripMargin
 
   val streamQueries2: Seq[Q] = Seq(
 

@@ -225,6 +225,190 @@ object ScaleOps6 {
              |  count(*) AS n,
              |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
              |FROM lineitem
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q203: OUT-OF-ORDER STREAMING CEP — q191's pattern query
+    // through [[graft.streaming.PatternMatch.detectEventTime]] with
+    // batch membership deliberately SCRAMBLED: a deterministic
+    // hash-chosen half of each slice's trailing one-day band arrives
+    // one micro-batch LATE (inside the 2-day watermark delay). The
+    // event multiset is unchanged, so the q191 sequential replay is
+    // the oracle verbatim — any detection that depends on arrival
+    // order (buffering, sealing, eviction, the late-row horizon)
+    // diverges here.
+    Q(
+      "q203_cep_unordered",
+      (s, d) => streamingPatternDetectUnordered(s, d),
+      Some(ScaleOps5.cepOracleSql)),
+
+    // ---- q204: WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the credit-
+    // scoring feature screen: per totalprice bin, WoE =
+    // ln(smoothed pos share / smoothed neg share) (Laplace 0.5 on the
+    // bin counts only) and its IV term (unsmoothed share gap × WoE).
+    // Counts are exact integers; the two ln-based doubles are gated
+    // by the read-back oracle at 1e-9 (cross-engine ln is the one
+    // non-portable step — the q57/q70 soundness pattern).
+    Q(
+      "q204_woe_iv",
+      (s, d) => {
+        import s.implicits._
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy($"bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val smoothed =
+          (($"pos".cast("double") + 0.5) / $"tp") /
+            (($"neg".cast("double") + 0.5) / $"tn")
+        Tables.orders(s, d)
+          .select(
+            floor($"o_totalprice" / 50000.0).cast("long").as("bin"),
+            ($"o_orderpriority" === "1-URGENT").cast("long").as("y"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+          .withColumn("neg", $"n" - $"pos")
+          // totals via a window over the ≤ dozens-row bin AGGREGATE
+          .withColumn("tp", sum($"pos").over(wAll))
+          .withColumn("tn", sum($"neg").over(wAll))
+          .select(
+            $"bin", $"n", $"pos", $"neg",
+            log(smoothed).as("woe"),
+            ((($"pos".cast("double") / $"tp") - ($"neg".cast("double") / $"tn")) *
+              log(smoothed)).as("iv_term"))
+          .orderBy($"bin")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q204_woe_iv/*.parquet')),
+             |b AS (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+             |  FROM orders),
+             |agg AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+             |    count(*) - CAST(sum(y) AS BIGINT) AS neg
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn FROM agg),
+             |x AS (SELECT a.bin, a.n, a.pos, a.neg,
+             |    ln(((CAST(a.pos AS DOUBLE) + 0.5) / t.tp) / ((CAST(a.neg AS DOUBLE) + 0.5) / t.tn)) AS woe,
+             |    ((CAST(a.pos AS DOUBLE) / t.tp) - (CAST(a.neg AS DOUBLE) / t.tn)) *
+             |      ln(((CAST(a.pos AS DOUBLE) + 0.5) / t.tp) / ((CAST(a.neg AS DOUBLE) + 0.5) / t.tn)) AS iv_term
+             |  FROM agg a, t),
+             |j AS (SELECT e.bin, e.n, e.pos, e.neg, e.woe, e.iv_term,
+             |    x.n AS xn, x.pos AS xpos, x.neg AS xneg, x.woe AS xwoe, x.iv_term AS xiv
+             |  FROM emitted e JOIN x USING (bin)),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM x)
+             |    AND (SELECT count(*) FROM j) = (SELECT count(*) FROM x)
+             |    AND NOT EXISTS (SELECT 1 FROM j
+             |      WHERE n <> xn OR pos <> xpos OR neg <> xneg
+             |        OR abs(woe - xwoe) > 1e-9 OR abs(iv_term - xiv) > 1e-9)
+             |  ) AS ok)
+             |SELECT bin, n, pos, neg, woe, iv_term FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-999 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), 0.0, 0.0
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q205: INCREMENTAL SCD2 MAINTENANCE — the dimension built
+    // from pre-1999 orders, then the 1999+ orders merged as a delta
+    // through [[graft.operators.Scd2.applyDelta]] (untouched keys
+    // anti-join through; only touched keys re-version). The oracle is
+    // the FULL REBUILD replay (q198's program over all orders) — the
+    // incremental path must be indistinguishable from it.
+    Q(
+      "q205_scd2_incremental",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1999-01-01").cast("timestamp")
+        val dim = Scd2.fromChangeLog(
+          Tables.orders(s, d).filter($"o_orderdate" < cut),
+          key = $"o_custkey", ts = $"o_orderdate", tiebreak = $"o_orderkey",
+          attrs = Seq("prio" -> $"o_orderpriority"))
+        Scd2.applyDelta(
+          dim,
+          Tables.orders(s, d).filter($"o_orderdate" >= cut),
+          key = $"o_custkey", ts = $"o_orderdate", tiebreak = $"o_orderkey",
+          attrs = Seq("prio" -> $"o_orderpriority"))
+          .orderBy($"k", $"version")
+      },
+      Some("""WITH obs AS (
+             |  SELECT o_custkey AS k, o_orderdate AS valid_from,
+             |    o_orderkey AS tb, o_orderpriority AS prio
+             |  FROM orders),
+             |ch AS (SELECT *,
+             |    lag(prio) OVER (PARTITION BY k ORDER BY valid_from, tb) AS prev
+             |  FROM obs),
+             |surv AS MATERIALIZED (
+             |  SELECT k, valid_from, tb, prio FROM ch
+             |  WHERE prev IS NULL OR prio <> prev)
+             |SELECT k, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, tb) AS valid_to,
+             |  CAST(row_number() OVER (PARTITION BY k ORDER BY valid_from, tb) AS INTEGER) AS version,
+             |  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, tb) IS NULL AS is_current,
+             |  prio
+             |FROM surv ORDER BY k, version""".stripMargin))
   )
+
+  /** q203's drive: the q191 slices with a deterministic half of each
+    * slice's trailing one-day band REASSIGNED to the next micro-batch
+    * (hash-chosen by event_id — replayable), plus the far-future
+    * flush sentinel. Watermark delay 2 days covers the 1-day
+    * displacement, so nothing is late-dropped; ≥ 4 data batches and a
+    * fully drained state store are asserted like q191.
+    */
+  private def streamingPatternDetectUnordered(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q203_cep_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"event_id"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit("flush").as("event_type"),
+        lit(-1L).as("event_id"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q203_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.PatternMatch.detectEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.PatternMatch.Ev],
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 7L * 86400L * 1000000L,
+        delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q203 stream did not terminate within 600s — refusing a partial match set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q203 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val drained = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(drained.contains(0L),
+          s"q203 CEP state not drained at end of stream: $drained rows")
+        s.table(name)
+          .select($"user_id", $"start_us", $"end_us")
+          .orderBy($"user_id", $"start_us", $"end_us")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

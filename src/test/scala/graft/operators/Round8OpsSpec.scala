@@ -58,6 +58,39 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1, Some("A")), (2, None), (3, Some("A"))))
   }
 
+  test("Scd2.applyDelta ≡ full rebuild, for every time split; untouched keys pass through") {
+    val log = Seq(
+      (1L, ts(1), 1L, "A"), (1L, ts(3), 2L, "A"), (1L, ts(5), 3L, "B"),
+      (1L, ts(7), 4L, "B"), (1L, ts(9), 5L, "C"),
+      (2L, ts(2), 6L, "X"), (2L, ts(8), 7L, "Y"),
+      (3L, ts(4), 8L, "Q")) // key 3: old-only, must pass through untouched
+      .toDF("k", "t", "id", "attr")
+    val full = Scd2.fromChangeLog(log, $"k", $"t", $"id", Seq("attr" -> $"attr"))
+      .orderBy($"k", $"version").collect().map(_.toSeq)
+    // split at every day boundary: incremental must equal full rebuild
+    for (cutDay <- Seq(2, 4, 6, 8, 10)) {
+      val cut = ts(cutDay)
+      val dim = Scd2.fromChangeLog(
+        log.filter($"t" < cut), $"k", $"t", $"id", Seq("attr" -> $"attr"))
+      val inc = Scd2.applyDelta(
+        dim, log.filter($"t" >= cut), $"k", $"t", $"id", Seq("attr" -> $"attr"))
+        .orderBy($"k", $"version").collect().map(_.toSeq)
+      assert(inc.toSeq == full.toSeq, s"split at day $cutDay diverged")
+    }
+  }
+
+  test("Scd2.applyDelta: a delta at or before an existing version fails loudly") {
+    val dim = Scd2.fromChangeLog(
+      Seq((1L, ts(5), 1L, "A")).toDF("k", "t", "id", "attr"),
+      $"k", $"t", $"id", Seq("attr" -> $"attr"))
+    val stale = Seq((1L, ts(3), 2L, "B")).toDF("k", "t", "id", "attr")
+    val e = intercept[Exception] {
+      Scd2.applyDelta(dim, stale, $"k", $"t", $"id", Seq("attr" -> $"attr")).collect()
+    }
+    assert(e.getMessage.contains("out-of-order backfill") ||
+      (e.getCause != null && e.getCause.getMessage.contains("out-of-order backfill")))
+  }
+
   test("gainsTable: a perfectly-separating score concentrates positives in bucket 1") {
     // 16 rows, 4 positives with the 4 highest scores, 8 buckets of 2
     val df = (1 to 16).map(i => (i.toDouble, if (i > 12) 1L else 0L))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+
+/** TTL THROTTLE / DEBOUNCE — keep a key's FIRST event, then suppress
+  * that key until `ttl` has elapsed SINCE THE LAST KEPT event, then
+  * admit again (alert de-noising, notification rate-limiting,
+  * at-most-one-per-window feed sampling). This is NOT expressible
+  * with lag/windows: whether an event is kept depends on the previous
+  * KEPT event, a chain that threads through the whole key history —
+  * the same sequential-dependence class as CEP (q191), so the oracle
+  * is a recursive-CTE replay, and the Spark plan must be a
+  * stream-scan, not a window.
+  *
+  * Plan shape (spill-safe at any key cardinality or history length):
+  * `repartition(key)` + `sortWithinPartitions(key, ts, tiebreak)` +
+  * ONE forward scan per partition holding just (current key, last
+  * kept ts) — two scalars of state, no per-key buffering, no
+  * `groupByKey` materialization. One shuffle, one sort, O(1) memory.
+  *
+  * Determinism: events order by `(ts, tiebreak)` within a key;
+  * equal-ts events after a kept one are suppressed (strict
+  * `ts − lastKept ≥ ttl` re-admission).
+  */
+object Throttle {
+
+  def keepFirstPerTtl(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      ttlUs: Long): DataFrame = {
+    require(ttlUs > 0, s"ttlUs must be > 0, got $ttlUs")
+    val base = df
+      .select(key.as("k"), ts.cast("timestamp").as("ts"), tiebreak.cast("long").as("tb"))
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("ts"), col("tb"))
+    val schema = StructType(Seq(
+      StructField("k", base.schema("k").dataType),
+      StructField("ts", TimestampType),
+      StructField("tb", LongType)))
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // mapPartitions over the PUBLIC Dataset API — the
+    // sortWithinPartitions order is preserved into the iterator, so
+    // the scan sees each key's events contiguously in (ts, tb) order
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    base.mapPartitions { it =>
+      var curKey: Any = null
+      var hasKey = false
+      var lastKeptUs = 0L
+      it.filter { r =>
+        val k = r.get(0)
+        val t = micros(r.getTimestamp(1))
+        if (!hasKey || k != curKey) {
+          curKey = k; hasKey = true; lastKeptUs = t; true
+        } else if (t - lastKeptUs >= ttlUs) {
+          lastKeptUs = t; true
+        } else false
+      }
+    }(enc)
+  }
+}

@@ -342,8 +342,164 @@ object ScaleOps6 {
              |  CAST(row_number() OVER (PARTITION BY k ORDER BY valid_from, tb) AS INTEGER) AS version,
              |  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, tb) IS NULL AS is_current,
              |  prio
+             |FROM surv ORDER BY k, version""".stripMargin)),
+
+    // ---- q206: TTL THROTTLE / DEBOUNCE — keep each user's first
+    // event, suppress until 2 days since the LAST KEPT event
+    // ([[graft.operators.Throttle]]): kept-ness chains through the
+    // key's whole history (not expressible with lag/windows — the
+    // q191 sequential-dependence class), so the plan is a repartition
+    // + sortWithinPartitions + O(1)-state forward scan, and the
+    // oracle is a recursive-CTE replay of the same machine.
+    Q(
+      "q206_event_throttle",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Throttle.keepFirstPerTtl(
+          Tables.events(s, d),
+          key = $"user_id", ts = $"ts", tiebreak = $"event_id",
+          ttlUs = 2L * 86400L * 1000000L)
+          .orderBy($"k", $"ts", $"tb")
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id AS k, ts, epoch_us(ts) AS t, event_id AS tb,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |st(k, rn, last_kept, kept) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), false
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000
+             |         THEN e.t ELSE s.last_kept END,
+             |    (s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000)
+             |  FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+             |SELECT e.k, e.ts, e.tb
+             |FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn
+             |WHERE s.kept
+             |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
+
+    // ---- q207: CHI-SQUARE CONTINGENCY CELLS — nation × market
+    // segment association audit: observed counts (exact), expected
+    // under independence (ONE double division of an exact integer
+    // product), and the per-cell chi-square contribution (identical
+    // IEEE op sequence on both engines → hash-exact without
+    // tolerance; only a cross-cell SUM would be order-non-portable,
+    // so the total is deliberately left to the reader).
+    Q(
+      "q207_chi2_cells",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val cells = Tables.customer(s, d)
+          .join(Tables.nation(s, d), $"n_nationkey" === $"c_nationkey")
+          .groupBy($"n_name", $"c_mktsegment")
+          .agg(count(lit(1)).as("o"))
+        val e = (sum($"o").over(w.partitionBy($"n_name")) *
+          sum($"o").over(w.partitionBy($"c_mktsegment"))).cast("double") /
+          sum($"o").over(w.partitionBy())
+        cells
+          .withColumn("expected", e)
+          .select($"n_name", $"c_mktsegment", $"o", $"expected",
+            ((($"o".cast("double") - $"expected") * ($"o".cast("double") - $"expected")) /
+              $"expected").as("contrib"))
+          .orderBy($"n_name", $"c_mktsegment")
+      },
+      Some("""WITH cells AS MATERIALIZED (
+             |  SELECT n_name, c_mktsegment, count(*) AS o
+             |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |  GROUP BY 1, 2),
+             |x AS (SELECT n_name, c_mktsegment, o,
+             |    CAST(sum(o) OVER (PARTITION BY n_name) *
+             |         sum(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE) /
+             |      sum(o) OVER () AS expected
+             |  FROM cells)
+             |SELECT n_name, c_mktsegment, o, expected,
+             |  ((CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)) / expected AS contrib
+             |FROM x ORDER BY n_name, c_mktsegment""".stripMargin)),
+
+    // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
+    // merge under a real micro-batch stream: three time-ordered order
+    // slices arrive as separate batches; foreachBatch folds each into
+    // the persisted dimension (first batch full build, then
+    // applyDelta), exactly the production "dimension kept current by
+    // the ingest stream" loop. The oracle is the full-rebuild replay.
+    Q(
+      "q208_scd2_streaming",
+      (s, d) => streamingScd2(s, d),
+      Some("""WITH obs AS (
+             |  SELECT o_custkey AS k, o_orderdate AS valid_from,
+             |    o_orderkey AS tb, o_orderpriority AS prio
+             |  FROM orders),
+             |ch AS (SELECT *,
+             |    lag(prio) OVER (PARTITION BY k ORDER BY valid_from, tb) AS prev
+             |  FROM obs),
+             |surv AS MATERIALIZED (
+             |  SELECT k, valid_from, tb, prio FROM ch
+             |  WHERE prev IS NULL OR prio <> prev)
+             |SELECT k, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, tb) AS valid_to,
+             |  CAST(row_number() OVER (PARTITION BY k ORDER BY valid_from, tb) AS INTEGER) AS version,
+             |  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, tb) IS NULL AS is_current,
+             |  prio
              |FROM surv ORDER BY k, version""".stripMargin))
   )
+
+  /** q208's drive: orders sliced at 1997/1999 into three ordered
+    * micro-batches; foreachBatch maintains the dimension in
+    * alternating parquet generations (full build on the first batch,
+    * [[graft.operators.Scd2.applyDelta]] after), ≥ 3 data batches
+    * enforced; the final generation is the answer.
+    */
+  private def streamingScd2(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q208_scd2s")
+    try {
+      val o = Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderpriority")
+      val c1 = lit("1997-01-01").cast("timestamp")
+      val c2 = lit("1999-01-01").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (o.filter($"o_orderdate" < c1), "00_a"),
+        (o.filter($"o_orderdate" >= c1 && $"o_orderdate" < c2), "01_b"),
+        (o.filter($"o_orderdate" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val gen = new java.util.concurrent.atomic.AtomicInteger(-1)
+      def dimPath(g: Int) = scratch.resolve(s"dim_$g").toString
+      val attrs = Seq("prio" -> col("o_orderpriority"))
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val prev = gen.get()
+          val next =
+            if (prev < 0)
+              Scd2.fromChangeLog(batch, col("o_custkey"), col("o_orderdate"),
+                col("o_orderkey"), attrs)
+            else
+              Scd2.applyDelta(s.read.parquet(dimPath(prev)), batch,
+                col("o_custkey"), col("o_orderdate"), col("o_orderkey"), attrs)
+          next.write.mode("overwrite").parquet(dimPath(prev + 1))
+          gen.set(prev + 1)
+        }
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(600000),
+        "q208 stream did not terminate within 600s — refusing a partial dimension")
+      finally q.stop()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"q208 ran $dataBatches data micro-batch(es); the maintenance loop needs " +
+          "all 3 slices as separate batches")
+      require(gen.get() == dataBatches - 1, s"q208 foreachBatch generations out of step")
+      s.read.parquet(dimPath(gen.get()))
+        .orderBy($"k", $"version")
+        .localCheckpoint(true)
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q203's drive: the q191 slices with a deterministic half of each
     * slice's trailing one-day band REASSIGNED to the next micro-batch

@@ -121,6 +121,61 @@ class Round8OpsSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("Throttle.keepFirstPerTtl matches a per-key reference fold for random histories") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ttlUs = 10L * 1000000L // 10 s
+    def refKeep(evs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      // evs: (tUs, id) sorted by (t, id); returns kept
+      var last = Long.MinValue
+      evs.flatMap { case (t, id) =>
+        if (last == Long.MinValue || t - last >= ttlUs) { last = t; Some((t, id)) }
+        else None
+      }
+    }
+    val genKey: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(0, 30)
+      t <- Gen.listOfN(n, Gen.chooseNum(0L, 100L)) // seconds
+    } yield t.zipWithIndex.map { case (sec, i) => (sec * 1000000L, i.toLong) }
+      .sortBy(x => (x._1, x._2))
+    val prop = Prop.forAll(Gen.listOfN(3, genKey)) { keys =>
+      val rows = keys.zipWithIndex.flatMap { case (evs, k) =>
+        evs.map { case (t, id) =>
+          (k.toLong, new java.sql.Timestamp(t / 1000L), id)
+        }
+      }
+      val expected = keys.zipWithIndex.flatMap { case (evs, k) =>
+        refKeep(evs).map { case (t, id) => (k.toLong, t, id) }
+      }.toSet
+      if (rows.isEmpty) expected.isEmpty
+      else {
+        val df = rows.toDF("k", "ts", "id")
+        val got = Throttle.keepFirstPerTtl(df, $"k", $"ts", $"id", ttlUs)
+          .collect().map { r =>
+            (r.getLong(0),
+              Math.floorDiv(r.getTimestamp(1).getTime, 1000L) * 1000000L +
+                r.getTimestamp(1).getNanos / 1000L,
+              r.getLong(2))
+          }.toSet
+        got == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Throttle: equal-ts events after a kept one are suppressed; re-admission is >= ttl strict") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, t(0), 1L), (1L, t(0), 2L), // same instant: only the tiebreak-first kept
+      (1L, t(9), 3L),                 // 9 s < 10 s ttl: suppressed
+      (1L, t(10), 4L),                // exactly ttl: re-admitted
+      (1L, t(19), 5L), (1L, t(21), 6L)) // 9 s after kept(10): no; 11 s: yes
+      .toDF("k", "ts", "id")
+    val got = Throttle.keepFirstPerTtl(df, $"k", $"ts", $"id", 10L * 1000000L)
+      .collect().map(_.getLong(2)).sorted
+    assert(got.toSeq == Seq(1L, 4L, 6L))
+  }
+
   test("weightedQuantile: crossing lands on the exact value; ties cannot move it") {
     // group g: values 1 (w=1), 2 (w=2), 3 (w=1): total 4, half 2 →
     // smallest v with cumW ≥ 2 is 2

@@ -631,7 +631,10 @@ object ScaleOps5 {
     * identical there (only batch membership is scrambled), so the
     * sequential re-execution is the oracle for both.
     */
-  private[queries] val cepOracleSql: String =
+  // a DEF, not a val: the Q list above captures it during object
+  // initialization, which runs top-to-bottom — a val declared below
+  // the list would still be null at capture time
+  private[queries] def cepOracleSql: String =
     ("""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t,
              |    event_type,
              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

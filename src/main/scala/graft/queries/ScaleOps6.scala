@@ -418,6 +418,100 @@ object ScaleOps6 {
              |  ((CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)) / expected AS contrib
              |FROM x ORDER BY n_name, c_mktsegment""".stripMargin)),
 
+    // ---- q209: WINSORIZED / TRIMMED STATISTICS — robust price
+    // statistics with the cut points as DISTRIBUTED EXACT SELECTIONS
+    // ([[graft.operators.ExactQuantile]]) at the DYADIC fractions
+    // 1/16 and 15/16 (q·n is then exact in double, so ceil(q·n)
+    // agrees bit-for-bit with the oracle's integer arithmetic — a
+    // 0.05 literal would NOT: 0.05·60000 rounds to 3000.0000000000005
+    // and ceils one rank too far). Clamp/trim sums run in decimal;
+    // the two means are single double divisions.
+    Q(
+      "q209_winsorized_stats",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d)
+          .select($"l_extendedprice".as("p"))
+          .filter($"p".isNotNull && !isnan($"p"))
+        val cuts = graft.operators.ExactQuantile.selectQuantiles(
+          base, $"p", Seq(1.0 / 16, 15.0 / 16))
+          .orderBy($"q").select("value").collect().map(_.getDouble(0))
+        val (lo, hi) = (cuts(0), cuts(1))
+        val clamped = when($"p" < lo, lo).when($"p" > hi, hi).otherwise($"p")
+        base.agg(
+          count(lit(1)).as("n"),
+          sum(when($"p" < lo, 1L).otherwise(0L)).as("n_low"),
+          sum(when($"p" > hi, 1L).otherwise(0L)).as("n_high"),
+          (sum(dec(clamped)).cast("decimal(18,4)").cast("double") /
+            count(lit(1))).as("winsorized_mean"),
+          (sum(when($"p" >= lo && $"p" <= hi, dec($"p"))).cast("decimal(18,4)")
+            .cast("double") /
+            sum(when($"p" >= lo && $"p" <= hi, 1L).otherwise(0L)))
+            .as("trimmed_mean"))
+          .select(lit(lo).as("lo_cut"), lit(hi).as("hi_cut"),
+            $"n", $"n_low", $"n_high", $"winsorized_mean", $"trimmed_mean")
+      },
+      Some("""WITH v AS MATERIALIZED (SELECT l_extendedprice AS p FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+             |nn AS (SELECT count(*) AS n FROM v),
+             |rk AS MATERIALIZED (SELECT p, row_number() OVER (ORDER BY p) AS r FROM v),
+             |c AS (SELECT
+             |    (SELECT p FROM rk, nn WHERE r = CAST(ceil(nn.n / 16.0) AS BIGINT)) AS lo,
+             |    (SELECT p FROM rk, nn WHERE r = CAST(ceil(0.9375 * nn.n) AS BIGINT)) AS hi)
+             |SELECT c.lo AS lo_cut, c.hi AS hi_cut,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN p < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN p > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  CAST(CAST(sum(CAST(CASE WHEN p < c.lo THEN c.lo
+             |                          WHEN p > c.hi THEN c.hi
+             |                          ELSE p END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+             |    / count(*) AS winsorized_mean,
+             |  CAST(CAST(sum(CASE WHEN p >= c.lo AND p <= c.hi
+             |                     THEN CAST(p AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS DOUBLE)
+             |    / sum(CASE WHEN p >= c.lo AND p <= c.hi THEN 1 ELSE 0 END) AS trimmed_mean
+             |FROM v, c GROUP BY c.lo, c.hi""".stripMargin)),
+
+    // ---- q210: MEDIAN / MAD OUTLIER AUDIT — the robust-z screen:
+    // exact median by distributed selection, exact MAD as the median
+    // of the DERIVED |p − median| column (a second selection pass —
+    // composability the sketch estimators don't have), then the
+    // count beyond 3·MAD. Both cut values are existing data values;
+    // the comparison doubles are identical on both engines.
+    Q(
+      "q210_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d)
+          .select($"l_extendedprice".as("p"))
+          .filter($"p".isNotNull && !isnan($"p"))
+        val med = graft.operators.ExactQuantile.selectQuantiles(
+          base, $"p", Seq(0.5)).select("value").collect()(0).getDouble(0)
+        val mad = graft.operators.ExactQuantile.selectQuantiles(
+          base.select(abs($"p" - med).as("dev")), $"dev", Seq(0.5))
+          .select("value").collect()(0).getDouble(0)
+        base.agg(
+          count(lit(1)).as("n"),
+          sum(when(abs($"p" - med) > lit(3.0) * mad, 1L).otherwise(0L))
+            .as("n_outliers"))
+          .select(lit(med).as("median"), lit(mad).as("mad"),
+            $"n", $"n_outliers")
+      },
+      Some("""WITH v AS MATERIALIZED (SELECT l_extendedprice AS p FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+             |nn AS (SELECT count(*) AS n FROM v),
+             |m AS (SELECT p AS med FROM (
+             |    SELECT p, row_number() OVER (ORDER BY p) AS r FROM v), nn
+             |  WHERE r = CAST(ceil(nn.n / 2.0) AS BIGINT)),
+             |dv AS MATERIALIZED (SELECT abs(p - m.med) AS dev FROM v, m),
+             |md AS (SELECT dev AS mad FROM (
+             |    SELECT dev, row_number() OVER (ORDER BY dev) AS r FROM dv), nn
+             |  WHERE r = CAST(ceil(nn.n / 2.0) AS BIGINT))
+             |SELECT m.med AS median, md.mad AS mad,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN abs(p - m.med) > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM v, m, md GROUP BY m.med, md.mad""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

@@ -63,4 +63,41 @@ object Throttle {
       }
     }(enc)
   }
+
+  /** STREAMING twin — the same machine as a stateful streaming
+    * operator: per key the state is ONE scalar (the last kept event
+    * time), each micro-batch's slice sorts locally and folds through
+    * it. Same contract as [[graft.streaming.PatternMatch.detect]]:
+    * cross-batch correctness requires event-time-ordered micro-
+    * batches per key and a bounded key set for the query's lifetime
+    * (the gate/staged-slices shape); an out-of-order production
+    * deployment would buffer within a watermark the way
+    * `detectEventTime` does.
+    */
+  def streamingKeepFirstPerTtl(
+      events: org.apache.spark.sql.Dataset[ThrottleEv],
+      ttlUs: Long): org.apache.spark.sql.Dataset[ThrottleEv] = {
+    require(ttlUs > 0, s"ttlUs must be > 0, got $ttlUs")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[ThrottleEv],
+         st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.tb))
+          var last = st.getOption.getOrElse(Long.MinValue)
+          val kept = sorted.filter { e =>
+            val t = micros(e.ts)
+            if (last == Long.MinValue || t - last >= ttlUs) { last = t; true }
+            else false
+          }
+          st.update(last)
+          val _ = k
+          kept.iterator
+      }
+  }
+
+  final case class ThrottleEv(k: Long, ts: java.sql.Timestamp, tb: Long)
 }

@@ -512,6 +512,96 @@ object ScaleOps6 {
              |    AS n_outliers
              |FROM v, m, md GROUP BY m.med, md.mad""".stripMargin)),
 
+    // ---- q211: REFERENTIAL-INTEGRITY AUDIT — the data-quality
+    // counterpart of q180's functional dependencies: for every FK
+    // relationship in the star schema, the orphan count (child rows
+    // whose key resolves to no parent) and the childless-parent
+    // count, via anti-joins only — no row ever leaves the engine, the
+    // output is one row per relationship at any scale.
+    Q(
+      "q211_ri_audit",
+      (s, d) => {
+        import s.implicits._
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+                  parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.select(col(ck).as("k"))
+            .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti").count()
+          val childless = parent.select(col(pk).as("k")).distinct()
+            .join(child.select(col(ck).as("k")), Seq("k"), "left_anti").count()
+          (rel, child.count(), orphans, childless)
+        }
+        val rows = Seq(
+          audit("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          audit("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+          audit("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"),
+          audit("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"))
+        rows.toDF("relationship", "n_child", "n_orphans", "n_childless_parents")
+          .orderBy($"relationship")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             |    (SELECT count(*) FROM lineitem) AS n_child,
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+             |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) o
+             |      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |        WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parents
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |    (SELECT count(*) FROM orders),
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) c
+             |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey))
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+             |    (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part) p
+             |      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |        WHERE l.l_partkey = p.p_partkey))
+             |  UNION ALL
+             |  SELECT 'customer.c_nationkey->nation',
+             |    (SELECT count(*) FROM customer),
+             |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+             |    (SELECT count(*) FROM (SELECT DISTINCT n_nationkey FROM nation) n
+             |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |        WHERE c.c_nationkey = n.n_nationkey))
+             |) ORDER BY relationship""".stripMargin)),
+
+    // ---- q212: STREAMING TTL THROTTLE — q206's machine as a live
+    // stateful operator: ONE scalar of state per key (last kept
+    // time), three time-ordered slices as separate micro-batches so
+    // suppression chains across batch boundaries. Oracle = the q206
+    // recursive replay verbatim (same multiset, same machine).
+    Q(
+      "q212_streaming_throttle",
+      (s, d) => streamingThrottle(s, d),
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id AS k, ts, epoch_us(ts) AS t, event_id AS tb,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |st(k, rn, last_kept, kept) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), false
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000
+             |         THEN e.t ELSE s.last_kept END,
+             |    (s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000)
+             |  FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+             |SELECT e.k, e.ts, e.tb
+             |FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn
+             |WHERE s.kept
+             |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into
@@ -538,6 +628,54 @@ object ScaleOps6 {
              |  prio
              |FROM surv ORDER BY k, version""".stripMargin))
   )
+
+  /** q212's drive: the q191 staging shape — three time-ordered event
+    * slices through one readStream, memory sink, ≥ 3 data batches
+    * enforced — feeding [[graft.operators.Throttle
+    * .streamingKeepFirstPerTtl]].
+    */
+  private def streamingThrottle(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q212_throttle")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull)
+        .select($"user_id".as("k"), $"ts", $"event_id".as("tb"))
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1), "00_a"),
+        (ev.filter($"ts" >= c1 && $"ts" < c2), "01_b"),
+        (ev.filter($"ts" >= c2), "02_c")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q212_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.operators.Throttle.streamingKeepFirstPerTtl(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.operators.Throttle.ThrottleEv],
+        ttlUs = 2L * 86400L * 1000000L)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q212 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"q212 ran $dataBatches data micro-batch(es); cross-batch suppression " +
+            "needs all 3 slices as separate batches")
+        s.table(name)
+          .select($"k", $"ts", $"tb")
+          .orderBy($"k", $"ts", $"tb")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q208's drive: orders sliced at 1997/1999 into three ordered
     * micro-batches; foreachBatch maintains the dimension in

@@ -282,7 +282,6 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBlockSize: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(hashed.sparkSession)
-    val numHashes = bands * rowsPerBand
     // the signature projection is consumed by ONE consumer (the banding
     // path), and verification re-joins the CALLER's `hashed` frame — so
     // nothing here needs a .cache(): the minhash kernel runs once, the
@@ -291,19 +290,7 @@ object Dedup {
     // sig) copy of the corpus for the session's lifetime per call).
     // Callers running several dedup flavors over one corpus cache the
     // shared [[hashedShingleSets]] projection themselves.
-    val sigs = hashed
-      .filter(size(col("hs")) > 0)
-      .select(
-        col("doc_id"),
-        graft.functions.GraftFunctions.minhashFromHashes(col("hs"), numHashes).as("sig"))
-    // band hash = xxhash64 over the band's signature slice
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
+    val banded = bandProjection(hashed, bands, rowsPerBand)
     val candidates = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBlockSize))
@@ -311,6 +298,77 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify candidates with EXACT jaccard (re-join compact shingle sets)
+    candidates
+      .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      .withColumn("c", graft.functions.GraftFunctions.sortedOverlap(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("c").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The LSH BAND INDEX of a pre-hashed corpus: one (doc_id, band,
+    * bucket) row per band — the table a production pipeline PERSISTS
+    * so each ingest batch pays only its own banding plus a bucket
+    * join, never a corpus re-scan.
+    */
+  def bandProjection(hashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(hashed.sparkSession)
+    val numHashes = bands * rowsPerBand
+    hashed
+      .filter(size(col("hs")) > 0)
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.minhashFromHashes(col("hs"), numHashes).as("sig"))
+      // band hash = xxhash64 over the band's signature slice
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** INCREMENTAL near-dup detection — an ingest batch against an
+    * existing corpus (plus within-batch pairs), the daily-dedup
+    * production shape: band the batch, touch ONLY the corpus-index
+    * buckets the batch collides with (semi-join prune), emit verified
+    * pairs where at least one side is new. The corpus never
+    * re-pairs against itself — incremental cost is proportional to
+    * the batch and its collision neighborhoods, not the corpus.
+    * `oldHashed`/`newHashed` must have disjoint doc_ids (same
+    * sorted-distinct `hs` contract as [[minhashLshPairsFromHashed]]).
+    */
+  def minhashLshPairsIncremental(
+      oldHashed: DataFrame,
+      newHashed: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val bandedNew = bandProjection(newHashed, bands, rowsPerBand)
+    val bandedAll = bandProjection(oldHashed, bands, rowsPerBand)
+      .withColumn("is_new", lit(false))
+      .unionByName(bandedNew.withColumn("is_new", lit(true)))
+    val touched = bandedNew.select("band", "bucket").distinct()
+    val candidates = bandedAll
+      .join(touched, Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
+      .agg(
+        sort_array(collect_list(when(col("is_new"), col("doc_id")))).as("new_ids"),
+        sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(size(col("all_ids")).between(2, maxBlockSize) && size(col("new_ids")) > 0)
+      .select(explode(col("new_ids")).as("n"), col("all_ids"))
+      .select(col("n"), explode(col("all_ids")).as("o"))
+      .filter(col("n") =!= col("o"))
+      .select(least(col("n"), col("o")).as("id_a"),
+        greatest(col("n"), col("o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val hashed = oldHashed.unionByName(newHashed)
     candidates
       .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")

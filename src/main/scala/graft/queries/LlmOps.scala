@@ -62,7 +62,7 @@ object LlmOps {
   // keyed by session would be defeated by the DataFrame value
   // referencing its session). Long-lived sessions that are done with a
   // corpus call [[evictSharedShingleCaches]] to release the storage.
-  private def sharedShingleSets(
+  private[queries] def sharedShingleSets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     // full md5 of the dir in the view name — a truncated hash could
     // collide across dirs within one session and serve the wrong corpus

@@ -602,6 +602,40 @@ object ScaleOps6 {
              |WHERE s.kept
              |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
 
+    // ---- q213: INCREMENTAL NEAR-DUP (LSH INDEX MAINTENANCE) — an
+    // ingest batch (every 10th doc) deduped against the standing
+    // corpus: the batch bands, semi-join-prunes to touched index
+    // buckets, and only pairs involving a new doc are candidates —
+    // corpus cost is its (persistable) band index, never a re-pair.
+    // Same soundness oracle class as q26: ≥ 90% recall against the
+    // UNBLOCKED exact pairs restricted to new-doc involvement, every
+    // emitted pair's exact Jaccard re-verified.
+    Q(
+      "q213_incremental_lsh",
+      (s, d) => {
+        import s.implicits._
+        val hashed = LlmOps.sharedShingleSets(s, d)
+        val isNew = pmod($"doc_id", lit(10L)) === 0
+        graft.operators.Dedup.minhashLshPairsIncremental(
+          hashed.filter(!isNew), hashed.filter(isNew), threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${LlmOps.sqlExactJaccardCteFrom("documents")},
+             |newexact AS MATERIALIZED (SELECT * FROM exact
+             |  WHERE id_a % 10 = 0 OR id_b % 10 = 0),
+             |emitted AS (SELECT * FROM read_parquet('{{OUT}}/q213_incremental_lsh/*.parquet')),
+             |flag AS (SELECT
+             |  ((SELECT count(*) FROM emitted) >= 0.9 * (SELECT count(*) FROM newexact)) AS ok)
+             |SELECT e.id_a, e.id_b, x.jaccard
+             |FROM emitted e JOIN newexact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+             |  AND abs(e.jaccard - x.jaccard) < 1e-9
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+             |  CAST(-999 AS DOUBLE) AS jaccard
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

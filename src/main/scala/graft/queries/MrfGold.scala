@@ -42,7 +42,10 @@ object MrfGold {
       parts: Seq[(Long, String)],
       groups: Seq[Long],
       rateOf: (Long, Int) => Double = (p, j) => (p * 100 + j * 7) / 100.0,
-      includePart: Long => Boolean = _ => true): String = {
+      includePart: Long => Boolean = _ => true,
+      // q214: vendor extension field injected on matching parts —
+      // exercised by the schema-drift detector, default off
+      extensionOn: Long => Boolean = _ => false): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("reporting_entity_name", Payer)
@@ -76,6 +79,7 @@ object MrfGold {
       item.put("billing_code_type_version", "2024")
       item.put("billing_code", (p % 20).toString)
       item.put("description", s"item-$p")
+      if (extensionOn(p)) item.put("x_custom_ext", s"ext-$p")
       val rates = item.putArray("negotiated_rates")
       (0 to 1).foreach { j =>
         val rate = rates.addObject()

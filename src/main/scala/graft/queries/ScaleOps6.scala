@@ -636,6 +636,71 @@ object ScaleOps6 {
              |WHERE NOT (SELECT ok FROM flag)
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- q214: MRF SCHEMA-DRIFT DETECTION — the guardrail before
+    // trusting an explicit schema: the staged document carries a
+    // vendor extension field on every third item, the declared
+    // contract also lists the `location` provider variant that this
+    // document never uses, and the detector must surface BOTH (the
+    // unexpected field with its exact element count, the absent
+    // contract field with zero) from one pass over the per-element
+    // stream. Oracle recomputes every count from part/supplier.
+    Q(
+      "q214_mrf_schema_drift",
+      (s, d) => {
+        import s.implicits._
+        val parts = s.read.parquet(s"$d/part.parquet")
+          .filter($"p_partkey" <= 40)
+          .select($"p_partkey", $"p_name")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+        val groups = s.read.parquet(s"$d/supplier.parquet")
+          .filter($"s_suppkey" <= 10)
+          .select($"s_suppkey")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val dir = Scratch.tempDir("q214_drift")
+        try {
+          val file = dir.resolve("mrf_drift.json")
+          java.nio.file.Files.writeString(file,
+            MrfGold.buildJson(parts, groups, extensionOn = p => p % 3 == 0))
+          val perElement = s.read.format("payer-mrf")
+            .option("perElement", "true").load(file.toString)
+            .localCheckpoint(true) // staged file dies in the finally
+          graft.operators.SchemaDrift.fieldDrift(perElement, Map(
+            "in_network" -> Seq(
+              "negotiation_arrangement", "name", "billing_code_type",
+              "billing_code_type_version", "billing_code", "description",
+              "negotiated_rates", "bundled_codes"),
+            "provider_references" -> Seq(
+              "provider_group_id", "provider_groups", "location"),
+            "" -> Seq(
+              "reporting_entity_name", "reporting_entity_type",
+              "last_updated_on", "version")))
+            .orderBy($"header_key", $"field")
+        } finally Scratch.deleteRecursively(dir)
+      },
+      Some("""WITH np AS (SELECT count(*) AS n FROM part WHERE p_partkey <= 40),
+             |n3 AS (SELECT count(*) AS n FROM part
+             |  WHERE p_partkey <= 40 AND p_partkey % 3 = 0),
+             |ng AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey <= 10)
+             |SELECT * FROM (
+             |  SELECT '' AS header_key, 'last_updated_on' AS field,
+             |    CAST(1 AS BIGINT) AS n_elements, true AS is_expected
+             |  UNION ALL SELECT '', 'reporting_entity_name', 1, true
+             |  UNION ALL SELECT '', 'reporting_entity_type', 1, true
+             |  UNION ALL SELECT '', 'version', 1, true
+             |  UNION ALL SELECT 'in_network', 'billing_code', (SELECT n FROM np) + 2, true
+             |  UNION ALL SELECT 'in_network', 'billing_code_type', (SELECT n FROM np) + 2, true
+             |  UNION ALL SELECT 'in_network', 'billing_code_type_version', (SELECT n FROM np) + 2, true
+             |  UNION ALL SELECT 'in_network', 'bundled_codes', 2, true
+             |  UNION ALL SELECT 'in_network', 'description', (SELECT n FROM np), true
+             |  UNION ALL SELECT 'in_network', 'name', (SELECT n FROM np) + 2, true
+             |  UNION ALL SELECT 'in_network', 'negotiated_rates', (SELECT n FROM np), true
+             |  UNION ALL SELECT 'in_network', 'negotiation_arrangement', (SELECT n FROM np) + 2, true
+             |  UNION ALL SELECT 'in_network', 'x_custom_ext', (SELECT n FROM n3), false
+             |  UNION ALL SELECT 'provider_references', 'location', 0, true
+             |  UNION ALL SELECT 'provider_references', 'provider_group_id', (SELECT n FROM ng), true
+             |  UNION ALL SELECT 'provider_references', 'provider_groups', (SELECT n FROM ng), true
+             |) ORDER BY header_key, field""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

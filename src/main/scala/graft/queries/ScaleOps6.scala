@@ -701,6 +701,99 @@ object ScaleOps6 {
              |  UNION ALL SELECT 'provider_references', 'provider_groups', (SELECT n FROM ng), true
              |) ORDER BY header_key, field""".stripMargin)),
 
+    // ---- q215: EXPECTATION-SUITE AUDIT — seven declarative
+    // data-quality rules over lineitem evaluated in ONE scan (one
+    // wide aggregation, one row per rule out; a NULL predicate
+    // counts as a violation — unknown is not a pass). The
+    // discount-range rule is deliberately violated by real data so
+    // the audit proves it COUNTS rather than rubber-stamps.
+    Q(
+      "q215_expectations_audit",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Expectations.audit(Tables.lineitem(s, d), Seq(
+          "orderkey_not_null" -> $"l_orderkey".isNotNull,
+          "quantity_in_1_50" -> $"l_quantity".between(1.0, 50.0),
+          "discount_below_08" -> ($"l_discount" < 0.08),
+          "price_positive" -> ($"l_extendedprice" > 0.0),
+          "returnflag_domain" -> $"l_returnflag".isin("A", "N", "R"),
+          "shipdate_in_range" ->
+            $"l_shipdate".between(lit("1995-01-01").cast("timestamp"),
+              lit("2002-12-31").cast("timestamp")),
+          "tax_nonnegative" -> ($"l_tax" >= 0.0)))
+          .orderBy($"rule")
+      },
+      Some("""SELECT rule, n_rows, n_violations,
+             |  CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+             |FROM (
+             |  SELECT 'orderkey_not_null' AS rule, count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN coalesce(l_orderkey IS NOT NULL, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM lineitem
+             |  UNION ALL
+             |  SELECT 'quantity_in_1_50', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1.0 AND 50.0, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'discount_below_08', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_discount < 0.08, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'price_positive', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_extendedprice > 0.0, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'returnflag_domain', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'shipdate_in_range', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+             |        AND TIMESTAMP '2002-12-31', false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'tax_nonnegative', count(*),
+             |    CAST(sum(CASE WHEN coalesce(l_tax >= 0.0, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+             |) ORDER BY rule""".stripMargin)),
+
+    // ---- q216: ORDINAL SEQUENCE AUDIT — the CDC/ingest
+    // completeness check on a per-parent ordinal (lineitem's
+    // l_linenumber within its order): per order, duplicate and gap
+    // counts from min/max/count/countDistinct arithmetic only (no
+    // sort, no window), rolled up to one always-nonempty summary row
+    // so a perfectly healthy corpus still emits a positive audit.
+    Q(
+      "q216_sequence_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct($"l_linenumber").as("n_distinct"),
+            min($"l_linenumber").as("seq_min"),
+            max($"l_linenumber").as("seq_max"))
+          .agg(
+            count(lit(1)).as("n_parents"),
+            sum(($"n" - $"n_distinct")).as("total_dups"),
+            sum($"seq_max" - $"seq_min" + 1 - $"n_distinct").as("total_gaps"),
+            sum(when($"n" =!= $"n_distinct", 1L).otherwise(0L)).as("parents_with_dups"),
+            sum(when($"seq_max" - $"seq_min" + 1 =!= $"n_distinct", 1L)
+              .otherwise(0L)).as("parents_with_gaps"),
+            sum(when($"seq_min" =!= 1, 1L).otherwise(0L)).as("parents_not_at_one"))
+      },
+      Some("""WITH per AS (SELECT l_orderkey, count(*) AS n,
+             |    count(DISTINCT l_linenumber) AS nd,
+             |    min(l_linenumber) AS mn, max(l_linenumber) AS mx
+             |  FROM lineitem GROUP BY 1)
+             |SELECT count(*) AS n_parents,
+             |  CAST(sum(n - nd) AS BIGINT) AS total_dups,
+             |  CAST(sum(mx - mn + 1 - nd) AS BIGINT) AS total_gaps,
+             |  CAST(sum(CASE WHEN n <> nd THEN 1 ELSE 0 END) AS BIGINT) AS parents_with_dups,
+             |  CAST(sum(CASE WHEN mx - mn + 1 <> nd THEN 1 ELSE 0 END) AS BIGINT) AS parents_with_gaps,
+             |  CAST(sum(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS parents_not_at_one
+             |FROM per""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

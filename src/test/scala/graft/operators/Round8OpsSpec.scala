@@ -176,6 +176,26 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L, 4L, 6L))
   }
 
+  test("Expectations.audit: NULL predicates count as violations; one row per rule") {
+    val df = Seq(
+      (Some(5L), "ok"), (None, "ok"), (Some(-1L), null))
+      .toDF("v", "s")
+    val got = Expectations.audit(df, Seq(
+      "v_positive" -> ($"v" > 0L), // null v → violation
+      "v_maybe_null" -> ($"v".isNull || $"v" > 0L), // explicit null-ok
+      "s_not_null" -> $"s".isNotNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "v_positive" -> ((3L, 2L)), // null + negative
+      "v_maybe_null" -> ((3L, 1L)), // only the negative
+      "s_not_null" -> ((3L, 1L))))
+    intercept[IllegalArgumentException] {
+      Expectations.audit(df, Seq(
+        "a" -> org.apache.spark.sql.functions.lit(true),
+        "a" -> org.apache.spark.sql.functions.lit(false)))
+    }
+  }
+
   test("weightedQuantile: crossing lands on the exact value; ties cannot move it") {
     // group g: values 1 (w=1), 2 (w=2), 3 (w=1): total 4, half 2 →
     // smallest v with cumW ≥ 2 is 2

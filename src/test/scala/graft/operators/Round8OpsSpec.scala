@@ -58,6 +58,19 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1, Some("A")), (2, None), (3, Some("A"))))
   }
 
+  test("Scd2 plan: both window passes share ONE shuffle on the key") {
+    val log = Seq((1L, ts(1), 1L, "A"), (1L, ts(2), 2L, "B"))
+      .toDF("k", "t", "id", "attr")
+    val df = Scd2.fromChangeLog(log, $"k", $"t", $"id", Seq("attr" -> $"attr"))
+    df.collect() // finalize the adaptive plan
+    // AQE's toString echoes the pre-adaptive plan under "Initial
+    // Plan" — assert on the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected one key shuffle feeding both window passes, got $exchanges:\n$plan")
+  }
+
   test("Scd2.applyDelta ≡ full rebuild, for every time split; untouched keys pass through") {
     val log = Seq(
       (1L, ts(1), 1L, "A"), (1L, ts(3), 2L, "A"), (1L, ts(5), 3L, "B"),

@@ -794,6 +794,59 @@ object ScaleOps6 {
              |  CAST(sum(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS parents_not_at_one
              |FROM per""".stripMargin)),
 
+    // ---- q217: INTERVAL-UNION COVERAGE (gaps-and-islands) — each
+    // event opens a 30-minute activity interval; per user, the UNION
+    // length and island count of overlapping intervals (billable
+    // uptime, device-activity coverage): islands form where an
+    // interval starts STRICTLY after the running max end of all
+    // earlier intervals (touching merges), pure integer-µs
+    // arithmetic, two stacked windows over one key exchange + one
+    // sort (the Scd2 plan shape) then two cheap aggregations.
+    Q(
+      "q217_interval_coverage",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"start_us", $"event_id")
+        val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val durUs = 30L * 60L * 1000000L
+        Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+          .select($"user_id", $"event_id",
+            (unix_micros($"ts")).as("start_us"),
+            (unix_micros($"ts") + durUs).as("end_us"))
+          .withColumn("prev_max_end", max($"end_us").over(wPrev))
+          .withColumn("new_island",
+            ($"prev_max_end".isNull || $"start_us" > $"prev_max_end").cast("long"))
+          .withColumn("island", sum($"new_island").over(w))
+          .groupBy($"user_id", $"island")
+          .agg(min($"start_us").as("i_start"), max($"end_us").as("i_end"))
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_islands"),
+            sum($"i_end" - $"i_start").as("covered_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+             |    epoch_us(ts) AS start_us,
+             |    epoch_us(ts) + 1800000000 AS end_us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |m AS (SELECT user_id, event_id, start_us, end_us,
+             |    max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+             |  FROM iv),
+             |isl AS (SELECT user_id, start_us, end_us,
+             |    sum(CASE WHEN prev_max_end IS NULL OR start_us > prev_max_end
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY start_us, event_id) AS island
+             |  FROM m),
+             |per AS (SELECT user_id, island,
+             |    min(start_us) AS i_start, max(end_us) AS i_end
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

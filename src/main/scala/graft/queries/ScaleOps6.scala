@@ -847,6 +847,70 @@ object ScaleOps6 {
              |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
              |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- q218: POINT-IN-TIME JOIN against the SCD2 dimension — the
+    // reason SCD2 exists: every lineitem attributed to the priority
+    // VERSION in force at its ship date (not the current one), via
+    // the sort-merge as-of join over version starts (versions tile,
+    // so newest-at-or-before ≡ validity containment). Probes before
+    // the customer's first version land in an explicit UNMATCHED
+    // bucket — and the synthetic data DOES ship some lineitems before
+    // their order date, so that bucket is real, counted identically
+    // by both engines, not assumed empty.
+    Q(
+      "q218_point_in_time_join",
+      (s, d) => {
+        import s.implicits._
+        val dim = Scd2.fromChangeLog(
+          Tables.orders(s, d),
+          key = $"o_custkey", ts = $"o_orderdate", tiebreak = $"o_orderkey",
+          attrs = Seq("prio" -> $"o_orderpriority"))
+        // two changes on the same day leave two versions at one
+        // valid_from; the regime "in force at" that instant is the
+        // LAST of them — collapse deterministically on BOTH sides
+        // (DuckDB's ASOF tie pick is unspecified)
+        val wDay = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k", $"valid_from").orderBy($"version".desc)
+        val dimLast = dim
+          .withColumn("__rn", row_number().over(wDay))
+          .filter($"__rn" === 1).drop("__rn")
+        val probe = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("pk"), $"l_shipdate".as("sd"))
+        graft.operators.TemporalJoins.asofJoin(
+          probe, dimLast,
+          probeKey = $"pk", probeTime = $"sd",
+          refKey = $"k", refTime = $"valid_from",
+          probeOut = Seq("pk" -> $"pk", "sd" -> $"sd"),
+          refOut = Seq("prio" -> $"prio"),
+          refOrder = $"version")
+          .groupBy(coalesce($"prio", lit("UNMATCHED")).as("prio_at_ship"))
+          .agg(count(lit(1)).as("n_lineitems"))
+          .orderBy($"prio_at_ship")
+      },
+      Some("""WITH obs AS (
+             |  SELECT o_custkey AS k, o_orderdate AS valid_from,
+             |    o_orderkey AS tb, o_orderpriority AS prio
+             |  FROM orders),
+             |ch AS (SELECT *,
+             |    lag(prio) OVER (PARTITION BY k ORDER BY valid_from, tb) AS prev
+             |  FROM obs),
+             |surv0 AS MATERIALIZED (
+             |  SELECT k, valid_from, tb, prio FROM ch
+             |  WHERE prev IS NULL OR prio <> prev),
+             |surv AS MATERIALIZED (
+             |  SELECT k, valid_from, prio FROM surv0
+             |  QUALIFY row_number() OVER (PARTITION BY k, valid_from
+             |    ORDER BY tb DESC) = 1),
+             |li AS (SELECT o_custkey AS k, l_shipdate AS sd
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |pit AS (SELECT li.k, li.sd, s.prio
+             |  FROM li ASOF LEFT JOIN surv s
+             |    ON li.k = s.k AND li.sd >= s.valid_from)
+             |SELECT coalesce(prio, 'UNMATCHED') AS prio_at_ship,
+             |  count(*) AS n_lineitems
+             |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

@@ -911,6 +911,67 @@ object ScaleOps6 {
              |  count(*) AS n_lineitems
              |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- q219: PRIVACY AUDIT (k-anonymity / l-diversity) — before a
+    // dataset ships, the re-identification surface: for each
+    // k ∈ {2, 5, 10}, how many quasi-identifier groups (nation ×
+    // market segment) fall below k members and how many rows sit in
+    // them; for each l ∈ {2, 3}, how many QI groups (nation) carry
+    // fewer than l distinct sensitive values (segment). One
+    // aggregation per audit over the QI group table — group counts,
+    // never row explosion.
+    Q(
+      "q219_privacy_audit",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val qiGroups = cust.groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        val divGroups = cust.groupBy($"c_nationkey")
+          .agg(countDistinct($"c_mktsegment").as("ndv"))
+        // thresholds fan out as a broadcast literal — every audit row
+        // comes from ONE aggregation pass, no driver loop
+        val kAudit = qiGroups
+          .crossJoin(broadcast(Seq(2L, 5L, 10L).toDF("threshold")))
+          .groupBy($"threshold")
+          .agg(
+            sum(when($"n" < $"threshold", 1L).otherwise(0L)).as("n_violating_groups"),
+            sum(when($"n" < $"threshold", $"n").otherwise(0L)).as("n_rows_at_risk"))
+          .select(lit("k_anonymity").as("metric"), $"threshold",
+            $"n_violating_groups", $"n_rows_at_risk")
+        val lAudit = divGroups
+          .crossJoin(broadcast(Seq(2L, 3L).toDF("threshold")))
+          .groupBy($"threshold")
+          .agg(sum(when($"ndv" < $"threshold", 1L).otherwise(0L)).as("n_violating_groups"))
+          .select(lit("l_diversity").as("metric"), $"threshold",
+            $"n_violating_groups", lit(0L).as("n_rows_at_risk"))
+        kAudit.unionByName(lAudit).orderBy($"metric", $"threshold")
+      },
+      Some("""WITH qi AS MATERIALIZED (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |dv AS MATERIALIZED (
+             |  SELECT c_nationkey, count(DISTINCT c_mktsegment) AS ndv
+             |  FROM customer GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT 'k_anonymity' AS metric, CAST(2 AS BIGINT) AS threshold,
+             |    CAST((SELECT count(*) FROM qi WHERE n < 2) AS BIGINT) AS n_violating_groups,
+             |    CAST(coalesce((SELECT sum(n) FROM qi WHERE n < 2), 0) AS BIGINT) AS n_rows_at_risk
+             |  UNION ALL
+             |  SELECT 'k_anonymity', 5,
+             |    CAST((SELECT count(*) FROM qi WHERE n < 5) AS BIGINT),
+             |    CAST(coalesce((SELECT sum(n) FROM qi WHERE n < 5), 0) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'k_anonymity', 10,
+             |    CAST((SELECT count(*) FROM qi WHERE n < 10) AS BIGINT),
+             |    CAST(coalesce((SELECT sum(n) FROM qi WHERE n < 10), 0) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'l_diversity', 2,
+             |    CAST((SELECT count(*) FROM dv WHERE ndv < 2) AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'l_diversity', 3,
+             |    CAST((SELECT count(*) FROM dv WHERE ndv < 3) AS BIGINT), CAST(0 AS BIGINT)
+             |) ORDER BY metric, threshold""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

@@ -456,4 +456,92 @@ object Graph {
     }
     ranks
   }
+
+  /** FRONTIER (delta-iteration) CONNECTED COMPONENTS — min-label
+    * propagation where each round touches ONLY edges incident to
+    * nodes whose label changed last round: the Flink/Naiad delta-
+    * iteration shape. Per round: the frontier's labels propagate to
+    * neighbors (one shuffle restricted to frontier-incident edges),
+    * improvements (strictly smaller candidate) become the next
+    * frontier, and the loop stops when the frontier empties — work
+    * per round is proportional to CHANGE, not graph size, which is
+    * the regime that matters for mostly-converged or incrementally
+    * grown graphs. Trade (documented, spec-pinned equal to
+    * [[Dedup.clusters]]): rounds scale with component DIAMETER where
+    * pointer jumping needs O(log n) rounds of full-graph work — on a
+    * long path pointer jumping wins, on a near-converged 100 TB graph
+    * the frontier does.
+    *
+    * Same engineering discipline as [[Dedup.clusters]]: labels and
+    * frontier live as persisted RDDs and every round REBUILDS the
+    * DataFrames, so the logical plan stays constant-size across
+    * rounds (no lineage growth, no ambiguous-self-join hazard).
+    * Output: (node, component) with component = min reachable node.
+    */
+  def connectedComponentsFrontier(
+      edgesIn: DataFrame,
+      src: Column,
+      dst: Column,
+      maxIter: Int = 200): DataFrame = {
+    val spark = edgesIn.sparkSession
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"connectedComponentsFrontier: null/non-numeric $side endpoint")))
+        .otherwise(c.cast("long"))
+    val e0 = edgesIn.select(
+      guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    val seed = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val schema = seed.schema
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var labelsRdd = seed.rdd.persist(level)
+    var frontierRdd = labelsRdd // round 0: every node announces itself
+    var iter = 0
+    var frontierEmpty = frontierRdd.isEmpty()
+    while (!frontierEmpty && iter < maxIter) {
+      val labels = spark.createDataFrame(labelsRdd, schema)
+      val frontier = spark.createDataFrame(frontierRdd, schema)
+        .select(col("node").as("fn"), col("label").as("fl"))
+      // neighbors of the frontier hear its labels; min per neighbor
+      val cand = sym.join(frontier, col("src") === col("fn"))
+        .groupBy(col("dst").as("cn"))
+        .agg(min(col("fl")).as("cl"))
+      // strict improvements only — they are EXACTLY the next frontier
+      val improved = labels.join(cand, col("node") === col("cn"))
+        .filter(col("cl") < col("label"))
+        .select(col("node"), col("cl").as("label"))
+      val improvedRdd = improved.rdd.persist(level)
+      frontierEmpty = improvedRdd.isEmpty()
+      if (!frontierEmpty) {
+        val imp = spark.createDataFrame(improvedRdd, schema)
+          .select(col("node").as("un"), col("label").as("ul"))
+        val next = spark.createDataFrame(labelsRdd, schema)
+          .join(imp, col("node") === col("un"), "left")
+          .select(col("node"), coalesce(col("ul"), col("label")).as("label"))
+        val nextRdd = next.rdd.persist(level)
+        nextRdd.count() // materialize before releasing the inputs
+        labelsRdd.unpersist(false)
+        frontierRdd.unpersist(false)
+        labelsRdd = nextRdd
+        frontierRdd = improvedRdd
+      } else {
+        improvedRdd.unpersist(false)
+        if (frontierRdd ne labelsRdd) frontierRdd.unpersist(false)
+      }
+      iter += 1
+    }
+    require(frontierEmpty,
+      s"connectedComponentsFrontier: not converged after $maxIter rounds " +
+        "(component diameter exceeds maxIter)")
+    val out = spark.createDataFrame(labelsRdd, schema)
+      .select(col("node"), col("label").as("component"))
+      .localCheckpoint(true)
+    labelsRdd.unpersist(false)
+    sym.unpersist()
+    out
+  }
 }

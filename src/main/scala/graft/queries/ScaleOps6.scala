@@ -972,6 +972,35 @@ object ScaleOps6 {
              |    CAST((SELECT count(*) FROM dv WHERE ndv < 3) AS BIGINT), CAST(0 AS BIGINT)
              |) ORDER BY metric, threshold""".stripMargin)),
 
+    // ---- q220: FRONTIER CONNECTED COMPONENTS — q34's clusters by
+    // the DELTA-ITERATION algorithm ([[graft.operators.Graph
+    // .connectedComponentsFrontier]]): per round only edges incident
+    // to changed labels do work, the frontier empties at convergence
+    // — the mostly-converged / incrementally-grown-graph regime,
+    // complementing pointer jumping's O(log n) full-work rounds.
+    // Same oracle as q34: the independent recursive reachability
+    // closure (algorithm-agnostic ground truth).
+    Q(
+      "q220_frontier_components",
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.operators.Dedup.ngramJaccardPairsFromHashed(
+          LlmOps.sharedShingleSets(s, d), threshold = 0.3)
+        graft.operators.Graph.connectedComponentsFrontier(
+          pairs, $"id_a", $"id_b")
+          .select($"node".as("doc_id"), $"component".as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${LlmOps.sqlExactJaccardCteFrom("documents")},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
+             |  UNION SELECT id_b, id_a FROM exact),
+             |reach(doc_id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id)
+             |SELECT doc_id, min(r) AS cluster_id FROM reach
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

@@ -134,6 +134,43 @@ class Round8OpsSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("connectedComponentsFrontier equals pointer-jumping clusters on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(1L, 15L); b <- Gen.chooseNum(1L, 15L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.filter(e => e._1 != e._2).distinct
+    val prop = Prop.forAll(gen) { es =>
+      if (es.isEmpty) true
+      else {
+        val pairs = es.toDF("id_a", "id_b")
+        val viaClusters = Dedup.clusters(pairs)
+        val expect = viaClusters.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaClusters.unpersist()
+        val got = Graph.connectedComponentsFrontier(pairs, $"id_a", $"id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("connectedComponentsFrontier: chain converges to min label; disjoint stars stay apart") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = Graph.connectedComponentsFrontier(chain, $"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotChain.length == 12 && gotChain.forall(_._2 == 1L))
+    val stars = Seq((10L, 11L), (10L, 12L), (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val gotStars = Graph.connectedComponentsFrontier(stars, $"id_a", $"id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStars == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("Throttle.keepFirstPerTtl matches a per-key reference fold for random histories") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val ttlUs = 10L * 1000000L // 10 s

@@ -483,23 +483,72 @@ object Graph {
       src: Column,
       dst: Column,
       maxIter: Int = 200): DataFrame = {
-    val spark = edgesIn.sparkSession
+    val sym = symmetrized(edgesIn, src, dst, "connectedComponentsFrontier")
+    val seed = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    // round 0: every node announces itself
+    frontierLoop(sym, seed, seed, maxIter)
+  }
+
+  /** INCREMENTAL component maintenance — converged `oldLabels`
+    * ((node, component) from a previous run) warm-start the frontier
+    * loop after `deltaEdges` arrive: the initial frontier is ONLY the
+    * delta endpoints (new nodes start as their own label), so two
+    * merging components re-label in rounds proportional to the
+    * SMALLER side's diameter while untouched regions never produce a
+    * task — the daily-graph-growth economics the full recompute
+    * cannot have. `allEdges` must be old ∪ delta (propagation crosses
+    * old edges when a merge spreads). Spec-pinned equal to the full
+    * recompute for random graph growth.
+    */
+  def connectedComponentsIncremental(
+      oldLabels: DataFrame,
+      allEdges: DataFrame,
+      deltaEdges: DataFrame,
+      src: Column,
+      dst: Column,
+      maxIter: Int = 200): DataFrame = {
+    val sym = symmetrized(allEdges, src, dst, "connectedComponentsIncremental")
+    // oldLabels arrives in this module's own output shape
+    val old = oldLabels.select(col("node"), col("component").as("label"))
+    val fresh = sym.select(col("src").as("node")).distinct()
+      .join(old.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    val labels0 = old.unionByName(fresh)
+    val deltaSym = symmetrized(deltaEdges, src, dst, "connectedComponentsIncremental")
+    val frontier0 = deltaSym.select(col("src").as("node")).distinct()
+      .join(labels0, Seq("node"))
+      .select(col("node"), col("label"))
+    frontierLoop(sym, labels0, frontier0, maxIter)
+  }
+
+  private def symmetrized(
+      edgesIn: DataFrame, src: Column, dst: Column, op: String): DataFrame = {
     def guarded(c: Column, side: String) =
       when(c.cast("long").isNull, raise_error(lit(
-        s"connectedComponentsFrontier: null/non-numeric $side endpoint")))
+        s"$op: null/non-numeric $side endpoint")))
         .otherwise(c.cast("long"))
     val e0 = edgesIn.select(
       guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .cache()
-    val seed = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+  }
+
+  private def frontierLoop(
+      symIn: DataFrame,
+      labels0: DataFrame,
+      frontier0: DataFrame,
+      maxIter: Int): DataFrame = {
+    val spark = symIn.sparkSession
+    val sym = symIn.cache()
+    val seed = labels0.select(col("node"), col("label"))
     val schema = seed.schema
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var labelsRdd = seed.rdd.persist(level)
-    var frontierRdd = labelsRdd // round 0: every node announces itself
+    var frontierRdd =
+      if (frontier0 eq labels0) labelsRdd
+      else frontier0.select(col("node"), col("label")).rdd.persist(level)
     var iter = 0
     var frontierEmpty = frontierRdd.isEmpty()
     while (!frontierEmpty && iter < maxIter) {

@@ -1001,6 +1001,42 @@ object ScaleOps6 {
              |SELECT doc_id, min(r) AS cluster_id FROM reach
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- q221: INCREMENTAL COMPONENT MAINTENANCE — yesterday's
+    // converged cluster labels warm-start the frontier loop after a
+    // hash-chosen fifth of the near-dup edges "arrive" as the delta:
+    // only delta endpoints seed the frontier, merges re-label in
+    // rounds proportional to the smaller side, untouched regions
+    // never produce a task. The oracle is the algorithm-agnostic
+    // full recursive closure — the incremental path must be
+    // indistinguishable from recomputing the world.
+    Q(
+      "q221_incremental_components",
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.operators.Dedup.ngramJaccardPairsFromHashed(
+          LlmOps.sharedShingleSets(s, d), threshold = 0.3)
+          .select($"id_a", $"id_b")
+          .localCheckpoint(true) // split + union below reuse it thrice
+        val isDelta =
+          pmod(graft.operators.KmvSketch.hash60(concat_ws("#", $"id_a", $"id_b")),
+            lit(5L)) === 0
+        val oldLabels = graft.operators.Graph.connectedComponentsFrontier(
+          pairs.filter(!isDelta), $"id_a", $"id_b")
+        graft.operators.Graph.connectedComponentsIncremental(
+          oldLabels, pairs, pairs.filter(isDelta), $"id_a", $"id_b")
+          .select($"node".as("doc_id"), $"component".as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${LlmOps.sqlExactJaccardCteFrom("documents")},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM exact
+             |  UNION SELECT id_b, id_a FROM exact),
+             |reach(doc_id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id)
+             |SELECT doc_id, min(r) AS cluster_id FROM reach
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

@@ -159,6 +159,35 @@ class Round8OpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("connectedComponentsIncremental equals the full recompute for random graph growth") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = (n: Int) => Gen.listOfN(n, for {
+      a <- Gen.chooseNum(1L, 15L); b <- Gen.chooseNum(1L, 15L)
+    } yield (math.min(a, b), math.max(a, b)))
+    val gen = for {
+      nOld <- Gen.chooseNum(1, 20); nNew <- Gen.chooseNum(1, 10)
+      old <- genEdges(nOld); nw <- genEdges(nNew)
+    } yield (
+      old.filter(e => e._1 != e._2).distinct,
+      nw.filter(e => e._1 != e._2).distinct)
+    val prop = Prop.forAll(gen) { case (oldEs, newEs) =>
+      if (oldEs.isEmpty || newEs.isEmpty) true
+      else {
+        val all = (oldEs ++ newEs).distinct.toDF("id_a", "id_b")
+        val expect = Graph.connectedComponentsFrontier(all, $"id_a", $"id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val oldLabels = Graph.connectedComponentsFrontier(
+          oldEs.toDF("id_a", "id_b"), $"id_a", $"id_b")
+        val got = Graph.connectedComponentsIncremental(
+          oldLabels, all, newEs.toDF("id_a", "id_b"), $"id_a", $"id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connectedComponentsFrontier: chain converges to min label; disjoint stars stay apart") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val gotChain = Graph.connectedComponentsFrontier(chain, $"id_a", $"id_b")

@@ -100,4 +100,56 @@ object Throttle {
   }
 
   final case class ThrottleEv(k: Long, ts: java.sql.Timestamp, tb: Long)
+
+  /** TOKEN-BUCKET admission — [[keepFirstPerTtl]]'s burst-capable
+    * generalization: a key holds up to `burst` tokens, one token
+    * refills every `ttlUs`, each ADMITTED event spends one; a quiet
+    * key can then burst `burst` admissions back-to-back before
+    * settling to the 1-per-ttl steady state (the real rate-limiter /
+    * notification-budget semantics). All arithmetic is INTEGER
+    * microtoken-µs (bucket, refill, spend), so the recursive oracle
+    * replays it exactly — no float drift surface. Same plan shape as
+    * [[keepFirstPerTtl]]: one shuffle, one sort, an O(1)-state
+    * forward scan (state = current key, bucket level, last seen ts).
+    */
+  def tokenBucket(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      ttlUs: Long,
+      burst: Int): DataFrame = {
+    require(ttlUs > 0, s"ttlUs must be > 0, got $ttlUs")
+    require(burst >= 1, s"burst must be >= 1, got $burst")
+    val capUs = burst.toLong * ttlUs
+    val base = df
+      .select(key.as("k"), ts.cast("timestamp").as("ts"), tiebreak.cast("long").as("tb"))
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("ts"), col("tb"))
+    val schema = StructType(Seq(
+      StructField("k", base.schema("k").dataType),
+      StructField("ts", TimestampType),
+      StructField("tb", LongType)))
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    base.mapPartitions { it =>
+      var curKey: Any = null
+      var hasKey = false
+      var bucketUs = 0L
+      var lastUs = 0L
+      it.filter { r =>
+        val k = r.get(0)
+        val t = micros(r.getTimestamp(1))
+        if (!hasKey || k != curKey) {
+          curKey = k; hasKey = true; bucketUs = capUs; lastUs = t
+        } else {
+          bucketUs = math.min(capUs, bucketUs + (t - lastUs))
+          lastUs = t
+        }
+        if (bucketUs >= ttlUs) { bucketUs -= ttlUs; true } else false
+      }
+    }(enc)
+  }
 }

@@ -1037,6 +1037,44 @@ object ScaleOps6 {
              |SELECT doc_id, min(r) AS cluster_id FROM reach
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- q222: TOKEN-BUCKET RATE LIMITING — q206's machine with a
+    // BURST budget: 3 tokens per user, one refilling every 2 days,
+    // each admitted event spends one (the real notification-budget /
+    // API-rate-limiter semantics — a quiet user can burst 3, then
+    // settles to 1-per-2-days). Integer microtoken arithmetic end to
+    // end, so the recursive replay is exact.
+    Q(
+      "q222_token_bucket",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Throttle.tokenBucket(
+          Tables.events(s, d),
+          key = $"user_id", ts = $"ts", tiebreak = $"event_id",
+          ttlUs = 2L * 86400L * 1000000L, burst = 3)
+          .orderBy($"k", $"ts", $"tb")
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id AS k, ts, epoch_us(ts) AS t, event_id AS tb,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |st(k, rn, bucket, last_t, kept) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+             |    CAST(NULL AS BIGINT), false
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN x.b1 >= 172800000000 THEN x.b1 - 172800000000 ELSE x.b1 END,
+             |    e.t,
+             |    x.b1 >= 172800000000
+             |  FROM st s
+             |  JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1,
+             |  LATERAL (SELECT CASE WHEN s.last_t IS NULL THEN 518400000000
+             |    ELSE least(518400000000, s.bucket + e.t - s.last_t) END AS b1) x)
+             |SELECT e.k, e.ts, e.tb
+             |FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn
+             |WHERE s.kept
+             |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into

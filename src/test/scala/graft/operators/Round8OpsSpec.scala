@@ -275,6 +275,39 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBucket: bursts spend the budget, refill is continuous, burst=1 ≡ keepFirstPerTtl") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ttl = 10L * 1000000L // 10 s per token
+    // burst 3: three immediate admits, 4th blocked, refill re-admits
+    val df = Seq(
+      (1L, t(0), 1L), (1L, t(1), 2L), (1L, t(2), 3L), // 3 admits (burst)
+      (1L, t(3), 4L),  // bucket 1s-worth: blocked
+      (1L, t(9), 5L),  // bucket 7s-worth: blocked
+      (1L, t(13), 6L), // bucket 11s ≥ 10s: admitted
+      (1L, t(14), 7L)) // bucket 2s: blocked
+      .toDF("k", "ts", "id")
+    val got = Throttle.tokenBucket(df, $"k", $"ts", $"id", ttl, burst = 3)
+      .collect().map(_.getLong(2)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 6L))
+
+    // burst = 1 degenerates to keepFirstPerTtl on random histories
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      secs <- Gen.listOfN(n, Gen.chooseNum(0L, 100L))
+    } yield secs.zipWithIndex.map { case (sc, i) => (sc, i.toLong) }
+    val prop = Prop.forAll(gen) { evs =>
+      val d = evs.map { case (sec, id) => (7L, t(sec), id) }.toDF("k", "ts", "id")
+      val a = Throttle.tokenBucket(d, $"k", $"ts", $"id", ttl, burst = 1)
+        .collect().map(_.getLong(2)).toSet
+      val b = Throttle.keepFirstPerTtl(d, $"k", $"ts", $"id", ttl)
+        .collect().map(_.getLong(2)).toSet
+      a == b
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("weightedQuantile: crossing lands on the exact value; ties cannot move it") {
     // group g: values 1 (w=1), 2 (w=2), 3 (w=1): total 4, half 2 →
     // smallest v with cumW ≥ 2 is 2

@@ -5,10 +5,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SLOWLY-CHANGING-DIMENSION TYPE 2 build — turn an append-only
-  * change log (one row per observation of an entity's attributes)
-  * into the warehouse dimension shape: one row per VERSION of the
-  * entity with `[valid_from, valid_to)` validity, a dense version
-  * number, and an `is_current` flag. The reference's demo rebuilds
+  * OBSERVATION log (one row per sighting of an entity's attributes,
+  * no-op repeats included) into the warehouse dimension shape: one
+  * row per VERSION of the entity with `[valid_from, valid_to)`
+  * validity, a dense version number, and an `is_current` flag.
+  *
+  * Relation to [[Cdc.scd2History]] (the change-feed consumer): that
+  * op trusts its input to already BE the change feed — explicit
+  * per-key version numbers, tombstone deletes, loud failure on
+  * duplicates. This one starts one step earlier, from raw repeated
+  * observations (the ingest shape when upstream has no CDC), derives
+  * the change set itself via null-safe run collapse, and adds what a
+  * maintained dimension needs next: [[applyDelta]] incremental merge
+  * and the q208 streaming-maintenance loop. The reference's demo rebuilds
   * its silver tables from scratch per document; a deployed payer
   * pipeline ingests monthly MRF revisions, and "what was this rate's
   * network on June 3rd" is exactly the SCD2 point-in-time question

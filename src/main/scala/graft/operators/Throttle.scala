@@ -101,6 +101,80 @@ object Throttle {
 
   final case class ThrottleEv(k: Long, ts: java.sql.Timestamp, tb: Long)
 
+  /** Buffered event + the throttle's event-time state — the same
+    * watermark-buffer shape as
+    * [[graft.streaming.PatternMatch.BufState]] (that scaladoc carries
+    * the template's invariants): `lastKept` is the machine (one
+    * scalar, MinValue = nothing kept yet), `drainedTo` the sealed
+    * horizon, `buf` the unsealed events bounded by the lateness
+    * window.
+    */
+  final case class ThrottleBufState(
+      lastKept: Long, drainedTo: Long, buf: Seq[(Long, Long)])
+
+  /** OUT-OF-ORDER-tolerant streaming throttle — the production twin
+    * of [[streamingKeepFirstPerTtl]], built on the watermark-buffer
+    * template ([[graft.streaming.PatternMatch.detectEventTime]] is
+    * the first instance; the invariants are identical): arrivals
+    * buffer per key, seal in (event-time, tiebreak) order once the
+    * watermark passes them, fold through the same keep-first-per-ttl
+    * machine, and the emitted admissions are a pure function of the
+    * event multiset. State self-cleans: a key whose buffer is empty
+    * and whose last admission is more than ttl behind the watermark
+    * can never suppress a future event (any future sealed event has
+    * t > wm ≥ lastKept + ttl → admitted regardless), so its state is
+    * REMOVED; an EventTimeTimeout re-invokes idle keys to seal and
+    * clean without new arrivals.
+    */
+  def streamingKeepFirstPerTtlEventTime(
+      events: org.apache.spark.sql.Dataset[ThrottleEv],
+      ttlUs: Long,
+      delay: String): org.apache.spark.sql.Dataset[ThrottleEv] = {
+    require(ttlUs > 0, s"ttlUs must be > 0, got $ttlUs")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+    events.withWatermark("ts", delay)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[ThrottleEv], st: GroupState[ThrottleBufState]) =>
+          val wmMs = st.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = st.getOption.getOrElse(
+            ThrottleBufState(Long.MinValue, Long.MinValue, Vector.empty))
+          val incoming = it.map(e => (micros(e.ts), e.tb))
+            .filter(_._1 > prev.drainedTo)
+          val buf = prev.buf ++ incoming
+          val (sealedEvs, pending) = buf.partition(_._1 <= wmUs)
+          var last = prev.lastKept
+          val kept = sealedEvs.sortBy(identity).filter { case (t, _) =>
+            if (last == Long.MinValue || t - last >= ttlUs) { last = t; true }
+            else false
+          }
+          // dead state: empty buffer and the last admission so old
+          // that every future sealed event re-admits anyway
+          val dead = pending.isEmpty &&
+            (last == Long.MinValue || wmUs - last >= ttlUs)
+          if (dead) {
+            if (st.exists) st.remove()
+          } else {
+            st.update(ThrottleBufState(
+              last, math.max(prev.drainedTo, wmUs), pending))
+            val nextUs =
+              if (pending.nonEmpty) pending.map(_._1).min else last + ttlUs
+            st.setTimeoutTimestamp(math.max(ceilMs(nextUs), wmMs + 1L))
+          }
+          kept.map { case (t, tb) => ThrottleEv(k, toTs(t), tb) }.iterator
+      }
+  }
+
   /** TOKEN-BUCKET admission — [[keepFirstPerTtl]]'s burst-capable
     * generalization: a key holds up to `burst` tokens, one token
     * refills every `ttlUs`, each ADMITTED event spends one; a quiet

@@ -1075,6 +1075,36 @@ object ScaleOps6 {
              |WHERE s.kept
              |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
 
+    // ---- q223: OUT-OF-ORDER STREAMING THROTTLE — q212's admission
+    // stream with batch membership scrambled exactly like q203 (a
+    // hash-chosen half of each slice's trailing day arrives one
+    // micro-batch late, inside the 2-day watermark delay), through
+    // the watermark-buffered event-time throttle. Oracle = the q206
+    // recursive replay verbatim (multiset unchanged). The flush
+    // sentinel stays PENDING by design (the watermark never passes
+    // it), so exactly one state row survives — asserted, the rest
+    // drained.
+    Q(
+      "q223_streaming_throttle_unordered",
+      (s, d) => streamingThrottleUnordered(s, d),
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id AS k, ts, epoch_us(ts) AS t, event_id AS tb,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |st(k, rn, last_kept, kept) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), false
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000
+             |         THEN e.t ELSE s.last_kept END,
+             |    (s.last_kept IS NULL OR e.t - s.last_kept >= 172800000000)
+             |  FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+             |SELECT e.k, e.ts, e.tb
+             |FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn
+             |WHERE s.kept
+             |ORDER BY e.k, e.ts, e.tb""".stripMargin)),
+
     // ---- q208: STREAMING SCD2 MAINTENANCE — the q205 incremental
     // merge under a real micro-batch stream: three time-ordered order
     // slices arrive as separate batches; foreachBatch folds each into
@@ -1142,6 +1172,69 @@ object ScaleOps6 {
         require(dataBatches >= 3,
           s"q212 ran $dataBatches data micro-batch(es); cross-batch suppression " +
             "needs all 3 slices as separate batches")
+        s.table(name)
+          .select($"k", $"ts", $"tb")
+          .orderBy($"k", $"ts", $"tb")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
+
+  /** q223's drive: the q203 scrambled staging (hash-chosen trailing
+    * bands one batch late + far-future sentinel) feeding
+    * [[graft.operators.Throttle.streamingKeepFirstPerTtlEventTime]];
+    * exactly ONE state row (the pending sentinel) may survive.
+    */
+  private def streamingThrottleUnordered(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q223_throttle_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull)
+        .select($"user_id".as("k"), $"ts", $"event_id".as("tb"))
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"tb"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit(-1L).as("k"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit(-1L).as("tb"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q223_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.operators.Throttle.streamingKeepFirstPerTtlEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.operators.Throttle.ThrottleEv],
+        ttlUs = 2L * 86400L * 1000000L,
+        delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q223 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q223 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val stateRows = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(stateRows.contains(1L),
+          s"q223 expected exactly the pending-sentinel state row, got $stateRows")
         s.table(name)
           .select($"k", $"ts", $"tb")
           .orderBy($"k", $"ts", $"tb")

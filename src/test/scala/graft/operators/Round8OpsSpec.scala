@@ -275,6 +275,48 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("streamingKeepFirstPerTtlEventTime: shuffled + late arrivals ≡ batch; state drains") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // NOT epoch 0: an event at ts <= the initial watermark (0) is
+    // pre-filtered by the stateful operator's late-row guard
+    def t(sec: Long) = new java.sql.Timestamp((1000L + sec) * 1000L)
+    val ttl = 10L * 1000000L
+    val ordered = Seq(
+      Throttle.ThrottleEv(1L, t(0), 1L), Throttle.ThrottleEv(1L, t(5), 2L),
+      Throttle.ThrottleEv(1L, t(12), 3L), Throttle.ThrottleEv(1L, t(21), 4L),
+      Throttle.ThrottleEv(2L, t(3), 5L), Throttle.ThrottleEv(2L, t(4), 6L))
+    val expected = Throttle.keepFirstPerTtl(
+      ordered.toDF().select($"k", $"ts", $"tb"), $"k", $"ts", $"tb", ttl)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // batch 1: a shuffled subset missing two events; batch 2: the rest
+    // shuffled INCLUDING the two one-batch-late events (ids 2 and 5,
+    // inside the 60 s lateness horizon); batch 3: far-future flush
+    val late = ordered.filter(e => Set(2L, 5L).contains(e.tb))
+    val cutMs = t(5).getTime
+    val b1 = scala.util.Random.shuffle(
+      ordered.filter(e => e.ts.getTime <= cutMs && !Set(2L, 5L).contains(e.tb)))
+    val b2 = scala.util.Random.shuffle(
+      ordered.filter(_.ts.getTime > cutMs) ++ late)
+    val input = MemoryStream[Throttle.ThrottleEv]
+    val q = Throttle.streamingKeepFirstPerTtlEventTime(
+      input.toDS(), ttl, delay = "60 seconds")
+      .writeStream.format("memory").queryName("throttle_ooo_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(Throttle.ThrottleEv(99L, t(100000), 99L)); q.processAllAvailable()
+      val got = spark.table("throttle_ooo_out").as[Throttle.ThrottleEv]
+        .collect().map(e => (e.k, e.ts, e.tb)).toSet
+      assert(got == expected, s"diverged: got $got expected $expected")
+      // only the pending flush event's state row survives
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 1L, s"state store not drained to the sentinel: $stateRows")
+    } finally q.stop()
+  }
+
   test("tokenBucket: bursts spend the budget, refill is continuous, burst=1 ≡ keepFirstPerTtl") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ttl = 10L * 1000000L // 10 s per token

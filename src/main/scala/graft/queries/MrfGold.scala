@@ -567,6 +567,73 @@ object MrfGold {
              |  'TIN-' || CAST(gid AS VARCHAR) AS tin_value
              |FROM refs JOIN prov USING (gid)
              |WHERE (p_partkey % 20) = 7 AND gid = 8
-             |ORDER BY file_name, negotiated_rate, npi_csv""".stripMargin))
+             |ORDER BY file_name, negotiated_rate, npi_csv""".stripMargin)),
+
+    // ---- q224: PER-CODE RATE OUTLIERS — the robust-statistics
+    // operators composed onto the MRF domain: for every billing code,
+    // the EXACT per-group median rate ([[graft.operators
+    // .WeightedQuantile]] with unit weights — smallest value whose
+    // cumulative count reaches half), the exact MAD (a second
+    // per-group selection over the derived |rate − median|), and the
+    // count of rates beyond median + 3·MAD — "which negotiated rates
+    // are anomalous for this service" asked of the full silver rate
+    // table. Everything is a data value or a single IEEE expression
+    // over data values — hash-exact, no tolerance.
+    Q(
+      "q224_mrf_rate_outliers",
+      (s, d) => {
+        import s.implicits._
+        val sv = MrfPipeline.silver(stagedBronze(s, d, "q224_mrf"))
+        val rates = sv.codes.filter($"negotiation_arrangement" === "ffs")
+          .select($"sk_in_network_id", $"billing_code")
+          .join(sv.prices.select($"sk_in_network_id", $"negotiated_rate"),
+            "sk_in_network_id")
+          .select($"billing_code", $"negotiated_rate")
+          .localCheckpoint(true) // three consumers below
+        val med = graft.operators.WeightedQuantile.weightedQuantile(
+          rates, $"billing_code", $"negotiated_rate", lit(1.0), 1, 2)
+          .toDF("billing_code", "med")
+        val withMed = rates.join(med, "billing_code")
+        val mad = graft.operators.WeightedQuantile.weightedQuantile(
+          withMed.select($"billing_code",
+            abs($"negotiated_rate" - $"med").as("dev")),
+          $"billing_code", $"dev", lit(1.0), 1, 2)
+          .toDF("billing_code", "mad")
+        withMed.join(mad, "billing_code")
+          .groupBy($"billing_code")
+          .agg(
+            count(lit(1)).as("n"),
+            first($"med").as("med"),
+            first($"mad").as("mad"),
+            sum(when($"negotiated_rate" > $"med" + lit(3.0) * $"mad", 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy($"billing_code")
+      },
+      Some("""WITH p AS (SELECT p_partkey AS p FROM part WHERE p_partkey <= 40),
+             |r AS MATERIALIZED (SELECT CAST(p % 20 AS VARCHAR) AS bc,
+             |    (p * 100 + j * 7) / 100.0 AS rate
+             |  FROM p, (SELECT unnest([0, 1]) AS j)),
+             |rk AS MATERIALIZED (SELECT bc, rate,
+             |    row_number() OVER (PARTITION BY bc ORDER BY rate) AS rn,
+             |    count(*) OVER (PARTITION BY bc) AS n
+             |  FROM r),
+             |med AS (SELECT bc, rate AS med FROM rk
+             |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+             |dv AS MATERIALIZED (SELECT r.bc, abs(r.rate - m.med) AS dev, m.med
+             |  FROM r JOIN med m ON r.bc = m.bc),
+             |dk AS MATERIALIZED (SELECT bc, dev,
+             |    row_number() OVER (PARTITION BY bc ORDER BY dev) AS rn,
+             |    count(*) OVER (PARTITION BY bc) AS n
+             |  FROM dv),
+             |mad AS (SELECT bc, dev AS mad FROM dk
+             |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+             |SELECT r.bc AS billing_code, count(*) AS n,
+             |  any_value(m.med) AS med, any_value(d.mad) AS mad,
+             |  CAST(sum(CASE WHEN r.rate > m.med + 3.0 * d.mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM r
+             |JOIN med m ON r.bc = m.bc
+             |JOIN mad d ON r.bc = d.bc
+             |GROUP BY r.bc ORDER BY billing_code""".stripMargin))
   )
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact RANK-SUM statistics per group — the shared machinery behind
+  * ROC-AUC and the Mann-Whitney U test, both of which are the same
+  * quantity (AUC = U₁/(n₁·n₀), the probability a positive outranks a
+  * negative, ties counted half — Hanley & McNeil 1982; Mann & Whitney
+  * 1947).
+  *
+  * The statistic needs every row's MIDRANK (ties share the average
+  * rank), which naively is a per-group global sort — `rank() OVER
+  * (PARTITION BY g ORDER BY v)` puts an entire group's rows on one
+  * reducer at 100 TB. Instead this reuses [[Sampling.percentileRank]]'s
+  * two-phase geometry, one level coarser: rows first collapse to
+  * DISTINCT (group, value) cells (one partial-aggregable pass — ties
+  * never travel individually), cells land in `buckets` equal-width
+  * bins of their group's [min, max] range, per-(group, bucket) cell
+  * counts prefix-sum into exclusive lower-bucket offsets (a window
+  * over ≤ `buckets` rows per group, never the data), and the exact
+  * in-bucket cumulative runs only WITHIN each (group, bucket)
+  * partition — each task owns ~cells/buckets cells, no reducer owns a
+  * group. Midranks are bucket-invariant: bucketing is monotone in v
+  * and equal values share a bucket, so the derived ranks are exactly
+  * the global ones regardless of where the boundaries fall (no float
+  * edge case can desync them — contrast the bin-id-predicate care
+  * [[ExactQuantile]] needs, which this construction sidesteps).
+  *
+  * Everything stays EXACT integer/decimal arithmetic (doubled
+  * midranks `2·r` dodge the .5 halves; the rank-sum and tie-cube
+  * sums accumulate in decimal(38,0) so petabyte-scale groups cannot
+  * overflow a long); the single double division per output statistic
+  * is pinned-order, so DuckDB oracles hash-match bit-for-bit.
+  *
+  * Contract: `value` must be numeric, non-null and finite (NaN/±Inf
+  * corrupt the bucket geometry — they raise instead); `label` must be
+  * 0/1 (membership in the positive class / sample 1).
+  */
+object RankStats {
+
+  /** Per-group exact rank-sum sufficient statistics over the distinct
+    * value cells: n (rows), n1 (label-1 rows), r1x2 (2 × the sum of
+    * sample-1 midranks, exact), ties (Σ t³−t over tie groups, the
+    * variance-correction term). Columns: k, n, n1, r1x2, ties.
+    */
+  def rankSumStats(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      label: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val vD = value.cast("double")
+    val vG = when(vD.isNull || isnan(vD) || vD === Double.PositiveInfinity ||
+      vD === Double.NegativeInfinity, raise_error(lit(
+      "rankSumStats: value must be non-null and finite"))).otherwise(vD)
+    val yL = label.cast("long")
+    val yG = when(yL.isNull || (yL =!= 0L && yL =!= 1L), raise_error(lit(
+      "rankSumStats: label must be 0 or 1"))).otherwise(yL)
+    val base = df.select(key.as("k"), vG.as("v"), yG.as("y"))
+    // ties collapse here: one cell per distinct (group, value)
+    val cells = base.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val spans = cells.groupBy(col("k"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val withSpan = cells.join(spans, Seq("k"))
+    val span = col("hi") - col("lo")
+    val bucketed = withSpan.withColumn("b",
+      when(span === 0.0, lit(0)).otherwise(
+        least(floor((col("v") - col("lo")) / span * buckets).cast("int"),
+          lit(buckets - 1))))
+    val counts = bucketed.groupBy(col("k"), col("b")).agg(sum(col("c")).as("cb"))
+    val wPrefix = Window.partitionBy(col("k")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = counts
+      .withColumn("e", sum(col("cb")).over(wPrefix) - col("cb"))
+      .select(col("k").as("pk"), col("b").as("pb"), col("e"))
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed
+      .join(prefixes, col("k") === col("pk") && col("b") === col("pb"))
+      .withColumn("cbin", sum(col("c")).over(wIn) - col("c"))
+      // doubled midrank: 2·(exclusive count below) + t + 1 — integer
+      .withColumn("mr2",
+        lit(2L) * (col("e") + col("cbin")) + col("c") + lit(1L))
+    val d12 = "decimal(12,0)"
+    ranked.groupBy(col("k")).agg(
+      sum(col("c")).as("n"),
+      sum(col("p")).as("n1"),
+      sum(col("p").cast("decimal(18,0)") * col("mr2").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("r1x2"),
+      sum(col("c").cast(d12) * col("c").cast(d12) * col("c").cast(d12)
+        - col("c").cast(d12)).cast("decimal(38,0)").as("ties"))
+  }
+
+  /** Per-group exact ROC-AUC of `score` against binary `label` —
+    * ties-corrected (each positive/negative tie contributes ½), the
+    * rank formula AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀). Groups with an
+    * empty class emit null (AUC undefined). Output: k, n_pos, n_neg,
+    * auc.
+    */
+  def rocAuc(
+      df: DataFrame,
+      key: Column,
+      score: Column,
+      label: Column,
+      buckets: Int = 1024): DataFrame = {
+    val st = rankSumStats(df, key, score, label, buckets)
+    val n1D = col("n1").cast("double")
+    val n0D = (col("n") - col("n1")).cast("double")
+    st.select(
+      col("k"),
+      col("n1").as("n_pos"),
+      (col("n") - col("n1")).as("n_neg"),
+      when(col("n1") > 0L && col("n") - col("n1") > 0L,
+        (col("r1x2").cast("double") - n1D * (n1D + lit(1.0)))
+          / (lit(2.0) * n1D * n0D))
+        .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
+  /** Per-group MANN-WHITNEY U test — the nonparametric two-sample
+    * shift test ([[graft.operators.Experiment]]'s Welch t is its
+    * parametric sibling): U₁ from sample-1 rank sums, the normal
+    * approximation z with the standard TIE-CORRECTED variance
+    * n₁n₀/12 · ((N+1) − Σ(t³−t)/(N(N−1))). Degenerate groups (an
+    * empty sample, or every value tied so the variance is 0) emit
+    * null z. Output: k, n1, n0, u1, z.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      sample1: Column,
+      buckets: Int = 1024): DataFrame = {
+    val st = rankSumStats(df, key, value, sample1, buckets)
+    val n1D = col("n1").cast("double")
+    val n0D = (col("n") - col("n1")).cast("double")
+    val nD = col("n").cast("double")
+    val u1 = (col("r1x2").cast("double") - n1D * (n1D + lit(1.0))) / lit(2.0)
+    val varU = n1D * n0D / lit(12.0) *
+      ((nD + lit(1.0)) - col("ties").cast("double") / (nD * (nD - lit(1.0))))
+    st.select(
+      col("k"),
+      col("n1"),
+      (col("n") - col("n1")).as("n0"),
+      when(col("n1") > 0L && col("n") - col("n1") > 0L, u1)
+        .otherwise(lit(null).cast("double")).as("u1"),
+      when(col("n1") > 0L && col("n") - col("n1") > 0L && varU > 0.0,
+        (u1 - n1D * n0D / lit(2.0)) / sqrt(varU))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LARGEST-REMAINDER integer allocation (Hamilton/Hare apportionment):
+  * split an integer `total` among each group's items proportionally to
+  * their integer weights, exactly — Σ alloc = total per group, every
+  * item gets ⌊total·w/W⌋, and the leftover units go one-each to the
+  * largest remainders (ties broken by item ascending, so the result is
+  * a pure function of the data). The budget/quota/shard-assignment
+  * primitive: floats can't do this (their shares don't sum to the
+  * total); the entire computation here is int64 arithmetic, so the
+  * oracle hash-matches with no tolerance.
+  *
+  * Scale: weights collapse to one row per (group, item) in a
+  * partial-aggregable pass; group totals join back (AQE broadcasts the
+  * per-group frame); the only window is the remainder rank over the
+  * AGGREGATED (group, item) frame — partitioned per group, bounded by
+  * items-per-group, never the raw data. Overflow is guarded:
+  * total·w must fit int64, so w ≤ Long.Max/total raises loudly.
+  *
+  * Contract: weights must be non-negative longs; a group whose total
+  * weight is 0 cannot be allocated (division by zero) and raises.
+  */
+object Allocation {
+
+  /** One row per (group, item): `alloc` with Σ alloc = `total` within
+    * every group. `weight` is summed per (group, item) first, so `df`
+    * may carry raw detail rows.
+    */
+  def largestRemainder(
+      df: DataFrame,
+      group: Column,
+      item: Column,
+      weight: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val wL = weight.cast("long")
+    val wG = when(wL.isNull || wL < 0L, raise_error(lit(
+      "largestRemainder: weight must be a non-negative long"))).otherwise(wL)
+    val items = df.select(group.as("g"), item.as("i"), wG.as("w"))
+      .groupBy(col("g"), col("i")).agg(sum(col("w")).as("w"))
+      // the guard rides a payload column, not the keys (q108 lesson)
+      .select(col("g"), col("i"),
+        when(col("w") > Long.MaxValue / math.max(total, 1L), raise_error(concat(
+          lit(s"largestRemainder: total * weight overflows int64 for item "),
+          col("i").cast("string")))).otherwise(col("w")).as("w"))
+    val totals = items.groupBy(col("g")).agg(sum(col("w")).as("gw"))
+      .select(col("g").as("tg"),
+        when(col("gw") === 0L && lit(total) > 0L, raise_error(concat(
+          lit("largestRemainder: group "), col("tg").cast("string"),
+          lit(" has zero total weight — nothing to allocate against"))))
+          .otherwise(col("gw")).as("gw"))
+    val based = items.join(totals, col("g") === col("tg"))
+      .select(col("g"), col("i"), col("w"),
+        (lit(total) * col("w")).as("tw"), col("gw"))
+      // `div` is INTEGRAL division (long/long `/` would detour through
+      // a double and lose exactness past 2^53); operands are
+      // non-negative so truncation = floor in both engines
+      .select(col("g"), col("i"),
+        expr("tw div gw").as("base"),
+        (col("tw") % col("gw")).as("rem"))
+    val leftovers = based.groupBy(col("g")).agg((lit(total) - sum(col("base"))).as("r"))
+      .select(col("g").as("lg"), col("r"))
+    val wRank = Window.partitionBy(col("g"))
+      .orderBy(col("rem").desc, col("i").asc)
+    based.join(leftovers, col("g") === col("lg"))
+      .withColumn("rn", row_number().over(wRank))
+      .select(col("g").as("group"), col("i").as("item"),
+        (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L)).as("alloc"))
+  }
+}

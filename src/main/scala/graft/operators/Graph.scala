@@ -522,6 +522,77 @@ object Graph {
     frontierLoop(sym, labels0, frontier0, maxIter)
   }
 
+  /** Bounded-round WEIGHTED single-source shortest paths — `rounds`
+    * synchronous Bellman-Ford relaxations over an undirected weighted
+    * edge list, returning each reached node's EXACT minimum path cost
+    * over paths of at most `rounds` edges (the standard bounded-hop
+    * SSSP contract; run with rounds ≥ diameter for the unbounded
+    * answer). Frontier-restricted like
+    * [[connectedComponentsFrontier]]: each round relaxes ONLY edges
+    * incident to nodes whose distance improved last round — a no-op
+    * relaxation is never re-sent — and the loop exits early when the
+    * frontier empties. Frontier Bellman-Ford computes exactly the
+    * full relaxation's per-round distances (a node that did not
+    * improve re-relaxes to the same values it already sent), so the
+    * bounded-hop semantics survive the optimization.
+    *
+    * Costs stay exact long arithmetic end to end. Parallel edges
+    * collapse to their minimum weight; weights must be non-negative
+    * longs (negative weights break the min-merge; they raise).
+    * Per round: one frontier-edge join + min-aggregation, one
+    * improvement anti-check against the running distances, one
+    * min-merge — each round's result is `localCheckpoint`ed so the
+    * plan stays constant-size ([[bfsHops]] discipline; rounds are
+    * small by contract).
+    */
+  def ssspBoundedRounds(
+      edgesIn: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      source: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    def guarded(c: Column, side: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"ssspBoundedRounds: null/non-numeric $side endpoint")))
+        .otherwise(c.cast("long"))
+    val wG = when(weight.cast("long").isNull || weight.cast("long") < 0L,
+      raise_error(lit("ssspBoundedRounds: weight must be a non-negative long")))
+      .otherwise(weight.cast("long"))
+    val e0 = edgesIn
+      .select(guarded(src, "src").as("a"), guarded(dst, "dst").as("b"), wG.as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var done = false
+    while (!done && r < rounds) {
+      val cand = sym.join(frontier, col("node") === col("a"))
+        .select(col("b").as("cn"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("cn")).agg(min(col("nd")).as("cd"))
+      val improved = cand.join(dist, col("cn") === col("node"), "left")
+        .filter(col("dist").isNull || col("cd") < col("dist"))
+        .select(col("cn").as("node"), col("cd").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+        r += 1
+      }
+    }
+    dist
+  }
+
   private def symmetrized(
       edgesIn: DataFrame, src: Column, dst: Column, op: String): DataFrame = {
     def guarded(c: Column, side: String) =

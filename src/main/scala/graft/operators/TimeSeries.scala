@@ -207,6 +207,88 @@ object TimeSeries {
         (col("__st").getItem(0) + col("__st").getItem(1)).as("forecast_next"))
   }
 
+  /** Per-key HOLT-WINTERS additive seasonal smoothing — [[holtLinear]]
+    * plus a length-`m` seasonal component (triple exponential
+    * smoothing, Winters 1960), the weekly-rhythm-aware forecaster:
+    *
+    *   l_t = α·(x_t − c_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   c_t = γ·(x_t − l_t) + (1−γ)·c_{t−m}
+    *
+    * seeded l₁ = x₁, b₁ = 0, c_{≤1} = 0 (the explicit
+    * deterministic init — textbook variants differ here, so the
+    * recurrence above IS the contract). Runs over the DENSE
+    * zero-filled grid from [[gapFill]] — season position is
+    * calendar-true; a gap would otherwise silently rotate the
+    * seasonal register. Returns the final level/trend, the seasonal
+    * factor the next period will use, and the one-step-ahead forecast
+    * l + b + c_{t+1−m}.
+    *
+    * The fold is ONE `aggregate` HOF per key over the sorted period
+    * array (bounded by `maxPeriodsPerKey` via gapFill's guard); the
+    * accumulator is a (2+m)-element double array rotated each step —
+    * head is the factor the CURRENT step consumes, the fresh factor
+    * appends at the tail. α/β/γ must be dyadic (k/4096) and the fold
+    * order is pinned; oracles replay the identical op order
+    * (list_reduce) and compare within 1e-9.
+    */
+  def holtWinters(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      m: Int = 7,
+      alpha: Double = 0.25,
+      beta: Double = 0.125,
+      gamma: Double = 0.25,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    for ((nm, x) <- Seq("alpha" -> alpha, "beta" -> beta, "gamma" -> gamma)) {
+      require(x > 0.0 && x < 1.0, s"$nm must be in (0, 1), got $x")
+      require(x * 4096.0 == math.rint(x * 4096.0),
+        s"$nm must be an exact dyadic rational (k/4096), got $x")
+    }
+    val grid = gapFill(events, key, ts, value, periodSeconds, "zero", maxPeriodsPerKey)
+    def step(acc: Column, e: Column): Column = {
+      val l = acc.getItem(0)
+      val b = acc.getItem(1)
+      val c = acc.getItem(2)
+      val x = e.getField("vd")
+      // nl repeated verbatim in the trend and seasonal updates — a
+      // fold lambda cannot bind intermediates; the identical
+      // expression yields the identical double
+      val nl = lit(alpha) * (x - c) + lit(1.0 - alpha) * (l + b)
+      concat(
+        array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b),
+        slice(acc, 4, m - 1),
+        array(lit(gamma) * (x - nl) + lit(1.0 - gamma) * c))
+    }
+    grid.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        max(col("period")).as("last_period"),
+        sort_array(collect_list(struct(col("period"), col("value").as("vd"))))
+          .as("series"))
+      .select(
+        col("key"),
+        col("n_periods"),
+        col("last_period"),
+        aggregate(
+          slice(col("series"), lit(2), size(col("series")) - 1),
+          concat(
+            array(element_at(col("series"), 1).getField("vd"), lit(0.0)),
+            array_repeat(lit(0.0), m)),
+          step).as("__st"))
+      .select(col("key"), col("n_periods"), col("last_period"),
+        col("__st").getItem(0).as("level"),
+        col("__st").getItem(1).as("trend"),
+        col("__st").getItem(2).as("season_next"),
+        (col("__st").getItem(0) + col("__st").getItem(1) + col("__st").getItem(2))
+          .as("forecast_next"))
+  }
+
   /** Per-key THEIL-SEN robust slope — the median of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)` over each key's period-sum
     * series (Theil 1950 / Sen 1968): the robust-trend complement to

@@ -109,6 +109,262 @@ object ScaleOps7 {
              |  CASE WHEN n1 > 0 AND n0 > 0 AND var_u > 0 THEN
              |    (u1 - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 2.0) / sqrt(var_u)
              |  END AS z
-             |FROM fin ORDER BY event_type""".stripMargin))
+             |FROM fin ORDER BY event_type""".stripMargin)),
+
+    // ---- q227: BOUNDED-ROUND WEIGHTED SSSP — minimum path cost from
+    // supplier 0 over the q152 supplier—part graph, edges weighted by
+    // the minimum shipped quantity, within ≤ 4 edges. Frontier
+    // Bellman-Ford ([[graft.operators.Graph.ssspBoundedRounds]]);
+    // exact long costs. The oracle unrolls the same four synchronous
+    // relaxation rounds as chained min-collapse CTEs (a recursive CTE
+    // would enumerate PATHS and explode; per-round min collapse is
+    // the algorithm itself, so the replay is by construction).
+    Q(
+      "q227_sssp_bounded",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.lineitem(s, d).select(
+          ($"l_suppkey" * 2).as("sa"), ($"l_partkey" * 2 + 1).as("pb"),
+          $"l_quantity".cast("long").as("w"))
+        graft.operators.Graph.ssspBoundedRounds(
+          e, $"sa", $"pb", $"w", source = 0L, rounds = 4)
+          .select(
+            when($"node" % 2 === 0, "s").otherwise("p").as("node_kind"),
+            expr("node div 2").as("key"), $"dist")
+          .orderBy($"node_kind", $"key")
+      },
+      Some("""WITH ed0 AS MATERIALIZED (
+             |  SELECT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b,
+             |    min(CAST(l_quantity AS BIGINT)) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |ed AS MATERIALIZED (
+             |  SELECT a, b, min(w) AS w FROM (
+             |    SELECT a, b, w FROM ed0
+             |    UNION ALL SELECT b AS a, a AS b, w FROM ed0)
+             |  GROUP BY a, b),
+             |d0 AS MATERIALIZED (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+             |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d0
+             |  UNION ALL SELECT ed.b AS node, d0.dist + ed.w AS dist
+             |  FROM d0 JOIN ed ON d0.node = ed.a) GROUP BY node),
+             |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d1
+             |  UNION ALL SELECT ed.b AS node, d1.dist + ed.w AS dist
+             |  FROM d1 JOIN ed ON d1.node = ed.a) GROUP BY node),
+             |d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d2
+             |  UNION ALL SELECT ed.b AS node, d2.dist + ed.w AS dist
+             |  FROM d2 JOIN ed ON d2.node = ed.a) GROUP BY node),
+             |d4 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d3
+             |  UNION ALL SELECT ed.b AS node, d3.dist + ed.w AS dist
+             |  FROM d3 JOIN ed ON d3.node = ed.a) GROUP BY node)
+             |SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END AS node_kind,
+             |  node // 2 AS key, dist
+             |FROM d4 ORDER BY node_kind, key""".stripMargin)),
+
+    // ---- q228: HOLT-WINTERS additive seasonal smoothing — per
+    // event type's DAILY value series with a weekly (m=7) seasonal
+    // register, over the zero-filled dense grid (season position is
+    // calendar-true). q185's fold geometry with a 9-element rotating
+    // accumulator; the oracle replays the identical op order via
+    // list_reduce (seed = the first 9-element element, the q185
+    // trick) and gates at 1e-9 (the daily decimal→double cast ulp).
+    Q(
+      "q228_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.holtWinters(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L,
+          m = 7, alpha = 0.25, beta = 0.125, gamma = 0.25)
+          .orderBy($"key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q228_holt_winters/*.parquet')),
+             |o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vd
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |gv AS (SELECT g.k, g.period, coalesce(o.vd, CAST('0' AS DOUBLE)) AS vd
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |se AS (SELECT k, count(*) AS n, max(period) AS lastp,
+             |    list([vd, CAST('0' AS DOUBLE), CAST('0' AS DOUBLE), CAST('0' AS DOUBLE),
+             |          CAST('0' AS DOUBLE), CAST('0' AS DOUBLE), CAST('0' AS DOUBLE),
+             |          CAST('0' AS DOUBLE), CAST('0' AS DOUBLE)] ORDER BY period) AS l
+             |  FROM gv GROUP BY k),
+             |ex AS (SELECT k, n, lastp,
+             |    list_reduce(l, (acc, x) ->
+             |      [CAST('0.25' AS DOUBLE) * (x[1] - acc[3])
+             |         + CAST('0.75' AS DOUBLE) * (acc[1] + acc[2]),
+             |       CAST('0.125' AS DOUBLE) * ((CAST('0.25' AS DOUBLE) * (x[1] - acc[3])
+             |           + CAST('0.75' AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+             |         + CAST('0.875' AS DOUBLE) * acc[2]]
+             |      || acc[4:9]
+             |      || [CAST('0.25' AS DOUBLE) * (x[1] - (CAST('0.25' AS DOUBLE) * (x[1] - acc[3])
+             |            + CAST('0.75' AS DOUBLE) * (acc[1] + acc[2])))
+             |          + CAST('0.75' AS DOUBLE) * acc[3]]) AS st
+             |  FROM se),
+             |expect AS (SELECT k, n, lastp, st[1] AS level, st[2] AS trend,
+             |    st[3] AS sn, st[1] + st[2] + st[3] AS fc FROM ex),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND (SELECT count(DISTINCT key) FROM emitted) = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON e.key = x.k
+             |      WHERE e.n_periods <> x.n OR e.last_period <> x.lastp
+             |         OR abs(e.level - x.level) > 1e-9 OR abs(e.trend - x.trend) > 1e-9
+             |         OR abs(e.season_next - x.sn) > 1e-9
+             |         OR abs(e.forecast_next - x.fc) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.key NOT IN (SELECT k FROM expect))
+             |  ) AS ok)
+             |SELECT key, n_periods, last_period, level, trend, season_next, forecast_next
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q229: LARGEST-REMAINDER ALLOCATION — 1000 budget units per
+    // region split across its nations proportional to order revenue
+    // (exact integer cents). Hamilton apportionment
+    // ([[graft.operators.Allocation]]): Σ alloc = 1000 in every
+    // region by construction, all int64 arithmetic — hash-exact.
+    Q(
+      "q229_largest_remainder",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(Tables.nation(s, d), $"n_nationkey" === $"c_nationkey")
+          .join(Tables.region(s, d), $"r_regionkey" === $"n_regionkey")
+          .select($"r_name", $"n_name",
+            ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        graft.operators.Allocation.largestRemainder(
+          rev, $"r_name", $"n_name", $"cents", total = 1000L)
+          .select($"group".as("region"), $"item".as("nation"), $"alloc")
+          .orderBy($"region", $"nation")
+      },
+      Some("""WITH rev AS MATERIALIZED (
+             |  SELECT r_name AS g, n_name AS i,
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS w
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT g, sum(w) AS gw FROM rev GROUP BY g),
+             |based AS MATERIALIZED (
+             |  SELECT rev.g, i, (1000 * w) // gw AS base, (1000 * w) % gw AS rem
+             |  FROM rev JOIN tot ON rev.g = tot.g),
+             |lo AS (SELECT g, 1000 - sum(base) AS r FROM based GROUP BY g),
+             |rk AS (SELECT based.g, based.i, based.base, lo.r,
+             |    row_number() OVER (PARTITION BY based.g
+             |      ORDER BY based.rem DESC, based.i ASC) AS rn
+             |  FROM based JOIN lo ON based.g = lo.g)
+             |SELECT g AS region, i AS nation,
+             |  CAST(base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM rk ORDER BY region, nation""".stripMargin)),
+
+    // ---- q230: CLAMPED RUNNING BALANCE — per customer, orders fold
+    // as signed cent deltas (even orderkey deposits, odd withdraws)
+    // clamped at zero ([[graft.operators.Ledger]]): the non-linear
+    // inventory recurrence no window aggregate can express. Exact
+    // int64; the oracle is the q222-style recursive integer replay.
+    Q(
+      "q230_clamped_balance",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_custkey", $"o_orderdate", $"o_orderkey",
+          (when($"o_orderkey" % 2 === 0, 1L).otherwise(-1L) *
+            ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("d"))
+        graft.operators.Ledger.clampedRunningSum(
+          o, $"o_custkey", $"o_orderdate", $"o_orderkey", $"d")
+          .orderBy($"key")
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT o_custkey AS k, o_orderkey AS tb,
+             |    (CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) *
+             |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |    AND o_orderkey IS NOT NULL),
+             |st(k, rn, bal, clamps) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN s.bal + e.d < 0 THEN 0 ELSE s.bal + e.d END,
+             |    s.clamps + CASE WHEN s.bal + e.d < 0 THEN 1 ELSE 0 END
+             |  FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1),
+             |fin AS (SELECT k, max(rn) AS mx FROM st GROUP BY k)
+             |SELECT s.k AS key, s.rn AS n_events, s.bal AS final_balance,
+             |  s.clamps AS clamp_count
+             |FROM st s JOIN fin f ON s.k = f.k AND s.rn = f.mx
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q231: ZONE-MAP SKIPPING AUDIT — the same lineitem rows
+    // under two file layouts (64 hash-placed files vs 32-day
+    // shipdate-range files), each layout's per-file min/max zone maps
+    // scored against a one-month shipdate predicate
+    // ([[graft.operators.ZoneMap]]). The number that justifies
+    // clustering at 100 TB: hash placement skips ~nothing, range
+    // placement skips ~everything. All exact integers.
+    Q(
+      "q231_zonemap_audit",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          // the parquet column is TIMESTAMP_NTZ; the session is
+          // pinned UTC so the cast is the identity instant
+          $"l_orderkey", unix_micros($"l_shipdate".cast("timestamp")).as("sd"))
+        val lo = unix_micros(lit("1995-06-01").cast("timestamp"))
+        val hi = unix_micros(lit("1995-06-30").cast("timestamp"))
+        val hashStats = graft.operators.ZoneMap.fileStats(
+          li, graft.operators.KmvSketch.hash60($"l_orderkey") % 64, $"sd")
+        val clusStats = graft.operators.ZoneMap.fileStats(
+          li, floor($"sd" / lit(32L * 86400000000L)).cast("long"), $"sd")
+        def tag(t: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(t).as("layout"), $"n_files", $"n_rows",
+            $"files_skipped", $"rows_skipped", $"rows_scanned")
+        tag("hash64", graft.operators.ZoneMap.skippingSummary(hashStats, lo, hi))
+          .unionByName(
+            tag("date32", graft.operators.ZoneMap.skippingSummary(clusStats, lo, hi)))
+          .orderBy($"layout")
+      },
+      Some(s"""WITH li AS MATERIALIZED (
+             |  SELECT ${graft.operators.KmvSketch.hash60Sql("l_orderkey")} % 64 AS fh,
+             |    CAST(floor(epoch_us(l_shipdate) / 2764800000000) AS BIGINT) AS fc,
+             |    epoch_us(l_shipdate) AS sd
+             |  FROM lineitem),
+             |b AS (SELECT epoch_us(TIMESTAMP '1995-06-01') AS lo,
+             |    epoch_us(TIMESTAMP '1995-06-30') AS hi),
+             |hs AS (SELECT fh, min(sd) AS zmin, max(sd) AS zmax, count(*) AS rows_
+             |  FROM li GROUP BY fh),
+             |cs AS (SELECT fc, min(sd) AS zmin, max(sd) AS zmax, count(*) AS rows_
+             |  FROM li GROUP BY fc),
+             |su AS (
+             |  SELECT 'hash64' AS layout, count(*) AS n_files,
+             |    CAST(sum(rows_) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN rows_ ELSE 0 END) AS BIGINT) AS rows_skipped,
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE rows_ END) AS BIGINT) AS rows_scanned
+             |  FROM hs, b
+             |  UNION ALL
+             |  SELECT 'date32', count(*),
+             |    CAST(sum(rows_) AS BIGINT),
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN rows_ ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE rows_ END) AS BIGINT)
+             |  FROM cs, b)
+             |SELECT layout, n_files, n_rows, files_skipped, rows_skipped, rows_scanned
+             |FROM su ORDER BY layout""".stripMargin))
   )
 }

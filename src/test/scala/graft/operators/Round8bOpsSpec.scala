@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkTestBase
+
+/** Round-8 continuation operators vs brute-force references:
+  * bounded-round SSSP ≡ full Bellman-Ford, largest-remainder
+  * allocation invariants + reference, clamped-balance fold, the
+  * Holt-Winters recurrence, zone-map skipping counts.
+  */
+class Round8bOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(prop: Prop, min: Int = 25): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- reference bounded Bellman-Ford on the symmetrized simple graph
+  private def refSssp(
+      edges: Seq[(Long, Long, Long)], source: Long, rounds: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      .toSeq
+    var dist = Map(source -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.flatMap { case (a, b, w) => dist.get(a).map(da => b -> (da + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  private val genGraph: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 9L)
+      b <- Gen.chooseNum(0L, 9L)
+      w <- Gen.chooseNum(0L, 20L)
+    } yield (a, b, w))
+  } yield es.filter(e => e._1 != e._2)
+
+  test("property: ssspBoundedRounds equals reference Bellman-Ford per round cap") {
+    check(Prop.forAll(genGraph, Gen.chooseNum(0, 5)) { (edges, rounds) =>
+      edges.isEmpty || !edges.exists(e => e._1 == 0L || e._2 == 0L) || {
+        val got = Graph.ssspBoundedRounds(
+          edges.toDF("a", "b", "w"), $"a", $"b", $"w", source = 0L, rounds = rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == refSssp(edges, 0L, rounds)
+      }
+    })
+  }
+
+  test("ssspBoundedRounds: early convergence matches a larger round cap") {
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 9L), (2L, 3L, 2L))
+    val a = Graph.ssspBoundedRounds(edges.toDF("a", "b", "w"), $"a", $"b", $"w", 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.ssspBoundedRounds(edges.toDF("a", "b", "w"), $"a", $"b", $"w", 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a(2L) == 6L && a(3L) == 8L)
+    val neg = intercept[Exception](Graph.ssspBoundedRounds(
+      Seq((0L, 1L, -1L)).toDF("a", "b", "w"), $"a", $"b", $"w", 0L, 2).collect())
+    assert(neg.getMessage.contains("non-negative") ||
+      Option(neg.getCause).exists(_.getMessage.contains("non-negative")))
+  }
+
+  // --- largest remainder
+  private def refAlloc(ws: Seq[(String, Long)], total: Long): Map[String, Long] = {
+    val gw = ws.map(_._2).sum
+    val based = ws.map { case (i, w) => (i, total * w / gw, total * w % gw) }
+    val r = total - based.map(_._2).sum
+    val bump = based.sortBy(x => (-x._3, x._1)).take(r.toInt).map(_._1).toSet
+    based.map { case (i, b, _) => i -> (b + (if (bump(i)) 1L else 0L)) }.toMap
+  }
+
+  private val genWeights: Gen[List[(String, Long)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    ws <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+  } yield ws.zipWithIndex.map { case (w, i) => (f"i$i%02d", w) }
+
+  test("property: largestRemainder sums to total and matches the reference") {
+    check(Prop.forAll(genWeights, Gen.chooseNum(0L, 300L)) { (ws, total) =>
+      ws.map(_._2).sum == 0L || {
+        val got = Allocation.largestRemainder(
+          ws.toDF("i", "w").select(lit("g").as("g"), $"i", $"w"),
+          $"g", $"i", $"w", total)
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        got.values.sum == total && got == refAlloc(ws, total)
+      }
+    })
+  }
+
+  test("largestRemainder: zero group weight raises; two groups stay independent") {
+    val e = intercept[Exception](Allocation.largestRemainder(
+      Seq(("g", "a", 0L)).toDF("g", "i", "w"), $"g", $"i", $"w", 10L).collect())
+    assert(e.getMessage.contains("zero total weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero total weight")))
+    val two = Allocation.largestRemainder(
+      Seq(("g1", "a", 1L), ("g1", "b", 1L), ("g1", "b", 1L), ("g2", "a", 7L))
+        .toDF("g", "i", "w"), $"g", $"i", $"w", 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(two(("g1", "a")) + two(("g1", "b")) == 5L && two(("g2", "a")) == 5L)
+    // detail rows summed: g1/b arrived twice at weight 1 ⇒ weight 2 of 3
+    assert(two(("g1", "b")) > two(("g1", "a")))
+  }
+
+  // --- clamped running balance
+  private def refBalance(evs: Seq[(Int, Long, Long)]): (Long, Long) =
+    evs.sortBy(e => (e._1, e._2)).foldLeft((0L, 0L)) { case ((b, c), (_, _, d)) =>
+      if (b + d < 0) (0L, c + 1) else (b + d, c)
+    }
+
+  private val genLedger: Gen[List[(Int, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 50)
+    evs <- Gen.listOfN(n, for {
+      t <- Gen.chooseNum(1, 20)
+      d <- Gen.chooseNum(-50L, 50L)
+    } yield (t, d))
+  } yield evs.zipWithIndex.map { case ((t, d), i) => (t, i.toLong, d) }
+
+  test("property: clampedRunningSum equals the reference fold") {
+    check(Prop.forAll(genLedger) { evs =>
+      val row = Ledger.clampedRunningSum(
+        evs.map { case (t, tb, d) =>
+          ("k", new java.sql.Timestamp(t * 1000L), tb, d)
+        }.toDF("k", "ts", "tb", "d"),
+        $"k", $"ts", $"tb", $"d").collect()(0)
+      (row.getLong(2), row.getLong(3)) == refBalance(evs) &&
+        row.getLong(1) == evs.size.toLong
+    })
+  }
+
+  // --- Holt-Winters reference fold
+  private def refHw(xs: Seq[Double], m: Int, a: Double, b: Double, g: Double)
+      : (Double, Double, Double) = {
+    var acc = Array(xs.head, 0.0) ++ Array.fill(m)(0.0)
+    for (x <- xs.tail) {
+      val (l, t, c) = (acc(0), acc(1), acc(2))
+      val nl = a * (x - c) + (1 - a) * (l + t)
+      val nt = b * (nl - l) + (1 - b) * t
+      val nc = g * (x - nl) + (1 - g) * c
+      acc = Array(nl, nt) ++ acc.drop(3) ++ Array(nc)
+    }
+    (acc(0), acc(1), acc(2))
+  }
+
+  test("holtWinters matches the reference rotation fold on a dense series") {
+    val days = (0 until 23).map(i => (1L, new java.sql.Timestamp(i * 86400000L),
+      (i % 7) * 10.0 + i))
+    val got = TimeSeries.holtWinters(
+      days.toDF("k", "ts", "v"), $"k", $"ts", $"v", 86400L, m = 7).collect()(0)
+    val (l, t, c) = refHw(days.map(_._3), 7, 0.25, 0.125, 0.25)
+    assert(got.getLong(1) == 23L)
+    assert(math.abs(got.getDouble(3) - l) < 1e-9)
+    assert(math.abs(got.getDouble(4) - t) < 1e-9)
+    assert(math.abs(got.getDouble(5) - c) < 1e-9)
+    assert(math.abs(got.getDouble(6) - (l + t + c)) < 1e-9)
+  }
+
+  test("holtWinters zero-fills gaps so the seasonal register stays aligned") {
+    // identical to a dense series whose missing days are explicit zeros
+    val present = Seq(0, 1, 3, 6, 8, 13, 20)
+    val sparse = present.map(i =>
+      (1L, new java.sql.Timestamp(i * 86400000L), 5.0 + i))
+    val dense = (0 to 20).map(i =>
+      (1L, new java.sql.Timestamp(i * 86400000L),
+        if (present.contains(i)) 5.0 + i else 0.0))
+    val a = TimeSeries.holtWinters(sparse.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", 86400L, m = 7).collect()(0)
+    val b = TimeSeries.holtWinters(dense.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", 86400L, m = 7).collect()(0)
+    assert(a.getLong(1) == 21L && b.getLong(1) == 21L)
+    assert(a.getDouble(6) == b.getDouble(6))
+  }
+
+  // --- zone maps
+  test("zoneMap skipping counts match brute force; null probe raises") {
+    val rows = (0 until 500).map(i => (i % 13, i.toLong))
+    val stats = ZoneMap.fileStats(rows.toDF("f", "v"), $"f", $"v")
+    val sum = ZoneMap.skippingSummary(stats, lit(100L), lit(200L)).collect()(0)
+    val byFile = rows.groupBy(_._1).map { case (f, rs) =>
+      (rs.map(_._2).min, rs.map(_._2).max, rs.size.toLong)
+    }
+    val skipped = byFile.filter { case (mn, mx, _) => mx < 100L || mn > 200L }
+    assert(sum.getLong(0) == 13L && sum.getLong(1) == 500L)
+    assert(sum.getLong(2) == skipped.size.toLong)
+    assert(sum.getLong(3) == skipped.map(_._3).sum)
+    assert(sum.getLong(4) == 500L - skipped.map(_._3).sum)
+    val e = intercept[Exception](ZoneMap.fileStats(
+      Seq((1, Option.empty[java.lang.Long])).toDF("f", "v"), $"f", $"v").collect())
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+}

@@ -336,6 +336,180 @@ object TimeSeries {
       .select(col("k").as("key"), col("n_periods"), col("ts_slope"))
   }
 
+  /** Per-key AUTOCORRELATION FUNCTION at the given lags — the
+    * seasonality/persistence diagnostic: r_k = Σ(x_t−x̄)(x_{t+k}−x̄)
+    * / Σ(x_t−x̄)², computed over the DENSE zero-filled daily grid
+    * (lag positions are calendar-true; on the raw observed series a
+    * gap would silently compare non-adjacent days).
+    *
+    * All sufficient statistics (n, Σx, Σx², and per lag: pair count,
+    * Σx·y, head/tail sums) accumulate EXACTLY — over the series
+    * values pre-scaled to INTEGER micro-units (×10⁶, scale-0
+    * decimals), because a scale-12 product sum cast to double is
+    * double-rounded engine-specifically (the q114 ulp) while an
+    * integer-valued decimal→double cast is correctly rounded
+    * everywhere; the ×10⁶ factors cancel in the r_k ratio. The lag
+    * pairing is a `lead` window per key over the bounded period grid
+    * (days, not events — the [[gapFill]] geometry), and the closed
+    * form runs in pinned-order doubles, so oracles hash-match.
+    * Constant series (zero variance) emit null. Output: one row per
+    * (key, lag): key, lag, n_pairs, acf.
+    */
+  def autocorrelation(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      lags: Seq[Int],
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must all be >= 1, got $lags")
+    require(lags.distinct == lags, s"lags must be distinct, got $lags")
+    val grid = gapFill(events, key, ts, value, periodSeconds, "zero", maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("decimal(19,0)").as("x"))
+    val w = Window.partitionBy(col("k")).orderBy(col("period"))
+    val withLeads = lags.foldLeft(grid) { (df, l) =>
+      df.withColumn(s"y$l", lead(col("x"), l).over(w))
+    }
+    val lagAggs = lags.flatMap { l =>
+      val y = col(s"y$l")
+      Seq(
+        count(y).as(s"nk$l"),
+        sum(col("x") * y).as(s"p$l"),
+        sum(when(y.isNotNull, col("x"))).as(s"h$l"),
+        sum(y).as(s"t$l"))
+    }
+    val allAggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q")) ++ lagAggs
+    val stats = withLeads.groupBy(col("k")).agg(allAggs.head, allAggs.tail: _*)
+    val sD = col("s").cast("double")
+    val nD = col("n").cast("double")
+    val xb = sD / nD
+    val den = col("q").cast("double") - sD * xb
+    val perLag = lags.map { l =>
+      val acf = (col(s"p$l").cast("double") - xb * coalesce(col(s"h$l"), lit(0))
+        .cast("double") - xb * coalesce(col(s"t$l"), lit(0)).cast("double")
+        + col(s"nk$l").cast("double") * xb * xb) / den
+      struct(lit(l).as("lag"), col(s"nk$l").as("n_pairs"),
+        when(den > 0.0 && col(s"nk$l") > 0L, acf)
+          .otherwise(lit(null).cast("double")).as("acf"))
+    }
+    stats.select(col("k").as("key"), explode(array(perLag: _*)).as("e"))
+      .select(col("key"), col("e.lag"), col("e.n_pairs"), col("e.acf"))
+  }
+
+  /** Per-key MANN-KENDALL trend test (Mann 1945, Kendall 1975) — the
+    * nonparametric "is there a monotonic trend" significance test
+    * that [[theilSenSlope]] estimates the magnitude of: S = Σ_{i<j}
+    * sign(x_j − x_i) over the OBSERVED period-sum series (same
+    * geometry and `maxPeriodsPerKey` guard as Theil-Sen — the pair
+    * expansion is per key over periods, never events), tie-corrected
+    * variance (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, and the
+    * continuity-corrected z. S and the tie sums are exact integers;
+    * z is pinned-order doubles; n < 2 or zero variance emit null z.
+    * Output: key, n_periods, s_stat, z.
+    */
+  def mannKendall(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(maxPeriodsPerKey >= 2, s"maxPeriodsPerKey must be >= 2, got $maxPeriodsPerKey")
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").as("y"))
+    val spans = perPeriod.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("mannKendall: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = perPeriod.select(col("k"), col("period").as("p1"), col("y").as("y1"))
+    val b = perPeriod.select(col("k"), col("period").as("p2"), col("y").as("y2"))
+    val sSum = a.join(b, Seq("k")).filter(col("p1") < col("p2"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+    val tieSum = perPeriod.groupBy(col("k"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("ties"))
+    val joined = spans
+      .join(sSum, Seq("k"), "left")
+      .join(tieSum, Seq("k"), "left")
+      .select(col("k"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), col("ties"))
+    val nL = col("n")
+    val varS =
+      (nL * (nL - 1L) * (lit(2L) * nL + 5L) - col("ties")).cast("double") / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0L, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0L, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    joined.select(col("k").as("key"), col("n").as("n_periods"), col("s_stat"),
+      when(nL >= 2L && varS > 0.0, z).otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Per-key WALD-WOLFOWITZ RUNS TEST around the series mean — "is
+    * the sequence of above/below-average days random, or does it
+    * clump?" (momentum/oscillation diagnostic; the mean-based variant
+    * so the reference level is exact). The at-or-above indicator
+    * compares n·x_t ≥ Σx in EXACT decimal arithmetic (no division —
+    * values exactly at the mean count as above, by contract); the run
+    * count is one lag window over the bounded per-key period grid
+    * (zero-filled, calendar-true). R, n₁, n₀ are exact integers; the
+    * normal-approximation z (μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀−n)
+    * /(n²(n−1))) is pinned-order doubles. One-sided series (all above
+    * or all below) emit null z. Output: key, n_periods, n_above,
+    * runs, z.
+    */
+  def runsTest(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    val grid = gapFill(events, key, ts, value, periodSeconds, "zero", maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period"),
+        col("value").cast("decimal(18,6)").as("x"))
+    val sums = grid.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .select(col("k").as("sk"), col("n"), col("s"))
+    val w = Window.partitionBy(col("k")).orderBy(col("period"))
+    val signed = grid.join(sums, col("k") === col("sk"))
+      // n·x ≥ Σx  ⇔  x ≥ mean, with no division: decimal-exact in
+      // every engine (DuckDB needs the (19,6) cast before the product
+      // — mirrored in oracles)
+      .withColumn("above",
+        (col("x") * col("n").cast("decimal(12,0)") >= col("s")).cast("int"))
+      .withColumn("flip",
+        when(lag(col("above"), 1).over(w).isNull, 0)
+          .when(lag(col("above"), 1).over(w) =!= col("above"), 1)
+          .otherwise(0))
+    val st = signed.groupBy(col("k")).agg(
+      max(col("n")).as("n"),
+      sum(col("above")).cast("long").as("n1"),
+      (sum(col("flip")) + 1L).cast("long").as("runs"))
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val n0D = (col("n") - col("n1")).cast("double")
+    val two = lit(2.0) * n1D * n0D
+    val mu = two / nD + lit(1.0)
+    val varR = two * (two - nD) / (nD * nD * (nD - lit(1.0)))
+    st.select(col("k").as("key"), col("n").as("n_periods"), col("n1").as("n_above"),
+      col("runs"),
+      when(col("n1") > 0L && col("n") - col("n1") > 0L && col("n") >= 2L && varR > 0.0,
+        (col("runs").cast("double") - mu) / sqrt(varR))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Per-key LINEAR TREND — ordinary-least-squares slope/intercept of
     * the (period, period-sum) series per key, the one-pass grouped
     * regression (`regr_slope` semantics) every metrics store needs.

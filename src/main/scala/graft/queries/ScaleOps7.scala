@@ -365,6 +365,174 @@ object ScaleOps7 {
              |    CAST(sum(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE rows_ END) AS BIGINT)
              |  FROM cs, b)
              |SELECT layout, n_files, n_rows, files_skipped, rows_skipped, rows_scanned
-             |FROM su ORDER BY layout""".stripMargin))
+             |FROM su ORDER BY layout""".stripMargin)),
+
+    // ---- q232: AUTOCORRELATION FUNCTION — each event type's daily
+    // value series (zero-filled dense grid, so lags are calendar-
+    // true) at lags 1/2/3/7 ([[graft.operators.TimeSeries
+    // .autocorrelation]]): the persistence/weekly-rhythm diagnostic.
+    // Exact decimal sufficient statistics, lead windows over the
+    // bounded per-key grid, one pinned-double closed form — the
+    // oracle replays the identical structure and hash-matches.
+    Q(
+      "q232_acf",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.autocorrelation(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L,
+          lags = Seq(1, 2, 3, 7))
+          .orderBy($"key", $"lag")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |gv AS (SELECT g.k, g.period,
+             |    CAST(CAST(coalesce(o.x, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(19,6))
+             |      * 1000000 AS DECIMAL(19,0)) AS x
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |ld AS MATERIALIZED (SELECT k, x,
+             |    lead(x, 1) OVER (PARTITION BY k ORDER BY period) AS y1,
+             |    lead(x, 2) OVER (PARTITION BY k ORDER BY period) AS y2,
+             |    lead(x, 3) OVER (PARTITION BY k ORDER BY period) AS y3,
+             |    lead(x, 7) OVER (PARTITION BY k ORDER BY period) AS y7
+             |  FROM gv),
+             |st AS (SELECT k, count(*) AS n,
+             |    sum(x) AS s,
+             |    sum(x * x) AS q,
+             |    count(y1) AS nk1, sum(x * y1) AS p1,
+             |    sum(CASE WHEN y1 IS NOT NULL THEN x END) AS h1, sum(y1) AS t1,
+             |    count(y2) AS nk2, sum(x * y2) AS p2,
+             |    sum(CASE WHEN y2 IS NOT NULL THEN x END) AS h2, sum(y2) AS t2,
+             |    count(y3) AS nk3, sum(x * y3) AS p3,
+             |    sum(CASE WHEN y3 IS NOT NULL THEN x END) AS h3, sum(y3) AS t3,
+             |    count(y7) AS nk7, sum(x * y7) AS p7,
+             |    sum(CASE WHEN y7 IS NOT NULL THEN x END) AS h7, sum(y7) AS t7
+             |  FROM ld GROUP BY k),
+             |fin AS MATERIALIZED (SELECT *,
+             |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xb,
+             |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+             |  FROM st),
+             |longf AS (
+             |  SELECT k, CAST(1 AS INTEGER) AS lag, nk1 AS n_pairs,
+             |    CASE WHEN den > 0 AND nk1 > 0 THEN
+             |      (CAST(p1 AS DOUBLE) - xb * CAST(coalesce(h1, 0) AS DOUBLE)
+             |       - xb * CAST(coalesce(t1, 0) AS DOUBLE)
+             |       + CAST(nk1 AS DOUBLE) * xb * xb) / den END AS acf FROM fin
+             |  UNION ALL
+             |  SELECT k, CAST(2 AS INTEGER), nk2,
+             |    CASE WHEN den > 0 AND nk2 > 0 THEN
+             |      (CAST(p2 AS DOUBLE) - xb * CAST(coalesce(h2, 0) AS DOUBLE)
+             |       - xb * CAST(coalesce(t2, 0) AS DOUBLE)
+             |       + CAST(nk2 AS DOUBLE) * xb * xb) / den END FROM fin
+             |  UNION ALL
+             |  SELECT k, CAST(3 AS INTEGER), nk3,
+             |    CASE WHEN den > 0 AND nk3 > 0 THEN
+             |      (CAST(p3 AS DOUBLE) - xb * CAST(coalesce(h3, 0) AS DOUBLE)
+             |       - xb * CAST(coalesce(t3, 0) AS DOUBLE)
+             |       + CAST(nk3 AS DOUBLE) * xb * xb) / den END FROM fin
+             |  UNION ALL
+             |  SELECT k, CAST(7 AS INTEGER), nk7,
+             |    CASE WHEN den > 0 AND nk7 > 0 THEN
+             |      (CAST(p7 AS DOUBLE) - xb * CAST(coalesce(h7, 0) AS DOUBLE)
+             |       - xb * CAST(coalesce(t7, 0) AS DOUBLE)
+             |       + CAST(nk7 AS DOUBLE) * xb * xb) / den END FROM fin)
+             |SELECT k AS key, lag, n_pairs, acf FROM longf ORDER BY key, lag""".stripMargin)),
+
+    // ---- q233: MANN-KENDALL trend test — is each event type's daily
+    // volume monotonically drifting? The significance complement to
+    // q148's Theil-Sen slope, same per-key O(span²) pair geometry
+    // ([[graft.operators.TimeSeries.mannKendall]]). S and the tie
+    // correction are exact integers; z is one pinned-double form.
+    Q(
+      "q233_mann_kendall",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.mannKendall(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, count(*) AS n FROM o GROUP BY k),
+             |ss AS (SELECT a.k,
+             |    sum(CAST(sign(CAST(b.y AS DECIMAL(19,6)) - CAST(a.y AS DECIMAL(19,6))) AS BIGINT)) AS s_stat
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period < b.period
+             |  GROUP BY a.k),
+             |ti AS (SELECT k, sum(t * (t - 1) * (2 * t + 5)) AS ties FROM (
+             |    SELECT k, y, count(*) AS t FROM o GROUP BY k, y) GROUP BY k),
+             |fin AS (SELECT sp.k, sp.n,
+             |    coalesce(ss.s_stat, 0) AS s_stat,
+             |    CAST(sp.n * (sp.n - 1) * (2 * sp.n + 5) - ti.ties AS DOUBLE) / 18.0 AS var_s
+             |  FROM sp LEFT JOIN ss ON sp.k = ss.k JOIN ti ON sp.k = ti.k)
+             |SELECT k AS key, n AS n_periods, CAST(s_stat AS BIGINT) AS s_stat,
+             |  CASE WHEN n >= 2 AND var_s > 0 THEN
+             |    CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+             |         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+             |         ELSE 0.0 END
+             |  END AS z
+             |FROM fin ORDER BY key""".stripMargin)),
+
+    // ---- q234: WALD-WOLFOWITZ RUNS TEST — does each event type's
+    // daily volume oscillate randomly around its mean, or clump into
+    // momentum runs? The at-or-above indicator is the division-free
+    // n·x ≥ Σx decimal comparison (exact in both engines); run count
+    // is one lag window over the zero-filled grid; z is pinned
+    // doubles ([[graft.operators.TimeSeries.runsTest]]).
+    Q(
+      "q234_runs_test",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.runsTest(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |gv AS (SELECT g.k, g.period, coalesce(o.x, CAST(0 AS DECIMAL(18,6))) AS x
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |su AS (SELECT k AS sk, count(*) AS n, sum(CAST(x AS DECIMAL(19,6))) AS s
+             |  FROM gv GROUP BY k),
+             |sg AS MATERIALIZED (SELECT k, period,
+             |    CASE WHEN CAST(x AS DECIMAL(19,6)) * CAST(n AS DECIMAL(12,0)) >= s
+             |      THEN 1 ELSE 0 END AS above, n
+             |  FROM gv JOIN su ON k = sk),
+             |fl AS (SELECT k, n, above,
+             |    CASE WHEN lag(above, 1) OVER (PARTITION BY k ORDER BY period) IS NULL THEN 0
+             |         WHEN lag(above, 1) OVER (PARTITION BY k ORDER BY period) <> above THEN 1
+             |         ELSE 0 END AS flip
+             |  FROM sg),
+             |st AS (SELECT k, max(n) AS n, CAST(sum(above) AS BIGINT) AS n1,
+             |    CAST(sum(flip) + 1 AS BIGINT) AS runs
+             |  FROM fl GROUP BY k),
+             |fin AS MATERIALIZED (SELECT k, n, n1, runs,
+             |    2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) AS two
+             |  FROM st)
+             |SELECT k AS key, n AS n_periods, n1 AS n_above, runs,
+             |  CASE WHEN n1 > 0 AND n - n1 > 0 AND n >= 2
+             |         AND two * (two - CAST(n AS DOUBLE))
+             |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+             |    THEN (CAST(runs AS DOUBLE) - (two / CAST(n AS DOUBLE) + 1.0))
+             |      / sqrt(two * (two - CAST(n AS DOUBLE))
+             |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |  END AS z
+             |FROM fin ORDER BY key""".stripMargin))
   )
 }

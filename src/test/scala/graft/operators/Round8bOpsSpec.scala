@@ -176,6 +176,101 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(a.getDouble(6) == b.getDouble(6))
   }
 
+  // --- time-series diagnostics
+  private def refAcf(xs: Seq[Double], k: Int): Option[Double] = {
+    val n = xs.size
+    val xb = xs.sum / n
+    val den = xs.map(x => (x - xb) * (x - xb)).sum
+    if (den <= 0 || n <= k) None
+    else Some((0 until n - k).map(i => (xs(i) - xb) * (xs(i + k) - xb)).sum / den)
+  }
+
+  test("autocorrelation matches the reference formula; degenerate cases null") {
+    val xs = Seq(3.0, 7.0, 1.0, 9.0, 2.0, 8.0, 4.0, 6.0, 5.0, 10.0)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, new java.sql.Timestamp(i * 86400000L), v)
+    }
+    val got = TimeSeries.autocorrelation(rows.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", 86400L, lags = Seq(1, 2, 12))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for (l <- Seq(1, 2)) {
+      assert(got(l)._1 == (10 - l).toLong)
+      assert(math.abs(got(l)._2.get - refAcf(xs, l).get) < 1e-9)
+    }
+    assert(got(12) == ((0L, None))) // lag beyond the series
+    val const = (0 until 5).map(i => (1L, new java.sql.Timestamp(i * 86400000L), 4.0))
+    val c = TimeSeries.autocorrelation(const.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", 86400L, lags = Seq(1)).collect()(0)
+    assert(c.isNullAt(3)) // zero variance
+  }
+
+  private def refMk(xs: Seq[Double]): (Long, Option[Double]) = {
+    val n = xs.size
+    val s = (for (i <- xs.indices; j <- i + 1 until n)
+      yield math.signum(xs(j) - xs(i)).toLong).sum
+    val ties = xs.groupBy(identity).values
+      .map(t => t.size.toLong * (t.size - 1) * (2 * t.size + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2 * n + 5) - ties).toDouble / 18.0
+    val z = if (n < 2 || varS <= 0) None
+    else Some(
+      if (s > 0) (s - 1.0) / math.sqrt(varS)
+      else if (s < 0) (s + 1.0) / math.sqrt(varS) else 0.0)
+    (s, z)
+  }
+
+  test("property: mannKendall matches brute-force S and z") {
+    val genSeries = for {
+      n <- Gen.chooseNum(1, 15)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+    } yield xs.map(_.toDouble)
+    check(Prop.forAll(genSeries) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(i * 86400000L), v)
+      }
+      val r = TimeSeries.mannKendall(rows.toDF("k", "ts", "v"),
+        $"k", $"ts", $"v", 86400L).collect()(0)
+      val (es, ez) = refMk(xs)
+      r.getLong(1) == xs.size.toLong && r.getLong(2) == es &&
+        ((r.isNullAt(3) && ez.isEmpty) ||
+          ez.exists(z => math.abs(r.getDouble(3) - z) < 1e-9))
+    })
+  }
+
+  private def refRuns(xs: Seq[Double]): (Long, Long, Option[Double]) = {
+    val n = xs.size
+    // division-free like the operator: exact for quarter-valued series
+    val above = xs.map(x => x * n >= xs.sum)
+    val n1 = above.count(identity).toLong
+    val n0 = n - n1
+    val runs = 1L + above.sliding(2).count(w => w.size == 2 && w(0) != w(1))
+    val two = 2.0 * n1 * n0
+    val varR = two * (two - n) / (n.toDouble * n * (n - 1))
+    val z = if (n1 == 0 || n0 == 0 || n < 2 || varR <= 0) None
+    else Some((runs - (two / n + 1.0)) / math.sqrt(varR))
+    (n1, runs, z)
+  }
+
+  test("property: runsTest matches brute force (mean from exact integer halves)") {
+    // quarter-valued series: the n·x ≥ Σx comparison is exact, and the
+    // reference mean is exact in doubles too, so the indicators agree
+    val genSeries = for {
+      n <- Gen.chooseNum(1, 16)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 12))
+    } yield xs.map(_ * 0.25)
+    check(Prop.forAll(genSeries) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(i * 86400000L), v)
+      }
+      val r = TimeSeries.runsTest(rows.toDF("k", "ts", "v"),
+        $"k", $"ts", $"v", 86400L).collect()(0)
+      val (en1, eruns, ez) = refRuns(xs)
+      r.getLong(1) == xs.size.toLong && r.getLong(2) == en1 && r.getLong(3) == eruns &&
+        ((r.isNullAt(4) && ez.isEmpty) ||
+          ez.exists(z => math.abs(r.getDouble(4) - z) < 1e-9))
+    })
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

@@ -59,4 +59,67 @@ object Attribution {
         col("last_t.ts").as("last_touch_ts"),
         (unix_micros(col("ts")) - unix_micros(col("last_t.ts"))).as("gap_us"))
   }
+
+  /** POSITION-BASED (U-shaped) MULTI-TOUCH attribution — every touch
+    * shares in the NEXT conversion it precedes (journeys scoped by
+    * the user's total order (ts, event_id)): first touch 40%, last
+    * 40%, the middle 20% split evenly. Credits are EXACT INTEGER
+    * MILLICREDITS summing to 1000 per converted journey — the middle
+    * 200 splits by the largest-remainder rule (equal remainders, so
+    * the EARLIEST `200 mod (m−2)` middles get the extra unit) —
+    * because float credit shares would make the per-channel rollup an
+    * order-dependent float sum. Degenerate journeys: one touch gets
+    * 1000, two get 500/500. Touches with no following conversion
+    * credit nothing (they are open journeys, not credit).
+    *
+    * Scale: one user-partitioned window assigns each touch its next
+    * conversion (O(1) carry-backward state); position/size run in a
+    * journey-partitioned window (bounded by journey length); the
+    * rollup is a partial-aggregable integer sum. No self-joins.
+    *
+    * Output per channel: (channel, n_touches, n_conversions,
+    * credit_milli).
+    */
+  def positionCredit(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      eventId: Column,
+      eventType: Column,
+      isConversion: Column): DataFrame = {
+    val base = events
+      .filter(user.isNotNull && ts.isNotNull && eventId.isNotNull && eventType.isNotNull)
+      .select(user.as("user"), ts.as("ts"), eventId.as("event_id"),
+        eventType.as("etype"), isConversion.as("is_conv"))
+    val wFwd = Window.partitionBy(col("user")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cnv = when(col("is_conv"), struct(col("ts"), col("event_id")))
+    val touches = base
+      .withColumn("nc", first(cnv, ignoreNulls = true).over(wFwd))
+      .filter(!col("is_conv") && col("nc").isNotNull)
+      .select(col("user"), col("nc.event_id").as("conv_id"),
+        col("ts"), col("event_id"), col("etype"))
+    val wJ = Window.partitionBy(col("user"), col("conv_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sized = touches
+      .withColumn("pos", row_number().over(wJ))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("user"), col("conv_id"))))
+    val midN = col("m") - 2L
+    val credit =
+      when(col("m") === 1L, 1000L)
+        .when(col("m") === 2L, 500L)
+        .when(col("pos") === 1L, 400L)
+        .when(col("pos") === col("m"), 400L)
+        .otherwise(
+          expr("200 div (m - 2)") +
+            when(col("pos") - 1L <= lit(200L) % midN, 1L).otherwise(0L))
+    sized
+      .withColumn("credit", credit)
+      .groupBy(col("etype").as("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("user"), col("conv_id")).as("n_conversions"),
+        sum(col("credit")).as("credit_milli"))
+  }
 }

@@ -533,6 +533,54 @@ object ScaleOps7 {
              |      / sqrt(two * (two - CAST(n AS DOUBLE))
              |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
              |  END AS z
-             |FROM fin ORDER BY key""".stripMargin))
+             |FROM fin ORDER BY key""".stripMargin)),
+
+    // ---- q235: POSITION-BASED MULTI-TOUCH ATTRIBUTION — every
+    // pre-purchase touch shares in the next purchase, U-shaped
+    // 40/20/40 in EXACT integer millicredits (largest-remainder
+    // among the middles), so the per-channel rollup is an integer
+    // sum and the oracle hash-matches
+    // ([[graft.operators.Attribution.positionCredit]]; q157's
+    // first/last-touch sibling is q157_touch_attribution's family).
+    Q(
+      "q235_position_attribution",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Attribution.positionCredit(
+          Tables.events(s, d),
+          $"user_id", $"ts", $"event_id", $"event_type",
+          $"event_type" === "purchase")
+          .orderBy($"channel")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id AS u, ts, event_id AS eid, event_type AS et,
+             |    event_type = 'purchase' AS c
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+             |tc AS (
+             |  SELECT u, ts, eid, et, c,
+             |    first_value(CASE WHEN c THEN eid END IGNORE NULLS) OVER (
+             |      PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id
+             |  FROM base),
+             |j AS (
+             |  SELECT u, conv_id, et,
+             |    row_number() OVER (PARTITION BY u, conv_id ORDER BY ts, eid) AS pos,
+             |    count(*) OVER (PARTITION BY u, conv_id) AS m
+             |  FROM tc WHERE NOT c AND conv_id IS NOT NULL),
+             |cr AS (SELECT et, u, conv_id,
+             |    CASE WHEN m = 1 THEN 1000
+             |         WHEN m = 2 THEN 500
+             |         WHEN pos = 1 THEN 400
+             |         WHEN pos = m THEN 400
+             |         ELSE 200 // (m - 2)
+             |           + CASE WHEN pos - 1 <= 200 % (m - 2) THEN 1 ELSE 0 END
+             |    END AS credit
+             |  FROM j)
+             |SELECT et AS channel, count(*) AS n_touches,
+             |  count(DISTINCT (u, conv_id)) AS n_conversions,
+             |  CAST(sum(credit) AS BIGINT) AS credit_milli
+             |FROM cr GROUP BY et ORDER BY channel""".stripMargin))
   )
 }

@@ -271,6 +271,61 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  // --- position-based attribution
+  private def refPosition(evs: Seq[(Long, Int, Long, String)])
+      : Map[String, (Long, Long)] = {
+    // per user in (ts, id) order: split into journeys ending at each
+    // conversion ("C"); U-shaped integer millicredits
+    val perTouch = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      var pending = Vector.empty[(String, Long)]
+      for (r <- sorted) {
+        if (r._4 == "C") {
+          val m = pending.size
+          pending.zipWithIndex.foreach { case ((et, _), i0) =>
+            val pos = i0 + 1
+            val credit =
+              if (m == 1) 1000L
+              else if (m == 2) 500L
+              else if (pos == 1 || pos == m) 400L
+              else 200L / (m - 2) + (if (pos - 1 <= 200 % (m - 2)) 1L else 0L)
+            out += ((et, credit, r._3))
+          }
+          pending = Vector.empty
+        } else pending :+= ((r._4, r._3))
+      }
+      out
+    }
+    perTouch.groupBy(_._1).map { case (et, xs) =>
+      et -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+  }
+
+  test("property: positionCredit matches the journey reference; credits sum to 1000 per journey") {
+    val genEvents = for {
+      n <- Gen.chooseNum(1, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 4L)
+        t <- Gen.chooseNum(1, 30)
+        et <- Gen.oneOf("a", "b", "c", "C")
+      } yield (u, t, et))
+    } yield evs.zipWithIndex.map { case ((u, t, et), i) => (u, t, i.toLong, et) }
+    check(Prop.forAll(genEvents) { evs =>
+      val got = Attribution.positionCredit(
+        evs.map { case (u, t, id, et) =>
+          (u, new java.sql.Timestamp(t * 1000L), id, et)
+        }.toDF("u", "ts", "id", "et"),
+        $"u", $"ts", $"id", $"et", $"et" === "C")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      val expect = refPosition(evs)
+      got == expect && {
+        val totalCredit = got.values.map(_._2).sum
+        totalCredit % 1000 == 0
+      }
+    })
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

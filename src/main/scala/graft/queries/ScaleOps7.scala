@@ -581,6 +581,57 @@ object ScaleOps7 {
              |SELECT et AS channel, count(*) AS n_touches,
              |  count(DISTINCT (u, conv_id)) AS n_conversions,
              |  CAST(sum(credit) AS BIGINT) AS credit_milli
-             |FROM cr GROUP BY et ORDER BY channel""".stripMargin))
+             |FROM cr GROUP BY et ORDER BY channel""".stripMargin)),
+
+    // ---- q236: JARO-WINKLER RECORD-LINKAGE SCORING — a deterministic
+    // probe set of parts (partkey ≡ 0 mod 97, the "today's new
+    // entities" slice) scored against every same-first-word blocking
+    // candidate with the codegen'd `graft_jaro_winkler` kernel
+    // ([[graft.functions.JaroWinkler]] — byte-level, pinned to
+    // DuckDB's jaro_winkler_similarity semantics). ALL candidate
+    // scores are emitted (selection thresholds belong to the caller),
+    // so the oracle needs no membership band — just the 1e-9 gate on
+    // the score itself (float op order inside the two engines' kernels
+    // is the only divergence).
+    Q(
+      "q236_jaro_winkler",
+      (s, d) => {
+        import s.implicits._
+        val parts = Tables.part(s, d)
+          .select($"p_partkey", $"p_name",
+            split($"p_name", " ").getItem(0).as("blk"))
+          .localCheckpoint(true)
+        val probes = parts.filter($"p_partkey" % 97 === 0)
+          .select($"p_partkey".as("probe_key"), $"p_name".as("probe_name"),
+            $"blk".as("pblk"))
+        probes.join(parts, $"pblk" === $"blk" && $"probe_key" =!= $"p_partkey")
+          .select($"probe_key", $"p_partkey".as("cand_key"),
+            graft.functions.GraftFunctions.jaroWinkler(
+              s, $"probe_name", $"p_name").as("jw"))
+          .orderBy($"probe_key", $"cand_key")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q236_jaro_winkler/*.parquet')),
+             |b AS MATERIALIZED (SELECT p_partkey, p_name,
+             |    split_part(p_name, ' ', 1) AS blk FROM part),
+             |expect AS MATERIALIZED (
+             |  SELECT a.p_partkey AS probe_key, c.p_partkey AS cand_key,
+             |    jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+             |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey <> c.p_partkey
+             |  WHERE a.p_partkey % 97 = 0),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x
+             |      ON e.probe_key = x.probe_key AND e.cand_key = x.cand_key
+             |      WHERE abs(e.jw - x.jw) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM expect x
+             |        WHERE x.probe_key = e.probe_key AND x.cand_key = e.cand_key))
+             |  ) AS ok)
+             |SELECT probe_key, cand_key, jw FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY probe_key, cand_key""".stripMargin))
   )
 }

@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Shared prep: filtered candidate frame (localCheckpointed — the
+    * refinement passes re-read it, not the source) plus (n, lo, hi).
+    */
+  private def prepBase(df: DataFrame, value: Column)
+      : (DataFrame, Long, Double, Double) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v0 = value.cast("double")
+    val base = df.filter(v0.isNotNull && !isnan(v0)).select(v0.as("v"))
+      .localCheckpoint()
+    val stats = base.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
+    val n = stats.getLong(0)
+    require(n > 0, "selectQuantiles: no non-null, non-NaN values")
+    (base, n, stats.getDouble(1), stats.getDouble(2))
+  }
+
   def selectQuantiles(
       df: DataFrame,
       value: Column,
@@ -41,14 +57,73 @@ object ExactQuantile {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(levels >= 0, s"levels must be >= 0, got $levels")
     val spark = df.sparkSession
-    import spark.implicits._
-    val v0 = value.cast("double")
-    val base = df.filter(v0.isNotNull && !isnan(v0)).select(v0.as("v"))
-      .localCheckpoint() // the refinement passes re-read this, not the source
-    val stats = base.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
-    val n = stats.getLong(0)
-    require(n > 0, "selectQuantiles: no non-null, non-NaN values")
+    val (base, n, statsLo, statsHi) = prepBase(df, value)
     val ks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong))
+    val sel = selectRanksOn(base, ks.map(_._2).distinct, statsLo, statsHi,
+      bins, levels, maxDistinctInBucket)
+    val out = ks.map { case (q, k) => (q, k, sel(k)) }
+    val res = spark.createDataFrame(out).toDF("q", "k", "value")
+    base.unpersist()
+    res
+  }
+
+  /** EXACT INTERPOLATED quantiles (`quantile_cont` / numpy type-7
+    * semantics): h = (n−1)·q, result = x_{⌊h⌋+1} + (h−⌊h⌋)·
+    * (x_{⌊h⌋+2} − x_{⌊h⌋+1}) over the 1-based order statistics —
+    * the continuous sibling of [[selectQuantiles]]' discrete
+    * selection, computed from the SAME bin-id-predicate rank
+    * refinement (two exact selections per quantile, deduplicated
+    * across quantiles; still no global sort). The two order
+    * statistics are bit-exact data values; only the final lerp is
+    * float arithmetic, in pinned order (x_lo + frac·(x_hi − x_lo)),
+    * so an oracle replaying the same formula from the same rank
+    * selections hash-matches. Output: (q, value).
+    */
+  def selectQuantilesInterpolated(
+      df: DataFrame,
+      value: Column,
+      qs: Seq[Double],
+      bins: Int = 1024,
+      levels: Int = 2,
+      maxDistinctInBucket: Int = 1 << 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    val (base, n, lo0, hi0) = prepBase(df, value)
+    val wanted = qs.map { q =>
+      val h = (n - 1).toDouble * q
+      val kLo = math.floor(h).toLong + 1L
+      val kHi = math.min(kLo + 1L, n)
+      (q, h, kLo, kHi)
+    }
+    val ranks = wanted.flatMap(w => Seq(w._3, w._4)).distinct.sorted
+    val sel = selectRanksOn(base, ranks, lo0, hi0, bins, levels, maxDistinctInBucket)
+    val out = wanted.map { case (q, h, kLo, kHi) =>
+      val xLo = sel(kLo)
+      val xHi = sel(kHi)
+      val frac = h - math.floor(h)
+      (q, xLo + frac * (xHi - xLo))
+    }
+    val res = spark.createDataFrame(out).toDF("q", "value")
+    base.unpersist()
+    res
+  }
+
+  /** The [[selectQuantiles]] refinement loop, exposed for callers that
+    * need raw rank → value selections on a prepped base frame.
+    */
+  private def selectRanksOn(
+      base: DataFrame,
+      ks: Seq[Long],
+      lo0: Double,
+      hi0: Double,
+      bins: Int,
+      levels: Int,
+      maxDistinctInBucket: Int): Map[Long, Double] = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(levels >= 0, s"levels must be >= 0, got $levels")
+    val spark = base.sparkSession
+    import spark.implicits._
 
     def binExpr(lo: Double, width: Double): Column =
       least(lit(bins - 1).cast("long"),
@@ -64,14 +139,13 @@ object ExactQuantile {
       // first keeps every intermediate finite (|hi/bins| ≤ maxDouble/2)
       val width = hi / bins - lo / bins
       if (rem == 0 || width == 0.0) {
-        // bounded finish: per-distinct-value counts inside the bucket
         val vals = base.filter(pred)
           .groupBy($"v").agg(count(lit(1)).as("c"))
           .orderBy($"v")
           .limit(maxDistinctInBucket + 1)
           .collect()
         require(vals.length <= maxDistinctInBucket,
-          s"selectQuantiles: >$maxDistinctInBucket distinct values in the final " +
+          s"selectRanksOn: >$maxDistinctInBucket distinct values in the final " +
             s"bucket — raise bins, levels, or maxDistinctInBucket")
         var acc = 0L
         var res = Double.NaN
@@ -81,7 +155,7 @@ object ExactQuantile {
           if (acc >= k) { res = r.getDouble(0); found = true }
         }
         if (!found) throw new IllegalStateException(
-          s"selectQuantiles: rank $k not reached (acc=$acc)")
+          s"selectRanksOn: rank $k not reached (acc=$acc)")
         res
       } else {
         val b = binExpr(lo, width)
@@ -95,19 +169,14 @@ object ExactQuantile {
           if (acc + c >= k) { tgt = bid; before = acc } else acc += c
         }
         if (tgt < 0) throw new IllegalStateException(
-          s"selectQuantiles: rank $k not reached (acc=$acc)")
+          s"selectRanksOn: rank $k not reached (acc=$acc)")
         kth(pred && b === tgt, lo + tgt * width,
           if (tgt == bins - 1) hi else lo + (tgt + 1) * width,
           k - before, rem - 1)
       }
     }
 
-    val lo = stats.getDouble(1)
-    val hi = stats.getDouble(2)
-    val out = ks.map { case (q, k) => (q, k, kth(lit(true), lo, hi, k, levels)) }
-    val res = spark.createDataFrame(out).toDF("q", "k", "value")
-    base.unpersist()
-    res
+    ks.map(k => k -> kth(lit(true), lo0, hi0, k, levels)).toMap
   }
 
   /** EQUAL-FREQUENCY (quantile) binning — the feature-engineering

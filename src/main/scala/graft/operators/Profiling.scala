@@ -95,6 +95,53 @@ object Profiling {
         .otherwise(lit(null).cast("double")).as("corr"))
   }
 
+  /** FULL CORRELATION MATRIX over d numeric columns in ONE scan —
+    * [[groupedCorr]] generalized to every pair: all d sums, d
+    * self-products and d(d−1)/2 cross-products accumulate as exact
+    * decimal sufficient statistics in a single partial-aggregable
+    * aggregation (the width is schema-bounded — d(d+3)/2 + 1
+    * accumulators — never data-bounded; contrast d separate
+    * `corr()` scans). Rows with a null in ANY column drop
+    * (listwise deletion, so the matrix is consistent — every pair
+    * sees the same n). The closed form per pair is [[groupedCorr]]'s
+    * pinned-double expression; degenerate pairs (zero variance or
+    * n ≤ 1) emit null. Output: one row per unordered pair (i < j in
+    * the given column order): (col_a, col_b, n, corr).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix needs >= 2 columns, got ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"column names must be distinct, got ${cols.map(_._1)}")
+    val names = cols.map(_._1)
+    def cc(n: String) = col(s"__cm_$n")
+    val base = df
+      .select(cols.map { case (n, c) => c.cast("decimal(18,6)").as(s"__cm_$n") }: _*)
+      .filter(names.map(n => cc(n).isNotNull).reduce(_ && _))
+    val sums = names.map(n => sum(cc(n)).cast("double").as(s"s_$n"))
+    val prods = for {
+      i <- names.indices; j <- i until names.size
+    } yield sum(cc(names(i)) * cc(names(j))).cast("double")
+      .as(s"p_${names(i)}__${names(j)}")
+    val aggs = (count(lit(1)).as("n") +: sums) ++ prods
+    val st = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def p(i: Int, j: Int) = col(s"p_${names(math.min(i, j))}__${names(math.max(i, j))}")
+    def s(i: Int) = col(s"s_${names(i)}")
+    val pairRows = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield {
+      val vA = nD * p(i, i) - s(i) * s(i)
+      val vB = nD * p(j, j) - s(j) * s(j)
+      val cov = nD * p(i, j) - s(i) * s(j)
+      struct(
+        lit(names(i)).as("col_a"), lit(names(j)).as("col_b"), col("n").as("n"),
+        when(col("n") > 1 && vA > 0.0 && vB > 0.0, cov / (sqrt(vA) * sqrt(vB)))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    st.select(explode(array(pairRows: _*)).as("e"))
+      .select(col("e.col_a"), col("e.col_b"), col("e.n"), col("e.corr"))
+  }
+
   /** CHI-SQUARE test of independence between two categorical columns
     * (Pearson 1900) — the data-quality / drift question "did the
     * label distribution change across cohorts?" as one aggregation:

@@ -632,6 +632,101 @@ object ScaleOps7 {
              |UNION ALL
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY probe_key, cand_key""".stripMargin))
+             |ORDER BY probe_key, cand_key""".stripMargin)),
+
+    // ---- q237: EXACT INTERPOLATED QUANTILES (quantile_cont / type-7)
+    // — p25/p50/p75/p90 of extended price via TWO bin-id-predicate
+    // rank selections per quantile + one pinned lerp
+    // ([[graft.operators.ExactQuantile.selectQuantilesInterpolated]]).
+    // The oracle re-derives the same two order statistics by rank and
+    // replays the identical h/frac/lerp float ops — hash-exact (the
+    // selected order statistics are data values, bit-equal by
+    // construction; DuckDB's own quantile_cont implements exactly
+    // these semantics).
+    Q(
+      "q237_quantile_cont",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.ExactQuantile.selectQuantilesInterpolated(
+          Tables.lineitem(s, d), $"l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9))
+          .orderBy($"q")
+      },
+      Some("""WITH v AS MATERIALIZED (SELECT l_extendedprice AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+             |nn AS (SELECT count(*) AS n FROM v),
+             |r AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |qq AS (SELECT unnest([CAST('0.25' AS DOUBLE), CAST('0.5' AS DOUBLE),
+             |    CAST('0.75' AS DOUBLE), CAST('0.9' AS DOUBLE)]) AS q),
+             |hs AS (SELECT q, CAST(n - 1 AS DOUBLE) * q AS h, n FROM qq, nn),
+             |sel AS (SELECT q, h, CAST(floor(h) AS BIGINT) + 1 AS klo,
+             |    least(CAST(floor(h) AS BIGINT) + 2, n) AS khi FROM hs)
+             |SELECT s.q, lo.v + (s.h - floor(s.h)) * (hi.v - lo.v) AS value
+             |FROM sel s JOIN r lo ON lo.rn = s.klo JOIN r hi ON hi.rn = s.khi
+             |ORDER BY q""".stripMargin)),
+
+    // ---- q238: ONE-SCAN CORRELATION MATRIX — all six Pearson pairs
+    // over (quantity, extendedprice, discount, tax) from a single
+    // partial-aggregable pass of 15 exact decimal statistics
+    // ([[graft.operators.Profiling.correlationMatrix]]; q120 is the
+    // one-pair grouped sibling). Tolerance oracle — the q120 shape.
+    Q(
+      "q238_corr_matrix",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.correlationMatrix(
+          Tables.lineitem(s, d),
+          Seq("qty" -> $"l_quantity", "price" -> $"l_extendedprice",
+            "disc" -> $"l_discount", "tax" -> $"l_tax"))
+          .orderBy($"col_a", $"col_b")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q238_corr_matrix/*.parquet')),
+             |b AS MATERIALIZED (SELECT
+             |    CAST(l_quantity AS DECIMAL(19,6)) AS qty,
+             |    CAST(l_extendedprice AS DECIMAL(19,6)) AS price,
+             |    CAST(l_discount AS DECIMAL(19,6)) AS disc,
+             |    CAST(l_tax AS DECIMAL(19,6)) AS tax
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+             |st AS (SELECT count(*) AS n,
+             |    CAST(sum(qty) AS DOUBLE) AS s_qty, CAST(sum(price) AS DOUBLE) AS s_price,
+             |    CAST(sum(disc) AS DOUBLE) AS s_disc, CAST(sum(tax) AS DOUBLE) AS s_tax,
+             |    CAST(sum(qty * qty) AS DOUBLE) AS p_qq, CAST(sum(price * price) AS DOUBLE) AS p_pp,
+             |    CAST(sum(disc * disc) AS DOUBLE) AS p_dd, CAST(sum(tax * tax) AS DOUBLE) AS p_tt,
+             |    CAST(sum(qty * price) AS DOUBLE) AS p_qp, CAST(sum(qty * disc) AS DOUBLE) AS p_qd,
+             |    CAST(sum(qty * tax) AS DOUBLE) AS p_qt, CAST(sum(price * disc) AS DOUBLE) AS p_pd,
+             |    CAST(sum(price * tax) AS DOUBLE) AS p_pt, CAST(sum(disc * tax) AS DOUBLE) AS p_dt
+             |  FROM b),
+             |expect AS (
+             |  SELECT 'qty' AS a, 'price' AS bb, n, p_qp AS pab, p_qq AS paa, p_pp AS pbb, s_qty AS sa, s_price AS sb FROM st
+             |  UNION ALL SELECT 'qty', 'disc', n, p_qd, p_qq, p_dd, s_qty, s_disc FROM st
+             |  UNION ALL SELECT 'qty', 'tax', n, p_qt, p_qq, p_tt, s_qty, s_tax FROM st
+             |  UNION ALL SELECT 'price', 'disc', n, p_pd, p_pp, p_dd, s_price, s_disc FROM st
+             |  UNION ALL SELECT 'price', 'tax', n, p_pt, p_pp, p_tt, s_price, s_tax FROM st
+             |  UNION ALL SELECT 'disc', 'tax', n, p_dt, p_dd, p_tt, s_disc, s_tax FROM st),
+             |ex2 AS (SELECT a, bb, n,
+             |    CASE WHEN n > 1 AND CAST(n AS DOUBLE) * paa - sa * sa > 0
+             |           AND CAST(n AS DOUBLE) * pbb - sb * sb > 0
+             |      THEN (CAST(n AS DOUBLE) * pab - sa * sb)
+             |        / (sqrt(CAST(n AS DOUBLE) * paa - sa * sa)
+             |         * sqrt(CAST(n AS DOUBLE) * pbb - sb * sb)) END AS corr
+             |  FROM expect),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 6
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN ex2 x
+             |      ON e.col_a = x.a AND e.col_b = x.bb
+             |      WHERE e.n <> x.n
+             |         OR (e.corr IS NULL) <> (x.corr IS NULL)
+             |         OR abs(coalesce(e.corr, 0) - coalesce(x.corr, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM ex2 x
+             |        WHERE x.a = e.col_a AND x.bb = e.col_b))
+             |  ) AS ok)
+             |SELECT col_a, col_b, n, corr FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY col_a, col_b""".stripMargin))
   )
 }

@@ -271,6 +271,50 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  // --- interpolated quantiles (type-7 / quantile_cont)
+  test("property: selectQuantilesInterpolated equals the sorted-list type-7 formula") {
+    val genXs = for {
+      n <- Gen.chooseNum(1, 80)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-100, 100))
+    } yield xs.map(_ * 0.5)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    check(Prop.forAll(genXs) { xs =>
+      val got = ExactQuantile.selectQuantilesInterpolated(
+        xs.toDF("v"), $"v", qs, bins = 8, levels = 2)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = xs.sorted
+      qs.forall { q =>
+        val h = (xs.size - 1).toDouble * q
+        val lo = sorted(math.floor(h).toInt)
+        val hi = sorted(math.min(math.floor(h).toInt + 1, xs.size - 1))
+        got(q) == lo + (h - math.floor(h)) * (hi - lo)
+      }
+    }, min = 20)
+  }
+
+  // --- correlation matrix
+  test("correlationMatrix matches per-pair groupedCorr; constant column is null") {
+    val rows = (0 until 200).map { i =>
+      (i.toDouble, (i * 3 % 17).toDouble, ((i * i) % 23).toDouble, 5.0)
+    }
+    val df = rows.toDF("a", "b", "c", "k")
+    val got = Profiling.correlationMatrix(df,
+      Seq("a" -> $"a", "b" -> $"b", "c" -> $"c", "k" -> $"k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == 6)
+    for ((x, y) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val single = Profiling.groupedCorr(
+        df.select(lit("g").as("g"), col(x), col(y)), $"g", col(x), col(y))
+        .collect()(0)
+      val (n, corr) = got((x, y))
+      assert(n == 200L && n == single.getLong(1))
+      assert(corr.contains(single.getDouble(2)), s"pair ($x, $y)")
+    }
+    // zero-variance column: every pair with k is null
+    for (x <- Seq("a", "b", "c")) assert(got((x, "k"))._2.isEmpty)
+  }
+
   // --- position-based attribution
   private def refPosition(evs: Seq[(Long, Int, Long, String)])
       : Map[String, (Long, Long)] = {

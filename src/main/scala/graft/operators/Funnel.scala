@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event log: for each user, the
@@ -97,6 +98,66 @@ object Funnel {
     * count-distinct groups by (cohort, offset) — thousands of cells,
     * not users.
     */
+  /** NEGATIVE-CONDITION FUNNEL — each user's EARLIEST A→B conversion
+    * with NO blocker event strictly between the two, inside a time
+    * window: "first view→purchase not interrupted by an error", the
+    * exclusion pattern (`A (¬C)* B`) that plain ordered funnels
+    * ([[earliest]]) and the CEP step machine cannot express.
+    *
+    * Same scale geometry as [[graft.operators.Attribution]]: ONE
+    * user-partitioned window pass carrying two O(1) running states
+    * (the last A and the last blocker strictly before each event,
+    * via `last(..., ignoreNulls)` over the preceding frame — no
+    * self-joins, no per-candidate scans), then a min-struct
+    * aggregation picks the earliest valid B per user. A candidate B
+    * is valid when a preceding A exists within `windowUs` and the
+    * last blocker before B does not fall after that A (blockers
+    * BEFORE the A are irrelevant — the pattern restarts at the last
+    * A). All comparisons are exact (ts, id) lexicographic order.
+    *
+    * Output: (user, a_ts, a_id, b_ts, b_id, gap_us) — one row per
+    * converting user.
+    */
+  def negativeFunnel(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      eventId: Column,
+      eventType: Column,
+      stepA: String,
+      stepB: String,
+      blocker: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    require(Set(stepA, stepB, blocker).size == 3,
+      s"stepA/stepB/blocker must be distinct, got ($stepA, $stepB, $blocker)")
+    val base = events
+      .filter(user.isNotNull && ts.isNotNull && eventId.isNotNull && eventType.isNotNull)
+      .select(user.as("user"), ts.as("ts"), eventId.as("event_id"),
+        eventType.as("etype"))
+      .filter(col("etype").isin(stepA, stepB, blocker))
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aState = when(col("etype") === stepA, struct(col("ts"), col("event_id")))
+    val cState = when(col("etype") === blocker, struct(col("ts"), col("event_id")))
+    val cands = base
+      .withColumn("la", last(aState, ignoreNulls = true).over(w))
+      .withColumn("lc", last(cState, ignoreNulls = true).over(w))
+      .filter(col("etype") === stepB && col("la").isNotNull)
+      .filter(unix_micros(col("ts")) - unix_micros(col("la.ts")) <= windowUs)
+      // no blocker strictly between the A and this B: the last blocker
+      // before B must precede the A in the same (ts, id) total order
+      .filter(col("lc").isNull || !(col("lc") > col("la")))
+    cands
+      .groupBy(col("user"))
+      .agg(min(struct(col("ts").as("b_ts"), col("event_id").as("b_id"),
+        col("la.ts").as("a_ts"), col("la.event_id").as("a_id"))).as("m"))
+      .select(col("user"),
+        col("m.a_ts").as("a_ts"), col("m.a_id").as("a_id"),
+        col("m.b_ts").as("b_ts"), col("m.b_id").as("b_id"),
+        (unix_micros(col("m.b_ts")) - unix_micros(col("m.a_ts"))).as("gap_us"))
+  }
+
   def retention(
       events: DataFrame,
       user: Column,

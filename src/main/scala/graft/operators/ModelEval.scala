@@ -69,4 +69,62 @@ object ModelEval {
           .as("cum_lift"),
         (col("cum_pos").cast("double") / col("total_pos")).as("cum_capture"))
   }
+
+  /** ISOTONIC CALIBRATION over score bins — the monotone-regression
+    * fit (Barlow et al. 1972; the sklearn `IsotonicRegression` step of
+    * every probability-calibration pipeline), computed NOT by the
+    * sequential pool-adjacent-violators stack but by the equivalent
+    * MINIMAX characterization: fit_i = max_{j≤i} min_{k≥i}
+    * weightedMean(y over bins j..k). Scores first reduce to
+    * `bins` equal-width cells (one partial-aggregable pass: per-cell
+    * count + positive count, exact integers); the minimax then runs
+    * entirely on that ≤ bins-row frame — a (j ≤ i ≤ k) triple join of
+    * a tiny aggregate, fully declarative, no driver loops, no
+    * sequential state. Each candidate mean is ONE double division of
+    * exact integers and the min/max pick among identical doubles, so
+    * the result is bit-portable and the oracle hash-matches.
+    *
+    * Output per non-empty bin: (bin, n, pos, rate_raw, rate_iso) with
+    * rate_iso non-decreasing in bin.
+    */
+  def isotonicBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 256, s"bins must be in [2, 256], got $bins")
+    val sD = score.cast("double")
+    val yL = label.cast("long")
+    val yG = when(yL.isNull || (yL =!= 0L && yL =!= 1L), raise_error(lit(
+      "isotonicBins: label must be 0 or 1"))).otherwise(yL)
+    val base = df.filter(sD.isNotNull && !isnan(sD))
+      .select(sD.as("s"), yG.as("y"))
+    val span = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = base.crossJoin(broadcast(span))
+      .select(
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("s") - col("lo")) / (col("hi") - col("lo")) * bins)
+            .cast("int"), lit(bins - 1))).as("bin"),
+        col("y"))
+    val cells = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true) // three self-references below
+    val j = cells.select(col("bin").as("jb"))
+    val k = cells.select(col("bin").as("kb"))
+    // segment sums y(j..k), w(j..k) from the cell frame — the frame is
+    // ≤ bins rows, so the triple expansion is ≤ bins³ tiny rows
+    val segs = j.crossJoin(k).filter(col("jb") <= col("kb"))
+      .join(cells, col("bin") >= col("jb") && col("bin") <= col("kb"))
+      .groupBy(col("jb"), col("kb"))
+      .agg((sum(col("pos")).cast("double") / sum(col("n")).cast("double")).as("avg"))
+    val i = cells.select(col("bin").as("ib"))
+    val inner = i.join(segs, col("kb") >= col("ib"))
+      .groupBy(col("ib"), col("jb")).agg(min(col("avg")).as("innerMin"))
+      .filter(col("jb") <= col("ib"))
+      .groupBy(col("ib")).agg(max(col("innerMin")).as("rate_iso"))
+    cells.join(inner, col("bin") === col("ib"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate_raw"),
+        col("rate_iso"))
+  }
 }

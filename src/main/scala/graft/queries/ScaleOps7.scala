@@ -727,6 +727,92 @@ object ScaleOps7 {
              |UNION ALL
              |SELECT 'POISON', 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY col_a, col_b""".stripMargin))
+             |ORDER BY col_a, col_b""".stripMargin)),
+
+    // ---- q239: NEGATIVE-CONDITION FUNNEL — each user's earliest
+    // view→purchase within 7 days with NO error strictly between
+    // (the `A (¬C)* B` exclusion pattern plain funnels can't say).
+    // One window pass with two O(1) carry-forward states
+    // ([[graft.operators.Funnel.negativeFunnel]]); exact (ts, id)
+    // order everywhere — hash-exact oracle via the same windows.
+    Q(
+      "q239_negative_funnel",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Funnel.negativeFunnel(
+          Tables.events(s, d),
+          $"user_id", $"ts", $"event_id", $"event_type",
+          stepA = "view", stepB = "purchase", blocker = "error",
+          windowUs = 7L * 86400L * 1000000L)
+          .orderBy($"user")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id AS u, ts, event_id AS eid, event_type AS et
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+             |    AND event_type IN ('view', 'purchase', 'error')),
+             |st AS (SELECT u, ts, eid, et,
+             |    last_value(CASE WHEN et = 'view' THEN {'ts': ts, 'eid': eid} END
+             |      IGNORE NULLS) OVER (PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la,
+             |    last_value(CASE WHEN et = 'error' THEN {'ts': ts, 'eid': eid} END
+             |      IGNORE NULLS) OVER (PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+             |  FROM base),
+             |cand AS (SELECT u, ts, eid, la, lc FROM st
+             |  WHERE et = 'purchase' AND la IS NOT NULL
+             |    AND epoch_us(ts) - epoch_us(la.ts) <= 604800000000
+             |    AND (lc IS NULL OR NOT (lc > la))),
+             |rk AS (SELECT u, la.ts AS a_ts, la.eid AS a_id, ts AS b_ts, eid AS b_id,
+             |    row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn FROM cand)
+             |SELECT u AS "user", a_ts, a_id, b_ts, b_id,
+             |  epoch_us(b_ts) - epoch_us(a_ts) AS gap_us
+             |FROM rk WHERE rn = 1 ORDER BY "user"""".stripMargin)),
+
+    // ---- q240: ISOTONIC CALIBRATION — monotone regression of the
+    // urgent-order rate onto 16 account-balance bins via the MINIMAX
+    // closed form (max_{j≤i} min_{k≥i} mean(j..k)) on the bounded
+    // cell frame — fully declarative PAVA, no sequential stack
+    // ([[graft.operators.ModelEval.isotonicBins]]). Every candidate
+    // mean is one double division of exact integers and min/max picks
+    // among identical doubles — hash-exact.
+    Q(
+      "q240_isotonic_bins",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val scored = Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"uk", "left")
+          .select($"c_acctbal".as("sc"), $"uk".isNotNull.cast("long").as("y"))
+        graft.operators.ModelEval.isotonicBins(scored, $"sc", $"y", bins = 16)
+          .orderBy($"bin")
+      },
+      Some("""WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |b AS MATERIALIZED (SELECT c_acctbal AS s,
+             |    CASE WHEN u.uk IS NOT NULL THEN 1 ELSE 0 END AS y
+             |  FROM customer LEFT JOIN u ON c_custkey = u.uk
+             |  WHERE c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)),
+             |sp AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+             |cells AS MATERIALIZED (SELECT CASE WHEN hi = lo THEN 0
+             |    ELSE least(CAST(floor((s - lo) / (hi - lo) * 16) AS INTEGER), 15)
+             |    END AS bin,
+             |    count(*) AS n, sum(y) AS pos
+             |  FROM b, sp GROUP BY 1),
+             |segs AS MATERIALIZED (
+             |  SELECT j.bin AS jb, k.bin AS kb,
+             |    CAST(sum(c.pos) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE) AS avg
+             |  FROM cells j JOIN cells k ON j.bin <= k.bin
+             |  JOIN cells c ON c.bin >= j.bin AND c.bin <= k.bin
+             |  GROUP BY 1, 2),
+             |inner1 AS (SELECT i.bin AS ib, s.jb, min(s.avg) AS m
+             |  FROM cells i JOIN segs s ON s.kb >= i.bin GROUP BY 1, 2),
+             |iso AS (SELECT ib, max(m) AS rate_iso FROM inner1
+             |  WHERE jb <= ib GROUP BY ib)
+             |SELECT c.bin, c.n, CAST(c.pos AS BIGINT) AS pos,
+             |  CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS rate_raw, i.rate_iso
+             |FROM cells c JOIN iso i ON c.bin = i.ib ORDER BY bin""".stripMargin))
   )
 }

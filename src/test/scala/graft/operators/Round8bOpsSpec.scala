@@ -370,6 +370,92 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  // --- negative funnel
+  private def refNegFunnel(evs: Seq[(Long, Int, Long, String)], windowSec: Long)
+      : Map[Long, (Long, Long)] =
+    evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var lastA: Option[(Int, Long)] = None
+      var lastC: Option[(Int, Long)] = None
+      var hit: Option[(Long, Long)] = None
+      for (r <- sorted if hit.isEmpty) {
+        r._4 match {
+          case "A" => lastA = Some((r._2, r._3))
+          case "C" => lastC = Some((r._2, r._3))
+          case "B" =>
+            lastA.foreach { a =>
+              val blocked = lastC.exists(c =>
+                (c._1 > a._1) || (c._1 == a._1 && c._2 > a._2))
+              if (!blocked && (r._2 - a._1).toLong <= windowSec)
+                hit = Some((a._2, r._3))
+            }
+          case _ =>
+        }
+      }
+      hit.map(u -> _)
+    }
+
+  test("property: negativeFunnel matches the sequential reference") {
+    val genEvents = for {
+      n <- Gen.chooseNum(1, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 4L)
+        t <- Gen.chooseNum(1, 40)
+        et <- Gen.oneOf("A", "B", "C")
+      } yield (u, t, et))
+    } yield evs.zipWithIndex.map { case ((u, t, et), i) => (u, t, i.toLong, et) }
+    check(Prop.forAll(genEvents, Gen.oneOf(5L, 15L, 100L)) { (evs, win) =>
+      val got = Funnel.negativeFunnel(
+        evs.map { case (u, t, id, et) =>
+          (u, new java.sql.Timestamp(t * 1000L), id, et)
+        }.toDF("u", "ts", "id", "et"),
+        $"u", $"ts", $"id", $"et", "A", "B", "C", windowUs = win * 1000000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+      got == refNegFunnel(evs, win)
+    })
+  }
+
+  // --- isotonic (minimax ≡ sequential PAVA)
+  test("property: isotonicBins is monotone and equals sequential PAVA") {
+    // direct PAVA over cells, tracking cell counts per block
+    def pavaCells(cells: Seq[(Long, Long)]): Seq[Double] = {
+      case class B(cells: Int, n: Long, pos: Long) { def r: Double = pos.toDouble / n }
+      var st = Vector.empty[B]
+      for ((n, pos) <- cells) {
+        var b = B(1, n, pos)
+        while (st.nonEmpty && st.last.r >= b.r) {
+          val p = st.last; st = st.init; b = B(p.cells + b.cells, p.n + b.n, p.pos + b.pos)
+        }
+        st :+= b
+      }
+      st.flatMap(b => Seq.fill(b.cells)(b.r))
+    }
+    val genCells = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, for {
+        w <- Gen.chooseNum(1L, 20L)
+        p <- Gen.chooseNum(0L, 20L)
+      } yield (w, math.min(p, w)))
+    } yield cs
+    check(Prop.forAll(genCells) { cells =>
+      // feed rows that bin exactly into cell index i: score = i + 0.5
+      // over [0, n) with bins = n... simpler: call the minimax on a
+      // hand-built frame via score = bin index with bins = cells.size
+      val rows = cells.zipWithIndex.flatMap { case ((w, p), i) =>
+        (0L until w).map(r => (i.toDouble, if (r < p) 1 else 0))
+      }
+      cells.size < 2 || {
+        val got = ModelEval.isotonicBins(rows.toDF("s", "y"), $"s", $"y",
+          bins = cells.size)
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(4)).toSeq
+        val expect = pavaCells(cells)
+        got.size == expect.size &&
+          got.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-12 } &&
+          got.sliding(2).forall(w => w.size < 2 || w(0) <= w(1))
+      }
+    })
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

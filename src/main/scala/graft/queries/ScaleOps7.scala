@@ -813,6 +813,69 @@ object ScaleOps7 {
              |  WHERE jb <= ib GROUP BY ib)
              |SELECT c.bin, c.n, CAST(c.pos AS BIGINT) AS pos,
              |  CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS rate_raw, i.rate_iso
-             |FROM cells c JOIN iso i ON c.bin = i.ib ORDER BY bin""".stripMargin))
+             |FROM cells c JOIN iso i ON c.bin = i.ib ORDER BY bin""".stripMargin)),
+
+    // ---- q241: FIFO LOT MATCHING — per part, odd-orderkey lineitems
+    // sell against even-orderkey buy lots oldest-first (ship-date
+    // order); realized COGS at each lot's integer unit cost. The
+    // sequential lot queue is replaced by the order-independent
+    // cumulative form ([[graft.operators.Fifo]]): one per-key
+    // cumulative window + one aggregate, exact int64 throughout —
+    // hash-exact oracle. Oversold parts surface as unmatched_sold.
+    Q(
+      "q241_fifo_matching",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_partkey",
+          $"l_shipdate".cast("timestamp").as("sd"),
+          ($"l_orderkey" * 8 + $"l_linenumber").as("tb"),
+          $"l_quantity".cast("long").as("qv"),
+          ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          $"l_orderkey".as("ok"))
+        val buys = li.filter($"ok" % 2 === 0)
+          .withColumn("uc", expr("cents div qv"))
+        val sells = li.filter($"ok" % 2 === 1)
+        graft.operators.Fifo.matchLots(
+          buys, sells,
+          buyKey = $"l_partkey", buyTs = $"sd", buyTiebreak = $"tb",
+          buyQty = $"qv", buyUnitCost = $"uc",
+          sellKey = $"l_partkey", sellQty = $"qv")
+          .orderBy($"key")
+      },
+      Some("""WITH b AS MATERIALIZED (SELECT l_partkey AS k, l_shipdate AS ts,
+             |    l_orderkey * 8 + l_linenumber AS tb,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // CAST(l_quantity AS BIGINT) AS c
+             |  FROM lineitem WHERE l_orderkey % 2 = 0),
+             |s AS MATERIALIZED (SELECT l_partkey AS k,
+             |    sum(CAST(l_quantity AS BIGINT)) AS sold
+             |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+             |lots AS (SELECT b.k, q, c,
+             |    coalesce(sum(q) OVER (PARTITION BY b.k ORDER BY ts, tb
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore,
+             |    coalesce(s.sold, 0) AS soldT
+             |  FROM b LEFT JOIN s ON b.k = s.k),
+             |m AS (SELECT k, q, c, soldT,
+             |    greatest(0, least(q, soldT - cumBefore)) AS matched FROM lots),
+             |pk AS (SELECT k, sum(q) AS bought_qty, max(soldT) AS sold_qty,
+             |    sum(matched) AS matched_qty, sum(matched * c) AS cogs,
+             |    sum(q - matched) AS remaining_qty,
+             |    sum((q - matched) * c) AS remaining_cost
+             |  FROM m GROUP BY k),
+             |so AS (SELECT s.k, CAST(0 AS BIGINT) AS bought_qty, s.sold AS sold_qty,
+             |    CAST(0 AS BIGINT) AS matched_qty, CAST(0 AS BIGINT) AS cogs,
+             |    CAST(0 AS BIGINT) AS remaining_qty, CAST(0 AS BIGINT) AS remaining_cost
+             |  FROM s LEFT JOIN (SELECT DISTINCT k FROM b) bb ON s.k = bb.k
+             |  WHERE bb.k IS NULL),
+             |al AS (SELECT * FROM pk UNION ALL SELECT * FROM so)
+             |SELECT k AS key, CAST(bought_qty AS BIGINT) AS bought_qty,
+             |  CAST(sold_qty AS BIGINT) AS sold_qty,
+             |  CAST(matched_qty AS BIGINT) AS matched_qty, CAST(cogs AS BIGINT) AS cogs,
+             |  CAST(remaining_qty AS BIGINT) AS remaining_qty,
+             |  CAST(remaining_cost AS BIGINT) AS remaining_cost,
+             |  CAST(greatest(0, sold_qty - bought_qty) AS BIGINT) AS unmatched_sold
+             |FROM al ORDER BY key""".stripMargin))
   )
 }

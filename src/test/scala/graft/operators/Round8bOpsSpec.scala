@@ -456,6 +456,57 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  // --- FIFO lot matching
+  private def refFifoQueue(buys: Seq[(Int, Long, Long)], soldTotal: Long)
+      : (Long, Long, Long, Long) = {
+    // true sequential queue consumption over buy lots in time order
+    var remainingSell = soldTotal
+    var matched = 0L; var cogs = 0L; var remQ = 0L; var remC = 0L
+    for ((_, q, c) <- buys.sortBy(_._1)) {
+      val take = math.min(q, math.max(0L, remainingSell))
+      remainingSell -= take
+      matched += take; cogs += take * c
+      remQ += q - take; remC += (q - take) * c
+    }
+    (matched, cogs, remQ, remC)
+  }
+
+  test("property: Fifo.matchLots equals the sequential queue fold") {
+    val genLedger = for {
+      nb <- Gen.chooseNum(0, 15)
+      buys <- Gen.listOfN(nb, for {
+        t <- Gen.chooseNum(1, 30)
+        q <- Gen.chooseNum(0L, 20L)
+        c <- Gen.chooseNum(1L, 9L)
+      } yield (t, q, c))
+      sold <- Gen.chooseNum(0L, 200L)
+    } yield (buys.zipWithIndex.map { case ((t, q, c), i) => (t, q, c, i.toLong) }, sold)
+    check(Prop.forAll(genLedger) { case (buys, sold) =>
+      val bdf = buys.map { case (t, q, c, tb) =>
+        ("k", new java.sql.Timestamp(t * 1000L), tb, q, c)
+      }.toDF("k", "ts", "tb", "q", "c")
+      val sdf = Seq(("k", sold)).toDF("k", "q")
+      val row = Fifo.matchLots(bdf, sdf, $"k", $"ts", $"tb", $"q", $"c", $"k", $"q")
+        .collect()(0)
+      val (m, cg, rq, rc) = refFifoQueue(buys.map(b => (b._1, b._2, b._3)), sold)
+      val bought = buys.map(_._2).sum
+      row.getLong(1) == bought && row.getLong(2) == sold &&
+        row.getLong(3) == m && row.getLong(4) == cg &&
+        row.getLong(5) == rq && row.getLong(6) == rc &&
+        row.getLong(7) == math.max(0L, sold - bought)
+    })
+  }
+
+  test("Fifo.matchLots surfaces sell-only keys as pure overshoot") {
+    val bdf = Seq(("a", new java.sql.Timestamp(1000L), 1L, 5L, 2L))
+      .toDF("k", "ts", "tb", "q", "c")
+    val sdf = Seq(("a", 3L), ("ghost", 7L)).toDF("k", "q")
+    val got = Fifo.matchLots(bdf, sdf, $"k", $"ts", $"tb", $"q", $"c", $"k", $"q")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(4) == 6L) // 3 matched × cost 2
+    assert(got("ghost").getLong(1) == 0L && got("ghost").getLong(7) == 7L)
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

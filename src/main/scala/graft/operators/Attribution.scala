@@ -80,7 +80,14 @@ object Attribution {
     * Output per channel: (channel, n_touches, n_conversions,
     * credit_milli).
     */
-  def positionCredit(
+  /** Journey scoping shared by the multi-touch attributions: each
+    * non-conversion event attaches to the NEXT conversion at-or-after
+    * it in the user's (ts, event_id) total order (one O(1)
+    * carry-backward window state); open journeys (no following
+    * conversion) drop. Output: (user, conv_id, conv_ts, ts, event_id,
+    * etype).
+    */
+  private def journeyTouches(
       events: DataFrame,
       user: Column,
       ts: Column,
@@ -94,11 +101,21 @@ object Attribution {
     val wFwd = Window.partitionBy(col("user")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val cnv = when(col("is_conv"), struct(col("ts"), col("event_id")))
-    val touches = base
+    base
       .withColumn("nc", first(cnv, ignoreNulls = true).over(wFwd))
       .filter(!col("is_conv") && col("nc").isNotNull)
       .select(col("user"), col("nc.event_id").as("conv_id"),
-        col("ts"), col("event_id"), col("etype"))
+        col("nc.ts").as("conv_ts"), col("ts"), col("event_id"), col("etype"))
+  }
+
+  def positionCredit(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      eventId: Column,
+      eventType: Column,
+      isConversion: Column): DataFrame = {
+    val touches = journeyTouches(events, user, ts, eventId, eventType, isConversion)
     val wJ = Window.partitionBy(col("user"), col("conv_id"))
       .orderBy(col("ts"), col("event_id"))
     val sized = touches
@@ -121,5 +138,49 @@ object Attribution {
         count(lit(1)).as("n_touches"),
         countDistinct(col("user"), col("conv_id")).as("n_conversions"),
         sum(col("credit")).as("credit_milli"))
+  }
+
+  /** TIME-DECAY touch mass per channel — recency-weighted influence
+    * with a one-day half-life: a touch `a` whole days before its
+    * conversion carries weight 2⁻ᵃ. Weights are EXACT dyadic
+    * integers — mass is accumulated in units of 2⁻ᵐᵃˣ (so a touch
+    * contributes `1 << (maxAgeDays − min(a, maxAgeDays))`, an int64)
+    * — because float decay weights would make the rollup an
+    * order-dependent float sum, the q235 lesson. Touches older than
+    * `maxAgeDays` keep the floor weight (1 unit — still counted, not
+    * silently dropped; callers wanting a hard cutoff filter first).
+    * `share` is each channel's fraction of the total mass — one
+    * double division of exact integers, computed over the tiny
+    * channel aggregate.
+    *
+    * Output: (channel, n_touches, mass, share); mass in 2⁻ᵐᵃˣ units.
+    */
+  def decayedTouchMass(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      eventId: Column,
+      eventType: Column,
+      isConversion: Column,
+      maxAgeDays: Int = 40): DataFrame = {
+    require(maxAgeDays >= 1 && maxAgeDays <= 62,
+      s"maxAgeDays must be in [1, 62] (the weight is a 2^k int64), got $maxAgeDays")
+    val touches = journeyTouches(events, user, ts, eventId, eventType, isConversion)
+    val age = floor((unix_micros(col("conv_ts")) - unix_micros(col("ts")))
+      / lit(86400000000L)).cast("long")
+    val perChannel = touches
+      .withColumn("age", age)
+      // the functions.shiftleft wrapper only takes a literal shift —
+      // the SQL form accepts an expression
+      .withColumn("mass",
+        expr(s"shiftleft(1L, cast($maxAgeDays - least(age, $maxAgeDays) as int))"))
+      .groupBy(col("etype").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("mass")).as("mass"))
+    // total over the ≤ |channels|-row aggregate — bounded, never data
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perChannel
+      .withColumn("share",
+        col("mass").cast("double") / sum(col("mass")).over(wAll).cast("double"))
+      .select(col("channel"), col("n_touches"), col("mass"), col("share"))
   }
 }

@@ -876,6 +876,153 @@ object ScaleOps7 {
              |  CAST(remaining_qty AS BIGINT) AS remaining_qty,
              |  CAST(remaining_cost AS BIGINT) AS remaining_cost,
              |  CAST(greatest(0, sold_qty - bought_qty) AS BIGINT) AS unmatched_sold
-             |FROM al ORDER BY key""".stripMargin))
+             |FROM al ORDER BY key""".stripMargin)),
+
+    // ---- q242: TIME-DECAY TOUCH MASS — q235's journeys weighted by
+    // recency with a one-day half-life in EXACT dyadic integers
+    // (2^(40−age) units of 2⁻⁴⁰ — no float decay sums;
+    // [[graft.operators.Attribution.decayedTouchMass]]). Channel
+    // share is one double division of exact integers — hash-exact.
+    Q(
+      "q242_decay_attribution",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Attribution.decayedTouchMass(
+          Tables.events(s, d),
+          $"user_id", $"ts", $"event_id", $"event_type",
+          $"event_type" === "purchase", maxAgeDays = 40)
+          .orderBy($"channel")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id AS u, ts, event_id AS eid, event_type AS et,
+             |    event_type = 'purchase' AS c
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+             |tc AS (
+             |  SELECT u, ts, eid, et, c,
+             |    first_value(CASE WHEN c THEN {'ts': ts, 'eid': eid} END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+             |  FROM base),
+             |j AS (SELECT et,
+             |    CAST(1 AS BIGINT) << CAST(40 - least(
+             |      CAST(floor((epoch_us(nc.ts) - epoch_us(ts)) / 86400000000) AS BIGINT),
+             |      40) AS INTEGER) AS mass
+             |  FROM tc WHERE NOT c AND nc IS NOT NULL),
+             |pc AS (SELECT et AS channel, count(*) AS n_touches,
+             |    CAST(sum(mass) AS BIGINT) AS mass
+             |  FROM j GROUP BY et)
+             |SELECT channel, n_touches, mass,
+             |  CAST(mass AS DOUBLE) / CAST(sum(mass) OVER () AS DOUBLE) AS share
+             |FROM pc ORDER BY channel""".stripMargin)),
+
+    // ---- q243: STREAMING NEGATIVE FUNNEL — `view (¬error)* purchase`
+    // within 7 days as a LIVE operator, the watermark-buffer
+    // template's fourth instance ([[graft.streaming.NegativeFunnel]]),
+    // with CONSUMPTION semantics (each view credits at most one
+    // purchase — the unbounded-stream contract; q239 is the
+    // earliest-only batch sibling). Batch membership is scrambled
+    // exactly like q203/q223 (hash-chosen trailing bands one batch
+    // late, inside the 2-day delay) + the far-future flush sentinel;
+    // the state store must drain to ZERO rows. Oracle = recursive
+    // replay of the same fold (multiset unchanged by the scramble).
+    Q(
+      "q243_streaming_negative_funnel",
+      (s, d) => streamingNegativeFunnel(s, d),
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS id, event_type AS et,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |  WHERE event_type IN ('view', 'purchase', 'error')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+             |st(k, rn, aT, cAfter, emit_a, emit_b) AS (
+             |  SELECT k, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), false,
+             |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+             |  FROM (SELECT DISTINCT k FROM ev)
+             |  UNION ALL
+             |  SELECT s.k, e.rn,
+             |    CASE WHEN e.et = 'view' THEN e.t
+             |         WHEN x.valid THEN CAST(NULL AS BIGINT)
+             |         ELSE s.aT END,
+             |    CASE WHEN e.et = 'view' THEN false
+             |         WHEN x.valid THEN false
+             |         WHEN e.et = 'error' AND s.aT IS NOT NULL THEN true
+             |         ELSE s.cAfter END,
+             |    CASE WHEN x.valid THEN s.aT END,
+             |    CASE WHEN x.valid THEN e.t END
+             |  FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1,
+             |  LATERAL (SELECT (e.et = 'purchase' AND s.aT IS NOT NULL
+             |    AND NOT s.cAfter AND e.t - s.aT <= 604800000000) AS valid) x)
+             |SELECT k AS user_id, emit_a AS a_us, emit_b AS b_us
+             |FROM st WHERE emit_a IS NOT NULL
+             |ORDER BY user_id, a_us, b_us""".stripMargin))
   )
+
+  /** q243's drive: the q203 scrambled staging (hash-chosen trailing
+    * one-day bands one micro-batch late + far-future flush sentinel)
+    * feeding [[graft.streaming.NegativeFunnel.detectEventTime]];
+    * all state must drain (armed views evicted once the watermark
+    * outruns their window).
+    */
+  private def streamingNegativeFunnel(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q243_nf_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"event_id"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit("flush").as("event_type"),
+        lit(-1L).as("event_id"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q243_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.NegativeFunnel.detectEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.PatternMatch.Ev],
+        stepA = "view", stepB = "purchase", blocker = "error",
+        windowUs = 7L * 86400L * 1000000L,
+        delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q243 stream did not terminate within 600s — refusing a partial match set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q243 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val drained = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(drained.contains(0L),
+          s"q243 negative-funnel state not drained at end of stream: $drained rows")
+        s.table(name)
+          .select($"user_id", $"a_us", $"b_us")
+          .orderBy($"user_id", $"a_us", $"b_us")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

@@ -33,7 +33,13 @@ object Stress {
     * ~N^1.5 cell scan, blocked similarity self-join).
     */
   val extraQueries: Seq[String] = Seq(
-    "q55_dedup_spans", "q91_semantic_prune", "q115_fuzzy_entity_resolution")
+    "q55_dedup_spans", "q91_semantic_prune", "q115_fuzzy_entity_resolution",
+    // round-8 additions whose cost is volume-shaped: the blocked
+    // Jaro-Winkler scan (~50M kernel evals at 10×), frontier SSSP over
+    // the 10× bipartite graph, the FIFO cumulative window over the
+    // full lineitem ledger, and the bucketed rank machinery
+    "q236_jaro_winkler", "q227_sssp_bounded", "q241_fifo_matching",
+    "q225_roc_auc")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

@@ -507,6 +507,23 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got("ghost").getLong(1) == 0L && got("ghost").getLong(7) == 7L)
   }
 
+  // --- time-decay touch mass
+  test("decayedTouchMass: exact dyadic weights, floor at maxAge, shares sum to 1") {
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val evs = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(2), 2L, "b"), (1L, t(3), 3L, "C"), // ages 3, 1
+      (2L, t(0), 4L, "a"), (2L, t(50), 5L, "C"), // age 50 → floored at 40
+      (3L, t(0), 6L, "b")) // open journey: drops
+    val got = Attribution.decayedTouchMass(
+      evs.toDF("u", "ts", "id", "et"), $"u", $"ts", $"id", $"et", $"et" === "C",
+      maxAgeDays = 40)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("a")._2 == (1L << 37) + 1L) // age 3 → 2^37; age 50 → floor 2^0
+    assert(got("b")._2 == (1L << 39)) // age 1 → 2^39
+    assert(got.size == 2 && math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

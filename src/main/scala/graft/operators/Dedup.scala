@@ -456,6 +456,23 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Banded Hamming-radius pairs over CALLER-SUPPLIED 64-bit
+    * signatures — the [[simhashPairs]] engine with the signature step
+    * factored out, so any 64-bit perceptual/locality hash (image
+    * aHash, audio fingerprint) reuses the pigeonhole-complete band
+    * blocking instead of an all-pairs comparison. `sigs` must be
+    * (id: long, sig: long) with distinct ids.
+    */
+  def hammingPairs64(
+      sigs: DataFrame,
+      id: Column,
+      sig: Column,
+      maxHamming: Int,
+      maxBlockSize: Int = 10000): DataFrame =
+    bandedHammingPairs(
+      sigs.select(id.cast("long").as("doc_id"), sig.cast("long").as("sig")),
+      totalBits = 64, maxHamming = maxHamming, maxBlockSize = maxBlockSize)
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` over
     * the 64-bit xxhash64-kernel signature, blocked on `maxHamming + 1`
     * disjoint bands (complete at the radius — see [[bandLayout]]).

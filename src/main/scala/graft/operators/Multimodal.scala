@@ -258,6 +258,102 @@ object Multimodal {
       }(enc)
   }
 
+  /** PERCEPTUAL AVERAGE-HASH (aHash, 64-bit) per image — REAL
+    * pixel-level near-dup fingerprinting: decode (JDK registry),
+    * integer-luminance (299/587/114 per mille) AREA MEANS over an 8×8
+    * block grid, bit i set when block i's mean luminance is at or
+    * above the global mean. Every comparison is CROSS-MULTIPLIED
+    * exact long arithmetic (blockSum · totalArea ≥ totalSum ·
+    * blockArea) — no float rounding, so the hash is bit-identical on
+    * any JVM and INVARIANT under lossless re-encodes (the PNG
+    * round-trip property pinned in MultimodalJdkSpec). Map-side at
+    * any scale: one image per row per task, no shuffle.
+    *
+    * Output: (media_id, ahash). Compose with
+    * [[Dedup.hammingPairs64]] for banded near-dup pairs — see
+    * [[imageNearDupPairs]].
+    */
+  def averageHash64(media: DataFrame): DataFrame = {
+    val out = media.select(col("media_id"), col("media"))
+      .filter(col("media").isNotNull && col("media_id").isNotNull)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"media $id: bytes are not a JDK-decodable image (png/jpeg/bmp/gif)")
+          (id, AHash.ahash64(img))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    out.select(col("_1").as("media_id"), col("_2").as("ahash"))
+  }
+
+  private[operators] object AHash {
+    def ahash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      // the exact cross-multiplied comparison below needs
+      // blockSum·totalArea inside int64: blockSum ≤ (area/64+edges)·
+      // 255000, so pixels² · ~4000 must stay under 2^63 — 2^25 pixels
+      // (33 MP) leaves 2× headroom. Bigger inputs should resize first.
+      require(w.toLong * h <= (1L << 25),
+        s"averageHash64: image $w x $h exceeds 2^25 pixels — downscale first " +
+          "(resizeImages) to keep the exact integer comparison in int64")
+      // per-block luminance sums over the floor(i·w/8) grid — exact
+      // integer block boundaries, every pixel in exactly one block
+      val sums = new Array[Long](64)
+      val areas = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val bx = (x.toLong * 8 / w).toInt
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L
+          val b = by * 8 + bx
+          sums(b) += lum
+          areas(b) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var total = 0L
+      var i = 0
+      while (i < 64) { total += sums(i); i += 1 }
+      val totalArea = w.toLong * h
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        // block mean >= global mean, cross-multiplied exactly; an
+        // empty block (image smaller than 8×8 in a dimension) reads
+        // as mean 0 → bit clear unless the whole image is black too
+        val set =
+          if (areas(i) == 0L) total == 0L
+          else sums(i) * totalArea >= total * areas(i)
+        if (set) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+  }
+
+  /** Image NEAR-DUP pairs: [[averageHash64]] fingerprints through
+    * [[Dedup.hammingPairs64]]'s pigeonhole-complete band blocking —
+    * pixel-level duplicate detection (re-encodes, minor edits) with
+    * no all-pairs comparison. Output: (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val sigs = averageHash64(media)
+    Dedup.hammingPairs64(sigs, col("media_id"), col("ahash"),
+      maxHamming = maxHamming, maxBlockSize = maxBlockSize)
+  }
+
   /** Frame sampling: split the payload into fixed-size byte windows and
     * emit one row per sampled frame (every `stride`-th window) — the
     * partition/grain story of video-frame extraction, minus the codec.

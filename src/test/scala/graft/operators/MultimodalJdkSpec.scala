@@ -110,4 +110,50 @@ class MultimodalJdkSpec extends SparkTestBase {
       .collect().head.getAs[Array[Byte]](0)
     assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
   }
+
+  test("averageHash64: re-encode invariant, near for noisy copies, far for distinct; pairs find the copies") {
+    // base images + a one-pixel-perturbed copy of each (perceptually
+    // identical) + genuinely different images
+    def perturb(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val c = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        c.setRGB(x, y, img.getRGB(x, y))
+      c.setRGB(0, 0, img.getRGB(0, 0) ^ 0x010101)
+      c
+    }
+    val base1 = makeImage(40, 40, 7)
+    val base2 = makeImage(40, 40, 1000) // different seed → different gradient phase
+    val media = Seq(
+      (1L, encode(base1, "png")),
+      (2L, encode(base1, "bmp")), // same pixels, different container
+      (3L, encode(perturb(base1), "png")),
+      (4L, encode(base2, "png")))
+      .toDF("media_id", "media")
+    val hashes = Multimodal.averageHash64(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lossless re-encode: identical pixels → identical hash
+    assert(hashes(1L) == hashes(2L), "container change must not move the hash")
+    // local against the pure kernel
+    assert(hashes(1L) == Multimodal.AHash.ahash64(base1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(3L)) <= 2, "one-pixel noise must stay near")
+    // the gradients differ in phase: most block means flip relative
+    // to the global mean
+    assert(ham(hashes(1L), hashes(4L)) > 6,
+      s"distinct images expected far apart, got ${ham(hashes(1L), hashes(4L))}")
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // tiny images exercise the empty-block path without throwing
+    val tiny = Seq((9L, encode(makeImage(3, 5, 1), "png"))).toDF("media_id", "media")
+    assert(Multimodal.averageHash64(tiny).count() == 1L)
+    // oversize guard
+    val big = new java.awt.image.BufferedImage(
+      1 << 13, 1 << 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val e = intercept[IllegalArgumentException](Multimodal.AHash.ahash64(big))
+    assert(e.getMessage.contains("downscale"))
+  }
 }

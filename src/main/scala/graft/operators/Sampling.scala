@@ -569,4 +569,80 @@ object Sampling {
       .select(col("s._2").as("__winner_id"))
     df.join(winners, guardedId === col("__winner_id"), "left_semi")
   }
+
+  /** EXACT-COUNT stratified sample: exactly `total` rows, split across
+    * strata PROPORTIONALLY to their sizes with
+    * [[Allocation.largestRemainder]] seat arithmetic (Σ taken =
+    * `total` exactly — the rate-based [[stratifiedKeep]] only
+    * approximates counts), each stratum's quota filled in
+    * content-hash order (deterministic, append-stable for the
+    * non-selected remainder, no RNG). The "build me a 10k-example
+    * eval set, proportionally by source" primitive.
+    *
+    * Selection = the first k_s rows of each stratum in
+    * (hash60(content) as double, id) order, computed WITHOUT a
+    * per-stratum global sort (hash keys are all-distinct, so the
+    * [[percentileRank]] distinct-value trick degenerates — q48's
+    * lesson): hashes bucket into 1024 fixed 2⁵⁰-wide cells, the
+    * crossing bucket per stratum comes from a prefix window over the
+    * ≤1024-row count frame, rows below it are kept outright, and the
+    * exact in-bucket rank orders only the crossing bucket's ~n/1024
+    * rows. The per-stratum take is exactly k_s by construction — the
+    * double rounding of hash60 can only reorder WHICH rows fill the
+    * quota (identically in every engine), never the count.
+    *
+    * `total` must not exceed the eligible row count (seats without
+    * rows would silently under-fill — it raises instead). Strata are
+    * few by nature (the [[stratifiedKeep]] contract); the allocation
+    * frame is one row per stratum.
+    *
+    * Output: (stratum, id) of the selected rows.
+    */
+  def exactStratifiedTake(
+      df: org.apache.spark.sql.DataFrame,
+      stratum: Column,
+      hashOn: Column,
+      id: Column,
+      total: Long): org.apache.spark.sql.DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val base = df
+      .select(stratum.as("g"),
+        KmvSketch.hash60(hashOn).cast("double").as("h"),
+        id.cast("long").as("rid"))
+      .filter(col("g").isNotNull && col("h").isNotNull && col("rid").isNotNull)
+    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val alloc = Allocation.largestRemainder(
+      counts, lit("__all"), col("g"), col("n"), total)
+      .select(col("item").as("ag"), col("alloc").as("k"))
+    // guard: seats must not exceed rows (largestRemainder keeps
+    // k_s ≤ n_s whenever total ≤ N, so one global check suffices)
+    val guarded = alloc.join(counts, col("ag") === col("g"))
+      .select(col("ag"),
+        when(col("k") > col("n"), raise_error(concat(
+          lit("exactStratifiedTake: total exceeds the eligible row count "),
+          lit("(stratum "), col("ag").cast("string"),
+          lit(" allocated more seats than rows)")))).otherwise(col("k")).as("k"))
+    val bucketed = base.withColumn("b",
+      least(floor(col("h") / lit(1125899906842624.0)).cast("int"), lit(1023)))
+    val bCounts = bucketed.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val wPrefix = Window.partitionBy(col("g")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bCounts.withColumn("cw", sum(col("c")).over(wPrefix))
+      .join(guarded, col("g") === col("ag"))
+    // the crossing bucket: first with cumulative ≥ k (unique per g)
+    val cut = cum.filter(col("k") > 0L && col("cw") >= col("k") &&
+      col("cw") - col("c") < col("k"))
+      .select(col("g").as("cg"), col("b").as("cb"),
+        (col("k") - (col("cw") - col("c"))).as("needAtCut"))
+    val withCut = bucketed.join(cut, col("g") === col("cg"))
+    val below = withCut.filter(col("b") < col("cb"))
+      .select(col("g").as("stratum"), col("rid").as("id"))
+    val wIn = Window.partitionBy(col("g"))
+      .orderBy(col("h").asc, col("rid").asc)
+    val atCut = withCut.filter(col("b") === col("cb"))
+      .withColumn("rr", row_number().over(wIn))
+      .filter(col("rr") <= col("needAtCut"))
+      .select(col("g").as("stratum"), col("rid").as("id"))
+    below.unionByName(atCut)
+  }
 }

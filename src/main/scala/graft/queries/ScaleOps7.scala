@@ -960,6 +960,51 @@ object ScaleOps7 {
              |ORDER BY user_id, a_us, b_us""".stripMargin))
   )
 
+  /** q244 lives in [[all2]] (this file's Seq literal hit the JVM
+    * method-size comfort zone).
+    */
+  val all2: Seq[Q] = Seq(
+
+    // ---- q244: EXACT-COUNT STRATIFIED SAMPLE — exactly 250 docs,
+    // proportional per language via largest-remainder seats, quotas
+    // filled in content-hash order with the bucketed crossing-cell
+    // selection (no per-stratum global sort — q48's lesson;
+    // [[graft.operators.Sampling.exactStratifiedTake]]). The oracle
+    // is the equivalent per-stratum row_number ≤ k_s over the same
+    // (hash-as-double, id) order — hash-exact, and Σ rows = 250 by
+    // construction at every scale.
+    Q(
+      "q244_exact_stratified_take",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sampling.exactStratifiedTake(
+          Tables.documents(s, d),
+          stratum = $"lang", hashOn = $"text", id = $"doc_id", total = 250L)
+          .orderBy($"stratum", $"id")
+      },
+      Some(s"""WITH b AS MATERIALIZED (
+             |  SELECT lang AS g,
+             |    CAST(${graft.operators.KmvSketch.hash60Sql("text")} AS DOUBLE) AS h,
+             |    doc_id AS rid
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL),
+             |cnt AS MATERIALIZED (SELECT g, count(*) AS n FROM b GROUP BY g),
+             |tot AS (SELECT sum(n) AS nn FROM cnt),
+             |based AS MATERIALIZED (
+             |  SELECT g, (250 * n) // nn AS base, (250 * n) % nn AS rem
+             |  FROM cnt, tot),
+             |lo AS (SELECT 250 - sum(base) AS r FROM based),
+             |rk AS (SELECT g, base,
+             |    row_number() OVER (ORDER BY rem DESC, g ASC) AS rn FROM based),
+             |al AS (SELECT g, base + CASE WHEN rn <= (SELECT r FROM lo)
+             |    THEN 1 ELSE 0 END AS k FROM rk),
+             |sel AS (SELECT b.g, rid,
+             |    row_number() OVER (PARTITION BY b.g ORDER BY h, rid) AS rr, k
+             |  FROM b JOIN al ON b.g = al.g)
+             |SELECT g AS stratum, rid AS id FROM sel WHERE rr <= k
+             |ORDER BY stratum, id""".stripMargin))
+  )
+
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing
     * one-day bands one micro-batch late + far-future flush sentinel)
     * feeding [[graft.streaming.NegativeFunnel.detectEventTime]];

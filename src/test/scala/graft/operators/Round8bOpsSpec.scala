@@ -524,6 +524,49 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got.size == 2 && math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
   }
 
+  // --- exact stratified take
+  test("property: exactStratifiedTake = largest-remainder seats filled in (hash, id) order") {
+    val genRows = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.alphaStr.map(_.take(6))
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s + i, i.toLong) }
+    check(Prop.forAll(genRows, Gen.chooseNum(0, 40)) { (rows, totalRaw) =>
+      val total = math.min(totalRaw.toLong, rows.size.toLong)
+      val df = rows.toDF("g", "txt", "rid")
+      val got = Sampling.exactStratifiedTake(df, $"g", $"txt", $"rid", total)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: hash via the engine itself (the md5-based hash60
+      // matters only for portability, not for this equivalence)
+      val hashed = df.select($"g", KmvSketch.hash60($"txt").cast("double").as("h"),
+        $"rid").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val byG = hashed.groupBy(_._1)
+      val ns = byG.view.mapValues(_.size.toLong).toMap
+      val nn = rows.size.toLong
+      val seats: Map[String, Long] = if (total == 0) ns.map { case (g, _) => g -> 0L }
+      else {
+        val based = ns.toSeq.map { case (g, n) => (g, total * n / nn, total * n % nn) }
+        val r = total - based.map(_._2).sum
+        val bump = based.sortBy(x => (-x._3, x._1)).take(r.toInt).map(_._1).toSet
+        based.map { case (g, b, _) => g -> (b + (if (bump(g)) 1L else 0L)) }.toMap
+      }
+      val expect = byG.toSeq.flatMap { case (g, xs) =>
+        xs.toSeq.sortBy(x => (x._2, x._3)).take(seats(g).toInt).map(x => (g, x._3))
+      }.toSet
+      got == expect && got.size.toLong == total
+    }, min = 25)
+  }
+
+  test("exactStratifiedTake: total beyond the row count raises") {
+    val df = Seq(("a", "x", 1L), ("b", "y", 2L)).toDF("g", "txt", "rid")
+    val e = intercept[Exception](
+      Sampling.exactStratifiedTake(df, $"g", $"txt", $"rid", 5L).collect())
+    assert(e.getMessage.contains("exceeds the eligible") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds the eligible")))
+  }
+
   // --- zone maps
   test("zoneMap skipping counts match brute force; null probe raises") {
     val rows = (0 until 500).map(i => (i % 13, i.toLong))

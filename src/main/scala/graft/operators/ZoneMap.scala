@@ -54,4 +54,34 @@ object ZoneMap {
       sum(when(skip, col("rows")).otherwise(0L)).as("rows_skipped"),
       sum(when(!skip, col("rows")).otherwise(0L)).as("rows_scanned"))
   }
+
+  /** Two-column zone maps — (file_id, z1min, z1max, z2min, z2max,
+    * rows) — for CONJUNCTIVE predicate audits (the case Z-ordering
+    * exists for: a file skips when EITHER column's zone misses its
+    * range).
+    */
+  def fileStats2(df: DataFrame, fileId: Column, p1: Column, p2: Column): DataFrame = {
+    def g(c: Column, nm: String) = when(c.isNull, raise_error(lit(
+      s"ZoneMap.fileStats2: $nm must be non-null"))).otherwise(c)
+    df.select(fileId.as("file_id"), g(p1, "probe 1").as("p1"), g(p2, "probe 2").as("p2"))
+      .groupBy(col("file_id"))
+      .agg(min(col("p1")).as("z1min"), max(col("p1")).as("z1max"),
+        min(col("p2")).as("z2min"), max(col("p2")).as("z2max"),
+        count(lit(1)).as("rows"))
+  }
+
+  /** Skipping summary against `[lo1, hi1] AND [lo2, hi2]`. */
+  def skippingSummary2(
+      stats: DataFrame,
+      lo1: Column, hi1: Column,
+      lo2: Column, hi2: Column): DataFrame = {
+    val skip = col("z1max") < lo1 || col("z1min") > hi1 ||
+      col("z2max") < lo2 || col("z2min") > hi2
+    stats.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rows")).as("n_rows"),
+      sum(when(skip, 1L).otherwise(0L)).as("files_skipped"),
+      sum(when(skip, col("rows")).otherwise(0L)).as("rows_skipped"),
+      sum(when(!skip, col("rows")).otherwise(0L)).as("rows_scanned"))
+  }
 }

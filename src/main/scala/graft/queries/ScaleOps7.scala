@@ -1002,7 +1002,108 @@ object ScaleOps7 {
              |    row_number() OVER (PARTITION BY b.g ORDER BY h, rid) AS rr, k
              |  FROM b JOIN al ON b.g = al.g)
              |SELECT g AS stratum, rid AS id FROM sel WHERE rr <= k
-             |ORDER BY stratum, id""".stripMargin))
+             |ORDER BY stratum, id""".stripMargin)),
+
+    // ---- q245: Z-ORDER LAYOUT AUDIT — the same orders under three
+    // 64-file layouts (hash-placed, date-sorted, Morton-interleaved
+    // customer×day via the codegen'd `graft_zorder`), each scored by
+    // TWO-column zone maps against a conjunctive predicate (top
+    // customer quartile AND one date octile) —
+    // [[graft.operators.ZoneMap.fileStats2]]. The measurement behind
+    // the Z-order pitch: date-sort skips on the date clause only;
+    // Morton skips on BOTH. All exact integer arithmetic (scaling is
+    // integer div; the oracle replays the interleave with the q81
+    // range-sum trick) — hash-exact.
+    Q(
+      "q245_zorder_layout_audit",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+          floor(unix_micros($"o_orderdate".cast("timestamp")) / lit(86400000000L))
+            .cast("long").as("day"))
+          .localCheckpoint(true) // bounds pass + three layout passes
+        val b = o.agg(min($"o_custkey"), max($"o_custkey"),
+          min($"day"), max($"day")).collect()(0)
+        val (cLo, cHi, dLo, dHi) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val cSpan = cHi - cLo + 1
+        val dSpan = dHi - dLo + 1
+        val base = o.select($"o_orderkey", $"o_custkey", $"day",
+          expr(s"(o_custkey - $cLo) * 4096 div $cSpan").as("c12"),
+          expr(s"(day - $dLo) * 4096 div $dSpan").as("d12"))
+        val zkey = graft.functions.GraftFunctions.zorderKey(
+          s, 12, Seq($"c12", $"d12"))
+        val layouts = Seq(
+          "hash64" -> pmod(graft.operators.KmvSketch.hash60($"o_orderkey"), lit(64L)),
+          "datesort64" -> expr(s"(day - $dLo) * 64 div $dSpan"),
+          "zorder64" -> shiftright(zkey, 18))
+        val (pcLo, pcHi) = (cLo + cSpan * 3 / 4, cHi)
+        val (pdLo, pdHi) = (dLo + dSpan * 3 / 8, dLo + dSpan * 4 / 8 - 1)
+        layouts.map { case (tag, f) =>
+          graft.operators.ZoneMap.skippingSummary2(
+            graft.operators.ZoneMap.fileStats2(base, f, $"o_custkey", $"day"),
+            lit(pcLo), lit(pcHi), lit(pdLo), lit(pdHi))
+            .select(lit(tag).as("layout"), $"n_files", $"n_rows",
+              $"files_skipped", $"rows_skipped", $"rows_scanned")
+        }.reduce(_ unionByName _).orderBy($"layout")
+      },
+      Some(s"""WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey,
+             |    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day
+             |  FROM orders),
+             |bb AS MATERIALIZED (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
+             |    min(day) AS dlo, max(day) AS dhi FROM o),
+             |z AS (SELECT o_orderkey, o_custkey, day,
+             |    (o_custkey - clo) * 4096 // (chi - clo + 1) AS c12,
+             |    (day - dlo) * 4096 // (dhi - dlo + 1) AS d12,
+             |    dlo, dhi
+             |  FROM o, bb),
+             |fl AS MATERIALIZED (SELECT o_custkey, day,
+             |    ${graft.operators.KmvSketch.hash60Sql("o_orderkey")} % 64 AS fh,
+             |    (day - dlo) * 64 // (dhi - dlo + 1) AS fd,
+             |    CAST((SELECT sum(((c12 >> i) & 1) << (2 * i))
+             |               + sum(((d12 >> i) & 1) << (2 * i + 1))
+             |          FROM range(0, 12) t(i)) AS BIGINT) >> 18 AS fz
+             |  FROM z),
+             |pr AS (SELECT clo + (chi - clo + 1) * 3 // 4 AS pclo, chi AS pchi,
+             |    dlo + (dhi - dlo + 1) * 3 // 8 AS pdlo,
+             |    dlo + (dhi - dlo + 1) * 4 // 8 - 1 AS pdhi
+             |  FROM bb),
+             |hs AS (SELECT fh, min(o_custkey) AS c1, max(o_custkey) AS c2,
+             |    min(day) AS d1, max(day) AS d2, count(*) AS rows_ FROM fl GROUP BY fh),
+             |ds AS (SELECT fd, min(o_custkey) AS c1, max(o_custkey) AS c2,
+             |    min(day) AS d1, max(day) AS d2, count(*) AS rows_ FROM fl GROUP BY fd),
+             |zs AS (SELECT fz, min(o_custkey) AS c1, max(o_custkey) AS c2,
+             |    min(day) AS d1, max(day) AS d2, count(*) AS rows_ FROM fl GROUP BY fz),
+             |su AS (
+             |  SELECT 'hash64' AS layout, count(*) AS n_files,
+             |    CAST(sum(rows_) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN rows_ ELSE 0 END) AS BIGINT) AS rows_skipped,
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 0 ELSE rows_ END) AS BIGINT) AS rows_scanned
+             |  FROM hs, pr
+             |  UNION ALL
+             |  SELECT 'datesort64', count(*), CAST(sum(rows_) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN rows_ ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 0 ELSE rows_ END) AS BIGINT)
+             |  FROM ds, pr
+             |  UNION ALL
+             |  SELECT 'zorder64', count(*), CAST(sum(rows_) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN rows_ ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN c2 < pclo OR c1 > pchi OR d2 < pdlo OR d1 > pdhi
+             |      THEN 0 ELSE rows_ END) AS BIGINT)
+             |  FROM zs, pr)
+             |SELECT layout, n_files, n_rows, files_skipped, rows_skipped, rows_scanned
+             |FROM su ORDER BY layout""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

@@ -585,4 +585,25 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("non-null") ||
       Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
+
+  test("zoneMap two-column conjunctive skipping matches brute force") {
+    // files = 4x4 tiles of a 20x20 grid: a conjunctive range hits few
+    val rows = for (x <- 0 until 20; y <- 0 until 20)
+      yield (x / 5 * 4 + y / 5, x.toLong, y.toLong)
+    val stats = ZoneMap.fileStats2(rows.toDF("f", "x", "y"), $"f", $"x", $"y")
+    val sum = ZoneMap.skippingSummary2(stats,
+      lit(6L), lit(8L), lit(11L), lit(13L)).collect()(0)
+    val byFile = rows.groupBy(_._1).values.map { rs =>
+      (rs.map(_._2).min, rs.map(_._2).max, rs.map(_._3).min, rs.map(_._3).max,
+        rs.size.toLong)
+    }
+    val skipped = byFile.filter { case (x1, x2, y1, y2, _) =>
+      x2 < 6 || x1 > 8 || y2 < 11 || y1 > 13 }
+    assert(sum.getLong(0) == 16L && sum.getLong(1) == 400L)
+    assert(sum.getLong(2) == skipped.size.toLong)
+    assert(sum.getLong(3) == skipped.map(_._5).sum)
+    assert(sum.getLong(4) == 400L - skipped.map(_._5).sum)
+    // the probe lands inside exactly one tile: 15 of 16 skip
+    assert(sum.getLong(2) == 15L)
+  }
 }

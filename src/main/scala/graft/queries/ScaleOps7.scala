@@ -1103,7 +1103,107 @@ object ScaleOps7 {
              |      THEN 0 ELSE rows_ END) AS BIGINT)
              |  FROM zs, pr)
              |SELECT layout, n_files, n_rows, files_skipped, rows_skipped, rows_scanned
-             |FROM su ORDER BY layout""".stripMargin))
+             |FROM su ORDER BY layout""".stripMargin)),
+
+    // ---- q246: BITEMPORAL RESTATEMENT — the same report (lineitem
+    // priority attribution at ship date, ships ≤ 1996-10-31) under
+    // TWO knowledge horizons: as-known-on 1996-11-01 vs final.
+    // Observations record LATE (transaction time = order date +
+    // orderkey mod 90 days — deterministic), so the dimension known
+    // at tx1 misses versions whose VALID time already falls inside
+    // the report period, and the report RESTATES once knowledge
+    // completes: the off-diagonal (prio_then ≠ prio_final) counts are
+    // the restatement surface, and knowledge growth guarantees no
+    // matched probe ever becomes UNMATCHED (visible in the output —
+    // X→UNMATCHED cells are absent). Two q198 dimension builds + two
+    // q218 point-in-time joins, joined on the genuinely-unique
+    // (customer, ship-day) probe cell — the synthetic lineitem REUSES
+    // (orderkey, linenumber) pairs, so a row-identity join would
+    // cross-pair duplicates (caught building this query). All exact;
+    // hash-exact oracle via two ASOF joins.
+    Q(
+      "q246_bitemporal_restatement",
+      (s, d) => {
+        import s.implicits._
+        val txUs = unix_micros($"o_orderdate".cast("timestamp")) +
+          ($"o_orderkey" % 90) * 86400000000L
+        val tx1 = unix_micros(lit("1996-11-01").cast("timestamp"))
+        val obsAll = Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderpriority",
+            txUs.as("tx_us"))
+          .localCheckpoint(true) // feeds both knowledge states
+        def dimLast(obs: org.apache.spark.sql.DataFrame) = {
+          val dim = graft.operators.Scd2.fromChangeLog(
+            obs, key = $"o_custkey", ts = $"o_orderdate",
+            tiebreak = $"o_orderkey",
+            attrs = Seq("prio" -> $"o_orderpriority"))
+          val wDay = org.apache.spark.sql.expressions.Window
+            .partitionBy($"k", $"valid_from").orderBy($"version".desc)
+          dim.withColumn("__rn", row_number().over(wDay))
+            .filter($"__rn" === 1).drop("__rn")
+        }
+        // the attribution is a pure function of (customer, ship date),
+        // and the synthetic lineitem reuses (orderkey, linenumber)
+        // pairs — so probes collapse to DISTINCT (customer, day) cells
+        // with multiplicities, and the two knowledge states join on
+        // that genuinely-unique key
+        val probe = Tables.lineitem(s, d)
+          .filter($"l_shipdate".cast("timestamp") <= lit("1996-10-31").cast("timestamp"))
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey".as("pk"), $"l_shipdate".cast("timestamp").as("sd"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // probed by both knowledge states
+        def attributed(obs: org.apache.spark.sql.DataFrame, outName: String) =
+          graft.operators.TemporalJoins.asofJoin(
+            probe, dimLast(obs),
+            probeKey = $"pk", probeTime = $"sd",
+            refKey = $"k", refTime = $"valid_from",
+            probeOut = Seq("pk" -> $"pk", "sd" -> $"sd", "n" -> $"n"),
+            refOut = Seq(outName -> $"prio"),
+            refOrder = $"version")
+            .select($"pk", $"sd", $"n",
+              coalesce(col(outName), lit("UNMATCHED")).as(outName))
+        attributed(obsAll.filter($"tx_us" <= tx1), "prio_then")
+          .join(attributed(obsAll, "prio_final").drop("n"), Seq("pk", "sd"))
+          .groupBy($"prio_then", $"prio_final")
+          .agg(sum($"n").as("n_lineitems"))
+          .orderBy($"prio_then", $"prio_final")
+      },
+      Some("""WITH obs AS MATERIALIZED (
+             |  SELECT o_custkey AS k, o_orderdate AS valid_from,
+             |    o_orderkey AS tb, o_orderpriority AS prio,
+             |    epoch_us(o_orderdate) + (o_orderkey % 90) * 86400000000 AS tx_us
+             |  FROM orders),
+             |surv_of AS MATERIALIZED (
+             |  SELECT 1 AS horizon, k, valid_from, tb, prio FROM (
+             |    SELECT *, lag(prio) OVER (PARTITION BY k ORDER BY valid_from, tb) AS prev
+             |    FROM obs WHERE tx_us <= epoch_us(TIMESTAMP '1996-11-01'))
+             |  WHERE prev IS NULL OR prio <> prev
+             |  UNION ALL
+             |  SELECT 2, k, valid_from, tb, prio FROM (
+             |    SELECT *, lag(prio) OVER (PARTITION BY k ORDER BY valid_from, tb) AS prev
+             |    FROM obs)
+             |  WHERE prev IS NULL OR prio <> prev),
+             |surv AS MATERIALIZED (
+             |  SELECT horizon, k, valid_from, prio FROM surv_of
+             |  QUALIFY row_number() OVER (PARTITION BY horizon, k, valid_from
+             |    ORDER BY tb DESC) = 1),
+             |li AS MATERIALIZED (
+             |  SELECT o_custkey AS k, l_shipdate AS sd, count(*) AS n
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_shipdate <= TIMESTAMP '1996-10-31'
+             |  GROUP BY 1, 2),
+             |p1 AS (SELECT li.k, li.sd, li.n,
+             |    coalesce(s.prio, 'UNMATCHED') AS prio_then
+             |  FROM li ASOF LEFT JOIN (SELECT * FROM surv WHERE horizon = 1) s
+             |    ON li.k = s.k AND li.sd >= s.valid_from),
+             |p2 AS (SELECT li.k, li.sd, coalesce(s.prio, 'UNMATCHED') AS prio_final
+             |  FROM li ASOF LEFT JOIN (SELECT * FROM surv WHERE horizon = 2) s
+             |    ON li.k = s.k AND li.sd >= s.valid_from)
+             |SELECT prio_then, prio_final, CAST(sum(n) AS BIGINT) AS n_lineitems
+             |FROM p1 JOIN p2 USING (k, sd)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

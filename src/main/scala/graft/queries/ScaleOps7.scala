@@ -1203,7 +1203,51 @@ object ScaleOps7 {
              |    ON li.k = s.k AND li.sd >= s.valid_from)
              |SELECT prio_then, prio_final, CAST(sum(n) AS BIGINT) AS n_lineitems
              |FROM p1 JOIN p2 USING (k, sd)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q247: GROUPED INTERPOLATED QUANTILES — quantile_cont per
+    // return flag over the (discretized) quantity axis, q237's
+    // grouped sibling ([[graft.operators.WeightedQuantile
+    // .interpolatedQuantiles]]): rational h/frac arithmetic, two
+    // integer-rank crossings over each group's distinct-value
+    // cumulative, one pinned lerp — hash-exact.
+    Q(
+      "q247_grouped_quantile_cont",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.WeightedQuantile.interpolatedQuantiles(
+          Tables.lineitem(s, d), $"l_returnflag", $"l_quantity",
+          qs = Seq((1, 4), (1, 2), (3, 4), (9, 10)))
+          .orderBy($"group", $"q_den", $"q_num")
+      },
+      Some("""WITH b AS MATERIALIZED (SELECT l_returnflag AS g, l_quantity AS v
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND NOT isnan(l_quantity)),
+             |pv AS (SELECT g, v, count(*) AS c FROM b GROUP BY g, v),
+             |dv AS MATERIALIZED (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+             |    sum(c) OVER (PARTITION BY g) AS n FROM pv),
+             |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) t(num, den)),
+             |gn AS (SELECT DISTINCT g, n FROM dv),
+             |ks AS MATERIALIZED (SELECT g, n, num, den,
+             |    (n - 1) * num // den + 1 AS klo,
+             |    least((n - 1) * num // den + 2, n) AS khi,
+             |    CAST((n - 1) * num % den AS DOUBLE) / den AS frac
+             |  FROM gn, qs),
+             |lo AS (SELECT dv.g, num, den, min(v) AS xlo
+             |  FROM dv JOIN ks ON dv.g = ks.g AND dv.cum >= ks.klo
+             |  GROUP BY 1, 2, 3),
+             |hi AS (SELECT dv.g, num, den, min(v) AS xhi
+             |  FROM dv JOIN ks ON dv.g = ks.g AND dv.cum >= ks.khi
+             |  GROUP BY 1, 2, 3)
+             |SELECT ks.g AS "group", ks.num AS q_num, ks.den AS q_den,
+             |  CAST(ks.n AS BIGINT) AS n,
+             |  xlo + ks.frac * (xhi - xlo) AS value
+             |FROM ks
+             |JOIN lo ON ks.g = lo.g AND ks.num = lo.num AND ks.den = lo.den
+             |JOIN hi ON ks.g = hi.g AND ks.num = hi.num AND ks.den = hi.den
+             |ORDER BY "group", q_den, q_num""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

@@ -292,6 +292,35 @@ class Round8bOpsSpec extends SparkTestBase {
     }, min = 20)
   }
 
+  test("property: grouped interpolatedQuantiles equals the per-group type-7 formula") {
+    val genXs = for {
+      n <- Gen.chooseNum(1, 40)
+      xs <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.chooseNum(0, 10)
+      } yield (g, v * 0.5))
+    } yield xs
+    val qs = Seq((0, 1), (1, 4), (1, 2), (9, 10), (1, 1))
+    check(Prop.forAll(genXs) { xs =>
+      val got = WeightedQuantile.interpolatedQuantiles(
+        xs.toDF("g", "v"), $"g", $"v", qs)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(4))
+        .toMap
+      xs.groupBy(_._1).forall { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        qs.forall { case (num, den) =>
+          val n = sorted.size
+          val h = (n - 1).toLong * num
+          val kLo = (h / den).toInt
+          val frac = (h % den).toDouble / den
+          val lo = sorted(kLo)
+          val hi = sorted(math.min(kLo + 1, n - 1))
+          got((g, num, den)) == lo + frac * (hi - lo)
+        }
+      }
+    }, min = 25)
+  }
+
   // --- correlation matrix
   test("correlationMatrix matches per-pair groupedCorr; constant column is null") {
     val rows = (0 until 200).map { i =>

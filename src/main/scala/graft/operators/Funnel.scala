@@ -158,6 +158,49 @@ object Funnel {
         (unix_micros(col("m.b_ts")) - unix_micros(col("m.a_ts"))).as("gap_us"))
   }
 
+  /** COHORT LTV curve — cumulative value per cohort-age: users cohort
+    * by their FIRST event's period (min period per user — callers
+    * pre-filter to the cohorting/revenue event class), revenue
+    * aggregates per (cohort, age = period − cohort), and the running
+    * cumulative gives each cohort's lifetime-value trajectory;
+    * `ltv` = cumulative / cohort size. The retention triangle's
+    * ([[retention]]) revenue sibling.
+    *
+    * Scale: the epoch-period arithmetic of [[retention]]; sums are
+    * exact decimal; the only window is the age cumsum over the
+    * (cohort, age) AGGREGATE (bounded by the calendar², never
+    * events); cohort sizes broadcast back. Ages with zero revenue
+    * simply don't appear (observed-age rows, not a dense grid).
+    * Output: (cohort, age, users, cum_revenue, ltv).
+    */
+  def cohortLtv(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val base = events
+      .filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("u"),
+        floor(unix_micros(ts) / lit(p)).cast("long").as("per"),
+        coalesce(value.cast("decimal(18,6)"), lit(0).cast("decimal(18,6)")).as("v"))
+    val cohorts = base.groupBy(col("u")).agg(min(col("per")).as("cohort"))
+    val sized = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("users"))
+      .select(col("cohort").as("sc"), col("users"))
+    val rev = base.join(cohorts, Seq("u"))
+      .groupBy(col("cohort"), (col("per") - col("cohort")).as("age"))
+      .agg(sum(col("v")).as("rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .join(sized, col("cohort") === col("sc"))
+      .select(col("cohort"), col("age"), col("users"),
+        col("cum").cast("double").as("cum_revenue"),
+        (col("cum").cast("double") / col("users").cast("double")).as("ltv"))
+  }
+
   def retention(
       events: DataFrame,
       user: Column,

@@ -456,6 +456,47 @@ object TimeSeries {
       when(nL >= 2L && varS > 0.0, z).otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-key ADDITIVE SEASONAL DECOMPOSITION (STL-lite) — the classic
+    * two-step: remove a CENTERED MOVING-AVERAGE trend (window
+    * `2h+1` days over the zero-filled dense grid; edges where the
+    * full window doesn't exist are excluded, the textbook rule), then
+    * average the detrended series per weekday (epoch-day mod 7 — the
+    * q183 calendar-free discipline) into the seasonal INDEX. Exactness:
+    * the detrended value is kept ×(2h+1) in decimal (d = (2h+1)·x −
+    * Σwindow — no 1/(2h+1) rational ever materializes), so the per-
+    * weekday mean is ONE pinned double division of exact decimal sums
+    * — hash-exact oracles. Output: (key, weekday, n_days, seasonal),
+    * 7 bounded rows per key.
+    */
+  def seasonalIndex(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      halfWindow: Int = 3,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val span = 2 * halfWindow + 1
+    val grid = gapFill(events, key, ts, value, periodSeconds, "zero", maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period"),
+        col("value").cast("decimal(18,6)").as("x"))
+    val w = Window.partitionBy(col("k")).orderBy(col("period"))
+      .rowsBetween(-halfWindow, halfWindow)
+    // the grid is dense, so a full frame ⇔ count == span
+    val det = grid
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === span)
+      .select(col("k"), pmod(col("period"), lit(7L)).as("weekday"),
+        (col("x") * span - col("s")).as("d"))
+    det.groupBy(col("k"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d")).as("sd"))
+      .select(col("k").as("key"), col("weekday"), col("n_days"),
+        (col("sd").cast("double") /
+          (lit(span.toDouble) * col("n_days").cast("double"))).as("seasonal"))
+  }
+
   /** Per-key WALD-WOLFOWITZ RUNS TEST around the series mean — "is
     * the sequence of above/below-average days random, or does it
     * clump?" (momentum/oscillation diagnostic; the mean-based variant

@@ -1247,7 +1247,143 @@ object ScaleOps7 {
              |FROM ks
              |JOIN lo ON ks.g = lo.g AND ks.num = lo.num AND ks.den = lo.den
              |JOIN hi ON ks.g = hi.g AND ks.num = hi.num AND ks.den = hi.den
-             |ORDER BY "group", q_den, q_num""".stripMargin))
+             |ORDER BY "group", q_den, q_num""".stripMargin)),
+
+    // ---- q248: ADDITIVE SEASONAL INDEX (STL-lite) — each event
+    // type's weekday factor after removing a centered 7-day
+    // moving-average trend over the dense grid
+    // ([[graft.operators.TimeSeries.seasonalIndex]]; q183 is the
+    // anomaly sibling, q228 the forecasting one). Detrended values
+    // stay ×7 in exact decimal (no 1/7 rational), so the per-weekday
+    // mean is one pinned double division — hash-exact.
+    Q(
+      "q248_seasonal_index",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.seasonalIndex(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L,
+          halfWindow = 3)
+          .orderBy($"key", $"weekday")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |gv AS (SELECT g.k, g.period, coalesce(o.x, CAST(0 AS DECIMAL(18,6))) AS x
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |ma AS (SELECT k, period, x,
+             |    sum(CAST(x AS DECIMAL(19,6))) OVER (PARTITION BY k ORDER BY period
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s,
+             |    count(*) OVER (PARTITION BY k ORDER BY period
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+             |  FROM gv),
+             |det AS (SELECT k, period % 7 AS weekday,
+             |    CAST(x AS DECIMAL(19,6)) * 7 - s AS d
+             |  FROM ma WHERE cnt = 7)
+             |SELECT k AS key, weekday, count(*) AS n_days,
+             |  CAST(sum(d) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE)) AS seasonal
+             |FROM det GROUP BY 1, 2 ORDER BY key, weekday""".stripMargin)),
+
+    // ---- q249: COHORT LTV CURVE — users cohorted by first purchase
+    // 30-day period, cumulative purchase value per cohort-age,
+    // per-user LTV ([[graft.operators.Funnel.cohortLtv]] — the q106
+    // retention triangle's revenue sibling). Exact decimal sums; the
+    // only window is the age cumsum over the bounded (cohort, age)
+    // aggregate — hash-exact.
+    Q(
+      "q249_cohort_ltv",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Funnel.cohortLtv(
+          Tables.events(s, d).filter($"event_type" === "purchase"),
+          $"user_id", $"ts", $"value", periodSeconds = 30L * 86400L)
+          .orderBy($"cohort", $"age")
+      },
+      Some("""WITH b AS MATERIALIZED (SELECT user_id AS u,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 2592000000000.0) AS BIGINT) AS per,
+             |    coalesce(CAST(value AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |co AS MATERIALIZED (SELECT u, min(per) AS cohort FROM b GROUP BY u),
+             |sz AS (SELECT cohort, count(*) AS users FROM co GROUP BY cohort),
+             |rv AS (SELECT co.cohort, b.per - co.cohort AS age,
+             |    sum(CAST(v AS DECIMAL(19,6))) AS rev
+             |  FROM b JOIN co ON b.u = co.u GROUP BY 1, 2),
+             |cm AS (SELECT cohort, age,
+             |    sum(rev) OVER (PARTITION BY cohort ORDER BY age) AS cum FROM rv)
+             |SELECT cm.cohort AS cohort, age, users,
+             |  CAST(cum AS DOUBLE) AS cum_revenue,
+             |  CAST(cum AS DOUBLE) / CAST(users AS DOUBLE) AS ltv
+             |FROM cm JOIN sz ON cm.cohort = sz.cohort
+             |ORDER BY cm.cohort, age""".stripMargin)),
+
+    // ---- q250: CONVERSION-LAG QUANTILES — the time-to-convert
+    // distribution of q239's clean view→purchase journeys
+    // (hour-floored so the distinct-value axis stays bounded),
+    // through q247's grouped quantile_cont machinery. Composition of
+    // two session operators; hash-exact end to end.
+    Q(
+      "q250_conversion_lag_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val gaps = graft.operators.Funnel.negativeFunnel(
+          Tables.events(s, d),
+          $"user_id", $"ts", $"event_id", $"event_type",
+          stepA = "view", stepB = "purchase", blocker = "error",
+          windowUs = 7L * 86400L * 1000000L)
+          .select(lit("view_to_purchase").as("seg"),
+            floor($"gap_us" / lit(3600000000L)).cast("long").as("gap_h"))
+        graft.operators.WeightedQuantile.interpolatedQuantiles(
+          gaps, $"seg", $"gap_h", qs = Seq((1, 4), (1, 2), (3, 4), (9, 10)))
+          .orderBy($"q_den", $"q_num")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id AS u, ts, event_id AS eid, event_type AS et
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+             |    AND event_type IN ('view', 'purchase', 'error')),
+             |st AS (SELECT u, ts, eid, et,
+             |    last_value(CASE WHEN et = 'view' THEN {'ts': ts, 'eid': eid} END
+             |      IGNORE NULLS) OVER (PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la,
+             |    last_value(CASE WHEN et = 'error' THEN {'ts': ts, 'eid': eid} END
+             |      IGNORE NULLS) OVER (PARTITION BY u ORDER BY ts, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+             |  FROM base),
+             |cand AS (SELECT u, ts, eid, la, lc FROM st
+             |  WHERE et = 'purchase' AND la IS NOT NULL
+             |    AND epoch_us(ts) - epoch_us(la.ts) <= 604800000000
+             |    AND (lc IS NULL OR NOT (lc > la))),
+             |rk AS (SELECT u, epoch_us(ts) - epoch_us(la.ts) AS gap_us,
+             |    row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn FROM cand),
+             |gaps AS MATERIALIZED (SELECT
+             |    CAST(floor(gap_us / 3600000000) AS BIGINT) AS v
+             |  FROM rk WHERE rn = 1),
+             |pv AS (SELECT v, count(*) AS c FROM gaps GROUP BY v),
+             |dv AS MATERIALIZED (SELECT v,
+             |    sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM pv),
+             |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) t(num, den)),
+             |ks AS MATERIALIZED (SELECT n, num, den,
+             |    (n - 1) * num // den + 1 AS klo,
+             |    least((n - 1) * num // den + 2, n) AS khi,
+             |    CAST((n - 1) * num % den AS DOUBLE) / den AS frac
+             |  FROM (SELECT DISTINCT n FROM dv), qs),
+             |lo AS (SELECT num, den, min(v) AS xlo
+             |  FROM dv JOIN ks ON dv.cum >= ks.klo GROUP BY 1, 2),
+             |hi AS (SELECT num, den, min(v) AS xhi
+             |  FROM dv JOIN ks ON dv.cum >= ks.khi GROUP BY 1, 2)
+             |SELECT 'view_to_purchase' AS "group", ks.num AS q_num,
+             |  ks.den AS q_den, CAST(ks.n AS BIGINT) AS n,
+             |  CAST(xlo AS DOUBLE) + ks.frac * (CAST(xhi AS DOUBLE) - CAST(xlo AS DOUBLE)) AS value
+             |FROM ks
+             |JOIN lo ON ks.num = lo.num AND ks.den = lo.den
+             |JOIN hi ON ks.num = hi.num AND ks.den = hi.den
+             |ORDER BY q_den, q_num""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

@@ -485,6 +485,49 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  // --- seasonal index (STL-lite)
+  test("seasonalIndex matches the centered-MA + weekday-mean reference") {
+    val xs = (0 until 28).map(i => (i % 7) * 4.0 + i * 0.5) // seasonality + trend
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, new java.sql.Timestamp(i * 86400000L), v)
+    }
+    val got = TimeSeries.seasonalIndex(rows.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", 86400L, halfWindow = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // reference: full-window rows are t in [3, 24]; weekday = t mod 7
+    // (epoch day 0 here IS grid position 0)
+    val ref = (3 to 24).map { t =>
+      val ma = (t - 3 to t + 3).map(xs).sum / 7.0
+      (t % 7, xs(t) - ma)
+    }.groupBy(_._1).map { case (w, ds) =>
+      w.toLong -> ((ds.size.toLong, ds.map(_._2).sum / ds.size))
+    }
+    assert(got.keySet == ref.keySet)
+    for ((w, (n, sVal)) <- got) {
+      assert(n == ref(w)._1)
+      assert(math.abs(sVal - ref(w)._2) < 1e-9, s"weekday $w")
+    }
+  }
+
+  // --- cohort LTV
+  test("cohortLtv: cumulative per cohort-age equals brute force") {
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // period = 10 days; users 1,2 cohort period 0; user 3 cohort 1
+    val evs = Seq(
+      (1L, t(1), 10.0), (1L, t(12), 5.0), (1L, t(25), 2.0),
+      (2L, t(3), 1.0), (2L, t(27), 4.0),
+      (3L, t(11), 7.0))
+    val got = Funnel.cohortLtv(evs.toDF("u", "ts", "v"),
+      $"u", $"ts", $"v", periodSeconds = 10L * 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got((0L, 0L)) == ((2L, 11.0, 5.5)))  // day1+day3
+    assert(got((0L, 1L)) == ((2L, 16.0, 8.0)))  // + day12
+    assert(got((0L, 2L)) == ((2L, 22.0, 11.0))) // + day25+day27
+    assert(got((1L, 0L)) == ((1L, 7.0, 7.0)))   // user 3's own cohort
+    assert(got.size == 4)
+  }
+
   // --- FIFO lot matching
   private def refFifoQueue(buys: Seq[(Int, Long, Long)], soldTotal: Long)
       : (Long, Long, Long, Long) = {

@@ -551,6 +551,60 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-key Qn ROBUST SCALE (Rousseeuw & Croux 1993) — the k-th
+    * smallest pairwise absolute difference with k = C(h, 2),
+    * h = ⌊n/2⌋ + 1: a 50%-breakdown scale estimate that, unlike MAD,
+    * needs no location estimate and stays efficient under asymmetry.
+    * Emitted RAW (the literature's 2.2219·d_n consistency factor is
+    * not a dyadic rational — callers multiply; the raw quartile is
+    * the exact, hash-matchable quantity).
+    *
+    * Same geometry as [[theilSenSlope]]: the O(span²) pair expansion
+    * runs per key over the PERIOD series (guarded by
+    * `maxPeriodsPerKey`), differences stay exact decimal, and the
+    * selection is an integer-rank crossing over each key's
+    * distinct-difference cumulative ([[WeightedQuantile]] shape) —
+    * no interpolation, the answer is an existing |difference|.
+    * Output: (key, n_periods, qn_raw). Keys with < 2 periods emit
+    * null.
+    */
+  def qnScale(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(maxPeriodsPerKey >= 2, s"maxPeriodsPerKey must be >= 2, got $maxPeriodsPerKey")
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").as("y"))
+    val spans = perPeriod.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("qnScale: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = perPeriod.select(col("k"), col("period").as("p1"), col("y").as("y1"))
+    val b = perPeriod.select(col("k"), col("period").as("p2"), col("y").as("y2"))
+    val diffs = a.join(b, Seq("k")).filter(col("p1") < col("p2"))
+      .select(col("k"), abs(col("y2") - col("y1")).as("dv"))
+    val perDiff = diffs.groupBy(col("k"), col("dv")).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("k")).orderBy(col("dv"))
+    val cum = perDiff.select(col("k"), col("dv"), sum(col("c")).over(wv).as("cum"))
+    // h = n div 2 + 1; rank = h·(h−1)/2 — exact long arithmetic
+    val ranks = spans.select(col("k").as("rk"), col("n"),
+      expr("(n div 2 + 1) * (n div 2) div 2").as("rank"))
+    val sel = cum.join(ranks, col("k") === col("rk") && col("cum") >= col("rank"))
+      .filter(col("rank") > 0L)
+      .groupBy(col("k")).agg(min(col("dv")).as("qn"))
+    spans.join(sel, Seq("k"), "left")
+      .select(col("k").as("key"), col("n").as("n_periods"),
+        col("qn").cast("double").as("qn_raw"))
+  }
+
   /** Per-key LINEAR TREND — ordinary-least-squares slope/intercept of
     * the (period, period-sum) series per key, the one-pass grouped
     * regression (`regr_slope` semantics) every metrics store needs.

@@ -1383,7 +1383,43 @@ object ScaleOps7 {
              |FROM ks
              |JOIN lo ON ks.num = lo.num AND ks.den = lo.den
              |JOIN hi ON ks.num = hi.num AND ks.den = hi.den
-             |ORDER BY q_den, q_num""".stripMargin))
+             |ORDER BY q_den, q_num""".stripMargin)),
+
+    // ---- q251: Qn ROBUST SCALE — Rousseeuw-Croux's 50%-breakdown,
+    // location-free scale of each event type's daily series: the
+    // C(h,2)-th smallest pairwise |difference|, h = ⌊n/2⌋+1
+    // ([[graft.operators.TimeSeries.qnScale]]; MAD's q210 sibling
+    // without the median dependency). Theil-Sen pair geometry, exact
+    // decimal diffs, integer-rank selection — hash-exact.
+    Q(
+      "q251_qn_scale",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.qnScale(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS MATERIALIZED (SELECT k, count(*) AS n,
+             |    (count(*) // 2 + 1) * (count(*) // 2) // 2 AS rank_
+             |  FROM o GROUP BY k),
+             |df AS (SELECT a.k, abs(CAST(b.y AS DECIMAL(19,6)) - CAST(a.y AS DECIMAL(19,6))) AS dv
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period < b.period),
+             |pd AS (SELECT k, dv, count(*) AS c FROM df GROUP BY k, dv),
+             |cm AS MATERIALIZED (SELECT k, dv,
+             |    sum(c) OVER (PARTITION BY k ORDER BY dv) AS cum FROM pd),
+             |sel AS (SELECT cm.k, min(dv) AS qn
+             |  FROM cm JOIN sp ON cm.k = sp.k AND cm.cum >= sp.rank_
+             |  WHERE sp.rank_ > 0 GROUP BY cm.k)
+             |SELECT sp.k AS key, sp.n AS n_periods, CAST(sel.qn AS DOUBLE) AS qn_raw
+             |FROM sp LEFT JOIN sel ON sp.k = sel.k
+             |ORDER BY key""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

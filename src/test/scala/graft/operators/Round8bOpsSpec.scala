@@ -509,6 +509,30 @@ class Round8bOpsSpec extends SparkTestBase {
     }
   }
 
+  // --- Qn robust scale
+  test("property: qnScale equals the sorted pairwise-difference selection") {
+    val genXs = for {
+      n <- Gen.chooseNum(1, 16)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 20))
+    } yield xs.map(_ * 0.25)
+    check(Prop.forAll(genXs) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(i * 86400000L), v)
+      }
+      val r = TimeSeries.qnScale(rows.toDF("k", "ts", "v"),
+        $"k", $"ts", $"v", 86400L).collect()(0)
+      val n = xs.size
+      val h = n / 2 + 1
+      val rank = h.toLong * (h - 1) / 2
+      if (n < 2 || rank == 0) r.isNullAt(2)
+      else {
+        val diffs = (for (i <- xs.indices; j <- i + 1 until n)
+          yield math.abs(xs(j) - xs(i))).sorted
+        r.getLong(1) == n.toLong && r.getDouble(2) == diffs((rank - 1).toInt)
+      }
+    }, min = 40)
+  }
+
   // --- cohort LTV
   test("cohortLtv: cumulative per cohort-age equals brute force") {
     def t(day: Int) = new java.sql.Timestamp(day * 86400000L)

@@ -551,6 +551,71 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-key KENDALL τ-b rank correlation between each key's daily
+    * VOLUME and daily VALUE (count vs sum per period) — the rank
+    * member of the correlation family (Pearson q120/q238 measure
+    * linearity; τ-b asks only "do they move together", robust to any
+    * monotone transform): τb = (P − Q) / √((n₀−n₁)(n₀−n₂)) over
+    * concordant/discordant period pairs, ties counted per axis
+    * directly from the pairs. Same bounded per-key O(span²) pair
+    * geometry as [[theilSenSlope]]/[[qnScale]]; P, Q, tie counts and
+    * n₀ are exact integers; the closed form is pinned doubles —
+    * hash-exact. Keys with zero usable variance emit null. Output:
+    * (key, n_periods, concordant, discordant, tau_b).
+    */
+  def kendallTauDaily(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val per = events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      .agg(count(lit(1)).as("x"), sum(col("v")).as("y"))
+    val spans = per.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("kendallTauDaily: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = per.select(col("k"), col("period").as("p1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = per.select(col("k"), col("period").as("p2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("k")).filter(col("p1") < col("p2"))
+      .select(col("k"),
+        signum((col("x2") - col("x1")).cast("double")).cast("long").as("cx"),
+        signum(col("y2") - col("y1")).cast("long").as("cy"))
+    val st = pairs.groupBy(col("k")).agg(
+      sum(when(col("cx") * col("cy") > 0L, 1L).otherwise(0L)).as("conc"),
+      sum(when(col("cx") * col("cy") < 0L, 1L).otherwise(0L)).as("disc"),
+      sum(when(col("cx") === 0L, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("cy") === 0L, 1L).otherwise(0L)).as("ty"))
+    val joined = spans.join(st, Seq("k"), "left")
+      .select(col("k"), col("n"),
+        coalesce(col("conc"), lit(0L)).as("conc"),
+        coalesce(col("disc"), lit(0L)).as("disc"),
+        coalesce(col("tx"), lit(0L)).as("tx"),
+        coalesce(col("ty"), lit(0L)).as("ty"))
+    // `div`, not `/`: long/long `/` detours through a double
+    val n0 = expr("n * (n - 1) div 2")
+    val d1 = (n0 - col("tx")).cast("double")
+    val d2 = (n0 - col("ty")).cast("double")
+    joined.select(col("k").as("key"), col("n").as("n_periods"),
+      col("conc").as("concordant"), col("disc").as("discordant"),
+      when(d1 > 0.0 && d2 > 0.0,
+        (col("conc") - col("disc")).cast("double") / sqrt(d1 * d2))
+        .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
   /** Per-key Qn ROBUST SCALE (Rousseeuw & Croux 1993) — the k-th
     * smallest pairwise absolute difference with k = C(h, 2),
     * h = ⌊n/2⌋ + 1: a 50%-breakdown scale estimate that, unlike MAD,

@@ -1419,6 +1419,53 @@ object ScaleOps7 {
              |  WHERE sp.rank_ > 0 GROUP BY cm.k)
              |SELECT sp.k AS key, sp.n AS n_periods, CAST(sel.qn AS DOUBLE) AS qn_raw
              |FROM sp LEFT JOIN sel ON sp.k = sel.k
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q252: KENDALL τ-b — does each event type's daily VOLUME
+    // move with its daily VALUE? The rank member of the correlation
+    // family (q120/q238 Pearson measure linearity; τ-b survives any
+    // monotone transform), concordance counted over the bounded
+    // per-key period pairs ([[graft.operators.TimeSeries
+    // .kendallTauDaily]]). Exact integer P/Q/ties; pinned-double
+    // closed form — hash-exact.
+    Q(
+      "q252_kendall_tau",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.kendallTauDaily(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    count(*) AS x,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, count(*) AS n, count(*) * (count(*) - 1) // 2 AS n0
+             |  FROM o GROUP BY k),
+             |pr AS (SELECT a.k,
+             |    CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS cx,
+             |    CAST(sign(CAST(b.y AS DECIMAL(19,6)) - CAST(a.y AS DECIMAL(19,6))) AS BIGINT) AS cy
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period < b.period),
+             |st AS (SELECT k,
+             |    sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS conc,
+             |    sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS disc,
+             |    sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS tx,
+             |    sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS ty
+             |  FROM pr GROUP BY k)
+             |SELECT sp.k AS key, sp.n AS n_periods,
+             |  CAST(coalesce(st.conc, 0) AS BIGINT) AS concordant,
+             |  CAST(coalesce(st.disc, 0) AS BIGINT) AS discordant,
+             |  CASE WHEN CAST(sp.n0 - coalesce(st.tx, 0) AS DOUBLE) > 0
+             |         AND CAST(sp.n0 - coalesce(st.ty, 0) AS DOUBLE) > 0
+             |    THEN CAST(coalesce(st.conc, 0) - coalesce(st.disc, 0) AS DOUBLE)
+             |      / sqrt(CAST(sp.n0 - coalesce(st.tx, 0) AS DOUBLE)
+             |           * CAST(sp.n0 - coalesce(st.ty, 0) AS DOUBLE))
+             |  END AS tau_b
+             |FROM sp LEFT JOIN st ON sp.k = st.k
              |ORDER BY key""".stripMargin))
   )
 

@@ -533,6 +533,44 @@ class Round8bOpsSpec extends SparkTestBase {
     }, min = 40)
   }
 
+  // --- Kendall tau-b
+  test("property: kendallTauDaily equals brute-force concordance counting") {
+    // one event per (key, day) with value v and multiplicity m ⇒ the
+    // daily series is x = m (via m rows), y = m·v
+    val genDays = for {
+      n <- Gen.chooseNum(1, 12)
+      days <- Gen.listOfN(n, for {
+        m <- Gen.chooseNum(1, 3)
+        v <- Gen.chooseNum(0, 5)
+      } yield (m, v * 0.5))
+    } yield days
+    check(Prop.forAll(genDays) { days =>
+      val rows = days.zipWithIndex.flatMap { case ((m, v), i) =>
+        (0 until m).map(_ => (1L, new java.sql.Timestamp(i * 86400000L), v))
+      }
+      val r = TimeSeries.kendallTauDaily(rows.toDF("k", "ts", "v"),
+        $"k", $"ts", $"v", 86400L).collect()(0)
+      val series = days.map { case (m, v) => (m.toLong, m * v) }
+      val n = series.size
+      val prs = for (i <- series.indices; j <- i + 1 until n) yield {
+        val cx = java.lang.Long.signum(series(j)._1 - series(i)._1).toLong
+        val cy = math.signum(series(j)._2 - series(i)._2).toLong
+        (cx, cy)
+      }
+      val conc = prs.count(p => p._1 * p._2 > 0).toLong
+      val disc = prs.count(p => p._1 * p._2 < 0).toLong
+      val tx = prs.count(_._1 == 0).toLong
+      val ty = prs.count(_._2 == 0).toLong
+      val n0 = n.toLong * (n - 1) / 2
+      val d1 = (n0 - tx).toDouble
+      val d2 = (n0 - ty).toDouble
+      r.getLong(1) == n.toLong && r.getLong(2) == conc && r.getLong(3) == disc &&
+        (if (d1 > 0 && d2 > 0)
+           math.abs(r.getDouble(4) - (conc - disc).toDouble / math.sqrt(d1 * d2)) < 1e-12
+         else r.isNullAt(4))
+    }, min = 40)
+  }
+
   // --- cohort LTV
   test("cohortLtv: cumulative per cohort-age equals brute force") {
     def t(day: Int) = new java.sql.Timestamp(day * 86400000L)

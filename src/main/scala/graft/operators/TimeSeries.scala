@@ -551,6 +551,85 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-key BINARY-SEGMENTATION changepoints (depth 2 — up to three
+    * splits) over the dense daily series: the multi-changepoint
+    * extension of q124's single-shift CUSUM. The split criterion at
+    * position t of a segment of length n' with prefix sum c'(t) and
+    * total T' is the EXACT INTEGER evidence |n'·c'(t) − t·T'| —
+    * proportional to the balanced mean-shift statistic, chosen over
+    * the normalized CUSUM so the argmax is integer arithmetic with a
+    * deterministic tie rule (smallest t) instead of a float ranking;
+    * values pre-scale to ×10⁶ micro-units (the q232 discipline) so
+    * prefix sums stay scale-0 decimals. Level 1 picks each key's best
+    * split of the whole series; level 2 re-runs the rule inside each
+    * resulting segment. Everything is per-key windows over the
+    * bounded period grid plus tiny joins — no driver loops. Output:
+    * (key, level, seg_start, seg_len, split_pos, evidence) — one
+    * level-1 row and up to two level-2 rows per key (segments of
+    * length < 2 produce no split; split_pos counts 1-based positions
+    * from the series start, the split being BETWEEN split_pos and
+    * split_pos+1).
+    */
+  def binarySegmentation(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    val grid = gapFill(events, key, ts, value, periodSeconds, "zero", maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("decimal(19,0)").as("x"))
+    val w = Window.partitionBy(col("k")).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col("k"))
+    val pre = grid.select(col("k"),
+      (row_number().over(Window.partitionBy(col("k")).orderBy(col("period"))))
+        .cast("long").as("t"),
+      sum(col("x")).over(w).as("c"))
+      .withColumn("n", max(col("t")).over(wk))
+      .withColumn("total", max(col("c")).over(wk))
+      .localCheckpoint(true) // level 1 + two level-2 passes read this
+    def bestSplit(df: DataFrame, segStart: Column, segLen: Column,
+        cBefore: Column, segTotal: Column): DataFrame = {
+      // local position p = t − segStart + 1 in [1, segLen − 1];
+      // evidence = |segLen·(c − cBefore) − p·segTotal| — exact
+      // decimal, with operands pinned to (12,0)·(25,0) so the
+      // product type stays within precision 38 in BOTH engines
+      // (DuckDB raises past 38 — the q112 lesson; the (25,0)
+      // envelope covers micro-unit prefix sums to 10²⁵)
+      val p = col("t") - segStart + 1L
+      val ev = abs(
+        segLen.cast("decimal(12,0)") * (col("c") - cBefore).cast("decimal(25,0)")
+          - p.cast("decimal(12,0)") * segTotal.cast("decimal(25,0)"))
+      df.filter(p >= 1L && p <= segLen - 1L)
+        .select(col("k"), segStart.as("seg_start"), segLen.as("seg_len"),
+          struct(ev.as("ev"), (-col("t")).as("negt")).as("cand"))
+        .groupBy(col("k"), col("seg_start"), col("seg_len"))
+        .agg(max(col("cand")).as("m"))
+        .select(col("k"), col("seg_start"), col("seg_len"),
+          (-col("m.negt")).as("split_pos"),
+          col("m.ev").cast("double").as("evidence"))
+    }
+    val l1 = bestSplit(pre, lit(1L), col("n"), lit(0).cast("decimal(38,0)"),
+      col("total"))
+    // level 2: join the level-1 split back; left segment [1, s],
+    // right segment [s+1, n]
+    val s1 = l1.select(col("k").as("sk"), col("split_pos").as("s1"))
+    val withS = pre.join(s1, col("k") === col("sk"))
+      .withColumn("cAtS", max(when(col("t") === col("s1"), col("c"))).over(wk))
+    val left = bestSplit(withS, lit(1L), col("s1"),
+      lit(0).cast("decimal(38,0)"), col("cAtS"))
+    val right = bestSplit(withS, col("s1") + 1L, col("n") - col("s1"),
+      col("cAtS"), col("total") - col("cAtS"))
+    l1.select(col("k").as("key"), lit(1).as("level"), col("seg_start"),
+      col("seg_len"), col("split_pos"), col("evidence"))
+      .unionByName(left.select(col("k").as("key"), lit(2).as("level"),
+        col("seg_start"), col("seg_len"), col("split_pos"), col("evidence")))
+      .unionByName(right.select(col("k").as("key"), lit(2).as("level"),
+        col("seg_start"), col("seg_len"), col("split_pos"), col("evidence")))
+  }
+
   /** Per-key KENDALL τ-b rank correlation between each key's daily
     * VOLUME and daily VALUE (count vs sum per period) — the rank
     * member of the correlation family (Pearson q120/q238 measure

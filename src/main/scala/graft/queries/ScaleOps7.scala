@@ -1466,7 +1466,78 @@ object ScaleOps7 {
              |           * CAST(sp.n0 - coalesce(st.ty, 0) AS DOUBLE))
              |  END AS tau_b
              |FROM sp LEFT JOIN st ON sp.k = st.k
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q253: BINARY-SEGMENTATION CHANGEPOINTS — up to three
+    // splits per event type's daily series (q124 CUSUM's
+    // multi-changepoint extension,
+    // [[graft.operators.TimeSeries.binarySegmentation]]): the split
+    // criterion |n'·c'(t) − p·T'| is EXACT integer arithmetic over
+    // ×10⁶ micro-unit prefix sums with a deterministic tie rule, so
+    // the argmax — and therefore the whole segmentation — is
+    // hash-exact. Fully declarative: per-key windows + tiny joins,
+    // no driver recursion.
+    Q(
+      "q253_binary_segmentation",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.binarySegmentation(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key", $"level", $"seg_start")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1 FROM o GROUP BY k),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period FROM sp),
+             |gv AS (SELECT g.k, g.period,
+             |    CAST(CAST(coalesce(o.x, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(19,6))
+             |      * 1000000 AS DECIMAL(19,0)) AS x
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |pre AS MATERIALIZED (SELECT k,
+             |    row_number() OVER (PARTITION BY k ORDER BY period) AS t,
+             |    sum(x) OVER (PARTITION BY k ORDER BY period) AS c
+             |  FROM gv),
+             |ag AS (SELECT k, max(t) AS n, max(c) AS total FROM pre GROUP BY k),
+             |p1 AS MATERIALIZED (SELECT pre.k, t, c, n, total
+             |  FROM pre JOIN ag ON pre.k = ag.k),
+             |ev1 AS (SELECT k, t, n,
+             |    abs(CAST(n AS DECIMAL(12,0)) * CAST(c AS DECIMAL(25,0))
+             |      - CAST(t AS DECIMAL(12,0)) * CAST(total AS DECIMAL(25,0))) AS ev
+             |  FROM p1 WHERE t BETWEEN 1 AND n - 1),
+             |b1 AS MATERIALIZED (SELECT k, t AS s1, n, ev FROM ev1
+             |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ev DESC, t ASC) = 1),
+             |cs AS MATERIALIZED (SELECT p1.k, b1.s1, b1.n AS bn, b1.ev AS ev1v,
+             |    p1.c AS cAtS, p1.total
+             |  FROM p1 JOIN b1 ON p1.k = b1.k AND p1.t = b1.s1),
+             |l2l AS (SELECT p1.k, t,
+             |    CAST(1 AS BIGINT) AS seg_start, cs.s1 AS seg_len,
+             |    abs(CAST(cs.s1 AS DECIMAL(12,0)) * CAST(c AS DECIMAL(25,0))
+             |      - CAST(t AS DECIMAL(12,0)) * CAST(cs.cAtS AS DECIMAL(25,0))) AS ev
+             |  FROM p1 JOIN cs ON p1.k = cs.k WHERE t BETWEEN 1 AND cs.s1 - 1),
+             |l2r AS (SELECT p1.k, t,
+             |    cs.s1 + 1 AS seg_start, p1.n - cs.s1 AS seg_len,
+             |    abs(CAST(p1.n - cs.s1 AS DECIMAL(12,0)) * CAST(c - cs.cAtS AS DECIMAL(25,0))
+             |      - CAST(t - cs.s1 AS DECIMAL(12,0)) * CAST(p1.total - cs.cAtS AS DECIMAL(25,0))) AS ev
+             |  FROM p1 JOIN cs ON p1.k = cs.k
+             |  WHERE t - cs.s1 BETWEEN 1 AND (p1.n - cs.s1) - 1),
+             |pick2 AS (SELECT k, seg_start, seg_len, t, ev FROM (
+             |    SELECT * FROM l2l UNION ALL SELECT * FROM l2r)
+             |  QUALIFY row_number() OVER (PARTITION BY k, seg_start
+             |    ORDER BY ev DESC, t ASC) = 1)
+             |SELECT k AS key, CAST(1 AS INTEGER) AS level,
+             |  CAST(1 AS BIGINT) AS seg_start, CAST(n AS BIGINT) AS seg_len,
+             |  CAST(s1 AS BIGINT) AS split_pos, CAST(ev AS DOUBLE) AS evidence
+             |FROM b1
+             |UNION ALL
+             |SELECT k, CAST(2 AS INTEGER), CAST(seg_start AS BIGINT),
+             |  CAST(seg_len AS BIGINT), CAST(t AS BIGINT), CAST(ev AS DOUBLE)
+             |FROM pick2
+             |ORDER BY key, level, seg_start""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

@@ -533,6 +533,49 @@ class Round8bOpsSpec extends SparkTestBase {
     }, min = 40)
   }
 
+  // --- binary segmentation
+  test("property: binarySegmentation equals the brute-force integer-evidence recursion") {
+    def bestSplit(xs: Seq[Long], start: Int): Option[(Int, BigInt)] = {
+      val n = xs.size
+      if (n < 2) None
+      else {
+        val total = xs.map(BigInt(_)).sum
+        val cands = (1 until n).map { p =>
+          val c = xs.take(p).map(BigInt(_)).sum
+          (p, (BigInt(n) * c - BigInt(p) * total).abs)
+        }
+        val best = cands.maxBy(c => (c._2, -c._1))
+        Some((start + best._1 - 1, best._2)) // global 1-based position
+      }
+    }
+    val genXs = for {
+      n <- Gen.chooseNum(2, 20)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 8L))
+    } yield xs
+    check(Prop.forAll(genXs) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(i * 86400000L), v.toDouble)
+      }
+      val got = TimeSeries.binarySegmentation(rows.toDF("k", "ts", "v"),
+        $"k", $"ts", $"v", 86400L)
+        .collect().map(r => (r.getInt(1), r.getLong(2)) ->
+          ((r.getLong(4), r.getDouble(5)))).toMap
+      val micro = xs.map(_ * 1000000L)
+      val n = xs.size
+      val Some((s1, e1)) = bestSplit(micro, 1)
+      val okL1 = got((1, 1L)) == ((s1.toLong, e1.toDouble))
+      val left = bestSplit(micro.take(s1), 1)
+      val right = bestSplit(micro.drop(s1), s1 + 1)
+      val okL2 =
+        left.forall { case (s, e) => got.get((2, 1L)).contains((s.toLong, e.toDouble)) } &&
+        (left.nonEmpty || !got.contains((2, 1L))) &&
+        right.forall { case (s, e) =>
+          got.get((2, s1.toLong + 1L)).contains((s.toLong, e.toDouble)) } &&
+        (right.nonEmpty || !got.contains((2, s1.toLong + 1L)))
+      okL1 && okL2
+    }, min = 40)
+  }
+
   // --- Kendall tau-b
   test("property: kendallTauDaily equals brute-force concordance counting") {
     // one event per (key, day) with value v and multiplicity m ⇒ the

@@ -1537,7 +1537,62 @@ object ScaleOps7 {
              |SELECT k, CAST(2 AS INTEGER), CAST(seg_start AS BIGINT),
              |  CAST(seg_len AS BIGINT), CAST(t AS BIGINT), CAST(ev AS DOUBLE)
              |FROM pick2
-             |ORDER BY key, level, seg_start""".stripMargin))
+             |ORDER BY key, level, seg_start""".stripMargin)),
+
+    // ---- q254: NELSON-AALEN cumulative hazard — q170's additive
+    // sibling over the same right-censored user lifetimes
+    // ([[graft.operators.Survival.nelsonAalen]]). No libm: each term
+    // is one division of exact integers and the cumulative is a
+    // WINDOW running sum (additions pinned to t-order in both
+    // engines) — so unlike KM's exp∘Σ∘ln tolerance gate, this curve
+    // hash-matches exactly.
+    Q(
+      "q254_nelson_aalen",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+        val per = ev.groupBy($"user_id").agg(
+          min(unix_micros($"ts")).as("first_us"),
+          max(unix_micros($"ts")).as("last_us"))
+        val obs = per.agg(max($"last_us").as("obs_us"))
+        val subjects = per.crossJoin(broadcast(obs)).select(
+          floor(($"last_us" - $"first_us").cast("double") / lit(86400000000.0))
+            .cast("long").as("dur"),
+          ($"last_us" <= $"obs_us" - lit(3L * 86400000000L)).as("churned"))
+        graft.operators.Survival.nelsonAalen(subjects, $"dur", $"churned")
+          .orderBy($"t")
+      },
+      Some("""WITH per AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+             |    max(epoch_us(ts)) AS last_us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+             |obs AS (SELECT max(last_us) AS obs_us FROM per),
+             |subj AS MATERIALIZED (SELECT
+             |    CAST(floor(CAST(last_us - first_us AS DOUBLE) / 86400000000.0) AS BIGINT) AS dur,
+             |    last_us <= obs_us - 3 * 86400000000 AS churned
+             |  FROM per CROSS JOIN obs),
+             |byt AS (SELECT dur AS t,
+             |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_death,
+             |    sum(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+             |  FROM subj GROUP BY 1),
+             |curve AS MATERIALIZED (SELECT t, n_death, n_censored,
+             |    (SELECT count(*) FROM subj)
+             |      - coalesce(sum(n_death + n_censored) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM byt)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(n_death AS BIGINT) AS n_death,
+             |  CAST(n_censored AS BIGINT) AS n_censored,
+             |  sum(CASE WHEN n_death > 0
+             |      THEN CAST(n_death AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             |      ELSE 0.0 END)
+             |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard,
+             |  sum(CASE WHEN n_death > 0
+             |      THEN CAST(n_death AS DOUBLE)
+             |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+             |      ELSE 0.0 END)
+             |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard_var
+             |FROM curve ORDER BY t""".stripMargin))
   )
 
   /** q243's drive: the q203 scrambled staging (hash-chosen trailing

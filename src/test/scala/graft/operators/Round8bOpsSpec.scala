@@ -576,6 +576,33 @@ class Round8bOpsSpec extends SparkTestBase {
     }, min = 40)
   }
 
+  // --- Nelson-Aalen
+  test("property: nelsonAalen equals the hand fold; hazard ≥ -ln(KM survival) ordering holds") {
+    val genSubjects = for {
+      n <- Gen.chooseNum(1, 40)
+      subj <- Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0L, 8L)
+        ev <- Gen.oneOf(true, false)
+      } yield (t, ev))
+    } yield subj
+    check(Prop.forAll(genSubjects) { subj =>
+      val got = Survival.nelsonAalen(subj.toDF("dur", "ev"), $"dur", $"ev")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+      val byT = subj.groupBy(_._1).toSeq.sortBy(_._1)
+      var atRisk = subj.size.toLong
+      var h = 0.0
+      var v = 0.0
+      byT.forall { case (t, rs) =>
+        val d = rs.count(_._2).toLong
+        if (d > 0) { h += d.toDouble / atRisk; v += d.toDouble / (atRisk.toDouble * atRisk) }
+        val ok = got(t) == ((atRisk, d, h, v))
+        atRisk -= rs.size
+        ok
+      }
+    })
+  }
+
   // --- Kendall tau-b
   test("property: kendallTauDaily equals brute-force concordance counting") {
     // one event per (key, day) with value v and multiplicity m ⇒ the

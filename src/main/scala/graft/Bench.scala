@@ -144,19 +144,14 @@ object Bench {
     // stderr reporter), displacing the JSON printed before stop(). So:
     // (a) persist the JSON to a file first — unlosable regardless of
     //     console weather;
-    // (b) silence stderr for the teardown — every real error path above
-    //     already ran, the spam is shutdown-race noise by construction;
+    // (b) buffer stderr for the teardown and replay it only if a
+    //     NON-benign failure shows up — see [[graft.Teardown]];
     // (c) print the JSON as the FINAL stdout line after stop() returns.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outFile,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.flush()
-    System.setErr(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
-    // daemon threads that die during JVM teardown (after main returns)
-    // would otherwise print through the default handler to the real fd
-    Thread.setDefaultUncaughtExceptionHandler((_, _) => ())
-    spark.stop()
+    Teardown.quietly(() => spark.stop())
     println(json)
     System.out.flush()
   }

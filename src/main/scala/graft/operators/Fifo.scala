@@ -61,16 +61,22 @@ object Fifo {
         sum(col("q")).as("bought_qty"),
         max(col("soldT")).as("sold_qty"),
         sum(col("matched")).as("matched_qty"),
-        sum(col("matched") * col("c")).as("cogs"),
+        // money accumulates in decimal(38,0): qty × unit-cost products
+        // of large longs overflow int64 silently in non-ANSI mode —
+        // decimal(19,0) factors make the product exact decimal(38,0)
+        sum(col("matched").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("cogs"),
         sum(col("q") - col("matched")).as("remaining_qty"),
-        sum((col("q") - col("matched")) * col("c")).as("remaining_cost"))
+        sum((col("q") - col("matched")).cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")).cast("decimal(38,0)").as("remaining_cost"))
     // sell-only keys (never bought): all-zero lots, pure overshoot —
     // dropping them would hide exactly the ledger bug worth surfacing
     val sellOnly = s.join(b.select(col("k")).distinct(),
       col("sk") === col("k"), "left_anti")
       .select(col("sk").as("k"), lit(0L).as("bought_qty"), col("sold").as("sold_qty"),
-        lit(0L).as("matched_qty"), lit(0L).as("cogs"),
-        lit(0L).as("remaining_qty"), lit(0L).as("remaining_cost"))
+        lit(0L).as("matched_qty"), lit(0L).cast("decimal(38,0)").as("cogs"),
+        lit(0L).as("remaining_qty"),
+        lit(0L).cast("decimal(38,0)").as("remaining_cost"))
     perKey.unionByName(sellOnly)
       .select(col("k").as("key"), col("bought_qty"), col("sold_qty"),
         col("matched_qty"), col("cogs"), col("remaining_qty"), col("remaining_cost"),

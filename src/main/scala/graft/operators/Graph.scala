@@ -487,7 +487,7 @@ object Graph {
     val seed = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     // round 0: every node announces itself
-    frontierLoop(sym, seed, seed, maxIter)
+    frontierLoop(sym, seed, seed, maxIter, "connectedComponentsFrontier")
   }
 
   /** INCREMENTAL component maintenance — converged `oldLabels`
@@ -519,7 +519,8 @@ object Graph {
     val frontier0 = deltaSym.select(col("src").as("node")).distinct()
       .join(labels0, Seq("node"))
       .select(col("node"), col("label"))
-    frontierLoop(sym, labels0, frontier0, maxIter)
+    frontierLoop(sym, labels0, frontier0, maxIter,
+      "connectedComponentsIncremental")
   }
 
   /** Bounded-round WEIGHTED single-source shortest paths — `rounds`
@@ -610,7 +611,8 @@ object Graph {
       symIn: DataFrame,
       labels0: DataFrame,
       frontier0: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int,
+      op: String): DataFrame = {
     val spark = symIn.sparkSession
     val sym = symIn.cache()
     val seed = labels0.select(col("node"), col("label"))
@@ -655,7 +657,7 @@ object Graph {
       iter += 1
     }
     require(frontierEmpty,
-      s"connectedComponentsFrontier: not converged after $maxIter rounds " +
+      s"$op: not converged after $maxIter rounds " +
         "(component diameter exceeds maxIter)")
     val out = spark.createDataFrame(labelsRdd, schema)
       .select(col("node"), col("label").as("component"))

@@ -100,10 +100,17 @@ object ModelEval {
     val base = df.filter(sD.isNotNull && !isnan(sD))
       .select(sD.as("s"), yG.as("y"))
     val span = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    // per-endpoint division, NOT (s - lo) / (hi - lo) * bins: a score
+    // range wider than the largest finite double overflows the span
+    // to +Infinity, the bin goes NaN→NULL, and the null cell silently
+    // drops out of the minimax joins (bin >= jb is null-false) instead
+    // of raising. |hi/bins| ≤ MaxValue/2 keeps every intermediate
+    // finite (bins ≥ 2 by the require above).
+    val width = col("hi") / bins - col("lo") / bins
     val binned = base.crossJoin(broadcast(span))
       .select(
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(floor((col("s") - col("lo")) / (col("hi") - col("lo")) * bins)
+        when(width === 0.0, lit(0)).otherwise(
+          least(floor(col("s") / width - col("lo") / width)
             .cast("int"), lit(bins - 1))).as("bin"),
         col("y"))
     val cells = binned.groupBy(col("bin"))

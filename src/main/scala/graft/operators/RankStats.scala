@@ -66,11 +66,21 @@ object RankStats {
     val spans = cells.groupBy(col("k"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val withSpan = cells.join(spans, Seq("k"))
-    val span = col("hi") - col("lo")
+    // NOT (hi - lo): a group's range can exceed the largest finite
+    // double (lo near -MaxValue, hi near +MaxValue), overflowing the
+    // span to +Infinity — (v-lo)/span*buckets then goes NaN for large
+    // v, the int cast yields a NULL bucket that sorts before bucket 0
+    // in the prefix window, and the largest values silently take the
+    // lowest midranks. Dividing each endpoint first keeps every
+    // intermediate finite (|hi/buckets| ≤ MaxValue/buckets for
+    // buckets ≥ 2); the geometry stays monotone in v with equal
+    // values sharing a bucket, so the derived ranks are unchanged.
+    val width = col("hi") / buckets - col("lo") / buckets
     val bucketed = withSpan.withColumn("b",
-      when(span === 0.0, lit(0)).otherwise(
-        least(floor((col("v") - col("lo")) / span * buckets).cast("int"),
-          lit(buckets - 1))))
+      if (buckets == 1) lit(0)
+      else when(width === 0.0, lit(0)).otherwise(
+        least(floor(col("v") / width - col("lo") / width)
+          .cast("int"), lit(buckets - 1))))
     val counts = bucketed.groupBy(col("k"), col("b")).agg(sum(col("c")).as("cb"))
     val wPrefix = Window.partitionBy(col("k")).orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -796,8 +796,9 @@ object ScaleOps7 {
              |  FROM customer LEFT JOIN u ON c_custkey = u.uk
              |  WHERE c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)),
              |sp AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
-             |cells AS MATERIALIZED (SELECT CASE WHEN hi = lo THEN 0
-             |    ELSE least(CAST(floor((s - lo) / (hi - lo) * 16) AS INTEGER), 15)
+             |cells AS MATERIALIZED (SELECT CASE WHEN hi / 16 - lo / 16 = 0 THEN 0
+             |    ELSE least(CAST(floor(s / (hi / 16 - lo / 16)
+             |      - lo / (hi / 16 - lo / 16)) AS INTEGER), 15)
              |    END AS bin,
              |    count(*) AS n, sum(y) AS pos
              |  FROM b, sp GROUP BY 1),
@@ -841,6 +842,11 @@ object ScaleOps7 {
           buyKey = $"l_partkey", buyTs = $"sd", buyTiebreak = $"tb",
           buyQty = $"qv", buyUnitCost = $"uc",
           sellKey = $"l_partkey", sellQty = $"qv")
+          // money is decimal(38,0) in the operator (int64 products
+          // overflow); carried as VARCHAR digests for the oracle
+          // compare like the other decimal(38,0) queries
+          .withColumn("cogs", $"cogs".cast("string"))
+          .withColumn("remaining_cost", $"remaining_cost".cast("string"))
           .orderBy($"key")
       },
       Some("""WITH b AS MATERIALIZED (SELECT l_partkey AS k, l_shipdate AS ts,
@@ -872,9 +878,11 @@ object ScaleOps7 {
              |al AS (SELECT * FROM pk UNION ALL SELECT * FROM so)
              |SELECT k AS key, CAST(bought_qty AS BIGINT) AS bought_qty,
              |  CAST(sold_qty AS BIGINT) AS sold_qty,
-             |  CAST(matched_qty AS BIGINT) AS matched_qty, CAST(cogs AS BIGINT) AS cogs,
+             |  CAST(matched_qty AS BIGINT) AS matched_qty,
+             |  CAST(CAST(cogs AS DECIMAL(38,0)) AS VARCHAR) AS cogs,
              |  CAST(remaining_qty AS BIGINT) AS remaining_qty,
-             |  CAST(remaining_cost AS BIGINT) AS remaining_cost,
+             |  CAST(CAST(remaining_cost AS DECIMAL(38,0)) AS VARCHAR)
+             |    AS remaining_cost,
              |  CAST(greatest(0, sold_qty - bought_qty) AS BIGINT) AS unmatched_sold
              |FROM al ORDER BY key""".stripMargin)),
 

@@ -96,11 +96,9 @@ object Stress {
     java.nio.file.Files.write(outFile,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // same teardown discipline as graft.Bench: file first, stderr
-    // silenced through stop(), metric line printed LAST
-    System.err.flush()
-    System.setErr(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
-    Thread.setDefaultUncaughtExceptionHandler((_, _) => ())
-    spark.stop()
+    // buffered through stop() with non-benign noise replayed
+    // ([[graft.Teardown]]), metric line printed LAST
+    graft.Teardown.quietly(() => spark.stop())
     println(json)
     System.out.flush()
   }

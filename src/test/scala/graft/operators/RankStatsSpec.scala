@@ -98,6 +98,19 @@ class RankStatsSpec extends SparkTestBase {
     assert(!mw.isNullAt(3) && mw.isNullAt(4))
   }
 
+  test("value range wider than the largest finite double keeps exact ranks") {
+    // hi - lo overflows to +Infinity here; the naive span formula sent
+    // the largest values to a NULL bucket (sorted before bucket 0),
+    // silently giving them the LOWEST midranks — AUC would read < 1
+    val rows = Seq(
+      ("g", -1.7e308, 0), ("g", -1.0, 0),
+      ("g", 0.0, 1), ("g", 1.0, 1), ("g", 1.7e308, 1))
+    val got = RankStats.rocAuc(rows.toDF("g", "v", "y"), $"g", $"v", $"y")
+      .collect()(0)
+    assert(got.getLong(1) == 3 && got.getLong(2) == 2)
+    assert(got.getDouble(3) == 1.0) // every positive outranks every negative
+  }
+
   test("guards: NaN score and non-binary label raise") {
     val nan = Seq(("g", Double.NaN, 1)).toDF("g", "v", "y")
     val e1 = intercept[Exception](RankStats.rocAuc(nan, $"g", $"v", $"y").collect())

@@ -485,6 +485,17 @@ class Round8bOpsSpec extends SparkTestBase {
     })
   }
 
+  test("isotonicBins: no rows vanish when the score range overflows a double") {
+    // hi - lo is +Infinity here; the naive span formula produced NULL
+    // bins whose cells silently dropped out of the minimax joins
+    val rows = Seq((-1.7e308, 0), (-1.0, 0), (1.0, 1), (1.7e308, 1))
+    val got = ModelEval.isotonicBins(rows.toDF("s", "y"), $"s", $"y", bins = 16)
+      .collect().sortBy(_.getInt(0))
+    assert(got.map(_.getLong(1)).sum == 4) // every row still binned
+    val iso = got.map(_.getDouble(4)).toSeq
+    assert(iso.sliding(2).forall(w => w.size < 2 || w(0) <= w(1)))
+  }
+
   // --- seasonal index (STL-lite)
   test("seasonalIndex matches the centered-MA + weekday-mean reference") {
     val xs = (0 until 28).map(i => (i % 7) * 4.0 + i * 0.5) // seasonality + trend
@@ -695,8 +706,8 @@ class Round8bOpsSpec extends SparkTestBase {
       val (m, cg, rq, rc) = refFifoQueue(buys.map(b => (b._1, b._2, b._3)), sold)
       val bought = buys.map(_._2).sum
       row.getLong(1) == bought && row.getLong(2) == sold &&
-        row.getLong(3) == m && row.getLong(4) == cg &&
-        row.getLong(5) == rq && row.getLong(6) == rc &&
+        row.getLong(3) == m && row.getDecimal(4).longValueExact == cg &&
+        row.getLong(5) == rq && row.getDecimal(6).longValueExact == rc &&
         row.getLong(7) == math.max(0L, sold - bought)
     })
   }
@@ -707,8 +718,26 @@ class Round8bOpsSpec extends SparkTestBase {
     val sdf = Seq(("a", 3L), ("ghost", 7L)).toDF("k", "q")
     val got = Fifo.matchLots(bdf, sdf, $"k", $"ts", $"tb", $"q", $"c", $"k", $"q")
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(got("a").getLong(4) == 6L) // 3 matched × cost 2
+    assert(got("a").getDecimal(4).longValueExact == 6L) // 3 matched × cost 2
     assert(got("ghost").getLong(1) == 0L && got("ghost").getLong(7) == 7L)
+  }
+
+  test("Fifo.matchLots money survives int64-overflowing qty × cost products") {
+    // two lots whose matched × unitCost each exceed Long.MaxValue —
+    // the raw long product would wrap silently in non-ANSI mode
+    val q = 4000000000L // 4e9 units
+    val c = 3000000000L // 3e9 cost units
+    val bdf = Seq(
+      ("k", new java.sql.Timestamp(1000L), 1L, q, c),
+      ("k", new java.sql.Timestamp(2000L), 2L, q, c)).toDF("k", "ts", "tb", "q", "c")
+    val sdf = Seq(("k", q + 1L)).toDF("k", "q") // lot 1 full, lot 2 one unit
+    val row = Fifo.matchLots(bdf, sdf, $"k", $"ts", $"tb", $"q", $"c", $"k", $"q")
+      .collect()(0)
+    val big = java.math.BigInteger.valueOf(q).multiply(java.math.BigInteger.valueOf(c))
+    val cogs = big.add(java.math.BigInteger.valueOf(c)) // full lot + 1 unit
+    val remaining = big.subtract(java.math.BigInteger.valueOf(c))
+    assert(row.getDecimal(4).toBigInteger == cogs)
+    assert(row.getDecimal(6).toBigInteger == remaining)
   }
 
   // --- time-decay touch mass

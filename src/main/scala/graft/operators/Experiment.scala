@@ -56,4 +56,111 @@ object Experiment {
       when(col("n_a") > 0 && col("n_b") > 0 && pp > 0.0 && pp < 1.0,
         (pa - pb) / se).as("z"))
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): the
+    * experiment metric is adjusted by its pre-period covariate,
+    * ŷᵢ = yᵢ − θ(xᵢ − x̄) with θ = cov(x,y)/var(x) pooled across arms
+    * — the industry-standard way to shrink A/B confidence intervals
+    * without changing the point estimate's expectation.
+    *
+    * Exactness discipline: `metric` and `covariate` must be exact
+    * integers (pre-scale money to cents — the q112/q114 precedent).
+    * All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate
+    * in decimal(38,0) — one partial-aggregable pass, no float sums —
+    * then each CASTS ONCE to double (correctly-rounded integer
+    * conversions in every engine) and θ and the per-arm adjusted
+    * means are pinned chains of double ops, so the output
+    * hash-matches a DuckDB oracle with no tolerance.
+    *
+    * Output: one row per arm value —
+    * (arm, n, mean_y, mean_x, theta, adj_mean); theta is the pooled
+    * value repeated per row. A constant covariate (var(x) = 0) yields
+    * null theta/adj_mean; arms and values must be non-null (raises).
+    */
+  def cuped(
+      df: DataFrame,
+      arm: Column,
+      metric: Column,
+      covariate: Column): DataFrame = {
+    def longGuard(c: Column, what: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"cuped: $what must be a non-null integer"))).otherwise(c.cast("long"))
+    val base = df.select(
+      when(arm.isNull, raise_error(lit("cuped: arm must be non-null")))
+        .otherwise(arm).as("arm"),
+      longGuard(metric, "metric").as("y"),
+      longGuard(covariate, "covariate").as("x"))
+    val d19 = "decimal(19,0)"
+    def s38(c: Column) = sum(c).cast("decimal(38,0)")
+    val perArm = base.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      s38(col("y").cast(d19)).as("sy"),
+      s38(col("x").cast(d19)).as("sx"),
+      s38(col("x").cast(d19) * col("y").cast(d19)).as("sxy"),
+      s38(col("x").cast(d19) * col("x").cast(d19)).as("sxx"))
+    val pooled = perArm.agg(
+      sum(col("n")).as("gn"),
+      s38(col("sy")).as("gsy"), s38(col("sx")).as("gsx"),
+      s38(col("sxy")).as("gsxy"), s38(col("sxx")).as("gsxx"))
+    def dbl(name: String) = col(name).cast("double")
+    val thetaNum = dbl("gn") * dbl("gsxy") - dbl("gsx") * dbl("gsy")
+    val thetaDen = dbl("gn") * dbl("gsxx") - dbl("gsx") * dbl("gsx")
+    val withTheta = pooled.select(
+      when(thetaDen > 0.0, thetaNum / thetaDen)
+        .otherwise(lit(null).cast("double")).as("theta"),
+      (dbl("gsx") / dbl("gn")).as("gmx"))
+    val meanY = dbl("sy") / dbl("n")
+    val meanX = dbl("sx") / dbl("n")
+    perArm.crossJoin(broadcast(withTheta)).select(
+      col("arm"), col("n"),
+      meanY.as("mean_y"),
+      meanX.as("mean_x"),
+      col("theta"),
+      (meanY - col("theta") * (meanX - col("gmx"))).as("adj_mean"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the 2×2 natural-experiment
+    * estimator: did = (m̄_treated,post − m̄_treated,pre) −
+    * (m̄_control,post − m̄_control,pre). Each cell mean is one double
+    * division of exact integer sums (outcome must be an exact
+    * integer, cents-scaled), so the estimate is pinned-order double
+    * arithmetic — hash-exact. Output: one row
+    * (n00, n01, n10, n11, m00, m01, m10, m11, did) with cell ij =
+    * (treated=i, post=j); any empty cell nulls `did` (the contrast is
+    * undefined, not zero).
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treated: Column,
+      post: Column,
+      outcome: Column): DataFrame = {
+    def flag(c: Column, what: String): Column =
+      when(c.cast("boolean").isNull, raise_error(lit(
+        s"diffInDiff: $what must be a non-null boolean")))
+        .otherwise(c.cast("boolean"))
+    val base = df.select(
+      flag(treated, "treated").as("tr"), flag(post, "post").as("po"),
+      when(outcome.cast("long").isNull, raise_error(lit(
+        "diffInDiff: outcome must be a non-null integer")))
+        .otherwise(outcome.cast("long")).as("y"))
+    def cellN(t: Boolean, p: Boolean) =
+      sum(when(col("tr") === t && col("po") === p, 1L).otherwise(0L))
+    def cellS(t: Boolean, p: Boolean) =
+      sum(when(col("tr") === t && col("po") === p, col("y").cast("decimal(19,0)"))
+        .otherwise(lit(0L).cast("decimal(19,0)"))).cast("decimal(38,0)")
+    val agg = base.agg(
+      cellN(false, false).as("n00"), cellN(false, true).as("n01"),
+      cellN(true, false).as("n10"), cellN(true, true).as("n11"),
+      cellS(false, false).as("s00"), cellS(false, true).as("s01"),
+      cellS(true, false).as("s10"), cellS(true, true).as("s11"))
+    def m(ij: String) = col(s"s$ij").cast("double") / col(s"n$ij").cast("double")
+    agg.select(
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n00") > 0, m("00")).as("m00"),
+      when(col("n01") > 0, m("01")).as("m01"),
+      when(col("n10") > 0, m("10")).as("m10"),
+      when(col("n11") > 0, m("11")).as("m11"),
+      when(col("n00") > 0 && col("n01") > 0 && col("n10") > 0 && col("n11") > 0,
+        (m("11") - m("10")) - (m("01") - m("00"))).as("did"))
+  }
 }

@@ -111,4 +111,93 @@ object Survival {
           .otherwise(lit(0.0))).over(wCum))
       .select("t", "n_risk", "n_death", "n_censored", "hazard", "hazard_var")
   }
+
+  /** TWO-GROUP LOG-RANK TEST (Mantel 1966, Peto & Peto 1972) — does
+    * group 1's survival curve differ from group 0's? The standard
+    * censoring-aware comparison: at each distinct event time t with
+    * d_t total deaths, group 1's expected share is E₁(t) = d_t·n₁t/n_t
+    * under H₀ (deaths distributed proportionally to the at-risk
+    * split), with hypergeometric variance
+    * V(t) = d_t·n₁t·n₀t·(n_t−d_t) / (n_t²·(n_t−1)); the statistic is
+    * Z = (O₁−E₁)/√V with O₁ = Σ d₁t and E₁, V time-summed.
+    *
+    * Scale shape: same ONE-ROW-PER-DISTINCT-DURATION geometry as
+    * [[kaplanMeier]] — subjects reduce to per-(t, group) counts in one
+    * partial-aggregable pass, both groups' risk sets prefix-sum over
+    * the bounded time axis, and the E/V accumulations are WINDOW
+    * running sums in pinned t-order (cross-engine bit-stable; the
+    * [[nelsonAalen]] precedent) — never a groupBy float sum. Every
+    * per-time term is a pinned chain of correctly-rounded double ops
+    * on exact integer counts, and √ is IEEE-exact, so the whole
+    * output hash-matches a DuckDB oracle with NO tolerance.
+    *
+    * `group` must be 0/1 (non-null); null durations/flags raise as in
+    * the curve estimators. Output is ONE row:
+    * (n1, n0, o1, e1, v, z, chi2) — z/chi2 null when V = 0 (a
+    * degenerate axis: one group empty or no deaths).
+    */
+  def logRank(
+      df: DataFrame,
+      duration: Column,
+      eventOccurred: Column,
+      group: Column): DataFrame = {
+    val gL = group.cast("long")
+    val gG = when(gL.isNull || (gL =!= 0L && gL =!= 1L), raise_error(lit(
+      "logRank: group must be 0 or 1"))).otherwise(gL)
+    val base = df.select(
+      when(duration.cast("long").isNull || duration.cast("long") < 0,
+        raise_error(lit("logRank: duration must be a non-negative integer")))
+        .otherwise(duration.cast("long")).as("t"),
+      when(eventOccurred.cast("boolean").isNull,
+        raise_error(lit("logRank: event flag must be non-null")))
+        .otherwise(eventOccurred.cast("boolean")).as("ev"),
+      gG.as("g"))
+    val byT = base.groupBy(col("t")).agg(
+      sum(when(col("ev") && col("g") === 1L, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("ev") && col("g") === 0L, 1L).otherwise(0L)).as("d0"),
+      sum(when(!col("ev") && col("g") === 1L, 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("ev") && col("g") === 0L, 1L).otherwise(0L)).as("c0"))
+    val totals = byT.agg(
+      sum(col("d1") + col("c1")).as("tot1"),
+      sum(col("d0") + col("c0")).as("tot0"))
+    // time axis only: every window below is bounded by distinct
+    // durations (the observation window), never by subject count
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.crossJoin(broadcast(totals))
+      .withColumn("n1", col("tot1")
+        - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n0", col("tot0")
+        - coalesce(sum(col("d0") + col("c0")).over(wPrev), lit(0L)))
+      .withColumn("nt", col("n1") + col("n0"))
+      .withColumn("dt", col("d1") + col("d0"))
+    val dtD = col("dt").cast("double")
+    val n1D = col("n1").cast("double")
+    val n0D = col("n0").cast("double")
+    val ntD = col("nt").cast("double")
+    val curve = risk
+      .withColumn("o1c", sum(col("d1")).over(wCum))
+      .withColumn("e1c", sum(when(col("dt") > 0L, dtD * n1D / ntD)
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("vc", sum(when(col("dt") > 0L && col("nt") > 1L,
+        dtD * n1D * n0D * (ntD - dtD) / (ntD * ntD * (ntD - lit(1.0))))
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t").desc)))
+      .filter(col("rn") === 1)
+    curve.select(
+      col("tot1").as("n1"),
+      col("tot0").as("n0"),
+      col("o1c").as("o1"),
+      col("e1c").as("e1"),
+      col("vc").as("v"),
+      when(col("vc") > 0.0,
+        (col("o1c").cast("double") - col("e1c")) / sqrt(col("vc")))
+        .otherwise(lit(null).cast("double")).as("z"),
+      when(col("vc") > 0.0,
+        (col("o1c").cast("double") - col("e1c"))
+          * (col("o1c").cast("double") - col("e1c")) / col("vc"))
+        .otherwise(lit(null).cast("double")).as("chi2"))
+  }
 }

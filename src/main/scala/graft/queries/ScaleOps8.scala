@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 continuation (q255+): censoring-aware survival comparison
+  * (log-rank), experimentation estimators (CUPED variance reduction,
+  * difference-in-differences), and further scale-shaped analytics.
+  */
+object ScaleOps8 {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q255: LOG-RANK TEST — do purchasers and non-purchasers
+    // churn at different rates? q254's subjects (per-user activity
+    // spans from events, churn = inactive 3+ days before the
+    // observation end) split by ever-purchased, compared with the
+    // standard censoring-aware two-group test
+    // ([[graft.operators.Survival.logRank]]). Counts reduce to one
+    // row per distinct duration; E/V accumulate as WINDOW running
+    // sums in pinned t-order (cross-engine bit-stable, the
+    // Nelson-Aalen precedent) — hash-exact, no tolerance.
+    Q(
+      "q255_logrank",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+        val per = ev.groupBy($"user_id").agg(
+          min(unix_micros($"ts")).as("first_us"),
+          max(unix_micros($"ts")).as("last_us"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("g"))
+        val obs = per.agg(max($"last_us").as("obs_us"))
+        val subjects = per.crossJoin(broadcast(obs)).select(
+          floor(($"last_us" - $"first_us").cast("double") / lit(86400000000.0))
+            .cast("long").as("dur"),
+          ($"last_us" <= $"obs_us" - lit(3L * 86400000000L)).as("churned"),
+          $"g")
+        graft.operators.Survival.logRank(subjects, $"dur", $"churned", $"g")
+      },
+      Some("""WITH per AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+             |    max(epoch_us(ts)) AS last_us,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+             |obs AS (SELECT max(last_us) AS obs_us FROM per),
+             |subj AS MATERIALIZED (SELECT
+             |    CAST(floor(CAST(last_us - first_us AS DOUBLE) / 86400000000.0)
+             |      AS BIGINT) AS t,
+             |    last_us <= obs_us - 3 * 86400000000 AS ev, g
+             |  FROM per CROSS JOIN obs),
+             |byt AS MATERIALIZED (SELECT t,
+             |    sum(CASE WHEN ev AND g = 1 THEN 1 ELSE 0 END) AS d1,
+             |    sum(CASE WHEN ev AND g = 0 THEN 1 ELSE 0 END) AS d0,
+             |    sum(CASE WHEN NOT ev AND g = 1 THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN NOT ev AND g = 0 THEN 1 ELSE 0 END) AS c0
+             |  FROM subj GROUP BY 1),
+             |tot AS (SELECT sum(d1 + c1) AS tot1, sum(d0 + c0) AS tot0 FROM byt),
+             |risk AS MATERIALIZED (SELECT t, d1, d0, tot1, tot0,
+             |    tot1 - coalesce(sum(d1 + c1) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             |    tot0 - coalesce(sum(d0 + c0) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+             |  FROM byt CROSS JOIN tot),
+             |curve AS MATERIALIZED (SELECT tot1, tot0, t,
+             |    sum(d1) OVER w AS o1c,
+             |    sum(CASE WHEN d1 + d0 > 0
+             |      THEN CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             |        / CAST(n1 + n0 AS DOUBLE)
+             |      ELSE 0.0 END) OVER w AS e1c,
+             |    sum(CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+             |      THEN CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             |        * CAST(n0 AS DOUBLE)
+             |        * (CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+             |        / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+             |          * (CAST(n1 + n0 AS DOUBLE) - 1.0))
+             |      ELSE 0.0 END) OVER w AS vc
+             |  FROM risk
+             |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW))
+             |SELECT CAST(tot1 AS BIGINT) AS n1, CAST(tot0 AS BIGINT) AS n0,
+             |  CAST(o1c AS BIGINT) AS o1, e1c AS e1, vc AS v,
+             |  CASE WHEN vc > 0 THEN (CAST(o1c AS DOUBLE) - e1c) / sqrt(vc)
+             |    END AS z,
+             |  CASE WHEN vc > 0 THEN (CAST(o1c AS DOUBLE) - e1c)
+             |    * (CAST(o1c AS DOUBLE) - e1c) / vc END AS chi2
+             |FROM curve ORDER BY t DESC LIMIT 1""".stripMargin)),
+
+    // ---- q256: CUPED VARIANCE REDUCTION — post-1996 revenue
+    // adjusted by each customer's pre-1996 revenue, θ pooled across
+    // parity-assigned arms ([[graft.operators.Experiment.cuped]]).
+    // Money in exact cents; the five sufficient statistics accumulate
+    // in decimal(38,0) and cast ONCE to double, so θ and the adjusted
+    // means are pinned double chains — hash-exact.
+    Q(
+      "q256_cuped",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1996-01-01").cast("timestamp")
+        val per = Tables.orders(s, d).groupBy($"o_custkey").agg(
+          sum(when($"o_orderdate" < cut,
+            round($"o_totalprice" * 100).cast("long")).otherwise(0L)).as("x"),
+          sum(when($"o_orderdate" >= cut,
+            round($"o_totalprice" * 100).cast("long")).otherwise(0L)).as("y"))
+          .withColumn("arm", $"o_custkey" % 2)
+        graft.operators.Experiment.cuped(per, $"arm", $"y", $"x")
+          .orderBy($"arm")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT o_custkey % 2 AS arm,
+             |    sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+             |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS x,
+             |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+             |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y
+             |  FROM orders GROUP BY o_custkey),
+             |pa AS MATERIALIZED (SELECT arm, count(*) AS n,
+             |    CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sxy,
+             |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sxx
+             |  FROM per GROUP BY 1),
+             |pooled AS (SELECT sum(n) AS gn,
+             |    CAST(sum(sy) AS DECIMAL(38,0)) AS gsy,
+             |    CAST(sum(sx) AS DECIMAL(38,0)) AS gsx,
+             |    CAST(sum(sxy) AS DECIMAL(38,0)) AS gsxy,
+             |    CAST(sum(sxx) AS DECIMAL(38,0)) AS gsxx
+             |  FROM pa),
+             |th AS (SELECT
+             |    CASE WHEN CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+             |        - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) > 0
+             |      THEN (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+             |          - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+             |        / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+             |          - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE))
+             |      END AS theta,
+             |    CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS gmx
+             |  FROM pooled)
+             |SELECT arm, n,
+             |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+             |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+             |  theta,
+             |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gmx)
+             |    AS adj_mean
+             |FROM pa CROSS JOIN th ORDER BY arm""".stripMargin)),
+
+    // ---- q257: DIFFERENCE-IN-DIFFERENCES — did BUILDING-segment
+    // order values move differently across the 1996 boundary than the
+    // other segments? The 2×2 natural-experiment contrast
+    // ([[graft.operators.Experiment.diffInDiff]]): four cell means of
+    // exact cents sums, one pinned double contrast — hash-exact.
+    Q(
+      "q257_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1996-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(
+          $"o_custkey", ($"o_orderdate" >= cut).as("po"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        val c = Tables.customer(s, d).select(
+          $"c_custkey", ($"c_mktsegment" === "BUILDING").as("tr"))
+        graft.operators.Experiment.diffInDiff(
+          o.join(c, $"o_custkey" === $"c_custkey"), $"tr", $"po", $"cents")
+      },
+      Some("""WITH j AS MATERIALIZED (SELECT
+             |    c_mktsegment = 'BUILDING' AS tr,
+             |    o_orderdate >= TIMESTAMP '1996-01-01' AS po,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |agg AS (SELECT
+             |    sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS n00,
+             |    sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS n01,
+             |    sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS n10,
+             |    sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS n11,
+             |    CAST(sum(CASE WHEN NOT tr AND NOT po
+             |      THEN CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s00,
+             |    CAST(sum(CASE WHEN NOT tr AND po
+             |      THEN CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s01,
+             |    CAST(sum(CASE WHEN tr AND NOT po
+             |      THEN CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s10,
+             |    CAST(sum(CASE WHEN tr AND po
+             |      THEN CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s11
+             |  FROM j)
+             |SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+             |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+             |  CASE WHEN n00 > 0 THEN CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)
+             |    END AS m00,
+             |  CASE WHEN n01 > 0 THEN CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+             |    END AS m01,
+             |  CASE WHEN n10 > 0 THEN CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)
+             |    END AS m10,
+             |  CASE WHEN n11 > 0 THEN CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+             |    END AS m11,
+             |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0
+             |    THEN (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+             |        - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+             |      - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+             |        - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+             |    END AS did
+             |FROM agg""".stripMargin)))
+}

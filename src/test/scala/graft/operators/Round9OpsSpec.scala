@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkTestBase
+
+/** Round-9 operators: two-group log-rank test vs a direct
+  * risk-set fold, CUPED vs exact-BigInt sufficient statistics, and
+  * diff-in-diff vs hand-computed cell means.
+  */
+class Round9OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(prop: Prop, min: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- log-rank
+
+  /** Direct fold: per distinct event time, risk sets by re-scan. */
+  private def refLogRank(subj: Seq[(Long, Boolean, Int)])
+      : (Long, Long, Long, Double, Double) = {
+    val n1 = subj.count(_._3 == 1).toLong
+    val n0 = subj.count(_._3 == 0).toLong
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    for (t <- subj.map(_._1).distinct.sorted) {
+      val at1 = subj.count(s => s._1 >= t && s._3 == 1).toDouble
+      val at0 = subj.count(s => s._1 >= t && s._3 == 0).toDouble
+      val d1 = subj.count(s => s._1 == t && s._2 && s._3 == 1).toLong
+      val dt = (d1 + subj.count(s => s._1 == t && s._2 && s._3 == 0)).toDouble
+      val nt = at1 + at0
+      o1 += d1
+      if (dt > 0) {
+        e1 += dt * at1 / nt
+        if (nt > 1) v += dt * at1 * at0 * (nt - dt) / (nt * nt * (nt - 1.0))
+      }
+    }
+    (n1, n0, o1, e1, v)
+  }
+
+  private val genSubjects: Gen[List[(Long, Boolean, Int)]] = for {
+    n <- Gen.chooseNum(1, 50)
+    rows <- Gen.listOfN(n, for {
+      t <- Gen.chooseNum(0L, 6L)
+      ev <- Gen.oneOf(true, false)
+      g <- Gen.oneOf(0, 1)
+    } yield (t, ev, g))
+  } yield rows
+
+  test("property: logRank O/E/V match the direct risk-set fold") {
+    check(Prop.forAll(genSubjects) { subj =>
+      val row = Survival.logRank(
+        subj.toDF("dur", "ev", "g"), $"dur", $"ev", $"g").collect()(0)
+      val (n1, n0, o1, e1, v) = refLogRank(subj)
+      row.getLong(0) == n1 && row.getLong(1) == n0 && row.getLong(2) == o1 &&
+        math.abs(row.getDouble(3) - e1) < 1e-9 &&
+        math.abs(row.getDouble(4) - v) < 1e-9 && {
+          if (v > 0) {
+            val z = (o1 - e1) / math.sqrt(v)
+            math.abs(row.getDouble(5) - z) < 1e-9 &&
+              math.abs(row.getDouble(6) - z * z) < 1e-9
+          } else row.isNullAt(5) && row.isNullAt(6)
+        }
+    })
+  }
+
+  test("logRank: identical groups give O1 = E1 exactly under symmetry") {
+    // two groups with the SAME duration/event multiset: every death
+    // splits the risk set evenly, so O1 - E1 = 0 and z = 0
+    val half = Seq((0L, true), (1L, true), (2L, false), (3L, true))
+    val subj = half.map { case (t, e) => (t, e, 1) } ++
+      half.map { case (t, e) => (t, e, 0) }
+    val row = Survival.logRank(
+      subj.toDF("dur", "ev", "g"), $"dur", $"ev", $"g").collect()(0)
+    assert(math.abs(row.getLong(2).toDouble - row.getDouble(3)) < 1e-12)
+    assert(math.abs(row.getDouble(5)) < 1e-12)
+  }
+
+  test("logRank: one empty group degenerates to null z") {
+    val subj = Seq((1L, true, 1), (2L, false, 1), (3L, true, 1))
+    val row = Survival.logRank(
+      subj.toDF("dur", "ev", "g"), $"dur", $"ev", $"g").collect()(0)
+    assert(row.getLong(1) == 0L && row.isNullAt(5) && row.isNullAt(6))
+  }
+
+  test("logRank guards: bad group and negative duration raise") {
+    val bad = Seq((1L, true, 2)).toDF("dur", "ev", "g")
+    val e1 = intercept[Exception](
+      Survival.logRank(bad, $"dur", $"ev", $"g").collect())
+    assert(e1.getMessage.contains("group") ||
+      Option(e1.getCause).exists(_.getMessage.contains("group")))
+    val neg = Seq((-1L, true, 1)).toDF("dur", "ev", "g")
+    val e2 = intercept[Exception](
+      Survival.logRank(neg, $"dur", $"ev", $"g").collect())
+    assert(e2.getMessage.contains("duration") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duration")))
+  }
+
+  // --- CUPED
+
+  test("property: cuped matches exact-BigInt sufficient statistics") {
+    val genRows = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(0, 1)
+        x <- Gen.chooseNum(-50L, 50L)
+        y <- Gen.chooseNum(-50L, 50L)
+      } yield (a, x, y))
+    } yield rows
+    check(Prop.forAll(genRows) { rows =>
+      val got = Experiment.cuped(rows.toDF("arm", "x", "y"), $"arm", $"y", $"x")
+        .collect().map(r => r.getInt(0) -> r).toMap
+      val gn = BigInt(rows.size)
+      val gsx = rows.map(r => BigInt(r._2)).sum
+      val gsy = rows.map(r => BigInt(r._3)).sum
+      val gsxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val gsxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val den = (gn * gsxx - gsx * gsx).toDouble
+      val theta = if (den > 0) Some((gn * gsxy - gsx * gsy).toDouble / den) else None
+      val gmx = gsx.toDouble / gn.toDouble
+      rows.groupBy(_._1).forall { case (arm, rs) =>
+        val r = got(arm)
+        val n = rs.size
+        val my = rs.map(r2 => BigInt(r2._3)).sum.toDouble / n
+        val mx = rs.map(r2 => BigInt(r2._2)).sum.toDouble / n
+        math.abs(r.getDouble(2) - my) < 1e-9 &&
+          math.abs(r.getDouble(3) - mx) < 1e-9 && (theta match {
+            case None => r.isNullAt(4) && r.isNullAt(5)
+            case Some(th) =>
+              math.abs(r.getDouble(4) - th) < 1e-9 &&
+                math.abs(r.getDouble(5) - (my - th * (mx - gmx))) < 1e-9
+          })
+      }
+    })
+  }
+
+  test("cuped: weighted mean of adjusted means equals the grand mean of y") {
+    // the defining invariant: CUPED re-centers, never shifts the total
+    val rows = Seq((0, 10L, 3L), (0, 4L, 1L), (1, 8L, 5L), (1, 2L, 2L), (1, 6L, 4L))
+    val got = Experiment.cuped(rows.toDF("arm", "y", "x"), $"arm", $"y", $"x")
+      .collect()
+    val total = got.map(r => r.getLong(1) * r.getDouble(5)).sum
+    val grand = rows.map(_._2).sum.toDouble
+    assert(math.abs(total - grand) < 1e-9)
+  }
+
+  test("cuped: constant covariate nulls theta and adj_mean") {
+    val rows = Seq((0, 10L, 7L), (1, 4L, 7L), (1, 6L, 7L))
+    val got = Experiment.cuped(rows.toDF("arm", "y", "x"), $"arm", $"y", $"x")
+      .collect()
+    assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  // --- diff-in-diff
+
+  test("diffInDiff matches hand-computed cell means and contrast") {
+    val rows = Seq(
+      (false, false, 10L), (false, false, 20L),
+      (false, true, 30L),
+      (true, false, 5L), (true, false, 15L),
+      (true, true, 40L), (true, true, 50L))
+    val r = Experiment.diffInDiff(
+      rows.toDF("tr", "po", "y"), $"tr", $"po", $"y").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1 &&
+      r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 30.0 &&
+      r.getDouble(6) == 10.0 && r.getDouble(7) == 45.0)
+    assert(r.getDouble(8) == (45.0 - 10.0) - (30.0 - 15.0))
+  }
+
+  test("diffInDiff: an empty cell nulls the contrast, not zero") {
+    val rows = Seq((false, false, 10L), (false, true, 30L), (true, true, 40L))
+    val r = Experiment.diffInDiff(
+      rows.toDF("tr", "po", "y"), $"tr", $"po", $"y").collect()(0)
+    assert(r.getLong(2) == 0 && r.isNullAt(6) && r.isNullAt(8))
+  }
+}

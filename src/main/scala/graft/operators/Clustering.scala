@@ -101,4 +101,79 @@ object Clustering {
     import spark.implicits._
     trace.result().toDF("iter", "cid", "dim_idx", "value")
   }
+
+  /** GRID-DENSITY CLUSTERING — the STING/DBSCAN-lite family: points
+    * land in fixed-width 2-D grid cells, cells holding ≥ `minPts`
+    * points are DENSE, and clusters are the connected components of
+    * the dense cells under 8-neighbourhood adjacency (sparse cells
+    * are noise). The classic shape for density structure at corpus
+    * scale: unlike point-pairwise DBSCAN (an O(n²) ε-join), every
+    * stage here is bounded by the GRID, not the corpus — one
+    * partial-aggregable pass collapses n points to ≤ cells counts,
+    * the adjacency self-join and the component loop
+    * ([[Graph.connectedComponentsFrontier]]'s frontier discipline)
+    * run on dense cells only.
+    *
+    * Cell widths are CALLER-FIXED literals (never data-derived spans
+    * — no overflow geometry, and both engines replay the same
+    * `floor(v/w)` doubles). Cluster ids are the minimum encoded cell
+    * id of the component — deterministic, engine-portable. Cell
+    * coordinates must fit |floor(v/w)| < 2²⁰ (raises otherwise; a
+    * grid finer than a million cells per axis is a parameter bug,
+    * not data).
+    *
+    * Output: one row per DENSE cell — (cx, cy, n_points, cluster).
+    */
+  def gridDensityClusters(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      cellW: Double,
+      cellH: Double,
+      minPts: Long,
+      maxIter: Int = 64): DataFrame = {
+    require(cellW > 0 && cellH > 0, s"cell sizes must be > 0, got $cellW x $cellH")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    def cellOf(c: Column, w: Double, what: String): Column = {
+      val v = c.cast("double")
+      val g = when(v.isNull || isnan(v) || v === Double.PositiveInfinity ||
+        v === Double.NegativeInfinity, raise_error(lit(
+        s"gridDensityClusters: $what must be non-null and finite"))).otherwise(v)
+      val cell = floor(g / lit(w)).cast("long")
+      when(abs(cell) >= (1L << 20), raise_error(lit(
+        s"gridDensityClusters: $what cell index out of range — widen cells"))
+        .cast("long")).otherwise(cell)
+    }
+    val cells = df
+      .select(cellOf(x, cellW, "x").as("cx"), cellOf(y, cellH, "y").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_points"))
+    val off = 1L << 20
+    val spanC = 1L << 21
+    val dense = cells.filter(col("n_points") >= minPts)
+      .withColumn("id", (col("cx") + off) * spanC + (col("cy") + off))
+      .localCheckpoint(true) // self-joined 8 ways + labeled below
+    // 8-neighbourhood adjacency: explode the offsets on one side and
+    // equi-join on the shifted coordinates — never a theta-join
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1))
+    val offDf = {
+      import df.sparkSession.implicits._
+      offsets.toDF("dx", "dy")
+    }
+    val edges = dense.select(col("cx"), col("cy"), col("id").as("ida"))
+      .crossJoin(broadcast(offDf))
+      .select((col("cx") + col("dx")).as("ncx"), (col("cy") + col("dy")).as("ncy"),
+        col("ida"))
+      .join(dense.select(col("cx").as("ncx"), col("cy").as("ncy"),
+        col("id").as("idb")), Seq("ncx", "ncy"))
+      .select(col("ida").as("ea"), col("idb").as("eb"))
+    val labeled =
+      if (edges.isEmpty) dense.select(col("id"), col("id").as("component"))
+      else Graph.connectedComponentsFrontier(edges, col("ea"), col("eb"), maxIter)
+        .select(col("node").as("id"), col("component"))
+    // isolated dense cells (no dense neighbour) are singleton clusters
+    dense.join(labeled, Seq("id"), "left")
+      .select(col("cx"), col("cy"), col("n_points"),
+        coalesce(col("component"), col("id")).as("cluster"))
+  }
 }

@@ -144,6 +144,77 @@ object Graph {
     visited
   }
 
+  /** LANDMARK CLOSENESS CENTRALITY — closeness against a fixed set
+    * of landmark nodes instead of all V sources: the standard scale
+    * trade (Potamias et al. 2009) that turns O(V·E) all-pairs BFS
+    * into k·BFS while preserving the ranking signal. State is
+    * (landmark, node, hop) — k× the node set, never V² — and each of
+    * the ≤ `maxHops` rounds is one shuffle join frontier⋈edges with
+    * the [[bfsHops]] anti-join discipline.
+    *
+    * Exactness: hops are exact integers, so `total_dist` and
+    * `n_reached` hash-match any engine. The harmonic closeness
+    * Σ 1/d is emitted in EXACT SIXTIETHS (`harmonic_x60` =
+    * Σ 60/d, integer for every d ≤ 6 — lcm(1..6) = 60; maxHops ≤ 6
+    * is enforced so no float sum ever forms), plus one pinned
+    * double division `closeness` = n_reached / total_dist.
+    * Landmarks themselves count at distance 0 only toward their own
+    * row's n_reached = 0 exclusion — self-reach (hop 0) is excluded
+    * from all three statistics, the standard convention.
+    *
+    * Output: (node, n_reached, total_dist, harmonic_x60, closeness)
+    * for every node reached by ≥ 1 landmark.
+    */
+  def landmarkCloseness(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      landmarks: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(landmarks.nonEmpty, "landmarkCloseness: need at least one landmark")
+    require(maxHops >= 1 && maxHops <= 6,
+      s"maxHops must be in [1, 6] (60/d exactness bound), got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def guarded(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"landmarkCloseness: $name endpoint is null or not castable to long")))
+        .otherwise(c.cast("long"))
+    val fwd = edges.select(guarded(src, "src").as("a"), guarded(dst, "dst").as("b"))
+    val e = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = landmarks.distinct.map(l => (l, l, 0))
+      .toDF("lm", "node", "hop").localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    var done = false
+    while (!done && hop <= maxHops) {
+      val next = frontier
+        .join(e, col("node") === col("a"))
+        .select(col("lm"), col("b").as("node")).distinct()
+        .join(visited, Seq("lm", "node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+    }
+    visited.filter(col("hop") > 0)
+      .groupBy(col("node")).agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("hop").cast("long")).as("total_dist"),
+        // 60/d is exact for every d ≤ 6; the long cast keeps the
+        // column integral (Spark's `/` is always double)
+        sum((lit(60.0) / col("hop").cast("double")).cast("long"))
+          .as("harmonic_x60"))
+      .withColumn("closeness",
+        col("n_reached").cast("double") / col("total_dist").cast("double"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list: (node,
     * tri_n) for every node that closes at least one triangle. Loops
     * drop, duplicate/reversed edges collapse (triangles are defined

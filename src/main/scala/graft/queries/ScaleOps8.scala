@@ -196,5 +196,104 @@ object ScaleOps8 {
              |      - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
              |        - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE))
              |    END AS did
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ---- q258: GRID-DENSITY CLUSTERING — customers as (acctbal,
+    // order-count) points on a fixed 500×2 grid; cells with ≥ 20
+    // points are dense, clusters = 8-neighbourhood components of the
+    // dense cells ([[graft.operators.Clustering.gridDensityClusters]]).
+    // Every stage is bounded by the GRID, not the corpus; the oracle
+    // replays the components with a fixpoint recursive CTE (UNION
+    // dedup terminates). All-integer output — hash-exact.
+    Q(
+      "q258_grid_density_clusters",
+      (s, d) => {
+        import s.implicits._
+        val y = Tables.orders(s, d).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("y"))
+        val pts = Tables.customer(s, d)
+          .join(y, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_acctbal".as("x"), coalesce($"y", lit(0L)).as("y"))
+        graft.operators.Clustering.gridDensityClusters(
+          pts, $"x", $"y", cellW = 500.0, cellH = 2.0, minPts = 20L)
+          .orderBy($"cx", $"cy")
+      },
+      Some("""WITH RECURSIVE yc AS (
+             |  SELECT o_custkey, count(*) AS y FROM orders GROUP BY 1),
+             |pts AS MATERIALIZED (SELECT c_acctbal AS x, coalesce(yc.y, 0) AS y
+             |  FROM customer LEFT JOIN yc ON c_custkey = o_custkey),
+             |cells AS MATERIALIZED (SELECT
+             |    CAST(floor(x / 500.0) AS BIGINT) AS cx,
+             |    CAST(floor(y / 2.0) AS BIGINT) AS cy, count(*) AS n_points
+             |  FROM pts GROUP BY 1, 2),
+             |dense AS MATERIALIZED (SELECT cx, cy, n_points,
+             |    (cx + 1048576) * 2097152 + (cy + 1048576) AS id
+             |  FROM cells WHERE n_points >= 20),
+             |e AS MATERIALIZED (SELECT a.id AS ea, b.id AS eb
+             |  FROM dense a JOIN dense b
+             |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+             |    AND a.id <> b.id),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM dense
+             |  UNION
+             |  SELECT e.ea, reach.r FROM reach JOIN e ON e.eb = reach.id)
+             |SELECT d.cx, d.cy, CAST(d.n_points AS BIGINT) AS n_points,
+             |  comp.cluster
+             |FROM dense d JOIN (SELECT id, min(r) AS cluster FROM reach
+             |  GROUP BY id) comp ON d.id = comp.id
+             |ORDER BY cx, cy""".stripMargin)),
+
+    // ---- q259: LANDMARK CLOSENESS — closeness centrality of the
+    // q227 supplier—part graph against 4 fixed landmark suppliers
+    // ([[graft.operators.Graph.landmarkCloseness]]): k·BFS instead of
+    // all-pairs, harmonic mass in exact sixtieths (60/d integral for
+    // d ≤ 4), one pinned double division. The oracle unrolls the same
+    // 4 min-collapse rounds per landmark (the q227 replay-by-
+    // construction argument).
+    Q(
+      "q259_landmark_closeness",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.lineitem(s, d).select(
+          ($"l_suppkey" * 2).as("sa"), ($"l_partkey" * 2 + 1).as("pb"))
+        graft.operators.Graph.landmarkCloseness(
+          e, $"sa", $"pb", landmarks = Seq(2L, 4L, 6L, 8L), maxHops = 4)
+          .select(
+            when($"node" % 2 === 0, "s").otherwise("p").as("node_kind"),
+            expr("node div 2").as("key"),
+            $"n_reached", $"total_dist", $"harmonic_x60", $"closeness")
+          .orderBy($"node_kind", $"key")
+      },
+      Some("""WITH ed0 AS MATERIALIZED (
+             |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+             |  FROM lineitem),
+             |ed AS MATERIALIZED (SELECT a, b FROM ed0
+             |  UNION SELECT b AS a, a AS b FROM ed0),
+             |d0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm,
+             |    CAST(lm AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+             |  FROM (SELECT unnest([2, 4, 6, 8]) AS lm)),
+             |d1 AS MATERIALIZED (SELECT lm, node, min(dist) AS dist FROM (
+             |  SELECT lm, node, dist FROM d0
+             |  UNION ALL SELECT d0.lm, ed.b AS node, d0.dist + 1 AS dist
+             |  FROM d0 JOIN ed ON d0.node = ed.a) GROUP BY 1, 2),
+             |d2 AS MATERIALIZED (SELECT lm, node, min(dist) AS dist FROM (
+             |  SELECT lm, node, dist FROM d1
+             |  UNION ALL SELECT d1.lm, ed.b AS node, d1.dist + 1 AS dist
+             |  FROM d1 JOIN ed ON d1.node = ed.a) GROUP BY 1, 2),
+             |d3 AS MATERIALIZED (SELECT lm, node, min(dist) AS dist FROM (
+             |  SELECT lm, node, dist FROM d2
+             |  UNION ALL SELECT d2.lm, ed.b AS node, d2.dist + 1 AS dist
+             |  FROM d2 JOIN ed ON d2.node = ed.a) GROUP BY 1, 2),
+             |d4 AS MATERIALIZED (SELECT lm, node, min(dist) AS dist FROM (
+             |  SELECT lm, node, dist FROM d3
+             |  UNION ALL SELECT d3.lm, ed.b AS node, d3.dist + 1 AS dist
+             |  FROM d3 JOIN ed ON d3.node = ed.a) GROUP BY 1, 2)
+             |SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END AS node_kind,
+             |  node // 2 AS key,
+             |  count(*) AS n_reached,
+             |  CAST(sum(dist) AS BIGINT) AS total_dist,
+             |  CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60,
+             |  CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE) AS closeness
+             |FROM d4 WHERE dist > 0 GROUP BY 1, 2
+             |ORDER BY node_kind, key""".stripMargin)))
 }

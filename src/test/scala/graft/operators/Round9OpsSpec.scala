@@ -169,6 +169,119 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r.getDouble(8) == (45.0 - 10.0) - (30.0 - 15.0))
   }
 
+  // --- grid-density clustering
+
+  /** Brute reference: cells, density filter, union-find over the
+    * 8-neighbourhood.
+    */
+  private def refGrid(pts: Seq[(Double, Double)], w: Double, h: Double,
+      minPts: Int): Map[(Long, Long), (Long, Long)] = {
+    val cells = pts.groupBy(p =>
+      (math.floor(p._1 / w).toLong, math.floor(p._2 / h).toLong))
+      .view.mapValues(_.size.toLong).toMap
+    val dense = cells.filter(_._2 >= minPts).keys.toSeq
+    val parent = scala.collection.mutable.Map(dense.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) =
+      if (parent(c) == c) c else { val r = find(parent(c)); parent(c) = r; r }
+    for {
+      a <- dense; b <- dense
+      if a != b && math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    def enc(c: (Long, Long)): Long = (c._1 + (1L << 20)) * (1L << 21) + (c._2 + (1L << 20))
+    val comp = dense.groupBy(find).flatMap { case (_, members) =>
+      val label = members.map(enc).min
+      members.map(_ -> label)
+    }
+    dense.map(c => c -> ((cells(c), comp(c)))).toMap
+  }
+
+  test("property: gridDensityClusters equals brute union-find components") {
+    val genPts = for {
+      n <- Gen.chooseNum(1, 120)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(-20, 20)
+        y <- Gen.chooseNum(-20, 20)
+      } yield (x.toDouble, y.toDouble))
+    } yield pts
+    check(Prop.forAll(genPts) { pts =>
+      val got = Clustering.gridDensityClusters(
+        pts.toDF("x", "y"), $"x", $"y", cellW = 7.0, cellH = 7.0, minPts = 3L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      got == refGrid(pts, 7.0, 7.0, 3)
+    }, min = 20)
+  }
+
+  test("gridDensityClusters: isolated dense cell is a singleton cluster") {
+    val pts = Seq.fill(5)((0.5, 0.5)) ++ Seq.fill(5)((100.0, 100.0))
+    val got = Clustering.gridDensityClusters(
+      pts.toDF("x", "y"), $"x", $"y", 1.0, 1.0, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size == 2)
+    assert(got.values.toSet.size == 2) // two distinct clusters
+  }
+
+  test("gridDensityClusters guards: NaN point raises") {
+    val pts = Seq((Double.NaN, 1.0)).toDF("x", "y")
+    val e = intercept[Exception](Clustering.gridDensityClusters(
+      pts, $"x", $"y", 1.0, 1.0, 1L).collect())
+    assert(e.getMessage.contains("finite") ||
+      Option(e.getCause).exists(_.getMessage.contains("finite")))
+  }
+
+  // --- landmark closeness
+
+  test("property: landmarkCloseness equals per-landmark brute BFS") {
+    val genGraph = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1)
+        if a != b
+      } yield (a, b))
+      if es.nonEmpty
+    } yield es
+    check(Prop.forAll(genGraph) { es =>
+      val lms = Seq(0L, 1L)
+      val hops = 4
+      val adj = (es ++ es.map(e => (e._2, e._1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      def bfs(s: Long): Map[Long, Int] = {
+        var dist = Map(s -> 0); var frontier = Set(s)
+        for (h <- 1 to hops) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .diff(dist.keySet)
+          next.foreach(n => dist += n -> h)
+          frontier = next
+        }
+        dist
+      }
+      val expect = lms.flatMap(l => bfs(l).toSeq.filter(_._2 > 0)
+        .map { case (n, d) => n -> d })
+        .groupBy(_._1).map { case (n, ds) =>
+          val hs = ds.map(_._2)
+          n -> ((hs.size.toLong, hs.map(_.toLong).sum, hs.map(60L / _).sum))
+        }
+      val got = Graph.landmarkCloseness(
+        es.toDF("a", "b"), $"a", $"b", lms, hops)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      got == expect
+    }, min = 20)
+  }
+
+  test("landmarkCloseness: maxHops beyond the sixtieths bound raises") {
+    val es = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Graph.landmarkCloseness(es, $"a", $"b", Seq(1L), maxHops = 7))
+  }
+
   test("diffInDiff: an empty cell nulls the contrast, not zero") {
     val rows = Seq((false, false, 10L), (false, true, 30L), (true, true, 40L))
     val r = Experiment.diffInDiff(

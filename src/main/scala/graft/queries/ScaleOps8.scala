@@ -296,4 +296,196 @@ object ScaleOps8 {
              |  CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE) AS closeness
              |FROM d4 WHERE dist > 0 GROUP BY 1, 2
              |ORDER BY node_kind, key""".stripMargin)))
+
+  /** Continuation Seq (JVM method-size hygiene, the ScaleOps7
+    * precedent).
+    */
+  val all2: Seq[Q] = Seq(
+
+    // ---- q260: RUN-LENGTH ENCODING — each user's event-type
+    // timeline collapsed to runs (value change or a > 2-day gap opens
+    // a new run): the CDC/state-compression batch twin of
+    // [[graft.streaming.RunLength]]. Fully declarative
+    // gaps-and-islands (lag → run counter → per-run aggregate),
+    // partitioned by user; all-integer/string output — hash-exact.
+    Q(
+      "q260_run_length",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_id".isNotNull)
+          .select($"user_id", $"ts", $"event_type", $"event_id")
+          .as[graft.streaming.PatternMatch.Ev]
+        graft.streaming.RunLength.encodeBatch(
+          ev, Set("view", "click", "purchase", "error"),
+          idleCloseUs = 2L * 86400L * 1000000L)
+          .orderBy($"user_id", $"start_us")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS tus,
+             |    event_id, event_type AS v
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase', 'error')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |m AS MATERIALIZED (SELECT user_id, tus, event_id, v,
+             |    CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+             |      OR tus - lag(tus) OVER w > 172800000000 THEN 1 ELSE 0 END AS nr
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |r AS (SELECT user_id, v, tus,
+             |    sum(nr) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+             |  FROM m)
+             |SELECT user_id, min(v) AS value, min(tus) AS start_us,
+             |  max(tus) AS end_us, count(*) AS n
+             |FROM r GROUP BY user_id, run
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // ---- q261: STREAMING RLE GATE — q260's runs recovered LIVE from
+    // scrambled micro-batches (hash-chosen boundary bands arrive one
+    // slice late, inside the 2-day watermark delay) through
+    // [[graft.streaming.RunLength.encodeEventTime]]; the flush
+    // sentinel pushes the watermark past every run's idle horizon, so
+    // the stream closes exactly the batch twin's run set and drains
+    // its state to zero. Oracle: the q260 gaps-and-islands SQL — the
+    // event multiset is unchanged by batch scrambling.
+    Q(
+      "q261_streaming_rle",
+      (s, d) => streamingRle(s, d),
+      Some("""WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS tus,
+             |    event_id, event_type AS v
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase', 'error')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |m AS MATERIALIZED (SELECT user_id, tus, event_id, v,
+             |    CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+             |      OR tus - lag(tus) OVER w > 172800000000 THEN 1 ELSE 0 END AS nr
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |r AS (SELECT user_id, v, tus,
+             |    sum(nr) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+             |  FROM m)
+             |SELECT user_id, min(v) AS value, min(tus) AS start_us,
+             |  max(tus) AS end_us, count(*) AS n
+             |FROM r GROUP BY user_id, run
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // ---- q262: UNIFORM-PRICE AUCTION CLEARING — per part, even-
+    // orderkey lineitems bid and odd-orderkey lineitems ask at their
+    // integer unit price; the call-auction rule picks the volume-
+    // maximizing price (ties → min imbalance → lowest price)
+    // ([[graft.operators.Auction.uniformClearing]]). Orders collapse
+    // to price-level cells; the demand/supply curves are windows over
+    // each part's PRICE AXIS. All-integer — hash-exact.
+    Q(
+      "q262_auction_clearing",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_partkey", $"l_orderkey",
+          $"l_quantity".cast("long").as("qv"),
+          ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .withColumn("uc", expr("cents div qv"))
+        val bids = li.filter($"l_orderkey" % 2 === 0)
+        val asks = li.filter($"l_orderkey" % 2 === 1)
+        graft.operators.Auction.uniformClearing(
+          bids, asks,
+          $"l_partkey", $"uc", $"qv",
+          $"l_partkey", $"uc", $"qv")
+          .orderBy($"key")
+      },
+      Some("""WITH li AS MATERIALIZED (SELECT l_partkey AS k, l_orderkey AS ok,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // CAST(l_quantity AS BIGINT) AS p
+             |  FROM lineitem),
+             |b AS (SELECT k, p, sum(q) AS bq FROM li WHERE ok % 2 = 0
+             |  GROUP BY 1, 2),
+             |a AS (SELECT k, p, sum(q) AS aq FROM li WHERE ok % 2 = 1
+             |  GROUP BY 1, 2),
+             |lv AS MATERIALIZED (SELECT coalesce(b.k, a.k) AS k,
+             |    coalesce(b.p, a.p) AS p,
+             |    coalesce(bq, 0) AS bq, coalesce(aq, 0) AS aq
+             |  FROM b FULL OUTER JOIN a ON b.k = a.k AND b.p = a.p),
+             |c AS MATERIALIZED (SELECT k, p, bq, aq,
+             |    sum(aq) OVER (PARTITION BY k ORDER BY p ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS supply,
+             |    sum(bq) OVER (PARTITION BY k ORDER BY p DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS demand
+             |  FROM lv),
+             |x AS (SELECT k, p, demand, supply,
+             |    least(demand, supply) AS volume,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY least(demand, supply) DESC,
+             |        abs(demand - supply) ASC, p ASC) AS rn
+             |  FROM c)
+             |SELECT k AS key, p AS clearing_price,
+             |  CAST(volume AS BIGINT) AS volume,
+             |  CAST(demand AS BIGINT) AS demand, CAST(supply AS BIGINT) AS supply
+             |FROM x WHERE rn = 1 ORDER BY key""".stripMargin)))
+
+  /** q261 drive: q243's scrambled-slice geometry (hash-chosen
+    * boundary bands moved one slice later, inside the watermark
+    * delay) with the flush sentinel filtered by the operator's own
+    * `values` set.
+    */
+  private def streamingRle(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val scratch = Scratch.tempDir("q261_rle_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_id".isNotNull)
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"event_id"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit("flush").as("event_type"),
+        lit(-1L).as("event_id"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q261_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.RunLength.encodeEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.PatternMatch.Ev],
+        values = Set("view", "click", "purchase", "error"),
+        idleCloseUs = 2L * 86400L * 1000000L,
+        delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q261 stream did not terminate within 600s — refusing a partial run set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q261 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val drained = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(drained.contains(0L),
+          s"q261 run-length state not drained at end of stream: $drained rows")
+        s.table(name)
+          .select($"user_id", $"value", $"start_us", $"end_us", $"n")
+          .orderBy($"user_id", $"start_us")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

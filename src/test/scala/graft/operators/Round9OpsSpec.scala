@@ -233,6 +233,75 @@ class Round9OpsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("finite")))
   }
 
+  // --- auction clearing
+
+  /** Brute reference: evaluate D/S at every distinct price level,
+    * pick by (volume desc, imbalance asc, price asc).
+    */
+  private def refClearing(bids: Seq[(Long, Long, Long)], asks: Seq[(Long, Long, Long)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val keys = (bids.map(_._1) ++ asks.map(_._1)).distinct
+    keys.map { k =>
+      val bs = bids.filter(_._1 == k)
+      val as = asks.filter(_._1 == k)
+      val levels = (bs.map(_._2) ++ as.map(_._2)).distinct.sorted
+      val best = levels.map { p =>
+        val d = bs.filter(_._2 >= p).map(_._3).sum
+        val s = as.filter(_._2 <= p).map(_._3).sum
+        (p, math.min(d, s), d, s)
+      }.minBy { case (p, vol, d, s) => (-vol, math.abs(d - s), p) }
+      k -> best
+    }.toMap
+  }
+
+  test("property: uniformClearing equals brute price-level evaluation") {
+    val genOrders = for {
+      nb <- Gen.chooseNum(0, 12)
+      na <- Gen.chooseNum(0, 12)
+      bs <- Gen.listOfN(nb, for {
+        k <- Gen.chooseNum(1L, 3L); p <- Gen.chooseNum(1L, 8L)
+        q <- Gen.chooseNum(0L, 10L)
+      } yield (k, p, q))
+      as <- Gen.listOfN(na, for {
+        k <- Gen.chooseNum(1L, 3L); p <- Gen.chooseNum(1L, 8L)
+        q <- Gen.chooseNum(0L, 10L)
+      } yield (k, p, q))
+      if bs.nonEmpty || as.nonEmpty
+    } yield (bs, as)
+    check(Prop.forAll(genOrders) { case (bs, as) =>
+      val bdf = bs.toDF("k", "p", "q")
+      val adf = as.toDF("k", "p", "q")
+      val got = Auction.uniformClearing(bdf, adf,
+        $"k", $"p", $"q", $"k", $"p", $"q")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      got == refClearing(bs, as)
+    }, min = 30)
+  }
+
+  test("uniformClearing: crossing book clears at the max-volume price") {
+    // bids: 10@5, 20@4; asks: 10@3, 10@4 → p=3: vol=10 (S=10), imb 20
+    // p=4: D=30, S=20 → vol 20, imb 10  ← unique max volume
+    // p=5: D=10, S=20 → vol 10, imb 10
+    val bids = Seq((1L, 5L, 10L), (1L, 4L, 20L)).toDF("k", "p", "q")
+    val asks = Seq((1L, 3L, 10L), (1L, 4L, 10L)).toDF("k", "p", "q")
+    val r = Auction.uniformClearing(bids, asks, $"k", $"p", $"q", $"k", $"p", $"q")
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 20L &&
+      r.getLong(3) == 30L && r.getLong(4) == 20L)
+  }
+
+  test("uniformClearing guards: negative qty raises") {
+    val bids = Seq((1L, 5L, -1L)).toDF("k", "p", "q")
+    val asks = Seq((1L, 3L, 10L)).toDF("k", "p", "q")
+    val e = intercept[Exception](Auction.uniformClearing(
+      bids, asks, $"k", $"p", $"q", $"k", $"p", $"q").collect())
+    assert(e.getMessage.contains("non-negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-negative")))
+  }
+
   // --- landmark closeness
 
   test("property: landmarkCloseness equals per-landmark brute BFS") {

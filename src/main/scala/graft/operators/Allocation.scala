@@ -71,4 +71,58 @@ object Allocation {
       .select(col("g").as("group"), col("i").as("item"),
         (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** Per-group-TOTAL variant of [[largestRemainder]]: each group
+    * carries its OWN integer total (revenue recognition across
+    * periods, per-contract proration, per-tenant quota splits). The
+    * total must be CONSTANT within a group and non-negative — both
+    * raise loudly, as does a total·weight product that cannot fit
+    * int64. Same geometry and guarantees: Σ alloc = the group's
+    * total, pure int64 arithmetic, hash-exact.
+    */
+  def largestRemainderBy(
+      df: DataFrame,
+      group: Column,
+      item: Column,
+      weight: Column,
+      total: Column): DataFrame = {
+    val wL = weight.cast("long")
+    val wG = when(wL.isNull || wL < 0L, raise_error(lit(
+      "largestRemainderBy: weight must be a non-negative long"))).otherwise(wL)
+    val tL = total.cast("long")
+    val tG = when(tL.isNull || tL < 0L, raise_error(lit(
+      "largestRemainderBy: total must be a non-negative long"))).otherwise(tL)
+    val items = df.select(group.as("g"), item.as("i"), wG.as("w"), tG.as("t"))
+      .groupBy(col("g"), col("i")).agg(
+        sum(col("w")).as("w"), min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val totals = items.groupBy(col("g")).agg(
+      sum(col("w")).as("gw"), min(col("t0")).as("ta"), max(col("t1")).as("tb"))
+      .select(col("g").as("tg"),
+        when(col("ta") =!= col("tb"), raise_error(concat(
+          lit("largestRemainderBy: total is not constant within group "),
+          col("tg").cast("string")))).otherwise(col("ta")).as("t"),
+        when(col("gw") === 0L && col("ta") > 0L, raise_error(concat(
+          lit("largestRemainderBy: group "), col("tg").cast("string"),
+          lit(" has zero total weight — nothing to allocate against"))))
+          .otherwise(col("gw")).as("gw"))
+    val based = items.join(totals, col("g") === col("tg"))
+      // the guard rides a payload column, not the keys (q108 lesson)
+      .select(col("g"), col("i"), col("t"), col("gw"),
+        when(col("w") > lit(Long.MaxValue) / greatest(col("t"), lit(1L)),
+          raise_error(concat(
+            lit("largestRemainderBy: total * weight overflows int64 for item "),
+            col("i").cast("string")))).otherwise(col("w")).as("w"))
+      .select(col("g"), col("i"), col("t"),
+        expr("(t * w) div gw").as("base"),
+        ((col("t") * col("w")) % col("gw")).as("rem"))
+    val leftovers = based.groupBy(col("g"))
+      .agg((min(col("t")) - sum(col("base"))).as("r"))
+      .select(col("g").as("lg"), col("r"))
+    val wRank = Window.partitionBy(col("g"))
+      .orderBy(col("rem").desc, col("i").asc)
+    based.join(leftovers, col("g") === col("lg"))
+      .withColumn("rn", row_number().over(wRank))
+      .select(col("g").as("group"), col("i").as("item"),
+        (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

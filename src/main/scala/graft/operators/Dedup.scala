@@ -224,6 +224,78 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the ASYMMETRIC sibling of
+    * [[ngramJaccardPairsFromHashed]]: ordered pairs (src → dst) with
+    * |src ∩ dst| / |src| ≥ tNum/tDen — the quote/subset detector
+    * (a short doc wholly embedded in a long one has tiny Jaccard but
+    * containment ≈ 1, which resemblance dedup never sees).
+    *
+    * The threshold is an EXACT RATIONAL: required overlap
+    * α(src) = ⌈t·|src|⌉ in pure int64 (`(tNum·n + tDen − 1) div
+    * tDen`), and the verify keeps a pair iff `overlap·tDen ≥
+    * tNum·|src|` — integer compares, no float threshold band.
+    *
+    * COMPLETE candidate generation, the containment prefix-filter
+    * guarantee: with shingles in global rarest-first (df, h) order,
+    * any qualifying pair shares a shingle between src's prefix (its
+    * first |src| − α + 1) and dst's FULL posting list — at most
+    * α − 1 common shingles can sit outside the prefix. Blocking
+    * joins src-PREFIX postings against full postings, so pair volume
+    * is Σ_h |prefix(h)|·df(h): the hot-shingle term is LINEAR in df
+    * (hot shingles almost never make a rarest-first prefix), not the
+    * df² of naive shared-shingle blocking. The dst-side positional
+    * bound (overlap ≤ |dst| − pos_dst(h)) prunes candidates before
+    * any pair materializes; df = 1 prefix shingles drop (nothing to
+    * share). Verification is the same sorted-merge overlap scan; the
+    * oracle checks completeness against an unblocked all-pairs join.
+    *
+    * Output: (id_src, id_dst, overlap, n_src, containment).
+    */
+  def containmentPairsFromHashed(
+      hashed: DataFrame,
+      tNum: Long,
+      tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must satisfy 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    graft.functions.GraftFunctions.register(hashed.sparkSession)
+    val postings = hashed.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = postings
+      .join(dfs, "h")
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+      .filter(col("df") >= 2)
+    // every threshold compare is the cross-multiplied integer form:
+    // x ≥ ⌈tNum·n/tDen⌉  ⟺  x·tDen ≥ tNum·n for integer x — no
+    // division, no float, no ceil
+    val prefixSide = ranked
+      // prefix membership: pos ≤ n − α  ⟺  (n − pos)·tDen ≥ tNum·n
+      .filter((col("n_sh") - col("pos")) * tDen >= lit(tNum) * col("n_sh"))
+      .select(col("doc_id").as("id_src"), col("n_sh").as("n_src"), col("h"))
+    val fullSide = ranked
+      .select(col("doc_id").as("id_dst"), col("n_sh").as("n_dst"),
+        col("pos").as("pos_dst"), col("h"))
+    val candidates = prefixSide.join(fullSide, "h")
+      .filter(col("id_src") =!= col("id_dst"))
+      // dst positional bound: common shingles rank ≥ pos_dst(h) in
+      // dst, so overlap ≤ n_dst − pos_dst, which must reach α(src)
+      .filter((col("n_dst") - col("pos_dst")) * tDen >= lit(tNum) * col("n_src"))
+      .select(col("id_src"), col("id_dst"))
+    candidates
+      .join(hashed.select(col("doc_id").as("id_src"), col("hs").as("hs_a")), "id_src")
+      .join(hashed.select(col("doc_id").as("id_dst"), col("hs").as("hs_b")), "id_dst")
+      .withColumn("overlap",
+        graft.functions.GraftFunctions.sortedOverlap(col("hs_a"), col("hs_b")))
+      .filter(col("overlap") * lit(tDen) >= lit(tNum) * size(col("hs_a")))
+      .select(col("id_src"), col("id_dst"),
+        col("overlap").cast("long").as("overlap"),
+        size(col("hs_a")).cast("long").as("n_src"),
+        (col("overlap").cast("double") / size(col("hs_a")).cast("double"))
+          .as("containment"))
+      .dropDuplicates("id_src", "id_dst")
+  }
+
   /** MinHash signature via the native [[graft.functions.MinHashSignature]]
     * kernel: each shingle hashed once, k functions derived by integer
     * re-mixing (universal hashing) — vs k interpreted string hashes per

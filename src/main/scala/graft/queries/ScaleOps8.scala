@@ -424,6 +424,173 @@ object ScaleOps8 {
              |  CAST(demand AS BIGINT) AS demand, CAST(supply AS BIGINT) AS supply
              |FROM x WHERE rn = 1 ORDER BY key""".stripMargin)))
 
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Continuation Seq 3: SPC charts, per-group proration, containment
+    * join.
+    */
+  val all3: Seq[Q] = Seq(
+
+    // ---- q263: p-CHART — daily fraction of F-status orders against
+    // variable-n three-sigma limits ([[graft.operators.Spc.pChart]]).
+    // One reduction to per-day counts + one broadcast centerline; the
+    // statistics AND the out-of-control flags are pinned chains of
+    // correctly-rounded double ops on exact integers — hash-exact.
+    Q(
+      "q263_p_chart",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Spc.pChart(
+          Tables.orders(s, d)
+            .select(
+              floor(unix_micros($"o_orderdate".cast("timestamp"))
+                / lit(86400000000L)).cast("long").as("day"),
+              ($"o_orderstatus" === "F").as("def")),
+          $"day", $"def")
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT
+             |    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+             |    count(*) AS n,
+             |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS defects
+             |  FROM orders GROUP BY 1),
+             |ov AS (SELECT CAST(sum(defects) AS DOUBLE)
+             |    / CAST(sum(n) AS DOUBLE) AS pbar FROM per)
+             |SELECT k, n, CAST(defects AS BIGINT) AS defects,
+             |  CAST(defects AS DOUBLE) / CAST(n AS DOUBLE) AS phat, pbar,
+             |  pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE)) AS ucl,
+             |  greatest(0.0,
+             |    pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))) AS lcl,
+             |  (CAST(defects AS DOUBLE) / CAST(n AS DOUBLE)
+             |      > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))
+             |    OR CAST(defects AS DOUBLE) / CAST(n AS DOUBLE)
+             |      < greatest(0.0, pbar - 3.0
+             |        * sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE)))) AS ooc
+             |FROM per CROSS JOIN ov ORDER BY k""".stripMargin)),
+
+    // ---- q264: c-CHART — daily error-event counts against Poisson
+    // three-sigma limits c̄ ± 3√c̄ ([[graft.operators.Spc.cChart]]).
+    Q(
+      "q264_c_chart",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Spc.cChart(
+          Tables.events(s, d)
+            .filter($"event_type" === "error" && $"ts".isNotNull)
+            .select(floor(unix_micros($"ts") / lit(86400000000L))
+              .cast("long").as("day")),
+          $"day")
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT
+             |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS k,
+             |    count(*) AS c
+             |  FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+             |  GROUP BY 1),
+             |ov AS (SELECT CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS cbar FROM per)
+             |SELECT k, CAST(c AS BIGINT) AS c, cbar,
+             |  cbar + 3.0 * sqrt(cbar) AS ucl,
+             |  greatest(0.0, cbar - 3.0 * sqrt(cbar)) AS lcl,
+             |  (CAST(c AS DOUBLE) > cbar + 3.0 * sqrt(cbar)
+             |    OR CAST(c AS DOUBLE) < greatest(0.0, cbar - 3.0 * sqrt(cbar)))
+             |    AS ooc
+             |FROM per CROSS JOIN ov ORDER BY k""".stripMargin)),
+
+    // ---- q265: REVENUE RECOGNITION — each order's cents prorated
+    // across the calendar months of its 90-day service window by
+    // overlap days, with per-order largest-remainder exactness
+    // (Σ recognized = the order's cents;
+    // [[graft.operators.Allocation.largestRemainderBy]]). Pure int64
+    // arithmetic end to end — hash-exact.
+    Q(
+      "q265_revenue_recognition",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          $"o_orderkey".as("k"),
+          $"o_orderdate".as("st"),
+          ($"o_orderdate" + expr("INTERVAL 90 DAYS")).as("en"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val m = o.select($"k", $"cents", $"st", $"en",
+          explode(sequence(date_trunc("month", $"st"),
+            date_trunc("month", $"en"), expr("INTERVAL 1 MONTH"))).as("m"))
+          .withColumn("mn", $"m" + expr("INTERVAL 1 MONTH"))
+          .withColumn("days",
+            datediff(least($"en", $"mn").cast("date"),
+              greatest($"st", $"m").cast("date")).cast("long"))
+          .filter($"days" > 0)
+        graft.operators.Allocation.largestRemainderBy(
+          m, $"k", $"m", $"days", $"cents")
+          .groupBy($"item").agg(
+            sum($"alloc").as("recognized_cents"),
+            count(lit(1)).as("n_orders"))
+          .select(date_format($"item", "yyyy-MM").as("month"),
+            $"recognized_cents", $"n_orders")
+          .orderBy($"month")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderdate AS st,
+             |    o_orderdate + INTERVAL 90 DAY AS en,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |mx AS (SELECT k, cents, st, en,
+             |    unnest(generate_series(date_trunc('month', st),
+             |      date_trunc('month', en), INTERVAL 1 MONTH)) AS m
+             |  FROM o),
+             |w AS MATERIALIZED (SELECT * FROM (SELECT k, cents, m,
+             |    CAST(date_diff('day', CAST(greatest(st, m) AS DATE),
+             |      CAST(least(en, m + INTERVAL 1 MONTH) AS DATE)) AS BIGINT)
+             |      AS days
+             |  FROM mx) WHERE days > 0),
+             |g AS (SELECT k, cents, m, days,
+             |    sum(days) OVER (PARTITION BY k) AS gw FROM w),
+             |b AS MATERIALIZED (SELECT k, cents, m,
+             |    (cents * days) // gw AS base, (cents * days) % gw AS rem
+             |  FROM g),
+             |l AS (SELECT k, cents - sum(base) AS r FROM b GROUP BY k, cents),
+             |al AS (SELECT b.k, b.m,
+             |    base + CASE WHEN row_number() OVER (PARTITION BY b.k
+             |      ORDER BY rem DESC, m ASC) <= l.r THEN 1 ELSE 0 END AS alloc
+             |  FROM b JOIN l ON b.k = l.k)
+             |SELECT strftime(m, '%Y-%m') AS month,
+             |  CAST(sum(alloc) AS BIGINT) AS recognized_cents,
+             |  count(*) AS n_orders
+             |FROM al GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- q266: EXACT CONTAINMENT PAIRS — ordered (src → dst) doc
+    // pairs with |src ∩ dst|/|src| ≥ 1/2 over 3-gram shingles: the
+    // quote/subset detector resemblance dedup misses
+    // ([[graft.operators.Dedup.containmentPairsFromHashed]]).
+    // Candidate generation is COMPLETE (containment prefix filter),
+    // so the oracle is a direct unblocked all-pairs equality — no
+    // recall slack. Thresholding is cross-multiplied int64.
+    Q(
+      "q266_containment_pairs",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Dedup.containmentPairsFromHashed(
+          LlmOps.sharedShingleSets(s, d), tNum = 1L, tDen = 2L)
+          .orderBy($"id_src", $"id_dst")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+              |sh AS MATERIALIZED (SELECT doc_id,
+              |  list_distinct(CASE WHEN len(t) >= 3
+              |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+              |post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+              |cand AS (SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+              |    count(*) AS c
+              |  FROM post a JOIN post b ON a.shingle = b.shingle
+              |    AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_src, id_dst, CAST(c AS BIGINT) AS overlap,
+              |  CAST(len(sa.sh) AS BIGINT) AS n_src,
+              |  CAST(c AS DOUBLE) / CAST(len(sa.sh) AS DOUBLE) AS containment
+              |FROM cand JOIN sh sa ON id_src = sa.doc_id
+              |WHERE c * 2 >= len(sa.sh)
+              |ORDER BY id_src, id_dst""".stripMargin)))
+
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark
     * delay) with the flush sentinel filtered by the operator's own

@@ -233,6 +233,119 @@ class Round9OpsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("finite")))
   }
 
+  // --- SPC charts
+
+  test("pChart matches hand-computed limits and flags") {
+    // day 1: 1/10 defective; day 2: 8/10; day 3: 2/5 — pbar = 11/25
+    val rows = (1 to 10).map(i => (1L, i <= 1)) ++
+      (1 to 10).map(i => (2L, i <= 8)) ++ (1 to 5).map(i => (3L, i <= 2))
+    val got = Spc.pChart(rows.toDF("day", "d"), $"day", $"d")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val pbar = 11.0 / 25.0
+    assert(got(1L).getDouble(4) == pbar)
+    val s10 = math.sqrt(pbar * (1 - pbar) / 10.0)
+    assert(got(1L).getDouble(5) == pbar + 3.0 * s10)
+    assert(got(1L).getDouble(6) == math.max(0.0, pbar - 3.0 * s10))
+    // day 2's 0.8 is above UCL ≈ 0.44 + 0.47 = 0.91? no: 3σ = 0.471 →
+    // ucl ≈ 0.911 — 0.8 in control; recompute: flags must match formula
+    rows.groupBy(_._1).foreach { case (day, rs) =>
+      val n = rs.size; val d = rs.count(_._2)
+      val phat = d.toDouble / n
+      val sig = math.sqrt(pbar * (1 - pbar) / n)
+      val exp = phat > pbar + 3.0 * sig || phat < math.max(0.0, pbar - 3.0 * sig)
+      assert(got(day).getBoolean(7) == exp, s"day $day flag")
+    }
+  }
+
+  test("cChart flags a count beyond three sigma") {
+    // daily error counts: 4, 4, 4, 16 → cbar = 7, ucl = 7 + 3√7 ≈ 14.9
+    val rows = Seq.fill(4)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(4)(3L) ++
+      Seq.fill(16)(4L)
+    val got = Spc.cChart(rows.toDF("day"), $"day")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((4L, false)) && got(4L) == ((16L, true)))
+  }
+
+  // --- per-group-total largest remainder
+
+  test("property: largestRemainderBy sums to each group's own total") {
+    val genGroups = for {
+      ng <- Gen.chooseNum(1, 4)
+      gs <- Gen.listOfN(ng, for {
+        total <- Gen.chooseNum(0L, 500L)
+        ni <- Gen.chooseNum(1, 6)
+        ws <- Gen.listOfN(ni, Gen.chooseNum(0L, 30L))
+        if ws.sum > 0
+      } yield (total, ws))
+    } yield gs.zipWithIndex
+    check(Prop.forAll(genGroups) { gs =>
+      val rows = gs.flatMap { case ((total, ws), g) =>
+        ws.zipWithIndex.map { case (w, i) => (g.toLong, i.toLong, w, total) }
+      }
+      val got = Allocation.largestRemainderBy(
+        rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", $"t")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      gs.forall { case ((total, ws), g) =>
+        val allocs = ws.indices.map(i => got((g.toLong, i.toLong)))
+        allocs.sum == total &&
+          // every item gets at least its floor share
+          ws.zip(allocs).forall { case (w, a) =>
+            a >= total * w / ws.sum && a <= total * w / ws.sum + 1
+          }
+      }
+    })
+  }
+
+  test("largestRemainderBy: constant-total groups equal largestRemainder") {
+    val rows = Seq((1L, 1L, 3L, 10L), (1L, 2L, 7L, 10L),
+      (2L, 1L, 5L, 10L), (2L, 2L, 5L, 10L), (2L, 3L, 1L, 10L))
+    val a = Allocation.largestRemainderBy(
+      rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", $"t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Allocation.largestRemainder(
+      rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", total = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("largestRemainderBy: a non-constant group total raises") {
+    val rows = Seq((1L, 1L, 3L, 10L), (1L, 2L, 7L, 20L))
+    val e = intercept[Exception](Allocation.largestRemainderBy(
+      rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", $"t").collect())
+    assert(e.getMessage.contains("constant") ||
+      Option(e.getCause).exists(_.getMessage.contains("constant")))
+  }
+
+  // --- containment pairs
+
+  test("property: containmentPairsFromHashed equals brute all-pairs containment") {
+    // docs as random subsets of a small hash universe — sorted distinct
+    val genDocs = for {
+      nd <- Gen.chooseNum(2, 8)
+      docs <- Gen.listOfN(nd, Gen.someOf(1L to 12L))
+      if docs.forall(_.nonEmpty)
+    } yield docs.zipWithIndex.map { case (s, i) => (i.toLong, s.toSeq.sorted) }
+    check(Prop.forAll(genDocs, Gen.oneOf((1L, 2L), (2L, 3L), (1L, 1L))) {
+      case (docsRaw, (tn, td)) =>
+        // filter here, not only in the generator: shrinking ignores
+        // generator filters and an empty set makes containment 0/0
+        val docs = docsRaw.filter(_._2.nonEmpty)
+        val hashed = docs.map { case (id, hs) => (id, hs, hs.size.toLong) }
+          .toDF("doc_id", "hs", "n_sh")
+        val got = Dedup.containmentPairsFromHashed(hashed, tn, td)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+          .toMap
+        val expect = (for {
+          (a, sa) <- docs; (b, sb) <- docs
+          if a != b
+          inter = sa.toSet.intersect(sb.toSet).size.toLong
+          if inter * td >= tn * sa.size
+        } yield (a, b) -> ((inter, sa.size.toLong))).toMap
+        got == expect
+    }, min = 25)
+  }
+
   // --- auction clearing
 
   /** Brute reference: evaluate D/S at every distinct price level,

@@ -45,6 +45,32 @@ object ExactQuantile {
     (base, n, stats.getDouble(1), stats.getDouble(2))
   }
 
+  /** k-th ORDER STATISTICS (1-based ranks) — the raw exact selection
+    * behind [[selectQuantiles]], for callers whose rank comes from
+    * something other than ⌈q·n⌉ (split-conformal's
+    * ⌈(n_cal+1)(1−α)⌉). Same bin-id-predicate refinement, no global
+    * sort; the returned values are bit-exact data values. Driver-side
+    * output is bounded by `ks.size`. Also returns n so callers can
+    * derive coverage denominators from the SAME null/NaN filter.
+    */
+  def selectKth(
+      df: DataFrame,
+      value: Column,
+      ks: Seq[Long],
+      bins: Int = 1024,
+      levels: Int = 2,
+      maxDistinctInBucket: Int = 1 << 16): (Long, Seq[(Long, Double)]) = {
+    require(ks.nonEmpty, "selectKth: need at least one rank")
+    val (base, n, lo, hi) = prepBase(df, value)
+    require(ks.forall(k => k >= 1 && k <= n),
+      s"ranks must be in [1, $n], got $ks")
+    val sel = selectRanksOn(base, ks.distinct, lo, hi,
+      bins, levels, maxDistinctInBucket)
+    val out = ks.map(k => k -> sel(k))
+    base.unpersist()
+    (n, out)
+  }
+
   def selectQuantiles(
       df: DataFrame,
       value: Column,

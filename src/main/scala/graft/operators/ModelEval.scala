@@ -134,4 +134,89 @@ object ModelEval {
         (col("pos").cast("double") / col("n").cast("double")).as("rate_raw"),
         col("rate_iso"))
   }
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al.; Lei et al.
+    * 2018) — the distribution-free way to turn ANY point model into
+    * calibrated intervals: subjects hash-split into train/calibrate/
+    * test thirds (content-addressed, RNG-free), an OLS line fits on
+    * train, q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration
+    * residual, and ŷ ± q̂ covers ≥ 1−α of exchangeable test points.
+    * The empirical test coverage is emitted so the guarantee is
+    * AUDITED, not assumed.
+    *
+    * Exactness: x/y must be exact integers; OLS comes from
+    * decimal(38,0) sufficient statistics cast once to double (the
+    * [[Experiment.cuped]] discipline), residuals are pinned double
+    * chains, the rank k is pure int64 (α = aNum/aDen cross-
+    * multiplied), and q̂ is an exact order statistic via
+    * [[ExactQuantile.selectKth]] — no global sort, and every output
+    * hash-matches an oracle that replays the same arithmetic.
+    *
+    * Output: one row — (n_train, n_cal, n_test, slope, intercept, k,
+    * qhat, covered, coverage). Degenerate fits (constant x on the
+    * train split) raise.
+    */
+  def splitConformal(
+      df: DataFrame,
+      unit: Column,
+      x: Column,
+      y: Column,
+      alphaNum: Long,
+      alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must satisfy 0 < aNum/aDen < 1, got $alphaNum/$alphaDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def longGuard(c: Column, what: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"splitConformal: $what must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(
+      pmod(KmvSketch.hash60(unit), lit(3L)).as("split"),
+      longGuard(x, "x").as("x"), longGuard(y, "y").as("y"))
+      .localCheckpoint()
+    val d19 = "decimal(19,0)"
+    def s38(c: Column) = sum(c).cast("decimal(38,0)")
+    val tr = base.filter($"split" === 0L).agg(
+      count(lit(1)).as("n"),
+      s38($"x".cast(d19)).as("sx"), s38($"y".cast(d19)).as("sy"),
+      s38($"x".cast(d19) * $"y".cast(d19)).as("sxy"),
+      s38($"x".cast(d19) * $"x".cast(d19)).as("sxx")).collect()(0)
+    val nTrain = tr.getLong(0)
+    require(nTrain >= 2, s"splitConformal: train split has $nTrain rows")
+    // decimal(38,0) → double is a correctly-rounded integer
+    // conversion in every engine; the arithmetic below is the pinned
+    // chain the oracle replays
+    val gn = nTrain.toDouble
+    val sx = tr.getDecimal(1).doubleValue
+    val sy = tr.getDecimal(2).doubleValue
+    val sxy = tr.getDecimal(3).doubleValue
+    val sxx = tr.getDecimal(4).doubleValue
+    val den = gn * sxx - sx * sx
+    require(den > 0.0, "splitConformal: constant x on the train split")
+    val slope = (gn * sxy - sx * sy) / den
+    val icept = (sy - slope * sx) / gn
+    def resid: Column =
+      abs($"y".cast("double") - (lit(icept) + lit(slope) * $"x".cast("double")))
+    val calib = base.filter($"split" === 1L).select(resid.as("r"))
+    val nCal = calib.count()
+    require(nCal >= 1, "splitConformal: empty calibration split")
+    val k = math.min(nCal,
+      ((nCal + 1L) * (alphaDen - alphaNum) + alphaDen - 1L) / alphaDen)
+    val (_, sel) = ExactQuantile.selectKth(calib, $"r", Seq(k))
+    val qhat = sel.head._2
+    val test = base.filter($"split" === 2L).agg(
+      count(lit(1)).as("n_test"),
+      sum(when(resid <= qhat, 1L).otherwise(0L)).as("covered"))
+    val out = test.select(
+      lit(nTrain).as("n_train"), lit(nCal).as("n_cal"), $"n_test",
+      lit(slope).as("slope"), lit(icept).as("intercept"),
+      lit(k).as("k"), lit(qhat).as("qhat"), $"covered",
+      when($"n_test" > 0L,
+        $"covered".cast("double") / $"n_test".cast("double"))
+        .otherwise(lit(null).cast("double")).as("coverage"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -378,4 +378,50 @@ object Multimodal {
         length(col("frame")).cast("long").as("frame_bytes"),
         xxhash64(col("frame")).as("frame_hash"))
   }
+
+  /** CONTENT-ADDRESSED FIXED-SIZE CHUNKING — the storage layer of a
+    * blob/document lake: payloads split into fixed chunks, each
+    * addressed by its PORTABLE md5 (engine-replayable, unlike
+    * xxhash64's seed detail), with the corpus-wide reference count
+    * per chunk — the dedup-ratio audit a content-addressed store
+    * runs before ingesting a new batch. Chunk boundaries are
+    * character offsets (both engines' `substring`/`length` are
+    * character-based, so the chunks are identical strings and the
+    * hashes identical hex).
+    *
+    * Scale shape: the explode is bounded by Σ⌈len/chunk⌉ (linear in
+    * corpus bytes), the ref count is one partial-aggregable groupBy
+    * on the 16-byte hash, and the join back is hash-partitioned on
+    * the same key. Output: (doc_id, chunk_idx, offset, length,
+    * chunk_md5, refs).
+    */
+  def fixedChunks(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      chunkChars: Int): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be > 0, got $chunkChars")
+    val chunks = df
+      .select(id.as("doc_id"), text.as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((length(t) - 1) div $chunkChars AS BIGINT)"))).as("chunk_idx"),
+        col("t"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkChars).as("offset"),
+        substring_index_free(col("t"), col("chunk_idx"), chunkChars))
+      .select(col("doc_id"), col("chunk_idx"), col("offset"),
+        length(col("chunk")).cast("long").as("length"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+    val refs = chunks.groupBy(col("chunk_md5")).agg(count(lit(1)).as("refs"))
+    chunks.join(refs, Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_idx"), col("offset"), col("length"),
+        col("chunk_md5"), col("refs"))
+  }
+
+  // substring with a COLUMN start: the builtin wrapper takes literal
+  // ints only
+  private def substring_index_free(t: Column, idx: Column, w: Int): Column =
+    t.substr((idx * w + 1).cast("int"), lit(w)).as("chunk")
 }

@@ -589,7 +589,111 @@ object ScaleOps8 {
               |  CAST(c AS DOUBLE) / CAST(len(sa.sh) AS DOUBLE) AS containment
               |FROM cand JOIN sh sa ON id_src = sa.doc_id
               |WHERE c * 2 >= len(sa.sh)
-              |ORDER BY id_src, id_dst""".stripMargin)))
+              |ORDER BY id_src, id_dst""".stripMargin)),
+
+    // ---- q267: CONTENT-ADDRESSED CHUNKING — documents split into
+    // fixed 256-char chunks addressed by portable md5, with
+    // corpus-wide reference counts: the dedup-ratio audit of a
+    // content-addressed blob store
+    // ([[graft.operators.Multimodal.fixedChunks]]). Character-based
+    // substring/length agree across engines — hash-exact.
+    Q(
+      "q267_blob_chunks",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Multimodal.fixedChunks(
+          Tables.documents(s, d), $"doc_id", $"text", chunkChars = 256)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text AS t FROM documents
+             |  WHERE text IS NOT NULL AND length(text) > 0),
+             |ix AS (SELECT doc_id, t,
+             |    unnest(range(0, ((length(t) - 1) // 256) + 1)) AS i FROM d),
+             |h AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |    CAST(i * 256 AS BIGINT) AS "offset",
+             |    CAST(length(substring(t, i * 256 + 1, 256)) AS BIGINT) AS length,
+             |    md5(substring(t, i * 256 + 1, 256)) AS chunk_md5
+             |  FROM ix),
+             |r AS (SELECT chunk_md5, count(*) AS refs FROM h GROUP BY 1)
+             |SELECT doc_id, chunk_idx, "offset", length, h.chunk_md5,
+             |  CAST(refs AS BIGINT) AS refs
+             |FROM h JOIN r ON h.chunk_md5 = r.chunk_md5
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- q268: SPLIT-CONFORMAL INTERVALS — customers hash-split
+    // into train/calibrate/test thirds; an OLS of revenue-cents on
+    // acctbal-cents fits on train, q̂ is the exact
+    // ⌈(n_cal+1)·7/8⌉-th smallest |calibration residual| (α = 1/8),
+    // and the 87.5 % coverage guarantee is AUDITED on the test third
+    // ([[graft.operators.ModelEval.splitConformal]]). All statistics
+    // from decimal(38,0) sums cast once — hash-exact.
+    Q(
+      "q268_split_conformal",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d).groupBy($"o_custkey").agg(
+          sum(round($"o_totalprice" * 100).cast("long")).as("yc"))
+        val per = Tables.customer(s, d)
+          .join(rev, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_custkey".as("u"),
+            round($"c_acctbal" * 100).cast("long").as("xc"),
+            coalesce($"yc", lit(0L)).as("ycents"))
+        graft.operators.ModelEval.splitConformal(
+          per, $"u", $"xc", $"ycents", alphaNum = 1L, alphaDen = 8L)
+      },
+      Some(s"""WITH rev AS (SELECT o_custkey,
+              |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+              |  FROM orders GROUP BY 1),
+              |per AS (SELECT c_custkey AS u,
+              |    CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+              |    coalesce(rev.yc, 0) AS y
+              |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+              |base AS MATERIALIZED (SELECT
+              |    ${graft.operators.KmvSketch.hash60Sql("u")} % 3 AS split, x, y
+              |  FROM per),
+              |tr AS (SELECT count(*) AS n,
+              |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+              |    CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+              |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              |      AS DECIMAL(38,0)) AS sxy,
+              |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              |      AS DECIMAL(38,0)) AS sxx
+              |  FROM base WHERE split = 0),
+              |p0 AS (SELECT CAST(n AS BIGINT) AS n_train,
+              |    CAST(n AS DOUBLE) AS gn, CAST(sx AS DOUBLE) AS dsx,
+              |    CAST(sy AS DOUBLE) AS dsy,
+              |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+              |  FROM tr),
+              |par AS (SELECT n_train, slope,
+              |    (dsy - slope * dsx) / gn AS icept FROM p0),
+              |cal AS MATERIALIZED (SELECT
+              |    abs(CAST(y AS DOUBLE) - (icept + slope * CAST(x AS DOUBLE))) AS r
+              |  FROM base, par WHERE split = 1),
+              |kk AS (SELECT least(count(*), ((count(*) + 1) * 7 + 7) // 8) AS k,
+              |    count(*) AS n FROM cal),
+              |q AS (SELECT r AS qhat FROM (SELECT r,
+              |      row_number() OVER (ORDER BY r) AS rn FROM cal)
+              |  WHERE rn = (SELECT k FROM kk)),
+              |tst AS (SELECT count(*) AS n_test,
+              |    sum(CASE WHEN abs(CAST(y AS DOUBLE)
+              |        - (icept + slope * CAST(x AS DOUBLE)))
+              |        <= (SELECT qhat FROM q) THEN 1 ELSE 0 END) AS covered
+              |  FROM base, par WHERE split = 2)
+              |SELECT (SELECT n_train FROM par) AS n_train,
+              |  (SELECT CAST(n AS BIGINT) FROM kk) AS n_cal,
+              |  CAST(n_test AS BIGINT) AS n_test,
+              |  (SELECT slope FROM par) AS slope,
+              |  (SELECT icept FROM par) AS intercept,
+              |  (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+              |  (SELECT qhat FROM q) AS qhat,
+              |  CAST(covered AS BIGINT) AS covered,
+              |  CASE WHEN n_test > 0
+              |    THEN CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+              |    END AS coverage
+              |FROM tst""".stripMargin)))
 
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{lit, pmod}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkTestBase
@@ -150,6 +151,73 @@ class Round9OpsSpec extends SparkTestBase {
     val got = Experiment.cuped(rows.toDF("arm", "y", "x"), $"arm", $"y", $"x")
       .collect()
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  // --- content-addressed chunking
+
+  test("fixedChunks: boundaries, lengths, md5s, and cross-doc refs") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdxyz"), (3L, "abcd"))
+    val got = Multimodal.fixedChunks(docs.toDF("doc_id", "text"),
+      $"doc_id", $"text", chunkChars = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))))
+      .toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "abcd" appears as chunk 0 of all three docs → refs = 3
+    assert(got((1L, 0L)) == ((0L, 4L, m("abcd"), 3L)))
+    assert(got((1L, 1L)) == ((4L, 4L, m("efgh"), 1L)))
+    assert(got((2L, 1L)) == ((4L, 3L, m("xyz"), 1L))) // short tail chunk
+    assert(got((3L, 0L)) == ((0L, 4L, m("abcd"), 3L)))
+    assert(got.size == 5)
+  }
+
+  // --- selectKth
+
+  test("property: selectKth returns exact order statistics at arbitrary ranks") {
+    val genVals = for {
+      n <- Gen.chooseNum(1, 80)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+    } yield vs.map(_.toDouble)
+    check(Prop.forAll(genVals) { vs =>
+      val sorted = vs.sorted
+      val ks = Seq(1L, (vs.size / 2 + 1).toLong, vs.size.toLong).distinct
+      val (n, got) = ExactQuantile.selectKth(vs.toDF("v"), $"v", ks, bins = 8)
+      n == vs.size.toLong &&
+        got.forall { case (k, v) => v == sorted((k - 1).toInt) }
+    })
+  }
+
+  // --- split conformal
+
+  test("splitConformal: qhat is the exact k-th calibration residual and coverage audits") {
+    val rows = (1L to 400L).map(u => (u, u % 37, 3 * (u % 37) + (u % 11)))
+    val df = rows.toDF("u", "x", "y")
+    val r = ModelEval.splitConformal(df, $"u", $"x", $"y", 1L, 8L).collect()(0)
+    val slope = r.getDouble(3); val icept = r.getDouble(4)
+    val k = r.getLong(5); val qhat = r.getDouble(6)
+    // recompute the splits with the operator's own hash
+    val withSplit = df.select($"u", $"x", $"y",
+      pmod(KmvSketch.hash60($"u"), lit(3L)).as("s"))
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3)))
+    def resid(x: Long, y: Long) = math.abs(y.toDouble - (icept + slope * x.toDouble))
+    val calR = withSplit.filter(_._4 == 1L).map(t => resid(t._2, t._3)).sorted
+    assert(r.getLong(1) == calR.size.toLong)
+    assert(k == math.min(calR.size.toLong, ((calR.size + 1L) * 7L + 7L) / 8L))
+    assert(qhat == calR((k - 1).toInt))
+    val tst = withSplit.filter(_._4 == 2L)
+    val covered = tst.count(t => resid(t._2, t._3) <= qhat).toLong
+    assert(r.getLong(7) == covered)
+    assert(r.getDouble(8) == covered.toDouble / tst.size)
+  }
+
+  test("splitConformal: constant train covariate raises") {
+    val rows = (1L to 60L).map(u => (u, 5L, u))
+    val e = intercept[Exception](ModelEval.splitConformal(
+      rows.toDF("u", "x", "y"), $"u", $"x", $"y", 1L, 8L).collect())
+    assert(e.getMessage.contains("constant"))
   }
 
   // --- diff-in-diff

@@ -163,4 +163,37 @@ object Experiment {
       when(col("n00") > 0 && col("n01") > 0 && col("n10") > 0 && col("n11") > 0,
         (m("11") - m("10")) - (m("01") - m("00"))).as("did"))
   }
+
+  /** McNEMAR'S TEST — paired binary outcomes (the same subjects
+    * before/after an intervention): only the DISCORDANT cells carry
+    * information, χ² = (b − c)²/(b + c) with b = 0→1 flips and
+    * c = 1→0 flips (df = 1). One partial-aggregable reduction; the
+    * statistic is a single pinned double division of exact integer
+    * counts — hash-exact. `df` must be one row per subject; both
+    * flags non-null (raises). Output: one row
+    * (n00, n01, n10, n11, chi2) — chi2 null when b + c = 0 (no
+    * discordance, the test is undefined).
+    */
+  def mcnemar(
+      df: DataFrame,
+      pre: Column,
+      post: Column): DataFrame = {
+    def flag(c: Column, what: String): Column =
+      when(c.cast("boolean").isNull, raise_error(lit(
+        s"mcnemar: $what must be a non-null boolean")))
+        .otherwise(c.cast("boolean"))
+    val base = df.select(flag(pre, "pre").as("a"), flag(post, "post").as("b"))
+    def cell(a: Boolean, b: Boolean) =
+      sum(when(col("a") === a && col("b") === b, 1L).otherwise(0L))
+    val agg = base.agg(
+      cell(a = false, b = false).as("n00"), cell(a = false, b = true).as("n01"),
+      cell(a = true, b = false).as("n10"), cell(a = true, b = true).as("n11"))
+    val b = col("n01").cast("double")
+    val c = col("n10").cast("double")
+    agg.select(
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n01") + col("n10") > 0L,
+        (b - c) * (b - c) / (b + c))
+        .otherwise(lit(null).cast("double")).as("chi2"))
+  }
 }

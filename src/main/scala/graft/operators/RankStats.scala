@@ -130,6 +130,66 @@ object RankStats {
         .otherwise(lit(null).cast("double")).as("auc"))
   }
 
+  /** JONCKHEERE–TERPSTRA pair table — the building block of the
+    * ordered-alternative trend test (Jonckheere 1954; Terpstra 1952):
+    * for every ordered pair of groups gi < gj, the Mann-Whitney count
+    * U_ij = #{(a, b) : a ∈ gi, b ∈ gj, a < b} + ½·ties, doubled to
+    * stay integral (`u2`). The J statistic is Σ u2/2 over pairs —
+    * dose-response monotonicity across ordered segments.
+    *
+    * NO per-group sort and NO pair enumeration: rows collapse to
+    * (group, value) cells, every group's cumulative-below-v counts
+    * come from ONE window over the shared distinct-value axis, and
+    * each pair's U reduces over cells — work is O(cells·K), never
+    * O(n²). All integer arithmetic — hash-exact.
+    *
+    * `group` must be a non-null integral ordinal; `value` non-null
+    * and finite (raises otherwise). Output per ordered pair:
+    * (gi, gj, n_i, n_j, u2).
+    */
+  def jonckheerePairs(
+      df: DataFrame,
+      group: Column,
+      value: Column): DataFrame = {
+    val gL = group.cast("long")
+    val gG = when(gL.isNull, raise_error(lit(
+      "jonckheerePairs: group must be a non-null integer"))).otherwise(gL)
+    val vD = value.cast("double")
+    val vG = when(vD.isNull || isnan(vD) || vD === Double.PositiveInfinity ||
+      vD === Double.NegativeInfinity, raise_error(lit(
+      "jonckheerePairs: value must be non-null and finite"))).otherwise(vD)
+    val cells = df.select(gG.as("g"), vG.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // cumulative strictly-below count per (group, value) on the SHARED
+    // value axis: every group needs its mass below every other
+    // group's values, so densify via the distinct-value frame first
+    val axis = cells.select(col("v")).distinct()
+    val dense = axis.join(cells.select(col("g")).distinct()).join(
+      cells, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wBelow = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dense
+      .withColumn("below", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+    val totals = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    // pair reduction: u2(i, j) = Σ_v c_j(v)·(2·below_i(v) + c_i(v))
+    val left = cum.select(col("g").as("gi"), col("v"),
+      col("c").as("ci"), col("below").as("bi"))
+    val right = cum.select(col("g").as("gj"), col("v").as("vj"),
+      col("c").as("cj"))
+    val pairs = left.join(right, col("v") === col("vj") && col("gi") < col("gj"))
+      .groupBy(col("gi"), col("gj"))
+      // u2 is n_i·n_j-scale — decimal(38,0), not int64 (the Fifo
+      // overflow lesson)
+      .agg(sum(col("cj").cast("decimal(19,0)")
+        * (lit(2L) * col("bi") + col("ci")).cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("u2"))
+    pairs
+      .join(totals.select(col("g").as("gi"), col("n").as("n_i")), Seq("gi"))
+      .join(totals.select(col("g").as("gj"), col("n").as("n_j")), Seq("gj"))
+      .select(col("gi"), col("gj"), col("n_i"), col("n_j"), col("u2"))
+  }
+
   /** Per-group MANN-WHITNEY U test — the nonparametric two-sample
     * shift test ([[graft.operators.Experiment]]'s Welch t is its
     * parametric sibling): U₁ from sample-1 rank sums, the normal

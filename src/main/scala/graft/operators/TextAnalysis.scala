@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenizing,
@@ -889,5 +890,42 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"), col("cf"), col("max_tf"),
         (-col("__m.nd")).as("top_doc_id"))
+  }
+
+  /** VOCABULARY GROWTH CURVE (Heaps-law view) — how many NEW distinct
+    * tokens each slab of the corpus contributes, in doc-id order: the
+    * diminishing-returns audit of corpus expansion ("does the next
+    * billion docs still buy vocabulary?"). Each token reduces to its
+    * FIRST document (one partial-aggregable min), first-docs bucket
+    * into fixed `bucketDocs`-wide id slabs, and the cumulative curve
+    * is a window over the ≤ corpus/bucketDocs bucket rows — never the
+    * tokens. All-integer output — hash-exact. Docs with null ids
+    * drop (no position on the axis); docs with no tokens still count
+    * toward `n_docs`. Output per bucket:
+    * (bucket, n_docs, new_tokens, vocab_cum).
+    */
+  def vocabularyGrowth(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      bucketDocs: Int): DataFrame = {
+    require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
+    val base = df.select(id.cast("long").as("doc_id"), text.as("text"))
+      .filter(col("doc_id").isNotNull)
+    val firsts = base
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .select(expr(s"fd div $bucketDocs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+    val docs = base
+      .select(expr(s"doc_id div $bucketDocs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val wCum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(firsts, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("vocab_cum", sum(col("new_tokens")).over(wCum))
   }
 }

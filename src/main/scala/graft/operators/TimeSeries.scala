@@ -817,4 +817,72 @@ object TimeSeries {
       when(den > 0.0, (syD - (num / den) * sx) / nD)
         .otherwise(lit(null).cast("double")).as("intercept"))
   }
+
+  /** MASE FORECAST BACKTEST (Hyndman & Koehler 2006) — the scale-free
+    * forecast-accuracy audit: per key, the seasonal-naive forecast
+    * (value `seasonLag` periods ago) is scored on the test periods
+    * (≥ `splitPeriod`) against the in-sample one-step naive MAE on
+    * the train periods, MASE = MAE_forecast / MAE_naive. MASE < 1
+    * means the forecast beats last-period carry-forward — the
+    * go/no-go gate before any fancier model ships.
+    *
+    * `valueCents` must be an exact integer (cents — raises on null);
+    * both absolute-error sums accumulate in decimal(38,0), so MASE is
+    * a pinned chain of two divisions on exactly-cast statistics —
+    * hash-exact. Gaps need no densification: forecasts and naive
+    * steps exist exactly where the lagged period exists (equi-joins
+    * on the period axis, no window over raw rows). Output per key:
+    * (key, n_test, n_naive, sae_forecast, sae_naive, mase) — mase
+    * null when either side is empty or the naive error is zero.
+    */
+  def maseBacktest(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      valueCents: Column,
+      seasonLag: Int,
+      splitPeriod: Long,
+      periodSeconds: Long): DataFrame = {
+    require(seasonLag >= 1, s"seasonLag must be >= 1, got $seasonLag")
+    require(periodSeconds > 0, s"periodSeconds must be > 0, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val vG = when(valueCents.cast("long").isNull, raise_error(lit(
+      "maseBacktest: value must be a non-null integer")))
+      .otherwise(valueCents.cast("long"))
+    val perP = events
+      .select(key.as("k"), ts.as("ts"), vG.as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+      .select(col("k"),
+        floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"), col("v"))
+      .groupBy(col("k"), col("period")).agg(sum(col("v")).as("v"))
+      .localCheckpoint() // three self-references below
+    def s38(c: Column) = sum(c.cast("decimal(19,0)")).cast("decimal(38,0)")
+    val fc = perP.filter(col("period") >= splitPeriod)
+      .join(perP.select(col("k").as("lk"),
+        (col("period") + seasonLag).as("lp"), col("v").as("lv")),
+        col("k") === col("lk") && col("period") === col("lp"))
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n_test"), s38(abs(col("v") - col("lv"))).as("sf"))
+    val nv = perP.filter(col("period") < splitPeriod)
+      .join(perP.select(col("k").as("nk"),
+        (col("period") + 1).as("np"), col("v").as("nv")),
+        col("k") === col("nk") && col("period") === col("np"))
+      .filter(col("period") < splitPeriod)
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n_naive"), s38(abs(col("v") - col("nv"))).as("sn"))
+    val out = fc.join(nv, Seq("k"), "full_outer")
+      .select(col("k").as("key"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+        coalesce(col("sf").cast("double"), lit(0.0)).as("sae_forecast"),
+        coalesce(col("sn").cast("double"), lit(0.0)).as("sae_naive"),
+        when(col("n_test") > 0L && col("n_naive") > 0L &&
+          col("sn").cast("double") > 0.0,
+          (col("sf").cast("double") / col("n_test").cast("double"))
+            / (col("sn").cast("double") / col("n_naive").cast("double")))
+          .as("mase"))
+      .localCheckpoint(true)
+    perP.unpersist()
+    out
+  }
 }

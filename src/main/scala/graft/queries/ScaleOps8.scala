@@ -695,6 +695,169 @@ object ScaleOps8 {
               |    END AS coverage
               |FROM tst""".stripMargin)))
 
+  /** Continuation Seq 4: ordered-trend ranks, paired flips, forecast
+    * backtest, vocabulary growth.
+    */
+  val all4: Seq[Q] = Seq(
+
+    // ---- q269: JONCKHEERE–TERPSTRA PAIR TABLE — doubled pairwise
+    // Mann-Whitney counts across the 5 ORDERED order priorities on
+    // order value ([[graft.operators.RankStats.jonckheerePairs]]):
+    // cells on the shared value axis, one window, one pair
+    // reduction — never O(n²) pair enumeration. u2 accumulates in
+    // decimal(38,0) (n_i·n_j-scale products) and travels as a VARCHAR
+    // digest — hash-exact.
+    Q(
+      "q269_jonckheere_pairs",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.RankStats.jonckheerePairs(
+          Tables.orders(s, d),
+          substring($"o_orderpriority", 1, 1).cast("long"),
+          $"o_totalprice")
+          .withColumn("u2", $"u2".cast("string"))
+          .orderBy($"gi", $"gj")
+      },
+      Some("""WITH cells AS MATERIALIZED (SELECT
+             |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             |    o_totalprice AS v, count(*) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |axis AS (SELECT DISTINCT v FROM cells),
+             |gs AS (SELECT DISTINCT g FROM cells),
+             |dense AS MATERIALIZED (SELECT gs.g, axis.v,
+             |    coalesce(c.c, 0) AS c
+             |  FROM gs CROSS JOIN axis
+             |  LEFT JOIN cells c ON c.g = gs.g AND c.v = axis.v),
+             |cum AS MATERIALIZED (SELECT g, v, c,
+             |    coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM dense),
+             |tot AS (SELECT g, sum(c) AS n FROM cells GROUP BY 1),
+             |pr AS (SELECT l.g AS gi, r.g AS gj,
+             |    CAST(sum(CAST(r.c AS DECIMAL(19,0))
+             |      * CAST(2 * l.below + l.c AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS u2
+             |  FROM cum l JOIN cum r ON l.v = r.v AND l.g < r.g
+             |  GROUP BY 1, 2)
+             |SELECT gi, gj, CAST(ti.n AS BIGINT) AS n_i,
+             |  CAST(tj.n AS BIGINT) AS n_j,
+             |  CAST(u2 AS VARCHAR) AS u2
+             |FROM pr JOIN tot ti ON gi = ti.g JOIN tot tj ON gj = tj.g
+             |ORDER BY gi, gj""".stripMargin)),
+
+    // ---- q270: McNEMAR'S TEST — did customers' urgent-order
+    // behaviour flip across the 1996 boundary? Paired pre/post flags
+    // per customer; only discordant cells matter
+    // ([[graft.operators.Experiment.mcnemar]]).
+    Q(
+      "q270_mcnemar",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1996-01-01").cast("timestamp")
+        val per = Tables.orders(s, d).groupBy($"o_custkey").agg(
+          max(when($"o_orderpriority" === "1-URGENT" && $"o_orderdate" < cut,
+            1L).otherwise(0L)).as("pre"),
+          max(when($"o_orderpriority" === "1-URGENT" && $"o_orderdate" >= cut,
+            1L).otherwise(0L)).as("post"))
+        graft.operators.Experiment.mcnemar(per, $"pre" === 1L, $"post" === 1L)
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |    max(CASE WHEN o_orderpriority = '1-URGENT'
+             |      AND o_orderdate < TIMESTAMP '1996-01-01'
+             |      THEN 1 ELSE 0 END) AS pre,
+             |    max(CASE WHEN o_orderpriority = '1-URGENT'
+             |      AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |      THEN 1 ELSE 0 END) AS post
+             |  FROM orders GROUP BY 1),
+             |agg AS (SELECT
+             |    sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS n00,
+             |    sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS n01,
+             |    sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS n10,
+             |    sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS n11
+             |  FROM per)
+             |SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+             |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+             |  CASE WHEN n01 + n10 > 0
+             |    THEN (CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+             |      * (CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+             |      / (CAST(n01 AS DOUBLE) + CAST(n10 AS DOUBLE))
+             |    END AS chi2
+             |FROM agg""".stripMargin)),
+
+    // ---- q271: MASE FORECAST BACKTEST — seasonal-naive (lag-7)
+    // daily revenue forecasts per order priority, scored on 1998
+    // against the in-sample one-step naive MAE
+    // ([[graft.operators.TimeSeries.maseBacktest]]). Absolute errors
+    // in exact cents, decimal(38,0) sums, two pinned divisions.
+    Q(
+      "q271_mase_backtest",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.maseBacktest(
+          Tables.orders(s, d),
+          key = $"o_orderpriority",
+          ts = $"o_orderdate".cast("timestamp"),
+          valueCents = ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"),
+          seasonLag = 7, splitPeriod = 10227L, periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH perp AS MATERIALIZED (SELECT o_orderpriority AS k,
+             |    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+             |      AS period,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |fc AS (SELECT a.k, count(*) AS n_test,
+             |    CAST(sum(CAST(abs(a.v - b.v) AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sf
+             |  FROM perp a JOIN perp b ON a.k = b.k AND a.period = b.period + 7
+             |  WHERE a.period >= 10227 GROUP BY 1),
+             |nv AS (SELECT a.k, count(*) AS n_naive,
+             |    CAST(sum(CAST(abs(a.v - b.v) AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sn
+             |  FROM perp a JOIN perp b ON a.k = b.k AND a.period = b.period + 1
+             |  WHERE a.period < 10227 GROUP BY 1)
+             |SELECT coalesce(fc.k, nv.k) AS key,
+             |  coalesce(n_test, 0) AS n_test, coalesce(n_naive, 0) AS n_naive,
+             |  coalesce(CAST(sf AS DOUBLE), 0.0) AS sae_forecast,
+             |  coalesce(CAST(sn AS DOUBLE), 0.0) AS sae_naive,
+             |  CASE WHEN n_test > 0 AND n_naive > 0 AND CAST(sn AS DOUBLE) > 0
+             |    THEN (CAST(sf AS DOUBLE) / CAST(n_test AS DOUBLE))
+             |      / (CAST(sn AS DOUBLE) / CAST(n_naive AS DOUBLE))
+             |    END AS mase
+             |FROM fc FULL OUTER JOIN nv ON fc.k = nv.k
+             |ORDER BY key""".stripMargin)),
+
+    // ---- q272: VOCABULARY GROWTH CURVE — new distinct tokens per
+    // 256-doc slab of the corpus in doc-id order, with the cumulative
+    // Heaps curve ([[graft.operators.TextAnalysis.vocabularyGrowth]]).
+    // Tokens reduce to their first doc; the window runs over bucket
+    // rows only.
+    Q(
+      "q272_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.vocabularyGrowth(
+          Tables.documents(s, d), $"doc_id", $"text", bucketDocs = 32)
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok
+              |  FROM documents WHERE doc_id IS NOT NULL),
+              |fd AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+              |nt AS (SELECT fd // 32 AS bucket, count(*) AS new_tokens
+              |  FROM fd GROUP BY 1),
+              |dc AS (SELECT doc_id // 32 AS bucket, count(*) AS n_docs
+              |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1)
+              |SELECT coalesce(dc.bucket, nt.bucket) AS bucket,
+              |  coalesce(n_docs, 0) AS n_docs,
+              |  coalesce(new_tokens, 0) AS new_tokens,
+              |  CAST(sum(coalesce(new_tokens, 0)) OVER (
+              |    ORDER BY coalesce(dc.bucket, nt.bucket)
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |    AS vocab_cum
+              |FROM dc FULL OUTER JOIN nt ON dc.bucket = nt.bucket
+              |ORDER BY bucket""".stripMargin)))
+
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark
     * delay) with the flush sentinel filtered by the operator's own

@@ -153,6 +153,95 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  // --- Jonckheere-Terpstra pairs
+
+  test("property: jonckheerePairs equals brute pairwise counting") {
+    val genRows = for {
+      n <- Gen.chooseNum(2, 50)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(1, 3)
+        v <- Gen.chooseNum(0, 6)
+      } yield (g.toLong, v.toDouble))
+    } yield rows
+    check(Prop.forAll(genRows) { rows =>
+      val got = RankStats.jonckheerePairs(rows.toDF("g", "v"), $"g", $"v")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact)))
+        .toMap
+      val groups = rows.map(_._1).distinct.sorted
+      val expect = (for {
+        gi <- groups; gj <- groups if gi < gj
+        ai = rows.filter(_._1 == gi).map(_._2)
+        bj = rows.filter(_._1 == gj).map(_._2)
+      } yield {
+        val u2 = (for (a <- ai; b <- bj)
+          yield if (a < b) 2L else if (a == b) 1L else 0L).sum
+        (gi, gj) -> ((ai.size.toLong, bj.size.toLong, u2))
+      }).toMap
+      got == expect
+    })
+  }
+
+  // --- McNemar
+
+  test("mcnemar matches hand counts; no discordance nulls chi2") {
+    val rows = Seq((false, false), (false, true), (false, true),
+      (true, false), (true, true))
+    val r = Experiment.mcnemar(rows.toDF("a", "b"), $"a", $"b").collect()(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == (2.0 - 1.0) * (2.0 - 1.0) / 3.0)
+    val conc = Seq((true, true), (false, false))
+    val r2 = Experiment.mcnemar(conc.toDF("a", "b"), $"a", $"b").collect()(0)
+    assert(r2.isNullAt(4))
+  }
+
+  // --- MASE backtest
+
+  test("maseBacktest matches a hand-computed seasonal-naive score") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // key "a": days 0..13, value = 10*day cents; split at day 10
+    val rows = (0L to 13L).map(day => ("a", t(day), day * 10L))
+    val r = TimeSeries.maseBacktest(rows.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", seasonLag = 7, splitPeriod = 10L,
+      periodSeconds = 86400L).collect()(0)
+    // test days 10..13 vs lag-7 (days 3..6): |10d - 10(d-7)| = 70 each
+    assert(r.getLong(1) == 4L && r.getDouble(3) == 280.0)
+    // naive: days 1..9 vs previous: |10| each → 9 steps, sae 90
+    assert(r.getLong(2) == 9L && r.getDouble(4) == 90.0)
+    assert(r.getDouble(5) == (280.0 / 4.0) / (90.0 / 9.0)) // = 7.0
+  }
+
+  test("maseBacktest: gaps skip pairs instead of fabricating them") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // day 13 has no day-6 partner; day 11 pairs with day 4
+    val rows = Seq(("a", t(5L), 50L), ("a", t(4L), 40L), ("a", t(11L), 90L),
+      ("a", t(13L), 100L))
+    val r = TimeSeries.maseBacktest(rows.toDF("k", "ts", "v"),
+      $"k", $"ts", $"v", seasonLag = 7, splitPeriod = 10L,
+      periodSeconds = 86400L).collect()(0)
+    assert(r.getLong(1) == 1L) // only day 11 forecastable
+    assert(r.getLong(2) == 1L) // only (4,5) naive step
+  }
+
+  // --- vocabulary growth
+
+  test("vocabularyGrowth: first-appearance accounting and cumulative curve") {
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "beta gamma"), // bucket 0: alpha beta gamma
+      (2L, "alpha delta"), (3L, ""), // bucket 1: delta; empty doc counts
+      (5L, "beta epsilon")) // bucket 2 (id 4 missing): epsilon
+    val got = TextAnalysis.vocabularyGrowth(
+      docs.toDF("doc_id", "text"), $"doc_id", $"text", bucketDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((2L, 3L, 3L)))
+    assert(got(1L) == ((2L, 1L, 4L)))
+    assert(got(2L) == ((1L, 1L, 5L)))
+  }
+
   // --- content-addressed chunking
 
   test("fixedChunks: boundaries, lengths, md5s, and cross-doc refs") {

@@ -164,6 +164,47 @@ object Experiment {
         (m("11") - m("10")) - (m("01") - m("00"))).as("did"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two
+    * categorical raters (label-quality audits, annotator QA, model
+    * vs heuristic consistency): κ = (p_o − p_e)/(1 − p_e) with
+    * observed agreement p_o = agree/N and chance agreement
+    * p_e = Σ_k row_k·col_k / N². One reduction to the contingency
+    * cells, marginals joined per category (full outer — a category
+    * one rater never uses contributes 0), products in decimal(38,0);
+    * κ is a pinned chain of divisions on exactly-cast statistics —
+    * hash-exact. Null ratings raise. Output: one row
+    * (n, agree, po, pe, kappa) — kappa null when p_e = 1 (both
+    * raters constant; the correction is undefined).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      rater1: Column,
+      rater2: Column): DataFrame = {
+    def guard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"cohenKappa: $what rating must be non-null")))
+        .otherwise(c.cast("string"))
+    val cells = df.select(guard(rater1, "first").as("a"),
+      guard(rater2, "second").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val totals = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+    val cols = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val pe = rows.join(cols, col("a") === col("b"), "full_outer")
+      .agg(sum(coalesce(col("ra"), lit(0L)).cast("decimal(19,0)")
+        * coalesce(col("cb"), lit(0L)).cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("pe_num"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val peD = col("pe_num").cast("double") / (nD * nD)
+    totals.crossJoin(broadcast(pe)).select(
+      col("n"), col("agree"),
+      po.as("po"), peD.as("pe"),
+      when(peD < 1.0, (po - peD) / (lit(1.0) - peD)).as("kappa"))
+  }
+
   /** McNEMAR'S TEST — paired binary outcomes (the same subjects
     * before/after an intervention): only the DISCORDANT cells carry
     * information, χ² = (b − c)²/(b + c) with b = 0→1 flips and

@@ -135,6 +135,108 @@ object ModelEval {
         col("rate_iso"))
   }
 
+  /** EXPECTED CALIBRATION ERROR from integer micro-unit scores — the
+    * one-number summary of [[graft.operators.Profiling.reliabilityBins]]:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| over equal-width score bins.
+    * With scores in exact micro-units (p·10⁶ as a long), the usual
+    * float-sum-over-bins collapses algebraically to
+    * Σ_b |pos_b·10⁶ − Σscore_b| / (N·10⁶) — the numerator is ONE
+    * EXACT INTEGER (decimal(38,0)) and the whole statistic is a
+    * single pinned double division, so it hash-matches with no
+    * tolerance (reliabilityBins' decimal(27,12) mean-prob casts need
+    * the 1e-9 gate; this formulation needs nothing).
+    *
+    * Output: one row — (n, bins_used, gap_units, ece); `gap_units`
+    * is the exact Σ|pos·10⁶ − Σs| in micro-units (decimal(38,0)).
+    * Scores outside [0, 10⁶] or null labels raise.
+    */
+  def eceFromScores(
+      df: DataFrame,
+      scoreMicro: Column,
+      label: Column,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2, 100], got $bins")
+    val sL = scoreMicro.cast("long")
+    val sG = when(sL.isNull || sL < 0L || sL > 1000000L, raise_error(lit(
+      "eceFromScores: score must be in [0, 1000000] micro-units")))
+      .otherwise(sL)
+    val yG = when(label.isNull, raise_error(lit(
+      "eceFromScores: null label"))).otherwise(label.cast("boolean"))
+    val perBin = df
+      .select(sG.as("s"), yG.as("y"))
+      .select(least(lit(bins - 1).cast("long"),
+        expr(s"(s * $bins) div 1000000")).as("bin"), col("s"), col("y"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(col("s").cast("decimal(19,0)")).cast("decimal(38,0)").as("ssum"))
+    perBin.agg(
+      sum(col("n")).as("n"),
+      count(lit(1)).as("bins_used"),
+      sum(abs(col("pos").cast("decimal(19,0)") * 1000000L
+        - col("ssum"))).cast("decimal(38,0)").as("gap_units"))
+      .select(col("n"), col("bins_used"), col("gap_units"),
+        (col("gap_units").cast("double")
+          / (col("n").cast("double") * lit(1000000.0))).as("ece"))
+  }
+
+  /** QINI CURVE — uplift-model audit (Radcliffe 2007): subjects
+    * hash-split into treated/control arms, ranked by `score` into
+    * equal-frequency buckets (bucket 1 = top), and per cumulative
+    * depth the INCREMENTAL conversions vs the control baseline:
+    * qini(b) = convT_cum − convC_cum·(nT_cum/nC_cum). Positive and
+    * growing = the score finds persuadables; the random-targeting
+    * diagonal is the reference.
+    *
+    * Same no-global-sort geometry as [[gainsTable]]: bucket cuts are
+    * exact order statistics (driver holds ≤ buckets−1 doubles), rows
+    * bucket map-side, the windows run over the ≤ buckets-row
+    * aggregate. Counts exact; qini is a pinned double chain —
+    * hash-exact. Output per bucket: (bucket, n_t, conv_t, n_c,
+    * conv_c, cum_n_t, cum_conv_t, cum_n_c, cum_conv_c, qini) — qini
+    * null while the cumulative control side is empty.
+    */
+  def qiniCurve(
+      df: DataFrame,
+      unit: Column,
+      score: Column,
+      converted: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 256 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two in [2, 256], got $buckets")
+    val base = df.select(
+      (pmod(KmvSketch.hash60(unit), lit(2L)) === 0L).as("t"),
+      score.cast("double").as("s"),
+      when(converted.cast("boolean").isNull, raise_error(lit(
+        "qiniCurve: converted flag must be a non-null boolean")))
+        .otherwise(converted.cast("boolean")).as("y"))
+      .filter(col("s").isNotNull && !isnan(col("s")))
+    val cuts = ExactQuantile.selectQuantiles(
+      base, col("s"), (1 until buckets).map(_.toDouble / buckets))
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val ascBucket = cuts.map(c => when(col("s") > lit(c), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    val agg = base
+      .withColumn("bucket", lit(buckets) + 1 - ascBucket)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("conv_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("conv_c"))
+    val wc = Window.orderBy(col("bucket"))
+    val cum = agg.select(
+      col("bucket"), col("n_t"), col("conv_t"), col("n_c"), col("conv_c"),
+      sum(col("n_t")).over(wc).as("cum_n_t"),
+      sum(col("conv_t")).over(wc).as("cum_conv_t"),
+      sum(col("n_c")).over(wc).as("cum_n_c"),
+      sum(col("conv_c")).over(wc).as("cum_conv_c"))
+    cum.withColumn("qini",
+      when(col("cum_n_c") > 0L,
+        col("cum_conv_t").cast("double") - col("cum_conv_c").cast("double")
+          * (col("cum_n_t").cast("double") / col("cum_n_c").cast("double"))))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al.; Lei et al.
     * 2018) — the distribution-free way to turn ANY point model into
     * calibrated intervals: subjects hash-split into train/calibrate/

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style corpus profiling: per-column row/null counts,
@@ -605,5 +606,65 @@ object Profiling {
         ((col("__sp").cast("double") / col("n").cast("double")) -
           (col("positives").cast("double") / col("n").cast("double")))
           .as("calibration_gap"))
+  }
+
+  /** GINI-IMPURITY FEATURE SCREEN — decision-stump feature ranking
+    * against a binary target (the feature-selection pass before any
+    * model ships; the Gini sibling of information gain WITHOUT the
+    * non-portable ln): per categorical feature, the value-weighted
+    * impurity Σ_v (n_v/N)·(1 − p_v² − q_v²) and the gain vs the root
+    * impurity 2·P(N−P)/N².
+    *
+    * Determinism without a float-sum hazard: each value term reduces
+    * to (n_v² − pos_v² − neg_v²)/(N·n_v) — a pinned double from
+    * exact integers — and the per-feature total is a WINDOW running
+    * sum in value order (cross-engine bit-stable, never a groupBy
+    * float sum), so the ranking hash-matches. Value cardinality is
+    * bounded by the features offered (categorical by contract; the
+    * window runs per feature over its distinct values).
+    *
+    * Output per feature: (feature, n_values, gini_weighted,
+    * gini_gain), gain ≥ 0 up to rounding. Null targets raise; null
+    * feature values form their own category (missingness is signal).
+    */
+  def giniFeatureGain(
+      df: DataFrame,
+      target: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "giniFeatureGain: need at least one feature")
+    val yG = when(target.cast("boolean").isNull, raise_error(lit(
+      "giniFeatureGain: target must be a non-null boolean")))
+      .otherwise(target.cast("boolean"))
+    val melted = features.map { case (name, c) =>
+      df.select(lit(name).as("feature"),
+        coalesce(c.cast("string"), lit("__null__")).as("value"),
+        yG.as("y"))
+    }.reduce(_.unionByName(_))
+    val cells = melted.groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("nv"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pv"))
+    val root = df.select(yG.as("y")).agg(
+      count(lit(1)).as("nn"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("pp"))
+    val nD = col("nn").cast("double")
+    val pD = col("pp").cast("double")
+    val nvD = col("nv").cast("double")
+    val pvD = col("pv").cast("double")
+    val qvD = (col("nv") - col("pv")).cast("double")
+    val term = (nvD * nvD - pvD * pvD - qvD * qvD) / (nD * nvD)
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("feature"))
+      .orderBy(col("value").desc)
+    cells.crossJoin(broadcast(root))
+      .withColumn("gw", sum(term).over(wCum))
+      .withColumn("nvals", count(lit(1)).over(
+        Window.partitionBy(col("feature"))))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("feature"),
+        col("nvals").as("n_values"),
+        col("gw").as("gini_weighted"),
+        (lit(2.0) * pD * (nD - pD) / (nD * nD) - col("gw")).as("gini_gain"))
   }
 }

@@ -858,6 +858,243 @@ object ScaleOps8 {
               |FROM dc FULL OUTER JOIN nt ON dc.bucket = nt.bucket
               |ORDER BY bucket""".stripMargin)))
 
+  /** Continuation Seq 5: calibration, agreement, feature screening,
+    * uplift.
+    */
+  val all5: Seq[Q] = Seq(
+
+    // ---- q273: EXPECTED CALIBRATION ERROR — each customer scored
+    // with their (segment × balance-bucket) historical urgent rate in
+    // exact micro-units; ECE collapses algebraically to
+    // Σ|pos·10⁶ − Σscore| / (N·10⁶) — ONE exact integer numerator,
+    // one pinned division ([[graft.operators.ModelEval.eceFromScores]]).
+    Q(
+      "q273_ece",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val cust = Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"uk", "left")
+          .select($"c_mktsegment".as("seg"),
+            floor($"c_acctbal" / 1000.0).cast("long").as("bb"),
+            $"uk".isNotNull.as("y"))
+        val grp = cust.groupBy($"seg", $"bb").agg(
+          count(lit(1)).as("gn"),
+          sum(when($"y", 1L).otherwise(0L)).as("gp"))
+          .select($"seg".as("gseg"), $"bb".as("gbb"),
+            expr("(gp * 1000000) div gn").as("sm"))
+        val scored = cust.join(grp,
+          $"seg" === $"gseg" && $"bb" === $"gbb")
+        graft.operators.ModelEval.eceFromScores(scored, $"sm", $"y", bins = 16)
+          .withColumn("gap_units", $"gap_units".cast("string"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |cust AS MATERIALIZED (SELECT c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+             |    u.uk IS NOT NULL AS y
+             |  FROM customer LEFT JOIN u ON c_custkey = u.uk),
+             |grp AS (SELECT seg, bb,
+             |    (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*) AS sm
+             |  FROM cust GROUP BY 1, 2),
+             |scored AS MATERIALIZED (SELECT sm, y
+             |  FROM cust JOIN grp USING (seg, bb)),
+             |perbin AS (SELECT least(15, (sm * 16) // 1000000) AS bin,
+             |    count(*) AS n,
+             |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+             |    CAST(sum(CAST(sm AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ssum
+             |  FROM scored GROUP BY 1),
+             |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+             |    count(*) AS bins_used,
+             |    CAST(sum(abs(CAST(pos AS DECIMAL(19,0)) * 1000000 - ssum))
+             |      AS DECIMAL(38,0)) AS gap_units
+             |  FROM perbin)
+             |SELECT n, bins_used, CAST(gap_units AS VARCHAR) AS gap_units,
+             |  CAST(gap_units AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             |    AS ece
+             |FROM agg""".stripMargin)),
+
+    // ---- q274: COHEN'S KAPPA — chance-corrected agreement between
+    // the priority band and the order status mapped onto the same
+    // 3-label scale ([[graft.operators.Experiment.cohenKappa]]);
+    // exact contingency/marginal products in decimal(38,0), κ one
+    // pinned chain.
+    Q(
+      "q274_cohen_kappa",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), "hot")
+            .when($"o_orderpriority" === "3-MEDIUM", "mid")
+            .otherwise("low").as("r1"),
+          when($"o_orderstatus" === "F", "hot")
+            .when($"o_orderstatus" === "P", "mid")
+            .otherwise("low").as("r2"))
+        graft.operators.Experiment.cohenKappa(o, $"r1", $"r2")
+      },
+      Some("""WITH r AS MATERIALIZED (SELECT
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+             |      WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+             |      ELSE 'low' END AS a,
+             |    CASE WHEN o_orderstatus = 'F' THEN 'hot'
+             |      WHEN o_orderstatus = 'P' THEN 'mid'
+             |      ELSE 'low' END AS b
+             |  FROM orders),
+             |cells AS MATERIALIZED (SELECT a, b, count(*) AS c FROM r
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT sum(c) AS n,
+             |    sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM cells),
+             |rm AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+             |cm AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+             |pe AS (SELECT CAST(sum(CAST(coalesce(ra, 0) AS DECIMAL(19,0))
+             |    * CAST(coalesce(cb, 0) AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             |    AS pe_num
+             |  FROM rm FULL OUTER JOIN cm ON rm.a = cm.b)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+             |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             |  CAST(pe_num AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+             |  CASE WHEN CAST(pe_num AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+             |    THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - CAST(pe_num AS DOUBLE)
+             |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |      / (1.0 - CAST(pe_num AS DOUBLE)
+             |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |    END AS kappa
+             |FROM tot CROSS JOIN pe""".stripMargin)),
+
+    // ---- q275: GINI FEATURE SCREEN — segment, nation and balance
+    // sign ranked as predictors of the urgent flag
+    // ([[graft.operators.Profiling.giniFeatureGain]]); per-value
+    // terms are pinned doubles of exact integers and the per-feature
+    // total is a WINDOW running sum in value order — hash-exact, no
+    // ln.
+    Q(
+      "q275_gini_feature_screen",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val cust = Tables.customer(s, d)
+          .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+          .join(urgent, $"c_custkey" === $"uk", "left")
+          .select($"c_mktsegment", $"n_name",
+            ($"c_acctbal" >= 0).as("pos_bal"), $"uk".isNotNull.as("y"))
+        graft.operators.Profiling.giniFeatureGain(
+          cust, $"y", Seq(
+            "segment" -> $"c_mktsegment",
+            "nation" -> $"n_name",
+            "bal_sign" -> $"pos_bal"))
+          .orderBy($"feature")
+      },
+      Some("""WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |cust AS MATERIALIZED (SELECT c_mktsegment AS seg, n_name,
+             |    c_acctbal >= 0 AS pos_bal, u.uk IS NOT NULL AS y
+             |  FROM customer
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  LEFT JOIN u ON c_custkey = u.uk),
+             |melted AS (
+             |  SELECT 'segment' AS feature, coalesce(seg, '__null__') AS value,
+             |    y FROM cust
+             |  UNION ALL SELECT 'nation', coalesce(n_name, '__null__'), y
+             |  FROM cust
+             |  UNION ALL SELECT 'bal_sign',
+             |    coalesce(CAST(pos_bal AS VARCHAR), '__null__'), y FROM cust),
+             |cells AS MATERIALIZED (SELECT feature, value, count(*) AS nv,
+             |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pv
+             |  FROM melted GROUP BY 1, 2),
+             |root AS (SELECT count(*) AS nn,
+             |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pp FROM cust),
+             |terms AS MATERIALIZED (SELECT feature, value, nv, pv,
+             |    (CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)
+             |      - CAST(pv AS DOUBLE) * CAST(pv AS DOUBLE)
+             |      - CAST(nv - pv AS DOUBLE) * CAST(nv - pv AS DOUBLE))
+             |      / (CAST(nn AS DOUBLE) * CAST(nv AS DOUBLE)) AS term,
+             |    nn, pp
+             |  FROM cells CROSS JOIN root),
+             |cum AS (SELECT feature, value, nn, pp,
+             |    sum(term) OVER (PARTITION BY feature ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gw,
+             |    count(*) OVER (PARTITION BY feature) AS nvals,
+             |    row_number() OVER (PARTITION BY feature ORDER BY value DESC)
+             |      AS rn
+             |  FROM terms)
+             |SELECT feature, CAST(nvals AS BIGINT) AS n_values,
+             |  gw AS gini_weighted,
+             |  2.0 * CAST(pp AS DOUBLE) * (CAST(nn AS DOUBLE)
+             |    - CAST(pp AS DOUBLE))
+             |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) - gw AS gini_gain
+             |FROM cum WHERE rn = 1 ORDER BY feature""".stripMargin)),
+
+    // ---- q276: QINI UPLIFT CURVE — hash-arm customers ranked by
+    // account balance into 8 exact equal-frequency buckets; per
+    // cumulative depth the incremental urgent conversions vs the
+    // control baseline ([[graft.operators.ModelEval.qiniCurve]]).
+    // The oracle replays the exact order-statistic cuts (the q199
+    // pattern) and the pinned qini chain.
+    Q(
+      "q276_qini_curve",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val scored = Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"uk", "left")
+          .select($"c_custkey".as("u"), $"c_acctbal".as("s"),
+            $"uk".isNotNull.as("y"))
+        graft.operators.ModelEval.qiniCurve(scored, $"u", $"s", $"y",
+          buckets = 8)
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT o_custkey AS uk FROM orders
+              |  WHERE o_orderpriority = '1-URGENT'),
+              |base AS MATERIALIZED (SELECT
+              |    ${graft.operators.KmvSketch.hash60Sql("c_custkey")} % 2 = 0
+              |      AS t,
+              |    c_acctbal AS s, u.uk IS NOT NULL AS y
+              |  FROM customer LEFT JOIN u ON c_custkey = u.uk
+              |  WHERE c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)),
+              |nn AS (SELECT count(*) AS n FROM base),
+              |ranked AS MATERIALIZED (
+              |  SELECT s, t, y, row_number() OVER (ORDER BY s) AS r FROM base),
+              |cuts AS MATERIALIZED (
+              |  SELECT r.s AS cut
+              |  FROM ranked r, nn, (SELECT unnest(generate_series(1, 7)) AS i) g
+              |  WHERE r.r = CAST(ceil(g.i * nn.n / 8.0) AS BIGINT)),
+              |bkt AS (
+              |  SELECT r.r, r.t, r.y, 8 - count(c.cut) AS bucket
+              |  FROM ranked r LEFT JOIN cuts c ON c.cut < r.s
+              |  GROUP BY r.r, r.t, r.y),
+              |agg AS (SELECT bucket,
+              |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_t,
+              |    sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS conv_t,
+              |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS n_c,
+              |    sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS conv_c
+              |  FROM bkt GROUP BY 1),
+              |cum AS (SELECT bucket,
+              |    CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
+              |    CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
+              |    CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+              |    CAST(sum(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+              |    CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+              |    CAST(sum(conv_c) OVER w AS BIGINT) AS cum_conv_c
+              |  FROM agg
+              |  WINDOW w AS (ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT CAST(bucket AS INTEGER) AS bucket, n_t, conv_t, n_c,
+              |  conv_c, cum_n_t, cum_conv_t, cum_n_c, cum_conv_c,
+              |  CASE WHEN cum_n_c > 0
+              |    THEN CAST(cum_conv_t AS DOUBLE) - CAST(cum_conv_c AS DOUBLE)
+              |      * (CAST(cum_n_t AS DOUBLE) / CAST(cum_n_c AS DOUBLE))
+              |    END AS qini
+              |FROM cum ORDER BY bucket""".stripMargin)))
+
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark
     * delay) with the flush sentinel filtered by the operator's own

@@ -153,6 +153,93 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  // --- expected calibration error
+
+  test("eceFromScores: the integer-gap collapse equals the textbook bin sum") {
+    // two bins: scores 0.1 and 0.9 in micro-units
+    val rows = Seq((100000L, false), (100000L, true), (900000L, true),
+      (900000L, true), (900000L, false), (900000L, true))
+    val r = ModelEval.eceFromScores(rows.toDF("s", "y"), $"s", $"y", bins = 2)
+      .collect()(0)
+    // bin 0: n=2 pos=1 conf=0.1 → |0.5-0.1|*2/6; bin 1: n=4 pos=3
+    // conf=0.9 → |0.75-0.9|*4/6; ece = (0.8 + 0.6)/6/... compute via
+    // exact gaps: |1e6 - 2e5| + |3e6 - 3.6e6| = 8e5 + 6e5 = 1.4e6
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDecimal(2).longValueExact == 1400000L)
+    assert(r.getDouble(3) == 1400000.0 / (6.0 * 1000000.0))
+  }
+
+  test("eceFromScores: perfectly calibrated constant predictor scores ~0") {
+    // score = exact base rate of the bin it lands in
+    val rows = Seq((500000L, true), (500000L, false))
+    val r = ModelEval.eceFromScores(rows.toDF("s", "y"), $"s", $"y", bins = 4)
+      .collect()(0)
+    assert(r.getDecimal(2).longValueExact == 0L && r.getDouble(3) == 0.0)
+  }
+
+  // --- Cohen's kappa
+
+  test("cohenKappa matches the hand formula; constant raters null out") {
+    val rows = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
+    val r = Experiment.cohenKappa(rows.toDF("x", "y"), $"x", $"y").collect()(0)
+    // agree = 3, n = 5; rows a=2 b=2 c=1; cols a=2 b=3
+    // pe_num = 2*2 + 2*3 + 1*0 = 10
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    val po = 3.0 / 5.0
+    val pe = 10.0 / 25.0
+    assert(r.getDouble(2) == po && r.getDouble(3) == pe)
+    assert(r.getDouble(4) == (po - pe) / (1.0 - pe))
+    val const = Seq(("a", "a"), ("a", "a"))
+    val r2 = Experiment.cohenKappa(const.toDF("x", "y"), $"x", $"y").collect()(0)
+    assert(r2.isNullAt(4)) // pe = 1
+  }
+
+  // --- Gini feature screen
+
+  test("giniFeatureGain matches brute impurity; perfect predictor gets full gain") {
+    val rows = Seq(
+      ("x", "p", true), ("x", "p", true), ("y", "p", false),
+      ("y", "q", false), ("x", "q", true), ("y", "q", false))
+    // feature f1 ("x"/"y") predicts y perfectly; f2 ("p"/"q") does not
+    val got = Profiling.giniFeatureGain(
+      rows.toDF("f1", "f2", "y"), $"y",
+      Seq("f1" -> $"f1", "f2" -> $"f2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val root = 2.0 * 3 * 3 / 36.0 // 0.5
+    assert(got("f1")._1 == 2L && got("f1")._2 == 0.0)
+    assert(got("f1")._3 == root)
+    // f2: p = (2 pos, 1 neg), q = (1 pos, 2 neg): term each =
+    // (9 - 4 - 1)/(6*3) = 4/18
+    val gwF2 = (9.0 - 4.0 - 1.0) / 18.0 + (9.0 - 1.0 - 4.0) / 18.0
+    assert(math.abs(got("f2")._2 - gwF2) < 1e-15)
+  }
+
+  // --- Qini curve
+
+  test("qiniCurve: cumulative accounting and the uplift formula") {
+    // deterministic hash arms; verify against a recomputation with
+    // the operator's own arm assignment
+    val rows = (1L to 300L).map(u => (u, (u % 50).toDouble, u % 3 == 0))
+    val df = rows.toDF("u", "s", "y")
+    val got = ModelEval.qiniCurve(df, $"u", $"s", $"y", buckets = 4)
+      .collect().sortBy(_.getInt(0))
+    val armed = df.select($"u", $"s", $"y",
+      (pmod(KmvSketch.hash60($"u"), lit(2L)) === 0L).as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    assert(got.map(_.getLong(1)).sum == armed.count(_._4).toLong)
+    assert(got.map(_.getLong(3)).sum == armed.count(!_._4).toLong)
+    // last bucket's cumulative = totals; qini matches the pinned form
+    val last = got.last
+    val (cnt, cct, cnc, ccc) = (last.getLong(5), last.getLong(6),
+      last.getLong(7), last.getLong(8))
+    assert(cnt == armed.count(_._4).toLong &&
+      ccc == armed.count(a => !a._4 && a._3).toLong)
+    assert(last.getDouble(9) ==
+      cct.toDouble - ccc.toDouble * (cnt.toDouble / cnc.toDouble))
+  }
+
   // --- Jonckheere-Terpstra pairs
 
   test("property: jonckheerePairs equals brute pairwise counting") {

@@ -608,6 +608,93 @@ object Profiling {
           .as("calibration_gap"))
   }
 
+  /** CRONBACH'S ALPHA — internal-consistency reliability of a
+    * K-item scale (Cronbach 1951): α = K/(K−1)·(1 − Σᵢvarᵢ/var_total)
+    * with var_total the variance of the per-subject item sum. The
+    * psychometrics staple, and the data-quality question "do these K
+    * redundant measurements actually measure one thing?".
+    *
+    * Exactness: items must be exact integers; with population
+    * variances sharing the n² denominator the ratio collapses to
+    * Σᵢ(n·Σxᵢ² − (Σxᵢ)²) / (n·ΣT² − (ΣT)²) — BOTH sides exact
+    * decimal(38,0) from one aggregation pass, one pinned division,
+    * one pinned α chain — hash-exact. Output: one row
+    * (n, k_items, var_num, var_den, alpha) with the exact decimal
+    * numerator/denominator; alpha null when the scale variance is 0.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 2, s"cronbachAlpha needs >= 2 items, got ${items.size}")
+    val k = items.size
+    def g(c: Column, what: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"cronbachAlpha: item $what must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(
+      items.map { case (n, c) => g(c, n).as(s"__it_$n") } :+
+        items.map { case (n, c) => g(c, n) }.reduce(_ + _).as("__tot"): _*)
+    // decimal(19,0) sums: the (Σx)² products must stay within the
+    // 38-digit cross-engine ceiling (DuckDB errors past it), so the
+    // item sums are bounded at |Σx| < 10¹⁹ by contract
+    val d19s = "decimal(19,0)"
+    def s28(c: Column) = sum(c.cast(d19s)).cast(d19s)
+    val aggs: Seq[Column] = count(lit(1)).as("n") +:
+      (items.flatMap { case (nm, _) =>
+        Seq(s28(col(s"__it_$nm")).as(s"sx_$nm"),
+          s28(col(s"__it_$nm") * col(s"__it_$nm")).as(s"sxx_$nm"))
+      } ++ Seq(s28(col("__tot")).as("st"),
+        s28(col("__tot") * col("__tot")).as("stt")))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val nDec = col("n").cast("decimal(10,0)")
+    def varNum(sx: Column, sxx: Column): Column =
+      (nDec * sxx - sx * sx).cast("decimal(38,0)")
+    val num = items.map { case (nm, _) =>
+      varNum(col(s"sx_$nm"), col(s"sxx_$nm"))
+    }.reduce(_ + _).cast("decimal(38,0)")
+    val den = varNum(col("st"), col("stt"))
+    val ratio = num.cast("double") / den.cast("double")
+    one.select(
+      col("n"), lit(k.toLong).as("k_items"),
+      num.as("var_num"), den.as("var_den"),
+      when(den > 0,
+        lit(k.toDouble) * (lit(1.0) - ratio) / lit((k - 1).toDouble))
+        .as("alpha"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX per group — market/portfolio
+    * concentration: HHI = Σᵢ(wᵢ/W)², 1/n for perfect balance, 1.0
+    * for a monopoly; (1 − HHI) is Simpson diversity. With integer
+    * weights the shares collapse to Σwᵢ² / W² — two exact
+    * decimal(38,0) aggregates, one pinned division — hash-exact.
+    * One partial-aggregable pass to (group, entity) weights, one to
+    * group statistics. Negative weights raise. Output per group:
+    * (k, n_entities, hhi) — null when the group's total weight is 0.
+    */
+  def herfindahl(
+      df: DataFrame,
+      group: Column,
+      entity: Column,
+      weight: Column): DataFrame = {
+    val wG = when(weight.cast("long").isNull || weight.cast("long") < 0L,
+      raise_error(lit("herfindahl: weight must be a non-negative long")))
+      .otherwise(weight.cast("long"))
+    val per = df.select(group.as("k"), entity.as("e"), wG.as("w"))
+      .filter(col("k").isNotNull && col("e").isNotNull)
+      .groupBy(col("k"), col("e")).agg(sum(col("w")).as("w"))
+    val d19 = "decimal(19,0)"
+    per.groupBy(col("k")).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("w").cast(d19)).cast("decimal(38,0)").as("sw"),
+      sum(col("w").cast(d19) * col("w").cast(d19))
+        .cast("decimal(38,0)").as("sw2"))
+      .select(col("k"), col("n_entities"),
+        when(col("sw") > 0,
+          col("sw2").cast("double")
+            / (col("sw").cast("double") * col("sw").cast("double")))
+          .as("hhi"))
+  }
+
   /** GINI-IMPURITY FEATURE SCREEN — decision-stump feature ranking
     * against a binary target (the feature-selection pass before any
     * model ships; the Gini sibling of information gain WITHOUT the

@@ -63,38 +63,7 @@ object RankStats {
     // ties collapse here: one cell per distinct (group, value)
     val cells = base.groupBy(col("k"), col("v"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-    val spans = cells.groupBy(col("k"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val withSpan = cells.join(spans, Seq("k"))
-    // NOT (hi - lo): a group's range can exceed the largest finite
-    // double (lo near -MaxValue, hi near +MaxValue), overflowing the
-    // span to +Infinity — (v-lo)/span*buckets then goes NaN for large
-    // v, the int cast yields a NULL bucket that sorts before bucket 0
-    // in the prefix window, and the largest values silently take the
-    // lowest midranks. Dividing each endpoint first keeps every
-    // intermediate finite (|hi/buckets| ≤ MaxValue/buckets for
-    // buckets ≥ 2); the geometry stays monotone in v with equal
-    // values sharing a bucket, so the derived ranks are unchanged.
-    val width = col("hi") / buckets - col("lo") / buckets
-    val bucketed = withSpan.withColumn("b",
-      if (buckets == 1) lit(0)
-      else when(width === 0.0, lit(0)).otherwise(
-        least(floor(col("v") / width - col("lo") / width)
-          .cast("int"), lit(buckets - 1))))
-    val counts = bucketed.groupBy(col("k"), col("b")).agg(sum(col("c")).as("cb"))
-    val wPrefix = Window.partitionBy(col("k")).orderBy(col("b").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prefixes = counts
-      .withColumn("e", sum(col("cb")).over(wPrefix) - col("cb"))
-      .select(col("k").as("pk"), col("b").as("pb"), col("e"))
-    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = bucketed
-      .join(prefixes, col("k") === col("pk") && col("b") === col("pb"))
-      .withColumn("cbin", sum(col("c")).over(wIn) - col("c"))
-      // doubled midrank: 2·(exclusive count below) + t + 1 — integer
-      .withColumn("mr2",
-        lit(2L) * (col("e") + col("cbin")) + col("c") + lit(1L))
+    val ranked = withMidranks(cells, buckets)
     val d12 = "decimal(12,0)"
     ranked.groupBy(col("k")).agg(
       sum(col("c")).as("n"),
@@ -128,6 +97,105 @@ object RankStats {
         (col("r1x2").cast("double") - n1D * (n1D + lit(1.0)))
           / (lit(2.0) * n1D * n0D))
         .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
+  /** The bucketed midrank machinery shared by every rank statistic
+    * here: cells (k, v, c, …extras) gain `mr2` = the DOUBLED global
+    * midrank of value v within group k. Extras ride through
+    * untouched. NOT (hi - lo) for the bucket span: a group's range
+    * can exceed the largest finite double (lo near -MaxValue, hi near
+    * +MaxValue), overflowing the span to +Infinity — (v-lo)/span·B
+    * then goes NaN for large v, the int cast yields a NULL bucket
+    * that sorts before bucket 0 in the prefix window, and the largest
+    * values silently take the lowest midranks. Dividing each endpoint
+    * first keeps every intermediate finite (|hi/B| ≤ MaxValue/B for
+    * B ≥ 2); the geometry stays monotone in v with equal values
+    * sharing a bucket, so the derived ranks are exactly the global
+    * ones regardless of where the boundaries fall.
+    */
+  private def withMidranks(cells: DataFrame, buckets: Int): DataFrame = {
+    val spans = cells.groupBy(col("k"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val withSpan = cells.join(spans, Seq("k"))
+    val width = col("hi") / buckets - col("lo") / buckets
+    val bucketed = withSpan.withColumn("b",
+      if (buckets == 1) lit(0)
+      else when(width === 0.0, lit(0)).otherwise(
+        least(floor(col("v") / width - col("lo") / width)
+          .cast("int"), lit(buckets - 1))))
+    val counts = bucketed.groupBy(col("k"), col("b")).agg(sum(col("c")).as("cb"))
+    val wPrefix = Window.partitionBy(col("k")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = counts
+      .withColumn("e", sum(col("cb")).over(wPrefix) - col("cb"))
+      .select(col("k").as("pk"), col("b").as("pb"), col("e"))
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(prefixes, col("k") === col("pk") && col("b") === col("pb"))
+      .withColumn("cbin", sum(col("c")).over(wIn) - col("c"))
+      // doubled midrank: 2·(exclusive count below) + t + 1 — integer
+      .withColumn("mr2",
+        lit(2L) * (col("e") + col("cbin")) + col("c") + lit(1L))
+  }
+
+  /** SPEARMAN RANK CORRELATION per group — Pearson on the DOUBLED
+    * midranks of x and y (ties share average ranks, the standard ρ
+    * with tie correction built in by construction). Both rank tables
+    * come from the bucketed machinery above (no per-group global
+    * sort); rows join their two midranks back by value and the six
+    * sufficient statistics accumulate in decimal(38,0), so ρ is a
+    * pinned chain of correctly-rounded ops on exact integers —
+    * hash-exact where a float-ranked formulation never is. Survives
+    * any monotone transform of either variable; the rank sibling of
+    * [[Profiling.groupedCorr]] (Pearson) and `kendallTauDaily` (τ).
+    *
+    * Output per group: (k, n, rho) — null for degenerate groups
+    * (n < 2 or either variable constant).
+    */
+  def spearman(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def fin(c: Column, what: String): Column = {
+      val v = c.cast("double")
+      when(v.isNull || isnan(v) || v === Double.PositiveInfinity ||
+        v === Double.NegativeInfinity, raise_error(lit(
+        s"spearman: $what must be non-null and finite"))).otherwise(v)
+    }
+    val base = df.select(key.as("k"), fin(x, "x").as("xv"), fin(y, "y").as("yv"))
+    def rankTable(v: Column): DataFrame = withMidranks(
+      base.select(col("k"), v.as("v")).groupBy(col("k"), col("v"))
+        .agg(count(lit(1)).as("c")), buckets)
+      .select(col("k"), col("v"), col("mr2"))
+    val rx = rankTable(col("xv"))
+      .select(col("k").as("xk"), col("v").as("xvv"), col("mr2").as("rx"))
+    val ry = rankTable(col("yv"))
+      .select(col("k").as("yk"), col("v").as("yvv"), col("mr2").as("ry"))
+    val rowsRanked = base
+      .join(rx, col("k") === col("xk") && col("xv") === col("xvv"))
+      .join(ry, col("k") === col("yk") && col("yv") === col("yvv"))
+    val d19 = "decimal(19,0)"
+    def s38(c: Column) = sum(c).cast("decimal(38,0)")
+    val stats = rowsRanked.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      s38(col("rx").cast(d19)).as("sx"),
+      s38(col("ry").cast(d19)).as("sy"),
+      s38(col("rx").cast(d19) * col("ry").cast(d19)).as("sxy"),
+      s38(col("rx").cast(d19) * col("rx").cast(d19)).as("sxx"),
+      s38(col("ry").cast(d19) * col("ry").cast(d19)).as("syy"))
+    def dbl(n: String) = col(n).cast("double")
+    val nD = col("n").cast("double")
+    val vx = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vy = nD * dbl("syy") - dbl("sy") * dbl("sy")
+    val cov = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+    stats.select(col("k"), col("n"),
+      when(col("n") > 1L && vx > 0.0 && vy > 0.0,
+        cov / (sqrt(vx) * sqrt(vy)))
+        .otherwise(lit(null).cast("double")).as("rho"))
   }
 
   /** JONCKHEERE–TERPSTRA pair table — the building block of the

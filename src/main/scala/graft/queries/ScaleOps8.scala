@@ -1095,6 +1095,167 @@ object ScaleOps8 {
               |    END AS qini
               |FROM cum ORDER BY bucket""".stripMargin)))
 
+  /** Continuation Seq 6: rank correlation, scale reliability,
+    * concentration.
+    */
+  val all6: Seq[Q] = Seq(
+
+    // ---- q277: SPEARMAN ρ — rank correlation between account
+    // balance and order count per market segment
+    // ([[graft.operators.RankStats.spearman]]): Pearson on DOUBLED
+    // midranks from the bucketed machinery (no per-group sort), six
+    // decimal(38,0) sufficient statistics, one pinned chain —
+    // hash-exact where float ranks never are.
+    Q(
+      "q277_spearman",
+      (s, d) => {
+        import s.implicits._
+        val oc = Tables.orders(s, d).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("oc"))
+        val per = Tables.customer(s, d)
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_mktsegment".as("seg"), $"c_acctbal".as("x"),
+            coalesce($"oc", lit(0L)).cast("double").as("y"))
+        graft.operators.RankStats.spearman(per, $"seg", $"x", $"y")
+          .orderBy($"k")
+      },
+      Some("""WITH oc AS (SELECT o_custkey, count(*) AS oc FROM orders
+             |  GROUP BY 1),
+             |per AS MATERIALIZED (SELECT c_mktsegment AS k, c_acctbal AS x,
+             |    CAST(coalesce(oc.oc, 0) AS DOUBLE) AS y
+             |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+             |cx AS (SELECT k, x AS v, count(*) AS c FROM per GROUP BY 1, 2),
+             |rx AS MATERIALIZED (SELECT k, v,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS mr2
+             |  FROM cx),
+             |cy AS (SELECT k, y AS v, count(*) AS c FROM per GROUP BY 1, 2),
+             |ry AS MATERIALIZED (SELECT k, v,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS mr2
+             |  FROM cy),
+             |rws AS MATERIALIZED (SELECT per.k, rx.mr2 AS rx, ry.mr2 AS ry
+             |  FROM per
+             |  JOIN rx ON per.k = rx.k AND per.x = rx.v
+             |  JOIN ry ON per.k = ry.k AND per.y = ry.v),
+             |st AS (SELECT k, count(*) AS n,
+             |    CAST(sum(CAST(rx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             |    CAST(sum(CAST(ry AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             |    CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sxy,
+             |    CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sxx,
+             |    CAST(sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS syy
+             |  FROM rws GROUP BY 1)
+             |SELECT k, n,
+             |  CASE WHEN n > 1
+             |      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+             |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    END AS rho
+             |FROM st ORDER BY k""".stripMargin)),
+
+    // ---- q278: CRONBACH'S ALPHA — do an order's three size
+    // indicators (total quantity, line count, total discount mass)
+    // measure one construct?
+    // ([[graft.operators.Profiling.cronbachAlpha]]): the variance
+    // ratio collapses to two exact decimal(38,0) aggregates, one
+    // pinned α chain — hash-exact. Exact decimal numerator and
+    // denominator travel as VARCHAR digests.
+    Q(
+      "q278_cronbach_alpha",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.lineitem(s, d).groupBy($"l_orderkey").agg(
+          sum($"l_quantity".cast("long")).as("it_qty"),
+          count(lit(1)).as("it_lines"),
+          sum(($"l_discount".cast("decimal(12,6)") * 1000000).cast("long"))
+            .as("it_disc"))
+        graft.operators.Profiling.cronbachAlpha(per, Seq(
+          "qty" -> $"it_qty", "lines" -> $"it_lines", "disc" -> $"it_disc"))
+          .withColumn("var_num", $"var_num".cast("string"))
+          .withColumn("var_den", $"var_den".cast("string"))
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT l_orderkey,
+             |    sum(CAST(l_quantity AS BIGINT)) AS a,
+             |    count(*) AS b,
+             |    sum(CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000
+             |      AS BIGINT)) AS c
+             |  FROM lineitem GROUP BY 1),
+             |ag AS (SELECT count(*) AS n,
+             |    CAST(sum(CAST(a AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxa,
+             |    CAST(sum(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)))
+             |      AS DECIMAL(19,0)) AS sxxa,
+             |    CAST(sum(CAST(b AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxb,
+             |    CAST(sum(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+             |      AS DECIMAL(19,0)) AS sxxb,
+             |    CAST(sum(CAST(c AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxc,
+             |    CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             |      AS DECIMAL(19,0)) AS sxxc,
+             |    CAST(sum(CAST(a + b + c AS DECIMAL(19,0)))
+             |      AS DECIMAL(19,0)) AS st,
+             |    CAST(sum(CAST(a + b + c AS DECIMAL(19,0))
+             |      * CAST(a + b + c AS DECIMAL(19,0)))
+             |      AS DECIMAL(19,0)) AS stt
+             |  FROM per),
+             |fin AS (SELECT n,
+             |    CAST((CAST(n AS DECIMAL(10,0)) * sxxa - sxa * sxa)
+             |      + (CAST(n AS DECIMAL(10,0)) * sxxb - sxb * sxb)
+             |      + (CAST(n AS DECIMAL(10,0)) * sxxc - sxc * sxc)
+             |      AS DECIMAL(38,0)) AS var_num,
+             |    CAST(CAST(n AS DECIMAL(10,0)) * stt - st * st
+             |      AS DECIMAL(38,0)) AS var_den
+             |  FROM ag)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_items,
+             |  CAST(var_num AS VARCHAR) AS var_num,
+             |  CAST(var_den AS VARCHAR) AS var_den,
+             |  CASE WHEN var_den > 0
+             |    THEN 3.0 * (1.0 - CAST(var_num AS DOUBLE)
+             |        / CAST(var_den AS DOUBLE)) / 2.0
+             |    END AS alpha
+             |FROM fin""".stripMargin)),
+
+    // ---- q279: HERFINDAHL CONCENTRATION — customer revenue
+    // concentration per nation, HHI = Σwᵢ²/W² from two exact
+    // decimal(38,0) aggregates
+    // ([[graft.operators.Profiling.herfindahl]]).
+    Q(
+      "q279_herfindahl",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey".as("nk"), $"c_custkey".as("ck"),
+            ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("w"))
+        graft.operators.Profiling.herfindahl(rev, $"nk", $"ck", $"w")
+          .orderBy($"k")
+      },
+      Some("""WITH rev AS MATERIALIZED (SELECT c_nationkey AS k,
+             |    c_custkey AS e,
+             |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS w
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |st AS (SELECT k, count(*) AS n_entities,
+             |    CAST(sum(CAST(w AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sw,
+             |    CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sw2
+             |  FROM rev GROUP BY 1)
+             |SELECT k, n_entities,
+             |  CASE WHEN sw > 0 THEN CAST(sw2 AS DOUBLE)
+             |    / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) END AS hhi
+             |FROM st ORDER BY k""".stripMargin)))
+
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark
     * delay) with the flush sentinel filtered by the operator's own

@@ -153,6 +153,99 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  // --- Spearman
+
+  test("property: spearman equals midrank Pearson computed by brute force") {
+    val genRows = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        x <- Gen.chooseNum(0, 8)
+        y <- Gen.chooseNum(0, 8)
+      } yield (g, x.toDouble, y.toDouble))
+    } yield rows
+    def midranks(vs: Seq[Double]): Map[Double, Double] =
+      vs.distinct.map { v =>
+        val below = vs.count(_ < v); val ties = vs.count(_ == v)
+        v -> (below + (ties + 1) / 2.0)
+      }.toMap
+    check(Prop.forAll(genRows) { rows =>
+      val got = RankStats.spearman(rows.toDF("g", "x", "y"), $"g", $"x", $"y")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      rows.groupBy(_._1).forall { case (g, rs) =>
+        val rx = midranks(rs.map(_._2)); val ry = midranks(rs.map(_._3))
+        val pts = rs.map(r => (rx(r._2), ry(r._3)))
+        val n = pts.size.toDouble
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val syy = pts.map(p => p._2 * p._2).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        val (gn, gr) = got(g)
+        gn == rs.size.toLong && {
+          if (rs.size < 2 || vx <= 0 || vy <= 0) gr.isEmpty
+          else gr.exists(r =>
+            math.abs(r - (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+              < 1e-9)
+        }
+      }
+    })
+  }
+
+  test("spearman: monotone transform invariance") {
+    val rows = (1 to 30).map(i => ("g", i.toDouble, (i * i).toDouble))
+    val r = RankStats.spearman(rows.toDF("g", "x", "y"), $"g", $"x", $"y")
+      .collect()(0)
+    assert(r.getDouble(2) == 1.0) // perfectly monotone → rho exactly 1
+  }
+
+  // --- Cronbach's alpha
+
+  test("cronbachAlpha matches the variance-ratio formula") {
+    val rows = Seq((1L, 2L, 3L), (2L, 4L, 5L), (3L, 6L, 8L), (4L, 8L, 9L))
+    val r = Profiling.cronbachAlpha(rows.toDF("a", "b", "c"),
+      Seq("a" -> $"a", "b" -> $"b", "c" -> $"c")).collect()(0)
+    def varN(vs: Seq[Long]): BigInt = {
+      val n = BigInt(vs.size)
+      n * vs.map(v => BigInt(v) * BigInt(v)).sum -
+        vs.map(BigInt(_)).sum * vs.map(BigInt(_)).sum
+    }
+    val a = Seq(1L, 2L, 3L, 4L); val b = Seq(2L, 4L, 6L, 8L)
+    val c = Seq(3L, 5L, 8L, 9L)
+    val t = a.zip(b).zip(c).map { case ((x, y), z) => x + y + z }
+    val num = varN(a) + varN(b) + varN(c)
+    val den = varN(t)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).toBigInteger == num.bigInteger)
+    assert(r.getDecimal(3).toBigInteger == den.bigInteger)
+    assert(r.getDouble(4) ==
+      3.0 * (1.0 - num.toDouble / den.toDouble) / 2.0)
+  }
+
+  test("cronbachAlpha: zero scale variance nulls alpha") {
+    // items perfectly anticorrelated: total constant
+    val rows = Seq((1L, 9L), (5L, 5L), (9L, 1L))
+    val r = Profiling.cronbachAlpha(rows.toDF("a", "b"),
+      Seq("a" -> $"a", "b" -> $"b")).collect()(0)
+    assert(r.isNullAt(4))
+  }
+
+  // --- Herfindahl
+
+  test("herfindahl: monopoly = 1, perfect balance = 1/n, entities pre-sum") {
+    val rows = Seq(
+      (1L, 10L, 7L), // nation 1: single entity → 1.0
+      (2L, 20L, 5L), (2L, 21L, 5L), (2L, 22L, 5L), (2L, 23L, 5L), // 1/4
+      (3L, 30L, 3L), (3L, 30L, 3L), (3L, 31L, 6L)) // entity 30 sums to 6
+    val got = Profiling.herfindahl(rows.toDF("k", "e", "w"), $"k", $"e", $"w")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((4L, 0.25)))
+    assert(got(3L) == ((2L, (36.0 + 36.0) / 144.0))) // two entities of 6
+  }
+
   // --- expected calibration error
 
   test("eceFromScores: the integer-gap collapse equals the textbook bin sum") {

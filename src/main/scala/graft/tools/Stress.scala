@@ -39,7 +39,13 @@ object Stress {
     // the 10× bipartite graph, the FIFO cumulative window over the
     // full lineitem ledger, and the bucketed rank machinery
     "q236_jaro_winkler", "q227_sssp_bounded", "q241_fifo_matching",
-    "q225_roc_auc")
+    "q225_roc_auc",
+    // round-9 additions: the complete containment prefix-filter join
+    // (pair volume Σ prefix(h)·df(h) grows superlinearly with corpus
+    // density), the per-landmark BFS state (k×V rows), Spearman's
+    // double midrank build, and the per-order proration explode
+    "q266_containment_pairs", "q259_landmark_closeness",
+    "q277_spearman", "q265_revenue_recognition")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

@@ -282,6 +282,14 @@ object Dedup {
       // dst, so overlap ≤ n_dst − pos_dst, which must reach α(src)
       .filter((col("n_dst") - col("pos_dst")) * tDen >= lit(tNum) * col("n_src"))
       .select(col("id_src"), col("id_dst"))
+      // dedup BEFORE verification — the OPPOSITE trade from the
+      // Jaccard path: a moderate containment threshold makes the
+      // prefix a large fraction of the doc, so a qualifying pair is
+      // regenerated once per shared prefix shingle (dozens of times
+      // on a dense near-dup corpus) and re-verifying each copy
+      // dominated the sf1 stress (219 s → the distinct collapses the
+      // verify joins to once per pair)
+      .distinct()
     candidates
       .join(hashed.select(col("doc_id").as("id_src"), col("hs").as("hs_a")), "id_src")
       .join(hashed.select(col("doc_id").as("id_dst"), col("hs").as("hs_b")), "id_dst")
@@ -293,7 +301,6 @@ object Dedup {
         size(col("hs_a")).cast("long").as("n_src"),
         (col("overlap").cast("double") / size(col("hs_a")).cast("double"))
           .as("containment"))
-      .dropDuplicates("id_src", "id_dst")
   }
 
   /** MinHash signature via the native [[graft.functions.MinHashSignature]]

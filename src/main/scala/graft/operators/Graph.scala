@@ -737,4 +737,128 @@ object Graph {
     sym.unpersist()
     out
   }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the edges of the simple undirected graph:
+    * positive = hubs link to hubs (social nets), negative = hubs link
+    * to leaves (infrastructure/bipartite-ish). Degrees are one
+    * aggregation over the symmetrized edge list; the correlation runs
+    * over each DIRECTED orientation (the standard symmetric
+    * formulation) with six exact decimal(38,0) sufficient statistics
+    * and a pinned closed form — hash-exact. Output: one row
+    * (n_nodes, n_edges, r) — r null for degenerate graphs (all
+    * degrees equal).
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      src: Column,
+      dst: Column): DataFrame = {
+    val sym = symmetrized(edges, src, dst, "degreeAssortativity")
+      .localCheckpoint(true) // degree agg + edge join below
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val joined = sym
+      .join(deg.select(col("src").as("ja"), col("deg").as("da")),
+        col("src") === col("ja"))
+      .join(deg.select(col("src").as("jb"), col("deg").as("db")),
+        col("dst") === col("jb"))
+    val d19 = "decimal(19,0)"
+    def s38(c: Column) = sum(c.cast(d19)).cast("decimal(38,0)")
+    val st = joined.agg(
+      count(lit(1)).as("m2"), // both orientations
+      s38(col("da")).as("sa"), s38(col("db")).as("sb"),
+      s38(col("da").cast(d19) * col("db").cast(d19)).as("sab"),
+      s38(col("da").cast(d19) * col("da").cast(d19)).as("saa"),
+      s38(col("db").cast(d19) * col("db").cast(d19)).as("sbb"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    def dbl(n: String) = col(n).cast("double")
+    val mD = col("m2").cast("double")
+    val va = mD * dbl("saa") - dbl("sa") * dbl("sa")
+    val vb = mD * dbl("sbb") - dbl("sb") * dbl("sb")
+    val cov = mD * dbl("sab") - dbl("sa") * dbl("sb")
+    st.select(
+      col("n_nodes"),
+      expr("m2 div 2").as("n_edges"),
+      when(va > 0.0 && vb > 0.0, cov / (sqrt(va) * sqrt(vb)))
+        .otherwise(lit(null).cast("double")).as("r"))
+  }
+
+  /** RICH-CLUB COEFFICIENTS (Zhou & Mondragón 2004) — for each
+    * threshold k: among the nodes of degree > k, the fraction of
+    * possible edges realized, φ(k) = 2·E_k / (n_k·(n_k−1)). A rising
+    * φ(k) = an elite core that over-connects internally. All
+    * thresholds evaluate in ONE conditional aggregation over the
+    * degree-joined edge list (ks are plan literals) — exact integers,
+    * one pinned division per k. Output per k:
+    * (k, n_nodes, n_club_edges, phi) — phi null when n_k < 2.
+    */
+  def richClub(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "richClub: need at least one threshold")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = symmetrized(edges, src, dst, "richClub")
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val joined = sym
+      .join(deg.select(col("src").as("ja"), col("deg").as("da")),
+        col("src") === col("ja"))
+      .join(deg.select(col("src").as("jb"), col("deg").as("db")),
+        col("dst") === col("jb"))
+      // each undirected club edge counted once
+      .filter(col("src") < col("dst"))
+    val edgeAggs = ks.map(k =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L)).as(s"e_$k"))
+    val nodeAggs = ks.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val eRow = joined.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val nRow = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+    val one = eRow.crossJoin(broadcast(nRow))
+    val rows = ks.map { k =>
+      struct(lit(k).as("k"), col(s"n_$k").as("n_nodes"),
+        col(s"e_$k").as("n_club_edges"),
+        when(col(s"n_$k") >= 2L,
+          lit(2.0) * col(s"e_$k").cast("double")
+            / (col(s"n_$k").cast("double")
+              * (col(s"n_$k").cast("double") - lit(1.0))))
+          .otherwise(lit(null).cast("double")).as("phi"))
+    }
+    one.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.k"), col("e.n_nodes"), col("e.n_club_edges"), col("e.phi"))
+  }
+
+  /** GLOBAL CLUSTERING COEFFICIENT — the wedge-closure ratio
+    * C = 3·triangles / wedges with wedges = Σ_v deg_v·(deg_v−1)/2:
+    * how much of the graph's neighbour structure closes into
+    * triangles. Triangle mass reuses [[triangleCounts]]'s
+    * degree-ordered O(E^1.5) enumeration (Σ per-node counts = 3·T);
+    * wedges are one aggregation over degrees. Exact integers, one
+    * pinned division. Output: one row
+    * (n_nodes, n_edges, triangles, wedges, gcc) — gcc null when the
+    * graph has no wedges.
+    */
+  def globalClustering(
+      edges: DataFrame,
+      src: Column,
+      dst: Column): DataFrame = {
+    val sym = symmetrized(edges, src, dst, "globalClustering")
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(col("deg").cast("decimal(19,0)") * (col("deg") - 1).cast(
+        "decimal(19,0)")).cast("decimal(38,0)").as("w2"))
+    val triTotal = triangleCounts(sym, col("src"), col("dst"))
+      .agg(coalesce(sum(col("tri_n")), lit(0L)).as("tri3"))
+    degStats.crossJoin(broadcast(triTotal)).select(
+      col("n_nodes"), col("n_edges"),
+      expr("tri3 div 3").as("triangles"),
+      (col("w2") / 2).cast("decimal(38,0)").as("wedges"),
+      when(col("w2") > 0,
+        col("tri3").cast("double") / (col("w2").cast("double") / lit(2.0)))
+        .otherwise(lit(null).cast("double")).as("gcc"))
+  }
 }

@@ -1256,6 +1256,187 @@ object ScaleOps8 {
              |    / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) END AS hhi
              |FROM st ORDER BY k""".stripMargin)))
 
+  /** Continuation Seq 7: storage estimation + graph structure
+    * metrics over the q162 part co-purchase graph.
+    */
+  val all7: Seq[Q] = Seq(
+
+    // ---- q280: DELTA-VARINT POSTING SIZE — what would the documents
+    // inverted index cost under gap+LEB128 encoding vs raw 8-byte
+    // ids? ([[graft.operators.Encoding.postingVarintEstimate]]) Pure
+    // integer CASE thresholds at powers of 128 — hash-exact.
+    Q(
+      "q280_posting_varint",
+      (s, d) => {
+        import s.implicits._
+        val post = Tables.documents(s, d)
+          .filter($"doc_id".isNotNull)
+          .select($"doc_id",
+            explode(graft.operators.TextAnalysis.tokens($"text")).as("t"))
+        graft.operators.Encoding.postingVarintEstimate(post, $"t", $"doc_id")
+      },
+      Some(s"""WITH post AS MATERIALIZED (SELECT DISTINCT tok AS t,
+              |    doc_id AS id
+              |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+              |    WHERE doc_id IS NOT NULL)),
+              |g AS (SELECT t,
+              |    coalesce(id - lag(id) OVER (PARTITION BY t ORDER BY id), id)
+              |      AS enc
+              |  FROM post),
+              |v AS (SELECT CASE WHEN enc < 128 THEN 1
+              |    WHEN enc < 16384 THEN 2 WHEN enc < 2097152 THEN 3
+              |    WHEN enc < 268435456 THEN 4 WHEN enc < 34359738368 THEN 5
+              |    WHEN enc < 4398046511104 THEN 6 ELSE 7 END AS vb, t
+              |  FROM g)
+              |SELECT count(DISTINCT t) AS n_terms, count(*) AS n_postings,
+              |  count(*) * 8 AS raw_bytes,
+              |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+              |  CAST(sum(vb) AS DOUBLE) / CAST(count(*) * 8 AS DOUBLE)
+              |    AS ratio
+              |FROM v""".stripMargin)),
+
+    // ---- q281: RICH-CLUB COEFFICIENTS — does the co-purchase
+    // graph's high-degree elite over-connect internally?
+    // ([[graft.operators.Graph.richClub]]) One conditional
+    // aggregation for every threshold; exact integers.
+    Q(
+      "q281_rich_club",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.richClub(
+          copurchaseEdges(s, d), $"src", $"dst",
+          ks = Seq(120L, 140L, 160L, 180L))
+          .orderBy($"k")
+      },
+      Some(s"""WITH $sqlCopurchase,
+              |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+              |  UNION ALL SELECT b, a FROM canon),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym
+              |  GROUP BY 1),
+              |j AS MATERIALIZED (SELECT s.src, s.dst, da.deg AS da,
+              |    db.deg AS db
+              |  FROM sym s JOIN deg da ON s.src = da.src
+              |  JOIN deg db ON s.dst = db.src
+              |  WHERE s.src < s.dst),
+              |e AS (SELECT k,
+              |    sum(CASE WHEN da > k AND db > k THEN 1 ELSE 0 END) AS ek
+              |  FROM j CROSS JOIN (SELECT unnest([120, 140, 160, 180]) AS k)
+              |  GROUP BY 1),
+              |n AS (SELECT k, sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS nk
+              |  FROM deg CROSS JOIN (SELECT unnest([120, 140, 160, 180]) AS k)
+              |  GROUP BY 1)
+              |SELECT CAST(e.k AS BIGINT) AS k, CAST(nk AS BIGINT) AS n_nodes,
+              |  CAST(ek AS BIGINT) AS n_club_edges,
+              |  CASE WHEN nk >= 2 THEN 2.0 * CAST(ek AS DOUBLE)
+              |    / (CAST(nk AS DOUBLE) * (CAST(nk AS DOUBLE) - 1.0)) END
+              |    AS phi
+              |FROM e JOIN n ON e.k = n.k ORDER BY k""".stripMargin)),
+
+    // ---- q282: DEGREE ASSORTATIVITY — do hub parts co-purchase
+    // with other hubs? ([[graft.operators.Graph.degreeAssortativity]])
+    // Pearson over directed-orientation endpoint degrees from six
+    // decimal(38,0) statistics — hash-exact.
+    Q(
+      "q282_assortativity",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.degreeAssortativity(
+          copurchaseEdges(s, d), $"src", $"dst")
+      },
+      Some(s"""WITH $sqlCopurchase,
+              |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+              |  UNION ALL SELECT b, a FROM canon),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym
+              |  GROUP BY 1),
+              |j AS (SELECT da.deg AS da, db.deg AS db
+              |  FROM sym s JOIN deg da ON s.src = da.src
+              |  JOIN deg db ON s.dst = db.src),
+              |st AS (SELECT count(*) AS m2,
+              |    CAST(sum(CAST(da AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sa,
+              |    CAST(sum(CAST(db AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sb,
+              |    CAST(sum(CAST(da AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)))
+              |      AS DECIMAL(38,0)) AS sab,
+              |    CAST(sum(CAST(da AS DECIMAL(19,0)) * CAST(da AS DECIMAL(19,0)))
+              |      AS DECIMAL(38,0)) AS saa,
+              |    CAST(sum(CAST(db AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)))
+              |      AS DECIMAL(38,0)) AS sbb
+              |  FROM j),
+              |nn AS (SELECT count(*) AS n_nodes FROM deg)
+              |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+              |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+              |  CASE WHEN CAST(m2 AS DOUBLE) * CAST(saa AS DOUBLE)
+              |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+              |    AND CAST(m2 AS DOUBLE) * CAST(sbb AS DOUBLE)
+              |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+              |    THEN (CAST(m2 AS DOUBLE) * CAST(sab AS DOUBLE)
+              |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+              |      / (sqrt(CAST(m2 AS DOUBLE) * CAST(saa AS DOUBLE)
+              |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              |        * sqrt(CAST(m2 AS DOUBLE) * CAST(sbb AS DOUBLE)
+              |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+              |    END AS r
+              |FROM st CROSS JOIN nn""".stripMargin)),
+
+    // ---- q283: GLOBAL CLUSTERING COEFFICIENT — the wedge-closure
+    // ratio 3T/W over the co-purchase graph
+    // ([[graft.operators.Graph.globalClustering]]); triangle mass
+    // reuses the degree-ordered O(E^1.5) enumeration, wedges one
+    // aggregation over degrees.
+    Q(
+      "q283_global_clustering",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.globalClustering(
+          copurchaseEdges(s, d), $"src", $"dst")
+          .withColumn("wedges", $"wedges".cast("string"))
+      },
+      Some(s"""WITH $sqlCopurchase,
+              |tri AS MATERIALIZED (
+              |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              |  FROM canon e1
+              |  JOIN canon e2 ON e2.a = e1.b
+              |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |sym AS (SELECT a AS src FROM canon
+              |  UNION ALL SELECT b FROM canon),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym
+              |  GROUP BY 1),
+              |ds AS (SELECT count(*) AS n_nodes,
+              |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+              |    sum(CAST(deg AS BIGINT) * CAST(deg - 1 AS BIGINT)) AS w2
+              |  FROM deg),
+              |tt AS (SELECT count(*) AS t FROM tri)
+              |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges,
+              |  CAST(t AS BIGINT) AS triangles,
+              |  CAST(w2 // 2 AS VARCHAR) AS wedges,
+              |  CASE WHEN w2 > 0
+              |    THEN CAST(t * 3 AS DOUBLE) / (CAST(w2 AS DOUBLE) / 2.0)
+              |    END AS gcc
+              |FROM ds CROSS JOIN tt""".stripMargin)))
+
+  /** The q162 part co-purchase edge list: parts sharing an order,
+    * canonical (a < b).
+    */
+  private def copurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val it = Tables.lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+      .select($"l_orderkey".as("b"), $"l_partkey".as("p"))
+      .distinct()
+    it.as("l").join(it.as("r"),
+      col("l.b") === col("r.b") && col("l.p") < col("r.p"))
+      .select(col("l.p").as("src"), col("r.p").as("dst"))
+  }
+
+  private def sqlCopurchase: String =
+    """it AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS p
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |canon AS MATERIALIZED (
+      |  SELECT DISTINCT l.p AS a, r.p AS b
+      |  FROM it l JOIN it r ON l.b = r.b AND l.p < r.p)""".stripMargin
+
   /** q261 drive: q243's scrambled-slice geometry (hash-chosen
     * boundary bands moved one slice later, inside the watermark
     * delay) with the flush sentinel filtered by the operator's own

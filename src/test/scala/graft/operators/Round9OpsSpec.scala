@@ -153,6 +153,56 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  // --- graph structure metrics
+
+  test("degreeAssortativity: star graph is perfectly disassortative") {
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(es, $"a", $"b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == -1.0)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val r2 = Graph.degreeAssortativity(ring, $"a", $"b").collect()(0)
+    assert(r2.isNullAt(2)) // all degrees equal — zero variance
+  }
+
+  test("richClub: thresholds count club nodes and internal edges") {
+    // hub square 1-2-3-4 (complete K4) + pendants 5..8 one per hub
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pend = Seq((1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L))
+    val es = (k4 ++ pend).toDF("a", "b")
+    val got = Graph.richClub(es, $"a", $"b", ks = Seq(1L, 3L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+      .toMap
+    // deg(hubs) = 4, deg(pendants) = 1
+    assert(got(1L) == ((4L, 6L, 1.0))) // club = K4, fully connected
+    assert(got(3L) == ((4L, 6L, 1.0)))
+  }
+
+  test("globalClustering: triangle with a pendant gives 3T/W = 3/5") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.globalClustering(es, $"a", $"b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L) // one triangle
+    assert(r.getDecimal(3).longValueExact == 5L) // wedges 1+1+3+0
+    assert(r.getDouble(4) == 3.0 / 5.0)
+  }
+
+  // --- posting varint estimate
+
+  test("postingVarintEstimate: gaps, first-id absolute, byte widths") {
+    val rows = Seq(
+      ("t1", 5L), ("t1", 10L), ("t1", 300L), // 1 + 1 + 2 bytes (gap 290)
+      ("t2", 20000L), ("t2", 20001L), // 3 bytes (20000 ≥ 16384) + 1
+      ("t2", 20000L)) // duplicate posting collapses
+    val r = Encoding.postingVarintEstimate(rows.toDF("t", "id"), $"t", $"id")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 40L)
+    assert(r.getLong(3) == 1L + 1L + 2L + 3L + 1L)
+    assert(r.getDouble(4) == 8.0 / 40.0)
+  }
+
   // --- Spearman
 
   test("property: spearman equals midrank Pearson computed by brute force") {

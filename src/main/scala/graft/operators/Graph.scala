@@ -246,6 +246,19 @@ object Graph {
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    triangleList(canon)
+      .select(explode(array(col("pivot"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_n"))
+  }
+
+  /** The degree-ordered triangle enumeration shared by
+    * [[triangleCounts]], [[localClustering]] and [[kTruss]]: every
+    * triangle of the CANONICAL simple graph (edges stored once as
+    * a < b) exactly once, as (pivot, v, w). O(E^1.5) wedge work with
+    * the bloom pre-filter before the close-join — see
+    * [[triangleCounts]]' scaladoc for the full scale argument.
+    */
+  private def triangleList(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -278,13 +291,97 @@ object Graph {
     val wedgeKey = xxhash64(least(col("v"), col("w")), greatest(col("v"), col("w")))
     val candidates = BloomJoin.bloomPreFilter(
       wedges, canon, wedgeKey, xxhash64(col("a"), col("b")))
-    val tris = candidates.join(canon,
+    candidates.join(canon,
         (least(col("v"), col("w")) === col("a")) &&
           (greatest(col("v"), col("w")) === col("b")))
       .select(col("pivot"), col("v"), col("w"))
-    tris
+  }
+
+  /** PER-NODE LOCAL CLUSTERING COEFFICIENT — Watts & Strogatz 1998:
+    * lcc(v) = triangles through v / (deg(v)·(deg(v)−1)/2), how
+    * interconnected each node's neighbourhood is (the per-node
+    * sibling of [[globalClustering]]). Triangle mass via the shared
+    * degree-ordered O(E^1.5) enumeration; degrees one aggregation.
+    * Exact integers + one pinned division. Output: (node, deg,
+    * tri_n, lcc) for every node — tri_n 0 and lcc 0.0 when no
+    * triangle closes, lcc null for degree-1 nodes (undefined).
+    */
+  def localClustering(
+      edges: DataFrame,
+      src: Column,
+      dst: Column): DataFrame = {
+    val sym = symmetrized(edges, src, dst, "localClustering")
+      .localCheckpoint(true)
+    val canon = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = triangleList(canon)
       .select(explode(array(col("pivot"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_n"))
+    deg.join(tri, Seq("node"), "left")
+      .select(
+        col("node"), col("deg"),
+        coalesce(col("tri_n"), lit(0L)).as("tri_n"),
+        when(col("deg") >= 2L,
+          lit(2.0) * coalesce(col("tri_n"), lit(0L)).cast("double")
+            / (col("deg").cast("double") * (col("deg").cast("double") - 1.0)))
+          .otherwise(lit(null).cast("double")).as("lcc"))
+  }
+
+  /** K-TRUSS — the maximal subgraph in which every edge sits on at
+    * least k−2 triangles (Cohen 2008): the standard cohesive-core
+    * extractor that is stricter than k-core (which bounds degree, not
+    * closure) and cheaper than clique enumeration. Iterative peeling:
+    * compute per-edge triangle support with the shared degree-ordered
+    * O(E^1.5) enumeration, drop edges under the threshold, repeat
+    * until a fixpoint — supports only DECREASE as edges leave, so
+    * peeling is monotone and converges; each round is bounded by the
+    * triangle-count plan, and the edge set only shrinks. Rounds
+    * localCheckpoint eagerly (the two count actions materialize them
+    * anyway), keeping lineage flat. Raises loudly after `maxIter`
+    * rounds rather than running silently unbounded.
+    *
+    * Output: (a, b, support) per surviving canonical edge — support
+    * measured WITHIN the converged truss, all exact integers.
+    */
+  def kTruss(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      k: Int,
+      maxIter: Int = 12): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    val sym = symmetrized(edges, src, dst, "kTruss")
+    var e = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    var result: DataFrame = null
+    var iter = 0
+    while (result == null) {
+      iter += 1
+      require(iter <= maxIter,
+        s"kTruss: no fixpoint after $maxIter peeling rounds")
+      val tris = triangleList(e)
+      // each triangle supports its 3 canonical edges; pivot/v/w carry
+      // no orientation promise relative to a<b, so re-canonicalize
+      val sup = tris.select(explode(array(
+          struct(least(col("pivot"), col("v")).as("a"),
+            greatest(col("pivot"), col("v")).as("b")),
+          struct(least(col("pivot"), col("w")).as("a"),
+            greatest(col("pivot"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val kept = sup.filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
+      val before = e.count()
+      val after = kept.count()
+      if (after == before || after == 0L) result = kept
+      else e = kept.select(col("a"), col("b")).localCheckpoint(true)
+    }
+    result
   }
 
   /** HITS hubs-and-authorities over a DIRECTED edge list, `iters`

@@ -754,4 +754,60 @@ object Profiling {
         col("gw").as("gini_weighted"),
         (lit(2.0) * pD * (nD - pD) / (nD * nD) - col("gw")).as("gini_gain"))
   }
+
+  /** POWER-LAW TAIL EXPONENT — the continuous MLE of Clauset, Shalizi
+    * & Newman 2009: α = 1 + n / Σ ln(xᵢ/xmin) over the tail
+    * xᵢ ≥ xmin. The heavy-tail health check of every degree / token-
+    * frequency / popularity distribution (α ≈ 2–3 is Zipf-like; a
+    * drifting α flags corpus skew before it breaks partitioning).
+    *
+    * Scale + determinism: rows first collapse to DISTINCT INTEGER
+    * value cells (one partial-aggregable pass — the data never sorts
+    * globally); the ln terms then fold through an ORDERED running
+    * window over the cells in value order, coalesced to one partition
+    * — bounded because the cells of an integer distribution number at
+    * most max(x), and guarded by `maxCells` (raises loudly beyond,
+    * rather than silently melting a reducer). The single-partition
+    * fold pins the double-sum order so an oracle can replay it
+    * term-for-term; ln itself is libm-dependent, so gate at 1e-9
+    * rather than hash-matching. Output one row: (n_tail, x_min,
+    * ln_sum, alpha) — alpha null when every tail value equals xmin.
+    *
+    * Contract: x must be a non-null positive integer; xmin ≥ 1.
+    */
+  def powerLawAlpha(
+      df: DataFrame,
+      x: Column,
+      xmin: Long,
+      maxCells: Int = 1000000): DataFrame = {
+    require(xmin >= 1L, s"powerLawAlpha: xmin must be >= 1, got $xmin")
+    val xL = x.cast("long")
+    val xG = when(xL.isNull || xL <= 0L, raise_error(lit(
+      "powerLawAlpha: x must be non-null and positive"))).otherwise(xL)
+    val cells = df.select(xG.as("x")).filter(col("x") >= xmin)
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .coalesce(1)
+    val wCum = Window.orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capGuard = when(
+      count(lit(1)).over(Window.partitionBy(lit(1))) > maxCells.toLong,
+      raise_error(lit(s"powerLawAlpha: more than $maxCells distinct " +
+        "value cells — not an integer-like distribution")))
+    val folded = cells
+      .withColumn("lns", sum(
+        when(capGuard.isNull,
+          col("c").cast("double") *
+            log(col("x").cast("double") / lit(xmin.toDouble))))
+        .over(wCum))
+      .withColumn("cum_n", sum(col("c")).over(wCum))
+    folded.agg(
+      max(struct(col("x"), col("lns"), col("cum_n"))).as("fin"))
+      .select(
+        col("fin.cum_n").as("n_tail"),
+        lit(xmin).as("x_min"),
+        col("fin.lns").as("ln_sum"),
+        when(col("fin.lns") > 0.0,
+          lit(1.0) + col("fin.cum_n").cast("double") / col("fin.lns"))
+          .otherwise(lit(null).cast("double")).as("alpha"))
+  }
 }

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 continuation (q284+): ranked-retrieval evaluation, graph
+  * structure, and further scale-shaped analytics.
+  */
+object ScaleOps9 {
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q284: RANKED-RETRIEVAL METRICS — treat each supplier's
+    // distinct parts as a scored candidate list (best line price
+    // ranks; graded relevance from best kept-quantity bucket) and
+    // evaluate NDCG@10 / AP / RR per supplier
+    // ([[graft.operators.RankingMetrics]]). Per-query windows only
+    // (a task owns one supplier's list); log2-discount doubles
+    // re-derived by the oracle in the same pinned order, 1e-9 gate,
+    // poison row on any mismatch. The (supplier, part) pre-aggregate
+    // uses only order-independent max() so the candidate rows are
+    // engine-stable.
+    Q(
+      "q284_ranking_metrics",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_suppkey".isNotNull && $"l_partkey".isNotNull &&
+            $"l_extendedprice".isNotNull &&
+            $"l_quantity".isNotNull && $"l_returnflag".isNotNull)
+          .groupBy($"l_suppkey".as("q"), $"l_partkey".as("i"))
+          .agg(
+            max($"l_extendedprice").as("s"),
+            max(when($"l_returnflag" === "N",
+              least(floor($"l_quantity" / 16).cast("long"), lit(3L)))
+              .otherwise(0L)).as("r"))
+        graft.operators.RankingMetrics.rankingMetrics(
+          li, $"q", $"i", $"s", $"r", k = 10)
+          .withColumnRenamed("q", "suppkey")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q284_ranking_metrics/*.parquet')),
+             |base AS MATERIALIZED (SELECT l_suppkey AS q,
+             |    l_partkey AS i,
+             |    max(l_extendedprice) AS s,
+             |    max(CASE WHEN l_returnflag = 'N'
+             |      THEN least(CAST(floor(l_quantity / 16) AS BIGINT), 3)
+             |      ELSE 0 END) AS r
+             |  FROM lineitem
+             |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |    AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ranked AS MATERIALIZED (SELECT q, i, s, r,
+             |    row_number() OVER (PARTITION BY q ORDER BY s DESC, i ASC)
+             |      AS pos,
+             |    row_number() OVER (PARTITION BY q ORDER BY r DESC, i ASC)
+             |      AS ipos
+             |  FROM base),
+             |folded AS MATERIALIZED (SELECT q, r, pos, ipos,
+             |    sum(CASE WHEN pos <= 10 THEN
+             |        CAST((CAST(1 AS BIGINT) << CAST(r AS INTEGER)) - 1
+             |          AS DOUBLE) / log2(CAST(pos + 1 AS DOUBLE))
+             |      ELSE CAST('0' AS DOUBLE) END)
+             |      OVER (PARTITION BY q ORDER BY pos ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS dcg_cum,
+             |    sum(CASE WHEN ipos <= 10 THEN
+             |        CAST((CAST(1 AS BIGINT) << CAST(r AS INTEGER)) - 1
+             |          AS DOUBLE) / log2(CAST(ipos + 1 AS DOUBLE))
+             |      ELSE CAST('0' AS DOUBLE) END)
+             |      OVER (PARTITION BY q ORDER BY ipos ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS idcg_cum,
+             |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY q ORDER BY pos ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS hits_cum
+             |  FROM ranked),
+             |folded2 AS MATERIALIZED (SELECT q, r, pos, ipos, dcg_cum,
+             |    idcg_cum, hits_cum,
+             |    sum(CASE WHEN r > 0 THEN CAST(hits_cum AS DOUBLE)
+             |        / CAST(pos AS DOUBLE) ELSE CAST('0' AS DOUBLE) END)
+             |      OVER (PARTITION BY q ORDER BY pos ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS prec_cum
+             |  FROM folded),
+             |expect AS MATERIALIZED (SELECT q AS suppkey,
+             |    count(*) AS n_items,
+             |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS n_rel,
+             |    max_by(dcg_cum, pos) AS dcg_k,
+             |    max_by(idcg_cum, ipos) AS idcg_k,
+             |    max_by(prec_cum, pos) AS psum,
+             |    min(CASE WHEN r > 0 THEN pos END) AS fh
+             |  FROM folded2 GROUP BY q),
+             |expect2 AS MATERIALIZED (SELECT suppkey, n_items, n_rel, dcg_k,
+             |    CASE WHEN idcg_k > 0 THEN dcg_k / idcg_k END AS ndcg_k,
+             |    CASE WHEN n_rel > 0 THEN psum / CAST(n_rel AS DOUBLE) END
+             |      AS ap,
+             |    CASE WHEN fh IS NOT NULL
+             |      THEN CAST('1' AS DOUBLE) / CAST(fh AS DOUBLE) END AS rr
+             |  FROM expect),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect2)
+             |    AND (SELECT count(DISTINCT suppkey) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      JOIN expect2 x ON e.suppkey = x.suppkey
+             |      WHERE e.n_items <> x.n_items OR e.n_rel <> x.n_rel
+             |        OR abs(e.dcg_k - x.dcg_k) > 1e-9
+             |        OR (e.ndcg_k IS NULL) <> (x.ndcg_k IS NULL)
+             |        OR abs(coalesce(e.ndcg_k, 0) - coalesce(x.ndcg_k, 0)) > 1e-9
+             |        OR (e.ap IS NULL) <> (x.ap IS NULL)
+             |        OR abs(coalesce(e.ap, 0) - coalesce(x.ap, 0)) > 1e-9
+             |        OR (e.rr IS NULL) <> (x.rr IS NULL)
+             |        OR abs(coalesce(e.rr, 0) - coalesce(x.rr, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.suppkey NOT IN (SELECT suppkey FROM expect2))
+             |  ) AS ok)
+             |SELECT suppkey, n_items, n_rel, dcg_k, ndcg_k, ap, rr
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q285: LOCAL CLUSTERING COEFFICIENT per node — how
+    // interconnected is each part's co-purchase neighbourhood?
+    // ([[graft.operators.Graph.localClustering]]) Shared
+    // degree-ordered O(E^1.5) triangle enumeration + one degree
+    // aggregation; exact integers, one pinned division — hash-exact.
+    Q(
+      "q285_local_clustering",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.localClustering(
+          copurchaseEdges(s, d), $"src", $"dst")
+      },
+      Some(s"""WITH ${sqlCopurchase()},
+              |tri AS MATERIALIZED (
+              |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              |  FROM canon e1
+              |  JOIN canon e2 ON e2.a = e1.b
+              |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |tcount AS MATERIALIZED (SELECT node, count(*) AS tri_n
+              |  FROM (SELECT n1 AS node FROM tri
+              |    UNION ALL SELECT n2 FROM tri
+              |    UNION ALL SELECT n3 FROM tri)
+              |  GROUP BY 1),
+              |sym AS (SELECT a AS src FROM canon
+              |  UNION ALL SELECT b FROM canon),
+              |deg AS (SELECT src AS node, count(*) AS deg FROM sym
+              |  GROUP BY 1)
+              |SELECT d.node, d.deg,
+              |  coalesce(t.tri_n, 0) AS tri_n,
+              |  CASE WHEN d.deg >= 2 THEN
+              |    2.0 * CAST(coalesce(t.tri_n, 0) AS DOUBLE)
+              |      / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+              |  END AS lcc
+              |FROM deg d LEFT JOIN tcount t ON d.node = t.node""".stripMargin)),
+
+    // ---- q286: K-TRUSS — the cohesive core of the high-value
+    // co-purchase graph: every surviving edge sits on ≥ 3 triangles
+    // (k = 5) within the truss ([[graft.operators.Graph.kTruss]]).
+    // Iterative peeling (converges in ≤ 6 rounds on this data; the
+    // oracle unrolls 9 monotone rounds — extra rounds are no-ops
+    // after the fixpoint). Exact integers — hash-exact.
+    Q(
+      "q286_ktruss",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Graph.kTruss(
+          copurchaseEdges(s, d, minPrice = 50000.0),
+          $"src", $"dst", k = 5, maxIter = 9)
+      },
+      Some(sqlKtruss(rounds = 9, minSup = 3))),
+
+    // ---- q287: POWER-LAW TAIL EXPONENT of the token-frequency
+    // distribution — the Zipf health check
+    // ([[graft.operators.Profiling.powerLawAlpha]], Clauset-Shalizi-
+    // Newman MLE, xmin = 5). Frequencies collapse to distinct value
+    // cells; ln terms fold in ONE pinned value order; the oracle
+    // replays the fold term-for-term and gates at 1e-9 (libm ln),
+    // poison row on mismatch.
+    Q(
+      "q287_power_law_alpha",
+      (s, d) => {
+        import s.implicits._
+        val freq = Tables.documents(s, d)
+          .filter($"doc_id".isNotNull)
+          .select(explode(graft.operators.TextAnalysis.tokens($"text"))
+            .as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("f"))
+        graft.operators.Profiling.powerLawAlpha(freq, $"f", xmin = 5L)
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q287_power_law_alpha/*.parquet')),
+              |freq AS MATERIALIZED (SELECT tok, count(*) AS f
+              |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+              |    WHERE doc_id IS NOT NULL)
+              |  GROUP BY 1),
+              |cells AS MATERIALIZED (SELECT f AS x, count(*) AS c
+              |  FROM freq WHERE f >= 5 GROUP BY 1),
+              |folded AS (SELECT x,
+              |    sum(CAST(c AS DOUBLE) * ln(CAST(x AS DOUBLE) / 5.0))
+              |      OVER (ORDER BY x ASC
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS lns,
+              |    sum(c) OVER (ORDER BY x ASC
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum_n
+              |  FROM cells),
+              |expect AS (SELECT max_by(cum_n, x) AS n_tail,
+              |    CAST(5 AS BIGINT) AS x_min,
+              |    max_by(lns, x) AS ln_sum
+              |  FROM folded),
+              |expect2 AS (SELECT n_tail, x_min, ln_sum,
+              |    CASE WHEN ln_sum > 0 THEN 1.0 + CAST(n_tail AS DOUBLE) / ln_sum
+              |      END AS alpha
+              |  FROM expect),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = 1
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e, expect2 x
+              |      WHERE e.n_tail <> x.n_tail OR e.x_min <> x.x_min
+              |        OR abs(e.ln_sum - x.ln_sum) > 1e-9
+              |        OR (e.alpha IS NULL) <> (x.alpha IS NULL)
+              |        OR abs(coalesce(e.alpha, 0) - coalesce(x.alpha, 0)) > 1e-9)
+              |  ) AS ok)
+              |SELECT n_tail, x_min, ln_sum, alpha FROM emitted
+              |WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+
+  /** The q162-family part co-purchase edge list: parts sharing an
+    * order (lines above `minPrice` only), canonical (a < b).
+    */
+  private def copurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      minPrice: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val it = Tables.lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
+        $"l_extendedprice" > minPrice)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+    it.as("l").join(it.as("r"),
+      col("l.o") === col("r.o") && col("l.p") < col("r.p"))
+      .select(col("l.p").as("src"), col("r.p").as("dst"))
+  }
+
+  private def sqlCopurchase(minPrice: String = "0"): String =
+    s"""it AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       |    AND l_extendedprice > $minPrice),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT l.p AS a, r.p AS b
+       |  FROM it l JOIN it r ON l.o = r.o AND l.p < r.p)""".stripMargin
+
+  /** The q286 oracle: `rounds` unrolled peeling rounds over the
+    * high-value co-purchase graph, then the converged supports.
+    * Peeling is monotone, so rounds past the fixpoint are no-ops;
+    * the Spark side raises if it needs more than `rounds`.
+    */
+  private def sqlKtruss(rounds: Int, minSup: Int): String = {
+    val head = s"""WITH ${sqlCopurchase(minPrice = "50000")},
+                  |r0 AS MATERIALIZED (SELECT a, b FROM canon)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM r${i - 1} e1
+         |  JOIN r${i - 1} e2 ON e2.a = e1.b
+         |  JOIN r${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |r$i AS MATERIALIZED (SELECT a, b FROM (
+         |    SELECT a, b, count(*) AS sup FROM (
+         |      SELECT x AS a, y AS b FROM t$i
+         |      UNION ALL SELECT x, z FROM t$i
+         |      UNION ALL SELECT y, z FROM t$i)
+         |    GROUP BY 1, 2)
+         |  WHERE sup >= $minSup)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"""tf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 |  FROM r$rounds e1
+                 |  JOIN r$rounds e2 ON e2.a = e1.b
+                 |  JOIN r$rounds e3 ON e3.a = e1.a AND e3.b = e2.b)
+                 |SELECT a, b, support FROM (
+                 |  SELECT a, b, count(*) AS support FROM (
+                 |    SELECT x AS a, y AS b FROM tf
+                 |    UNION ALL SELECT x, z FROM tf
+                 |    UNION ALL SELECT y, z FROM tf)
+                 |  GROUP BY 1, 2)
+                 |WHERE support >= $minSup""".stripMargin
+    s"$head,\n$body,\n$fin"
+  }
+}

@@ -203,6 +203,118 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 8.0 / 40.0)
   }
 
+  // --- local clustering / k-truss / power law
+
+  test("localClustering: triangle+pendant hand-check") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.localClustering(es, $"a", $"b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(4L)._1 == 1L && got(4L)._2 == 0L && got(4L)._3.isNaN)
+  }
+
+  test("kTruss: peels the pendant triangle off the K4 core") {
+    // K4 on 1..4 (every edge on 2 triangles) + triangle (4,5,6)
+    // hanging off node 4 (its edges sit on exactly 1 triangle)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val hang = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val es = (k4 ++ hang).toDF("a", "b")
+    val t4 = Graph.kTruss(es, $"a", $"b", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == k4.toSet)
+    assert(t4.values.forall(_ == 2L))
+    // k=3 keeps everything (all edges on >= 1 triangle)
+    val t3 = Graph.kTruss(es, $"a", $"b", k = 3).collect()
+    assert(t3.length == 9)
+    // a pure star has no triangles: empty truss
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    assert(Graph.kTruss(star, $"a", $"b", k = 3).collect().isEmpty)
+  }
+
+  test("kTruss: raises when maxIter rounds do not reach the fixpoint") {
+    // K4 + hanging triangle needs 2 rounds under k=4: round 1 drops
+    // the hanging edges, round 2 confirms the K4 fixpoint
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val es = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      Graph.kTruss(es, $"a", $"b", k = 4, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("powerLawAlpha: matches the closed form on a hand distribution") {
+    // values: 5 x3, 10 x2, 20 x1; xmin=5 → n=6,
+    // lnsum = 2·ln(2) + ln(4)
+    val xs = Seq(5L, 5L, 5L, 10L, 10L, 20L, 3L, 1L).toDF("x")
+    val r = Profiling.powerLawAlpha(xs, $"x", xmin = 5L).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L)
+    val lnsum = 2.0 * math.log(10.0 / 5.0) + math.log(20.0 / 5.0)
+    assert(math.abs(r.getDouble(2) - lnsum) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (1.0 + 6.0 / lnsum)) < 1e-12)
+    // degenerate: all values at xmin → alpha null
+    val deg = Seq(5L, 5L).toDF("x")
+    val r2 = Profiling.powerLawAlpha(deg, $"x", xmin = 5L).collect()(0)
+    assert(r2.getLong(0) == 2L && r2.getDouble(2) == 0.0 && r2.isNullAt(3))
+  }
+
+  // --- ranked-retrieval metrics
+
+  test("rankingMetrics: textbook NDCG/AP/RR hand-check") {
+    // one query, 5 items ranked by score: rels in rank order 3,0,1,0,2
+    val rows = Seq(
+      ("a", 1L, 50.0, 3L), ("a", 2L, 40.0, 0L), ("a", 3L, 30.0, 1L),
+      ("a", 4L, 20.0, 0L), ("a", 5L, 10.0, 2L))
+    val r = RankingMetrics.rankingMetrics(
+      rows.toDF("q", "i", "s", "r"), $"q", $"i", $"s", $"r", k = 5)
+      .collect()(0)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 7.0 / lg2(2) + 0.0 + 1.0 / lg2(4) + 0.0 + 3.0 / lg2(6)
+    // ideal order rels: 3,2,1,0,0
+    val idcg = 7.0 / lg2(2) + 3.0 / lg2(3) + 1.0 / lg2(4)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - dcg) < 1e-12)
+    assert(math.abs(r.getDouble(4) - dcg / idcg) < 1e-12)
+    // hits at positions 1,3,5 → AP = (1/1 + 2/3 + 3/5)/3
+    assert(math.abs(r.getDouble(5) - (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0) < 1e-12)
+    assert(r.getDouble(6) == 1.0)
+  }
+
+  test("rankingMetrics: cutoff k, score ties break by item id, no-rel nulls") {
+    // tied scores: item 1 (rel 0) ranks before item 2 (rel 1); k=1
+    // sees only the irrelevant item, so DCG@1 = 0 but IDCG@1 > 0
+    val rows = Seq(("a", 1L, 5.0, 0L), ("a", 2L, 5.0, 1L),
+      ("b", 7L, 1.0, 0L))
+    val got = RankingMetrics.rankingMetrics(
+      rows.toDF("q", "i", "s", "r"), $"q", $"i", $"s", $"r", k = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getDouble(3) == 0.0 && a.getDouble(4) == 0.0)
+    assert(a.getDouble(5) == 0.5) // hit at pos 2: (2's prec 1/2)/1
+    assert(a.getDouble(6) == 0.5)
+    val b = got("b")
+    assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
+  }
+
+  test("rankingMetrics: duplicate item ids and out-of-range rel raise") {
+    val dup = Seq(("a", 1L, 5.0, 0L), ("a", 1L, 4.0, 1L))
+      .toDF("q", "i", "s", "r")
+    val e = intercept[Exception] {
+      RankingMetrics.rankingMetrics(dup, $"q", $"i", $"s", $"r", k = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate item"))
+    val bad = Seq(("a", 1L, 5.0, 31L)).toDF("q", "i", "s", "r")
+    val e2 = intercept[Exception] {
+      RankingMetrics.rankingMetrics(bad, $"q", $"i", $"s", $"r", k = 2)
+        .collect()
+    }
+    assert(e2.getMessage.contains("[0, 30]"))
+  }
+
   // --- Spearman
 
   test("property: spearman equals midrank Pearson computed by brute force") {

@@ -810,4 +810,79 @@ object Profiling {
           lit(1.0) + col("fin.cum_n").cast("double") / col("fin.lns"))
           .otherwise(lit(null).cast("double")).as("alpha"))
   }
+
+  /** CATEGORICAL ASSOCIATION between two columns — the dependence
+    * screen of every feature audit: Pearson χ² over the FULL r×c
+    * contingency grid (zero cells contribute their expectation),
+    * Cramér's V = √(χ²/(n·min(r−1, c−1))), and mutual information
+    * I(A;B) = Σ (cᵢⱼ/n)·ln(n·cᵢⱼ/(rᵢ·cⱼ)) in nats over the occupied
+    * cells.
+    *
+    * Scale + determinism: rows collapse once to contingency cells
+    * (partial-aggregable — the data never shuffles by row); margins
+    * and the full grid live on the r×c cell table, which the
+    * `maxCells` guard keeps bounded (raises loudly on a
+    * non-categorical column). The per-cell double terms then fold in
+    * ONE pinned (a, b) order on a single partition, so an oracle can
+    * replay the sum term-for-term; ln is libm-dependent — gate at
+    * 1e-9. Output one row: (n, n_rows, n_cols, chi2, cramers_v, mi)
+    * — cramers_v null when min(r−1, c−1) = 0.
+    *
+    * Contract: nulls in either column raise (filter first — a null
+    * category is a modeling decision, not a default).
+    */
+  def categoricalAssociation(
+      df: DataFrame,
+      a: Column,
+      b: Column,
+      maxCells: Int = 100000): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"categoricalAssociation: $name must be non-null")))
+        .otherwise(c.cast("string"))
+    val cells = df.select(g(a, "a").as("ai"), g(b, "b").as("bi"))
+      .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // margins + grid below
+    val rowTot = cells.groupBy(col("ai")).agg(sum(col("c")).as("ri"))
+    val colTot = cells.groupBy(col("bi")).agg(sum(col("c")).as("cj"))
+    // full grid incl. zero cells: bounded r×c, broadcast-sized by the
+    // maxCells guard below
+    val grid = rowTot.crossJoin(colTot)
+      .join(cells, Seq("ai", "bi"), "left")
+      .withColumn("cij", coalesce(col("c"), lit(0L)))
+      .coalesce(1)
+    val wAll = Window.partitionBy(lit(1))
+    val capGuard = when(count(lit(1)).over(wAll) > maxCells.toLong,
+      raise_error(lit(s"categoricalAssociation: more than $maxCells " +
+        "grid cells — not categorical columns")))
+    val nD = sum(col("cij")).over(wAll).cast("double")
+    val eij = col("ri").cast("double") * col("cj").cast("double") / nD
+    val chiTerm = (col("cij").cast("double") - eij) *
+      (col("cij").cast("double") - eij) / eij
+    val miTerm = when(col("cij") > 0L,
+      (col("cij").cast("double") / nD)
+        * log(nD * col("cij").cast("double")
+          / (col("ri").cast("double") * col("cj").cast("double"))))
+      .otherwise(lit(0.0))
+    val wCum = Window.orderBy(col("ai").asc, col("bi").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = grid
+      .withColumn("chi_cum",
+        sum(when(capGuard.isNull, chiTerm)).over(wCum))
+      .withColumn("mi_cum", sum(miTerm).over(wCum))
+    folded.agg(
+      max(struct(col("ai"), col("bi"), col("chi_cum"), col("mi_cum")))
+        .as("fin"),
+      count_distinct(col("ai")).as("n_rows"),
+      count_distinct(col("bi")).as("n_cols"),
+      sum(col("cij")).as("n"))
+      .select(
+        col("n"), col("n_rows"), col("n_cols"),
+        col("fin.chi_cum").as("chi2"),
+        when(least(col("n_rows"), col("n_cols")) >= 2L,
+          sqrt(col("fin.chi_cum") / (col("n").cast("double")
+            * least(col("n_rows") - 1L, col("n_cols") - 1L).cast("double"))))
+          .otherwise(lit(null).cast("double")).as("cramers_v"),
+        col("fin.mi_cum").as("mi"))
+  }
 }

@@ -904,6 +904,43 @@ object TextAnalysis {
     * toward `n_docs`. Output per bucket:
     * (bucket, n_docs, new_tokens, vocab_cum).
     */
+  /** RAKE keyword scores (Rose et al. 2010) — the stopword-delimited
+    * co-occurrence ranking that needs no model: tokens split into
+    * PHRASES at stopword boundaries; a word's degree is the summed
+    * length of every phrase it occurs in (self included), its
+    * frequency the occurrence count, and score = deg/freq favors
+    * words that travel in long multi-word phrases.
+    *
+    * Scale shape: the only window is the per-document
+    * phrase-boundary prefix count (a task owns one doc's token list
+    * — bounded by doc length), then everything is plain
+    * partial-aggregable groupBys on (doc, phrase) and word. Exact
+    * integers + one pinned division per word — hash-exact in any
+    * engine. Output: (word, freq, deg, score) per non-stopword word.
+    */
+  def rakeScores(
+      df: DataFrame,
+      docId: Column,
+      text: Column,
+      stopwords: Seq[String] = stopwordsEn): DataFrame = {
+    require(stopwords.nonEmpty, "rakeScores: stopword list is empty")
+    val toks = df.select(docId.as("doc"), posexplode(tokens(text))
+      .as(Seq("idx", "w")))
+    val stop = col("w").isin(stopwords: _*)
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrased = toks
+      .withColumn("ph", sum(when(stop, 1L).otherwise(0L)).over(wDoc))
+      .filter(!stop)
+    val phraseLen = phrased.groupBy(col("doc"), col("ph"))
+      .agg(count(lit(1)).as("plen"))
+    phrased.join(phraseLen, Seq("doc", "ph"))
+      .groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score",
+        col("deg").cast("double") / col("freq").cast("double"))
+  }
+
   def vocabularyGrowth(
       df: DataFrame,
       id: Column,

@@ -235,6 +235,164 @@ object ScaleOps9 {
               |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
               |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
 
+  /** Continuation Seq 2: spatial blocking, categorical dependence,
+    * keyword extraction.
+    */
+  val all2: Seq[Q] = Seq(
+
+    // ---- q288: SPATIAL RADIUS JOIN — all embedding pairs within
+    // Euclidean 0.05 of each other in the (dim1, dim2) plane, via
+    // grid-cell blocking ([[graft.operators.Spatial.radiusJoin]]):
+    // cell side = radius, 9-neighborhood equi-join, exact distance
+    // verify — never all-pairs. The oracle IS all-pairs (an interval
+    // prefilter + the identical pinned dist² expression), so blocking
+    // completeness is verified exactly; dist² is IEEE-pinned on both
+    // sides — hash-exact.
+    Q(
+      "q288_spatial_radius_join",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, d)
+          .filter($"vec_id".isNotNull && size($"embedding") >= 2)
+          .select($"vec_id",
+            element_at($"embedding", 1).cast("double").as("x"),
+            element_at($"embedding", 2).cast("double").as("y"))
+        graft.operators.Spatial.radiusJoin(
+          pts, $"vec_id", $"x", $"y", radius = 0.05)
+      },
+      Some("""WITH pts AS MATERIALIZED (SELECT vec_id,
+             |    CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings
+             |  WHERE vec_id IS NOT NULL AND len(embedding) >= 2)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |    AS dist2
+             |FROM pts a JOIN pts b
+             |  ON a.vec_id < b.vec_id
+             |  AND b.x BETWEEN a.x - CAST('0.05' AS DOUBLE)
+             |    AND a.x + CAST('0.05' AS DOUBLE)
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |  <= CAST('0.05' AS DOUBLE) * CAST('0.05' AS DOUBLE)""".stripMargin)),
+
+    // ---- q289: CATEGORICAL ASSOCIATION — are order priority and
+    // order status independent? χ² over the full grid (zero cells
+    // included), Cramér's V, and mutual information
+    // ([[graft.operators.Profiling.categoricalAssociation]]). Cells
+    // fold in one pinned (a, b) order; the oracle replays the fold
+    // term-for-term and gates at 1e-9 (libm ln), poison on mismatch.
+    Q(
+      "q289_categorical_assoc",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .filter($"o_orderpriority".isNotNull && $"o_orderstatus".isNotNull)
+        graft.operators.Profiling.categoricalAssociation(
+          o, $"o_orderpriority", $"o_orderstatus")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q289_categorical_assoc/*.parquet')),
+             |cells AS MATERIALIZED (SELECT o_orderpriority AS ai,
+             |    o_orderstatus AS bi, count(*) AS c
+             |  FROM orders
+             |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rt AS MATERIALIZED (SELECT ai, sum(c) AS ri FROM cells GROUP BY 1),
+             |ct AS MATERIALIZED (SELECT bi, sum(c) AS cj FROM cells GROUP BY 1),
+             |grid AS MATERIALIZED (SELECT rt.ai, ct.bi, rt.ri, ct.cj,
+             |    coalesce(cells.c, 0) AS cij
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN cells ON cells.ai = rt.ai AND cells.bi = ct.bi),
+             |tot AS MATERIALIZED (SELECT CAST(sum(cij) AS DOUBLE) AS nd,
+             |    CAST(sum(cij) AS BIGINT) AS n FROM grid),
+             |folded AS (SELECT ai, bi,
+             |    sum((CAST(cij AS DOUBLE)
+             |        - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / nd)
+             |      * (CAST(cij AS DOUBLE)
+             |        - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / nd)
+             |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / nd))
+             |      OVER (ORDER BY ai ASC, bi ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS chi_cum,
+             |    sum(CASE WHEN cij > 0 THEN
+             |        (CAST(cij AS DOUBLE) / nd)
+             |          * ln(nd * CAST(cij AS DOUBLE)
+             |            / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))
+             |      ELSE CAST('0' AS DOUBLE) END)
+             |      OVER (ORDER BY ai ASC, bi ASC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS mi_cum,
+             |    row_number() OVER (ORDER BY ai ASC, bi ASC) AS rn
+             |  FROM grid CROSS JOIN tot),
+             |expect AS (SELECT
+             |    (SELECT n FROM tot) AS n,
+             |    (SELECT count(*) FROM rt) AS n_rows,
+             |    (SELECT count(*) FROM ct) AS n_cols,
+             |    max_by(chi_cum, rn) AS chi2,
+             |    max_by(mi_cum, rn) AS mi
+             |  FROM folded),
+             |expect2 AS (SELECT n, n_rows, n_cols, chi2,
+             |    CASE WHEN least(n_rows, n_cols) >= 2 THEN
+             |      sqrt(chi2 / (CAST(n AS DOUBLE)
+             |        * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))
+             |    END AS cramers_v, mi
+             |  FROM expect),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e, expect2 x
+             |      WHERE e.n <> x.n OR e.n_rows <> x.n_rows
+             |        OR e.n_cols <> x.n_cols
+             |        OR abs(e.chi2 - x.chi2) > 1e-9
+             |        OR (e.cramers_v IS NULL) <> (x.cramers_v IS NULL)
+             |        OR abs(coalesce(e.cramers_v, 0) - coalesce(x.cramers_v, 0)) > 1e-9
+             |        OR abs(e.mi - x.mi) > 1e-9)
+             |  ) AS ok)
+             |SELECT n, n_rows, n_cols, chi2, cramers_v, mi FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q290: RAKE KEYWORD SCORES — stopword-delimited phrase
+    // co-occurrence ranking over the documents corpus
+    // ([[graft.operators.TextAnalysis.rakeScores]]). Per-doc
+    // boundary window + plain groupBys; exact integers and one
+    // pinned division — hash-exact.
+    Q(
+      "q290_rake_keywords",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.rakeScores(
+          Tables.documents(s, d).filter($"doc_id".isNotNull),
+          $"doc_id", $"text")
+      },
+      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+              |    generate_subscripts(tk, 1) AS idx, unnest(tk) AS w
+              |  FROM (SELECT doc_id, $sqlToks AS tk FROM documents
+              |    WHERE doc_id IS NOT NULL)),
+              |flagged AS MATERIALIZED (SELECT doc_id, idx, w,
+              |    w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it',
+              |          'that', 'for') AS stop
+              |  FROM toks),
+              |phrased AS MATERIALIZED (SELECT doc_id, w,
+              |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY idx ASC
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS ph, stop
+              |  FROM flagged),
+              |nonstop AS MATERIALIZED (SELECT doc_id, w, ph FROM phrased
+              |  WHERE NOT stop),
+              |plen AS MATERIALIZED (SELECT doc_id, ph, count(*) AS plen
+              |  FROM nonstop GROUP BY 1, 2)
+              |SELECT n.w AS word, count(*) AS freq,
+              |  CAST(sum(p.plen) AS BIGINT) AS deg,
+              |  CAST(sum(p.plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS score
+              |FROM nonstop n JOIN plen p
+              |  ON n.doc_id = p.doc_id AND n.ph = p.ph
+              |GROUP BY 1""".stripMargin)))
+
   /** The q162-family part co-purchase edge list: parts sharing an
     * order (lines above `minPrice` only), canonical (a < b).
     */

@@ -261,6 +261,89 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r2.getLong(0) == 2L && r2.getDouble(2) == 0.0 && r2.isNullAt(3))
   }
 
+  // --- spatial radius join
+
+  test("radiusJoin: finds exactly the within-radius pairs across cells") {
+    // pairs straddling cell boundaries must still be found
+    val pts = Seq(
+      (1L, 0.99, 0.99), (2L, 1.01, 1.01), // adjacent cells, dist ~0.028
+      (3L, 0.10, 0.10), (4L, 0.12, 0.10), // same-ish cell, dist 0.02
+      (5L, 5.00, 5.00)) // isolated
+      .toDF("id", "x", "y")
+    val got = Spatial.radiusJoin(pts, $"id", $"x", $"y", radius = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("property: radiusJoin equals brute-force all-pairs") {
+    val gen = Gen.listOfN(40, for {
+      x <- Gen.chooseNum(-1.0, 1.0); y <- Gen.chooseNum(-1.0, 1.0)
+    } yield (x, y))
+    check(Prop.forAll(gen) { ps =>
+      val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val r = 0.3
+      val expect = (for {
+        (a, i) <- pts.zipWithIndex; (b, j) <- pts.zipWithIndex
+        if i < j
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1)).toSet
+      val got = Spatial.radiusJoin(
+        pts.toDF("id", "x", "y"), $"id", $"x", $"y", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      got == expect
+    }, min = 10)
+  }
+
+  // --- categorical association
+
+  test("categoricalAssociation: hand 2x2 table with a zero cell") {
+    // cells: (a,x)=2 (a,y)=2 (b,x)=4 (b,y)=0; n=8
+    val rows = Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(4)(("b", "x"))
+    val r = Profiling.categoricalAssociation(
+      rows.toDF("u", "v"), $"u", $"v").collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // expected: e(a,x)=4*6/8=3, e(a,y)=1, e(b,x)=3, e(b,y)=1
+    val chi2 = math.pow(2 - 3.0, 2) / 3.0 + math.pow(2 - 1.0, 2) / 1.0 +
+      math.pow(4 - 3.0, 2) / 3.0 + math.pow(0 - 1.0, 2) / 1.0
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.sqrt(chi2 / 8.0)) < 1e-12)
+    val mi = 2.0 / 8 * math.log(8 * 2.0 / (4 * 6.0)) +
+      2.0 / 8 * math.log(8 * 2.0 / (4 * 2.0)) +
+      4.0 / 8 * math.log(8 * 4.0 / (4 * 6.0))
+    assert(math.abs(r.getDouble(5) - mi) < 1e-12)
+  }
+
+  test("categoricalAssociation: independent columns give zero chi2/mi") {
+    val rows = for { u <- Seq("a", "b"); v <- Seq("x", "y", "z") }
+      yield (u, v)
+    val r = Profiling.categoricalAssociation(
+      rows.toDF("u", "v"), $"u", $"v").collect()(0)
+    assert(math.abs(r.getDouble(3)) < 1e-12)
+    assert(math.abs(r.getDouble(5)) < 1e-12)
+    // single-category column: cramers_v undefined
+    val one = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    val r2 = Profiling.categoricalAssociation(one, $"u", $"v").collect()(0)
+    assert(r2.isNullAt(4))
+  }
+
+  // --- RAKE
+
+  test("rakeScores: phrase degrees and scores match hand computation") {
+    // "red apple and green apple" → phrases [red apple][green apple]
+    // deg(apple)=2+2=4 freq=2 score 2; red/green deg 2 freq 1 score 2
+    val docs = Seq((1L, "red apple and green apple"),
+      (2L, "the apple")).toDF("id", "text")
+    val got = TextAnalysis.rakeScores(docs, $"id", $"text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("apple") == ((3L, 5L, 5.0 / 3.0))) // +1 solo phrase in doc 2
+    assert(got("red") == ((1L, 2L, 2.0)))
+    assert(got("green") == ((1L, 2L, 2.0)))
+    assert(!got.contains("and") && !got.contains("the"))
+  }
+
   // --- ranked-retrieval metrics
 
   test("rankingMetrics: textbook NDCG/AP/RR hand-check") {

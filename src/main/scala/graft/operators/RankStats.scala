@@ -289,4 +289,55 @@ object RankStats {
         (u1 - n1D * n0D / lit(2.0)) / sqrt(varU))
         .otherwise(lit(null).cast("double")).as("z"))
   }
+
+  /** PER-GROUP GINI COEFFICIENT over non-negative integer amounts
+    * (cents) — the inequality measure of every revenue/exposure
+    * audit, computed EXACTLY from the bucketed midrank machinery
+    * (no global sort): with doubled midranks mr2 = 2·r̄ᵢ,
+    * G = (Σ vᵢ·mr2ᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ) — the rank formula with
+    * ties at their average rank.
+    *
+    * Everything accumulates in exact decimals; the final division is
+    * the only double. The two big operands can exceed 2^53, and the
+    * decimal→double cast is engine-specific at that size, so oracles
+    * should compare `gini` at 1e-9 (numerator and denominator
+    * re-derive exactly). Staying under decimal(38,0): per-cell
+    * c·mr2 ≤ ~2n² must fit decimal(19,0) (n per group < 2×10⁹ —
+    * beyond int64 row counts per group, not a real bound), and
+    * v·(c·mr2) must fit 38 digits (v ≤ 10¹⁸/n² cents — petabyte-safe
+    * for money).
+    *
+    * Output: (k, n, sum_cents, gini) — sum_cents a decimal STRING
+    * digest (the gate cannot hash decimals); gini null when Σv = 0
+    * or n < 2.
+    */
+  def giniCoefficient(
+      df: DataFrame,
+      key: Column,
+      amountCents: Column,
+      buckets: Int = 1024): DataFrame = {
+    val vL = amountCents.cast("long")
+    val vG = when(vL.isNull || vL < 0L, raise_error(lit(
+      "giniCoefficient: amountCents must be non-null and >= 0")))
+      .otherwise(vL)
+    val cells = df.select(key.as("k"), vG.cast("double").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = withMidranks(cells, buckets)
+    val d12 = "decimal(12,0)"
+    val d19 = "decimal(19,0)"
+    val st = ranked.groupBy(col("k")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast(d19) * col("v").cast(d19)).cast("decimal(38,0)")
+        .as("sv"),
+      sum((col("c").cast(d12) * col("mr2").cast(d12)).cast(d19)
+        * col("v").cast(d19)).cast("decimal(38,0)").as("svr"))
+    st.select(
+      col("k"), col("n"),
+      col("sv").cast("string").as("sum_cents"),
+      when(col("n") >= 2L && col("sv") > 0,
+        (col("svr").cast("double") -
+          (col("n") + 1L).cast("double") * col("sv").cast("double"))
+          / (col("n").cast("double") * col("sv").cast("double")))
+        .otherwise(lit(null).cast("double")).as("gini"))
+  }
 }

@@ -885,4 +885,73 @@ object TimeSeries {
     perP.unpersist()
     out
   }
+
+  /** OHLC / VWAP BARS — the market-data resample: per (key, period
+    * bucket) open/high/low/close prices, volume, and the
+    * volume-weighted average price. The candlestick aggregation of
+    * every trading mart, equally useful as "first/last/extreme value
+    * per window" for any event stream.
+    *
+    * Scale + determinism: bucketing is pure integer arithmetic; the
+    * open/close picks are row_number windows PARTITIONED BY (key,
+    * bucket) with a FULLY PINNED order (ts, then price — duplicate
+    * timestamps cannot flap across engines); everything else is
+    * partial-aggregable min/max/sum. Prices are exact integer cents;
+    * the vwap numerator accumulates in decimal(38,0), is
+    * loudly-guarded back into int64 (exact), and the single division
+    * is pinned — every output hash-matches any engine.
+    *
+    * Contract: ts/price/qty non-null (raises); qty ≥ 0.
+    */
+  def ohlcBars(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      priceCents: Column,
+      qty: Column,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1L,
+      s"ohlcBars: periodSeconds must be >= 1, got $periodSeconds")
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"ohlcBars: $name must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val base = df.select(
+      key.as("k"),
+      g(unix_micros(ts.cast("timestamp")), "ts").as("us"),
+      g(priceCents, "price").as("price"),
+      when(qty.cast("long").isNull || qty.cast("long") < 0L,
+        raise_error(lit("ohlcBars: qty must be non-null and >= 0")))
+        .otherwise(qty.cast("long")).as("q"))
+      .withColumn("b", floor(col("us").cast("double") /
+        (periodSeconds * 1000000L).toDouble).cast("long"))
+    val wOpen = Window.partitionBy(col("k"), col("b"))
+      .orderBy(col("us").asc, col("price").asc)
+    val wClose = Window.partitionBy(col("k"), col("b"))
+      .orderBy(col("us").desc, col("price").desc)
+    val d19 = "decimal(19,0)"
+    val ranked = base
+      .withColumn("rn_o", row_number().over(wOpen))
+      .withColumn("rn_c", row_number().over(wClose))
+    val agg = ranked.groupBy(col("k"), col("b")).agg(
+      count(lit(1)).as("n_trades"),
+      max(when(col("rn_o") === 1, col("price"))).as("open"),
+      max(col("price")).as("high"),
+      min(col("price")).as("low"),
+      max(when(col("rn_c") === 1, col("price"))).as("close"),
+      sum(col("q")).as("volume"),
+      sum(col("price").cast(d19) * col("q").cast(d19))
+        .cast("decimal(38,0)").as("pq"))
+    // decimal → int64 is exact below the guard; int64 → double is the
+    // IEEE round both engines share (the decimal→double path is NOT)
+    val pqL = when(col("pq") > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(lit("ohlcBars: vwap numerator exceeds int64")))
+      .otherwise(col("pq").cast("long"))
+    agg.select(
+      col("k"), col("b").as("bucket"), col("n_trades"),
+      col("open"), col("high"), col("low"), col("close"), col("volume"),
+      when(col("volume") > 0L,
+        pqL.cast("double") / col("volume").cast("double"))
+        .otherwise(lit(null).cast("double")).as("vwap"))
+  }
 }

@@ -393,6 +393,203 @@ object ScaleOps9 {
               |  ON n.doc_id = p.doc_id AND n.ph = p.ph
               |GROUP BY 1""".stripMargin)))
 
+  /** Continuation Seq 3: cash-flow analytics, market bars, and
+    * inequality measurement.
+    */
+  val all3: Seq[Q] = Seq(
+
+    // ---- q291: DISCOUNTED CASH FLOW — per-supplier monthly net
+    // flows (returned lines are refunds, so months go negative),
+    // NPV at 1%/month and the exact-cents payback month
+    // ([[graft.operators.Finance.dcf]]). Cash cumulates in int64
+    // cents (payback never rides a float); the oracle replays the
+    // pinned discount fold and gates NPV at 1e-9, poison on
+    // mismatch.
+    Q(
+      "q291_dcf_npv",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_suppkey".isNotNull && $"l_shipdate".isNotNull &&
+            $"l_extendedprice".isNotNull && $"l_returnflag".isNotNull)
+          .select(
+            $"l_suppkey".as("k"),
+            (year($"l_shipdate") * 12 + month($"l_shipdate")).as("p"),
+            (round($"l_extendedprice" * 100).cast("long") *
+              when($"l_returnflag" === "R", -1L).otherwise(1L)).as("cents"))
+        graft.operators.Finance.dcf(
+          li, $"k", $"p", $"cents", ratePerPeriod = 0.01)
+          .withColumnRenamed("k", "suppkey")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q291_dcf_npv/*.parquet')),
+             |cf AS MATERIALIZED (SELECT l_suppkey AS k,
+             |    year(l_shipdate) * 12 + month(l_shipdate) AS p,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |      * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS cf
+             |  FROM lineitem
+             |  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+             |  GROUP BY 1, 2),
+             |wt AS MATERIALIZED (SELECT k, p, cf,
+             |    p - min(p) OVER (PARTITION BY k) AS t
+             |  FROM cf),
+             |folded AS MATERIALIZED (SELECT k, t,
+             |    sum(cf) OVER (PARTITION BY k ORDER BY t ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_cents,
+             |    sum(CAST(cf AS DOUBLE)
+             |        / power(CAST('1.01' AS DOUBLE), CAST(t AS DOUBLE)))
+             |      OVER (PARTITION BY k ORDER BY t ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_disc
+             |  FROM wt),
+             |expect AS MATERIALIZED (SELECT k AS suppkey,
+             |    count(*) AS n_periods,
+             |    CAST(max_by(cum_cents, t) AS BIGINT) AS total_cents,
+             |    min(CASE WHEN cum_cents >= 0 THEN t END) AS payback_t,
+             |    max_by(cum_disc, t) AS npv
+             |  FROM folded GROUP BY k),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      JOIN expect x ON e.suppkey = x.suppkey
+             |      WHERE e.n_periods <> x.n_periods
+             |        OR e.total_cents <> x.total_cents
+             |        OR (e.payback_t IS NULL) <> (x.payback_t IS NULL)
+             |        OR coalesce(e.payback_t, -1) <> coalesce(x.payback_t, -1)
+             |        OR abs(e.npv - x.npv)
+             |          > 1e-9 * greatest(CAST('1' AS DOUBLE), abs(x.npv)))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.suppkey NOT IN (SELECT suppkey FROM expect))
+             |  ) AS ok)
+             |SELECT suppkey, n_periods, total_cents, payback_t, npv
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q292: OHLC/VWAP WEEKLY BARS — candlesticks per return
+    // flag over shipped line prices
+    // ([[graft.operators.TimeSeries.ohlcBars]]). Pinned-order
+    // open/close windows, exact cents extremes, decimal→int64-
+    // guarded vwap numerator — hash-exact.
+    Q(
+      "q292_ohlc_bars",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_returnflag".isNotNull && $"l_shipdate".isNotNull &&
+            $"l_extendedprice".isNotNull && $"l_quantity".isNotNull)
+          .select($"l_returnflag".as("flag"), $"l_shipdate",
+            round($"l_extendedprice" * 100).cast("long").as("cents"),
+            round($"l_quantity").cast("long").as("q"))
+        graft.operators.TimeSeries.ohlcBars(
+          li, $"flag", $"l_shipdate", $"cents", $"q",
+          periodSeconds = 604800L)
+          .withColumnRenamed("k", "flag")
+          .orderBy($"flag", $"bucket")
+      },
+      Some("""WITH base AS MATERIALIZED (SELECT l_returnflag AS k,
+             |    epoch_us(l_shipdate) AS us,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             |    CAST(round(l_quantity) AS BIGINT) AS q
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+             |bucketed AS MATERIALIZED (SELECT k, us, price, q,
+             |    CAST(floor(CAST(us AS DOUBLE) / 604800000000.0) AS BIGINT)
+             |      AS b
+             |  FROM base),
+             |ranked AS MATERIALIZED (SELECT k, b, us, price, q,
+             |    row_number() OVER (PARTITION BY k, b
+             |      ORDER BY us ASC, price ASC) AS rn_o,
+             |    row_number() OVER (PARTITION BY k, b
+             |      ORDER BY us DESC, price DESC) AS rn_c
+             |  FROM bucketed)
+             |SELECT k AS flag, b AS bucket,
+             |  count(*) AS n_trades,
+             |  max(CASE WHEN rn_o = 1 THEN price END) AS open,
+             |  max(price) AS high, min(price) AS low,
+             |  max(CASE WHEN rn_c = 1 THEN price END) AS close,
+             |  CAST(sum(q) AS BIGINT) AS volume,
+             |  CASE WHEN sum(q) > 0 THEN
+             |    CAST(CAST(sum(CAST(price AS HUGEINT) * CAST(q AS HUGEINT))
+             |        AS BIGINT) AS DOUBLE)
+             |      / CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+             |  END AS vwap
+             |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q293: GINI COEFFICIENT of per-customer order revenue
+    // within each nation ([[graft.operators.RankStats.
+    // giniCoefficient]]) — exact decimal rank statistics on the
+    // shared bucketed-midrank machinery, no global sort; sum digest
+    // hash-exact, gini gated at 1e-9 (the decimal-38→double cast),
+    // poison on mismatch.
+    Q(
+      "q293_gini_revenue",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+          .join(broadcast(Tables.nation(s, d)
+            .join(Tables.customer(s, d), $"c_nationkey" === $"n_nationkey")
+            .select($"c_custkey", $"n_name")), $"o_custkey" === $"c_custkey")
+        graft.operators.RankStats.giniCoefficient(
+          cust, $"n_name", $"cents")
+          .withColumnRenamed("k", "nation")
+          .orderBy($"nation")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q293_gini_revenue/*.parquet')),
+             |cust AS MATERIALIZED (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+             |  GROUP BY 1),
+             |tagged AS MATERIALIZED (SELECT n.n_name AS k, cust.cents AS v
+             |  FROM cust
+             |  JOIN customer c ON cust.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+             |cells AS MATERIALIZED (SELECT k, v, count(*) AS c
+             |  FROM tagged GROUP BY 1, 2),
+             |mr AS MATERIALIZED (SELECT k, v, c,
+             |    2 * (sum(c) OVER (PARTITION BY k ORDER BY v ASC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+             |      + c + 1 AS mr2
+             |  FROM cells),
+             |st AS MATERIALIZED (SELECT k,
+             |    CAST(sum(c) AS BIGINT) AS n,
+             |    sum(CAST(c AS HUGEINT) * CAST(v AS HUGEINT)) AS sv,
+             |    sum(CAST(c AS HUGEINT) * CAST(mr2 AS HUGEINT)
+             |      * CAST(v AS HUGEINT)) AS svr
+             |  FROM mr GROUP BY 1),
+             |expect AS MATERIALIZED (SELECT k AS nation, n,
+             |    CAST(sv AS VARCHAR) AS sum_cents,
+             |    CASE WHEN n >= 2 AND sv > 0 THEN
+             |      (CAST(svr AS DOUBLE)
+             |        - CAST(n + 1 AS DOUBLE) * CAST(sv AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+             |    END AS gini
+             |  FROM st),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      JOIN expect x ON e.nation = x.nation
+             |      WHERE e.n <> x.n OR e.sum_cents <> x.sum_cents
+             |        OR (e.gini IS NULL) <> (x.gini IS NULL)
+             |        OR abs(coalesce(e.gini, 0) - coalesce(x.gini, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.nation NOT IN (SELECT nation FROM expect))
+             |  ) AS ok)
+             |SELECT nation, n, sum_cents, gini FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'poison', CAST(-1 AS BIGINT), '-1', CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+
   /** The q162-family part co-purchase edge list: parts sharing an
     * order (lines above `minPrice` only), canonical (a < b).
     */

@@ -261,6 +261,84 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r2.getLong(0) == 2L && r2.getDouble(2) == 0.0 && r2.isNullAt(3))
   }
 
+  // --- dcf / ohlc / gini
+
+  test("dcf: npv, exact payback, and gap periods") {
+    // flows at t=0,1,3 (gap at 2): -100, +60, +70 cents
+    val rows = Seq(("p", 10L, -100L), ("p", 11L, 60L), ("p", 13L, 70L))
+      .toDF("k", "per", "cents")
+    val r = Finance.dcf(rows, $"k", $"per", $"cents", ratePerPeriod = 0.1)
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 30L)
+    assert(r.getLong(3) == 3L) // cum: -100, -40, +30 at t=3
+    val npv = -100.0 + 60.0 / 1.1 + 70.0 / math.pow(1.1, 3)
+    assert(math.abs(r.getDouble(4) - npv) < 1e-9)
+    // never-positive flows: payback null
+    val neg = Seq(("q", 0L, -5L), ("q", 1L, -7L)).toDF("k", "per", "cents")
+    val r2 = Finance.dcf(neg, $"k", $"per", $"cents", 0.1).collect()(0)
+    assert(r2.isNullAt(3) && r2.getLong(2) == -12L)
+  }
+
+  test("ohlcBars: open/close tie-break, extremes, vwap") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // one bucket (period 1h): two rows share the open timestamp
+    val rows = Seq(
+      ("a", ts(0), 500L, 2L), ("a", ts(0), 400L, 1L), // open = 400 (tie→low)
+      ("a", ts(10), 900L, 3L), ("a", ts(20), 300L, 1L),
+      ("a", ts(30), 700L, 2L), // close = 700
+      ("a", ts(3700), 100L, 1L)) // next bucket
+      .toDF("k", "ts", "cents", "q")
+    val got = TimeSeries.ohlcBars(rows, $"k", $"ts", $"cents", $"q", 3600L)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val b0 = got(got.keys.min)
+    assert(b0.getLong(2) == 5L)
+    assert(b0.getLong(3) == 400L && b0.getLong(4) == 900L)
+    assert(b0.getLong(5) == 300L && b0.getLong(6) == 700L)
+    assert(b0.getLong(7) == 9L)
+    val vwap = (500.0 * 2 + 400 + 900 * 3 + 300 + 700 * 2) / 9.0
+    assert(math.abs(b0.getDouble(8) - vwap) < 1e-12)
+    assert(got(got.keys.max).getLong(3) == 100L)
+  }
+
+  test("giniCoefficient: known distributions") {
+    // perfect equality → gini 0
+    val eq = Seq.fill(4)(("a", 100L)).toDF("k", "v")
+    val r1 = RankStats.giniCoefficient(eq, $"k", $"v").collect()(0)
+    assert(r1.getLong(1) == 4L && r1.getString(2) == "400")
+    assert(math.abs(r1.getDouble(3)) < 1e-12)
+    // one-holder concentration over n=4 → (n-1)/n = 0.75
+    val conc = (Seq(("b", 100L)) ++ Seq.fill(3)(("b", 0L))).toDF("k", "v")
+    val r2 = RankStats.giniCoefficient(conc, $"k", $"v").collect()(0)
+    assert(math.abs(r2.getDouble(3) - 0.75) < 1e-12)
+    // hand case with ties: values 1,1,2 → Σr·v = 1.5+1.5+6 = 9,
+    // G = (2·9 − 4·4)/(3·4) = 2/12
+    val h = Seq(("c", 1L), ("c", 1L), ("c", 2L)).toDF("k", "v")
+    val r3 = RankStats.giniCoefficient(h, $"k", $"v").collect()(0)
+    assert(math.abs(r3.getDouble(3) - 2.0 / 12.0) < 1e-12)
+  }
+
+  test("property: giniCoefficient equals brute midrank formula") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 50L))
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.map(("g", _)).toDF("k", "v")
+      val got = RankStats.giniCoefficient(df, $"k", $"v").collect()(0)
+      val n = vs.size
+      val sv = vs.sum
+      if (sv == 0 || n < 2) got.isNullAt(3)
+      else {
+        val sorted = vs.sorted
+        val ranks: Seq[Double] = vs.map { v =>
+          val lo = sorted.count(_ < v); val t = sorted.count(_ == v)
+          lo + (t + 1) / 2.0
+        }
+        val expect = (2.0 * ranks.zip(vs).map { case (r, v) => r * v }.sum
+          - (n + 1.0) * sv) / (n.toDouble * sv)
+        math.abs(got.getDouble(3) - expect) < 1e-9
+      }
+    }, min = 15)
+  }
+
   // --- spatial radius join
 
   test("radiusJoin: finds exactly the within-radius pairs across cells") {

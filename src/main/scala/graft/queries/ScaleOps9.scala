@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Round-9 continuation (q284+): ranked-retrieval evaluation, graph
   * structure, and further scale-shaped analytics.
@@ -589,6 +591,126 @@ object ScaleOps9 {
              |UNION ALL
              |SELECT 'poison', CAST(-1 AS BIGINT), '-1', CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+
+  /** Continuation Seq 4: the live-stream twin of the OHLC bars.
+    */
+  val all4: Seq[Q] = Seq(
+
+    // ---- q294: STREAMING OHLC BARS — q292's candlestick semantics
+    // as a LIVE watermarked windowed aggregation: daily bars per
+    // event type over a real multi-micro-batch AvailableNow stream.
+    // Open/close come from ORDER-INDEPENDENT struct min/max (the
+    // streaming-legal formulation of q292's pinned row_number — same
+    // tie-break: earliest us, then lowest price), so partial
+    // aggregation across micro-batches cannot flap. The 1-hour
+    // watermark + a far-future sentinel flush every real window; the
+    // oracle replays the identical bars in batch SQL — exact cents,
+    // hash-exact.
+    Q(
+      "q294_streaming_ohlc",
+      (s, d) => streamingOhlc(s, d),
+      Some("""WITH base AS MATERIALIZED (SELECT event_type AS k,
+             |    epoch_us(ts) AS us,
+             |    CAST(round(value * 100) AS BIGINT) AS price
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL),
+             |bucketed AS MATERIALIZED (SELECT k, us, price,
+             |    CAST(floor(CAST(us AS DOUBLE) / 86400000000.0) AS BIGINT)
+             |      AS b
+             |  FROM base),
+             |ranked AS MATERIALIZED (SELECT k, b, us, price,
+             |    row_number() OVER (PARTITION BY k, b
+             |      ORDER BY us ASC, price ASC) AS rn_o,
+             |    row_number() OVER (PARTITION BY k, b
+             |      ORDER BY us DESC, price DESC) AS rn_c
+             |  FROM bucketed)
+             |SELECT k AS event_type, b * 86400 AS bucket_start_s,
+             |  count(*) AS n_events,
+             |  max(CASE WHEN rn_o = 1 THEN price END) AS open,
+             |  max(price) AS high, min(price) AS low,
+             |  max(CASE WHEN rn_c = 1 THEN price END) AS close
+             |FROM ranked GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)))
+
+  /** q294 drive: two time-sliced parquet files + a far-future
+    * sentinel staged into one directory, consumed with
+    * `maxFilesPerTrigger = 1` (≥ 2 real micro-batches enforced) by a
+    * watermarked tumbling-day aggregation in append mode; the
+    * sentinel advances the watermark past every real window end so
+    * append mode flushes them, then filters itself out.
+    */
+  private def streamingOhlc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q294_ohlc")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"ts".isNotNull &&
+          $"value".isNotNull)
+        .select($"event_type", $"ts".cast("timestamp").as("ts"),
+          round($"value" * 100).cast("long").as("price"))
+      val bounds = ev.agg(min($"ts"), max($"ts")).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 3L * 86400000L)
+      val inDir = scratch.resolve("input")
+      java.nio.file.Files.createDirectories(inDir)
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = scratch.resolve(s"tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+        val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally part.close()
+        val dst = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+      }
+      val t0 = System.currentTimeMillis() - 60000L
+      stage(ev.filter($"ts" <= cut), "00_early", t0)
+      stage(ev.filter($"ts" > cut), "01_late", t0 + 5000L)
+      stage(Seq(("__sentinel__", sentinelTs, 0L))
+        .toDF("event_type", "ts", "price"), "02_sentinel", t0 + 10000L)
+      val schema = s.read.parquet(inDir.toString).schema
+      val input = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val bars = input
+        .withWatermark("ts", "1 hour")
+        .withColumn("us", unix_micros($"ts"))
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(struct($"us", $"price")).getField("price").as("open"),
+          max($"price").as("high"),
+          min($"price").as("low"),
+          max(struct($"us", $"price")).getField("price").as("close"))
+      val name = "q294_ohlc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = bars.writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q294 stream did not terminate within 600s — refusing a partial result")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"q294 ran $dataBatches data micro-batch(es); the cross-batch " +
+            "state path needs at least 2")
+        s.table(name)
+          .filter($"event_type" =!= "__sentinel__")
+          .select($"event_type",
+            (unix_micros($"window.start") / 1000000L).cast("long").as("bucket_start_s"),
+            $"n_events", $"open", $"high", $"low", $"close")
+          .orderBy($"event_type", $"bucket_start_s")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** The q162-family part co-purchase edge list: parts sharing an
     * order (lines above `minPrice` only), canonical (a < b).

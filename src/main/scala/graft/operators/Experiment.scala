@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B experimentation statistics. Assignment is CONTENT-ADDRESSED —
@@ -236,5 +237,134 @@ object Experiment {
       when(col("n01") + col("n10") > 0L,
         (b - c) * (b - c) / (b + c))
         .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
+  private val twoP53 = 9007199254740992L // 2^53: exact-double ceiling
+
+  private def exactDbl(c: Column, op: String, what: String): Column =
+    when(c > lit(twoP53), raise_error(lit(
+      s"$op: $what exceeds 2^53 — double cast would round; " +
+        "rescale the value or shrink the key grain"))).otherwise(c)
+      .cast("double")
+
+  /** ONE-WAY ANOVA F per key — the parametric K-sample location test
+    * (the K-group sibling of [[welchTTest]]'s two arms; Fisher 1925):
+    * within each `key`, does mean(`value`) differ across `group`s?
+    *
+    *   SSB = Σ_g S_g²/n_g − S²/N,   SSW = Σv² − Σ_g S_g²/n_g,
+    *   F = (SSB/(K−1)) / (SSW/(N−K)).
+    *
+    * `value` must be integer-valued (cents/quantities — the caller
+    * owns the scaling), so every aggregate (S_g, S, Σv²) is an EXACT
+    * decimal. Σ_g S_g²/n_g mixes per-group divisions, so each group
+    * contributes one pinned double term and the terms accumulate
+    * through a window in group order over the ≤K-row-per-key term
+    * table (ordered float accumulation is bit-stable across engines)
+    * — F is hash-exact. Decimal→double casts are guarded LOUDLY at
+    * 2⁵³ (Σv² is the binding one: |v| ≤ 10³ supports ~9×10⁹ rows per
+    * key; rescale coarser to go bigger).
+    *
+    * `group` must be a non-null integral ordinal. Output per key:
+    * (k, n, n_groups, ssb, ssw, f) — f null when K < 2, N ≤ K, or
+    * SSW = 0 (all within-group values tied).
+    */
+  def anovaF(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      value: Column): DataFrame = {
+    val gL = group.cast("long")
+    val gG = when(gL.isNull, raise_error(lit(
+      "anovaF: group must be a non-null integer"))).otherwise(gL)
+    val vL = value.cast("long")
+    val vG = when(vL.isNull, raise_error(lit(
+      "anovaF: value must be a non-null integer"))).otherwise(vL)
+    val base = df.select(key.as("k"), gG.as("g"), vG.as("v"))
+    val d19 = "decimal(19,0)"
+    val perGroup = base.groupBy(col("k"), col("g")).agg(
+      count(lit(1)).as("ng"),
+      sum(col("v").cast(d19)).cast("decimal(38,0)").as("sg"),
+      sum(col("v").cast(d19) * col("v").cast(d19)).cast("decimal(38,0)")
+        .as("qg"))
+    val sgD = exactDbl(abs(col("sg")), "anovaF", "a group sum")
+    val term = sgD * sgD / col("ng").cast("double")
+    val wCum = Window.partitionBy(col("k")).orderBy(col("g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    val folded = perGroup
+      .withColumn("t", term)
+      .withColumn("tsum", sum(col("t")).over(wCum))
+      .withColumn("n", sum(col("ng")).over(wAll))
+      .withColumn("s", sum(col("sg")).over(wAll))
+      .withColumn("q2", sum(col("qg")).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("g").asc)))
+      .withColumn("gcnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === col("gcnt"))
+    val nD = col("n").cast("double")
+    val sD = exactDbl(abs(col("s")), "anovaF", "the grand sum")
+    val qD = exactDbl(col("q2"), "anovaF", "the sum of squares")
+    val ssb = col("tsum") - sD * sD / nD
+    val ssw = qD - col("tsum")
+    val kD = col("gcnt").cast("double")
+    folded.select(
+      col("k"), col("n"), col("gcnt").as("n_groups"),
+      ssb.as("ssb"), ssw.as("ssw"),
+      when(col("gcnt") >= 2L && col("n") > col("gcnt") && ssw > 0.0,
+        (ssb / (kD - lit(1.0))) / (ssw / (nD - kD)))
+        .otherwise(lit(null).cast("double")).as("f"))
+  }
+
+  /** BROWN–FORSYTHE per key — the robust K-sample EQUALITY-OF-SPREAD
+    * test (Brown & Forsythe 1974): [[anovaF]] applied to absolute
+    * deviations from each group's MEDIAN. Medians come from the
+    * two-crossing order-statistic geometry over each (key, group)'s
+    * distinct-value cells (windows run over cells, never rows — no
+    * per-group sort of the data); the DOUBLED median x_lo + x_hi is
+    * integral for integer `value`, so the doubled deviation
+    * z = |2v − med2| stays exact and the downstream ANOVA chain is
+    * hash-exact. SSB/SSW are reported on the doubled-deviation scale
+    * (×4 the raw scale); F is scale-invariant so it needs no
+    * adjustment.
+    *
+    * Same contracts as [[anovaF]]. Output per key:
+    * (k, n, n_groups, ssb, ssw, f).
+    */
+  def brownForsythe(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      value: Column): DataFrame = {
+    val gL = group.cast("long")
+    val gG = when(gL.isNull, raise_error(lit(
+      "brownForsythe: group must be a non-null integer"))).otherwise(gL)
+    val vL = value.cast("long")
+    val vG = when(vL.isNull, raise_error(lit(
+      "brownForsythe: value must be a non-null integer"))).otherwise(vL)
+    val base = df.select(key.as("k"), gG.as("g"), vG.as("v"))
+    val cells = base.groupBy(col("k"), col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("k"), col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"), col("g"))
+    val cum = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("ng", sum(col("c")).over(wAll))
+    // median order statistics: ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1 (equal for
+    // odd n); med2 = x_lo + x_hi is the doubled interpolated median.
+    // Column `/` is TRUE division (a double) — floor() it back to the
+    // integer rank (exact for counts below 2⁵²).
+    val klo = floor((col("ng") + 1L) / lit(2L)).cast("long")
+    val khi = floor(col("ng") / lit(2L)).cast("long") + lit(1L)
+    val med = cum.groupBy(col("k"), col("g")).agg(
+      min(when(col("cum") >= klo, col("v"))).as("xlo"),
+      min(when(col("cum") >= khi, col("v"))).as("xhi"))
+      .select(col("k").as("mk"), col("g").as("mg"),
+        (col("xlo") + col("xhi")).as("med2"))
+    val dev = base
+      .join(med, col("k") === col("mk") && col("g") === col("mg"))
+      .select(col("k"), col("g"),
+        abs(lit(2L) * col("v") - col("med2")).as("z2"))
+    anovaF(dev, col("k"), col("g"), col("z2"))
   }
 }

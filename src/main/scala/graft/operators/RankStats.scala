@@ -290,6 +290,98 @@ object RankStats {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** KRUSKAL–WALLIS H per key — the K-sample extension of
+    * [[mannWhitney]] (Kruskal & Wallis 1952): do the `group`s of
+    * `value` within each `key` share one location? Midranks are
+    * POOLED across groups within a key (the bucketed machinery, no
+    * per-key global sort), each group reduces to its exact doubled
+    * rank sum r2_g in decimal(38,0), and
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),  R_g = r2_g/2,
+    *
+    * with the tie correction H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Σ_g R_g²/n_g mixes per-group divisions, so it cannot stay in one
+    * decimal; instead each group's term is ONE pinned double and the
+    * sum accumulates through a window in group order over the
+    * ≤K-row-per-key term table — ordered float accumulation is
+    * bit-stable across engines (the Nelson–Aalen discipline), so H is
+    * hash-exact. Exactness bound: r2_g ≤ 2N·n_g and Σ(t³−t) < N³ must
+    * cast to double exactly, guarded LOUDLY at 2⁵³ (N ≲ 2×10⁶ per key
+    * with arbitrary ties; far more when values are distinct) — a
+    * statistic over more rows than that per key should pre-aggregate
+    * to cells first.
+    *
+    * `group` must be a non-null integral ordinal; `value` non-null
+    * finite. Output per key: (k, n, n_groups, h, h_adj) — h_adj null
+    * when every value in the key is tied (correction denominator 0).
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      value: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val gL = group.cast("long")
+    val gG = when(gL.isNull, raise_error(lit(
+      "kruskalWallis: group must be a non-null integer"))).otherwise(gL)
+    val vD = value.cast("double")
+    val vG = when(vD.isNull || isnan(vD) || vD === Double.PositiveInfinity ||
+      vD === Double.NegativeInfinity, raise_error(lit(
+      "kruskalWallis: value must be non-null and finite"))).otherwise(vD)
+    val base = df.select(key.as("k"), gG.as("g"), vG.as("v"))
+    // pooled midranks: ties collapse per (key, value) across groups
+    val pooled = base.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val ranked = withMidranks(pooled, buckets)
+      .select(col("k").as("rk"), col("v").as("rv"), col("mr2"))
+    val gcells = base.groupBy(col("k"), col("g"), col("v"))
+      .agg(count(lit(1)).as("cg"))
+    val d12 = "decimal(12,0)"
+    val twoP53 = 9007199254740992L // 2^53: largest power-of-two exact double
+    def exactDbl(c: Column, what: String): Column =
+      when(c > lit(twoP53), raise_error(lit(
+        s"kruskalWallis: $what exceeds 2^53 — double cast would round; " +
+          "pre-aggregate or shrink the key grain"))).otherwise(c)
+        .cast("double")
+    val perGroup = gcells
+      .join(ranked, col("k") === col("rk") && col("v") === col("rv"))
+      .groupBy(col("k"), col("g"))
+      .agg(
+        sum(col("cg")).as("ng"),
+        sum(col("cg").cast("decimal(18,0)") * col("mr2").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("r2"))
+    val term = exactDbl(col("r2"), "a group rank sum") *
+      exactDbl(col("r2"), "a group rank sum") /
+      (lit(4.0) * col("ng").cast("double"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    val sums = perGroup
+      .withColumn("t", term)
+      .withColumn("srun", sum(col("t")).over(wCum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("g").asc)))
+      .withColumn("gcnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === col("gcnt"))
+      .select(col("k").as("sk"), col("srun").as("s"),
+        col("gcnt").as("n_groups"))
+    val perKey = pooled.groupBy(col("k")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast(d12) * col("c").cast(d12) * col("c").cast(d12)
+        - col("c").cast(d12)).cast("decimal(38,0)").as("ties"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * col("s") -
+      lit(3.0) * (nD + lit(1.0))
+    val tieDen = lit(1.0) -
+      exactDbl(col("ties"), "the tie-cube sum") / (nD * nD * nD - nD)
+    perKey.join(sums, col("k") === col("sk"))
+      .select(col("k"), col("n"), col("n_groups"),
+        when(col("n") >= 2L, h).otherwise(lit(null).cast("double")).as("h"),
+        when(col("n") >= 2L && tieDen > 0.0, h / tieDen)
+          .otherwise(lit(null).cast("double")).as("h_adj"))
+  }
+
   /** PER-GROUP GINI COEFFICIENT over non-negative integer amounts
     * (cents) — the inequality measure of every revenue/exposure
     * audit, computed EXACTLY from the bucketed midrank machinery

@@ -633,6 +633,201 @@ object ScaleOps9 {
              |FROM ranked GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)))
 
+  /** Continuation Seq 5: K-sample location/spread tests from the
+    * exact rank and decimal machineries.
+    */
+  val all5: Seq[Q] = Seq(
+
+    // ---- q295: KRUSKAL–WALLIS H — does order value differ across
+    // the five priorities, per order status?
+    // ([[graft.operators.RankStats.kruskalWallis]]): POOLED midranks
+    // from the bucketed machinery (no per-key sort), exact
+    // decimal(38,0) per-group rank sums, each group's R²/n term one
+    // pinned double accumulated through a window in group order (the
+    // ≤5-row term table, never the data) — hash-exact, tie-corrected.
+    Q(
+      "q295_kruskal_wallis",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d).select(
+          $"o_orderstatus".as("st"),
+          substring($"o_orderpriority", 1, 1).cast("long").as("pg"),
+          $"o_totalprice".as("v"))
+        graft.operators.RankStats.kruskalWallis(per, $"st", $"pg", $"v")
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT o_orderstatus AS k,
+             |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             |    o_totalprice AS v
+             |  FROM orders),
+             |pooled AS MATERIALIZED (SELECT k, v, count(*) AS c
+             |  FROM per GROUP BY 1, 2),
+             |rx AS MATERIALIZED (SELECT k, v,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS mr2
+             |  FROM pooled),
+             |gc AS (SELECT k, g, v, count(*) AS cg FROM per GROUP BY 1, 2, 3),
+             |pg AS MATERIALIZED (SELECT gc.k, gc.g, sum(gc.cg) AS ng,
+             |    CAST(sum(CAST(gc.cg AS DECIMAL(18,0))
+             |      * CAST(rx.mr2 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS r2
+             |  FROM gc JOIN rx ON gc.k = rx.k AND gc.v = rx.v
+             |  GROUP BY 1, 2),
+             |terms AS (SELECT k, g,
+             |    CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+             |      / (4.0 * CAST(ng AS DOUBLE)) AS t
+             |  FROM pg),
+             |folded AS (SELECT k,
+             |    sum(t) OVER (PARTITION BY k ORDER BY g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             |    row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
+             |    count(*) OVER (PARTITION BY k) AS gcnt
+             |  FROM terms),
+             |sfin AS (SELECT k, s, gcnt FROM folded WHERE rn = gcnt),
+             |pk AS (SELECT k, sum(c) AS n,
+             |    CAST(sum(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+             |        * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0)))
+             |      AS DECIMAL(38,0)) AS ties
+             |  FROM pooled GROUP BY 1)
+             |SELECT pk.k, CAST(pk.n AS BIGINT) AS n,
+             |  CAST(gcnt AS BIGINT) AS n_groups,
+             |  CASE WHEN pk.n >= 2
+             |    THEN 12.0 / (CAST(pk.n AS DOUBLE) * (CAST(pk.n AS DOUBLE) + 1.0))
+             |        * s - 3.0 * (CAST(pk.n AS DOUBLE) + 1.0)
+             |    END AS h,
+             |  CASE WHEN pk.n >= 2
+             |      AND 1.0 - CAST(ties AS DOUBLE)
+             |        / (CAST(pk.n AS DOUBLE) * CAST(pk.n AS DOUBLE)
+             |          * CAST(pk.n AS DOUBLE) - CAST(pk.n AS DOUBLE)) > 0
+             |    THEN (12.0 / (CAST(pk.n AS DOUBLE) * (CAST(pk.n AS DOUBLE) + 1.0))
+             |        * s - 3.0 * (CAST(pk.n AS DOUBLE) + 1.0))
+             |      / (1.0 - CAST(ties AS DOUBLE)
+             |        / (CAST(pk.n AS DOUBLE) * CAST(pk.n AS DOUBLE)
+             |          * CAST(pk.n AS DOUBLE) - CAST(pk.n AS DOUBLE)))
+             |    END AS h_adj
+             |FROM pk JOIN sfin ON pk.k = sfin.k ORDER BY pk.k""".stripMargin)),
+
+    // ---- q296: ONE-WAY ANOVA F — does shipped quantity differ
+    // across return flags, per line status?
+    // ([[graft.operators.Experiment.anovaF]]): integer values keep
+    // S_g, S, Σv² exact decimals; each group's S²/n term is one
+    // pinned double folded through a window in group order —
+    // hash-exact, with LOUD 2⁵³ guards on every decimal→double cast.
+    Q(
+      "q296_anova_f",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.lineitem(s, d).select(
+          $"l_linestatus".as("ls"),
+          ascii($"l_returnflag").cast("long").as("g"),
+          $"l_quantity".cast("long").as("v"))
+        graft.operators.Experiment.anovaF(per, $"ls", $"g", $"v")
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT l_linestatus AS k,
+             |    CAST(ascii(l_returnflag) AS BIGINT) AS g,
+             |    CAST(l_quantity AS BIGINT) AS v
+             |  FROM lineitem),
+             |pg AS MATERIALIZED (SELECT k, g, count(*) AS ng,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS qg
+             |  FROM per GROUP BY 1, 2),
+             |terms AS (SELECT k, g, ng, sg, qg,
+             |    CAST(abs(sg) AS DOUBLE) * CAST(abs(sg) AS DOUBLE)
+             |      / CAST(ng AS DOUBLE) AS t
+             |  FROM pg),
+             |folded AS (SELECT k,
+             |    sum(t) OVER (PARTITION BY k ORDER BY g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+             |    sum(ng) OVER (PARTITION BY k) AS n,
+             |    sum(sg) OVER (PARTITION BY k) AS s,
+             |    sum(qg) OVER (PARTITION BY k) AS q2,
+             |    row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
+             |    count(*) OVER (PARTITION BY k) AS gcnt
+             |  FROM terms)
+             |SELECT k, CAST(n AS BIGINT) AS n, CAST(gcnt AS BIGINT) AS n_groups,
+             |  tsum - CAST(abs(s) AS DOUBLE) * CAST(abs(s) AS DOUBLE)
+             |    / CAST(n AS DOUBLE) AS ssb,
+             |  CAST(q2 AS DOUBLE) - tsum AS ssw,
+             |  CASE WHEN gcnt >= 2 AND n > gcnt
+             |      AND CAST(q2 AS DOUBLE) - tsum > 0
+             |    THEN ((tsum - CAST(abs(s) AS DOUBLE) * CAST(abs(s) AS DOUBLE)
+             |          / CAST(n AS DOUBLE)) / (CAST(gcnt AS DOUBLE) - 1.0))
+             |      / ((CAST(q2 AS DOUBLE) - tsum)
+             |        / (CAST(n AS DOUBLE) - CAST(gcnt AS DOUBLE)))
+             |    END AS f
+             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)),
+
+    // ---- q297: BROWN–FORSYTHE — is quantity SPREAD equal across
+    // order priorities, per line status?
+    // ([[graft.operators.Experiment.brownForsythe]]): per-(key, group)
+    // medians from the two-crossing order-statistic geometry over
+    // distinct-value cells (windows over cells, never rows), DOUBLED
+    // deviations |2v − med2| stay exact integers, then the q296 ANOVA
+    // chain — hash-exact. SSB/SSW are on the doubled scale; F is
+    // scale-invariant.
+    Q(
+      "q297_brown_forsythe",
+      (s, d) => {
+        import s.implicits._
+        val od = Tables.orders(s, d).select(
+          $"o_orderkey",
+          substring($"o_orderpriority", 1, 1).cast("long").as("g"))
+        val per = Tables.lineitem(s, d)
+          .join(od, $"l_orderkey" === $"o_orderkey")
+        graft.operators.Experiment.brownForsythe(
+          per, $"l_linestatus", $"g", $"l_quantity".cast("long"))
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT l_linestatus AS k,
+             |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             |    CAST(l_quantity AS BIGINT) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cells AS (SELECT k, g, v, count(*) AS c FROM per GROUP BY 1, 2, 3),
+             |cum AS MATERIALIZED (SELECT k, g, v, c,
+             |    sum(c) OVER (PARTITION BY k, g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY k, g) AS ng
+             |  FROM cells),
+             |med AS MATERIALIZED (SELECT k, g,
+             |    min(CASE WHEN cum >= (ng + 1) // 2 THEN v END)
+             |      + min(CASE WHEN cum >= ng // 2 + 1 THEN v END) AS med2
+             |  FROM cum GROUP BY 1, 2),
+             |dev AS MATERIALIZED (SELECT per.k, per.g,
+             |    abs(2 * per.v - med.med2) AS v
+             |  FROM per JOIN med ON per.k = med.k AND per.g = med.g),
+             |pg AS MATERIALIZED (SELECT k, g, count(*) AS ng,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS qg
+             |  FROM dev GROUP BY 1, 2),
+             |terms AS (SELECT k, g, ng, sg, qg,
+             |    CAST(abs(sg) AS DOUBLE) * CAST(abs(sg) AS DOUBLE)
+             |      / CAST(ng AS DOUBLE) AS t
+             |  FROM pg),
+             |folded AS (SELECT k,
+             |    sum(t) OVER (PARTITION BY k ORDER BY g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+             |    sum(ng) OVER (PARTITION BY k) AS n,
+             |    sum(sg) OVER (PARTITION BY k) AS s,
+             |    sum(qg) OVER (PARTITION BY k) AS q2,
+             |    row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
+             |    count(*) OVER (PARTITION BY k) AS gcnt
+             |  FROM terms)
+             |SELECT k, CAST(n AS BIGINT) AS n, CAST(gcnt AS BIGINT) AS n_groups,
+             |  tsum - CAST(abs(s) AS DOUBLE) * CAST(abs(s) AS DOUBLE)
+             |    / CAST(n AS DOUBLE) AS ssb,
+             |  CAST(q2 AS DOUBLE) - tsum AS ssw,
+             |  CASE WHEN gcnt >= 2 AND n > gcnt
+             |      AND CAST(q2 AS DOUBLE) - tsum > 0
+             |    THEN ((tsum - CAST(abs(s) AS DOUBLE) * CAST(abs(s) AS DOUBLE)
+             |          / CAST(n AS DOUBLE)) / (CAST(gcnt AS DOUBLE) - 1.0))
+             |      / ((CAST(q2 AS DOUBLE) - tsum)
+             |        / (CAST(n AS DOUBLE) - CAST(gcnt AS DOUBLE)))
+             |    END AS f
+             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)))
+
   /** q294 drive: two time-sliced parquet files + a far-future
     * sentinel staged into one directory, consumed with
     * `maxFilesPerTrigger = 1` (≥ 2 real micro-batches enforced) by a

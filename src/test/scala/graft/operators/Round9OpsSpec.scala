@@ -1130,4 +1130,134 @@ class Round9OpsSpec extends SparkTestBase {
       rows.toDF("tr", "po", "y"), $"tr", $"po", $"y").collect()(0)
     assert(r.getLong(2) == 0 && r.isNullAt(6) && r.isNullAt(8))
   }
+
+  // --- Kruskal–Wallis
+
+  /** Textbook H: global midranks by sort, Σ R_g²/n_g, tie correction. */
+  private def refKw(rows: Seq[(Int, Double)]): (Double, Option[Double]) = {
+    val n = rows.size
+    val sorted = rows.map(_._2).sorted
+    val rankOf: Map[Double, Double] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val s = rows.groupBy(_._1).values
+      .map { rs => math.pow(rs.map(r => rankOf(r._2)).sum, 2) / rs.size }.sum
+    val h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    val ties = sorted.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val den = 1.0 - ties / (math.pow(n, 3) - n)
+    (h, if (den > 0) Some(h / den) else None)
+  }
+
+  private val genKwRows: Gen[List[(Int, Int)]] = for {
+    n <- Gen.chooseNum(2, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.chooseNum(1, 4)
+      v <- Gen.chooseNum(0, 9) // small range → heavy ties
+    } yield (g, v))
+  } yield rows
+
+  test("property: kruskalWallis equals the textbook H, any bucket count") {
+    check(Prop.forAll(genKwRows, Gen.oneOf(1, 2, 7, 1024)) { (rows, buckets) =>
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = RankStats.kruskalWallis(df, $"k", $"g", $"v", buckets)
+        .collect()(0)
+      val (eh, eha) = refKw(rows.map { case (g, v) => (g, v.toDouble) })
+      val hOk = math.abs(r.getDouble(3) - eh) < 1e-9
+      val haOk = (eha, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (None, None)       => true
+        case _                  => false
+      }
+      r.getLong(1) == rows.size &&
+        r.getLong(2) == rows.map(_._1).distinct.size && hOk && haOk
+    })
+  }
+
+  test("kruskalWallis: all values tied → h = 0, tie-corrected h null") {
+    val df = Seq(("k", 1, 5), ("k", 2, 5), ("k", 2, 5)).toDF("k", "g", "v")
+    val r = RankStats.kruskalWallis(df, $"k", $"g", $"v").collect()(0)
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
+  test("kruskalWallis: null group raises") {
+    val df = Seq(("k", Some(1), 5), ("k", None, 6)).toDF("k", "g", "v")
+    val e = intercept[Exception] {
+      RankStats.kruskalWallis(df, $"k", $"g", $"v").collect()
+    }
+    assert(e.getMessage.contains("non-null integer"))
+  }
+
+  // --- one-way ANOVA / Brown–Forsythe
+
+  /** Textbook F from per-group means. */
+  private def refAnova(rows: Seq[(Int, Double)])
+      : (Double, Double, Option[Double]) = {
+    val n = rows.size
+    val k = rows.map(_._1).distinct.size
+    val grand = rows.map(_._2).sum / n
+    val byG = rows.groupBy(_._1).values.toSeq
+    val ssb = byG.map { rs =>
+      val m = rs.map(_._2).sum / rs.size; rs.size * (m - grand) * (m - grand)
+    }.sum
+    val ssw = byG.map { rs =>
+      val m = rs.map(_._2).sum / rs.size
+      rs.map(r => (r._2 - m) * (r._2 - m)).sum
+    }.sum
+    val f = if (k >= 2 && n > k && ssw > 0)
+      Some((ssb / (k - 1)) / (ssw / (n - k))) else None
+    (ssb, ssw, f)
+  }
+
+  private val genAnovaRows: Gen[List[(Int, Int)]] = for {
+    n <- Gen.chooseNum(2, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.chooseNum(1, 3)
+      v <- Gen.chooseNum(-20, 20)
+    } yield (g, v))
+  } yield rows
+
+  test("property: anovaF equals the textbook decomposition") {
+    check(Prop.forAll(genAnovaRows) { rows =>
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = Experiment.anovaF(df, $"k", $"g", $"v").collect()(0)
+      val (essb, essw, ef) = refAnova(rows.map { case (g, v) => (g, v.toDouble) })
+      val fOk = (ef, if (r.isNullAt(5)) None else Some(r.getDouble(5))) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9 * math.max(1.0, a.abs)
+        case (None, None)       => true
+        case _                  => false
+      }
+      math.abs(r.getDouble(3) - essb) < 1e-6 &&
+        math.abs(r.getDouble(4) - essw) < 1e-6 && fOk
+    })
+  }
+
+  test("anovaF: sum-of-squares past 2^53 raises loudly") {
+    val df = Seq(("k", 1, 95000000L), ("k", 2, 95000001L), ("k", 1, 95000002L))
+      .toDF("k", "g", "v")
+    val e = intercept[Exception] {
+      Experiment.anovaF(df, $"k", $"g", $"v").collect()
+    }
+    assert(e.getMessage.contains("exceeds 2^53"))
+  }
+
+  test("property: brownForsythe equals ANOVA on |v - group median|") {
+    check(Prop.forAll(genAnovaRows) { rows =>
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = Experiment.brownForsythe(df, $"k", $"g", $"v").collect()(0)
+      val devs = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val vs = rs.map(_._2.toDouble).sorted
+        val m = (vs((vs.size - 1) / 2) + vs(vs.size / 2)) / 2.0
+        rs.map(x => (g, math.abs(x._2 - m)))
+      }
+      val (essb, essw, ef) = refAnova(devs)
+      val fOk = (ef, if (r.isNullAt(5)) None else Some(r.getDouble(5))) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9 * math.max(1.0, a.abs)
+        case (None, None)       => true
+        case _                  => false
+      }
+      // emitted SSB/SSW are on the doubled-deviation scale: 4×
+      math.abs(r.getDouble(3) - 4 * essb) < 1e-6 &&
+        math.abs(r.getDouble(4) - 4 * essw) < 1e-6 && fOk
+    })
+  }
 }

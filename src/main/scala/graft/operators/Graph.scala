@@ -762,6 +762,65 @@ object Graph {
     dist
   }
 
+  /** BOUNDED-HORIZON KATZ CENTRALITY over the undirected graph —
+    * Σ_{i=1..hops} αⁱ·(walks of length i from v), the damped-walk
+    * influence score (Katz 1953), truncated at `hops` so the
+    * computation is `hops` sparse join+aggregate rounds instead of a
+    * linear solve. α = 1/`alphaDen` must be an exact rational: walk
+    * counts accumulate in decimal(38,0) and the score is kept ×
+    * alphaDen^hops as ONE exact integer (katz_scaled), so the final
+    * division is the only double — hash-exact.
+    *
+    * Each round shuffles on the node id only (edge ⨝ previous vector,
+    * then groupBy src — the w-vector side is one row per node and
+    * broadcast-eligible); nothing is ever quadratic in edges. Walk
+    * counts grow like degreeⁱ — the 2⁵³ output guard raises LOUDLY
+    * when the horizon is too deep for the graph's density (a regime
+    * where truncated Katz is meaningless anyway).
+    *
+    * Output per node with ≥ 1 edge: (node, w1..w`hops`, katz) with
+    * katz = katz_scaled / alphaDen^hops.
+    */
+  def katzBounded(
+      edgesIn: DataFrame,
+      src: Column,
+      dst: Column,
+      hops: Int = 3,
+      alphaDen: Long = 8L): DataFrame = {
+    require(hops >= 1 && hops <= 6, s"hops must be in [1, 6], got $hops")
+    require(alphaDen >= 2L, s"alphaDen must be >= 2, got $alphaDen")
+    val sym = symmetrized(edgesIn, src, dst, "katzBounded")
+      .localCheckpoint(true)
+    val twoP53 = 9007199254740992L
+    def exactLong(c: Column, what: String): Column =
+      when(c > lit(twoP53), raise_error(lit(
+        s"katzBounded: $what exceeds 2^53 — shrink hops for this " +
+          "graph density"))).otherwise(c).cast("long")
+    val w1 = sym.groupBy(col("src")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("w"))
+      .select(col("src").as("node"), col("w"))
+    val walks = (2 to hops).scanLeft(w1) { (prev, _) =>
+      val p = prev.select(col("node").as("pn"), col("w").as("pw"))
+      sym.join(p, col("dst") === col("pn"))
+        .groupBy(col("src"))
+        .agg(sum(col("pw")).cast("decimal(38,0)").as("w"))
+        .select(col("src").as("node"), col("w"))
+    }
+    val named = walks.zipWithIndex.map { case (d, i) =>
+      d.select(col("node"), col("w").as(s"w${i + 1}"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("node")))
+    val scaled = (1 to hops).map { i =>
+      col(s"w$i") * lit(BigDecimal(alphaDen).pow(hops - i)).cast("decimal(38,0)")
+    }.reduce(_ + _).cast("decimal(38,0)")
+    val denom = math.pow(alphaDen.toDouble, hops.toDouble)
+    joined.select(
+      Seq(col("node")) ++
+        (1 to hops).map(i => exactLong(col(s"w$i"), s"w$i").as(s"w$i")) ++
+        Seq((exactLong(scaled, "the scaled score").cast("double") /
+          lit(denom)).as("katz")): _*)
+  }
+
   private def symmetrized(
       edgesIn: DataFrame, src: Column, dst: Column, op: String): DataFrame = {
     def guarded(c: Column, side: String) =

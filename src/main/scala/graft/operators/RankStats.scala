@@ -432,4 +432,71 @@ object RankStats {
           / (col("n").cast("double") * col("sv").cast("double")))
         .otherwise(lit(null).cast("double")).as("gini"))
   }
+
+  /** LORENZ CURVE at `buckets` population cut points — the curve
+    * behind [[giniCoefficient]]: at each rank rᵢ = ⌈i·n/B⌉, the share
+    * of total amount held by the poorest rᵢ units. NO global sort:
+    * the B cut VALUES come from [[ExactQuantile.selectKth]]'s
+    * bin-id-predicate refinement (bounded driver state), and the
+    * cumulative mass at an exact rank is order-independent even under
+    * ties — every tied unit carries the same amount, so
+    * cum(rᵢ) = Σ_{v<cᵢ} v + (rᵢ − #{v<cᵢ})·cᵢ — one conditional-sum
+    * pass over the data evaluates all B points at once. All integer/
+    * decimal arithmetic; `cum_cents` travels as the exact decimal
+    * STRING digest, and the share divisions are pinned doubles
+    * (exact casts below 2⁵³ total cents; past that the digests stay
+    * exact and shares are 1-ulp-comparable).
+    *
+    * `amountCents` must be non-null and ≥ 0. Output per cut:
+    * (bucket, rank, cut_cents, cum_cents, cum_share, pop_share).
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      amountCents: Column,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets must be in [2, 4096], got $buckets")
+    val vL = amountCents.cast("long")
+    val vG = when(vL.isNull || vL < 0L, raise_error(lit(
+      "lorenzCurve: amountCents must be non-null and >= 0"))).otherwise(vL)
+    val base = df.select(vG.as("v")).localCheckpoint()
+    val n = base.count()
+    require(n > 0, "lorenzCurve: no rows")
+    val ranks = (1 to buckets).map(i =>
+      i -> ((i.toLong * n + buckets - 1) / buckets))
+    val (_, cutsByRank) =
+      ExactQuantile.selectKth(base, col("v"), ranks.map(_._2).distinct)
+    val cutOf = cutsByRank.toMap
+    val d19 = "decimal(19,0)"
+    val belowAggs = ranks.flatMap { case (i, r) =>
+      val c = lit(cutOf(r).toLong)
+      Seq(
+        sum(when(col("v") < c, col("v").cast(d19))
+          .otherwise(lit(0).cast(d19))).cast("decimal(38,0)").as(s"sb_$i"),
+        sum(when(col("v") < c, 1L).otherwise(0L)).as(s"cb_$i"))
+    }
+    val tot = sum(col("v").cast(d19)).cast("decimal(38,0)").as("tot")
+    val wide = base.agg(tot, belowAggs: _*)
+    val points = ranks.map { case (i, r) =>
+      val cut = cutOf(r).toLong
+      val cum = (col(s"sb_$i") +
+        (lit(r) - col(s"cb_$i")).cast(d19) * lit(cut).cast(d19))
+        .cast("decimal(38,0)")
+      struct(
+        lit(i).as("bucket"),
+        lit(r).as("rank"),
+        lit(cut).as("cut_cents"),
+        cum.cast("string").as("cum_cents"),
+        when(col("tot") > 0,
+          cum.cast("double") / col("tot").cast("double"))
+          .otherwise(lit(null).cast("double")).as("cum_share"),
+        (lit(r).cast("double") / lit(n.toDouble)).as("pop_share"))
+    }
+    val out = wide
+      .select(explode(array(points: _*)).as("p"))
+      .select(col("p.bucket"), col("p.rank"), col("p.cut_cents"),
+        col("p.cum_cents"), col("p.cum_share"), col("p.pop_share"))
+    base.unpersist()
+    out
+  }
 }

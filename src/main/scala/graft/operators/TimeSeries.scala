@@ -954,4 +954,56 @@ object TimeSeries {
         pqL.cast("double") / col("volume").cast("double"))
         .otherwise(lit(null).cast("double")).as("vwap"))
   }
+
+  /** MAXIMUM DRAWDOWN per key — the largest peak-to-trough decline of
+    * a price path, the risk metric behind every equity-curve audit:
+    * with the running maximum m_t = max(p_1..p_t) in (time, tiebreak)
+    * order, drawdown_t = m_t − p_t and its fraction (m_t − p_t)/m_t;
+    * the output is each key's worst of both.
+    *
+    * One cumulative-max window per key (integer max — exact, and the
+    * sequential scan is inherent to the statistic) plus an
+    * order-INDEPENDENT max aggregate: the per-row fraction is one
+    * correctly-rounded double division of exact int64 cents, and max
+    * over doubles is insensitive to partial-aggregation order, so the
+    * result is hash-exact. A key's rows land on one task (the window
+    * partition) — the key grain (instrument/series id) bounds it.
+    *
+    * `priceCents` must be a non-null, non-negative integer;
+    * (`ts`, `tiebreak`) must order each key's rows uniquely or the
+    * running max is undefined. Fraction rows with m_t = 0 (an
+    * all-zero prefix) are skipped. Output per key:
+    * (k, n, peak_cents, max_dd_cents, max_dd_frac).
+    */
+  def maxDrawdown(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      priceCents: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"maxDrawdown: $name must be non-null and long-castable")))
+        .otherwise(c.cast("long"))
+    val base = df.select(
+      key.as("k"),
+      g(unix_micros(ts.cast("timestamp")), "ts").as("us"),
+      g(tiebreak, "tiebreak").as("tb"),
+      when(priceCents.cast("long").isNull || priceCents.cast("long") < 0L,
+        raise_error(lit("maxDrawdown: priceCents must be non-null and >= 0")))
+        .otherwise(priceCents.cast("long")).as("p"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us").asc, col("tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("m", max(col("p")).over(w))
+      .withColumn("dd", col("m") - col("p"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("p")).as("peak_cents"),
+        max(col("dd")).as("max_dd_cents"),
+        max(when(col("m") > 0L,
+          col("dd").cast("double") / col("m").cast("double")))
+          .as("max_dd_frac"))
+  }
 }

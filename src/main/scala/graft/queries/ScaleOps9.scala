@@ -826,7 +826,130 @@ object ScaleOps9 {
              |      / ((CAST(q2 AS DOUBLE) - tsum)
              |        / (CAST(n AS DOUBLE) - CAST(gcnt AS DOUBLE)))
              |    END AS f
-             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)))
+             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)),
+
+    // ---- q298: MAXIMUM DRAWDOWN — worst peak-to-trough decline of
+    // each event type's value path in (ts, event_id) order
+    // ([[graft.operators.TimeSeries.maxDrawdown]]): one cumulative
+    // integer-max window per key, then order-independent max
+    // aggregates; the per-row fraction is a single correctly-rounded
+    // division of exact int64 cents — hash-exact.
+    Q(
+      "q298_max_drawdown",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"event_type".isNotNull && $"ts".isNotNull &&
+            $"value".isNotNull && $"event_id".isNotNull)
+        graft.operators.TimeSeries.maxDrawdown(
+          ev, $"event_type", $"ts", $"event_id",
+          round($"value" * 100).cast("long"))
+          .orderBy($"k")
+      },
+      Some("""WITH base AS MATERIALIZED (SELECT event_type AS k,
+             |    epoch_us(ts) AS us, event_id AS tb,
+             |    CAST(round(value * 100) AS BIGINT) AS p
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL AND event_id IS NOT NULL),
+             |r AS (SELECT k, p,
+             |    max(p) OVER (PARTITION BY k ORDER BY us, tb
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             |  FROM base)
+             |SELECT k, count(*) AS n, max(p) AS peak_cents,
+             |  max(m - p) AS max_dd_cents,
+             |  max(CASE WHEN m > 0
+             |    THEN CAST(m - p AS DOUBLE) / CAST(m AS DOUBLE) END)
+             |    AS max_dd_frac
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q299: LORENZ CURVE — the octile inequality curve of
+    // per-customer order revenue, q293's Gini companion
+    // ([[graft.operators.RankStats.lorenzCurve]]): cut values from
+    // the bin-id-predicate exact selection (no global sort), then ONE
+    // conditional-sum pass evaluates every cut; cumulative mass at an
+    // exact rank is tie-order-independent by construction. Exact
+    // decimal digests for the cents, pinned double shares —
+    // hash-exact.
+    Q(
+      "q299_lorenz_curve",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        graft.operators.RankStats.lorenzCurve(cust, $"cents", buckets = 8)
+          .orderBy($"bucket")
+      },
+      Some("""WITH cust AS MATERIALIZED (SELECT
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+             |  GROUP BY o_custkey),
+             |nn AS (SELECT count(*) AS n,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tot
+             |  FROM cust),
+             |cells AS (SELECT v, count(*) AS c FROM cust GROUP BY 1),
+             |cum AS MATERIALIZED (SELECT v, c,
+             |    sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+             |  FROM cells),
+             |ranks AS (SELECT i, (i * n + 7) // 8 AS r
+             |  FROM (SELECT unnest(generate_series(1, 8)) AS i), nn),
+             |cuts AS MATERIALIZED (SELECT i, r, min(cum.v) AS cut
+             |  FROM ranks JOIN cum ON cum.cumc >= ranks.r GROUP BY 1, 2),
+             |bel AS (SELECT cuts.i, cuts.r, cuts.cut,
+             |    CAST(coalesce(sum(CASE WHEN cells.v < cuts.cut
+             |      THEN CAST(cells.c AS DECIMAL(19,0))
+             |        * CAST(cells.v AS DECIMAL(19,0)) END), 0)
+             |      AS DECIMAL(38,0)) AS sb,
+             |    CAST(coalesce(sum(CASE WHEN cells.v < cuts.cut
+             |      THEN cells.c END), 0) AS BIGINT) AS cb
+             |  FROM cuts, cells GROUP BY 1, 2, 3)
+             |SELECT CAST(i AS INTEGER) AS bucket, CAST(r AS BIGINT) AS rank,
+             |  CAST(cut AS BIGINT) AS cut_cents,
+             |  CAST(CAST(sb + CAST(r - cb AS DECIMAL(19,0))
+             |    * CAST(cut AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS VARCHAR)
+             |    AS cum_cents,
+             |  CASE WHEN tot > 0 THEN
+             |    CAST(CAST(sb + CAST(r - cb AS DECIMAL(19,0))
+             |      * CAST(cut AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+             |      / CAST(tot AS DOUBLE) END AS cum_share,
+             |  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share
+             |FROM bel, nn ORDER BY bucket""".stripMargin)),
+
+    // ---- q300: BOUNDED KATZ CENTRALITY — 3-hop damped-walk
+    // influence (α = 1/8) over the high-value co-purchase graph
+    // ([[graft.operators.Graph.katzBounded]]): three sparse
+    // join+aggregate rounds shuffling on node ids only, walk counts
+    // in exact decimals, the score kept ×8³ as one integer so the
+    // only double is the final division — hash-exact.
+    Q(
+      "q300_katz_centrality",
+      (s, d) => {
+        import s.implicits._
+        val e = copurchaseEdges(s, d, minPrice = 50000.0)
+        graft.operators.Graph.katzBounded(
+          e, $"src", $"dst", hops = 3, alphaDen = 8L)
+          .orderBy($"node")
+      },
+      Some(s"""WITH ${sqlCopurchase(minPrice = "50000")},
+             |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+             |  UNION ALL SELECT b, a FROM canon),
+             |w1 AS MATERIALIZED (SELECT src AS node, count(*) AS w
+             |  FROM sym GROUP BY 1),
+             |w2 AS MATERIALIZED (SELECT sym.src AS node, sum(w1.w) AS w
+             |  FROM sym JOIN w1 ON sym.dst = w1.node GROUP BY 1),
+             |w3 AS MATERIALIZED (SELECT sym.src AS node, sum(w2.w) AS w
+             |  FROM sym JOIN w2 ON sym.dst = w2.node GROUP BY 1)
+             |SELECT w1.node, CAST(w1.w AS BIGINT) AS w1,
+             |  CAST(w2.w AS BIGINT) AS w2, CAST(w3.w AS BIGINT) AS w3,
+             |  CAST(CAST(w1.w AS BIGINT) * 64 + CAST(w2.w AS BIGINT) * 8
+             |    + CAST(w3.w AS BIGINT) AS DOUBLE) / 512.0 AS katz
+             |FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+             |ORDER BY node""".stripMargin)))
 
   /** q294 drive: two time-sliced parquet files + a far-future
     * sentinel staged into one directory, consumed with

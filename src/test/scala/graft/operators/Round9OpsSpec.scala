@@ -1260,4 +1260,93 @@ class Round9OpsSpec extends SparkTestBase {
         math.abs(r.getDouble(4) - 4 * essw) < 1e-6 && fOk
     })
   }
+
+  // --- max drawdown
+
+  test("property: maxDrawdown equals the sequential peak-trough fold") {
+    val genPath: Gen[List[Int]] =
+      Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 50)))
+    check(Prop.forAll(genPath) { prices =>
+      val rows = prices.zipWithIndex.map { case (p, i) =>
+        ("k", 1000000L * i, i.toLong, p.toLong)
+      }
+      val df = rows.toDF("k", "us", "tb", "p")
+        .select($"k", ($"us" / 1000000L).cast("timestamp").as("ts"),
+          $"tb", $"p")
+      val r = TimeSeries.maxDrawdown(df, $"k", $"ts", $"tb", $"p")
+        .collect()(0)
+      var m = Long.MinValue; var dd = 0L; var frac = Option.empty[Double]
+      for (p <- prices.map(_.toLong)) {
+        m = math.max(m, p); dd = math.max(dd, m - p)
+        if (m > 0L) {
+          val f = (m - p).toDouble / m.toDouble
+          frac = Some(math.max(frac.getOrElse(0.0), f))
+        }
+      }
+      r.getLong(1) == prices.size && r.getLong(2) == prices.max.toLong &&
+        r.getLong(3) == dd &&
+        ((frac, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(a), Some(b)) => a == b
+          case (None, None)       => true
+          case _                  => false
+        })
+    })
+  }
+
+  // --- Lorenz curve
+
+  test("property: lorenzCurve equals the sorted cumulative shares") {
+    val genAmts: Gen[List[Int]] = Gen.chooseNum(1, 50)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(0, 0, 1, 2, 5, 5, 9, 100)))
+    check(Prop.forAll(genAmts, Gen.oneOf(2, 4, 8)) { (amts, b) =>
+      val got = RankStats.lorenzCurve(amts.map(Tuple1(_)).toDF("v"), $"v", b)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          BigInt(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      val sorted = amts.map(_.toLong).sorted
+      val tot = sorted.sum
+      got.forall { case (i, r, cut, cum, share) =>
+        val er = (i.toLong * amts.size + b - 1) / b
+        val ecum = BigInt(sorted.take(er.toInt).sum)
+        r == er && cut == sorted(er.toInt - 1) && cum == ecum &&
+          (share match {
+            case Some(sh) => tot > 0 &&
+              math.abs(sh - ecum.toDouble / tot.toDouble) < 1e-12
+            case None => tot == 0L
+          })
+      } && got.length == b
+    })
+  }
+
+  // --- bounded Katz
+
+  test("property: katzBounded equals brute walk counting") {
+    val genEdges: Gen[List[(Long, Long)]] = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 8L); b <- Gen.chooseNum(0L, 8L)
+      } yield (a, b)))
+    check(Prop.forAll(genEdges) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val adj = (edges ++ edges.map(_.swap)).distinct
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        def walks(i: Int): Map[Long, Long] =
+          if (i == 1) adj.map { case (k, ns) => k -> ns.size.toLong }
+          else {
+            val prev = walks(i - 1)
+            adj.map { case (k, ns) => k -> ns.map(prev).sum }
+          }
+        val (w1, w2, w3) = (walks(1), walks(2), walks(3))
+        val got = Graph.katzBounded(
+          edges.toDF("s", "t"), $"s", $"t", hops = 3, alphaDen = 8L)
+          .collect()
+        got.length == adj.size && got.forall { r =>
+          val n = r.getLong(0)
+          r.getLong(1) == w1(n) && r.getLong(2) == w2(n) &&
+            r.getLong(3) == w3(n) &&
+            r.getDouble(4) ==
+              (w1(n) * 64L + w2(n) * 8L + w3(n)).toDouble / 512.0
+        }
+      }
+    })
+  }
 }

@@ -885,4 +885,48 @@ object Profiling {
           .otherwise(lit(null).cast("double")).as("cramers_v"),
         col("fin.mi_cum").as("mi"))
   }
+
+  /** THEIL T INDEX per group — the entropy member of the inequality
+    * family ([[RankStats.giniCoefficient]] is the rank member,
+    * [[herfindahl]] the concentration member): T = (1/n)·Σ_{x>0}
+    * (x/μ)·ln(x/μ), 0 for perfect equality, ln(n) for total
+    * concentration, and — unlike Gini — exactly decomposable into
+    * within/between-group terms.
+    *
+    * n and Σx are exact decimals; each row's term is a pinned double
+    * and the per-group total is a plain partial-aggregated float sum
+    * — ln() libraries are not bit-identical across engines anyway, so
+    * the statistic is 1e-9-gated (the q61/q125 soundness-oracle
+    * discipline), and the sum keeps map-side combining instead of
+    * paying an ordered fold for false exactness. Zero amounts
+    * contribute zero (the x·ln x limit) but count toward n and μ.
+    *
+    * `amountCents` must be non-null and ≥ 0. Output per group:
+    * (k, n, sum_cents, theil) — theil null when Σx = 0.
+    */
+  def theilIndex(
+      df: DataFrame,
+      group: Column,
+      amountCents: Column): DataFrame = {
+    val vL = amountCents.cast("long")
+    val vG = when(vL.isNull || vL < 0L, raise_error(lit(
+      "theilIndex: amountCents must be non-null and >= 0"))).otherwise(vL)
+    val base = df.select(group.as("k"), vG.as("v"))
+    val d19 = "decimal(19,0)"
+    val st = base.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(d19)).cast("decimal(38,0)").as("sv"))
+      .select(col("k").as("sk"), col("n"), col("sv"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mu"))
+    val joined = base.join(st, col("k") === col("sk"))
+    val ratio = col("v").cast("double") / col("mu")
+    val term = when(col("v") > 0L, ratio * log(ratio)).otherwise(lit(0.0))
+    joined.groupBy(col("k"))
+      .agg(sum(term).as("tsum"), first(col("n")).as("n"),
+        first(col("sv")).as("sv"))
+      .select(col("k"), col("n"),
+        col("sv").cast("string").as("sum_cents"),
+        when(col("sv") > 0, col("tsum") / col("n").cast("double"))
+          .otherwise(lit(null).cast("double")).as("theil"))
+  }
 }

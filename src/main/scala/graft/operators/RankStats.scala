@@ -433,6 +433,168 @@ object RankStats {
         .otherwise(lit(null).cast("double")).as("gini"))
   }
 
+  /** WILCOXON SIGNED-RANK per key — the paired one-sample location
+    * test (Wilcoxon 1945), the within-subject sibling of
+    * [[mannWhitney]]: for paired integer measurements (x, y), rank
+    * the nonzero |y − x| with POOLED midranks (the bucketed
+    * machinery — no per-key sort), W⁺ = Σ ranks of positive
+    * differences, and the tie-corrected normal approximation
+    *
+    *   z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Doubled rank sums stay in decimal(38,0); every double division
+    * is pinned-order on exactly-cast integers (2⁵³ guards raise
+    * LOUDLY) — hash-exact. Zero differences are dropped (the standard
+    * treatment); `x`/`y` must be non-null integers. Output per key:
+    * (k, n_pairs, n_nonzero, w_plus, z) — z null when no nonzero
+    * pairs or zero variance (all |d| tied at one value... impossible
+    * for n ≥ 1 unless every pair moved identically; guarded anyway).
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"wilcoxonSignedRank: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(key.as("k"), (g(y, "y") - g(x, "x")).as("d"))
+    val nz = base.filter(col("d") =!= 0L)
+      .select(col("k"), abs(col("d")).cast("double").as("v"),
+        (col("d") > 0L).cast("long").as("pos"))
+    val cells = nz.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val ranked = withMidranks(cells, buckets)
+    val d12 = "decimal(12,0)"
+    val twoP53 = 9007199254740992L
+    def exactDbl(c: Column, what: String): Column =
+      when(c > lit(twoP53), raise_error(lit(
+        s"wilcoxonSignedRank: $what exceeds 2^53 — double cast would " +
+          "round; shrink the key grain"))).otherwise(c).cast("double")
+    val st = ranked.groupBy(col("k")).agg(
+      sum(col("c")).as("n"),
+      sum(col("p").cast("decimal(18,0)") * col("mr2").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("w2p"),
+      sum(col("c").cast(d12) * col("c").cast(d12) * col("c").cast(d12)
+        - col("c").cast(d12)).cast("decimal(38,0)").as("ties"))
+    val pairs = base.groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
+    val nD = col("n").cast("double")
+    val wp = exactDbl(col("w2p"), "the positive rank sum") / lit(2.0)
+    val e = nD * (nD + lit(1.0)) / lit(4.0)
+    val varw = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) / lit(24.0) -
+      exactDbl(col("ties"), "the tie-cube sum") / lit(48.0)
+    pairs.join(st.select(col("k").as("sk"), col("n"), col("w2p"), col("ties")),
+      col("k") === col("sk"), "left")
+      .select(
+        col("k"), col("n_pairs"),
+        coalesce(col("n"), lit(0L)).as("n_nonzero"),
+        when(col("n").isNotNull, wp)
+          .otherwise(lit(null).cast("double")).as("w_plus"),
+        when(col("n").isNotNull && varw > 0.0, (wp - e) / sqrt(varw))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** FRIEDMAN TEST per key — the K-treatment repeated-measures rank
+    * test (Friedman 1937), [[kruskalWallis]]'s within-BLOCK sibling:
+    * each complete block (one value per treatment) ranks its K cells,
+    * treatment rank sums R_t accumulate across blocks, and
+    *
+    *   χ² = 12/(B·K(K+1)) · Σ_t R_t² − 3B(K+1),
+    *
+    * tie-corrected by 1 − Σ_blocks Σ(t³−t) / (B·K(K²−1)).
+    *
+    * Ranking windows run over K-row BLOCK partitions (millions of
+    * tiny independent partitions — embarrassingly parallel, never a
+    * global sort), doubled midranks keep everything integral, and
+    * Σ R_t² is an EXACT decimal because every treatment spans the
+    * same B blocks (no per-group division — unlike KW, no float fold
+    * is needed at all). Hash-exact; 2⁵³ guards raise loudly.
+    *
+    * `df` must have AT MOST one row per (key, block, treatment) —
+    * duplicates raise. Blocks missing any of the key's treatments are
+    * dropped (complete-design requirement). Output per key:
+    * (k, n_blocks, k_treatments, chi2, chi2_adj) — chi2_adj null when
+    * every block is fully tied.
+    */
+  def friedman(
+      df: DataFrame,
+      key: Column,
+      block: Column,
+      treatment: Column,
+      value: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"friedman: $name must be a non-null integer"))).otherwise(c.cast("long"))
+    val base = df.select(key.as("k"), g(block, "block").as("b"),
+      g(treatment, "treatment").as("t"), g(value, "value").as("v"))
+    val cells0 = base.groupBy(col("k"), col("b"), col("t"))
+      .agg(max(col("v")).as("vm"), count(lit(1)).as("cnt"))
+    val cells = cells0.select(col("k"), col("b"), col("t"),
+      when(col("cnt") > 1L, raise_error(lit(
+        "friedman: more than one row per (key, block, treatment) — " +
+          "reduce cells first"))).otherwise(col("vm")).as("v"))
+    // keep only complete blocks: every treatment the key has anywhere
+    val kTreat = cells.groupBy(col("k"))
+      .agg(countDistinct(col("t")).as("kk"))
+    val perBlock = cells.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("bt"))
+    val complete = perBlock.join(kTreat, Seq("k"))
+      .filter(col("bt") === col("kk"))
+      .select(col("k").as("ck"), col("b").as("cb"), col("kk"))
+    val kept = cells.join(complete,
+      col("k") === col("ck") && col("b") === col("cb"))
+    // within-block doubled midrank: 2·minrank + #equal − 1
+    val wRank = Window.partitionBy(col("k"), col("b")).orderBy(col("v").asc)
+    val wEq = Window.partitionBy(col("k"), col("b"), col("v"))
+    val ranked = kept
+      .withColumn("mr2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wEq) - lit(1L))
+    val twoP53 = 9007199254740992L
+    def exactDbl(c: Column, what: String): Column =
+      when(c > lit(twoP53), raise_error(lit(
+        s"friedman: $what exceeds 2^53 — double cast would round")))
+        .otherwise(c).cast("double")
+    val d18 = "decimal(18,0)"
+    // rank sums stay within 18 digits (R_t ≤ 2BK ≤ 10¹⁸ up to 10¹⁷
+    // blocks) so the square fits decimal(37,0) in BOTH engines —
+    // 38×38 products raise in DuckDB and silently clamp in Spark
+    val perTreat = ranked.groupBy(col("k"), col("t")).agg(
+      sum(col("mr2").cast(d18)).cast("decimal(38,0)").as("r2raw"))
+      .select(col("k"), col("t"),
+        when(col("r2raw") > lit(999999999999999999L).cast("decimal(38,0)"),
+          raise_error(lit("friedman: a rank sum exceeds 18 digits")))
+          .otherwise(col("r2raw").cast(d18)).as("r2"))
+    val s2 = perTreat.groupBy(col("k")).agg(
+      sum(col("r2") * col("r2")).cast("decimal(38,0)").as("s2"),
+      count(lit(1)).as("ktr"))
+    val bCount = complete.groupBy(col("ck")).agg(
+      count(lit(1)).as("nb"))
+    val tieCells = ranked.groupBy(col("k"), col("b"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val d12 = "decimal(12,0)"
+    val ties = tieCells.groupBy(col("k")).agg(
+      sum(col("c").cast(d12) * col("c").cast(d12) * col("c").cast(d12)
+        - col("c").cast(d12)).cast("decimal(38,0)").as("ties"))
+    val bD = col("nb").cast("double")
+    val kD = col("ktr").cast("double")
+    val chi2 = lit(12.0) / (bD * kD * (kD + lit(1.0))) *
+      (exactDbl(col("s2"), "the squared rank-sum total") / lit(4.0)) -
+      lit(3.0) * bD * (kD + lit(1.0))
+    val den = lit(1.0) - exactDbl(col("ties"), "the tie-cube sum") /
+      (bD * kD * (kD * kD - lit(1.0)))
+    s2.join(bCount, col("k") === col("ck"))
+      .join(ties, Seq("k"))
+      .select(col("k"), col("nb").as("n_blocks"),
+        col("ktr").as("k_treatments"),
+        when(col("ktr") >= 2L, chi2)
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        when(col("ktr") >= 2L && den > 0.0, chi2 / den)
+          .otherwise(lit(null).cast("double")).as("chi2_adj"))
+  }
+
   /** LORENZ CURVE at `buckets` population cut points — the curve
     * behind [[giniCoefficient]]: at each rank rᵢ = ⌈i·n/B⌉, the share
     * of total amount held by the poorest rᵢ units. NO global sort:

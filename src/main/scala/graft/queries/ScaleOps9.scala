@@ -951,6 +951,242 @@ object ScaleOps9 {
              |FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
              |ORDER BY node""".stripMargin)))
 
+  /** Continuation Seq 6: paired/repeated-measures rank tests and the
+    * entropy inequality index.
+    */
+  val all6: Seq[Q] = Seq(
+
+    // ---- q301: WILCOXON SIGNED-RANK — did customers' order value
+    // shift between their first and last order, per market segment?
+    // ([[graft.operators.RankStats.wilcoxonSignedRank]]): pooled
+    // midranks of |Δ| from the bucketed machinery, exact decimal
+    // rank sums, pinned z chain — hash-exact.
+    Q(
+      "q301_wilcoxon_signed_rank",
+      (s, d) => {
+        import s.implicits._
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        val wD = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        val fl = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull &&
+            $"o_totalprice".isNotNull && $"o_orderkey".isNotNull)
+          .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+          .withColumn("ra", row_number().over(wA))
+          .withColumn("rd", row_number().over(wD))
+          .groupBy($"o_custkey")
+          .agg(
+            max(when($"ra" === 1, $"cents")).as("x"),
+            max(when($"rd" === 1, $"cents")).as("y"),
+            count(lit(1)).as("no"))
+          .filter($"no" >= 2)
+        val per = fl.join(
+          broadcast(Tables.customer(s, d)
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        graft.operators.RankStats.wilcoxonSignedRank(
+          per, $"c_mktsegment", $"x", $"y").orderBy($"k")
+      },
+      Some("""WITH oc AS MATERIALIZED (SELECT o_custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS ra,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd,
+             |    count(*) OVER (PARTITION BY o_custkey) AS no
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |    AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+             |fl AS (SELECT o_custkey,
+             |    max(CASE WHEN ra = 1 THEN cents END) AS x,
+             |    max(CASE WHEN rd = 1 THEN cents END) AS y
+             |  FROM oc WHERE no >= 2 GROUP BY 1),
+             |per AS MATERIALIZED (SELECT c.c_mktsegment AS k,
+             |    fl.y - fl.x AS dd
+             |  FROM fl JOIN customer c ON fl.o_custkey = c.c_custkey),
+             |np AS (SELECT k, count(*) AS n_pairs FROM per GROUP BY 1),
+             |nz AS MATERIALIZED (SELECT k, CAST(abs(dd) AS DOUBLE) AS v,
+             |    CASE WHEN dd > 0 THEN 1 ELSE 0 END AS pos
+             |  FROM per WHERE dd <> 0),
+             |cells AS MATERIALIZED (SELECT k, v, count(*) AS c,
+             |    CAST(sum(pos) AS BIGINT) AS p
+             |  FROM nz GROUP BY 1, 2),
+             |mr AS MATERIALIZED (SELECT k, v, c, p,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS mr2
+             |  FROM cells),
+             |st AS MATERIALIZED (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(CAST(p AS DECIMAL(18,0))
+             |      * CAST(mr2 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS w2p,
+             |    CAST(sum(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+             |        * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0)))
+             |      AS DECIMAL(38,0)) AS ties
+             |  FROM mr GROUP BY 1)
+             |SELECT np.k, np.n_pairs, coalesce(st.n, 0) AS n_nonzero,
+             |  CASE WHEN st.n IS NOT NULL
+             |    THEN CAST(w2p AS DOUBLE) / 2.0 END AS w_plus,
+             |  CASE WHEN st.n IS NOT NULL
+             |      AND CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) + 1.0)
+             |        * (2.0 * CAST(st.n AS DOUBLE) + 1.0) / 24.0
+             |        - CAST(ties AS DOUBLE) / 48.0 > 0
+             |    THEN (CAST(w2p AS DOUBLE) / 2.0
+             |        - CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) + 1.0)
+             |          / 4.0)
+             |      / sqrt(CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) + 1.0)
+             |        * (2.0 * CAST(st.n AS DOUBLE) + 1.0) / 24.0
+             |        - CAST(ties AS DOUBLE) / 48.0)
+             |    END AS z
+             |FROM np LEFT JOIN st ON np.k = st.k ORDER BY np.k""".stripMargin)),
+
+    // ---- q302: FRIEDMAN TEST — does spend rank consistently across
+    // the five order priorities within each customer (blocks), per
+    // market segment? ([[graft.operators.RankStats.friedman]]):
+    // within-block ranks over K-row partitions (millions of tiny
+    // independent windows, no global sort), Σ R_t² exact in decimal —
+    // no float fold at all — pinned χ² chain, tie-corrected;
+    // hash-exact.
+    Q(
+      "q302_friedman",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderpriority".isNotNull &&
+            $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey",
+            substring($"o_orderpriority", 1, 1).cast("long").as("t"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+        val per = cells.join(
+          broadcast(Tables.customer(s, d)
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        graft.operators.RankStats.friedman(
+          per, $"c_mktsegment", $"o_custkey", $"t", $"v").orderBy($"k")
+      },
+      Some("""WITH cells AS MATERIALIZED (SELECT c.c_mktsegment AS k,
+             |    o.o_custkey AS b,
+             |    CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS t,
+             |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_orderpriority IS NOT NULL
+             |    AND o.o_totalprice IS NOT NULL
+             |  GROUP BY 1, 2, 3),
+             |kt AS (SELECT k, count(DISTINCT t) AS kk FROM cells GROUP BY 1),
+             |pb AS (SELECT k, b, count(*) AS bt FROM cells GROUP BY 1, 2),
+             |comp AS MATERIALIZED (SELECT pb.k, pb.b
+             |  FROM pb JOIN kt ON pb.k = kt.k WHERE pb.bt = kt.kk),
+             |kept AS MATERIALIZED (SELECT cells.k, cells.b, cells.t, cells.v
+             |  FROM cells JOIN comp ON cells.k = comp.k AND cells.b = comp.b),
+             |ranked AS MATERIALIZED (SELECT k, b, t, v,
+             |    2 * rank() OVER (PARTITION BY k, b ORDER BY v ASC)
+             |      + count(*) OVER (PARTITION BY k, b, v) - 1 AS mr2
+             |  FROM kept),
+             |pt AS (SELECT k, t,
+             |    CAST(sum(CAST(mr2 AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS r2
+             |  FROM ranked GROUP BY 1, 2),
+             |s2 AS (SELECT k, CAST(sum(r2 * r2) AS DECIMAL(38,0)) AS s2,
+             |    count(*) AS ktr
+             |  FROM pt GROUP BY 1),
+             |bc AS (SELECT k, count(*) AS nb FROM comp GROUP BY 1),
+             |tc AS (SELECT k,
+             |    CAST(sum(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+             |        * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0)))
+             |      AS DECIMAL(38,0)) AS ties
+             |  FROM (SELECT k, b, v, count(*) AS c FROM ranked GROUP BY 1, 2, 3)
+             |  GROUP BY 1)
+             |SELECT s2.k, CAST(bc.nb AS BIGINT) AS n_blocks,
+             |  CAST(s2.ktr AS BIGINT) AS k_treatments,
+             |  CASE WHEN s2.ktr >= 2
+             |    THEN 12.0 / (CAST(bc.nb AS DOUBLE) * CAST(s2.ktr AS DOUBLE)
+             |        * (CAST(s2.ktr AS DOUBLE) + 1.0))
+             |      * (CAST(s2.s2 AS DOUBLE) / 4.0)
+             |      - 3.0 * CAST(bc.nb AS DOUBLE) * (CAST(s2.ktr AS DOUBLE) + 1.0)
+             |    END AS chi2,
+             |  CASE WHEN s2.ktr >= 2
+             |      AND 1.0 - CAST(tc.ties AS DOUBLE)
+             |        / (CAST(bc.nb AS DOUBLE) * CAST(s2.ktr AS DOUBLE)
+             |          * (CAST(s2.ktr AS DOUBLE) * CAST(s2.ktr AS DOUBLE) - 1.0)) > 0
+             |    THEN (12.0 / (CAST(bc.nb AS DOUBLE) * CAST(s2.ktr AS DOUBLE)
+             |        * (CAST(s2.ktr AS DOUBLE) + 1.0))
+             |      * (CAST(s2.s2 AS DOUBLE) / 4.0)
+             |      - 3.0 * CAST(bc.nb AS DOUBLE) * (CAST(s2.ktr AS DOUBLE) + 1.0))
+             |      / (1.0 - CAST(tc.ties AS DOUBLE)
+             |        / (CAST(bc.nb AS DOUBLE) * CAST(s2.ktr AS DOUBLE)
+             |          * (CAST(s2.ktr AS DOUBLE) * CAST(s2.ktr AS DOUBLE) - 1.0)))
+             |    END AS chi2_adj
+             |FROM s2 JOIN bc ON s2.k = bc.k JOIN tc ON s2.k = tc.k
+             |ORDER BY s2.k""".stripMargin)),
+
+    // ---- q303: THEIL T INDEX — entropy inequality of per-customer
+    // revenue by nation, completing the inequality family (q293 Gini,
+    // q299 Lorenz, q279 HHI)
+    // ([[graft.operators.Profiling.theilIndex]]). ln() is not
+    // bit-portable, so this is the q61/q125 SOUNDNESS gate: exact n
+    // and decimal sum digests must match exactly, theil within 1e-9,
+    // poison row otherwise.
+    Q(
+      "q303_theil_index",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+          .join(broadcast(Tables.nation(s, d)
+            .join(Tables.customer(s, d), $"c_nationkey" === $"n_nationkey")
+            .select($"c_custkey", $"n_name")), $"o_custkey" === $"c_custkey")
+        graft.operators.Profiling.theilIndex(cust, $"n_name", $"cents")
+          .orderBy($"k")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q303_theil_index/*.parquet')),
+             |cust AS MATERIALIZED (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+             |  GROUP BY 1),
+             |tagged AS MATERIALIZED (SELECT n.n_name AS k, cust.v
+             |  FROM cust
+             |  JOIN customer c ON cust.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+             |st AS (SELECT k, count(*) AS n,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv
+             |  FROM tagged GROUP BY 1),
+             |expect AS MATERIALIZED (SELECT t.k, CAST(st.n AS BIGINT) AS n,
+             |    CAST(st.sv AS VARCHAR) AS sum_cents,
+             |    CASE WHEN st.sv > 0 THEN
+             |      sum(CASE WHEN t.v > 0 THEN
+             |        (CAST(t.v AS DOUBLE)
+             |          / (CAST(st.sv AS DOUBLE) / CAST(st.n AS DOUBLE)))
+             |        * ln(CAST(t.v AS DOUBLE)
+             |          / (CAST(st.sv AS DOUBLE) / CAST(st.n AS DOUBLE)))
+             |        ELSE 0.0 END) / CAST(st.n AS DOUBLE)
+             |      END AS theil
+             |  FROM tagged t JOIN st ON t.k = st.k
+             |  GROUP BY t.k, st.n, st.sv),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x
+             |      ON e.k = x.k
+             |      WHERE e.n <> x.n OR e.sum_cents <> x.sum_cents
+             |        OR (e.theil IS NULL) <> (x.theil IS NULL)
+             |        OR abs(coalesce(e.theil, 0) - coalesce(x.theil, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.k NOT IN (SELECT k FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.k NOT IN (SELECT k FROM emitted))
+             |  ) AS ok)
+             |SELECT k, n, sum_cents, theil FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), '-1', CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY k""".stripMargin)))
+
   /** q294 drive: two time-sliced parquet files + a far-future
     * sentinel staged into one directory, consumed with
     * `maxFilesPerTrigger = 1` (≥ 2 real micro-batches enforced) by a

@@ -1349,4 +1349,126 @@ class Round9OpsSpec extends SparkTestBase {
       }
     })
   }
+
+  // --- Wilcoxon signed-rank
+
+  /** Textbook W⁺ and z from midranks of |d|. */
+  private def refWilcoxon(pairs: Seq[(Int, Int)])
+      : (Long, Long, Option[Double], Option[Double]) = {
+    val ds = pairs.map { case (x, y) => (y - x).toLong }.filter(_ != 0L)
+    if (ds.isEmpty) (pairs.size.toLong, 0L, None, None)
+    else {
+      val abs = ds.map(math.abs).sorted
+      val rankOf: Map[Long, Double] = abs.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+      val wp = ds.filter(_ > 0).map(d => rankOf(math.abs(d))).sum
+      val n = ds.size.toDouble
+      val ties = abs.groupBy(identity).values
+        .map(g => math.pow(g.size, 3) - g.size).sum
+      val varw = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+      val z = if (varw > 0) Some((wp - n * (n + 1) / 4.0) / math.sqrt(varw))
+              else None
+      (pairs.size.toLong, ds.size.toLong, Some(wp), z)
+    }
+  }
+
+  test("property: wilcoxonSignedRank equals the textbook statistic") {
+    val genPairs: Gen[List[(Int, Int)]] = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, for {
+        x <- Gen.chooseNum(0, 8); y <- Gen.chooseNum(0, 8)
+      } yield (x, y)))
+    check(Prop.forAll(genPairs) { pairs =>
+      val df = pairs.map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y")
+      val r = RankStats.wilcoxonSignedRank(df, $"k", $"x", $"y").collect()(0)
+      val (enp, enz, ewp, ez) = refWilcoxon(pairs)
+      def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      r.getLong(1) == enp && r.getLong(2) == enz &&
+        ((ewp, optD(3)) match {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (None, None)       => true
+          case _                  => false
+        }) &&
+        ((ez, optD(4)) match {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (None, None)       => true
+          case _                  => false
+        })
+    })
+  }
+
+  // --- Friedman
+
+  /** Textbook χ²_F with within-block midranks and tie correction. */
+  private def refFriedman(blocks: Seq[Seq[Int]]): (Double, Option[Double]) = {
+    val b = blocks.size.toDouble
+    val k = blocks.head.size.toDouble
+    def midranks(vs: Seq[Int]): Seq[Double] = {
+      val sorted = vs.sorted
+      val rk = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+      vs.map(rk)
+    }
+    val ranks = blocks.map(midranks)
+    val rT = (0 until blocks.head.size).map(t => ranks.map(_(t)).sum)
+    val chi2 = 12.0 / (b * k * (k + 1)) * rT.map(r => r * r).sum -
+      3.0 * b * (k + 1)
+    val ties = blocks.map(vs => vs.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum).sum
+    val den = 1.0 - ties / (b * k * (k * k - 1))
+    (chi2, if (den > 0) Some(chi2 / den) else None)
+  }
+
+  test("property: friedman equals the textbook statistic; incomplete blocks drop") {
+    val genDesign: Gen[(Int, List[List[Int]])] = for {
+      k <- Gen.chooseNum(2, 5)
+      b <- Gen.chooseNum(1, 15)
+      blocks <- Gen.listOfN(b, Gen.listOfN(k, Gen.chooseNum(0, 6)))
+    } yield (k, blocks)
+    check(Prop.forAll(genDesign) { case (k, blocks) =>
+      // block ids 0..b-1 complete; block 999 deliberately incomplete
+      // (missing treatment 1) — it must be dropped entirely
+      val rows = blocks.zipWithIndex.flatMap { case (vs, bi) =>
+        vs.zipWithIndex.map { case (v, t) => ("g", bi.toLong, t.toLong, v) }
+      } ++ (2 until k).map(t => ("g", 999L, t.toLong, 3))
+      val r = RankStats.friedman(
+        rows.toDF("k", "b", "t", "v"), $"k", $"b", $"t", $"v").collect()(0)
+      val (ec, eca) = refFriedman(blocks)
+      r.getLong(1) == blocks.size && r.getLong(2) == k &&
+        math.abs(r.getDouble(3) - ec) < 1e-9 &&
+        ((eca, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(a), Some(b2)) => math.abs(a - b2) < 1e-9
+          case (None, None)        => true
+          case _                   => false
+        })
+    })
+  }
+
+  test("friedman: duplicate (key, block, treatment) cells raise") {
+    val rows = Seq(("g", 1L, 1L, 5), ("g", 1L, 1L, 6), ("g", 1L, 2L, 7))
+    val e = intercept[Exception] {
+      RankStats.friedman(rows.toDF("k", "b", "t", "v"),
+        $"k", $"b", $"t", $"v").collect()
+    }
+    assert(e.getMessage.contains("more than one row"))
+  }
+
+  // --- Theil index
+
+  test("property: theilIndex equals the textbook entropy index") {
+    val genAmts: Gen[List[Int]] = Gen.chooseNum(1, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(0, 0, 1, 3, 7, 100)))
+    check(Prop.forAll(genAmts) { amts =>
+      val r = Profiling.theilIndex(
+        amts.map(("k", _)).toDF("k", "v"), $"k", $"v").collect()(0)
+      val tot = amts.map(_.toLong).sum
+      val okDigest = BigInt(r.getString(2)) == BigInt(tot)
+      if (tot == 0L) okDigest && r.isNullAt(3)
+      else {
+        val mu = tot.toDouble / amts.size
+        val et = amts.filter(_ > 0)
+          .map(x => (x / mu) * math.log(x / mu)).sum / amts.size
+        okDigest && math.abs(r.getDouble(3) - et) < 1e-9
+      }
+    })
+  }
 }

@@ -321,4 +321,84 @@ object ModelEval {
     base.unpersist()
     out
   }
+
+  /** QUANTILE-FORECAST BACKTEST with exact PINBALL LOSS — fit the
+    * per-group q = `num`/`den` empirical quantile on the training
+    * half of a time split, score the evaluation half with the proper
+    * scoring rule for quantiles,
+    *
+    *   L_q(y, f) = max(q·(y − f), (q − 1)·(y − f)),
+    *
+    * kept ×den so it is an exact INTEGER:
+    * den·L = max(num·(y − f), (num − den)·(y − f)).
+    *
+    * The forecast is the exact ⌈q·n⌉-th train order statistic from
+    * the two-crossing geometry over each group's distinct-value cells
+    * (windows over cells, never rows); losses sum in decimal(38,0)
+    * and travel as a STRING digest; the mean is one pinned double
+    * division — hash-exact end to end. `value` must be a non-null
+    * integer; groups with no train rows are dropped (no forecast to
+    * score), groups with no eval rows emit n_eval = 0 and null mean.
+    *
+    * Output per group: (g, n_train, forecast, n_eval,
+    * pinball_xden, mean_pinball).
+    */
+  def quantilePinballBacktest(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      isTrain: Column,
+      num: Int,
+      den: Int): DataFrame = {
+    require(den >= 2 && num >= 1 && num < den,
+      s"need 1 <= num < den, got $num/$den")
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"quantilePinballBacktest: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val flag = when(isTrain.cast("boolean").isNull, raise_error(lit(
+      "quantilePinballBacktest: isTrain must be a non-null boolean")))
+      .otherwise(isTrain.cast("boolean"))
+    val base = df.select(group.as("gk"), g(value, "value").as("v"),
+      flag.as("tr"))
+    val cells = base.filter(col("tr")).groupBy(col("gk"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("gk")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("gk"))
+    val cum = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    // ⌈num·n/den⌉ in exact integer arithmetic (Column `/` is true
+    // division — floor() the double back; exact below 2⁵²)
+    val k = floor((lit(num.toLong) * col("n") + (den - 1).toLong) /
+      lit(den.toLong)).cast("long")
+    val fc = cum.groupBy(col("gk")).agg(
+      min(when(col("cum") >= k, col("v"))).as("f"),
+      max(col("n")).as("n_train"))
+      .select(col("gk").as("fk"), col("f"), col("n_train"))
+    val d19 = "decimal(19,0)"
+    val ev = base.filter(!col("tr"))
+      .join(fc, col("gk") === col("fk"))
+      .withColumn("lx",
+        greatest(lit(num.toLong) * (col("v") - col("f")),
+          lit((num - den).toLong) * (col("v") - col("f"))))
+      .groupBy(col("gk"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("lx").cast(d19)).cast("decimal(38,0)").as("sx"))
+      .select(col("gk").as("ek"), col("n_eval"), col("sx"))
+    val twoP53 = 9007199254740992L
+    fc.join(ev, col("fk") === col("ek"), "left")
+      .select(
+        col("fk").as("g"), col("n_train"), col("f").as("forecast"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("sx"), lit(0).cast("decimal(38,0)"))
+          .cast("string").as("pinball_xden"),
+        when(col("n_eval").isNotNull && col("n_eval") > 0L,
+          when(col("sx") > lit(twoP53), raise_error(lit(
+            "quantilePinballBacktest: loss sum exceeds 2^53")))
+            .otherwise(col("sx")).cast("double") /
+            (lit(den.toDouble) * col("n_eval").cast("double")))
+          .otherwise(lit(null).cast("double")).as("mean_pinball"))
+  }
 }

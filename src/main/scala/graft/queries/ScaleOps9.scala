@@ -1185,7 +1185,101 @@ object ScaleOps9 {
              |UNION ALL
              |SELECT 'POISON', CAST(-1 AS BIGINT), '-1', CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY k""".stripMargin)))
+             |ORDER BY k""".stripMargin)),
+
+    // ---- q304: LINK PREDICTION — common-neighbor count and the
+    // resource-allocation index over the high-value co-purchase
+    // graph ([[graft.operators.Graph.linkPrediction]]): wedge work
+    // bounded by an EXPLICIT center-degree cap (part of the
+    // semantics, replayed by the oracle), existing edges anti-joined
+    // out before the per-pair reduction, the RA sum folded through a
+    // window in neighbor order — hash-exact.
+    Q(
+      "q304_link_prediction",
+      (s, d) => {
+        import s.implicits._
+        val e = copurchaseEdges(s, d, minPrice = 50000.0)
+        graft.operators.Graph.linkPrediction(
+          e, $"src", $"dst", minCommon = 3, maxCenterDegree = 64)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH ${sqlCopurchase(minPrice = "50000")},
+             |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+             |  UNION ALL SELECT b, a FROM canon),
+             |deg AS MATERIALIZED (SELECT src AS c, count(*) AS d
+             |  FROM sym GROUP BY 1),
+             |wed AS MATERIALIZED (SELECT e1.src AS u, e2.dst AS v,
+             |    e1.dst AS w, deg.d
+             |  FROM sym e1
+             |  JOIN deg ON e1.dst = deg.c AND deg.d <= 64
+             |  JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst),
+             |nonadj AS MATERIALIZED (SELECT wed.u, wed.v, wed.w, wed.d
+             |  FROM wed
+             |  LEFT JOIN canon ON canon.a = wed.u AND canon.b = wed.v
+             |  WHERE canon.a IS NULL),
+             |sc AS (SELECT u, v,
+             |    sum(1.0 / CAST(d AS DOUBLE)) OVER (PARTITION BY u, v
+             |      ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS ra,
+             |    row_number() OVER (PARTITION BY u, v ORDER BY w) AS rn,
+             |    count(*) OVER (PARTITION BY u, v) AS cn
+             |  FROM nonadj)
+             |SELECT u AS a, v AS b, CAST(cn AS BIGINT) AS common_neighbors,
+             |  ra AS ra_index
+             |FROM sc WHERE rn = cn AND cn >= 3
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- q305: QUANTILE-FORECAST BACKTEST — fit each return flag's
+    // 3/4 quantity quantile on pre-1998 shipments, score later
+    // shipments with the exact ×4 integer PINBALL loss
+    // ([[graft.operators.ModelEval.quantilePinballBacktest]]):
+    // two-crossing order statistics over cells, decimal loss digest,
+    // one pinned mean division — hash-exact.
+    Q(
+      "q305_pinball_backtest",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.ModelEval.quantilePinballBacktest(
+          Tables.lineitem(s, d)
+            .filter($"l_returnflag".isNotNull && $"l_quantity".isNotNull &&
+              $"l_shipdate".isNotNull),
+          $"l_returnflag", $"l_quantity",
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"),
+          num = 3, den = 4)
+          .orderBy($"g")
+      },
+      Some("""WITH base AS MATERIALIZED (SELECT l_returnflag AS g,
+             |    CAST(l_quantity AS BIGINT) AS v,
+             |    l_shipdate < TIMESTAMP '1998-01-01' AS tr
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_shipdate IS NOT NULL),
+             |cells AS (SELECT g, v, count(*) AS c FROM base WHERE tr
+             |  GROUP BY 1, 2),
+             |cum AS MATERIALIZED (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY g) AS n
+             |  FROM cells),
+             |fc AS MATERIALIZED (SELECT g,
+             |    min(CASE WHEN cum >= floor((3 * n + 3) / CAST(4 AS DOUBLE))
+             |      THEN v END) AS f,
+             |    CAST(max(n) AS BIGINT) AS n_train
+             |  FROM cum GROUP BY 1),
+             |ev AS (SELECT base.g, count(*) AS n_eval,
+             |    CAST(sum(CAST(greatest(3 * (base.v - fc.f),
+             |      -1 * (base.v - fc.f)) AS DECIMAL(19,0)))
+             |      AS DECIMAL(38,0)) AS sx
+             |  FROM base JOIN fc ON base.g = fc.g
+             |  WHERE NOT base.tr GROUP BY 1)
+             |SELECT fc.g, fc.n_train, fc.f AS forecast,
+             |  coalesce(ev.n_eval, 0) AS n_eval,
+             |  CAST(coalesce(ev.sx, 0) AS VARCHAR) AS pinball_xden,
+             |  CASE WHEN ev.n_eval > 0
+             |    THEN CAST(ev.sx AS DOUBLE) / (4.0 * CAST(ev.n_eval AS DOUBLE))
+             |    END AS mean_pinball
+             |FROM fc LEFT JOIN ev ON fc.g = ev.g
+             |ORDER BY fc.g""".stripMargin)))
 
   /** q294 drive: two time-sliced parquet files + a far-future
     * sentinel staged into one directory, consumed with

@@ -1452,6 +1452,68 @@ class Round9OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("more than one row"))
   }
 
+  // --- link prediction
+
+  test("property: linkPrediction equals brute wedge scoring; cap excludes hub centers") {
+    val genEdges: Gen[List[(Long, Long)]] = Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+      } yield (a, b)))
+    check(Prop.forAll(genEdges, Gen.oneOf(2, 3, 100)) { (raw, cap) =>
+      val canon = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      canon.isEmpty || {
+        val adj = (canon ++ canon.map(_.swap))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val deg = adj.map { case (k, ns) => k -> ns.size }
+        val pairs = (for {
+          w <- adj.keys.toSeq if deg(w) <= cap
+          u <- adj(w); v <- adj(w) if u < v
+          if !adj(u).contains(v)
+        } yield ((u, v), w)).groupBy(_._1)
+          .map { case (p, ws) =>
+            val centers = ws.map(_._2).sorted
+            p -> ((centers.size.toLong,
+              centers.foldLeft(0.0)((s, w) => s + 1.0 / deg(w))))
+          }.filter(_._2._1 >= 2L)
+        val got = Graph.linkPrediction(
+          canon.toDF("s", "t"), $"s", $"t",
+          minCommon = 2, maxCenterDegree = cap)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getDouble(3)))).toMap
+        got.keySet == pairs.keySet && pairs.forall { case (p, (cn, ra)) =>
+          got(p)._1 == cn && math.abs(got(p)._2 - ra) < 1e-12
+        }
+      }
+    })
+  }
+
+  // --- pinball backtest
+
+  test("property: quantilePinballBacktest equals brute order-statistic + loss") {
+    val genRows: Gen[List[(Int, Boolean)]] = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, for {
+        v <- Gen.chooseNum(0, 12); tr <- Gen.oneOf(true, false)
+      } yield (v, tr)))
+    check(Prop.forAll(genRows) { rows =>
+      val train = rows.filter(_._2).map(_._1.toLong)
+      train.isEmpty || {
+        val df = rows.map { case (v, tr) => ("g", v, tr) }.toDF("g", "v", "tr")
+        val r = ModelEval.quantilePinballBacktest(
+          df, $"g", $"v", $"tr", num = 3, den = 4).collect()(0)
+        val sorted = train.sorted
+        val k = (3 * train.size + 3) / 4
+        val f = sorted(k - 1)
+        val ev = rows.filterNot(_._2).map(_._1.toLong)
+        val sx = ev.map(y => math.max(3 * (y - f), -(y - f))).sum
+        r.getLong(1) == train.size && r.getLong(2) == f &&
+          r.getLong(3) == ev.size && BigInt(r.getString(4)) == BigInt(sx) &&
+          (if (ev.isEmpty) r.isNullAt(5)
+           else r.getDouble(5) == sx.toDouble / (4.0 * ev.size))
+      }
+    })
+  }
+
   // --- Theil index
 
   test("property: theilIndex equals the textbook entropy index") {

@@ -1279,7 +1279,103 @@ object ScaleOps9 {
              |    THEN CAST(ev.sx AS DOUBLE) / (4.0 * CAST(ev.n_eval AS DOUBLE))
              |    END AS mean_pinball
              |FROM fc LEFT JOIN ev ON fc.g = ev.g
-             |ORDER BY fc.g""".stripMargin)))
+             |ORDER BY fc.g""".stripMargin)),
+
+    // ---- q306: STREAMING HIGH-WATER-MARK ALERTS — live "new
+    // all-time high" detection per event type
+    // ([[graft.streaming.HighWater]], the watermark-buffer template's
+    // fifth instance). Batch membership is scrambled exactly like
+    // q203/q223/q243 (hash-chosen trailing bands one batch late,
+    // inside the 2-day delay) + the far-future flush sentinel; the
+    // buffers must drain to one scalar state row per key. The oracle
+    // is fully declarative: an alert is any row beating the window
+    // max of all prior rows in (ts, id) order.
+    Q(
+      "q306_streaming_highwater",
+      (s, d) => streamingHighWater(s, d),
+      Some("""WITH base AS MATERIALIZED (SELECT event_type AS k,
+             |    epoch_us(ts) AS us, event_id AS id,
+             |    CAST(round(value * 100) AS BIGINT) AS p
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL AND event_id IS NOT NULL),
+             |r AS (SELECT k, us, id, p,
+             |    coalesce(max(p) OVER (PARTITION BY k ORDER BY us, id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      AS prev
+             |  FROM base)
+             |SELECT k AS key, us AS alert_us, id AS event_id,
+             |  p AS price_cents, prev AS prev_max_cents
+             |FROM r WHERE p > prev
+             |ORDER BY key, alert_us, event_id""".stripMargin)))
+
+  /** q306 drive: the q243 out-of-order scaffold (three scrambled
+    * slices with hash-chosen one-batch-late bands + flush sentinel,
+    * `maxFilesPerTrigger = 1`) through [[graft.streaming.HighWater]];
+    * requires ≥ 4 data micro-batches and exactly one scalar state row
+    * per key (buffers drained) at end of stream.
+    */
+  private def streamingHighWater(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q306_hwm_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"ts".isNotNull &&
+          $"value".isNotNull && $"event_id".isNotNull)
+        .select($"event_type".as("key"), $"ts", $"event_id",
+          round($"value" * 100).cast("long").as("price_cents"))
+      val nKeys = ev.select($"key").distinct().count()
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"event_id"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit("__flush__").as("key"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit(-1L).as("event_id"),
+        lit(0L).as("price_cents"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q306_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.HighWater.detectEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.HighWater.HwEv],
+        delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q306 stream did not terminate within 600s — refusing a partial alert set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q306 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val stateRows = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(stateRows.contains(nKeys + 1L),
+          s"q306 expected one scalar state row per key (${nKeys + 1}), got $stateRows")
+        s.table(name)
+          .filter($"key" =!= "__flush__")
+          .select($"key", $"alert_us", $"event_id", $"price_cents",
+            $"prev_max_cents")
+          .orderBy($"key", $"alert_us", $"event_id")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 
   /** q294 drive: two time-sliced parquet files + a far-future
     * sentinel staged into one directory, consumed with

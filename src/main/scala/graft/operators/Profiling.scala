@@ -886,6 +886,135 @@ object Profiling {
         col("fin.mi_cum").as("mi"))
   }
 
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer grid: each dimension gets a 1–5 score from EXACT global
+    * quintile cuts ([[ExactQuantile.selectKth]]'s bin-id-predicate
+    * selection — no global sort, bounded driver state), and the
+    * output is the per-segment census. Scores are rank-position
+    * buckets: s = 1 + #{cuts < v} for "higher is better" dimensions
+    * (frequency, monetary) and 6 − that for recency (fewer days since
+    * last activity is better), so ties at a cut boundary land
+    * deterministically in the lower bucket in both engines.
+    *
+    * All integer arithmetic (inputs must be non-null integers ≥ 0);
+    * the monetary sum travels as an exact decimal STRING digest.
+    * Output per non-empty segment: (r_score, f_score, m_score,
+    * n_customers, sum_monetary).
+    */
+  def rfmSegments(
+      df: DataFrame,
+      recencyDays: Column,
+      frequency: Column,
+      monetaryCents: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull || c.cast("long") < 0L, raise_error(lit(
+        s"rfmSegments: $name must be a non-null integer >= 0")))
+        .otherwise(c.cast("long"))
+    val base = df.select(g(recencyDays, "recencyDays").as("r"),
+      g(frequency, "frequency").as("f"), g(monetaryCents, "monetary").as("m"))
+      .localCheckpoint()
+    val n = base.count()
+    require(n > 0, "rfmSegments: no rows")
+    val ranks = (1 to 4).map(i => (i.toLong * n + 4) / 5)
+    def cuts(c: String): Seq[Long] =
+      ExactQuantile.selectKth(base, col(c), ranks)._2.map(_._2.toLong)
+    def score(c: String, cs: Seq[Long]): Column =
+      cs.map(cut => when(lit(cut) < col(c), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    val (rc, fc, mc) = (cuts("r"), cuts("f"), cuts("m"))
+    val out = base
+      .withColumn("r_score", lit(6) - score("r", rc))
+      .withColumn("f_score", score("f", fc))
+      .withColumn("m_score", score("m", mc))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .cast("string").as("sum_monetary"))
+    base.unpersist()
+    out
+  }
+
+  /** BEST NUMERIC SPLIT per feature — one-level decision-stump
+    * training against a binary target, the threshold sibling of
+    * [[giniFeatureGain]]'s categorical screen: for every candidate
+    * threshold v (send x ≤ v left), the weighted Gini impurity
+    *
+    *   [n_L·(1 − (p_L² + q_L²)/n_L²) + n_R·(…)]/N
+    *
+    * from cumulative cell counts, and the argmin per feature
+    * (ties broken by the smaller threshold).
+    *
+    * Candidates come from each feature's DISTINCT values — windows
+    * run over cells ordered by value, one partition per feature
+    * (features are discretized/ordinal by contract; the value
+    * cardinality, not the row count, bounds the partition). Counts
+    * are exact integers; each candidate's impurity is a pinned double
+    * (count² must stay below 2⁵³ — guarded loudly), so the argmin and
+    * gain are hash-exact.
+    *
+    * Output per feature: (feature, n, split_value, n_left,
+    * gini_split, gini_root, gain).
+    */
+  def bestNumericSplit(
+      df: DataFrame,
+      feature: Column,
+      value: Column,
+      label: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"bestNumericSplit: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val yG = when(label.cast("long").isNull ||
+      (label.cast("long") =!= 0L && label.cast("long") =!= 1L),
+      raise_error(lit("bestNumericSplit: label must be 0 or 1")))
+      .otherwise(label.cast("long"))
+    val base = df.select(feature.as("ft"), g(value, "value").as("v"),
+      yG.as("y"))
+    val cells = base.groupBy(col("ft"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wCum = Window.partitionBy(col("ft")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("ft"))
+    val twoP53 = 9007199254740992L
+    def sq(c: Column, what: String): Column = {
+      val d = when(c > lit(twoP53), raise_error(lit(
+        s"bestNumericSplit: $what exceeds 2^53 — double cast would round")))
+        .otherwise(c).cast("double")
+      d * d
+    }
+    val cum = cells
+      .withColumn("nl", sum(col("c")).over(wCum))
+      .withColumn("pl", sum(col("p")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("pt", sum(col("p")).over(wAll))
+      .filter(col("nl") < col("n")) // right side must be non-empty
+    val nlD = col("nl").cast("double")
+    val nrD = (col("n") - col("nl")).cast("double")
+    val nD = col("n").cast("double")
+    val giniL = lit(1.0) -
+      (sq(col("pl"), "a left positive count") +
+        sq(col("nl") - col("pl"), "a left negative count")) / (nlD * nlD)
+    val giniR = lit(1.0) -
+      (sq(col("pt") - col("pl"), "a right positive count") +
+        sq(col("n") - col("nl") - (col("pt") - col("pl")),
+          "a right negative count")) / (nrD * nrD)
+    val wg = (nlD * giniL + nrD * giniR) / nD
+    val wPick = Window.partitionBy(col("ft"))
+      .orderBy(col("wg").asc, col("v").asc)
+    val giniRoot = lit(1.0) -
+      (sq(col("pt"), "the positive total") +
+        sq(col("n") - col("pt"), "the negative total")) / (nD * nD)
+    cum
+      .withColumn("wg", wg)
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("ft").as("feature"), col("n"),
+        col("v").as("split_value"), col("nl").as("n_left"),
+        col("wg").as("gini_split"),
+        giniRoot.as("gini_root"),
+        (giniRoot - col("wg")).as("gain"))
+  }
+
   /** THEIL T INDEX per group — the entropy member of the inequality
     * family ([[RankStats.giniCoefficient]] is the rank member,
     * [[herfindahl]] the concentration member): T = (1/n)·Σ_{x>0}

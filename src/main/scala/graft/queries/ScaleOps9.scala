@@ -1307,7 +1307,151 @@ object ScaleOps9 {
              |SELECT k AS key, us AS alert_us, id AS event_id,
              |  p AS price_cents, prev AS prev_max_cents
              |FROM r WHERE p > prev
-             |ORDER BY key, alert_us, event_id""".stripMargin)))
+             |ORDER BY key, alert_us, event_id""".stripMargin)),
+
+    // ---- q307: RFM SEGMENTATION — the classic customer grid from
+    // exact global quintile cuts per dimension
+    // ([[graft.operators.Profiling.rfmSegments]], cuts via the
+    // bin-id-predicate selection — no global sort). Rank-position
+    // scores are tie-deterministic in both engines; monetary digests
+    // exact — hash-exact.
+    Q(
+      "q307_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull &&
+            $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey")
+          .agg(
+            datediff(lit("2002-01-01").cast("date"),
+              max($"o_orderdate").cast("date")).as("r_days"),
+            count(lit(1)).as("freq"),
+            sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        graft.operators.Profiling.rfmSegments(
+          cust, $"r_days", $"freq", $"cents")
+          .orderBy($"r_score", $"f_score", $"m_score")
+      },
+      Some("""WITH cust AS MATERIALIZED (SELECT o_custkey,
+             |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+             |      DATE '2002-01-01') AS r,
+             |    count(*) AS f,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS m
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |    AND o_totalprice IS NOT NULL
+             |  GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM cust),
+             |ranks AS (SELECT i, (i * n + 4) // 5 AS rk
+             |  FROM (SELECT unnest(generate_series(1, 4)) AS i), nn),
+             |cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+             |  FROM (SELECT r AS v, count(*) AS c FROM cust GROUP BY 1)),
+             |kr AS MATERIALIZED (SELECT ranks.i, min(cr.v) AS cut
+             |  FROM ranks JOIN cr ON cr.cum >= ranks.rk GROUP BY 1),
+             |cf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+             |  FROM (SELECT f AS v, count(*) AS c FROM cust GROUP BY 1)),
+             |kf AS MATERIALIZED (SELECT ranks.i, min(cf.v) AS cut
+             |  FROM ranks JOIN cf ON cf.cum >= ranks.rk GROUP BY 1),
+             |cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+             |  FROM (SELECT m AS v, count(*) AS c FROM cust GROUP BY 1)),
+             |km AS MATERIALIZED (SELECT ranks.i, min(cm.v) AS cut
+             |  FROM ranks JOIN cm ON cm.cum >= ranks.rk GROUP BY 1),
+             |sc AS (SELECT cust.o_custkey,
+             |    6 - (1 + (SELECT count(*) FROM kr WHERE kr.cut < cust.r))
+             |      AS r_score,
+             |    1 + (SELECT count(*) FROM kf WHERE kf.cut < cust.f)
+             |      AS f_score,
+             |    1 + (SELECT count(*) FROM km WHERE km.cut < cust.m)
+             |      AS m_score,
+             |    cust.m
+             |  FROM cust)
+             |SELECT CAST(r_score AS INTEGER) AS r_score,
+             |  CAST(f_score AS INTEGER) AS f_score,
+             |  CAST(m_score AS INTEGER) AS m_score,
+             |  count(*) AS n_customers,
+             |  CAST(CAST(sum(CAST(m AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             |    AS VARCHAR) AS sum_monetary
+             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- q308: DECISION-STUMP TRAINING — the best numeric split
+    // per feature against "line was returned"
+    // ([[graft.operators.Profiling.bestNumericSplit]]): cumulative
+    // cell counts per feature (windows over distinct values, one
+    // partition per feature), pinned-double weighted Gini per
+    // candidate, argmin with value tie-break — hash-exact.
+    Q(
+      "q308_best_split",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_returnflag".isNotNull && $"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull && $"l_discount".isNotNull)
+          .withColumn("y", ($"l_returnflag" === "R").cast("long"))
+        val stacked = li.select(explode(array(
+          struct(lit("quantity").as("ft"),
+            $"l_quantity".cast("long").as("v")),
+          struct(lit("price_10k").as("ft"),
+            floor($"l_extendedprice" / 10000).cast("long").as("v")),
+          struct(lit("disc_pct").as("ft"),
+            round($"l_discount" * 100).cast("long").as("v")))).as("c"),
+          $"y")
+          .select($"c.ft".as("ft"), $"c.v".as("v"), $"y")
+        graft.operators.Profiling.bestNumericSplit(
+          stacked, $"ft", $"v", $"y")
+          .orderBy($"feature")
+      },
+      Some("""WITH li AS MATERIALIZED (SELECT l_quantity, l_extendedprice,
+             |    l_discount,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+             |base AS MATERIALIZED (
+             |  SELECT 'quantity' AS ft, CAST(l_quantity AS BIGINT) AS v, y
+             |    FROM li
+             |  UNION ALL
+             |  SELECT 'price_10k',
+             |    CAST(floor(l_extendedprice / 10000) AS BIGINT), y FROM li
+             |  UNION ALL
+             |  SELECT 'disc_pct', CAST(round(l_discount * 100) AS BIGINT), y
+             |    FROM li),
+             |cells AS (SELECT ft, v, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+             |  FROM base GROUP BY 1, 2),
+             |cum AS MATERIALIZED (SELECT ft, v,
+             |    CAST(sum(c) OVER (PARTITION BY ft ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS nl,
+             |    CAST(sum(p) OVER (PARTITION BY ft ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS pl,
+             |    CAST(sum(c) OVER (PARTITION BY ft) AS BIGINT) AS n,
+             |    CAST(sum(p) OVER (PARTITION BY ft) AS BIGINT) AS pt
+             |  FROM cells),
+             |cand AS (SELECT ft, v, nl, n, pt,
+             |    (CAST(nl AS DOUBLE) * (1.0
+             |        - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+             |          + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+             |          / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+             |      + CAST(n - nl AS DOUBLE) * (1.0
+             |        - (CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+             |          + CAST(n - nl - (pt - pl) AS DOUBLE)
+             |            * CAST(n - nl - (pt - pl) AS DOUBLE))
+             |          / (CAST(n - nl AS DOUBLE) * CAST(n - nl AS DOUBLE))))
+             |      / CAST(n AS DOUBLE) AS wg
+             |  FROM cum WHERE nl < n),
+             |pick AS (SELECT ft, v, nl, n, pt, wg,
+             |    row_number() OVER (PARTITION BY ft ORDER BY wg, v) AS rn
+             |  FROM cand)
+             |SELECT ft AS feature, n, v AS split_value, nl AS n_left,
+             |  wg AS gini_split,
+             |  1.0 - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE)
+             |    + CAST(n - pt AS DOUBLE) * CAST(n - pt AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_root,
+             |  (1.0 - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE)
+             |    + CAST(n - pt AS DOUBLE) * CAST(n - pt AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) - wg AS gain
+             |FROM pick WHERE rn = 1 ORDER BY feature""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

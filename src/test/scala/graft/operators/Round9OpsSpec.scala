@@ -1514,6 +1514,67 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- RFM segmentation
+
+  test("property: rfmSegments equals brute quintile scoring") {
+    val genRows: Gen[List[(Int, Int, Int)]] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        r <- Gen.chooseNum(0, 9); f <- Gen.chooseNum(0, 5)
+        m <- Gen.chooseNum(0, 200)
+      } yield (r, f, m)))
+    check(Prop.forAll(genRows) { rows =>
+      val n = rows.size
+      def cuts(vs: Seq[Long]): Seq[Long] = {
+        val s = vs.sorted
+        (1 to 4).map(i => s((((i.toLong * n + 4) / 5) - 1).toInt))
+      }
+      val (rc, fc, mc) = (cuts(rows.map(_._1.toLong)),
+        cuts(rows.map(_._2.toLong)), cuts(rows.map(_._3.toLong)))
+      val expect = rows.groupBy { case (r, f, m) =>
+        (6 - (1 + rc.count(_ < r)), 1 + fc.count(_ < f), 1 + mc.count(_ < m))
+      }.map { case (k, rs) =>
+        k -> ((rs.size.toLong, BigInt(rs.map(_._3.toLong).sum)))
+      }
+      val got = Profiling.rfmSegments(
+        rows.toDF("r", "f", "m"), $"r", $"f", $"m")
+        .collect().map(x => ((x.getInt(0), x.getInt(1), x.getInt(2)),
+          (x.getLong(3), BigInt(x.getString(4))))).toMap
+      got == expect
+    })
+  }
+
+  // --- decision stump
+
+  test("property: bestNumericSplit equals brute threshold search") {
+    val genRows: Gen[List[(Int, Int)]] = Gen.chooseNum(2, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        v <- Gen.chooseNum(0, 7); y <- Gen.oneOf(0, 1)
+      } yield (v, y)))
+    check(Prop.forAll(genRows) { rows =>
+      rows.map(_._1).distinct.size < 2 || {
+        val n = rows.size.toDouble
+        def gini(rs: Seq[(Int, Int)]): Double = {
+          val p = rs.count(_._2 == 1).toDouble
+          val q = rs.size - p
+          1.0 - (p * p + q * q) / (rs.size.toDouble * rs.size.toDouble)
+        }
+        val cands = rows.map(_._1).distinct.sorted.init.map { v =>
+          val (l, r) = rows.partition(_._1 <= v)
+          (v, (l.size * gini(l) + r.size * gini(r)) / n, l.size.toLong)
+        }
+        val best = cands.minBy(c => (c._2, c._1))
+        val row = Profiling.bestNumericSplit(
+          rows.map { case (v, y) => ("x", v, y) }.toDF("ft", "v", "y"),
+          $"ft", $"v", $"y").collect()(0)
+        row.getLong(1) == rows.size && row.getLong(2) == best._1.toLong &&
+          row.getLong(3) == best._3 &&
+          math.abs(row.getDouble(4) - best._2) < 1e-9 &&
+          math.abs(row.getDouble(5) - gini(rows)) < 1e-12 &&
+          math.abs(row.getDouble(6) - (gini(rows) - best._2)) < 1e-9
+      }
+    })
+  }
+
   // --- Theil index
 
   test("property: theilIndex equals the textbook entropy index") {

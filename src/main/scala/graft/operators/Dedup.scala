@@ -1117,4 +1117,51 @@ object Dedup {
       withCell.select(col("vec_id"), col("cell"), col("q")),
       pairs, col("vec_id"), col("q"))
   }
+
+  /** SOURCE-OVERLAP MATRIX — pairwise shingle containment between
+    * corpus SOURCES, the provenance-level audit behind every
+    * "did crawl B re-scrape crawl A?" / cross-source contamination
+    * question (the doc-level siblings are [[containmentPairsFromHashed]]
+    * and [[ngramJaccardPairs]]). For every source pair: the exact
+    * count of shared distinct shingles, each side's distinct-shingle
+    * vocabulary size, and the Jaccard |A∩B| / |A∪B|.
+    *
+    * Input is [[hashedShingleSets]] output (doc_id, hs) plus a
+    * (doc_id, source) tag table. Shingles collapse to DISTINCT
+    * (source, hash) first — the matrix never touches documents again
+    * — and the pair count is a self-equi-join on the hash, so the
+    * expansion per shingle is (#sources containing it)², bounded by
+    * S² with S the source count (sources are crawls/datasets by
+    * contract — tens, not millions). The deduped posting table is
+    * localCheckpointed once for its three consumers (the q161
+    * exchange-reuse lesson). Counts are exact; Jaccard is one pinned
+    * double division.
+    *
+    * Output per co-occurring pair (src_a < src_b):
+    * (src_a, src_b, n_a, n_b, intersection, jaccard).
+    */
+  def sourceOverlapFromHashed(hashed: DataFrame, tags: DataFrame): DataFrame = {
+    val post = hashed
+      .select(col("doc_id").as("hd"), explode(col("hs")).as("h"))
+      .join(tags.select(col("doc_id").as("td"), col("source")),
+        col("hd") === col("td"))
+      .select(col("source"), col("h")).distinct()
+      .localCheckpoint(true)
+    val per = post.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val pairs = post.select(col("source").as("src_a"), col("h").as("ha"))
+      .join(post.select(col("source").as("src_b"), col("h").as("hb")),
+        col("ha") === col("hb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .join(broadcast(per.select(col("source").as("pa"), col("nsh").as("n_a"))),
+        col("src_a") === col("pa"))
+      .join(broadcast(per.select(col("source").as("pb"), col("nsh").as("n_b"))),
+        col("src_b") === col("pb"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("intersection"),
+        (col("intersection").cast("double") /
+          (col("n_a") + col("n_b") - col("intersection")).cast("double"))
+          .as("jaccard"))
+  }
 }

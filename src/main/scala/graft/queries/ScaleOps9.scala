@@ -1451,7 +1451,54 @@ object ScaleOps9 {
              |  (1.0 - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE)
              |    + CAST(n - pt AS DOUBLE) * CAST(n - pt AS DOUBLE))
              |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) - wg AS gain
-             |FROM pick WHERE rn = 1 ORDER BY feature""".stripMargin)))
+             |FROM pick WHERE rn = 1 ORDER BY feature""".stripMargin)),
+
+    // ---- q309: SOURCE-OVERLAP MATRIX — pairwise 3-gram shingle
+    // containment between corpus sources
+    // ([[graft.operators.Dedup.sourceOverlapFromHashed]] over the
+    // session-shared hashed-shingle projection): distinct
+    // (source, shingle) postings, an S²-bounded self-equi-join on the
+    // hash, exact counts, one pinned Jaccard division — hash-exact
+    // (the oracle re-derives overlap on shingle STRINGS; hash
+    // collisions are absent at gate scale and sub-0.01% forever).
+    Q(
+      "q309_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val tags = Tables.documents(s, d)
+          .filter($"doc_id".isNotNull && $"text".isNotNull &&
+            $"source".isNotNull)
+          .select($"doc_id", $"source")
+        graft.operators.Dedup.sourceOverlapFromHashed(
+          LlmOps.sharedShingleSets(s, d), tags)
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS t
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |    AND source IS NOT NULL),
+             |sh AS (SELECT doc_id, source,
+             |  list_distinct(CASE WHEN len(t) >= 3
+             |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+             |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+             |post AS MATERIALIZED (SELECT DISTINCT source, unnest(sh) AS h
+             |  FROM sh),
+             |per AS MATERIALIZED (SELECT source, count(*) AS nsh
+             |  FROM post GROUP BY 1),
+             |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    count(*) AS intersection
+             |  FROM post a JOIN post b
+             |    ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b,
+             |  CAST(pa.nsh AS BIGINT) AS n_a, CAST(pb.nsh AS BIGINT) AS n_b,
+             |  intersection,
+             |  CAST(intersection AS DOUBLE)
+             |    / CAST(pa.nsh + pb.nsh - intersection AS DOUBLE) AS jaccard
+             |FROM pairs
+             |JOIN per pa ON src_a = pa.source
+             |JOIN per pb ON src_b = pb.source
+             |ORDER BY src_a, src_b""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

@@ -1575,6 +1575,42 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- source overlap
+
+  test("sourceOverlapFromHashed equals brute shingle-set algebra") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "s1"),
+      (2L, "quick brown fox jumps high", "s1"),
+      (3L, "the quick brown fox jumps", "s2"), // exact dup of doc 1
+      (4L, "completely different text here now", "s2"),
+      (5L, "the quick brown fox jumps high", "s3"))
+    val df = docs.toDF("doc_id", "text", "source")
+    def shingles(t: String): Set[Seq[String]] = {
+      val tk = t.split(" ").toSeq
+      if (tk.size >= 3) tk.sliding(3).toSet else Set(tk)
+    }
+    val bySrc = docs.groupBy(_._3).map { case (s, ds) =>
+      s -> ds.flatMap(d => shingles(d._2)).toSet
+    }
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      inter = (bySrc(a) & bySrc(b)).size if inter > 0
+    } yield (a, b) -> ((bySrc(a).size.toLong, bySrc(b).size.toLong,
+      inter.toLong,
+      inter.toDouble / (bySrc(a).size + bySrc(b).size - inter)))).toMap
+    val got = Dedup.sourceOverlapFromHashed(
+      Dedup.hashedShingleSets(df, $"text", $"doc_id", n = 3),
+      df.select($"doc_id", $"source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, (na, nb, inter, j)) =>
+      val g = got(k)
+      assert(g._1 == na && g._2 == nb && g._3 == inter &&
+        math.abs(g._4 - j) < 1e-12, s"$k: got $g expected ($na,$nb,$inter,$j)")
+    }
+  }
+
   // --- Theil index
 
   test("property: theilIndex equals the textbook entropy index") {

@@ -315,6 +315,57 @@ object Experiment {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** DISPARATE-IMPACT AUDIT (four-fifths rule, EEOC 1978 codification
+    * of Griggs): each group's positive-outcome rate against the
+    * highest-rate group, flagging ratios below `num`/`den` (defaults
+    * 4/5). The reference group is the rate argmax, ties broken by the
+    * smaller group label — deterministic in both engines because
+    * rates are pinned doubles of exact integers. The FLAG itself
+    * never touches a float: p_g/n_g < (num/den)·p_r/n_r is evaluated
+    * as den·p_g·n_r < num·p_r·n_g in exact decimals, so boundary
+    * cases cannot flap on rounding.
+    *
+    * Output per group: (g, n, positives, rate, ref_group, ratio,
+    * below_threshold) — ratio/flag null when the reference rate is 0
+    * (every group at zero).
+    */
+  def disparateImpact(
+      df: DataFrame,
+      group: Column,
+      positive: Column,
+      num: Int = 4,
+      den: Int = 5): DataFrame = {
+    require(num >= 1 && den > num, s"need 1 <= num < den, got $num/$den")
+    val flag = when(positive.cast("boolean").isNull, raise_error(lit(
+      "disparateImpact: positive must be a non-null boolean")))
+      .otherwise(positive.cast("boolean"))
+    val per = df.select(group.as("g"), flag.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .withColumn("rate", col("p").cast("double") / col("n").cast("double"))
+    // argmax via TakeOrdered (no single-partition window exchange)
+    val ref = per
+      .orderBy(col("rate").desc, col("g").asc).limit(1)
+      .select(col("g").as("ref_group"), col("p").as("pr"), col("n").as("nr"))
+    val d19 = "decimal(19,0)"
+    per.crossJoin(broadcast(ref))
+      .select(col("g"), col("n"), col("p").as("positives"), col("rate"),
+        col("ref_group"),
+        when(col("pr") > 0L,
+          (col("p").cast("double") * col("nr").cast("double")) /
+            (col("pr").cast("double") * col("n").cast("double")))
+          .otherwise(lit(null).cast("double")).as("ratio"),
+        when(col("pr") > 0L,
+          // count×count first (19+19 = exactly 38 digits), then the
+          // tiny factor — values stay far under 38 digits for any
+          // int64 counts, and a DuckDB oracle mirrors in HUGEINT
+          (col("p").cast(d19) * col("nr").cast(d19))
+            * lit(den.toLong).cast("decimal(2,0)")
+            < (col("pr").cast(d19) * col("n").cast(d19))
+              * lit(num.toLong).cast("decimal(2,0)"))
+          .otherwise(lit(null).cast("boolean")).as("below_threshold"))
+  }
+
   /** BROWN–FORSYTHE per key — the robust K-sample EQUALITY-OF-SPREAD
     * test (Brown & Forsythe 1974): [[anovaF]] applied to absolute
     * deviations from each group's MEDIAN. Medians come from the

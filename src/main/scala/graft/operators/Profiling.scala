@@ -1015,6 +1015,48 @@ object Profiling {
         (giniRoot - col("wg")).as("gain"))
   }
 
+  /** LEAVE-ONE-OUT SOURCE ABLATION — for a ratio metric Σnum/Σden,
+    * each group's marginal influence: the overall rate, the rate with
+    * the group REMOVED, and the delta. The data-valuation primitive
+    * ("which source is dragging quality down?") for any decomposable
+    * metric — one aggregation pass, because removal of a group is
+    * pure arithmetic on the exact totals: no per-group re-scan, which
+    * is what makes this viable over 10⁴ sources at 100 TB.
+    *
+    * `num`/`den` must be non-null integers (0/1 indicators or
+    * counts); rates are pinned doubles from exact longs — hash-exact.
+    * Output per group: (g, num_g, den_g, rate_overall, rate_without,
+    * delta) — rate_without null for a group that is the entire
+    * dataset.
+    */
+  def leaveOneOutAblation(
+      df: DataFrame,
+      group: Column,
+      num: Column,
+      den: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"leaveOneOutAblation: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(group.as("g"), g(num, "num").as("p"),
+      g(den, "den").as("q"))
+    val per = base.groupBy(col("g")).agg(
+      sum(col("p")).as("pg"), sum(col("q")).as("qg"))
+    // totals as a broadcast 1-row frame, not an all-rows window — no
+    // single-partition exchange
+    val tot = per.crossJoin(broadcast(
+      per.agg(sum(col("pg")).as("pt"), sum(col("qg")).as("qt"))))
+    val overall = col("pt").cast("double") / col("qt").cast("double")
+    val without = (col("pt") - col("pg")).cast("double") /
+      (col("qt") - col("qg")).cast("double")
+    tot.select(col("g"), col("pg").as("num_g"), col("qg").as("den_g"),
+      overall.as("rate_overall"),
+      when(col("qt") > col("qg"), without)
+        .otherwise(lit(null).cast("double")).as("rate_without"),
+      when(col("qt") > col("qg"), overall - without)
+        .otherwise(lit(null).cast("double")).as("delta"))
+  }
+
   /** THEIL T INDEX per group — the entropy member of the inequality
     * family ([[RankStats.giniCoefficient]] is the rank member,
     * [[herfindahl]] the concentration member): T = (1/n)·Σ_{x>0}

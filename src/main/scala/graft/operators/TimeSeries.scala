@@ -955,6 +955,76 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("vwap"))
   }
 
+  /** CROSTON'S METHOD for INTERMITTENT DEMAND (Croston 1972) — the
+    * standard forecaster when most periods are zero (spare parts,
+    * long-tail SKUs), where plain SES chases zeros: exponential
+    * smoothing of the NONZERO demand sizes and, separately, of the
+    * INTER-DEMAND intervals; the per-period forecast is size/interval.
+    *
+    * Contract (textbook variants differ — this recurrence IS the
+    * contract): the state seeds at the first demand with size = d and
+    * interval = periods elapsed since the series start (1 when the
+    * series opens with a demand, which [[gapFill]] guarantees); each
+    * later demand updates size += α(d − size),
+    * interval += α(gap − interval); zero periods only lengthen the
+    * running gap. α must be dyadic (k/4096) and the fold is ONE
+    * `aggregate` HOF per key over the dense sorted period array
+    * (bounded by `maxPeriodsPerKey`), in pinned order — an oracle
+    * replaying the identical op order (list_reduce) is bit-equal when
+    * demands are integers (exact doubles), so the result hash-matches.
+    *
+    * Output per key: (key, n_periods, n_demand, size, interval,
+    * forecast = size/interval) — nulls when the key never had a
+    * nonzero demand.
+    */
+  def croston(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      alpha: Double = 0.25,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    require(alpha * 4096.0 == math.rint(alpha * 4096.0),
+      s"alpha must be an exact dyadic rational (k/4096), got $alpha")
+    val dense = gapFill(events, key, ts, value, periodSeconds,
+      fillMode = "zero", maxPeriodsPerKey = maxPeriodsPerKey)
+    // acc = [size, interval, sinceLastDemand, seenAnyDemand]
+    def step(acc: Column, e: Column): Column = {
+      val d = e.getField("value")
+      val since1 = acc.getItem(2) + lit(1.0)
+      val demand = d > lit(0.0)
+      val first = acc.getItem(3) === lit(0.0)
+      array(
+        when(demand, when(first, d)
+          .otherwise(acc.getItem(0) + lit(alpha) * (d - acc.getItem(0))))
+          .otherwise(acc.getItem(0)),
+        when(demand, when(first, since1)
+          .otherwise(acc.getItem(1) + lit(alpha) * (since1 - acc.getItem(1))))
+          .otherwise(acc.getItem(1)),
+        when(demand, lit(0.0)).otherwise(since1),
+        when(demand, lit(1.0)).otherwise(acc.getItem(3)))
+    }
+    dense.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        sum(when(col("value") > 0.0, 1L).otherwise(0L)).as("n_demand"),
+        sort_array(collect_list(struct(col("period"), col("value"))))
+          .as("series"))
+      .select(col("key"), col("n_periods"), col("n_demand"),
+        aggregate(col("series"),
+          array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)), step).as("__st"))
+      .select(col("key"), col("n_periods"), col("n_demand"),
+        when(col("n_demand") > 0L, col("__st").getItem(0))
+          .otherwise(lit(null).cast("double")).as("size"),
+        when(col("n_demand") > 0L, col("__st").getItem(1))
+          .otherwise(lit(null).cast("double")).as("interval"),
+        when(col("n_demand") > 0L && col("__st").getItem(1) > 0.0,
+          col("__st").getItem(0) / col("__st").getItem(1))
+          .otherwise(lit(null).cast("double")).as("forecast"))
+  }
+
   /** MAXIMUM DRAWDOWN per key — the largest peak-to-trough decline of
     * a price path, the risk metric behind every equity-curve audit:
     * with the running maximum m_t = max(p_1..p_t) in (time, tiebreak)

@@ -1500,6 +1500,152 @@ object ScaleOps9 {
              |JOIN per pb ON src_b = pb.source
              |ORDER BY src_a, src_b""".stripMargin)))
 
+  /** Continuation Seq 7: intermittent-demand forecasting, data
+    * valuation, fairness audit.
+    */
+  val all7: Seq[Q] = Seq(
+
+    // ---- q310: CROSTON INTERMITTENT DEMAND — weekly per-part
+    // quantity forecast where most weeks are zero
+    // ([[graft.operators.TimeSeries.croston]]): separate dyadic-α
+    // smoothing of nonzero sizes and inter-demand gaps, ONE aggregate
+    // HOF per key over the dense grid, pinned fold order — integer
+    // demands make the fold bit-equal across engines, hash-exact.
+    Q(
+      "q310_croston",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.croston(
+          Tables.lineitem(s, d),
+          $"l_partkey", $"l_shipdate".cast("timestamp"), $"l_quantity",
+          periodSeconds = 604800L, alpha = 0.25)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS (SELECT l_partkey AS k,
+             |    CAST(floor(CAST(epoch_us(l_shipdate) AS DOUBLE)
+             |      / 604800000000.0) AS BIGINT) AS period,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS vd
+             |  FROM lineitem
+             |  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+             |    AND l_quantity IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1
+             |  FROM o GROUP BY 1),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period
+             |  FROM sp),
+             |gv AS MATERIALIZED (SELECT g.k, g.period,
+             |    coalesce(o.vd, CAST('0' AS DOUBLE)) AS v
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |se AS (SELECT k, count(*) AS n_periods,
+             |    CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_demand,
+             |    list(v ORDER BY period) AS l
+             |  FROM gv GROUP BY 1),
+             |ex AS (SELECT k, n_periods, n_demand,
+             |    list_reduce(
+             |      list_prepend([CAST('0' AS DOUBLE), CAST('0' AS DOUBLE),
+             |          CAST('0' AS DOUBLE), CAST('0' AS DOUBLE)],
+             |        list_transform(l, v -> [v, CAST('0' AS DOUBLE),
+             |          CAST('0' AS DOUBLE), CAST('0' AS DOUBLE)])),
+             |      (acc, x) -> [
+             |        CASE WHEN x[1] > 0 THEN CASE WHEN acc[4] = 0 THEN x[1]
+             |          ELSE acc[1] + CAST('0.25' AS DOUBLE) * (x[1] - acc[1])
+             |          END ELSE acc[1] END,
+             |        CASE WHEN x[1] > 0 THEN CASE WHEN acc[4] = 0
+             |          THEN acc[3] + CAST('1' AS DOUBLE)
+             |          ELSE acc[2] + CAST('0.25' AS DOUBLE)
+             |            * ((acc[3] + CAST('1' AS DOUBLE)) - acc[2])
+             |          END ELSE acc[2] END,
+             |        CASE WHEN x[1] > 0 THEN CAST('0' AS DOUBLE)
+             |          ELSE acc[3] + CAST('1' AS DOUBLE) END,
+             |        CASE WHEN x[1] > 0 THEN CAST('1' AS DOUBLE)
+             |          ELSE acc[4] END]) AS st
+             |  FROM se)
+             |SELECT k AS key, n_periods, n_demand,
+             |  CASE WHEN n_demand > 0 THEN st[1] END AS size,
+             |  CASE WHEN n_demand > 0 THEN st[2] END AS interval,
+             |  CASE WHEN n_demand > 0 AND st[2] > 0 THEN st[1] / st[2] END
+             |    AS forecast
+             |FROM ex ORDER BY key""".stripMargin)),
+
+    // ---- q311: LEAVE-ONE-OUT SOURCE ABLATION — each source's
+    // marginal effect on the corpus long-doc rate
+    // ([[graft.operators.Profiling.leaveOneOutAblation]]): one
+    // aggregation pass, removal is arithmetic on exact totals —
+    // hash-exact.
+    Q(
+      "q311_source_ablation",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.leaveOneOutAblation(
+          Tables.documents(s, d)
+            .filter($"source".isNotNull && $"n_chars".isNotNull),
+          $"source", ($"n_chars" >= 1000).cast("long"), lit(1L))
+          .orderBy($"g")
+      },
+      Some("""WITH per AS (SELECT source AS g,
+             |    CAST(sum(CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS pg,
+             |    count(*) AS qg
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(pg) AS BIGINT) AS pt,
+             |    CAST(sum(qg) AS BIGINT) AS qt FROM per)
+             |SELECT g, pg AS num_g, qg AS den_g,
+             |  CAST(pt AS DOUBLE) / CAST(qt AS DOUBLE) AS rate_overall,
+             |  CASE WHEN qt > qg
+             |    THEN CAST(pt - pg AS DOUBLE) / CAST(qt - qg AS DOUBLE)
+             |    END AS rate_without,
+             |  CASE WHEN qt > qg
+             |    THEN CAST(pt AS DOUBLE) / CAST(qt AS DOUBLE)
+             |      - CAST(pt - pg AS DOUBLE) / CAST(qt - qg AS DOUBLE)
+             |    END AS delta
+             |FROM per, tot ORDER BY g""".stripMargin)),
+
+    // ---- q312: DISPARATE-IMPACT AUDIT — four-fifths-rule screen of
+    // urgent-order access across market segments
+    // ([[graft.operators.Experiment.disparateImpact]]): reference =
+    // rate argmax via TakeOrdered, ratio a pinned double, and the
+    // FLAG evaluated entirely in exact integers (HUGEINT mirror in
+    // the oracle) so boundaries cannot flap — hash-exact.
+    Q(
+      "q312_disparate_impact",
+      (s, d) => {
+        import s.implicits._
+        val pos = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val per = Tables.customer(s, d)
+          .join(pos, $"c_custkey" === $"uk", "left")
+          .select($"c_mktsegment".as("seg"), $"uk".isNotNull.as("y"))
+        graft.operators.Experiment.disparateImpact(per, $"seg", $"y")
+          .orderBy($"g")
+      },
+      Some("""WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |per AS MATERIALIZED (SELECT c_mktsegment AS g, count(*) AS n,
+             |    CAST(sum(CASE WHEN pos.o_custkey IS NOT NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS p
+             |  FROM customer LEFT JOIN pos ON c_custkey = pos.o_custkey
+             |  GROUP BY 1),
+             |ref AS (SELECT g AS ref_group, p AS pr, n AS nr
+             |  FROM (SELECT g, p, n,
+             |      CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM per)
+             |  ORDER BY rate DESC, g LIMIT 1)
+             |SELECT per.g, per.n, per.p AS positives,
+             |  CAST(per.p AS DOUBLE) / CAST(per.n AS DOUBLE) AS rate,
+             |  ref.ref_group,
+             |  CASE WHEN ref.pr > 0
+             |    THEN (CAST(per.p AS DOUBLE) * CAST(ref.nr AS DOUBLE))
+             |      / (CAST(ref.pr AS DOUBLE) * CAST(per.n AS DOUBLE))
+             |    END AS ratio,
+             |  CASE WHEN ref.pr > 0
+             |    THEN CAST(per.p AS HUGEINT) * CAST(ref.nr AS HUGEINT) * 5
+             |      < CAST(ref.pr AS HUGEINT) * CAST(per.n AS HUGEINT) * 4
+             |    END AS below_threshold
+             |FROM per, ref ORDER BY per.g""".stripMargin)))
+
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.HighWater]];

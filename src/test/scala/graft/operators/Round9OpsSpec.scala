@@ -1575,6 +1575,76 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- Croston
+
+  test("property: croston equals the sequential reference fold") {
+    val genSeries: Gen[List[Int]] = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(0, 0, 0, 1, 2, 7))) // mostly zeros
+    check(Prop.forAll(genSeries) { series =>
+      // one row per NONZERO period (zeros are the gapFill's job);
+      // periods are daily so the dense grid equals the index range
+      val nz = series.zipWithIndex.filter(_._1 > 0)
+      nz.isEmpty || {
+        val lo = nz.map(_._2).min
+        val hi = nz.map(_._2).max
+        val rows = nz.map { case (v, i) =>
+          ("k", new java.sql.Timestamp(i.toLong * 86400L * 1000L), v)
+        }
+        val r = TimeSeries.croston(
+          rows.toDF("k", "ts", "v"), $"k", $"ts", $"v",
+          periodSeconds = 86400L, alpha = 0.25).collect()(0)
+        // reference over the dense [lo, hi] slice
+        var size = 0.0; var itv = 0.0; var since = 0.0; var seen = false
+        for (i <- lo to hi) {
+          val d = series(i).toDouble
+          val s1 = since + 1.0
+          if (d > 0) {
+            if (!seen) { size = d; itv = s1; seen = true }
+            else { size += 0.25 * (d - size); itv += 0.25 * (s1 - itv) }
+            since = 0.0
+          } else since = s1
+        }
+        r.getLong(1) == (hi - lo + 1).toLong &&
+          r.getLong(2) == nz.size.toLong &&
+          r.getDouble(3) == size && r.getDouble(4) == itv &&
+          r.getDouble(5) == size / itv
+      }
+    })
+  }
+
+  // --- leave-one-out ablation
+
+  test("leaveOneOutAblation equals direct removal arithmetic") {
+    val rows = Seq(("a", 1L, 1L), ("a", 0L, 1L), ("b", 1L, 1L),
+      ("b", 1L, 1L), ("c", 0L, 1L))
+    val got = Profiling.leaveOneOutAblation(
+      rows.toDF("g", "p", "q"), $"g", $"p", $"q")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("a") == ((1L, 2L, 3.0 / 5.0, 2.0 / 3.0, 3.0 / 5.0 - 2.0 / 3.0)))
+    assert(got("b") == ((2L, 2L, 3.0 / 5.0, 1.0 / 3.0, 3.0 / 5.0 - 1.0 / 3.0)))
+    assert(got("c")._4 == 3.0 / 4.0)
+  }
+
+  // --- disparate impact
+
+  test("disparateImpact: exact four-fifths flag and deterministic reference") {
+    // rates: a = 10/20 (ref), b = 8/20 = exactly 0.8·ref (NOT below),
+    // c = 7/20 (below)
+    val rows =
+      (1 to 20).map(i => ("a", i <= 10)) ++
+        (1 to 20).map(i => ("b", i <= 8)) ++
+        (1 to 20).map(i => ("c", i <= 7))
+    val got = Experiment.disparateImpact(rows.toDF("g", "y"), $"g", $"y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got("a") == (("a", 1.0, false)))
+    assert(got("b")._1 == "a" && math.abs(got("b")._2 - 0.8) < 1e-15 &&
+      !got("b")._3, "boundary 0.8 must NOT flag (strict <, exact integers)")
+    assert(got("c")._3)
+  }
+
   // --- source overlap
 
   test("sourceOverlapFromHashed equals brute shingle-set algebra") {

@@ -63,4 +63,78 @@ object Finance {
       min(when(col("cum_cents") >= 0L, col("t"))).as("payback_t"),
       max(struct(col("t"), col("cum_disc"))).getField("cum_disc").as("npv"))
   }
+
+  /** PRICE INDEX per group — Laspeyres, Paasche, and Fisher between a
+    * base and a current period over items present (with positive
+    * quantity) in BOTH: with unit prices p = revenue/quantity,
+    *
+    *   L = Σ p₁q₀ / Σ p₀q₀,   P = Σ p₁q₁ / Σ p₀q₁,   F = √(L·P).
+    *
+    * Denominator Σp₀q₀ and numerator Σp₁q₁ are just the exact decimal
+    * revenue sums; the cross terms p₁q₀ = r₁·q₀/q₁ mix per-item
+    * divisions, so each item contributes one pinned double folded
+    * through a window in item order within its group (the ordered
+    * float accumulation that is bit-stable across engines) —
+    * hash-exact. Revenues in integer cents, quantities integers, both
+    * guarded non-negative; 2⁵³ cast guards raise loudly.
+    *
+    * Output per group: (g, n_items, laspeyres, paasche, fisher) —
+    * null indices when a side sums to zero.
+    */
+  def priceIndex(
+      df: DataFrame,
+      group: Column,
+      item: Column,
+      inBase: Column,
+      revenueCents: Column,
+      qty: Column): DataFrame = {
+    def nn(c: Column, name: String): Column =
+      when(c.cast("long").isNull || c.cast("long") < 0L, raise_error(lit(
+        s"priceIndex: $name must be a non-null integer >= 0")))
+        .otherwise(c.cast("long"))
+    val flag = when(inBase.cast("boolean").isNull, raise_error(lit(
+      "priceIndex: inBase must be a non-null boolean")))
+      .otherwise(inBase.cast("boolean"))
+    val base = df.select(group.as("g"), item.as("i"), flag.as("b"),
+      nn(revenueCents, "revenueCents").as("r"), nn(qty, "qty").as("q"))
+    val d19 = "decimal(19,0)"
+    val per = base.groupBy(col("g"), col("i")).agg(
+      sum(when(col("b"), col("r")).otherwise(0L)).as("r0"),
+      sum(when(col("b"), col("q")).otherwise(0L)).as("q0"),
+      sum(when(!col("b"), col("r")).otherwise(0L)).as("r1"),
+      sum(when(!col("b"), col("q")).otherwise(0L)).as("q1"))
+      .filter(col("q0") > 0L && col("q1") > 0L)
+    val twoP53 = 9007199254740992L
+    def exactDbl(c: Column, what: String): Column =
+      when(c > lit(twoP53), raise_error(lit(
+        s"priceIndex: $what exceeds 2^53 — double cast would round")))
+        .otherwise(c).cast("double")
+    val lTerm = exactDbl(col("r1"), "an item revenue") *
+      col("q0").cast("double") / col("q1").cast("double")
+    val pTerm = exactDbl(col("r0"), "an item revenue") *
+      col("q1").cast("double") / col("q0").cast("double")
+    val wCum = Window.partitionBy(col("g")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val folded = per
+      .withColumn("lnum", sum(lTerm).over(wCum))
+      .withColumn("pden", sum(pTerm).over(wCum))
+      .withColumn("sr0", sum(col("r0").cast(d19)).over(wAll)
+        .cast("decimal(38,0)"))
+      .withColumn("sr1", sum(col("r1").cast(d19)).over(wAll)
+        .cast("decimal(38,0)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("i").asc)))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === col("cnt"))
+    val l = col("lnum") / exactDbl(col("sr0"), "the base revenue total")
+    val p = exactDbl(col("sr1"), "the current revenue total") / col("pden")
+    folded.select(col("g"), col("cnt").as("n_items"),
+      when(col("sr0") > 0, l).otherwise(lit(null).cast("double"))
+        .as("laspeyres"),
+      when(col("pden") > 0.0, p).otherwise(lit(null).cast("double"))
+        .as("paasche"),
+      when(col("sr0") > 0 && col("pden") > 0.0, sqrt(l * p))
+        .otherwise(lit(null).cast("double")).as("fisher"))
+  }
 }

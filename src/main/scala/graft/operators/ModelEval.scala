@@ -322,6 +322,29 @@ object ModelEval {
     out
   }
 
+  /** CONFUSION MATRIX — the classifier-evaluation census: one row per
+    * observed (actual, predicted) cell with its count, the actual
+    * class's row total, and the cell's share of that row (the
+    * diagonal's share is per-class recall). Exact integer counts, one
+    * pinned division — hash-exact; a composition anchor for any
+    * categorical predictor (language ID, stump labels, churn flags).
+    */
+  def confusionMatrix(
+      df: DataFrame,
+      actual: Column,
+      predicted: Column): DataFrame = {
+    val base = df.select(actual.as("actual"), predicted.as("predicted"))
+      .filter(col("actual").isNotNull && col("predicted").isNotNull)
+    val cells = base.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("actual")).agg(sum(col("n")).as("row_total"))
+      .select(col("actual").as("ra"), col("row_total"))
+    cells.join(broadcast(rows), col("actual") === col("ra"))
+      .select(col("actual"), col("predicted"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total").cast("double"))
+          .as("row_share"))
+  }
+
   /** QUANTILE-FORECAST BACKTEST with exact PINBALL LOSS — fit the
     * per-group q = `num`/`den` empirical quantile on the training
     * half of a time split, score the evaluation half with the proper

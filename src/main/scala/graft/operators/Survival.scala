@@ -200,4 +200,69 @@ object Survival {
           * (col("o1c").cast("double") - col("e1c")) / col("vc"))
         .otherwise(lit(null).cast("double")).as("chi2"))
   }
+
+  /** MEAN CUMULATIVE FUNCTION for RECURRENT events (Nelson 1988) —
+    * [[nelsonAalen]]'s sibling when a subject can experience the
+    * event repeatedly (repeat purchases, repeat failures, support
+    * reopens): MCF(t) = Σ_{s ≤ t} d(s)/n(s), the expected cumulative
+    * events per subject by time t, with n(s) = subjects AT RISK
+    * (entered on or before s).
+    *
+    * Entry rows define each subject's risk start (its earliest
+    * entry); event rows count only on/after the subject's entry —
+    * events from never-entered subjects are ignored. Same bounded
+    * geometry as the curve estimators: everything reduces to per-day
+    * cells, the risk-set prefix and the MCF are window running sums
+    * in pinned day order over the CALENDAR-BOUNDED axis, and each
+    * day's d/n is one correctly-rounded division of exact integers —
+    * hash-exact, no tolerance.
+    *
+    * Output per day with ≥ 1 counted event:
+    * (day, n_at_risk, n_events, mcf).
+    */
+  def meanCumulativeFunction(
+      df: DataFrame,
+      subject: Column,
+      ts: Column,
+      isEntry: Column,
+      isEvent: Column,
+      periodSeconds: Long = 86400L): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    def flag(c: Column, name: String): Column =
+      when(c.cast("boolean").isNull, raise_error(lit(
+        s"meanCumulativeFunction: $name must be a non-null boolean")))
+        .otherwise(c.cast("boolean"))
+    val p = periodSeconds * 1000000L
+    val base = df.select(subject.as("s"),
+      floor(unix_micros(ts.cast("timestamp")) / lit(p)).cast("long").as("day"),
+      flag(isEntry, "isEntry").as("en"), flag(isEvent, "isEvent").as("ev"))
+      .filter(col("s").isNotNull && col("day").isNotNull)
+    val entries = base.filter(col("en")).groupBy(col("s"))
+      .agg(min(col("day")).as("eday"))
+    val counted = base.filter(col("ev"))
+      .join(entries.select(col("s").as("es"), col("eday")),
+        col("s") === col("es") && col("day") >= col("eday"))
+      .groupBy(col("day")).agg(count(lit(1)).as("d"))
+    val entryCells = entries.groupBy(col("eday")).agg(count(lit(1)).as("e"))
+    // day axis = event days ∪ entry days, so the risk prefix is
+    // available at every event day; bounded by the calendar
+    val axis = counted.select(col("day"))
+      .union(entryCells.select(col("eday"))).distinct()
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = axis
+      .join(entryCells, col("day") === col("eday"), "left")
+      .join(counted.select(col("day").as("dd"), col("d")),
+        col("day") === col("dd"), "left")
+      .select(col("day"), coalesce(col("e"), lit(0L)).as("e"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .withColumn("n_at_risk", sum(col("e")).over(wCum))
+      .withColumn("mcf",
+        sum(when(col("d") > 0L && col("n_at_risk") > 0L,
+          col("d").cast("double") / col("n_at_risk").cast("double"))
+          .otherwise(lit(0.0))).over(wCum))
+    dense.filter(col("d") > 0L)
+      .select(col("day"), col("n_at_risk"), col("d").as("n_events"),
+        col("mcf"))
+  }
 }

@@ -1644,7 +1644,183 @@ object ScaleOps9 {
              |    THEN CAST(per.p AS HUGEINT) * CAST(ref.nr AS HUGEINT) * 5
              |      < CAST(ref.pr AS HUGEINT) * CAST(per.n AS HUGEINT) * 4
              |    END AS below_threshold
-             |FROM per, ref ORDER BY per.g""".stripMargin)))
+             |FROM per, ref ORDER BY per.g""".stripMargin)),
+
+    // ---- q313: MEAN CUMULATIVE FUNCTION — expected cumulative
+    // purchases per signed-up user over calendar days
+    // ([[graft.operators.Survival.meanCumulativeFunction]], the
+    // recurrent-event sibling of q254's Nelson–Aalen): per-day cells,
+    // risk-set prefix and MCF as window running sums in pinned day
+    // order over the calendar-bounded axis — hash-exact.
+    Q(
+      "q313_mcf",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Survival.meanCumulativeFunction(
+          Tables.events(s, d)
+            .filter($"user_id".isNotNull && $"ts".isNotNull &&
+              $"event_type".isNotNull),
+          $"user_id", $"ts",
+          $"event_type" === "signup", $"event_type" === "purchase")
+          .orderBy($"day")
+      },
+      Some("""WITH base AS MATERIALIZED (SELECT user_id AS s,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+             |      AS BIGINT) AS day,
+             |    event_type = 'signup' AS en,
+             |    event_type = 'purchase' AS ev
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |entries AS MATERIALIZED (SELECT s, min(day) AS eday
+             |  FROM base WHERE en GROUP BY 1),
+             |counted AS MATERIALIZED (SELECT b.day, count(*) AS d
+             |  FROM base b JOIN entries e ON b.s = e.s AND b.day >= e.eday
+             |  WHERE b.ev GROUP BY 1),
+             |ecell AS MATERIALIZED (SELECT eday AS day, count(*) AS e
+             |  FROM entries GROUP BY 1),
+             |axis AS (SELECT DISTINCT day FROM (
+             |  SELECT day FROM counted UNION ALL SELECT day FROM ecell)),
+             |dense AS (SELECT a.day,
+             |    coalesce(CAST(ec.e AS BIGINT), 0) AS e,
+             |    coalesce(CAST(c.d AS BIGINT), 0) AS d
+             |  FROM axis a
+             |  LEFT JOIN ecell ec ON a.day = ec.day
+             |  LEFT JOIN counted c ON a.day = c.day),
+             |c1 AS (SELECT day, d,
+             |    CAST(sum(e) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_at_risk
+             |  FROM dense),
+             |c2 AS (SELECT day, d, n_at_risk,
+             |    sum(CASE WHEN d > 0 AND n_at_risk > 0
+             |      THEN CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+             |      ELSE 0.0 END) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcf
+             |  FROM c1)
+             |SELECT day, n_at_risk, d AS n_events, mcf
+             |FROM c2 WHERE d > 0 ORDER BY day""".stripMargin)),
+
+    // ---- q314: FISHER PRICE INDEX — Laspeyres/Paasche/Fisher per
+    // brand between pre- and post-1998 shipments
+    // ([[graft.operators.Finance.priceIndex]]): exact decimal revenue
+    // totals for the pure sums; the per-item cross terms are float
+    // sums, and DuckDB's windowed SUM reassociates via a segment tree
+    // on frames past a few dozen rows, so the indices are 1e-9
+    // soundness-gated (exact n_items; poison on any drift).
+    Q(
+      "q314_price_index",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_shipdate".isNotNull && $"l_extendedprice".isNotNull &&
+            $"l_quantity".isNotNull && $"l_partkey".isNotNull)
+          .join(broadcast(Tables.part(s, d)
+            .select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+        graft.operators.Finance.priceIndex(
+          li, $"p_brand", $"l_partkey",
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"),
+          round($"l_extendedprice" * 100).cast("long"),
+          $"l_quantity")
+          .orderBy($"g")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q314_price_index/*.parquet')),
+             |base AS MATERIALIZED (SELECT p.p_brand AS g,
+             |    l.l_partkey AS i,
+             |    l.l_shipdate < TIMESTAMP '1998-01-01' AS b,
+             |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS r,
+             |    CAST(l.l_quantity AS BIGINT) AS q
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |  WHERE l.l_shipdate IS NOT NULL AND l.l_extendedprice IS NOT NULL
+             |    AND l.l_quantity IS NOT NULL AND l.l_partkey IS NOT NULL),
+             |per AS MATERIALIZED (SELECT g, i,
+             |    CAST(sum(CASE WHEN b THEN r ELSE 0 END) AS BIGINT) AS r0,
+             |    CAST(sum(CASE WHEN b THEN q ELSE 0 END) AS BIGINT) AS q0,
+             |    CAST(sum(CASE WHEN NOT b THEN r ELSE 0 END) AS BIGINT) AS r1,
+             |    CAST(sum(CASE WHEN NOT b THEN q ELSE 0 END) AS BIGINT) AS q1
+             |  FROM base GROUP BY 1, 2),
+             |kept AS (SELECT * FROM per WHERE q0 > 0 AND q1 > 0),
+             |expect AS MATERIALIZED (SELECT g,
+             |    CAST(count(*) AS BIGINT) AS n_items,
+             |    sum(CAST(r1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+             |      / CAST(q1 AS DOUBLE)) AS lnum,
+             |    sum(CAST(r0 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |      / CAST(q0 AS DOUBLE)) AS pden,
+             |    CAST(CAST(sum(CAST(r0 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE) AS sr0,
+             |    CAST(CAST(sum(CAST(r1 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE) AS sr1
+             |  FROM kept GROUP BY 1),
+             |ex AS (SELECT g, n_items,
+             |    CASE WHEN sr0 > 0 THEN lnum / sr0 END AS laspeyres,
+             |    CASE WHEN pden > 0 THEN sr1 / pden END AS paasche,
+             |    CASE WHEN sr0 > 0 AND pden > 0
+             |      THEN sqrt((lnum / sr0) * (sr1 / pden)) END AS fisher
+             |  FROM expect),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM ex)
+             |    AND (SELECT count(DISTINCT g) FROM emitted)
+             |      = (SELECT count(*) FROM emitted)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN ex x ON e.g = x.g
+             |      WHERE e.n_items <> x.n_items
+             |        OR (e.laspeyres IS NULL) <> (x.laspeyres IS NULL)
+             |        OR (e.paasche IS NULL) <> (x.paasche IS NULL)
+             |        OR (e.fisher IS NULL) <> (x.fisher IS NULL)
+             |        OR abs(coalesce(e.laspeyres, 0) - coalesce(x.laspeyres, 0)) > 1e-9
+             |        OR abs(coalesce(e.paasche, 0) - coalesce(x.paasche, 0)) > 1e-9
+             |        OR abs(coalesce(e.fisher, 0) - coalesce(x.fisher, 0)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.g NOT IN (SELECT g FROM ex))
+             |    AND NOT EXISTS (SELECT 1 FROM ex x
+             |      WHERE x.g NOT IN (SELECT g FROM emitted))
+             |  ) AS ok)
+             |SELECT g, n_items, laspeyres, paasche, fisher FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY g""".stripMargin)),
+
+    // ---- q315: LANGUAGE-ID CONFUSION MATRIX — q22's heuristic
+    // predictor evaluated against the labeled corpus
+    // ([[graft.operators.ModelEval.confusionMatrix]]): exact cell and
+    // row counts, one pinned share division — hash-exact.
+    Q(
+      "q315_langid_confusion",
+      (s, d) => {
+        import s.implicits._
+        val pred = Tables.documents(s, d)
+          .filter($"lang".isNotNull)
+          .select($"lang",
+            graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+        graft.operators.ModelEval.confusionMatrix(
+          pred, $"lang", $"lang_pred")
+          .orderBy($"actual", $"predicted")
+      },
+      Some(s"""WITH t AS (SELECT lang,
+             |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+             |    len(list_filter($sqlToks, x -> list_contains(${graft.operators.TextAnalysis.stopwordsEn.mkString("['", "','", "']")}, x))) AS en,
+             |    len(list_filter($sqlToks, x -> list_contains(${graft.operators.TextAnalysis.stopwordsDe.mkString("['", "','", "']")}, x))) AS de,
+             |    len(list_filter($sqlToks, x -> list_contains(${graft.operators.TextAnalysis.stopwordsFr.mkString("['", "','", "']")}, x))) AS fr,
+             |    len(list_filter($sqlToks, x -> list_contains(${graft.operators.TextAnalysis.stopwordsEs.mkString("['", "','", "']")}, x))) AS es
+             |  FROM documents WHERE lang IS NOT NULL),
+             |pred AS (SELECT lang AS actual,
+             |    CASE WHEN n_cjk > 0 THEN 'zh'
+             |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+             |         WHEN de >= fr AND de >= es THEN 'de'
+             |         WHEN fr >= es THEN 'fr'
+             |         ELSE 'es' END AS predicted
+             |  FROM t),
+             |cells AS MATERIALIZED (SELECT actual, predicted, count(*) AS n
+             |  FROM pred GROUP BY 1, 2),
+             |rt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_total
+             |  FROM cells GROUP BY 1)
+             |SELECT c.actual, c.predicted, c.n, r.row_total,
+             |  CAST(c.n AS DOUBLE) / CAST(r.row_total AS DOUBLE) AS row_share
+             |FROM cells c JOIN rt r USING (actual)
+             |ORDER BY actual, predicted""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

@@ -1575,6 +1575,60 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- mean cumulative function
+
+  test("meanCumulativeFunction equals the sequential risk-set fold") {
+    // subjects: 1 enters d0, 2 enters d2, 3 never enters (ignored)
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val rows = Seq(
+      (1L, t(0), "signup"), (1L, t(1), "purchase"), (1L, t(3), "purchase"),
+      (2L, t(2), "signup"), (2L, t(1), "purchase"), // pre-entry: ignored
+      (2L, t(3), "purchase"),
+      (3L, t(0), "purchase")) // never entered: ignored
+    val got = Survival.meanCumulativeFunction(
+      rows.toDF("s", "ts", "et"), $"s", $"ts",
+      $"et" === "signup", $"et" === "purchase")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day1: risk {1}, 1 event → mcf 1.0; day3: risk {1,2}, 2 events →
+    // mcf 1.0 + 2/2 = 2.0
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 2L, 2.0)))
+  }
+
+  // --- price index
+
+  test("priceIndex equals direct Laspeyres/Paasche/Fisher arithmetic") {
+    // item A: p0 = 10 (r0 200 / q0 20), p1 = 12 (r1 120 / q1 10)
+    // item B: p0 = 4  (r0 40 / q0 10),  p1 = 2  (r1 20 / q1 10)
+    // item C: base only → dropped
+    val rows = Seq(
+      ("g", 1L, true, 200L, 20L), ("g", 1L, false, 120L, 10L),
+      ("g", 2L, true, 40L, 10L), ("g", 2L, false, 20L, 10L),
+      ("g", 3L, true, 99L, 9L))
+    val r = Finance.priceIndex(rows.toDF("g", "i", "b", "r", "q"),
+      $"g", $"i", $"b", $"r", $"q").collect()(0)
+    val lasp = (12.0 * 20 + 2.0 * 10) / (200.0 + 40.0)
+    val paas = (120.0 + 20.0) / (10.0 * 10 + 4.0 * 10)
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - lasp) < 1e-12)
+    assert(math.abs(r.getDouble(3) - paas) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.sqrt(lasp * paas)) < 1e-12)
+  }
+
+  // --- confusion matrix
+
+  test("confusionMatrix counts and row shares") {
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+    val got = ModelEval.confusionMatrix(rows.toDF("y", "p"), $"y", $"p")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("a", "a")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(got(("a", "b")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("b", "b")) == ((1L, 1L, 1.0)))
+  }
+
   // --- Croston
 
   test("property: croston equals the sequential reference fold") {

@@ -315,6 +315,82 @@ object Experiment {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** COVARIATE BALANCE (standardized mean differences) between two
+    * hash-assigned arms — the pre-analysis audit every experiment
+    * readout should lead with (Austin 2009 flags |SMD| > 0.1 as
+    * imbalance): per covariate,
+    *
+    *   SMD = (m̄₁ − m̄₀) / √((s₁² + s₀²)/2)
+    *
+    * with the unbiased per-arm variances. One aggregation pass for
+    * ALL covariates; each covariate must be integer-valued (caller
+    * owns scaling — Σx² stays under 2⁵³, guarded LOUDLY), so means
+    * and variances are pinned doubles of exact decimal sums —
+    * hash-exact. Output per covariate: (covariate, n_a, n_b, mean_a,
+    * mean_b, smd) — smd null when both variances are 0.
+    */
+  def covariateBalance(
+      df: DataFrame,
+      armB: Column,
+      covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty, "covariateBalance: need >= 1 covariate")
+    val flag = when(armB.cast("boolean").isNull, raise_error(lit(
+      "covariateBalance: armB must be a non-null boolean")))
+      .otherwise(armB.cast("boolean"))
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"covariateBalance: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(
+      flag.as("arm") +: covariates.map { case (n, c) => g(c, n).as(n) }: _*)
+    val d19 = "decimal(19,0)"
+    def s38(c: Column) = sum(c).cast("decimal(38,0)")
+    def side(b: Boolean, c: Column) = when(col("arm") === b, c).otherwise(0L)
+    val aggs = covariates.flatMap { case (n, _) =>
+      Seq(
+        s38(side(b = false, col(n)).cast(d19)).as(s"sa_$n"),
+        s38((side(b = false, col(n)).cast(d19)
+          * side(b = false, col(n)).cast(d19))).as(s"qa_$n"),
+        s38(side(b = true, col(n)).cast(d19)).as(s"sb_$n"),
+        s38((side(b = true, col(n)).cast(d19)
+          * side(b = true, col(n)).cast(d19))).as(s"qb_$n"))
+    } ++ Seq(
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm"), 1L).otherwise(0L)).as("nb"))
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"covariateBalance: |$what| exceeds 2^53 — rescale the covariate")))
+        .otherwise(c).cast("double")
+    val points = covariates.map { case (n, _) =>
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      val ma = e(col(s"sa_$n"), s"sa_$n") / naD
+      val mb = e(col(s"sb_$n"), s"sb_$n") / nbD
+      val va = (naD * e(col(s"qa_$n"), s"qa_$n") -
+        e(col(s"sa_$n"), s"sa_$n") * e(col(s"sa_$n"), s"sa_$n")) /
+        (naD * (naD - lit(1.0)))
+      val vb = (nbD * e(col(s"qb_$n"), s"qb_$n") -
+        e(col(s"sb_$n"), s"sb_$n") * e(col(s"sb_$n"), s"sb_$n")) /
+        (nbD * (nbD - lit(1.0)))
+      val pool = (va + vb) / lit(2.0)
+      struct(
+        lit(n).as("covariate"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0L, ma).otherwise(lit(null).cast("double"))
+          .as("mean_a"),
+        when(col("nb") > 0L, mb).otherwise(lit(null).cast("double"))
+          .as("mean_b"),
+        when(col("na") > 1L && col("nb") > 1L && pool > 0.0,
+          (mb - ma) / sqrt(pool)).otherwise(lit(null).cast("double"))
+          .as("smd"))
+    }
+    wide.select(explode(array(points: _*)).as("p"))
+      .select(col("p.covariate"), col("p.n_a"), col("p.n_b"),
+        col("p.mean_a"), col("p.mean_b"), col("p.smd"))
+  }
+
   /** DISPARATE-IMPACT AUDIT (four-fifths rule, EEOC 1978 codification
     * of Griggs): each group's positive-outcome rate against the
     * highest-rate group, flagging ratios below `num`/`den` (defaults

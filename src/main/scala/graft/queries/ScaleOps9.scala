@@ -1820,7 +1820,139 @@ object ScaleOps9 {
              |SELECT c.actual, c.predicted, c.n, r.row_total,
              |  CAST(c.n AS DOUBLE) / CAST(r.row_total AS DOUBLE) AS row_share
              |FROM cells c JOIN rt r USING (actual)
-             |ORDER BY actual, predicted""".stripMargin)))
+             |ORDER BY actual, predicted""".stripMargin)),
+
+    // ---- q316: RIDGE REGRESSION in closed form — order value
+    // (dollars) on line count and total quantity per order status,
+    // λ = 1024 ([[graft.operators.Regression.ridge2]]): one exact
+    // moment pass, Cramer's rule as four pinned 3×3 determinant
+    // chains — hash-exact, no iterative solver.
+    Q(
+      "q316_ridge_regression",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.lineitem(s, d)
+          .filter($"l_orderkey".isNotNull && $"l_quantity".isNotNull)
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("x1"),
+            sum($"l_quantity".cast("long")).as("x2"))
+          .join(Tables.orders(s, d)
+            .filter($"o_totalprice".isNotNull)
+            .select($"o_orderkey", $"o_orderstatus",
+              floor($"o_totalprice").cast("long").as("yd")),
+            $"l_orderkey" === $"o_orderkey")
+        graft.operators.Regression.ridge2(
+          per, $"o_orderstatus", $"x1", $"x2", $"yd", lambda = 1024.0)
+          .orderBy($"key")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT o.o_orderstatus AS k,
+             |    li.x1, li.x2, o.yd
+             |  FROM (SELECT l_orderkey, count(*) AS x1,
+             |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+             |    FROM lineitem
+             |    WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+             |    GROUP BY 1) li
+             |  JOIN (SELECT o_orderkey, o_orderstatus,
+             |      CAST(floor(o_totalprice) AS BIGINT) AS yd
+             |    FROM orders WHERE o_totalprice IS NOT NULL) o
+             |  ON li.l_orderkey = o.o_orderkey),
+             |m AS (SELECT k, count(*) AS n,
+             |    CAST(sum(CAST(x1 AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(x2 AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+             |    CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0))) AS DOUBLE) AS s11,
+             |    CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS DOUBLE) AS s12,
+             |    CAST(sum(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0))) AS DOUBLE) AS s22,
+             |    CAST(sum(CAST(yd AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(yd AS DECIMAL(19,0))) AS DOUBLE) AS s1y,
+             |    CAST(sum(CAST(x2 AS DECIMAL(19,0)) * CAST(yd AS DECIMAL(19,0))) AS DOUBLE) AS s2y
+             |  FROM per GROUP BY 1),
+             |det AS (SELECT k, n,
+             |    CAST(n AS DOUBLE) AS a11, s1 AS a12, s2 AS a13,
+             |    s11 + 1024.0 AS a22, s12 AS a23, s22 + 1024.0 AS a33,
+             |    sy AS c1, s1y AS c2, s2y AS c3
+             |  FROM m),
+             |sol AS (SELECT k, n,
+             |    a11 * (a22 * a33 - a23 * a23)
+             |      - a12 * (a12 * a33 - a23 * a13)
+             |      + a13 * (a12 * a23 - a22 * a13) AS dA,
+             |    c1 * (a22 * a33 - a23 * a23)
+             |      - a12 * (c2 * a33 - a23 * c3)
+             |      + a13 * (c2 * a23 - a22 * c3) AS d0,
+             |    a11 * (c2 * a33 - a23 * c3)
+             |      - c1 * (a12 * a33 - a23 * a13)
+             |      + a13 * (a12 * c3 - c2 * a13) AS d1,
+             |    a11 * (a22 * c3 - c2 * a23)
+             |      - a12 * (a12 * c3 - c2 * a13)
+             |      + c1 * (a12 * a23 - a22 * a13) AS d2
+             |  FROM det)
+             |SELECT k AS key, n, dA AS det,
+             |  CASE WHEN dA > 0 THEN d0 / dA END AS b0,
+             |  CASE WHEN dA > 0 THEN d1 / dA END AS b1,
+             |  CASE WHEN dA > 0 THEN d2 / dA END AS b2
+             |FROM sol ORDER BY key""".stripMargin)),
+
+    // ---- q317: COVARIATE BALANCE — standardized mean differences of
+    // account balance (dollars) and order count between hash-assigned
+    // arms ([[graft.operators.Experiment.covariateBalance]]): one
+    // pass, exact decimal sums, pinned SMD chain — hash-exact.
+    Q(
+      "q317_covariate_balance",
+      (s, d) => {
+        import s.implicits._
+        val oc = Tables.orders(s, d).filter($"o_custkey".isNotNull)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("oc"))
+        val per = Tables.customer(s, d)
+          .filter($"c_custkey".isNotNull && $"c_acctbal".isNotNull)
+          .join(oc, $"c_custkey" === $"o_custkey", "left")
+          .select(
+            (pmod(graft.operators.KmvSketch.hash60($"c_custkey"),
+              lit(2L)) === 1L).as("armb"),
+            floor($"c_acctbal").cast("long").as("acct"),
+            coalesce($"oc", lit(0L)).as("nord"))
+        graft.operators.Experiment.covariateBalance(per, $"armb",
+          Seq("acct_dollars" -> $"acct", "n_orders" -> $"nord"))
+          .orderBy($"covariate")
+      },
+      Some(s"""WITH oc AS (SELECT o_custkey, count(*) AS oc FROM orders
+             |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+             |per AS MATERIALIZED (SELECT
+             |    (${graft.operators.KmvSketch.hash60Sql("c_custkey")} % 2) = 1 AS armb,
+             |    CAST(floor(c_acctbal) AS BIGINT) AS acct,
+             |    coalesce(oc.oc, 0) AS nord
+             |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+             |  WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL),
+             |wide AS (SELECT
+             |    CAST(sum(CASE WHEN NOT armb THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN armb THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |    CAST(sum(CASE WHEN NOT armb THEN CAST(acct AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS sa1,
+             |    CAST(sum(CASE WHEN NOT armb THEN CAST(acct AS DECIMAL(19,0)) * CAST(acct AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS qa1,
+             |    CAST(sum(CASE WHEN armb THEN CAST(acct AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS sb1,
+             |    CAST(sum(CASE WHEN armb THEN CAST(acct AS DECIMAL(19,0)) * CAST(acct AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS qb1,
+             |    CAST(sum(CASE WHEN NOT armb THEN CAST(nord AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS sa2,
+             |    CAST(sum(CASE WHEN NOT armb THEN CAST(nord AS DECIMAL(19,0)) * CAST(nord AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS qa2,
+             |    CAST(sum(CASE WHEN armb THEN CAST(nord AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS sb2,
+             |    CAST(sum(CASE WHEN armb THEN CAST(nord AS DECIMAL(19,0)) * CAST(nord AS DECIMAL(19,0)) ELSE 0 END) AS DOUBLE) AS qb2
+             |  FROM per),
+             |pts AS (
+             |  SELECT 'acct_dollars' AS covariate, na, nb, sa1 AS sa,
+             |    qa1 AS qa, sb1 AS sb, qb1 AS qb FROM wide
+             |  UNION ALL
+             |  SELECT 'n_orders', na, nb, sa2, qa2, sb2, qb2 FROM wide)
+             |SELECT covariate, na AS n_a, nb AS n_b,
+             |  CASE WHEN na > 0 THEN sa / CAST(na AS DOUBLE) END AS mean_a,
+             |  CASE WHEN nb > 0 THEN sb / CAST(nb AS DOUBLE) END AS mean_b,
+             |  CASE WHEN na > 1 AND nb > 1 AND
+             |      ((CAST(na AS DOUBLE) * qa - sa * sa)
+             |          / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+             |        + (CAST(nb AS DOUBLE) * qb - sb * sb)
+             |          / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / 2.0 > 0
+             |    THEN (sb / CAST(nb AS DOUBLE) - sa / CAST(na AS DOUBLE))
+             |      / sqrt(((CAST(na AS DOUBLE) * qa - sa * sa)
+             |          / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+             |        + (CAST(nb AS DOUBLE) * qb - sb * sb)
+             |          / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / 2.0)
+             |    END AS smd
+             |FROM pts ORDER BY covariate""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

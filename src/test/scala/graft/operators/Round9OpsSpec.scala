@@ -1575,6 +1575,67 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- ridge regression
+
+  test("property: ridge2 coefficients satisfy the ridge normal equations") {
+    val genRows: Gen[List[(Int, Int, Int)]] = Gen.chooseNum(3, 50).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0, 9); b <- Gen.chooseNum(-5, 5)
+        y <- Gen.chooseNum(-50, 50)
+      } yield (a, b, y)))
+    check(Prop.forAll(genRows) { rows =>
+      val lam = 4.0
+      val r = Regression.ridge2(
+        rows.map { case (a, b, y) => ("k", a, b, y) }.toDF("k", "a", "b", "y"),
+        $"k", $"a", $"b", $"y", lambda = lam).collect()(0)
+      val n = rows.size.toDouble
+      val s1 = rows.map(_._1).sum.toDouble
+      val s2 = rows.map(_._2).sum.toDouble
+      val s11 = rows.map(r0 => r0._1.toDouble * r0._1).sum
+      val s12 = rows.map(r0 => r0._1.toDouble * r0._2).sum
+      val s22 = rows.map(r0 => r0._2.toDouble * r0._2).sum
+      val sy = rows.map(_._3).sum.toDouble
+      val s1y = rows.map(r0 => r0._1.toDouble * r0._3).sum
+      val s2y = rows.map(r0 => r0._2.toDouble * r0._3).sum
+      val (b0, b1, b2) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // A·b must reproduce the right-hand side (λ>0 ⇒ PD system)
+      val res = Seq(
+        n * b0 + s1 * b1 + s2 * b2 - sy,
+        s1 * b0 + (s11 + lam) * b1 + s12 * b2 - s1y,
+        s2 * b0 + s12 * b1 + (s22 + lam) * b2 - s2y)
+      val scale = math.max(1.0, Seq(sy, s1y, s2y).map(_.abs).max)
+      r.getLong(1) == rows.size && res.forall(x => x.abs < 1e-7 * scale)
+    })
+  }
+
+  // --- covariate balance
+
+  test("covariateBalance equals direct SMD arithmetic") {
+    val rows = Seq(
+      (false, 10L, 1L), (false, 12L, 3L), (false, 14L, 5L),
+      (true, 20L, 2L), (true, 24L, 2L), (true, 28L, 4L))
+    val got = Experiment.covariateBalance(
+      rows.toDF("armb", "c1", "c2"), $"armb",
+      Seq("c1" -> $"c1", "c2" -> $"c2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def smd(a: Seq[Double], b: Seq[Double]): Double = {
+      def v(x: Seq[Double]) = {
+        val m = x.sum / x.size
+        x.map(e => (e - m) * (e - m)).sum / (x.size - 1)
+      }
+      (b.sum / b.size - a.sum / a.size) /
+        math.sqrt((v(a) + v(b)) / 2.0)
+    }
+    val e1 = smd(Seq(10, 12, 14), Seq(20, 24, 28))
+    val e2 = smd(Seq(1, 3, 5), Seq(2, 2, 4))
+    assert(got("c1")._1 == 3L && got("c1")._2 == 3L)
+    assert(math.abs(got("c1")._5 - e1) < 1e-12)
+    assert(math.abs(got("c2")._5 - e2) < 1e-12)
+    assert(got("c1")._3 == 12.0 && got("c1")._4 == 24.0)
+  }
+
   // --- mean cumulative function
 
   test("meanCumulativeFunction equals the sequential risk-set fold") {

@@ -595,6 +595,77 @@ object RankStats {
           .otherwise(lit(null).cast("double")).as("chi2_adj"))
   }
 
+  /** MOOD'S MEDIAN TEST per key — the coarse-but-robust K-sample
+    * location test (Mood 1950; [[kruskalWallis]]'s blunt sibling,
+    * preferred under gross outliers or ordinal-with-few-levels data):
+    * classify every value against the key's POOLED median, then the
+    * χ² of the group × {above, ≤} contingency table.
+    *
+    * The pooled DOUBLED median (x_lo + x_hi — integral for integer
+    * values) comes from the two-crossing geometry over per-key
+    * distinct-value cells; classification 2v > med2 is exact integer;
+    * the χ² folds ≤K pinned per-group terms through a window in group
+    * order (tiny frame — bit-stable). Hash-exact. `value` must be a
+    * non-null integer. Output per key: (k, n, n_groups, n_above,
+    * chi2) — chi2 null when every value sits on one side of the
+    * median (A or B empty).
+    */
+  def moodMedianTest(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      value: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"moodMedianTest: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(key.as("k"), g(group, "group").as("g"),
+      g(value, "value").as("v"))
+    val cells = base.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    val cum = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val klo = floor((col("n") + 1L) / lit(2L)).cast("long")
+    val khi = floor(col("n") / lit(2L)).cast("long") + lit(1L)
+    val med = cum.groupBy(col("k")).agg(
+      (min(when(col("cum") >= klo, col("v"))) +
+        min(when(col("cum") >= khi, col("v")))).as("med2"))
+      .select(col("k").as("mk"), col("med2"))
+    val perGroup = base
+      .join(med, col("k") === col("mk"))
+      .groupBy(col("k"), col("g"))
+      .agg(
+        sum(when(lit(2L) * col("v") > col("med2"), 1L).otherwise(0L)).as("a"),
+        sum(when(lit(2L) * col("v") > col("med2"), 0L).otherwise(1L)).as("b"))
+    val wG = Window.partitionBy(col("k")).orderBy(col("g").asc)
+    val wKAll = Window.partitionBy(col("k"))
+    val withMargins = perGroup
+      .withColumn("bigA", sum(col("a")).over(wKAll))
+      .withColumn("bigB", sum(col("b")).over(wKAll))
+      .withColumn("ng", col("a") + col("b"))
+      .withColumn("nTot", sum(col("a") + col("b")).over(wKAll))
+    val nD = col("nTot").cast("double")
+    val ea = col("ng").cast("double") * col("bigA").cast("double") / nD
+    val eb = col("ng").cast("double") * col("bigB").cast("double") / nD
+    val term =
+      (col("a").cast("double") - ea) * (col("a").cast("double") - ea) / ea +
+        (col("b").cast("double") - eb) * (col("b").cast("double") - eb) / eb
+    withMargins
+      .withColumn("trun", sum(
+        when(col("bigA") > 0L && col("bigB") > 0L, term).otherwise(lit(0.0)))
+        .over(wG.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wG))
+      .withColumn("gcnt", count(lit(1)).over(wKAll))
+      .filter(col("rn") === col("gcnt"))
+      .select(col("k"), col("nTot").as("n"), col("gcnt").as("n_groups"),
+        col("bigA").as("n_above"),
+        when(col("bigA") > 0L && col("bigB") > 0L, col("trun"))
+          .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
   /** LORENZ CURVE at `buckets` population cut points — the curve
     * behind [[giniCoefficient]]: at each rank rᵢ = ⌈i·n/B⌉, the share
     * of total amount held by the poorest rᵢ units. NO global sort:

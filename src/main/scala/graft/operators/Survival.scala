@@ -201,6 +201,72 @@ object Survival {
         .otherwise(lit(null).cast("double")).as("chi2"))
   }
 
+  /** AALEN–JOHANSEN CUMULATIVE INCIDENCE for TWO COMPETING RISKS
+    * (Aalen & Johansen 1978) — when subjects can fail from either of
+    * two causes, the per-cause probability of failing by time t:
+    *
+    *   CIF_k(t) = Σ_{s ≤ t} S(s−) · d_k(s)/n(s),
+    *   S(s−) = Π_{u < s} (1 − d(u)/n(u)),  d = d₁ + d₂,
+    *
+    * the quantity 1 − KM_k systematically OVERESTIMATES under
+    * competing risks (the classic misuse this estimator exists to
+    * fix). Same bounded geometry as [[kaplanMeier]]: one row per
+    * distinct duration, suffix risk sets and both cumulations as
+    * window sums in pinned t-order. The survival prefix is exp∘Σ∘ln —
+    * float — so oracles gate the float columns at 1e-9 (exact integer
+    * counts hash); the [[nelsonAalen]]-style all-window formulation
+    * keeps everything one pass over the time axis.
+    *
+    * `cause` must be 0 (censored), 1, or 2 — raises otherwise.
+    * Output per duration with ≥ 1 event:
+    * (t, n_risk, d1, d2, s_minus, cif1, cif2).
+    */
+  def aalenJohansen(
+      df: DataFrame,
+      duration: Column,
+      cause: Column): DataFrame = {
+    val tG = when(duration.cast("long").isNull || duration.cast("long") < 0L,
+      raise_error(lit("aalenJohansen: duration must be a non-null " +
+        "non-negative integer"))).otherwise(duration.cast("long"))
+    val kG = when(cause.cast("long").isNull ||
+      cause.cast("long") < 0L || cause.cast("long") > 2L,
+      raise_error(lit("aalenJohansen: cause must be 0 (censored), 1, or 2")))
+      .otherwise(cause.cast("long"))
+    val base = df.select(tG.as("t"), kG.as("k"))
+    val cells = base.groupBy(col("t")).agg(
+      count(lit(1)).as("leave"),
+      sum(when(col("k") === 1L, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("k") === 2L, 1L).otherwise(0L)).as("d2"))
+    val wPrefixExcl = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withTotal = cells.crossJoin(broadcast(
+      base.agg(count(lit(1)).as("n_total"))))
+    val staged = withTotal
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("leave")).over(wPrefixExcl), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      // d = n_risk only at the final time (everyone at risk leaves;
+      // no later row consumes the term) — guarded so DuckDB's ln(0),
+      // which THROWS, never evaluates in an oracle replay
+      .withColumn("lnterm",
+        when(col("d") > 0L && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("s_minus",
+        exp(coalesce(sum(col("lnterm")).over(wPrefixExcl), lit(0.0))))
+      .withColumn("cif1", sum(
+        col("s_minus") * (col("d1").cast("double") / col("n_risk").cast("double")))
+        .over(wCum))
+      .withColumn("cif2", sum(
+        col("s_minus") * (col("d2").cast("double") / col("n_risk").cast("double")))
+        .over(wCum))
+    staged.filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d1"), col("d2"),
+        col("s_minus"), col("cif1"), col("cif2"))
+  }
+
   /** MEAN CUMULATIVE FUNCTION for RECURRENT events (Nelson 1988) —
     * [[nelsonAalen]]'s sibling when a subject can experience the
     * event repeatedly (repeat purchases, repeat failures, support

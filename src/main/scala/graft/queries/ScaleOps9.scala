@@ -1952,7 +1952,247 @@ object ScaleOps9 {
              |        + (CAST(nb AS DOUBLE) * qb - sb * sb)
              |          / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / 2.0)
              |    END AS smd
-             |FROM pts ORDER BY covariate""".stripMargin)))
+             |FROM pts ORDER BY covariate""".stripMargin)),
+
+    // ---- q318: AALEN–JOHANSEN COMPETING RISKS — cumulative
+    // incidence of first purchase (cause 1) vs first error (cause 2)
+    // after signup, censored at 2024-02-01
+    // ([[graft.operators.Survival.aalenJohansen]]): one row per
+    // distinct duration, suffix risk sets, survival prefix exp∘Σ∘ln —
+    // integer columns hash-exact, float columns 1e-9 soundness-gated
+    // (the q170 KM discipline), poison on mismatch.
+    Q(
+      "q318_aalen_johansen",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull &&
+            $"event_type".isNotNull)
+          .select($"user_id".as("u"),
+            floor(unix_micros($"ts") / lit(86400000000L)).cast("long")
+              .as("day"),
+            $"event_type".as("et"))
+        val entry = ev.filter($"et" === "signup")
+          .groupBy($"u").agg(min($"day").as("eday"))
+        val pe = ev.filter($"et" === "purchase" || $"et" === "error")
+          .select($"u".as("pu"), $"day",
+            when($"et" === "purchase", 1L).otherwise(2L).as("r"))
+        val withEntry = pe.join(entry, $"pu" === $"u" && $"day" >= $"eday")
+        val firsts = withEntry.groupBy($"pu").agg(min($"day").as("fd"))
+          .select($"pu".as("fu"), $"fd")
+        val causes = withEntry
+          .join(firsts, $"pu" === $"fu" && $"day" === $"fd")
+          .groupBy($"pu").agg(min($"r").as("cz"), min($"fd").as("fday"))
+        val horizon = lit(19754L) // 2024-02-01 in epoch days
+        val dur = entry.join(causes, $"u" === $"pu", "left")
+          .select(
+            coalesce($"fday" - $"eday", horizon - $"eday").as("t"),
+            coalesce($"cz", lit(0L)).as("cause"))
+        graft.operators.Survival.aalenJohansen(dur, $"t", $"cause")
+          .orderBy($"t")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q318_aalen_johansen/*.parquet')),
+             |ev AS MATERIALIZED (SELECT user_id AS u,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+             |      AS BIGINT) AS day,
+             |    event_type AS et
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |entry AS MATERIALIZED (SELECT u, min(day) AS eday
+             |  FROM ev WHERE et = 'signup' GROUP BY 1),
+             |pe AS (SELECT ev.u, ev.day,
+             |    CASE WHEN ev.et = 'purchase' THEN 1 ELSE 2 END AS r
+             |  FROM ev WHERE et IN ('purchase', 'error')),
+             |we AS MATERIALIZED (SELECT pe.u, pe.day, pe.r, e.eday
+             |  FROM pe JOIN entry e ON pe.u = e.u AND pe.day >= e.eday),
+             |firsts AS (SELECT u, min(day) AS fd FROM we GROUP BY 1),
+             |causes AS MATERIALIZED (SELECT we.u, min(we.r) AS cz,
+             |    min(we.day) AS fday
+             |  FROM we JOIN firsts f ON we.u = f.u AND we.day = f.fd
+             |  GROUP BY 1),
+             |dur AS MATERIALIZED (SELECT
+             |    coalesce(c.fday - e.eday, 19754 - e.eday) AS t,
+             |    coalesce(c.cz, 0) AS cause
+             |  FROM entry e LEFT JOIN causes c ON e.u = c.u),
+             |cells AS (SELECT t, count(*) AS leave,
+             |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d1,
+             |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d2
+             |  FROM dur GROUP BY 1),
+             |nn AS (SELECT count(*) AS n_total FROM dur),
+             |st AS (SELECT t, d1, d2, d1 + d2 AS dd,
+             |    (SELECT n_total FROM nn)
+             |      - coalesce(CAST(sum(leave) OVER (ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS BIGINT), 0) AS n_risk
+             |  FROM cells),
+             |lg AS (SELECT *, CASE WHEN dd > 0 AND dd < n_risk
+             |      THEN ln(1.0 - CAST(dd AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |      ELSE 0.0 END AS lnterm
+             |  FROM st),
+             |sm AS (SELECT *, exp(coalesce(sum(lnterm) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+             |      AS s_minus
+             |  FROM lg),
+             |ex AS (SELECT t, n_risk, d1, d2, s_minus,
+             |    sum(s_minus * (CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             |      OVER (ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif1,
+             |    sum(s_minus * (CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             |      OVER (ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif2
+             |  FROM sm),
+             |expect AS MATERIALIZED (SELECT * FROM ex WHERE d1 + d2 > 0),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x
+             |      ON e.t = x.t
+             |      WHERE e.n_risk <> x.n_risk OR e.d1 <> x.d1 OR e.d2 <> x.d2
+             |        OR abs(e.s_minus - x.s_minus) > 1e-9
+             |        OR abs(e.cif1 - x.cif1) > 1e-9
+             |        OR abs(e.cif2 - x.cif2) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.t NOT IN (SELECT t FROM expect))
+             |    AND NOT EXISTS (SELECT 1 FROM expect x
+             |      WHERE x.t NOT IN (SELECT t FROM emitted))
+             |  ) AS ok)
+             |SELECT t, n_risk, d1, d2, s_minus, cif1, cif2 FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY t""".stripMargin)),
+
+    // ---- q319: PERCENT OF PARENT — nation revenue share within its
+    // region, region share of the total: the hierarchy-contribution
+    // report in exact decimal sums with pinned share divisions and
+    // VARCHAR digests — hash-exact.
+    Q(
+      "q319_percent_of_parent",
+      (s, d) => {
+        import s.implicits._
+        val nat = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_totalprice".isNotNull)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")
+            .cast("decimal(19,0)")).cast("decimal(38,0)").as("cents"))
+        val reg = nat.groupBy($"r_name")
+          .agg(sum($"cents").cast("decimal(38,0)").as("rcents"))
+          .select($"r_name".as("rr"), $"rcents")
+        val tot = reg.agg(sum($"rcents").cast("decimal(38,0)").as("tcents"))
+        nat.join(broadcast(reg), $"r_name" === $"rr")
+          .crossJoin(broadcast(tot))
+          .select($"r_name".as("region"), $"n_name".as("nation"),
+            $"cents".cast("string").as("revenue_cents"),
+            ($"cents".cast("double") / $"rcents".cast("double"))
+              .as("share_of_region"),
+            ($"rcents".cast("double") / $"tcents".cast("double"))
+              .as("region_share_of_total"))
+          .orderBy($"region", $"nation")
+      },
+      Some("""WITH nat AS MATERIALIZED (SELECT r.r_name AS region,
+             |    n.n_name AS nation,
+             |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             |      AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_totalprice IS NOT NULL
+             |  GROUP BY 1, 2),
+             |reg AS MATERIALIZED (SELECT region,
+             |    CAST(sum(cents) AS DECIMAL(38,0)) AS rcents
+             |  FROM nat GROUP BY 1),
+             |tot AS (SELECT CAST(sum(rcents) AS DECIMAL(38,0)) AS tcents
+             |  FROM reg)
+             |SELECT nat.region, nat.nation,
+             |  CAST(nat.cents AS VARCHAR) AS revenue_cents,
+             |  CAST(nat.cents AS DOUBLE) / CAST(reg.rcents AS DOUBLE)
+             |    AS share_of_region,
+             |  CAST(reg.rcents AS DOUBLE) / CAST(tot.tcents AS DOUBLE)
+             |    AS region_share_of_total
+             |FROM nat JOIN reg USING (region), tot
+             |ORDER BY region, nation""".stripMargin)),
+
+    // ---- q320: MOOD'S MEDIAN TEST — is quantity's location equal
+    // across order priorities per line status, classified against the
+    // pooled two-crossing median
+    // ([[graft.operators.RankStats.moodMedianTest]]): exact integer
+    // contingency cells, χ² folded over the ≤5-row group window —
+    // hash-exact.
+    Q(
+      "q320_mood_median",
+      (s, d) => {
+        import s.implicits._
+        val od = Tables.orders(s, d).select(
+          $"o_orderkey",
+          substring($"o_orderpriority", 1, 1).cast("long").as("g"))
+        val per = Tables.lineitem(s, d)
+          .join(od, $"l_orderkey" === $"o_orderkey")
+        graft.operators.RankStats.moodMedianTest(
+          per, $"l_linestatus", $"g", $"l_quantity".cast("long"))
+          .orderBy($"k")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT l_linestatus AS k,
+             |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             |    CAST(l_quantity AS BIGINT) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cells AS (SELECT k, v, count(*) AS c FROM per GROUP BY 1, 2),
+             |cum AS MATERIALIZED (SELECT k, v,
+             |    sum(c) OVER (PARTITION BY k ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY k) AS n
+             |  FROM cells),
+             |med AS MATERIALIZED (SELECT k,
+             |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+             |      + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS med2
+             |  FROM cum GROUP BY 1),
+             |pg AS MATERIALIZED (SELECT per.k, per.g,
+             |    CAST(sum(CASE WHEN 2 * per.v > med.med2 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN 2 * per.v > med.med2 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS b
+             |  FROM per JOIN med ON per.k = med.k
+             |  GROUP BY 1, 2),
+             |wm AS (SELECT k, g, a, b,
+             |    CAST(sum(a) OVER (PARTITION BY k) AS BIGINT) AS bigA,
+             |    CAST(sum(b) OVER (PARTITION BY k) AS BIGINT) AS bigB,
+             |    a + b AS ng,
+             |    CAST(sum(a + b) OVER (PARTITION BY k) AS BIGINT) AS nTot
+             |  FROM pg),
+             |terms AS (SELECT k, g, bigA, bigB, nTot,
+             |    CASE WHEN bigA > 0 AND bigB > 0 THEN
+             |      (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE)
+             |          * CAST(bigA AS DOUBLE) / CAST(nTot AS DOUBLE))
+             |        * (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE)
+             |          * CAST(bigA AS DOUBLE) / CAST(nTot AS DOUBLE))
+             |        / (CAST(ng AS DOUBLE) * CAST(bigA AS DOUBLE)
+             |          / CAST(nTot AS DOUBLE))
+             |      + (CAST(b AS DOUBLE) - CAST(ng AS DOUBLE)
+             |          * CAST(bigB AS DOUBLE) / CAST(nTot AS DOUBLE))
+             |        * (CAST(b AS DOUBLE) - CAST(ng AS DOUBLE)
+             |          * CAST(bigB AS DOUBLE) / CAST(nTot AS DOUBLE))
+             |        / (CAST(ng AS DOUBLE) * CAST(bigB AS DOUBLE)
+             |          / CAST(nTot AS DOUBLE))
+             |      ELSE 0.0 END AS t
+             |  FROM wm),
+             |folded AS (SELECT k, bigA, bigB, nTot,
+             |    sum(t) OVER (PARTITION BY k ORDER BY g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trun,
+             |    row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
+             |    count(*) OVER (PARTITION BY k) AS gcnt
+             |  FROM terms)
+             |SELECT k, nTot AS n, CAST(gcnt AS BIGINT) AS n_groups,
+             |  bigA AS n_above,
+             |  CASE WHEN bigA > 0 AND bigB > 0 THEN trun END AS chi2
+             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

@@ -1575,6 +1575,77 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- Aalen–Johansen
+
+  test("property: aalenJohansen equals the sequential CIF fold") {
+    val genSubj: Gen[List[(Int, Int)]] = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0, 8); k <- Gen.oneOf(0, 1, 1, 2)
+      } yield (t, k)))
+    check(Prop.forAll(genSubj) { subj =>
+      val got = Survival.aalenJohansen(
+        subj.toDF("t", "k"), $"t", $"k")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+      var n = subj.size.toLong
+      var s = 1.0; var cif1 = 0.0; var cif2 = 0.0
+      var ok = true
+      for (t <- subj.map(_._1).distinct.sorted) {
+        val at = subj.filter(_._1 == t)
+        val d1 = at.count(_._2 == 1).toLong
+        val d2 = at.count(_._2 == 2).toLong
+        if (d1 + d2 > 0) {
+          cif1 += s * d1.toDouble / n
+          cif2 += s * d2.toDouble / n
+          got.get(t.toLong) match {
+            case Some((gn, g1, g2, gs, gc1, gc2)) =>
+              ok &&= gn == n && g1 == d1 && g2 == d2 &&
+                math.abs(gs - s) < 1e-12 &&
+                math.abs(gc1 - cif1) < 1e-12 && math.abs(gc2 - cif2) < 1e-12
+            case None => ok = false
+          }
+        }
+        if (d1 + d2 < n) s *= 1.0 - (d1 + d2).toDouble / n
+        else s = 0.0
+        n -= at.size
+      }
+      ok && got.keySet == subj.filter(x => x._2 > 0).map(_._1.toLong).toSet
+    })
+  }
+
+  // --- Mood's median test
+
+  test("property: moodMedianTest equals brute contingency chi-square") {
+    check(Prop.forAll(genKwRows) { rows =>
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = RankStats.moodMedianTest(df, $"k", $"g", $"v").collect()(0)
+      val vs = rows.map(_._2).sorted
+      val med2 = vs((vs.size - 1) / 2) + vs(vs.size / 2)
+      val byG = rows.groupBy(_._1)
+      val cells = byG.view.mapValues { rs =>
+        (rs.count(x => 2 * x._2 > med2).toLong,
+          rs.count(x => 2 * x._2 <= med2).toLong)
+      }.toMap
+      val bigA = cells.values.map(_._1).sum
+      val bigB = cells.values.map(_._2).sum
+      val nTot = (bigA + bigB).toDouble
+      val expectChi =
+        if (bigA == 0 || bigB == 0) None
+        else Some(cells.values.map { case (a, b) =>
+          val ng = (a + b).toDouble
+          val ea = ng * bigA / nTot; val eb = ng * bigB / nTot
+          (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+        }.sum)
+      r.getLong(1) == rows.size && r.getLong(3) == bigA &&
+        ((expectChi, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (None, None)       => true
+          case _                  => false
+        })
+    })
+  }
+
   // --- ridge regression
 
   test("property: ridge2 coefficients satisfy the ridge normal equations") {

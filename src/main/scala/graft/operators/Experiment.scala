@@ -315,6 +315,145 @@ object Experiment {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** DIRECTLY STANDARDIZED RATES (the demographer's mix adjustment —
+    * Fleiss 1981): each group's positive rate re-weighted to the
+    * GLOBAL stratum mix, so groups with different compositions
+    * compare on equal footing:
+    *
+    *   crude_g = P_g/N_g,   std_g = Σ_s (N_s/N) · (p_{g,s}/n_{g,s}).
+    *
+    * Strata a group never observed contribute nothing; `coverage_w`
+    * reports the weight mass actually covered (1 = fully comparable).
+    * Exact integer cells; per-stratum terms are pinned doubles folded
+    * over the ≤ #strata-row window in stratum order (tiny frame —
+    * bit-stable). Output per group: (g, n, positives, crude_rate,
+    * std_rate, coverage_w).
+    */
+  def standardizedRates(
+      df: DataFrame,
+      group: Column,
+      stratum: Column,
+      positive: Column): DataFrame = {
+    val flag = when(positive.cast("boolean").isNull, raise_error(lit(
+      "standardizedRates: positive must be a non-null boolean")))
+      .otherwise(positive.cast("boolean"))
+    val sG = when(stratum.cast("long").isNull, raise_error(lit(
+      "standardizedRates: stratum must be a non-null integer")))
+      .otherwise(stratum.cast("long"))
+    val base = df.select(group.as("g"), sG.as("s"), flag.cast("long").as("y"))
+    val cells = base.groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("ngs"), sum(col("y")).as("pgs"))
+    val mix = base.groupBy(col("s")).agg(count(lit(1)).as("ns"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("nTot"))))
+      .select(col("s").as("ms"),
+        (col("ns").cast("double") / col("nTot").cast("double")).as("w"))
+    val term = col("w") *
+      (col("pgs").cast("double") / col("ngs").cast("double"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    cells.join(broadcast(mix), col("s") === col("ms"))
+      .withColumn("stdRun", sum(term).over(wCum))
+      .withColumn("covRun", sum(col("w")).over(wCum))
+      .withColumn("n", sum(col("ngs")).over(wAll))
+      .withColumn("p", sum(col("pgs")).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("s").asc)))
+      .withColumn("scnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === col("scnt"))
+      .select(col("g"), col("n"), col("p").as("positives"),
+        (col("p").cast("double") / col("n").cast("double")).as("crude_rate"),
+        col("stdRun").as("std_rate"),
+        col("covRun").as("coverage_w"))
+  }
+
+  /** COCHRAN'S Q TEST (Cochran 1950) — the binary repeated-measures
+    * omnibus ([[RankStats.friedman]]'s 0/1 sibling, [[mcnemar]]'s
+    * K-treatment generalization): with one success flag per
+    * (block, treatment) over complete blocks,
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+    *
+    * (C_j treatment totals, R_i block totals, T grand total) — every
+    * statistic an EXACT decimal, one pinned final division —
+    * hash-exact. Blocks missing any treatment are dropped; duplicate
+    * cells raise. Output per key: (k, n_blocks, k_treatments, q_num,
+    * q_den, q_stat) with the exact integer numerator/denominator as
+    * digests; q_stat null when the denominator is 0 (all-constant
+    * blocks).
+    */
+  def cochranQ(
+      df: DataFrame,
+      key: Column,
+      block: Column,
+      treatment: Column,
+      outcome: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"cochranQ: $name must be a non-null integer"))).otherwise(c.cast("long"))
+    val flag = when(outcome.cast("boolean").isNull, raise_error(lit(
+      "cochranQ: outcome must be a non-null boolean")))
+      .otherwise(outcome.cast("boolean"))
+    val base = df.select(key.as("k"), g(block, "block").as("b"),
+      g(treatment, "treatment").as("t"), flag.cast("long").as("y"))
+    val cells0 = base.groupBy(col("k"), col("b"), col("t"))
+      .agg(max(col("y")).as("ym"), count(lit(1)).as("cnt"))
+    val cells = cells0.select(col("k"), col("b"), col("t"),
+      when(col("cnt") > 1L, raise_error(lit(
+        "cochranQ: more than one row per (key, block, treatment)")))
+        .otherwise(col("ym")).as("y"))
+    val kTreat = cells.groupBy(col("k"))
+      .agg(countDistinct(col("t")).as("kk"))
+    val perBlock = cells.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("bt"), sum(col("y")).as("r"))
+    val complete = perBlock.join(kTreat, Seq("k"))
+      .filter(col("bt") === col("kk"))
+      .select(col("k").as("ck"), col("b").as("cb"), col("r"), col("kk"))
+    val kept = cells.join(
+      complete.select(col("ck"), col("cb")),
+      col("k") === col("ck") && col("b") === col("cb"))
+    val d19 = "decimal(19,0)"
+    val colTotals = kept.groupBy(col("k"), col("t"))
+      .agg(sum(col("y")).as("cj"))
+    val byK = colTotals.groupBy(col("k")).agg(
+      count(lit(1)).as("ktr"),
+      sum(col("cj").cast(d19)).cast("decimal(38,0)").as("tt"),
+      sum(col("cj").cast(d19) * col("cj").cast(d19))
+        .cast("decimal(38,0)").as("sc2"))
+    val rowsK = complete.groupBy(col("ck")).agg(
+      count(lit(1)).as("nb"),
+      sum(col("r").cast(d19) * col("r").cast(d19))
+        .cast("decimal(38,0)").as("sr2"))
+    // VALUE guards keep every intermediate under 38 digits (k ≤ 9999,
+    // T ≤ 10¹⁵, ΣC² ≤ 10²⁹ ⇒ |qNum| ≤ ~10³⁷), so Spark's silent
+    // precision clamp on the TYPE can never bite the value — the
+    // friedman width discipline, enforced at runtime instead of by
+    // intermediate casts
+    val kG = when(col("ktr") > 9999L, raise_error(lit(
+      "cochranQ: more than 9999 treatments"))).otherwise(col("ktr"))
+    val kD = kG.cast("decimal(4,0)")
+    val ttc = when(col("tt") > lit(1000000000000000L).cast("decimal(38,0)"),
+      raise_error(lit("cochranQ: the grand total exceeds 10^15")))
+      .otherwise(col("tt").cast("decimal(16,0)"))
+    val sc2c = when(col("sc2") > lit(BigDecimal("1e29")).cast("decimal(38,0)"),
+      raise_error(lit("cochranQ: the squared column-total sum exceeds 10^29")))
+      .otherwise(col("sc2").cast("decimal(30,0)"))
+    val qNum = ((kD - 1) * (kD * sc2c - ttc * ttc)).cast("decimal(38,0)")
+    val qDen = (kD * ttc - col("sr2").cast("decimal(30,0)"))
+      .cast("decimal(38,0)")
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"cochranQ: |$what| exceeds 2^53"))).otherwise(c).cast("double")
+    byK.join(rowsK, col("k") === col("ck"))
+      .select(col("k"), col("nb").as("n_blocks"),
+        col("ktr").as("k_treatments"),
+        qNum.cast("string").as("q_num"),
+        qDen.cast("string").as("q_den"),
+        when(qDen > 0, e(qNum, "the Q numerator") / e(qDen, "the Q denominator"))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
   /** COVARIATE BALANCE (standardized mean differences) between two
     * hash-assigned arms — the pre-analysis audit every experiment
     * readout should lead with (Austin 2009 flags |SMD| > 0.1 as

@@ -180,6 +180,85 @@ object ModelEval {
           / (col("n").cast("double") * lit(1000000.0))).as("ece"))
   }
 
+  /** BRIER SCORE DECOMPOSITION (Murphy 1973) — the three-way account
+    * of a probability forecaster's quality: over `bins` score bins,
+    *
+    *   REL = (1/N)·Σ_b n_b·(p̄_b − ō_b)²   (calibration — smaller better)
+    *   RES = (1/N)·Σ_b n_b·(ō_b − ō)²     (discrimination — bigger better)
+    *   UNC = ō·(1 − ō)                    (base-rate entropy)
+    *
+    * plus the exact raw Brier numerator Σ(s − y·10⁶)² in micro-unit²
+    * as a decimal STRING digest (exact at any scale — the digest is
+    * the hash-stable artifact; N·10¹² exceeds 2⁵³ long before the
+    * sums stop being exact, so the raw mean is left to the reader).
+    * Same micro-unit bin geometry as [[eceFromScores]]. REL/RES mix
+    * per-bin divisions, so they are pinned doubles folded over the
+    * ≤ `bins`-row aggregate — oracles gate them at 1e-9 (window float
+    * sums reassociate in DuckDB past tiny frames).
+    *
+    * Output: (n, bins_used, brier_units, rel, res, unc).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreMicro: Column,
+      label: Column,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2, 100], got $bins")
+    val sL = scoreMicro.cast("long")
+    val sG = when(sL.isNull || sL < 0L || sL > 1000000L, raise_error(lit(
+      "brierDecomposition: score must be in [0, 1000000] micro-units")))
+      .otherwise(sL)
+    val yG = when(label.isNull, raise_error(lit(
+      "brierDecomposition: null label"))).otherwise(label.cast("boolean"))
+    val d19 = "decimal(19,0)"
+    val perBin = df
+      .select(sG.as("s"), yG.as("y"))
+      .select(least(lit(bins - 1).cast("long"),
+        expr(s"(s * $bins) div 1000000")).as("bin"), col("s"), col("y"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(col("s").cast(d19)).cast("decimal(38,0)").as("ssum"),
+        sum((col("s") - when(col("y"), 1000000L).otherwise(0L)).cast(d19)
+          * (col("s") - when(col("y"), 1000000L).otherwise(0L)).cast(d19))
+          .cast("decimal(38,0)").as("sq"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"brierDecomposition: |$what| exceeds 2^53")))
+        .otherwise(c).cast("double")
+    val wAll = Window.partitionBy()
+    // the aggregate is ≤ bins rows — a single-partition frame over it
+    // is the deliberately bounded kind
+    val tot = perBin
+      .withColumn("nT", sum(col("n")).over(wAll))
+      .withColumn("pT", sum(col("pos")).over(wAll))
+      .withColumn("bT", sum(col("sq")).over(wAll).cast("decimal(38,0)"))
+      .withColumn("bu", count(lit(1)).over(wAll))
+    val nD = col("nT").cast("double")
+    val pD = col("pT").cast("double")
+    val g = e(col("ssum") - col("pos").cast("decimal(19,0)") * 1000000L,
+      "a bin gap")
+    val relTerm = g * g / (col("n").cast("double") * lit(1.0e12))
+    val resDev = col("pos").cast("double") -
+      col("n").cast("double") * pD / nD
+    val resTerm = resDev * resDev / col("n").cast("double")
+    val wCum = Window.partitionBy().orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot
+      .withColumn("relRun", sum(relTerm).over(wCum))
+      .withColumn("resRun", sum(resTerm).over(wCum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("bin").asc)))
+      .filter(col("rn") === col("bu"))
+      .select(
+        col("nT").as("n"), col("bu").as("bins_used"),
+        col("bT").cast("string").as("brier_units"),
+        (col("relRun") / nD).as("rel"),
+        (col("resRun") / nD).as("res"),
+        ((pD / nD) * (lit(1.0) - pD / nD)).as("unc"))
+  }
+
   /** QINI CURVE — uplift-model audit (Radcliffe 2007): subjects
     * hash-split into treated/control arms, ranked by `score` into
     * equal-frequency buckets (bucket 1 = top), and per cumulative

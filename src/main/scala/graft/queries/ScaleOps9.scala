@@ -2192,7 +2192,211 @@ object ScaleOps9 {
              |SELECT k, nTot AS n, CAST(gcnt AS BIGINT) AS n_groups,
              |  bigA AS n_above,
              |  CASE WHEN bigA > 0 AND bigB > 0 THEN trun END AS chi2
-             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)))
+             |FROM folded WHERE rn = gcnt ORDER BY k""".stripMargin)),
+
+    // ---- q321: BRIER DECOMPOSITION — reliability / resolution /
+    // uncertainty of the q273 group-rate forecaster
+    // ([[graft.operators.ModelEval.brierDecomposition]]): exact
+    // integer cells + the raw Brier numerator as a decimal digest;
+    // REL/RES are pinned-double bin folds, 1e-9 soundness-gated.
+    Q(
+      "q321_brier_decomposition",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("uk")).distinct()
+        val cust = Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"uk", "left")
+          .select($"c_mktsegment".as("seg"),
+            floor($"c_acctbal" / 1000.0).cast("long").as("bb"),
+            $"uk".isNotNull.as("y"))
+        val grp = cust.groupBy($"seg", $"bb").agg(
+          count(lit(1)).as("gn"),
+          sum(when($"y", 1L).otherwise(0L)).as("gp"))
+          .select($"seg".as("gseg"), $"bb".as("gbb"),
+            expr("(gp * 1000000) div gn").as("sm"))
+        val scored = cust.join(grp,
+          $"seg" === $"gseg" && $"bb" === $"gbb")
+        graft.operators.ModelEval.brierDecomposition(
+          scored, $"sm", $"y", bins = 16)
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q321_brier_decomposition/*.parquet')),
+             |urgent AS (SELECT DISTINCT o_custkey AS uk FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |cust AS MATERIALIZED (SELECT c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+             |    u.uk IS NOT NULL AS y
+             |  FROM customer LEFT JOIN urgent u ON c_custkey = u.uk),
+             |grp AS (SELECT seg, bb,
+             |    (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+             |      * 1000000) // count(*) AS sm
+             |  FROM cust GROUP BY 1, 2),
+             |scored AS MATERIALIZED (SELECT cust.seg, cust.bb, cust.y, grp.sm
+             |  FROM cust JOIN grp USING (seg, bb)),
+             |pb AS MATERIALIZED (SELECT
+             |    least(15, (sm * 16) // 1000000) AS bin,
+             |    count(*) AS n,
+             |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(sum(CAST(sm AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ssum,
+             |    CAST(sum(CAST(sm - CASE WHEN y THEN 1000000 ELSE 0 END
+             |        AS DECIMAL(19,0))
+             |      * CAST(sm - CASE WHEN y THEN 1000000 ELSE 0 END
+             |        AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sq
+             |  FROM scored GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nT,
+             |    CAST(sum(pos) AS BIGINT) AS pT,
+             |    CAST(sum(sq) AS DECIMAL(38,0)) AS bT,
+             |    count(*) AS bu FROM pb),
+             |terms AS (SELECT pb.*,
+             |    CAST(ssum - CAST(pos AS DECIMAL(19,0)) * 1000000 AS DOUBLE)
+             |      * CAST(ssum - CAST(pos AS DECIMAL(19,0)) * 1000000 AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * 1e12) AS relterm,
+             |    (CAST(pos AS DOUBLE) - CAST(n AS DOUBLE)
+             |        * CAST(tot.pT AS DOUBLE) / CAST(tot.nT AS DOUBLE))
+             |      * (CAST(pos AS DOUBLE) - CAST(n AS DOUBLE)
+             |        * CAST(tot.pT AS DOUBLE) / CAST(tot.nT AS DOUBLE))
+             |      / CAST(n AS DOUBLE) AS resterm
+             |  FROM pb, tot),
+             |ex AS (SELECT tot.nT AS n, CAST(tot.bu AS BIGINT) AS bins_used,
+             |    CAST(tot.bT AS VARCHAR) AS brier_units,
+             |    (SELECT sum(relterm) FROM terms) / CAST(tot.nT AS DOUBLE)
+             |      AS rel,
+             |    (SELECT sum(resterm) FROM terms) / CAST(tot.nT AS DOUBLE)
+             |      AS res,
+             |    (CAST(tot.pT AS DOUBLE) / CAST(tot.nT AS DOUBLE))
+             |      * (1.0 - CAST(tot.pT AS DOUBLE) / CAST(tot.nT AS DOUBLE))
+             |      AS unc
+             |  FROM tot),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e, ex x
+             |      WHERE e.n <> x.n OR e.bins_used <> x.bins_used
+             |        OR e.brier_units <> x.brier_units
+             |        OR abs(e.rel - x.rel) > 1e-9
+             |        OR abs(e.res - x.res) > 1e-9
+             |        OR abs(e.unc - x.unc) > 1e-9)
+             |  ) AS ok)
+             |SELECT n, bins_used, brier_units, rel, res, unc FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '-1',
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q322: DIRECTLY STANDARDIZED RATES — each nation's
+    // finished-order rate re-weighted to the global priority mix
+    // ([[graft.operators.Experiment.standardizedRates]]): exact
+    // cells, ≤5 pinned stratum terms per group — hash-exact.
+    Q(
+      "q322_standardized_rates",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderstatus".isNotNull &&
+            $"o_orderpriority".isNotNull)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_name".as("nat"),
+            substring($"o_orderpriority", 1, 1).cast("long").as("prio"),
+            ($"o_orderstatus" === "F").as("fin"))
+        graft.operators.Experiment.standardizedRates(
+          per, $"nat", $"prio", $"fin")
+          .orderBy($"g")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT n.n_name AS g,
+             |    CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS s,
+             |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_orderstatus IS NOT NULL
+             |    AND o.o_orderpriority IS NOT NULL),
+             |cells AS MATERIALIZED (SELECT g, s, count(*) AS ngs,
+             |    CAST(sum(y) AS BIGINT) AS pgs
+             |  FROM per GROUP BY 1, 2),
+             |mix AS MATERIALIZED (SELECT s,
+             |    CAST(count(*) AS DOUBLE)
+             |      / (SELECT CAST(count(*) AS DOUBLE) FROM per) AS w
+             |  FROM per GROUP BY 1),
+             |folded AS (SELECT g,
+             |    sum(mix.w * (CAST(pgs AS DOUBLE) / CAST(ngs AS DOUBLE)))
+             |      OVER wc AS stdRun,
+             |    sum(mix.w) OVER wc AS covRun,
+             |    CAST(sum(ngs) OVER wa AS BIGINT) AS n,
+             |    CAST(sum(pgs) OVER wa AS BIGINT) AS p,
+             |    row_number() OVER (PARTITION BY g ORDER BY cells.s) AS rn,
+             |    count(*) OVER wa AS scnt
+             |  FROM cells JOIN mix USING (s)
+             |  WINDOW wc AS (PARTITION BY g ORDER BY cells.s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wa AS (PARTITION BY g))
+             |SELECT g, n, p AS positives,
+             |  CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS crude_rate,
+             |  stdRun AS std_rate, covRun AS coverage_w
+             |FROM folded WHERE rn = scnt ORDER BY g""".stripMargin)),
+
+    // ---- q323: COCHRAN'S Q — do the five priorities differ in
+    // "customer finished an order there", per market segment
+    // ([[graft.operators.Experiment.cochranQ]]): exact integer
+    // block/column totals, one pinned division, digests for the
+    // numerator/denominator — hash-exact.
+    Q(
+      "q323_cochran_q",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderpriority".isNotNull &&
+            $"o_orderstatus".isNotNull)
+          .groupBy($"o_custkey",
+            substring($"o_orderpriority", 1, 1).cast("long").as("t"))
+          .agg(max(($"o_orderstatus" === "F").cast("long")).as("y"))
+        val per = cells.join(
+          broadcast(Tables.customer(s, d)
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        graft.operators.Experiment.cochranQ(
+          per, $"c_mktsegment", $"o_custkey", $"t", $"y" === 1L)
+          .orderBy($"k")
+      },
+      Some("""WITH cells AS MATERIALIZED (SELECT c.c_mktsegment AS k,
+             |    o.o_custkey AS b,
+             |    CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS t,
+             |    max(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_orderpriority IS NOT NULL
+             |    AND o.o_orderstatus IS NOT NULL
+             |  GROUP BY 1, 2, 3),
+             |kt AS (SELECT k, count(DISTINCT t) AS kk FROM cells GROUP BY 1),
+             |pb AS (SELECT k, b, count(*) AS bt, CAST(sum(y) AS BIGINT) AS r
+             |  FROM cells GROUP BY 1, 2),
+             |comp AS MATERIALIZED (SELECT pb.k, pb.b, pb.r
+             |  FROM pb JOIN kt ON pb.k = kt.k WHERE pb.bt = kt.kk),
+             |kept AS MATERIALIZED (SELECT cells.k, cells.b, cells.t, cells.y
+             |  FROM cells JOIN comp ON cells.k = comp.k AND cells.b = comp.b),
+             |ct AS (SELECT k, t, CAST(sum(y) AS BIGINT) AS cj
+             |  FROM kept GROUP BY 1, 2),
+             |byk AS (SELECT k, count(*) AS ktr,
+             |    CAST(sum(CAST(cj AS HUGEINT)) AS HUGEINT) AS tt,
+             |    CAST(sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT))
+             |      AS HUGEINT) AS sc2
+             |  FROM ct GROUP BY 1),
+             |rk AS (SELECT k, count(*) AS nb,
+             |    CAST(sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS HUGEINT)
+             |      AS sr2
+             |  FROM comp GROUP BY 1)
+             |SELECT byk.k, CAST(rk.nb AS BIGINT) AS n_blocks,
+             |  CAST(byk.ktr AS BIGINT) AS k_treatments,
+             |  CAST((byk.ktr - 1) * (byk.ktr * byk.sc2 - byk.tt * byk.tt)
+             |    AS VARCHAR) AS q_num,
+             |  CAST(byk.ktr * byk.tt - rk.sr2 AS VARCHAR) AS q_den,
+             |  CASE WHEN byk.ktr * byk.tt - rk.sr2 > 0
+             |    THEN CAST((byk.ktr - 1) * (byk.ktr * byk.sc2
+             |        - byk.tt * byk.tt) AS DOUBLE)
+             |      / CAST(byk.ktr * byk.tt - rk.sr2 AS DOUBLE)
+             |    END AS q_stat
+             |FROM byk JOIN rk ON byk.k = rk.k ORDER BY byk.k""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

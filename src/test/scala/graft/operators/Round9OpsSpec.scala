@@ -1575,6 +1575,87 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- Brier decomposition
+
+  test("property: brierDecomposition equals textbook REL/RES/UNC") {
+    val genRows: Gen[List[(Int, Boolean)]] = Gen.chooseNum(2, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.oneOf(0, 125000, 250000, 500000, 900000, 1000000)
+        y <- Gen.oneOf(true, false)
+      } yield (s, y)))
+    check(Prop.forAll(genRows) { rows =>
+      val r = ModelEval.brierDecomposition(
+        rows.toDF("s", "y"), $"s", $"y", bins = 16).collect()(0)
+      val byBin = rows.groupBy { case (s, _) =>
+        math.min(15L, s.toLong * 16 / 1000000) }
+      val n = rows.size.toDouble
+      val obar = rows.count(_._2).toDouble / n
+      val rel = byBin.values.map { rs =>
+        val pbar = rs.map(_._1.toLong).sum.toDouble / (rs.size * 1e6)
+        val ob = rs.count(_._2).toDouble / rs.size
+        rs.size * (pbar - ob) * (pbar - ob)
+      }.sum / n
+      val res = byBin.values.map { rs =>
+        val ob = rs.count(_._2).toDouble / rs.size
+        rs.size * (ob - obar) * (ob - obar)
+      }.sum / n
+      val bu = rows.map { case (s, y) =>
+        val d = s.toLong - (if (y) 1000000L else 0L); BigInt(d) * BigInt(d)
+      }.sum
+      r.getLong(0) == rows.size && r.getLong(1) == byBin.size &&
+        BigInt(r.getString(2)) == bu &&
+        math.abs(r.getDouble(3) - rel) < 1e-9 &&
+        math.abs(r.getDouble(4) - res) < 1e-9 &&
+        math.abs(r.getDouble(5) - obar * (1 - obar)) < 1e-12
+    })
+  }
+
+  // --- standardized rates
+
+  test("standardizedRates equals direct mix-weighted arithmetic") {
+    val rows = Seq(
+      ("a", 1L, true), ("a", 1L, false), ("a", 2L, true),
+      ("b", 1L, false), ("b", 2L, true), ("b", 2L, false))
+    val got = Experiment.standardizedRates(
+      rows.toDF("g", "s", "y"), $"g", $"s", $"y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // mix: s=1 3/6, s=2 3/6
+    val wa = 0.5 * (1.0 / 2.0) + 0.5 * 1.0
+    val wb = 0.5 * 0.0 + 0.5 * (1.0 / 2.0)
+    assert(got("a")._1 == 3L && got("a")._2 == 2L)
+    assert(math.abs(got("a")._4 - wa) < 1e-12 && got("a")._5 == 1.0)
+    assert(math.abs(got("b")._4 - wb) < 1e-12)
+  }
+
+  // --- Cochran's Q
+
+  test("property: cochranQ equals the textbook statistic on complete blocks") {
+    val genBlocks: Gen[(Int, List[List[Boolean]])] = for {
+      k <- Gen.chooseNum(2, 4)
+      b <- Gen.chooseNum(2, 12)
+      bl <- Gen.listOfN(b, Gen.listOfN(k, Gen.oneOf(true, false)))
+    } yield (k, bl)
+    check(Prop.forAll(genBlocks) { case (k, blocks) =>
+      val rows = blocks.zipWithIndex.flatMap { case (vs, bi) =>
+        vs.zipWithIndex.map { case (y, t) => ("g", bi.toLong, t.toLong, y) }
+      } ++ (1 until k).map(t => ("g", 999L, t.toLong, true)) // incomplete
+      val r = Experiment.cochranQ(
+        rows.toDF("k", "b", "t", "y"), $"k", $"b", $"t", $"y").collect()(0)
+      val cj = (0 until k).map(t => blocks.count(_(t)).toLong)
+      val ri = blocks.map(_.count(identity).toLong)
+      val tt = cj.sum
+      val num = (k - 1).toLong * (k * cj.map(c => c * c).sum - tt * tt)
+      val den = k * tt - ri.map(x => x * x).sum
+      r.getLong(1) == blocks.size && r.getLong(2) == k &&
+        BigInt(r.getString(3)) == BigInt(num) &&
+        BigInt(r.getString(4)) == BigInt(den) &&
+        (if (den == 0) r.isNullAt(5)
+         else math.abs(r.getDouble(5) - num.toDouble / den) < 1e-12)
+    })
+  }
+
   // --- Aalen–Johansen
 
   test("property: aalenJohansen equals the sequential CIF fold") {

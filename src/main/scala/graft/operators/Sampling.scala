@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -644,5 +644,55 @@ object Sampling {
       .filter(col("rr") <= col("needAtCut"))
       .select(col("g").as("stratum"), col("rid").as("id"))
     below.unionByName(atCut)
+  }
+
+  /** NEYMAN ALLOCATION of a sampling budget — the variance-optimal
+    * stratified design (Neyman 1934): stratum h gets
+    * n_h ∝ N_h·S_h (size × standard deviation), integerized by
+    * [[Allocation.largestRemainder]] so Σ n_h = `total` exactly.
+    *
+    * `value` must be integer-valued (caller owns scaling; Σv² is
+    * 2⁵³-guarded loudly); S_h is the unbiased SD from exact decimal
+    * sums, the weight N_h·S_h is floored to a long (the identical
+    * double both engines floor), and the seat assignment is the
+    * exact largest-remainder arithmetic. Single-value strata (S = 0)
+    * get weight 0 — they still appear with alloc from remainders
+    * only. Output per stratum: (stratum, n_rows, weight, alloc).
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratum: Column,
+      value: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"neymanAllocation: $name must be a non-null integer")))
+        .otherwise(c.cast("long"))
+    val base = df.select(stratum.as("h"), g(value, "value").as("v"))
+    val d19 = "decimal(19,0)"
+    val st = base.groupBy(col("h")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(d19)).cast("decimal(38,0)").as("s"),
+      sum(col("v").cast(d19) * col("v").cast(d19))
+        .cast("decimal(38,0)").as("q"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"neymanAllocation: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val nD = col("n").cast("double")
+    val varU = (nD * e(col("q"), "the sum of squares") -
+      e(col("s"), "the sum") * e(col("s"), "the sum")) /
+      (nD * (nD - lit(1.0)))
+    val weighted = st.select(col("h"), col("n"),
+      when(col("n") > 1L && varU > 0.0,
+        floor(nD * sqrt(varU)).cast("long")).otherwise(lit(0L)).as("w"))
+    val alloc = Allocation.largestRemainder(
+      weighted, lit("all"), col("h"), col("w"), total)
+      .select(col("item").as("ah"), col("alloc"))
+    weighted.join(alloc, col("h") === col("ah"))
+      .select(col("h").as("stratum"), col("n").as("n_rows"),
+        col("w").as("weight"), col("alloc"))
   }
 }

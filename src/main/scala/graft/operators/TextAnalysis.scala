@@ -965,4 +965,38 @@ object TextAnalysis {
         coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
       .withColumn("vocab_cum", sum(col("new_tokens")).over(wCum))
   }
+
+  /** FLESCH READING EASE per document — the classic readability
+    * screen (Flesch 1948), with the standard computable proxies:
+    * words = [[tokens]] count, sentences = runs of `.!?` (min 1),
+    * syllables = vowel GROUPS in the lowercased text (the common
+    * dictionary-free approximation):
+    *
+    *   flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W).
+    *
+    * Pure per-row map (regex counting via replace-then-measure — both
+    * engines share the character-class semantics used here), exact
+    * integer counts, one pinned double chain — hash-exact. Output:
+    * (doc_id, words, sentences, syllables, flesch) — flesch null for
+    * wordless docs.
+    */
+  def readability(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val words = size(tokens(t))
+    val sentRuns = regexp_replace(t, "[.!?]+", ".")
+    val sentences = greatest(lit(1),
+      (length(sentRuns) - length(regexp_replace(sentRuns, "\\.", "")))
+        .cast("int"))
+    val vg = regexp_replace(lower(t), "[aeiou]+", "V")
+    val syllables =
+      (length(vg) - length(regexp_replace(vg, "V", ""))).cast("int")
+    val wD = words.cast("double")
+    val sD = sentences.cast("double")
+    val yD = syllables.cast("double")
+    df.select(id.as("doc_id"), words.as("words"),
+      sentences.as("sentences"), syllables.as("syllables"),
+      when(words > 0,
+        lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (yD / wD))
+        .otherwise(lit(null).cast("double")).as("flesch"))
+  }
 }

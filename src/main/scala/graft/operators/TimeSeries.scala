@@ -1076,4 +1076,45 @@ object TimeSeries {
           col("dd").cast("double") / col("m").cast("double")))
           .as("max_dd_frac"))
   }
+
+  /** FANO FACTOR (index of dispersion) per key — burstiness of an
+    * event stream: variance/mean of per-period event counts over the
+    * DENSE grid (zeros included via [[gapFill]]); 1 = Poisson-like,
+    * > 1 = bursty, < 1 = regular. Counts are exact integers, the
+    * variance comes from exact decimal sums, and the ratio is one
+    * pinned chain — hash-exact. Output per key: (key, n_periods,
+    * mean_count, var_count, fano) — fano null for a single period or
+    * an all-constant grid with mean 0.
+    */
+  def fanoFactor(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    val dense = gapFill(events, key, ts, lit(1.0), periodSeconds,
+      fillMode = "zero", maxPeriodsPerKey = maxPeriodsPerKey)
+      .select(col("key"), col("value").cast("long").as("c"))
+    val d19 = "decimal(19,0)"
+    val st = dense.groupBy(col("key")).agg(
+      count(lit(1)).as("n_periods"),
+      sum(col("c").cast(d19)).cast("decimal(38,0)").as("s"),
+      sum(col("c").cast(d19) * col("c").cast(d19))
+        .cast("decimal(38,0)").as("q"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"fanoFactor: |$what| exceeds 2^53"))).otherwise(c).cast("double")
+    val nD = col("n_periods").cast("double")
+    val mean = e(col("s"), "the count sum") / nD
+    val varU = (nD * e(col("q"), "the squared-count sum") -
+      e(col("s"), "the count sum") * e(col("s"), "the count sum")) /
+      (nD * (nD - lit(1.0)))
+    st.select(col("key"), col("n_periods"),
+      mean.as("mean_count"),
+      when(col("n_periods") > 1L, varU)
+        .otherwise(lit(null).cast("double")).as("var_count"),
+      when(col("n_periods") > 1L && mean > 0.0, varU / mean)
+        .otherwise(lit(null).cast("double")).as("fano"))
+  }
 }

@@ -2398,6 +2398,145 @@ object ScaleOps9 {
              |    END AS q_stat
              |FROM byk JOIN rk ON byk.k = rk.k ORDER BY byk.k""".stripMargin)))
 
+  /** Continuation Seq 8: readability, optimal sampling design,
+    * burstiness.
+    */
+  val all8: Seq[Q] = Seq(
+
+    // ---- q324: FLESCH READING EASE — per-document readability from
+    // computable proxies ([[graft.operators.TextAnalysis.readability]]):
+    // exact regex-counted words/sentences/vowel groups, one pinned
+    // formula — hash-exact (the replace-then-measure counting is
+    // length-convention-proof: only ASCII removals are counted).
+    Q(
+      "q324_readability",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.readability(
+          Tables.documents(s, d).filter($"doc_id".isNotNull),
+          $"text", $"doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |m AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(lower(tx), '[^a-z0-9]+'), x -> x <> '')) AS INTEGER) AS words,
+             |    regexp_replace(tx, '[.!?]+', '.', 'g') AS sr,
+             |    regexp_replace(lower(tx), '[aeiou]+', 'V', 'g') AS vg
+             |  FROM t),
+             |c AS (SELECT doc_id, words,
+             |    greatest(1, CAST(length(sr)
+             |      - length(regexp_replace(sr, '\\.', '', 'g')) AS INTEGER))
+             |      AS sentences,
+             |    CAST(length(vg) - length(regexp_replace(vg, 'V', '', 'g'))
+             |      AS INTEGER) AS syllables
+             |  FROM m)
+             |SELECT doc_id, words, sentences, syllables,
+             |  CASE WHEN words > 0 THEN
+             |    CAST('206.835' AS DOUBLE)
+             |      - CAST('1.015' AS DOUBLE)
+             |        * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             |      - CAST('84.6' AS DOUBLE)
+             |        * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+             |    END AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- q325: NEYMAN ALLOCATION — a 10000-row sample budget split
+    // across brands by N_h·S_h of line price dollars
+    // ([[graft.operators.Sampling.neymanAllocation]]): exact decimal
+    // moments, the floored weight the identical double in both
+    // engines, largest-remainder integerization — hash-exact and
+    // Σ alloc = 10000 by construction.
+    Q(
+      "q325_neyman_allocation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_partkey".isNotNull && $"l_extendedprice".isNotNull)
+          .join(broadcast(Tables.part(s, d)
+            .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+        graft.operators.Sampling.neymanAllocation(
+          li, $"p_brand", floor($"l_extendedprice").cast("long"),
+          total = 10000L)
+          .orderBy($"stratum")
+      },
+      Some("""WITH base AS MATERIALIZED (SELECT p.p_brand AS h,
+             |    CAST(floor(l.l_extendedprice) AS BIGINT) AS v
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |  WHERE l.l_partkey IS NOT NULL AND l.l_extendedprice IS NOT NULL),
+             |st AS (SELECT h, count(*) AS n,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0))) AS DOUBLE) AS s,
+             |    CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             |      AS DOUBLE) AS q
+             |  FROM base GROUP BY 1),
+             |wt AS MATERIALIZED (SELECT h, n,
+             |    CASE WHEN n > 1 AND
+             |        (CAST(n AS DOUBLE) * q - s * s)
+             |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+             |      THEN CAST(floor(CAST(n AS DOUBLE)
+             |        * sqrt((CAST(n AS DOUBLE) * q - s * s)
+             |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+             |        AS BIGINT)
+             |      ELSE 0 END AS w
+             |  FROM st),
+             |tw AS (SELECT CAST(sum(w) AS BIGINT) AS gw FROM wt),
+             |based AS MATERIALIZED (SELECT h, n, w,
+             |    (10000 * w) // (SELECT gw FROM tw) AS base,
+             |    (10000 * w) % (SELECT gw FROM tw) AS rem
+             |  FROM wt),
+             |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS r FROM based),
+             |rk AS (SELECT *, row_number()
+             |    OVER (ORDER BY rem DESC, h ASC) AS rn
+             |  FROM based)
+             |SELECT h AS stratum, CAST(n AS BIGINT) AS n_rows, w AS weight,
+             |  CAST(base + CASE WHEN rn <= (SELECT r FROM lo) THEN 1 ELSE 0
+             |    END AS BIGINT) AS alloc
+             |FROM rk ORDER BY stratum""".stripMargin)),
+
+    // ---- q326: FANO FACTOR — burstiness of each event type's daily
+    // arrival counts over the dense zero-filled grid
+    // ([[graft.operators.TimeSeries.fanoFactor]]): exact integer
+    // counts, exact decimal moments, pinned ratio — hash-exact.
+    Q(
+      "q326_fano_burstiness",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.fanoFactor(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull),
+          $"event_type", $"ts", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+             |      AS BIGINT) AS period,
+             |    count(*) AS c
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, min(period) AS p0, max(period) AS p1
+             |  FROM o GROUP BY 1),
+             |grid AS (SELECT k, unnest(generate_series(p0, p1)) AS period
+             |  FROM sp),
+             |gv AS (SELECT g.k, coalesce(o.c, 0) AS c
+             |  FROM grid g LEFT JOIN o ON g.k = o.k AND g.period = o.period),
+             |st AS (SELECT k, count(*) AS n,
+             |    CAST(sum(CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS s,
+             |    CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             |      AS DOUBLE) AS q
+             |  FROM gv GROUP BY 1)
+             |SELECT k AS key, CAST(n AS BIGINT) AS n_periods,
+             |  s / CAST(n AS DOUBLE) AS mean_count,
+             |  CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * q - s * s)
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             |    END AS var_count,
+             |  CASE WHEN n > 1 AND s / CAST(n AS DOUBLE) > 0
+             |    THEN ((CAST(n AS DOUBLE) * q - s * s)
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |      / (s / CAST(n AS DOUBLE))
+             |    END AS fano
+             |FROM st ORDER BY key""".stripMargin)))
+
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.HighWater]];

@@ -1575,6 +1575,63 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- readability
+
+  test("readability counts words, sentence runs, and vowel groups") {
+    val rows = Seq(
+      (1L, "The cat sat. The dog ran!! Done?"),
+      (2L, ""), (3L, "zzz pfft"))
+    val got = TextAnalysis.readability(rows.toDF("id", "tx"), $"tx", $"id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // doc 1: 7 words, 3 sentence runs, vowel groups: e,a,a,e,o,a,o,e = 8
+    assert(got(1L)._1 == 7 && got(1L)._2 == 3 && got(1L)._3 == 8)
+    val f = 206.835 - 1.015 * (7.0 / 3.0) - 84.6 * (8.0 / 7.0)
+    assert(math.abs(got(1L)._4.get - f) < 1e-12)
+    assert(got(2L) == ((0, 1, 0, None)))
+    assert(got(3L)._1 == 2 && got(3L)._3 == 0 && got(3L)._4.isDefined)
+  }
+
+  // --- Neyman allocation
+
+  test("neymanAllocation: weights N_h*S_h, seats sum to the budget") {
+    val rows =
+      (1 to 10).map(i => ("hi", 10 * i)) ++ // n=10, spread
+        (1 to 10).map(_ => ("lo", 7)) ++    // constant → weight 0
+        (1 to 5).map(i => ("md", i))        // n=5, small spread
+    val got = Sampling.neymanAllocation(
+      rows.toDF("h", "v"), $"h", $"v", total = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def sd(vs: Seq[Double]): Double = {
+      val m = vs.sum / vs.size
+      math.sqrt(vs.map(x => (x - m) * (x - m)).sum / (vs.size - 1))
+    }
+    val wHi = math.floor(10 * sd((1 to 10).map(i => 10.0 * i))).toLong
+    val wMd = math.floor(5 * sd((1 to 5).map(_.toDouble))).toLong
+    assert(got("hi")._2 == wHi && got("md")._2 == wMd && got("lo")._2 == 0L)
+    assert(got.values.map(_._3).sum == 100L)
+    assert(got("hi")._3 > got("md")._3)
+  }
+
+  // --- Fano factor
+
+  test("fanoFactor equals direct dispersion over the dense grid") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    // key a: days 0,0,0,2 → dense counts [3,0,1] over 3 days
+    val rows = Seq(("a", t(0)), ("a", t(0)), ("a", t(0)), ("a", t(2)))
+    val r = TimeSeries.fanoFactor(
+      rows.toDF("k", "ts"), $"k", $"ts", periodSeconds = 86400L)
+      .collect()(0)
+    val cs = Seq(3.0, 0.0, 1.0)
+    val m = cs.sum / 3
+    val v = cs.map(x => (x - m) * (x - m)).sum / 2
+    assert(r.getLong(1) == 3L && r.getDouble(2) == m)
+    assert(math.abs(r.getDouble(3) - v) < 1e-12 &&
+      math.abs(r.getDouble(4) - v / m) < 1e-12)
+  }
+
   // --- Brier decomposition
 
   test("property: brierDecomposition equals textbook REL/RES/UNC") {

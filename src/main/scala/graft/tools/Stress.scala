@@ -45,7 +45,13 @@ object Stress {
     // density), the per-landmark BFS state (k×V rows), Spearman's
     // double midrank build, and the per-order proration explode
     "q266_containment_pairs", "q259_landmark_closeness",
-    "q277_spearman", "q265_revenue_recognition")
+    "q277_spearman", "q265_revenue_recognition",
+    // round-9 session-2 additions: bounded-Katz walk rounds and the
+    // capped wedge enumeration (both over the 10× co-purchase graph),
+    // the S²-bounded source-overlap posting self-join over 10×
+    // shingles, and Croston's dense per-part weekly grid
+    "q300_katz_centrality", "q304_link_prediction",
+    "q309_source_overlap", "q310_croston")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

@@ -315,6 +315,46 @@ object Experiment {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** WILSON SCORE INTERVAL per group (Wilson 1927) — the
+    * well-behaved binomial proportion CI (never escapes [0, 1],
+    * sane at p̂ ∈ {0, 1} where the Wald interval collapses):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    *
+    * Exact integer counts; the whole interval is one pinned chain of
+    * correctly-rounded double ops (√ is IEEE-exact), so it
+    * hash-matches — `z` must be passed as the same literal both
+    * engines parse to the identical double (1.96 is). Output per
+    * group: (g, n, positives, rate, ci_low, ci_high) — null CI for
+    * empty groups.
+    */
+  def wilsonInterval(
+      df: DataFrame,
+      group: Column,
+      positive: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be > 0, got $z")
+    val flag = when(positive.cast("boolean").isNull, raise_error(lit(
+      "wilsonInterval: positive must be a non-null boolean")))
+      .otherwise(positive.cast("boolean"))
+    val per = df.select(group.as("g"), flag.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val nD = col("n").cast("double")
+    val pD = col("p").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val centre = pD + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(pD * (lit(1.0) - pD) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    per.select(col("g"), col("n"), col("p").as("positives"),
+      when(col("n") > 0L, pD).otherwise(lit(null).cast("double")).as("rate"),
+      when(col("n") > 0L, (centre - half) / denom)
+        .otherwise(lit(null).cast("double")).as("ci_low"),
+      when(col("n") > 0L, (centre + half) / denom)
+        .otherwise(lit(null).cast("double")).as("ci_high"))
+  }
+
   /** DIRECTLY STANDARDIZED RATES (the demographer's mix adjustment —
     * Fleiss 1981): each group's positive rate re-weighted to the
     * GLOBAL stratum mix, so groups with different compositions

@@ -72,11 +72,13 @@ object Finance {
     *
     * Denominator Σp₀q₀ and numerator Σp₁q₁ are just the exact decimal
     * revenue sums; the cross terms p₁q₀ = r₁·q₀/q₁ mix per-item
-    * divisions, so each item contributes one pinned double folded
-    * through a window in item order within its group (the ordered
-    * float accumulation that is bit-stable across engines) —
-    * hash-exact. Revenues in integer cents, quantities integers, both
-    * guarded non-negative; 2⁵³ cast guards raise loudly.
+    * divisions and are FLOAT sums — per-item pinned doubles folded in
+    * item order here, but NOT cross-engine bit-stable at realistic
+    * group sizes (DuckDB's windowed SUM reassociates via a segment
+    * tree past a few dozen rows), so oracles gate the indices at 1e-9
+    * instead of hashing them. Revenues in integer cents, quantities
+    * integers, both guarded non-negative; 2⁵³ cast guards raise
+    * loudly.
     *
     * Output per group: (g, n_items, laspeyres, paasche, fisher) —
     * null indices when a side sums to zero.

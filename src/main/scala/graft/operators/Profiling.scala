@@ -1015,6 +1015,35 @@ object Profiling {
         (giniRoot - col("wg")).as("gain"))
   }
 
+  /** SHANNON DIVERSITY per group — entropy H = −Σ p·ln p of a
+    * categorical distribution and its EFFECTIVE CATEGORY COUNT
+    * exp(H) (Hill number ¹D): "over how many sources/classes is this
+    * group really spread?" — the entropy member of the diversity
+    * family ([[herfindahl]] is the exact quadratic member; 1/HHI is
+    * ²D). Exact integer cells; ln() is not bit-portable, so H and
+    * exp(H) are 1e-9-gated by oracles (the [[theilIndex]]
+    * discipline) and the sum keeps map-side combining. Output per
+    * group: (g, n, n_categories, shannon, effective_categories).
+    */
+  def shannonDiversity(
+      df: DataFrame,
+      group: Column,
+      category: Column): DataFrame = {
+    val base = df.select(group.as("g"), category.as("c"))
+      .filter(col("g").isNotNull && col("c").isNotNull)
+    val cells = base.groupBy(col("g"), col("c")).agg(count(lit(1)).as("nc"))
+    val tot = cells.groupBy(col("g"))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("ncat"))
+      .select(col("g").as("tg"), col("n"), col("ncat"))
+    val p = col("nc").cast("double") / col("n").cast("double")
+    cells.join(broadcast(tot), col("g") === col("tg"))
+      .groupBy(col("g"))
+      .agg(sum(-p * log(p)).as("h"),
+        first(col("n")).as("n"), first(col("ncat")).as("n_categories"))
+      .select(col("g"), col("n"), col("n_categories"),
+        col("h").as("shannon"), exp(col("h")).as("effective_categories"))
+  }
+
   /** LEAVE-ONE-OUT SOURCE ABLATION — for a ratio metric Σnum/Σden,
     * each group's marginal influence: the overall rate, the rate with
     * the group REMOVED, and the delta. The data-valuation primitive

@@ -595,6 +595,84 @@ object RankStats {
           .otherwise(lit(null).cast("double")).as("chi2_adj"))
   }
 
+  /** PAGE'S TREND TEST per key (Page 1963) — [[friedman]]'s ORDERED
+    * alternative: when treatments carry a natural order (dose levels,
+    * priority tiers), L = Σ_j j·R_j weights each treatment's rank sum
+    * by its ordinal, far more powerful than the omnibus χ² against a
+    * monotone trend. Normal approximation
+    *
+    *   z = (L − B·k(k+1)²/4) / √(B·k²(k+1)(k²−1)/144)
+    *
+    * (the no-ties variance — conservative under ties, documented).
+    * Same complete-block, K-row-partition ranking as [[friedman]];
+    * L stays exact via doubled midranks in decimal. Treatments must
+    * be the consecutive ordinals 1..K within each key (raises
+    * otherwise). Output per key: (k, n_blocks, k_treatments, l_stat,
+    * z) — z null when k < 2 or B = 0.
+    */
+  def pageTrend(
+      df: DataFrame,
+      key: Column,
+      block: Column,
+      treatment: Column,
+      value: Column): DataFrame = {
+    def g(c: Column, name: String): Column =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"pageTrend: $name must be a non-null integer"))).otherwise(c.cast("long"))
+    val base = df.select(key.as("k"), g(block, "block").as("b"),
+      g(treatment, "treatment").as("t"), g(value, "value").as("v"))
+    val cells0 = base.groupBy(col("k"), col("b"), col("t"))
+      .agg(max(col("v")).as("vm"), count(lit(1)).as("cnt"))
+    val cells = cells0.select(col("k"), col("b"), col("t"),
+      when(col("cnt") > 1L, raise_error(lit(
+        "pageTrend: more than one row per (key, block, treatment)")))
+        .otherwise(col("vm")).as("v"))
+    val kTreat = cells.groupBy(col("k")).agg(
+      countDistinct(col("t")).as("kk"),
+      min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+      .select(col("k"),
+        when(col("tmin") =!= 1L || col("tmax") =!= col("kk"),
+          raise_error(lit(
+            "pageTrend: treatments must be the consecutive ordinals 1..K")))
+          .otherwise(col("kk")).as("kk"))
+    val perBlock = cells.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("bt"))
+    val complete = perBlock.join(kTreat, Seq("k"))
+      .filter(col("bt") === col("kk"))
+      .select(col("k").as("ck"), col("b").as("cb"), col("kk"))
+    val kept = cells.join(complete,
+      col("k") === col("ck") && col("b") === col("cb"))
+    val wRank = Window.partitionBy(col("k"), col("b")).orderBy(col("v").asc)
+    val wEq = Window.partitionBy(col("k"), col("b"), col("v"))
+    val ranked = kept.withColumn("mr2",
+      lit(2L) * rank().over(wRank) + count(lit(1)).over(wEq) - lit(1L))
+    val d18 = "decimal(18,0)"
+    // L2 = Σ_j j·R2_j — j ≤ k keeps the product narrow; rank sums
+    // follow the friedman 18-digit discipline
+    val byK = ranked.groupBy(col("k")).agg(
+      sum(col("t").cast("decimal(6,0)") * col("mr2").cast(d18))
+        .cast("decimal(38,0)").as("l2"),
+      countDistinct(col("t")).as("ktr"))
+    val bCount = complete.groupBy(col("ck")).agg(count(lit(1)).as("nb"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"pageTrend: |$what| exceeds 2^53"))).otherwise(c).cast("double")
+    val bD = col("nb").cast("double")
+    val kD = col("ktr").cast("double")
+    val lD = e(col("l2"), "the weighted rank sum") / lit(2.0)
+    val eL = bD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) / lit(4.0)
+    val vL = bD * kD * kD * (kD + lit(1.0)) *
+      (kD * kD - lit(1.0)) / lit(144.0)
+    byK.join(bCount, col("k") === col("ck"))
+      .select(col("k"), col("nb").as("n_blocks"),
+        col("ktr").as("k_treatments"),
+        lD.as("l_stat"),
+        when(col("ktr") >= 2L && col("nb") >= 1L && vL > 0.0,
+          (lD - eL) / sqrt(vL))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** MOOD'S MEDIAN TEST per key — the coarse-but-robust K-sample
     * location test (Mood 1950; [[kruskalWallis]]'s blunt sibling,
     * preferred under gross outliers or ordinal-with-few-levels data):

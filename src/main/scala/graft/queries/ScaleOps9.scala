@@ -2535,7 +2535,170 @@ object ScaleOps9 {
              |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
              |      / (s / CAST(n AS DOUBLE))
              |    END AS fano
-             |FROM st ORDER BY key""".stripMargin)))
+             |FROM st ORDER BY key""".stripMargin)),
+
+    // ---- q327: PAGE'S TREND TEST — does customer spend rise
+    // monotonically with priority tier, per segment?
+    // ([[graft.operators.RankStats.pageTrend]], q302's ordered
+    // alternative): within-block ranks, L = Σ j·R_j exact in decimal,
+    // pinned z — hash-exact.
+    Q(
+      "q327_page_trend",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderpriority".isNotNull &&
+            $"o_totalprice".isNotNull)
+          .groupBy($"o_custkey",
+            substring($"o_orderpriority", 1, 1).cast("long").as("t"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+        val per = cells.join(
+          broadcast(Tables.customer(s, d)
+            .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        graft.operators.RankStats.pageTrend(
+          per, $"c_mktsegment", $"o_custkey", $"t", $"v").orderBy($"k")
+      },
+      Some("""WITH cells AS MATERIALIZED (SELECT c.c_mktsegment AS k,
+             |    o.o_custkey AS b,
+             |    CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS t,
+             |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_orderpriority IS NOT NULL
+             |    AND o.o_totalprice IS NOT NULL
+             |  GROUP BY 1, 2, 3),
+             |kt AS (SELECT k, count(DISTINCT t) AS kk FROM cells GROUP BY 1),
+             |pb AS (SELECT k, b, count(*) AS bt FROM cells GROUP BY 1, 2),
+             |comp AS MATERIALIZED (SELECT pb.k, pb.b
+             |  FROM pb JOIN kt ON pb.k = kt.k WHERE pb.bt = kt.kk),
+             |kept AS MATERIALIZED (SELECT cells.k, cells.b, cells.t, cells.v
+             |  FROM cells JOIN comp ON cells.k = comp.k AND cells.b = comp.b),
+             |ranked AS MATERIALIZED (SELECT k, b, t,
+             |    2 * rank() OVER (PARTITION BY k, b ORDER BY v ASC)
+             |      + count(*) OVER (PARTITION BY k, b, v) - 1 AS mr2
+             |  FROM kept),
+             |byk AS (SELECT k,
+             |    CAST(sum(CAST(t AS DECIMAL(6,0)) * CAST(mr2 AS DECIMAL(18,0)))
+             |      AS DECIMAL(38,0)) AS l2,
+             |    count(DISTINCT t) AS ktr
+             |  FROM ranked GROUP BY 1),
+             |bc AS (SELECT k, count(*) AS nb FROM comp GROUP BY 1)
+             |SELECT byk.k, CAST(bc.nb AS BIGINT) AS n_blocks,
+             |  CAST(byk.ktr AS BIGINT) AS k_treatments,
+             |  CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+             |  CASE WHEN byk.ktr >= 2 AND bc.nb >= 1
+             |      AND CAST(bc.nb AS DOUBLE) * CAST(byk.ktr AS DOUBLE)
+             |        * CAST(byk.ktr AS DOUBLE) * (CAST(byk.ktr AS DOUBLE) + 1.0)
+             |        * (CAST(byk.ktr AS DOUBLE) * CAST(byk.ktr AS DOUBLE) - 1.0)
+             |        / 144.0 > 0
+             |    THEN (CAST(l2 AS DOUBLE) / 2.0
+             |        - CAST(bc.nb AS DOUBLE) * CAST(byk.ktr AS DOUBLE)
+             |          * (CAST(byk.ktr AS DOUBLE) + 1.0)
+             |          * (CAST(byk.ktr AS DOUBLE) + 1.0) / 4.0)
+             |      / sqrt(CAST(bc.nb AS DOUBLE) * CAST(byk.ktr AS DOUBLE)
+             |        * CAST(byk.ktr AS DOUBLE) * (CAST(byk.ktr AS DOUBLE) + 1.0)
+             |        * (CAST(byk.ktr AS DOUBLE) * CAST(byk.ktr AS DOUBLE) - 1.0)
+             |        / 144.0)
+             |    END AS z
+             |FROM byk JOIN bc ON byk.k = bc.k ORDER BY byk.k""".stripMargin)),
+
+    // ---- q328: SHANNON DIVERSITY — each language's effective source
+    // count ([[graft.operators.Profiling.shannonDiversity]]): exact
+    // cells; H and exp(H) are ln-based, so 1e-9 soundness-gated with
+    // a poison row (the q303 discipline).
+    Q(
+      "q328_shannon_diversity",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profiling.shannonDiversity(
+          Tables.documents(s, d), $"lang", $"source")
+          .orderBy($"g")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q328_shannon_diversity/*.parquet')),
+             |cells AS MATERIALIZED (SELECT lang AS g, source AS c,
+             |    count(*) AS nc
+             |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n,
+             |    count(*) AS ncat FROM cells GROUP BY 1),
+             |ex AS MATERIALIZED (SELECT cells.g, tot.n,
+             |    CAST(tot.ncat AS BIGINT) AS n_categories,
+             |    sum(-(CAST(nc AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             |      * ln(CAST(nc AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS h
+             |  FROM cells JOIN tot ON cells.g = tot.g
+             |  GROUP BY 1, 2, 3),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM ex)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN ex x ON e.g = x.g
+             |      WHERE e.n <> x.n OR e.n_categories <> x.n_categories
+             |        OR abs(e.shannon - x.h) > 1e-9
+             |        OR abs(e.effective_categories - exp(x.h)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.g NOT IN (SELECT g FROM ex))
+             |    AND NOT EXISTS (SELECT 1 FROM ex x
+             |      WHERE x.g NOT IN (SELECT g FROM emitted))
+             |  ) AS ok)
+             |SELECT g, n, n_categories, shannon, effective_categories
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY g""".stripMargin)),
+
+    // ---- q329: WILSON SCORE INTERVALS — each nation's urgent-order
+    // rate with the well-behaved binomial CI
+    // ([[graft.operators.Experiment.wilsonInterval]]): exact counts,
+    // one pinned closed-form chain per group — hash-exact.
+    Q(
+      "q329_wilson_ci",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .filter($"o_custkey".isNotNull && $"o_orderpriority".isNotNull)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_name".as("nat"),
+            ($"o_orderpriority" === "1-URGENT").as("u"))
+        graft.operators.Experiment.wilsonInterval(per, $"nat", $"u")
+          .orderBy($"g")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT n.n_name AS g,
+             |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             |      AS y
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  WHERE o.o_custkey IS NOT NULL AND o.o_orderpriority IS NOT NULL),
+             |st AS (SELECT g, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+             |  FROM per GROUP BY 1)
+             |SELECT g, n, p AS positives,
+             |  CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+             |  ((CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+             |      + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |        / (2.0 * CAST(n AS DOUBLE)))
+             |    - CAST('1.96' AS DOUBLE)
+             |      * sqrt((CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+             |          / CAST(n AS DOUBLE)
+             |        + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             |    / (1.0 + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS ci_low,
+             |  ((CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+             |      + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |        / (2.0 * CAST(n AS DOUBLE)))
+             |    + CAST('1.96' AS DOUBLE)
+             |      * sqrt((CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+             |          / CAST(n AS DOUBLE)
+             |        + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             |    / (1.0 + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS ci_high
+             |FROM st ORDER BY g""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

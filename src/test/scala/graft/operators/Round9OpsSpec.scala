@@ -1575,6 +1575,83 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- Page's trend test
+
+  test("property: pageTrend equals textbook L and z on complete blocks") {
+    val genDesign: Gen[(Int, List[List[Int]])] = for {
+      k <- Gen.chooseNum(2, 5)
+      b <- Gen.chooseNum(1, 12)
+      blocks <- Gen.listOfN(b, Gen.listOfN(k, Gen.chooseNum(0, 6)))
+    } yield (k, blocks)
+    check(Prop.forAll(genDesign) { case (k, blocks) =>
+      val rows = blocks.zipWithIndex.flatMap { case (vs, bi) =>
+        vs.zipWithIndex.map { case (v, t) =>
+          ("g", bi.toLong, (t + 1).toLong, v)
+        }
+      }
+      val r = RankStats.pageTrend(
+        rows.toDF("k", "b", "t", "v"), $"k", $"b", $"t", $"v").collect()(0)
+      def midranks(vs: Seq[Int]): Seq[Double] = {
+        val sorted = vs.sorted
+        val rk = sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+        vs.map(rk)
+      }
+      val ranks = blocks.map(midranks)
+      val l = (0 until k).map(j => (j + 1) * ranks.map(_(j)).sum).sum
+      val bN = blocks.size.toDouble
+      val eL = bN * k * (k + 1.0) * (k + 1.0) / 4.0
+      val vL = bN * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+      math.abs(r.getDouble(3) - l) < 1e-9 &&
+        ((if (vL > 0) Some((l - eL) / math.sqrt(vL)) else None,
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(a), Some(b2)) => math.abs(a - b2) < 1e-9
+          case (None, None)        => true
+          case _                   => false
+        })
+    })
+  }
+
+  test("pageTrend: non-consecutive treatment ordinals raise") {
+    val rows = Seq(("g", 1L, 2L, 5), ("g", 1L, 3L, 6))
+    val e = intercept[Exception] {
+      RankStats.pageTrend(rows.toDF("k", "b", "t", "v"),
+        $"k", $"b", $"t", $"v").collect()
+    }
+    assert(e.getMessage.contains("consecutive ordinals"))
+  }
+
+  // --- Shannon diversity
+
+  test("shannonDiversity equals direct entropy") {
+    val rows = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "c"))
+    val r = Profiling.shannonDiversity(rows.toDF("g", "c"), $"g", $"c")
+      .collect()(0)
+    val h = -(0.5 * math.log(0.5) + 2 * (0.25 * math.log(0.25)))
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - h) < 1e-12 &&
+      math.abs(r.getDouble(4) - math.exp(h)) < 1e-12)
+  }
+
+  // --- Wilson interval
+
+  test("wilsonInterval equals the closed form; edge rates stay in [0,1]") {
+    val rows = (1 to 40).map(i => ("g", i <= 10)) ++
+      Seq(("z", true), ("z", true)) // p̂ = 1 — Wald would collapse
+    val got = Experiment.wilsonInterval(rows.toDF("g", "y"), $"g", $"y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (n, p, z) = (40.0, 0.25, 1.96)
+    val c = p + z * z / (2 * n)
+    val h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    val dn = 1 + z * z / n
+    assert(got("g")._1 == 40L && got("g")._2 == 0.25)
+    assert(math.abs(got("g")._3 - (c - h) / dn) < 1e-12)
+    assert(math.abs(got("g")._4 - (c + h) / dn) < 1e-12)
+    assert(got("z")._3 > 0.0 && got("z")._4 <= 1.0 && got("z")._3 < 1.0)
+  }
+
   // --- readability
 
   test("readability counts words, sentence runs, and vowel groups") {

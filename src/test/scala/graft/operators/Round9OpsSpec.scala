@@ -1575,6 +1575,43 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- plan shapes of the new scale-sensitive operators
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("plan: linkPrediction never goes cartesian or nested-loop") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("s", "t")
+    val plan = finalPlan(Graph.linkPrediction(edges, $"s", $"t", 1, 64))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti-join path must stay equi-join only:\n$plan")
+  }
+
+  test("plan: katzBounded is equi-joins + aggregates only") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val plan = finalPlan(Graph.katzBounded(edges, $"s", $"t", 3, 8L))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("plan: lorenzCurve evaluates all cuts without any Window") {
+    val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val plan = finalPlan(RankStats.lorenzCurve(df, $"v", buckets = 4))
+    assert(!plan.contains("Window"),
+      s"the conditional-sum pass must not sort/window the data:\n$plan")
+  }
+
+  test("plan: rfmSegments scores without any Window") {
+    val df = (1 to 60).map(i => (i, i % 7, i * 3)).toDF("r", "f", "m")
+    val plan = finalPlan(Profiling.rfmSegments(df, $"r", $"f", $"m"))
+    assert(!plan.contains("Window"),
+      s"cut scoring must be a map-side comparison, not a rank window:\n$plan")
+  }
+
   // --- Page's trend test
 
   test("property: pageTrend equals textbook L and z on complete blocks") {

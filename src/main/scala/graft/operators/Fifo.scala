@@ -37,7 +37,41 @@ object Fifo {
       buyQty: Column,
       buyUnitCost: Column,
       sellKey: Column,
-      sellQty: Column): DataFrame = {
+      sellQty: Column): DataFrame =
+    matchImpl(buys, sells, buyKey, buyTs, buyTiebreak, buyQty, buyUnitCost,
+      sellKey, sellQty, newestFirst = false)
+
+  /** LIFO variant — sells consume the NEWEST lots first (the other
+    * standard cost-basis convention; also the shape of stack-like
+    * resource reclamation). Identical cumulative-quantity geometry
+    * with the buy order REVERSED: matched units are the LAST S_total
+    * units in (ts, tiebreak) order. Same outputs and feasibility
+    * semantics as [[matchLots]].
+    */
+  def matchLotsLifo(
+      buys: DataFrame,
+      sells: DataFrame,
+      buyKey: Column,
+      buyTs: Column,
+      buyTiebreak: Column,
+      buyQty: Column,
+      buyUnitCost: Column,
+      sellKey: Column,
+      sellQty: Column): DataFrame =
+    matchImpl(buys, sells, buyKey, buyTs, buyTiebreak, buyQty, buyUnitCost,
+      sellKey, sellQty, newestFirst = true)
+
+  private def matchImpl(
+      buys: DataFrame,
+      sells: DataFrame,
+      buyKey: Column,
+      buyTs: Column,
+      buyTiebreak: Column,
+      buyQty: Column,
+      buyUnitCost: Column,
+      sellKey: Column,
+      sellQty: Column,
+      newestFirst: Boolean): DataFrame = {
     def nonNeg(c: Column, what: String) =
       when(c.cast("long").isNull || c.cast("long") < 0L, raise_error(lit(
         s"Fifo.matchLots: $what must be a non-negative long"))).otherwise(c.cast("long"))
@@ -48,8 +82,11 @@ object Fifo {
       .filter(col("k").isNotNull)
       .groupBy(col("k")).agg(sum(col("q")).as("sold"))
       .select(col("k").as("sk"), col("sold"))
-    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w =
+      (if (newestFirst)
+        Window.partitionBy(col("k")).orderBy(col("ts").desc, col("tb").desc)
+      else Window.partitionBy(col("k")).orderBy(col("ts"), col("tb")))
+        .rowsBetween(Window.unboundedPreceding, -1)
     val lots = b
       .withColumn("cumBefore", coalesce(sum(col("q")).over(w), lit(0L)))
       .join(s, col("k") === col("sk"), "left")

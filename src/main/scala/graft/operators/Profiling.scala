@@ -1015,6 +1015,52 @@ object Profiling {
         (giniRoot - col("wg")).as("gain"))
   }
 
+  /** INFORMATION-GAIN FEATURE SCREEN — decision-stump feature ranking
+    * against a binary target with the ENTROPY criterion, the ln
+    * sibling [[giniFeatureGain]]'s scaladoc promises: per categorical
+    * feature, gain = H(root) − Σ_v (n_v/N)·H(v) with the binary
+    * entropy H = −(p·ln p + q·ln q) (0·ln 0 = 0). Exact integer
+    * cells; ln() is not bit-portable, so the gains are 1e-9-gated by
+    * oracles (the [[theilIndex]] discipline) and the per-feature sum
+    * keeps map-side combining. Null feature values form their own
+    * category; null targets raise. Output per feature:
+    * (feature, n_values, entropy_root, entropy_weighted, info_gain).
+    */
+  def infoGainScreen(
+      df: DataFrame,
+      feature: Column,
+      value: Column,
+      label: Column): DataFrame = {
+    val yG = when(label.cast("long").isNull ||
+      (label.cast("long") =!= 0L && label.cast("long") =!= 1L),
+      raise_error(lit("infoGainScreen: label must be 0 or 1")))
+      .otherwise(label.cast("long"))
+    val base = df.select(feature.as("ft"),
+      coalesce(value.cast("string"), lit("__null__")).as("v"), yG.as("y"))
+    val cells = base.groupBy(col("ft"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val tot = cells.groupBy(col("ft"))
+      .agg(sum(col("c")).as("n"), sum(col("p")).as("pt"),
+        count(lit(1)).as("nv"))
+      .select(col("ft").as("tf"), col("n"), col("pt"), col("nv"))
+    def hTerm(pos: Column, cnt: Column): Column = {
+      val pr = pos.cast("double") / cnt.cast("double")
+      val qr = (cnt - pos).cast("double") / cnt.cast("double")
+      -(when(pos > 0L, pr * log(pr)).otherwise(lit(0.0)) +
+        when(cnt - pos > 0L, qr * log(qr)).otherwise(lit(0.0)))
+    }
+    cells.join(broadcast(tot), col("ft") === col("tf"))
+      .groupBy(col("ft"))
+      .agg(
+        first(col("nv")).as("n_values"),
+        first(hTerm(col("pt"), col("n"))).as("entropy_root"),
+        sum((col("c").cast("double") / col("n").cast("double")) *
+          hTerm(col("p"), col("c"))).as("entropy_weighted"))
+      .select(col("ft").as("feature"), col("n_values"),
+        col("entropy_root"), col("entropy_weighted"),
+        (col("entropy_root") - col("entropy_weighted")).as("info_gain"))
+  }
+
   /** SHANNON DIVERSITY per group — entropy H = −Σ p·ln p of a
     * categorical distribution and its EFFECTIVE CATEGORY COUNT
     * exp(H) (Hill number ¹D): "over how many sources/classes is this

@@ -1077,6 +1077,76 @@ object TimeSeries {
           .as("max_dd_frac"))
   }
 
+  /** SEASONAL MANN–KENDALL per key (Hirsch, Slack & Smith 1982) —
+    * [[mannKendall]] applied WITHIN each season (weekday, month) and
+    * combined, so a strong weekly rhythm cannot masquerade as (or
+    * mask) a monotone trend: S = Σ_s S_s with
+    * Var = Σ_s [n_s(n_s−1)(2n_s+5) − ties_s]/18, continuity-corrected
+    * z. Pairs expand only within a season's sub-series (the per-key
+    * span guard bounds the O(span²) work exactly as in the plain
+    * test); S and the variance numerator stay exact integers — one
+    * division by 18 and the z chain are the only doubles —
+    * hash-exact. Output per key: (key, n_periods, s_stat, z).
+    */
+  def seasonalMannKendall(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      seasonPeriods: Int,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(seasonPeriods >= 2, s"seasonPeriods must be >= 2, got $seasonPeriods")
+    require(maxPeriodsPerKey >= 2, s"maxPeriodsPerKey must be >= 2, got $maxPeriodsPerKey")
+    val perPeriod = perPeriodSums(events, key, ts, value, periodSeconds)
+      .select(col("k"), col("period"), col("psum").as("y"),
+        pmod(col("period"), lit(seasonPeriods.toLong)).as("sea"))
+    val spans = perPeriod.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("seasonalMannKendall: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods"))))
+          .otherwise(col("n")).as("n"))
+    val a = perPeriod.select(col("k"), col("sea"),
+      col("period").as("p1"), col("y").as("y1"))
+    val b = perPeriod.select(col("k").as("bk"), col("sea").as("bsea"),
+      col("period").as("p2"), col("y").as("y2"))
+    val sSum = a.join(b,
+      col("k") === col("bk") && col("sea") === col("bsea") &&
+        col("p1") < col("p2"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+    val perSeason = perPeriod.groupBy(col("k"), col("sea"))
+      .agg(count(lit(1)).as("ns"))
+    val tieSum = perPeriod.groupBy(col("k"), col("sea"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"), col("sea"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("ties"))
+    val varNum = perSeason
+      .join(tieSum, Seq("k", "sea"))
+      .groupBy(col("k"))
+      .agg(sum(col("ns") * (col("ns") - 1L) * (lit(2L) * col("ns") + 5L)
+        - col("ties")).as("vnum"))
+    val joined = spans
+      .join(sSum, Seq("k"), "left")
+      .join(varNum, Seq("k"), "left")
+      .select(col("k"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        coalesce(col("vnum"), lit(0L)).as("vnum"))
+    val varS = col("vnum").cast("double") / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0L, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0L, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    joined.select(col("k").as("key"), col("n").as("n_periods"),
+      col("s_stat"),
+      when(col("n") >= 2L && varS > 0.0, z)
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** FANO FACTOR (index of dispersion) per key — burstiness of an
     * event stream: variance/mean of per-period event counts over the
     * DENSE grid (zeros included via [[gapFill]]); 1 = Poisson-like,

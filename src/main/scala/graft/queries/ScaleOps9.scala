@@ -2698,7 +2698,228 @@ object ScaleOps9 {
              |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
              |    / (1.0 + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
              |      / CAST(n AS DOUBLE)) AS ci_high
-             |FROM st ORDER BY g""".stripMargin)))
+             |FROM st ORDER BY g""".stripMargin)),
+
+    // ---- q330: LIFO LOT MATCHING — q241's cost-basis ledger under
+    // the newest-first convention
+    // ([[graft.operators.Fifo.matchLotsLifo]]): the identical
+    // cumulative-quantity geometry with the buy order reversed —
+    // exact int64/decimal money, hash-exact digests.
+    Q(
+      "q330_lifo_matching",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(
+          $"l_partkey",
+          $"l_shipdate".cast("timestamp").as("sd"),
+          ($"l_orderkey" * 8 + $"l_linenumber").as("tb"),
+          $"l_quantity".cast("long").as("qv"),
+          ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          $"l_orderkey".as("ok"))
+        val buys = li.filter($"ok" % 2 === 0)
+          .withColumn("uc", expr("cents div qv"))
+        val sells = li.filter($"ok" % 2 === 1)
+        graft.operators.Fifo.matchLotsLifo(
+          buys, sells,
+          buyKey = $"l_partkey", buyTs = $"sd", buyTiebreak = $"tb",
+          buyQty = $"qv", buyUnitCost = $"uc",
+          sellKey = $"l_partkey", sellQty = $"qv")
+          .withColumn("cogs", $"cogs".cast("string"))
+          .withColumn("remaining_cost", $"remaining_cost".cast("string"))
+          .orderBy($"key")
+      },
+      Some("""WITH b AS MATERIALIZED (SELECT l_partkey AS k, l_shipdate AS ts,
+             |    l_orderkey * 8 + l_linenumber AS tb,
+             |    CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      // CAST(l_quantity AS BIGINT) AS c
+             |  FROM lineitem WHERE l_orderkey % 2 = 0),
+             |s AS MATERIALIZED (SELECT l_partkey AS k,
+             |    sum(CAST(l_quantity AS BIGINT)) AS sold
+             |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+             |lots AS (SELECT b.k, q, c,
+             |    coalesce(sum(q) OVER (PARTITION BY b.k
+             |      ORDER BY ts DESC, tb DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cumBefore,
+             |    coalesce(s.sold, 0) AS soldT
+             |  FROM b LEFT JOIN s ON b.k = s.k),
+             |m AS (SELECT k, q, c, soldT,
+             |    greatest(0, least(q, soldT - cumBefore)) AS matched FROM lots),
+             |pk AS (SELECT k, sum(q) AS bought_qty, max(soldT) AS sold_qty,
+             |    sum(matched) AS matched_qty, sum(matched * c) AS cogs,
+             |    sum(q - matched) AS remaining_qty,
+             |    sum((q - matched) * c) AS remaining_cost
+             |  FROM m GROUP BY k),
+             |so AS (SELECT s.k, CAST(0 AS BIGINT) AS bought_qty,
+             |    s.sold AS sold_qty,
+             |    CAST(0 AS BIGINT) AS matched_qty, CAST(0 AS BIGINT) AS cogs,
+             |    CAST(0 AS BIGINT) AS remaining_qty,
+             |    CAST(0 AS BIGINT) AS remaining_cost
+             |  FROM s LEFT JOIN (SELECT DISTINCT k FROM b) bb ON s.k = bb.k
+             |  WHERE bb.k IS NULL),
+             |al AS (SELECT * FROM pk UNION ALL SELECT * FROM so)
+             |SELECT k AS key, CAST(bought_qty AS BIGINT) AS bought_qty,
+             |  CAST(sold_qty AS BIGINT) AS sold_qty,
+             |  CAST(matched_qty AS BIGINT) AS matched_qty,
+             |  CAST(CAST(cogs AS DECIMAL(38,0)) AS VARCHAR) AS cogs,
+             |  CAST(remaining_qty AS BIGINT) AS remaining_qty,
+             |  CAST(CAST(remaining_cost AS DECIMAL(38,0)) AS VARCHAR)
+             |    AS remaining_cost,
+             |  CAST(greatest(0, sold_qty - bought_qty) AS BIGINT)
+             |    AS unmatched_sold
+             |FROM al ORDER BY key""".stripMargin)),
+
+    // ---- q331: INFORMATION-GAIN FEATURE SCREEN — q308's features
+    // ranked by the entropy criterion
+    // ([[graft.operators.Profiling.infoGainScreen]], the ln sibling
+    // q275's scaladoc promises): exact cells; gains 1e-9
+    // soundness-gated with a poison row.
+    Q(
+      "q331_info_gain",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_returnflag".isNotNull && $"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull && $"l_discount".isNotNull)
+          .withColumn("y", ($"l_returnflag" === "R").cast("long"))
+        val stacked = li.select(explode(array(
+          struct(lit("quantity").as("ft"),
+            $"l_quantity".cast("long").as("v")),
+          struct(lit("price_10k").as("ft"),
+            floor($"l_extendedprice" / 10000).cast("long").as("v")),
+          struct(lit("disc_pct").as("ft"),
+            round($"l_discount" * 100).cast("long").as("v")))).as("c"),
+          $"y")
+          .select($"c.ft".as("ft"), $"c.v".as("v"), $"y")
+        graft.operators.Profiling.infoGainScreen(
+          stacked, $"ft", $"v", $"y")
+          .orderBy($"feature")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q331_info_gain/*.parquet')),
+             |li AS MATERIALIZED (SELECT l_quantity, l_extendedprice,
+             |    l_discount,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+             |base AS MATERIALIZED (
+             |  SELECT 'quantity' AS ft,
+             |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v, y FROM li
+             |  UNION ALL
+             |  SELECT 'price_10k',
+             |    CAST(CAST(floor(l_extendedprice / 10000) AS BIGINT)
+             |      AS VARCHAR), y FROM li
+             |  UNION ALL
+             |  SELECT 'disc_pct',
+             |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR), y
+             |    FROM li),
+             |cells AS (SELECT ft, v, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+             |  FROM base GROUP BY 1, 2),
+             |tot AS (SELECT ft, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(p) AS BIGINT) AS pt, count(*) AS nv
+             |  FROM cells GROUP BY 1),
+             |hr AS (SELECT ft, n, pt, nv,
+             |    -(CASE WHEN pt > 0 THEN (CAST(pt AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * ln(CAST(pt AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+             |      + CASE WHEN n - pt > 0
+             |        THEN (CAST(n - pt AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * ln(CAST(n - pt AS DOUBLE) / CAST(n AS DOUBLE))
+             |        ELSE 0.0 END) AS h_root
+             |  FROM tot),
+             |hw AS (SELECT cells.ft,
+             |    sum((CAST(c AS DOUBLE) / CAST(hr.n AS DOUBLE)) *
+             |      (-(CASE WHEN p > 0 THEN (CAST(p AS DOUBLE) / CAST(c AS DOUBLE))
+             |          * ln(CAST(p AS DOUBLE) / CAST(c AS DOUBLE)) ELSE 0.0 END
+             |        + CASE WHEN c - p > 0
+             |          THEN (CAST(c - p AS DOUBLE) / CAST(c AS DOUBLE))
+             |            * ln(CAST(c - p AS DOUBLE) / CAST(c AS DOUBLE))
+             |          ELSE 0.0 END))) AS h_w
+             |  FROM cells JOIN hr ON cells.ft = hr.ft GROUP BY 1),
+             |ex AS MATERIALIZED (SELECT hr.ft,
+             |    CAST(hr.nv AS BIGINT) AS n_values, hr.h_root, hw.h_w
+             |  FROM hr JOIN hw ON hr.ft = hw.ft),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM ex)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN ex x
+             |      ON e.feature = x.ft
+             |      WHERE e.n_values <> x.n_values
+             |        OR abs(e.entropy_root - x.h_root) > 1e-9
+             |        OR abs(e.entropy_weighted - x.h_w) > 1e-9
+             |        OR abs(e.info_gain - (x.h_root - x.h_w)) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.feature NOT IN (SELECT ft FROM ex))
+             |    AND NOT EXISTS (SELECT 1 FROM ex x
+             |      WHERE x.ft NOT IN (SELECT feature FROM emitted))
+             |  ) AS ok)
+             |SELECT feature, n_values, entropy_root, entropy_weighted,
+             |  info_gain
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY feature""".stripMargin)),
+
+    // ---- q332: SEASONAL MANN–KENDALL — monotone value trend per
+    // event type with the weekly rhythm removed (pairs compare only
+    // within the same weekday;
+    // [[graft.operators.TimeSeries.seasonalMannKendall]]): exact
+    // integer S and variance numerator, pinned z — hash-exact.
+    Q(
+      "q332_seasonal_mann_kendall",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.seasonalMannKendall(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull &&
+              $"value".isNotNull),
+          $"event_type", $"ts", $"value",
+          periodSeconds = 86400L, seasonPeriods = 7)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+             |      AS BIGINT) AS period,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |oo AS MATERIALIZED (SELECT k, period, y, period % 7 AS sea
+             |  FROM o),
+             |sp AS (SELECT k, count(*) AS n FROM oo GROUP BY 1),
+             |ss AS (SELECT a.k,
+             |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+             |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |  FROM oo a JOIN oo b ON a.k = b.k AND a.sea = b.sea
+             |    AND a.period < b.period
+             |  GROUP BY 1),
+             |ps AS (SELECT k, sea, count(*) AS ns FROM oo GROUP BY 1, 2),
+             |tc AS (SELECT k, sea,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+             |  FROM (SELECT k, sea, y, count(*) AS t FROM oo GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2),
+             |vn AS (SELECT ps.k,
+             |    CAST(sum(ns * (ns - 1) * (2 * ns + 5) - ties) AS BIGINT)
+             |      AS vnum
+             |  FROM ps JOIN tc ON ps.k = tc.k AND ps.sea = tc.sea
+             |  GROUP BY 1)
+             |SELECT sp.k AS key, CAST(sp.n AS BIGINT) AS n_periods,
+             |  coalesce(ss.s_stat, 0) AS s_stat,
+             |  CASE WHEN sp.n >= 2
+             |      AND CAST(coalesce(vn.vnum, 0) AS DOUBLE) / 18.0 > 0 THEN
+             |    CASE WHEN coalesce(ss.s_stat, 0) > 0
+             |      THEN (CAST(ss.s_stat AS DOUBLE) - 1.0)
+             |        / sqrt(CAST(vn.vnum AS DOUBLE) / 18.0)
+             |    WHEN coalesce(ss.s_stat, 0) < 0
+             |      THEN (CAST(ss.s_stat AS DOUBLE) + 1.0)
+             |        / sqrt(CAST(vn.vnum AS DOUBLE) / 18.0)
+             |    ELSE 0.0 END
+             |    END AS z
+             |FROM sp LEFT JOIN ss ON sp.k = ss.k
+             |LEFT JOIN vn ON sp.k = vn.k
+             |ORDER BY key""".stripMargin)))
 
   /** q306 drive: the q243 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,

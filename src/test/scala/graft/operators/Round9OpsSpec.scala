@@ -1575,6 +1575,91 @@ class Round9OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- LIFO matching
+
+  test("property: matchLotsLifo equals the sequential stack fold") {
+    val genLedger: Gen[(List[(Long, Long, Long)], Long)] = for {
+      n <- Gen.chooseNum(1, 12)
+      lots <- Gen.listOfN(n, for {
+        q <- Gen.chooseNum(0L, 9L); c <- Gen.chooseNum(1L, 5L)
+      } yield (q, c))
+      sold <- Gen.chooseNum(0L, 60L)
+    } yield (lots.zipWithIndex.map { case ((q, c), i) => (i.toLong, q, c) }, sold)
+    check(Prop.forAll(genLedger) { case (lots, sold) =>
+      val buys = lots.map { case (i, q, c) =>
+        ("k", new java.sql.Timestamp(i * 1000L), i, q, c)
+      }.toDF("k", "ts", "tb", "q", "c")
+      val sells = Seq(("k", sold)).toDF("k", "q")
+      val r = Fifo.matchLotsLifo(buys, sells,
+        $"k", $"ts", $"tb", $"q", $"c", $"k", $"q").collect()(0)
+      // stack fold: consume newest lots first
+      var remaining = sold
+      var cogs = BigInt(0); var matched = 0L
+      for ((_, q, c) <- lots.reverse) {
+        val m = math.min(q, math.max(0L, remaining))
+        matched += m; cogs += BigInt(m) * c; remaining -= m
+      }
+      r.getLong(3) == matched && BigInt(r.getDecimal(4).toBigInteger) == cogs &&
+        r.getLong(7) == math.max(0L, sold - lots.map(_._2).sum)
+    })
+  }
+
+  // --- info gain
+
+  test("infoGainScreen equals direct entropy arithmetic") {
+    val rows = Seq(("f", 1, 1), ("f", 1, 1), ("f", 1, 0), ("f", 2, 0),
+      ("f", 2, 0), ("f", 2, 1))
+    val r = Profiling.infoGainScreen(
+      rows.toDF("ft", "v", "y"), $"ft", $"v", $"y").collect()(0)
+    def h(p: Double): Double =
+      if (p <= 0 || p >= 1) 0.0
+      else -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    val root = h(3.0 / 6.0)
+    val hw = 0.5 * h(2.0 / 3.0) + 0.5 * h(1.0 / 3.0)
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - root) < 1e-12 &&
+      math.abs(r.getDouble(3) - hw) < 1e-12 &&
+      math.abs(r.getDouble(4) - (root - hw)) < 1e-12)
+  }
+
+  // --- seasonal Mann–Kendall
+
+  test("property: seasonalMannKendall equals brute within-season pairs") {
+    val genSeries: Gen[List[Int]] = Gen.chooseNum(4, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 5)))
+    check(Prop.forAll(genSeries) { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("k", new java.sql.Timestamp(i.toLong * 86400L * 1000L), v)
+      }
+      val r = TimeSeries.seasonalMannKendall(
+        rows.toDF("k", "ts", "v"), $"k", $"ts", $"v",
+        periodSeconds = 86400L, seasonPeriods = 7).collect()(0)
+      val bySea = vals.zipWithIndex.groupBy(_._2 % 7)
+      var sStat = 0L; var vnum = 0L
+      for ((_, xs) <- bySea) {
+        val vs = xs.map(_._1)
+        for (i <- vs.indices; j <- i + 1 until vs.size)
+          sStat += java.lang.Long.signum(vs(j).toLong - vs(i).toLong)
+        val n = vs.size.toLong
+        val ties = vs.groupBy(identity).values
+          .map { g => val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }.sum
+        vnum += n * (n - 1) * (2 * n + 5) - ties
+      }
+      val varS = vnum.toDouble / 18.0
+      val ez =
+        if (varS <= 0) None
+        else if (sStat > 0) Some((sStat - 1.0) / math.sqrt(varS))
+        else if (sStat < 0) Some((sStat + 1.0) / math.sqrt(varS))
+        else Some(0.0)
+      r.getLong(1) == vals.size && r.getLong(2) == sStat &&
+        ((ez, if (r.isNullAt(3)) None else Some(r.getDouble(3))) match {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-12
+          case (None, None)       => true
+          case _                  => false
+        })
+    })
+  }
+
   // --- plan shapes of the new scale-sensitive operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

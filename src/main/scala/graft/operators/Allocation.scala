@@ -113,8 +113,12 @@ object Allocation {
             lit("largestRemainderBy: total * weight overflows int64 for item "),
             col("i").cast("string")))).otherwise(col("w")).as("w"))
       .select(col("g"), col("i"), col("t"),
-        expr("(t * w) div gw").as("base"),
-        ((col("t") * col("w")) % col("gw")).as("rem"))
+        // gw = 0 survives the totals guard only when t = 0 (nothing to
+        // allocate): emit 0 explicitly rather than the NULL of 0 div 0.
+        when(col("gw") === 0L, lit(0L))
+          .otherwise(expr("(t * w) div gw")).as("base"),
+        when(col("gw") === 0L, lit(0L))
+          .otherwise((col("t") * col("w")) % col("gw")).as("rem"))
     val leftovers = based.groupBy(col("g"))
       .agg((min(col("t")) - sum(col("base"))).as("r"))
       .select(col("g").as("lg"), col("r"))

@@ -638,7 +638,17 @@ object Profiling {
     // 38-digit cross-engine ceiling (DuckDB errors past it), so the
     // item sums are bounded at |Σx| < 10¹⁹ by contract
     val d19s = "decimal(19,0)"
-    def s28(c: Column) = sum(c.cast(d19s)).cast(d19s)
+    // the aggregated sum is decimal(29,0); guard loudly before the
+    // narrowing cast — a silent NULL here would yield a silent null
+    // alpha instead of the raise used by every other width guard
+    val tenP19 = lit(BigDecimal("1" + "0" * 19)).cast("decimal(29,0)")
+    def s28(c: Column) = {
+      val wide = sum(c.cast(d19s))
+      when(abs(wide) >= tenP19, raise_error(lit(
+        "cronbachAlpha: |sum| >= 10^19 — the squared-sum product would " +
+          "exceed the 38-digit cross-engine ceiling; rescale the items")))
+        .otherwise(wide).cast(d19s)
+    }
     val aggs: Seq[Column] = count(lit(1)).as("n") +:
       (items.flatMap { case (nm, _) =>
         Seq(s28(col(s"__it_$nm")).as(s"sx_$nm"),
@@ -930,6 +940,10 @@ object Profiling {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m").cast("decimal(19,0)")).cast("decimal(38,0)")
           .cast("string").as("sum_monetary"))
+      // eager: materialize the ≤5³-cell result before releasing base
+      // (the maseBacktest discipline — unpersist before the caller's
+      // first action would otherwise recompute or leak the blocks)
+      .localCheckpoint(true)
     base.unpersist()
     out
   }

@@ -807,6 +807,10 @@ object RankStats {
       .select(explode(array(points: _*)).as("p"))
       .select(col("p.bucket"), col("p.rank"), col("p.cut_cents"),
         col("p.cum_cents"), col("p.cum_share"), col("p.pop_share"))
+      // eager: materialize the tiny result before releasing base, so
+      // the unpersist actually frees blocks instead of being deferred
+      // past the caller's first action (the maseBacktest discipline)
+      .localCheckpoint(true)
     base.unpersist()
     out
   }

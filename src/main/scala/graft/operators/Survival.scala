@@ -52,15 +52,45 @@ object Survival {
     val byT = base.groupBy(col("t")).agg(
       sum(when(col("ev"), 1L).otherwise(0L)).as("n_death"),
       sum(when(col("ev"), 0L).otherwise(1L)).as("n_censored"))
-    val total = byT.agg(sum(col("n_death") + col("n_censored")).as("__n"))
+    val total = byT.agg(
+      sum(col("n_death") + col("n_censored")).as("__n"),
+      count(lit(1)).as("__k"))
     // time axis only: the window frame is bounded by distinct
-    // durations (the observation window), never by subject count
+    // durations (the observation window), never by subject count.
+    // ENFORCED, not assumed: a continuous-grain duration column
+    // (microseconds instead of days) would silently single-reducer
+    // the corpus — raise loudly instead (the maxCells discipline).
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byT.crossJoin(broadcast(total))
+      // the guard rides n_death (consumed by the window sum) so it
+      // fires before the unpartitioned frame does any real work
+      .select(col("t"),
+        durationAxisGuard(op, col("__k"), col("n_death")).as("n_death"),
+        col("n_censored"), col("__n"))
       .withColumn("n_risk",
         col("__n") - coalesce(sum(col("n_death") + col("n_censored")).over(wPrev), lit(0L)))
   }
+
+  /** Distinct-duration ceiling for the unpartitioned time-axis
+    * windows: 1M rows is a trivially small window frame, and any real
+    * observation window (days/weeks over years) sits orders of
+    * magnitude below it. Above it the duration column is almost
+    * certainly continuous-grain — a modeling error, not a scale need.
+    */
+  private val maxDistinctDurations = 1000000L
+
+  /** Guard expression riding a payload column consumed by the first
+    * window over the time axis: raises when the axis has more than
+    * [[maxDistinctDurations]] rows, passes the payload through
+    * otherwise (the categoricalAssociation maxCells discipline).
+    */
+  private def durationAxisGuard(op: String, k: Column, payload: Column): Column =
+    when(k > maxDistinctDurations, raise_error(lit(
+      s"$op: more than $maxDistinctDurations distinct durations — " +
+        "the time axis must be observation-window-bounded; " +
+        "coarsen the duration grain (e.g. days, not microseconds)")))
+      .otherwise(payload)
 
   def kaplanMeier(
       df: DataFrame,
@@ -159,14 +189,17 @@ object Survival {
       sum(when(!col("ev") && col("g") === 0L, 1L).otherwise(0L)).as("c0"))
     val totals = byT.agg(
       sum(col("d1") + col("c1")).as("tot1"),
-      sum(col("d0") + col("c0")).as("tot0"))
+      sum(col("d0") + col("c0")).as("tot0"),
+      count(lit(1)).as("__k"))
     // time axis only: every window below is bounded by distinct
-    // durations (the observation window), never by subject count
+    // durations (the observation window), never by subject count —
+    // enforced by the guard below, not assumed
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val risk = byT.crossJoin(broadcast(totals))
+      .withColumn("d1", durationAxisGuard("logRank", col("__k"), col("d1")))
       .withColumn("n1", col("tot1")
         - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
       .withColumn("n0", col("tot0")
@@ -241,9 +274,14 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_total = Σ leave (every subject leaves at exactly one t), so
+    // one aggregate over the small cells table yields both the total
+    // and the axis-cardinality guard input — no second base scan
     val withTotal = cells.crossJoin(broadcast(
-      base.agg(count(lit(1)).as("n_total"))))
+      cells.agg(sum(col("leave")).as("n_total"), count(lit(1)).as("__k"))))
     val staged = withTotal
+      .withColumn("leave",
+        durationAxisGuard("aalenJohansen", col("__k"), col("leave")))
       .withColumn("n_risk",
         col("n_total") - coalesce(sum(col("leave")).over(wPrefixExcl), lit(0L)))
       .withColumn("d", col("d1") + col("d2"))
@@ -320,7 +358,10 @@ object Survival {
       .join(entryCells, col("day") === col("eday"), "left")
       .join(counted.select(col("day").as("dd"), col("d")),
         col("day") === col("dd"), "left")
-      .select(col("day"), coalesce(col("e"), lit(0L)).as("e"),
+      .crossJoin(broadcast(axis.agg(count(lit(1)).as("__k"))))
+      .select(col("day"),
+        durationAxisGuard("meanCumulativeFunction", col("__k"),
+          coalesce(col("e"), lit(0L))).as("e"),
         coalesce(col("d"), lit(0L)).as("d"))
       .withColumn("n_at_risk", sum(col("e")).over(wCum))
       .withColumn("mcf",

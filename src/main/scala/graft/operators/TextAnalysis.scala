@@ -892,18 +892,6 @@ object TextAnalysis {
         (-col("__m.nd")).as("top_doc_id"))
   }
 
-  /** VOCABULARY GROWTH CURVE (Heaps-law view) — how many NEW distinct
-    * tokens each slab of the corpus contributes, in doc-id order: the
-    * diminishing-returns audit of corpus expansion ("does the next
-    * billion docs still buy vocabulary?"). Each token reduces to its
-    * FIRST document (one partial-aggregable min), first-docs bucket
-    * into fixed `bucketDocs`-wide id slabs, and the cumulative curve
-    * is a window over the ≤ corpus/bucketDocs bucket rows — never the
-    * tokens. All-integer output — hash-exact. Docs with null ids
-    * drop (no position on the axis); docs with no tokens still count
-    * toward `n_docs`. Output per bucket:
-    * (bucket, n_docs, new_tokens, vocab_cum).
-    */
   /** RAKE keyword scores (Rose et al. 2010) — the stopword-delimited
     * co-occurrence ranking that needs no model: tokens split into
     * PHRASES at stopword boundaries; a word's degree is the summed
@@ -941,6 +929,18 @@ object TextAnalysis {
         col("deg").cast("double") / col("freq").cast("double"))
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps-law view) — how many NEW distinct
+    * tokens each slab of the corpus contributes, in doc-id order: the
+    * diminishing-returns audit of corpus expansion ("does the next
+    * billion docs still buy vocabulary?"). Each token reduces to its
+    * FIRST document (one partial-aggregable min), first-docs bucket
+    * into fixed `bucketDocs`-wide id slabs, and the cumulative curve
+    * is a window over the ≤ corpus/bucketDocs bucket rows — never the
+    * tokens. All-integer output — hash-exact. Docs with null ids
+    * drop (no position on the axis); docs with no tokens still count
+    * toward `n_docs`. Output per bucket:
+    * (bucket, n_docs, new_tokens, vocab_cum).
+    */
   def vocabularyGrowth(
       df: DataFrame,
       id: Column,

@@ -555,6 +555,21 @@ class Round9OpsSpec extends SparkTestBase {
     assert(r.isNullAt(4))
   }
 
+  test("cronbachAlpha: out-of-contract sum magnitude raises, not null") {
+    // per-row squares stay inside int64 (3e9² = 9e18) but Σx² = 2.7e19
+    // crosses 10^19: the narrowing cast must raise loudly instead of
+    // silently producing a null alpha
+    val big = 3000000000L
+    val rows = Seq((big, 1L), (big, 2L), (big, 3L))
+    val e = intercept[Exception] {
+      Profiling.cronbachAlpha(rows.toDF("a", "b"),
+        Seq("a" -> $"a", "b" -> $"b")).collect()
+    }
+    assert(e.getMessage.contains("10^19") ||
+      Option(e.getCause).exists(_.getMessage.contains("10^19")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   // --- Herfindahl
 
   test("herfindahl: monopoly = 1, perfect balance = 1/n, entities pre-sum") {
@@ -974,6 +989,20 @@ class Round9OpsSpec extends SparkTestBase {
       rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", $"t").collect())
     assert(e.getMessage.contains("constant") ||
       Option(e.getCause).exists(_.getMessage.contains("constant")))
+  }
+
+  test("largestRemainderBy: total=0 with zero weights allocates 0, not NULL") {
+    // 0 div 0 regression: a group with total = 0 AND zero total weight
+    // must emit alloc = 0 for every item (nothing to allocate), never
+    // a silent NULL from the non-ANSI 0 div 0
+    val rows = Seq((1L, 1L, 0L, 0L), (1L, 2L, 0L, 0L), // degenerate group
+      (2L, 1L, 2L, 5L), (2L, 2L, 3L, 5L))              // normal group
+    val got = Allocation.largestRemainderBy(
+      rows.toDF("g", "i", "w", "t"), $"g", $"i", $"w", $"t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(got((1L, 1L)) == 0L && got((1L, 2L)) == 0L)
+    assert(got((2L, 1L)).asInstanceOf[Long] + got((2L, 2L)).asInstanceOf[Long] == 5L)
   }
 
   // --- containment pairs

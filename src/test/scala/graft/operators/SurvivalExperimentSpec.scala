@@ -43,6 +43,27 @@ class SurvivalExperimentSpec extends SparkTestBase {
     }
   }
 
+  test("riskTable raises loudly on a continuous-grain duration axis") {
+    // microsecond-grain durations: > 1M distinct values would
+    // single-reducer the unpartitioned time-axis window — the guard
+    // must raise instead of silently sorting the corpus
+    val micros = spark.range(1000001L)
+      .select(col("id").as("dur"), lit(true).as("ev"))
+    val e = intercept[Exception] {
+      Survival.kaplanMeier(micros, col("dur"), col("ev")).collect()
+    }
+    assert(e.getMessage.contains("distinct durations"),
+      s"wrong failure: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Survival.aalenJohansen(
+        spark.range(1000001L).select(col("id").as("dur"),
+          (col("id") % 2L + 1L).as("cause")),
+        col("dur"), col("cause")).collect()
+    }
+    assert(e2.getMessage.contains("distinct durations"),
+      s"wrong failure: ${e2.getMessage}")
+  }
+
   test("twoProportionZ: arithmetic, stability, and degenerate NULLs") {
     val subjects = (1L to 400L).map(u => (u, u % 5 == 0))
     val r = Experiment.twoProportionZ(subjects.toDF("u", "c"), col("u"), col("c"))

@@ -96,6 +96,12 @@ object Verify {
       .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v.replace("{{OUT}}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the authoritative catalog count — COVERAGE.md and round-closing
+    // commit messages quote this line instead of hand-counting
+    // (round-9 shipped a "332 queries" miscount; q181 is a historical
+    // numbering skip, so max(qNNN) ≠ |catalog|)
+    println(s"catalog=${SparkEntry.queries.size} " +
+      s"oracles=${SparkEntry.oracleSql.size} dumped=${pending.size}")
     spark.stop()
     if (gateCompromised.get()) sys.exit(1)
   }

@@ -798,19 +798,27 @@ object Graph {
         s"katzBounded: $what exceeds 2^53 — shrink hops for this " +
           "graph density"))).otherwise(c).cast("long")
     val w1 = sym.groupBy(col("src")).agg(
-      count(lit(1)).cast("decimal(38,0)").as("w"))
-      .select(col("src").as("node"), col("w"))
-    val walks = (2 to hops).scanLeft(w1) { (prev, _) =>
-      val p = prev.select(col("node").as("pn"), col("w").as("pw"))
+      count(lit(1)).cast("decimal(38,0)").as("w1"))
+      .select(col("src").as("node"), col("w1"))
+    // ONE accumulating frame: round i recomputes the whole w-prefix
+    // from the neighbor join (w1 = deg, w_j = Σ_neighbors w_{j−1}) —
+    // the same recurrence for every column, so carrying w1..w_{i−1}
+    // costs nothing beyond aggregate width and the old hops−1 final
+    // joins on node (hops extra shuffles lining the columns up)
+    // disappear entirely. Node sets agree across rounds: the graph is
+    // symmetrized, so every node with an edge has walks of all lengths.
+    val joined = (2 to hops).foldLeft(w1) { (prev, i) =>
+      val p = prev.select(
+        col("node").as("pn") +:
+          (1 until i).map(j => col(s"w$j").as(s"pw$j")): _*)
+      val aggs = count(lit(1)).cast("decimal(38,0)").as("w1") +:
+        (2 to i).map(j =>
+          sum(col(s"pw${j - 1}")).cast("decimal(38,0)").as(s"w$j"))
       sym.join(p, col("dst") === col("pn"))
         .groupBy(col("src"))
-        .agg(sum(col("pw")).cast("decimal(38,0)").as("w"))
-        .select(col("src").as("node"), col("w"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("src").as("node") +: (1 to i).map(j => col(s"w$j")): _*)
     }
-    val named = walks.zipWithIndex.map { case (d, i) =>
-      d.select(col("node"), col("w").as(s"w${i + 1}"))
-    }
-    val joined = named.reduce((a, b) => a.join(b, Seq("node")))
     val scaled = (1 to hops).map { i =>
       col(s"w$i") * lit(BigDecimal(alphaDen).pow(hops - i)).cast("decimal(38,0)")
     }.reduce(_ + _).cast("decimal(38,0)")

@@ -28,6 +28,20 @@ import graft.SparkEntry
   */
 object Stress {
 
+  /** PINNED comparison set: the 13 bench queries plus the 10 heaviest
+    * non-bench queries by STRESS_r09 time. Every round runs this set
+    * identically and prints per-query deltas vs the prior committed
+    * STRESS artifact, so heavy-tail regressions are mechanically
+    * visible round-over-round (r08/r09 overlapped on only ~13 queries
+    * and a regression could hide in the churn). Grow `extraQueries`
+    * freely; NEVER remove or reorder entries here.
+    */
+  val pinnedExtras: Seq[String] = Seq(
+    "q266_containment_pairs", "q91_semantic_prune", "q304_link_prediction",
+    "q300_katz_centrality", "q265_revenue_recognition",
+    "q115_fuzzy_entity_resolution", "q227_sssp_bounded",
+    "q259_landmark_closeness", "q309_source_overlap", "q310_croston")
+
   /** The heavy tail beyond the bench list — the queries whose cost is
     * most shaped by data volume (near-dup verify, semantic dedup's
     * ~N^1.5 cell scan, blocked similarity self-join).
@@ -81,7 +95,10 @@ object Stress {
       println(f"replicated $src ×$k → $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else println(s"reusing existing replica at $dst")
 
-    val names = SparkEntry.benchQueries ++ extraQueries
+    // pinned set first (comparable round-over-round), then any extras
+    // not already in it
+    val pinned = SparkEntry.benchQueries ++ pinnedExtras
+    val names = pinned ++ extraQueries.filterNot(pinned.contains)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -99,9 +116,44 @@ object Stress {
       .mkString("{", ",", "}")
     val errs = errors.distinct.map(graft.JsonText.quote(_)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
+
+    // per-query delta vs the prior committed STRESS artifact (latest
+    // STRESS_r*.json in cwd, or SPARK_GRAFT_STRESS_PREV) — printed for
+    // the pinned set so heavy-tail regressions surface mechanically
+    val prevFile = sys.env.get("SPARK_GRAFT_STRESS_PREV").map(new java.io.File(_))
+      .orElse(Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("STRESS_r\\d+\\.json")).sortBy(_.getName).lastOption))
+    val prevTimes: Map[String, Double] = prevFile.filter(_.exists).map { f =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val q = root.path("queries")
+        import scala.jdk.CollectionConverters._
+        q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val resultMap = results.toMap
+    if (prevTimes.nonEmpty) {
+      println(s"== pinned-set delta vs ${prevFile.get.getName} ==")
+      pinned.foreach { n =>
+        (resultMap.get(n), prevTimes.get(n)) match {
+          case (Some(now), Some(was)) =>
+            val pct = if (was > 0) (now - was) / was * 100 else 0.0
+            println(f"  $n%-34s ${was}%7.2f -> ${now}%7.2f s  (${pct}%+6.1f%%)")
+          case (Some(now), None) => println(f"  $n%-34s     new -> ${now}%7.2f s")
+          case _ => ()
+        }
+      }
+    }
+    val deltas = pinned.flatMap { n =>
+      for (now <- resultMap.get(n); was <- prevTimes.get(n))
+        yield graft.JsonText.quote(n) + ":" + (now - was)
+    }.mkString("{", ",", "}")
+    val pinnedJson = pinned.map(graft.JsonText.quote(_)).mkString("[", ",", "]")
     val json =
       s"""{"metric":"stress_total","value":$total,"unit":"sec","k":$k,""" +
-        s""""src":${graft.JsonText.quote(src)},"queries":$qs,"errors":$errs}"""
+        s""""src":${graft.JsonText.quote(src)},"queries":$qs,"errors":$errs,""" +
+        s""""pinned":$pinnedJson,"delta_vs_prev":$deltas,""" +
+        s""""prev":${graft.JsonText.quote(prevFile.map(_.getName).getOrElse(""))}}"""
 
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json"))

@@ -673,4 +673,65 @@ object Experiment {
         abs(lit(2L) * col("v") - col("med2")).as("z2"))
     anovaF(dev, col("k"), col("g"), col("z2"))
   }
+
+  /** BENJAMINI–HOCHBERG step-up FDR control (Benjamini & Hochberg
+    * 1995) over a p-value table — the multiple-testing correction a
+    * thousand-metric experimentation platform runs after every batch
+    * of tests: with m hypotheses sorted by p ascending, reject
+    * exactly ranks 1..k* where k* = max{k : p_(k) ≤ k·α/m}.
+    *
+    * α = alphaNum/alphaDen is an exact rational; the step-up compare
+    * is `p·m·alphaDen ≤ rank·alphaNum` — the p column is the only
+    * float and arrives identical in any engine, so the decision (and
+    * the whole output) is hash-exact. Ties in p break by test id
+    * (ids must be unique — BH is rank-based, so determinism requires
+    * a total order). The rank window is unpartitioned BY DESIGN —
+    * hypothesis tables are experiment-scale, enforced by the loud
+    * `maxTests` guard (the [[Survival]] duration-axis discipline),
+    * never corpus-scale.
+    *
+    * Output per test: (test_id, p, rank, rejected) — the step-up
+    * shape means rejected rows are exactly ranks ≤ k*, including any
+    * whose own compare failed.
+    */
+  def benjaminiHochberg(
+      df: DataFrame,
+      testId: Column,
+      p: Column,
+      alphaNum: Long,
+      alphaDen: Long,
+      maxTests: Long = 10000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha must satisfy 0 < alphaNum/alphaDen <= 1, got $alphaNum/$alphaDen")
+    val pD = p.cast("double")
+    val pG = when(pD.isNull || pD < 0.0 || pD > 1.0, raise_error(lit(
+      "benjaminiHochberg: p must be a non-null double in [0, 1]")))
+      .otherwise(pD)
+    val idG = when(testId.isNull, raise_error(lit(
+      "benjaminiHochberg: test id must be non-null"))).otherwise(testId)
+    val base = df.select(idG.as("test_id"), pG.as("p"))
+    val total = base.agg(count(lit(1)).as("m"))
+    val ranked = base.crossJoin(broadcast(total))
+      // the guard rides p (consumed by the rank window's sort input)
+      .select(col("test_id"),
+        when(col("m") > maxTests, raise_error(lit(
+          s"benjaminiHochberg: more than $maxTests hypotheses — this is " +
+            "a per-experiment correction, not a corpus scan")))
+          .otherwise(col("p")).as("p"),
+        col("m"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p").asc, col("test_id").asc))
+          .cast("long"))
+      .withColumn("flag",
+        col("p") * col("m").cast("double") * lit(alphaDen.toDouble)
+          <= col("rank").cast("double") * lit(alphaNum.toDouble))
+      .localCheckpoint(true) // k* + the output both read this
+    val kmax = ranked.agg(max(when(col("flag"), col("rank"))).as("kmax"))
+    val out = ranked.crossJoin(broadcast(kmax))
+      .select(col("test_id"), col("p"), col("rank"),
+        (col("kmax").isNotNull && col("rank") <= col("kmax")).as("rejected"))
+      .localCheckpoint(true) // eager before releasing the rank frame
+    ranked.unpersist()
+    out
+  }
 }

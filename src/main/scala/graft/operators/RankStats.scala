@@ -814,4 +814,65 @@ object RankStats {
     base.unpersist()
     out
   }
+
+  /** TRIMMED + WINSORIZED MEAN per group — the robust location pair
+    * (Tukey): drop (trimmed) or clamp (winsorized) the lowest and
+    * highest ⌊n·trim⌋ values before averaging, with trim =
+    * trimNum/trimDen an exact rational. The outlier-hardened mean a
+    * metrics platform reports next to the raw one.
+    *
+    * One rank window PARTITIONED by group (in-group sort, bounded by
+    * the group, never a global frame), then pure aggregation: the
+    * winsorized sum needs no clamped re-scan — it is the closed form
+    * trimmed_sum + cut·v_(cut+1) + cut·v_(n−cut), with the boundary
+    * order statistics read off the same ranked pass via conditional
+    * min/max. Exact decimal sums, one pinned division each —
+    * hash-exact. Values must be exact integers (cents/counts).
+    *
+    * Output per group: (group, n, cut, trimmed_mean, winsorized_mean)
+    * — both null when the trim empties the group (n ≤ 2·cut... which
+    * cannot happen for trim < 1/2; enforced).
+    */
+  def trimmedMean(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      trimNum: Long,
+      trimDen: Long): DataFrame = {
+    require(trimNum >= 0 && 2 * trimNum < trimDen,
+      s"trim must satisfy 0 <= trimNum/trimDen < 1/2, got $trimNum/$trimDen")
+    val vL = value.cast("long")
+    val vG = when(vL.isNull, raise_error(lit(
+      "trimmedMean: value must be a non-null integer"))).otherwise(vL)
+    val wRank = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val ranked = df.select(group.as("g"), vG.as("v"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val d19 = "decimal(19,0)"
+    val st = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .select(col("g").as("cg"), col("n"),
+        expr(s"(n * $trimNum) div $trimDen").as("cut"))
+    val agg = ranked.join(st, col("g") === col("cg"))
+      .groupBy(col("g")).agg(
+        first(col("n")).as("n"),
+        first(col("cut")).as("cut"),
+        sum(when(col("rank") > col("cut") && col("rank") <= col("n") - col("cut"),
+          col("v").cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as("tsum"),
+        // boundary order statistics off the same ranked pass: v is
+        // rank-monotone, so min over ranks ≥ cut+1 IS v_(cut+1)
+        min(when(col("rank") >= col("cut") + 1L, col("v"))).as("vlo"),
+        max(when(col("rank") <= col("n") - col("cut"), col("v"))).as("vhi"))
+    val kept = (col("n") - col("cut") * 2L).cast("double")
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"trimmedMean: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val wsum = e(col("tsum"), "the trimmed sum") +
+      col("cut").cast("double") *
+        (col("vlo").cast("double") + col("vhi").cast("double"))
+    agg.select(col("g").as("group"), col("n"), col("cut"),
+      (e(col("tsum"), "the trimmed sum") / kept).as("trimmed_mean"),
+      (wsum / col("n").cast("double")).as("winsorized_mean"))
+  }
 }

@@ -570,6 +570,71 @@ object Sampling {
     df.join(winners, guardedId === col("__winner_id"), "left_semi")
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training — per
+    * anchor (user), k items the user did NOT interact with, drawn
+    * from a BOUNDED candidate pool (top-P popular items, a curated
+    * hard-negative set — the caller's choice): the
+    * positives:negatives example builder behind every two-tower /
+    * matrix-factorization pipeline.
+    *
+    * Selection is content-addressed, no RNG: each (user, candidate)
+    * ranks by the portable md5 bucket of "user:itemKey" (the
+    * [[stratifiedKeep]] idiom — any engine reproduces it), ties by
+    * item id, so re-runs, re-ingestion, and other engines emit the
+    * identical negatives, and a user's draws are independent of
+    * every other user's.
+    *
+    * Scale shape: the candidate pool is broadcast (bounded by a LOUD
+    * `maxPool` guard — the U×P expansion is the deliberate cost, the
+    * q29 bounded-side discipline), positives leave via an anti-join
+    * on (user, item) BEFORE ranking, and the rank window is
+    * partitioned per user over ≤ P rows — never a global frame.
+    *
+    * Output: (user, item, neg_rank) with neg_rank in 1..k.
+    */
+  def negativeSample(
+      interactions: org.apache.spark.sql.DataFrame,
+      user: Column,
+      item: Column,
+      pool: org.apache.spark.sql.DataFrame,
+      poolItem: Column,
+      poolKey: Column,
+      k: Int,
+      maxPool: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"negativeSample needs k >= 1, got $k")
+    val uG = when(user.cast("long").isNull, raise_error(lit(
+      "negativeSample: user must be a non-null integral id")))
+      .otherwise(user.cast("long"))
+    val poolG = pool.select(
+      when(poolItem.cast("long").isNull, raise_error(lit(
+        "negativeSample: pool item must be a non-null integral id")))
+        .otherwise(poolItem.cast("long")).as("pi"),
+      when(poolKey.cast("string").isNull, raise_error(lit(
+        "negativeSample: pool key must be a non-null string")))
+        .otherwise(poolKey.cast("string")).as("pk"))
+    val guarded = poolG
+      .crossJoin(broadcast(poolG.agg(count(lit(1)).as("__pc"))))
+      .select(col("pi"),
+        when(col("__pc") > maxPool, raise_error(lit(
+          s"negativeSample: candidate pool exceeds $maxPool items — " +
+            "the U×P expansion needs a bounded pool (top-P popular, " +
+            "a curated set), never the full catalog")))
+          .otherwise(col("pk")).as("pk"))
+    val positives = interactions
+      .select(uG.as("au"), item.cast("long").as("ai")).distinct()
+    val cand = interactions.select(uG.as("u")).distinct()
+      .crossJoin(broadcast(guarded))
+      .join(positives,
+        col("u") === col("au") && col("pi") === col("ai"), "left_anti")
+      .withColumn("score", md5Bucket32(
+        md5(concat(col("u").cast("string"), lit(":"), col("pk")).cast("binary"))))
+    val wRank = Window.partitionBy(col("u"))
+      .orderBy(col("score").asc, col("pi").asc)
+    cand.withColumn("neg_rank", row_number().over(wRank).cast("long"))
+      .filter(col("neg_rank") <= k.toLong)
+      .select(col("u").as("user"), col("pi").as("item"), col("neg_rank"))
+  }
+
   /** EXACT-COUNT stratified sample: exactly `total` rows, split across
     * strata PROPORTIONALLY to their sizes with
     * [[Allocation.largestRemainder]] seat arithmetic (Σ taken =

@@ -44,4 +44,52 @@ object Sequences {
         count(lit(1)).as("occurrences"),
         countDistinct(col("__ent")).as("n_entities"))
   }
+
+  /** GAP-CONSTRAINED SEQUENTIAL PAIRS — the PrefixSpan-style "a then
+    * b within the next `maxGap` events" support counter (skip-grams
+    * over behavior, where [[eventBigrams]] counts only ADJACENT
+    * pairs): for every entity and every event, each of the ≤ maxGap
+    * FOLLOWING events forms an ordered (first_event, later_event,
+    * gap) occurrence; support aggregates occurrences and distinct
+    * entities per (pair, gap) — the input to "users who view X
+    * purchase Y within 3 actions" mining.
+    *
+    * Scale: ONE window partitioned by entity (in-entity sort only)
+    * feeding a fixed maxGap-wide `lead` fan-out — per-row expansion
+    * is the CONSTANT maxGap, never the entity's history length — then
+    * one map-side-combined aggregation. Exact integers — hash-exact.
+    * Null events/entities fail loudly (the [[eventBigrams]]
+    * contract).
+    */
+  def gapPairs(
+      df: DataFrame,
+      entity: Column,
+      orderBy: Seq[Column],
+      event: Column,
+      maxGap: Int): DataFrame = {
+    require(orderBy.nonEmpty, "gapPairs: empty order — pass (ts, tiebreak)")
+    require(maxGap >= 1 && maxGap <= 100,
+      s"maxGap must be in [1, 100] — it multiplies every row, got $maxGap")
+    def guarded(c: Column, what: String) =
+      when(c.isNull, raise_error(lit(s"gapPairs: null $what"))).otherwise(c)
+    val w = Window.partitionBy(col("__ent")).orderBy(orderBy: _*)
+    // leads materialize as plain columns FIRST — Spark rejects window
+    // functions inside a generator, so the explode consumes them
+    df.select(Seq(
+        guarded(entity, "entity").as("__ent"),
+        guarded(event, "event").as("first_event")) ++ orderBy: _*)
+      .select(col("__ent") +: col("first_event") +:
+        (1 to maxGap).map(g =>
+          lead(col("first_event"), g).over(w).as(s"__l$g")): _*)
+      .select(col("__ent"), col("first_event"),
+        explode(array((1 to maxGap).map(g =>
+          struct(lit(g.toLong).as("gap"),
+            col(s"__l$g").as("later_event"))): _*)).as("l"))
+      .filter(col("l.later_event").isNotNull)
+      .groupBy(col("first_event"), col("l.later_event").as("later_event"),
+        col("l.gap").as("gap"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("__ent")).as("n_entities"))
+  }
 }

@@ -1221,4 +1221,50 @@ object Similarity {
       if (excludeSelf) scored0.filter(col("query_id") =!= col("corpus_id")) else scored0
     topKPerQuery(scored, k).withColumnRenamed("cosine", "score")
   }
+
+  /** EMBEDDING-TRUNCATION RECALL@k — the Matryoshka audit: how much of
+    * the full-dimension exact top-k survives when vectors are cut to
+    * their first `dims` coordinates? The decision metric behind
+    * "can we ship the 256-dim prefix instead of the 1024-dim vector"
+    * (MRL, Kusupati et al. 2022): both sides run the same exact
+    * [[bruteForceTopK]] (one corpus scan each, broadcast query set,
+    * bounded top-k aggregators — no shuffle of the corpus), and
+    * recall is the per-query overlap of the two id sets.
+    *
+    * Exact integers + one pinned division — hash-exact (the cosine
+    * SCORES stay internal; only memberships compare, so float
+    * tolerance never enters). n_full < k for tiny corpora is handled:
+    * recall divides by the attained set size, not k.
+    *
+    * Output per query: (query_id, n_full, n_common, recall).
+    */
+  def truncationRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      queryVec: Column,
+      queryId: Column,
+      k: Int,
+      dims: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val full = bruteForceTopK(
+      corpus, queries, corpusVec, corpusId, queryVec, queryId, k, excludeSelf)
+    val trunc = bruteForceTopK(
+      corpus, queries,
+      slice(corpusVec.cast("array<double>"), 1, dims), corpusId,
+      slice(queryVec.cast("array<double>"), 1, dims), queryId, k, excludeSelf)
+    val f = full.select(col("query_id"), col("corpus_id"))
+    val t = trunc.select(col("query_id").as("tq"), col("corpus_id").as("tc"))
+    f.join(t, col("query_id") === col("tq") && col("corpus_id") === col("tc"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(col("tq").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select(col("query_id"), col("n_full"), col("n_common"),
+        (col("n_common").cast("double") / col("n_full").cast("double"))
+          .as("recall"))
+  }
 }

@@ -113,6 +113,135 @@ object Survival {
       .select("t", "n_risk", "n_death", "n_censored", "survival")
   }
 
+  /** KAPLAN–MEIER WITH GREENWOOD CONFIDENCE BANDS — [[kaplanMeier]]
+    * plus the classic variance estimate (Greenwood 1926)
+    *
+    *   Var[S(t)] = S(t)² · Σ_{u ≤ t, d_u > 0} d_u / (n_u·(n_u − d_u))
+    *
+    * and the linear z-interval [S ∓ z·se] clipped to [0, 1] (the
+    * plain Wald band; at extinction S = 0 forces se = 0, so the band
+    * collapses to [0, 0] with no division hazard — the d = n term is
+    * excluded from the running sum exactly there). Same bounded
+    * time-axis geometry as [[kaplanMeier]]: every cumulation is a
+    * window running sum over distinct durations in pinned t-order;
+    * survival and the bands route through exp∘Σ∘ln once (oracles
+    * gate the float columns at 1e-9, counts hash exactly).
+    *
+    * Output per distinct duration: (t, n_risk, n_death, n_censored,
+    * survival, greenwood_var, ci_lo, ci_hi).
+    */
+  def kaplanMeierGreenwood(
+      df: DataFrame,
+      duration: Column,
+      eventOccurred: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be positive, got $z")
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = kaplanMeier(df, duration, eventOccurred)
+    curve
+      .withColumn("greenwood_var",
+        (col("survival") * col("survival")) *
+          sum(when(col("n_death") > 0 && col("n_death") < col("n_risk"),
+            col("n_death").cast("double") /
+              (col("n_risk").cast("double") *
+                (col("n_risk") - col("n_death")).cast("double")))
+            .otherwise(lit(0.0))).over(wCum))
+      .withColumn("__se", sqrt(col("greenwood_var")))
+      .withColumn("ci_lo", greatest(lit(0.0), col("survival") - lit(z) * col("__se")))
+      .withColumn("ci_hi", least(lit(1.0), col("survival") + lit(z) * col("__se")))
+      .select("t", "n_risk", "n_death", "n_censored", "survival",
+        "greenwood_var", "ci_lo", "ci_hi")
+  }
+
+  /** COX SCORE TEST at β = 0 for a SINGLE numeric covariate (the
+    * partial-likelihood score test, Cox 1972, Breslow ties): does the
+    * covariate shift the hazard? With x̄_t the at-risk covariate mean
+    * at event time t,
+    *
+    *   U = Σ_t (Sx_deaths(t) − d_t·x̄_t),
+    *   I = Σ_t d_t·(Sxx_t/n_t − x̄_t²),      z = U/√I,
+    *
+    * the K-group-free generalization of the two-group log-rank (a
+    * binary x reproduces it up to the hypergeometric tie
+    * correction). Same geometry as [[logRank]]: per-duration integer
+    * moment cells (d, Sx of deaths, and suffix sums n, Sx, Sxx of
+    * the risk set via the prefix-window complement), each term one
+    * correctly-rounded double chain, both cumulations window sums in
+    * pinned t-order — hash-exact, no libm. Covariates must be exact
+    * integers; 2^53 moment guards raise loudly.
+    *
+    * Output: one row (n, n_events, u_score, information, z) — z null
+    * when the information is 0 (constant covariate).
+    */
+  def coxScoreTest(
+      df: DataFrame,
+      duration: Column,
+      eventOccurred: Column,
+      covariate: Column): DataFrame = {
+    val xL = covariate.cast("long")
+    val xG = when(xL.isNull, raise_error(lit(
+      "coxScoreTest: covariate must be a non-null integer"))).otherwise(xL)
+    val base = df.select(
+      when(duration.cast("long").isNull || duration.cast("long") < 0,
+        raise_error(lit("coxScoreTest: duration must be a non-negative integer")))
+        .otherwise(duration.cast("long")).as("t"),
+      when(eventOccurred.cast("boolean").isNull,
+        raise_error(lit("coxScoreTest: event flag must be non-null")))
+        .otherwise(eventOccurred.cast("boolean")).as("ev"),
+      xG.as("x"))
+    val byT = base.groupBy(col("t")).agg(
+      count(lit(1)).as("leave"),
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("ev"), col("x")).otherwise(0L)).as("sxd"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val totals = byT.agg(
+      sum(col("leave")).as("n_total"),
+      sum(col("d")).as("ev_total"),
+      sum(col("sx")).as("sx_total"),
+      sum(col("sxx")).as("sxx_total"),
+      count(lit(1)).as("__k"))
+    val twoP53 = 9007199254740992L
+    def eD(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"coxScoreTest: |$what| exceeds 2^53 — rescale the covariate")))
+        .otherwise(c).cast("double")
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // risk-set moments at t = totals minus everything that left before t
+    val risk = byT.crossJoin(broadcast(totals))
+      .withColumn("d",
+        durationAxisGuard("coxScoreTest", col("__k"), col("d")))
+      .withColumn("n_t", col("n_total")
+        - coalesce(sum(col("leave")).over(wPrev), lit(0L)))
+      .withColumn("sx_t", col("sx_total")
+        - coalesce(sum(col("sx")).over(wPrev), lit(0L)))
+      .withColumn("sxx_t", col("sxx_total")
+        - coalesce(sum(col("sxx")).over(wPrev), lit(0L)))
+    val xbar = eD(col("sx_t"), "the at-risk x sum") / col("n_t").cast("double")
+    val scored = risk
+      .withColumn("u_cum", sum(when(col("d") > 0L,
+        eD(col("sxd"), "the deaths' x sum") - col("d").cast("double") * xbar)
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("i_cum", sum(when(col("d") > 0L,
+        col("d").cast("double") *
+          (eD(col("sxx_t"), "the at-risk x² sum") / col("n_t").cast("double")
+            - xbar * xbar))
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t").desc)))
+      .filter(col("rn") === 1)
+    scored.select(
+      col("n_total").as("n"),
+      col("ev_total").as("n_events"),
+      col("u_cum").as("u_score"),
+      col("i_cum").as("information"),
+      when(col("i_cum") > 0.0, col("u_cum") / sqrt(col("i_cum")))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** NELSON-AALEN cumulative hazard — [[kaplanMeier]]'s additive
     * sibling (Nelson 1972, Aalen 1978): H(t) = Σ_{u≤t} d_u/n_u, with
     * the standard variance estimate Σ d_u/n_u². Unlike KM's

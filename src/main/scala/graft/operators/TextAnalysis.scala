@@ -999,4 +999,57 @@ object TextAnalysis {
         lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (yD / wD))
         .otherwise(lit(null).cast("double")).as("flesch"))
   }
+
+  /** UNIGRAM KL DIVERGENCE between two corpus slices — the
+    * distribution-shift audit of a data mix ("how far is the new
+    * source's token distribution from the base corpus?"): with add-1
+    * smoothing over the JOINT vocabulary (deterministic, no zero
+    * terms),
+    *
+    *   p(w) = (c_A(w)+1)/(N_A+V),  q(w) = (c_B(w)+1)/(N_B+V),
+    *   KL(A‖B) = Σ_w p·ln(p/q)   (and the B‖A mirror).
+    *
+    * Scale shape: ONE token-explode pass reduces to per-token counts
+    * for both slices simultaneously (partial-aggregable), totals ride
+    * a broadcast, and the term sum folds over the VOCABULARY — never
+    * the corpus — in pinned token order through a window, with a loud
+    * `maxVocab` guard on the unpartitioned frame. Counts are exact
+    * integers; each term is one ln (libm — oracles gate the KL
+    * columns at 1e-9, counts hash exactly).
+    *
+    * Output: one row (n_a, n_b, vocab, kl_ab, kl_ba).
+    */
+  def unigramKlDivergence(
+      df: DataFrame,
+      text: Column,
+      inSliceA: Column,
+      maxVocab: Long = 5000000L): DataFrame = {
+    val aG = when(inSliceA.cast("boolean").isNull, raise_error(lit(
+      "unigramKlDivergence: the slice flag must be a non-null boolean")))
+      .otherwise(inSliceA.cast("boolean"))
+    val counts = df.select(aG.as("ina"), explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(
+        sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ina"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val wCum = Window.orderBy(col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = (col("ca") + 1L).cast("double") / (col("na") + col("v")).cast("double")
+    val q = (col("cb") + 1L).cast("double") / (col("nb") + col("v")).cast("double")
+    val folded = counts.crossJoin(broadcast(totals))
+      // the guard rides ca (consumed by both window sums) — the
+      // vocabulary axis must stay bounded, never corpus-sized
+      .withColumn("ca", when(col("v") > maxVocab, raise_error(lit(
+        s"unigramKlDivergence: vocabulary exceeds $maxVocab tokens — " +
+          "filter or hash-bucket the vocabulary first")))
+        .otherwise(col("ca")))
+      .withColumn("kl_ab", sum(p * log(p / q)).over(wCum))
+      .withColumn("kl_ba", sum(q * log(q / p)).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("tok").desc)))
+      .filter(col("rn") === 1)
+    folded.select(col("na").as("n_a"), col("nb").as("n_b"),
+      col("v").as("vocab"), col("kl_ab"), col("kl_ba"))
+  }
 }

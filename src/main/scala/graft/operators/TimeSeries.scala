@@ -1156,6 +1156,89 @@ object TimeSeries {
     * mean_count, var_count, fano) — fano null for a single period or
     * an all-constant grid with mean 0.
     */
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION — the moving-average
+    * textbook split y = trend + seasonal + residual (the
+    * decomposition every seasonal-adjustment pipeline starts from;
+    * STL's ancestor): per key, values bucket to a dense
+    * `periodSeconds` grid (zero-filled), trend is the centered
+    * moving average over one season (`seasonLen` periods, must be
+    * ODD so the window centers exactly), the seasonal index of each
+    * phase is the mean detrended value RE-CENTERED so indices sum to
+    * zero, and the residual is what remains.
+    *
+    * Exactness: the detrended value rides as the exact integer
+    * numerator m·y − S (m = seasonLen, S the window sum), so the
+    * seasonal index is ONE division of exact decimal sums; the
+    * re-centering mean folds the ≤ m phase indices through a window
+    * in pinned phase order. Every float chain is the same
+    * correctly-rounded op sequence in any engine — hash-exact.
+    *
+    * All windows are PARTITIONED by key and bounded by the calendar
+    * grid (`maxPeriodsPerKey` raises loudly — the [[gapFill]]
+    * contract). Output per (key, period) with a full trend window:
+    * (key, period, phase, y, trend, seasonal, residual).
+    */
+  def seasonalDecompose(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      seasonLen: Int,
+      periodSeconds: Long = 86400L,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(seasonLen >= 3 && seasonLen % 2 == 1,
+      s"seasonLen must be odd and >= 3, got $seasonLen")
+    val m = seasonLen
+    val h = m / 2
+    val dense = gapFill(events, key, ts, value, periodSeconds,
+      fillMode = "zero", maxPeriodsPerKey = maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period").as("p"),
+        // integer contract: the exact-numerator algebra needs integer
+        // period sums — a fractional value would truncate silently
+        when(col("value") =!= col("value").cast("long").cast("double"),
+          raise_error(lit("seasonalDecompose: value must be integer-" +
+            "valued (cents, counts) — scale fractional units first")))
+          .otherwise(col("value").cast("long")).as("y"))
+    val twoP53 = 9007199254740992L
+    val yG = when(abs(col("y")) * m > lit(twoP53), raise_error(lit(
+      s"seasonalDecompose: |value|*$m exceeds 2^53 — rescale the value")))
+      .otherwise(col("y"))
+    val wTrend = Window.partitionBy(col("k")).orderBy(col("p"))
+      .rowsBetween(-h, h)
+    val trended = dense
+      .withColumn("y", yG)
+      .withColumn("s", sum(col("y")).over(wTrend))
+      .withColumn("full", count(lit(1)).over(wTrend) === m.toLong)
+      // exact integer numerator of the detrended value: m·y − S
+      .withColumn("dnum", lit(m.toLong) * col("y") - col("s"))
+      .withColumn("phase", pmod(col("p"), lit(m.toLong)))
+    val phases = trended.filter(col("full"))
+      .groupBy(col("k"), col("phase"))
+      .agg(sum(col("dnum").cast("decimal(19,0)")).cast("decimal(38,0)").as("a"),
+        count(lit(1)).as("ns"))
+      .select(col("k"), col("phase"),
+        when(abs(col("a")) > lit(twoP53), raise_error(lit(
+          "seasonalDecompose: a phase's detrended sum exceeds 2^53")))
+          .otherwise(col("a")).cast("double")
+          ./(lit(m.toDouble) * col("ns").cast("double")).as("sraw"))
+    // re-center: indices must sum to 0 — fold the ≤ m phase means in
+    // pinned phase order (bounded window, never data-sized)
+    val wPh = Window.partitionBy(col("k")).orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seasonal = phases
+      .withColumn("smean", sum(col("sraw")).over(wPh) / count(lit(1)).over(wPh))
+      .select(col("k").as("sk"), col("phase").as("sp"),
+        (col("sraw") - col("smean")).as("seasonal"))
+    trended.filter(col("full"))
+      .join(seasonal, col("k") === col("sk") && col("phase") === col("sp"))
+      .select(col("k").as("key"), col("p").as("period"), col("phase"),
+        col("y"),
+        (col("s").cast("double") / lit(m.toDouble)).as("trend"),
+        col("seasonal"),
+        (col("y").cast("double") - col("s").cast("double") / lit(m.toDouble)
+          - col("seasonal")).as("residual"))
+  }
+
   def fanoFactor(
       events: DataFrame,
       key: Column,

@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 queries: Greenwood survival bands, the Cox score test,
+  * Benjamini–Hochberg FDR control, classical seasonal decomposition,
+  * corpus-slice KL divergence, trimmed/winsorized means,
+  * deterministic negative sampling, gap-constrained sequence pairs,
+  * and embedding-truncation recall.
+  */
+object ScaleOps10 {
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** User-lifetime subjects for the round-10 survival queries:
+    * duration = whole HOURS between a user's first and last event
+    * (an hour grain gives the time axis real resolution), churned =
+    * the last event predates the observation edge by > 1 day. (The
+    * q170 3-day censor never fires on this fixture — every user's
+    * last event lands within 2.5 days of the global max — so q170's
+    * curve is all-censored; this build has real deaths at both
+    * scales.)
+    */
+  private def survivalSubjects(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+    val per = ev.groupBy($"user_id").agg(
+      min(unix_micros($"ts")).as("first_us"),
+      max(unix_micros($"ts")).as("last_us"),
+      count(lit(1)).as("n_ev"))
+    val obs = per.agg(max($"last_us").as("obs_us"))
+    per.crossJoin(broadcast(obs)).select(
+      floor(($"last_us" - $"first_us").cast("double") / lit(3600000000.0))
+        .cast("long").as("dur"),
+      ($"last_us" <= $"obs_us" - lit(86400000000L)).as("churned"),
+      $"n_ev")
+  }
+
+  private val sqlSubjects =
+    """per AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+      |    max(epoch_us(ts)) AS last_us, count(*) AS n_ev
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+      |obs AS (SELECT max(last_us) AS obs_us FROM per),
+      |subj AS (SELECT
+      |    CAST(floor(CAST(last_us - first_us AS DOUBLE) / 3600000000.0) AS BIGINT) AS dur,
+      |    last_us <= obs_us - 86400000000 AS churned, n_ev
+      |  FROM per CROSS JOIN obs)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q333: KAPLAN–MEIER WITH GREENWOOD BANDS — q170's curve plus
+    // the Greenwood variance and the clipped linear z-interval
+    // ([[graft.operators.Survival.kaplanMeierGreenwood]]). Counts are
+    // exact; survival/variance/bands route through exp∘Σ∘ln once, so
+    // the oracle replays counts exactly and the float columns to 1e-9
+    // (the q170 certificate pattern).
+    Q(
+      "q333_km_greenwood",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Survival.kaplanMeierGreenwood(
+          survivalSubjects(s, d), $"dur", $"churned")
+          .orderBy($"t")
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q333_km_greenwood/*.parquet')),
+              |$sqlSubjects,
+              |byt AS (SELECT dur AS t,
+              |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_death,
+              |    sum(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+              |  FROM subj GROUP BY 1),
+              |curve AS (SELECT t, n_death, n_censored,
+              |    (SELECT count(*) FROM subj)
+              |      - coalesce(sum(n_death + n_censored) OVER (ORDER BY t
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+              |  FROM byt),
+              |surv AS (SELECT t, n_risk, n_death, n_censored,
+              |    CASE WHEN max(CASE WHEN n_death > 0 AND n_death = n_risk THEN 1 ELSE 0 END)
+              |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              |      THEN 0.0
+              |      ELSE exp(sum(CASE WHEN n_death > 0
+              |          THEN ln(1.0 - CAST(n_death AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              |          ELSE 0.0 END)
+              |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |    END AS survival,
+              |    sum(CASE WHEN n_death > 0 AND n_death < n_risk
+              |        THEN CAST(n_death AS DOUBLE)
+              |          / (CAST(n_risk AS DOUBLE) * CAST(n_risk - n_death AS DOUBLE))
+              |        ELSE 0.0 END)
+              |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gsum
+              |  FROM curve),
+              |bands AS (SELECT t, n_risk, n_death, n_censored, survival,
+              |    survival * survival * gsum AS greenwood_var,
+              |    greatest(0.0, survival - 1.96 * sqrt(survival * survival * gsum)) AS ci_lo,
+              |    least(1.0, survival + 1.96 * sqrt(survival * survival * gsum)) AS ci_hi
+              |  FROM surv),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM bands)
+              |    AND (SELECT count(DISTINCT t) FROM emitted) = (SELECT count(*) FROM emitted)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN bands x USING (t)
+              |      WHERE e.n_risk <> x.n_risk OR e.n_death <> x.n_death
+              |         OR e.n_censored <> x.n_censored
+              |         OR abs(e.survival - x.survival) > 1e-9
+              |         OR abs(e.greenwood_var - x.greenwood_var) > 1e-9
+              |         OR abs(e.ci_lo - x.ci_lo) > 1e-9
+              |         OR abs(e.ci_hi - x.ci_hi) > 1e-9)
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE e.t NOT IN (SELECT t FROM bands))
+              |    AND NOT EXISTS (SELECT 1 FROM bands x WHERE x.t NOT IN (SELECT t FROM emitted))
+              |  ) AS ok)
+              |SELECT t, n_risk, n_death, n_censored, survival, greenwood_var, ci_lo, ci_hi
+              |FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE),
+              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)
+              |ORDER BY t""".stripMargin)),
+
+    // ---- q334: COX SCORE TEST at β = 0 — does per-user activity
+    // volume (event count, an exact integer covariate) shift the
+    // churn hazard? ([[graft.operators.Survival.coxScoreTest]]).
+    // Every term is one correctly-rounded double chain from exact
+    // integer moments and both cumulations are window sums in pinned
+    // t-order — hash-exact, the q254 nelson-aalen discipline.
+    Q(
+      "q334_cox_score",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Survival.coxScoreTest(
+          survivalSubjects(s, d), $"dur", $"churned", $"n_ev")
+      },
+      Some(s"""WITH $sqlSubjects,
+              |byt AS (SELECT dur AS t, count(*) AS leave,
+              |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+              |    sum(CASE WHEN churned THEN n_ev ELSE 0 END) AS sxd,
+              |    sum(n_ev) AS sx, sum(n_ev * n_ev) AS sxx
+              |  FROM subj GROUP BY 1),
+              |tot AS (SELECT sum(leave) AS n_total, sum(d) AS ev_total,
+              |    sum(sx) AS sx_total, sum(sxx) AS sxx_total FROM byt),
+              |risk AS (SELECT t, d, sxd,
+              |    n_total - coalesce(sum(leave) OVER w, 0) AS n_t,
+              |    sx_total - coalesce(sum(sx) OVER w, 0) AS sx_t,
+              |    sxx_total - coalesce(sum(sxx) OVER w, 0) AS sxx_t,
+              |    n_total, ev_total
+              |  FROM byt CROSS JOIN tot
+              |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |folded AS (SELECT n_total, ev_total,
+              |    sum(CASE WHEN d > 0 THEN CAST(sxd AS DOUBLE)
+              |        - CAST(d AS DOUBLE) * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+              |      ELSE 0.0 END) OVER wc AS u_cum,
+              |    sum(CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+              |        * (CAST(sxx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              |          - (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+              |            * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+              |      ELSE 0.0 END) OVER wc AS i_cum,
+              |    row_number() OVER (ORDER BY t DESC) AS rn
+              |  FROM risk
+              |  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT CAST(n_total AS BIGINT) AS n,
+              |  CAST(ev_total AS BIGINT) AS n_events, u_cum AS u_score,
+              |  i_cum AS information,
+              |  CASE WHEN i_cum > 0.0 THEN u_cum / sqrt(i_cum) END AS z
+              |FROM folded WHERE rn = 1""".stripMargin)),
+
+    // ---- q335: BENJAMINI–HOCHBERG FDR CONTROL — 50-bucket × event-
+    // type hypothesis grid with PORTABLE synthetic p-values (md5
+    // bucket / 2³², the [[graft.operators.Sampling]] idiom — uniform
+    // nulls) and a planted signal (purchase p's shrink 10⁶×); BH at
+    // α = 1/10 must reject the planted block and almost none of the
+    // nulls ([[graft.operators.Experiment.benjaminiHochberg]]). The
+    // p column is float but identical in both engines — hash-exact.
+    Q(
+      "q335_bh_fdr",
+      (s, d) => {
+        import s.implicits._
+        val tests = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"event_type".isNotNull)
+          .select(concat($"event_type", lit(":"),
+            pmod($"user_id", lit(50L)).cast("string")).as("test_id"))
+          .distinct()
+          .select($"test_id",
+            (conv(substring(md5($"test_id".cast("binary")), 1, 8), 16, 10)
+              .cast("long").cast("double") / lit(4294967296.0) /
+              when($"test_id".startsWith("purchase"), lit(1000000.0))
+                .otherwise(lit(1.0))).as("p"))
+        graft.operators.Experiment.benjaminiHochberg(
+          tests, $"test_id", $"p", alphaNum = 1L, alphaDen = 10L)
+          .orderBy($"rank")
+      },
+      Some("""WITH tests AS (SELECT DISTINCT
+             |    event_type || ':' || CAST(user_id % 50 AS VARCHAR) AS test_id
+             |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |ps AS (SELECT test_id,
+             |    CAST(('0x' || substring(md5(test_id), 1, 8)) AS BIGINT)::DOUBLE
+             |      / 4294967296.0
+             |      / (CASE WHEN test_id LIKE 'purchase%' THEN 1000000.0 ELSE 1.0 END) AS p
+             |  FROM tests),
+             |ranked AS (SELECT test_id, p,
+             |    CAST(row_number() OVER (ORDER BY p ASC, test_id ASC) AS BIGINT) AS rank,
+             |    (SELECT count(*) FROM ps) AS m
+             |  FROM ps),
+             |flagged AS (SELECT *,
+             |    p * CAST(m AS DOUBLE) * 10.0 <= CAST(rank AS DOUBLE) * 1.0 AS flag
+             |  FROM ranked),
+             |k AS (SELECT max(CASE WHEN flag THEN rank END) AS kmax FROM flagged)
+             |SELECT test_id, p, rank,
+             |  (kmax IS NOT NULL AND rank <= kmax) AS rejected
+             |FROM flagged CROSS JOIN k
+             |ORDER BY rank""".stripMargin)),
+
+    // ---- q336: CLASSICAL SEASONAL DECOMPOSITION — per event type,
+    // daily event counts split into a 7-day centered-MA trend, a
+    // zero-sum weekday index, and the residual
+    // ([[graft.operators.TimeSeries.seasonalDecompose]]). The
+    // detrended value rides as the exact integer numerator m·y − S,
+    // so every float is one pinned division chain — hash-exact.
+    Q(
+      "q336_seasonal_decompose",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.seasonalDecompose(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull),
+          $"event_type", $"ts", lit(1.0), seasonLen = 7)
+          .orderBy($"key", $"period")
+      },
+      Some("""WITH obs AS (SELECT event_type AS k,
+             |    epoch_us(ts) // 86400000000 AS p, count(*) AS y
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |spans AS (SELECT k, min(p) AS p0, max(p) AS p1 FROM obs GROUP BY 1),
+             |grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS p FROM spans),
+             |dense AS MATERIALIZED (SELECT g.k, g.p, coalesce(o.y, 0) AS y
+             |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.p = o.p),
+             |trended AS MATERIALIZED (SELECT k, p, y,
+             |    sum(y) OVER w AS s, count(*) OVER w = 7 AS it_full,
+             |    7 * y - sum(y) OVER w AS dnum, p % 7 AS phase
+             |  FROM dense
+             |  WINDOW w AS (PARTITION BY k ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |phases AS (SELECT k, phase,
+             |    CAST(sum(dnum) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE)) AS sraw
+             |  FROM trended WHERE it_full GROUP BY 1, 2),
+             |season AS (SELECT k, phase,
+             |    sraw - sum(sraw) OVER wp / count(*) OVER wp AS seasonal
+             |  FROM phases
+             |  WINDOW wp AS (PARTITION BY k ORDER BY phase
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+             |joined AS (SELECT t.k AS key, t.p AS period, t.phase, t.y,
+             |    CAST(t.s AS DOUBLE) / 7.0 AS trend, se.seasonal,
+             |    CAST(t.y AS DOUBLE) - CAST(t.s AS DOUBLE) / 7.0 - se.seasonal AS residual
+             |  FROM trended t JOIN season se ON t.k = se.k AND t.phase = se.phase
+             |  WHERE t.it_full)
+             |SELECT * FROM joined ORDER BY key, period""".stripMargin)),
+
+    // ---- q337: UNIGRAM KL DIVERGENCE between the English slice and
+    // the rest of the corpus — the distribution-shift audit of a data
+    // mix ([[graft.operators.TextAnalysis.unigramKlDivergence]]).
+    // Counts are exact; each term is one ln, so the oracle replays
+    // counts exactly and the KL columns to 1e-9 (certificate).
+    Q(
+      "q337_unigram_kl",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.unigramKlDivergence(
+          Tables.documents(s, d), $"text",
+          coalesce($"lang" === "en", lit(false)))
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q337_unigram_kl/*.parquet')),
+              |toks AS (SELECT coalesce(lang = 'en', false) AS ina,
+              |    unnest($sqlToks) AS tok FROM documents),
+              |counts AS (SELECT tok,
+              |    sum(CASE WHEN ina THEN 1 ELSE 0 END) AS ca,
+              |    sum(CASE WHEN ina THEN 0 ELSE 1 END) AS cb
+              |  FROM toks GROUP BY 1),
+              |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts),
+              |folded AS (SELECT na, nb, v,
+              |    sum((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              |          / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))) OVER wc AS kl_ab,
+              |    sum((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+              |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+              |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))) OVER wc AS kl_ba,
+              |    row_number() OVER (ORDER BY tok DESC) AS rn
+              |  FROM counts CROSS JOIN tot
+              |  WINDOW wc AS (ORDER BY tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |x AS (SELECT na AS n_a, nb AS n_b, v AS vocab, kl_ab, kl_ba
+              |  FROM folded WHERE rn = 1),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = 1
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e, x
+              |      WHERE e.n_a <> x.n_a OR e.n_b <> x.n_b OR e.vocab <> x.vocab
+              |         OR abs(e.kl_ab - x.kl_ab) > 1e-9
+              |         OR abs(e.kl_ba - x.kl_ba) > 1e-9)
+              |  ) AS ok)
+              |SELECT * FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q338: TRIMMED + WINSORIZED MEAN of customer balances per
+    // nation, 1/8 off each tail
+    // ([[graft.operators.RankStats.trimmedMean]]): exact decimal sums
+    // + closed-form winsorized arithmetic, one pinned division each —
+    // hash-exact.
+    Q(
+      "q338_trimmed_mean",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.RankStats.trimmedMean(
+          Tables.customer(s, d)
+            .select($"c_nationkey",
+              round($"c_acctbal" * 100).cast("long").as("cents")),
+          $"c_nationkey", $"cents", trimNum = 1L, trimDen = 8L)
+          .orderBy($"group")
+      },
+      Some("""WITH vals AS (SELECT c_nationkey AS g,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+             |ranked AS (SELECT g, v,
+             |    row_number() OVER (PARTITION BY g ORDER BY v ASC) AS rank
+             |  FROM vals),
+             |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) // 8 AS BIGINT) AS cut
+             |  FROM vals GROUP BY 1),
+             |agg AS (SELECT r.g, s.n, s.cut,
+             |    sum(CASE WHEN r.rank > s.cut AND r.rank <= s.n - s.cut THEN r.v ELSE 0 END) AS tsum,
+             |    min(CASE WHEN r.rank >= s.cut + 1 THEN r.v END) AS vlo,
+             |    max(CASE WHEN r.rank <= s.n - s.cut THEN r.v END) AS vhi
+             |  FROM ranked r JOIN st s ON r.g = s.g
+             |  GROUP BY 1, 2, 3)
+             |SELECT g AS "group", n, cut,
+             |  CAST(tsum AS DOUBLE) / CAST(n - cut * 2 AS DOUBLE) AS trimmed_mean,
+             |  (CAST(tsum AS DOUBLE) + CAST(cut AS DOUBLE)
+             |    * (CAST(vlo AS DOUBLE) + CAST(vhi AS DOUBLE)))
+             |    / CAST(n AS DOUBLE) AS winsorized_mean
+             |FROM agg ORDER BY "group"""".stripMargin)),
+
+    // ---- q339: DETERMINISTIC NEGATIVE SAMPLING — 5 content-addressed
+    // negatives per customer (custkey < 200) from the top-100-parts
+    // candidate pool, positives anti-joined out
+    // ([[graft.operators.Sampling.negativeSample]]). The md5 rank is
+    // the portable sampling idiom — hash-exact.
+    Q(
+      "q339_negative_sampling",
+      (s, d) => {
+        import s.implicits._
+        val inter = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" < 200)
+          .select($"o_custkey".as("u"), $"l_partkey".as("i"))
+        val pool = Tables.lineitem(s, d)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"l_partkey".asc).limit(100)
+        graft.operators.Sampling.negativeSample(
+          inter, $"u", $"i",
+          pool, $"l_partkey", $"l_partkey".cast("string"), k = 5)
+          .orderBy($"user", $"neg_rank")
+      },
+      Some("""WITH inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_custkey < 200),
+             |pool AS (SELECT l_partkey AS pi, CAST(l_partkey AS VARCHAR) AS pk
+             |  FROM (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+             |        ORDER BY cnt DESC, l_partkey ASC LIMIT 100)),
+             |cand AS (SELECT us.u, pool.pi,
+             |    CAST(('0x' || substring(md5(CAST(us.u AS VARCHAR) || ':' || pool.pk), 1, 8))
+             |      AS BIGINT) AS score
+             |  FROM (SELECT DISTINCT u FROM inter) us CROSS JOIN pool
+             |  WHERE NOT EXISTS (SELECT 1 FROM inter x WHERE x.u = us.u AND x.i = pool.pi)),
+             |ranked AS (SELECT u, pi,
+             |    CAST(row_number() OVER (PARTITION BY u ORDER BY score ASC, pi ASC) AS BIGINT)
+             |      AS neg_rank
+             |  FROM cand)
+             |SELECT u AS "user", pi AS item, neg_rank FROM ranked
+             |WHERE neg_rank <= 5 ORDER BY "user", neg_rank""".stripMargin)),
+
+    // ---- q340: GAP-CONSTRAINED SEQUENTIAL PAIRS — "a then b within
+    // the next 3 actions" support over per-user event streams
+    // ([[graft.operators.Sequences.gapPairs]]); skip-gram mining
+    // where q-bigrams count only adjacency. Exact integers —
+    // hash-exact.
+    Q(
+      "q340_gap_pairs",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Sequences.gapPairs(
+          Tables.events(s, d)
+            .filter($"user_id".isNotNull && $"event_type".isNotNull),
+          $"user_id", Seq($"ts", $"event_id"), $"event_type", maxGap = 3)
+          .orderBy($"first_event", $"later_event", $"gap")
+      },
+      Some("""WITH base AS (SELECT user_id, event_type, ts, event_id FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |leads AS (SELECT user_id, event_type AS first_event,
+             |    lead(event_type, 1) OVER w AS l1,
+             |    lead(event_type, 2) OVER w AS l2,
+             |    lead(event_type, 3) OVER w AS l3
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |pairs AS (
+             |  SELECT user_id, first_event, l1 AS later_event, CAST(1 AS BIGINT) AS gap
+             |    FROM leads WHERE l1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT user_id, first_event, l2, CAST(2 AS BIGINT) FROM leads WHERE l2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT user_id, first_event, l3, CAST(3 AS BIGINT) FROM leads WHERE l3 IS NOT NULL)
+             |SELECT first_event, later_event, gap,
+             |  count(*) AS occurrences,
+             |  count(DISTINCT user_id) AS n_entities
+             |FROM pairs GROUP BY 1, 2, 3
+             |ORDER BY first_event, later_event, gap""".stripMargin)),
+
+    // ---- q341: EMBEDDING-TRUNCATION RECALL@10 — how much of the
+    // exact 64-dim top-10 survives at the 32-dim prefix (the
+    // Matryoshka audit;
+    // [[graft.operators.Similarity.truncationRecall]]). Memberships
+    // are exact in both engines (the q29 cosine contract), so the
+    // overlap counts and the one pinned division hash exactly.
+    Q(
+      "q341_truncation_recall",
+      (s, d) => {
+        import s.implicits._
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter($"vec_id" < 20)
+        graft.operators.Similarity.truncationRecall(
+          corpus, queries, $"embedding", $"vec_id", $"embedding", $"vec_id",
+          k = 10, dims = 32)
+          .orderBy($"query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |full_topk AS (SELECT query_id, corpus_id FROM (
+             |    SELECT query_id, e.vec_id AS corpus_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY
+             |        list_dot_product(qv, v)
+             |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+             |        e.vec_id ASC) AS rank
+             |    FROM e CROSS JOIN q WHERE e.vec_id <> query_id)
+             |  WHERE rank <= 10),
+             |trunc_topk AS (SELECT query_id, corpus_id FROM (
+             |    SELECT query_id, e.vec_id AS corpus_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY
+             |        list_dot_product(qv[1:32], v[1:32])
+             |          / (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+             |            * sqrt(list_dot_product(v[1:32], v[1:32]))) DESC,
+             |        e.vec_id ASC) AS rank
+             |    FROM e CROSS JOIN q WHERE e.vec_id <> query_id)
+             |  WHERE rank <= 10)
+             |SELECT f.query_id, count(*) AS n_full,
+             |  CAST(sum(CASE WHEN t.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_common,
+             |  CAST(sum(CASE WHEN t.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS recall
+             |FROM full_topk f LEFT JOIN trunc_topk t
+             |  ON f.query_id = t.query_id AND f.corpus_id = t.corpus_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

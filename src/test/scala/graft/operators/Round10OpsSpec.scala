@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkTestBase
+
+/** Round-10 operators against brute-force references: Greenwood
+  * bands, the Cox score test, Benjamini–Hochberg, seasonal
+  * decomposition, unigram KL, trimmed/winsorized means, negative
+  * sampling, gap-constrained sequence pairs, and truncation recall.
+  */
+class Round10OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(prop: Prop, min: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- Kaplan-Meier + Greenwood
+
+  test("kaplanMeierGreenwood matches the hand-computed textbook bands") {
+    // same worksheet as the KM spec: deaths at 1 (2 of 6) and 3 (1 of 3)
+    val rows = Seq(
+      (1L, true), (1L, true), (2L, false),
+      (3L, true), (3L, false), (4L, false))
+    val got = Survival.kaplanMeierGreenwood(
+      rows.toDF("dur", "ev"), col("dur"), col("ev"))
+      .orderBy(col("t")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    val s1 = 2.0 / 3.0
+    val g1 = s1 * s1 * (2.0 / (6.0 * 4.0))
+    assert(math.abs(got(1L)._1 - s1) < 1e-12)
+    assert(math.abs(got(1L)._2 - g1) < 1e-12)
+    assert(math.abs(got(1L)._3 -
+      math.max(0.0, s1 - 1.96 * math.sqrt(g1))) < 1e-12)
+    val s3 = s1 * (2.0 / 3.0)
+    val g3 = s3 * s3 * (2.0 / 24.0 + 1.0 / (3.0 * 2.0))
+    assert(math.abs(got(3L)._2 - g3) < 1e-12)
+    assert(math.abs(got(3L)._4 -
+      math.min(1.0, s3 + 1.96 * math.sqrt(g3))) < 1e-12)
+    // censor-only rows keep the previous variance (no new term)
+    assert(math.abs(got(2L)._2 - g1) < 1e-12)
+  }
+
+  test("kaplanMeierGreenwood: extinction collapses the band to [0, 0]") {
+    val rows = Seq((1L, true), (2L, true), (2L, true))
+    val last = Survival.kaplanMeierGreenwood(
+      rows.toDF("dur", "ev"), col("dur"), col("ev"))
+      .orderBy(col("t")).collect().last
+    assert(last.getDouble(4) == 0.0 && last.getDouble(6) == 0.0 &&
+      last.getDouble(7) == 0.0)
+  }
+
+  // --- Cox score test
+
+  /** Direct fold over distinct times: U and Breslow information. */
+  private def refCox(subj: Seq[(Long, Boolean, Long)]): (Double, Double) = {
+    var u = 0.0; var inf = 0.0
+    for (t <- subj.map(_._1).distinct.sorted) {
+      val risk = subj.filter(_._1 >= t)
+      val deaths = subj.filter(s => s._1 == t && s._2)
+      if (deaths.nonEmpty) {
+        val n = risk.size.toDouble
+        val sx = risk.map(_._3).sum.toDouble
+        val sxx = risk.map(s => s._3 * s._3).sum.toDouble
+        val xbar = sx / n
+        u += deaths.map(_._3).sum.toDouble - deaths.size * xbar
+        inf += deaths.size * (sxx / n - xbar * xbar)
+      }
+    }
+    (u, inf)
+  }
+
+  test("property: coxScoreTest equals the direct risk-set fold") {
+    val genSubj = Gen.listOfN(25, for {
+      t <- Gen.chooseNum(0L, 8L)
+      ev <- Gen.oneOf(true, false)
+      x <- Gen.chooseNum(-5L, 5L)
+    } yield (t, ev, x)).suchThat(_.exists(_._2))
+    check(Prop.forAll(genSubj) { subj =>
+      val (u, inf) = refCox(subj)
+      val r = Survival.coxScoreTest(subj.toDF("t", "ev", "x"),
+        col("t"), col("ev"), col("x")).collect().head
+      val okU = math.abs(r.getDouble(2) - u) < 1e-9
+      val okI = math.abs(r.getDouble(3) - inf) < 1e-9
+      val okZ = if (inf > 0) math.abs(r.getDouble(4) - u / math.sqrt(inf)) < 1e-9
+        else r.isNullAt(4)
+      okU && okI && okZ
+    })
+  }
+
+  test("coxScoreTest: binary covariate agrees with logRank's O-E") {
+    val rows = Seq((1L, true, 1L), (1L, false, 0L), (2L, true, 0L),
+      (3L, true, 1L), (3L, false, 1L), (4L, false, 0L), (5L, true, 0L))
+    val cox = Survival.coxScoreTest(rows.toDF("t", "ev", "x"),
+      col("t"), col("ev"), col("x")).collect().head
+    val lr = Survival.logRank(rows.toDF("t", "ev", "g"),
+      col("t"), col("ev"), col("g")).collect().head
+    // U = O1 - E1 identically (the score test generalizes log-rank)
+    assert(math.abs(cox.getDouble(2) -
+      (lr.getLong(2).toDouble - lr.getDouble(3))) < 1e-12)
+  }
+
+  // --- Benjamini-Hochberg
+
+  /** Brute BH: sort, scan for the largest qualifying rank. */
+  private def refBh(ps: Seq[(Long, Double)], a: Double): Set[Long] = {
+    val sorted = ps.sortBy(p => (p._2, p._1))
+    val m = sorted.size
+    val ks = sorted.zipWithIndex.filter { case ((_, p), i) =>
+      p * m <= (i + 1) * a
+    }.map(_._2 + 1)
+    if (ks.isEmpty) Set.empty
+    else sorted.take(ks.max).map(_._1).toSet
+  }
+
+  test("property: benjaminiHochberg equals brute step-up selection") {
+    val genPs = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 1000)).map(_.zipWithIndex.map {
+        case (p, i) => (i.toLong, p / 1000.0)
+      }))
+    check(Prop.forAll(genPs) { ps =>
+      val want = refBh(ps, 0.25)
+      val got = Experiment.benjaminiHochberg(ps.toDF("id", "p"),
+        col("id"), col("p"), alphaNum = 1L, alphaDen = 4L)
+        .filter(col("rejected")).collect().map(_.getLong(0)).toSet
+      got == want
+    })
+  }
+
+  test("benjaminiHochberg: step-up rejects a non-qualifying low rank") {
+    // p = (0.01, 0.049, 0.046875), m=3, alpha=1/20: rank1 0.6 <= 1 ok;
+    // rank2 2.94 > 2 FAILS; rank3 2.8125 <= 3 ok -> k*=3, so the
+    // step-up pulls the failing rank 2 in and ALL THREE reject
+    // (0.046875 = 3/64 keeps the compare away from a float boundary —
+    // BH on float p is boundary-exact only when p is)
+    val ps = Seq((1L, 0.01), (2L, 0.049), (3L, 0.046875))
+    val got = Experiment.benjaminiHochberg(ps.toDF("id", "p"),
+      col("id"), col("p"), 1L, 20L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
+  // --- seasonal decomposition
+
+  test("seasonalDecompose recovers a constructed trend+seasonal series") {
+    // y = 100 + 2*p + s(p mod 3), s = (+6, -3, -3): linear trend means
+    // the centered MA recovers it exactly on interior points
+    val sIdx = Seq(6L, -3L, -3L)
+    val rows = (0 until 30).map { p =>
+      ("k", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(p * 86400L)),
+        (100L + 2L * p + sIdx(p % 3)).toDouble)
+    }
+    val got = TimeSeries.seasonalDecompose(
+      rows.toDF("k", "ts", "v"), col("k"), col("ts"), col("v"),
+      seasonLen = 3).orderBy(col("period")).collect()
+    assert(got.length == 28) // 30 minus the two half-window edges
+    got.foreach { r =>
+      val p = r.getLong(1)
+      assert(math.abs(r.getDouble(4) - (100.0 + 2.0 * p)) < 1e-9,
+        s"trend at $p: ${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(5) - sIdx((p % 3).toInt)) < 1e-9,
+        s"seasonal at $p: ${r.getDouble(5)}")
+      assert(math.abs(r.getDouble(6)) < 1e-9, s"residual at $p")
+    }
+  }
+
+  test("property: seasonalDecompose identity y = trend + seasonal + residual") {
+    val genSeries = Gen.listOfN(24, Gen.chooseNum(0L, 500L))
+    check(Prop.forAll(genSeries) { ys =>
+      val rows = ys.zipWithIndex.map { case (y, p) =>
+        ("k", java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(p * 86400L)), y.toDouble)
+      }
+      val got = TimeSeries.seasonalDecompose(
+        rows.toDF("k", "ts", "v"), col("k"), col("ts"), col("v"),
+        seasonLen = 7).collect()
+      got.forall { r =>
+        math.abs(r.getLong(3).toDouble -
+          (r.getDouble(4) + r.getDouble(5) + r.getDouble(6))) < 1e-9
+      }
+    }, min = 15)
+  }
+
+  // --- unigram KL
+
+  test("unigramKlDivergence equals the brute smoothed formula") {
+    val docs = Seq(
+      ("a b b c", true), ("a a c", true),
+      ("b d d", false), ("c d", false))
+    val toks = docs.flatMap { case (t, in) => t.split(" ").map(_ -> in) }
+    val vocab = toks.map(_._1).distinct.sorted
+    val ca = vocab.map(w => toks.count(x => x._1 == w && x._2).toDouble)
+    val cb = vocab.map(w => toks.count(x => x._1 == w && !x._2).toDouble)
+    val na = ca.sum; val nb = cb.sum; val v = vocab.size.toDouble
+    var klAb = 0.0; var klBa = 0.0
+    for (i <- vocab.indices) {
+      val p = (ca(i) + 1) / (na + v)
+      val q = (cb(i) + 1) / (nb + v)
+      klAb += p * math.log(p / q)
+      klBa += q * math.log(q / p)
+    }
+    val r = TextAnalysis.unigramKlDivergence(
+      docs.toDF("text", "ina"), col("text"), col("ina")).collect().head
+    assert(r.getLong(0) == na.toLong && r.getLong(1) == nb.toLong &&
+      r.getLong(2) == v.toLong)
+    assert(math.abs(r.getDouble(3) - klAb) < 1e-12)
+    assert(math.abs(r.getDouble(4) - klBa) < 1e-12)
+  }
+
+  // --- trimmed/winsorized mean
+
+  test("property: trimmedMean equals brute sorted-slice arithmetic") {
+    val genVals = Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    check(Prop.forAll(genVals) { vs =>
+      val n = vs.size
+      val cut = (n / 8).toInt
+      val sorted = vs.sorted
+      val kept = sorted.slice(cut, n - cut)
+      val tWant = kept.sum.toDouble / kept.size
+      val wWant = (kept.sum + cut.toLong * (sorted(cut) + sorted(n - cut - 1)))
+        .toDouble / n
+      val r = RankStats.trimmedMean(
+        vs.map(("g", _)).toDF("g", "v"), col("g"), col("v"), 1L, 8L)
+        .collect().head
+      r.getLong(1) == n.toLong && r.getLong(2) == cut.toLong &&
+        math.abs(r.getDouble(3) - tWant) < 1e-9 &&
+        math.abs(r.getDouble(4) - wWant) < 1e-9
+    })
+  }
+
+  // --- negative sampling
+
+  test("negativeSample: k clean negatives per user, deterministic") {
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))
+    val pool = (10L to 19L).map(i => (i, s"item-$i"))
+    def run() = Sampling.negativeSample(
+      inter.toDF("u", "i"), col("u"), col("i"),
+      pool.toDF("pi", "pk"), col("pi"), col("pk"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run().toSet
+    assert(a == run().toSet) // content-addressed: re-runs identical
+    val byUser = a.groupBy(_._1)
+    assert(byUser.keySet == Set(1L, 2L, 3L))
+    byUser.foreach { case (u, rows) =>
+      assert(rows.size == 3 && rows.map(_._3) == Set(1L, 2L, 3L))
+      val positives = inter.filter(_._1 == u).map(_._2).toSet
+      assert(rows.map(_._2).intersect(positives).isEmpty,
+        s"user $u drew a positive as negative")
+      assert(rows.map(_._2).forall(pool.map(_._1).contains))
+    }
+  }
+
+  test("negativeSample: an oversized pool raises loudly") {
+    val inter = Seq((1L, 10L))
+    val pool = (1L to 50L).map(i => (i, s"i$i"))
+    val e = intercept[Exception] {
+      Sampling.negativeSample(inter.toDF("u", "i"), col("u"), col("i"),
+        pool.toDF("pi", "pk"), col("pi"), col("pk"), k = 2, maxPool = 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("candidate pool"), e.getMessage)
+  }
+
+  // --- gap pairs
+
+  test("gapPairs equals brute skip-gram counting") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "c"))
+    val seqs = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    val brute = scala.collection.mutable.Map
+      .empty[(String, String, Long), (Long, Set[Long])]
+    for ((ent, s) <- seqs; i <- s.indices; g <- 1 to 2; if i + g < s.size) {
+      val k = (s(i), s(i + g), g.toLong)
+      val (c, es) = brute.getOrElse(k, (0L, Set.empty[Long]))
+      brute(k) = (c + 1, es + ent)
+    }
+    val got = Sequences.gapPairs(rows.toDF("ent", "ord", "ev"),
+      col("ent"), Seq(col("ord")), col("ev"), maxGap = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (k, (c, es)) =>
+      assert(got(k) == ((c, es.size.toLong)), s"pair $k")
+    }
+  }
+
+  // --- plan shapes of the scale-sensitive round-10 operators
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("plan: negativeSample broadcasts the pool, never shuffles users for it") {
+    val inter = (1L to 50L).map(u => (u, u % 7)).toDF("u", "i")
+    val pool = (0L to 9L).map(i => (i, s"i$i")).toDF("pi", "pk")
+    val plan = finalPlan(Sampling.negativeSample(
+      inter, col("u"), col("i"), pool, col("pi"), col("pk"), k = 3))
+    // the U×P expansion must ride a broadcast of the bounded pool —
+    // a SortMergeJoin/shuffled cross here would exchange the user set
+    // per pool row at fleet scale
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("CartesianProduct") == false && plan.contains("Broadcast"),
+      s"pool side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian allowed:\n$plan")
+  }
+
+  test("plan: gapPairs uses one partitioned window, no global exchange to 1") {
+    val rows = (1L to 100L).map(i => (i % 10, i, s"e${i % 4}"))
+      .toDF("ent", "ord", "ev")
+    val plan = finalPlan(Sequences.gapPairs(
+      rows, col("ent"), Seq(col("ord")), col("ev"), maxGap = 3))
+    assert(plan.contains("Window"),
+      s"leads should share one window pass:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"nothing here may funnel to one partition:\n$plan")
+  }
+
+  // --- truncation recall
+
+  test("truncationRecall equals brute top-k overlap") {
+    // 2-dim head carries most signal for some vectors, not others
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.4)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.1, 0.9, -0.4)),
+      (5L, Seq(0.0, 0.0, 1.0)), (6L, Seq(0.5, 0.5, 0.7)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map(x => x._1 * x._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def topk(dims: Int, q: Long): Set[Long] = {
+      val qv = vecs.find(_._1 == q).get._2.take(dims)
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (cos(qv, v.take(dims)), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(2).map(_._2).toSet
+    }
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.truncationRecall(
+      df, df, col("v"), col("id"), col("v"), col("id"), k = 2, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    vecs.map(_._1).foreach { q =>
+      val want = topk(3, q).intersect(topk(2, q)).size / 2.0
+      assert(math.abs(got(q) - want) < 1e-12, s"query $q: ${got(q)} vs $want")
+    }
+  }
+}

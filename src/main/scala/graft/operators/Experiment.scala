@@ -674,6 +674,88 @@ object Experiment {
     anovaF(dev, col("k"), col("g"), col("z2"))
   }
 
+  /** ONE-SAMPLE BINOMIAL SPRT MONITOR (Wald 1945) — the sequential
+    * test a launch-gating platform runs on a conversion stream: per
+    * time period, the cumulative log-likelihood ratio of H1: p = p1
+    * against H0: p = p0,
+    *
+    *   LLR_t = Σ_{u ≤ t} [ c_u·ln(p1/p0) + (n_u − c_u)·ln(q1/q0) ],
+    *
+    * crossing A = ln((1−β)/α) accepts H1, crossing B = ln(β/(1−α))
+    * accepts H0, in between the test CONTINUES — with Wald's
+    * guarantee that type-I/II error stay ≤ α/β no matter when you
+    * peek (the peeking-safe alternative to repeated z-tests).
+    *
+    * All rates are EXACT RATIONALS (pNum/pDen, α = aNum/aDen, β =
+    * bNum/bDen); counts are exact integers; the per-period terms are
+    * integer × ln(constant) and the cumulation is a window sum in
+    * pinned period order. ln is libm — oracles gate the float
+    * columns at tolerance and re-derive decisions from their own
+    * LLR (the certificate pattern). The period axis is bounded by
+    * the calendar, guarded by `maxPeriods` (the [[Survival]]
+    * duration-axis discipline).
+    *
+    * Output per period: (period, n, conversions, llr_cum, decision)
+    * with decision ∈ 'accept_h1' | 'accept_h0' | 'continue' — the
+    * decision at each PEEK POINT (SPRT semantics stop at the first
+    * non-continue; downstream rows report what the monitor would
+    * show if it kept running).
+    */
+  def sprtMonitor(
+      df: DataFrame,
+      ts: Column,
+      converted: Column,
+      p0Num: Long, p0Den: Long,
+      p1Num: Long, p1Den: Long,
+      aNum: Long = 1L, aDen: Long = 20L,
+      bNum: Long = 1L, bDen: Long = 20L,
+      periodSeconds: Long = 86400L,
+      maxPeriods: Long = 1000000L): DataFrame = {
+    require(p0Num > 0 && p0Num < p0Den, s"p0 must be in (0,1), got $p0Num/$p0Den")
+    require(p1Num > 0 && p1Num < p1Den, s"p1 must be in (0,1), got $p1Num/$p1Den")
+    require(p0Num * p1Den != p1Num * p0Den, "p0 and p1 must differ")
+    require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen,
+      "alpha and beta must be in (0,1)")
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val cG = when(converted.cast("boolean").isNull, raise_error(lit(
+      "sprtMonitor: converted must be a non-null boolean")))
+      .otherwise(converted.cast("boolean"))
+    val p = periodSeconds * 1000000L
+    val cells = df.select(
+      floor(unix_micros(ts.cast("timestamp")) / lit(p)).cast("long").as("period"),
+      cG.as("c"))
+      .filter(col("period").isNotNull)
+      .groupBy(col("period")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("conversions"))
+    val totals = cells.agg(count(lit(1)).as("__k"))
+    // the four ln constants: exact-rational arguments, one libm call
+    // each, identical in-engine on both sides of the gate
+    val lnPos = log(lit(p1Num.toDouble * p0Den.toDouble) /
+      lit(p0Num.toDouble * p1Den.toDouble))
+    val lnNeg = log(lit((p1Den - p1Num).toDouble * p0Den.toDouble) /
+      lit((p0Den - p0Num).toDouble * p1Den.toDouble))
+    val lnA = log(lit((bDen - bNum).toDouble * aDen.toDouble) /
+      lit(bDen.toDouble * aNum.toDouble))
+    val lnB = log(lit(bNum.toDouble * aDen.toDouble) /
+      lit(bDen.toDouble * (aDen - aNum).toDouble))
+    val wCum = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(totals))
+      .select(col("period"),
+        when(col("__k") > maxPeriods, raise_error(lit(
+          s"sprtMonitor: more than $maxPeriods periods — wrong " +
+            "periodSeconds or corrupt timestamps"))).otherwise(col("n")).as("n"),
+        col("conversions"))
+      .withColumn("llr_cum", sum(
+        col("conversions").cast("double") * lnPos +
+          (col("n") - col("conversions")).cast("double") * lnNeg).over(wCum))
+      .withColumn("decision",
+        when(col("llr_cum") >= lnA, lit("accept_h1"))
+          .when(col("llr_cum") <= lnB, lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR control (Benjamini & Hochberg
     * 1995) over a p-value table — the multiple-testing correction a
     * thousand-metric experimentation platform runs after every batch

@@ -833,6 +833,52 @@ object RankStats {
     * — both null when the trim empties the group (n ≤ 2·cut... which
     * cannot happen for trim < 1/2; enforced).
     */
+  /** QUANTILE NORMALIZATION across groups (the bioinformatics
+    * standard, Bolstad et al. 2003, the pragmatic ragged variant):
+    * every group's rank-r value is replaced by the MEAN of rank-r
+    * values across all groups — forcing identical per-group
+    * distributions while preserving in-group order. The batch-effect
+    * remover for "the same metric measured by K different
+    * pipelines". Ragged tails (ranks missing from shorter groups)
+    * average over the groups that have the rank.
+    *
+    * Ties within a group break by `id` (row_number — a deterministic
+    * total order is the replayability contract). One rank window
+    * PARTITIONED by group + one aggregation keyed by rank + one join
+    * back — exchanges on group/rank only, no global frame. Exact
+    * integer sums, one pinned division per rank — hash-exact.
+    *
+    * Output: (group, id, value, rank, normalized).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column): DataFrame = {
+    val vL = value.cast("long")
+    val vG = when(vL.isNull, raise_error(lit(
+      "quantileNormalize: value must be a non-null integer"))).otherwise(vL)
+    val idG = when(id.isNull, raise_error(lit(
+      "quantileNormalize: id must be non-null"))).otherwise(id)
+    val ranked = df.select(group.as("group"), idG.as("id"), vG.as("value"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("group"))
+          .orderBy(col("value").asc, col("id").asc)).cast("long"))
+    val d19 = "decimal(19,0)"
+    val twoP53 = 9007199254740992L
+    val perRank = ranked.groupBy(col("rank")).agg(
+      sum(col("value").cast(d19)).cast("decimal(38,0)").as("s"),
+      count(lit(1)).as("ng"))
+      .select(col("rank").as("nr"),
+        (when(abs(col("s")) > lit(twoP53), raise_error(lit(
+          "quantileNormalize: a rank's value sum exceeds 2^53 — rescale")))
+          .otherwise(col("s")).cast("double")
+          / col("ng").cast("double")).as("normalized"))
+    ranked.join(perRank, col("rank") === col("nr"))
+      .select(col("group"), col("id"), col("value"), col("rank"),
+        col("normalized"))
+  }
+
   def trimmedMean(
       df: DataFrame,
       group: Column,

@@ -457,4 +457,152 @@ object ScaleOps10 {
              |FROM full_topk f LEFT JOIN trunc_topk t
              |  ON f.query_id = t.query_id AND f.corpus_id = t.corpus_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  /** Generated DuckDB replay of the B-resample Poisson-weight build:
+    * per resample b, the uniform u_b = md5(id:b) bucket and the
+    * inverse-CDF weight as a CASE chain over [[graft.operators
+    * .Resample.poissonCdf]] — the identical double literals via
+    * string casts, so both engines compare identical bits.
+    */
+  private def sqlBootstrap(b: Int, loIdx: Int, hiIdx: Int): String = {
+    val cdf = graft.operators.Resample.poissonCdf
+    def wExpr(bi: Int): String = {
+      val u = s"CAST(('0x' || substring(md5(id || ':$bi'), 1, 8)) AS BIGINT)::DOUBLE / 4294967296.0"
+      val cases = cdf.zipWithIndex.map { case (t, k) =>
+        s"WHEN $u < CAST('$t' AS DOUBLE) THEN $k"
+      }.mkString(" ")
+      s"CASE $cases ELSE 8 END AS w$bi"
+    }
+    val wCols = (0 until b).map(wExpr).mkString(",\n    ")
+    val aggCols = (0 until b).map(bi =>
+      s"sum(w$bi * v) AS ws$bi, sum(w$bi) AS wn$bi").mkString(",\n    ")
+    val meanItems = (0 until b).map(bi =>
+      s"CASE WHEN wn$bi > 0 THEN CAST(ws$bi AS DOUBLE) / CAST(wn$bi AS DOUBLE) END")
+      .mkString(", ")
+    s"""w AS (SELECT g, v,
+       |    $wCols
+       |  FROM vals),
+       |agg AS (SELECT g, count(*) AS n, sum(v) AS s0,
+       |    $aggCols
+       |  FROM w GROUP BY 1),
+       |ms AS (SELECT g, n, s0,
+       |    list_sort(list_filter([$meanItems], x -> x IS NOT NULL)) AS m
+       |  FROM agg),
+       |fin AS (SELECT g, n, s0, m, len(m) AS nb,
+       |    list_reduce(m, (a, x) -> a + x) / CAST(len(m) AS DOUBLE) AS mm
+       |  FROM ms)
+       |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+       |  CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |  CASE WHEN nb > 1 THEN sqrt(
+       |    list_reduce(list_transform(m, x -> (x - mm) * (x - mm)),
+       |      (a, x) -> a + x) / CAST(nb - 1 AS DOUBLE)) END AS boot_se,
+       |  m[least($loIdx, nb)] AS boot_lo,
+       |  m[least($hiIdx, nb)] AS boot_hi
+       |FROM fin ORDER BY "group"""".stripMargin
+  }
+
+  val all2: Seq[Q] = Seq(
+
+    // ---- q342: QUANTILE NORMALIZATION — customer balances forced to
+    // a common distribution across market segments
+    // ([[graft.operators.RankStats.quantileNormalize]]): rank within
+    // segment, remap to the cross-segment rank mean. Exact sums, one
+    // pinned division per rank — hash-exact.
+    Q(
+      "q342_quantile_normalize",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.RankStats.quantileNormalize(
+          Tables.customer(s, d)
+            .select($"c_mktsegment", $"c_custkey",
+              round($"c_acctbal" * 100).cast("long").as("cents")),
+          $"c_mktsegment", $"c_custkey", $"cents")
+          .orderBy($"group", $"rank")
+      },
+      Some("""WITH vals AS (SELECT c_mktsegment AS g, c_custkey AS id,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+             |ranked AS (SELECT g, id, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY v ASC, id ASC)
+             |      AS BIGINT) AS rank
+             |  FROM vals),
+             |perrank AS (SELECT rank AS nr,
+             |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS normalized
+             |  FROM ranked GROUP BY 1)
+             |SELECT g AS "group", id, v AS value, rank, normalized
+             |FROM ranked JOIN perrank ON rank = nr
+             |ORDER BY "group", rank""".stripMargin)),
+
+    // ---- q343: POISSON BOOTSTRAP CI — per-nation mean balance with
+    // 32 deterministic md5-weighted resamples
+    // ([[graft.operators.Resample.poissonBootstrapCI]]): the
+    // RNG-free uncertainty estimate; resample means sort inside one
+    // row, every float chain pinned — hash-exact (the oracle
+    // replays the fold with list_reduce, same left-to-right order).
+    Q(
+      "q343_poisson_bootstrap",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Resample.poissonBootstrapCI(
+          Tables.customer(s, d)
+            .select($"c_nationkey", $"c_custkey".cast("string").as("id"),
+              round($"c_acctbal" * 100).cast("long").as("cents")),
+          $"c_nationkey", $"id", $"cents", b = 32)
+          .orderBy($"group")
+      },
+      Some(s"""WITH vals AS (SELECT c_nationkey AS g,
+              |    CAST(c_custkey AS VARCHAR) AS id,
+              |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+              |${sqlBootstrap(b = 32, loIdx = 1, hiIdx = 32)}""".stripMargin)),
+
+    // ---- q344: SPRT LAUNCH MONITOR — Wald's sequential test of
+    // H1: purchase rate = 1/5 vs H0: = 1/10 over the daily event
+    // stream ([[graft.operators.Experiment.sprtMonitor]]); the
+    // peeking-safe alternative to repeated z-tests. Counts exact;
+    // the four ln constants are libm, so the oracle replays counts
+    // exactly, LLR to 1e-9, and decisions from its own LLR with a
+    // 1e-6 boundary band (certificate).
+    Q(
+      "q344_sprt_monitor",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.sprtMonitor(
+          Tables.events(s, d).filter($"ts".isNotNull),
+          $"ts", coalesce($"event_type" === "purchase", lit(false)),
+          p0Num = 1, p0Den = 10, p1Num = 1, p1Den = 5)
+          .orderBy($"period")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q344_sprt_monitor/*.parquet')),
+             |cells AS (SELECT epoch_us(ts) // 86400000000 AS period,
+             |    count(*) AS n,
+             |    sum(CASE WHEN coalesce(event_type = 'purchase', false)
+             |      THEN 1 ELSE 0 END) AS conv
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |folded AS (SELECT period, n, conv,
+             |    sum(CAST(conv AS DOUBLE) * ln(2.0)
+             |      + CAST(n - conv AS DOUBLE) * ln(8.0 / 9.0))
+             |      OVER (ORDER BY period ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS llr
+             |  FROM cells),
+             |mine AS (SELECT period, n, conv, llr,
+             |    CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+             |         WHEN llr <= ln(1.0 / 19.0) THEN 'accept_h0'
+             |         ELSE 'continue' END AS dec,
+             |    least(abs(llr - ln(19.0)), abs(llr - ln(1.0 / 19.0))) AS margin
+             |  FROM folded),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM mine)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN mine x USING (period)
+             |      WHERE e.n <> x.n OR e.conversions <> x.conv
+             |         OR abs(e.llr_cum - x.llr) > 1e-9
+             |         OR (e.decision <> x.dec AND x.margin > 1e-6))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE e.period NOT IN (SELECT period FROM mine))
+             |  ) AS ok)
+             |SELECT period, n, conversions, llr_cum, decision FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), 'gate-failed'
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY period""".stripMargin)))
 }

@@ -292,6 +292,107 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  // --- quantile normalization
+
+  test("property: quantileNormalize equals brute rank-mean remapping") {
+    val genGroups = for {
+      k <- Gen.chooseNum(2, 4)
+      sizes <- Gen.listOfN(k, Gen.chooseNum(1, 12))
+      vals <- Gen.sequence[List[List[Long]], List[Long]](
+        sizes.map(n => Gen.listOfN(n, Gen.chooseNum(-50L, 50L))))
+    } yield vals.zipWithIndex.flatMap { case (vs, g) =>
+      vs.zipWithIndex.map { case (v, i) => (g.toLong, s"g$g-$i", v) }
+    }
+    check(Prop.forAll(genGroups) { rows =>
+      // brute: rank within group by (v, id), mean per rank over groups
+      val ranked = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._3, r._2)).zipWithIndex.map {
+          case ((g, id, v), i) => (g, id, v, i + 1L)
+        }
+      }
+      val byRank = ranked.groupBy(_._4).view.mapValues(rs =>
+        rs.map(_._3).sum.toDouble / rs.size).toMap
+      val got = RankStats.quantileNormalize(rows.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(3), r.getDouble(4)))).toMap
+      ranked.forall { case (g, id, v, rk) =>
+        val (gotRk, gotNorm) = got((g, id))
+        gotRk == rk && math.abs(gotNorm - byRank(rk)) < 1e-9
+      }
+    })
+  }
+
+  test("quantileNormalize: identical post-normalization distributions") {
+    val rows = Seq(
+      (0L, "a", 10L), (0L, "b", 20L), (0L, "c", 30L),
+      (1L, "d", 100L), (1L, "e", 5L), (1L, "f", 999L))
+    val got = RankStats.quantileNormalize(rows.toDF("g", "id", "v"),
+      col("g"), col("id"), col("v")).collect()
+    val dists = got.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(4)).sorted.toSeq).toMap
+    assert(dists(0L) == dists(1L)) // the defining property
+  }
+
+  // --- Poisson bootstrap
+
+  test("poissonBootstrapCI: deterministic, sane, and brute-matched") {
+    val rows = (1 to 200).map(i => ("g", s"id$i", (i % 37) * 10L))
+    val df = rows.toDF("g", "id", "v")
+    def run() = Resample.poissonBootstrapCI(
+      df, col("g"), col("id"), col("v"), b = 16).collect().head
+    val r1 = run(); val r2 = run()
+    assert(r1.toSeq == r2.toSeq) // content-addressed: identical reruns
+    val mean = rows.map(_._3).sum.toDouble / rows.size
+    assert(r1.getLong(1) == 200L && math.abs(r1.getDouble(2) - mean) < 1e-9)
+    // brute replay of resample 0..15 with the same md5 idiom
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: String, b: Int): Double = {
+      val h = md.digest(s"$id:$b".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    val cdf = Resample.poissonCdf.map(_.toDouble)
+    def w(id: String, b: Int): Long = {
+      val x = u(id, b); val i = cdf.indexWhere(x < _)
+      if (i < 0) 8L else i.toLong
+    }
+    val means = (0 until 16).flatMap { b =>
+      val ws = rows.map { case (_, id, v) => (w(id, b), v) }
+      val wn = ws.map(_._1).sum
+      if (wn > 0) Some(ws.map { case (wi, v) => wi * v }.sum.toDouble / wn)
+      else None
+    }.sorted
+    assert(math.abs(r1.getDouble(4) - means.head) < 1e-9)   // lo = 1st of 16
+    assert(math.abs(r1.getDouble(5) - means.last) < 1e-9)   // hi = 16th
+    val mm = means.sum / means.size
+    val se = math.sqrt(means.map(m => (m - mm) * (m - mm)).sum / (means.size - 1))
+    assert(math.abs(r1.getDouble(3) - se) < 1e-9)
+  }
+
+  // --- SPRT
+
+  test("sprtMonitor: LLR arithmetic and boundary decisions") {
+    // p0=1/10, p1=2/10; day 0: 100 trials 30 conv (strong H1 signal),
+    // day 1: 100 trials 2 conv (pull back toward H0)
+    val rows =
+      (1 to 100).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(10)), i <= 30)) ++
+      (1 to 100).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(86400 + 10)), i <= 2))
+    val got = Experiment.sprtMonitor(rows.toDF("ts", "c"), col("ts"), col("c"),
+      p0Num = 1, p0Den = 10, p1Num = 2, p1Den = 10)
+      .orderBy(col("period")).collect()
+    val lnPos = math.log(2.0); val lnNeg = math.log(8.0 / 9.0)
+    val l1 = 30 * lnPos + 70 * lnNeg
+    val l2 = l1 + 2 * lnPos + 98 * lnNeg
+    assert(math.abs(got(0).getDouble(3) - l1) < 1e-9)
+    assert(math.abs(got(1).getDouble(3) - l2) < 1e-9)
+    val lnA = math.log(19.0); val lnB = math.log(1.0 / 19.0)
+    assert(l1 >= lnA && got(0).getString(4) == "accept_h1")
+    assert(l2 > lnB && l2 < lnA && got(1).getString(4) == "continue")
+  }
+
   // --- plan shapes of the scale-sensitive round-10 operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

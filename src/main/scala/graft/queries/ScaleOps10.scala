@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Round-10 queries: Greenwood survival bands, the Cox score test,
   * Benjamini–Hochberg FDR control, classical seasonal decomposition,
@@ -604,5 +605,107 @@ object ScaleOps10 {
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-999 AS DOUBLE), 'gate-failed'
              |WHERE NOT (SELECT ok FROM flag)
-             |ORDER BY period""".stripMargin)))
+             |ORDER BY period""".stripMargin)),
+
+    // ---- q345: STREAMING CUSUM DRIFT ALERTS — Page's change
+    // detector live per event type ([[graft.streaming.Cusum]], the
+    // watermark-buffer template's sixth instance). Batch membership
+    // scrambled exactly like q306 (hash-chosen trailing bands one
+    // batch late, inside the 2-day delay) + the far-future flush
+    // sentinel; buffers must drain to scalar state rows. The oracle
+    // is fully declarative: the R − min-prefix closed form of
+    // max(0, S + x), alerting on crossings of h from below. All
+    // int64 cents — hash-exact.
+    Q(
+      "q345_streaming_cusum",
+      (s, d) => streamingCusum(s, d),
+      Some("""WITH base AS MATERIALIZED (SELECT event_type AS k,
+             |    epoch_us(ts) AS us, event_id AS id,
+             |    CAST(round(value * 100) AS BIGINT) - 5500 AS dlt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL AND event_id IS NOT NULL),
+             |r AS (SELECT k, us, id, sum(dlt) OVER w AS rr
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY k ORDER BY us, id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |r2 AS (SELECT k, us, id, rr, least(0, min(rr) OVER w) AS m
+             |  FROM r
+             |  WINDOW w AS (PARTITION BY k ORDER BY us, id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |s AS (SELECT k, us, id, rr - m AS cu,
+             |    lag(rr - m, 1, 0) OVER (PARTITION BY k ORDER BY us, id) AS sp
+             |  FROM r2)
+             |SELECT k AS key, us AS alert_us, id AS event_id,
+             |  CAST(cu AS BIGINT) AS cusum_cents
+             |FROM s WHERE sp < 50000 AND cu >= 50000
+             |ORDER BY key, alert_us, event_id""".stripMargin)))
+
+  /** q345 drive: the q306 out-of-order scaffold (three scrambled
+    * slices with hash-chosen one-batch-late bands + flush sentinel,
+    * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at
+    * allowance 55.00, threshold 500.00; requires ≥ 4 data
+    * micro-batches and scalar-only state (buffers drained) at end of
+    * stream.
+    */
+  private def streamingCusum(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scratch = Scratch.tempDir("q345_cusum_ooo")
+    try {
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"ts".isNotNull &&
+          $"value".isNotNull && $"event_id".isNotNull)
+        .select($"event_type".as("key"), $"ts", $"event_id",
+          round($"value" * 100).cast("long").as("value_cents"))
+      val nKeys = ev.select($"key").distinct().count()
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      val b1 = lit("2024-01-10").cast("timestamp")
+      val b2 = lit("2024-01-20").cast("timestamp")
+      val lateMark = pmod(graft.operators.KmvSketch.hash60($"event_id"), lit(2L)) === 0
+      val late1 = $"ts" >= b1 && $"ts" < c1 && lateMark
+      val late2 = $"ts" >= b2 && $"ts" < c2 && lateMark
+      val sentinel = s.range(1).select(
+        lit("__flush__").as("key"),
+        lit("2099-01-01").cast("timestamp").as("ts"),
+        lit(-1L).as("event_id"),
+        lit(0L).as("value_cents"))
+      val inDir = ScaleOps2.stageOrderedFiles(scratch, Seq(
+        (ev.filter($"ts" < c1 && !late1), "00_a"),
+        (ev.filter(($"ts" >= c1 && $"ts" < c2 && !late2) || late1), "01_b"),
+        (ev.filter($"ts" >= c2 || late2), "02_c"),
+        (sentinel, "03_flush")))
+      val schema = s.read.parquet(inDir.toString).schema
+      val name = "q345_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.Cusum.detectEventTime(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
+          .as[graft.streaming.Cusum.CuEv],
+        allowance = 5500L, threshold = 50000L, delay = "2 days")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", scratch.resolve("_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        try require(q.awaitTermination(600000),
+          "q345 stream did not terminate within 600s — refusing a partial alert set")
+        finally q.stop()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"q345 ran $dataBatches data micro-batch(es); the out-of-order point " +
+            "needs all 3 scrambled slices + the flush sentinel as separate batches")
+        val stateRows = q.recentProgress.lastOption
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        require(stateRows.contains(nKeys + 1L),
+          s"q345 expected one scalar state row per key (${nKeys + 1}), got $stateRows")
+        s.table(name)
+          .filter($"key" =!= "__flush__")
+          .select($"key", $"alert_us", $"event_id", $"cusum_cents")
+          .orderBy($"key", $"alert_us", $"event_id")
+          .localCheckpoint(true)
+      } finally { s.catalog.dropTempView(name); () }
+    } finally Scratch.deleteRecursively(scratch)
+  }
 }

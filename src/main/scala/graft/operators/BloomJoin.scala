@@ -33,7 +33,16 @@ object BloomJoin {
 
   /** Distributed build of a serialized bloom filter over `key` (cast to
     * long, nulls dropped). Two passes over `df`: an exact count to size
-    * the filter, then the `stat.bloomFilter` tree-aggregate.
+    * the filter, then a per-partition build merged up a tree.
+    *
+    * Built DIRECTLY with `BloomFilter.create` + `treeAggregate`, NOT
+    * `DataFrame.stat.bloomFilter`: Spark 4 routes the latter through
+    * the runtime-filter aggregate, whose
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` conf
+    * silently CLAMPS the filter to 2²⁶ bits (8 MB) — at 12M keys that
+    * clamp turned the requested 1% fpp into a measured 22%, and the
+    * q162 wedge pre-filter was passing 26% of 411M wedges instead of
+    * ~6%. The sizing must be ours, not a conf's.
     */
   def buildKeyFilter(
       df: DataFrame,
@@ -43,16 +52,22 @@ object BloomJoin {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     val keys = df.select(key.cast("long").as("__graft_bloom_key"))
       .where(col("__graft_bloom_key").isNotNull)
-    val n = keys.count()
-    val filter = keys.stat.bloomFilter("__graft_bloom_key", math.max(n, 1L), fpp)
-    val out = new java.io.ByteArrayOutputStream()
-    filter.writeTo(out)
-    val bytes = out.toByteArray
-    require(bytes.length <= maxFilterBytes,
-      s"bloom filter is ${bytes.length} bytes for $n keys at fpp=$fpp, over the " +
+    val n = math.max(keys.count(), 1L)
+    // loud size check BEFORE paying the build pass
+    val bits = math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(bits / 8L + 32L <= maxFilterBytes,
+      s"bloom filter needs ~${bits / 8} bytes for $n keys at fpp=$fpp, over the " +
         s"$maxFilterBytes cap — raise fpp/cap, or the build side is large enough " +
         "that a plain shuffled join is the right plan")
-    bytes
+    import org.apache.spark.util.sketch.BloomFilter
+    val filter = keys.rdd.map(_.getLong(0)).treeAggregate(
+      BloomFilter.create(n, fpp))(
+      (f, k) => { f.putLong(k); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    out.toByteArray
   }
 
   /** `big` rows whose `bigKey` MIGHT match a `smallKey` — the map-side

@@ -1362,7 +1362,15 @@ object LlmOps {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        val cents = Similarity.coarseTrain(emb, $"embedding", $"vec_id", nlist = 8)
+        // the SemDeDup contract (semanticPrune's scale doc): nlist
+        // grows ~√N so within-cell pair work stays ~N^1.5 — a pinned
+        // nlist=8 made the sf1 replica pay 8×(N/8)² ≈ 156M cosines
+        // (sf1 stress 39 s → the √N grid cuts it ~10×). The oracle
+        // re-derives the whole path from the EMITTED centroid model,
+        // so the grid size is free to scale with the corpus.
+        val nlist = math.max(8,
+          math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val cents = Similarity.coarseTrain(emb, $"embedding", $"vec_id", nlist = nlist)
         val surv = materializeThenRelease(s, graft.operators.Dedup.semanticPrune(
           emb, $"embedding", $"vec_id", $"label".cast("double"), cents, threshold = 0.35))(
           _.select($"vec_id", $"cell", $"cluster_id", $"n_members"))

@@ -641,6 +641,137 @@ object ScaleOps10 {
              |FROM s WHERE sp < 50000 AND cu >= 50000
              |ORDER BY key, alert_us, event_id""".stripMargin)))
 
+  val all3: Seq[Q] = Seq(
+
+    // ---- q346: BOILERPLATE-PREFIX GROUPS — documents sharing the
+    // same normalized 64-char PREFIX (the template/header detector:
+    // full-content dedup misses documents whose bodies diverge after
+    // a copied boilerplate opening — license headers, scraped nav
+    // bars, form letters). Same normalization as
+    // [[graft.operators.TextAnalysis.fingerprint]], truncated before
+    // hashing. One aggregation + one join back — hash-exact.
+    Q(
+      "q346_boilerplate_prefixes",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            md5(substring(
+              regexp_replace(trim(lower($"text")), "\\s+", " "), 1, 64))
+              .as("pfp"))
+        val multi = fp.groupBy($"pfp").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"))
+          .filter($"n_docs" >= 2)
+        fp.join(multi, Seq("pfp"))
+          .select($"pfp", $"doc_id", $"lang", $"n_docs", $"n_langs")
+          .orderBy($"pfp", $"doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id, lang,
+             |    md5(substring(
+             |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64))
+             |      AS pfp
+             |  FROM documents),
+             |multi AS (SELECT pfp, count(*) AS n_docs,
+             |    count(DISTINCT lang) AS n_langs
+             |  FROM fp GROUP BY 1 HAVING count(*) >= 2)
+             |SELECT fp.pfp, doc_id, lang, n_docs, n_langs
+             |FROM fp JOIN multi USING (pfp)
+             |ORDER BY pfp, doc_id""".stripMargin)),
+
+    // ---- q347: SEASONAL ANOMALY DETECTION — the productionized
+    // composite of q336: decompose per-type daily counts, then flag
+    // days whose residual exceeds 1.75 robust sigmas (MAD·1.4826 —
+    // the Hampel identifier, threshold tuned to this corpus's tame
+    // synthetic seasonality) of the key's own residual distribution.
+    // Per-key medians come from rank windows (calendar-bounded);
+    // every float chain is pinned — hash-exact.
+    Q(
+      "q347_seasonal_anomalies",
+      (s, d) => {
+        import s.implicits._
+        val dec = graft.operators.TimeSeries.seasonalDecompose(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull),
+          $"event_type", $"ts", lit(1.0), seasonLen = 7)
+          .localCheckpoint(true) // residual medians + output read this
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"key").orderBy($"residual".asc, $"period".asc)
+        val ranked = dec
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("nk", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"key")))
+        // median = mean of the two middle ranks (equal for odd n);
+        // Column `/` is TRUE division — floor back to integer ranks
+        val med = ranked.filter(
+          $"rn" === floor(($"nk" + 1L) / 2L).cast("long") ||
+            $"rn" === floor($"nk" / 2L).cast("long") + 1L)
+          .groupBy($"key").agg(avg($"residual").as("med"))
+          .select($"key".as("mk"), $"med")
+        val absdev = dec.join(med, $"key" === $"mk")
+          .withColumn("ad", abs($"residual" - $"med"))
+        val wRank2 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"key").orderBy($"ad".asc, $"period".asc)
+        val mad = absdev
+          .withColumn("rn", row_number().over(wRank2).cast("long"))
+          .withColumn("nk", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"key")))
+          .filter($"rn" === floor(($"nk" + 1L) / 2L).cast("long") ||
+            $"rn" === floor($"nk" / 2L).cast("long") + 1L)
+          .groupBy($"key").agg(avg($"ad").as("mad"))
+          .select($"key".as("dk"), $"mad")
+        dec.join(med, $"key" === $"mk").join(mad, $"key" === $"dk")
+          .filter($"mad" > 0.0 &&
+            abs($"residual" - $"med") > lit(1.75) * lit(1.4826) * $"mad")
+          .select($"key", $"period", $"y", $"residual", $"med", $"mad")
+          .orderBy($"key", $"period")
+      },
+      Some("""WITH obs AS (SELECT event_type AS k,
+             |    epoch_us(ts) // 86400000000 AS p, count(*) AS y
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |spans AS (SELECT k, min(p) AS p0, max(p) AS p1 FROM obs GROUP BY 1),
+             |grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS p FROM spans),
+             |dense AS MATERIALIZED (SELECT g.k, g.p, coalesce(o.y, 0) AS y
+             |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.p = o.p),
+             |trended AS MATERIALIZED (SELECT k, p, y,
+             |    sum(y) OVER w AS s, count(*) OVER w = 7 AS it_full,
+             |    7 * y - sum(y) OVER w AS dnum, p % 7 AS phase
+             |  FROM dense
+             |  WINDOW w AS (PARTITION BY k ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |phases AS (SELECT k, phase,
+             |    CAST(sum(dnum) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE)) AS sraw
+             |  FROM trended WHERE it_full GROUP BY 1, 2),
+             |season AS (SELECT k, phase,
+             |    sraw - sum(sraw) OVER wp / count(*) OVER wp AS seasonal
+             |  FROM phases
+             |  WINDOW wp AS (PARTITION BY k ORDER BY phase
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+             |dec AS MATERIALIZED (SELECT t.k AS key, t.p AS period, t.y,
+             |    CAST(t.y AS DOUBLE) - CAST(t.s AS DOUBLE) / 7.0 - se.seasonal AS residual
+             |  FROM trended t JOIN season se ON t.k = se.k AND t.phase = se.phase
+             |  WHERE t.it_full),
+             |r1 AS (SELECT key, period, residual,
+             |    CAST(row_number() OVER (PARTITION BY key ORDER BY residual ASC, period ASC)
+             |      AS BIGINT) AS rn,
+             |    count(*) OVER (PARTITION BY key) AS nk
+             |  FROM dec),
+             |med AS (SELECT key, avg(residual) AS med FROM r1
+             |  WHERE rn = (nk + 1) // 2 OR rn = nk // 2 + 1 GROUP BY 1),
+             |r2 AS (SELECT d.key, d.period, abs(d.residual - m.med) AS ad
+             |  FROM dec d JOIN med m USING (key)),
+             |r3 AS (SELECT key, period, ad,
+             |    CAST(row_number() OVER (PARTITION BY key ORDER BY ad ASC, period ASC)
+             |      AS BIGINT) AS rn,
+             |    count(*) OVER (PARTITION BY key) AS nk
+             |  FROM r2),
+             |mad AS (SELECT key, avg(ad) AS mad FROM r3
+             |  WHERE rn = (nk + 1) // 2 OR rn = nk // 2 + 1 GROUP BY 1)
+             |SELECT d.key, d.period, d.y, d.residual, m.med, x.mad
+             |FROM dec d JOIN med m USING (key) JOIN mad x USING (key)
+             |WHERE x.mad > 0.0 AND abs(d.residual - m.med) > 1.75 * 1.4826 * x.mad
+             |ORDER BY d.key, d.period""".stripMargin)))
+
   /** q345 drive: the q306 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at

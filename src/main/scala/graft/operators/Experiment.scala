@@ -674,6 +674,144 @@ object Experiment {
     anovaF(dev, col("k"), col("g"), col("z2"))
   }
 
+  /** COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955) — is
+    * a binomial rate MONOTONE in an ordered dose score? The dedicated
+    * dose-response test (exposure tiers, price rungs, severity
+    * grades) that a χ² independence test wastes power on. With group
+    * scores s, trials n, successes r, N = Σn, R = Σr:
+    *
+    *   T' = N·Σsr − R·Σsn  (exact int),
+    *   z  = T'·√N / √( R(N−R)·(N·Σs²n − (Σsn)²) ).
+    *
+    * ONE aggregation pass to five integer sufficient statistics;
+    * every float is a correctly-rounded chain from exact ints under
+    * 2^53 guards — hash-exact. Scores must be exact integers (the
+    * ordinal contract); the exact T'/variance numerators ride out as
+    * decimal strings for the audit trail. z is null when the
+    * variance numerator is 0 (all one outcome, or one dose level).
+    *
+    * Output: one row (n, successes, k_doses, t_num, v_num, z).
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      dose: Column,
+      success: Column): DataFrame = {
+    val sG = when(dose.cast("long").isNull, raise_error(lit(
+      "cochranArmitage: dose score must be a non-null integer")))
+      .otherwise(dose.cast("long"))
+    val cG = when(success.cast("boolean").isNull, raise_error(lit(
+      "cochranArmitage: success must be a non-null boolean")))
+      .otherwise(success.cast("boolean"))
+    val d19 = "decimal(19,0)"
+    val base = df.select(sG.as("s"), cG.as("c"))
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c"), 1L).otherwise(0L)).as("r"),
+      countDistinct(col("s")).as("k"),
+      sum(col("s").cast(d19)).cast("decimal(38,0)").as("sn"),
+      sum(when(col("c"), col("s")).otherwise(0L).cast(d19))
+        .cast("decimal(38,0)").as("sr"),
+      sum((col("s") * col("s")).cast(d19)).cast("decimal(38,0)").as("ssn"))
+    val nD = col("n").cast("decimal(19,0)")
+    val rD = col("r").cast("decimal(19,0)")
+    val tNum = (nD * col("sr") - rD * col("sn")).cast("decimal(38,0)")
+    // variance positivity = BOTH factors positive (no decimal product
+    // — a (38,0)×(38,0) would silently reduce scale, the q112 lesson)
+    val rq = (rD * (nD - rD)).cast("decimal(38,0)")
+    val sq = (nD * col("ssn") - col("sn") * col("sn")).cast("decimal(38,0)")
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"cochranArmitage: |$what| exceeds 2^53 — rescale the scores")))
+        .otherwise(c).cast("double")
+    agg.select(
+      col("n"), col("r").as("successes"), col("k").as("k_doses"),
+      tNum.cast("string").as("t_num"),
+      sq.cast("string").as("v_num"),
+      when(rq > 0 && sq > 0,
+        e(tNum, "the trend numerator") * sqrt(col("n").cast("double")) /
+          sqrt(e(rq, "R(N-R)") * e(sq, "the score variance numerator")))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** INTRACLASS CORRELATION ICC(1,1) — one-way random-effects
+    * reliability (Shrout & Fleiss 1979): how much of the variance in
+    * repeated measurements is BETWEEN groups rather than within?
+    * The rater-agreement / measurement-repeatability staple. From
+    * the one-way ANOVA decomposition with unequal group sizes
+    * (k groups, N rows, n₀ = (N − Σn_g²/N)/(k−1)):
+    *
+    *   ICC = (MSB − MSW) / (MSB + (n₀ − 1)·MSW).
+    *
+    * Per-group exact integer moments (n, Σx, Σx²) reduce in one
+    * partial-aggregable pass; the k-row group table folds through a
+    * window in pinned group order (bounded by `maxGroups`, the loud
+    * [[Survival]] axis discipline) so every double sum is
+    * order-pinned — hash-exact. Output: one row
+    * (k, n, ssb, ssw, msb, msw, n0, icc) — icc null when the
+    * denominator is 0 (k < 2, N = k, or zero variance).
+    */
+  def intraclassCorrelation(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      maxGroups: Long = 1000000L): DataFrame = {
+    val vG = when(value.cast("long").isNull, raise_error(lit(
+      "intraclassCorrelation: value must be a non-null integer")))
+      .otherwise(value.cast("long"))
+    val gG = when(group.isNull, raise_error(lit(
+      "intraclassCorrelation: group must be non-null"))).otherwise(group)
+    val d19 = "decimal(19,0)"
+    val per = df.select(gG.as("g"), vG.as("v"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("ng"),
+        sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
+        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+    val tot = per.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+      sum(col("sx")).cast("decimal(38,0)").as("gx"),
+      sum(col("sxx")).cast("decimal(38,0)").as("gxx"),
+      sum(col("ng") * col("ng")).as("sn2"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"intraclassCorrelation: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val wCum = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-group term Sx²/n is one pinned division; the k-row fold is
+    // a window in group order (guarded), never data-sized
+    val folded = per.crossJoin(broadcast(tot))
+      .select(col("g"),
+        when(col("k") > maxGroups, raise_error(lit(
+          s"intraclassCorrelation: more than $maxGroups groups — the " +
+            "group axis must stay bounded"))).otherwise(col("sx")).as("sx"),
+        col("ng"), col("sxx"), col("k"), col("nn"), col("gx"), col("gxx"),
+        col("sn2"))
+      .withColumn("bsum", sum(
+        e(col("sx"), "a group's value sum") * e(col("sx"), "a group's value sum")
+          / col("ng").cast("double")).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+      .filter(col("rn") === 1)
+    val nD = col("nn").cast("double")
+    val kD = col("k").cast("double")
+    val grand = e(col("gx"), "the grand sum")
+    val ssb = col("bsum") - grand * grand / nD
+    val ssw = e(col("gxx"), "the grand square sum") - col("bsum")
+    val msb = ssb / (kD - lit(1.0))
+    val msw = ssw / (nD - kD)
+    val n0 = (nD - col("sn2").cast("double") / nD) / (kD - lit(1.0))
+    val den = msb + (n0 - lit(1.0)) * msw
+    folded.select(
+      col("k"), col("nn").as("n"),
+      ssb.as("ssb"), ssw.as("ssw"),
+      when(col("k") > 1L, msb).as("msb"),
+      when(col("nn") > col("k"), msw).as("msw"),
+      when(col("k") > 1L, n0).as("n0"),
+      when(col("k") > 1L && col("nn") > col("k") && den > 0.0,
+        (msb - msw) / den).as("icc"))
+  }
+
   /** ONE-SAMPLE BINOMIAL SPRT MONITOR (Wald 1945) — the sequential
     * test a launch-gating platform runs on a conversion stream: per
     * time period, the cumulative log-likelihood ratio of H1: p = p1

@@ -1156,6 +1156,64 @@ object TimeSeries {
     * mean_count, var_count, fano) — fano null for a single period or
     * an all-constant grid with mean 0.
     */
+  /** SCHUSTER PERIODOGRAM at CANDIDATE PERIODS — spectral power of a
+    * per-key period-sum series at each candidate cycle length p:
+    *
+    *   I(p) = (C_p² + S_p²) / n,
+    *   C_p = Σ_t y_t·cos(2πt/p),  S_p = Σ_t y_t·sin(2πt/p),
+    *
+    * the "which seasonality is actually in this series" detector that
+    * picks the season length [[seasonalDecompose]] consumes (Schuster
+    * 1898; evaluating a fixed candidate set instead of the full FFT
+    * grid keeps it one declarative pass — the usual shape when the
+    * plausible cycles are known: 7, 14, 28, 365).
+    *
+    * Scale shape: the dense grid comes from [[gapFill]] (per-key
+    * calendar-bounded, loud guard); each row fans out to the CONSTANT
+    * |periods| candidate terms map-side; the C/S sums fold through
+    * windows in pinned t-order per (key, period) — bounded frames,
+    * deterministic order. cos/sin are libm (engine-specific ulps), so
+    * oracles gate the float columns at tolerance while n stays exact.
+    *
+    * Output per (key, period): (key, period, n, c_sum, s_sum, power).
+    */
+  def periodogram(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periods: Seq[Int],
+      periodSeconds: Long = 86400L,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must be >= 2, got $periods")
+    require(periods.size <= 64,
+      s"at most 64 candidate periods (got ${periods.size}) — this is a " +
+        "candidate evaluation, not an FFT")
+    val dense = gapFill(events, key, ts, value, periodSeconds,
+      fillMode = "zero", maxPeriodsPerKey = maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period").as("t"),
+        col("value").cast("double").as("y"))
+    val fan = dense.select(col("k"), col("t"), col("y"),
+      explode(array(periods.map(p => lit(p.toLong)): _*)).as("p"))
+    val theta = lit(2.0 * math.Pi) * pmod(col("t"), col("p")).cast("double") /
+      col("p").cast("double")
+    val wCum = Window.partitionBy(col("k"), col("p")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"), col("p"))
+    fan
+      .withColumn("cc", sum(col("y") * cos(theta)).over(wCum))
+      .withColumn("ss", sum(col("y") * sin(theta)).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("p")).orderBy(col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k").as("key"), col("p").as("period"), col("n"),
+        col("cc").as("c_sum"), col("ss").as("s_sum"),
+        ((col("cc") * col("cc") + col("ss") * col("ss"))
+          / col("n").cast("double")).as("power"))
+  }
+
   /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION — the moving-average
     * textbook split y = trend + seasonal + residual (the
     * decomposition every seasonal-adjustment pipeline starts from;

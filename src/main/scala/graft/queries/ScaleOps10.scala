@@ -772,6 +772,170 @@ object ScaleOps10 {
              |WHERE x.mad > 0.0 AND abs(d.residual - m.med) > 1.75 * 1.4826 * x.mad
              |ORDER BY d.key, d.period""".stripMargin)))
 
+  val all4: Seq[Q] = Seq(
+
+    // ---- q348: COCHRAN–ARMITAGE TREND TEST — does the purchase rate
+    // trend across time-of-day quartiles (dose = hour div 6)?
+    // ([[graft.operators.Experiment.cochranArmitage]]). One pass to
+    // five integer sufficient statistics; exact decimal audit digests
+    // ride out as strings; z is one pinned chain — hash-exact.
+    Q(
+      "q348_cochran_armitage",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.cochranArmitage(
+          Tables.events(s, d)
+            .filter($"ts".isNotNull && $"event_type".isNotNull)
+            .select((hour($"ts") / 6).cast("long").as("dose"),
+              ($"event_type" === "purchase").as("c")),
+          $"dose", $"c")
+      },
+      Some("""WITH base AS (SELECT CAST(hour(ts) // 6 AS BIGINT) AS s,
+             |    event_type = 'purchase' AS c
+             |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+             |agg AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN c THEN 1 ELSE 0 END) AS r,
+             |    count(DISTINCT s) AS k,
+             |    sum(s) AS sn,
+             |    sum(CASE WHEN c THEN s ELSE 0 END) AS sr,
+             |    sum(s * s) AS ssn
+             |  FROM base)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS successes,
+             |  CAST(k AS BIGINT) AS k_doses,
+             |  CAST(n * sr - r * sn AS VARCHAR) AS t_num,
+             |  CAST(n * ssn - sn * sn AS VARCHAR) AS v_num,
+             |  CASE WHEN r * (n - r) > 0 AND n * ssn - sn * sn > 0 THEN
+             |    CAST(n * sr - r * sn AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+             |      / sqrt(CAST(r * (n - r) AS DOUBLE)
+             |        * CAST(n * ssn - sn * sn AS DOUBLE))
+             |  END AS z
+             |FROM agg""".stripMargin)),
+
+    // ---- q349: INTRACLASS CORRELATION ICC(1,1) — are line
+    // QUANTITIES within one order more alike than across orders?
+    // ([[graft.operators.Experiment.intraclassCorrelation]]; quantity
+    // is the integer measurement whose square-sum stays inside 2^53
+    // at every replica scale — cents do not, and the operator's guard
+    // raises on them by design). Exact per-group moments; the k-row
+    // fold is a pinned window in group order — hash-exact.
+    Q(
+      "q349_intraclass_corr",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.intraclassCorrelation(
+          Tables.lineitem(s, d)
+            .filter($"l_orderkey".isNotNull && $"l_quantity".isNotNull)
+            .select($"l_orderkey", $"l_quantity".cast("long").as("qty")),
+          $"l_orderkey", $"qty")
+      },
+      // certificate: DuckDB's windowed double SUM is segment-tree
+      // associated (NOT left-to-right) — at 14.7k fold terms the
+      // reassociation drifts ~1e-8 absolute on 1e6-magnitude sums, so
+      // the oracle recomputes independently and compares the float
+      // columns at 1e-9 RELATIVE (counts exact, poison row on fail)
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q349_intraclass_corr/*.parquet')),
+             |per AS (SELECT l_orderkey AS g, count(*) AS ng,
+             |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+             |    sum(CAST(l_quantity AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT)) AS sxx
+             |  FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+             |  GROUP BY 1),
+             |tot AS (SELECT count(*) AS k, sum(ng) AS nn, sum(sx) AS gx,
+             |    sum(sxx) AS gxx, sum(ng * ng) AS sn2 FROM per),
+             |bs AS (SELECT sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |    / CAST(ng AS DOUBLE)) AS bsum FROM per),
+             |calc AS (SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+             |    bsum - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) AS ssb,
+             |    CAST(gxx AS DOUBLE) - bsum AS ssw,
+             |    CAST(k AS DOUBLE) AS kd, CAST(nn AS DOUBLE) AS nd,
+             |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      / (CAST(k AS DOUBLE) - 1.0) AS n0
+             |  FROM tot CROSS JOIN bs),
+             |mine AS (SELECT k, n, ssb, ssw,
+             |    ssb / (kd - 1.0) AS msb, ssw / (nd - kd) AS msw, n0,
+             |    (ssb / (kd - 1.0) - ssw / (nd - kd))
+             |      / (ssb / (kd - 1.0) + (n0 - 1.0) * (ssw / (nd - kd))) AS icc
+             |  FROM calc),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e, mine x
+             |      WHERE e.k <> x.k OR e.n <> x.n
+             |         OR abs(e.ssb - x.ssb) > 1e-9 * greatest(1.0, abs(x.ssb))
+             |         OR abs(e.ssw - x.ssw) > 1e-9 * greatest(1.0, abs(x.ssw))
+             |         OR abs(e.msb - x.msb) > 1e-9 * greatest(1.0, abs(x.msb))
+             |         OR abs(e.msw - x.msw) > 1e-9 * greatest(1.0, abs(x.msw))
+             |         OR abs(e.n0 - x.n0) > 1e-9 * greatest(1.0, abs(x.n0))
+             |         OR abs(e.icc - x.icc) > 1e-9 * greatest(1.0, abs(x.icc)))
+             |  ) AS ok)
+             |SELECT k, n, ssb, ssw, msb, msw, n0, icc FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q350: SCHUSTER PERIODOGRAM — spectral power of each event
+    // type's daily count series at candidate cycle lengths
+    // {2,3,5,7,10,14} ([[graft.operators.TimeSeries.periodogram]]);
+    // the seasonality detector feeding q336's season length. n is
+    // exact; C/S/power route through cos/sin (libm), so the oracle
+    // replays counts exactly and floats to 1e-9 (certificate).
+    Q(
+      "q350_periodogram",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.periodogram(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull),
+          $"event_type", $"ts", lit(1.0), periods = Seq(2, 3, 5, 7, 10, 14))
+          .orderBy($"key", $"period")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q350_periodogram/*.parquet')),
+             |obs AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS t,
+             |    count(*) AS y
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |spans AS (SELECT k, min(t) AS p0, max(t) AS p1 FROM obs GROUP BY 1),
+             |grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS t FROM spans),
+             |dense AS MATERIALIZED (SELECT g.k, g.t,
+             |    CAST(coalesce(o.y, 0) AS DOUBLE) AS y
+             |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.t = o.t),
+             |fan AS (SELECT k, t, y, unnest([2, 3, 5, 7, 10, 14]) AS p FROM dense),
+             |folded AS (SELECT k, p,
+             |    sum(y * cos(2.0 * pi() * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE)))
+             |      OVER w AS cc,
+             |    sum(y * sin(2.0 * pi() * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE)))
+             |      OVER w AS ss,
+             |    count(*) OVER (PARTITION BY k, p) AS n,
+             |    row_number() OVER (PARTITION BY k, p ORDER BY t DESC) AS rn
+             |  FROM fan
+             |  WINDOW w AS (PARTITION BY k, p ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |mine AS (SELECT k AS key, CAST(p AS BIGINT) AS period,
+             |    CAST(n AS BIGINT) AS n, cc, ss,
+             |    (cc * cc + ss * ss) / CAST(n AS DOUBLE) AS power
+             |  FROM folded WHERE rn = 1),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM mine)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      JOIN mine x ON e.key = x.key AND e.period = x.period
+             |      WHERE e.n <> x.n OR abs(e.c_sum - x.cc) > 1e-9
+             |         OR abs(e.s_sum - x.ss) > 1e-9
+             |         OR abs(e.power - x.power) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE NOT EXISTS
+             |      (SELECT 1 FROM mine x WHERE x.key = e.key AND x.period = e.period))
+             |  ) AS ok)
+             |SELECT key, period, n, c_sum, s_sum, power FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'gate-failed', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY key, period""".stripMargin)))
+
   /** q345 drive: the q306 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at

@@ -393,6 +393,107 @@ class Round10OpsSpec extends SparkTestBase {
     assert(l2 > lnB && l2 < lnA && got(1).getString(4) == "continue")
   }
 
+  // --- Cochran-Armitage
+
+  test("property: cochranArmitage equals the textbook closed form") {
+    val genRows = Gen.chooseNum(4, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(0L, 4L)
+        c <- Gen.oneOf(true, false)
+      } yield (s, c)))
+    check(Prop.forAll(genRows) { rows =>
+      val n = rows.size.toDouble
+      val r = rows.count(_._2).toDouble
+      val sn = rows.map(_._1).sum.toDouble
+      val sr = rows.filter(_._2).map(_._1).sum.toDouble
+      val ssn = rows.map(x => x._1 * x._1).sum.toDouble
+      val tnum = n * sr - r * sn
+      val rq = r * (n - r); val sq = n * ssn - sn * sn
+      val got = Experiment.cochranArmitage(rows.toDF("s", "c"),
+        col("s"), col("c")).collect().head
+      val okZ =
+        if (rq > 0 && sq > 0)
+          math.abs(got.getDouble(5) -
+            tnum * math.sqrt(n) / math.sqrt(rq * sq)) < 1e-9
+        else got.isNullAt(5)
+      got.getLong(0) == rows.size.toLong && got.getLong(1) == r.toLong &&
+        got.getString(3).toDouble == tnum && okZ
+    })
+  }
+
+  test("cochranArmitage: a perfect monotone trend scores a large positive z") {
+    // rate rises 10% -> 50% -> 90% over doses 0, 1, 2
+    val rows = (1 to 100).flatMap { i =>
+      Seq((0L, i <= 10), (1L, i <= 50), (2L, i <= 90))
+    }
+    val z = Experiment.cochranArmitage(rows.toDF("s", "c"),
+      col("s"), col("c")).collect().head.getDouble(5)
+    assert(z > 10.0, s"z=$z")
+  }
+
+  // --- ICC
+
+  test("property: intraclassCorrelation equals the one-way ANOVA identity") {
+    val genGroups = Gen.chooseNum(2, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(2, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-20L, 20L)))))
+    check(Prop.forAll(genGroups) { groups =>
+      val rows = groups.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (g.toLong, v))
+      }
+      val k = groups.size.toDouble
+      val nn = rows.size.toDouble
+      val grand = rows.map(_._2).sum.toDouble
+      val bsum = groups.map(vs =>
+        vs.sum.toDouble * vs.sum / vs.size).sum
+      val ssb = bsum - grand * grand / nn
+      val ssw = rows.map(x => x._2.toDouble * x._2).sum - bsum
+      val msb = ssb / (k - 1); val msw = ssw / (nn - k)
+      val n0 = (nn - groups.map(v => v.size.toDouble * v.size).sum / nn) / (k - 1)
+      val den = msb + (n0 - 1) * msw
+      val got = Experiment.intraclassCorrelation(
+        rows.toDF("g", "v"), col("g"), col("v")).collect().head
+      val okIcc =
+        if (den > 0) math.abs(got.getDouble(7) - (msb - msw) / den) < 1e-9
+        else got.isNullAt(7)
+      got.getLong(0) == groups.size.toLong && got.getLong(1) == rows.size.toLong &&
+        math.abs(got.getDouble(2) - ssb) < 1e-9 &&
+        math.abs(got.getDouble(3) - ssw) < 1e-9 && okIcc
+    })
+  }
+
+  test("intraclassCorrelation: identical within-group values push ICC to 1") {
+    val rows = Seq((1L, 10L), (1L, 10L), (2L, 50L), (2L, 50L), (3L, 90L), (3L, 90L))
+    val icc = Experiment.intraclassCorrelation(
+      rows.toDF("g", "v"), col("g"), col("v")).collect().head.getDouble(7)
+    assert(icc > 0.99, s"icc=$icc")
+  }
+
+  // --- periodogram
+
+  test("periodogram: a pure 4-cycle concentrates power at period 4") {
+    // y = 100 + 50*cos(2*pi*t/4) on a 40-day dense grid
+    val rows = (0 until 40).map { t =>
+      ("k", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t * 86400L)),
+        100.0 + 50.0 * math.cos(2 * math.Pi * t / 4))
+    }
+    val got = TimeSeries.periodogram(rows.toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v"), periods = Seq(3, 4, 5, 7))
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(got(4L) > 10 * got(3L) && got(4L) > 10 * got(5L) &&
+      got(4L) > 10 * got(7L), s"power map: $got")
+    // closed form: C_4 = 50*n/2 (cos^2 sums to n/2), S_4 ~ 0 aside
+    // from the DC leakage of the mean at an exact divisor (none: 40%4=0)
+    val c4 = (0 until 40).map(t =>
+      (100.0 + 50.0 * math.cos(2 * math.Pi * t / 4)) *
+        math.cos(2 * math.Pi * (t % 4) / 4)).sum
+    assert(math.abs(got(4L) - (c4 * c4 +
+      (0 until 40).map(t => (100.0 + 50.0 * math.cos(2 * math.Pi * t / 4)) *
+        math.sin(2 * math.Pi * (t % 4) / 4)).sum
+        * (0 until 40).map(t => (100.0 + 50.0 * math.cos(2 * math.Pi * t / 4)) *
+          math.sin(2 * math.Pi * (t % 4) / 4)).sum) / 40.0) < 1e-6)
+  }
+
   // --- plan shapes of the scale-sensitive round-10 operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

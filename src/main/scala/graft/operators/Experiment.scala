@@ -894,6 +894,84 @@ object Experiment {
           .otherwise(lit("continue")))
   }
 
+  /** BARTLETT'S TEST of variance homogeneity (Bartlett 1937) — are
+    * the K group variances equal? The ln-based sibling of the
+    * (already rank-robust) Brown–Forsythe:
+    *
+    *   T = [ (N−k)·ln(Sp²) − Σ(n_i−1)·ln(s_i²) ] / C,
+    *   C = 1 + ( Σ 1/(n_i−1) − 1/(N−k) ) / (3(k−1)),
+    *
+    * with s_i² the unbiased group variances and Sp² their pooled
+    * value. Per-group exact integer moments reduce in one pass; the
+    * k-row fold is a pinned window in group order (guarded — the
+    * [[intraclassCorrelation]] discipline). Each term is one ln
+    * (libm), so oracles gate T at tolerance while counts hash.
+    * Groups with n_i < 2 or zero variance raise (their ln is
+    * undefined — filter or merge them upstream).
+    *
+    * Output: one row (k, n, pooled_var, t_stat).
+    */
+  def bartlettTest(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      maxGroups: Long = 1000000L): DataFrame = {
+    val vG = when(value.cast("long").isNull, raise_error(lit(
+      "bartlettTest: value must be a non-null integer")))
+      .otherwise(value.cast("long"))
+    val gG = when(group.isNull, raise_error(lit(
+      "bartlettTest: group must be non-null"))).otherwise(group)
+    val d19 = "decimal(19,0)"
+    val per = df.select(gG.as("g"), vG.as("v"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("ng"),
+        sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
+        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"bartlettTest: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val nD = col("ng").cast("double")
+    // unbiased group variance from exact moments, loudly guarded
+    val varI = (nD * e(col("sxx"), "a group's square sum") -
+      e(col("sx"), "a group's value sum") * e(col("sx"), "a group's value sum")) /
+      (nD * (nD - lit(1.0)))
+    val varG = when(col("ng") < 2L, raise_error(lit(
+      "bartlettTest: a group has fewer than 2 rows — merge or filter it")))
+      .otherwise(when(varI <= 0.0, raise_error(lit(
+        "bartlettTest: a group has zero variance — its ln is undefined")))
+        .otherwise(varI))
+    val wCum = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = per.crossJoin(broadcast(tot))
+      .select(col("g"), col("ng"), col("sx"), col("sxx"),
+        when(col("k") > maxGroups, raise_error(lit(
+          s"bartlettTest: more than $maxGroups groups"))).otherwise(col("k"))
+          .as("k"),
+        col("nn"))
+      .withColumn("ssw_cum",
+        sum((col("ng") - 1L).cast("double") * varG).over(wCum))
+      .withColumn("lnsum_cum",
+        sum((col("ng") - 1L).cast("double") * log(varG)).over(wCum))
+      .withColumn("inv_cum",
+        sum(lit(1.0) / (col("ng") - 1L).cast("double")).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+      .filter(col("rn") === 1)
+    val kD = col("k").cast("double")
+    val nnD = col("nn").cast("double")
+    val pooled = col("ssw_cum") / (nnD - kD)
+    val c = lit(1.0) +
+      (col("inv_cum") - lit(1.0) / (nnD - kD)) / (lit(3.0) * (kD - lit(1.0)))
+    folded.select(
+      col("k"), col("nn").as("n"),
+      pooled.as("pooled_var"),
+      when(col("k") > 1L,
+        ((nnD - kD) * log(pooled) - col("lnsum_cum")) / c)
+        .otherwise(lit(null).cast("double")).as("t_stat"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR control (Benjamini & Hochberg
     * 1995) over a p-value table — the multiple-testing correction a
     * thousand-metric experimentation platform runs after every batch

@@ -271,6 +271,55 @@ object Survival {
       .select("t", "n_risk", "n_death", "n_censored", "hazard", "hazard_var")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; the modern
+    * hazard-ratio alternative, Royston & Parmar 2013) — the area
+    * under the Kaplan–Meier curve up to a clinical horizon τ:
+    * "expected survival time within the first τ periods", the
+    * summary that stays meaningful when proportional hazards fail.
+    *
+    *   RMST(τ) = ∫₀^τ S(t) dt
+    *           = Σ_i S(t_{i-1})·(min(t_i, τ) − t_{i-1}) + S(t_last)·(τ − t_last)⁺
+    *
+    * over the step curve (S = 1 before the first distinct duration).
+    * Same bounded time-axis geometry as [[kaplanMeier]]: one lag +
+    * one cumulative window over distinct durations ≤ τ. The curve is
+    * exp∘Σ∘ln, so oracles gate the float columns at tolerance
+    * (counts hash). Output: one row (tau, n, n_events_le_tau, rmst).
+    */
+  def restrictedMeanSurvival(
+      df: DataFrame,
+      duration: Column,
+      eventOccurred: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val curve = kaplanMeier(df, duration, eventOccurred)
+    val wLag = Window.orderBy(col("t"))
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = curve
+      .withColumn("prev_t", coalesce(lag(col("t"), 1).over(wLag), lit(0L)))
+      .withColumn("prev_s", coalesce(lag(col("survival"), 1).over(wLag), lit(1.0)))
+      // keep every segment STARTING inside the horizon; clamp its end
+      // to τ (the first distinct duration past τ still owns [prev_t, τ])
+      .filter(col("prev_t") < tau)
+      .withColumn("seg",
+        col("prev_s") * (least(col("t"), lit(tau)) - col("prev_t")).cast("double"))
+      .withColumn("area_cum", sum(col("seg")).over(wCum))
+      .withColumn("ev_cum",
+        sum(when(col("t") <= tau, col("n_death")).otherwise(0L)).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t").desc)))
+      .filter(col("rn") === 1)
+    val total = df.agg(count(lit(1)).as("n"))
+    // tail: S(t_last) holds from the last in-horizon duration to τ
+    within.crossJoin(broadcast(total)).select(
+      lit(tau).as("tau"), col("n"),
+      col("ev_cum").as("n_events_le_tau"),
+      (col("area_cum") +
+        when(col("t") < tau,
+          col("survival") * (lit(tau) - col("t")).cast("double"))
+          .otherwise(lit(0.0))).as("rmst"))
+  }
+
   /** TWO-GROUP LOG-RANK TEST (Mantel 1966, Peto & Peto 1972) — does
     * group 1's survival curve differ from group 0's? The standard
     * censoring-aware comparison: at each distinct event time t with

@@ -1156,6 +1156,98 @@ object TimeSeries {
     * mean_count, var_count, fano) — fano null for a single period or
     * an all-constant grid with mean 0.
     */
+  /** CROSS-CORRELATION FUNCTION between two keys' period-sum series
+    * — the lead/lag detector ("do views lead purchases, and by how
+    * many days?"): for each lag l ∈ [−maxLag, maxLag], the Pearson
+    * correlation of x_t with y_{t+l} over the overlapping dense grid
+    * of the two series.
+    *
+    * Both series gap-fill onto their shared calendar (zero-filled,
+    * inner-joined on period); the 2·maxLag+1 shifted copies of y come
+    * from lead/lag over ONE ordered pass of the zipped frame (the
+    * frame is one series — calendar-bounded by the [[gapFill]]
+    * guard, never event-sized), and each lag reduces to six exact
+    * integer sufficient statistics in one aggregation. Every r is a
+    * pinned chain of correctly-rounded doubles — hash-exact. Values
+    * must be integer-valued (counts/cents).
+    *
+    * Output per lag: (lag, n, r) — r null when either side has zero
+    * variance on the overlap; positive lag = x leads y by l periods.
+    */
+  def crossCorrelation(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      keyX: String,
+      keyY: String,
+      maxLag: Int,
+      periodSeconds: Long = 86400L,
+      maxPeriodsPerKey: Int = 100000): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60,
+      s"maxLag must be in [1, 60], got $maxLag")
+    require(keyX != keyY, "keyX and keyY must differ")
+    val dense = gapFill(
+      events.filter(key.cast("string").isin(keyX, keyY)),
+      key.cast("string"), ts, value, periodSeconds,
+      fillMode = "zero", maxPeriodsPerKey = maxPeriodsPerKey)
+      .select(col("key").as("k"), col("period").as("t"),
+        when(col("value") =!= col("value").cast("long").cast("double"),
+          raise_error(lit("crossCorrelation: value must be integer-valued")))
+          .otherwise(col("value").cast("long")).as("y"))
+    val zipped = dense.filter(col("k") === keyX)
+      .select(col("t"), col("y").as("x"))
+      .join(dense.filter(col("k") === keyY)
+        .select(col("t").as("t2"), col("y").as("yv")),
+        col("t") === col("t2"))
+      .select(col("t"), col("x"), col("yv"))
+    val wOrd = Window.orderBy(col("t"))
+    val lags = (-maxLag to maxLag)
+    val shifted = zipped.select(
+      col("t") +: col("x") +:
+        lags.map(l => lead(col("yv"), l).over(wOrd).as(s"y$l")): _*)
+    val d19 = "decimal(19,0)"
+    val aggs: Seq[Column] = lags.flatMap { l =>
+      val y = col(s"y$l")
+      val both = y.isNotNull
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"n$l"),
+        sum(when(both, col("x").cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as(s"sx$l"),
+        sum(when(both, y.cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as(s"sy$l"),
+        sum(when(both, (col("x") * y).cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as(s"sxy$l"),
+        sum(when(both, (col("x") * col("x")).cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as(s"sxx$l"),
+        sum(when(both, (y * y).cast(d19)).otherwise(lit(0).cast(d19)))
+          .cast("decimal(38,0)").as(s"syy$l"))
+    }
+    val wide = shifted.agg(aggs.head, aggs.tail: _*)
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"crossCorrelation: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val rows = lags.map { l =>
+      val nD = col(s"n$l").cast("double")
+      val cov = nD * e(col(s"sxy$l"), "an xy sum") -
+        e(col(s"sx$l"), "an x sum") * e(col(s"sy$l"), "a y sum")
+      val vx = nD * e(col(s"sxx$l"), "an x² sum") -
+        e(col(s"sx$l"), "an x sum") * e(col(s"sx$l"), "an x sum")
+      val vy = nD * e(col(s"syy$l"), "a y² sum") -
+        e(col(s"sy$l"), "a y sum") * e(col(s"sy$l"), "a y sum")
+      struct(
+        lit(l.toLong).as("lag"),
+        col(s"n$l").as("n"),
+        when(col(s"n$l") > 1L && vx > 0.0 && vy > 0.0,
+          cov / (sqrt(vx) * sqrt(vy)))
+          .otherwise(lit(null).cast("double")).as("r"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.lag"), col("p.n"), col("p.r"))
+  }
+
   /** SCHUSTER PERIODOGRAM at CANDIDATE PERIODS — spectral power of a
     * per-key period-sum series at each candidate cycle length p:
     *

@@ -936,6 +936,183 @@ object ScaleOps10 {
              |WHERE NOT (SELECT ok FROM flag)
              |ORDER BY key, period""".stripMargin)))
 
+  val all5: Seq[Q] = Seq(
+
+    // ---- q351: RESTRICTED MEAN SURVIVAL TIME — expected active
+    // hours within the first 700 (the horizon that actually covers
+    // this fixture's churn cluster at 632–695 h — a 240 h horizon
+    // integrates a flat S ≡ 1) under the q333 lifetime model
+    // ([[graft.operators.Survival.restrictedMeanSurvival]]); the
+    // hazard-ratio-free effect summary. Counts exact; the integral
+    // rides the exp∘Σ∘ln curve — certificate at 1e-9.
+    Q(
+      "q351_rmst",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Survival.restrictedMeanSurvival(
+          survivalSubjects(s, d), $"dur", $"churned", tau = 700L)
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q351_rmst/*.parquet')),
+              |$sqlSubjects,
+              |byt AS (SELECT dur AS t,
+              |    sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_death,
+              |    sum(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+              |  FROM subj GROUP BY 1),
+              |curve AS (SELECT t, n_death, n_censored,
+              |    (SELECT count(*) FROM subj)
+              |      - coalesce(sum(n_death + n_censored) OVER (ORDER BY t
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+              |  FROM byt),
+              |surv AS (SELECT t, n_death,
+              |    CASE WHEN max(CASE WHEN n_death > 0 AND n_death = n_risk THEN 1 ELSE 0 END)
+              |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              |      THEN 0.0
+              |      ELSE exp(sum(CASE WHEN n_death > 0
+              |          THEN ln(1.0 - CAST(n_death AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              |          ELSE 0.0 END)
+              |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |    END AS survival
+              |  FROM curve),
+              |lagged AS (SELECT t, n_death, survival,
+              |    coalesce(lag(t) OVER (ORDER BY t), 0) AS prev_t,
+              |    coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS prev_s
+              |  FROM surv),
+              |seg AS (SELECT * FROM lagged WHERE prev_t < 700),
+              |lastrow AS (SELECT t, survival FROM seg ORDER BY t DESC LIMIT 1),
+              |mine AS (SELECT CAST(700 AS BIGINT) AS tau,
+              |    (SELECT count(*) FROM subj) AS n,
+              |    (SELECT coalesce(sum(n_death), 0) FROM surv WHERE t <= 700)
+              |      AS n_events_le_tau,
+              |    (SELECT sum(prev_s * CAST(least(t, 700) - prev_t AS DOUBLE)) FROM seg)
+              |      + (SELECT CASE WHEN t < 700
+              |          THEN survival * CAST(700 - t AS DOUBLE) ELSE 0.0 END
+              |         FROM lastrow) AS rmst),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = 1
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e, mine x
+              |      WHERE e.tau <> x.tau OR e.n <> x.n
+              |         OR e.n_events_le_tau <> x.n_events_le_tau
+              |         OR abs(e.rmst - x.rmst) > 1e-9)
+              |  ) AS ok)
+              |SELECT CAST(tau AS BIGINT) AS tau, CAST(n AS BIGINT) AS n,
+              |  CAST(n_events_le_tau AS BIGINT) AS n_events_le_tau, rmst
+              |FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q352: CROSS-CORRELATION FUNCTION — do daily views lead
+    // daily purchases, and by how many days?
+    // ([[graft.operators.TimeSeries.crossCorrelation]]). Six exact
+    // integer sufficient statistics per lag; every r is a pinned
+    // chain — hash-exact.
+    Q(
+      "q352_cross_correlation",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.crossCorrelation(
+          Tables.events(s, d)
+            .filter($"event_type".isNotNull && $"ts".isNotNull),
+          $"event_type", $"ts", lit(1.0),
+          keyX = "view", keyY = "purchase", maxLag = 7)
+          .orderBy($"lag")
+      },
+      Some("""WITH obs AS (SELECT event_type AS k,
+             |    epoch_us(ts) // 86400000000 AS t, count(*) AS y
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |    AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |spans AS (SELECT k, min(t) AS p0, max(t) AS p1 FROM obs GROUP BY 1),
+             |grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS t FROM spans),
+             |dense AS MATERIALIZED (SELECT g.k, g.t,
+             |    CAST(coalesce(o.y, 0) AS BIGINT) AS y
+             |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.t = o.t),
+             |zipped AS MATERIALIZED (SELECT a.t, a.y AS x, b.y AS yv
+             |  FROM dense a JOIN dense b ON a.t = b.t
+             |  WHERE a.k = 'view' AND b.k = 'purchase'),
+             |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+             |shifted AS (SELECT l.lag, z.t, z.x,
+             |    (SELECT yv FROM zipped z2 WHERE z2.t = z.t + l.lag) AS yl
+             |  FROM zipped z CROSS JOIN lags l),
+             |st AS (SELECT lag,
+             |    count(*) FILTER (WHERE yl IS NOT NULL) AS n,
+             |    sum(x) FILTER (WHERE yl IS NOT NULL) AS sx,
+             |    sum(yl) AS sy,
+             |    sum(x * yl) AS sxy,
+             |    sum(x * x) FILTER (WHERE yl IS NOT NULL) AS sxx,
+             |    sum(yl * yl) AS syy
+             |  FROM shifted GROUP BY 1)
+             |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1
+             |      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+             |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |  END AS r
+             |FROM st ORDER BY lag""".stripMargin)),
+
+    // ---- q353: BARTLETT'S VARIANCE-HOMOGENEITY TEST — are customer
+    // balance variances equal across nations?
+    // ([[graft.operators.Experiment.bartlettTest]], the ln-based
+    // sibling of Brown–Forsythe). Counts exact; the pooled variance
+    // and T carry ln and a 25-term fold, so the oracle recomputes
+    // independently and gates at 1e-9 relative (certificate).
+    Q(
+      "q353_bartlett",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.bartlettTest(
+          Tables.customer(s, d)
+            .select($"c_nationkey",
+              round($"c_acctbal" * 100).cast("long").as("cents")),
+          $"c_nationkey", $"cents")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q353_bartlett/*.parquet')),
+             |per AS (SELECT c_nationkey AS g, count(*) AS ng,
+             |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sx,
+             |    sum(CAST(round(c_acctbal * 100) AS BIGINT)
+             |      * CAST(round(c_acctbal * 100) AS BIGINT)) AS sxx
+             |  FROM customer GROUP BY 1),
+             |vars AS (SELECT g, ng,
+             |    (CAST(ng AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)) AS v
+             |  FROM per),
+             |tot AS (SELECT count(*) AS k, sum(ng) AS nn,
+             |    sum((ng - 1) * v) AS ssw,
+             |    sum((ng - 1) * ln(v)) AS lnsum,
+             |    sum(1.0 / (CAST(ng AS DOUBLE) - 1.0)) AS inv
+             |  FROM vars),
+             |mine AS (SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+             |    ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS pooled_var,
+             |    ((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+             |        * ln(ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) - lnsum)
+             |      / (1.0 + (inv - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+             |        / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS t_stat
+             |  FROM tot),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e, mine x
+             |      WHERE e.k <> x.k OR e.n <> x.n
+             |         OR abs(e.pooled_var - x.pooled_var)
+             |           > 1e-9 * greatest(1.0, abs(x.pooled_var))
+             |         OR abs(e.t_stat - x.t_stat)
+             |           > 1e-9 * greatest(1.0, abs(x.t_stat)))
+             |  ) AS ok)
+             |SELECT k, n, pooled_var, t_stat FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+
   /** q345 drive: the q306 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at

@@ -494,6 +494,141 @@ class Round10OpsSpec extends SparkTestBase {
           math.sin(2 * math.Pi * (t % 4) / 4)).sum) / 40.0) < 1e-6)
   }
 
+  // --- RMST
+
+  test("property: restrictedMeanSurvival equals the step-curve integral") {
+    val genSubj = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, for {
+        t <- Gen.chooseNum(1L, 12L)
+        ev <- Gen.oneOf(true, false)
+      } yield (t, ev)))
+    check(Prop.forAll(genSubj, Gen.chooseNum(1L, 15L)) { (subj, tau) =>
+      // brute: step KM, rectangle integral to tau
+      val times = subj.map(_._1).distinct.sorted
+      var s = 1.0; var prevT = 0L; var area = 0.0; var events = 0L
+      var extinct = false
+      for (t <- times; if prevT < tau) {
+        area += s * (math.min(t, tau) - prevT)
+        val atRisk = subj.count(_._1 >= t)
+        val d = subj.count(x => x._1 == t && x._2)
+        if (t <= tau) events += d
+        if (d > 0) {
+          if (d == atRisk) { s = 0.0; extinct = true }
+          else s *= 1.0 - d.toDouble / atRisk
+        }
+        prevT = t
+      }
+      if (prevT < tau) area += s * (tau - prevT)
+      val _ = extinct
+      val r = Survival.restrictedMeanSurvival(
+        subj.toDF("dur", "ev"), col("dur"), col("ev"), tau).collect().head
+      r.getLong(0) == tau && r.getLong(1) == subj.size.toLong &&
+        r.getLong(2) == events && math.abs(r.getDouble(3) - area) < 1e-9
+    })
+  }
+
+  // --- cross-correlation
+
+  test("crossCorrelation: a shifted copy correlates perfectly at its lag") {
+    // y(t) = x(t-3): r = 1 exactly at lag +3 (x leads y by 3)
+    val xs = Seq(5L, 9L, 2L, 7L, 1L, 8L, 3L, 6L, 4L, 9L, 2L, 5L, 7L, 3L, 8L)
+    val rows = xs.zipWithIndex.flatMap { case (v, t) =>
+      Seq(("x", t.toLong, v.toDouble)) ++
+        (if (t >= 3) Seq(("y", t.toLong, xs(t - 3).toDouble)) else Nil)
+    }.map { case (k, t, v) =>
+      (k, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t * 86400L)), v)
+    }
+    val got = TimeSeries.crossCorrelation(rows.toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v"), keyX = "x", keyY = "y", maxLag = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    assert(got.keySet == (-5L to 5L).toSet)
+    assert(math.abs(got(3L)._2 - 1.0) < 1e-12, s"lag3: ${got(3L)}")
+    assert(math.abs(got(0L)._2) < 0.9, s"lag0 should not be perfect: ${got(0L)}")
+  }
+
+  test("property: crossCorrelation equals brute per-lag pearson") {
+    val genSeries = for {
+      xs <- Gen.listOfN(14, Gen.chooseNum(0L, 9L))
+      ys <- Gen.listOfN(14, Gen.chooseNum(0L, 9L))
+    } yield (xs, ys)
+    check(Prop.forAll(genSeries) { case (xs, ys) =>
+      val rows = xs.zipWithIndex.map { case (v, t) => ("x", t, v) } ++
+        ys.zipWithIndex.map { case (v, t) => ("y", t, v) }
+      val df = rows.map { case (k, t, v) =>
+        (k, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(t * 86400L)), v.toDouble)
+      }.toDF("k", "ts", "v")
+      val got = TimeSeries.crossCorrelation(df, col("k"), col("ts"), col("v"),
+        "x", "y", maxLag = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      (-4 to 4).forall { l =>
+        val pairs = xs.indices.flatMap { t =>
+          val j = t + l
+          if (j >= 0 && j < ys.size) Some((xs(t).toDouble, ys(j).toDouble))
+          else None
+        }
+        val n = pairs.size.toDouble
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        val (gn, gr) = got(l.toLong)
+        gn == pairs.size.toLong && (
+          if (pairs.size > 1 && vx > 0 && vy > 0)
+            gr.exists(r => math.abs(r -
+              (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))) < 1e-9)
+          else gr.isEmpty)
+      }
+    }, min = 20)
+  }
+
+  // --- Bartlett
+
+  test("property: bartlettTest equals the textbook statistic") {
+    val genGroups = Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(3, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-20L, 20L)))))
+      .suchThat(_.forall(vs => vs.distinct.size > 1))
+    check(Prop.forAll(genGroups) { groups =>
+      val k = groups.size.toDouble
+      val nn = groups.map(_.size).sum.toDouble
+      val vars = groups.map { vs =>
+        val n = vs.size.toDouble
+        val s = vs.sum.toDouble; val ss = vs.map(v => v.toDouble * v).sum
+        (n * ss - s * s) / (n * (n - 1))
+      }
+      val ssw = groups.zip(vars).map { case (vs, v) => (vs.size - 1) * v }.sum
+      val pooled = ssw / (nn - k)
+      val lnsum = groups.zip(vars).map { case (vs, v) =>
+        (vs.size - 1) * math.log(v)
+      }.sum
+      val inv = groups.map(vs => 1.0 / (vs.size - 1)).sum
+      val c = 1.0 + (inv - 1.0 / (nn - k)) / (3.0 * (k - 1.0))
+      val want = ((nn - k) * math.log(pooled) - lnsum) / c
+      val rows = groups.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (g.toLong, v))
+      }
+      val r = Experiment.bartlettTest(rows.toDF("g", "v"),
+        col("g"), col("v")).collect().head
+      r.getLong(0) == groups.size.toLong &&
+        math.abs(r.getDouble(2) - pooled) < 1e-9 &&
+        math.abs(r.getDouble(3) - want) < 1e-9
+    }, min = 25)
+  }
+
+  test("bartlettTest: a zero-variance group raises loudly") {
+    val rows = Seq((1L, 5L), (1L, 5L), (2L, 1L), (2L, 9L))
+    val e = intercept[Exception] {
+      Experiment.bartlettTest(rows.toDF("g", "v"), col("g"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("zero variance"), e.getMessage)
+  }
+
   // --- plan shapes of the scale-sensitive round-10 operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

@@ -894,6 +894,81 @@ object Experiment {
           .otherwise(lit("continue")))
   }
 
+  /** TUKEY HSD PAIRWISE CONTRASTS (Tukey 1949) — after a significant
+    * one-way ANOVA, WHICH group pairs differ? For every unordered
+    * group pair the studentized-range statistic
+    *
+    *   q_ij = |m_i − m_j| / √( MSW/2 · (1/n_i + 1/n_j) )
+    *
+    * (the Tukey–Kramer unequal-n form; compare against the
+    * studentized-range quantile downstream — the statistic, not a
+    * table lookup, is the data-layer deliverable). Per-group exact
+    * integer moments reduce in one pass; MSW comes from the same
+    * guarded pinned fold as [[bartlettTest]]; the k² pair expansion
+    * is a self-join of the K-ROW GROUP TABLE (guarded ≤ maxGroups —
+    * pairs of groups, never of rows). Every statistic is a pinned
+    * chain — hash-exact.
+    *
+    * Output per pair (group_a < group_b by string order):
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, diff, q_stat) —
+    * q_stat null when MSW = 0.
+    */
+  def tukeyHsd(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      maxGroups: Long = 10000L): DataFrame = {
+    val vG = when(value.cast("long").isNull, raise_error(lit(
+      "tukeyHsd: value must be a non-null integer")))
+      .otherwise(value.cast("long"))
+    val gG = when(group.cast("string").isNull, raise_error(lit(
+      "tukeyHsd: group must be non-null"))).otherwise(group.cast("string"))
+    val d19 = "decimal(19,0)"
+    val per = df.select(gG.as("g"), vG.as("v"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("ng"),
+        sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
+        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"))
+    val twoP53 = 9007199254740992L
+    def e(c: Column, what: String): Column =
+      when(abs(c) > lit(twoP53), raise_error(lit(
+        s"tukeyHsd: |$what| exceeds 2^53 — rescale the value")))
+        .otherwise(c).cast("double")
+    val nD = col("ng").cast("double")
+    // within-group sum of squares, exact numerator over one division
+    val sswTerm = (nD * e(col("sxx"), "a group's square sum") -
+      e(col("sx"), "a group's value sum") * e(col("sx"), "a group's value sum")) / nD
+    val wCum = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val msw = per.crossJoin(broadcast(tot))
+      .select(col("g"),
+        when(col("k") > maxGroups, raise_error(lit(
+          s"tukeyHsd: more than $maxGroups groups — k² pairs need a " +
+            "bounded group axis"))).otherwise(col("ng")).as("ng"),
+        col("sx"), col("sxx"), col("k"), col("nn"))
+      .withColumn("ssw_cum", sum(sswTerm).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+      .filter(col("rn") === 1)
+      .select((col("ssw_cum") /
+        (col("nn") - col("k")).cast("double")).as("msw"))
+    val a = per.select(col("g").as("group_a"), col("ng").as("n_a"),
+      col("sx").as("sxa"))
+    val b = per.select(col("g").as("group_b"), col("ng").as("n_b"),
+      col("sx").as("sxb"))
+    val ma = e(col("sxa"), "a group's value sum") / col("n_a").cast("double")
+    val mb = e(col("sxb"), "a group's value sum") / col("n_b").cast("double")
+    val se = sqrt(col("msw") / lit(2.0) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        (ma - mb).as("diff"),
+        when(col("msw") > 0.0, abs(ma - mb) / se)
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
   /** BARTLETT'S TEST of variance homogeneity (Bartlett 1937) — are
     * the K group variances equal? The ln-based sibling of the
     * (already rank-robust) Brown–Forsythe:

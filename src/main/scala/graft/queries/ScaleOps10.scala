@@ -1113,6 +1113,72 @@ object ScaleOps10 {
              |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
 
+  val all6: Seq[Q] = Seq(
+
+    // ---- q354: TUKEY HSD PAIRWISE CONTRASTS — which nation pairs
+    // differ in mean customer balance (whole dollars — the grain
+    // whose square-sums stay inside 2^53 at replica scales), after
+    // the ANOVA ([[graft.operators.Experiment.tukeyHsd]]). The k²
+    // expansion self-joins the 25-row GROUP table, never rows. MSW
+    // rides the guarded pinned fold, so the oracle recomputes
+    // independently and gates floats at 1e-9 relative (certificate);
+    // counts exact.
+    Q(
+      "q354_tukey_hsd",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.tukeyHsd(
+          Tables.customer(s, d)
+            .select($"c_nationkey",
+              round($"c_acctbal").cast("long").as("dollars")),
+          $"c_nationkey", $"dollars")
+          .orderBy($"group_a", $"group_b")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q354_tukey_hsd/*.parquet')),
+             |per AS (SELECT CAST(c_nationkey AS VARCHAR) AS g, count(*) AS ng,
+             |    sum(CAST(round(c_acctbal) AS BIGINT)) AS sx,
+             |    sum(CAST(round(c_acctbal) AS BIGINT)
+             |      * CAST(round(c_acctbal) AS BIGINT)) AS sxx
+             |  FROM customer GROUP BY 1),
+             |tot AS (SELECT count(*) AS k, sum(ng) AS nn FROM per),
+             |mswt AS (SELECT sum((CAST(ng AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      / CAST(ng AS DOUBLE)) AS ssw FROM per),
+             |msw AS (SELECT ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+             |  FROM mswt CROSS JOIN tot),
+             |mine AS (SELECT a.g AS group_a, b.g AS group_b,
+             |    CAST(a.ng AS BIGINT) AS n_a, CAST(b.ng AS BIGINT) AS n_b,
+             |    CAST(a.sx AS DOUBLE) / CAST(a.ng AS DOUBLE) AS mean_a,
+             |    CAST(b.sx AS DOUBLE) / CAST(b.ng AS DOUBLE) AS mean_b,
+             |    CAST(a.sx AS DOUBLE) / CAST(a.ng AS DOUBLE)
+             |      - CAST(b.sx AS DOUBLE) / CAST(b.ng AS DOUBLE) AS diff,
+             |    abs(CAST(a.sx AS DOUBLE) / CAST(a.ng AS DOUBLE)
+             |      - CAST(b.sx AS DOUBLE) / CAST(b.ng AS DOUBLE))
+             |      / sqrt(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+             |        + 1.0 / CAST(b.ng AS DOUBLE))) AS q_stat
+             |  FROM per a JOIN per b ON a.g < b.g CROSS JOIN msw),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM mine)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      JOIN mine x ON e.group_a = x.group_a AND e.group_b = x.group_b
+             |      WHERE e.n_a <> x.n_a OR e.n_b <> x.n_b
+             |         OR abs(e.mean_a - x.mean_a) > 1e-9 * greatest(1.0, abs(x.mean_a))
+             |         OR abs(e.mean_b - x.mean_b) > 1e-9 * greatest(1.0, abs(x.mean_b))
+             |         OR abs(e.diff - x.diff) > 1e-9 * greatest(1.0, abs(x.diff))
+             |         OR abs(e.q_stat - x.q_stat) > 1e-9 * greatest(1.0, abs(x.q_stat)))
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e WHERE NOT EXISTS
+             |      (SELECT 1 FROM mine x WHERE x.group_a = e.group_a
+             |        AND x.group_b = e.group_b))
+             |  ) AS ok)
+             |SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, diff, q_stat
+             |FROM emitted WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT 'gate-failed', '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE),
+             |  CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY group_a, group_b""".stripMargin)))
+
   /** q345 drive: the q306 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at

@@ -629,6 +629,44 @@ class Round10OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("zero variance"), e.getMessage)
   }
 
+  // --- Tukey HSD
+
+  test("property: tukeyHsd equals the Tukey-Kramer closed form") {
+    val genGroups = Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(2, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-30L, 30L)))))
+    check(Prop.forAll(genGroups) { groups =>
+      val rows = groups.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (s"g$g", v))
+      }
+      val k = groups.size
+      val nn = rows.size.toDouble
+      val ssw = groups.map { vs =>
+        val m = vs.sum.toDouble / vs.size
+        vs.map(v => (v - m) * (v - m)).sum
+      }.sum
+      val msw = ssw / (nn - k)
+      val got = Experiment.tukeyHsd(rows.toDF("g", "v"), col("g"), col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(6),
+            if (r.isNullAt(7)) Double.NaN else r.getDouble(7)))).toMap
+      val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+      got.size == pairs.size && pairs.forall { case (i, j) =>
+        val mi = groups(i).sum.toDouble / groups(i).size
+        val mj = groups(j).sum.toDouble / groups(j).size
+        val (na, nb, diff, q) = got((s"g$i", s"g$j"))
+        val wantQ =
+          if (msw > 0)
+            math.abs(mi - mj) / math.sqrt(
+              msw / 2 * (1.0 / groups(i).size + 1.0 / groups(j).size))
+          else Double.NaN
+        na == groups(i).size.toLong && nb == groups(j).size.toLong &&
+          math.abs(diff - (mi - mj)) < 1e-9 &&
+          (if (msw > 0) math.abs(q - wantQ) < 1e-9 else q.isNaN)
+      }
+    })
+  }
+
   // --- plan shapes of the scale-sensitive round-10 operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

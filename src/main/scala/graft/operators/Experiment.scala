@@ -894,6 +894,140 @@ object Experiment {
           .otherwise(lit("continue")))
   }
 
+  /** HOLM–BONFERRONI step-down FWER control (Holm 1979) — the
+    * family-wise sibling of [[benjaminiHochberg]]: with m hypotheses
+    * sorted by p ascending, reject rank i while p_(i) ≤ α/(m−i+1)
+    * and STOP at the first failure (step-down: everything after a
+    * failure survives, even if its own compare would pass). Controls
+    * the probability of ANY false rejection — the correction for
+    * "these 50 guardrail metrics must all be real" launches, where
+    * BH's false-discovery RATE is too weak.
+    *
+    * Same geometry and exactness as [[benjaminiHochberg]]: the
+    * compare is `p·(m−rank+1)·alphaDen ≤ alphaNum` with α an exact
+    * rational and p the only float (identical in any engine —
+    * hash-exact); ties break by unique test id; the rank window is
+    * guarded by `maxTests`.
+    *
+    * Output per test: (test_id, p, rank, rejected).
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      testId: Column,
+      p: Column,
+      alphaNum: Long,
+      alphaDen: Long,
+      maxTests: Long = 10000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha must satisfy 0 < alphaNum/alphaDen <= 1, got $alphaNum/$alphaDen")
+    val pD = p.cast("double")
+    val pG = when(pD.isNull || pD < 0.0 || pD > 1.0, raise_error(lit(
+      "holmBonferroni: p must be a non-null double in [0, 1]")))
+      .otherwise(pD)
+    val idG = when(testId.isNull, raise_error(lit(
+      "holmBonferroni: test id must be non-null"))).otherwise(testId)
+    val base = df.select(idG.as("test_id"), pG.as("p"))
+    val total = base.agg(count(lit(1)).as("m"))
+    val ranked = base.crossJoin(broadcast(total))
+      .select(col("test_id"),
+        when(col("m") > maxTests, raise_error(lit(
+          s"holmBonferroni: more than $maxTests hypotheses — this is a " +
+            "per-experiment correction, not a corpus scan")))
+          .otherwise(col("p")).as("p"),
+        col("m"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p").asc, col("test_id").asc))
+          .cast("long"))
+      .withColumn("flag",
+        col("p") * (col("m") - col("rank") + 1L).cast("double")
+          * lit(alphaDen.toDouble) <= lit(alphaNum.toDouble))
+      .localCheckpoint(true) // the first failure + the output read this
+    val firstFail = ranked.agg(min(when(!col("flag"), col("rank"))).as("ff"))
+    val out = ranked.crossJoin(broadcast(firstFail))
+      .select(col("test_id"), col("p"), col("rank"),
+        (col("ff").isNull || col("rank") < col("ff")).as("rejected"))
+      .localCheckpoint(true) // eager before releasing the rank frame
+    ranked.unpersist()
+    out
+  }
+
+  /** MANTEL–HAENSZEL STRATIFIED ODDS RATIO + COCHRAN–MH χ² (Mantel &
+    * Haenszel 1959) — the confounder-adjusted association between a
+    * binary exposure and a binary outcome, pooled across strata
+    * WITHOUT assuming equal stratum sizes (epidemiology's workhorse;
+    * the categorical cousin of CUPED's "adjust before you compare").
+    * Per stratum i with 2×2 cells (a=E∩O, b=E∩Ō, c=Ē∩O, d=Ē∩Ō),
+    * n_i = a+b+c+d:
+    *
+    *   OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i),
+    *   χ²_CMH = [Σ a_i − Σ (a_i+b_i)(a_i+c_i)/n_i]²
+    *          / Σ (a_i+b_i)(c_i+d_i)(a_i+c_i)(b_i+d_i) / (n_i²(n_i−1)),
+    *
+    * (uncorrected). ONE pass to per-stratum integer cells; the
+    * stratum-axis folds are pinned windows (guarded by `maxStrata`)
+    * of correctly-rounded per-stratum terms — hash-exact against an
+    * identically-ordered replay; oracles that recompute with plain
+    * aggregates gate at relative tolerance instead.
+    *
+    * Output: one row (k_strata, n, sum_a, or_mh, chi2_cmh) — or_mh
+    * null when Σbc/n = 0, χ² null when the variance sum is 0;
+    * single-row strata contribute nothing to the variance (n−1 = 0
+    * guard skips them, the standard convention).
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratum: Column,
+      exposed: Column,
+      outcome: Column,
+      maxStrata: Long = 1000000L): DataFrame = {
+    def flag(c: Column, what: String): Column =
+      when(c.cast("boolean").isNull, raise_error(lit(
+        s"mantelHaenszel: $what must be a non-null boolean")))
+        .otherwise(c.cast("boolean"))
+    val base = df.select(
+      when(stratum.isNull, raise_error(lit(
+        "mantelHaenszel: stratum must be non-null"))).otherwise(stratum).as("s"),
+      flag(exposed, "exposed").as("e"), flag(outcome, "outcome").as("o"))
+    val cells = base.groupBy(col("s")).agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+    val tot = cells.agg(count(lit(1)).as("k"),
+      sum(col("a") + col("b") + col("c") + col("d")).as("nn"),
+      sum(col("a")).as("sa"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    val wCum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = cells.crossJoin(broadcast(tot))
+      .select(col("s"),
+        when(col("k") > maxStrata, raise_error(lit(
+          s"mantelHaenszel: more than $maxStrata strata"))).otherwise(col("a"))
+          .as("a"),
+        col("b"), col("c"), col("d"), col("k"), col("nn"), col("sa"))
+      .withColumn("ad_cum", sum(when(n > 0.0, aD * dD / n)
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("bc_cum", sum(when(n > 0.0, bD * cD / n)
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("ea_cum", sum(when(n > 0.0, (aD + bD) * (aD + cD) / n)
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("va_cum", sum(when(n > 1.0,
+        (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD) / (n * n * (n - lit(1.0))))
+        .otherwise(lit(0.0))).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("s").desc)))
+      .filter(col("rn") === 1)
+    folded.select(
+      col("k").as("k_strata"), col("nn").as("n"), col("sa").as("sum_a"),
+      when(col("bc_cum") > 0.0, col("ad_cum") / col("bc_cum"))
+        .otherwise(lit(null).cast("double")).as("or_mh"),
+      when(col("va_cum") > 0.0,
+        (col("sa").cast("double") - col("ea_cum"))
+          * (col("sa").cast("double") - col("ea_cum")) / col("va_cum"))
+        .otherwise(lit(null).cast("double")).as("chi2_cmh"))
+  }
+
   /** TUKEY HSD PAIRWISE CONTRASTS (Tukey 1949) — after a significant
     * one-way ANOVA, WHICH group pairs differ? For every unordered
     * group pair the studentized-range statistic

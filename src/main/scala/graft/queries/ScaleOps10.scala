@@ -1179,6 +1179,111 @@ object ScaleOps10 {
              |WHERE NOT (SELECT ok FROM flag)
              |ORDER BY group_a, group_b""".stripMargin)))
 
+  val all7: Seq[Q] = Seq(
+
+    // ---- q355: HOLM–BONFERRONI FWER CONTROL — the step-down
+    // family-wise sibling of q335, on the same portable synthetic
+    // p-grid ([[graft.operators.Experiment.holmBonferroni]]): the
+    // planted purchase block must clear the harsher correction, and
+    // the step-down STOPS at the first null that fails. Hash-exact.
+    Q(
+      "q355_holm_bonferroni",
+      (s, d) => {
+        import s.implicits._
+        val tests = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"event_type".isNotNull)
+          .select(concat($"event_type", lit(":"),
+            pmod($"user_id", lit(50L)).cast("string")).as("test_id"))
+          .distinct()
+          .select($"test_id",
+            (conv(substring(md5($"test_id".cast("binary")), 1, 8), 16, 10)
+              .cast("long").cast("double") / lit(4294967296.0) /
+              when($"test_id".startsWith("purchase"), lit(1000000.0))
+                .otherwise(lit(1.0))).as("p"))
+        graft.operators.Experiment.holmBonferroni(
+          tests, $"test_id", $"p", alphaNum = 1L, alphaDen = 10L)
+          .orderBy($"rank")
+      },
+      Some("""WITH tests AS (SELECT DISTINCT
+             |    event_type || ':' || CAST(user_id % 50 AS VARCHAR) AS test_id
+             |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |ps AS (SELECT test_id,
+             |    CAST(('0x' || substring(md5(test_id), 1, 8)) AS BIGINT)::DOUBLE
+             |      / 4294967296.0
+             |      / (CASE WHEN test_id LIKE 'purchase%' THEN 1000000.0 ELSE 1.0 END) AS p
+             |  FROM tests),
+             |ranked AS (SELECT test_id, p,
+             |    CAST(row_number() OVER (ORDER BY p ASC, test_id ASC) AS BIGINT) AS rank,
+             |    (SELECT count(*) FROM ps) AS m
+             |  FROM ps),
+             |flagged AS (SELECT *,
+             |    p * CAST(m - rank + 1 AS DOUBLE) * 10.0 <= 1.0 AS flag
+             |  FROM ranked),
+             |ff AS (SELECT min(CASE WHEN NOT flag THEN rank END) AS ff FROM flagged)
+             |SELECT test_id, p, rank,
+             |  (ff IS NULL OR rank < ff) AS rejected
+             |FROM flagged CROSS JOIN ff
+             |ORDER BY rank""".stripMargin)),
+
+    // ---- q356: MANTEL–HAENSZEL STRATIFIED ODDS RATIO + CMH χ² — is
+    // the BUILDING segment associated with above-median balances,
+    // adjusted for nation? ([[graft.operators.Experiment
+    // .mantelHaenszel]]). Cells are exact integers; the stratum folds
+    // carry per-stratum divisions, so the oracle recomputes with
+    // plain aggregates and gates at 1e-9 relative (certificate).
+    Q(
+      "q356_mantel_haenszel",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Experiment.mantelHaenszel(
+          Tables.customer(s, d)
+            .select($"c_nationkey",
+              ($"c_mktsegment" === "BUILDING").as("e"),
+              ($"c_acctbal" > 5000.0).as("o")),
+          $"c_nationkey", $"e", $"o")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q356_mantel_haenszel/*.parquet')),
+             |cells AS (SELECT c_nationkey AS s,
+             |    sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+             |      THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN c_mktsegment = 'BUILDING' AND NOT c_acctbal > 5000.0
+             |      THEN 1 ELSE 0 END) AS b,
+             |    sum(CASE WHEN c_mktsegment <> 'BUILDING' AND c_acctbal > 5000.0
+             |      THEN 1 ELSE 0 END) AS c,
+             |    sum(CASE WHEN c_mktsegment <> 'BUILDING' AND NOT c_acctbal > 5000.0
+             |      THEN 1 ELSE 0 END) AS d
+             |  FROM customer GROUP BY 1),
+             |terms AS (SELECT a, b, c, d,
+             |    CAST(a + b + c + d AS DOUBLE) AS n FROM cells),
+             |tot AS (SELECT count(*) AS k, sum(a + b + c + d) AS nn, sum(a) AS sa,
+             |    sum(CASE WHEN n > 0 THEN a * d / n ELSE 0 END) AS ad,
+             |    sum(CASE WHEN n > 0 THEN b * c / n ELSE 0 END) AS bc,
+             |    sum(CASE WHEN n > 0 THEN (a + b) * (a + c) / n ELSE 0 END) AS ea,
+             |    sum(CASE WHEN n > 1 THEN (a + b) * (c + d) * (a + c) * (b + d)
+             |      / (n * n * (n - 1.0)) ELSE 0 END) AS va
+             |  FROM terms),
+             |mine AS (SELECT CAST(k AS BIGINT) AS k_strata, CAST(nn AS BIGINT) AS n,
+             |    CAST(sa AS BIGINT) AS sum_a,
+             |    CASE WHEN bc > 0 THEN ad / bc END AS or_mh,
+             |    CASE WHEN va > 0 THEN (CAST(sa AS DOUBLE) - ea)
+             |      * (CAST(sa AS DOUBLE) - ea) / va END AS chi2_cmh
+             |  FROM tot),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = 1
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e, mine x
+             |      WHERE e.k_strata <> x.k_strata OR e.n <> x.n
+             |         OR e.sum_a <> x.sum_a
+             |         OR abs(e.or_mh - x.or_mh) > 1e-9 * greatest(1.0, abs(x.or_mh))
+             |         OR abs(e.chi2_cmh - x.chi2_cmh)
+             |           > 1e-9 * greatest(1.0, abs(x.chi2_cmh)))
+             |  ) AS ok)
+             |SELECT k_strata, n, sum_a, or_mh, chi2_cmh FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+
   /** q345 drive: the q306 out-of-order scaffold (three scrambled
     * slices with hash-chosen one-batch-late bands + flush sentinel,
     * `maxFilesPerTrigger = 1`) through [[graft.streaming.Cusum]] at

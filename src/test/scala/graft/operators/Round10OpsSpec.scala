@@ -667,6 +667,81 @@ class Round10OpsSpec extends SparkTestBase {
     })
   }
 
+  // --- Holm-Bonferroni
+
+  /** Brute step-down: sort, reject until the first failure. */
+  private def refHolm(ps: Seq[(Long, Double)], a: Double): Set[Long] = {
+    val sorted = ps.sortBy(p => (p._2, p._1))
+    val m = sorted.size
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    var go = true
+    while (go && i < m) {
+      if (sorted(i)._2 * (m - i) <= a) { out += sorted(i)._1; i += 1 }
+      else go = false
+    }
+    out.toSet
+  }
+
+  test("property: holmBonferroni equals brute step-down selection") {
+    val genPs = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 1000)).map(_.zipWithIndex.map {
+        case (p, i) => (i.toLong, p / 1000.0)
+      }))
+    check(Prop.forAll(genPs) { ps =>
+      val want = refHolm(ps, 0.25)
+      val got = Experiment.holmBonferroni(ps.toDF("id", "p"),
+        col("id"), col("p"), alphaNum = 1L, alphaDen = 4L)
+        .filter(col("rejected")).collect().map(_.getLong(0)).toSet
+      got == want
+    })
+  }
+
+  test("holmBonferroni: the step-down STOPS at the first failure") {
+    // p = (tiny, big, tiny): rank 2 fails, so rank 3 survives even
+    // though its own compare would pass
+    val ps = Seq((1L, 0.0001), (2L, 0.9), (3L, 0.0002))
+    val got = Experiment.holmBonferroni(ps.toDF("id", "p"),
+      col("id"), col("p"), 1L, 20L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 3L -> true, 2L -> false))
+  }
+
+  // --- Mantel-Haenszel
+
+  test("property: mantelHaenszel equals the brute stratified fold") {
+    val genStrata = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.chooseNum(0, 12))))
+    check(Prop.forAll(genStrata) { strata =>
+      val rows = strata.zipWithIndex.flatMap { case (Seq(a, b, c, d), s) =>
+        Seq.fill(a)((s.toLong, true, true)) ++ Seq.fill(b)((s.toLong, true, false)) ++
+          Seq.fill(c)((s.toLong, false, true)) ++ Seq.fill(d)((s.toLong, false, false))
+      }
+      if (rows.isEmpty) Prop.passed else Prop.secure {
+        // strata with zero rows never materialize; fold only present ones
+        val present = strata.zipWithIndex.filter(_._1.sum > 0)
+        var ad = 0.0; var bc = 0.0; var ea = 0.0; var va = 0.0; var sa = 0L
+        for ((Seq(a, b, c, d), _) <- present) {
+          val n = (a + b + c + d).toDouble
+          sa += a
+          ad += a * d / n; bc += b * c / n
+          ea += (a + b) * (a + c) / n
+          if (n > 1) va += (a + b).toDouble * (c + d) * (a + c) * (b + d) /
+            (n * n * (n - 1))
+        }
+        val r = Experiment.mantelHaenszel(rows.toDF("s", "e", "o"),
+          col("s"), col("e"), col("o")).collect().head
+        val okOr =
+          if (bc > 0) math.abs(r.getDouble(3) - ad / bc) < 1e-9 else r.isNullAt(3)
+        val okChi =
+          if (va > 0) math.abs(r.getDouble(4) - (sa - ea) * (sa - ea) / va) < 1e-9
+          else r.isNullAt(4)
+        r.getLong(0) == present.size.toLong && r.getLong(1) == rows.size.toLong &&
+          r.getLong(2) == sa && okOr && okChi
+      }
+    })
+  }
+
   // --- plan shapes of the scale-sensitive round-10 operators
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout/stderr through RAW instead of via
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks machine parsing of the single-line metric JSON that
+// graft.Bench / tools.Stress print as their final stdout line
+// (BENCH_r10.json recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

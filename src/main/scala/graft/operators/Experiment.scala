@@ -711,7 +711,10 @@ object Experiment {
       sum(col("s").cast(d19)).cast("decimal(38,0)").as("sn"),
       sum(when(col("c"), col("s")).otherwise(0L).cast(d19))
         .cast("decimal(38,0)").as("sr"),
-      sum((col("s") * col("s")).cast(d19)).cast("decimal(38,0)").as("ssn"))
+      // decimal×decimal: a long×long product wraps silently past
+      // ±3.04e9 and the wrapped sum can land UNDER the 2^53 guard
+      sum(col("s").cast(d19) * col("s").cast(d19))
+        .cast("decimal(38,0)").as("ssn"))
     val nD = col("n").cast("decimal(19,0)")
     val rD = col("r").cast("decimal(19,0)")
     val tNum = (nD * col("sr") - rD * col("sn")).cast("decimal(38,0)")
@@ -766,12 +769,15 @@ object Experiment {
       .groupBy(col("g")).agg(
         count(lit(1)).as("ng"),
         sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
-        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+        sum(col("v").cast(d19) * col("v").cast(d19)).cast("decimal(38,0)").as("sxx"))
     val tot = per.agg(
       count(lit(1)).as("k"), sum(col("ng")).as("nn"),
       sum(col("sx")).cast("decimal(38,0)").as("gx"),
       sum(col("sxx")).cast("decimal(38,0)").as("gxx"),
-      sum(col("ng") * col("ng")).as("sn2"))
+      // group sizes are counts — a long n_g² wraps past 3.04e9 rows
+      // per group, so widen like every other product moment
+      sum(col("ng").cast("decimal(19,0)") * col("ng").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("sn2"))
     val twoP53 = 9007199254740992L
     def e(c: Column, what: String): Column =
       when(abs(c) > lit(twoP53), raise_error(lit(
@@ -800,7 +806,7 @@ object Experiment {
     val ssw = e(col("gxx"), "the grand square sum") - col("bsum")
     val msb = ssb / (kD - lit(1.0))
     val msw = ssw / (nD - kD)
-    val n0 = (nD - col("sn2").cast("double") / nD) / (kD - lit(1.0))
+    val n0 = (nD - e(col("sn2"), "the Σn_g² term") / nD) / (kD - lit(1.0))
     val den = msb + (n0 - lit(1.0)) * msw
     folded.select(
       col("k"), col("nn").as("n"),
@@ -859,10 +865,16 @@ object Experiment {
       "sprtMonitor: converted must be a non-null boolean")))
       .otherwise(converted.cast("boolean"))
     val p = periodSeconds * 1000000L
+    // a null timestamp is a contract violation, not a droppable row:
+    // silently excluded events would skew per-period counts and the
+    // cumulative LLR with no signal (callers that WANT to drop nulls
+    // pre-filter, as q344 does)
+    val tsG = when(ts.cast("timestamp").isNull, raise_error(lit(
+      "sprtMonitor: ts must be a non-null timestamp")))
+      .otherwise(ts.cast("timestamp"))
     val cells = df.select(
-      floor(unix_micros(ts.cast("timestamp")) / lit(p)).cast("long").as("period"),
+      floor(unix_micros(tsG) / lit(p)).cast("long").as("period"),
       cG.as("c"))
-      .filter(col("period").isNotNull)
       .groupBy(col("period")).agg(
         count(lit(1)).as("n"),
         sum(when(col("c"), 1L).otherwise(0L)).as("conversions"))
@@ -1062,7 +1074,7 @@ object Experiment {
       .groupBy(col("g")).agg(
         count(lit(1)).as("ng"),
         sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
-        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+        sum(col("v").cast(d19) * col("v").cast(d19)).cast("decimal(38,0)").as("sxx"))
     val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"))
     val twoP53 = 9007199254740992L
     def e(c: Column, what: String): Column =
@@ -1135,7 +1147,7 @@ object Experiment {
       .groupBy(col("g")).agg(
         count(lit(1)).as("ng"),
         sum(col("v").cast(d19)).cast("decimal(38,0)").as("sx"),
-        sum((col("v") * col("v")).cast(d19)).cast("decimal(38,0)").as("sxx"))
+        sum(col("v").cast(d19) * col("v").cast(d19)).cast("decimal(38,0)").as("sxx"))
     val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"))
     val twoP53 = 9007199254740992L
     def e(c: Column, what: String): Column =

@@ -914,11 +914,16 @@ object RankStats {
       when(abs(c) > lit(twoP53), raise_error(lit(
         s"trimmedMean: |$what| exceeds 2^53 — rescale the value")))
         .otherwise(c).cast("double")
-    val wsum = e(col("tsum"), "the trimmed sum") +
-      col("cut").cast("double") *
-        (col("vlo").cast("double") + col("vhi").cast("double"))
+    // the winsorized numerator tsum + cut·(v_lo + v_hi) is computed
+    // EXACTLY in decimal and guarded as a whole: a double-side
+    // cut×boundary add could lose integer exactness (breaking the
+    // hash-exact contract) even when tsum itself is under 2^53
+    val wnum = (col("tsum") +
+      col("cut").cast(d19) * (col("vlo").cast(d19) + col("vhi").cast(d19)))
+      .cast("decimal(38,0)")
     agg.select(col("g").as("group"), col("n"), col("cut"),
       (e(col("tsum"), "the trimmed sum") / kept).as("trimmed_mean"),
-      (wsum / col("n").cast("double")).as("winsorized_mean"))
+      (e(wnum, "the winsorized numerator") / col("n").cast("double"))
+        .as("winsorized_mean"))
   }
 }

@@ -620,8 +620,14 @@ object Sampling {
             "the U×P expansion needs a bounded pool (top-P popular, " +
             "a curated set), never the full catalog")))
           .otherwise(col("pk")).as("pk"))
+    // a null/uncastable item would become a null join key, silently
+    // miss the anti-join, and let a user's REAL positive survive as a
+    // "negative" — raise loudly like every other key column here
+    val iG = when(item.cast("long").isNull, raise_error(lit(
+      "negativeSample: item must be a non-null integral id")))
+      .otherwise(item.cast("long"))
     val positives = interactions
-      .select(uG.as("au"), item.cast("long").as("ai")).distinct()
+      .select(uG.as("au"), iG.as("ai")).distinct()
     val cand = interactions.select(uG.as("u")).distinct()
       .crossJoin(broadcast(guarded))
       .join(positives,

@@ -190,17 +190,24 @@ object Survival {
         raise_error(lit("coxScoreTest: event flag must be non-null")))
         .otherwise(eventOccurred.cast("boolean")).as("ev"),
       xG.as("x"))
+    // covariate moments in decimal: a plain long sum past 2^63 wraps
+    // silently and a wrapped value can PASS the 2^53 eD guard,
+    // producing a wrong U/I/z with no error (the x² per-row product
+    // additionally wraps at |x| ≳ 3.04e9 before any sum)
+    val d19 = "decimal(19,0)"
     val byT = base.groupBy(col("t")).agg(
       count(lit(1)).as("leave"),
       sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
-      sum(when(col("ev"), col("x")).otherwise(0L)).as("sxd"),
-      sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"))
+      sum(when(col("ev"), col("x")).otherwise(0L).cast(d19))
+        .cast("decimal(38,0)").as("sxd"),
+      sum(col("x").cast(d19)).cast("decimal(38,0)").as("sx"),
+      sum(col("x").cast(d19) * col("x").cast(d19))
+        .cast("decimal(38,0)").as("sxx"))
     val totals = byT.agg(
       sum(col("leave")).as("n_total"),
       sum(col("d")).as("ev_total"),
-      sum(col("sx")).as("sx_total"),
-      sum(col("sxx")).as("sxx_total"),
+      sum(col("sx")).cast("decimal(38,0)").as("sx_total"),
+      sum(col("sxx")).cast("decimal(38,0)").as("sxx_total"),
       count(lit(1)).as("__k"))
     val twoP53 = 9007199254740992L
     def eD(c: Column, what: String): Column =

@@ -1216,11 +1216,16 @@ object TimeSeries {
           .cast("decimal(38,0)").as(s"sx$l"),
         sum(when(both, y.cast(d19)).otherwise(lit(0).cast(d19)))
           .cast("decimal(38,0)").as(s"sy$l"),
-        sum(when(both, (col("x") * y).cast(d19)).otherwise(lit(0).cast(d19)))
+        // decimal×decimal: a long×long product wraps silently past
+        // ±3.04e9 and the wrapped sum can pass the 2^53 guard
+        sum(when(both, col("x").cast(d19) * y.cast(d19))
+          .otherwise(lit(0).cast(d19)))
           .cast("decimal(38,0)").as(s"sxy$l"),
-        sum(when(both, (col("x") * col("x")).cast(d19)).otherwise(lit(0).cast(d19)))
+        sum(when(both, col("x").cast(d19) * col("x").cast(d19))
+          .otherwise(lit(0).cast(d19)))
           .cast("decimal(38,0)").as(s"sxx$l"),
-        sum(when(both, (y * y).cast(d19)).otherwise(lit(0).cast(d19)))
+        sum(when(both, y.cast(d19) * y.cast(d19))
+          .otherwise(lit(0).cast(d19)))
           .cast("decimal(38,0)").as(s"syy$l"))
     }
     val wide = shifted.agg(aggs.head, aggs.tail: _*)

@@ -334,8 +334,7 @@ object ScaleOps10 {
              |  GROUP BY 1, 2, 3)
              |SELECT g AS "group", n, cut,
              |  CAST(tsum AS DOUBLE) / CAST(n - cut * 2 AS DOUBLE) AS trimmed_mean,
-             |  (CAST(tsum AS DOUBLE) + CAST(cut AS DOUBLE)
-             |    * (CAST(vlo AS DOUBLE) + CAST(vhi AS DOUBLE)))
+             |  CAST(tsum + cut * (vlo + vhi) AS DOUBLE)
              |    / CAST(n AS DOUBLE) AS winsorized_mean
              |FROM agg ORDER BY "group"""".stripMargin)),
 

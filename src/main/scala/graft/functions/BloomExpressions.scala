@@ -64,3 +64,51 @@ case class BloomMightContainLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_blocked_bloom_contains(key, filter_bytes)`: membership probe
+  * of a serialized [[BlockedBloom]] split-block filter — the
+  * cache-local sibling of [[BloomMightContainLong]] for probe volumes
+  * where the classic filter's k scattered bit reads (each a likely
+  * cache miss once the filter outgrows L2) dominate: all probe bits
+  * live in one 256-bit block, so a test is ~one cache line of traffic.
+  * Same contract: no false negatives, ~fp-rate false positives, the
+  * filter is a foldable binary literal deserialized once per task.
+  */
+case class BlockedBloomContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, BinaryType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case (LongType, BinaryType) => TypeCheckResult.TypeCheckFailure(
+      "graft_blocked_bloom_contains filter argument must be a literal (the serialized filter)")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_blocked_bloom_contains requires (bigint, binary literal), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val filter: BlockedBloom = {
+    val bytes = right.eval()
+    require(bytes != null, "graft_blocked_bloom_contains: filter literal is null")
+    BlockedBloom.deserialize(bytes.asInstanceOf[Array[Byte]])
+  }
+
+  /** Called from generated code via the reference object. */
+  def test(v: Long): Boolean = filter.mightContain(v)
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_blocked_bloom_contains"
+
+  override protected def nullSafeEval(v: Any, bytes: Any): Any =
+    test(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "blockedBloomContains", this, classOf[BlockedBloomContains].getName)
+    defineCodeGen(ctx, ev, (v, _) => s"$ref.test($v)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

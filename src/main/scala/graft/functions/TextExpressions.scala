@@ -559,6 +559,9 @@ object GraftFunctions {
     spec("graft_bloom_contains",
       "graft_bloom_contains(key, filter_bytes) - bloom-filter membership probe", 2)(
       exprs => BloomMightContainLong(exprs.head, exprs(1))),
+    spec("graft_blocked_bloom_contains",
+      "graft_blocked_bloom_contains(key, filter_bytes) - split-block bloom membership probe", 2)(
+      exprs => BlockedBloomContains(exprs.head, exprs(1))),
     // variadic: bits first, then >= 2 key columns
     FnSpec("graft_zorder",
       "graft_zorder(bits, k1, k2, ...) - Morton-interleaved clustering key",
@@ -718,6 +721,12 @@ object GraftFunctions {
   def bloomContains(spark: SparkSession, key: Column, filterBytes: Array[Byte]): Column = {
     register(spark)
     call_function("graft_bloom_contains", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
+  }
+
+  def blockedBloomContains(spark: SparkSession, key: Column, filterBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_blocked_bloom_contains", key,
       org.apache.spark.sql.functions.lit(filterBytes))
   }
 

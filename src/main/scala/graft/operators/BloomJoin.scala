@@ -70,6 +70,51 @@ object BloomJoin {
     out.toByteArray
   }
 
+  /** Distributed build of a serialized SPLIT-BLOCK bloom filter over
+    * `key` — the cache-local variant for probe-bound pre-filters: all
+    * probe bits of a key live in one 256-bit block
+    * ([[graft.functions.BlockedBloom]]), so a membership test is ~one
+    * cache line of traffic instead of ~7 scattered misses into a
+    * filter that has long outgrown L2. Prefer this whenever the probe
+    * side is 10x+ the build side (the q162 wedge filter probes 411M
+    * keys against 12M); the classic [[buildKeyFilter]] stays for
+    * fp-rate-sensitive or space-tight uses. ~16 bits/key ≈ 1% fp.
+    */
+  def buildBlockedKeyFilter(
+      df: DataFrame,
+      key: Column,
+      bitsPerKey: Int = 16,
+      maxFilterBytes: Long = 64L << 20): Array[Byte] = {
+    import graft.functions.BlockedBloom
+    val keys = df.select(key.cast("long").as("__graft_bloom_key"))
+      .where(col("__graft_bloom_key").isNotNull)
+    val n = math.max(keys.count(), 1L)
+    val proto = BlockedBloom.create(n, bitsPerKey)
+    require(proto.numBlocks.toLong * 32L + 4L <= maxFilterBytes,
+      s"blocked bloom needs ${proto.numBlocks * 32L} bytes for $n keys at " +
+        s"$bitsPerKey bits/key, over the $maxFilterBytes cap — lower bitsPerKey/raise " +
+        "the cap, or the build side is large enough that a plain shuffled join " +
+        "is the right plan")
+    keys.rdd.map(_.getLong(0)).treeAggregate(proto)(
+      (f, k) => { f.put(k); f },
+      (a, b) => a.mergeInPlace(b)).serialized
+  }
+
+  /** [[bloomPreFilter]] with the split-block filter — identical
+    * no-false-negative contract, probe cost ~one cache line per row.
+    */
+  def blockedBloomPreFilter(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      bitsPerKey: Int = 16,
+      maxFilterBytes: Long = 64L << 20): DataFrame = {
+    val bytes = buildBlockedKeyFilter(small, smallKey, bitsPerKey, maxFilterBytes)
+    big.where(graft.functions.GraftFunctions.blockedBloomContains(
+      big.sparkSession, bigKey.cast("long"), bytes))
+  }
+
   /** `big` rows whose `bigKey` MIGHT match a `smallKey` — the map-side
     * pre-filter alone (false positives at rate ~fpp remain; no false
     * negatives). Use when an exact join follows anyway or approximate

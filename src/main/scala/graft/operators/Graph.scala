@@ -269,33 +269,56 @@ object Graph {
     val aKey = struct(col("da").as("d"), col("a").as("n"))
     val bKey = struct(col("db").as("d"), col("b").as("n"))
     val fwd = aKey < bKey
-    val oriented = canon
-      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
-      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
-      .select(
-        when(fwd, col("a")).otherwise(col("b")).as("u"),
-        when(fwd, bKey).otherwise(aKey).as("vkey"),
-        when(fwd, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
-    // wedges pivoting at u: (v, w) with vkey < wkey keeps each wedge once
+    // Materialized ONCE, hash-partitioned by the pivot: the checkpoint
+    // preserves HashPartitioning(u) through LogicalRDD (see
+    // [[PartitionedCheckpoint]] for the AQE caveat), so the wedge
+    // self-join below plans with ZERO exchanges (both sides share the
+    // partitioning) and the close join's probe side needs none either
+    // — one paid shuffle replaces the three the planner would
+    // otherwise insert over the 12M-row (sf1) oriented set.
+    // the target's key is carried as TWO long columns (dv, v), not a
+    // struct: the wedge predicate below evaluates once per ENUMERATED
+    // pair (~411M at sf1) and a codegen'd pair of long compares beats
+    // an interpreted struct ordering on the hot path
+    val oriented = PartitionedCheckpoint.byKeys(
+      canon
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+        .select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("db")).otherwise(col("da")).as("dv"),
+          when(fwd, col("b")).otherwise(col("a")).as("v")),
+      col("u"))
+    // wedges pivoting at u: (v, w) with (dv,v) < (dw,w) keeps each
+    // wedge exactly once under the same (deg, id) total order
     val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
+        col("e1.u") === col("e2.u") && (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("pivot"), col("e1.v").as("v"), col("e2.v").as("w"))
-    // a wedge closes iff the simple graph has edge {v,w} — probe the
-    // canonical (unordered) edge set, orientation-independent. The
-    // wedge table is the plan's O(E^1.5) blowup and almost all of it
-    // closes nothing, so drop non-candidates MAP-SIDE with a bloom
-    // over the hashed edge set before the close-join exchange (the
-    // [[BloomJoin]] geometry); the exact join then removes the ~fpp
-    // false positives. Hash collisions only ADD candidates — the
-    // equi-join on the real endpoint pair keeps correctness exact.
-    val wedgeKey = xxhash64(least(col("v"), col("w")), greatest(col("v"), col("w")))
-    val candidates = BloomJoin.bloomPreFilter(
-      wedges, canon, wedgeKey, xxhash64(col("a"), col("b")))
-    candidates.join(canon,
-        (least(col("v"), col("w")) === col("a")) &&
-          (greatest(col("v"), col("w")) === col("b")))
-      .select(col("pivot"), col("v"), col("w"))
+    // a wedge closes iff the graph has edge {v,w}. Orientation is a
+    // TOTAL order and the wedge keeps vkey < wkey, so that edge — if
+    // present — is oriented exactly v->w: probe the ORIENTED set on
+    // its own pivot key (u=v, v=w), reusing the one materialization
+    // (and its partitioning) instead of re-exchanging the canonical
+    // set. The wedge table is the plan's O(E^1.5) blowup and almost
+    // all of it closes nothing, so drop non-candidates MAP-SIDE with
+    // a bloom over the hashed oriented-edge set before the close-join
+    // exchange (the [[BloomJoin]] geometry); the exact join then
+    // removes the ~fpp false positives. Hash collisions only ADD
+    // candidates — the equi-join on the real endpoint pair keeps
+    // correctness exact.
+    val candidates = BloomJoin.blockedBloomPreFilter(
+      wedges, oriented, xxhash64(col("v"), col("w")),
+      xxhash64(col("u"), col("v")))
+    // shuffle-hash, not sort-merge: sorting the wedge-candidate side
+    // (23M rows at sf1) buys nothing a per-partition hash map over the
+    // oriented side (12M/Npart rows) doesn't, and the oriented scan's
+    // preserved HashPartitioning(u) means the build side needs no
+    // exchange at all when subset-key co-partitioning is allowed
+    val tri = candidates.join(
+      oriented.select(col("u").as("cv"), col("v").as("cw")).hint("shuffle_hash"),
+      col("v") === col("cv") && col("w") === col("cw"))
+    tri.select(col("pivot"), col("v"), col("w"))
   }
 
   /** PER-NODE LOCAL CLUSTERING COEFFICIENT — Watts & Strogatz 1998:

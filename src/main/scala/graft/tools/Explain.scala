@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args) {
       println(s"==== $n ====")

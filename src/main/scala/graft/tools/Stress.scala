@@ -76,6 +76,10 @@ object Stress {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // allow co-partition reuse when a side is hash-partitioned on a
+      // SUBSET of the join keys (the partitioned-checkpoint pattern:
+      // a build side materialized by its pivot joins with no exchange)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

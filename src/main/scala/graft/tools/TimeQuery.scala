@@ -10,6 +10,10 @@ object TimeQuery {
     val sfDir = args.head
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // allow co-partition reuse when a side is hash-partitioned on a
+      // SUBSET of the join keys (the partitioned-checkpoint pattern:
+      // a build side materialized by its pivot joins with no exchange)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -80,4 +80,39 @@ class BloomJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("cap"))
   }
+
+  test("blocked pre-filter soundness: every true match survives, and it filters") {
+    import spark.implicits._
+    val big = (1L to 5000L).toDF("k")
+    val small = (1L to 5000L by 97).toDF("sk")
+    // hash the keys like production call sites do (the filter expects
+    // well-mixed 64-bit keys)
+    val pre = BloomJoin.blockedBloomPreFilter(
+      big, small, xxhash64($"k"), xxhash64($"sk"))
+      .collect().map(_.getLong(0)).toSet
+    val matches = (1L to 5000L by 97).toSet
+    assert(matches.subsetOf(pre), "blocked bloom pre-filter dropped a true match")
+    assert(pre.size < 1000, s"blocked pre-filter kept ${pre.size} of 5000 rows")
+  }
+
+  test("BlockedBloom kernel: no false negatives, low fp rate, merge works") {
+    import graft.functions.BlockedBloom
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(200000)(rnd.nextLong())
+    val a = BlockedBloom.create(keys.length)
+    val b = BlockedBloom.create(keys.length)
+    keys.take(100000).foreach(a.put)
+    keys.drop(100000).foreach(b.put)
+    val merged = a.mergeInPlace(b)
+    assert(keys.forall(merged.mightContain), "false negative after merge")
+    val keySet = keys.toSet
+    val probes = Array.fill(200000)(rnd.nextLong())
+    val fresh = probes.filterNot(keySet.contains)
+    val fp = fresh.count(merged.mightContain).toDouble / fresh.length
+    assert(fp < 0.03, s"fp rate $fp too high for 16 bits/key")
+    // serialization round-trip is exact
+    val back = BlockedBloom.deserialize(merged.serialized)
+    assert(keys.forall(back.mightContain))
+    assert(java.util.Arrays.equals(back.words, merged.words))
+  }
 }

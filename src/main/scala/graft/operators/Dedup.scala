@@ -663,9 +663,54 @@ object Dedup {
     * uncached return would replay every iteration on first use) —
     * `.unpersist()` it when done. All loop-internal caches are
     * released before return.
+    *
+    * SIZE-GATED LOCAL FAST PATH (the broadcast-join trade, applied to
+    * components): each distributed round costs several fixed shuffle
+    * stages, so on a pair set that fits comfortably on the driver the
+    * loop is pure scheduling latency — measured 7.5 s for 163k pairs
+    * where a local union-find is milliseconds. A bounded LIMIT probe
+    * (≤ `localPairCap`+1 rows, ~16 B each — the same order as a
+    * broadcast threshold) decides: under the cap, collect the pairs
+    * and resolve components with path-compressed union-find on the
+    * driver; at or over it, run the distributed pointer-jumping loop
+    * unchanged. Identical output either way: cluster_id = min member.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def clusters(
+      pairs: DataFrame,
+      maxIter: Int = 30,
+      localPairCap: Int = 4000000): DataFrame = {
     val spark = pairs.sparkSession
+    val probe = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(localPairCap + 1).collect()
+    if (probe.length <= localPairCap) {
+      import scala.jdk.CollectionConverters._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halve toward the root
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // roots are already component minima: unions always point the
+      // larger root at the smaller, so find() lands on the min id
+      val rows = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+      val out = spark.createDataFrame(rows).toDF("doc_id", "cluster_id").cache()
+      out.count()
+      return out
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

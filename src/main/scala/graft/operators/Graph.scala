@@ -865,10 +865,20 @@ object Graph {
     * of the operator's semantics (oracles replay it), not a silent
     * truncation, and it is principled for RA specifically: a hub
     * center contributes only 1/deg ≤ 1/cap to the score while
-    * generating deg² wedge rows. Existing edges leave via an
-    * anti-join BEFORE the per-pair reduction; the per-pair RA sum
-    * folds through a window in neighbor order (ties impossible — a
-    * neighbor appears once per pair), so scores are hash-exact.
+    * generating deg² wedge rows.
+    *
+    * The per-pair reduction happens FIRST, as one partial-aggregable
+    * groupBy, and only the tiny ≥ `minCommon` survivor set meets the
+    * adjacency anti-join (adjacency removal drops whole pairs, so the
+    * order is semantics-free): at sf1 the previous shape pushed 110M
+    * wedge rows through the anti-join and a (u,v) window to keep 74k
+    * pairs. The RA sum stays hash-exact WITHOUT an ordered fold by
+    * exact rational arithmetic: Σ 1/deg = (Σ LCM/deg) / LCM with
+    * LCM = lcm(1..maxCenterDegree), every LCM/deg an exact
+    * decimal(38,0) integer, and ONE pinned double division at the
+    * end — order-free, so the map-side combine is fully exact. When
+    * the cap is so large that LCM·cap overflows decimal(38,0)
+    * (cap ≳ 80), the operator falls back to the ordered-window fold.
     *
     * Output per surviving pair (a < b):
     * (a, b, common_neighbors, ra_index).
@@ -895,18 +905,38 @@ object Graph {
       .select(col("u"), col("v"), col("w"), col("d"))
     val canon = sym.filter(col("src") < col("dst"))
       .select(col("src").as("ea"), col("dst").as("eb"))
-    val nonAdj = wedges.join(canon,
-      col("u") === col("ea") && col("v") === col("eb"), "left_anti")
-    val wCum = Window.partitionBy(col("u"), col("v")).orderBy(col("w").asc)
-    val wAll = Window.partitionBy(col("u"), col("v"))
-    nonAdj
-      .withColumn("ra", sum(lit(1.0) / col("d").cast("double"))
-        .over(wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("rn", row_number().over(wCum))
-      .withColumn("cn", count(lit(1)).over(wAll))
-      .filter(col("rn") === col("cn") && col("cn") >= minCommon)
-      .select(col("u").as("a"), col("v").as("b"),
-        col("cn").as("common_neighbors"), col("ra").as("ra_index"))
+    val lcm = (1 to maxCenterDegree)
+      .foldLeft(BigInt(1))((l, i) => l / l.gcd(BigInt(i)) * i)
+    if (lcm * maxCenterDegree < BigInt(10).pow(38)) {
+      // exact-rational path: aggregate all wedges per pair (map-side
+      // combinable — no ordered fold needed), THEN filter + anti-join
+      val recips = typedLit((1 to maxCenterDegree).map(d => (lcm / d).toString))
+        .cast("array<decimal(38,0)>")
+      wedges
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"),
+          sum(element_at(recips, col("d").cast("int")))
+            .cast("decimal(38,0)").as("sra"))
+        .filter(col("cn") >= minCommon)
+        .join(canon,
+          col("u") === col("ea") && col("v") === col("eb"), "left_anti")
+        .select(col("u").as("a"), col("v").as("b"),
+          col("cn").as("common_neighbors"),
+          (col("sra").cast("double") / lit(lcm.toDouble)).as("ra_index"))
+    } else {
+      val nonAdj = wedges.join(canon,
+        col("u") === col("ea") && col("v") === col("eb"), "left_anti")
+      val wCum = Window.partitionBy(col("u"), col("v")).orderBy(col("w").asc)
+      val wAll = Window.partitionBy(col("u"), col("v"))
+      nonAdj
+        .withColumn("ra", sum(lit(1.0) / col("d").cast("double"))
+          .over(wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wCum))
+        .withColumn("cn", count(lit(1)).over(wAll))
+        .filter(col("rn") === col("cn") && col("cn") >= minCommon)
+        .select(col("u").as("a"), col("v").as("b"),
+          col("cn").as("common_neighbors"), col("ra").as("ra_index"))
+    }
   }
 
   private def symmetrized(
@@ -917,9 +947,15 @@ object Graph {
         .otherwise(c.cast("long"))
     val e0 = edgesIn.select(
       guarded(src, "src").as("src"), guarded(dst, "dst").as("dst"))
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // dedup on the CANONICAL half (a < b), then mirror: the reversed
+    // copies are distinct by construction, so the shuffle-heavy
+    // distinct sees half the rows the mirror-then-distinct order paid
+    val canon = e0
       .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   private def frontierLoop(

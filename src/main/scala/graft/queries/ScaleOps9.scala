@@ -1213,20 +1213,20 @@ object ScaleOps9 {
              |  FROM sym e1
              |  JOIN deg ON e1.dst = deg.c AND deg.d <= 64
              |  JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst),
-             |nonadj AS MATERIALIZED (SELECT wed.u, wed.v, wed.w, wed.d
-             |  FROM wed
-             |  LEFT JOIN canon ON canon.a = wed.u AND canon.b = wed.v
-             |  WHERE canon.a IS NULL),
-             |sc AS (SELECT u, v,
-             |    sum(1.0 / CAST(d AS DOUBLE)) OVER (PARTITION BY u, v
-             |      ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS ra,
-             |    row_number() OVER (PARTITION BY u, v ORDER BY w) AS rn,
-             |    count(*) OVER (PARTITION BY u, v) AS cn
-             |  FROM nonadj)
+             |-- exact rational RA: sum(LCM/deg) as hugeint (LCM =
+             |-- lcm(1..64), every division exact), ONE double division
+             |-- at the end — replays the operator's order-free sum
+             |sc AS (SELECT u, v, count(*) AS cn,
+             |    sum(CAST('1182266884102822267511361600' AS HUGEINT)
+             |        // CAST(d AS HUGEINT)) AS sra
+             |  FROM wed GROUP BY 1, 2),
+             |surv AS (SELECT sc.u, sc.v, sc.cn, sc.sra FROM sc
+             |  LEFT JOIN canon ON canon.a = sc.u AND canon.b = sc.v
+             |  WHERE canon.a IS NULL AND sc.cn >= 3)
              |SELECT u AS a, v AS b, CAST(cn AS BIGINT) AS common_neighbors,
-             |  ra AS ra_index
-             |FROM sc WHERE rn = cn AND cn >= 3
+             |  CAST(sra AS DOUBLE)
+             |    / CAST('1182266884102822267511361600' AS DOUBLE) AS ra_index
+             |FROM surv
              |ORDER BY a, b""".stripMargin)),
 
     // ---- q305: QUANTILE-FORECAST BACKTEST — fit each return flag's
@@ -3076,11 +3076,17 @@ object ScaleOps9 {
       d: String,
       minPrice: Double = 0.0): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val it = Tables.lineitem(s, d)
-      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
-        $"l_extendedprice" > minPrice)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .distinct()
+    // materialized hash-partitioned by order id: Spark does not reuse
+    // exchanges across the self-join's `.as` aliases (each side would
+    // re-scan + re-shuffle the distinct), while the partitioned
+    // checkpoint makes the pair join plan with zero exchanges
+    val it = graft.operators.PartitionedCheckpoint.byKeys(
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
+          $"l_extendedprice" > minPrice)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .distinct(),
+      col("o"))
     it.as("l").join(it.as("r"),
       col("l.o") === col("r.o") && col("l.p") < col("r.p"))
       .select(col("l.p").as("src"), col("r.p").as("dst"))

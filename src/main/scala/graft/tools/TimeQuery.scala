@@ -15,13 +15,24 @@ object TimeQuery {
       // a build side materialized by its pivot joins with no exchange)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", graft.queries.Scratch.base.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_TQ_REPS", "2").toInt.max(1)
     for (n <- args.tail) {
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() // warm
-      val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      graft.Bench.freeLocalCheckpoints(spark)
+      // min over reps + checkpoint hygiene between runs — the same
+      // weather-bounding the bench uses (host variance is real)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Bench.freeLocalCheckpoints(spark)
+        (dt, rows)
+      }
+      val (best, rows) = times.minBy(_._1)
+      println(f"$n: $best%.2f s ($rows rows, ${times.map(t => f"${t._1}%.1f").mkString("/")})")
     }
     spark.stop()
   }

@@ -14,6 +14,7 @@ object TriangleProfile2 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.local.dir", graft.queries.Scratch.base.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)

@@ -90,7 +90,9 @@ class CacheHygieneSpec extends SparkTestBase {
     }
     spark.sparkContext.addSparkListener(listener)
     val before = stableJobIds()
-    val labels = Dedup.clusters(edges)
+    // localPairCap = 0 forces the DISTRIBUTED loop — this test pins
+    // ITS task budget; the size-gated local fast path would short it
+    val labels = Dedup.clusters(edges, localPairCap = 0)
     labels.collect()
     labels.unpersist(blocking = true)
     val jobs = (stableJobIds() -- before).size

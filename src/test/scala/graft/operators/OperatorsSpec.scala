@@ -406,6 +406,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(clusterIds.subsetOf(ids))
   }
 
+  test("clusters: local union-find fast path == distributed loop, row for row") {
+    import spark.implicits._
+    // random-ish multi-component graph incl. a diameter-9 chain, dup
+    // and reversed pairs — everything that could diverge between the
+    // driver union-find and min-label propagation
+    val pairs = (
+      (0L until 9L).map(i => (i, i + 1)) ++           // chain
+        Seq((20L, 21L), (21L, 20L), (20L, 21L)) ++    // dup + reversed
+        Seq((30L, 32L), (31L, 32L), (33L, 31L)) ++    // star-ish
+        Seq((40L, 41L))
+      ).toDF("id_a", "id_b")
+    val local = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusters(pairs, localPairCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(9L) == 0L && local(33L) == 30L && local(41L) == 40L)
+  }
+
   test("split assignment is deterministic and roughly proportioned") {
     import spark.implicits._
     val a = docs.select($"doc_id", Dedup.splitAssign($"text").as("s")).collect()

@@ -966,6 +966,70 @@ object TextAnalysis {
       .withColumn("vocab_cum", sum(col("new_tokens")).over(wCum))
   }
 
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): the guaranteed-coverage document
+    * fingerprint for plagiarism / near-copy detection. Token k-grams
+    * hash portably (md5 first 15 hex chars as a 60-bit integer — the
+    * [[Dedup]] portable-SimHash token convention, so any engine
+    * re-derives identical values); every window of `window`
+    * consecutive k-gram hashes SELECTS its minimum, rightmost on
+    * ties; the distinct selected (position, hash) pairs are the
+    * document's fingerprints. Guarantee: any shared token run of
+    * length ≥ k + window − 1 between two documents shares at least
+    * one selected fingerprint — matching on fingerprints has NO
+    * false negatives at that match length, with ~2/(window+1)
+    * density instead of every-position storage.
+    *
+    * Scale shape: gram construction and hashing are per-row
+    * projections; the window min is one per-doc window (ordered by
+    * position, frame = the trailing `window` rows), expressed as a
+    * lexicographic struct MIN of (hash, −pos) so the rightmost-tie
+    * rule needs no second pass. Documents shorter than k tokens have
+    * no k-gram and emit nothing; a document with fewer grams than
+    * `window` selects the minimum of what exists (the one partial
+    * window). All-integer output — hash-exact.
+    *
+    * Output: (doc_id, pos, fp) — pos is the 1-based k-gram position
+    * of each selected fingerprint.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      k: Int = 5,
+      window: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val guardedId = when(id.cast("long").isNull, raise_error(lit(
+      "winnowingFingerprints: id is null or not castable to long")))
+      .otherwise(id.cast("long"))
+    val grams = df
+      .select(guardedId.as("doc_id"), coalesce(tokens(text), array()).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - lit(k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(window - 1), 0)
+    val wAll = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("m", count(lit(1)).over(wAll))
+      // struct MIN of (h, -pos): smallest hash, rightmost position on
+      // ties — the robust-winnowing selection rule in one aggregate
+      .withColumn("pick",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(wFrame))
+      // full windows end at pos >= window; a doc with m < window grams
+      // has exactly one (partial) window, ending at its last gram
+      .filter(col("pos") >= window || col("pos") === col("m"))
+      .select(col("doc_id"), (-col("pick.np")).as("pos"), col("pick.h").as("fp"))
+      .distinct()
+  }
+
   /** FLESCH READING EASE per document — the classic readability
     * screen (Flesch 1948), with the standard computable proxies:
     * words = [[tokens]] count, sentences = runs of `.!?` (min 1),

@@ -3080,13 +3080,12 @@ object ScaleOps9 {
     // exchanges across the self-join's `.as` aliases (each side would
     // re-scan + re-shuffle the distinct), while the partitioned
     // checkpoint makes the pair join plan with zero exchanges
-    val it = graft.operators.PartitionedCheckpoint.byKeys(
-      Tables.lineitem(s, d)
-        .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
-          $"l_extendedprice" > minPrice)
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-        .distinct(),
-      col("o"))
+    val it = Tables.lineitem(s, d)
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull &&
+        $"l_extendedprice" > minPrice)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+      .localCheckpoint(true)
     it.as("l").join(it.as("r"),
       col("l.o") === col("r.o") && col("l.p") < col("r.p"))
       .select(col("l.p").as("src"), col("r.p").as("dst"))

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Round-11 operators: winnowing fingerprints (MOSS) and rendezvous
+  * hashing — brute-force equivalence, the winnowing coverage
+  * guarantee, and the rendezvous minimal-movement property.
+  */
+class Round11OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def check(prop: Prop, min: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Scala reference of robust winnowing over a token list: k-gram
+    * md5-60bit hashes, window rightmost-min, distinct (pos, h).
+    */
+  private def bruteWinnow(toks: Seq[String], k: Int, window: Int): Set[(Long, Long)] = {
+    if (toks.length < k) return Set.empty
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val grams = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    val hs = grams.map(h60)
+    val m = hs.length
+    val ends = (1 to m).filter(e => e >= window || e == m)
+    ends.map { e =>
+      val lo = math.max(1, e - window + 1)
+      val win = (lo to e).map(p => (hs(p - 1), p))
+      // min hash, rightmost position on ties
+      val mh = win.map(_._1).min
+      val pos = win.filter(_._1 == mh).map(_._2).max
+      (pos.toLong, mh)
+    }.toSet
+  }
+
+  test("property: winnowingFingerprints equals the brute reference") {
+    val genDoc: Gen[List[String]] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ee", "f0")))
+    check(Prop.forAll(genDoc, Gen.oneOf(1, 2, 5), Gen.oneOf(1, 3, 4)) {
+      (toks, k, w) =>
+        val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+        val got = TextAnalysis.winnowingFingerprints(df, $"text", $"doc_id", k, w)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+        got == bruteWinnow(toks, k, w)
+    })
+  }
+
+  test("winnowing coverage guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
+    val run = Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8") // k=5,w=4 => need 8
+    val docA = Seq("a", "b", "c") ++ run ++ Seq("d", "e")
+    val docB = Seq("q", "r") ++ run ++ Seq("s", "t", "u", "v")
+    val df = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, $"text", $"doc_id", 5, 4)
+      .collect().groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(_.getLong(2)).toSet
+      }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 8-token run produced no shared fingerprint")
+  }
+
+  test("rendezvous: equals brute argmax; removal moves ONLY the removed shard's keys") {
+    val shards = (0 until 8).map(i => s"s$i")
+    val keys = (1L to 500L).toDF("k")
+    val placed = Rendezvous.assign(
+      Rendezvous.assign(keys, $"k", shards, "sb"),
+      $"k", shards.filterNot(_ == "s3"), "sa")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    placed.foreach { case (k, sb, sa) =>
+      val brute = shards.maxBy(s => md5hex(s"$k|$s"))
+      assert(sb == brute, s"key $k: got $sb, brute $brute")
+      if (sb != "s3") assert(sa == sb, s"key $k moved from $sb to $sa without cause")
+      else assert(sa != "s3")
+    }
+    // the removed shard's keys spread, and load stays roughly balanced
+    val moved = placed.count { case (_, sb, sa) => sb != sa }
+    assert(moved == placed.count(_._2 == "s3"))
+    val byShard = placed.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.values.min > 20, s"suspiciously unbalanced: $byShard")
+  }
+
+  test("rendezvous guards: null key raises, duplicate shard rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Rendezvous.assign(Seq(1L).toDF("k"), $"k", Seq("a", "a"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    val err = intercept[Exception] {
+      Rendezvous.assign(
+        Seq(Some(1L), None).toDF("k"), $"k", Seq("a", "b")).collect()
+    }
+    assert(err.getMessage.contains("rendezvous"))
+  }
+}

@@ -54,6 +54,9 @@ object Stress {
     // full lineitem ledger, and the bucketed rank machinery
     "q236_jaro_winkler", "q227_sssp_bounded", "q241_fifo_matching",
     "q225_roc_auc",
+    // round-11 additions: winnowing gram volume scales with corpus
+    // tokens; the match step adds the fp self-join
+    "q357_winnowing_fingerprints", "q358_winnowing_matches",
     // round-9 additions: the complete containment prefix-filter join
     // (pair volume Σ prefix(h)·df(h) grows superlinearly with corpus
     // density), the per-landmark BFS state (k×V rows), Spearman's

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter,
+  * JASA 1969 — the decision-theoretic foundation every modern linkage
+  * tool implements): candidate pairs score the log-likelihood ratio of
+  * "same entity" vs "random pair" summed over field agreements,
+  *
+  *   w(a,b) = Σ_f  agree_f ? ln(m_f / u_f) : ln((1−m_f) / (1−u_f)),
+  *
+  * where m_f = P(field f agrees | match) and u_f = P(field f agrees |
+  * non-match). m comes from the caller as EXACT RATIONAL priors (the
+  * supervised/Splink-style setup); u is ESTIMATED FROM THE DATA as the
+  * random-agreement probability of field f,
+  *
+  *   u_f = Σ_v c_v(c_v−1) / (N(N−1)),
+  *
+  * an exact integer ratio from the field's value histogram — the
+  * standard estimator (a random pair agrees iff both draw the same
+  * value). Fields where either side is NULL contribute 0 (the
+  * missing-at-random treatment), so null-heavy fields dilute nothing.
+  *
+  * Scale shape: one histogram aggregation per field over the RECORDS
+  * (never pairs), the Σc(c−1)/N(N−1) moments in decimal(38,0) (counts
+  * past 2^31.5 would wrap a long product), and the per-pair score is
+  * a map-side projection after two hash joins attach the field
+  * vectors — candidate generation (blocking) stays the caller's
+  * concern ([[FuzzyJoin]], LSH, sorted-neighborhood). ln is libm, so
+  * oracles gate `weight` at tolerance while `n_agree` hashes exactly.
+  *
+  * Output per pair: (id_a, id_b, n_agree, n_compared, weight).
+  */
+object RecordLinkage {
+
+  /** @param fields (name, value expression over `records`, mNum, mDen):
+    *               the comparison vector, each with its exact-rational
+    *               m prior (0 < m < 1).
+    */
+  def fellegiSunter(
+      records: DataFrame,
+      id: Column,
+      fields: Seq[(String, Column, Long, Long)],
+      pairs: DataFrame): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter needs at least one field")
+    fields.foreach { case (n, _, mNum, mDen) =>
+      require(mNum > 0 && mNum < mDen,
+        s"field $n: m must be a rational in (0,1), got $mNum/$mDen")
+    }
+    val idG = when(id.cast("long").isNull, raise_error(lit(
+      "fellegiSunter: record id is null or not castable to long")))
+      .otherwise(id.cast("long"))
+    val base = records.select(
+      idG.as("__rl_id") +: fields.map { case (n, c, _, _) =>
+        c.cast("string").as(s"__f_$n")
+      }: _*)
+    val n = base.count()
+    require(n >= 2, s"fellegiSunter needs >= 2 records, got $n")
+    // u_f = Σ c_v(c_v−1) / (N_f(N_f−1)) over NON-NULL values of f
+    // (N_f = non-null count — a null can never agree, so it is outside
+    // f's agreement universe); decimal moments, one pinned division
+    val us: Seq[Double] = fields.map { case (name, _, _, _) =>
+      val h = base.filter(col(s"__f_$name").isNotNull)
+        .groupBy(col(s"__f_$name")).agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("nf"),
+          sum(col("c").cast("decimal(19,0)") * (col("c") - 1).cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("num"))
+        .first()
+      val nf = Option(h.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(nf >= 2, s"fellegiSunter: field $name has < 2 non-null values")
+      val num = h.getDecimal(1)
+      require(num.signum() > 0,
+        s"fellegiSunter: field $name is all-distinct — u = 0 makes the " +
+          "agreement weight infinite; drop or coarsen the field")
+      // one double division of two correctly-rounded exact integers —
+      // the replayable shape (a higher-precision intermediate would
+      // double-round differently per engine)
+      val u = new java.math.BigDecimal(num.toBigInteger).doubleValue() /
+        java.math.BigDecimal.valueOf(nf)
+          .multiply(java.math.BigDecimal.valueOf(nf - 1)).doubleValue()
+      require(u < 1.0, s"fellegiSunter: field $name is constant — u = 1")
+      u
+    }
+    val a = base.select(col("__rl_id").as("__ida") +:
+      fields.map { case (n2, _, _, _) => col(s"__f_$n2").as(s"__fa_$n2") }: _*)
+    val b = base.select(col("__rl_id").as("__idb") +:
+      fields.map { case (n2, _, _, _) => col(s"__f_$n2").as(s"__fb_$n2") }: _*)
+    val joined = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .join(a, col("id_a") === col("__ida"))
+      .join(b, col("id_b") === col("__idb"))
+    val contribs = fields.zip(us).map { case ((name, _, mNum, mDen), u) =>
+      val fa = col(s"__fa_$name")
+      val fb = col(s"__fb_$name")
+      val m = mNum.toDouble / mDen.toDouble
+      val agreeW = math.log(m / u)
+      val disW = math.log((1.0 - m) / (1.0 - u))
+      val agree = fa.isNotNull && fb.isNotNull && fa === fb
+      val compared = fa.isNotNull && fb.isNotNull
+      (when(agree, lit(agreeW)).when(compared, lit(disW)).otherwise(lit(0.0)),
+        when(agree, 1L).otherwise(0L),
+        when(compared, 1L).otherwise(0L))
+    }
+    joined.select(
+      col("id_a"), col("id_b"),
+      contribs.map(_._2).reduce(_ + _).as("n_agree"),
+      contribs.map(_._3).reduce(_ + _).as("n_compared"),
+      contribs.map(_._1).reduce(_ + _).as("weight"))
+  }
+}

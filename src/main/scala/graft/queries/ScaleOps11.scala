@@ -139,5 +139,98 @@ object ScaleOps11 {
              |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
              |  CAST(coalesce(moved_in, 0) AS BIGINT) AS moved_in
              |FROM nb FULL OUTER JOIN na ON nb.shard = na.shard
-             |ORDER BY shard""".stripMargin)))
+             |ORDER BY shard""".stripMargin)),
+
+    // ---- q360: FELLEGI–SUNTER record-linkage scoring (Fellegi &
+    // Sunter 1969) — log-likelihood-ratio match weights over ED≤1 name
+    // candidate pairs (q109's FastSS blocking), comparison vector =
+    // (nationkey, mktsegment, 1000-unit balance band), m priors exact
+    // rationals (19/20, 4/5, 9/10), u estimated from the data as the
+    // exact random-agreement ratio Σc(c−1)/N(N−1). Counts hash; the
+    // ln-based weight gates at 1e-9 via the poison-row certificate
+    // (the q61 pattern).
+    Q(
+      "q360_fellegi_sunter",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_custkey" % 5 === 0)
+        val pairs = graft.operators.FuzzyJoin.ed1Pairs(cust, $"c_custkey", $"c_name")
+          .select($"id_a", $"id_b")
+        graft.operators.RecordLinkage.fellegiSunter(
+          cust, $"c_custkey",
+          Seq(
+            ("nation", $"c_nationkey", 19L, 20L),
+            ("segment", $"c_mktsegment", 4L, 5L),
+            // exact integer band, +100000 cents keeps the dividend
+            // non-negative so truncating and flooring division agree
+            ("band", expr(
+              "(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"),
+              9L, 10L)),
+          pairs)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q360_fellegi_sunter/*.parquet')),
+             |c AS MATERIALIZED (SELECT c_custkey AS id,
+             |    CAST(c_nationkey AS VARCHAR) AS f_nation,
+             |    CAST(c_mktsegment AS VARCHAR) AS f_segment,
+             |    CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+             |      AS VARCHAR) AS f_area,
+             |    c_name
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |prs AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    a.f_nation AS na, b.f_nation AS nb,
+             |    a.f_segment AS sa, b.f_segment AS sb,
+             |    a.f_area AS aa, b.f_area AS ab
+             |  FROM c a JOIN c b ON a.id < b.id
+             |    AND levenshtein(a.c_name, b.c_name) <= 1),
+             |u_nation AS (SELECT CAST(sum(CAST(cc AS HUGEINT) * (cc - 1)) AS DOUBLE)
+             |    / CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) FROM c
+             |            WHERE f_nation IS NOT NULL) AS DOUBLE) AS u
+             |  FROM (SELECT count(*) AS cc FROM c WHERE f_nation IS NOT NULL GROUP BY f_nation)),
+             |u_segment AS (SELECT CAST(sum(CAST(cc AS HUGEINT) * (cc - 1)) AS DOUBLE)
+             |    / CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) FROM c
+             |            WHERE f_segment IS NOT NULL) AS DOUBLE) AS u
+             |  FROM (SELECT count(*) AS cc FROM c WHERE f_segment IS NOT NULL GROUP BY f_segment)),
+             |u_area AS (SELECT CAST(sum(CAST(cc AS HUGEINT) * (cc - 1)) AS DOUBLE)
+             |    / CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) FROM c
+             |            WHERE f_area IS NOT NULL) AS DOUBLE) AS u
+             |  FROM (SELECT count(*) AS cc FROM c WHERE f_area IS NOT NULL GROUP BY f_area)),
+             |scored AS (SELECT id_a, id_b,
+             |    (CASE WHEN na IS NOT NULL AND nb IS NOT NULL AND na = nb THEN 1 ELSE 0 END
+             |     + CASE WHEN sa IS NOT NULL AND sb IS NOT NULL AND sa = sb THEN 1 ELSE 0 END
+             |     + CASE WHEN aa IS NOT NULL AND ab IS NOT NULL AND aa = ab THEN 1 ELSE 0 END)
+             |      AS n_agree,
+             |    (CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN aa IS NOT NULL AND ab IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_compared,
+             |    (CASE WHEN na IS NULL OR nb IS NULL THEN 0.0
+             |          WHEN na = nb THEN ln((CAST(19 AS DOUBLE)/20) / (SELECT u FROM u_nation))
+             |          ELSE ln((1 - CAST(19 AS DOUBLE)/20) / (1 - (SELECT u FROM u_nation))) END
+             |     + CASE WHEN sa IS NULL OR sb IS NULL THEN 0.0
+             |          WHEN sa = sb THEN ln((CAST(4 AS DOUBLE)/5) / (SELECT u FROM u_segment))
+             |          ELSE ln((1 - CAST(4 AS DOUBLE)/5) / (1 - (SELECT u FROM u_segment))) END
+             |     + CASE WHEN aa IS NULL OR ab IS NULL THEN 0.0
+             |          WHEN aa = ab THEN ln((CAST(9 AS DOUBLE)/10) / (SELECT u FROM u_area))
+             |          ELSE ln((1 - CAST(9 AS DOUBLE)/10) / (1 - (SELECT u FROM u_area))) END)
+             |      AS weight
+             |  FROM prs),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM scored)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN scored x
+             |      ON e.id_a = x.id_a AND e.id_b = x.id_b
+             |      WHERE e.n_agree <> x.n_agree OR e.n_compared <> x.n_compared
+             |         OR abs(e.weight - x.weight) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM scored x
+             |        WHERE x.id_a = e.id_a AND x.id_b = e.id_b))
+             |  ) AS ok)
+             |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+             |  CAST(n_compared AS BIGINT) AS n_compared, weight
+             |FROM scored WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

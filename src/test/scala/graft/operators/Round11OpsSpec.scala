@@ -100,4 +100,47 @@ class Round11OpsSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("rendezvous"))
   }
+
+  test("fellegiSunter: weights match the brute m/u arithmetic; nulls contribute 0") {
+    val recs = Seq(
+      (1L, Some("us"), Some("A")), (2L, Some("us"), Some("A")),
+      (3L, Some("us"), Some("B")), (4L, Some("de"), None),
+      (5L, Some("de"), Some("B")), (6L, Some("fr"), Some("A")))
+      .toDF("id", "country", "seg")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (1L, 6L))
+      .toDF("id_a", "id_b")
+    val got = RecordLinkage.fellegiSunter(
+      recs, $"id",
+      Seq(("country", $"country", 9L, 10L), ("seg", $"seg", 4L, 5L)),
+      pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // u(country): counts us=3, de=2, fr=1 over 6 -> (6+2)/30
+    val uC = 8.0 / 30.0
+    // u(seg): non-null counts A=3, B=2 over 5 -> (6+2)/20
+    val uS = 8.0 / 20.0
+    val (mC, mS) = (0.9, 0.8)
+    def w(agree: Boolean, m: Double, u: Double): Double =
+      if (agree) math.log(m / u) else math.log((1 - m) / (1 - u))
+    assert(got((1L, 2L))._1 == 2 && got((1L, 2L))._2 == 2)
+    assert(math.abs(got((1L, 2L))._3 - (w(true, mC, uC) + w(true, mS, uS))) < 1e-12)
+    assert(math.abs(got((1L, 3L))._3 - (w(true, mC, uC) + w(false, mS, uS))) < 1e-12)
+    // (4,5): country agrees, seg null on one side -> 0 contribution
+    assert(got((4L, 5L)) == ((1L, 1L, w(true, mC, uC))))
+    assert(math.abs(got((1L, 6L))._3 - (w(false, mC, uC) + w(true, mS, uS))) < 1e-12)
+  }
+
+  test("fellegiSunter guards: all-distinct field (u=0) and constant field (u=1) raise") {
+    val recs = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"))
+      .toDF("id", "uniq", "const")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e1 = intercept[IllegalArgumentException] {
+      RecordLinkage.fellegiSunter(recs, $"id", Seq(("u", $"uniq", 1L, 2L)), pairs)
+    }
+    assert(e1.getMessage.contains("all-distinct"))
+    val e2 = intercept[IllegalArgumentException] {
+      RecordLinkage.fellegiSunter(recs, $"id", Seq(("c", $"const", 1L, 2L)), pairs)
+    }
+    assert(e2.getMessage.contains("constant"))
+  }
 }

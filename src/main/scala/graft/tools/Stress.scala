@@ -55,8 +55,10 @@ object Stress {
     "q236_jaro_winkler", "q227_sssp_bounded", "q241_fifo_matching",
     "q225_roc_auc",
     // round-11 additions: winnowing gram volume scales with corpus
-    // tokens; the match step adds the fp self-join
+    // tokens; the match step adds the fp self-join; Fellegi-Sunter
+    // rides the ED<=1 blocking volume
     "q357_winnowing_fingerprints", "q358_winnowing_matches",
+    "q360_fellegi_sunter",
     // round-9 additions: the complete containment prefix-filter join
     // (pair volume Σ prefix(h)·df(h) grows superlinearly with corpus
     // density), the per-landmark BFS state (k×V rows), Spearman's

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter,
@@ -108,5 +109,69 @@ object RecordLinkage {
       contribs.map(_._2).reduce(_ + _).as("n_agree"),
       contribs.map(_._3).reduce(_ + _).as("n_compared"),
       contribs.map(_._1).reduce(_ + _).as("weight"))
+  }
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD 1995 —
+    * the merge/purge method): sort records by a blocking key and emit
+    * every pair within a sliding window of `window` positions — the
+    * classic complement to deletion-neighborhood ([[FuzzyJoin]]) and
+    * LSH blocking: it catches near-matches whose ERRORS ARE IN THE
+    * KEY'S TAIL (same prefix, different suffix) at linear pair volume
+    * N·(window−1).
+    *
+    * The global sort position is computed WITHOUT a single-partition
+    * window: records bucket by a caller-chosen PREFIX of the key
+    * (`prefixLen` chars — the same bounded-block contract as
+    * [[FuzzyJoin.ed1Pairs]], guarded by `maxBucketSize`), per-bucket
+    * counts fold to prefix offsets over the ≤ #buckets-row count
+    * frame, and the in-bucket rank is a per-bucket window. The total
+    * order is (key, id) — unique, so positions are deterministic.
+    * Window pairs join on position blocks (block and next block — a
+    * pair within `window` spans at most two), never all-pairs.
+    *
+    * Output: (id_a, id_b, gap) for every pair with
+    * 0 < pos(b) − pos(a) < window, gap = the position distance.
+    * Null ids/keys drop (they have no place on the sort axis — the
+    * [[FuzzyJoin]] convention).
+    */
+  def sortedNeighborhoodPairs(
+      records: DataFrame,
+      id: Column,
+      key: Column,
+      window: Int,
+      prefixLen: Int = 2,
+      maxBucketSize: Int = 1000000): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val base = records
+      .select(id.cast("long").as("id"), key.cast("string").as("k"))
+      .filter(col("id").isNotNull && col("k").isNotNull)
+      .withColumn("b", substring(col("k"), 1, prefixLen))
+    val counts = base.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val wPrefix = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wPrefix), lit(0L)))
+      .select(col("b").as("ob"),
+        when(col("c") > maxBucketSize, raise_error(concat(
+          lit(s"sortedNeighborhoodPairs: prefix bucket exceeds $maxBucketSize for '"),
+          col("b"), lit("' — lengthen prefixLen or raise the cap"))))
+          .otherwise(col("off")).as("off"))
+    val wRank = Window.partitionBy(col("b")).orderBy(col("k").asc, col("id").asc)
+    val pos = base
+      .join(offsets, col("b") === col("ob"))
+      .withColumn("pos", col("off") + row_number().over(wRank).cast("long"))
+      .select(col("id"), col("pos"))
+    val l = pos.select(col("id").as("id_a"), col("pos").as("pa"),
+      expr(s"pos div $window").as("blk"))
+    val r = pos.select(col("id").as("id_b"), col("pos").as("pb"),
+        expr(s"pos div $window").as("rb"))
+      // a pair within `window` spans at most two consecutive blocks:
+      // the right side registers under its own block AND the previous
+      .select(col("id_b"), col("pb"),
+        explode(array(col("rb"), col("rb") - 1)).as("blk"))
+    l.join(r, Seq("blk"))
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") < window)
+      .select(col("id_a"), col("id_b"), (col("pb") - col("pa")).as("gap"))
   }
 }

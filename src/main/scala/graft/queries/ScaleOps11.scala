@@ -232,5 +232,35 @@ object ScaleOps11 {
              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
              |  CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
              |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q361: SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo
+    // 1995, merge/purge) — every customer pair within a 5-position
+    // window of the (name, id) sort order, computed without a global
+    // single-partition sort (prefix buckets + offset fold). The
+    // oracle replays the window over the true global row_number —
+    // proving the distributed position assignment exact. Hash-exact.
+    Q(
+      "q361_sorted_neighborhood",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+          Tables.customer(s, d).filter($"c_custkey" % 3 === 0),
+          // names are 'Customer#%09d' — a 14-char prefix keys the
+          // buckets on the leading custkey digits (~150 buckets at
+          // sf1); the operator default of 2 would put the whole
+          // fixture in one bucket
+          $"c_custkey", $"c_name", window = 5, prefixLen = 14)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer
+             |  WHERE c_custkey % 3 = 0 AND c_custkey IS NOT NULL
+             |    AND c_name IS NOT NULL),
+             |p AS MATERIALIZED (SELECT id,
+             |    CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS pos
+             |  FROM c)
+             |SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS gap
+             |FROM p a JOIN p b
+             |  ON b.pos > a.pos AND b.pos - a.pos < 5
              |ORDER BY id_a, id_b""".stripMargin)))
 }

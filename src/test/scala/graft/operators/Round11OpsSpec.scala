@@ -143,4 +143,24 @@ class Round11OpsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("constant"))
   }
+
+  test("property: sortedNeighborhoodPairs equals the brute global-sort window") {
+    val genRecs: Gen[List[(Long, String)]] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        id <- Gen.chooseNum(1L, 200L)
+        s <- Gen.listOfN(3, Gen.oneOf("a", "b", "c")).map(_.mkString)
+      } yield (id, s))).map(_.distinctBy(_._1))
+    check(Prop.forAll(genRecs, Gen.oneOf(2, 3, 5), Gen.oneOf(1, 2)) {
+      (recs, w, plen) =>
+        val df = recs.toDF("id", "k")
+        val got = RecordLinkage.sortedNeighborhoodPairs(
+          df, $"id", $"k", window = w, prefixLen = plen)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val sorted = recs.sortBy { case (id, k) => (k, id) }
+        val want = (for {
+          i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+        } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong)).toSet
+        got == want
+    })
+  }
 }

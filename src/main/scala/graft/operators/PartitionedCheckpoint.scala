@@ -66,20 +66,4 @@ object PartitionedCheckpoint {
     }
   }
 
-  /** Eager local checkpoint that PRESERVES whatever partitioning the
-    * plan already produces (no extra repartition): the whole plan —
-    * including any upstream shuffles whose partitioning should survive
-    * — runs inside the AQE-off window. Use when the plan's natural
-    * output partitioning (e.g. an aggregation keyed by the downstream
-    * join key) is the thing worth keeping, and the plan contains no
-    * join that would want AQE's runtime broadcast conversion.
-    */
-  def materializePreserving(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try df.localCheckpoint(true)
-    finally spark.conf.set(aqeKey, prev)
-  }
 }

@@ -92,4 +92,102 @@ object KsTest {
       lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("d_stat"),
       crit.as("crit_05"), (col("d_stat") > crit).as("drift"))
   }
+
+  /** 1-D WASSERSTEIN (earth-mover) distance between two samples —
+    * [[ksTwoSample]]'s integral sibling: where KS reports the WORST
+    * CDF gap, W₁ reports the TOTAL transport cost,
+    *
+    *   W₁ = ∫ |F_ref(x) − F_cur(x)| dx
+    *      = Σ_i |F_ref(x_i⁻) − F_cur(x_i⁻)| · (x_i − x_{i−1})
+    *
+    * over the merged distinct support x_1 < … < x_k — the drift
+    * measure that SEES how far mass moved, not just that it moved
+    * (a tiny shift of all mass and a large shift of little mass both
+    * spike KS; W₁ ranks them correctly). Values must be EXACT
+    * integers (scale prices to cents), so every term is exact:
+    * |cumRef·n_cur − cumCur·n_ref| · gap in decimal(38,0), summed
+    * exactly, ONE double division by n_ref·n_cur at the end — the
+    * numerator hashes as a string and even the double matches
+    * bit-for-bit cross-engine (two correctly-rounded operands, one
+    * division).
+    *
+    * Scale shape: identical two-phase exact-cumulative geometry as
+    * [[ksTwoSample]] (distinct-value collapse → ≤ `buckets` driver
+    * rows for exclusive prefix offsets AND each bucket's predecessor
+    * value → per-bucket windows). Output: one row
+    * (n_ref, n_cur, n_support, w1_num, w1).
+    */
+  def wasserstein1D(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(
+      when(value.cast("long").isNull, raise_error(lit(
+        "wasserstein1D: value must be a non-null integer — scale to cents first")))
+        .otherwise(value.cast("long")).as("v"),
+      when(isRef.cast("boolean").isNull, raise_error(lit(
+        "wasserstein1D: isRef is null — every row needs a side")))
+        .otherwise(isRef.cast("boolean")).as("r"))
+    val perValue = base.groupBy("v").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("r"), 1L).otherwise(0L)).as("c2"))
+    val bounds = perValue.agg(min("v"), max("v")).collect()(0)
+    require(!bounds.isNullAt(0), "wasserstein1D: empty input")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1.0, hi.toDouble - lo.toDouble)
+    val bucketCol = least(lit(buckets - 1).cast("long"),
+      greatest(lit(0L),
+        floor((col("v") - lit(lo)).cast("double") * lit(buckets.toDouble) / lit(span))
+          .cast("long")))
+    val binned = perValue.withColumn("b", bucketCol)
+    val stats = binned.groupBy("b")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"), max("v").as("mx"),
+        count(lit(1)).as("nv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val n1 = stats.map(_._2).sum
+    val n2 = stats.map(_._3).sum
+    require(n1 >= 1 && n2 >= 1,
+      s"wasserstein1D needs both samples non-empty, got n_ref=$n1 n_cur=$n2")
+    // per existing bucket: exclusive prefix counts + the PREDECESSOR
+    // bucket's max value (the gap base for each bucket's first row;
+    // the globally first support point has no predecessor and
+    // contributes no interval)
+    var a1 = 0L
+    var a2 = 0L
+    var prevMax: Option[Long] = None
+    val offs = stats.map { case (b, t1, t2, mx, _) =>
+      val o = (b, a1, a2, prevMax)
+      a1 += t1; a2 += t2; prevMax = Some(mx)
+      o
+    }
+    def ladder(sel: ((Long, Long, Long, Option[Long])) => Column): Column =
+      offs.foldLeft(lit(null).cast("long")) { (acc, o) =>
+        when(col("b") === o._1, sel(o)).otherwise(acc)
+      }
+    val wCum = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("b").orderBy("v")
+    val d19 = "decimal(19,0)"
+    val terms = binned
+      .withColumn("cc1", sum(col("c1")).over(wCum) + ladder(o => lit(o._2)))
+      .withColumn("cc2", sum(col("c2")).over(wCum) + ladder(o => lit(o._3)))
+      .withColumn("pv", coalesce(lag(col("v"), 1).over(wLag),
+        ladder(o => o._4.map(lit(_)).getOrElse(lit(null).cast("long")))))
+      .filter(col("pv").isNotNull)
+      .select(
+        (abs((col("cc1") - col("c1")).cast(d19) * lit(n2).cast(d19) -
+          (col("cc2") - col("c2")).cast(d19) * lit(n1).cast(d19)) *
+          (col("v") - col("pv")).cast(d19)).cast("decimal(38,0)").as("t"))
+    val num = terms.agg(coalesce(sum(col("t")), lit(0).cast("decimal(38,0)"))
+      .cast("decimal(38,0)").as("num"))
+    num.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      lit(stats.map(_._5).sum).as("n_support"),
+      col("num").cast("string").as("w1_num"),
+      (col("num").cast("double") / lit(n1.toDouble * n2.toDouble)).as("w1"))
+  }
 }

@@ -262,5 +262,49 @@ object ScaleOps11 {
              |SELECT a.id AS id_a, b.id AS id_b, b.pos - a.pos AS gap
              |FROM p a JOIN p b
              |  ON b.pos > a.pos AND b.pos - a.pos < 5
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q362: 1-D WASSERSTEIN DRIFT — earth-mover distance between
+    // the pre/post-2024-01-16 event-value distributions in exact
+    // cents ([[graft.operators.KsTest.wasserstein1D]]): the integral
+    // sibling of q141's KS sup-gap. Every term exact decimal; the
+    // numerator hashes as a string and the final double is one pinned
+    // division of two correctly-rounded exact integers — fully
+    // hash-exact despite being a float statistic.
+    Q(
+      "q362_wasserstein_drift",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.wasserstein1D(
+          ev, round($"value" * 100).cast("long"),
+          $"ts" < lit("2024-01-16").cast("timestamp"), buckets = 256)
+      },
+      Some("""WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             |    (ts < TIMESTAMP '2024-01-16') AS r
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+             |pv AS MATERIALIZED (SELECT v,
+             |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c2
+             |  FROM base GROUP BY v),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2,
+             |    CAST(count(*) AS BIGINT) AS ns FROM pv),
+             |cum AS (SELECT v, c1, c2,
+             |    sum(c1) OVER w AS cc1, sum(c2) OVER w AS cc2,
+             |    lag(v) OVER (ORDER BY v) AS pvv
+             |  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)),
+             |terms AS (SELECT
+             |    abs(CAST(cc1 - c1 AS HUGEINT) * (SELECT n2 FROM tot)
+             |      - CAST(cc2 - c2 AS HUGEINT) * (SELECT n1 FROM tot))
+             |      * CAST(v - pvv AS HUGEINT) AS t
+             |  FROM cum WHERE pvv IS NOT NULL),
+             |num AS (SELECT coalesce(sum(t), CAST(0 AS HUGEINT)) AS w1n FROM terms)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, tot.ns AS n_support,
+             |  CAST(w1n AS VARCHAR) AS w1_num,
+             |  CAST(w1n AS DOUBLE)
+             |    / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)) AS w1
+             |FROM num, tot""".stripMargin)))
 }

@@ -163,4 +163,29 @@ class Round11OpsSpec extends SparkTestBase {
         got == want
     })
   }
+
+  test("property: wasserstein1D equals the brute CDF-integral on integer samples") {
+    val genSide: Gen[List[Long]] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+    check(Prop.forAll(genSide, genSide, Gen.oneOf(1, 3, 256)) { (xs, ys, buckets) =>
+      val df = (xs.map((_, true)) ++ ys.map((_, false))).toDF("v", "r")
+      val row = KsTest.wasserstein1D(df, $"v", $"r", buckets).collect()(0)
+      val support = (xs ++ ys).distinct.sorted
+      val (na, nb) = (xs.length.toLong, ys.length.toLong)
+      var (ca, cb) = (0L, 0L)
+      var num = BigInt(0)
+      var prev: Option[Long] = None
+      support.foreach { x =>
+        prev.foreach(p => num +=
+          (BigInt(ca) * nb - BigInt(cb) * na).abs * BigInt(x - p))
+        ca += xs.count(_ == x); cb += ys.count(_ == x)
+        prev = Some(x)
+      }
+      row.getLong(0) == na && row.getLong(1) == nb &&
+        row.getLong(2) == support.length.toLong &&
+        row.getString(3) == num.toString &&
+        math.abs(row.getDouble(4) -
+          num.toDouble / (na.toDouble * nb.toDouble)) < 1e-12
+    })
+  }
 }

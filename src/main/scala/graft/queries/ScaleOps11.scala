@@ -153,7 +153,11 @@ object ScaleOps11 {
       "q360_fellegi_sunter",
       (s, d) => {
         import s.implicits._
+        // one materialization: the blocking pass, the record count,
+        // the three field histograms, and both score-join sides all
+        // re-read this projection (7 scans of the parquet otherwise)
         val cust = Tables.customer(s, d).filter($"c_custkey" % 5 === 0)
+          .localCheckpoint(true)
         val pairs = graft.operators.FuzzyJoin.ed1Pairs(cust, $"c_custkey", $"c_name")
           .select($"id_a", $"id_b")
         graft.operators.RecordLinkage.fellegiSunter(

@@ -1,13 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftInternal}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Materialize a DataFrame ONCE, hash-partitioned on the given keys,
   * with the partitioning VISIBLE to the planner afterwards — so every
   * downstream equi-join/aggregation clustered on those keys plans
   * without another exchange over the materialized data.
   *
-  * Why the AQE toggle: `Dataset.localCheckpoint` captures the physical
+  * Why the rewrap: `Dataset.localCheckpoint` captures the physical
   * plan's `outputPartitioning` into the resulting `LogicalRDD`, but
   * under adaptive execution the captured plan is an
   * `AdaptiveSparkPlanExec` whose declared partitioning is
@@ -15,24 +17,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * on this Spark build: the same repartition+checkpoint reports
   * `hashpartitioning(u, N)` with AQE off and `UnknownPartitioning(0)`
   * with it on, and a subsequent self-join plans 0 vs 2 exchanges).
-  * The toggle only affects the planning of the checkpoint
-  * materialization itself — downstream queries still run under
-  * whatever AQE setting the session has. Sessions here run queries
-  * sequentially (Verify/Bench/Stress/tests), so the temporary session
-  * flip cannot race another query's planning.
+  * An explicit `repartition(n, keys)` is a layout AQE never rewrites
+  * (user-specified numPartitions pins the shuffle — no coalescing, no
+  * skew split), so the checkpointed rows ARE hash(keys)%n partitioned;
+  * [[GraftInternal.rddWithPartitioning]] re-declares that fact on the
+  * cached RDD. One materialization under full AQE — the earlier
+  * two-checkpoint variant (stage under AQE, re-shuffle inside an
+  * AQE-off window) paid a full extra copy of the data and flipped a
+  * session-global conf (a latent race for any concurrent planner).
   */
 object PartitionedCheckpoint {
 
   /** `df` repartitioned by `keys`, eagerly local-checkpointed, with
     * `HashPartitioning(keys)` preserved in the checkpoint's plan node.
-    *
-    * Two-step on purpose: `df` itself is first materialized under the
-    * session's normal AQE setting (so e.g. its joins still get
-    * runtime broadcast conversion — turning AQE off for an arbitrary
-    * upstream plan measurably regressed the triangle pipeline's
-    * orientation joins), and only the cheap scan→shuffle→checkpoint of
-    * the already-materialized rows runs inside the AQE-off window that
-    * makes the partitioning capturable.
     */
   def byKeys(df: DataFrame, keys: Column*): DataFrame =
     byKeysN(df, 0, keys: _*)
@@ -45,24 +42,25 @@ object PartitionedCheckpoint {
     */
   def byKeysN(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame = {
     val spark = df.sparkSession
-    val staged = df.localCheckpoint(true)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try {
-      val parted =
-        if (numPartitions > 0) staged.repartition(numPartitions, keys: _*)
-        else staged.repartition(keys: _*)
-      parted.localCheckpoint(true)
-    } finally {
-      spark.conf.set(aqeKey, prev)
-      // the staging blocks are dead the moment the partitioned copy
-      // exists — free them now instead of waiting for the cleaner
-      staged.queryExecution.optimizedPlan match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ckpt = df.repartition(n, keys: _*).localCheckpoint(true)
+    ckpt.queryExecution.optimizedPlan match {
+      case lr: LogicalRDD =>
+        // resolve each key against the checkpoint's own output attrs:
+        // the declared partitioning must reference the exprIds the new
+        // leaf exposes, not the pre-checkpoint columns
+        val byName = lr.output.map(a => a.name -> a).toMap
+        val keyNames = df.select(keys: _*).schema.fieldNames
+        val keyAttrs = keyNames.toSeq.map { name =>
+          byName.getOrElse(name, sys.error(
+            s"PartitionedCheckpoint: key '$name' is not a plain output " +
+              s"column of the frame (have: ${lr.output.map(_.name).mkString(", ")})"))
+        }
+        GraftInternal.rddWithPartitioning(
+          spark, lr.output, lr.rdd, HashPartitioning(keyAttrs, n))
+      case _ => ckpt // unexpected plan shape: correct, just re-shuffles
     }
   }
 

@@ -60,18 +60,31 @@ object RecordLinkage {
     require(n >= 2, s"fellegiSunter needs >= 2 records, got $n")
     // u_f = Σ c_v(c_v−1) / (N_f(N_f−1)) over NON-NULL values of f
     // (N_f = non-null count — a null can never agree, so it is outside
-    // f's agreement universe); decimal moments, one pinned division
+    // f's agreement universe); decimal moments, one pinned division.
+    // ALL fields' histograms run in ONE job: rows explode to
+    // (field, value), one two-level aggregation folds every field's
+    // value histogram to its moments, one collect of ≤ #fields rows —
+    // a per-field `.first()` loop was #fields sequential stages of
+    // pure scheduling latency on small inputs
+    val fv = explode(array(fields.map { case (name, _, _, _) =>
+      struct(lit(name).as("f"), col(s"__f_$name").as("v"))
+    }: _*))
+    val moments = base
+      .select(fv.as("x"))
+      .filter(col("x.v").isNotNull)
+      .groupBy(col("x.f").as("f"), col("x.v").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("f"))
+      .agg(
+        sum(col("c")).as("nf"),
+        sum(col("c").cast("decimal(19,0)") * (col("c") - 1).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("num"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
     val us: Seq[Double] = fields.map { case (name, _, _, _) =>
-      val h = base.filter(col(s"__f_$name").isNotNull)
-        .groupBy(col(s"__f_$name")).agg(count(lit(1)).as("c"))
-        .agg(
-          sum(col("c")).as("nf"),
-          sum(col("c").cast("decimal(19,0)") * (col("c") - 1).cast("decimal(19,0)"))
-            .cast("decimal(38,0)").as("num"))
-        .first()
-      val nf = Option(h.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val (nf, num) = moments.getOrElse(name, (0L, null))
       require(nf >= 2, s"fellegiSunter: field $name has < 2 non-null values")
-      val num = h.getDecimal(1)
       require(num.signum() > 0,
         s"fellegiSunter: field $name is all-distinct — u = 0 makes the " +
           "agreement weight infinite; drop or coarsen the field")

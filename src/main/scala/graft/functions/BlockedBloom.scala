@@ -83,7 +83,12 @@ object BlockedBloom {
       case b if b == minBlocks => b
       case b => b << 1
     }
-    require(blocks <= (1L << 30), s"BlockedBloom too large: $blocks blocks")
+    // 2^25 blocks = 1 GiB of filter: the largest size whose backing
+    // int array (blocks·8) AND serialized byte length (4 + blocks·32)
+    // both stay within Int range — the old 2^30 bound overflowed
+    // `new Array[Int](numBlocks * 8)` from 2^28 blocks up
+    require(blocks <= (1L << 25), s"BlockedBloom too large: $blocks blocks " +
+      s"(max ${1L << 25} = 1 GiB; split the key space or raise fpp)")
     new BlockedBloom(blocks.toInt)
   }
 

@@ -680,33 +680,26 @@ object Dedup {
       maxIter: Int = 30,
       localPairCap: Int = 4000000): DataFrame = {
     val spark = pairs.sparkSession
-    val probe = pairs
+    // the probe STREAMS: toLocalIterator holds one InternalRow batch at
+    // a time and the union-find state is a primitive open-addressing
+    // long→long map (~17 B/node at load 0.5) — collecting boxed Rows
+    // plus a boxed-Long HashMap was ~100 B/pair, ~10× the budget the
+    // cap sizing assumes, a driver-OOM risk at the 4M default on small
+    // driver heaps
+    val probeIt = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(localPairCap + 1).collect()
-    if (probe.length <= localPairCap) {
-      import scala.jdk.CollectionConverters._
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        var p = parent.getOrDefault(x, x)
-        while (p != x) { // path-halve toward the root
-          val gp = parent.getOrDefault(p, p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.getOrDefault(x, x)
-        }
-        x
-      }
-      probe.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
+      .limit(localPairCap + 1).toLocalIterator()
+    val parent = new LongLongUnionFind()
+    var probed = 0
+    while (probeIt.hasNext && probed <= localPairCap) {
+      val r = probeIt.next()
+      parent.union(r.getLong(0), r.getLong(1))
+      probed += 1
+    }
+    if (probed <= localPairCap) {
       // roots are already component minima: unions always point the
       // larger root at the smaller, so find() lands on the min id
-      val rows = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+      val rows = parent.entries.map { case (n, _) => (n, parent.find(n)) }
       val out = spark.createDataFrame(rows).toDF("doc_id", "cluster_id").cache()
       out.count()
       return out
@@ -1237,5 +1230,94 @@ object Dedup {
         (col("intersection").cast("double") /
           (col("n_a") + col("n_b") - col("intersection")).cast("double"))
           .as("jaccard"))
+  }
+}
+
+/** Driver-side path-halving union-find over PRIMITIVE long ids: open
+  * addressing with linear probing, power-of-two capacity, load ≤ 0.5.
+  * Union points the larger root at the smaller, so every root is its
+  * component's minimum id. ~17 B per distinct node (two long arrays at
+  * half load) vs ~100 B for a boxed HashMap entry — the local fast
+  * path in [[Dedup.clusters]] budgets its pair cap on this.
+  */
+private[operators] final class LongLongUnionFind(initialCapacity: Int = 1 << 16) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1)) << 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    // Stafford mix13 finalizer — well-distributed for sequential ids
+    var h = k
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    (h ^ (h >>> 31)).toInt & (cap - 1)
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used; val oc = cap
+    cap <<= 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    var i = 0
+    while (i < oc) {
+      if (ou(i)) {
+        var s = slot(ok(i))
+        while (used(s)) s = (s + 1) & (cap - 1)
+        keys(s) = ok(i); vals(s) = ov(i); used(s) = true
+      }
+      i += 1
+    }
+  }
+
+  /** parent(k), inserting k as its own root on first sight. */
+  private def getOrInsert(k: Long): Long = {
+    var s = slot(k)
+    while (used(s)) {
+      if (keys(s) == k) return vals(s)
+      s = (s + 1) & (cap - 1)
+    }
+    keys(s) = k; vals(s) = k; used(s) = true
+    n += 1
+    if (n * 2 > cap) grow()
+    k
+  }
+
+  private def put(k: Long, v: Long): Unit = {
+    var s = slot(k)
+    while (used(s) && keys(s) != k) s = (s + 1) & (cap - 1)
+    if (!used(s)) { keys(s) = k; used(s) = true; n += 1 }
+    vals(s) = v
+    if (n * 2 > cap) grow()
+  }
+
+  def find(x0: Long): Long = {
+    var x = x0
+    var p = getOrInsert(x)
+    while (p != x) { // path-halve toward the root
+      val gp = getOrInsert(p)
+      put(x, gp)
+      x = gp
+      p = getOrInsert(x)
+    }
+    x
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val ra = find(a)
+    val rb = find(b)
+    if (ra != rb) put(math.max(ra, rb), math.min(ra, rb))
+  }
+
+  /** All (node, parent) entries — call [[find]] per node for roots. */
+  def entries: Seq[(Long, Long)] = {
+    val b = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < cap) {
+      if (used(i)) b += ((keys(i), vals(i)))
+      i += 1
+    }
+    b.result()
   }
 }

@@ -187,4 +187,52 @@ object RecordLinkage {
       .filter(col("pb") > col("pa") && col("pb") - col("pa") < window)
       .select(col("id_a"), col("id_b"), (col("pb") - col("pa")).as("gap"))
   }
+
+  /** PHONETIC BLOCKING — candidate pairs whose keys share an American
+    * Soundex code (Russell & Odell's 1918 patent algorithm, public
+    * domain; the second blocking key Hernández & Stolfo's merge/purge
+    * runs alongside sorted-neighborhood): same-sounding names land in
+    * the same block regardless of spelling-tail errors, the failure
+    * mode prefix blocking misses. Spark's built-in `soundex` is the
+    * NARA variant — H/W are skipped entirely (the previous consonant
+    * code persists across them: ASHCRAFT → A261), vowels separate
+    * duplicate codes, output is letter + 3 digits zero-padded.
+    *
+    * Scale shape: one code projection over the records, one block
+    * histogram (≤ 26·7³ distinct codes), and the pair self-join keyed
+    * on the code — never all-pairs. Blocks above `maxBlockSize` raise
+    * loudly (through a payload column, keeping the join key clean)
+    * rather than silently exploding quadratically: phonetic codes are
+    * coarse (every "Customer#…" name shares one), so the guard is the
+    * operator's semantics, not a tuning detail.
+    *
+    * Output per pair: (id_a, id_b, code, block_n) with id_a < id_b
+    * under the id column's natural ordering.
+    */
+  def phoneticPairs(
+      records: DataFrame,
+      id: Column,
+      key: Column,
+      maxBlockSize: Int = 100000): DataFrame = {
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
+    val base = records
+      .select(id.as("pid"), key.cast("string").as("k"))
+      .filter(col("pid").isNotNull && col("k").isNotNull)
+      .select(col("pid"), soundex(col("k")).as("code"))
+    // the guard lives in a FILTER, not a payload column: a projected
+    // raise column would be pruned away whenever the caller doesn't
+    // select block_n (e.g. a bare count), silently skipping the guard
+    val blocks = base.groupBy(col("code")).agg(count(lit(1)).as("bn"))
+      .filter(when(col("bn") > maxBlockSize, raise_error(concat(
+        lit(s"phoneticPairs: block exceeds $maxBlockSize records for code '"),
+        col("code"), lit("' — pre-split the block or raise the cap"))))
+        .otherwise(lit(true)))
+      .select(col("code").as("bc"), col("bn"))
+    val g = base.join(blocks, col("code") === col("bc"))
+      .select(col("pid"), col("code"), col("bn"))
+    g.as("a").join(g.as("b"),
+        col("a.code") === col("b.code") && col("a.pid") < col("b.pid"))
+      .select(col("a.pid").as("id_a"), col("b.pid").as("id_b"),
+        col("a.code").as("code"), col("a.bn").as("block_n"))
+  }
 }

@@ -19,14 +19,22 @@ import org.apache.spark.sql.functions._
   * Sound AND complete: blocking cannot lose a true pair, verification
   * cannot keep a false one.
   *
-  * Scale: each string of length L emits ≤ L+1 variant rows — the
-  * shuffle carries (variant, id, string), grouped by variant; pair
-  * expansion runs inside blocks and the exact verification runs
-  * BEFORE the candidate dedup (the q25 lesson: shuffling rejects just
-  * to dedup them is wasted exchange). A variant shared by more than
-  * `maxBlockSize` strings fails LOUDLY rather than silently dropping
-  * pairs — exactness is the contract; raise the cap or pre-filter the
-  * hot key instead.
+  * Scale: the quadratic machinery runs over DISTINCT STRINGS, never
+  * records. Real dedup corpora are duplicate-heavy (that is why the
+  * operator exists), and a string duplicated d times would inflate
+  * every variant block it touches by d — in-block comparisons by d².
+  * Factoring first (group records by string, keep the sorted id set)
+  * makes duplicate density multiply only the FINAL pair expansion
+  * (which is the output size, irreducible for an exact operator):
+  *   - identical-string pairs (dist 0) expand straight from each
+  *     group's id set — no blocking, no levenshtein, emitted once;
+  *   - the deletion-neighborhood blocks carry each string once, and
+  *     verified string pairs (dist 1, deduped at STRING grain — tiny)
+  *     expand to id pairs through two joins against the group table.
+  * Each string of length L still emits ≤ L+1 variant rows; a variant
+  * block or an identical-string group larger than `maxBlockSize`
+  * fails LOUDLY rather than silently dropping pairs — exactness is
+  * the contract; raise the cap or pre-filter the hot key instead.
   */
 object FuzzyJoin {
 
@@ -38,43 +46,82 @@ object FuzzyJoin {
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     val base = df.select(id.cast("long").as("id"), str.as("s"))
       .filter(col("id").isNotNull && col("s").isNotNull)
+    // distinct-string factoring: one row per string with its sorted id
+    // set. collect_set so degenerate duplicate (id, s) rows collapse —
+    // the record-grain algorithm never paired an id with itself either.
+    // Tiny (bounded by the vocabulary, not the corpus) — materialized
+    // once, read three times (dist-0 expansion + both ed-1 join sides).
+    val groups = base.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .select(col("s"),
+        when(size(col("ids")) > maxBlockSize, raise_error(concat(
+          lit(s"ed1Pairs: identical-string group exceeds maxBlockSize=$maxBlockSize for '"),
+          col("s"), lit("' — raise the cap or pre-filter the hot key"))))
+          .otherwise(col("ids")).as("ids"))
+      .localCheckpoint(true)
+    // dist-0: in-group (i < j) expansion of the sorted id set — id_a <
+    // id_b by construction, each identical pair emitted exactly once
+    val eq = groups.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          j => struct(
+            element_at(col("ids"), i + 1).as("id_a"),
+            j.as("id_b"),
+            lit(0).as("dist")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.dist").as("dist"))
     // sequence(0, -1) throws for the empty string — it has no
     // deletions, only itself
     val dels = when(length(col("s")) > 0, transform(
       sequence(lit(0), length(col("s")) - 1),
       i => concat(col("s").substr(lit(1), i), col("s").substr(i + lit(2), length(col("s"))))))
       .otherwise(array().cast("array<string>"))
-    val variants = base.select(
-      col("id"), col("s"),
-      explode(array_distinct(concat(array(col("s")), dels))).as("v"))
+    val variants = groups.select(
+      col("s"), explode(array_distinct(concat(array(col("s")), dels))).as("v"))
     val blocks = variants.groupBy(col("v"))
-      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("ms"))
+      .agg(sort_array(collect_list(col("s"))).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(when(size(col("ms")) > maxBlockSize, raise_error(concat(
         lit(s"ed1Pairs: variant block exceeds maxBlockSize=$maxBlockSize for variant '"),
         col("v"), lit("' — raise the cap or pre-filter the hot key"))))
         .otherwise(col("ms")).as("ms"))
     // in-block (i < j) expansion with the EXACT verification inside
-    // the lambda: rejected pairs never reach the flatten buffer or the
-    // dedup exchange
-    val pairs = blocks.select(explode(flatten(transform(
+    // the lambda: rejected candidates never reach the flatten buffer
+    // or the dedup exchange. Strings in a block are distinct, so the
+    // verified distance is exactly 1 and sa < sb lexicographically —
+    // a string pair surfaces from several shared variants
+    // (substitutions share one per edited position); dedup at string
+    // grain, BEFORE duplicate density multiplies anything
+    val strPairs = blocks.select(explode(flatten(transform(
       sequence(lit(0), size(col("ms")) - 2),
       i => {
         val a = element_at(col("ms"), i + 1)
         transform(
           filter(
             slice(col("ms"), i + 2, size(col("ms")) - i - 1),
-            b => b.getField("id") =!= a.getField("id") &&
-              levenshtein(a.getField("s"), b.getField("s")) <= 1),
-          b => struct(
-            a.getField("id").as("id_a"),
-            b.getField("id").as("id_b"),
-            levenshtein(a.getField("s"), b.getField("s")).as("dist")))
+            b => levenshtein(a, b) === 1),
+          b => struct(a.as("sa"), b.as("sb")))
       }))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.dist").as("dist"))
-    // a pair can surface from several shared variants (substitutions
-    // share one per edited position) — one exchange of verified pairs
-    pairs.dropDuplicates("id_a", "id_b")
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .dropDuplicates("sa", "sb")
+    // expand verified string pairs to id pairs: two joins against the
+    // tiny group table (broadcast-sized by construction), output
+    // written map-side. A record pair has ONE unordered string pair,
+    // so no cross-duplicates exist and no pair-grain dedup is needed.
+    // The id_a ≠ id_b filter matches the record-grain contract for
+    // degenerate inputs where one id carries two spellings.
+    val ed1 = strPairs
+      .join(groups.select(col("s").as("sa"), col("ids").as("ids_a")), Seq("sa"))
+      .join(groups.select(col("s").as("sb"), col("ids").as("ids_b")), Seq("sb"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        lit(1).as("dist"))
+    eq.unionByName(ed1)
   }
 }

@@ -42,7 +42,27 @@ object FuzzyJoin {
       df: DataFrame,
       id: Column,
       str: Column,
+      maxBlockSize: Int = 1000): DataFrame =
+    edPairs(df, id, str, 1, maxBlockSize)
+
+  /** All record pairs with levenshtein(a, b) ≤ k, k ∈ {1, 2} — the
+    * depth-k FastSS generalization. Theorem (Bocek et al.): an optimal
+    * edit script aligning a and b at cost ≤ k yields a common string
+    * reachable by ≤ k deletions from EACH side (delete the edited
+    * position on whichever side carries it — a substitution deletes
+    * one char from both, an insertion/deletion deletes from one), so
+    * Del≤k(a) ∩ Del≤k(b) ≠ ∅ is a complete candidate condition; exact
+    * verification keeps it sound. Depth 2 emits ≤ 1 + L + L(L−1)/2
+    * variants per DISTINCT string — the distinct-string factoring is
+    * what keeps that quadratic-in-L fan-out off the record axis.
+    */
+  def edPairs(
+      df: DataFrame,
+      id: Column,
+      str: Column,
+      k: Int,
       maxBlockSize: Int = 1000): DataFrame = {
+    require(k == 1 || k == 2, s"edPairs supports k in {1, 2}, got $k")
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     val base = df.select(id.cast("long").as("id"), str.as("s"))
       .filter(col("id").isNotNull && col("s").isNotNull)
@@ -78,8 +98,23 @@ object FuzzyJoin {
       sequence(lit(0), length(col("s")) - 1),
       i => concat(col("s").substr(lit(1), i), col("s").substr(i + lit(2), length(col("s"))))))
       .otherwise(array().cast("array<string>"))
+    // depth 2: delete ORIGINAL positions i < j — three splices of the
+    // source string, so index arithmetic never chases the shift a
+    // sequential first deletion would introduce
+    val dels2 = when(length(col("s")) > 1, flatten(transform(
+      sequence(lit(0), length(col("s")) - 2),
+      i => transform(
+        sequence(i + lit(1), length(col("s")) - 1),
+        j => concat(
+          col("s").substr(lit(1), i),
+          col("s").substr(i + lit(2), j - i - lit(1)),
+          col("s").substr(j + lit(2), length(col("s")) - j - lit(1)))))))
+      .otherwise(array().cast("array<string>"))
+    val vArr =
+      if (k == 1) concat(array(col("s")), dels)
+      else concat(array(col("s")), dels, dels2)
     val variants = groups.select(
-      col("s"), explode(array_distinct(concat(array(col("s")), dels))).as("v"))
+      col("s"), explode(array_distinct(vArr)).as("v"))
     val blocks = variants.groupBy(col("v"))
       .agg(sort_array(collect_list(col("s"))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -101,10 +136,13 @@ object FuzzyJoin {
         transform(
           filter(
             slice(col("ms"), i + 2, size(col("ms")) - i - 1),
-            b => levenshtein(a, b) === 1),
-          b => struct(a.as("sa"), b.as("sb")))
+            b => levenshtein(a, b) <= k),
+          // distinct strings: the verified distance is in [1, k] — at
+          // k = 1 that pins it without a second levenshtein eval
+          b => struct(a.as("sa"), b.as("sb"),
+            (if (k == 1) lit(1) else levenshtein(a, b)).as("dist")))
       }))).as("p"))
-      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"), col("p.dist").as("dist"))
       .dropDuplicates("sa", "sb")
     // expand verified string pairs to id pairs: two joins against the
     // tiny group table (broadcast-sized by construction), output
@@ -112,16 +150,16 @@ object FuzzyJoin {
     // so no cross-duplicates exist and no pair-grain dedup is needed.
     // The id_a ≠ id_b filter matches the record-grain contract for
     // degenerate inputs where one id carries two spellings.
-    val ed1 = strPairs
+    val near = strPairs
       .join(groups.select(col("s").as("sa"), col("ids").as("ids_a")), Seq("sa"))
       .join(groups.select(col("s").as("sb"), col("ids").as("ids_b")), Seq("sb"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("dist"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("dist"))
       .filter(col("ia") =!= col("ib"))
       .select(
         least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
-        lit(1).as("dist"))
-    eq.unionByName(ed1)
+        col("dist"))
+    eq.unionByName(near)
   }
 }

@@ -235,4 +235,59 @@ object RecordLinkage {
       .select(col("a.pid").as("id_a"), col("b.pid").as("id_b"),
         col("a.code").as("code"), col("a.bn").as("block_n"))
   }
+
+  /** MONGE–ELKAN hybrid similarity (Monge & Elkan, 1996 — the
+    * standard token-level/character-level hybrid for multi-word field
+    * comparison): each token of A takes its best character-level match
+    * in B, and the score is the mean of those maxima,
+    *
+    *   ME(A→B) = (1/|A|) Σ_{t∈A} max_{u∈B} jw(t, u),
+    *
+    * with Jaro–Winkler as the inner kernel
+    * ([[graft.functions.JaroWinkler]] — codegen'd, byte-level pinned
+    * to DuckDB's own `jaro_winkler_similarity`). ME is ASYMMETRIC
+    * (a name contained in a longer one scores high one way); both
+    * directions are emitted — symmetrizing (mean/max) is the caller's
+    * policy decision.
+    *
+    * Scale shape: blocking is the caller's concern (the [[FuzzyJoin]]
+    * / [[sortedNeighborhoodPairs]] / [[phoneticPairs]] contract);
+    * scoring attaches each side's token array with one equi-join and
+    * folds |A|·|B| kernel evaluations per pair map-side, left-to-right
+    * over the token arrays (a pinned order the oracle can replay).
+    * Records with NO tokens fail loudly — the mean of an empty set is
+    * a policy question the operator refuses to answer silently.
+    *
+    * Output per pair: (id_a, id_b, me_ab, me_ba).
+    */
+  def mongeElkan(
+      records: DataFrame,
+      id: Column,
+      text: Column,
+      pairs: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    val idG = when(id.cast("long").isNull, raise_error(lit(
+      "mongeElkan: record id is null or not castable to long")))
+      .otherwise(id.cast("long"))
+    val toksRaw = filter(split(text.cast("string"), " "), t => t =!= "")
+    val toks = when(size(toksRaw) === 0, raise_error(lit(
+      "mongeElkan: record has no tokens — filter empties first")))
+      .otherwise(toksRaw)
+    val base = records.select(idG.as("__me_id"), toks.as("__me_toks"))
+    def me(a: Column, b: Column): Column =
+      aggregate(a, lit(0.0), (acc, t) => acc +
+        array_max(transform(b, u =>
+          graft.functions.GraftFunctions.jaroWinkler(spark, t, u)))) /
+        size(a).cast("double")
+    pairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(base.select(col("__me_id").as("__ida"), col("__me_toks").as("ta")),
+        col("id_a") === col("__ida"))
+      .join(base.select(col("__me_id").as("__idb"), col("__me_toks").as("tb")),
+        col("id_b") === col("__idb"))
+      .select(col("id_a"), col("id_b"),
+        me(col("ta"), col("tb")).as("me_ab"),
+        me(col("tb"), col("ta")).as("me_ba"))
+  }
 }

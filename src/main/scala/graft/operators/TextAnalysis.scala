@@ -1116,4 +1116,50 @@ object TextAnalysis {
     folded.select(col("na").as("n_a"), col("nb").as("n_b"),
       col("v").as("vocab"), col("kl_ab"), col("kl_ba"))
   }
+
+  /** JENSEN–SHANNON DIVERGENCE between two corpus slices — the
+    * SYMMETRIC, bounded (≤ ln 2) sibling of
+    * [[unigramKlDivergence]]: with the same add-1-smoothed p, q over
+    * the joint vocabulary and the mixture m = (p+q)/2,
+    *
+    *   JSD = ½ Σ_w p·ln(p/m) + ½ Σ_w q·ln(q/m).
+    *
+    * Symmetry and boundedness make it the drift METRIC of choice for
+    * dashboards and thresholds (KL explodes on vocabulary one slice
+    * barely touches; JSD saturates). Identical scale shape to the KL:
+    * one token-explode pass, vocabulary-bounded pinned fold, loud
+    * `maxVocab` guard. Output: one row (n_a, n_b, vocab, jsd).
+    */
+  def jensenShannon(
+      df: DataFrame,
+      text: Column,
+      inSliceA: Column,
+      maxVocab: Long = 5000000L): DataFrame = {
+    val aG = when(inSliceA.cast("boolean").isNull, raise_error(lit(
+      "jensenShannon: the slice flag must be a non-null boolean")))
+      .otherwise(inSliceA.cast("boolean"))
+    val counts = df.select(aG.as("ina"), explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(
+        sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ina"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val wCum = Window.orderBy(col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = (col("ca") + 1L).cast("double") / (col("na") + col("v")).cast("double")
+    val q = (col("cb") + 1L).cast("double") / (col("nb") + col("v")).cast("double")
+    val m = (p + q) / lit(2.0)
+    val folded = counts.crossJoin(broadcast(totals))
+      .withColumn("ca", when(col("v") > maxVocab, raise_error(lit(
+        s"jensenShannon: vocabulary exceeds $maxVocab tokens — " +
+          "filter or hash-bucket the vocabulary first")))
+        .otherwise(col("ca")))
+      .withColumn("jsd",
+        sum(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("tok").desc)))
+      .filter(col("rn") === 1)
+    folded.select(col("na").as("n_a"), col("nb").as("n_b"),
+      col("v").as("vocab"), col("jsd"))
+  }
 }

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps12 {
 
+  /** DuckDB replay of the native tokenizer (the ScaleOps10 idiom —
+    * ascii corpus, so the regex and the unicode kernel agree). */
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
   /** The combined token vocabulary both phonetic queries run over:
     * part-name tokens ∪ document tokens, lowercase-alpha only, with
     * corpus frequency. Scale-stable: the vocabulary is bounded by the
@@ -104,5 +109,134 @@ object ScaleOps12 {
               |SELECT a.tok AS id_a, b.tok AS id_b, a.code, blk.block_n
               |FROM code a JOIN code b ON a.code = b.code AND a.tok < b.tok
               |JOIN blk ON a.code = blk.code
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q365: EXACT fuzzy self-join at edit distance ≤ 2 — the
+    // depth-2 FastSS generalization ([[graft.operators.FuzzyJoin
+    // .edPairs]]): transpositions and double edits q109's ED≤1 misses.
+    // The oracle is the O(n²) brute-force levenshtein join the
+    // blocking replaces — hash-equality proves depth-2 blocking
+    // complete AND sound (the q109/q25 unblocked-oracle discipline).
+    // The mod-7 slice keeps the brute oracle quadratic-in-2k rows,
+    // not 15k — the Spark side would handle the full table; the
+    // ORACLE is the bottleneck.
+    Q(
+      "q365_fuzzy_ed2_join",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.FuzzyJoin.edPairs(
+          Tables.customer(s, d).filter($"c_custkey" % 7 === 0),
+          $"c_custkey", $"c_name", k = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_name AS s
+             |  FROM customer WHERE c_custkey % 7 = 0)
+             |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+             |FROM c a JOIN c b ON a.id < b.id
+             |WHERE levenshtein(a.s, b.s) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q366: MONGE–ELKAN hybrid similarity over blocked part
+    // pairs ([[graft.operators.RecordLinkage.mongeElkan]]): per-token
+    // best Jaro–Winkler match, averaged — both asymmetric directions.
+    // Blocking = (brand, type, size) equality, pair volume
+    // ~n²/#blocks. The oracle replays the identical left-to-right
+    // token fold with DuckDB's own jaro_winkler_similarity (the q236
+    // kernel-parity precedent) and gates both scores at 1e-9 with a
+    // poison row.
+    Q(
+      "q366_monge_elkan",
+      (s, d) => {
+        import s.implicits._
+        val parts = Tables.part(s, d)
+          .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+          .localCheckpoint(true)
+        val g = parts.select($"p_partkey".as("k"), $"p_brand".as("br"),
+          $"p_type".as("ct"), $"p_size".as("sz"))
+        val prs = g.as("a").join(g.as("b"),
+            col("a.br") === col("b.br") && col("a.ct") === col("b.ct") &&
+              col("a.sz") === col("b.sz") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("id_a"), col("b.k").as("id_b"))
+        graft.operators.RecordLinkage.mongeElkan(
+          parts, $"p_partkey", $"p_name", prs)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q366_monge_elkan/*.parquet')),
+             |lt AS MATERIALIZED (SELECT p_partkey AS id,
+             |    list_filter(string_split(p_name, ' '), x -> x <> '') AS t
+             |  FROM part),
+             |prs AS MATERIALIZED (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+             |  FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+             |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey),
+             |expect AS MATERIALIZED (SELECT id_a, id_b,
+             |    list_reduce(list_transform(ta.t, t ->
+             |      list_max(list_transform(tb.t, u -> jaro_winkler_similarity(t, u)))),
+             |      (x, y) -> x + y) / len(ta.t) AS me_ab,
+             |    list_reduce(list_transform(tb.t, t ->
+             |      list_max(list_transform(ta.t, u -> jaro_winkler_similarity(t, u)))),
+             |      (x, y) -> x + y) / len(tb.t) AS me_ba
+             |  FROM prs JOIN lt ta ON prs.id_a = ta.id JOIN lt tb ON prs.id_b = tb.id),
+             |flag AS (SELECT (
+             |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM expect)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x
+             |      ON e.id_a = x.id_a AND e.id_b = x.id_b
+             |      WHERE abs(e.me_ab - x.me_ab) > 1e-9 OR abs(e.me_ba - x.me_ba) > 1e-9)
+             |    AND NOT EXISTS (SELECT 1 FROM emitted e
+             |      WHERE NOT EXISTS (SELECT 1 FROM expect x
+             |        WHERE x.id_a = e.id_a AND x.id_b = e.id_b))
+             |  ) AS ok)
+             |SELECT id_a, id_b, me_ab, me_ba FROM emitted
+             |WHERE (SELECT ok FROM flag)
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+             |WHERE NOT (SELECT ok FROM flag)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q367: JENSEN–SHANNON DIVERGENCE between the English slice
+    // and the rest of the corpus ([[graft.operators.TextAnalysis
+    // .jensenShannon]]) — the symmetric, ln(2)-bounded drift metric
+    // beside q337's KL. Counts exact; the jsd fold replays in the
+    // identical pinned token order, gated at 1e-9 (certificate).
+    Q(
+      "q367_jensen_shannon",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.jensenShannon(
+          Tables.documents(s, d), $"text",
+          coalesce($"lang" === "en", lit(false)))
+      },
+      Some(s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q367_jensen_shannon/*.parquet')),
+              |toks AS (SELECT coalesce(lang = 'en', false) AS ina,
+              |    unnest($sqlToks) AS tok FROM documents),
+              |counts AS (SELECT tok,
+              |    sum(CASE WHEN ina THEN 1 ELSE 0 END) AS ca,
+              |    sum(CASE WHEN ina THEN 0 ELSE 1 END) AS cb
+              |  FROM toks GROUP BY 1),
+              |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts),
+              |folded AS (SELECT na, nb, v,
+              |    sum(0.5 * (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              |          / ((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+              |              + CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)) / 2.0))
+              |      + 0.5 * (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+              |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+              |          / ((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+              |              + CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)) / 2.0))) OVER wc AS jsd,
+              |    row_number() OVER (ORDER BY tok DESC) AS rn
+              |  FROM counts CROSS JOIN tot
+              |  WINDOW wc AS (ORDER BY tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |x AS (SELECT na AS n_a, nb AS n_b, v AS vocab, jsd FROM folded WHERE rn = 1),
+              |flag AS (SELECT (
+              |    (SELECT count(*) FROM emitted) = 1
+              |    AND NOT EXISTS (SELECT 1 FROM emitted e, x
+              |      WHERE e.n_a <> x.n_a OR e.n_b <> x.n_b OR e.vocab <> x.vocab
+              |         OR abs(e.jsd - x.jsd) > 1e-9)
+              |  ) AS ok)
+              |SELECT * FROM emitted WHERE (SELECT ok FROM flag)
+              |UNION ALL
+              |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(-999 AS DOUBLE)
+              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
 }

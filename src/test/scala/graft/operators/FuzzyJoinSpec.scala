@@ -73,6 +73,37 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("k=2 finds transpositions and double edits; complete vs brute force") {
+    val out = FuzzyJoin.edPairs(Seq(
+      1L -> "cat", 2L -> "tac", // transposition = ED 2
+      3L -> "cart", 4L -> "ca", // one insertion / double delete vs "cart"
+      5L -> "dog").toDF("id", "s"), $"id", $"s", 2)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.contains((1L, 2L, 2)) && out.contains((1L, 3L, 1)) &&
+      out.contains((1L, 4L, 1)) && out.contains((3L, 4L, 2)))
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+    // brute-force parity including dist values on a dense random corpus
+    val strs = (0 until 90).map { i =>
+      val r = new scala.util.Random(i * 2654435761L)
+      (i.toLong, (0 until (1 + r.nextInt(5))).map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    val blocked = FuzzyJoin.edPairs(df, $"id", $"s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = df.select($"id".as("ia"), $"s".as("sa"))
+      .crossJoin(df.select($"id".as("ib"), $"s".as("sb")))
+      .filter($"ia" < $"ib" && levenshtein($"sa", $"sb") <= 2)
+      .select($"ia", $"ib", levenshtein($"sa", $"sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    assert(brute.exists(_._3 == 2), "fixture must contain true ED-2 pairs")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.edPairs(df, $"id", $"s", 3)
+    }
+  }
+
   test("entity-resolution composition: pairs → components → best survivor") {
     // cluster {1,2,3}: kitt/mitt/mitts chain (kitt↔mitt sub,
     // mitt↔mitts ins — kitt↔mitts is ED 2, linked only transitively);

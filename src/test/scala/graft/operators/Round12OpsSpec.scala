@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-12 operators: Monge–Elkan hybrid similarity and the
+  * Jensen–Shannon corpus-drift divergence — local-replay parity,
+  * the textbook identities, and the loud-failure contracts.
+  */
+class Round12OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // --- Monge–Elkan ------------------------------------------------
+
+  /** Scala reference: mean over A's tokens of the best JW match in B,
+    * summed left-to-right like the operator's aggregate fold.
+    */
+  private def bruteMe(a: String, b: String): Double = {
+    val ta = a.split(" ").filter(_.nonEmpty)
+    val tb = b.split(" ").filter(_.nonEmpty)
+    ta.foldLeft(0.0) { (acc, t) =>
+      acc + tb.map(u => graft.functions.JaroWinkler.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.unsafe.types.UTF8String.fromString(u))).max
+    } / ta.length
+  }
+
+  test("mongeElkan matches the local fold bit-for-bit; asymmetry is real") {
+    val recs = Seq(
+      (1L, "peter christen"),
+      (2L, "christen peter paul"),
+      (3L, "pedro christensen"),
+      (4L, "completely different words")).toDF("id", "name")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = RecordLinkage.mongeElkan(recs, $"id", $"name", pairs)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val names = Map(1L -> "peter christen", 2L -> "christen peter paul",
+      3L -> "pedro christensen", 4L -> "completely different words")
+    out.foreach { case (ia, ib, ab, ba) =>
+      assert(ab == bruteMe(names(ia), names(ib)), s"me_ab for ($ia,$ib)")
+      assert(ba == bruteMe(names(ib), names(ia)), s"me_ba for ($ia,$ib)")
+    }
+    // subset-containment asymmetry: every token of (1) matches (2)
+    // exactly, but (2) has an unmatched extra token
+    val p12 = out.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p12._3 == 1.0 && p12._4 < 1.0)
+  }
+
+  test("mongeElkan raises on token-less records and null ids") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      RecordLinkage.mongeElkan(
+        Seq((1L, "ok name"), (2L, "  ")).toDF("id", "name"),
+        $"id", $"name", pairs).collect()
+    }
+    assert(e.getMessage.contains("no tokens"))
+    val e2 = intercept[Exception] {
+      RecordLinkage.mongeElkan(
+        Seq((null.asInstanceOf[java.lang.Long], "x"), (2L, "y"))
+          .toDF("id", "name"),
+        $"id", $"name", pairs).collect()
+    }
+    assert(e2.getMessage.contains("id"))
+  }
+
+  // --- Jensen–Shannon ---------------------------------------------
+
+  /** Scala reference of the smoothed JSD over the joint vocabulary,
+    * folded in ascending token order like the operator's window.
+    */
+  private def bruteJsd(docs: Seq[(String, Boolean)]): (Long, Long, Long, Double) = {
+    val toks = docs.flatMap { case (t, ina) =>
+      t.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).map(_ -> ina)
+    }
+    val byTok = toks.groupBy(_._1).toSeq.sortBy(_._1)
+    val v = byTok.size.toLong
+    val na = toks.count(_._2).toLong
+    val nb = toks.size - na
+    val jsd = byTok.foldLeft(0.0) { case (acc, (_, occ)) =>
+      val ca = occ.count(_._2).toLong
+      val cb = occ.size - ca
+      val p = (ca + 1L).toDouble / (na + v).toDouble
+      val q = (cb + 1L).toDouble / (nb + v).toDouble
+      val m = (p + q) / 2.0
+      acc + (0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+    }
+    (na, nb, v, jsd)
+  }
+
+  private val fixture = Seq(
+    ("the quick brown fox jumps over the lazy dog", true),
+    ("the quick red fox runs", true),
+    ("pack my box with five dozen jugs", false),
+    ("the lazy dog sleeps all day long", false),
+    ("quick quick quick brown", true))
+
+  test("jensenShannon matches the local fold; symmetric under slice swap") {
+    val df = fixture.toDF("text", "ina")
+    val out = TextAnalysis.jensenShannon(df, $"text", $"ina").collect().head
+    val (na, nb, v, jsd) = bruteJsd(fixture)
+    assert(out.getLong(0) == na && out.getLong(1) == nb && out.getLong(2) == v)
+    assert(math.abs(out.getDouble(3) - jsd) < 1e-12, s"${out.getDouble(3)} vs $jsd")
+    assert(jsd > 0 && jsd < math.log(2.0))
+    val swapped = TextAnalysis.jensenShannon(df, $"text", !$"ina").collect().head
+    assert(math.abs(swapped.getDouble(3) - out.getDouble(3)) < 1e-12,
+      "JSD must be symmetric in the two slices")
+    assert(swapped.getLong(0) == nb && swapped.getLong(1) == na)
+  }
+
+  test("jensenShannon is ~0 for identically distributed slices and raises on null flags") {
+    // every doc appears verbatim in both slices → p == q exactly
+    val mirrored = fixture.map(_._1).flatMap(t => Seq((t, true), (t, false)))
+    val out = TextAnalysis.jensenShannon(mirrored.toDF("text", "ina"), $"text", $"ina")
+      .collect().head
+    assert(out.getDouble(3) == 0.0, "p == q term-for-term must fold to exactly 0")
+    val e = intercept[Exception] {
+      TextAnalysis.jensenShannon(
+        Seq(("x", null.asInstanceOf[java.lang.Boolean])).toDF("text", "ina"),
+        $"text", $"ina").collect()
+    }
+    assert(e.getMessage.contains("slice flag"))
+  }
+}

@@ -109,4 +109,68 @@ object Resample {
       element_at(sortedM, least(lit(loIdx), nb)).as("boot_lo"),
       element_at(sortedM, least(lit(hiIdx), nb)).as("boot_hi"))
   }
+
+  /** PAIRED (sign-flip) PERMUTATION TEST (Fisher 1935; the
+    * randomization test every A/B platform reaches for when normality
+    * is off the table): under H₀ the sign of each paired difference
+    * dᵢ is exchangeable, so T_b = Σᵢ sᵢ(b)·dᵢ over B deterministic
+    * ±1 assignments samples the EXACT permutation null, and
+    *
+    *   p̂ = (1 + #{b : |T_b| ≥ |T_obs|}) / (B + 1)
+    *
+    * is the standard add-one Monte-Carlo estimate (Davison & Hinkley)
+    * — conservative, never zero. Signs come from the portable md5
+    * idiom ([[Sampling]] contract): sᵢ(b) = +1 iff the first 32 hash
+    * bits of "id:b" land below 2³¹ — reproducible across engines,
+    * retries, and re-ingestion, which a seeded RNG loses on the first
+    * task retry.
+    *
+    * Everything is INTEGER arithmetic: differences are exact longs,
+    * the B+1 sums fold in decimal(38,0) (no order dependence, no
+    * float), the extreme-count comparison is exact, and the single
+    * division is pinned — the whole output hash-matches an oracle.
+    * Scale shape: ONE aggregation pass, B+1 buffers, one 1-row
+    * result; the corpus never shuffles (the q343 geometry).
+    *
+    * Output: one row (n_pairs, t_obs, b_reps, n_extreme, p_value).
+    */
+  def pairedPermutationTest(
+      df: DataFrame,
+      id: Column,
+      diff: Column,
+      b: Int = 64): DataFrame = {
+    require(b >= 8 && b <= 256, s"B must be in [8, 256], got $b")
+    val dL = diff.cast("long")
+    val dG = when(dL.isNull, raise_error(lit(
+      "pairedPermutationTest: diff must be a non-null integer (scale to cents first)")))
+      .otherwise(dL)
+    val idG = when(id.cast("string").isNull, raise_error(lit(
+      "pairedPermutationTest: id must be a non-null string key")))
+      .otherwise(id.cast("string"))
+    def sign(bi: Int): Column =
+      when(conv(substring(
+        md5(concat(col("__id"), lit(s":$bi")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") < lit(2147483648L), lit(1L)).otherwise(lit(-1L))
+    val d19 = "decimal(19,0)"
+    val base = df.select(idG.as("__id"), dG.as("d"))
+      .select(col("d") +:
+        (0 until b).map(bi => (sign(bi) * col("d")).as(s"t$bi")): _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"),
+        sum(col("d").cast(d19)).cast("decimal(38,0)").as("t_obs")) ++
+        (0 until b).map(bi =>
+          sum(col(s"t$bi").cast(d19)).cast("decimal(38,0)").as(s"ts$bi"))
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val nExtreme = (0 until b).map(bi =>
+      when(abs(col(s"ts$bi")) >= abs(col("t_obs")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val twoP53 = 9007199254740992L
+    val tObsL = when(abs(col("t_obs")) > lit(twoP53), raise_error(lit(
+      "pairedPermutationTest: |t_obs| exceeds 2^53 — rescale the diff")))
+      .otherwise(col("t_obs")).cast("long")
+    wide.select(
+      col("n").as("n_pairs"), tObsL.as("t_obs"),
+      lit(b.toLong).as("b_reps"), nExtreme.as("n_extreme"),
+      ((nExtreme + 1L).cast("double") / lit((b + 1).toDouble)).as("p_value"))
+  }
 }

@@ -238,5 +238,57 @@ object ScaleOps12 {
               |UNION ALL
               |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
               |  CAST(-999 AS DOUBLE)
-              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)))
+              |WHERE NOT (SELECT ok FROM flag)""".stripMargin)),
+
+    // ---- q368: PAIRED PERMUTATION TEST — does purchase value differ
+    // from view value within user? ([[graft.operators.Resample
+    // .pairedPermutationTest]]): B = 64 deterministic md5 sign flips
+    // of each user's exact paired cent difference sample the exact
+    // permutation null; every statistic is integer arithmetic and the
+    // one division is pinned, so the oracle replays the signs and
+    // hash-matches bit-for-bit.
+    Q(
+      "q368_paired_permutation",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"value".isNotNull &&
+            $"event_type".isin("purchase", "view"))
+          .select($"user_id",
+            $"event_type", round($"value" * 100).cast("long").as("cents"))
+        val per = ev.groupBy($"user_id").agg(
+          sum(when($"event_type" === "purchase", $"cents").otherwise(0L)).as("pc"),
+          sum(when($"event_type" === "view", $"cents").otherwise(0L)).as("vc"),
+          max(when($"event_type" === "purchase", 1).otherwise(0)).as("hasp"),
+          max(when($"event_type" === "view", 1).otherwise(0)).as("hasv"))
+          .filter($"hasp" === 1 && $"hasv" === 1)
+          .select($"user_id", ($"pc" - $"vc").as("d"))
+        graft.operators.Resample.pairedPermutationTest(
+          per, $"user_id", $"d", b = 64)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |    AND event_type IN ('purchase', 'view')),
+             |per AS MATERIALIZED (SELECT user_id,
+             |    sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+             |      - sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS d
+             |  FROM ev GROUP BY user_id
+             |  HAVING bool_or(event_type = 'purchase') AND bool_or(event_type = 'view')),
+             |reps AS (SELECT unnest(range(0, 64)) AS b),
+             |t AS MATERIALIZED (SELECT b, sum(CASE
+             |      WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)
+             |          || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) < 2147483648
+             |      THEN d ELSE -d END) AS tb
+             |  FROM per CROSS JOIN reps GROUP BY b),
+             |obs AS (SELECT count(*) AS n_pairs, sum(d) AS t_obs FROM per),
+             |ex AS (SELECT sum(CASE WHEN abs(tb) >= (SELECT abs(t_obs) FROM obs)
+             |    THEN 1 ELSE 0 END) AS n_extreme FROM t)
+             |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(t_obs AS BIGINT) AS t_obs,
+             |  CAST(64 AS BIGINT) AS b_reps,
+             |  CAST(n_extreme AS BIGINT) AS n_extreme,
+             |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 AS p_value
+             |FROM obs, ex""".stripMargin)))
 }

@@ -109,6 +109,48 @@ class Round12OpsSpec extends SparkTestBase {
     assert(swapped.getLong(0) == nb && swapped.getLong(1) == na)
   }
 
+  // --- paired permutation test ------------------------------------
+
+  private def md5u32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("pairedPermutationTest matches the local sign-flip replay") {
+    val b = 16
+    val data = Seq(("u1", 120L), ("u2", -40L), ("u3", 300L), ("u4", 5L),
+      ("u5", -220L), ("u6", 90L), ("u7", 17L))
+    val out = Resample.pairedPermutationTest(
+      data.toDF("id", "d"), $"id", $"d", b).collect().head
+    val tObs = data.map(_._2).sum
+    val ts = (0 until b).map(bi => data.map { case (id, d) =>
+      if (md5u32(s"$id:$bi") < 2147483648L) d else -d
+    }.sum)
+    val nExtreme = ts.count(t => math.abs(t) >= math.abs(tObs))
+    assert(out.getLong(0) == data.size && out.getLong(1) == tObs)
+    assert(out.getLong(2) == b && out.getLong(3) == nExtreme)
+    assert(out.getDouble(4) == (nExtreme + 1).toDouble / (b + 1).toDouble)
+  }
+
+  test("pairedPermutationTest: null-sensitive effect is detected, guards raise") {
+    // a large one-sided effect: every difference positive and big —
+    // no sign-flip can reach |T_obs| unless all 40 signs stay +1
+    val big = (1 to 40).map(i => (s"u$i", 1000L + i))
+    val res = Resample.pairedPermutationTest(
+      big.toDF("id", "d"), $"id", $"d", b = 64).collect().head
+    assert(res.getDouble(4) <= 2.0 / 65.0, s"p=${res.getDouble(4)} should be minimal")
+    val e = intercept[Exception] {
+      Resample.pairedPermutationTest(
+        Seq(("u1", null.asInstanceOf[java.lang.Long])).toDF("id", "d"),
+        $"id", $"d").collect()
+    }
+    assert(e.getMessage.contains("diff"))
+    intercept[IllegalArgumentException] {
+      Resample.pairedPermutationTest(big.toDF("id", "d"), $"id", $"d", b = 4)
+    }
+  }
+
   test("jensenShannon is ~0 for identically distributed slices and raises on null flags") {
     // every doc appears verbatim in both slices → p == q exactly
     val mirrored = fixture.map(_._1).flatMap(t => Seq((t, true), (t, false)))

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 /** Round-12 queries: phonetic (Soundex) vocabulary indexing and
-  * blocking — the second merge/purge blocking key alongside round-11's
-  * sorted-neighborhood ([[graft.operators.RecordLinkage]]).
+  * blocking, the depth-2 FastSS fuzzy join, Monge–Elkan hybrid
+  * scoring, Jensen–Shannon corpus drift, the RNG-free paired
+  * permutation test, and consistent-hashing ring placement.
   */
 object ScaleOps12 {
 
@@ -290,5 +291,63 @@ object ScaleOps12 {
              |  CAST(64 AS BIGINT) AS b_reps,
              |  CAST(n_extreme AS BIGINT) AS n_extreme,
              |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 AS p_value
-             |FROM obs, ex""".stripMargin)))
+             |FROM obs, ex""".stripMargin)),
+
+    // ---- q369: CONSISTENT-HASHING RING RESHARD (Karger et al. 1997)
+    // — q359's reshard audit replayed on the ring
+    // ([[graft.operators.ConsistentHash]], 8 shards × 16 vnodes,
+    // then s3 removed): per shard n_before / n_after / moved_in; only
+    // s3's keys move, spreading over its arcs' successors. The oracle
+    // re-derives every ring point and successor with DuckDB's own
+    // md5. Hash-exact.
+    Q(
+      "q369_consistent_hash_reshard",
+      (s, d) => {
+        import s.implicits._
+        val shards = (0 until 8).map(i => s"s$i")
+        val placed = graft.operators.ConsistentHash.assign(
+          graft.operators.ConsistentHash.assign(
+            Tables.documents(s, d).select($"doc_id"),
+            $"doc_id", shards, 16, "sb"),
+          $"doc_id", shards.filterNot(_ == "s3"), 16, "sa")
+          .localCheckpoint(true)
+        val nb = placed.groupBy($"sb".as("shard"))
+          .agg(count(lit(1)).as("n_before"))
+        val na = placed.groupBy($"sa".as("shard")).agg(
+          count(lit(1)).as("n_after"),
+          sum(when($"sb" === "s3", 1L).otherwise(0L)).as("moved_in"))
+        nb.join(na, Seq("shard"), "full_outer")
+          .select($"shard",
+            coalesce($"n_before", lit(0L)).as("n_before"),
+            coalesce($"n_after", lit(0L)).as("n_after"),
+            coalesce($"moved_in", lit(0L)).as("moved_in"))
+          .orderBy($"shard")
+      },
+      Some("""WITH sh AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6','s7']) AS s),
+             |vn AS (SELECT unnest(range(0, 16)) AS v),
+             |r AS MATERIALIZED (SELECT md5(s || '#' || CAST(v AS VARCHAR)) AS h, s
+             |  FROM sh CROSS JOIN vn),
+             |k AS MATERIALIZED (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+             |  FROM documents),
+             |ab AS (SELECT k.doc_id,
+             |    min(CASE WHEN r.h >= k.hk THEN r.h END) AS m1, min(r.h) AS m0
+             |  FROM k CROSS JOIN r GROUP BY 1),
+             |pb AS (SELECT ab.doc_id, r.s AS sb
+             |  FROM ab JOIN r ON r.h = coalesce(ab.m1, ab.m0)),
+             |aa AS (SELECT k.doc_id,
+             |    min(CASE WHEN r.h >= k.hk THEN r.h END) AS m1, min(r.h) AS m0
+             |  FROM k CROSS JOIN r WHERE r.s <> 's3' GROUP BY 1),
+             |pa AS (SELECT aa.doc_id, r.s AS sa
+             |  FROM aa JOIN r ON r.h = coalesce(aa.m1, aa.m0)),
+             |placed AS (SELECT pb.doc_id, pb.sb, pa.sa FROM pb JOIN pa USING (doc_id)),
+             |nb AS (SELECT sb AS shard, count(*) AS n_before FROM placed GROUP BY 1),
+             |na AS (SELECT sa AS shard, count(*) AS n_after,
+             |    sum(CASE WHEN sb = 's3' THEN 1 ELSE 0 END) AS moved_in
+             |  FROM placed GROUP BY 1)
+             |SELECT coalesce(nb.shard, na.shard) AS shard,
+             |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+             |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+             |  CAST(coalesce(moved_in, 0) AS BIGINT) AS moved_in
+             |FROM nb FULL OUTER JOIN na ON nb.shard = na.shard
+             |ORDER BY shard""".stripMargin)))
 }

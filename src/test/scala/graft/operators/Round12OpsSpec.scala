@@ -65,6 +65,56 @@ class Round12OpsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("id"))
   }
 
+  // --- consistent hashing -----------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("consistentHash matches the brute ring successor incl. wrap") {
+    val shards = Seq("alpha", "beta", "gamma")
+    val vnodes = 4
+    val ring = ConsistentHash.ring(shards, vnodes)
+    assert(ring == ring.sorted && ring.size == shards.size * vnodes)
+    val keys = (0 until 300).map(_.toString)
+    val out = ConsistentHash.assign(
+      keys.toDF("k"), $"k", shards, vnodes).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    var wrapped = 0
+    keys.foreach { k =>
+      val hk = md5hex(k)
+      val exp = ring.find(_._1 >= hk).getOrElse { wrapped += 1; ring.head }._2
+      assert(out(k) == exp, s"key $k: got ${out(k)}, expected $exp")
+    }
+    assert(wrapped > 0, "fixture must exercise the wrap-around arc")
+    assert(out.values.toSet == shards.toSet, "all shards should own keys")
+  }
+
+  test("consistentHash reshard moves only the removed shard's keys; guards raise") {
+    val shards = Seq("s0", "s1", "s2", "s3")
+    val df = (0 until 500).map(_.toLong).toDF("k")
+    val placed = ConsistentHash.assign(
+      ConsistentHash.assign(df, $"k", shards, 8, "before"),
+      $"k", shards.filterNot(_ == "s2"), 8, "after").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    placed.foreach { case (b, a) =>
+      if (b != "s2") assert(a == b, s"stable key moved: $b -> $a")
+      else assert(a != "s2")
+    }
+    assert(placed.exists(_._1 == "s2"), "s2 must own keys before removal")
+    intercept[IllegalArgumentException] {
+      ConsistentHash.assign(df, $"k", Seq("a", "a"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      ConsistentHash.assign(df, $"k", Seq("a"), 0)
+    }
+    val e = intercept[Exception] {
+      ConsistentHash.assign(
+        Seq(null.asInstanceOf[java.lang.Long]).toDF("k"), $"k", shards).collect()
+    }
+    assert(e.getMessage.contains("key is null"))
+  }
+
   // --- Jensen–Shannon ---------------------------------------------
 
   /** Scala reference of the smoothed JSD over the joint vocabulary,

@@ -70,7 +70,12 @@ object Stress {
     // the S²-bounded source-overlap posting self-join over 10×
     // shingles, and Croston's dense per-part weekly grid
     "q300_katz_centrality", "q304_link_prediction",
-    "q309_source_overlap", "q310_croston")
+    "q309_source_overlap", "q310_croston",
+    // round-12 additions: the depth-2 FastSS join's variant volume is
+    // quadratic in string length and its pair output rides the
+    // replica duplicate density; Monge–Elkan scores n²/#blocks pairs
+    // with |A|·|B| kernel evals each
+    "q365_fuzzy_ed2_join", "q366_monge_elkan")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

@@ -349,5 +349,68 @@ object ScaleOps12 {
              |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
              |  CAST(coalesce(moved_in, 0) AS BIGINT) AS moved_in
              |FROM nb FULL OUTER JOIN na ON nb.shard = na.shard
-             |ORDER BY shard""".stripMargin)))
+             |ORDER BY shard""".stripMargin)),
+
+    // ---- q370: IPF / RAKING (Deming & Stephan 1940) — reweight the
+    // mod-3 customer sample so its (nation, segment) margins match the
+    // FULL table's ([[graft.operators.Raking.rakeWeights]], 4 rounds).
+    // The oracle unrolls all 8 scaling steps as MATERIALIZED CTEs
+    // replaying the identical (t/m)-then-multiply op order; counts and
+    // keys hash-exact, weights gated at 1e-9 with a poison row (the
+    // q89 fixed-iteration contract).
+    Q(
+      "q370_raking_ipf",
+      (s, d) => {
+        import s.implicits._
+        val full = Tables.customer(s, d)
+        val sample = full.filter($"c_custkey" % 3 === 0)
+          .select($"c_nationkey".cast("string").as("r"), $"c_mktsegment".as("c"))
+        val tr = full.groupBy($"c_nationkey".cast("string").as("row_key"))
+          .agg(count(lit(1)).as("target"))
+        val tc = full.groupBy($"c_mktsegment".as("col_key"))
+          .agg(count(lit(1)).as("target"))
+        graft.operators.Raking.rakeWeights(
+          sample, $"r", $"c", tr, tc, rounds = 4)
+          .orderBy($"row_key", $"col_key")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "c0" else s"c${k - 1}"
+          s"""mr$k AS (SELECT row_key, sum(w) AS m FROM $prev GROUP BY 1),
+             |r$k AS MATERIALIZED (SELECT c.row_key, c.col_key, c.n_sample,
+             |    c.w * (tr.t / mr$k.m) AS w
+             |  FROM $prev c JOIN mr$k USING (row_key) JOIN tr USING (row_key)),
+             |mc$k AS (SELECT col_key, sum(w) AS m FROM r$k GROUP BY 1),
+             |c$k AS MATERIALIZED (SELECT c.row_key, c.col_key, c.n_sample,
+             |    c.w * (tc.t / mc$k.m) AS w
+             |  FROM r$k c JOIN mc$k USING (col_key) JOIN tc USING (col_key))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q370_raking_ipf/*.parquet')),
+           |c0 AS MATERIALIZED (SELECT CAST(c_nationkey AS VARCHAR) AS row_key,
+           |    c_mktsegment AS col_key, count(*) AS n_sample,
+           |    CAST(count(*) AS DOUBLE) AS w
+           |  FROM customer WHERE c_custkey % 3 = 0 GROUP BY 1, 2),
+           |tr AS MATERIALIZED (SELECT CAST(c_nationkey AS VARCHAR) AS row_key,
+           |    CAST(count(*) AS DOUBLE) AS t FROM customer GROUP BY 1),
+           |tc AS MATERIALIZED (SELECT c_mktsegment AS col_key,
+           |    CAST(count(*) AS DOUBLE) AS t FROM customer GROUP BY 1),
+           |$rounds,
+           |x AS (SELECT row_key, col_key, n_sample, w AS weight FROM c4),
+           |flag AS (SELECT (
+           |    (SELECT count(*) FROM emitted) = (SELECT count(*) FROM x)
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN x
+           |      ON e.row_key = x.row_key AND e.col_key = x.col_key
+           |      WHERE e.n_sample <> x.n_sample
+           |         OR abs(e.weight - x.weight) > 1e-9 * greatest(abs(x.weight), 1))
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e
+           |      WHERE NOT EXISTS (SELECT 1 FROM x
+           |        WHERE x.row_key = e.row_key AND x.col_key = e.col_key))
+           |  ) AS ok)
+           |SELECT row_key, col_key, n_sample, weight FROM emitted
+           |WHERE (SELECT ok FROM flag)
+           |UNION ALL
+           |SELECT 'POISON', 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
+           |WHERE NOT (SELECT ok FROM flag)
+           |ORDER BY row_key, col_key""".stripMargin
+      }))
 }

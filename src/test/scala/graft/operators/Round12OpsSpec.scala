@@ -115,6 +115,56 @@ class Round12OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("key is null"))
   }
 
+  // --- IPF / raking ------------------------------------------------
+
+  test("rakeWeights converges to the target margins; local replay agrees") {
+    val sample = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "y"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    val tr = Seq(("a", 60L), ("b", 40L)).toDF("k", "t")
+    val tc = Seq(("x", 30L), ("y", 70L)).toDF("k", "t")
+    val out = Raking.rakeWeights(sample, $"r", $"c", tr, tc, rounds = 12)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // local IPF replay with the identical (t/m)-then-multiply op order
+    var w = Map(("a", "x") -> 2.0, ("a", "y") -> 1.0, ("b", "x") -> 1.0, ("b", "y") -> 3.0)
+    val rT = Map("a" -> 60.0, "b" -> 40.0)
+    val cT = Map("x" -> 30.0, "y" -> 70.0)
+    for (_ <- 1 to 12) {
+      val rm = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      w = w.map { case (k, v) => k -> v * (rT(k._1) / rm(k._1)) }
+      val cm = w.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      w = w.map { case (k, v) => k -> v * (cT(k._2) / cm(k._2)) }
+    }
+    out.foreach { case (r, c, n, wt) =>
+      assert(n == (if ((r, c) == ("b", "y")) 3L else if ((r, c) == ("a", "x")) 2L else 1L))
+      assert(math.abs(wt - w((r, c))) < 1e-9, s"cell ($r,$c): $wt vs ${w((r, c))}")
+    }
+    // after the final column step, column margins match EXACTLY-ish
+    // and row margins are converged
+    val byC = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(math.abs(byC("x") - 30.0) < 1e-6 && math.abs(byC("y") - 70.0) < 1e-6)
+    val byR = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(math.abs(byR("a") - 60.0) < 1e-3 && math.abs(byR("b") - 40.0) < 1e-3)
+  }
+
+  test("rakeWeights raises on missing or non-positive targets") {
+    val sample = Seq(("a", "x"), ("b", "x")).toDF("r", "c")
+    val tcOk = Seq(("x", 10L)).toDF("k", "t")
+    val e = intercept[Exception] {
+      Raking.rakeWeights(sample, $"r", $"c",
+        Seq(("a", 5L)).toDF("k", "t"), tcOk).collect()
+    }
+    assert(e.getMessage.contains("no target margin"))
+    val e2 = intercept[Exception] {
+      Raking.rakeWeights(sample, $"r", $"c",
+        Seq(("a", 5L), ("b", 0L)).toDF("k", "t"), tcOk).collect()
+    }
+    assert(e2.getMessage.contains("<= 0"))
+    intercept[IllegalArgumentException] {
+      Raking.rakeWeights(sample, $"r", $"c", tcOk, tcOk, rounds = 0)
+    }
+  }
+
   // --- Jensen–Shannon ---------------------------------------------
 
   /** Scala reference of the smoothed JSD over the joint vocabulary,

@@ -412,5 +412,67 @@ object ScaleOps12 {
            |SELECT 'POISON', 'POISON', CAST(-1 AS BIGINT), CAST(-999 AS DOUBLE)
            |WHERE NOT (SELECT ok FROM flag)
            |ORDER BY row_key, col_key""".stripMargin
+      }),
+
+    // ---- q371: SINKHORN ENTROPIC OPTIMAL TRANSPORT (Cuturi 2013) —
+    // the regularized distribution distance beside q362's exact EMD:
+    // BUILDING-segment balance-band histogram vs the rest, ε = 1/2,
+    // 10 scaling rounds ([[graft.operators.KsTest.sinkhornDistance]]).
+    // The oracle unrolls every round with bin-ordered list_reduce
+    // folds replaying the identical op order; counts exact, cost
+    // 1e-9 relative (exp is the only libm call), poison row.
+    Q(
+      "q371_sinkhorn_ot",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.KsTest.sinkhornDistance(
+          Tables.customer(s, d),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"),
+          $"c_mktsegment" === "BUILDING",
+          epsNum = 1L, epsDen = 2L, rounds = 10)
+      },
+      Some {
+        val kfn = "exp(-CAST(abs(%s - %s) AS DOUBLE) * CAST(2 AS DOUBLE))"
+        val rounds = (1 to 10).map { k =>
+          s"""u$k AS MATERIALIZED (SELECT h.bin AS bin,
+             |    h.a / list_reduce(list(${kfn.format("h.bin", "w.bin")} * w.v
+             |      ORDER BY w.bin), (x, y) -> x + y) AS u
+             |  FROM h CROSS JOIN v${k - 1} w GROUP BY h.bin, h.a),
+             |v$k AS MATERIALIZED (SELECT h2.bin AS bin,
+             |    h2.b / list_reduce(list(${kfn.format("u.bin", "h2.bin")} * u.u
+             |      ORDER BY u.bin), (x, y) -> x + y) AS v
+             |  FROM h h2 CROSS JOIN u$k u GROUP BY h2.bin, h2.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q371_sinkhorn_ot/*.parquet')),
+           |hist AS MATERIALIZED (SELECT
+           |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bin,
+           |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS cb
+           |  FROM customer GROUP BY 1),
+           |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM hist),
+           |h AS MATERIALIZED (SELECT bin,
+           |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS a,
+           |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS b
+           |  FROM hist CROSS JOIN tot),
+           |v0 AS (SELECT bin, CAST(1 AS DOUBLE) AS v FROM h),
+           |$rounds,
+           |cost AS (SELECT list_reduce(list(
+           |      u.u * ${kfn.format("u.bin", "v.bin")} * v.v
+           |        * CAST(abs(u.bin - v.bin) AS DOUBLE)
+           |      ORDER BY u.bin, v.bin), (x, y) -> x + y) AS c
+           |  FROM u10 u CROSS JOIN v10 v),
+           |x AS (SELECT na AS n_a, nb AS n_b, nbins AS bins, c AS ot_cost
+           |  FROM tot CROSS JOIN cost),
+           |flag AS (SELECT (
+           |    (SELECT count(*) FROM emitted) = 1
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e, x
+           |      WHERE e.n_a <> x.n_a OR e.n_b <> x.n_b OR e.bins <> x.bins
+           |         OR abs(e.ot_cost - x.ot_cost) > 1e-9 * greatest(abs(x.ot_cost), 1))
+           |  ) AS ok)
+           |SELECT * FROM emitted WHERE (SELECT ok FROM flag)
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           |  CAST(-999 AS DOUBLE)
+           |WHERE NOT (SELECT ok FROM flag)""".stripMargin
       }))
 }

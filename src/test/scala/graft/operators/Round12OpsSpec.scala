@@ -115,6 +115,78 @@ class Round12OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("key is null"))
   }
 
+  // --- Sinkhorn entropic OT ----------------------------------------
+
+  test("sinkhornDistance: forced single-route transport hits the exact cost") {
+    // all slice-A mass at bin 0, all slice-B mass at bin 5: the only
+    // feasible plan ships everything 5 bins → cost = 5 exactly
+    val df = (Seq.fill(40)((0L, true)) ++ Seq.fill(25)((5L, false)))
+      .toDF("bin", "ina")
+    val out = KsTest.sinkhornDistance(df, $"bin", $"ina", rounds = 10).collect().head
+    assert(out.getLong(0) == 40 && out.getLong(1) == 25 && out.getLong(2) == 2)
+    assert(math.abs(out.getDouble(3) - 5.0) < 1e-9, s"cost=${out.getDouble(3)}")
+  }
+
+  test("sinkhornDistance upper-bounds the exact 1-D EMD and shrinks with epsilon") {
+    val rows = Seq((0L, true, 30), (1L, true, 10), (3L, true, 10),
+      (1L, false, 15), (2L, false, 20), (4L, false, 15))
+      .flatMap { case (b, s, n) => Seq.fill(n)((b, s)) }
+    val df = rows.toDF("bin", "ina")
+    // exact binned W1 = Σ_bins |cdfA − cdfB| summed over unit gaps
+    val bins = 0L to 4L
+    val na = rows.count(_._2).toDouble
+    val nb = rows.size - na
+    var (ca, cb, w1) = (0.0, 0.0, 0.0)
+    bins.dropRight(1).foreach { b =>
+      ca += rows.count(r => r._1 == b && r._2) / na
+      cb += rows.count(r => r._1 == b && !r._2) / nb
+      w1 += math.abs(ca - cb)
+    }
+    // at convergence (eps = 1/2 converges fast) the plan is feasible,
+    // so the entropic cost upper-bounds the exact binned EMD
+    val conv = KsTest.sinkhornDistance(df, $"bin", $"ina",
+      epsNum = 1L, epsDen = 2L, rounds = 64).collect().head.getDouble(3)
+    assert(conv >= w1 - 1e-9, s"converged entropic cost must upper-bound W1=$w1, got $conv")
+    assert(conv < w1 + 0.5, s"eps=1/2 cost should stay near W1=$w1, got $conv")
+    // finite-round invariant regardless of convergence: the final
+    // v-step makes the plan's COLUMN marginals exactly b — replay the
+    // plan locally from the same histogram and check
+    val bcnt = Seq(0.0, 15.0, 20.0, 0.0, 15.0).map(_ / nb)
+    val acnt = Seq(30.0, 10.0, 0.0, 10.0, 0.0).map(_ / na)
+    var u = Array.fill(5)(0.0)
+    var v = Array.fill(5)(1.0)
+    def k2(i: Int, j: Int) = math.exp(-math.abs(i - j).toDouble * 2.0)
+    for (_ <- 1 to 3) {
+      u = Array.tabulate(5)(i => acnt(i) / (0 until 5).map(j => k2(i, j) * v(j)).sum)
+      v = Array.tabulate(5)(j => bcnt(j) / (0 until 5).map(i => k2(i, j) * u(i)).sum)
+    }
+    (0 until 5).foreach { j =>
+      val colMass = (0 until 5).map(i => u(i) * k2(i, j) * v(j)).sum
+      assert(math.abs(colMass - bcnt(j)) < 1e-12,
+        s"column marginal $j must be exact after the v-step")
+    }
+  }
+
+  test("sinkhornDistance guards: empty slice, null bin, bin explosion") {
+    val e = intercept[Exception] {
+      KsTest.sinkhornDistance(
+        Seq((1L, true), (2L, true)).toDF("bin", "ina"), $"bin", $"ina").collect()
+    }
+    assert(e.getMessage.contains("both slices"))
+    val e2 = intercept[Exception] {
+      KsTest.sinkhornDistance(
+        Seq((None: Option[Long], true), (Some(2L), false)).toDF("bin", "ina"),
+        $"bin", $"ina").collect()
+    }
+    assert(e2.getMessage.contains("bin must be"))
+    val e3 = intercept[Exception] {
+      KsTest.sinkhornDistance(
+        (1L to 50L).map(i => (i, i % 2 == 0)).toDF("bin", "ina"),
+        $"bin", $"ina", maxBins = 10).collect()
+    }
+    assert(e3.getMessage.contains("maxBins"))
+  }
+
   // --- IPF / raking ------------------------------------------------
 
   test("rakeWeights converges to the target margins; local replay agrees") {

@@ -43,21 +43,29 @@ object MarketBasket {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     require(minConfidence >= 0.0 && minConfidence <= 1.0,
       s"minConfidence must be in [0,1], got $minConfidence")
-    // materialize the deduped item list ONCE: four consumers (both
-    // self-join sides, marginals, basket count) would otherwise each
-    // recompute the distinct from the base scan — verified in the
-    // executed plan, which shows no exchange reuse across the aliases
-    val it = items
-      .filter(basket.isNotNull && item.isNotNull)
-      .select(basket.as("b"), item.cast("string").as("i"))
-      .distinct()
-      .localCheckpoint(true)
+    // materialize the deduped item list ONCE, hash-partitioned by
+    // basket: four consumers (both self-join sides, marginals, basket
+    // count) would otherwise each recompute the distinct from the base
+    // scan (no exchange reuse across aliases), and the declared
+    // HashPartitioning(b) lets the pair self-join below plan with ZERO
+    // exchanges over the materialized rows (the triangle-pipeline
+    // checkpoint geometry)
+    val it = PartitionedCheckpoint.byKeys(
+      items
+        .filter(basket.isNotNull && item.isNotNull)
+        .select(basket.as("b"), item.cast("string").as("i"))
+        .distinct(),
+      col("b"))
     // marginals + universe size: |items| distinct item values — tiny
     val marginals = it.groupBy(col("i")).agg(count(lit(1)).as("item_n"))
     val nBaskets = it.select(col("b")).distinct().count()
     require(nBaskets > 0, "associationRules: no non-null baskets")
-    // pair expansion co-partitioned on basket id; i < j canonicalizes
-    val pairs = it.as("l").join(it.as("r"),
+    // pair expansion co-partitioned on basket id; i < j canonicalizes.
+    // shuffle-hash, not sort-merge: both sides already carry the
+    // checkpoint's HashPartitioning(b), so the hash join runs with
+    // zero exchanges AND zero sorts (SMJ would in-partition-sort both
+    // 600k-row sides just to merge them)
+    val pairs = it.as("l").join(it.as("r").hint("shuffle_hash"),
         col("l.b") === col("r.b") && col("l.i") < col("r.i"))
       .groupBy(col("l.i").as("ia"), col("r.i").as("ib"))
       .agg(count(lit(1)).as("pair_n"))

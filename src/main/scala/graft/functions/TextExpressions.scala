@@ -169,6 +169,100 @@ object JaroWinkler {
   }
 }
 
+/** Thresholded edit distance — `levenshtein(a, b)` when it is ≤ k,
+  * −1 otherwise — as a native kernel for the fuzzy-join verification
+  * loop ([[graft.operators.FuzzyJoin]]): the full DP is O(|a|·|b|)
+  * cells, but a verifier that only needs "≤ k or not" can (1) strip
+  * the common prefix and suffix first — FastSS blocks share long
+  * prefixes by construction, so this usually deletes most of the
+  * problem — and (2) run Ukkonen's band of width 2k+1 with an
+  * early-exit when a whole row exceeds k. Code-point semantics match
+  * Spark's `levenshtein` exactly (both engines' parity is pinned by
+  * the fuzzy-join oracles); one kernel call replaces the
+  * filter-then-recompute double evaluation.
+  */
+case class LevenshteinAtMost(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 0 && k <= 64, s"graft_lev_le: k must be in [0, 64], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_lev_le requires two string arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_lev_le"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LevenshteinAtMost.led(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LevenshteinAtMost.led($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LevenshteinAtMost {
+
+  /** Static entry point shared by interpreted eval and generated code:
+    * levenshtein(ua, ub) if ≤ k, else −1.
+    */
+  def led(ua: UTF8String, ub: UTF8String, k: Int): Int = {
+    val sa = ua.toString
+    val sb = ub.toString
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
+    var lo = 0
+    var aHi = a.length
+    var bHi = b.length
+    if (math.abs(aHi - bHi) > k) return -1
+    // strip the common prefix and suffix — edits there cost 0, and
+    // FastSS blocks share long prefixes by construction
+    while (lo < aHi && lo < bHi && a(lo) == b(lo)) lo += 1
+    while (aHi > lo && bHi > lo && a(aHi - 1) == b(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val m = aHi - lo
+    val n = bHi - lo
+    if (m == 0) return n // n <= k by the length pre-check
+    if (n == 0) return m
+    if (k == 0) return -1 // unequal remainders cannot be distance 0
+    // banded DP, rows over a's remainder, band j in [i-k, i+k]
+    val inf = k + 1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val jLo = math.max(1, i - k)
+      val jHi = math.min(n, i + k)
+      cur(jLo - 1) = if (i - (jLo - 1) <= k) i else inf
+      var rowMin = cur(jLo - 1)
+      j = jLo
+      while (j <= jHi) {
+        val sub = prev(j - 1) + (if (a(lo + i - 1) == b(lo + j - 1)) 0 else 1)
+        val del = (if (j - 1 >= jLo - 1) cur(j - 1) else inf) + 1
+        val ins = (if (j <= math.min(n, i - 1 + k)) prev(j) else inf) + 1
+        var v = if (sub < del) sub else del
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (jHi < n) cur(jHi + 1) = inf
+      if (rowMin > k) return -1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(n) <= k) prev(n) else -1
+  }
+}
+
 /** Greedy longest-match subword segmentation (wordpiece-style
   * "tokenizer apply") as a native expression: every token of the input
   * array splits into the longest vocabulary pieces matching at each
@@ -553,6 +647,10 @@ object GraftFunctions {
     spec("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - byte-level Jaro-Winkler similarity", 2)(
       exprs => JaroWinkler(exprs.head, exprs(1))),
+    spec("graft_lev_le",
+      "graft_lev_le(a, b, k) - levenshtein(a, b) if <= k else -1 (banded, early-exit)", 3)(
+      exprs => LevenshteinAtMost(exprs.head, exprs(1),
+        intArg("graft_lev_le", exprs, 2))),
     spec("graft_searchsorted",
       "graft_searchsorted(v, sorted_bounds) - count of boundaries <= v (binary search)", 2)(
       exprs => SearchSorted(exprs.head, exprs(1))),
@@ -604,6 +702,13 @@ object GraftFunctions {
   def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_jaro_winkler", a, b)
+  }
+
+  def levAtMost(a: Column, b: Column, k: Int): Column =
+    levAtMost(SparkSession.active, a, b, k)
+  def levAtMost(spark: SparkSession, a: Column, b: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_lev_le", a, b, org.apache.spark.sql.functions.lit(k))
   }
 
   def minhash(strings: Column, k: Int): Column = minhash(SparkSession.active, strings, k)

@@ -125,22 +125,26 @@ object FuzzyJoin {
     // in-block (i < j) expansion with the EXACT verification inside
     // the lambda: rejected candidates never reach the flatten buffer
     // or the dedup exchange. Strings in a block are distinct, so the
-    // verified distance is exactly 1 and sa < sb lexicographically —
+    // verified distance is in [1, k] and sa < sb lexicographically —
     // a string pair surfaces from several shared variants
     // (substitutions share one per edited position); dedup at string
-    // grain, BEFORE duplicate density multiplies anything
+    // grain, BEFORE duplicate density multiplies anything. The
+    // verifier is the banded early-exit kernel
+    // ([[graft.functions.LevenshteinAtMost]] — common prefix/suffix
+    // strip + Ukkonen band, ONE call per candidate) rather than two
+    // full-DP `levenshtein` evaluations; its values equal Spark's
+    // `levenshtein` wherever ≤ k, so the contract is unchanged.
+    val spark = df.sparkSession
     val strPairs = blocks.select(explode(flatten(transform(
       sequence(lit(0), size(col("ms")) - 2),
       i => {
         val a = element_at(col("ms"), i + 1)
-        transform(
-          filter(
+        filter(
+          transform(
             slice(col("ms"), i + 2, size(col("ms")) - i - 1),
-            b => levenshtein(a, b) <= k),
-          // distinct strings: the verified distance is in [1, k] — at
-          // k = 1 that pins it without a second levenshtein eval
-          b => struct(a.as("sa"), b.as("sb"),
-            (if (k == 1) lit(1) else levenshtein(a, b)).as("dist")))
+            b => struct(a.as("sa"), b.as("sb"),
+              graft.functions.GraftFunctions.levAtMost(spark, a, b, k).as("dist"))),
+          p => p.getField("dist") > 0)
       }))).as("p"))
       .select(col("p.sa").as("sa"), col("p.sb").as("sb"), col("p.dist").as("dist"))
       .dropDuplicates("sa", "sb")

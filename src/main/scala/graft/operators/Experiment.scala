@@ -206,6 +206,91 @@ object Experiment {
       when(peD < 1.0, (po - peD) / (lit(1.0) - peD)).as("kappa"))
   }
 
+  /** FLEISS' KAPPA (Fleiss 1971) — chance-corrected agreement for n
+    * RATERS per item (the multi-rater generalization beside
+    * [[cohenKappa]]'s two): with n_ic = ratings of item i in category
+    * c, per-item agreement P_i = (Σ_c n_ic² − n)/(n(n−1)), mean
+    * observed agreement P̄ = A/B and chance agreement
+    * P_e = Σ_c p_c² = C/D are EXACT integer ratios
+    * (A = Σ_i(Σ_c n_ic² − n), B = Nn(n−1), C = Σ_c T_c², D = (Nn)²),
+    * so κ = (P̄ − P_e)/(1 − P_e) cross-multiplies to the exact
+    * rational (A·D − C·B)/(B·(D − C)) — every emitted float is ONE
+    * pinned division of two exact decimals, hash-portable.
+    *
+    * The label-quality audit for annotation pipelines: every item
+    * must carry the SAME number of ratings n ≥ 2 (Fleiss' design —
+    * unequal counts raise loudly; subsample to a common n first).
+    * One row per RATING in; one partial-aggregable (item, category)
+    * reduction; the category and item marginals are
+    * cardinality-sized. Items beyond 10⁸ would push the
+    * cross-multiplied products past decimal(38) — guarded loudly.
+    *
+    * Output: one row (n_items, n_ratings, p_bar, p_e, kappa,
+    * kappa_num, kappa_den) — kappa null when P_e = 1 (every rating
+    * in one category; the statistic is undefined).
+    */
+  def fleissKappa(
+      df: DataFrame,
+      item: Column,
+      category: Column): DataFrame = {
+    def guard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"fleissKappa: $what must be non-null")))
+        .otherwise(c.cast("string"))
+    val cells = df.select(guard(item, "item id").as("it"),
+      guard(category, "category").as("cat"))
+      .groupBy(col("it"), col("cat")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val items = cells.groupBy(col("it")).agg(
+      sum(col("c")).as("ni"),
+      sum(col("c") * col("c")).as("si"))
+    val top = items.agg(
+      min(col("ni")).as("nmin"), max(col("ni")).as("nmax"),
+      count(lit(1)).as("nItems"),
+      sum(col("si").cast("decimal(19,0)")).cast("decimal(38,0)").as("sumSi"))
+    val catAgg = cells.groupBy(col("cat")).agg(sum(col("c")).as("tc"))
+      .agg(sum(col("tc").cast("decimal(19,0)") * col("tc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("sumTc2"))
+    val joined = top.crossJoin(broadcast(catAgg))
+    val n = when(col("nmin") =!= col("nmax"), raise_error(concat(
+      lit("fleissKappa: unequal ratings per item ("), col("nmin"),
+      lit(" vs "), col("nmax"),
+      lit(") — Fleiss' design needs a common n; subsample first"))))
+      .when(col("nmin") < 2L, raise_error(lit(
+        "fleissKappa: every item needs at least 2 ratings")))
+      .otherwise(col("nmax"))
+    val nItems = when(col("nItems") > 100000000L, raise_error(lit(
+      "fleissKappa: more than 1e8 items would overflow the exact " +
+        "decimal(38) kappa arithmetic — sample the items first")))
+      .when(col("nmax") > 64L, raise_error(lit(
+        "fleissKappa: more than 64 ratings per item overflows the " +
+          "exact arithmetic bounds — subsample the raters")))
+      .otherwise(col("nItems"))
+    val staged = joined.select(
+      nItems.cast("decimal(9,0)").as("nn"),
+      n.cast("decimal(2,0)").as("n"),
+      col("sumSi"), col("sumTc2"))
+    val bb = (col("nn") * col("n") * (col("n") - 1)).cast("decimal(12,0)")
+    val dd = ((col("nn") * col("n")).cast("decimal(11,0)") *
+      (col("nn") * col("n")).cast("decimal(11,0)")).cast("decimal(20,0)")
+    val aa = (col("sumSi") - (col("nn") * col("n")).cast("decimal(38,0)"))
+      .cast("decimal(12,0)")
+    val cc = col("sumTc2").cast("decimal(20,0)")
+    val out = staged.select(
+      col("nn").cast("long").as("n_items"),
+      col("n").cast("long").as("n_ratings"),
+      (aa.cast("double") / bb.cast("double")).as("p_bar"),
+      (cc.cast("double") / dd.cast("double")).as("p_e"),
+      (aa * dd - cc * bb).cast("decimal(38,0)").as("knum"),
+      (bb * (dd - cc)).cast("decimal(38,0)").as("kden"))
+    out.select(
+      col("n_items"), col("n_ratings"), col("p_bar"), col("p_e"),
+      when(col("kden") > 0,
+        col("knum").cast("double") / col("kden").cast("double")).as("kappa"),
+      col("knum").cast("string").as("kappa_num"),
+      col("kden").cast("string").as("kappa_den"))
+  }
+
   /** McNEMAR'S TEST — paired binary outcomes (the same subjects
     * before/after an intervention): only the DISCORDANT cells carry
     * information, χ² = (b − c)²/(b + c) with b = 0→1 flips and

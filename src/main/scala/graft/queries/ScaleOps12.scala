@@ -474,5 +474,55 @@ object ScaleOps12 {
            |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            |  CAST(-999 AS DOUBLE)
            |WHERE NOT (SELECT ok FROM flag)""".stripMargin
-      }))
+      }),
+
+    // ---- q372: FLEISS' KAPPA — multi-rater agreement over each
+    // user's first four event types (items = users with ≥ 4 events,
+    // n = 4 "ratings" each, categories = the five event types;
+    // [[graft.operators.Experiment.fleissKappa]]). κ cross-multiplies
+    // to an exact rational; every float is one pinned division of two
+    // exact integers, the exact numerator/denominator ride along as
+    // string digests — hash-exact (DuckDB replays in HUGEINT).
+    Q(
+      "q372_fleiss_kappa",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val ranked = ev.select($"user_id", $"event_type",
+          row_number().over(w).as("rn"))
+        val eligible = ranked.filter($"rn" === 4).select($"user_id")
+        val ratings = ranked.filter($"rn" <= 4)
+          .join(eligible, Seq("user_id"), "left_semi")
+        graft.operators.Experiment.fleissKappa(
+          ratings, $"user_id", $"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+             |f4 AS MATERIALIZED (SELECT user_id, event_type FROM ev
+             |  WHERE rn <= 4 AND user_id IN (SELECT user_id FROM ev WHERE rn = 4)),
+             |cells AS (SELECT user_id, event_type, count(*) AS c FROM f4 GROUP BY 1, 2),
+             |it AS (SELECT user_id, sum(c) AS ni, sum(c * c) AS si FROM cells GROUP BY 1),
+             |top AS (SELECT count(*) AS nn, sum(si) AS sumsi FROM it),
+             |cat AS (SELECT sum(tc * tc) AS sumtc2 FROM (
+             |    SELECT sum(c) AS tc FROM cells GROUP BY event_type)),
+             |k AS (SELECT CAST(nn AS HUGEINT) AS nn,
+             |    CAST(sumsi AS HUGEINT) - CAST(nn AS HUGEINT) * 4 AS a,
+             |    CAST(nn AS HUGEINT) * 4 * 3 AS b,
+             |    (CAST(nn AS HUGEINT) * 4) * (CAST(nn AS HUGEINT) * 4) AS d,
+             |    CAST(sumtc2 AS HUGEINT) AS c2
+             |  FROM top, cat)
+             |SELECT CAST(nn AS BIGINT) AS n_items, CAST(4 AS BIGINT) AS n_ratings,
+             |  CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS p_bar,
+             |  CAST(c2 AS DOUBLE) / CAST(d AS DOUBLE) AS p_e,
+             |  CASE WHEN b * (d - c2) > 0
+             |    THEN CAST(a * d - c2 * b AS DOUBLE) / CAST(b * (d - c2) AS DOUBLE)
+             |  END AS kappa,
+             |  CAST(a * d - c2 * b AS VARCHAR) AS kappa_num,
+             |  CAST(b * (d - c2) AS VARCHAR) AS kappa_den
+             |FROM k""".stripMargin)))
 }

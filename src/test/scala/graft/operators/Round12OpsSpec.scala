@@ -115,6 +115,47 @@ class Round12OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("key is null"))
   }
 
+  // --- Fleiss' kappa -----------------------------------------------
+
+  test("fleissKappa matches the textbook worked arithmetic") {
+    // 4 items, 3 raters, 2 categories — hand-computable:
+    // counts per item (x, y): (3,0), (2,1), (1,2), (0,3)
+    val ratings = Seq(
+      (1, "x"), (1, "x"), (1, "x"),
+      (2, "x"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "y"), (3, "y"),
+      (4, "y"), (4, "y"), (4, "y")).toDF("item", "cat")
+    val out = Experiment.fleissKappa(ratings, $"item", $"cat").collect().head
+    // A = Σ(Σc² − n) = (9−3)+(5−3)+(5−3)+(9−3) = 16; B = 4·3·2 = 24
+    // T = (6, 6); C = 72; D = 144
+    // κ = (A·D − C·B)/(B·(D − C)) = (2304 − 1728)/(24·72) = 576/1728 = 1/3
+    assert(out.getLong(0) == 4 && out.getLong(1) == 3)
+    assert(out.getDouble(2) == 16.0 / 24.0 && out.getDouble(3) == 72.0 / 144.0)
+    assert(out.getDouble(4) == 576.0 / 1728.0)
+    assert(out.getString(5) == "576" && out.getString(6) == "1728")
+  }
+
+  test("fleissKappa edges: perfect agreement, single category, unequal raise") {
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b")).toDF("item", "cat")
+    val p = Experiment.fleissKappa(perfect, $"item", $"cat").collect().head
+    assert(p.getDouble(4) == 1.0, "unanimous distinct categories → κ = 1")
+    // every rating one category → P_e = 1 → κ undefined (null)
+    val mono = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a")).toDF("item", "cat")
+    val m = Experiment.fleissKappa(mono, $"item", $"cat").collect().head
+    assert(m.isNullAt(4) && m.getDouble(3) == 1.0)
+    val e = intercept[Exception] {
+      Experiment.fleissKappa(
+        Seq((1, "a"), (1, "b"), (2, "a")).toDF("item", "cat"),
+        $"item", $"cat").collect()
+    }
+    assert(e.getMessage.contains("unequal ratings"))
+    val e2 = intercept[Exception] {
+      Experiment.fleissKappa(
+        Seq((1, "a"), (2, "b")).toDF("item", "cat"), $"item", $"cat").collect()
+    }
+    assert(e2.getMessage.contains("at least 2"))
+  }
+
   // --- Sinkhorn entropic OT ----------------------------------------
 
   test("sinkhornDistance: forced single-route transport hits the exact cost") {

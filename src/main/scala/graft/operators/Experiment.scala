@@ -259,7 +259,9 @@ object Experiment {
       .when(col("nmin") < 2L, raise_error(lit(
         "fleissKappa: every item needs at least 2 ratings")))
       .otherwise(col("nmax"))
-    val nItems = when(col("nItems") > 100000000L, raise_error(lit(
+    val nItems = when(col("nItems") === 0L, raise_error(lit(
+      "fleissKappa: empty input — agreement over zero items is undefined")))
+      .when(col("nItems") > 100000000L, raise_error(lit(
       "fleissKappa: more than 1e8 items would overflow the exact " +
         "decimal(38) kappa arithmetic — sample the items first")))
       .when(col("nmax") > 64L, raise_error(lit(

@@ -75,7 +75,7 @@ object FuzzyJoin {
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .select(col("s"),
         when(size(col("ids")) > maxBlockSize, raise_error(concat(
-          lit(s"ed1Pairs: identical-string group exceeds maxBlockSize=$maxBlockSize for '"),
+          lit(s"edPairs(k=$k): identical-string group exceeds maxBlockSize=$maxBlockSize for '"),
           col("s"), lit("' — raise the cap or pre-filter the hot key"))))
           .otherwise(col("ids")).as("ids"))
       .localCheckpoint(true)
@@ -119,7 +119,7 @@ object FuzzyJoin {
       .agg(sort_array(collect_list(col("s"))).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(when(size(col("ms")) > maxBlockSize, raise_error(concat(
-        lit(s"ed1Pairs: variant block exceeds maxBlockSize=$maxBlockSize for variant '"),
+        lit(s"edPairs(k=$k): variant block exceeds maxBlockSize=$maxBlockSize for variant '"),
         col("v"), lit("' — raise the cap or pre-filter the hot key"))))
         .otherwise(col("ms")).as("ms"))
     // in-block (i < j) expansion with the EXACT verification inside
@@ -150,10 +150,16 @@ object FuzzyJoin {
       .dropDuplicates("sa", "sb")
     // expand verified string pairs to id pairs: two joins against the
     // tiny group table (broadcast-sized by construction), output
-    // written map-side. A record pair has ONE unordered string pair,
-    // so no cross-duplicates exist and no pair-grain dedup is needed.
-    // The id_a ≠ id_b filter matches the record-grain contract for
-    // degenerate inputs where one id carries two spellings.
+    // written map-side. When (id, string) is functionally unique a
+    // record pair has ONE unordered string pair and the union below is
+    // already pair-distinct — but the ia ≠ ib filter deliberately
+    // admits the degenerate multi-spelling case (one id, several
+    // strings), where the same id pair can surface from the eq branch
+    // AND from near, or twice from near via two distinct verified
+    // string pairs. The final min-dist rollup restores the
+    // record-grain contract (one row per pair, smallest witnessed
+    // distance) at output grain — a shuffle sized by the RESULT, not
+    // the corpus.
     val near = strPairs
       .join(groups.select(col("s").as("sa"), col("ids").as("ids_a")), Seq("sa"))
       .join(groups.select(col("s").as("sb"), col("ids").as("ids_b")), Seq("sb"))
@@ -165,5 +171,7 @@ object FuzzyJoin {
         greatest(col("ia"), col("ib")).as("id_b"),
         col("dist"))
     eq.unionByName(near)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
   }
 }

@@ -276,6 +276,15 @@ object KsTest {
         j += 1
       }
     }
+    // Kernel-underflow guard: for small ε or a wide bin spread,
+    // exp(-|Δbin|/ε) underflows to 0.0, a row/column sum s hits 0, and
+    // u(i)=a(i)/s or v(j)=b(j)/s turns infinite — ot_cost would then
+    // be a silent NaN/Inf, against the suite's loud-failure contract.
+    require(u.forall(x => !x.isNaN && !x.isInfinity) &&
+      v.forall(x => !x.isNaN && !x.isInfinity),
+      s"sinkhornDistance: scaling vector overflowed (kernel underflow at " +
+        s"epsilon=$epsNum/$epsDen over bin spread ${bins.last - bins.head}) " +
+        "— shrink the bin spread or raise epsilon")
     var cost = 0.0
     var i = 0
     while (i < m) {

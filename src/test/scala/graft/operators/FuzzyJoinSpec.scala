@@ -104,6 +104,24 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("multi-spelling ids emit ONE row per pair with the min distance") {
+    // id 1 carries two spellings: "cat" (dist 0 vs id 2) and "cut"
+    // (dist 1 vs id 2's "cat") — the pair (1,2) surfaces from the eq
+    // branch AND from near; the rollup must keep exactly one row, at
+    // the smallest witnessed distance
+    val df = Seq((1L, "cat"), (1L, "cut"), (2L, "cat")).toDF("id", "s")
+    val out = FuzzyJoin.ed1Pairs(df, $"id", $"s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.count(p => p._1 == 1L && p._2 == 2L) == 1,
+      s"pair (1,2) must appear exactly once, got ${out.toSeq}")
+    assert(out.contains((1L, 2L, 0)), s"min dist is 0 (cat==cat), got ${out.toSeq}")
+    // two distinct near-witnesses, no eq witness: still one row, dist 1
+    val df2 = Seq((1L, "cab"), (1L, "cut"), (2L, "cat")).toDF("id", "s")
+    val out2 = FuzzyJoin.ed1Pairs(df2, $"id", $"s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out2.toSeq == Seq((1L, 2L, 1)), s"got ${out2.toSeq}")
+  }
+
   test("entity-resolution composition: pairs → components → best survivor") {
     // cluster {1,2,3}: kitt/mitt/mitts chain (kitt↔mitt sub,
     // mitt↔mitts ins — kitt↔mitts is ED 2, linked only transitively);

@@ -154,6 +154,12 @@ class Round12OpsSpec extends SparkTestBase {
         Seq((1, "a"), (2, "b")).toDF("item", "cat"), $"item", $"cat").collect()
     }
     assert(e2.getMessage.contains("at least 2"))
+    // empty input raises loudly instead of returning a null-kappa row
+    val e3 = intercept[Exception] {
+      Experiment.fleissKappa(
+        Seq.empty[(Int, String)].toDF("item", "cat"), $"item", $"cat").collect()
+    }
+    assert(e3.getMessage.contains("empty input"))
   }
 
   // --- Sinkhorn entropic OT ----------------------------------------
@@ -166,6 +172,18 @@ class Round12OpsSpec extends SparkTestBase {
     val out = KsTest.sinkhornDistance(df, $"bin", $"ina", rounds = 10).collect().head
     assert(out.getLong(0) == 40 && out.getLong(1) == 25 && out.getLong(2) == 2)
     assert(math.abs(out.getDouble(3) - 5.0) < 1e-9, s"cost=${out.getDouble(3)}")
+  }
+
+  test("sinkhornDistance raises loudly on kernel underflow instead of NaN") {
+    // |Δbin| = 10⁶ at ε = 1/2 → exp(-2·10⁶) underflows to 0.0; the
+    // row sums vanish and u turns infinite — must raise, not emit NaN
+    val df = (Seq.fill(5)((0L, true)) ++ Seq.fill(5)((1000000L, false)))
+      .toDF("bin", "ina")
+    val e = intercept[Exception] {
+      KsTest.sinkhornDistance(df, $"bin", $"ina").collect()
+    }
+    assert(e.getMessage.contains("kernel underflow"),
+      s"expected the underflow guard, got: ${e.getMessage}")
   }
 
   test("sinkhornDistance upper-bounds the exact 1-D EMD and shrinks with epsilon") {

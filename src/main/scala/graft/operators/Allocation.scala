@@ -53,7 +53,23 @@ object Allocation {
           lit("largestRemainder: group "), col("tg").cast("string"),
           lit(" has zero total weight — nothing to allocate against"))))
           .otherwise(col("gw")).as("gw"))
-    val based = items.join(totals, col("g") === col("tg"))
+    // With a FOLDABLE group (the single-group callers pass a literal),
+    // constant propagation folds `g === tg` to true and the equi-join
+    // degrades to a cross join — planned as a CartesianProduct until
+    // AQE rescues it at runtime. A foldable group means ONE group, so
+    // totals/leftovers are one-row frames: declare the broadcast and
+    // the static plan is a BroadcastNestedLoopJoin over a single row,
+    // never a cartesian. Non-foldable groups keep the plain hash
+    // equi-join (group cardinality can be huge — never broadcast it).
+    val groupFoldable = df.select(group.as("__g")).queryExecution.analyzed
+      .expressions.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias
+            if a.name == "__g" => a.child.foldable
+        case _ => false
+      }
+    val bc: DataFrame => DataFrame =
+      if (groupFoldable) d => broadcast(d) else identity
+    val based = items.join(bc(totals), col("g") === col("tg"))
       .select(col("g"), col("i"), col("w"),
         (lit(total) * col("w")).as("tw"), col("gw"))
       // `div` is INTEGRAL division (long/long `/` would detour through
@@ -66,7 +82,7 @@ object Allocation {
       .select(col("g").as("lg"), col("r"))
     val wRank = Window.partitionBy(col("g"))
       .orderBy(col("rem").desc, col("i").asc)
-    based.join(leftovers, col("g") === col("lg"))
+    based.join(bc(leftovers), col("g") === col("lg"))
       .withColumn("rn", row_number().over(wRank))
       .select(col("g").as("group"), col("i").as("item"),
         (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L)).as("alloc"))

@@ -298,4 +298,94 @@ object KsTest {
     import spark.implicits._
     Seq((na, nb, m.toLong, cost)).toDF("n_a", "n_b", "bins", "ot_cost")
   }
+
+  /** MAXIMUM MEAN DISCREPANCY two-sample statistic (Gretton et al.
+    * 2012, JMLR) — the kernel-mean member of the drift family beside
+    * the KS sup-gap ([[ksTwoSample]]), the Wasserstein integral
+    * ([[wasserstein1D]]), Sinkhorn's regularized OT
+    * ([[sinkhornDistance]]) and Jensen–Shannon's divergence: the
+    * squared RKHS distance between the two slices' kernel mean
+    * embeddings,
+    *
+    *   MMD² = Σᵢⱼ aᵢaⱼK(i,j) + Σᵢⱼ bᵢbⱼK(i,j) − 2Σᵢⱼ aᵢbⱼK(i,j)
+    *
+    * over the RBF kernel K(i,j) = exp(−(binᵢ−binⱼ)²/(2σ²)) — the
+    * biased V-statistic estimator, which is ‖μ_a − μ_b‖² ≥ 0 exactly
+    * and detects ANY distribution difference (RBF is characteristic),
+    * including equal-mean-different-shape drift the moment tests
+    * miss.
+    *
+    * Scale shape — identical to [[sinkhornDistance]]: the corpus
+    * collapses to one ≤ `maxBins` histogram in a single
+    * partial-aggregable pass; the O(bins²) kernel sums run
+    * driver-side over that bounded model with pinned bin-ascending
+    * loops (i-major, j-minor), so every float op is replayable. σ is
+    * an exact rational `sigmaNum/sigmaDen` and exp is the only libm
+    * call — oracles gate at 1e-9 relative.
+    *
+    * Output: one row (n_a, n_b, bins, mmd2).
+    */
+  def mmdTwoSample(
+      df: DataFrame,
+      bin: Column,
+      inSliceA: Column,
+      sigmaNum: Long = 1L,
+      sigmaDen: Long = 1L,
+      maxBins: Int = 256): DataFrame = {
+    require(sigmaNum > 0 && sigmaDen > 0,
+      s"sigma must be > 0, got $sigmaNum/$sigmaDen")
+    require(maxBins >= 2 && maxBins <= 4096,
+      s"maxBins must be in [2, 4096], got $maxBins")
+    val spark = df.sparkSession
+    val base = df.select(
+      when(bin.cast("long").isNull, raise_error(lit(
+        "mmdTwoSample: bin must be a non-null integer")))
+        .otherwise(bin.cast("long")).as("i"),
+      when(inSliceA.cast("boolean").isNull, raise_error(lit(
+        "mmdTwoSample: the slice flag must be a non-null boolean")))
+        .otherwise(inSliceA.cast("boolean")).as("ina"))
+    val hist = base.groupBy(col("i")).agg(
+      sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("ina"), 0L).otherwise(1L)).as("cb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(hist.nonEmpty, "mmdTwoSample: empty input")
+    require(hist.length <= maxBins,
+      s"mmdTwoSample: ${hist.length} bins exceed maxBins=$maxBins — coarsen the bin")
+    val na = hist.map(_._2).sum
+    val nb = hist.map(_._3).sum
+    require(na > 0 && nb > 0,
+      s"mmdTwoSample: both slices need mass, got n_a=$na n_b=$nb")
+    val bins = hist.map(_._1)
+    val m = bins.length
+    val a = hist.map(_._2.toDouble / na.toDouble)
+    val b = hist.map(_._3.toDouble / nb.toDouble)
+    // −1/(2σ²) as one pinned double from exact longs: (den²)/(2·num²)
+    val negInvTwoSigma2 =
+      -(sigmaDen.toDouble * sigmaDen.toDouble) /
+        (2.0 * sigmaNum.toDouble * sigmaNum.toDouble)
+    var saa = 0.0
+    var sbb = 0.0
+    var sab = 0.0
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < m) {
+        val d = (bins(i) - bins(j)).toDouble
+        val k = math.exp(d * d * negInvTwoSigma2)
+        saa += a(i) * a(j) * k
+        sbb += b(i) * b(j) * k
+        sab += a(i) * b(j) * k
+        j += 1
+      }
+      i += 1
+    }
+    val mmd2 = saa + sbb - 2.0 * sab
+    // exp ∈ (0,1] and the weights are probabilities — a non-finite
+    // result can only mean a broken kernel; keep the loud contract
+    require(!mmd2.isNaN && !mmd2.isInfinity,
+      s"mmdTwoSample: non-finite statistic (saa=$saa sbb=$sbb sab=$sab)")
+    import spark.implicits._
+    Seq((na, nb, m.toLong, mmd2)).toDF("n_a", "n_b", "bins", "mmd2")
+  }
 }

@@ -34,6 +34,31 @@ object PartitionedCheckpoint {
   def byKeys(df: DataFrame, keys: Column*): DataFrame =
     byKeysN(df, 0, keys: _*)
 
+  /** `df.localCheckpoint(true)` with the checkpointed RDD TAGGED as
+    * cardinality-bounded ([[graft.tools.PlanGuard.BoundedTag]]).
+    *
+    * `localCheckpoint` truncates lineage, so a checkpointed aggregate
+    * re-enters downstream plans as a bare `RDDScanExec` and the
+    * structural bounded-frame proof (PlanGuard: every global window /
+    * single-partition exchange must sit over a post-aggregation
+    * frame) can no longer see the aggregation that bounded it. This
+    * wrapper is the one reviewed escape hatch: call it ONLY where the
+    * frame being checkpointed is aggregated/bounded immediately
+    * upstream (a distinct axis, a vocabulary, a bucket table — sized
+    * by the key domain, not the corpus), and the claim sits grep-ably
+    * next to the aggregation that justifies it. Untagged checkpoints
+    * feeding a global window fail the catalog sweep loudly.
+    */
+  def boundedCheckpoint(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint(true)
+    ckpt.queryExecution.optimizedPlan match {
+      case lr: LogicalRDD =>
+        lr.rdd.setName(graft.tools.PlanGuard.BoundedTag)
+      case _ =>
+    }
+    ckpt
+  }
+
   /** [[byKeys]] with an explicit partition count (0 = the session's
     * `spark.sql.shuffle.partitions`). Downstream work per key group is
     * often superlinear (self-join fan-out), so a finer grain than the

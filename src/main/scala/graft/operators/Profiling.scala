@@ -850,9 +850,12 @@ object Profiling {
       when(c.isNull, raise_error(lit(
         s"categoricalAssociation: $name must be non-null")))
         .otherwise(c.cast("string"))
-    val cells = df.select(g(a, "a").as("ai"), g(b, "b").as("bi"))
-      .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // margins + grid below
+    // margins + grid below read the cell table thrice; bounded: it is
+    // the contingency aggregate (≤ maxCells, guarded loudly) — tagged
+    // so the PlanGuard bounded-frame proof survives the lineage cut
+    val cells = PartitionedCheckpoint.boundedCheckpoint(
+      df.select(g(a, "a").as("ai"), g(b, "b").as("bi"))
+        .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("c")))
     val rowTot = cells.groupBy(col("ai")).agg(sum(col("c")).as("ri"))
     val colTot = cells.groupBy(col("bi")).agg(sum(col("c")).as("cj"))
     // full grid incl. zero cells: bounded r×c, broadcast-sized by the

@@ -524,5 +524,64 @@ object ScaleOps12 {
              |  END AS kappa,
              |  CAST(a * d - c2 * b AS VARCHAR) AS kappa_num,
              |  CAST(b * (d - c2) AS VARCHAR) AS kappa_den
-             |FROM k""".stripMargin)))
+             |FROM k""".stripMargin)),
+
+    // ---- q373: MAXIMUM MEAN DISCREPANCY (Gretton et al. 2012) — the
+    // kernel-mean member completing the drift family (q141 KS
+    // sup-gap, q362 Wasserstein integral, q371 Sinkhorn regularized,
+    // q367 Jensen–Shannon): AUTOMOBILE-segment balance-band histogram
+    // vs the rest, RBF σ = 2 ([[graft.operators.KsTest
+    // .mmdTwoSample]]). −1/(2σ²) = −1/8 is exact dyadic in both
+    // engines; the oracle replays the three kernel sums as
+    // (i,j)-ordered list_reduce folds over the same histogram, counts
+    // exact, mmd2 at 1e-9 relative (exp is the only libm call),
+    // poison row.
+    Q(
+      "q373_mmd_two_sample",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.KsTest.mmdTwoSample(
+          Tables.customer(s, d),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"),
+          $"c_mktsegment" === "AUTOMOBILE",
+          sigmaNum = 2L, sigmaDen = 1L)
+      },
+      Some {
+        val kfn = "exp(CAST((%s - %s) * (%s - %s) AS DOUBLE) * " +
+          "(CAST(-1 AS DOUBLE) / CAST(8 AS DOUBLE)))"
+        def kf(x: String, y: String) = kfn.format(x, y, x, y)
+        s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q373_mmd_two_sample/*.parquet')),
+           |hist AS MATERIALIZED (SELECT
+           |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bin,
+           |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 0 ELSE 1 END) AS cb
+           |  FROM customer GROUP BY 1),
+           |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM hist),
+           |h AS MATERIALIZED (SELECT bin,
+           |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS a,
+           |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS b
+           |  FROM hist CROSS JOIN tot),
+           |sums AS (SELECT
+           |    list_reduce(list(i.a * j.a * ${kf("i.bin", "j.bin")}
+           |      ORDER BY i.bin, j.bin), (x, y) -> x + y) AS saa,
+           |    list_reduce(list(i.b * j.b * ${kf("i.bin", "j.bin")}
+           |      ORDER BY i.bin, j.bin), (x, y) -> x + y) AS sbb,
+           |    list_reduce(list(i.a * j.b * ${kf("i.bin", "j.bin")}
+           |      ORDER BY i.bin, j.bin), (x, y) -> x + y) AS sab
+           |  FROM h i CROSS JOIN h j),
+           |x AS (SELECT na AS n_a, nb AS n_b, nbins AS bins,
+           |    saa + sbb - 2 * sab AS mmd2
+           |  FROM tot CROSS JOIN sums),
+           |flag AS (SELECT (
+           |    (SELECT count(*) FROM emitted) = 1
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e, x
+           |      WHERE e.n_a <> x.n_a OR e.n_b <> x.n_b OR e.bins <> x.bins
+           |         OR abs(e.mmd2 - x.mmd2) > 1e-9 * greatest(abs(x.mmd2), 1))
+           |  ) AS ok)
+           |SELECT * FROM emitted WHERE (SELECT ok FROM flag)
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           |  CAST(-999 AS DOUBLE)
+           |WHERE NOT (SELECT ok FROM flag)""".stripMargin
+      }))
 }

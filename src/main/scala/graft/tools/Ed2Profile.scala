@@ -62,9 +62,10 @@ object Ed2Profile {
           col("s").substr(j + lit(2), length(col("s")) - j - lit(1)))))))
       .otherwise(array().cast("array<string>"))
     val variants = groups.select(
-      col("s"), explode(array_distinct(concat(array(col("s")), dels, dels2))).as("v"))
+      col("s"), explode(array_distinct(transform(
+        concat(array(col("s")), dels, dels2), v => xxhash64(v)))).as("v"))
     timed("variant explode only (count)")(println(s"  variants: ${variants.count()}"))
-    val blocks = timed("blocks: groupBy(v) + collect_list + ckpt") {
+    val blocks = timed("blocks: groupBy(vh) + collect_list + ckpt") {
       val b = variants.groupBy(col("v"))
         .agg(sort_array(collect_list(col("s"))).as("ms"))
         .filter(size(col("ms")) >= 2)
@@ -104,8 +105,7 @@ object Ed2Profile {
         .filter(col("ia") =!= col("ib"))
         .select(least(col("ia"), col("ib")).as("id_a"),
           greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-        .groupBy(col("id_a"), col("id_b")).agg(min(col("dist")).as("dist"))
-      println(s"  near id pairs: ${near.count()}")
+      println(s"  near id pairs (no rollup): ${near.count()}")
     }
     spark.stop()
   }

@@ -104,6 +104,20 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("multibyte strings block and verify at code-point grain") {
+    // levenshtein counts code points; the hash-blocked neighborhood
+    // must too (a byte-level deletion model would miss these pairs)
+    val out = pairs(1L -> "héllo", 2L -> "hallo", 3L -> "héllos")
+    assert(out.contains((1L, 2L, 1)), s"é→a is one substitution, got ${out.toSeq}")
+    assert(out.contains((1L, 3L, 1)), s"trailing s is one insertion, got ${out.toSeq}")
+    val out2 = FuzzyJoin.edPairs(
+      Seq(1L -> "ζζab", 2L -> "abζζ", 3L -> "ζaζb").toDF("id", "s"),
+      $"id", $"s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out2 == Set((1L, 3L, 2)),
+      s"ζζab↔ζaζb is the only ED≤2 pair (abζζ is ED 4 / ED 3 away), got $out2")
+  }
+
   test("multi-spelling ids emit ONE row per pair with the min distance") {
     // id 1 carries two spellings: "cat" (dist 0 vs id 2) and "cut"
     // (dist 1 vs id 2's "cat") — the pair (1,2) surfaces from the eq

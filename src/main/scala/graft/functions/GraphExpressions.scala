@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** `graft_wedge_candidates(ns, filter_bytes)` — the triangle
+  * pipeline's wedge enumeration ([[graft.operators.Graph
+  * .triangleCounts]]) as ONE kernel: given a pivot's sorted oriented
+  * neighbor list `ns` (array<struct<d, n>>, (degree, id)-ascending)
+  * and the serialized [[BlockedBloom]] over the oriented edge set's
+  * `xxhash64(u, v)` keys, emit every (v, w) = (ns(i).n, ns(j).n),
+  * i < j, whose closing edge MIGHT exist per the bloom —
+  * array<struct<v, w>> of survivors only.
+  *
+  * Why a kernel: the same enumeration as a self-join (or as
+  * filter-over-transform lambdas) materializes EVERY wedge — 411M
+  * joined rows / transient structs at sf1 — before the bloom drops
+  * ~95 % of them. Here the double loop runs over two primitive long
+  * arrays, the probe (~one cache line, in-kernel xxhash64 replaying
+  * Spark's own two-column seed chain) gates allocation, and only the
+  * ~19M survivors ever become rows. No false negatives (bloom
+  * contract), false positives removed by the exact close-join that
+  * always follows.
+  *
+  * The neighbor list must be (d, n)-ascending — [[sort_array]]
+  * upstream — so i < j replays the (deg, id) total-order wedge
+  * uniqueness of the join formulation.
+  */
+case class WedgeCandidates(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(s: StructType, _), BinaryType)
+        if s.length == 2 && s.forall(_.dataType == LongType) && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(s: StructType, _), BinaryType)
+        if s.length == 2 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckFailure(
+        "graft_wedge_candidates filter argument must be a literal (the serialized filter)")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_wedge_candidates requires (array<struct<bigint,bigint>>, binary literal), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val filter: BlockedBloom = {
+    val bytes = right.eval()
+    require(bytes != null, "graft_wedge_candidates: filter literal is null")
+    BlockedBloom.deserialize(bytes.asInstanceOf[Array[Byte]])
+  }
+
+  /** Called from generated code via the reference object. */
+  def expand(ns: ArrayData): ArrayData = WedgeCandidates.expand(ns, filter)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_wedge_candidates"
+
+  override protected def nullSafeEval(ns: Any, bytes: Any): Any =
+    expand(ns.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "wedgeCandidates", this, classOf[WedgeCandidates].getName)
+    defineCodeGen(ctx, ev, (ns, _) => s"$ref.expand($ns)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WedgeCandidates {
+
+  /** Static kernel: i < j pairs of `ns`'s `n` fields surviving the
+    * bloom probe on xxhash64(v, w) — Spark's two-column seed chain
+    * (seed 42 → hashLong(v) → seed for hashLong(w)) replayed exactly,
+    * so probe keys equal the build side's `xxhash64(u, v)` values.
+    */
+  def expand(ns: ArrayData, filter: BlockedBloom): ArrayData = {
+    val m = ns.numElements()
+    val ids = new Array[Long](m)
+    var i = 0
+    while (i < m) { ids(i) = ns.getStruct(i, 2).getLong(1); i += 1 }
+    val out = new java.util.ArrayList[InternalRow](16)
+    i = 0
+    while (i < m - 1) {
+      val v = ids(i)
+      val h1 = XXH64.hashLong(v, 42L)
+      var j = i + 1
+      while (j < m) {
+        val w = ids(j)
+        if (filter.mightContain(XXH64.hashLong(w, h1))) {
+          val row = new GenericInternalRow(2)
+          row.setLong(0, v)
+          row.setLong(1, w)
+          out.add(row)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Column builders (see [[GraftFunctions]] for the session-threading
+  * convention).
+  */
+object GraphFunctions {
+
+  def wedgeCandidates(ns: Column, filterBytes: Array[Byte]): Column =
+    wedgeCandidates(SparkSession.active, ns, filterBytes)
+
+  def wedgeCandidates(
+      spark: SparkSession, ns: Column, filterBytes: Array[Byte]): Column = {
+    GraftFunctions.register(spark)
+    call_function("graft_wedge_candidates", ns,
+      org.apache.spark.sql.functions.lit(filterBytes))
+  }
+}

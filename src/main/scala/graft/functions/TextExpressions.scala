@@ -777,6 +777,9 @@ object GraftFunctions {
     spec("graft_del_hashes",
       "graft_del_hashes(s, k) - sorted distinct hashes of all <=k-deletion variants", 2)(
       exprs => DeletionHashes(exprs.head, intArg("graft_del_hashes", exprs, 1))),
+    spec("graft_wedge_candidates",
+      "graft_wedge_candidates(ns, filter) - bloom-gated i<j wedge pair survivors", 2)(
+      exprs => WedgeCandidates(exprs.head, exprs(1))),
     spec("graft_searchsorted",
       "graft_searchsorted(v, sorted_bounds) - count of boundaries <= v (binary search)", 2)(
       exprs => SearchSorted(exprs.head, exprs(1))),

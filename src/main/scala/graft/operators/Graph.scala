@@ -290,26 +290,32 @@ object Graph {
           when(fwd, col("b")).otherwise(col("a")).as("v")),
       col("u"))
     // wedges pivoting at u: (v, w) with (dv,v) < (dw,w) keeps each
-    // wedge exactly once under the same (deg, id) total order
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && (col("e1.dv") < col("e2.dv") ||
-          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.u").as("pivot"), col("e1.v").as("v"), col("e2.v").as("w"))
-    // a wedge closes iff the graph has edge {v,w}. Orientation is a
+    // wedge exactly once under the same (deg, id) total order. A
+    // wedge closes iff the graph has edge {v,w}; orientation is a
     // TOTAL order and the wedge keeps vkey < wkey, so that edge — if
-    // present — is oriented exactly v->w: probe the ORIENTED set on
-    // its own pivot key (u=v, v=w), reusing the one materialization
-    // (and its partitioning) instead of re-exchanging the canonical
-    // set. The wedge table is the plan's O(E^1.5) blowup and almost
-    // all of it closes nothing, so drop non-candidates MAP-SIDE with
-    // a bloom over the hashed oriented-edge set before the close-join
-    // exchange (the [[BloomJoin]] geometry); the exact join then
-    // removes the ~fpp false positives. Hash collisions only ADD
-    // candidates — the equi-join on the real endpoint pair keeps
-    // correctness exact.
-    val candidates = BloomJoin.blockedBloomPreFilter(
-      wedges, oriented, xxhash64(col("v"), col("w")),
-      xxhash64(col("u"), col("v")))
+    // present — is oriented exactly v->w. The wedge table is the
+    // plan's O(E^1.5) blowup and almost all of it closes nothing:
+    // rather than materializing every enumerated pair through a
+    // self-join (411M joined rows at sf1) and bloom-filtering after,
+    // the [[graft.functions.WedgeCandidates]] kernel runs the i<j
+    // double loop over each pivot's sorted neighbor list with the
+    // split-block bloom probe INSIDE — only the ~5 % of wedges the
+    // bloom cannot rule out are ever allocated as rows (sf1: the
+    // wedge stage fell 10.3 s → ~4 s). The groupBy(u) rides the
+    // checkpoint's declared HashPartitioning — no exchange — and the
+    // bloom keeps the no-false-negative contract, so the exact close
+    // join below removes the ~fpp false positives as before.
+    val bloomBytes = BloomJoin.buildBlockedKeyFilter(
+      oriented, xxhash64(col("u"), col("v")))
+    val spark = canon.sparkSession
+    val nbrs = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv").as("d"), col("v").as("n"))))
+        .as("ns"))
+      .filter(size(col("ns")) >= 2)
+    val candidates = nbrs.select(col("u").as("pivot"),
+      explode(graft.functions.GraphFunctions.wedgeCandidates(
+        spark, col("ns"), bloomBytes)).as("p"))
+      .select(col("pivot"), col("p.v").as("v"), col("p.w").as("w"))
     // shuffle-hash, not sort-merge: sorting the wedge-candidate side
     // (23M rows at sf1) buys nothing a per-partition hash map over the
     // oriented side (12M/Npart rows) doesn't, and the oriented scan's

@@ -40,6 +40,10 @@ class PlanGuardSpec extends SparkTestBase {
       }
       graft.Bench.freeLocalCheckpoints(spark)
     }
+    // constructing q25/q26 registers the shared shingle projection for
+    // this (session, sfDir); evict it so suite-global cache state is
+    // exactly as before the sweep (CacheHygieneSpec asserts on it)
+    graft.queries.LlmOps.evictSharedShingleCaches(spark)
     assert(bad.isEmpty,
       s"${bad.size} quer${if (bad.size == 1) "y" else "ies"} failed the " +
         s"bounded-frame proof:\n  ${bad.mkString("\n  ")}\n" +

@@ -139,9 +139,19 @@ object Stress {
       }
       val warm = rep()
       warmups(name) = warm.getOrElse(-1.0)
+      // MIN over two measured reps (after the excluded warm-up): the
+      // round-13 single-draw artifacts manufactured 3–5× phantom
+      // upticks (q360 6.6 s vs a same-hour standalone min of 1.4 s;
+      // q25 17 s vs 5.4 s in the previous run) — host interference
+      // bursts land on one rep, not both. Same shingle-cache eviction
+      // before every measured rep keeps each rep's cache economics
+      // identical to the historical single-rep runs.
       val dt = warm.flatMap { _ =>
-        graft.queries.LlmOps.evictSharedShingleCaches(spark)
-        rep()
+        val reps = (1 to 2).flatMap { _ =>
+          graft.queries.LlmOps.evictSharedShingleCaches(spark)
+          rep()
+        }
+        if (reps.isEmpty) None else Some(reps.min)
       }.getOrElse(-1.0)
       name -> dt
     }
@@ -187,7 +197,7 @@ object Stress {
     val json =
       s"""{"metric":"stress_total","value":$total,"unit":"sec","k":$k,""" +
         s""""src":${graft.JsonText.quote(src)},"queries":$qs,"errors":$errs,""" +
-        s""""stat":"second-of-2 (rep1 = excluded warm-up)","warmup":$wq,""" +
+        s""""stat":"min-of-2-after-warmup (rep1 = excluded warm-up)","warmup":$wq,""" +
         s""""pinned":$pinnedJson,"delta_vs_prev":$deltas,""" +
         s""""prev":${graft.JsonText.quote(prevFile.map(_.getName).getOrElse(""))}}"""
 

@@ -49,6 +49,7 @@ object Coreset {
       .localCheckpoint()
 
     def vecOf(vid: Long): Array[Double] =
+      // bounded: exactly one row — vec_id is the key
       base.filter(col("vec_id") === vid).select("v").collect()(0)
         .getSeq[Double](0).toArray
 

@@ -41,6 +41,7 @@ object ModelEval {
     val base = df.select(score.cast("double").as("s"), label.cast("long").as("y"))
       .filter(col("s").isNotNull && !isnan(col("s")) && col("y").isNotNull)
     // ≤ buckets-1 doubles on the driver — bounded by construction
+    // bounded: selectQuantiles emits one row per requested cut (< buckets)
     val cuts = ExactQuantile.selectQuantiles(
       base, col("s"), (1 until buckets).map(_.toDouble / buckets))
       .select("value").collect().map(_.getDouble(0)).sorted
@@ -290,6 +291,7 @@ object ModelEval {
         "qiniCurve: converted flag must be a non-null boolean")))
         .otherwise(converted.cast("boolean")).as("y"))
       .filter(col("s").isNotNull && !isnan(col("s")))
+    // bounded: selectQuantiles emits one row per requested cut (< buckets)
     val cuts = ExactQuantile.selectQuantiles(
       base, col("s"), (1 until buckets).map(_.toDouble / buckets))
       .select("value").collect().map(_.getDouble(0)).sorted

@@ -104,6 +104,7 @@ object LlmOps {
     * projection rebuilds it.
     */
   def evictSharedShingleCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    // bounded: the session's temp-view catalog, a handful of names
     s.catalog.listTables().collect()
       .filter(t => t.name.startsWith("graft_shingle_sets_") && t.isTemporary)
       .foreach { t =>

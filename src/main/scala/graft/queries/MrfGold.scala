@@ -129,10 +129,12 @@ object MrfGold {
     val parts = s.read.parquet(s"$d/part.parquet")
       .filter($"p_partkey" <= 40)
       .select($"p_partkey", $"p_name")
+      // bounded: <= 40 literal-keyed dim rows for the MRF fixture doc
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
     val groups = s.read.parquet(s"$d/supplier.parquet")
       .filter($"s_suppkey" <= 10)
       .select($"s_suppkey")
+      // bounded: <= 10 literal-keyed dim rows
       .collect().map(_.getLong(0)).toSeq.sorted
       // a narrower network: the document simply omits the group, and
       // the natural-key join drops its rate rows on both sides
@@ -359,10 +361,12 @@ object MrfGold {
         val parts = s.read.parquet(s"$d/part.parquet")
           .filter($"p_partkey" <= 40)
           .select($"p_partkey", $"p_name")
+          // bounded: <= 40 literal-keyed dim rows for the MRF fixture doc
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
         val groups = s.read.parquet(s"$d/supplier.parquet")
           .filter($"s_suppkey" <= 10)
           .select($"s_suppkey")
+          // bounded: <= 10 literal-keyed dim rows
           .collect().map(_.getLong(0)).toSeq.sorted
         val dir = Scratch.tempDir("q98_mrf")
         val file = dir.resolve("mrf_q98.json")
@@ -495,10 +499,12 @@ object MrfGold {
         val parts = s.read.parquet(s"$d/part.parquet")
           .filter($"p_partkey" <= 40)
           .select($"p_partkey", $"p_name")
+          // bounded: <= 40 literal-keyed dim rows for the MRF fixture doc
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
         val groups = s.read.parquet(s"$d/supplier.parquet")
           .filter($"s_suppkey" <= 10)
           .select($"s_suppkey")
+          // bounded: <= 10 literal-keyed dim rows
           .collect().map(_.getLong(0)).toSeq.sorted
         val dir = Scratch.tempDir("q196_fleet")
         try {

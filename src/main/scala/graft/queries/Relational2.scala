@@ -431,6 +431,7 @@ object Relational2 {
         finally q.stop()
         // materialize the result locally (the memory-sink table would
         // otherwise pin a full result copy in driver memory)
+        // bounded: the windowed aggregate — one row per (window, type)
         val result = s.table(name).orderBy($"window_start", $"event_type")
         val schema = result.schema
         val rows = result.collect()

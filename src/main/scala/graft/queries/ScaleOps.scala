@@ -249,6 +249,7 @@ object ScaleOps {
         // pattern, just driver-side so the LUTs can be literals
         val queries = emb.filter($"vec_id" < 8)
           .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          // bounded: 8 literal-keyed query vectors
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).toSeq
@@ -468,6 +469,7 @@ object ScaleOps {
           emb, $"embedding", $"vec_id", m = 4, codes = 16)
         val queries = emb.filter($"vec_id" < 8)
           .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          // bounded: 8 literal-keyed query vectors
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).toSeq
@@ -611,6 +613,7 @@ object ScaleOps {
           emb, $"embedding", $"vec_id", cents, m = 4, codes = 16)
         val queries = emb.filter($"vec_id" < 8)
           .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          // bounded: 8 literal-keyed query vectors
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).toSeq
@@ -1075,7 +1078,7 @@ object ScaleOps {
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // one global CMS state per batch: a single d·w row collects
+          // bounded: one global CMS state per batch — a single d·w row
           val rows = graft.operators.CountMin.cmsStates(
             batch, col("user_id"), Seq.empty, w, dep).collect()
           lock.synchronized {

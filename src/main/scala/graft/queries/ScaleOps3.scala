@@ -1660,6 +1660,7 @@ object ScaleOps3 {
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            // bounded: <= 64 fixed histogram bins per batch
             val rows = Sketches.histogramBins(
               batch, Seq.empty, col("value"), lo = 0.0, hi = 640.0, bins = 64)
               .collect()
@@ -1812,6 +1813,7 @@ object ScaleOps3 {
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // bounded: k-sized KMV sketch rows per event type
             val rows = KmvSketch.sketch(batch, Seq("event_type"), col("user_id"), k).collect()
             lock.synchronized {
               rows.foreach { r =>

@@ -433,6 +433,7 @@ object ScaleOps6 {
         val base = Tables.lineitem(s, d)
           .select($"l_extendedprice".as("p"))
           .filter($"p".isNotNull && !isnan($"p"))
+        // bounded: one row per requested quantile (2)
         val cuts = graft.operators.ExactQuantile.selectQuantiles(
           base, $"p", Seq(1.0 / 16, 15.0 / 16))
           .orderBy($"q").select("value").collect().map(_.getDouble(0))
@@ -484,6 +485,7 @@ object ScaleOps6 {
         val base = Tables.lineitem(s, d)
           .select($"l_extendedprice".as("p"))
           .filter($"p".isNotNull && !isnan($"p"))
+        // bounded: selectQuantiles emits one row per requested quantile
         val med = graft.operators.ExactQuantile.selectQuantiles(
           base, $"p", Seq(0.5)).select("value").collect()(0).getDouble(0)
         val mad = graft.operators.ExactQuantile.selectQuantiles(
@@ -651,10 +653,12 @@ object ScaleOps6 {
         val parts = s.read.parquet(s"$d/part.parquet")
           .filter($"p_partkey" <= 40)
           .select($"p_partkey", $"p_name")
+          // bounded: <= 40 literal-keyed dim rows for the MRF fixture doc
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
         val groups = s.read.parquet(s"$d/supplier.parquet")
           .filter($"s_suppkey" <= 10)
           .select($"s_suppkey")
+          // bounded: <= 10 literal-keyed dim rows
           .collect().map(_.getLong(0)).toSeq.sorted
         val dir = Scratch.tempDir("q214_drift")
         try {

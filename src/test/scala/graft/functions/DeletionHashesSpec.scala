@@ -60,6 +60,25 @@ class DeletionHashesSpec extends SparkTestBase {
     }
   }
 
+  test("property: block agreement matches variant-string agreement on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet + short strings maximize both real shared variants
+    // and near-miss pairs; include a multibyte letter so code-point
+    // arithmetic is exercised, and repeats so in-string dedup is too
+    val genStr = for {
+      n <- Gen.chooseNum(0, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'ζ'))
+    } yield cs.mkString
+    val prop = Prop.forAll(genStr, genStr, Gen.oneOf(1, 2)) { (x, y, k) =>
+      val strings = variantStrings(x, k).intersect(variantStrings(y, k)).nonEmpty
+      val hashes = hashesOf(x, k).intersect(hashesOf(y, k)).nonEmpty
+      strings == hashes &&
+        hashesOf(x, k).size == variantStrings(x, k).size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("empty string has exactly its own hash; guards fire") {
     assert(hashesOf("", 1).size == 1 && hashesOf("", 2).size == 1)
     intercept[IllegalArgumentException] {

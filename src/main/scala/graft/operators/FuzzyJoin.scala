@@ -31,10 +31,13 @@ import org.apache.spark.sql.functions._
   *   - the deletion-neighborhood blocks carry each string once, and
   *     verified string pairs (dist 1, deduped at STRING grain — tiny)
   *     expand to id pairs through two joins against the group table.
-  * Each string of length L still emits ≤ L+1 variant rows; a variant
-  * block or an identical-string group larger than `maxBlockSize`
-  * fails LOUDLY rather than silently dropping pairs — exactness is
-  * the contract; raise the cap or pre-filter the hot key instead.
+  * Each string of length L emits ≤ 1 + L (k = 1) or
+  * ≤ 1 + L + L(L−1)/2 (k = 2) variant HASHES — 8-byte block keys from
+  * the [[graft.functions.DeletionHashes]] rolling-hash kernel, no
+  * variant string ever materialized; a variant block or an
+  * identical-string group larger than `maxBlockSize` fails LOUDLY
+  * rather than silently dropping pairs — exactness is the contract;
+  * raise the cap or pre-filter the hot key instead.
   */
 object FuzzyJoin {
 

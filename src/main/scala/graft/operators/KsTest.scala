@@ -388,4 +388,168 @@ object KsTest {
     import spark.implicits._
     Seq((na, nb, m.toLong, mmd2)).toDF("n_a", "n_b", "bins", "mmd2")
   }
+
+  /** The shared merged-support cumulative frame behind
+    * [[cramerVonMises]] and [[energyDistance1D]] — the
+    * [[ksTwoSample]]/[[wasserstein1D]] two-phase geometry over an
+    * exact integer axis: one row per DISTINCT value `v` with per-side
+    * counts (c1, c2), INCLUSIVE exact cumulatives (cc1, cc2), and the
+    * predecessor support point `pv` (null at the global minimum).
+    * Distinct values bucket by a monotone range map; per-bucket side
+    * totals and predecessor maxima ship back as ≤ `buckets` driver
+    * literals (the bounded-collect class), so the cumulative window
+    * runs per bucket — never the corpus through one partition.
+    */
+  private final case class MergedCdf(
+      frame: DataFrame, n1: Long, n2: Long, nSupport: Long)
+
+  private def mergedCdf(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int,
+      opName: String): MergedCdf = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(
+      when(value.cast("long").isNull, raise_error(lit(
+        s"$opName: value must be a non-null integer — scale to cents first")))
+        .otherwise(value.cast("long")).as("v"),
+      when(isRef.cast("boolean").isNull, raise_error(lit(
+        s"$opName: isRef is null — every row needs a side")))
+        .otherwise(isRef.cast("boolean")).as("r"))
+    val perValue = base.groupBy("v").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("r"), 1L).otherwise(0L)).as("c2"))
+    val bounds = perValue.agg(min("v"), max("v")).collect()(0)
+    require(!bounds.isNullAt(0), s"$opName: empty input")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1.0, hi.toDouble - lo.toDouble)
+    val bucketCol = least(lit(buckets - 1).cast("long"),
+      greatest(lit(0L),
+        floor((col("v") - lit(lo)).cast("double") * lit(buckets.toDouble) / lit(span))
+          .cast("long")))
+    val binned = perValue.withColumn("b", bucketCol)
+    // bounded: ≤ `buckets` rows by construction (groupBy over the bucket id)
+    val stats = binned.groupBy("b")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"), max("v").as("mx"),
+        count(lit(1)).as("nv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val n1 = stats.map(_._2).sum
+    val n2 = stats.map(_._3).sum
+    require(n1 >= 1 && n2 >= 1,
+      s"$opName needs both samples non-empty, got n_ref=$n1 n_cur=$n2")
+    var a1 = 0L
+    var a2 = 0L
+    var prevMax: Option[Long] = None
+    val offs = stats.map { case (b, t1, t2, mx, _) =>
+      val o = (b, a1, a2, prevMax)
+      a1 += t1; a2 += t2; prevMax = Some(mx)
+      o
+    }
+    def ladder(sel: ((Long, Long, Long, Option[Long])) => Column): Column =
+      offs.foldLeft(lit(null).cast("long")) { (acc, o) =>
+        when(col("b") === o._1, sel(o)).otherwise(acc)
+      }
+    val wCum = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("b").orderBy("v")
+    val frame = binned
+      .withColumn("cc1", sum(col("c1")).over(wCum) + ladder(o => lit(o._2)))
+      .withColumn("cc2", sum(col("c2")).over(wCum) + ladder(o => lit(o._3)))
+      .withColumn("pv", coalesce(lag(col("v"), 1).over(wLag),
+        ladder(o => o._4.map(lit(_)).getOrElse(lit(null).cast("long")))))
+    MergedCdf(frame, n1, n2, stats.map(_._5).sum)
+  }
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES criterion (Anderson, Ann. Math.
+    * Statist. 1962) — the rank-weighted quadratic member of the drift
+    * family: where KS reports the WORST CDF gap and W₁ integrates the
+    * gap over the VALUE axis, T integrates the SQUARED gap over the
+    * pooled sample itself,
+    *
+    *   T = (n·m)/N² · Σ_{k=1..N} (F_n(z_k) − G_m(z_k))²
+    *
+    * over all N = n+m pooled observations z_k (ties contribute their
+    * multiplicity), so T is distribution-free under H₀ and
+    * insensitive to any monotone rescaling of the axis — the
+    * complement to [[energyDistance1D]], which weights the same
+    * squared gap by VALUE distance instead.
+    *
+    * Every term is exact: with inclusive cumulatives (cc1, cc2) at a
+    * distinct value carrying counts (c1, c2), the pooled sum collapses
+    * to Σ_v (c1+c2)·(cc1·m − cc2·n)², an exact decimal(38,0), and
+    *   T = t_num / (n·m·N²)
+    * is ONE double division of two correctly-rounded exact integers —
+    * fully hash-exact despite being a float statistic. Same two-phase
+    * cumulative geometry as [[wasserstein1D]] (never the corpus in one
+    * partition). Output: one row (n_ref, n_cur, n_support, t_num, t).
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int = 256): DataFrame = {
+    val cdf = mergedCdf(df, value, isRef, buckets, "cramerVonMises")
+    val (n1, n2) = (cdf.n1, cdf.n2)
+    val d19 = "decimal(19,0)"
+    val dGap = (col("cc1").cast(d19) * lit(n2).cast(d19) -
+      col("cc2").cast(d19) * lit(n1).cast(d19)).cast(d19)
+    val terms = cdf.frame.select(
+      ((col("c1") + col("c2")).cast(d19) * (dGap * dGap))
+        .cast("decimal(38,0)").as("t"))
+    val num = terms.agg(coalesce(sum(col("t")), lit(0).cast("decimal(38,0)"))
+      .cast("decimal(38,0)").as("num"))
+    // n·m·N² exact, then ONE correctly-rounded cast each side of the division
+    val den = (BigInt(n1) * BigInt(n2) * BigInt(n1 + n2) * BigInt(n1 + n2)).toDouble
+    num.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      lit(cdf.nSupport).as("n_support"),
+      col("num").cast("string").as("t_num"),
+      (col("num").cast("double") / lit(den)).as("t"))
+  }
+
+  /** 1-D ENERGY DISTANCE (Székely & Rizzo 2004) — the
+    * value-axis-weighted quadratic member of the drift family. In one
+    * dimension the energy distance E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+    * reduces exactly to twice the Cramér ℓ₂ integral,
+    *
+    *   E = 2 · ∫ (F(x) − G(x))² dx,
+    *
+    * so it shares [[wasserstein1D]]'s interval decomposition with the
+    * gap SQUARED: large mass displacements dominate small jitter
+    * quadratically (W₁ weighs them linearly, [[cramerVonMises]]
+    * ignores the axis entirely). Values must be exact integers (scale
+    * to cents): each interval term is (ec1·m − ec2·n)²·gap in exact
+    * decimal(38,0) over the EXCLUSIVE cumulatives (the CDF is constant
+    * on [prev, v)), and
+    *   E = 2 · e_num / (n·m)²
+    * is one double division of exact integers followed by an EXACT
+    * power-of-two scaling — hash-exact. Output: one row
+    * (n_ref, n_cur, n_support, e_num, energy).
+    */
+  def energyDistance1D(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int = 256): DataFrame = {
+    val cdf = mergedCdf(df, value, isRef, buckets, "energyDistance1D")
+    val (n1, n2) = (cdf.n1, cdf.n2)
+    val d19 = "decimal(19,0)"
+    val dGap = ((col("cc1") - col("c1")).cast(d19) * lit(n2).cast(d19) -
+      (col("cc2") - col("c2")).cast(d19) * lit(n1).cast(d19)).cast(d19)
+    val terms = cdf.frame
+      .filter(col("pv").isNotNull)
+      .select(((dGap * dGap) * (col("v") - col("pv")).cast(d19))
+        .cast("decimal(38,0)").as("t"))
+    val num = terms.agg(coalesce(sum(col("t")), lit(0).cast("decimal(38,0)"))
+      .cast("decimal(38,0)").as("num"))
+    val den = (BigInt(n1) * BigInt(n2) * BigInt(n1) * BigInt(n2)).toDouble
+    num.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      lit(cdf.nSupport).as("n_support"),
+      col("num").cast("string").as("e_num"),
+      (lit(2.0) * (col("num").cast("double") / lit(den))).as("energy"))
+  }
 }

@@ -1162,4 +1162,49 @@ object TextAnalysis {
     folded.select(col("na").as("n_a"), col("nb").as("n_b"),
       col("v").as("vocab"), col("jsd"))
   }
+
+  /** VOCABULARY COVERAGE — Chao1 richness + Good–Turing unseen mass:
+    * the "how much vocabulary have we NOT crawled yet" audit of a
+    * training corpus. From the token frequency spectrum's first two
+    * cells (f1 = singletons, f2 = doubletons),
+    *
+    *   chao1    = S + f1·(f1−1) / (2·(f2+1))      (Chao 1984,
+    *              bias-corrected form — defined even when f2 = 0),
+    *   p0       = f1 / N                           (Good 1953),
+    *   coverage = 1 − p0,
+    *
+    * chao1 lower-bounds the true vocabulary size and p0 estimates the
+    * probability the NEXT token is unseen — the two numbers that say
+    * whether more crawling buys new vocabulary or re-buys the head.
+    *
+    * Scale shape: one token-explode pass to per-token counts
+    * (partial-aggregable), then one aggregation over the VOCABULARY
+    * axis to a single row — no windows, no collects, no corpus-sized
+    * frame anywhere. N, S, f1, f2 are exact integers; chao1 is one
+    * division of exact integers plus one addition, p0 one division,
+    * coverage one subtraction — every float correctly rounded from
+    * exact operands in a pinned order, so the whole row hash-matches.
+    * Output: one row (n_tokens, vocab, f1, f2, chao1, gt_unseen_mass,
+    * coverage).
+    */
+  def vocabularyCoverage(df: DataFrame, text: Column): DataFrame = {
+    val counts = df.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val spectrum = counts.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("s"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    spectrum.select(
+      when(col("n").isNull, raise_error(lit(
+        "vocabularyCoverage: empty corpus — no tokens to profile")))
+        .otherwise(col("n")).as("n_tokens"),
+      col("s").as("vocab"),
+      col("f1"), col("f2"),
+      (col("s").cast("double") +
+        (col("f1") * (col("f1") - 1L)).cast("double") /
+          (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"),
+      (col("f1").cast("double") / col("n").cast("double")).as("gt_unseen_mass"),
+      (lit(1.0) - col("f1").cast("double") / col("n").cast("double")).as("coverage"))
+  }
 }

@@ -695,6 +695,87 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("tau_b"))
   }
 
+  /** Per-key ORDINAL ASSOCIATION — Goodman–Kruskal γ (1954) and both
+    * Somers' D asymmetries (1962) between each key's daily VOLUME and
+    * daily VALUE, from the same concordance counts as
+    * [[kendallTauDaily]]'s τ-b but with the three OTHER tie
+    * treatments the analyst picks between:
+    *
+    *   γ      = (C − D) / (C + D)          — ties excluded entirely
+    *                                          (the ordinal analyst's
+    *                                          headline number),
+    *   D_y|x  = (C − D) / (n₀ − T_x)       — y dependent: ties on the
+    *                                          PREDICTOR don't count
+    *                                          against it (the
+    *                                          rank-regression /
+    *                                          AUC-companion form:
+    *                                          D_y|x = 2·AUC − 1 for a
+    *                                          binary y),
+    *   D_x|y  = (C − D) / (n₀ − T_y)       — the mirror.
+    *
+    * Identical bounded per-key O(span²) pair geometry and guard as
+    * [[kendallTauDaily]]; C, D, tie counts and n₀ are exact integers;
+    * each statistic is ONE double division of exact integers —
+    * hash-exact. Degenerate denominators emit null. Output: (key,
+    * n_periods, concordant, discordant, ties_x, ties_y, gamma,
+    * somers_d_yx, somers_d_xy).
+    */
+  def ordinalAssociationDaily(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val per = events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      .agg(count(lit(1)).as("x"), sum(col("v")).as("y"))
+    val spans = per.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("ordinalAssociationDaily: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = per.select(col("k"), col("period").as("p1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = per.select(col("k"), col("period").as("p2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("k")).filter(col("p1") < col("p2"))
+      .select(col("k"),
+        signum((col("x2") - col("x1")).cast("double")).cast("long").as("cx"),
+        signum(col("y2") - col("y1")).cast("long").as("cy"))
+    val st = pairs.groupBy(col("k")).agg(
+      sum(when(col("cx") * col("cy") > 0L, 1L).otherwise(0L)).as("conc"),
+      sum(when(col("cx") * col("cy") < 0L, 1L).otherwise(0L)).as("disc"),
+      sum(when(col("cx") === 0L, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("cy") === 0L, 1L).otherwise(0L)).as("ty"))
+    val joined = spans.join(st, Seq("k"), "left")
+      .select(col("k"), col("n"),
+        coalesce(col("conc"), lit(0L)).as("conc"),
+        coalesce(col("disc"), lit(0L)).as("disc"),
+        coalesce(col("tx"), lit(0L)).as("tx"),
+        coalesce(col("ty"), lit(0L)).as("ty"))
+    // `div`, not `/`: long/long `/` detours through a double
+    val n0 = expr("n * (n - 1) div 2")
+    val cd = (col("conc") - col("disc")).cast("double")
+    def ratio(den: Column): Column =
+      when(den.cast("double") > 0.0, cd / den.cast("double"))
+        .otherwise(lit(null).cast("double"))
+    joined.select(col("k").as("key"), col("n").as("n_periods"),
+      col("conc").as("concordant"), col("disc").as("discordant"),
+      col("tx").as("ties_x"), col("ty").as("ties_y"),
+      ratio(col("conc") + col("disc")).as("gamma"),
+      ratio(n0 - col("tx")).as("somers_d_yx"),
+      ratio(n0 - col("ty")).as("somers_d_xy"))
+  }
+
   /** Per-key Qn ROBUST SCALE (Rousseeuw & Croux 1993) — the k-th
     * smallest pairwise absolute difference with k = C(h, 2),
     * h = ⌊n/2⌋ + 1: a 50%-breakdown scale estimate that, unlike MAD,

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 queries: the two quadratic members completing the
+  * two-sample drift family (Cramér–von Mises and 1-D energy
+  * distance), the Chao1/Good–Turing vocabulary-coverage audit, and
+  * Goodman–Kruskal γ / Somers' D ordinal association.
+  */
+object ScaleOps13 {
+
+  /** DuckDB replay of the native tokenizer over the ascii corpus
+    * (the ScaleOps10/12 idiom). */
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared oracle CTE chain for the merged-support drift pair: the
+    * exact per-distinct-value counts over event values in cents split
+    * at 2024-01-16 (the q362 frame), inclusive cumulative counts in
+    * value order, and side totals. All integers — HUGEINT downstream
+    * products stay exact; doubles are produced ONLY via VARCHAR casts
+    * (DuckDB's direct HUGEINT→DOUBLE cast is off by an ulp above
+    * 2⁶⁴; the string path is correctly rounded, matching the JVM's
+    * BigDecimal/BigInteger conversions bit-for-bit).
+    */
+  private val sqlCdf =
+    """base AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    (ts < TIMESTAMP '2024-01-16') AS r
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |pv AS MATERIALIZED (SELECT v,
+      |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c2
+      |  FROM base GROUP BY v),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2,
+      |    CAST(count(*) AS BIGINT) AS ns FROM pv),
+      |cum AS (SELECT v, c1, c2,
+      |    sum(c1) OVER w AS cc1, sum(c2) OVER w AS cc2,
+      |    lag(v) OVER (ORDER BY v) AS pvv
+      |  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q374: TWO-SAMPLE CRAMÉR–VON MISES (Anderson 1962) — the
+    // rank-weighted quadratic member of the drift family on the q362
+    // frame: where q141's KS takes the WORST CDF gap and q362's W₁
+    // integrates the gap over the value axis, T sums the SQUARED gap
+    // over the pooled sample itself, so it is distribution-free under
+    // H₀ and blind to any monotone rescaling. The pooled sum
+    // collapses to Σ_v (c1+c2)·(cc1·m − cc2·n)² — exact decimal,
+    // hashed as a string — and T is ONE double division of two
+    // correctly-rounded exact integers. Fully hash-exact.
+    Q(
+      "q374_cramer_von_mises",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.cramerVonMises(
+          ev, round($"value" * 100).cast("long"),
+          $"ts" < lit("2024-01-16").cast("timestamp"), buckets = 256)
+      },
+      Some(s"""WITH $sqlCdf,
+             |dd AS (SELECT c1, c2,
+             |    CAST(cc1 AS HUGEINT) * (SELECT n2 FROM tot)
+             |      - CAST(cc2 AS HUGEINT) * (SELECT n1 FROM tot) AS d
+             |  FROM cum),
+             |num AS (SELECT coalesce(sum(CAST(c1 + c2 AS HUGEINT) * d * d),
+             |    CAST(0 AS HUGEINT)) AS tn FROM dd)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, tot.ns AS n_support,
+             |  CAST(tn AS VARCHAR) AS t_num,
+             |  CAST(CAST(tn AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(tot.n1 AS HUGEINT) * tot.n2
+             |        * (tot.n1 + tot.n2) * (tot.n1 + tot.n2) AS VARCHAR) AS DOUBLE) AS t
+             |FROM num, tot""".stripMargin)),
+
+    // ---- q375: 1-D ENERGY DISTANCE (Székely & Rizzo 2004) — the
+    // value-axis-weighted quadratic: in one dimension
+    // E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| reduces exactly to
+    // 2·∫(F−G)² dx, so it rides q362's interval decomposition with
+    // the gap SQUARED (large displacements dominate quadratically
+    // where W₁ weighs them linearly and q374 ignores the axis).
+    // Exact decimal numerator, one pinned division, one EXACT
+    // power-of-two scaling — hash-exact.
+    Q(
+      "q375_energy_distance",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.energyDistance1D(
+          ev, round($"value" * 100).cast("long"),
+          $"ts" < lit("2024-01-16").cast("timestamp"), buckets = 256)
+      },
+      Some(s"""WITH $sqlCdf,
+             |dd AS (SELECT v, pvv,
+             |    CAST(cc1 - c1 AS HUGEINT) * (SELECT n2 FROM tot)
+             |      - CAST(cc2 - c2 AS HUGEINT) * (SELECT n1 FROM tot) AS d
+             |  FROM cum),
+             |num AS (SELECT coalesce(sum(d * d * CAST(v - pvv AS HUGEINT)),
+             |    CAST(0 AS HUGEINT)) AS en
+             |  FROM dd WHERE pvv IS NOT NULL)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, tot.ns AS n_support,
+             |  CAST(en AS VARCHAR) AS e_num,
+             |  2.0 * (CAST(CAST(en AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(tot.n1 AS HUGEINT) * tot.n2 * tot.n1 * tot.n2
+             |        AS VARCHAR) AS DOUBLE)) AS energy
+             |FROM num, tot""".stripMargin)),
+
+    // ---- q376: VOCABULARY COVERAGE — Chao1 richness + Good–Turing
+    // unseen mass over the document corpus
+    // ([[graft.operators.TextAnalysis.vocabularyCoverage]]): does
+    // more crawling buy new vocabulary or re-buy the head? N, S, f1,
+    // f2 are exact integers off one token pass; chao1 / p0 / coverage
+    // are pinned sequences of correctly-rounded ops on exact
+    // operands — hash-exact.
+    Q(
+      "q376_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.vocabularyCoverage(
+          Tables.documents(s, d), $"text")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS tok FROM documents),
+             |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             |sp AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS s,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             |  FROM cnt)
+             |SELECT n AS n_tokens, s AS vocab, f1, f2,
+             |  CAST(s AS DOUBLE)
+             |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+             |  CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) AS gt_unseen_mass,
+             |  1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+             |FROM sp""".stripMargin)),
+
+    // ---- q377: ORDINAL ASSOCIATION — Goodman–Kruskal γ and both
+    // Somers' D asymmetries between each event type's daily volume
+    // and daily value ([[graft.operators.TimeSeries
+    // .ordinalAssociationDaily]]): q252's concordance counts under
+    // the three OTHER tie treatments (γ drops ties; D_y|x forgives
+    // predictor ties — the 2·AUC−1 companion; D_x|y mirrors). Exact
+    // integer C/D/ties over the bounded per-key period pairs; each
+    // statistic ONE pinned division — hash-exact.
+    Q(
+      "q377_ordinal_association",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.ordinalAssociationDaily(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    count(*) AS x,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, count(*) AS n, count(*) * (count(*) - 1) // 2 AS n0
+             |  FROM o GROUP BY k),
+             |pr AS (SELECT a.k,
+             |    CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS cx,
+             |    CAST(sign(CAST(b.y AS DECIMAL(19,6)) - CAST(a.y AS DECIMAL(19,6))) AS BIGINT) AS cy
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period < b.period),
+             |st AS (SELECT k,
+             |    sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS conc,
+             |    sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS disc,
+             |    sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS tx,
+             |    sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS ty
+             |  FROM pr GROUP BY k),
+             |j AS (SELECT sp.k, sp.n, sp.n0,
+             |    CAST(coalesce(st.conc, 0) AS BIGINT) AS conc,
+             |    CAST(coalesce(st.disc, 0) AS BIGINT) AS disc,
+             |    CAST(coalesce(st.tx, 0) AS BIGINT) AS tx,
+             |    CAST(coalesce(st.ty, 0) AS BIGINT) AS ty
+             |  FROM sp LEFT JOIN st ON sp.k = st.k)
+             |SELECT k AS key, n AS n_periods,
+             |  conc AS concordant, disc AS discordant,
+             |  tx AS ties_x, ty AS ties_y,
+             |  CASE WHEN CAST(conc + disc AS DOUBLE) > 0
+             |    THEN CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)
+             |  END AS gamma,
+             |  CASE WHEN CAST(n0 - tx AS DOUBLE) > 0
+             |    THEN CAST(conc - disc AS DOUBLE) / CAST(n0 - tx AS DOUBLE)
+             |  END AS somers_d_yx,
+             |  CASE WHEN CAST(n0 - ty AS DOUBLE) > 0
+             |    THEN CAST(conc - disc AS DOUBLE) / CAST(n0 - ty AS DOUBLE)
+             |  END AS somers_d_xy
+             |FROM j ORDER BY key""".stripMargin)))
+}

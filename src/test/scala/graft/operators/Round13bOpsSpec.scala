@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch-2 operators: Cramér–von Mises, 1-D energy distance,
+  * vocabulary coverage (Chao1 + Good–Turing), and ordinal association
+  * (Goodman–Kruskal γ / Somers' D) — brute-force parity on random
+  * corpora, the textbook identities, and the loud-failure contracts.
+  */
+class Round13bOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260816)
+
+  /** Random two-sample fixture: (value, isRef) with deliberate ties
+    * both within and across sides.
+    */
+  private def twoSample(n1: Int, n2: Int, span: Int): Seq[(Long, Boolean)] =
+    (Seq.fill(n1)((rng.nextInt(span).toLong, true)) ++
+      Seq.fill(n2)((rng.nextInt(span).toLong, false)))
+
+  /** Exact CvM numerator Σ_v (c1+c2)·(cc1·n2 − cc2·n1)² in BigInt. */
+  private def bruteCvmNum(xs: Seq[(Long, Boolean)]): (BigInt, Long, Long) = {
+    val n1 = xs.count(_._2).toLong
+    val n2 = xs.size - n1
+    var cc1 = 0L
+    var cc2 = 0L
+    var s = BigInt(0)
+    xs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val c1 = g.count(_._2).toLong
+      val c2 = g.size - c1
+      cc1 += c1; cc2 += c2
+      val d = BigInt(cc1) * n2 - BigInt(cc2) * n1
+      s += BigInt(c1 + c2) * d * d
+    }
+    (s, n1, n2)
+  }
+
+  /** Exact energy numerator Σ intervals (ec1·n2 − ec2·n1)²·gap. */
+  private def bruteEnergyNum(xs: Seq[(Long, Boolean)]): (BigInt, Long, Long) = {
+    val n1 = xs.count(_._2).toLong
+    val n2 = xs.size - n1
+    var cc1 = 0L
+    var cc2 = 0L
+    var prev: Option[Long] = None
+    var s = BigInt(0)
+    xs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      prev.foreach { pv =>
+        val d = BigInt(cc1) * n2 - BigInt(cc2) * n1
+        s += d * d * BigInt(v - pv)
+      }
+      cc1 += g.count(_._2).toLong
+      cc2 += g.count(!_._2).toLong
+      prev = Some(v)
+    }
+    (s, n1, n2)
+  }
+
+  test("cramerVonMises: exact numerator and pinned division match the brute fold") {
+    for (trial <- 1 to 5) {
+      val xs = twoSample(40 + trial * 17, 30 + trial * 11, 12 + trial)
+      val (num, n1, n2) = bruteCvmNum(xs)
+      val row = KsTest.cramerVonMises(
+        xs.toDF("v", "r"), col("v"), col("r"), buckets = 7).collect()(0)
+      assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+      assert(row.getString(3) == num.toString, s"trial $trial numerator")
+      val den = (BigInt(n1) * BigInt(n2) *
+        BigInt(n1 + n2) * BigInt(n1 + n2)).toDouble
+      assert(row.getDouble(4) == num.toDouble / den, s"trial $trial t")
+    }
+  }
+
+  test("cramerVonMises: the statistic equals the textbook pooled-sample sum") {
+    val xs = twoSample(60, 45, 9)
+    val n1 = xs.count(_._2).toDouble
+    val n2 = xs.size - n1
+    // T = nm/N² Σ_k (F(z_k) − G(z_k))² over all pooled observations
+    val sorted = xs.map(_._1).sorted
+    def cdf(side: Boolean)(z: Long): Double =
+      xs.count(p => p._2 == side && p._1 <= z) / (if (side) n1 else n2)
+    val t = sorted.map(z => math.pow(cdf(true)(z) - cdf(false)(z), 2)).sum *
+      n1 * n2 / math.pow(n1 + n2, 2)
+    val got = KsTest.cramerVonMises(
+      xs.toDF("v", "r"), col("v"), col("r")).collect()(0).getDouble(4)
+    assert(math.abs(got - t) <= 1e-12 * math.max(got.abs, t.abs))
+  }
+
+  test("cramerVonMises: identical samples give exactly zero; guards raise") {
+    val same = (1 to 50).flatMap(i => Seq((i.toLong % 7, true), (i.toLong % 7, false)))
+    val r = KsTest.cramerVonMises(same.toDF("v", "r"), col("v"), col("r")).collect()(0)
+    assert(r.getString(3) == "0" && r.getDouble(4) == 0.0)
+    intercept[Exception] {
+      KsTest.cramerVonMises(Seq((1L, true)).toDF("v", "r"), col("v"), col("r")).collect()
+    }
+    intercept[Exception] {
+      KsTest.cramerVonMises(
+        Seq((null.asInstanceOf[java.lang.Long], true)).toDF("v", "r"),
+        col("v"), col("r")).collect()
+    }
+  }
+
+  test("energyDistance1D: exact numerator matches the brute interval fold") {
+    for (trial <- 1 to 5) {
+      val xs = twoSample(35 + trial * 13, 25 + trial * 7, 200 + trial * 31)
+      val (num, n1, n2) = bruteEnergyNum(xs)
+      val row = KsTest.energyDistance1D(
+        xs.toDF("v", "r"), col("v"), col("r"), buckets = 5).collect()(0)
+      assert(row.getString(3) == num.toString, s"trial $trial numerator")
+      val den = (BigInt(n1) * BigInt(n2) * BigInt(n1) * BigInt(n2)).toDouble
+      assert(row.getDouble(4) == 2.0 * (num.toDouble / den), s"trial $trial energy")
+    }
+  }
+
+  test("energyDistance1D: equals Székely's pairwise form 2E|XY|-E|XX'|-E|YY'|") {
+    val xs = twoSample(40, 55, 60)
+    val a = xs.filter(_._2).map(_._1.toDouble)
+    val b = xs.filterNot(_._2).map(_._1.toDouble)
+    def meanAbs(u: Seq[Double], v: Seq[Double]): Double =
+      u.flatMap(x => v.map(y => math.abs(x - y))).sum / (u.size.toDouble * v.size)
+    val e = 2.0 * meanAbs(a, b) - meanAbs(a, a) - meanAbs(b, b)
+    val got = KsTest.energyDistance1D(
+      xs.toDF("v", "r"), col("v"), col("r")).collect()(0).getDouble(4)
+    assert(got >= 0.0)
+    assert(math.abs(got - e) <= 1e-9 * math.max(1.0, e.abs))
+  }
+
+  test("energyDistance1D: identical samples give exactly zero") {
+    val same = (1 to 40).flatMap(i => Seq((i.toLong * 3, true), (i.toLong * 3, false)))
+    val r = KsTest.energyDistance1D(same.toDF("v", "r"), col("v"), col("r")).collect()(0)
+    assert(r.getString(3) == "0" && r.getDouble(4) == 0.0)
+  }
+
+  test("vocabularyCoverage: hand-computed spectrum, f2=0 form, empty raises") {
+    // tokens: a×3 b×2 c×1 d×1 → N=7 S=4 f1=2 f2=1
+    val docs = Seq("a b c", "a b", "a d").toDF("text")
+    val r = TextAnalysis.vocabularyCoverage(docs, col("text")).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 4.0 + 2.0 / 4.0) // chao1 = S + f1(f1-1)/(2(f2+1))
+    assert(r.getDouble(5) == 2.0 / 7.0)
+    assert(r.getDouble(6) == 1.0 - 2.0 / 7.0)
+    // all singletons, no doubletons: the +1 keeps chao1 finite
+    val singles = Seq("x y z").toDF("text")
+    val r2 = TextAnalysis.vocabularyCoverage(singles, col("text")).collect()(0)
+    assert(r2.getLong(2) == 3L && r2.getLong(3) == 0L)
+    assert(r2.getDouble(4) == 3.0 + 6.0 / 2.0)
+    assert(r2.getDouble(5) == 1.0) // every token unseen-class
+    val e = intercept[Exception] {
+      TextAnalysis.vocabularyCoverage(
+        Seq.empty[String].toDF("text"), col("text")).collect()
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("ordinalAssociationDaily: brute pair counts and one-division statistics") {
+    // one key, 5 daily periods with controlled (volume, value) ranks:
+    // periods p0..p4, volumes 1,2,2,3,1  values 10,20,15,30,10
+    val day = 86400L
+    val rows = scala.collection.mutable.Buffer[(String, java.sql.Timestamp, Double)]()
+    val vols = Seq(1, 2, 2, 3, 1)
+    val vals = Seq(10.0, 20.0, 15.0, 30.0, 10.0)
+    for (p <- 0 until 5; i <- 0 until vols(p)) {
+      val share = vals(p) / vols(p)
+      rows += (("k", new java.sql.Timestamp((p * day + i) * 1000L), share))
+    }
+    val df = rows.toSeq.toDF("event_type", "ts", "value")
+    val out = TimeSeries.ordinalAssociationDaily(
+      df, col("event_type"), col("ts"), col("value"), day).collect()(0)
+    // brute over the 10 period pairs
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- 0 until 5; j <- i + 1 until 5) {
+      val cx = Integer.compare(vols(j), vols(i))
+      val cy = java.lang.Double.compare(vals(j), vals(i))
+      if (cx * cy > 0) conc += 1
+      else if (cx * cy < 0) disc += 1
+      if (cx == 0) tx += 1
+      if (cy == 0) ty += 1
+    }
+    val n0 = 10L
+    assert(out.getLong(1) == 5L)
+    assert(out.getLong(2) == conc && out.getLong(3) == disc)
+    assert(out.getLong(4) == tx && out.getLong(5) == ty)
+    assert(out.getDouble(6) == (conc - disc).toDouble / (conc + disc).toDouble)
+    assert(out.getDouble(7) == (conc - disc).toDouble / (n0 - tx).toDouble)
+    assert(out.getDouble(8) == (conc - disc).toDouble / (n0 - ty).toDouble)
+  }
+
+  test("ordinalAssociationDaily: counts agree with kendallTauDaily; degenerate nulls") {
+    val day = 86400L
+    val rows = (0 until 60).map { i =>
+      ("t" + (i % 3), new java.sql.Timestamp((i / 3 * day + i) * 1000L),
+        (i % 7).toDouble + 1.0)
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val oa = TimeSeries.ordinalAssociationDaily(
+      df, col("event_type"), col("ts"), col("value"), day)
+      .select("key", "concordant", "discordant").orderBy("key").collect()
+    val kt = TimeSeries.kendallTauDaily(
+      df, col("event_type"), col("ts"), col("value"), day)
+      .select("key", "concordant", "discordant").orderBy("key").collect()
+    assert(oa.map(_.toSeq).toSeq == kt.map(_.toSeq).toSeq)
+    // a single period per key: no pairs — every statistic null
+    val one = Seq(("k", new java.sql.Timestamp(1000L), 5.0))
+      .toDF("event_type", "ts", "value")
+    val r = TimeSeries.ordinalAssociationDaily(
+      one, col("event_type"), col("ts"), col("value"), day).collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+  }
+}

@@ -552,4 +552,139 @@ object KsTest {
       col("num").cast("string").as("e_num"),
       (lit(2.0) * (col("num").cast("double") / lit(den))).as("energy"))
   }
+
+  /** KUIPER'S TWO-SAMPLE TEST (Kuiper 1960) — the tail-balanced
+    * sibling of [[ksTwoSample]]: V = D⁺ + D⁻, the sum of the largest
+    * signed CDF exceedances in EACH direction, where KS takes only
+    * the single largest |gap|. V weighs both tails equally (KS is
+    * most sensitive near the median) and is invariant under cyclic
+    * shifts of a circular axis — the drift test for hour-of-day /
+    * day-of-week style wraparound variables.
+    *
+    * Everything is exact: D⁺ and D⁻ are maxima of the exact integers
+    * ±(cc1·n₂ − cc2·n₁) over the merged support (clamped at 0: the
+    * empirical gap function starts and ends at zero, so each
+    * directed sup is ≥ 0), their sum is exact, and
+    *   V = (dplus_num + dminus_num) / (n₁·n₂)
+    * is ONE double division of exact integers — hash-exact. Same
+    * two-phase cumulative geometry as [[wasserstein1D]]. Output: one
+    * row (n_ref, n_cur, n_support, dplus_num, dminus_num, v).
+    */
+  def kuiperTwoSample(
+      df: DataFrame,
+      value: Column,
+      isRef: Column,
+      buckets: Int = 256): DataFrame = {
+    val cdf = mergedCdf(df, value, isRef, buckets, "kuiperTwoSample")
+    val (n1, n2) = (cdf.n1, cdf.n2)
+    val d19 = "decimal(19,0)"
+    val gap = col("cc1").cast(d19) * lit(n2).cast(d19) -
+      col("cc2").cast(d19) * lit(n1).cast(d19)
+    val sup = cdf.frame
+      .select(gap.cast("decimal(38,0)").as("g"))
+      .agg(greatest(max(col("g")), lit(0).cast("decimal(38,0)")).as("dp"),
+        greatest(max(-col("g")), lit(0).cast("decimal(38,0)")).as("dm"))
+    sup.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      lit(cdf.nSupport).as("n_support"),
+      col("dp").cast("string").as("dplus_num"),
+      col("dm").cast("string").as("dminus_num"),
+      ((col("dp") + col("dm")).cast("double") /
+        lit((BigInt(n1) * BigInt(n2)).toDouble)).as("v"))
+  }
+
+  /** TWO-SAMPLE ANDERSON–DARLING statistic, tie-adjusted midrank
+    * version A²akN (Scholz & Stephens, JASA 1987 — the k-sample
+    * form at k = 2, the variant SciPy's `anderson_ksamp` computes):
+    * the CDF-gap integral weighted by 1/(H(1−H)), which up-weights
+    * the TAILS where [[cramerVonMises]] weighs all ranks equally —
+    * the drift test that catches tail-mass shifts the body-centric
+    * tests dilute. Under H₀ its mean is k − 1 = 1.
+    *
+    * Input is a pre-binned integer axis (the [[sinkhornDistance]] /
+    * [[mmdTwoSample]] contract): the corpus collapses to one
+    * ≤ `maxBins` histogram in a single partial-aggregable pass, and
+    * A²akN of the binned distributions is computed EXACTLY from it.
+    * With l_j the bin's pooled count, midrank cumulatives scaled ×2
+    * (B2 = 2B_j − l_j, M2_ij = 2M_ij − l_ij — all exact integers),
+    * each sample-i term is
+    *
+    *   l_j · X_ij² / D_j,   X_ij = N·M2_ij − n_i·B2_j,
+    *                        D_j  = B2_j·(2N − B2_j) − N·l_j
+    *
+    * (the ×4 scalings cancel), and
+    * A² = (S_a/n_a + S_b/n_b) · (N−1) / N². The term numerators are
+    * exact decimals cast once (correctly rounded), D_j is an exact
+    * long, each term is one division, the folds run in pinned
+    * bin-ascending order over the ≤ maxBins frame, and the final
+    * normalization is two more pinned ops on exact operands — so the
+    * float statistic replays bit-for-bit. Degenerate D_j = 0
+    * (single-bin input) raises. Output: one row
+    * (n_ref, n_cur, bins, a2_akn).
+    */
+  def andersonDarlingTwoSample(
+      df: DataFrame,
+      bin: Column,
+      isRef: Column,
+      maxBins: Int = 4096): DataFrame = {
+    require(maxBins >= 2 && maxBins <= 65536,
+      s"maxBins must be in [2, 65536], got $maxBins")
+    val base = df.select(
+      when(bin.cast("long").isNull, raise_error(lit(
+        "andersonDarlingTwoSample: bin must be a non-null integer")))
+        .otherwise(bin.cast("long")).as("v"),
+      when(isRef.cast("boolean").isNull, raise_error(lit(
+        "andersonDarlingTwoSample: isRef is null — every row needs a side")))
+        .otherwise(isRef.cast("boolean")).as("r"))
+    val hist = base.groupBy("v").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("r"), 1L).otherwise(0L)).as("c2"))
+    val totals = hist.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2"),
+      count(lit(1)).as("nb")).collect()(0)
+    val (n1, n2, nb) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    require(nb >= 1, "andersonDarlingTwoSample: empty input")
+    require(n1 >= 1 && n2 >= 1,
+      s"andersonDarlingTwoSample needs both samples non-empty, got n_ref=$n1 n_cur=$n2")
+    require(nb <= maxBins,
+      s"andersonDarlingTwoSample: $nb bins exceed maxBins=$maxBins — coarsen the bin")
+    require(nb >= 2,
+      "andersonDarlingTwoSample: single-bin input — the H(1−H) weight degenerates")
+    val bigN = n1 + n2
+    // ≤ maxBins rows by the guard above: the single-partition pinned
+    // fold is over the AGGREGATED histogram, never the corpus
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d19 = "decimal(19,0)"
+    def x(m2: Column, ni: Long): Column =
+      (m2.cast(d19) * lit(bigN).cast(d19) -
+        col("b2").cast(d19) * lit(ni).cast(d19)).cast(d19)
+    def term(m2: Column, ni: Long): Column = {
+      val xx = x(m2, ni)
+      // divides by the GUARDED weight so a degenerate D_j raises on
+      // whichever row carries it, not only at the frame's tail
+      (col("l").cast(d19) * (xx * xx)).cast("decimal(38,0)").cast("double") /
+        col("djg").cast("double")
+    }
+    val folded = hist.coalesce(1)
+      .withColumn("l", col("c1") + col("c2"))
+      .withColumn("b2", lit(2L) * sum(col("c1") + col("c2")).over(wCum) - col("l"))
+      .withColumn("m2a", lit(2L) * sum(col("c1")).over(wCum) - col("c1"))
+      .withColumn("m2b", lit(2L) * sum(col("c2")).over(wCum) - col("c2"))
+      .withColumn("dj",
+        col("b2") * (lit(2L * bigN) - col("b2")) - lit(bigN) * col("l"))
+      .withColumn("djg", when(col("dj") <= 0L, raise_error(lit(
+        "andersonDarlingTwoSample: degenerate H(1−H) weight — " +
+          "all mass in one bin"))).otherwise(col("dj")))
+      .withColumn("sa", sum(term(col("m2a"), n1)).over(wCum))
+      .withColumn("sb", sum(term(col("m2b"), n2)).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v").desc)))
+      .filter(col("rn") === 1)
+    folded.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"), lit(nb).as("bins"),
+      ((col("sa") / lit(n1.toDouble) + col("sb") / lit(n2.toDouble)) *
+        lit((bigN - 1).toDouble) / lit(bigN.toDouble * bigN.toDouble))
+        .as("a2_akn"))
+  }
 }

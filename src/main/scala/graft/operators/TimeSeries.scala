@@ -776,6 +776,101 @@ object TimeSeries {
       ratio(n0 - col("ty")).as("somers_d_xy"))
   }
 
+  /** Per-key HOEFFDING'S D (Hoeffding, Ann. Math. Statist. 1948)
+    * between each key's daily VOLUME and daily VALUE — the
+    * nonparametric test of GENERAL dependence: where τ-b/γ/ρ can
+    * read exactly zero on a perfect U-shaped relation (monotone-up
+    * cancels monotone-down), D measures the integrated squared gap
+    * between the joint distribution and the product of its margins,
+    * so ANY dependence moves it. The Hollander–Wolfe mid-rank form
+    * with ties:
+    *
+    *   D = 30 · [(n−2)(n−3)·D1 + D2 − 2(n−2)·D3]
+    *          / [n(n−1)(n−2)(n−3)(n−4)],
+    *   D1 = Σᵢ (Qᵢ−1)(Qᵢ−2),
+    *   D2 = Σᵢ (Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2),
+    *   D3 = Σᵢ (Rᵢ−2)(Sᵢ−2)(Qᵢ−1),
+    *
+    * where Rᵢ, Sᵢ are the mid-ranks of xᵢ, yᵢ and Qᵢ counts points
+    * strictly below i in BOTH coordinates (+1 for i itself; ties
+    * weigh ½ per tied axis, ¼ both — the Hmisc::hoeffd convention).
+    * D ∈ [−0.5, 1] with 1 at exact (possibly non-monotone injective)
+    * dependence.
+    *
+    * Exactness: mid-ranks are half-integers and Qᵢ quarter-integers,
+    * so R2 = 2R, S2 = 2S, Q4 = 4Q are exact integers off the pair
+    * counts, and the three sums scale uniformly by 16:
+    * 16·D1 = Σ(Q4−4)(Q4−8), 16·D2 = Σ(R2−2)(R2−4)(S2−2)(S2−4),
+    * 16·D3 = Σ(R2−4)(S2−4)(Q4−4). The ×16 numerator rides as an
+    * exact decimal string digest and D is ONE double division of two
+    * correctly-rounded exact integers — hash-exact. Same bounded
+    * per-key O(span²) pair geometry and guard as [[kendallTauDaily]]
+    * (both (i,j) orientations — the φ kernel is asymmetric). Keys
+    * with n < 5 emit null (the normalizer vanishes). Output: (key,
+    * n_periods, d_num16, hoeffding_d).
+    */
+  def hoeffdingsDDaily(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 10000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val p = periodSeconds * 1000000L
+    val per = events
+      .select(key.as("k"), ts.as("ts"), value.cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("v"))
+      .groupBy(col("k"), col("period"))
+      .agg(count(lit(1)).as("x"), sum(col("v")).as("y"))
+    val spans = per.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("hoeffdingsDDaily: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "expansion needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = per.select(col("k"), col("period").as("p1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = per.select(col("k"), col("period").as("p2"),
+      col("x").as("x2"), col("y").as("y2"))
+    // φ from i's (= p1's) perspective over ALL j ≠ i: 2·c(xᵢ−xⱼ)
+    val cx2 = when(col("x2") < col("x1"), 2L)
+      .when(col("x2") === col("x1"), 1L).otherwise(0L)
+    val cy2 = when(col("y2") < col("y1"), 2L)
+      .when(col("y2") === col("y1"), 1L).otherwise(0L)
+    val perI = a.join(b, Seq("k")).filter(col("p1") =!= col("p2"))
+      .select(col("k"), col("p1"), cx2.as("cx2"), cy2.as("cy2"))
+      .groupBy(col("k"), col("p1"))
+      .agg((sum(col("cx2")) + 2L).as("r2"),
+        (sum(col("cy2")) + 2L).as("s2"),
+        (sum(col("cx2") * col("cy2")) + 4L).as("q4"))
+    val d9 = "decimal(9,0)"
+    val d38 = "decimal(38,0)"
+    val sums = perI.groupBy(col("k")).agg(
+      sum(((col("q4") - 4L).cast(d9) * (col("q4") - 8L).cast(d9)).cast(d38))
+        .as("d1_16"),
+      sum(((col("r2") - 2L).cast(d9) * (col("r2") - 4L).cast(d9) *
+        (col("s2") - 2L).cast(d9) * (col("s2") - 4L).cast(d9)).cast(d38))
+        .as("d2_16"),
+      sum(((col("r2") - 4L).cast(d9) * (col("s2") - 4L).cast(d9) *
+        (col("q4") - 4L).cast(d9)).cast(d38)).as("d3_16"))
+    val joined = spans.join(sums, Seq("k"), "left")
+    val nD = col("n").cast(d9)
+    val num16 = ((nD - 2L) * (nD - 3L)).cast(d38) * col("d1_16") +
+      col("d2_16") - (lit(2L).cast(d9) * (nD - 2L)).cast(d38) * col("d3_16")
+    val den16 = (nD * (nD - 1L)).cast(d38) *
+      ((nD - 2L) * (nD - 3L)).cast(d38) * (nD - 4L).cast(d38) * lit(16L).cast(d38)
+    joined.select(col("k").as("key"), col("n").as("n_periods"),
+      when(col("n") >= 5L, num16.cast("string"))
+        .otherwise(lit(null).cast("string")).as("d_num16"),
+      when(col("n") >= 5L,
+        (lit(30L).cast(d38) * num16).cast("double") / den16.cast("double"))
+        .otherwise(lit(null).cast("double")).as("hoeffding_d"))
+  }
+
   /** Per-key Qn ROBUST SCALE (Rousseeuw & Croux 1993) — the k-th
     * smallest pairwise absolute difference with k = C(h, 2),
     * h = ⌊n/2⌋ + 1: a 50%-breakdown scale estimate that, unlike MAD,

@@ -191,4 +191,145 @@ object ScaleOps13 {
              |    THEN CAST(conc - disc AS DOUBLE) / CAST(n0 - ty AS DOUBLE)
              |  END AS somers_d_xy
              |FROM j ORDER BY key""".stripMargin)))
+
+  val all2: Seq[Q] = Seq(
+
+    // ---- q378: HOEFFDING'S D — general (non-monotone) dependence
+    // between each event type's daily volume and value
+    // ([[graft.operators.TimeSeries.hoeffdingsDDaily]]): the test
+    // that moves on a U-shaped relation q252's τ-b and q377's γ read
+    // as zero. Mid-ranks ×2 and Q ×4 make every Hollander–Wolfe sum
+    // an exact ×16-scaled integer (string digest); D is ONE double
+    // division of exact integers — hash-exact.
+    Q(
+      "q378_hoeffding_d",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.hoeffdingsDDaily(
+          Tables.events(s, d),
+          $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    count(*) AS x,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT k, count(*) AS n FROM o GROUP BY k),
+             |pi AS MATERIALIZED (SELECT a.k, a.period,
+             |    sum(CASE WHEN b.x < a.x THEN 2 WHEN b.x = a.x THEN 1 ELSE 0 END) + 2 AS r2,
+             |    sum(CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1 ELSE 0 END) + 2 AS s2,
+             |    sum(CAST(CASE WHEN b.x < a.x THEN 2 WHEN b.x = a.x THEN 1 ELSE 0 END
+             |          * CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1 ELSE 0 END
+             |        AS BIGINT)) + 4 AS q4
+             |  FROM o a JOIN o b ON a.k = b.k AND a.period <> b.period
+             |  GROUP BY a.k, a.period),
+             |sums AS (SELECT k,
+             |    sum(CAST(q4 - 4 AS HUGEINT) * (q4 - 8)) AS d1_16,
+             |    sum(CAST(r2 - 2 AS HUGEINT) * (r2 - 4) * (s2 - 2) * (s2 - 4)) AS d2_16,
+             |    sum(CAST(r2 - 4 AS HUGEINT) * (s2 - 4) * (q4 - 4)) AS d3_16
+             |  FROM pi GROUP BY k),
+             |fin AS (SELECT sp.k, sp.n,
+             |    CAST(sp.n - 2 AS HUGEINT) * (sp.n - 3) * d1_16
+             |      + d2_16 - 2 * CAST(sp.n - 2 AS HUGEINT) * d3_16 AS num16,
+             |    CAST(16 AS HUGEINT) * sp.n * (sp.n - 1) * (sp.n - 2)
+             |      * (sp.n - 3) * (sp.n - 4) AS den16
+             |  FROM sp LEFT JOIN sums ON sp.k = sums.k)
+             |SELECT k AS key, n AS n_periods,
+             |  CASE WHEN n >= 5 THEN CAST(num16 AS VARCHAR) END AS d_num16,
+             |  CASE WHEN n >= 5 THEN
+             |    CAST(CAST(30 * num16 AS VARCHAR) AS DOUBLE)
+             |      / CAST(CAST(den16 AS VARCHAR) AS DOUBLE)
+             |  END AS hoeffding_d
+             |FROM fin ORDER BY key""".stripMargin)),
+
+    // ---- q379: TWO-SAMPLE ANDERSON–DARLING (Scholz–Stephens 1987,
+    // midrank A²akN) — the tail-weighted member of the drift family
+    // on dollar bins of the q362 frame: 1/(H(1−H)) up-weights tail
+    // mass shifts that q374's equal-rank weighting dilutes. Exact
+    // integer midrank cumulatives; each term one division of
+    // correctly-rounded exact operands; the fold replays in pinned
+    // bin order (list_reduce on the oracle side) — hash-exact.
+    Q(
+      "q379_anderson_darling",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.andersonDarlingTwoSample(
+          ev, floor($"value").cast("long"),
+          $"ts" < lit("2024-01-16").cast("timestamp"))
+      },
+      Some("""WITH base AS (SELECT CAST(floor(value) AS BIGINT) AS v,
+             |    (ts < TIMESTAMP '2024-01-16') AS r
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+             |h AS MATERIALIZED (SELECT v,
+             |    sum(CASE WHEN r THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c2
+             |  FROM base GROUP BY v),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2,
+             |    CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(c1) + sum(c2) AS BIGINT) AS nn FROM h),
+             |cum AS (SELECT v, c1, c2, c1 + c2 AS l,
+             |    2 * sum(c1 + c2) OVER w - (c1 + c2) AS b2,
+             |    2 * sum(c1) OVER w - c1 AS m2a,
+             |    2 * sum(c2) OVER w - c2 AS m2b
+             |  FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)),
+             |terms AS (SELECT v,
+             |    CAST(CAST(CAST(l AS HUGEINT)
+             |        * (CAST(m2a AS HUGEINT) * tot.nn - CAST(b2 AS HUGEINT) * tot.n1)
+             |        * (CAST(m2a AS HUGEINT) * tot.nn - CAST(b2 AS HUGEINT) * tot.n1)
+             |      AS VARCHAR) AS DOUBLE)
+             |      / CAST(b2 * (2 * tot.nn - b2) - tot.nn * l AS DOUBLE) AS ta,
+             |    CAST(CAST(CAST(l AS HUGEINT)
+             |        * (CAST(m2b AS HUGEINT) * tot.nn - CAST(b2 AS HUGEINT) * tot.n2)
+             |        * (CAST(m2b AS HUGEINT) * tot.nn - CAST(b2 AS HUGEINT) * tot.n2)
+             |      AS VARCHAR) AS DOUBLE)
+             |      / CAST(b2 * (2 * tot.nn - b2) - tot.nn * l AS DOUBLE) AS tb
+             |  FROM cum, tot),
+             |folded AS (SELECT
+             |    list_reduce(list_prepend(0.0, list(ta ORDER BY v)),
+             |      (s, t) -> s + t) AS sa,
+             |    list_reduce(list_prepend(0.0, list(tb ORDER BY v)),
+             |      (s, t) -> s + t) AS sb
+             |  FROM terms)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, tot.nb AS bins,
+             |  (sa / CAST(tot.n1 AS DOUBLE) + sb / CAST(tot.n2 AS DOUBLE))
+             |    * CAST(tot.nn - 1 AS DOUBLE) / CAST(tot.nn * tot.nn AS DOUBLE) AS a2_akn
+             |FROM folded, tot""".stripMargin)),
+
+    // ---- q380: KUIPER'S TWO-SAMPLE TEST — V = D⁺ + D⁻ on the q362
+    // cents frame: both directed CDF exceedances, so both tails count
+    // equally where q141's KS is median-centric. Exact integer
+    // directed suprema (string digests), ONE pinned division —
+    // hash-exact.
+    Q(
+      "q380_kuiper",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.KsTest.kuiperTwoSample(
+          ev, round($"value" * 100).cast("long"),
+          $"ts" < lit("2024-01-16").cast("timestamp"), buckets = 256)
+      },
+      Some(s"""WITH $sqlCdf,
+             |sup AS (SELECT
+             |    greatest(max(CAST(cc1 AS HUGEINT) * (SELECT n2 FROM tot)
+             |      - CAST(cc2 AS HUGEINT) * (SELECT n1 FROM tot)),
+             |      CAST(0 AS HUGEINT)) AS dp,
+             |    greatest(max(CAST(cc2 AS HUGEINT) * (SELECT n1 FROM tot)
+             |      - CAST(cc1 AS HUGEINT) * (SELECT n2 FROM tot)),
+             |      CAST(0 AS HUGEINT)) AS dm
+             |  FROM cum)
+             |SELECT tot.n1 AS n_ref, tot.n2 AS n_cur, tot.ns AS n_support,
+             |  CAST(dp AS VARCHAR) AS dplus_num,
+             |  CAST(dm AS VARCHAR) AS dminus_num,
+             |  CAST(CAST(dp + dm AS VARCHAR) AS DOUBLE)
+             |    / CAST(CAST(CAST(tot.n1 AS HUGEINT) * tot.n2 AS VARCHAR) AS DOUBLE) AS v
+             |FROM sup, tot""".stripMargin)))
 }

@@ -208,4 +208,194 @@ class Round13bOpsSpec extends SparkTestBase {
       one, col("event_type"), col("ts"), col("value"), day).collect()(0)
     assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
   }
+
+  // --- Hoeffding's D ------------------------------------------------
+
+  /** Brute Hollander–Wolfe mid-rank D over (x, y) pairs: the ×16
+    * integer scaling, exactly as the operator defines it.
+    */
+  private def bruteHoeffding(xs: Seq[(Long, BigDecimal)]): (BigInt, Double) = {
+    val n = xs.size
+    def c2(a: Long, b: Long): Long = if (b < a) 2L else if (b == a) 1L else 0L
+    def c2d(a: BigDecimal, b: BigDecimal): Long =
+      if (b < a) 2L else if (b == a) 1L else 0L
+    var d1 = BigInt(0); var d2 = BigInt(0); var d3 = BigInt(0)
+    for (i <- xs.indices) {
+      var r2 = 2L; var s2 = 2L; var q4 = 4L
+      for (j <- xs.indices if j != i) {
+        val cx = c2(xs(i)._1, xs(j)._1)
+        val cy = c2d(xs(i)._2, xs(j)._2)
+        r2 += cx; s2 += cy; q4 += cx * cy
+      }
+      d1 += BigInt(q4 - 4) * (q4 - 8)
+      d2 += BigInt(r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+      d3 += BigInt(r2 - 4) * (s2 - 4) * (q4 - 4)
+    }
+    val num16 = BigInt(n - 2) * (n - 3) * d1 + d2 - 2 * BigInt(n - 2) * d3
+    val den16 = BigInt(16) * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    (num16, (30 * num16).toDouble / den16.toDouble)
+  }
+
+  /** Daily event rows realizing per-period (volume, value): `volume`
+    * rows per period, each carrying value/volume so the period sum is
+    * the target value.
+    */
+  private def dailySeries(vols: Seq[Int], vals: Seq[Double]) = {
+    val day = 86400L
+    val rows = for {
+      p <- vols.indices
+      i <- 0 until vols(p)
+    } yield ("k", new java.sql.Timestamp((p * day + i) * 1000L), vals(p) / vols(p))
+    rows.toDF("event_type", "ts", "value")
+  }
+
+  test("hoeffdingsDDaily: exact ×16 numerator matches the brute mid-rank fold") {
+    val vols = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 1) // ties on purpose
+    val vals = Seq(7.0, 1.5, 7.0, 3.25, 9.0, 2.0, 7.0, 8.5, 9.0, 1.5, 4.0, 3.25)
+    val out = TimeSeries.hoeffdingsDDaily(
+      dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+      86400L).collect()(0)
+    // the operator aggregates value sums in decimal(18,6) — replay that
+    val pairs = vols.indices.map(p => (vols(p).toLong,
+      (0 until vols(p)).map(_ => BigDecimal(vals(p) / vols(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum))
+    val (num16, d) = bruteHoeffding(pairs)
+    assert(out.getLong(1) == vols.size.toLong)
+    assert(out.getString(2) == num16.toString)
+    assert(out.getDouble(3) == d)
+  }
+
+  test("hoeffdingsDDaily: exact injective dependence gives D = 1; n<5 nulls") {
+    // y strictly increasing with distinct x: perfect dependence
+    val vols = Seq(1, 2, 3, 4, 5, 6, 7)
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val r = TimeSeries.hoeffdingsDDaily(
+      dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+      86400L).collect()(0)
+    assert(r.getDouble(3) == 1.0)
+    val r4 = TimeSeries.hoeffdingsDDaily(
+      dailySeries(Seq(1, 2, 3, 4), Seq(1.0, 2.0, 3.0, 4.0)),
+      col("event_type"), col("ts"), col("value"), 86400L).collect()(0)
+    assert(r4.isNullAt(2) && r4.isNullAt(3))
+  }
+
+  test("hoeffdingsDDaily: detects the U-shape Kendall's tau reads as ~zero") {
+    val vols = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val vals = vols.map(v => math.pow(v - 5.0, 2) + 1.0)
+    val df = dailySeries(vols, vals)
+    val hd = TimeSeries.hoeffdingsDDaily(
+      df, col("event_type"), col("ts"), col("value"), 86400L)
+      .collect()(0).getDouble(3)
+    val tau = TimeSeries.kendallTauDaily(
+      df, col("event_type"), col("ts"), col("value"), 86400L)
+      .collect()(0).getDouble(4)
+    assert(math.abs(tau) < 0.15, s"tau=$tau should be near zero on the U")
+    // n = 9 keeps the exact D modest; the point is positive vs ~zero
+    assert(hd > 0.05, s"hoeffding D=$hd should expose the U dependence")
+  }
+
+  // --- Anderson–Darling --------------------------------------------
+
+  /** Brute A²akN via the unscaled rational definition: midrank
+    * cumulatives as doubles of half-integers (exact), direct sum.
+    */
+  private def bruteAd(xs: Seq[(Long, Boolean)]): Double = {
+    val groups = xs.groupBy(_._1).toSeq.sortBy(_._1)
+    val n1 = xs.count(_._2).toDouble
+    val n2 = xs.size - n1
+    val nTot = n1 + n2
+    var b = 0.0; var ma = 0.0; var mb = 0.0
+    var sa = 0.0; var sb = 0.0
+    groups.foreach { case (_, g) =>
+      val l = g.size.toDouble
+      val la = g.count(_._2).toDouble
+      val ba = b + l / 2
+      val maj = ma + la / 2
+      val mbj = mb + (l - la) / 2
+      val den = ba * (nTot - ba) - nTot * l / 4
+      sa += l * math.pow(nTot * maj - n1 * ba, 2) / den
+      sb += l * math.pow(nTot * mbj - n2 * ba, 2) / den
+      b += l; ma += la; mb += l - la
+    }
+    (sa / n1 + sb / n2) * (nTot - 1) / (nTot * nTot)
+  }
+
+  test("andersonDarlingTwoSample matches the brute midrank formula") {
+    for (trial <- 1 to 4) {
+      val xs = twoSample(50 + trial * 19, 40 + trial * 13, 9 + trial)
+      val got = KsTest.andersonDarlingTwoSample(
+        xs.toDF("v", "r"), col("v"), col("r")).collect()(0).getDouble(3)
+      val want = bruteAd(xs)
+      assert(math.abs(got - want) <= 1e-11 * math.max(1.0, want.abs),
+        s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("andersonDarling is rank-based: a monotone bin transform changes nothing") {
+    val xs = twoSample(70, 55, 11)
+    val base = KsTest.andersonDarlingTwoSample(
+      xs.toDF("v", "r"), col("v"), col("r")).collect()(0).getDouble(3)
+    val squashed = xs.map { case (v, r) => (v * v * 7L + 3L, r) } // strictly monotone on ≥0
+    val same = KsTest.andersonDarlingTwoSample(
+      squashed.toDF("v", "r"), col("v"), col("r")).collect()(0).getDouble(3)
+    assert(base == same)
+  }
+
+  test("andersonDarling: identical binned samples give exactly zero; guards raise") {
+    val same = (1 to 60).flatMap(i => Seq((i.toLong % 5, true), (i.toLong % 5, false)))
+    val r = KsTest.andersonDarlingTwoSample(
+      same.toDF("v", "r"), col("v"), col("r")).collect()(0)
+    assert(r.getDouble(3) == 0.0)
+    intercept[Exception] { // one side empty
+      KsTest.andersonDarlingTwoSample(
+        Seq((1L, true), (2L, true)).toDF("v", "r"), col("v"), col("r")).collect()
+    }
+    intercept[Exception] { // single bin
+      KsTest.andersonDarlingTwoSample(
+        Seq((1L, true), (1L, false)).toDF("v", "r"), col("v"), col("r")).collect()
+    }
+    intercept[Exception] { // maxBins exceeded
+      KsTest.andersonDarlingTwoSample(
+        (1 to 10).map(i => (i.toLong, i % 2 == 0)).toDF("v", "r"),
+        col("v"), col("r"), maxBins = 4).collect()
+    }
+  }
+
+  // --- Kuiper -------------------------------------------------------
+
+  test("kuiperTwoSample: exact directed suprema match the brute ECDF scan") {
+    for (trial <- 1 to 4) {
+      val xs = twoSample(45 + trial * 7, 35 + trial * 5, 14 + trial)
+      val n1 = xs.count(_._2).toLong
+      val n2 = xs.size - n1
+      var cc1 = 0L; var cc2 = 0L
+      var dp = BigInt(0); var dm = BigInt(0)
+      xs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        cc1 += g.count(_._2); cc2 += g.count(!_._2)
+        val gap = BigInt(cc1) * n2 - BigInt(cc2) * n1
+        if (gap > dp) dp = gap
+        if (-gap > dm) dm = -gap
+      }
+      val row = KsTest.kuiperTwoSample(
+        xs.toDF("v", "r"), col("v"), col("r"), buckets = 6).collect()(0)
+      assert(row.getString(3) == dp.toString && row.getString(4) == dm.toString)
+      assert(row.getDouble(5) ==
+        (dp + dm).toDouble / (BigInt(n1) * BigInt(n2)).toDouble)
+      // Kuiper dominates KS: V ≥ D
+      val d = KsTest.ksTwoSample(xs.toDF("v", "r"), col("v"), col("r"))
+        .collect()(0).getDouble(2)
+      assert(row.getDouble(5) >= d - 1e-12)
+    }
+  }
+
+  test("kuiperTwoSample: disjoint supports give V = 1; swapped sides swap suprema") {
+    val xs = (1 to 30).map(i => (i.toLong, true)) ++
+      (31 to 55).map(i => (i.toLong, false))
+    val r = KsTest.kuiperTwoSample(xs.toDF("v", "r"), col("v"), col("r")).collect()(0)
+    assert(r.getDouble(5) == 1.0 && r.getString(4) == "0")
+    val sw = KsTest.kuiperTwoSample(
+      xs.map { case (v, b) => (v, !b) }.toDF("v", "r"), col("v"), col("r"))
+      .collect()(0)
+    assert(sw.getString(3) == r.getString(4) && sw.getString(4) == r.getString(3))
+  }
 }

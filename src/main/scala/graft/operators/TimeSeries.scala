@@ -871,6 +871,105 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("hoeffding_d"))
   }
 
+  /** Per-key DISTANCE CORRELATION (Székely, Rizzo & Bakirov, Ann.
+    * Statist. 2007) between each key's daily VOLUME and daily VALUE —
+    * the modern dependence coefficient with the property the whole
+    * classical family lacks: dCor = 0 IFF the two series are
+    * independent (Pearson needs linearity, τ/γ/ρ monotonicity,
+    * [[hoeffdingsDDaily]] is a test statistic without a natural 0–1
+    * scale). dCor reads from the double-centered pairwise distance
+    * matrices:
+    *
+    *   A_ij = a_ij − ā_i − ā_j + ā,   a_ij = |x_i − x_j|  (B from y),
+    *   dCov² = (1/n²)·Σ A_ij·B_ij,
+    *   dCor  = √( dCov² / √(dVarX·dVarY) ).
+    *
+    * Exactness: x is the integer daily count and y the exact daily
+    * CENTS total, so with everything scaled by n²,
+    * A′_ij = n²·a_ij − n·ra_i − n·ra_j + Ta is an exact integer and
+    * the three sums Σ A′B′, Σ A′², Σ B′² are exact decimal(38,0)
+    * digests (the n⁶ scale cancels in the ratio). dCor is then a
+    * pinned chain of correctly-rounded IEEE ops — two casts, one
+    * multiply, two sqrt (sqrt is correctly rounded by IEEE 754), one
+    * division — so even the float replays bit-for-bit. Same bounded
+    * per-key O(span²) pair geometry as [[kendallTauDaily]], with a
+    * tighter default guard (the full n² matrix ships A′ numerators ≤
+    * 16·n⁶·a²ᵐᵃˣ — 2000 periods keeps them inside decimal(38)).
+    * Degenerate variance (a constant series) emits null. Output:
+    * (key, n_periods, dcov2_num, dvarx_num, dvary_num, dcor).
+    */
+  def distanceCorrelationDaily(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      periodSeconds: Long,
+      maxPeriodsPerKey: Int = 2000): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    require(maxPeriodsPerKey <= 20000,
+      s"maxPeriodsPerKey above 20000 overflows the decimal(38) digests, got $maxPeriodsPerKey")
+    val p = periodSeconds * 1000000L
+    val per = events
+      .select(key.as("k"), ts.as("ts"),
+        when(value.isNull || ts.isNull, raise_error(lit(
+          "distanceCorrelationDaily: value/ts must be non-null — filter first")))
+          .otherwise(round(value * 100).cast("long")).as("cents"))
+      .filter(col("k").isNotNull)
+      .select(col("k"), floor(unix_micros(col("ts")) / lit(p)).cast("long").as("period"),
+        col("cents"))
+      .groupBy(col("k"), col("period"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val spans = per.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("n") > maxPeriodsPerKey, raise_error(concat(
+          lit("distanceCorrelationDaily: key "), col("k").cast("string"),
+          lit(s" has more than $maxPeriodsPerKey periods — the O(span²) pair " +
+            "matrix needs a coarser period or a pre-filter"))))
+          .otherwise(col("n")).as("n"))
+    val a = per.select(col("k"), col("period").as("p1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = per.select(col("k"), col("period").as("p2"),
+      col("x").as("x2"), col("y").as("y2"))
+    // the FULL matrix incl. the zero diagonal — the V-statistic
+    // double-centering needs every row/column mean
+    val pairs = a.join(b, Seq("k"))
+      .select(col("k"), col("p1"), col("p2"),
+        abs(col("x1") - col("x2")).as("aij"),
+        abs(col("y1") - col("y2")).as("bij"))
+    val rsum = pairs.groupBy(col("k"), col("p1"))
+      .agg(sum(col("aij")).as("ra"), sum(col("bij")).as("rb"))
+    val tot = rsum.groupBy(col("k"))
+      .agg(sum(col("ra")).as("ta"), sum(col("rb")).as("tb"))
+    val rj = rsum.select(col("k"), col("p1").as("p2"),
+      col("ra").as("raj"), col("rb").as("rbj"))
+    val d38 = "decimal(38,0)"
+    val joinedPairs = pairs
+      .join(rsum, Seq("k", "p1"))
+      .join(rj, Seq("k", "p2"))
+      .join(tot, Seq("k"))
+      .join(spans, Seq("k"))
+    val nD = col("n").cast("decimal(9,0)")
+    def centered(v: Column, ri: Column, rjc: Column, t: Column): Column =
+      ((nD * nD).cast(d38) * v.cast(d38) -
+        nD.cast(d38) * ri.cast(d38) - nD.cast(d38) * rjc.cast(d38) +
+        t.cast(d38)).cast(d38)
+    val ap = centered(col("aij"), col("ra"), col("raj"), col("ta"))
+    val bp = centered(col("bij"), col("rb"), col("rbj"), col("tb"))
+    val sums = joinedPairs.groupBy(col("k"), col("n")).agg(
+      sum((ap * bp).cast(d38)).as("sab"),
+      sum((ap * ap).cast(d38)).as("saa"),
+      sum((bp * bp).cast(d38)).as("sbb"))
+    val out = spans.join(sums, Seq("k", "n"), "left")
+    val ok = col("saa") > 0L && col("sbb") > 0L
+    out.select(col("k").as("key"), col("n").as("n_periods"),
+      col("sab").cast("string").as("dcov2_num"),
+      col("saa").cast("string").as("dvarx_num"),
+      col("sbb").cast("string").as("dvary_num"),
+      when(ok, sqrt(col("sab").cast("double") /
+        sqrt(col("saa").cast("double") * col("sbb").cast("double"))))
+        .otherwise(lit(null).cast("double")).as("dcor"))
+  }
+
   /** Per-key Qn ROBUST SCALE (Rousseeuw & Croux 1993) — the k-th
     * smallest pairwise absolute difference with k = C(h, 2),
     * h = ⌊n/2⌋ + 1: a 50%-breakdown scale estimate that, unlike MAD,

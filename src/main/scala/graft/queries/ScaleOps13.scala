@@ -331,5 +331,65 @@ object ScaleOps13 {
              |  CAST(dm AS VARCHAR) AS dminus_num,
              |  CAST(CAST(dp + dm AS VARCHAR) AS DOUBLE)
              |    / CAST(CAST(CAST(tot.n1 AS HUGEINT) * tot.n2 AS VARCHAR) AS DOUBLE) AS v
-             |FROM sup, tot""".stripMargin)))
+             |FROM sup, tot""".stripMargin)),
+
+    // ---- q381: DISTANCE CORRELATION (Székely et al. 2007) — the
+    // dependence coefficient that is zero IFF independent, between
+    // each event type's daily volume and daily cents total
+    // ([[graft.operators.TimeSeries.distanceCorrelationDaily]]).
+    // The double-centered distance sums ride as exact ×n⁶ integer
+    // digests (the scale cancels in the ratio), and dCor itself is a
+    // pinned chain of correctly-rounded IEEE ops (casts, one multiply,
+    // two sqrt, one division) — hash-exact including the float.
+    Q(
+      "q381_distance_correlation",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"value".isNotNull && $"ts".isNotNull)
+        graft.operators.TimeSeries.distanceCorrelationDaily(
+          ev, $"event_type", $"ts", $"value", periodSeconds = 86400L)
+          .orderBy($"key")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT event_type AS k,
+             |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS period,
+             |    count(*) AS x,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS MATERIALIZED (SELECT k, count(*) AS n FROM o GROUP BY k),
+             |pr AS MATERIALIZED (SELECT a.k, a.period AS p1, b.period AS p2,
+             |    abs(a.x - b.x) AS aij, abs(a.y - b.y) AS bij
+             |  FROM o a JOIN o b ON a.k = b.k),
+             |rs AS MATERIALIZED (SELECT k, p1,
+             |    sum(CAST(aij AS HUGEINT)) AS ra, sum(CAST(bij AS HUGEINT)) AS rb
+             |  FROM pr GROUP BY 1, 2),
+             |tt AS (SELECT k, sum(ra) AS ta, sum(rb) AS tb FROM rs GROUP BY 1),
+             |ctr AS (SELECT pr.k,
+             |    CAST(sp.n AS HUGEINT) * sp.n * aij
+             |      - CAST(sp.n AS HUGEINT) * ri.ra
+             |      - CAST(sp.n AS HUGEINT) * rj.ra + tt.ta AS apj,
+             |    CAST(sp.n AS HUGEINT) * sp.n * bij
+             |      - CAST(sp.n AS HUGEINT) * ri.rb
+             |      - CAST(sp.n AS HUGEINT) * rj.rb + tt.tb AS bpj
+             |  FROM pr
+             |  JOIN rs ri ON pr.k = ri.k AND pr.p1 = ri.p1
+             |  JOIN rs rj ON pr.k = rj.k AND pr.p2 = rj.p1
+             |  JOIN tt ON pr.k = tt.k
+             |  JOIN sp ON pr.k = sp.k),
+             |sm AS (SELECT k, sum(apj * bpj) AS sab,
+             |    sum(apj * apj) AS saa, sum(bpj * bpj) AS sbb
+             |  FROM ctr GROUP BY k)
+             |SELECT sp.k AS key, sp.n AS n_periods,
+             |  CAST(sab AS VARCHAR) AS dcov2_num,
+             |  CAST(saa AS VARCHAR) AS dvarx_num,
+             |  CAST(sbb AS VARCHAR) AS dvary_num,
+             |  CASE WHEN saa > 0 AND sbb > 0 THEN
+             |    sqrt(CAST(CAST(sab AS VARCHAR) AS DOUBLE)
+             |      / sqrt(CAST(CAST(saa AS VARCHAR) AS DOUBLE)
+             |           * CAST(CAST(sbb AS VARCHAR) AS DOUBLE)))
+             |  END AS dcor
+             |FROM sp LEFT JOIN sm ON sp.k = sm.k
+             |ORDER BY key""".stripMargin)))
 }

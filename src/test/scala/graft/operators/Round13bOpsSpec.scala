@@ -388,6 +388,80 @@ class Round13bOpsSpec extends SparkTestBase {
     }
   }
 
+  // --- distance correlation ------------------------------------------
+
+  /** Brute ×n⁶-scaled double-centered sums over (x, y-cents) pairs. */
+  private def bruteDcor(xs: Seq[(Long, Long)]): (BigInt, BigInt, BigInt, Option[Double]) = {
+    val n = xs.size
+    def mat(sel: ((Long, Long)) => Long): Array[Array[BigInt]] =
+      Array.tabulate(n, n)((i, j) => BigInt((sel(xs(i)) - sel(xs(j))).abs))
+    def centered(m: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+      val row = m.map(_.sum)
+      val tot = row.sum
+      Array.tabulate(n, n)((i, j) =>
+        BigInt(n) * n * m(i)(j) - BigInt(n) * row(i) - BigInt(n) * row(j) + tot)
+    }
+    val (ap, bp) = (centered(mat(_._1)), centered(mat(_._2)))
+    var sab = BigInt(0); var saa = BigInt(0); var sbb = BigInt(0)
+    for (i <- 0 until n; j <- 0 until n) {
+      sab += ap(i)(j) * bp(i)(j); saa += ap(i)(j) * ap(i)(j); sbb += bp(i)(j) * bp(i)(j)
+    }
+    val dcor = if (saa > 0 && sbb > 0)
+      Some(math.sqrt(sab.toDouble / math.sqrt(saa.toDouble * sbb.toDouble)))
+    else None
+    (sab, saa, sbb, dcor)
+  }
+
+  test("distanceCorrelationDaily: exact digests and pinned chain match the brute") {
+    val vols = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val vals = Seq(2.5, 7.0, 2.5, 3.0, 8.25, 1.0, 7.0, 4.5, 8.25, 0.75)
+    val out = TimeSeries.distanceCorrelationDaily(
+      dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+      86400L).collect()(0)
+    // period cents = Σ round(share·100) per row — replay the operator's grain
+    val pairs = vols.indices.map { p =>
+      val share = vals(p) / vols(p)
+      (vols(p).toLong,
+        (0 until vols(p)).map(_ => math.round(share * 100)).sum)
+    }
+    val (sab, saa, sbb, dcor) = bruteDcor(pairs)
+    assert(out.getString(2) == sab.toString)
+    assert(out.getString(3) == saa.toString)
+    assert(out.getString(4) == sbb.toString)
+    assert(out.getDouble(5) == dcor.get)
+  }
+
+  test("distanceCorrelationDaily: exact linear dependence gives dcor = 1; constant series null") {
+    // y = 3·x cents exactly, distinct x
+    val vols = Seq(1, 2, 3, 4, 5, 6)
+    val vals = vols.map(v => 0.03 * v) // 3v cents per period
+    val r = TimeSeries.distanceCorrelationDaily(
+      dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+      86400L).collect()(0)
+    assert(r.getDouble(5) == 1.0)
+    // constant volume: dVarX = 0 → null
+    val flat = TimeSeries.distanceCorrelationDaily(
+      dailySeries(Seq(2, 2, 2, 2), Seq(1.0, 2.0, 3.0, 4.0)),
+      col("event_type"), col("ts"), col("value"), 86400L).collect()(0)
+    assert(flat.isNullAt(5) && flat.getString(3) == "0")
+  }
+
+  test("distanceCorrelationDaily: sees the U-shape Pearson misses; guard raises") {
+    val vols = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val vals = vols.map(v => math.pow(v - 5.0, 2) / 100.0 + 0.01)
+    val r = TimeSeries.distanceCorrelationDaily(
+      dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+      86400L).collect()(0)
+    assert(r.getDouble(5) > 0.3, s"dcor=${r.getDouble(5)} on the U")
+    val e = intercept[Exception] {
+      TimeSeries.distanceCorrelationDaily(
+        dailySeries(Seq(1, 2, 3), Seq(1.0, 2.0, 3.0)),
+        col("event_type"), col("ts"), col("value"), 86400L,
+        maxPeriodsPerKey = 2).collect()
+    }
+    assert(e.getMessage.contains("more than 2 periods"))
+  }
+
   test("kuiperTwoSample: disjoint supports give V = 1; swapped sides swap suprema") {
     val xs = (1 to 30).map(i => (i.toLong, true)) ++
       (31 to 55).map(i => (i.toLong, false))

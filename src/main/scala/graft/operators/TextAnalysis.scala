@@ -1187,6 +1187,144 @@ object TextAnalysis {
     * Output: one row (n_tokens, vocab, f1, f2, chao1, gt_unseen_mass,
     * coverage).
     */
+  /** GOPHER REPETITION FILTER, part 1 — "fraction of characters in
+    * the most frequent n-gram" (Rae et al. 2021, Table A1; the
+    * MassiveText quality rule reused by most open curation
+    * pipelines): per document and per n, the share of the document's
+    * characters claimed by its single most repeated word n-gram,
+    *
+    *   frac = top_count · top_chars / total_chars,
+    *
+    * where chars count the tokenizer-normal text (token characters
+    * plus single joining spaces; total = Σ len(tok) + (n_toks − 1)).
+    * Ties on count break to the lexicographically GREATEST n-gram
+    * (one max-struct aggregation — deterministic, oracle-replayable).
+    * Documents with fewer than n tokens emit a null fraction.
+    *
+    * Scale shape: per n (a constant ≤ |ns| fan-out), one
+    * posexplode → (doc, n-gram) count aggregation → one max-struct
+    * per doc — all partial-aggregable, grouped by doc_id, nothing
+    * corpus-wide. Counts and lengths are exact integers; frac is ONE
+    * double division — hash-exact. Output: (doc_id, n, top_count,
+    * top_chars, total_chars, frac), one row per (doc, n).
+    */
+  def topNgramCharFraction(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      s"ns must be within [1, 16], got $ns")
+    val base = df.select(
+      when(id.isNull, raise_error(lit(
+        "topNgramCharFraction: doc id must be non-null")))
+        .otherwise(id).as("doc_id"),
+      tokens(text).as("toks"))
+      .withColumn("total_chars",
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)) +
+          greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+    val perN = ns.map { n =>
+      val grams = base
+        .select(col("doc_id"), col("total_chars"),
+          explode(when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val counts = grams.groupBy(col("doc_id"), col("total_chars"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"), col("total_chars"))
+        .agg(max(struct(col("c").as("c"), col("g").as("g"))).as("top"))
+        .select(col("doc_id"), lit(n).as("n"),
+          col("top.c").as("top_count"),
+          length(col("top.g")).cast("long").as("top_chars"),
+          col("total_chars"),
+          ((col("top.c") * length(col("top.g"))).cast("double") /
+            col("total_chars").cast("double")).as("frac"))
+    }
+    val present = perN.reduce(_.unionByName(_))
+    // docs with < n tokens (or no tokens at all) re-enter with nulls
+    val docs = base.select(col("doc_id"), col("total_chars"))
+    val frame = ns.map(n => docs.select(col("doc_id"), lit(n).as("n"),
+      col("total_chars").as("tc"))).reduce(_.unionByName(_))
+    frame.join(present, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+        col("top_count"), col("top_chars"),
+        col("tc").as("total_chars"), col("frac"))
+  }
+
+  /** GOPHER REPETITION FILTER, part 2 — "fraction of characters in
+    * duplicated n-grams" (Rae et al. 2021): per document and per n,
+    * the share of TOKEN characters covered by at least one occurrence
+    * of an n-gram that appears more than once in the document — the
+    * repetition signal that catches boilerplate loops and degenerate
+    * generations the top-1 rule misses. Coverage is the UNION of
+    * token positions under duplicated n-grams (overlapping
+    * occurrences count once), weighted by token length; totals count
+    * token characters only (spaces excluded — documented, the oracle
+    * replays the same convention).
+    *
+    * Scale shape: per n, one posexplode → duplicated-(doc, n-gram)
+    * detection (count > 1) → position-range explode (constant ≤ n per
+    * occurrence) → distinct covered index → one sum against the
+    * (doc, idx, len) table. Everything groups by doc_id, nothing
+    * corpus-wide; counts exact, frac ONE division — hash-exact.
+    * Output: (doc_id, n, covered_chars, total_chars, frac) with
+    * frac = 0 when nothing repeats and null when the doc has no
+    * tokens.
+    */
+  def duplicatedNgramCharFraction(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ns: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 2 && n <= 16),
+      s"ns must be within [2, 16], got $ns")
+    val base = df.select(
+      when(id.isNull, raise_error(lit(
+        "duplicatedNgramCharFraction: doc id must be non-null")))
+        .otherwise(id).as("doc_id"),
+      tokens(text).as("toks"))
+    val lens = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx"), length(col("tok")).cast("long").as("len"))
+    val totals = base.select(col("doc_id"),
+      aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("total_chars"))
+    val perN = ns.map { n =>
+      // the n-gram string itself is the identity (NOT a 64-bit hash:
+      // a collision would merge distinct n-grams and no SQL oracle
+      // could replay it); the group is per-doc, so the string keys
+      // stay doc-bounded
+      val occ = base
+        .select(col("doc_id"),
+          posexplode(when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+      val dup = occ.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"), collect_list(col("pos")).as("ps"))
+        .filter(col("c") > 1L)
+      val covered = dup
+        .select(col("doc_id"), explode(col("ps")).as("pos"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+        .distinct()
+        .join(lens, Seq("doc_id", "idx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("len")).as("covered_chars"))
+      totals
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(n).as("n"),
+          when(col("total_chars") > 0L, coalesce(col("covered_chars"), lit(0L)))
+            .otherwise(lit(null).cast("long")).as("covered_chars"),
+          col("total_chars"),
+          when(col("total_chars") > 0L,
+            coalesce(col("covered_chars"), lit(0L)).cast("double") /
+              col("total_chars").cast("double"))
+            .otherwise(lit(null).cast("double")).as("frac"))
+    }
+    perN.reduce(_.unionByName(_))
+  }
+
   def vocabularyCoverage(df: DataFrame, text: Column): DataFrame = {
     val counts = df.select(explode(tokens(text)).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))

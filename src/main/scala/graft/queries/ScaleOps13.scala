@@ -392,4 +392,111 @@ object ScaleOps13 {
              |  END AS dcor
              |FROM sp LEFT JOIN sm ON sp.k = sm.k
              |ORDER BY key""".stripMargin)))
+
+  /** Oracle CTE: tokenized docs with the joined-text char total
+    * (token chars + single spaces). */
+  private val sqlTl =
+    s"""tl AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |tc AS MATERIALIZED (SELECT doc_id, t,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b)
+       |      + greatest(len(t) - 1, 0) AS total_chars
+       |  FROM tl)""".stripMargin
+
+  val all3: Seq[Q] = Seq(
+
+    // ---- q382: GOPHER TOP-N-GRAM CHARACTER FRACTION (Rae et al.
+    // 2021, Table A1) — per doc and n ∈ {2,3,4}, the share of
+    // characters claimed by the most repeated word n-gram: the
+    // MassiveText quality rule that catches "the best the best the
+    // best" degeneracy. Ties break to the lexicographically greatest
+    // n-gram (max-struct ≡ ORDER BY c DESC, g DESC). Exact counts,
+    // ONE division — hash-exact.
+    Q(
+      "q382_top_ngram_fraction",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.topNgramCharFraction(
+          Tables.documents(s, d).filter($"text".isNotNull),
+          $"doc_id", $"text", ns = Seq(2, 3, 4))
+          .orderBy($"doc_id", $"n")
+      },
+      Some {
+        val perN = (2 to 4).map { n =>
+          s"""o$n AS (SELECT doc_id, total_chars,
+             |    array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS g
+             |  FROM tc, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
+             |c$n AS (SELECT doc_id, total_chars, g, count(*) AS c
+             |  FROM o$n GROUP BY 1, 2, 3),
+             |t$n AS (SELECT doc_id, total_chars, g, c,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY c DESC, g DESC) AS rn
+             |  FROM c$n)""".stripMargin
+        }.mkString(",\n")
+        val unions = (2 to 4).map { n =>
+          s"""SELECT tc.doc_id, $n AS n, t$n.c AS top_count,
+             |  CAST(len(t$n.g) AS BIGINT) AS top_chars,
+             |  tc.total_chars,
+             |  CAST(t$n.c * len(t$n.g) AS DOUBLE)
+             |    / CAST(tc.total_chars AS DOUBLE) AS frac
+             |FROM tc LEFT JOIN t$n ON tc.doc_id = t$n.doc_id AND t$n.rn = 1""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $sqlTl,\n$perN\n$unions\nORDER BY doc_id, n"
+      }),
+
+    // ---- q383: GOPHER DUPLICATED-N-GRAM CHARACTER FRACTION (Rae et
+    // al. 2021) — per doc and n ∈ {2..10} (the canonical 5–10 plus
+    // 2–4, which this corpus actually repeats at gate scale), the share of token
+    // characters covered by the UNION of all n-grams occurring more
+    // than once: the boilerplate-loop detector the top-1 rule misses.
+    // Coverage unions token positions (overlaps count once), weighted
+    // by token length; exact integers, ONE division — hash-exact.
+    Q(
+      "q383_dup_ngram_fraction",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.duplicatedNgramCharFraction(
+          Tables.documents(s, d).filter($"text".isNotNull),
+          $"doc_id", $"text", ns = (2 to 10))
+          .orderBy($"doc_id", $"n")
+      },
+      Some {
+        val perN = (2 to 10).map { n =>
+          s"""o$n AS MATERIALIZED (SELECT doc_id, i AS pos,
+             |    array_to_string(list_slice(t, i + 1, i + $n), ' ') AS g
+             |  FROM tl, unnest(range(0, len(t) - ${n - 1})) AS u(i)),
+             |d$n AS (SELECT doc_id, g FROM o$n
+             |  GROUP BY doc_id, g HAVING count(*) > 1),
+             |v$n AS (SELECT DISTINCT o.doc_id, w.i AS idx
+             |  FROM o$n o JOIN d$n USING (doc_id, g),
+             |    unnest(range(o.pos, o.pos + $n)) AS w(i)),
+             |s$n AS (SELECT v.doc_id, sum(l.l) AS covered
+             |  FROM v$n v JOIN lens l ON v.doc_id = l.doc_id AND v.idx = l.idx
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        val unions = (2 to 10).map { n =>
+          s"""SELECT tt.doc_id, $n AS n,
+             |  CASE WHEN tt.total > 0
+             |    THEN CAST(coalesce(s$n.covered, 0) AS BIGINT) END AS covered_chars,
+             |  tt.total AS total_chars,
+             |  CASE WHEN tt.total > 0 THEN
+             |    CAST(coalesce(s$n.covered, 0) AS DOUBLE) / CAST(tt.total AS DOUBLE)
+             |  END AS frac
+             |FROM tt LEFT JOIN s$n ON tt.doc_id = s$n.doc_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tl AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM documents
+           |  WHERE text IS NOT NULL),
+           |lens AS MATERIALIZED (SELECT doc_id, i AS idx,
+           |    CAST(len(t[i + 1]) AS BIGINT) AS l
+           |  FROM tl, unnest(range(0, len(t))) AS u(i)),
+           |tt AS MATERIALIZED (SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b)
+           |      AS total
+           |  FROM tl),
+           |$perN
+           |$unions
+           |ORDER BY doc_id, n""".stripMargin
+      }))
 }

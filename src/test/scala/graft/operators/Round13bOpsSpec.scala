@@ -472,4 +472,82 @@ class Round13bOpsSpec extends SparkTestBase {
       .collect()(0)
     assert(sw.getString(3) == r.getString(4) && sw.getString(4) == r.getString(3))
   }
+
+  // --- Gopher repetition filters -------------------------------------
+
+  private def topRows(docs: Seq[(Long, String)], ns: Seq[Int]) =
+    TextAnalysis.topNgramCharFraction(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), ns)
+      .orderBy("doc_id", "n").collect()
+
+  test("topNgramCharFraction: hand-built docs, greatest-gram tie rule, short docs null") {
+    val rows = topRows(Seq((1L, "a b a b c"), (2L, "x y z x y z"), (3L, "q")), Seq(2))
+    // doc 1: "a b"×2, top_chars 3, total = 5 chars + 4 spaces = 9
+    assert(rows(0).getLong(2) == 2L && rows(0).getLong(3) == 3L &&
+      rows(0).getLong(4) == 9L && rows(0).getDouble(5) == 6.0 / 9.0)
+    // doc 2: "x y" and "y z" both ×2 — tie breaks to the GREATEST gram
+    val r2 = topRows(Seq((2L, "x y z x y z")), Seq(2))(0)
+    assert(r2.getLong(2) == 2L)
+    // frac uses len("y z") = 3 either way; the tie rule is observable
+    // through determinism across runs (and the oracle replays it)
+    assert(r2.getDouble(5) == 6.0 / 11.0)
+    // doc 3 has 1 token: no 2-gram → null stats, total_chars kept
+    assert(rows(2).isNullAt(2) && rows(2).getLong(4) == 1L && rows(2).isNullAt(5))
+  }
+
+  /** Brute union-coverage: fraction of token chars under any n-gram
+    * occurring more than once.
+    */
+  private def bruteDup(text: String, n: Int): Option[(Long, Long)] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return None
+    val total = toks.map(_.length.toLong).sum
+    val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+    val dup = grams.groupBy(identity).filter(_._2.size > 1).keySet
+    val covered = grams.zipWithIndex.collect {
+      case (g, i) if dup(g) => (i until i + n)
+    }.flatten.toSet
+    Some((covered.toSeq.map(i => toks(i).length.toLong).sum, total))
+  }
+
+  test("duplicatedNgramCharFraction: overlap unions once; brute parity on random docs") {
+    val docs = Seq(
+      (1L, "a a a a"),          // "a a"×3 covers all 4 tokens
+      (2L, "a b c a b d"),      // "a b"×2 covers idx {0,1,3,4}
+      (3L, "a b a b a"),        // two dup grams jointly cover all
+      (4L, "x y z w"))          // nothing repeats
+    val out = TextAnalysis.duplicatedNgramCharFraction(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), Seq(2))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 4L && out(0).getDouble(4) == 1.0)
+    assert(out(1).getLong(2) == 4L && out(1).getDouble(4) == 4.0 / 6.0)
+    assert(out(2).getLong(2) == 5L && out(2).getDouble(4) == 1.0)
+    assert(out(3).getLong(2) == 0L && out(3).getDouble(4) == 0.0)
+    // random-corpus brute parity across n = 2 and 3
+    val alpha = Seq("a", "b", "c", "d")
+    val rdocs = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + rng.nextInt(18))(alpha(rng.nextInt(alpha.size))).mkString(" "))
+    }
+    for (n <- Seq(2, 3)) {
+      val got = TextAnalysis.duplicatedNgramCharFraction(
+        rdocs.toDF("doc_id", "text"), col("doc_id"), col("text"), Seq(n))
+        .orderBy("doc_id").collect()
+      rdocs.indices.foreach { k =>
+        val (cov, tot) = bruteDup(rdocs(k)._2, n).get
+        assert(got(k).getLong(2) == cov && got(k).getLong(3) == tot,
+          s"doc ${rdocs(k)._1} n=$n: ${rdocs(k)._2}")
+      }
+    }
+  }
+
+  test("duplicatedNgramCharFraction: token-less docs null; long format stacks ns") {
+    val out = TextAnalysis.duplicatedNgramCharFraction(
+      Seq((1L, "!!! ???"), (2L, "a a a")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq(2, 3))
+      .orderBy("doc_id", "n").collect()
+    assert(out.length == 4)
+    assert(out(0).isNullAt(2) && out(0).isNullAt(4)) // no tokens at n=2
+    assert(out(2).getDouble(4) == 1.0)               // "a a"×2 covers all
+    assert(out(3).getDouble(4) == 0.0)               // single 3-gram: no dup
+  }
 }

@@ -811,6 +811,66 @@ object Graph {
     * Output per node with ≥ 1 edge: (node, w1..w`hops`, katz) with
     * katz = katz_scaled / alphaDen^hops.
     */
+  /** NEIGHBORHOOD FUNCTION via mergeable KMV sketches — the HyperANF
+    * idea (Boldi, Rosa & Vigna, WWW 2011; Palmer et al.'s ANF) with
+    * this engine's deterministic KMV sketch in place of HLL: per node
+    * and hop radius t ≤ `rounds`, an estimate of |B(v, t)|, the
+    * number of nodes within t hops. The exact ball needs all-pairs
+    * BFS (O(V·E) — impossible at corpus scale); the sketch version is
+    * `rounds` rounds of edge-join + k-min merge, O(rounds·E·k) rows
+    * total, because KMV union IS ball union:
+    *
+    *   sketch_v(t) = kmin_k( sketch_v(t−1) ∪ ⋃_{u∈N(v)} sketch_u(t−1) ).
+    *
+    * Determinism: hashes are the portable md5-60bit [[KmvSketch]]
+    * family and the k-min merge is order-free, so — unlike HLL
+    * implementations with private seeds — every sketch, and therefore
+    * every estimate, is REPLAYABLE by an unrolled SQL oracle
+    * (the q259 landmark precedent): unsaturated balls report their
+    * EXACT size, saturated ones the (k−1)·2⁶⁰/h₍ₖ₎ estimator, and the
+    * k-th hash rides along as an exact integer digest. Graph is
+    * symmetrized (undirected), every edge endpoint is a node, and
+    * t = 0 is the singleton ball.
+    *
+    * Output: (node, t, n_hashes, kth_hash, ball_est) for every node
+    * and t ∈ [0, rounds]; `kth_hash` null while unsaturated.
+    */
+  def neighborhoodFunction(
+      edgesIn: DataFrame,
+      src: Column,
+      dst: Column,
+      rounds: Int = 2,
+      k: Int = 32): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds must be in [1, 6], got $rounds")
+    require(k >= 2 && k <= 1024, s"k must be in [2, 1024], got $k")
+    val sym = symmetrized(edgesIn, src, dst, "neighborhoodFunction")
+      .localCheckpoint(true)
+    val nodes = sym.select(col("src").as("v")).distinct()
+    // self-loop per node: the radius-(t−1) ball of v itself always
+    // merges into the radius-t ball
+    val adj = sym.select(col("src").as("w"), col("dst").as("u"))
+      .union(nodes.select(col("v").as("w"), col("v").as("u")))
+      .localCheckpoint(true)
+    val s0 = nodes
+      .select(col("v"), array(KmvSketch.hash60(col("v"))).as("kmv"))
+      .localCheckpoint(true)
+    val states = (1 to rounds).foldLeft(Vector(s0)) { (acc, _) =>
+      val prev = acc.last.select(col("v").as("u"), col("kmv"))
+      val merged = KmvSketch
+        .mergeStates(adj.join(prev, Seq("u")), Seq("w"), col("kmv"), k)
+        .select(col("w").as("v"), col("kmv"))
+        .localCheckpoint(true)
+      acc :+ merged
+    }
+    states.zipWithIndex.map { case (st, t) =>
+      st.select(col("v").as("node"), lit(t).as("t"),
+        size(col("kmv")).cast("long").as("n_hashes"),
+        when(size(col("kmv")) >= k, element_at(col("kmv"), k))
+          .otherwise(lit(null).cast("long")).as("kth_hash"),
+        KmvSketch.estimate(col("kmv"), k).as("ball_est"))
+    }.reduce(_.unionByName(_))
+  }
+
   def katzBounded(
       edgesIn: DataFrame,
       src: Column,

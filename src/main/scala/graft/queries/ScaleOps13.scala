@@ -499,4 +499,53 @@ object ScaleOps13 {
            |$unions
            |ORDER BY doc_id, n""".stripMargin
       }))
+
+  val all4: Seq[Q] = Seq(
+
+    // ---- q384: NEIGHBORHOOD FUNCTION via KMV sketches (HyperANF,
+    // Boldi–Rosa–Vigna 2011, on the deterministic md5-60bit KMV) —
+    // per node, |ball(v, t)| estimates for t ∈ {0,1,2} on the q227
+    // supplier–part graph: the O(rounds·E·k) alternative to all-pairs
+    // BFS. KMV union IS ball union and every hash is
+    // engine-portable, so the oracle replays BOTH rounds of sketch
+    // merging exactly: unsaturated balls are EXACT sizes, saturated
+    // ones hash-match the k-th minimum (integer digest) and the one
+    // pinned estimator division. Fully hash-exact.
+    Q(
+      "q384_neighborhood_function",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.lineitem(s, d).select(
+          ($"l_suppkey" * 2).as("sa"), ($"l_partkey" * 2 + 1).as("pb"))
+        graft.operators.Graph.neighborhoodFunction(
+          e, $"sa", $"pb", rounds = 2, k = 32)
+          .orderBy($"node", $"t")
+      },
+      Some {
+        val h60 = graft.operators.KmvSketch.hash60Sql("v")
+        val est = graft.operators.KmvSketch.estimateSql("hs", 32)
+        s"""WITH e0 AS (SELECT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+           |  FROM lineitem),
+           |canon AS MATERIALIZED (SELECT DISTINCT least(a, b) AS src,
+           |    greatest(a, b) AS dst FROM e0 WHERE a <> b),
+           |sym AS MATERIALIZED (SELECT src, dst FROM canon
+           |  UNION ALL SELECT dst, src FROM canon),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+           |adj AS MATERIALIZED (SELECT src AS w, dst AS u FROM sym
+           |  UNION ALL SELECT v, v FROM nodes),
+           |s0 AS MATERIALIZED (SELECT v, [$h60] AS hs FROM nodes),
+           |s1 AS MATERIALIZED (SELECT a.w AS v,
+           |    list_slice(list_sort(list_distinct(flatten(list(p.hs)))), 1, 32) AS hs
+           |  FROM adj a JOIN s0 p ON a.u = p.v GROUP BY a.w),
+           |s2 AS MATERIALIZED (SELECT a.w AS v,
+           |    list_slice(list_sort(list_distinct(flatten(list(p.hs)))), 1, 32) AS hs
+           |  FROM adj a JOIN s1 p ON a.u = p.v GROUP BY a.w),
+           |un AS (SELECT v, 0 AS t, hs FROM s0
+           |  UNION ALL SELECT v, 1, hs FROM s1
+           |  UNION ALL SELECT v, 2, hs FROM s2)
+           |SELECT v AS node, t, CAST(len(hs) AS BIGINT) AS n_hashes,
+           |  CASE WHEN len(hs) >= 32 THEN hs[32] END AS kth_hash,
+           |  $est AS ball_est
+           |FROM un ORDER BY node, t""".stripMargin
+      }))
 }

@@ -540,6 +540,78 @@ class Round13bOpsSpec extends SparkTestBase {
     }
   }
 
+  // --- neighborhood function (HyperANF on KMV) -----------------------
+
+  /** Brute undirected BFS ball sizes on a tiny edge list. */
+  private def bruteBalls(edges: Seq[(Long, Long)], rounds: Int): Map[(Long, Int), Int] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val nodes = adj.keySet
+    nodes.flatMap { v =>
+      var ball = Set(v)
+      (0 to rounds).map { t =>
+        val r = ((v, t), ball.size)
+        ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Set.empty))
+        r
+      }
+    }.toMap
+  }
+
+  test("neighborhoodFunction: unsaturated balls are EXACT BFS sizes") {
+    // two components: a 6-path and a 4-cycle — all balls < k
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val out = Graph.neighborhoodFunction(
+      edges.toDF("a", "b"), col("a"), col("b"), rounds = 3, k = 32)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r)).toMap
+    val want = bruteBalls(edges, 3)
+    assert(out.size == want.size)
+    want.foreach { case (key, size) =>
+      val r = out(key)
+      assert(r.getLong(2) == size.toLong, s"$key n_hashes")
+      assert(r.getDouble(4) == size.toDouble, s"$key exact estimate")
+      assert(r.isNullAt(3), s"$key unsaturated ⇒ no kth hash")
+    }
+  }
+
+  test("neighborhoodFunction: saturated estimates track the true ball; est is monotone in t") {
+    // a 120-clique: ball(v, 1) = 120 for every node, k = 16 saturates
+    val k = 16
+    val edges = for (i <- 1L to 120L; j <- i + 1 to 120L if j <= i + 7) yield (i, j)
+    // i..i+7 band graph: diameter ~ 17; balls grow steadily
+    val out = Graph.neighborhoodFunction(
+      edges.toDF("a", "b"), col("a"), col("b"), rounds = 3, k = k)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(4)))).toMap
+    val want = bruteBalls(edges, 3)
+    var satChecked = 0
+    want.foreach { case ((v, t), size) =>
+      val (nh, est) = out((v, t))
+      if (nh < k) assert(est == size.toDouble)
+      else {
+        satChecked += 1
+        assert(math.abs(est - size) <= 0.6 * size,
+          s"($v,$t): est $est vs true $size — KMV k=$k should land within 60%")
+      }
+    }
+    assert(satChecked > 100, s"want many saturated sketches, got $satChecked")
+    // monotone: the k-th min can only shrink, so est never decreases
+    for (v <- 1L to 120L; t <- 1 to 3)
+      assert(out((v, t))._2 >= out((v, t - 1))._2, s"est not monotone at ($v,$t)")
+  }
+
+  test("neighborhoodFunction: guards raise on nulls and bad params") {
+    intercept[IllegalArgumentException] {
+      Graph.neighborhoodFunction(
+        Seq((1L, 2L)).toDF("a", "b"), col("a"), col("b"), rounds = 0)
+    }
+    intercept[Exception] {
+      Graph.neighborhoodFunction(
+        Seq((Some(1L), None: Option[Long])).toDF("a", "b"),
+        col("a"), col("b")).collect()
+    }
+  }
+
   test("duplicatedNgramCharFraction: token-less docs null; long format stacks ns") {
     val out = TextAnalysis.duplicatedNgramCharFraction(
       Seq((1L, "!!! ???"), (2L, "a a a")).toDF("doc_id", "text"),

@@ -847,7 +847,10 @@ object Graph {
       .localCheckpoint(true)
     val nodes = sym.select(col("src").as("v")).distinct()
     // self-loop per node: the radius-(t−1) ball of v itself always
-    // merges into the radius-t ball
+    // merges into the radius-t ball. (A u-pinned PartitionedCheckpoint
+    // was measured SLOWER here — the join's broadcast of the small
+    // state side beats co-partitioning, and pinning forced the heavy
+    // side through a fixed non-AQE layout: sf1 45.6 s vs 21.7 s.)
     val adj = sym.select(col("src").as("w"), col("dst").as("u"))
       .union(nodes.select(col("v").as("w"), col("v").as("u")))
       .localCheckpoint(true)
@@ -856,8 +859,10 @@ object Graph {
       .localCheckpoint(true)
     val states = (1 to rounds).foldLeft(Vector(s0)) { (acc, _) =>
       val prev = acc.last.select(col("v").as("u"), col("kmv"))
+      // state-grain merge: E rows per round, one linear distinct-merge
+      // per edge — not E·k exploded element inserts
       val merged = KmvSketch
-        .mergeStates(adj.join(prev, Seq("u")), Seq("w"), col("kmv"), k)
+        .mergeStatesArrays(adj.join(prev, Seq("u")), Seq("w"), col("kmv"), k)
         .select(col("w").as("v"), col("kmv"))
         .localCheckpoint(true)
       acc :+ merged

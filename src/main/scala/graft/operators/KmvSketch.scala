@@ -76,6 +76,25 @@ object KmvSketch {
       .select(groupCols.map(col) :+ col("buf.hs").as("kmv"): _*)
   }
 
+  /** [[mergeStates]] at STATE grain: each input row contributes its
+    * whole sorted sketch through one linear distinct-merge instead of
+    * k exploded rows through k binary-search inserts — the hot path
+    * for sketch-iteration operators ([[graft.operators.Graph
+    * .neighborhoodFunction]] pushes E·k exploded rows per round
+    * through the element-grain form; this keeps it at E rows). The
+    * result is the identical ≤ k smallest distinct values (merge is
+    * [[mergeSorted]], the associativity the spec pins).
+    */
+  def mergeStatesArrays(
+      df: DataFrame, groupCols: Seq[String], kmvCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val agg = udaf(new KmvMinStates(k))
+    df.select(groupCols.map(col) :+ kmvCol.as("hs0"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("hs0")).as("buf"))
+      .select(groupCols.map(col) :+ col("buf.hs").as("kmv"): _*)
+  }
+
   /** Distinct-count estimate from a state: exact size while the
     * sketch is unsaturated (< k values seen — every distinct hash is
     * present), else `(k-1) · 2^60 / h_(k)`.
@@ -178,6 +197,30 @@ private[operators] final class KmvMin(k: Int)
       }
       KmvBuf(out.toSeq)
     }
+
+  override def finish(r: KmvBuf): KmvBuf = r
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+}
+
+/** State-grain twin of [[KmvMin]]: reduce merges a whole
+  * sorted-ascending sketch via the linear distinct-merge. Same
+  * algebra, E-row input instead of E·k.
+  */
+private[operators] final class KmvMinStates(k: Int)
+    extends Aggregator[Seq[Long], KmvBuf, KmvBuf] {
+  require(k >= 1, s"KMV needs k >= 1, got $k")
+
+  override def zero: KmvBuf = KmvBuf(Seq.empty)
+
+  override def reduce(buf: KmvBuf, hs: Seq[Long]): KmvBuf =
+    if (hs == null || hs.isEmpty) buf
+    else KmvBuf(KmvSketch.mergeSorted(buf.hs, hs, k))
+
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+    if (a.hs.isEmpty) b
+    else if (b.hs.isEmpty) a
+    else KmvBuf(KmvSketch.mergeSorted(a.hs, b.hs, k))
 
   override def finish(r: KmvBuf): KmvBuf = r
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]

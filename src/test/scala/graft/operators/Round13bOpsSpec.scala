@@ -473,6 +473,38 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(sw.getString(3) == r.getString(4) && sw.getString(4) == r.getString(3))
   }
 
+  test("merged-CDF family is bucket-count invariant (the monotone-map claim)") {
+    // the two-phase geometry's correctness must not depend on WHERE
+    // bucket boundaries land: any monotone same-value-same-bucket map
+    // reconstructs the same exact cumulative
+    val xs = twoSample(80, 65, 25)
+    val df = xs.toDF("v", "r")
+    def rows(b: Int) = Seq(
+      KsTest.cramerVonMises(df, col("v"), col("r"), buckets = b).collect()(0).toSeq,
+      KsTest.energyDistance1D(df, col("v"), col("r"), buckets = b).collect()(0).toSeq,
+      KsTest.kuiperTwoSample(df, col("v"), col("r"), buckets = b).collect()(0).toSeq)
+    val base = rows(256)
+    for (b <- Seq(1, 2, 7, 1000))
+      assert(rows(b) == base, s"buckets=$b diverged")
+  }
+
+  test("hoeffdingsDDaily: random-corpus brute parity across trials") {
+    for (trial <- 1 to 4) {
+      val m = 6 + trial * 2
+      val vols = Seq.fill(m)(1 + rng.nextInt(5))
+      val vals = Seq.fill(m)((1 + rng.nextInt(8)).toDouble)
+      val out = TimeSeries.hoeffdingsDDaily(
+        dailySeries(vols, vals), col("event_type"), col("ts"), col("value"),
+        86400L).collect()(0)
+      val pairs = vols.indices.map(p => (vols(p).toLong,
+        (0 until vols(p)).map(_ => BigDecimal(vals(p) / vols(p))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum))
+      val (num16, d) = bruteHoeffding(pairs)
+      assert(out.getString(2) == num16.toString, s"trial $trial num16")
+      assert(out.getDouble(3) == d, s"trial $trial d")
+    }
+  }
+
   // --- Gopher repetition filters -------------------------------------
 
   private def topRows(docs: Seq[(Long, String)], ns: Seq[Int]) =
@@ -598,6 +630,21 @@ class Round13bOpsSpec extends SparkTestBase {
     // monotone: the k-th min can only shrink, so est never decreases
     for (v <- 1L to 120L; t <- 1 to 3)
       assert(out((v, t))._2 >= out((v, t - 1))._2, s"est not monotone at ($v,$t)")
+  }
+
+  test("mergeStatesArrays is row-for-row identical to the element-grain mergeStates") {
+    val k = 8
+    val states = (1 to 60).map { i =>
+      val g = (i % 5).toLong
+      val hs = Seq.fill(1 + rng.nextInt(k))(rng.nextLong().abs % 1000).distinct.sorted
+      (g, hs)
+    }
+    val df = states.toDF("g", "kmv")
+    val a = KmvSketch.mergeStates(df, Seq("g"), col("kmv"), k)
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = KmvSketch.mergeStatesArrays(df, Seq("g"), col("kmv"), k)
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq == b.toSeq)
   }
 
   test("neighborhoodFunction: guards raise on nulls and bad params") {

@@ -102,6 +102,76 @@ object Clustering {
     trace.result().toDF("iter", "cid", "dim_idx", "value")
   }
 
+  /** SIMPLIFIED SILHOUETTE (Hruschka, de Castro & Campello 2004) —
+    * the internal clustering-quality index, per point: with a(i) the
+    * euclidean distance to the point's OWN centroid and b(i) the
+    * distance to the nearest OTHER centroid,
+    *
+    *   s(i) = (b − a) / max(a, b) ∈ [−1, 1],
+    *
+    * positive when the point sits clearly inside its cluster,
+    * negative when another centroid is closer than its own — the
+    * audit that says whether a clustering (SemDeDup cells, topic
+    * buckets, IVF lists) actually separates the corpus. The
+    * "simplified" form replaces full-silhouette's O(n²) pairwise
+    * means with centroid distances — the only form that scales.
+    *
+    * Determinism: centroids are the k content-addressed seed vectors
+    * (smallest (md5-60bit(id), id) — [[lloyd]]'s convention) shipped
+    * as plan literals; every distance is the dot-product
+    * decomposition vv − 2·dot + cc with left-to-right folds (the
+    * [[graft.functions.VectorKernels]] ≡ `list_dot_product`
+    * contract), clamped at 0 before the IEEE-exact sqrt, assignment
+    * ties to the smallest centroid id, and s(i) is a pinned
+    * (subtract, max, divide) chain — the whole row set replays
+    * bit-for-bit in SQL. Points equidistant-at-zero (duplicate seed
+    * vectors) emit s = 0 by convention. Output: one row per
+    * well-formed vector — (vec_id, cluster, d_own, d_other,
+    * silhouette).
+    */
+  def simplifiedSilhouette(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      k: Int,
+      dim: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (b(i) needs another centroid), got $k")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val base = df
+      .select(id.cast("long").as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("vec_id").isNotNull && size(col("v")) === dim &&
+        forall(col("v"), x => x.isNotNull && !isnan(x)))
+    // bounded: exactly k rows (the content-addressed seed set)
+    val seeds = base.orderBy(KmvSketch.hash60(col("vec_id")), col("vec_id"))
+      .limit(k).collect().map(r => r.getSeq[Double](1).toArray)
+    require(seeds.length == k,
+      s"simplifiedSilhouette: corpus has only ${seeds.length} usable vectors for k=$k")
+    val rows = array(seeds.map(c => array(c.map(lit(_)): _*)): _*)
+    val ccs = array(seeds.map(c => lit(c.map(x => x * x).sum)): _*)
+    val withD = base
+      .withColumn("vv",
+        aggregate(zip_with(col("v"), col("v"), (a, b) => a * b), lit(0.0),
+          (acc, x) => acc + x))
+      // clamp at 0: cancellation can round a true-zero distance to a
+      // tiny negative, and the oracle's sqrt throws on it
+      .withColumn("d2s", zip_with(
+        graft.functions.GraftFunctions.matVec(col("v"), rows), ccs,
+        (dot, cc) => greatest(col("vv") - lit(2.0) * dot + cc, lit(0.0))))
+      .withColumn("cid", array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+      .withColumn("a2", array_min(col("d2s")))
+      .withColumn("b2", array_min(zip_with(
+        col("d2s"), sequence(lit(1), lit(k)),
+        (d, i) => when(i === col("cid"), lit(Double.PositiveInfinity)).otherwise(d))))
+    val aD = sqrt(col("a2"))
+    val bD = sqrt(col("b2"))
+    withD.select(col("vec_id"), col("cid").as("cluster"),
+      aD.as("d_own"), bD.as("d_other"),
+      when(greatest(aD, bD) > 0.0, (bD - aD) / greatest(aD, bD))
+        .otherwise(lit(0.0)).as("silhouette"))
+  }
+
   /** GRID-DENSITY CLUSTERING — the STING/DBSCAN-lite family: points
     * land in fixed-width 2-D grid cells, cells holding ≥ `minPts`
     * points are DENSE, and clusters are the connected components of

@@ -547,5 +547,52 @@ object ScaleOps13 {
            |  CASE WHEN len(hs) >= 32 THEN hs[32] END AS kth_hash,
            |  $est AS ball_est
            |FROM un ORDER BY node, t""".stripMargin
+      }),
+
+    // ---- q385: SIMPLIFIED SILHOUETTE (Hruschka et al. 2004) — the
+    // internal clustering-quality audit over the embedding corpus
+    // ([[graft.operators.Clustering.simplifiedSilhouette]]): per
+    // point, (b−a)/max(a,b) against the content-addressed k=8
+    // centroid seeds (q169's convention). Every distance is the
+    // replayable dot-product decomposition, sqrt is IEEE-exact, the
+    // score a pinned 3-op chain — hash-exact per row.
+    Q(
+      "q385_silhouette",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Clustering.simplifiedSilhouette(
+          Tables.embeddings(s, d), $"embedding", $"vec_id", k = 8, dim = 64)
+          .orderBy($"vec_id")
+      },
+      Some {
+        val h60 = graft.operators.KmvSketch.hash60Sql("vec_id")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND len(embedding) = 64
+           |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
+           |sd AS MATERIALIZED (SELECT v,
+           |    row_number() OVER (ORDER BY $h60, vec_id) AS cid
+           |  FROM e QUALIFY cid <= 8),
+           |d AS MATERIALIZED (SELECT e.vec_id, sd.cid,
+           |    greatest(list_dot_product(e.v, e.v)
+           |      - 2.0 * list_dot_product(e.v, sd.v)
+           |      + list_dot_product(sd.v, sd.v), 0.0) AS d2
+           |  FROM e CROSS JOIN sd),
+           |assign AS (SELECT vec_id, cid AS cluster, d2 AS a2 FROM (
+           |    SELECT vec_id, cid, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM d) WHERE rn = 1),
+           |bb AS (SELECT d.vec_id, min(d.d2) AS b2
+           |  FROM d JOIN assign ON d.vec_id = assign.vec_id
+           |  WHERE d.cid <> assign.cluster GROUP BY d.vec_id)
+           |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+           |  sqrt(a.a2) AS d_own, sqrt(bb.b2) AS d_other,
+           |  CASE WHEN greatest(sqrt(a.a2), sqrt(bb.b2)) > 0
+           |    THEN (sqrt(bb.b2) - sqrt(a.a2))
+           |      / greatest(sqrt(a.a2), sqrt(bb.b2))
+           |    ELSE 0.0 END AS silhouette
+           |FROM assign a JOIN bb ON a.vec_id = bb.vec_id
+           |ORDER BY a.vec_id""".stripMargin
       }))
 }

@@ -647,6 +647,61 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  // --- simplified silhouette ------------------------------------------
+
+  test("simplifiedSilhouette: brute parity, separated blobs score high, at-centroid s") {
+    val dim = 4
+    // two tight blobs far apart + their exact centers; k = 2 seeds are
+    // content-addressed, so compute the expectation with the same rule
+    val pts = (1L to 20L).map { i =>
+      val blob = if (i % 2 == 0) 0.0 else 100.0
+      (i, Array.tabulate(dim)(d => blob + (i % 3) * 0.25 + d * 0.1))
+    }
+    val df = pts.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val out = Clustering.simplifiedSilhouette(
+      df, col("embedding"), col("vec_id"), k = 2, dim = dim)
+      .orderBy("vec_id").collect()
+    // brute replay with the same md5-60bit seed rule
+    def h60(id: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16)
+    val seeds = pts.sortBy(p => (h60(p._1), p._1)).take(2).map(_._2)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var vv = 0.0; var vc = 0.0; var cc = 0.0
+      for (i <- 0 until dim) { vv += v(i) * v(i); vc += v(i) * c(i); cc += c(i) * c(i) }
+      math.max(vv - 2.0 * vc + cc, 0.0)
+    }
+    out.zip(pts).foreach { case (r, (_, v)) =>
+      val ds = seeds.map(c => d2(v, c))
+      val cid = if (ds(0) <= ds(1)) 0 else 1
+      val (a, b) = (math.sqrt(ds(cid)), math.sqrt(ds(1 - cid)))
+      assert(r.getInt(1) == cid + 1)
+      assert(r.getDouble(2) == a && r.getDouble(3) == b)
+      assert(r.getDouble(4) == (b - a) / math.max(a, b))
+      // blobs are 100 apart with ≤1.05 internal spread: strong separation
+      assert(r.getDouble(4) > 0.9, s"vec ${r.getLong(0)} silhouette ${r.getDouble(4)}")
+    }
+    // a point EXACTLY at a seed: d_own = 0, s = 1
+    val seedId = pts.sortBy(p => (h60(p._1), p._1)).head._1
+    val atSeed = out.find(_.getLong(0) == seedId).get
+    assert(atSeed.getDouble(2) == 0.0 && atSeed.getDouble(4) == 1.0)
+  }
+
+  test("simplifiedSilhouette: guards on k and malformed vectors") {
+    intercept[IllegalArgumentException] {
+      Clustering.simplifiedSilhouette(
+        Seq((1L, Seq(1.0))).toDF("vec_id", "embedding"),
+        col("embedding"), col("vec_id"), k = 1, dim = 1)
+    }
+    val e = intercept[Exception] {
+      Clustering.simplifiedSilhouette(
+        Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"),
+        col("embedding"), col("vec_id"), k = 2, dim = 2).collect()
+    }
+    assert(e.getMessage.contains("only 1 usable vectors"))
+  }
+
   test("neighborhoodFunction: guards raise on nulls and bad params") {
     intercept[IllegalArgumentException] {
       Graph.neighborhoodFunction(

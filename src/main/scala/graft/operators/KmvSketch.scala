@@ -118,16 +118,23 @@ object KmvSketch {
     */
   def mergeSorted(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] = {
     require(k >= 1, s"KMV needs k >= 1, got $k")
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // primitive scratch, exact-sized copy-out: this runs once per EDGE
+    // in the sketch-iteration hot loop (neighborhoodFunction) — a
+    // boxed growable buffer per call was measurable there
+    val na = a.size
+    val nb = b.size
+    val out = new Array[Long](math.min(k, na + nb))
+    var n = 0
     var i = 0
     var j = 0
-    while (out.size < k && (i < a.size || j < b.size)) {
+    while (n < k && (i < na || j < nb)) {
       val v =
-        if (j >= b.size || (i < a.size && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        if (j >= nb || (i < na && a(i) <= b(j))) { val v = a(i); i += 1; v }
         else { val v = b(j); j += 1; v }
-      if (out.isEmpty || out.last != v) out += v
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
     }
-    out.toSeq
+    val exact = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(exact)
   }
 
   /** Jaccard estimate between two states: |S ∩ A ∩ B| / |S| where S

@@ -75,7 +75,13 @@ object Stress {
     // quadratic in string length and its pair output rides the
     // replica duplicate density; Monge–Elkan scores n²/#blocks pairs
     // with |A|·|B| kernel evals each
-    "q365_fuzzy_ed2_join", "q366_monge_elkan")
+    "q365_fuzzy_ed2_join", "q366_monge_elkan",
+    // round-13 session-2 additions: the KMV neighborhood function
+    // pushes E rows of sketch merges per round over the 10× bipartite
+    // graph (the round's heaviest new entry, 21.7 s standalone), and
+    // the dup-n-gram coverage explodes 9 n-gram passes over the 10×
+    // token volume
+    "q384_neighborhood_function", "q383_dup_ngram_fraction")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

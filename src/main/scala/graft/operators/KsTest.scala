@@ -137,9 +137,15 @@ object KsTest {
     require(!bounds.isNullAt(0), "wasserstein1D: empty input")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1.0, hi.toDouble - lo.toDouble)
+    // offset in DOUBLE, not long: `v - lo` in long arithmetic overflows
+    // when the support spans more than Long.MaxValue (lo very negative,
+    // hi very positive) — silent non-monotone bucket ids in non-ANSI
+    // mode, runtime error under ANSI. Bucketing only needs a monotone
+    // same-value-same-bucket map, so the double form is sufficient and
+    // overflow-free (cumulatives stay exact per distinct value).
     val bucketCol = least(lit(buckets - 1).cast("long"),
       greatest(lit(0L),
-        floor((col("v") - lit(lo)).cast("double") * lit(buckets.toDouble) / lit(span))
+        floor((col("v").cast("double") - lit(lo.toDouble)) * lit(buckets.toDouble) / lit(span))
           .cast("long")))
     val binned = perValue.withColumn("b", bucketCol)
     val stats = binned.groupBy("b")
@@ -401,7 +407,8 @@ object KsTest {
     * runs per bucket — never the corpus through one partition.
     */
   private final case class MergedCdf(
-      frame: DataFrame, n1: Long, n2: Long, nSupport: Long)
+      frame: DataFrame, n1: Long, n2: Long, nSupport: Long,
+      vLo: Long, vHi: Long)
 
   private def mergedCdf(
       df: DataFrame,
@@ -424,9 +431,15 @@ object KsTest {
     require(!bounds.isNullAt(0), s"$opName: empty input")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1.0, hi.toDouble - lo.toDouble)
+    // offset in DOUBLE, not long: `v - lo` in long arithmetic overflows
+    // when the support spans more than Long.MaxValue (lo very negative,
+    // hi very positive) — silent non-monotone bucket ids in non-ANSI
+    // mode, runtime error under ANSI. Bucketing only needs a monotone
+    // same-value-same-bucket map, so the double form is sufficient and
+    // overflow-free (cumulatives stay exact per distinct value).
     val bucketCol = least(lit(buckets - 1).cast("long"),
       greatest(lit(0L),
-        floor((col("v") - lit(lo)).cast("double") * lit(buckets.toDouble) / lit(span))
+        floor((col("v").cast("double") - lit(lo.toDouble)) * lit(buckets.toDouble) / lit(span))
           .cast("long")))
     val binned = perValue.withColumn("b", bucketCol)
     // bounded: ≤ `buckets` rows by construction (groupBy over the bucket id)
@@ -448,19 +461,24 @@ object KsTest {
       a1 += t1; a2 += t2; prevMax = Some(mx)
       o
     }
-    def ladder(sel: ((Long, Long, Long, Option[Long])) => Column): Column =
-      offs.foldLeft(lit(null).cast("long")) { (acc, o) =>
-        when(col("b") === o._1, sel(o)).otherwise(acc)
-      }
+    // Per-bucket offsets ship as a TINY broadcast dimension joined on b
+    // — not an O(buckets)-deep nested CaseWhen evaluated per row × three
+    // columns (at buckets=256 that was ~768 when-branches in the plan:
+    // correct, but heavy enough codegen to fall back to interpreted
+    // mode). The broadcast adds no shuffle: the window below exchanges
+    // on b either way.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsDf = offs.toSeq.toDF("b", "off1", "off2", "pmax")
     val wCum = Window.partitionBy("b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLag = Window.partitionBy("b").orderBy("v")
-    val frame = binned
-      .withColumn("cc1", sum(col("c1")).over(wCum) + ladder(o => lit(o._2)))
-      .withColumn("cc2", sum(col("c2")).over(wCum) + ladder(o => lit(o._3)))
-      .withColumn("pv", coalesce(lag(col("v"), 1).over(wLag),
-        ladder(o => o._4.map(lit(_)).getOrElse(lit(null).cast("long")))))
-    MergedCdf(frame, n1, n2, stats.map(_._5).sum)
+    val frame = binned.join(broadcast(offsDf), Seq("b"))
+      .withColumn("cc1", sum(col("c1")).over(wCum) + col("off1"))
+      .withColumn("cc2", sum(col("c2")).over(wCum) + col("off2"))
+      .withColumn("pv", coalesce(lag(col("v"), 1).over(wLag), col("pmax")))
+      .drop("off1", "off2", "pmax")
+    MergedCdf(frame, n1, n2, stats.map(_._5).sum, lo, hi)
   }
 
   /** TWO-SAMPLE CRAMÉR–VON MISES criterion (Anderson, Ann. Math.
@@ -485,6 +503,14 @@ object KsTest {
     * fully hash-exact despite being a float statistic. Same two-phase
     * cumulative geometry as [[wasserstein1D]] (never the corpus in one
     * partition). Output: one row (n_ref, n_cur, n_support, t_num, t).
+    *
+    * Exactness ceiling (guarded, like distanceCorrelationDaily's
+    * maxPeriodsPerKey note): t_num ≤ N·(n·m)² must fit decimal(38,0)
+    * — beyond it ANSI mode fails loudly but NON-ANSI silently nulls
+    * the overflowing term and `sum` drops it, corrupting t_num, so
+    * the bound is enforced with a driver-side require. Worst case
+    * (n = m = N/2, maximal ties) admits N up to ~7·10⁷ pooled rows
+    * per comparison — drift tests run per feature/key, far below it.
     */
   def cramerVonMises(
       df: DataFrame,
@@ -493,6 +519,11 @@ object KsTest {
       buckets: Int = 256): DataFrame = {
     val cdf = mergedCdf(df, value, isRef, buckets, "cramerVonMises")
     val (n1, n2) = (cdf.n1, cdf.n2)
+    require(BigInt(n1 + n2) * (BigInt(n1) * BigInt(n2)).pow(2) <
+        BigInt(10).pow(38),
+      s"cramerVonMises: N*(n*m)^2 exceeds decimal(38,0) at n_ref=$n1 " +
+        s"n_cur=$n2 — non-ANSI mode would silently null overflowing terms; " +
+        "shard the comparison (e.g. per key) below ~7e7 pooled rows")
     val d19 = "decimal(19,0)"
     val dGap = (col("cc1").cast(d19) * lit(n2).cast(d19) -
       col("cc2").cast(d19) * lit(n1).cast(d19)).cast(d19)
@@ -528,6 +559,12 @@ object KsTest {
     * is one double division of exact integers followed by an EXACT
     * power-of-two scaling — hash-exact. Output: one row
     * (n_ref, n_cur, n_support, e_num, energy).
+    *
+    * Exactness ceiling (guarded): e_num ≤ (n·m)²·span where span is
+    * the integer value range — must fit decimal(38,0); non-ANSI mode
+    * would silently null overflowing terms, so the bound is a
+    * driver-side require. E.g. values in cents spanning 10⁹ admit
+    * n·m up to ~3·10¹⁴ (n = m ≈ 1.7·10⁷ rows per side).
     */
   def energyDistance1D(
       df: DataFrame,
@@ -536,6 +573,13 @@ object KsTest {
       buckets: Int = 256): DataFrame = {
     val cdf = mergedCdf(df, value, isRef, buckets, "energyDistance1D")
     val (n1, n2) = (cdf.n1, cdf.n2)
+    require((BigInt(n1) * BigInt(n2)).pow(2) *
+        (BigInt(cdf.vHi) - BigInt(cdf.vLo)).max(BigInt(1)) <
+        BigInt(10).pow(38),
+      s"energyDistance1D: (n*m)^2*span exceeds decimal(38,0) at " +
+        s"n_ref=$n1 n_cur=$n2 span=${BigInt(cdf.vHi) - BigInt(cdf.vLo)} — " +
+        "non-ANSI mode would silently null overflowing terms; shard the " +
+        "comparison or coarsen the integer value scale")
     val d19 = "decimal(19,0)"
     val dGap = ((col("cc1") - col("c1")).cast(d19) * lit(n2).cast(d19) -
       (col("cc2") - col("c2")).cast(d19) * lit(n1).cast(d19)).cast(d19)

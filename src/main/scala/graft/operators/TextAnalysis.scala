@@ -1300,11 +1300,19 @@ object TextAnalysis {
             transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
               i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
             .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
-      val dup = occ.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"), collect_list(col("pos")).as("ps"))
+      // duplicated-gram keys carry NO position list: collecting every
+      // occurrence position into one collect_list buffer per (doc, g)
+      // builds an m-length array in a single aggregation row for a
+      // degenerate doc (one token repeated m times) — memory pressure
+      // in an otherwise streaming pipeline. Join the occurrence frame
+      // back to the keys instead (exactly what the q383 DuckDB oracle
+      // does with o$n JOIN d$n); both sides shuffle on (doc_id, g), so
+      // the join adds no new exchange grain.
+      val dupKeys = occ.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
         .filter(col("c") > 1L)
-      val covered = dup
-        .select(col("doc_id"), explode(col("ps")).as("pos"))
+        .select(col("doc_id"), col("g"))
+      val covered = occ.join(dupKeys, Seq("doc_id", "g"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
         .distinct()

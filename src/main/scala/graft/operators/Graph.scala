@@ -846,19 +846,40 @@ object Graph {
     val sym = symmetrized(edgesIn, src, dst, "neighborhoodFunction")
       .localCheckpoint(true)
     val nodes = sym.select(col("src").as("v")).distinct()
-    // self-loop per node: the radius-(t−1) ball of v itself always
-    // merges into the radius-t ball. (A u-pinned PartitionedCheckpoint
-    // was measured SLOWER here — the join's broadcast of the small
-    // state side beats co-partitioning, and pinning forced the heavy
-    // side through a fixed non-AQE layout: sf1 45.6 s vs 21.7 s.)
-    val adj = sym.select(col("src").as("w"), col("dst").as("u"))
-      .union(nodes.select(col("v").as("w"), col("v").as("u")))
-      .localCheckpoint(true)
     val s0 = nodes
       .select(col("v"), array(KmvSketch.hash60(col("v"))).as("kmv"))
       .localCheckpoint(true)
+    // Strategy is SIZE-GATED on the total state footprint V·(16+8k)
+    // bytes (V is a cheap count over the already-materialized s0):
+    //   small — broadcast the state side each round AND pin the
+    //     adjacency by the AGG key w, so the round's join preserves
+    //     the layout and the groupBy(w) merge runs with ZERO
+    //     exchanges (sf1 A/B min-of-3: 8.9 s vs 11.9 s for the
+    //     un-hinted SortMergeJoin shape, which re-exchanged and
+    //     re-sorted the E-row adjacency every round);
+    //   large (billions of nodes — broadcast infeasible) — shuffle-
+    //     hash-hint the state side: same two exchanges as SMJ but no
+    //     E-row sort per round (sf1 A/B: 9.0 s vs 9.8 s), and the
+    //     per-partition hash build is states/numPartitions, which
+    //     scales out with the cluster.
+    // (An earlier u-pinned adjacency under the default SMJ was
+    // measured SLOWER — sf1 45.6 s vs 21.7 s — pinning the JOIN key
+    // buys nothing when the join still sorts; pinning the AGG key
+    // under a broadcast join is what removes the exchanges.)
+    val nodeCount = s0.count()
+    val broadcastStates = nodeCount * (16L + 8L * k) <= (256L << 20)
+    // self-loop per node: the radius-(t−1) ball of v itself always
+    // merges into the radius-t ball
+    val adjBase = sym.select(col("src").as("w"), col("dst").as("u"))
+      .union(nodes.select(col("v").as("w"), col("v").as("u")))
+    val adj =
+      if (broadcastStates) PartitionedCheckpoint.byKeys(adjBase, col("w"))
+      else adjBase.localCheckpoint(true)
     val states = (1 to rounds).foldLeft(Vector(s0)) { (acc, _) =>
-      val prev = acc.last.select(col("v").as("u"), col("kmv"))
+      val prevBase = acc.last.select(col("v").as("u"), col("kmv"))
+      val prev =
+        if (broadcastStates) broadcast(prevBase)
+        else prevBase.hint("shuffle_hash")
       // state-grain merge: E rows per round, one linear distinct-merge
       // per edge — not E·k exploded element inserts
       val merged = KmvSketch

@@ -306,7 +306,19 @@ object Dedup {
       .filter((col("n_dst") - col("pos_dst") + 1) * tDen >= lit(tNum) * col("n_src"))
       // one exchange on the pair key — same volume the old distinct()
       // paid, but the aggregate carries the prune inputs with it
-      // (three small buffers: a count, a max-bit, a first-bit)
+      // (three small buffers: a count, a max-bit, a first-bit).
+      // The exchange runs at 4× the session shuffle parallelism: the
+      // pair grain carries Σ|prefix(h)|·df(h) rows into ~that many
+      // groups (map-side combine is near-useless at ~1.15 rows/group),
+      // so at the session default the per-task final hash map sits in
+      // spill territory (sf1: 70M groups / 32 tasks ≈ 106 MB/task —
+      // A/B min-of-3: 6.8 s at 4× vs 10.3 s at 1×). Over-partitioning
+      // is self-correcting: AQE coalesces the extra partitions away
+      // whenever the candidate volume is small.
+      .repartition(
+        hashed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+          .toInt * 4,
+        col("id_src"), col("id_dst"))
       .groupBy(col("id_src"), col("id_dst"))
       .agg(
         count(lit(1)).as("c"),

@@ -1353,4 +1353,227 @@ object TextAnalysis {
       (col("f1").cast("double") / col("n").cast("double")).as("gt_unseen_mass"),
       (lit(1.0) - col("f1").cast("double") / col("n").cast("double")).as("coverage"))
   }
+
+  /** BLEU (Papineni et al., ACL 2002) — single-reference corpus eval:
+    * per (candidate, reference) pair, the clipped n-gram precisions
+    * p_n = Σ_g min(count_cand(g), count_ref(g)) / (len_c − n + 1) for
+    * n = 1..`maxN`, the brevity penalty BP = min(1, e^(1 − r/c)), and
+    * BLEU = BP · exp((1/maxN)·Σ ln p_n) — 0 whenever any p_n is 0
+    * (unsmoothed, the reference definition). The standard quality gate
+    * for generated-vs-reference text in a training-data pipeline.
+    *
+    * Scale shape: n-gram counts group by (pair, n, gram) — everything
+    * is pair-bounded and partial-aggregable, the clip join runs on the
+    * same (pair, n, gram) grain both sides were just grouped on, and
+    * nothing is corpus-wide. Gram identity is the STRING (no hashing —
+    * a collision would silently merge counts and no oracle could
+    * replay it). Match counts are exact integers; bp/bleu are the only
+    * floats (exp/ln — certificate-gated at 1e-9, the q366 pattern).
+    *
+    * Pair ids must be UNIQUE: a duplicated id would merge two pairs'
+    * gram counts into one corrupt score.
+    *
+    * Output: (pid, c_len, r_len, m1..m`maxN` exact clipped matches,
+    * bp, bleu); pairs with an empty candidate score 0.
+    */
+  def bleuScore(
+      pairs: DataFrame,
+      pairId: Column,
+      cand: Column,
+      ref: Column,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val base = pairs.select(
+      when(pairId.isNull, raise_error(lit(
+        "bleuScore: pair id must be non-null")))
+        .otherwise(pairId).as("pid"),
+      tokens(cand).as("ct"), tokens(ref).as("rt"))
+      .withColumn("c_len", size(col("ct")).cast("long"))
+      .withColumn("r_len", size(col("rt")).cast("long"))
+    def grams(tcol: String): DataFrame = (1 to maxN).map { n =>
+      base.select(col("pid"), lit(n).as("n"),
+        explode(when(size(col(tcol)) >= n,
+          transform(sequence(lit(1), size(col(tcol)) - lit(n - 1)),
+            i => concat_ws(" ", slice(col(tcol), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    }.reduce(_ unionByName _)
+    val cg = grams("ct").groupBy("pid", "n", "g").agg(count(lit(1)).as("cc"))
+    val rg = grams("rt").groupBy("pid", "n", "g").agg(count(lit(1)).as("rc"))
+    val m = cg.join(rg, Seq("pid", "n", "g"))
+      .groupBy("pid", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("mm"))
+    val mWide = m.groupBy("pid").agg(
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n")).head,
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n")).tail: _*)
+    val joined = base.select("pid", "c_len", "r_len")
+      .join(mWide, Seq("pid"), "left")
+    val withT = (1 to maxN).foldLeft(joined) { (df, n) =>
+      df.withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+        .withColumn(s"t$n", greatest(col("c_len") - lit(n - 1), lit(0L)))
+    }
+    val anyZero = (1 to maxN)
+      .map(n => col(s"m$n") === 0L || col(s"t$n") === 0L)
+      .reduce(_ || _)
+    val lnSum = (1 to maxN)
+      .map(n => log(col(s"m$n").cast("double") / col(s"t$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    withT.select(
+      Seq(col("pid"), col("c_len"), col("r_len")) ++
+        (1 to maxN).map(n => col(s"m$n")) ++ Seq(
+        when(col("c_len") === 0L, lit(0.0)).otherwise(bp).as("bp"),
+        when(anyZero, lit(0.0))
+          .otherwise(bp * exp(lnSum * lit(1.0 / maxN))).as("bleu")): _*)
+  }
+
+  /** chrF (Popović, WMT 2015) — the character-n-gram F-score, the MT
+    * eval metric robust to tokenization and morphology where [[
+    * bleuScore]] is word-exact: over whitespace-stripped lowercase
+    * text, per n = 1..`maxN` the clipped char-n-gram matches m_n give
+    * precision P_n = m_n/(len_c − n + 1) and recall R_n =
+    * m_n/(len_r − n + 1); P and R average the per-n values (an n with
+    * an empty gram set contributes 0 — documented convention, the
+    * oracle replays it) and chrF_β = (1+β²)·P·R/(β²·P + R), β = 2
+    * (recall-weighted, the standard). Both sides are truncated to the
+    * first `maxChars` stripped characters so the char-grain explode
+    * stays bounded per pair — documented cap, replayed by the oracle.
+    *
+    * Same (pair, n, gram) count-join-clip grain as [[bleuScore]];
+    * match counts exact, P/R/chrF the only floats (pure arithmetic —
+    * no libm at all, but averaged divisions keep it certificate-gated).
+    *
+    * Output: (pid, c_chars, r_chars, m1..m`maxN`, p_avg, r_avg, chrf).
+    */
+  def chrF(
+      pairs: DataFrame,
+      pairId: Column,
+      cand: Column,
+      ref: Column,
+      maxN: Int = 6,
+      maxChars: Int = 200): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    require(maxChars >= maxN && maxChars <= 4096,
+      s"maxChars must be in [maxN, 4096], got $maxChars")
+    def stripped(c: Column): Column =
+      substring(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", ""),
+        1, maxChars)
+    val base = pairs.select(
+      when(pairId.isNull, raise_error(lit(
+        "chrF: pair id must be non-null")))
+        .otherwise(pairId).as("pid"),
+      stripped(cand).as("cs"), stripped(ref).as("rs"))
+      .withColumn("c_chars", length(col("cs")).cast("long"))
+      .withColumn("r_chars", length(col("rs")).cast("long"))
+    def grams(scol: String): DataFrame = (1 to maxN).map { n =>
+      base.select(col("pid"), lit(n).as("n"),
+        explode(when(length(col(scol)) >= n,
+          transform(sequence(lit(1), length(col(scol)) - lit(n - 1)),
+            i => col(scol).substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    }.reduce(_ unionByName _)
+    val cg = grams("cs").groupBy("pid", "n", "g").agg(count(lit(1)).as("cc"))
+    val rg = grams("rs").groupBy("pid", "n", "g").agg(count(lit(1)).as("rc"))
+    val m = cg.join(rg, Seq("pid", "n", "g"))
+      .groupBy("pid", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("mm"))
+    val mWide = m.groupBy("pid").agg(
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n")).head,
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n")).tail: _*)
+    val joined = base.select("pid", "c_chars", "r_chars")
+      .join(mWide, Seq("pid"), "left")
+    val withM = (1 to maxN).foldLeft(joined) { (df, n) =>
+      df.withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+    }
+    def avgOver(lenCol: String): Column =
+      (1 to maxN).map { n =>
+        val t = greatest(col(lenCol) - lit(n - 1), lit(0L))
+        when(t > 0L, col(s"m$n").cast("double") / t.cast("double"))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _) * lit(1.0 / maxN)
+    val beta2 = 4.0
+    withM
+      .withColumn("p_avg", avgOver("c_chars"))
+      .withColumn("r_avg", avgOver("r_chars"))
+      .select(
+        Seq(col("pid"), col("c_chars"), col("r_chars")) ++
+          (1 to maxN).map(n => col(s"m$n")) ++ Seq(
+          col("p_avg"), col("r_avg"),
+          when(col("p_avg") + col("r_avg") > 0.0,
+            lit(1.0 + beta2) * col("p_avg") * col("r_avg") /
+              (lit(beta2) * col("p_avg") + col("r_avg")))
+            .otherwise(lit(0.0)).as("chrf")): _*)
+  }
+
+  /** ZIPF RANK–FREQUENCY FIT — the corpus-health audit: OLS of
+    * ln(freq) on ln(rank) over the top-`topK` vocabulary (rank by
+    * count desc, token asc). Natural text sits near slope ≈ −1
+    * (Zipf 1949); strong deviation flags synthetic, boilerplate, or
+    * degenerate corpora before they poison a training mix. The fit is
+    * head-only BY DESIGN (the tail bends away from the power law and
+    * its ranks dominate an unweighted fit), and `topK` bounds every
+    * non-distributed step: token counts are a corpus-wide group-by,
+    * the head is a TakeOrdered top-K (per-partition top-K, never a
+    * global sort), and the OLS sums fold over ONE ≤ topK-long sorted
+    * array in pinned rank order — bit-replayable by a list_reduce
+    * oracle, Σ-terms at 1e-9 (ln is the only libm call).
+    *
+    * Output: one row (n_ranks, top_count, slope, intercept, r2).
+    */
+  def zipfFit(df: DataFrame, text: Column, topK: Int = 4096): DataFrame = {
+    require(topK >= 2 && topK <= 65536, s"topK must be in [2, 65536], got $topK")
+    val counts = df.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("tok").asc).limit(topK)
+    // bounded: ≤ topK elements by the limit just above
+    val arr = top.agg(sort_array(collect_list(
+      struct((lit(Long.MaxValue) - col("c")).as("nc"), col("tok").as("tok"),
+        col("c").as("c")))).as("a"))
+    val xy = arr.select(col("a"),
+      transform(sequence(lit(1), size(col("a"))), i => struct(
+        log(i.cast("double")).as("x"),
+        log(element_at(col("a"), i).getField("c").cast("double")).as("y")))
+        .as("xs"))
+    val folded = xy.select(
+      size(col("a")).cast("long").as("n_ranks"),
+      element_at(col("a"), 1).getField("c").as("top_count"),
+      element_at(col("a"), size(col("a"))).getField("c").as("last_count"),
+      aggregate(col("xs"), struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+        lit(0.0).as("sxx"), lit(0.0).as("sxy"), lit(0.0).as("syy")),
+        (acc, p) => struct(
+          (acc.getField("sx") + p.getField("x")).as("sx"),
+          (acc.getField("sy") + p.getField("y")).as("sy"),
+          (acc.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx"),
+          (acc.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+          (acc.getField("syy") + p.getField("y") * p.getField("y")).as("syy")))
+        .as("s"))
+    // Both OLS denominators are guarded LOUDLY on exact-integer
+    // conditions (never on the float residual, which is not exactly 0
+    // under rounding): n < 2 zeroes the x-variance (ranks are distinct,
+    // so n ≥ 2 makes it strictly positive), and an all-equal head
+    // (top_count == last_count) zeroes the y-variance — a corpus whose
+    // whole top-K appears with one frequency has no rank–frequency law
+    // to fit, and non-ANSI mode would otherwise return Infinity/NaN.
+    val guarded = when(col("n_ranks") < 2L, raise_error(lit(
+      "zipfFit: need at least 2 distinct tokens")))
+      .when(col("top_count") === col("last_count"), raise_error(lit(
+        "zipfFit: degenerate spectrum — every head token has the same " +
+          "count; no rank-frequency law to fit")))
+      .otherwise(col("n_ranks"))
+    val covXY = guarded * col("s.sxy") - col("s.sx") * col("s.sy")
+    val varX = guarded * col("s.sxx") - col("s.sx") * col("s.sx")
+    val varY = guarded * col("s.syy") - col("s.sy") * col("s.sy")
+    folded.select(
+      col("n_ranks"),
+      col("top_count"),
+      (covXY / varX).as("slope"),
+      ((col("s.sy") - covXY / varX * col("s.sx")) / col("n_ranks"))
+        .as("intercept"),
+      ((covXY * covXY) / (varX * varY)).as("r2"))
+  }
 }

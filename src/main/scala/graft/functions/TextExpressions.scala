@@ -621,6 +621,69 @@ object BpeKernels {
   }
 }
 
+/** Token-sequence LCS length as a native kernel — the core of
+  * ROUGE-L ([[graft.operators.TextAnalysis.rougeL]]). The classic
+  * two-row O(m·n) DP over UTF8String equality; the caller caps the
+  * sequences (ROUGE truncation) because the product cost is real.
+  * An interpreted HOF formulation would pay a boxed nested fold per
+  * pair — this is one tight int loop in generated code.
+  */
+case class TokenLcs(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_lcs requires two array<string>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_lcs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LcsKernel.lcsLen(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LcsKernel.lcsLen($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsKernel {
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Null elements never match anything (the tokenizer never emits
+    * them; defensive, not load-bearing).
+    */
+  def lcsLen(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0
+    // two-row DP; previous row `prev`, current `cur`
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var j = 0
+      while (j < n) {
+        val bj = if (b.isNullAt(j)) null else b.getUTF8String(j)
+        cur(j + 1) =
+          if (ai != null && bj != null && ai.equals(bj)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(n)
+  }
+}
+
 /** Registry for all graft_* native expressions (idempotent; works on any
   * session including the driver's).
   */
@@ -770,6 +833,9 @@ object GraftFunctions {
     spec("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - byte-level Jaro-Winkler similarity", 2)(
       exprs => JaroWinkler(exprs.head, exprs(1))),
+    spec("graft_lcs",
+      "graft_lcs(a, b) - longest-common-subsequence length of two array<string>", 2)(
+      exprs => TokenLcs(exprs.head, exprs(1))),
     spec("graft_lev_le",
       "graft_lev_le(a, b, k) - levenshtein(a, b) if <= k else -1 (banded, early-exit)", 3)(
       exprs => LevenshteinAtMost(exprs.head, exprs(1),
@@ -870,6 +936,12 @@ object GraftFunctions {
   def minhashFromHashes(spark: SparkSession, hashes: Column, k: Int): Column = {
     register(spark)
     call_function("graft_minhash64", hashes, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def tokenLcs(a: Column, b: Column): Column = tokenLcs(SparkSession.active, a, b)
+  def tokenLcs(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_lcs", a, b)
   }
 
   def sortedOverlap(a: Column, b: Column): Column = sortedOverlap(SparkSession.active, a, b)

@@ -1510,6 +1510,60 @@ object TextAnalysis {
             .otherwise(lit(0.0)).as("chrf")): _*)
   }
 
+  /** ROUGE-L (Lin, 2004) — the longest-common-subsequence F-measure,
+    * the summarization-eval complement to [[bleuScore]]'s contiguous
+    * n-grams: LCS credits in-order but GAPPED overlap, so it rewards
+    * sentence-level structure without requiring adjacency. Per pair,
+    * P = LCS/len_c, R = LCS/len_r, F = 2PR/(P+R) (β = 1, the
+    * convention of the reference rouge-score implementation).
+    *
+    * Both token sequences are truncated to the first `maxTokens`
+    * tokens (documented cap, replayed by the oracle): LCS is O(m·n)
+    * per pair and an uncapped degenerate document would make one row
+    * quadratically expensive. The DP itself is the native
+    * [[graft.functions.TokenLcs]] codegen kernel — one tight int loop
+    * per pair, zero shuffles beyond the caller's pairing; LCS length
+    * is an exact integer, P/R/F three guarded divisions.
+    *
+    * Output: (pid, c_len, r_len, lcs, p, r, f) with c_len/r_len the
+    * CAPPED scored lengths.
+    */
+  def rougeL(
+      pairs: DataFrame,
+      pairId: Column,
+      cand: Column,
+      ref: Column,
+      maxTokens: Int = 128): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 1024,
+      s"maxTokens must be in [1, 1024], got $maxTokens")
+    val base = pairs.select(
+      when(pairId.isNull, raise_error(lit(
+        "rougeL: pair id must be non-null")))
+        .otherwise(pairId).as("pid"),
+      slice(tokens(cand), 1, maxTokens).as("ct"),
+      slice(tokens(ref), 1, maxTokens).as("rt"))
+    val scored = base.select(
+      col("pid"),
+      size(col("ct")).cast("long").as("c_len"),
+      size(col("rt")).cast("long").as("r_len"),
+      graft.functions.GraftFunctions.tokenLcs(col("ct"), col("rt"))
+        .cast("long").as("lcs"))
+    scored.select(
+      col("pid"), col("c_len"), col("r_len"), col("lcs"),
+      when(col("c_len") > 0L,
+        col("lcs").cast("double") / col("c_len").cast("double"))
+        .otherwise(lit(0.0)).as("p"),
+      when(col("r_len") > 0L,
+        col("lcs").cast("double") / col("r_len").cast("double"))
+        .otherwise(lit(0.0)).as("r"),
+      when(col("lcs") > 0L,
+        lit(2.0) * (col("lcs").cast("double") / col("c_len").cast("double")) *
+          (col("lcs").cast("double") / col("r_len").cast("double")) /
+          ((col("lcs").cast("double") / col("c_len").cast("double")) +
+            (col("lcs").cast("double") / col("r_len").cast("double"))))
+        .otherwise(lit(0.0)).as("f"))
+  }
+
   /** ZIPF RANK–FREQUENCY FIT — the corpus-health audit: OLS of
     * ln(freq) on ln(rank) over the top-`topK` vocabulary (rank by
     * count desc, token asc). Natural text sits near slope ≈ −1

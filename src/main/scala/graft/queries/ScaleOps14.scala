@@ -233,5 +233,64 @@ object ScaleOps14 {
            |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
            |WHERE NOT (SELECT ok FROM flag)""".stripMargin
+      }),
+
+    // ---- q389: ROUGE-L over the adjacent-doc pairs ([[graft
+    // .operators.TextAnalysis.rougeL]]): LCS F-measure via the native
+    // graft_lcs DP kernel, sequences capped at 128 tokens (documented,
+    // oracle replays the cap). LCS is an exact integer and P/R/F are
+    // pinned division chains of exact integers — the oracle replays
+    // the identical two-row DP with a recursive CTE + list_reduce row
+    // fold, fully hash-exact.
+    Q(
+      "q389_rouge_l",
+      (s, d) => {
+        import s.implicits._
+        val doc = Tables.documents(s, d)
+        val pairs = doc.as("a").join(doc.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("pid"),
+            col("a.text").as("cand"), col("b.text").as("ref"))
+        graft.operators.TextAnalysis.rougeL(
+          pairs, $"pid", $"cand", $"ref", maxTokens = 128)
+          .orderBy($"pid")
+      },
+      Some {
+        s"""WITH RECURSIVE
+           |dt AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM documents),
+           |pr AS MATERIALIZED (SELECT a.doc_id AS pid,
+           |    a.t[1:128] AS ct, b.t[1:128] AS rt
+           |  FROM dt a JOIN dt b ON b.doc_id = a.doc_id + 1),
+           |dp AS (
+           |  SELECT pid, ct, rt, 0 AS i,
+           |    list_transform(range(0, len(rt) + 1), x -> 0) AS row
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT pid, ct, rt, i + 1,
+           |    list_reduce(
+           |      list_prepend([0],
+           |        list_transform(range(1, len(rt) + 1), j ->
+           |          [CASE WHEN ct[i + 1] = rt[j] THEN 1 ELSE 0 END,
+           |           row[j] + 1, row[j + 1]])),
+           |      (acc, e) -> list_append(acc,
+           |        CASE WHEN e[1] = 1 THEN e[2]
+           |          ELSE greatest(e[3], acc[len(acc)]) END)) AS row
+           |  FROM dp WHERE i < len(ct)),
+           |fin AS (SELECT pid, CAST(len(ct) AS BIGINT) AS c_len,
+           |    CAST(len(rt) AS BIGINT) AS r_len,
+           |    CAST(row[len(rt) + 1] AS BIGINT) AS lcs
+           |  FROM dp WHERE i = len(ct))
+           |SELECT pid, c_len, r_len, lcs,
+           |  CASE WHEN c_len > 0 THEN CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE)
+           |    ELSE 0.0 END AS p,
+           |  CASE WHEN r_len > 0 THEN CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE)
+           |    ELSE 0.0 END AS r,
+           |  CASE WHEN lcs > 0 THEN
+           |    2.0 * (CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE))
+           |      * (CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE))
+           |      / ((CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE))
+           |        + (CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE)))
+           |    ELSE 0.0 END AS f
+           |FROM fin ORDER BY pid""".stripMargin
       }))
 }

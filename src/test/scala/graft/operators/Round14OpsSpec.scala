@@ -134,4 +134,67 @@ class Round14OpsSpec extends SparkTestBase {
     }
     assert(messageChain(e).contains("degenerate spectrum"))
   }
+
+  private def rougeRow(cand: String, ref: String, maxTokens: Int = 128) =
+    TextAnalysis.rougeL(
+      Seq((1L, cand, ref)).toDF("pid", "c", "r"),
+      col("pid"), col("c"), col("r"), maxTokens)
+      .collect()(0) // bounded: one pair in, one row out
+
+  test("rouge-l: identical texts score exactly 1") {
+    val r = rougeRow("the quick brown fox", "the quick brown fox")
+    assert(r.getAs[Long]("lcs") === 4L)
+    assert(r.getAs[Double]("f") === 1.0)
+  }
+
+  test("rouge-l: credits gapped in-order overlap that BLEU 2-grams miss") {
+    val r = rougeRow("a x b y c", "a b c")
+    assert(r.getAs[Long]("lcs") === 3L) // a..b..c in order, gaps allowed
+    assert(r.getAs[Double]("p") === 3.0 / 5.0)
+    assert(r.getAs[Double]("r") === 1.0)
+  }
+
+  test("rouge-l: order matters — reversed tokens share only one") {
+    val r = rougeRow("c b a", "a b c")
+    assert(r.getAs[Long]("lcs") === 1L)
+  }
+
+  test("rouge-l: disjoint and empty score 0 without dividing by zero") {
+    assert(rougeRow("a b", "x y").getAs[Double]("f") === 0.0)
+    assert(rougeRow("", "x y").getAs[Double]("f") === 0.0)
+    assert(rougeRow("", "").getAs[Double]("f") === 0.0)
+  }
+
+  test("rouge-l: maxTokens caps the scored lengths (documented contract)") {
+    val r = rougeRow(("w " * 50).trim, ("w " * 50).trim, maxTokens = 8)
+    assert(r.getAs[Long]("c_len") === 8L && r.getAs[Long]("lcs") === 8L)
+  }
+
+  test("lcs kernel: parity with the brute recursive reference on random inputs") {
+    // memoized brute LCS over indices — the textbook recurrence
+    def brute(a: Seq[String], b: Seq[String]): Int = {
+      val memo = Array.fill(a.length + 1, b.length + 1)(-1)
+      def go(i: Int, j: Int): Int = {
+        if (i == 0 || j == 0) 0
+        else if (memo(i)(j) >= 0) memo(i)(j)
+        else {
+          val v =
+            if (a(i - 1) == b(j - 1)) go(i - 1, j - 1) + 1
+            else math.max(go(i - 1, j), go(i, j - 1))
+          memo(i)(j) = v
+          v
+        }
+      }
+      go(a.length, b.length)
+    }
+    val rnd = new scala.util.Random(14)
+    val alpha = Vector("a", "b", "c", "d")
+    for (_ <- 1 to 60) {
+      val xs = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size)))
+      val ys = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size)))
+      val got = rougeRow(xs.mkString(" "), ys.mkString(" ")).getAs[Long]("lcs")
+      assert(got === brute(xs, ys).toLong,
+        s"lcs mismatch on ${xs.mkString(",")} vs ${ys.mkString(",")}")
+    }
+  }
 }

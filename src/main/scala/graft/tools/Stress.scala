@@ -81,7 +81,13 @@ object Stress {
     // graph (the round's heaviest new entry, 21.7 s standalone), and
     // the dup-n-gram coverage explodes 9 n-gram passes over the 10×
     // token volume
-    "q384_neighborhood_function", "q383_dup_ngram_fraction")
+    "q384_neighborhood_function", "q383_dup_ngram_fraction",
+    // round-14 additions: the eval family's volume rides the pair
+    // count times gram volume (BLEU 4 token-gram passes, chrF 6
+    // char-gram passes over 200-char prefixes, ROUGE-L an O(m·n)
+    // kernel per pair) and the Zipf head fit rides the corpus-wide
+    // token count
+    "q386_bleu", "q387_chrf", "q389_rouge_l", "q388_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

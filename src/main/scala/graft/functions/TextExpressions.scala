@@ -621,6 +621,80 @@ object BpeKernels {
   }
 }
 
+/** Token-sequence Levenshtein distance as a native kernel — the core
+  * of WER ([[graft.operators.TextAnalysis.wordErrorRate]]): the
+  * minimum token substitutions + insertions + deletions turning `left`
+  * into `right`. Same two-row O(m·n) DP shape as [[TokenLcs]] but over
+  * the edit recurrence; the builtin `levenshtein` is CHARACTER-level
+  * (and WER over a re-joined string would mis-count multi-char
+  * tokens), so a token-grain kernel is the only codegen'd route. The
+  * caller caps the sequences (documented truncation) because the
+  * product cost is real.
+  */
+case class TokenEditDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_tok_lev requires two array<string>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_tok_lev"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TokLevKernel.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TokLevKernel.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokLevKernel {
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Null elements equal nothing (the tokenizer never emits them;
+    * defensive, not load-bearing) — a null token always costs a
+    * substitution against any other token.
+    */
+  def dist(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0) return n
+    if (n == 0) return m
+    // two-row DP; prev = distances for i tokens of a, cur for i+1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = j; j += 1 }
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      cur(0) = i + 1
+      j = 0
+      while (j < n) {
+        val bj = if (b.isNullAt(j)) null else b.getUTF8String(j)
+        val sub = prev(j) + (if (ai != null && bj != null && ai.equals(bj)) 0 else 1)
+        val del = prev(j + 1) + 1
+        val ins = cur(j) + 1
+        var best = sub
+        if (del < best) best = del
+        if (ins < best) best = ins
+        cur(j + 1) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+}
+
 /** Token-sequence LCS length as a native kernel — the core of
   * ROUGE-L ([[graft.operators.TextAnalysis.rougeL]]). The classic
   * two-row O(m·n) DP over UTF8String equality; the caller caps the
@@ -836,6 +910,9 @@ object GraftFunctions {
     spec("graft_lcs",
       "graft_lcs(a, b) - longest-common-subsequence length of two array<string>", 2)(
       exprs => TokenLcs(exprs.head, exprs(1))),
+    spec("graft_tok_lev",
+      "graft_tok_lev(a, b) - token-level Levenshtein distance of two array<string>", 2)(
+      exprs => TokenEditDistance(exprs.head, exprs(1))),
     spec("graft_lev_le",
       "graft_lev_le(a, b, k) - levenshtein(a, b) if <= k else -1 (banded, early-exit)", 3)(
       exprs => LevenshteinAtMost(exprs.head, exprs(1),
@@ -942,6 +1019,12 @@ object GraftFunctions {
   def tokenLcs(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_lcs", a, b)
+  }
+
+  def tokenLev(a: Column, b: Column): Column = tokenLev(SparkSession.active, a, b)
+  def tokenLev(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_tok_lev", a, b)
   }
 
   def sortedOverlap(a: Column, b: Column): Column = sortedOverlap(SparkSession.active, a, b)

@@ -293,6 +293,117 @@ object Experiment {
       col("kden").cast("string").as("kappa_den"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal; Krippendorff 1970/2004) — the
+    * chance-corrected agreement that [[fleissKappa]] cannot compute:
+    * UNEQUAL ratings per unit and missing data are first-class. Units
+    * with fewer than 2 ratings are EXCLUDED (Krippendorff's own
+    * semantics — they contribute no pairable values), everything else
+    * participates with its own m_u.
+    *
+    * With n_uc = ratings of unit u in category c, m_u = Σ_c n_uc,
+    * n = Σ_u m_u (pairable values), and n_c = Σ_u n_uc:
+    *
+    *   D_o = (1/n) · Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n(n−1))
+    *   α   = 1 − D_o/D_e
+    *         = 1 − (n−1)·W / (n² − Σ_c n_c²),   W = Σ_u u_w/(m_u−1)
+    *
+    * The ONLY non-integer in the algebra is the per-unit 1/(m_u−1)
+    * weight. m_u is guarded ≤ 16, so scaling W by the FIXED constant
+    * L = lcm(1..15) = 360360 makes WL = Σ_m (L/(m−1))·T_m an exact
+    * integer (T_m = Σ_{u: m_u = m} (m² − Σ_c n_uc²) groups the ≤ 15
+    * distinct m values — a 15-row fold, never the corpus), and α
+    * cross-multiplies to the exact rational
+    *
+    *   α = [L·(n² − Σn_c²) − (n−1)·WL] / [L·(n² − Σn_c²)]
+    *
+    * — every emitted float is ONE pinned division of two exact
+    * decimals, hash-portable; the exact numerator/denominator ride
+    * along as string digests. Bounds (all guarded loudly): units
+    * ≤ 10⁸ and m_u ≤ 16 keep the cross-multiplied products under
+    * decimal(38) — [(n−1)·WL ≤ (16·10⁸)²·L ≈ 10²⁴].
+    *
+    * One row per RATING in; one partial-aggregable (unit, category)
+    * reduction; unit and category marginals are cardinality-sized.
+    * Output: one row (n_units, n_values, n_categories, d_o, d_e,
+    * alpha, alpha_num, alpha_den) — alpha null when D_e = 0 (every
+    * rating in one category; the statistic is undefined).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unit: Column,
+      category: Column): DataFrame = {
+    def guard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"krippendorffAlpha: $what must be non-null")))
+        .otherwise(c.cast("string"))
+    val L = 360360L // lcm(1..15): m_u - 1 always divides it exactly
+    val cells = df.select(guard(unit, "unit id").as("it"),
+      guard(category, "category").as("cat"))
+      .groupBy(col("it"), col("cat")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val items = cells.groupBy(col("it")).agg(
+      sum(col("c")).as("m"),
+      sum(col("c") * col("c")).as("s2"))
+    // Krippendorff semantics: single-rating units carry no pairable
+    // values — dropped, not raised
+    val eligible = items.filter(col("m") >= 2L)
+    val mG = when(col("m") > 16L, raise_error(lit(
+      "krippendorffAlpha: more than 16 ratings on one unit overflows " +
+        "the exact lcm-scaled arithmetic — subsample the raters")))
+      .otherwise(col("m"))
+    // ≤ 15 rows: one per distinct ratings-count m
+    val byM = eligible.select(mG.as("m"),
+      (col("m") * col("m") - col("s2")).as("u"))
+      .groupBy(col("m")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("u").cast("decimal(12,0)")).cast("decimal(14,0)").as("tu"))
+    val top = byM.agg(
+      sum(col("cnt")).as("nItems"),
+      sum(col("m").cast("decimal(10,0)") * col("cnt").cast("decimal(10,0)"))
+        .cast("decimal(10,0)").as("n"),
+      sum((lit(L).cast("decimal(6,0)") / col("m").cast("decimal(6,0)")
+        .minus(lit(1))).cast("decimal(6,0)") * col("tu"))
+        .cast("decimal(20,0)").as("wl"))
+    val catAgg = cells
+      .join(eligible.select(col("it")), Seq("it"), "left_semi")
+      .groupBy(col("cat")).agg(sum(col("c")).as("tc"))
+      .agg(count(lit(1)).as("nCats"),
+        sum(col("tc").cast("decimal(10,0)") * col("tc").cast("decimal(10,0)"))
+          .cast("decimal(20,0)").as("sumTc2"))
+    val joined = top.crossJoin(broadcast(catAgg))
+    val nItems = when(col("nItems").isNull || col("nItems") === 0L,
+      raise_error(lit(
+        "krippendorffAlpha: no unit has 2+ ratings — nothing is pairable")))
+      .when(col("nItems") > 100000000L, raise_error(lit(
+        "krippendorffAlpha: more than 1e8 units would overflow the exact " +
+          "decimal(38) arithmetic — sample the units first")))
+      .otherwise(col("nItems"))
+    val staged = joined.select(
+      nItems.as("n_units"), col("n"), col("wl"), col("nCats"), col("sumTc2"))
+    // n² − Σn_c² (exact; 0 iff a single category was ever used)
+    val spread = (col("n").cast("decimal(20,0)") * col("n").cast("decimal(20,0)")
+      - col("sumTc2")).cast("decimal(21,0)")
+    val den = (spread * lit(L).cast("decimal(6,0)")).cast("decimal(27,0)")
+    val num = (den - ((col("n") - 1).cast("decimal(10,0)") * col("wl"))
+      .cast("decimal(30,0)")).cast("decimal(31,0)")
+    staged.select(
+      col("n_units"),
+      col("n").cast("long").as("n_values"),
+      col("nCats").as("n_categories"),
+      // D_o = WL / (L·n); D_e = spread / (n(n−1)) — one pinned
+      // division of exact decimals each
+      (col("wl").cast("double") /
+        (lit(L).cast("decimal(6,0)") * col("n")).cast("decimal(16,0)")
+          .cast("double")).as("d_o"),
+      (spread.cast("double") /
+        (col("n").cast("decimal(10,0)") * (col("n") - 1).cast("decimal(10,0)"))
+          .cast("decimal(20,0)").cast("double")).as("d_e"),
+      when(den > 0, num.cast("double") / den.cast("double")).as("alpha"),
+      num.cast("string").as("alpha_num"),
+      den.cast("string").as("alpha_den"))
+  }
+
   /** McNEMAR'S TEST — paired binary outcomes (the same subjects
     * before/after an intervention): only the DISCORDANT cells carry
     * information, χ² = (b − c)²/(b + c) with b = 0→1 flips and

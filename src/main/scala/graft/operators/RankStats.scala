@@ -290,6 +290,67 @@ object RankStats {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** CLIFF'S DELTA per key (Cliff 1993) — the ordinal EFFECT SIZE the
+    * [[mannWhitney]] z only tests: δ = (#{x₁ > x₀} − #{x₁ < x₀}) /
+    * (n₁·n₀), the probability a sample-1 value exceeds a sample-0
+    * value minus the reverse. Non-parametric, tie-robust, bounded in
+    * [−1, 1] — the standard companion report to a significant U test
+    * (an A/B gate needs BOTH "is it real" and "is it big").
+    *
+    * No pair is ever materialized: from the exact doubled rank sum,
+    * 2·U₁ = r1x2 − n₁(n₁+1) and gt − lt = 2·U₁ − n₁·n₀ (cross-side
+    * ties cancel), so
+    *
+    *   δ = (r1x2 − n₁(n₁+1) − n₁·n₀) / (n₁·n₀)
+    *
+    * is a ratio of EXACT integers riding [[rankSumStats]]'s bucketed
+    * midrank geometry — one pinned double division per key,
+    * hash-portable, with the exact numerator/denominator as string
+    * digests. The standard magnitude band (Romano et al. 2006:
+    * negligible < 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤ large)
+    * comes from exact integer comparisons (|num|·1000 vs
+    * threshold·1000·den), so the label can never disagree with the
+    * emitted δ by a rounding hair.
+    *
+    * Output per key: (k, n1, n0, delta, delta_num, delta_den,
+    * magnitude) — delta/magnitude null when either sample is empty.
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      sample1: Column,
+      buckets: Int = 1024): DataFrame = {
+    val st0 = rankSumStats(df, key, value, sample1, buckets)
+    // 3e9 rows per key keeps every product (r1x2·1000 ≤ 2n²·1000)
+    // comfortably inside decimal(38,0) — beyond that Spark's decimal
+    // multiply would silently round and the band could lie
+    val st = st0.withColumn("n", when(col("n") > 3000000000L,
+      raise_error(lit("cliffsDelta: more than 3e9 rows in one key " +
+        "overflows the exact band arithmetic — pre-aggregate to cells " +
+        "or subsample"))).otherwise(col("n")))
+    val d38 = "decimal(38,0)"
+    val n1 = col("n1").cast("decimal(19,0)")
+    val n0 = (col("n") - col("n1")).cast("decimal(19,0)")
+    val num = (col("r1x2").cast(d38) - (n1 * (n1 + 1)).cast(d38) -
+      (n1 * n0).cast(d38)).cast(d38)
+    val den = (n1 * n0).cast(d38)
+    val absNum = when(num < 0, -num).otherwise(num)
+    val defined = col("n1") > 0L && col("n") - col("n1") > 0L
+    st.select(
+      col("k"),
+      col("n1"),
+      (col("n") - col("n1")).as("n0"),
+      when(defined, num.cast("double") / den.cast("double")).as("delta"),
+      when(defined, num.cast("string")).as("delta_num"),
+      when(defined, den.cast("string")).as("delta_den"),
+      when(defined,
+        when(absNum * 1000 < den * 147, "negligible")
+          .when(absNum * 1000 < den * 330, "small")
+          .when(absNum * 1000 < den * 474, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
+
   /** KRUSKAL–WALLIS H per key — the K-sample extension of
     * [[mannWhitney]] (Kruskal & Wallis 1952): do the `group`s of
     * `value` within each `key` share one location? Midranks are

@@ -1564,6 +1564,57 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("f"))
   }
 
+  /** WORD ERROR RATE (the ASR/translation eval workhorse) — the
+    * token-level Levenshtein distance between hypothesis and
+    * reference, normalized by reference length: WER = (S+I+D)/N. The
+    * completion of the eval family next to [[bleuScore]] (contiguous
+    * overlap), [[chrF]] (character overlap) and [[rougeL]] (gapped
+    * in-order overlap): WER is the only one that PENALIZES
+    * out-of-order content, because alignment is sequential.
+    *
+    * Both token sequences are truncated to the first `maxTokens`
+    * tokens (documented cap, replayed by the oracle): the DP is
+    * O(m·n) per pair and an uncapped degenerate document would make
+    * one row quadratically expensive. The DP is the native
+    * [[graft.functions.TokenEditDistance]] codegen kernel — one tight
+    * int loop per pair, zero shuffles beyond the caller's pairing.
+    * The distance is an exact integer; WER is one guarded pinned
+    * division (null when the capped reference is empty and the
+    * hypothesis is not — 0/0 scores 0 by convention, d/0 is
+    * undefined). Note WER can exceed 1 (insertions against a short
+    * reference) — that is the statistic, not clamped.
+    *
+    * Output: (pid, h_len, r_len, dist, wer) with h_len/r_len the
+    * CAPPED scored lengths.
+    */
+  def wordErrorRate(
+      pairs: DataFrame,
+      pairId: Column,
+      hyp: Column,
+      ref: Column,
+      maxTokens: Int = 128): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 1024,
+      s"maxTokens must be in [1, 1024], got $maxTokens")
+    val base = pairs.select(
+      when(pairId.isNull, raise_error(lit(
+        "wordErrorRate: pair id must be non-null")))
+        .otherwise(pairId).as("pid"),
+      slice(tokens(hyp), 1, maxTokens).as("ht"),
+      slice(tokens(ref), 1, maxTokens).as("rt"))
+    val scored = base.select(
+      col("pid"),
+      size(col("ht")).cast("long").as("h_len"),
+      size(col("rt")).cast("long").as("r_len"),
+      graft.functions.GraftFunctions.tokenLev(col("ht"), col("rt"))
+        .cast("long").as("dist"))
+    scored.select(
+      col("pid"), col("h_len"), col("r_len"), col("dist"),
+      when(col("r_len") > 0L,
+        col("dist").cast("double") / col("r_len").cast("double"))
+        .when(col("dist") === 0L, lit(0.0))
+        .otherwise(lit(null).cast("double")).as("wer"))
+  }
+
   /** ZIPF RANK–FREQUENCY FIT — the corpus-health audit: OLS of
     * ln(freq) on ln(rank) over the top-`topK` vocabulary (rank by
     * count desc, token asc). Natural text sits near slope ≈ −1

@@ -1700,4 +1700,82 @@ object TimeSeries {
       when(col("n_periods") > 1L && mean > 0.0, varU / mean)
         .otherwise(lit(null).cast("double")).as("fano"))
   }
+
+  /** PAGE–HINKLEY drift detector per key (Page 1954; the sequential
+    * form Gama et al. 2014 popularized for data-stream monitoring) —
+    * the RUNNING-MEAN member of the changepoint family: where the
+    * CUSUM operator tests deviation from the series' OWN overall mean
+    * (retrospective, needs the full series twice), Page–Hinkley
+    * tracks deviation from the mean-so-far, so it is the one you can
+    * run as data arrives:
+    *
+    *   m_t  = Σ_{i≤t} (x_i − μ̂_i − δ),   μ̂_i = (Σ_{j≤i} x_j)/i
+    *   PH_t = m_t − min_{i≤t} m_i        (alarm when PH_t > λ)
+    *
+    * δ is the drift the detector tolerates, λ the alarm threshold
+    * (both caller-set, an exact decimal contract). The value column
+    * aggregates to one exact decimal per (key, period) first, prefix
+    * sums run in decimal (order-free exact), μ̂_i is one pinned
+    * division per row, and m_t accumulates the per-row double terms
+    * SEQUENTIALLY in period order through the cumulative window —
+    * ordered float accumulation is bit-stable across engines (the
+    * Nelson–Aalen/Kruskal discipline), so alarm day, PH peak, and
+    * every intermediate replay hash-exact; the oracle folds the same
+    * terms left-to-right per prefix (O(n²) per key, bounded by the
+    * CALENDAR, not the corpus). min-prefix and the > λ test are exact
+    * on identical doubles.
+    *
+    * Output per key: (k, n_periods, ph_max, alarm_period, alarm_ph) —
+    * alarm_* null when PH never crosses λ.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      key: Column,
+      period: Column,
+      value: Column,
+      delta: Double,
+      lambda: Double): DataFrame = {
+    require(delta >= 0.0 && !delta.isNaN && !delta.isInfinity,
+      s"pageHinkley: delta must be finite and >= 0, got $delta")
+    require(lambda > 0.0 && !lambda.isNaN && !lambda.isInfinity,
+      s"pageHinkley: lambda must be finite and > 0, got $lambda")
+    val pL = period.cast("long")
+    val pG = when(pL.isNull, raise_error(lit(
+      "pageHinkley: period must be a non-null integer"))).otherwise(pL)
+    val vDec = value.cast("decimal(18,6)")
+    val vG = when(vDec.isNull, raise_error(lit(
+      "pageHinkley: value must be non-null and decimal-castable")))
+      .otherwise(vDec)
+    val per = df.select(key.as("k"), pG.as("p"), vG.as("v"))
+      .groupBy(col("k"), col("p")).agg(sum(col("v")).as("x"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    // exact decimal prefix + count, then ONE pinned term per row; the
+    // cumulative double sum over terms is sequential in period order
+    val terms = per
+      .withColumn("s", sum(col("x")).over(wCum))
+      .withColumn("t", count(lit(1)).over(wCum))
+      .withColumn("term",
+        col("x").cast("double") -
+          col("s").cast("double") / col("t").cast("double") -
+          lit(delta))
+    val m = terms.withColumn("m", sum(col("term")).over(wCum))
+    val ph = m
+      .withColumn("mmin", min(col("m")).over(wCum))
+      .withColumn("ph", col("m") - col("mmin"))
+    val flagged = ph
+      .withColumn("n_periods", count(lit(1)).over(wAll))
+      .withColumn("ph_max", max(col("ph")).over(wAll))
+    val firstAlarm = flagged.filter(col("ph") > lambda)
+      .groupBy(col("k")).agg(
+        min(struct(col("p"), col("ph"))).as("fa"))
+      .select(col("k").as("ak"),
+        col("fa.p").as("alarm_period"), col("fa.ph").as("alarm_ph"))
+    flagged.filter(col("t") === col("n_periods"))
+      .select(col("k"), col("n_periods"), col("ph_max"))
+      .join(firstAlarm, col("k") === col("ak"), "left")
+      .select(col("k"), col("n_periods"), col("ph_max"),
+        col("alarm_period"), col("alarm_ph"))
+  }
 }

@@ -12,7 +12,7 @@ object QueryCatalog {
       ScaleOps3.timeSeriesQueries ++ ScaleOps3.evalQueries ++ ScaleOps3.monitorQueries ++
       ScaleOps4.all ++ ScaleOps5.all ++ ScaleOps5.streamQueries2 ++
       ScaleOps5.streamQueries3 ++ ScaleOps6.all ++ ScaleOps7.all ++
-      ScaleOps7.all2 ++ ScaleOps8.all ++ ScaleOps8.all2 ++ ScaleOps8.all3 ++ ScaleOps8.all4 ++ ScaleOps8.all5 ++ ScaleOps8.all6 ++ ScaleOps8.all7 ++ ScaleOps9.all ++ ScaleOps9.all2 ++ ScaleOps9.all3 ++ ScaleOps9.all4 ++ ScaleOps9.all5 ++ ScaleOps9.all6 ++ ScaleOps9.all7 ++ ScaleOps9.all8 ++ ScaleOps10.all ++ ScaleOps10.all2 ++ ScaleOps10.all3 ++ ScaleOps10.all4 ++ ScaleOps10.all5 ++ ScaleOps10.all6 ++ ScaleOps10.all7 ++ ScaleOps11.all ++ ScaleOps12.all ++ ScaleOps13.all ++ ScaleOps13.all2 ++ ScaleOps13.all3 ++ ScaleOps13.all4 ++ ScaleOps14.all
+      ScaleOps7.all2 ++ ScaleOps8.all ++ ScaleOps8.all2 ++ ScaleOps8.all3 ++ ScaleOps8.all4 ++ ScaleOps8.all5 ++ ScaleOps8.all6 ++ ScaleOps8.all7 ++ ScaleOps9.all ++ ScaleOps9.all2 ++ ScaleOps9.all3 ++ ScaleOps9.all4 ++ ScaleOps9.all5 ++ ScaleOps9.all6 ++ ScaleOps9.all7 ++ ScaleOps9.all8 ++ ScaleOps10.all ++ ScaleOps10.all2 ++ ScaleOps10.all3 ++ ScaleOps10.all4 ++ ScaleOps10.all5 ++ ScaleOps10.all6 ++ ScaleOps10.all7 ++ ScaleOps11.all ++ ScaleOps12.all ++ ScaleOps13.all ++ ScaleOps13.all2 ++ ScaleOps13.all3 ++ ScaleOps13.all4 ++ ScaleOps14.all ++ ScaleOps15.all
     // a colliding name would make toMap silently keep the LAST
     // definition while benchNames lists it twice — Verify could then
     // pair one module's result with another's oracle; fail fast instead

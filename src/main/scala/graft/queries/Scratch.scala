@@ -37,10 +37,24 @@ object Scratch {
     * `DirectoryNotEmptyException` and mask the query's real result).
     * Deliberately quiet on failure: scratch cleanup must never fail a
     * gate query that already produced its answer.
+    *
+    * NEVER TRAVERSES SYMLINKS: the streaming queries stage input
+    * tables by symlinking `$sfDir/<table>.parquet` into their scratch
+    * dir (a file-stream source lists a directory, and copying the
+    * table would double the staging cost). `File.isDirectory` FOLLOWS
+    * links, so the pre-fix recursion descended through the link and
+    * deleted the LINK TARGET's contents — the caller's INPUT TABLE.
+    * The sf1 full-catalog sweep caught this destroying the writable
+    * replica's events/documents tables mid-run (~140 cascade
+    * failures); on the driver's read-only testdata the deletes had
+    * silently no-op'ed for 13 rounds, which is why no gate ever saw
+    * it. A symlink is now unlinked (the link itself, never the
+    * target), matching POSIX `rm -r` semantics.
     */
   def deleteRecursively(p: Path): Unit = {
     val f = p.toFile
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.toPath)))
+    if (!Files.isSymbolicLink(p) && f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.toPath)))
     f.delete(): Unit
   }
 }

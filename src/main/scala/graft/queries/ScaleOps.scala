@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -145,28 +145,53 @@ object ScaleOps {
              |FROM kb LEFT JOIN cnt ON cnt.j = kb.j AND cnt.b = kb.b
              |GROUP BY kb.k ORDER BY key""".stripMargin)),
 
-    // ---- Z-order clustering key: Morton-interleave (l_partkey,
-    // l_suppkey) and sort by it — the write-time layout step that keeps
-    // row-group min/max tight on BOTH columns so conjunctive predicates
-    // skip data a 1-d sort cannot (pruning property spec-asserted; this
-    // query gates the key arithmetic bit-for-bit). 16 bits/column
-    // covers the gate SFs; production quantizes first (e.g.
-    // graft_searchsorted bin indices).
+    // ---- Z-order clustering key: RANGE-QUANTIZE (l_partkey,
+    // l_suppkey) into 2^16 equal-width bins of each column's observed
+    // [min, max], Morton-interleave the bin ids, and sort by the key —
+    // the write-time layout step that keeps row-group min/max tight on
+    // BOTH columns so conjunctive predicates skip data a 1-d sort
+    // cannot (pruning property spec-asserted; this query gates the key
+    // arithmetic bit-for-bit). Quantizing FIRST is what makes the key
+    // scale-proof: raw interleave needs every key < 2^16 and the 10×
+    // replica's offset ids (~8·10⁹) overflow even 32 bits/column —
+    // the sf1 sweep caught exactly that raise. bin = (v − min)·2^16
+    // / (max − min + 1) in exact integer arithmetic (one broadcast
+    // 2-scalar stats row; products ≤ ~10¹⁵, far under 2^63), so the
+    // oracle replays every bin and the interleave bit-for-bit.
     Q(
       "q81_zorder_key",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
+        val li = Tables.lineitem(s, d)
+        val stats = li.agg(
+          min($"l_partkey".cast("long")).as("pmin"),
+          max($"l_partkey".cast("long")).as("pmax"),
+          min($"l_suppkey".cast("long")).as("smin"),
+          max($"l_suppkey".cast("long")).as("smax"))
+        // `div` (not `/`): Column `/` is double division and the
+        // product reaches ~5·10¹⁴ at the 10× replica — integral div
+        // keeps every intermediate an exact long
+        def bin(v: String, lo: String, hi: String): Column =
+          expr(s"(cast($v as bigint) - $lo) * 65536 div ($hi - $lo + 1)")
+        li.crossJoin(broadcast(stats))
           .select($"l_orderkey", $"l_linenumber",
             graft.functions.GraftFunctions.zorderKey(
-              s, 16, Seq($"l_partkey", $"l_suppkey")).as("zkey"))
+              s, 16, Seq(
+                bin("l_partkey", "pmin", "pmax"),
+                bin("l_suppkey", "smin", "smax"))).as("zkey"))
           .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  CAST((SELECT sum(((l_partkey >> i) & 1) << (2 * i))
-             |             + sum(((l_suppkey >> i) & 1) << (2 * i + 1))
+      Some("""WITH st AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+             |    min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+             |b AS (SELECT l_orderkey, l_linenumber,
+             |    (CAST(l_partkey AS BIGINT) - pmin) * 65536 // (pmax - pmin + 1) AS pb,
+             |    (CAST(l_suppkey AS BIGINT) - smin) * 65536 // (smax - smin + 1) AS sb
+             |  FROM lineitem CROSS JOIN st)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST((SELECT sum(((pb >> i) & 1) << (2 * i))
+             |             + sum(((sb >> i) & 1) << (2 * i + 1))
              |        FROM range(0, 16) t(i)) AS BIGINT) AS zkey
-             |FROM lineitem
+             |FROM b
              |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin)),
 
     // ---- product-quantization codes (cosine metric, matching the ANN

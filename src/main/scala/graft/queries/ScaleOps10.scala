@@ -816,14 +816,21 @@ object ScaleOps10 {
     // is the integer measurement whose square-sum stays inside 2^53
     // at every replica scale — cents do not, and the operator's guard
     // raises on them by design). Exact per-group moments; the k-row
-    // fold is a pinned window in group order — hash-exact.
+    // fold is a pinned window in group order — hash-exact. Groups are
+    // the DETERMINISTIC mod-16 order sample: the operator's pinned
+    // k-row fold bounds the group axis at 10⁶ by design (its guard
+    // message prescribes subsampling groups), and the raw order axis
+    // crosses that at the 10× replica (1.5M orders) — the sf1 sweep
+    // caught the raise. A key-mod sample is scale-stable, replayable,
+    // and statistically a simple random sample of groups.
     Q(
       "q349_intraclass_corr",
       (s, d) => {
         import s.implicits._
         graft.operators.Experiment.intraclassCorrelation(
           Tables.lineitem(s, d)
-            .filter($"l_orderkey".isNotNull && $"l_quantity".isNotNull)
+            .filter($"l_orderkey".isNotNull && $"l_quantity".isNotNull &&
+              $"l_orderkey" % 16 === 0)
             .select($"l_orderkey", $"l_quantity".cast("long").as("qty")),
           $"l_orderkey", $"qty")
       },
@@ -839,6 +846,7 @@ object ScaleOps10 {
              |      * CAST(l_quantity AS BIGINT)) AS sxx
              |  FROM lineitem
              |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_orderkey % 16 = 0
              |  GROUP BY 1),
              |tot AS (SELECT count(*) AS k, sum(ng) AS nn, sum(sx) AS gx,
              |    sum(sxx) AS gxx, sum(ng * ng) AS sn2 FROM per),

@@ -87,7 +87,11 @@ object Stress {
     // char-gram passes over 200-char prefixes, ROUGE-L an O(m·n)
     // kernel per pair) and the Zipf head fit rides the corpus-wide
     // token count
-    "q386_bleu", "q387_chrf", "q389_rouge_l", "q388_zipf_fit")
+    "q386_bleu", "q387_chrf", "q389_rouge_l", "q388_zipf_fit",
+    // round-14b additions: WER is an O(m·n) DP kernel per adjacent-doc
+    // pair (the same pair volume as ROUGE-L), and Cliff's delta rides
+    // the bucketed midrank machinery over the 10× customer table
+    "q391_wer", "q392_cliffs_delta")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_STRESS_SRC", "/root/testdata/sf0.1")

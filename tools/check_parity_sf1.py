@@ -41,9 +41,15 @@ def main():
     timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import os
     for t in TABLES:
+        # driver testdata tables are single parquet FILES; ScaleUp
+        # replicas are Spark output DIRECTORIES — DuckDB needs a glob
+        # for the latter
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, failed, skipped = [], [], []
     for name, sql in sorted(oracle.items()):

@@ -1267,4 +1267,97 @@ object Similarity {
         (col("n_common").cast("double") / col("n_full").cast("double"))
           .as("recall"))
   }
+
+  /** DIVERGENCE FRONTIER over quantized embeddings (the MAUVE recipe,
+    * Pillutla et al. 2021, with a deterministic quantizer) — the
+    * distribution-level eval for generated corpora that pointwise
+    * metrics (BLEU/ROUGE/WER score ONE pair) cannot express: compare
+    * the P side (e.g. model samples) against the Q side (e.g. human
+    * text) as DISTRIBUTIONS over embedding-space cells, reporting
+    * both KL(P ∥ R_λ) (quality: P puts mass where Q has none) and
+    * KL(Q ∥ R_λ) (coverage: Q regions P never reaches) against the
+    * mixtures R_λ = λP + (1−λ)Q across a λ grid — the frontier's two
+    * arms, which a single symmetric divergence (q367 JS = the λ = ½
+    * point) collapses.
+    *
+    * Determinism contract: the quantizer anchors are the `anchors`
+    * LOWEST-id embeddings (a fixed choice both engines can re-derive;
+    * MAUVE's k-means quantizer would need its own convergence
+    * certificate), assignment is the L2 kernel's exact dot-product
+    * decomposition (`dot(v,v) − 2·dot(v,c) + dot(c,c)`, ties to the
+    * lower anchor — bit-replayable via three `list_dot_product`s, the
+    * q88 discipline), λ = j/`lambdaDen` are exact dyadic rationals,
+    * and each KL is a pinned fold over the ≤ `anchors` cells in cell
+    * order. Cell counts are exact integers (hash-portable); the KL
+    * doubles carry ln and gate at 1e-9.
+    *
+    * Scale shape: one kernel pass assigns cells map-side (anchors
+    * ride as a literal), one partial-aggregable (cell, side) count,
+    * and everything after runs on ≤ anchors rows. Output: one row per
+    * λ — (lam_num, lam_den, n_p, n_q, n_cells, kl_p, kl_q).
+    */
+  def divergenceFrontier(
+      df: DataFrame,
+      vecId: Column,
+      vec: Column,
+      sideIsP: Column,
+      anchors: Int = 16,
+      lambdaDen: Int = 8): DataFrame = {
+    require(anchors >= 2 && anchors <= 256,
+      s"anchors must be in [2, 256], got $anchors")
+    require(lambdaDen >= 2 && lambdaDen <= 64,
+      s"lambdaDen must be in [2, 64], got $lambdaDen")
+    val spark = df.sparkSession
+    val idG = when(vecId.isNull, raise_error(lit(
+      "divergenceFrontier: vec id must be non-null"))).otherwise(vecId.cast("long"))
+    val pG = when(sideIsP.cast("boolean").isNull, raise_error(lit(
+      "divergenceFrontier: side flag must be a non-null boolean")))
+      .otherwise(sideIsP.cast("boolean"))
+    val base = df.select(idG.as("id"), vec.cast("array<double>").as("v"),
+      pG.as("is_p"))
+    // bounded: exactly `anchors` rows by the limit
+    val anchorRows = base.orderBy(col("id")).limit(anchors)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(anchorRows.size >= 2,
+      s"divergenceFrontier: need at least 2 embeddings, got ${anchorRows.size}")
+    val centLit = typedLit(anchorRows)
+    val hist = base
+      .select(col("is_p"),
+        element_at(graft.functions.GraftFunctions.nearestCentroidsL2(
+          spark, col("v"), centLit, 1), 1).as("cell"))
+      .groupBy(col("cell")).agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("is_p"), 0L).otherwise(1L)).as("cq"))
+    val tot = hist.agg(
+      sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("ncells"))
+    // bounded: ≤ anchors cells
+    val cellsArr = hist.agg(
+      sort_array(collect_list(struct(col("cell"), col("cp"), col("cq"))))
+        .as("cs"))
+    val guardedNp = when(col("np") === 0L || col("nq") === 0L,
+      raise_error(lit("divergenceFrontier: one side is empty — the " +
+        "frontier is undefined; check the side predicate")))
+      .otherwise(col("np"))
+    val grid = cellsArr.crossJoin(broadcast(tot))
+      .select(col("cs"), guardedNp.as("np"), col("nq"), col("ncells"),
+        explode(sequence(lit(1), lit(lambdaDen - 1))).as("j"))
+    val lam = col("j").cast("double") / lit(lambdaDen.toDouble)
+    def klFold(own: String, other: String, ownN: Column, otherN: Column,
+        ownLam: Column, otherLam: Column): Column =
+      aggregate(col("cs"), lit(0.0), (acc, c) => {
+        val po = c.getField(own).cast("double") / ownN.cast("double")
+        val qo = c.getField(other).cast("double") / otherN.cast("double")
+        acc + when(c.getField(own) > 0L,
+          po * log(po / (ownLam * po + otherLam * qo))).otherwise(lit(0.0))
+      })
+    grid.select(
+      col("j").cast("long").as("lam_num"),
+      lit(lambdaDen.toLong).as("lam_den"),
+      col("np").as("n_p"), col("nq").as("n_q"),
+      col("ncells").as("n_cells"),
+      klFold("cp", "cq", col("np"), col("nq"), lam, lit(1.0) - lam).as("kl_p"),
+      klFold("cq", "cp", col("nq"), col("np"), lit(1.0) - lam, lam).as("kl_q"))
+      .orderBy(col("lam_num"))
+  }
 }

@@ -1681,4 +1681,109 @@ object TextAnalysis {
         .as("intercept"),
       ((covXY * covXY) / (varX * varY)).as("r2"))
   }
+
+  /** HEAPS' LAW FIT — the vocabulary-GROWTH corpus-health audit
+    * beside [[zipfFit]]'s frequency spectrum: V(N) ≈ k·N^β (Heaps
+    * 1978), natural text sits near β ≈ 0.4–0.6; β near 1 flags
+    * boilerplate-free synthetic noise (every doc brings new tokens),
+    * β near 0 flags template spam (no doc brings anything new). The
+    * fit is OLS of ln V on ln N over `checkpoints` cumulative
+    * prefixes of the corpus in doc-id order.
+    *
+    * Scale shape: checkpoint c covers doc ids ≤ ⌈maxId·c/C⌉ — each
+    * doc maps to its first covering checkpoint with one exact integer
+    * expression, so cumulative token counts N_c are ONE
+    * partial-aggregable pass, and cumulative vocabulary V_c needs no
+    * per-checkpoint distinct: a token is new exactly at its MINIMUM
+    * doc id, so V_c = #{tokens: first_doc ≤ thr_c} is a second
+    * group-by (token → min doc) plus a C-row prefix sum. Nothing
+    * rescans the corpus per checkpoint; the windows run over ≤ C
+    * post-aggregation rows. Checkpoints that received no documents
+    * are dropped (their cumulative point would duplicate the previous
+    * one and double-weight it in the fit); the ln/OLS fold runs in
+    * pinned checkpoint order over the ≤ C survivors — the q388
+    * replay discipline (Σ-terms at 1e-9, ln is the only libm call).
+    *
+    * Output: one row (n_points, n_tokens, n_vocab, beta, ln_k, r2)
+    * with n_tokens/n_vocab the full-corpus totals and k = e^ln_k.
+    */
+  def heapsFit(
+      df: DataFrame,
+      docId: Column,
+      text: Column,
+      checkpoints: Int = 16): DataFrame = {
+    require(checkpoints >= 2 && checkpoints <= 256,
+      s"checkpoints must be in [2, 256], got $checkpoints")
+    val C = checkpoints
+    val idL = docId.cast("long")
+    val idG = when(idL.isNull || idL < 0L, raise_error(lit(
+      "heapsFit: doc id must be a non-null non-negative integer")))
+      .when(idL > 1000000000000000L, raise_error(lit(
+        "heapsFit: doc ids beyond 1e15 overflow the exact checkpoint " +
+          "arithmetic — densify the id space first")))
+      .otherwise(idL)
+    val base = df.select(idG.as("id"), tokens(text).as("toks"))
+      .localCheckpoint(true)
+    val mx = base.agg(greatest(max(col("id")), lit(1L)).as("mid"))
+    // first covering checkpoint: smallest c with id ≤ mid·c/C, i.e.
+    // ⌈id·C/mid⌉ clamped to [1, C] — exact long arithmetic (`div`)
+    def fi(id: String): Column =
+      least(greatest(expr(s"($id * $C + mid - 1) div mid"), lit(1L)), lit(C.toLong))
+    val perDoc = base.crossJoin(broadcast(mx))
+      .select(fi("id").as("c"), size(col("toks")).cast("long").as("tc"))
+      .groupBy(col("c")).agg(count(lit(1)).as("dn"), sum(col("tc")).as("tn"))
+    val firstDoc = base.select(explode(col("toks")).as("tok"), col("id"))
+      .groupBy(col("tok")).agg(min(col("id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(fi("fd").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("vn"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ C rows post-aggregation: the single-partition window is bounded
+    val cum = perDoc.join(firstDoc, Seq("c"), "left")
+      .select(col("c"), col("dn"),
+        sum(col("tn")).over(wCum).as("nc"),
+        sum(coalesce(col("vn"), lit(0L))).over(wCum).as("vc"))
+      .filter(col("dn") > 0L && col("nc") > 0L && col("vc") > 0L)
+    // bounded: ≤ C checkpoint rows by construction
+    val arr = cum.agg(
+      sort_array(collect_list(struct(col("c"), col("nc"), col("vc")))).as("a"))
+    val xy = arr.select(col("a"),
+      transform(col("a"), p => struct(
+        log(p.getField("nc").cast("double")).as("x"),
+        log(p.getField("vc").cast("double")).as("y"))).as("xs"))
+    val folded = xy.select(
+      size(col("a")).cast("long").as("n_points"),
+      element_at(col("a"), size(col("a"))).getField("nc").as("n_tokens"),
+      element_at(col("a"), size(col("a"))).getField("vc").as("n_vocab"),
+      element_at(col("a"), 1).getField("nc").as("first_n"),
+      aggregate(col("xs"), struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+        lit(0.0).as("sxx"), lit(0.0).as("sxy"), lit(0.0).as("syy")),
+        (acc, p) => struct(
+          (acc.getField("sx") + p.getField("x")).as("sx"),
+          (acc.getField("sy") + p.getField("y")).as("sy"),
+          (acc.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx"),
+          (acc.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+          (acc.getField("syy") + p.getField("y") * p.getField("y")).as("syy")))
+        .as("s"))
+    // loud exact-integer guards (the zipfFit discipline): < 2 points
+    // zeroes var(x) only when ln N collapses — distinct checkpoints
+    // have strictly increasing N, so n ≥ 2 suffices; an all-one-doc
+    // corpus (first_n == n_tokens) puts every point at the same N
+    val guarded = when(col("n_points") < 2L, raise_error(lit(
+      "heapsFit: need at least 2 non-empty checkpoints to fit growth")))
+      .when(col("first_n") === col("n_tokens"), raise_error(lit(
+        "heapsFit: all tokens land in the first checkpoint — no growth " +
+          "axis to fit; raise `checkpoints` or densify doc ids")))
+      .otherwise(col("n_points"))
+    val covXY = guarded * col("s.sxy") - col("s.sx") * col("s.sy")
+    val varX = guarded * col("s.sxx") - col("s.sx") * col("s.sx")
+    val varY = guarded * col("s.syy") - col("s.sy") * col("s.sy")
+    folded.select(
+      col("n_points"), col("n_tokens"), col("n_vocab"),
+      (covXY / varX).as("beta"),
+      ((col("s.sy") - covXY / varX * col("s.sx")) / col("n_points"))
+        .as("ln_k"),
+      when(varY > 0.0, (covXY * covXY) / (varX * varY)).as("r2"))
+  }
 }

@@ -614,11 +614,12 @@ object LlmOps {
         val scratch = Scratch.tempDir("q44_docs")
         val dir = scratch.resolve("input")
         java.nio.file.Files.createDirectory(dir)
-        val link = dir.resolve("documents.parquet")
         try {
           val schema = s.read.parquet(s"$d/documents.parquet").schema
-          java.nio.file.Files.createSymbolicLink(
-            link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+          // file- AND directory-shaped tables (see stageTableLinks —
+          // a directory symlink yields zero input files)
+          Scratch.stageTableLinks(dir,
+            java.nio.file.Paths.get(s"$d/documents.parquet").toAbsolutePath)
           val name = "q44_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
           // the memory-sink view drops in a finally: a failed/timed-out
           // stream must not leak its collected rows into the session

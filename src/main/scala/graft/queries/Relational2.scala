@@ -394,16 +394,19 @@ object Relational2 {
     val scratch = Scratch.tempDir("q19_events")
     val dir = scratch.resolve("input")
     java.nio.file.Files.createDirectory(dir)
-    val link = dir.resolve("events.parquet")
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(confKey)
     s.conf.set(confKey, "true")
     try {
       val rawSchema = Tables.eventsRawSchema(s, d)
-      // absolute target: a relative sf-dir would otherwise resolve
-      // against the /tmp link directory and dangle
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(d).toAbsolutePath.resolve("events.parquet"))
+      // absolute target (a relative sf-dir would dangle from the
+      // staging dir); handles file- AND directory-shaped tables (see
+      // stageTableLinks — a directory symlink yields zero input
+      // files). No per-trigger limit is set, so AvailableNow takes
+      // every staged part in batch 0 and the watermark cannot drop
+      // rows across batches.
+      Scratch.stageTableLinks(dir,
+        java.nio.file.Paths.get(d).toAbsolutePath.resolve("events.parquet"))
       val name = "q19_stream_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // the memory-sink view drops in a finally — a failed/timed-out
       // stream must not leak its rows into the session for the

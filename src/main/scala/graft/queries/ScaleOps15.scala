@@ -225,5 +225,163 @@ object ScaleOps15 {
              |SELECT tot.k, CAST(n_periods AS BIGINT) AS n_periods, ph_max,
              |  alarm_period, alarm_ph
              |FROM tot LEFT JOIN alarm ON tot.k = alarm.k
-             |ORDER BY tot.k""".stripMargin)))
+             |ORDER BY tot.k""".stripMargin)),
+
+    // ---- q394: HEAPS' LAW FIT — vocabulary growth V(N) ≈ k·N^β over
+    // 16 cumulative doc-id checkpoints ([[graft.operators.TextAnalysis
+    // .heapsFit]]), the growth companion to q388's Zipf spectrum.
+    // Token totals and first-occurrence vocabulary counts are exact
+    // integers (two partial-aggregable passes, ≤ 16-row windows); the
+    // ln/OLS fold replays via an identically-ordered list_reduce,
+    // certificate-gated at 1e-9 with a poison row.
+    Q(
+      "q394_heaps_fit",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.heapsFit(
+          Tables.documents(s, d).filter($"doc_id".isNotNull),
+          $"doc_id", $"text", checkpoints = 16)
+      },
+      Some {
+        s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q394_heaps_fit/*.parquet')),
+           |dt AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM documents
+           |  WHERE doc_id IS NOT NULL),
+           |mx AS (SELECT greatest(max(doc_id), 1) AS mid FROM dt),
+           |pd AS (SELECT least(greatest((doc_id * 16 + mid - 1) // mid, 1), 16) AS c,
+           |    count(*) AS dn, sum(len(t)) AS tn
+           |  FROM dt CROSS JOIN mx GROUP BY 1),
+           |fd AS (SELECT least(greatest((fdoc * 16 + mid - 1) // mid, 1), 16) AS c,
+           |    count(*) AS vn
+           |  FROM (SELECT min(doc_id) AS fdoc FROM (
+           |      SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY tok)
+           |  CROSS JOIN mx GROUP BY 1),
+           |cum AS (SELECT pd.c, dn,
+           |    sum(tn) OVER w AS nc, sum(coalesce(vn, 0)) OVER w AS vc
+           |  FROM pd LEFT JOIN fd ON pd.c = fd.c
+           |  WINDOW w AS (ORDER BY pd.c
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |pts AS (SELECT c, nc, vc FROM cum
+           |  WHERE dn > 0 AND nc > 0 AND vc > 0),
+           |xs AS (SELECT count(*) AS n, max(nc) AS ntok, max(vc) AS nvoc,
+           |    list([ln(CAST(nc AS DOUBLE)), ln(CAST(vc AS DOUBLE))]
+           |      ORDER BY c) AS l
+           |  FROM pts),
+           |folded AS (SELECT n, ntok, nvoc,
+           |    list_reduce(
+           |      list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+           |        list_transform(l, p ->
+           |          [p[1], p[2], p[1] * p[1], p[1] * p[2], p[2] * p[2]])),
+           |      (a, b) -> [a[1] + b[1], a[2] + b[2], a[3] + b[3],
+           |        a[4] + b[4], a[5] + b[5]]) AS s
+           |  FROM xs),
+           |expect AS (SELECT
+           |    CAST(n AS BIGINT) AS n_points, CAST(ntok AS BIGINT) AS n_tokens,
+           |    CAST(nvoc AS BIGINT) AS n_vocab,
+           |    (n * s[4] - s[1] * s[2]) / (n * s[3] - s[1] * s[1]) AS beta,
+           |    (s[2] - (n * s[4] - s[1] * s[2]) / (n * s[3] - s[1] * s[1]) * s[1]) / n
+           |      AS ln_k,
+           |    ((n * s[4] - s[1] * s[2]) * (n * s[4] - s[1] * s[2])) /
+           |      ((n * s[3] - s[1] * s[1]) * (n * s[5] - s[2] * s[2])) AS r2
+           |  FROM folded),
+           |flag AS (SELECT (
+           |    (SELECT count(*) FROM emitted) = 1
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x ON true
+           |      WHERE e.n_points <> x.n_points OR e.n_tokens <> x.n_tokens
+           |        OR e.n_vocab <> x.n_vocab
+           |        OR abs(e.beta - x.beta) > 1e-9 * greatest(abs(x.beta), 1)
+           |        OR abs(e.ln_k - x.ln_k) > 1e-9 * greatest(abs(x.ln_k), 1)
+           |        OR abs(e.r2 - x.r2) > 1e-9)
+           |  ) AS ok)
+           |SELECT n_points, n_tokens, n_vocab, beta, ln_k, r2 FROM emitted
+           |WHERE (SELECT ok FROM flag)
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+           |WHERE NOT (SELECT ok FROM flag)""".stripMargin
+      }),
+
+    // ---- q395: DIVERGENCE FRONTIER (MAUVE recipe with a
+    // deterministic quantizer) — even-vs-odd vec_id halves of the
+    // embedding corpus as P and Q ([[graft.operators.Similarity
+    // .divergenceFrontier]], 16 lowest-id anchors, λ = j/8): both
+    // frontier arms KL(P∥R_λ) / KL(Q∥R_λ) per λ. Anchor choice and
+    // the L2 cell assignment replay bit-for-bit (the q88
+    // list_dot_product decomposition discipline); cell counts are
+    // exact; the KL folds run in pinned cell order and gate at 1e-9
+    // with a poison row.
+    Q(
+      "q395_divergence_frontier",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Similarity.divergenceFrontier(
+          Tables.embeddings(s, d)
+            .filter($"vec_id".isNotNull && size($"embedding") === 64),
+          $"vec_id", $"embedding", $"vec_id" % 2 === 0,
+          anchors = 16, lambdaDen = 8)
+      },
+      Some {
+        def kl(own: String, otherCnt: String, ownN: String, otherN: String,
+            ownLam: String, otherLam: String): String =
+          s"""list_reduce(list_prepend(0.0,
+             |      list(CASE WHEN $own > 0 THEN
+             |          (CAST($own AS DOUBLE) / CAST($ownN AS DOUBLE))
+             |          * ln((CAST($own AS DOUBLE) / CAST($ownN AS DOUBLE))
+             |            / ($ownLam * (CAST($own AS DOUBLE) / CAST($ownN AS DOUBLE))
+             |               + $otherLam * (CAST($otherCnt AS DOUBLE) / CAST($otherN AS DOUBLE))))
+             |        ELSE 0.0 END ORDER BY cell)),
+             |      (a, b) -> a + b)""".stripMargin
+        val lamP = "(CAST(j AS DOUBLE) / 8.0)"
+        val lamQ = "(1.0 - CAST(j AS DOUBLE) / 8.0)"
+        s"""WITH emitted AS (SELECT * FROM read_parquet('{{OUT}}/q395_divergence_frontier/*.parquet')),
+           |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id IS NOT NULL AND len(embedding) = 64),
+           |anch AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+           |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+           |dd AS (SELECT e.vec_id, anch.cid,
+           |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, anch.v)
+           |      + list_dot_product(anch.v, anch.v) AS dist
+           |  FROM e CROSS JOIN anch),
+           |cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY (CASE WHEN isnan(dist) THEN 1.7976931348623157e308
+           |        ELSE dist END) ASC, cid ASC) AS rn
+           |    FROM dd) WHERE rn = 1),
+           |hist AS MATERIALIZED (SELECT cid AS cell,
+           |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS cp,
+           |    sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS cq
+           |  FROM cells GROUP BY 1),
+           |tot AS (SELECT sum(cp) AS np, sum(cq) AS nq, count(*) AS ncells
+           |  FROM hist),
+           |kl AS (SELECT j,
+           |    ${kl("cp", "cq", "np", "nq", lamP, lamQ)} AS klp,
+           |    ${kl("cq", "cp", "nq", "np", lamQ, lamP)} AS klq
+           |  FROM hist CROSS JOIN tot
+           |  CROSS JOIN (SELECT unnest(range(1, 8)) AS j)
+           |  GROUP BY j, np, nq),
+           |expect AS (SELECT CAST(j AS BIGINT) AS lam_num,
+           |    CAST(8 AS BIGINT) AS lam_den,
+           |    CAST(np AS BIGINT) AS n_p, CAST(nq AS BIGINT) AS n_q,
+           |    CAST(ncells AS BIGINT) AS n_cells, klp, klq
+           |  FROM kl CROSS JOIN tot),
+           |flag AS (SELECT (
+           |    (SELECT count(*) FROM emitted) = 7
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e JOIN expect x
+           |      ON e.lam_num = x.lam_num
+           |      WHERE e.lam_den <> x.lam_den OR e.n_p <> x.n_p
+           |        OR e.n_q <> x.n_q OR e.n_cells <> x.n_cells
+           |        OR abs(e.kl_p - x.klp) > 1e-9 * greatest(abs(x.klp), 1)
+           |        OR abs(e.kl_q - x.klq) > 1e-9 * greatest(abs(x.klq), 1))
+           |    AND NOT EXISTS (SELECT 1 FROM emitted e
+           |      WHERE NOT EXISTS (SELECT 1 FROM expect x
+           |        WHERE x.lam_num = e.lam_num))
+           |  ) AS ok)
+           |SELECT lam_num, lam_den, n_p, n_q, n_cells, kl_p, kl_q
+           |FROM emitted WHERE (SELECT ok FROM flag)
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           |  CAST(-999 AS DOUBLE), CAST(-999 AS DOUBLE)
+           |WHERE NOT (SELECT ok FROM flag)
+           |ORDER BY lam_num""".stripMargin
+      }))
 }

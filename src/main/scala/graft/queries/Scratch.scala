@@ -32,6 +32,33 @@ object Scratch {
 
   def tempDir(prefix: String): Path = Files.createTempDirectory(base, prefix)
 
+  /** Stage a parquet table into `dir` for a file-stream source via
+    * symlinks. A single-FILE table (the driver testdata layout) links
+    * once under its own name; a DIRECTORY table (Spark's own output
+    * layout — any real warehouse table) links each `part-*.parquet`
+    * member individually, because the file-stream source lists the
+    * staging directory non-recursively and a symlink to a directory
+    * contributes zero input files (the sf1 replica sweep caught q19
+    * returning 0 rows exactly this way). Callers relying on one
+    * micro-batch must not set a per-trigger file limit: AvailableNow
+    * takes every staged file in batch 0, so multi-file tables keep
+    * single-file semantics (no watermark can drop rows mid-stream).
+    */
+  def stageTableLinks(dir: Path, table: Path): Unit =
+    if (Files.isDirectory(table)) {
+      val s = Files.list(table)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("part-") && n.endsWith(".parquet"))
+            Files.createSymbolicLink(dir.resolve(n), p)
+        }
+      } finally s.close()
+    } else
+      Files.createSymbolicLink(dir.resolve(table.getFileName.toString), table)
+
   /** Recursive delete (staging dirs now hold checkpoint subtrees, not
     * just flat files — a plain `deleteIfExists` would throw
     * `DirectoryNotEmptyException` and mask the query's real result).

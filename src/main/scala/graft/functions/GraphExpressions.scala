@@ -11,12 +11,12 @@ import org.apache.spark.sql.types._
 
 /** `graft_wedge_candidates(ns, filter_bytes)` — the triangle
   * pipeline's wedge enumeration ([[graft.operators.Graph
-  * .triangleCounts]]) as ONE kernel: given a pivot's sorted oriented
-  * neighbor list `ns` (array<struct<d, n>>, (degree, id)-ascending)
-  * and the serialized [[BlockedBloom]] over the oriented edge set's
-  * `xxhash64(u, v)` keys, emit every (v, w) = (ns(i).n, ns(j).n),
-  * i < j, whose closing edge MIGHT exist per the bloom —
-  * array<struct<v, w>> of survivors only.
+  * .triangleCounts]]) as ONE kernel: given a pivot's oriented
+  * neighbor list `ns` (array<struct<d, n>>, any order) and the
+  * serialized [[BlockedBloom]] over the oriented edge set's
+  * `xxhash64(u, v)` keys, emit every (deg, id)-ordered pair
+  * (v, w), v-key < w-key, whose closing edge MIGHT exist per the
+  * bloom — array<struct<v, w>> of survivors only.
   *
   * Why a kernel: the same enumeration as a self-join (or as
   * filter-over-transform lambdas) materializes EVERY wedge — 411M
@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   * contract), false positives removed by the exact close-join that
   * always follows.
   *
-  * The neighbor list must be (d, n)-ascending — [[sort_array]]
-  * upstream — so i < j replays the (deg, id) total-order wedge
-  * uniqueness of the join formulation.
+  * The (deg, id) total-order wedge uniqueness is established by an
+  * IN-KERNEL dual-array quicksort of the primitive (d, n) columns —
+  * round-14 optimization: the upstream SQL `sort_array` this replaces
+  * ordered 12M struct elements (sf1) through an interpreted
+  * per-element comparator.
   */
 case class WedgeCandidates(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -81,16 +83,26 @@ case class WedgeCandidates(left: Expression, right: Expression)
 
 object WedgeCandidates {
 
-  /** Static kernel: i < j pairs of `ns`'s `n` fields surviving the
-    * bloom probe on xxhash64(v, w) — Spark's two-column seed chain
-    * (seed 42 → hashLong(v) → seed for hashLong(w)) replayed exactly,
-    * so probe keys equal the build side's `xxhash64(u, v)` values.
+  /** Static kernel: i < j pairs (in (d, n) key order — the list is
+    * key-sorted IN-KERNEL over primitive arrays, so callers no longer
+    * pay a SQL `sort_array` over struct elements, whose per-element
+    * ordering is interpreted) of `ns`'s `n` fields surviving the bloom
+    * probe on xxhash64(v, w) — Spark's two-column seed chain (seed 42
+    * → hashLong(v) → seed for hashLong(w)) replayed exactly, so probe
+    * keys equal the build side's `xxhash64(u, v)` values.
     */
   def expand(ns: ArrayData, filter: BlockedBloom): ArrayData = {
     val m = ns.numElements()
+    val ds = new Array[Long](m)
     val ids = new Array[Long](m)
     var i = 0
-    while (i < m) { ids(i) = ns.getStruct(i, 2).getLong(1); i += 1 }
+    while (i < m) {
+      val r = ns.getStruct(i, 2)
+      ds(i) = r.getLong(0)
+      ids(i) = r.getLong(1)
+      i += 1
+    }
+    sortByKey(ds, ids, 0, m - 1)
     val out = new java.util.ArrayList[InternalRow](16)
     i = 0
     while (i < m - 1) {
@@ -110,6 +122,47 @@ object WedgeCandidates {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Dual-array quicksort by (d, id) ascending — allocation-free,
+    * median-of-three pivot, insertion sort under 16 elements. Keys are
+    * distinct within one neighbor list (ids are), so no 3-way
+    * partition is needed.
+    */
+  private def sortByKey(ds: Array[Long], vs: Array[Long], lo0: Int, hi0: Int): Unit = {
+    @inline def lt(i: Int, dj: Long, vj: Long): Boolean =
+      ds(i) < dj || (ds(i) == dj && vs(i) < vj)
+    @inline def swap(i: Int, j: Int): Unit = {
+      val d = ds(i); ds(i) = ds(j); ds(j) = d
+      val v = vs(i); vs(i) = vs(j); vs(j) = v
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val d = ds(i); val v = vs(i)
+          var j = i - 1
+          while (j >= lo && !lt(j, d, v)) { ds(j + 1) = ds(j); vs(j + 1) = vs(j); j -= 1 }
+          ds(j + 1) = d; vs(j + 1) = v
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (lt(mid, ds(lo), vs(lo))) swap(lo, mid)
+        if (lt(hi, ds(lo), vs(lo))) swap(lo, hi)
+        if (lt(hi, ds(mid), vs(mid))) swap(mid, hi)
+        val pd = ds(mid); val pv = vs(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (lt(i, pd, pv)) i += 1
+          while (pd < ds(j) || (pd == ds(j) && pv < vs(j))) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (hi0 > lo0) sort(lo0, hi0)
   }
 }
 

@@ -61,12 +61,35 @@ object BloomJoin {
         s"$maxFilterBytes cap — raise fpp/cap, or the build side is large enough " +
         "that a plain shuffled join is the right plan")
     import org.apache.spark.util.sketch.BloomFilter
-    val filter = keys.rdd.map(_.getLong(0)).treeAggregate(
-      BloomFilter.create(n, fpp))(
-      (f, k) => { f.putLong(k); f },
-      (a, b) => { a.mergeInPlace(b); a })
+    // Build shape (round-14, guide §1.4 / §2.3): (a) queryExecution
+    // .toRdd, not .rdd — the pass reads one long per row and .rdd
+    // would deserialize every InternalRow into an external Row first;
+    // (b) each task CREATES its filter locally from (n, fpp) instead
+    // of receiving a serialized multi-MB zeroValue with the closure
+    // (treeAggregate ships + deserializes the zero per task); (c) task
+    // count capped at ~2M keys/task (coalesceForBuild) so the number
+    // of full-size partial filters — transient memory, merge and
+    // result-ship traffic — stays proportional to the key volume, not
+    // the session parallelism.
+    val partials = coalesceForBuild(keys.queryExecution.toRdd, n)
+      .mapPartitions { it =>
+        val f = BloomFilter.create(n, fpp)
+        while (it.hasNext) f.putLong(it.next().getLong(0))
+        val out = new java.io.ByteArrayOutputStream()
+        f.writeTo(out)
+        Iterator.single(out.toByteArray)
+      }.collect()
+    if (partials.isEmpty) { // zero-partition input (treeAggregate's zeroValue used to cover this)
+      val out = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(n, fpp).writeTo(out)
+      return out.toByteArray
+    }
+    val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(partials.head))
+    partials.tail.foreach { b =>
+      merged.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    }
     val out = new java.io.ByteArrayOutputStream()
-    filter.writeTo(out)
+    merged.writeTo(out)
     out.toByteArray
   }
 
@@ -95,9 +118,41 @@ object BloomJoin {
         s"$bitsPerKey bits/key, over the $maxFilterBytes cap — lower bitsPerKey/raise " +
         "the cap, or the build side is large enough that a plain shuffled join " +
         "is the right plan")
-    keys.rdd.map(_.getLong(0)).treeAggregate(proto)(
-      (f, k) => { f.put(k); f },
-      (a, b) => a.mergeInPlace(b)).serialized
+    // same build shape as buildKeyFilter (round-14): toRdd (no
+    // external-Row conversion), create-in-task (no multi-MB zeroValue
+    // shipped per task), ~2M keys/task partial count
+    val partials = coalesceForBuild(keys.queryExecution.toRdd, n)
+      .mapPartitions { it =>
+        val f = BlockedBloom.create(n, bitsPerKey)
+        while (it.hasNext) f.put(it.next().getLong(0))
+        Iterator.single(f.serialized)
+      }.collect()
+    if (partials.isEmpty) return proto.serialized // zero-partition input
+    val merged = BlockedBloom.deserialize(partials.head)
+    partials.tail.foreach(b => merged.mergeInPlace(BlockedBloom.deserialize(b)))
+    merged.serialized
+  }
+
+  /** Task-count cap for a filter build pass: every task allocates (and
+    * ships back) a FULL filter instance, so task count multiplies the
+    * transient memory and the merge/serialize traffic — 32 tasks over
+    * 12M sf1 keys meant 32 × 24 MB instances (768 MB of transient
+    * arrays + 31 full-array merges) to do 12M cheap put()s (measured:
+    * the q162 bloom-build stage at sf1 spent 2.45 s, almost all of it
+    * in merge + GC). One task per ~2M keys keeps the put work
+    * parallel where it matters (billions of build keys at cluster
+    * scale) and collapses the instance count where it does not
+    * (guide §2.3: shuffle — here, ship — fewer bytes). coalesce
+    * without shuffle: each build task just reads more of the
+    * already-materialized input.
+    */
+  private def coalesceForBuild(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      n: Long): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val target = math.max(1L, math.min(
+      rdd.getNumPartitions.toLong, (n + (2L << 20) - 1) / (2L << 20))).toInt
+    if (target < rdd.getNumPartitions) rdd.coalesce(target, shuffle = false)
+    else rdd
   }
 
   /** [[bloomPreFilter]] with the split-block filter — identical

@@ -308,9 +308,11 @@ object Graph {
     val bloomBytes = BloomJoin.buildBlockedKeyFilter(
       oriented, xxhash64(col("u"), col("v")))
     val spark = canon.sparkSession
+    // no sort_array: the kernel key-sorts the primitive (d, n) columns
+    // itself (round-14 — the SQL sort ran an interpreted per-element
+    // struct comparator over 12M elements at sf1)
     val nbrs = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(struct(col("dv").as("d"), col("v").as("n"))))
-        .as("ns"))
+      .agg(collect_list(struct(col("dv").as("d"), col("v").as("n"))).as("ns"))
       .filter(size(col("ns")) >= 2)
     val candidates = nbrs.select(col("u").as("pivot"),
       explode(graft.functions.GraphFunctions.wedgeCandidates(

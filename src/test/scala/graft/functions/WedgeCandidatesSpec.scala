@@ -25,7 +25,7 @@ class WedgeCandidatesSpec extends SparkTestBase {
     val filter = BlockedBloom.deserialize(bloom.serialized)
     val ns = new GenericArrayData(ids.map { id =>
       val r = new GenericInternalRow(2)
-      r.setLong(0, id / 100) // a fake degree field — kernel reads field 1
+      r.setLong(0, id / 100) // a fake degree field: (d, n) order != id order
       r.setLong(1, id)
       r
     }.toArray)
@@ -36,21 +36,44 @@ class WedgeCandidatesSpec extends SparkTestBase {
     }
   }
 
-  test("no false negatives: every built closing pair survives; only i<j pairs appear") {
+  /** The kernel's contract since the round-14 in-kernel sort: pairs
+    * come out normalized by the (d, n) key order, regardless of the
+    * input list's order.
+    */
+  private def keyOrderedPairs(ids: Seq[Long]): Seq[(Long, Long)] = {
+    val sorted = ids.sortBy(id => (id / 100, id))
+    for {
+      i <- sorted.indices; j <- sorted.indices if i < j
+    } yield (sorted(i), sorted(j))
+  }
+
+  test("no false negatives: every built closing pair survives; only key-ordered pairs appear") {
     val rnd = new scala.util.Random(4213L)
     for (trial <- 1 to 50) {
       val m = 2 + rnd.nextInt(12)
       val ids = Seq.fill(m)(rnd.nextLong().abs % 1000).distinct
-      val allPairs = for {
-        i <- ids.indices; j <- ids.indices if i < j
-      } yield (ids(i), ids(j))
+      val allPairs = keyOrderedPairs(ids)
       val closing = allPairs.filter(_ => rnd.nextBoolean())
       val got = runKernel(ids, closing.map { case (v, w) => key(v, w) })
       val missing = closing.toSet -- got.toSet
       assert(missing.isEmpty, s"trial $trial lost closing pairs: $missing")
       assert(got.toSet.subsetOf(allPairs.toSet),
-        s"trial $trial emitted non-i<j pairs: ${got.toSet -- allPairs.toSet}")
+        s"trial $trial emitted non-key-ordered pairs: ${got.toSet -- allPairs.toSet}")
       assert(got.distinct == got, s"trial $trial emitted duplicates")
+    }
+  }
+
+  test("input order is irrelevant: shuffled and sorted inputs emit the same pair set") {
+    val rnd = new scala.util.Random(977L)
+    for (trial <- 1 to 30) {
+      val m = 2 + rnd.nextInt(40)
+      val ids = Seq.fill(m)(rnd.nextLong().abs % 10000).distinct
+      val closing = keyOrderedPairs(ids).filter(_ => rnd.nextBoolean())
+      val keys = closing.map { case (v, w) => key(v, w) }
+      val sortedIn = runKernel(ids.sortBy(id => (id / 100, id)), keys)
+      val shuffledIn = runKernel(rnd.shuffle(ids), keys)
+      assert(sortedIn == shuffledIn,
+        s"trial $trial: in-kernel sort diverged from pre-sorted input")
     }
   }
 

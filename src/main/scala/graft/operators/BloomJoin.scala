@@ -78,6 +78,9 @@ object BloomJoin {
         val out = new java.io.ByteArrayOutputStream()
         f.writeTo(out)
         Iterator.single(out.toByteArray)
+        // bounded: ONE partial per build task — coalesceForBuild caps
+        // tasks at ceil(n / 2M), and each partial ≤ maxFilterBytes
+        // (the require above raises before the pass otherwise)
       }.collect()
     if (partials.isEmpty) { // zero-partition input (treeAggregate's zeroValue used to cover this)
       val out = new java.io.ByteArrayOutputStream()
@@ -126,6 +129,9 @@ object BloomJoin {
         val f = BlockedBloom.create(n, bitsPerKey)
         while (it.hasNext) f.put(it.next().getLong(0))
         Iterator.single(f.serialized)
+        // bounded: ONE partial per build task — coalesceForBuild caps
+        // tasks at ceil(n / 2M), and each partial ≤ maxFilterBytes
+        // (the require above raises before the pass otherwise)
       }.collect()
     if (partials.isEmpty) return proto.serialized // zero-partition input
     val merged = BlockedBloom.deserialize(partials.head)

@@ -298,7 +298,8 @@ object Graph {
     // rather than materializing every enumerated pair through a
     // self-join (411M joined rows at sf1) and bloom-filtering after,
     // the [[graft.functions.WedgeCandidates]] kernel runs the i<j
-    // double loop over each pivot's sorted neighbor list with the
+    // double loop over each pivot's neighbor list (key-sorted
+    // in-kernel since round 14) with the
     // split-block bloom probe INSIDE — only the ~5 % of wedges the
     // bloom cannot rule out are ever allocated as rows (sf1: the
     // wedge stage fell 10.3 s → ~4 s). The groupBy(u) rides the

@@ -81,7 +81,84 @@ case class WedgeCandidates(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[WedgeCandidates]] with the serialized filter carried as a SPARK
+  * BROADCAST instead of a plan literal (round 15). The literal form
+  * embeds the multi-MB filter bytes in the expression tree: every
+  * plan copy/serialization and every canonicalization equality check
+  * walks them, the stage's task binary balloons (sf0.1: 4 MiB
+  * "Broadcasting large task binary" warnings; sf1: ~24 MB filter),
+  * and EVERY TASK deserializes its own `BlockedBloom` copy from its
+  * own copy of the bytes. Here the plan carries only a broadcast
+  * handle; the bytes move once per executor via the block manager,
+  * and the deserialized filter is shared per (JVM, broadcast id)
+  * through [[WedgeCandidates.filterFor]] — probe-only after
+  * construction, so cross-task sharing is safe.
+  */
+case class WedgeCandidatesBc(
+    child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_wedge_candidates_bc requires array<struct<bigint,bigint>>, " +
+        s"got ${child.dataType.simpleString}")
+  }
+
+  @transient private lazy val filter: BlockedBloom =
+    WedgeCandidates.filterFor(bcast)
+
+  /** Called from generated code via the reference object. */
+  def expand(ns: ArrayData): ArrayData = WedgeCandidates.expand(ns, filter)
+
+  override def dataType: DataType = WedgeCandidates.pairArrayType
+
+  override def prettyName: String = "graft_wedge_candidates_bc"
+
+  override protected def nullSafeEval(ns: Any): Any =
+    expand(ns.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "wedgeCandidatesBc", this, classOf[WedgeCandidatesBc].getName)
+    defineCodeGen(ctx, ev, ns => s"$ref.expand($ns)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WedgeCandidates {
+
+  private[functions] val pairArrayType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Per-(JVM, broadcast id) cache of the DESERIALIZED filter: tasks
+    * deserialize the expression tree independently, so an instance
+    * `lazy val` alone would still rebuild the multi-MB long array per
+    * task — this map makes the rebuild once per executor JVM. SIZE
+    * BOUNDED: a filter is always rebuildable from the broadcast bytes,
+    * so when more than a handful of distinct filters accumulate (a
+    * long session running many triangle queries, kTruss peel rounds)
+    * the cache simply clears and repopulates on demand — worst case
+    * one extra deserialization per task of a stage that straddled the
+    * clear, never a correctness event.
+    */
+  private val filterCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, BlockedBloom]()
+
+  def filterFor(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]]): BlockedBloom = {
+    if (filterCache.size > 8) filterCache.clear()
+    filterCache.computeIfAbsent(
+      bcast.id, _ => BlockedBloom.deserialize(bcast.value))
+  }
 
   /** Static kernel: i < j pairs (in (d, n) key order — the list is
     * key-sorted IN-KERNEL over primitive arrays, so callers no longer
@@ -127,7 +204,11 @@ object WedgeCandidates {
   /** Dual-array quicksort by (d, id) ascending — allocation-free,
     * median-of-three pivot, insertion sort under 16 elements. Keys are
     * distinct within one neighbor list (ids are), so no 3-way
-    * partition is needed.
+    * partition is needed. Recursion descends ONLY into the smaller
+    * partition and loops on the larger (the standard introsort guard),
+    * so stack depth is O(log m) even on a pivot-killer ordering of a
+    * huge hub neighbor list — the naive both-sides recursion was O(m)
+    * worst-case, a StackOverflowError inside codegen'd eval.
     */
   private def sortByKey(ds: Array[Long], vs: Array[Long], lo0: Int, hi0: Int): Unit = {
     @inline def lt(i: Int, dj: Long, vj: Long): Boolean =
@@ -136,17 +217,9 @@ object WedgeCandidates {
       val d = ds(i); ds(i) = ds(j); ds(j) = d
       val v = vs(i); vs(i) = vs(j); vs(j) = v
     }
-    def sort(lo: Int, hi: Int): Unit = {
-      if (hi - lo < 16) {
-        var i = lo + 1
-        while (i <= hi) {
-          val d = ds(i); val v = vs(i)
-          var j = i - 1
-          while (j >= lo && !lt(j, d, v)) { ds(j + 1) = ds(j); vs(j + 1) = vs(j); j -= 1 }
-          ds(j + 1) = d; vs(j + 1) = v
-          i += 1
-        }
-      } else {
+    def sort(loIn: Int, hiIn: Int): Unit = {
+      var lo = loIn; var hi = hiIn
+      while (hi - lo >= 16) {
         val mid = lo + (hi - lo) / 2
         if (lt(mid, ds(lo), vs(lo))) swap(lo, mid)
         if (lt(hi, ds(lo), vs(lo))) swap(lo, hi)
@@ -158,8 +231,23 @@ object WedgeCandidates {
           while (pd < ds(j) || (pd == ds(j) && pv < vs(j))) j -= 1
           if (i <= j) { swap(i, j); i += 1; j -= 1 }
         }
-        if (lo < j) sort(lo, j)
-        if (i < hi) sort(i, hi)
+        // recurse into the SMALLER side, iterate on the larger
+        if (j - lo < hi - i) {
+          if (lo < j) sort(lo, j)
+          lo = i
+        } else {
+          if (i < hi) sort(i, hi)
+          hi = j
+        }
+      }
+      // insertion sort for the final small range
+      var i = lo + 1
+      while (i <= hi) {
+        val d = ds(i); val v = vs(i)
+        var j = i - 1
+        while (j >= lo && !lt(j, d, v)) { ds(j + 1) = ds(j); vs(j + 1) = vs(j); j -= 1 }
+        ds(j + 1) = d; vs(j + 1) = v
+        i += 1
       }
     }
     if (hi0 > lo0) sort(lo0, hi0)
@@ -180,4 +268,14 @@ object GraphFunctions {
     call_function("graft_wedge_candidates", ns,
       org.apache.spark.sql.functions.lit(filterBytes))
   }
+
+  /** [[wedgeCandidates]] with the filter shipped as a Spark broadcast
+    * instead of a plan literal — see [[WedgeCandidatesBc]] for why.
+    * The caller owns the broadcast's lifecycle.
+    */
+  def wedgeCandidatesBc(
+      ns: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
+    org.apache.spark.sql.GraftInternal.column(
+      WedgeCandidatesBc(org.apache.spark.sql.GraftInternal.expr(ns), bcast))
 }

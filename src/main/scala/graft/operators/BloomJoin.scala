@@ -35,8 +35,9 @@ object BloomJoin {
     * long, nulls dropped). Two passes over `df`: an exact count to size
     * the filter, then a per-partition build merged up a tree.
     *
-    * Built DIRECTLY with `BloomFilter.create` + `treeAggregate`, NOT
-    * `DataFrame.stat.bloomFilter`: Spark 4 routes the latter through
+    * Built DIRECTLY with `BloomFilter.create` over per-task partials
+    * merged on the driver, NOT `DataFrame.stat.bloomFilter`: Spark 4
+    * routes the latter through
     * the runtime-filter aggregate, whose
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` conf
     * silently CLAMPS the filter to 2²⁶ bits (8 MB) — at 12M keys that
@@ -79,8 +80,8 @@ object BloomJoin {
         f.writeTo(out)
         Iterator.single(out.toByteArray)
         // bounded: ONE partial per build task — coalesceForBuild caps
-        // tasks at ceil(n / 2M), and each partial ≤ maxFilterBytes
-        // (the require above raises before the pass otherwise)
+        // tasks at max(cpus/2, ceil(n / 2M)), and each partial ≤
+        // maxFilterBytes (the require above raises before the pass)
       }.collect()
     if (partials.isEmpty) { // zero-partition input (treeAggregate's zeroValue used to cover this)
       val out = new java.io.ByteArrayOutputStream()
@@ -110,11 +111,29 @@ object BloomJoin {
       df: DataFrame,
       key: Column,
       bitsPerKey: Int = 16,
+      maxFilterBytes: Long = 64L << 20): Array[Byte] =
+    buildBlockedKeyFilterSized(df, key, -1L, bitsPerKey, maxFilterBytes)
+
+  /** [[buildBlockedKeyFilter]] with a caller-KNOWN key count, skipping
+    * the sizing count pass (one fewer action + full scan of the build
+    * side). `knownN` must be an UPPER BOUND on the non-null key count
+    * — the bloom contract (no false negatives) holds for ANY sizing;
+    * an overestimate only lowers the false-positive rate (more blocks
+    * than needed), an underestimate raises it. Callers that just
+    * materialized the build side (e.g. via
+    * [[PartitionedCheckpoint.byKeysNCounted]]) pass the exact count.
+    * `knownN <= 0` falls back to counting.
+    */
+  def buildBlockedKeyFilterSized(
+      df: DataFrame,
+      key: Column,
+      knownN: Long,
+      bitsPerKey: Int = 16,
       maxFilterBytes: Long = 64L << 20): Array[Byte] = {
     import graft.functions.BlockedBloom
     val keys = df.select(key.cast("long").as("__graft_bloom_key"))
       .where(col("__graft_bloom_key").isNotNull)
-    val n = math.max(keys.count(), 1L)
+    val n = math.max(if (knownN > 0) knownN else keys.count(), 1L)
     val proto = BlockedBloom.create(n, bitsPerKey)
     require(proto.numBlocks.toLong * 32L + 4L <= maxFilterBytes,
       s"blocked bloom needs ${proto.numBlocks * 32L} bytes for $n keys at " +
@@ -130,8 +149,8 @@ object BloomJoin {
         while (it.hasNext) f.put(it.next().getLong(0))
         Iterator.single(f.serialized)
         // bounded: ONE partial per build task — coalesceForBuild caps
-        // tasks at ceil(n / 2M), and each partial ≤ maxFilterBytes
-        // (the require above raises before the pass otherwise)
+        // tasks at max(cpus/2, ceil(n / 2M)), and each partial ≤
+        // maxFilterBytes (the require above raises before the pass)
       }.collect()
     if (partials.isEmpty) return proto.serialized // zero-partition input
     val merged = BlockedBloom.deserialize(partials.head)
@@ -148,15 +167,26 @@ object BloomJoin {
     * in merge + GC). One task per ~2M keys keeps the put work
     * parallel where it matters (billions of build keys at cluster
     * scale) and collapses the instance count where it does not
-    * (guide §2.3: shuffle — here, ship — fewer bytes). coalesce
-    * without shuffle: each build task just reads more of the
-    * already-materialized input.
+    * (guide §2.3: shuffle — here, ship — fewer bytes).
+    *
+    * The target is FLOORED at half the session's parallelism: a
+    * no-shuffle `coalesce` propagates its narrow partition count up
+    * the WHOLE upstream stage, so when the build side is an unmaterialized
+    * scan + filter (q76's bloomSemiJoin over a filtered orders scan,
+    * ~90k keys) an unfloored target of 1 would serialize the entire
+    * scan into one task. With the floor, cheap-key/expensive-scan
+    * build sides keep scan parallelism while a multi-million-key build
+    * over an already-checkpointed input (q162's oriented edges) still
+    * collapses from 32 to ~cpus/2 full-size filter instances.
     */
   private def coalesceForBuild(
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       n: Long): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val byKeys = (n + (2L << 20) - 1) / (2L << 20)
+    val parallelismFloor =
+      math.max(1L, rdd.sparkContext.defaultParallelism.toLong / 2)
     val target = math.max(1L, math.min(
-      rdd.getNumPartitions.toLong, (n + (2L << 20) - 1) / (2L << 20))).toInt
+      rdd.getNumPartitions.toLong, math.max(parallelismFloor, byKeys))).toInt
     if (target < rdd.getNumPartitions) rdd.coalesce(target, shuffle = false)
     else rdd
   }

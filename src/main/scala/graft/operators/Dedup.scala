@@ -147,20 +147,34 @@ object Dedup {
     // is a row_number window (one Tungsten sort exchange on doc_id),
     // not a collect_list + array_sort + posexplode round-trip: no
     // per-doc struct arrays ever materialize, and the sort runs on
-    // UnsafeRows inside the window operator. df = 1 prefix shingles
-    // are dropped AFTER pos is assigned: a singleton posting can never
-    // share a block with anything, and rarest-first ordering puts
-    // exactly those at the FRONT of every prefix — for mostly-unique
-    // shingle vocabularies (natural text) this removes the bulk of the
-    // prefix postings before they reach the block-building shuffle.
-    // pos keeps counting the dropped ranks, so the positional bound is
-    // unchanged.
+    // UnsafeRows inside the window operator.
+    //
+    // df = 1 postings are dropped BEFORE the window exchange (round
+    // 15, guide §2.3 shuffle fewer bytes): a singleton posting can
+    // never share a block with anything, and for mostly-unique shingle
+    // vocabularies (natural text) singletons are the BULK of the
+    // postings — the previous shape shuffled and window-sorted all of
+    // them by doc_id just to discard them after ranking. The rank over
+    // ALL of the doc's shingles (which the positional bound needs) is
+    // reconstructed exactly: the order is (df, h) ascending and df = 1
+    // is the minimum possible df, so every dropped singleton ranks
+    // STRICTLY BEFORE every kept (df ≥ 2) posting —
+    //   pos = n_singletons + rank_among_kept − 1
+    //       = (n_sh − cnt2) + row_number − 1,
+    // with cnt2 = the doc's kept-posting count (an unordered window
+    // count over the same doc_id partitioning — no extra exchange).
+    // The inner join against the df ≥ 2 slice of the frequency table
+    // is what performs the drop, map-side under the broadcast.
     val prefixes = postings
-      .join(dfs, "h")
+      .join(dfs.filter(col("df") >= 2), "h")
+      .withColumn("cnt2",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("pos",
-        row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
-      .filter(col("pos") < prefixLen && col("df") >= 2)
+        (col("n_sh") - col("cnt2") +
+          row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+          .cast("int")) // cnt2 is a long count; the ppjoin kernel takes int pos
+      .filter(col("pos") < prefixLen)
       .select(col("doc_id"), col("n_sh"), col("pos"), col("h"))
     // candidate pairs from prefix-shingle blocks (in-block expansion,
     // no self-join); cap is a safety valve only — prefixes are rare
@@ -277,12 +291,22 @@ object Dedup {
     graft.functions.GraftFunctions.register(hashed.sparkSession)
     val postings = hashed.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
     val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    // df = 1 postings drop BEFORE the window exchange (round 15, same
+    // derivation as [[ngramJaccardPairsFromHashed]]): singletons are
+    // the bulk of natural-text postings, rank strictly FIRST under the
+    // (df, h) ascending order (df = 1 is the minimum), and can never
+    // share a block — so the full-corpus rank is reconstructed as
+    // pos = (n_sh − cnt2) + rank_among_kept − 1 without ever shuffling
+    // the singletons into the window sort.
     val ranked = postings
-      .join(dfs, "h")
+      .join(dfs.filter(col("df") >= 2), "h")
+      .withColumn("cnt2",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("pos",
-        row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
-      .filter(col("df") >= 2)
+        (col("n_sh") - col("cnt2") +
+          row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))) - 1)
+          .cast("int"))
     // every threshold compare is the cross-multiplied integer form:
     // x ≥ ⌈tNum·n/tDen⌉  ⟺  x·tDen ≥ tNum·n for integer x — no
     // division, no float, no ceil. Adding k to the integer LHS shifts
@@ -720,28 +744,39 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
-    // labels live as a manually persisted RDD[Row], and each round
-    // REBUILDS the DataFrame from the materialized RDD — so the logical
-    // plan is CONSTANT-SIZE across rounds. Chaining cached Datasets
-    // instead grows the lineage ~4× per round (the pointer-jump
-    // self-join references the previous round twice), and the
-    // exponential plan makes analysis + cache-naming cost explode after
-    // ~8 rounds: a long-diameter graph would hang the DRIVER on plan
-    // bookkeeping long before any executor did real work.
+    // labels live as an EAGER LOCAL CHECKPOINT, and each round rebuilds
+    // the plan from the materialized leaf — so the logical plan is
+    // CONSTANT-SIZE across rounds. Chaining cached Datasets instead
+    // grows the lineage ~4× per round (the pointer-jump self-join
+    // references the previous round twice), and the exponential plan
+    // makes analysis + cache-naming cost explode after ~8 rounds: a
+    // long-diameter graph would hang the DRIVER on plan bookkeeping
+    // long before any executor did real work. The checkpoint (round
+    // 15) replaces a persisted `df.rdd` + `createDataFrame(rdd,
+    // schema)` rebuild, which paid an InternalRow→Row deserialization
+    // on cache write and a Row→InternalRow conversion on EVERY scan of
+    // the labels — several per round — every round (guide §1.4's
+    // df.rdd warning). localCheckpoint stores the UnsafeRows directly
+    // (MEMORY_AND_DISK, same spill-don't-evict level as before).
     val seed = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-    val schema = seed.schema
-    // MEMORY_AND_DISK, matching the Dataset .cache() default this
-    // replaced: MEMORY_ONLY would EVICT label partitions under pressure
-    // and recompute them through lineage that reaches back through
-    // already-unpersisted rounds — spill to disk instead
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var labelsRdd = seed.rdd.persist(level)
+    var labels = seed.localCheckpoint(true)
+    // Convergence probe: labels are pointwise MONOTONE non-increasing
+    // (every update is a `least` against the current value) over a
+    // constant doc_id set, so "no label changed" ⟺ "sum(cluster_id)
+    // unchanged" — one exact decimal(38) aggregation over the new
+    // checkpoint (map-side partials, no shuffle of substance) instead
+    // of the previous rounds' labels⋈next equality join + filter +
+    // limit probe, which paid a full shuffle of both label sets every
+    // round (guide §2.4: remove shuffles outright).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val labels = spark.createDataFrame(labelsRdd, schema)
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
@@ -770,29 +805,33 @@ object Dedup {
           col("h.doc_id").as("doc_id"),
           least(col("h.cluster_id"), coalesce(col("jlabel"), col("h.cluster_id")))
             .as("cluster_id"))
-      val nextRdd = next.rdd.persist(level)
-      val nextDf = spark.createDataFrame(nextRdd, schema)
-      val changed = nextDf.as("n")
-        .join(spark.createDataFrame(labelsRdd, schema).as("l"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      labelsRdd.unpersist()
-      labelsRdd = nextRdd
-      converged = !changed
+      // LAZY checkpoint: the sum probe below is a full pass over every
+      // partition, so it both materializes the checkpoint and answers
+      // convergence in ONE job (the eager form would pay a separate
+      // count() action first)
+      val nextCk = next.localCheckpoint(false)
+      val nextSum = labelSum(nextCk)
+      PartitionedCheckpoint.release(labels)
+      labels = nextCk
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
     if (!converged) {
-      labelsRdd.unpersist()
+      PartitionedCheckpoint.release(labels)
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIter rounds — component diameter " +
           s"exceeds 2^$maxIter; raise maxIter")
     }
     // hand the caller a normally cached Dataset (releasable with
-    // .unpersist() per the documented contract), then drop the raw RDD
-    val out = spark.createDataFrame(labelsRdd, schema).cache()
+    // .unpersist() per the documented contract), then drop the
+    // checkpoint blocks (the cache is materialized first and its
+    // MEMORY_AND_DISK level spills rather than evicts, so nothing ever
+    // needs the truncated lineage again)
+    val out = labels.select(col("doc_id"), col("cluster_id")).cache()
     out.count()
-    labelsRdd.unpersist()
+    PartitionedCheckpoint.release(labels)
     out
   }
 

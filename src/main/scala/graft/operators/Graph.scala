@@ -280,7 +280,13 @@ object Graph {
     // struct: the wedge predicate below evaluates once per ENUMERATED
     // pair (~411M at sf1) and a codegen'd pair of long compares beats
     // an interpreted struct ordering on the hot path
-    val oriented = PartitionedCheckpoint.byKeys(
+    // byKeysNCounted: the checkpoint's materialization pass doubles as
+    // the bloom filter's sizing count (oriented keeps exactly one row
+    // per canonical edge, and u/v are non-null by construction, so the
+    // checkpoint row count IS the non-null key count) — round 15, one
+    // fewer action + one fewer full pass over the oriented set per
+    // triangle enumeration (and kTruss re-enumerates every peel round)
+    val (oriented, orientedRows) = PartitionedCheckpoint.byKeysNCounted(
       canon
         .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
@@ -288,6 +294,7 @@ object Graph {
           when(fwd, col("a")).otherwise(col("b")).as("u"),
           when(fwd, col("db")).otherwise(col("da")).as("dv"),
           when(fwd, col("b")).otherwise(col("a")).as("v")),
+      0,
       col("u"))
     // wedges pivoting at u: (v, w) with (dv,v) < (dw,w) keeps each
     // wedge exactly once under the same (deg, id) total order. A
@@ -306,9 +313,18 @@ object Graph {
     // checkpoint's declared HashPartitioning — no exchange — and the
     // bloom keeps the no-false-negative contract, so the exact close
     // join below removes the ~fpp false positives as before.
-    val bloomBytes = BloomJoin.buildBlockedKeyFilter(
-      oriented, xxhash64(col("u"), col("v")))
+    val bloomBytes = BloomJoin.buildBlockedKeyFilterSized(
+      oriented, xxhash64(col("u"), col("v")), orientedRows)
     val spark = canon.sparkSession
+    // the filter ships as a BROADCAST, not a plan literal (round 15):
+    // the literal form put the multi-MB bytes inside the expression
+    // tree — every plan copy, canonicalization equality walk and the
+    // stage task binary carried them (sf0.1: 4 MiB task-binary
+    // warnings; sf1: ~24 MB), and every task rebuilt its own
+    // deserialized BlockedBloom. The broadcast handle keeps the plan
+    // bytes-free and the deserialized filter is shared per executor
+    // JVM (see WedgeCandidatesBc)
+    val bloomBc = spark.sparkContext.broadcast(bloomBytes)
     // no sort_array: the kernel key-sorts the primitive (d, n) columns
     // itself (round-14 — the SQL sort ran an interpreted per-element
     // struct comparator over 12M elements at sf1)
@@ -316,8 +332,8 @@ object Graph {
       .agg(collect_list(struct(col("dv").as("d"), col("v").as("n"))).as("ns"))
       .filter(size(col("ns")) >= 2)
     val candidates = nbrs.select(col("u").as("pivot"),
-      explode(graft.functions.GraphFunctions.wedgeCandidates(
-        spark, col("ns"), bloomBytes)).as("p"))
+      explode(graft.functions.GraphFunctions.wedgeCandidatesBc(
+        col("ns"), bloomBc)).as("p"))
       .select(col("pivot"), col("p.v").as("v"), col("p.w").as("w"))
     // shuffle-hash, not sort-merge: sorting the wedge-candidate side
     // (23M rows at sf1) buys nothing a per-partition hash map over the
@@ -1096,56 +1112,58 @@ object Graph {
       frontier0: DataFrame,
       maxIter: Int,
       op: String): DataFrame = {
-    val spark = symIn.sparkSession
     val sym = symIn.cache()
-    val seed = labels0.select(col("node"), col("label"))
-    val schema = seed.schema
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var labelsRdd = seed.rdd.persist(level)
-    var frontierRdd =
-      if (frontier0 eq labels0) labelsRdd
-      else frontier0.select(col("node"), col("label")).rdd.persist(level)
+    // Per-round state lives as EAGER LOCAL CHECKPOINTS, rebuilt into
+    // constant-size plans each round (same no-lineage-growth
+    // discipline as before round 15) — but the rows stay UnsafeRows in
+    // the block store end to end. The previous shape persisted
+    // `df.rdd` and rebuilt with `createDataFrame(rdd, schema)`, which
+    // pays an InternalRow→Row deserialization when writing the cache
+    // AND a Row→InternalRow conversion on every scan of it, every
+    // round (guide §1.4's df.rdd warning — the same tax the round-14
+    // bloom build removed from its one-shot pass, here multiplied by
+    // the iteration count).
+    var labels = labels0.select(col("node"), col("label")).localCheckpoint(true)
+    var frontier =
+      if (frontier0 eq labels0) labels
+      else frontier0.select(col("node"), col("label")).localCheckpoint(true)
     var iter = 0
-    var frontierEmpty = frontierRdd.isEmpty()
+    var frontierEmpty = frontier.isEmpty
     while (!frontierEmpty && iter < maxIter) {
-      val labels = spark.createDataFrame(labelsRdd, schema)
-      val frontier = spark.createDataFrame(frontierRdd, schema)
-        .select(col("node").as("fn"), col("label").as("fl"))
+      val f = frontier.select(col("node").as("fn"), col("label").as("fl"))
       // neighbors of the frontier hear its labels; min per neighbor
-      val cand = sym.join(frontier, col("src") === col("fn"))
+      val cand = sym.join(f, col("src") === col("fn"))
         .groupBy(col("dst").as("cn"))
         .agg(min(col("fl")).as("cl"))
       // strict improvements only — they are EXACTLY the next frontier
       val improved = labels.join(cand, col("node") === col("cn"))
         .filter(col("cl") < col("label"))
         .select(col("node"), col("cl").as("label"))
-      val improvedRdd = improved.rdd.persist(level)
-      frontierEmpty = improvedRdd.isEmpty()
+        .localCheckpoint(true)
+      frontierEmpty = improved.isEmpty
       if (!frontierEmpty) {
-        val imp = spark.createDataFrame(improvedRdd, schema)
-          .select(col("node").as("un"), col("label").as("ul"))
-        val next = spark.createDataFrame(labelsRdd, schema)
+        val imp = improved.select(col("node").as("un"), col("label").as("ul"))
+        val next = labels
           .join(imp, col("node") === col("un"), "left")
           .select(col("node"), coalesce(col("ul"), col("label")).as("label"))
-        val nextRdd = next.rdd.persist(level)
-        nextRdd.count() // materialize before releasing the inputs
-        labelsRdd.unpersist(false)
-        frontierRdd.unpersist(false)
-        labelsRdd = nextRdd
-        frontierRdd = improvedRdd
+          .localCheckpoint(true) // materialized before releasing inputs
+        PartitionedCheckpoint.release(labels)
+        if (frontier ne labels) PartitionedCheckpoint.release(frontier)
+        labels = next
+        frontier = improved
       } else {
-        improvedRdd.unpersist(false)
-        if (frontierRdd ne labelsRdd) frontierRdd.unpersist(false)
+        PartitionedCheckpoint.release(improved)
+        if (frontier ne labels) PartitionedCheckpoint.release(frontier)
       }
       iter += 1
     }
     require(frontierEmpty,
       s"$op: not converged after $maxIter rounds " +
         "(component diameter exceeds maxIter)")
-    val out = spark.createDataFrame(labelsRdd, schema)
+    val out = labels
       .select(col("node"), col("label").as("component"))
       .localCheckpoint(true)
-    labelsRdd.unpersist(false)
+    PartitionedCheckpoint.release(labels)
     sym.unpersist()
     out
   }

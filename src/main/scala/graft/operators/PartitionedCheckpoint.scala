@@ -59,19 +59,51 @@ object PartitionedCheckpoint {
     ckpt
   }
 
+  /** Drop the executor blocks behind a frame returned by
+    * `localCheckpoint` (directly — the plan must still BE the
+    * `LogicalRDD` leaf, not a transformation over it). Iterative
+    * operators ([[graft.operators.Dedup.clusters]], the Graph frontier
+    * loop) keep per-round state as eager local checkpoints; releasing
+    * the previous round's blocks as soon as the next round is
+    * materialized keeps the BlockManager footprint at one generation
+    * instead of `rounds`. No-op for any other plan shape. The released
+    * frame must never be read again (localCheckpoint truncates
+    * lineage, so the blocks are the ONLY copy).
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.optimizedPlan match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _ =>
+  }
+
   /** [[byKeys]] with an explicit partition count (0 = the session's
     * `spark.sql.shuffle.partitions`). Downstream work per key group is
     * often superlinear (self-join fan-out), so a finer grain than the
     * session default evens out stragglers that AQE — blind here, the
     * join plans WITHOUT a shuffle to adapt — can no longer fix.
     */
-  def byKeysN(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame = {
+  def byKeysN(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    byKeysNCounted(df, numPartitions, keys: _*)._1
+
+  /** [[byKeysN]], also returning the materialized ROW COUNT. The eager
+    * checkpoint's materialization IS a count job whose value
+    * `localCheckpoint(true)` discards; running the checkpoint lazily
+    * and counting the checkpoint RDD ourselves recovers the number for
+    * free — callers that need the cardinality next (e.g. sizing a
+    * bloom filter over the checkpointed frame) skip a whole extra
+    * pass + scheduled job over the data.
+    */
+  def byKeysNCounted(
+      df: DataFrame, numPartitions: Int, keys: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ckpt = df.repartition(n, keys: _*).localCheckpoint(true)
-    ckpt.queryExecution.optimizedPlan match {
+    val ckpt = df.repartition(n, keys: _*).localCheckpoint(false)
+    val rows = ckpt.queryExecution.optimizedPlan match {
+      case lr: LogicalRDD => lr.rdd.count() // materializes the lazy checkpoint
+      case _ => ckpt.count()
+    }
+    val out = ckpt.queryExecution.optimizedPlan match {
       case lr: LogicalRDD =>
         // resolve each key against the checkpoint's own output attrs:
         // the declared partitioning must reference the exprIds the new
@@ -87,6 +119,7 @@ object PartitionedCheckpoint {
           spark, lr.output, lr.rdd, HashPartitioning(keyAttrs, n))
       case _ => ckpt // unexpected plan shape: correct, just re-shuffles
     }
+    (out, rows)
   }
 
 }

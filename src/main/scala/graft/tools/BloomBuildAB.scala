@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object BloomBuildAB {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/dev/shm/graft_sf1")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -27,6 +27,18 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object GraftInternal {
 
+  /** A Column over a raw Catalyst expression — for engine-built
+    * expressions that carry NON-Expression state (e.g. a `Broadcast`
+    * handle), which cannot round-trip through the SQL function
+    * registry's Column-only signatures.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (inverse of [[column]]). */
+  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** The checkpointed `rdd` as a DataFrame whose leaf DECLARES
     * `partitioning`. Caller must guarantee the rows are physically
     * laid out that way — this only changes what the planner is told.

@@ -39,9 +39,26 @@ def driver_sort(df: pd.DataFrame) -> None:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 600.0
+    # optional resume: a previous run's log — its "OK   q..." lines are
+    # carried forward as ok without re-running (the sweep is ~3 h of
+    # DuckDB time; an interruption must not restart it from zero)
+    done = set()
+    if len(sys.argv) > 4:
+        for line in open(sys.argv[4]):
+            if line.startswith("OK   "):
+                done.add(line.split()[1])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # sf1 makes a handful of quadratic completeness oracles memory-
+    # monsters as well as slow: an uncapped run was OOM-killed by the
+    # kernel at 129 GB RSS. Cap DuckDB and give it a disk spill dir —
+    # operators that can spill run slower (and then hit the watchdog,
+    # recorded as SKIP); operators that cannot raise an OOM error,
+    # recorded as SKIP below, never a kernel kill.
+    con.execute("SET memory_limit='24GB'")
     import os
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         # driver testdata tables are single parquet FILES; ScaleUp
         # replicas are Spark output DIRECTORIES — DuckDB needs a glob
@@ -53,6 +70,10 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, failed, skipped = [], [], []
     for name, sql in sorted(oracle.items()):
+        if name in done:
+            print(f"OK   {name} (carried from previous run)", flush=True)
+            ok.append(name)
+            continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -72,6 +93,11 @@ def main():
             if "INTERRUPT" in str(e).upper() or dt >= timeout_s - 1:
                 print(f"SKIP {name}: oracle exceeded {timeout_s:.0f}s "
                       f"(elapsed {dt:.0f}s)", flush=True)
+                skipped.append(name)
+            elif "OUT OF MEMORY" in str(e).upper() \
+                    or "MEMORY LIMIT" in str(e).upper():
+                print(f"SKIP {name}: oracle over the DuckDB memory cap "
+                      f"(elapsed {dt:.0f}s): {e}", flush=True)
                 skipped.append(name)
             else:
                 print(f"FAIL {name}: oracle error: {e}", flush=True)
